@@ -1,0 +1,16 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Parquet star-schema fixture loaders (TESTDATA.md / FIXTURES.md §2).
+  *
+  * The reference reads whitespace-tokenized text lines
+  * (`TextInputFormat`, apriori/apriori_final.java:259,
+  * multilinereg/multilinereg.java:181); the engine reads columnar Parquet
+  * with explicit schemas so Catalyst can prune columns and push filters to
+  * the scan — the first requirement for 100 TB behavior.
+  */
+object Tables {
+  def apply(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+}

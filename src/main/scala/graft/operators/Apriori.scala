@@ -1,0 +1,205 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Apriori frequent-itemset mining + association rules, Spark-first.
+  *
+  * Capability parity with the reference's two pipelines
+  * (`apriori/apriori_final.java`, `apriori/apriori_raw.java`):
+  *
+  *  - Job 1 — tokenize → (item,1) → combiner/reducer SUM → support filter
+  *    (apriori_final.java:49-62, 160-193, 215-225) becomes
+  *    `explode → groupBy.count → HAVING`; map-side partial aggregation is
+  *    automatic in `HashAggregateExec` (no combiner to hand-wire).
+  *  - The HBase point-`Get` per token (apriori_final.java:125-140) — a
+  *    network RTT on the data path — becomes ONE broadcast of the frequent
+  *    item set joined without any shuffle (J1 in SURVEY.md §2.3).
+  *  - The recursive per-transaction subset generator
+  *    (`CandidatesGenRecursion`, apriori_final.java:70-110) becomes a typed
+  *    `flatMap` over `Seq.combinations` (G1) — distributed, no driver loop.
+  *  - Job 3's rule confidence via HBase lookups of count(X) and count(X∪Y)
+  *    (apriori_raw.java:196-297) becomes an equi-join on the canonical
+  *    itemset key plus a ratio column (J2/M6); confidence =
+  *    100·supp(Z)/supp(X) (apriori_raw.java:275-278).
+  *
+  * Deliberate deviation (SURVEY.md §2.5 "semantics trap"): itemsets are
+  * canonicalized by sorting before keying, where the reference keys on raw
+  * transaction order — textbook Apriori semantics, deterministic, and
+  * expressible in the DuckDB oracle. Support is inclusive ≥ 5
+  * (apriori_final.java:231).
+  *
+  * Scale notes (100 TB): transactions are built with a broadcast join
+  * against the (small) dimension; the only shuffles are the two
+  * `groupBy.count`s, both with map-side partial aggregation; the frequent
+  * item set crosses the cluster once as a broadcast, never per-row; subset
+  * enumeration is bounded by [[MaxBasket]] to cap the 2^k blowup per basket.
+  */
+object Apriori {
+  /** Inclusive support threshold (apriori_final.java:231, 270). */
+  val Support = 5
+
+  /** Baskets are truncated to this many frequent items before subset
+    * enumeration (2^k guard). No effect at fixture scale (max basket = 11
+    * at sf0.01); a documented deviation for pathologically wide baskets.
+    */
+  val MaxBasket = 14
+
+  case class Basket(l_orderkey: Long, fitems: Seq[String])
+
+  /** One transaction per order: the distinct, sorted set of part brands
+    * (FIXTURES.md canonical mapping). The reference's transaction file is
+    * one whitespace-joined line per basket (apriori_final.java:6).
+    */
+  def transactions(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables(spark, dir, "lineitem").select("l_orderkey", "l_partkey")
+    val part = Tables(spark, dir, "part").select("p_partkey", "p_brand")
+    li.join(broadcast(part), li("l_partkey") === part("p_partkey"))
+      .groupBy("l_orderkey")
+      .agg(array_sort(collect_set(col("p_brand"))).as("items"))
+  }
+
+  /** Frequent 1-itemsets: item → basket count, count ≥ [[Support]].
+    * Reference Job 1 (A1/A2/P4 in SURVEY.md §2).
+    */
+  def freqItems(spark: SparkSession, dir: String): DataFrame =
+    transactions(spark, dir)
+      .select(explode(col("items")).as("item"))
+      .groupBy("item")
+      .agg(count(lit(1)).as("cnt"))
+      .where(col("cnt") >= Support)
+
+  /** Support of every subset (size ≥ 1, canonical sorted) of each basket's
+    * frequent items: cnt(X) = #baskets ⊇ X. Monotonicity makes the per-item
+    * frequency pre-filter a pure optimization — it never changes which
+    * itemsets reach support (any X with supp(X) ≥ S has all items ≥ S).
+    */
+  def itemsetSupports(spark: SparkSession, dir: String): DataFrame = {
+    val s = spark; import s.implicits._
+    val freqSet = freqItems(spark, dir)
+      .agg(collect_set($"item").as("freqset"))
+    // 1-row broadcast nested-loop join: the Spark analog of the reference's
+    // per-token HBase Get (apriori_raw.java:160-171), without the RTT.
+    val baskets = transactions(spark, dir)
+      .join(broadcast(freqSet))
+      .select(
+        $"l_orderkey",
+        array_sort(array_intersect($"items", $"freqset")).as("fitems"))
+      .as[Basket]
+    baskets
+      .flatMap { b =>
+        val it = b.fitems.take(MaxBasket)
+        (1 to it.length).iterator
+          .flatMap(k => it.combinations(k))
+          .map(c => (c.mkString(" "), c.length))
+      }
+      .toDF("itemset", "k")
+      .groupBy($"itemset", $"k")
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Frequent k-itemsets (k ≥ 2), support ≥ [[Support]] — reference Job 2
+    * output with the final-variant support filter (apriori_final.java:215).
+    */
+  def freqItemsets(spark: SparkSession, dir: String): DataFrame =
+    itemsetSupports(spark, dir)
+      .where(col("k") >= 2 && col("cnt") >= Support)
+      .select("itemset", "cnt")
+
+  /** Association rules X ⇒ Y from every frequent itemset Z = X ∪ Y with
+    * X a non-empty proper subset; confidence = 100·supp(Z)/supp(X)
+    * (apriori_raw.java:275-278). The reference emits all rules without a
+    * min-confidence gate; so do we.
+    */
+  def assocRules(spark: SparkSession, dir: String): DataFrame = {
+    val s = spark; import s.implicits._
+    val supports = itemsetSupports(spark, dir).cache()
+    val expanded = supports
+      .where($"k" >= 2 && $"cnt" >= Support)
+      .select(split($"itemset", " ").as("z"), $"cnt".as("zcnt"))
+      .as[(Seq[String], Long)]
+      .flatMap { case (z, zcnt) =>
+        (1 until z.length).iterator
+          .flatMap(k => z.combinations(k))
+          .map(x => (x.mkString(" "), z.diff(x).mkString(" "), zcnt))
+      }
+      .toDF("antecedent", "consequent", "zcnt")
+    // supports is tiny relative to the data (aggregated itemsets); AQE /
+    // auto-broadcast picks BHJ at fixture scale, SMJ beyond thresholds.
+    expanded
+      .join(supports.select($"itemset", $"cnt".as("xcnt")),
+        expanded("antecedent") === col("itemset"))
+      .select(
+        $"antecedent",
+        $"consequent",
+        ($"zcnt" * lit(100.0) / $"xcnt").as("confidence"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "apriori_freq_items" -> freqItems,
+    "apriori_freq_itemsets" -> freqItemsets,
+    "apriori_assoc_rules" -> assocRules
+  )
+
+  // DuckDB oracle: subsets enumerated with a bitmask join (the fixture's
+  // max basket is 11 frequent items, well under the 1<<14 mask range).
+  private val txSql =
+    """tx AS (
+      |  SELECT l_orderkey, list_sort(list(DISTINCT p_brand)) AS items
+      |  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      |  GROUP BY l_orderkey
+      |)""".stripMargin
+
+  private val subSql =
+    s"""$txSql,
+       |masks AS (SELECT unnest(range(1, 1 << 14)) AS mask),
+       |sub AS (
+       |  SELECT l_orderkey,
+       |    list_transform(
+       |      list_filter(range(1, len(items) + 1),
+       |                  i -> ((mask >> (i - 1)::INT) & 1) = 1),
+       |      i -> items[i]) AS subset
+       |  FROM tx JOIN masks ON mask < (1 << len(items))
+       |),
+       |supports AS (
+       |  SELECT list_aggregate(subset, 'string_agg', ' ') AS itemset,
+       |         len(subset) AS k, count(*) AS cnt
+       |  FROM sub GROUP BY 1, 2
+       |)""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+    "apriori_freq_items" ->
+      s"""WITH $txSql
+         |SELECT item, count(*) AS cnt
+         |FROM (SELECT l_orderkey, unnest(items) AS item FROM tx)
+         |GROUP BY item HAVING count(*) >= ${Support}""".stripMargin,
+    "apriori_freq_itemsets" ->
+      s"""WITH $subSql
+         |SELECT itemset, cnt FROM supports
+         |WHERE k >= 2 AND cnt >= ${Support}""".stripMargin,
+    "apriori_assoc_rules" ->
+      s"""WITH $subSql,
+         |freqsets AS (
+         |  SELECT subset, count(*) AS zcnt FROM sub
+         |  WHERE len(subset) >= 2 GROUP BY 1 HAVING count(*) >= ${Support}
+         |),
+         |ante AS (
+         |  SELECT
+         |    list_aggregate(list_transform(
+         |      list_filter(range(1, len(f.subset) + 1),
+         |                  i -> ((m.mask >> (i - 1)::INT) & 1) = 1),
+         |      i -> f.subset[i]), 'string_agg', ' ') AS antecedent,
+         |    list_aggregate(list_transform(
+         |      list_filter(range(1, len(f.subset) + 1),
+         |                  i -> ((m.mask >> (i - 1)::INT) & 1) = 0),
+         |      i -> f.subset[i]), 'string_agg', ' ') AS consequent,
+         |    f.zcnt
+         |  FROM freqsets f
+         |  JOIN masks m ON m.mask >= 1 AND m.mask < (1 << len(f.subset)) - 1
+         |)
+         |SELECT a.antecedent, a.consequent,
+         |       a.zcnt * 100.0 / s.cnt AS confidence
+         |FROM ante a JOIN supports s ON a.antecedent = s.itemset""".stripMargin
+  )
+}

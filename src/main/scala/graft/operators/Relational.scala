@@ -1,0 +1,194 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Relational capability demos over the star schema (SURVEY.md §2.7/§2.11).
+  *
+  * The reference has no sorts, limits, windows, outer joins, or set ops —
+  * its only join shapes are broadcast lookup semi-joins (J1/J2). These
+  * queries prove the full relational surface a user of the reference would
+  * gain by switching, all with built-in operators Catalyst can optimize.
+  *
+  * Determinism discipline for the DuckDB oracle: every floating SUM goes
+  * through DECIMAL so the result is order-independent (double summation is
+  * not associative; a 1000-executor shuffle must not change the answer);
+  * every rank/limit has a total-order tiebreaker.
+  */
+object Relational {
+
+  /** Exact decimal sum of a double expression, surfaced back as double. */
+  private def dsum(c: Column): Column =
+    sum(c.cast("decimal(24,6)")).cast("double")
+
+  /** TPC-H Q1-style pricing summary: filter → groupBy → multi-agg.
+    * Exercises scan pushdown (date predicate reaches the Parquet reader)
+    * and partial aggregation — the Spark restatement of the reference's
+    * Job-1 wordcount shape (apriori_final.java:49-62) on numeric measures.
+    */
+  def pricingSummary(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "lineitem")
+      .where(col("l_quantity") < 50.0)
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        dsum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_base_price"),
+        dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .as("sum_disc_price"),
+        count(lit(1)).as("count_order"))
+
+  /** Shuffled 3-way join: customer ⋈ orders ⋈ nation, revenue per nation.
+    * nation (25 rows) broadcasts; customer⋈orders shuffles on the key.
+    */
+  def revenueByNation(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables(spark, dir, "customer").select("c_custkey", "c_nationkey")
+    val ord = Tables(spark, dir, "orders").select("o_custkey", "o_totalprice")
+    val nat = Tables(spark, dir, "nation").select("n_nationkey", "n_name")
+    ord
+      .join(cust, ord("o_custkey") === cust("c_custkey"))
+      .join(broadcast(nat), cust("c_nationkey") === nat("n_nationkey"))
+      .groupBy("n_name")
+      .agg(dsum(col("o_totalprice")).as("revenue"),
+        count(lit(1)).as("n_orders"))
+  }
+
+  /** Top-3 orders per customer by total price — window row_number with a
+    * total-order tiebreaker (o_orderkey) so ranking is deterministic.
+    */
+  def topOrdersPerCustomer(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    Tables(spark, dir, "orders")
+      .select("o_custkey", "o_orderkey", "o_totalprice")
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= 3)
+  }
+
+  /** Global sort + limit: 10 priciest parts (tiebreak on p_partkey).
+    * Spark's TakeOrderedAndProject avoids a full global sort.
+    */
+  def topParts(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "part")
+      .select("p_partkey", "p_name", "p_retailprice")
+      .orderBy(col("p_retailprice").desc, col("p_partkey").asc)
+      .limit(10)
+
+  /** Set operations over (brand, size) tuples: INTERSECT of the pricey and
+    * cheap catalog corners, EXCEPT the largest sizes.
+    */
+  def brandSetOps(spark: SparkSession, dir: String): DataFrame = {
+    val part = Tables(spark, dir, "part")
+    def tuples(pred: Column) =
+      part.where(pred).select("p_brand", "p_size").distinct()
+    tuples(col("p_retailprice") >= 980.0)
+      .intersect(tuples(col("p_retailprice") <= 920.0))
+      .except(tuples(col("p_size") >= 40))
+  }
+
+  /** ROLLUP aggregation (grouping-set surface): quantity by returnflag /
+    * linestatus with subtotals; NULL grouping keys coalesced to 'ALL' so
+    * both engines render subtotal rows identically.
+    */
+  def rollupSales(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "lineitem")
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(dsum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+        col("sum_qty"), col("n"))
+
+  /** Anti join: customers with no high-value order (NOT EXISTS). */
+  def customersWithoutOrders(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables(spark, dir, "customer").select("c_custkey", "c_name")
+    val ord = Tables(spark, dir, "orders")
+      .where(col("o_totalprice") > 300000.0).select(col("o_custkey"))
+    cust.join(ord, cust("c_custkey") === ord("o_custkey"), "left_anti")
+  }
+
+  /** Semi join: order-priority histogram over orders having at least one
+    * high-quantity lineitem (EXISTS) — the J1 lookup-join shape on the
+    * standard shuffle path instead of broadcast.
+    */
+  def prioritySemiJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ord = Tables(spark, dir, "orders").select("o_orderkey", "o_orderpriority")
+    val li = Tables(spark, dir, "lineitem")
+      .where(col("l_quantity") >= 45.0).select(col("l_orderkey"))
+    ord.join(li, ord("o_orderkey") === li("l_orderkey"), "left_semi")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"))
+  }
+
+  /** Exact distinct aggregation: distinct parts supplied per supplier. */
+  def distinctPartsPerSupplier(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "lineitem")
+      .groupBy("l_suppkey")
+      .agg(countDistinct(col("l_partkey")).as("n_parts"),
+        count(lit(1)).as("n_lineitems"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "rel_pricing_summary" -> pricingSummary,
+    "rel_revenue_by_nation" -> revenueByNation,
+    "rel_topk_orders_per_customer" -> topOrdersPerCustomer,
+    "rel_top_parts" -> topParts,
+    "rel_brand_setops" -> brandSetOps,
+    "rel_rollup_sales" -> rollupSales,
+    "rel_customers_without_orders" -> customersWithoutOrders,
+    "rel_priority_semijoin" -> prioritySemiJoin,
+    "rel_distinct_parts_per_supplier" -> distinctPartsPerSupplier
+  )
+
+  val oracle: Map[String, String] = Map(
+    "rel_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(24,6))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(24,6))) AS DOUBLE) AS sum_base_price,
+        |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(24,6))) AS DOUBLE) AS sum_disc_price,
+        |  count(*) AS count_order
+        |FROM lineitem WHERE l_quantity < 50.0
+        |GROUP BY l_returnflag, l_linestatus""".stripMargin,
+    "rel_revenue_by_nation" ->
+      """SELECT n_name,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(24,6))) AS DOUBLE) AS revenue,
+        |  count(*) AS n_orders
+        |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |GROUP BY n_name""".stripMargin,
+    "rel_topk_orders_per_customer" ->
+      """SELECT * FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+        |  FROM orders) WHERE rn <= 3""".stripMargin,
+    "rel_top_parts" ->
+      """SELECT p_partkey, p_name, p_retailprice FROM part
+        |ORDER BY p_retailprice DESC, p_partkey ASC LIMIT 10""".stripMargin,
+    "rel_brand_setops" ->
+      """(SELECT DISTINCT p_brand, p_size FROM part WHERE p_retailprice >= 980.0
+        | INTERSECT
+        | SELECT DISTINCT p_brand, p_size FROM part WHERE p_retailprice <= 920.0)
+        |EXCEPT
+        |SELECT DISTINCT p_brand, p_size FROM part WHERE p_size >= 40""".stripMargin,
+    "rel_rollup_sales" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+        |  coalesce(l_linestatus, 'ALL') AS linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(24,6))) AS DOUBLE) AS sum_qty,
+        |  count(*) AS n
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin,
+    "rel_customers_without_orders" ->
+      """SELECT c_custkey, c_name FROM customer c
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o
+        |  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000.0)""".stripMargin,
+    "rel_priority_semijoin" ->
+      """SELECT o_orderpriority, count(*) AS n_orders FROM orders o
+        |WHERE EXISTS (SELECT 1 FROM lineitem l
+        |  WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity >= 45.0)
+        |GROUP BY o_orderpriority""".stripMargin,
+    "rel_distinct_parts_per_supplier" ->
+      """SELECT l_suppkey, count(DISTINCT l_partkey) AS n_parts,
+        |  count(*) AS n_lineitems
+        |FROM lineitem GROUP BY l_suppkey""".stripMargin
+  )
+}

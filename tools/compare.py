@@ -1,0 +1,77 @@
+#!/usr/bin/env python3
+"""Dev-loop mimic of the driver's correctness gate: run graft.Verify output
+against the DuckDB oracle (oracle_sql.json) on the same parquet tables.
+
+Usage: python3 tools/compare.py <sfDir> <verifyOutDir>
+
+Driver-side-only deps (duckdb/pandas) — never imported by shipped Scala code.
+"""
+import duckdb
+import json
+import math
+import sys
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def canon(df):
+    df = df.reindex(sorted(df.columns), axis=1)
+    df = df.sort_values(by=list(df.columns), ignore_index=True)
+    return df
+
+
+def cell_eq(a, b):
+    if a is None and b is None:
+        return True
+    if isinstance(a, float) and isinstance(b, float):
+        if math.isnan(a) and math.isnan(b):
+            return True
+        return a == b
+    return a == b
+
+
+def main():
+    sf, out = sys.argv[1], sys.argv[2]
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
+    oracle = json.load(open(f"{out}/oracle_sql.json"))
+    n_pass = n_fail = 0
+    for name, sql in sorted(oracle.items()):
+        try:
+            got = canon(con.sql(
+                f"SELECT * FROM '{out}/{name}/*.parquet'").df())
+            exp = canon(con.sql(sql).df())
+        except Exception as e:
+            print(f"FAIL {name}: {e}")
+            n_fail += 1
+            continue
+        if list(got.columns) != list(exp.columns):
+            print(f"FAIL {name}: columns {list(got.columns)} "
+                  f"vs oracle {list(exp.columns)}")
+            n_fail += 1
+            continue
+        if len(got) != len(exp):
+            print(f"FAIL {name}: {len(got)} rows vs oracle {len(exp)}")
+            n_fail += 1
+            continue
+        bad = []
+        gv, ev = got.values.tolist(), exp.values.tolist()
+        for i in range(len(gv)):
+            for j in range(len(got.columns)):
+                if not cell_eq(gv[i][j], ev[i][j]):
+                    bad.append((i, got.columns[j], gv[i][j], ev[i][j]))
+        if bad:
+            print(f"FAIL {name}: {len(bad)} cell mismatches, first 3: "
+                  f"{bad[:3]}")
+            n_fail += 1
+        else:
+            print(f"PASS {name} ({len(got)} rows)")
+            n_pass += 1
+    print(f"== {n_pass} pass, {n_fail} fail ==")
+    sys.exit(1 if n_fail else 0)
+
+
+if __name__ == "__main__":
+    main()
