@@ -32,10 +32,11 @@ import graft.Tables
   *    (bool_and over flags; driver stops when false, multilinereg.java:202)
   *    or after maxIter = 50.
   *
-  * Determinism: `repartition(NumParts, id)` + `sortWithinPartitions(id)`
+  * Determinism: `repartition(numParts, id)` + `sortWithinPartitions(id)`
   * fixes both partition membership and fold order regardless of input
-  * layout or executor count, so θ is reproducible run-to-run — required for
-  * the verify harness, and the same discipline a 1000-executor run needs.
+  * layout, so θ is reproducible run-to-run at a fixed partition count —
+  * required for the verify harness, and the same discipline a
+  * 1000-executor run needs (see [[numParts]] for how the count scales).
   *
   * Hyper-parameters from the reference: α = 0.03, accuracy = 0.01,
   * maxIter = 50 (multilinereg.java:146-151).
@@ -45,12 +46,17 @@ object Sgd {
   val Accuracy = 0.01
   val MaxIter = 50
 
-  /** Fixed partition count, independent of cluster size, so results are
-    * identical on local[4] and a 1000-executor cluster. More partitions =
-    * more parallelism but coarser parameter mixing; 8 matches the fixture
-    * scale. State per partition is O(numFeatures).
+  /** SGD partition count: `graft.sgd.numPartitions` conf if set, else the
+    * session's default parallelism (min 8). θ depends on the partition
+    * count (coarser mixing with fewer partitions), so determinism requires
+    * a FIXED count per run — which this is, for a fixed config — but NOT a
+    * hardcoded constant: a constant 8 would shuffle 100 TB into 8
+    * partitions (~12.5 TB each) and cap every epoch at 8 tasks. Tests that
+    * assert run-to-run θ equality pin the conf explicitly.
     */
-  val NumParts = 8
+  def numParts(spark: SparkSession): Int =
+    spark.conf.getOption("graft.sgd.numPartitions").map(_.toInt)
+      .getOrElse(math.max(spark.sparkContext.defaultParallelism, 8))
 
   case class Obs(id: Long, y: Double, x: Array[Double])
 
@@ -74,7 +80,7 @@ object Sgd {
         array(lit(1.0), $"l_quantity" / 50.0,
           $"l_extendedprice" / 100000.0, $"l_tax").as("x"))
       .as[Obs]
-      .repartition(NumParts, $"id")
+      .repartition(numParts(spark), $"id")
       .sortWithinPartitions("id")
   }
 
