@@ -1,0 +1,203 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Text analysis over `documents.text` (SURVEY.md §2.11 — LLM-pipeline
+  * text ops; also closes the reference's raw-text modality: whitespace
+  * tokenization per `apriori/apriori_final.java:50-51` `StringTokenizer`,
+  * `TextInputFormat` at `apriori_final.java:259`).
+  *
+  * Design rules shared by every query here:
+  *
+  *  - Tokenize with a LITERAL single-space split. The fixture text is
+  *    single-space-joined lowercase tokens (verified: no doubled spaces,
+  *    no leading/trailing whitespace), and a literal split means the
+  *    Spark side and the DuckDB oracle agree byte-for-byte with no
+  *    regex-dialect risk.
+  *  - Every double is an exact-integer ÷ exact-integer division (IEEE
+  *    division of identical operands is bit-identical across engines) —
+  *    no round(), no transcendentals, so the driver's hash compare is
+  *    stable.
+  *  - Everything is per-row column expressions (whole-stage codegen'd,
+  *    no UDFs) followed by at most one aggregation — embarrassingly
+  *    parallel at 100 TB; the only shuffle in this file is word_count's
+  *    groupBy, which has map-side partial aggregation.
+  */
+object TextOps {
+
+  private def docs(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "documents")
+
+  private val toks: Column = split(col("text"), " ")
+
+  /** English/German/French function-word lexicons for the language-ID
+    * heuristic. Tiny on purpose: they broadcast as literals inside the
+    * plan, not as a join.
+    */
+  private val EnStop = Seq("the", "a", "of", "and", "to", "in", "is",
+    "that", "it", "for")
+  private val DeStop = Seq("der", "die", "das", "und", "ist", "nicht",
+    "ein", "zu", "mit", "den")
+  private val FrStop = Seq("le", "la", "les", "et", "est", "un", "une",
+    "des", "du", "pour")
+
+  private def hits(words: Seq[String]): Column =
+    size(filter(toks, t => array_contains(typedLit(words), t)))
+
+  private def sqlList(words: Seq[String]): String =
+    words.map(w => s"'$w'").mkString("[", ", ", "]")
+
+  private def sqlHits(words: Seq[String]): String =
+    s"len(list_filter(string_split(text, ' '), t -> list_contains(${sqlList(words)}, t)))"
+
+  /** Per-document surface statistics: char/token/distinct-token counts,
+    * mean token length, stopword ratio. The reference's only text
+    * "statistic" is the wordcount sum; these are the per-document stats a
+    * training-data pipeline filters on.
+    */
+  def textStats(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir).select(
+      col("doc_id"),
+      length(col("text")).as("n_chars"),
+      size(toks).as("n_tokens"),
+      size(array_distinct(toks)).as("n_distinct"),
+      (aggregate(transform(toks, t => length(t)), lit(0), (a, b) => a + b)
+        .cast("double") / size(toks).cast("double")).as("avg_token_len"),
+      (hits(EnStop).cast("double") / size(toks).cast("double"))
+        .as("stopword_ratio"))
+
+  /** Corpus word count — the reference's literal workload
+    * (`apriori_final.java:49-62` map emits (token, 1); reduce sums) over
+    * `documents.text`: split → explode → groupBy → count.
+    */
+  def wordCount(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .select(explode(toks).as("word"))
+      .groupBy("word")
+      .agg(count(lit(1)).as("cnt"))
+
+  /** Lexicon-based language ID: function-word hit counts per candidate
+    * language, argmax with a fixed tiebreak order (en > de > fr). A
+    * character-n-gram model is the production upgrade; the lexicon
+    * heuristic is deterministic and oracle-expressible.
+    */
+  def langId(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .select(
+        col("doc_id"), col("lang").as("lang_label"),
+        hits(EnStop).as("en_hits"), hits(DeStop).as("de_hits"),
+        hits(FrStop).as("fr_hits"))
+      .withColumn("lang_pred",
+        when(col("en_hits") >= col("de_hits")
+          && col("en_hits") >= col("fr_hits"), "en")
+          .when(col("de_hits") >= col("fr_hits"), "de")
+          .otherwise("fr"))
+
+  /** BPE-ish regex token count: alpha runs / digit runs / single
+    * non-alphanumeric marks, the shape of a byte-pair pre-tokenizer.
+    * Pattern kept to a dialect-neutral character-class subset so Java
+    * regex (Spark) and RE2 (DuckDB) agree.
+    */
+  val TokenPattern = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+
+  def tokenCount(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir).select(
+      col("doc_id"),
+      size(regexp_extract_all(col("text"), lit(TokenPattern), lit(0)))
+        .as("n_regex_tokens"))
+
+  /** Document fingerprints: whole-content hash plus a min-hash-of-
+    * 3-gram-shingles fingerprint (winnowing-style); two docs sharing the
+    * shingle fingerprint are near-dup candidates. Hex-string min is
+    * lexicographic in both engines.
+    */
+  def fingerprint(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir).select(
+      col("doc_id"),
+      md5(col("text")).as("content_hash"),
+      when(size(toks) >= 3,
+        array_min(transform(sequence(lit(1), size(toks) - 2),
+          i => md5(concat_ws(" ", slice(toks, i, lit(3)))))))
+        .otherwise(md5(col("text"))).as("shingle_fp"))
+
+  /** Quality gate: the length / duplication / stopword-share filters a
+    * pretraining pipeline applies before a document enters the corpus.
+    * All fractions are exact int/int divisions.
+    */
+  def qualityScore(spark: SparkSession, dir: String): DataFrame = {
+    val nTok = size(toks).cast("double")
+    docs(spark, dir).select(
+      col("doc_id"),
+      size(toks).as("n_tokens"),
+      (size(array_distinct(toks)).cast("double") / nTok)
+        .as("distinct_ratio"),
+      (hits(EnStop).cast("double") / nTok).as("stopword_ratio"),
+      (size(toks) >= 20 && size(toks) <= 1000
+        && (size(array_distinct(toks)).cast("double") / nTok) >= lit(0.2)
+        && (hits(EnStop).cast("double") / nTok) <= lit(0.5))
+        .as("quality_pass"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "llm_text_stats" -> textStats,
+    "llm_word_count" -> wordCount,
+    "llm_lang_id" -> langId,
+    "llm_token_count" -> tokenCount,
+    "llm_fingerprint" -> fingerprint,
+    "llm_quality_score" -> qualityScore
+  )
+
+  val oracle: Map[String, String] = Map(
+    "llm_text_stats" ->
+      """SELECT doc_id,
+        |  len(text) AS n_chars,
+        |  len(string_split(text, ' ')) AS n_tokens,
+        |  len(list_distinct(string_split(text, ' '))) AS n_distinct,
+        |  list_sum(list_transform(string_split(text, ' '), t -> len(t)))::BIGINT::DOUBLE
+        |    / len(string_split(text, ' '))::DOUBLE AS avg_token_len,
+        |  HITS_EN::DOUBLE / len(string_split(text, ' '))::DOUBLE AS stopword_ratio
+        |FROM documents"""
+        .stripMargin.replace("HITS_EN", sqlHits(EnStop)),
+    "llm_word_count" ->
+      """SELECT word, count(*) AS cnt
+        |FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+        |GROUP BY word""".stripMargin,
+    "llm_lang_id" ->
+      """SELECT doc_id, lang AS lang_label,
+        |  HITS_EN AS en_hits, HITS_DE AS de_hits, HITS_FR AS fr_hits,
+        |  CASE WHEN HITS_EN >= HITS_DE AND HITS_EN >= HITS_FR THEN 'en'
+        |       WHEN HITS_DE >= HITS_FR THEN 'de' ELSE 'fr' END AS lang_pred
+        |FROM documents"""
+        .stripMargin.replace("HITS_EN", sqlHits(EnStop))
+        .replace("HITS_DE", sqlHits(DeStop))
+        .replace("HITS_FR", sqlHits(FrStop)),
+    "llm_token_count" ->
+      s"""SELECT doc_id,
+         |  len(regexp_extract_all(text, '$TokenPattern')) AS n_regex_tokens
+         |FROM documents""".stripMargin,
+    "llm_fingerprint" ->
+      """SELECT doc_id, md5(text) AS content_hash,
+        |  CASE WHEN len(string_split(text, ' ')) >= 3 THEN
+        |    list_min(list_transform(
+        |      range(1, len(string_split(text, ' ')) - 1),
+        |      i -> md5(array_to_string(
+        |        list_slice(string_split(text, ' '), i, i + 2), ' '))))
+        |  ELSE md5(text) END AS shingle_fp
+        |FROM documents""".stripMargin,
+    "llm_quality_score" ->
+      """SELECT doc_id,
+        |  len(string_split(text, ' ')) AS n_tokens,
+        |  len(list_distinct(string_split(text, ' ')))::DOUBLE
+        |    / len(string_split(text, ' '))::DOUBLE AS distinct_ratio,
+        |  HITS_EN::DOUBLE / len(string_split(text, ' '))::DOUBLE AS stopword_ratio,
+        |  (len(string_split(text, ' ')) BETWEEN 20 AND 1000
+        |   AND len(list_distinct(string_split(text, ' ')))::DOUBLE
+        |       / len(string_split(text, ' '))::DOUBLE >= 0.2
+        |   AND HITS_EN::DOUBLE / len(string_split(text, ' '))::DOUBLE <= 0.5)
+        |    AS quality_pass
+        |FROM documents"""
+        .stripMargin.replace("HITS_EN", sqlHits(EnStop))
+  )
+}
