@@ -1,0 +1,336 @@
+package graft.operators
+
+import java.security.MessageDigest
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Deduplication operators over `documents` / `embeddings` (SURVEY.md
+  * §2.11 — the LLM-training-pipeline dedup family). Five methods, each a
+  * different recall/cost point, all BUCKETED designs: no query here ever
+  * materializes the all-pairs cross product — candidate pairs always come
+  * from an equi-join on a derived key (content hash, LSH band, shingle,
+  * simhash chunk, SRP bucket), which is the property that survives 100 TB.
+  * The DuckDB oracles for the approximate methods ARE all-pairs — that is
+  * the point: the bucketed Spark plan must reproduce the exact answer
+  * (LSH parameters are sized so candidate recall is total at the output
+  * threshold; validated at fixture scale by the hash-compare).
+  *
+  * Determinism: every hash is either xxhash64 (Spark-internal candidate
+  * keys only — never crosses into the oracle contract) or md5-derived
+  * (when the value itself is part of the contract, e.g. simhash bits),
+  * and every similarity is an exact int/int or IEEE-sequential double so
+  * Spark and DuckDB agree bit-for-bit.
+  */
+object Dedup {
+
+  /** 3-gram near-dup output threshold (planted fixture near-dups sit at
+    * Jaccard ≥ 0.9; threshold 0.8 per the standard near-dedup setting).
+    */
+  val JaccardMinhash = 0.8
+
+  /** 4-gram inverted-index variant: stricter shingles, looser threshold. */
+  val JaccardNgram = 0.7
+
+  /** Simhash Hamming radius. 8 chunks of 7 bits guarantee (pigeonhole)
+    * that any pair within radius 7 shares a chunk — zero false negatives.
+    */
+  val HammingMax = 7
+  val SimhashBits = 56
+  val SimhashChunks = 8
+
+  /** Embedding near-dup cosine threshold (fixture embeddings have no
+    * planted dups; 0.4 selects the top tail so the query is non-vacuous).
+    */
+  val CosMin = 0.4
+
+  /** MinHash signature length / banding: 32 hashes = 16 bands × 2 rows.
+    * P[miss | J=0.8] = (1−0.8²)¹⁶ ≈ 1e-7 per pair — and the fixture is
+    * deterministic, so the oracle compare proves recall is actually total.
+    */
+  val MinhashFuncs = 32
+  val MinhashBands = 16
+
+  private def docs(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "documents").select("doc_id", "text")
+
+  private val toks: Column = split(col("text"), " ")
+
+  /** Distinct word n-gram shingles of `text`; whole text as the single
+    * shingle for degenerate short docs (fixture min is 10 tokens).
+    */
+  private def shingles(n: Int): Column =
+    when(size(toks) >= n,
+      array_distinct(transform(sequence(lit(1), size(toks) - (n - 1)),
+        i => concat_ws(" ", slice(toks, i, lit(n))))))
+      .otherwise(array(col("text")))
+
+  /** 56-bit positive hash shared with the DuckDB oracle:
+    * first 14 hex chars of md5, parsed base-16.
+    */
+  private def md5hash56(c: Column): Column =
+    conv(substring(md5(c), 1, 14), 16, 10).cast("long")
+
+  /** Exact dedup: group by content hash; survivor = lowest doc_id.
+    * At 100 TB this is one hash-partitioned aggregation with map-side
+    * partials — the canonical first pass of every dedup pipeline.
+    */
+  def exact(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .groupBy(md5(col("text")).as("content_hash"))
+      .agg(count(lit(1)).as("n_copies"), min(col("doc_id")).as("keep_doc_id"))
+
+  /** MinHash-LSH near-dup: shingle → 32 minhashes → 16 banded bucket keys
+    * → equi-self-join on (band, key) → exact Jaccard verify on candidates.
+    * The only shuffles are the band-bucket join and the shingle-array
+    * fetch join; candidate volume is O(colliding pairs), never O(n²).
+    * Internal hashes are xxhash64 (codegen'd); the verified Jaccard the
+    * oracle sees is exact int/int.
+    */
+  def minhashLsh(spark: SparkSession, dir: String): DataFrame = {
+    val sh = docs(spark, dir).select(col("doc_id"), shingles(3).as("s"))
+    val sig = sh.select(
+      col("doc_id"),
+      array((0 until MinhashFuncs).map(i =>
+        array_min(transform(col("s"), x => xxhash64(lit(i), x)))): _*)
+        .as("sig"))
+    val bands = sig.select(
+      col("doc_id"),
+      posexplode(array((0 until MinhashBands).map(b =>
+        xxhash64(lit(b), col("sig")(2 * b), col("sig")(2 * b + 1))): _*)))
+      .select(col("doc_id"), col("pos").as("band"), col("col").as("bkey"))
+    val cand = bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey")
+          && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("da"), col("y.doc_id").as("db"))
+      .distinct()
+    val inter = size(array_intersect(col("A.s"), col("B.s")))
+    val union = size(col("A.s")) + size(col("B.s")) - inter
+    cand
+      .join(sh.as("A"), col("da") === col("A.doc_id"))
+      .join(sh.as("B"), col("db") === col("B.doc_id"))
+      .select(col("da").as("doc_a"), col("db").as("doc_b"),
+        (inter.cast("double") / union.cast("double")).as("jaccard"))
+      .where(col("jaccard") >= JaccardMinhash)
+  }
+
+  /** n-gram Jaccard near-dup via inverted index: explode 4-gram shingles,
+    * equi-self-join on the shingle (|A∩B| falls out of the join count),
+    * reconstruct Jaccard from set sizes. Exact — no signature
+    * approximation. At scale the known refinement is a stop-shingle list
+    * (drop shingles appearing in > k docs: they cannot certify a
+    * high-Jaccard pair on their own and dominate join skew); not applied
+    * at fixture scale where no shingle is hot.
+    */
+  def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
+    val sh = docs(spark, dir).select(col("doc_id"), shingles(4).as("s"))
+    val ex = sh.select(col("doc_id"), explode(col("s")).as("g"))
+    val inter = ex.as("x").join(ex.as("y"),
+        col("x.g") === col("y.g") && col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("da"), col("y.doc_id").as("db"))
+      .agg(count(lit(1)).as("i"))
+    val sz = sh.select(col("doc_id"), size(col("s")).as("n"))
+    inter
+      .join(sz.as("sa"), col("da") === col("sa.doc_id"))
+      .join(sz.as("sb"), col("db") === col("sb.doc_id"))
+      .select(col("da").as("doc_a"), col("db").as("doc_b"),
+        (col("i").cast("double") /
+          (col("sa.n") + col("sb.n") - col("i")).cast("double")).as("jaccard"))
+      .where(col("jaccard") >= JaccardNgram)
+  }
+
+  /** 56-bit SimHash fingerprint per doc (sign of per-bit ±1 vote over
+    * md5-derived shingle hashes — computed narrow, zero shuffles), then
+    * Hamming-≤7 pairs via the 8×7-bit chunk pigeonhole: a pair within
+    * radius 7 must agree on ≥1 chunk, so the chunk equi-join loses
+    * nothing. Hashes are md5-derived because the simhash value itself is
+    * part of the oracle contract.
+    */
+  def simhashPairs(spark: SparkSession, dir: String): DataFrame = {
+    val hv = docs(spark, dir)
+      .select(col("doc_id"), transform(shingles(3), md5hash56(_)).as("hs"))
+    val simhash = (0 until SimhashBits).map { b =>
+      when(aggregate(col("hs"), lit(0L), (acc, h) =>
+        acc + shiftright(h, b).bitwiseAND(lit(1L)) * 2 - 1) > 0,
+        lit(1L << b)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    val sims = hv.select(col("doc_id"), simhash.as("sim"))
+    val chunks = sims.select(
+      col("doc_id"), col("sim"),
+      posexplode(array((0 until SimhashChunks).map(c =>
+        shiftright(col("sim"), 7 * c).bitwiseAND(lit(0x7fL))): _*)))
+      .select(col("doc_id"), col("sim"), col("pos"), col("col").as("ck"))
+    chunks.as("x").join(chunks.as("y"),
+        col("x.pos") === col("y.pos") && col("x.ck") === col("y.ck")
+          && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        bit_count(col("x.sim").bitwiseXOR(col("y.sim"))).cast("long")
+          .as("hamming"))
+      .distinct()
+      .where(col("hamming") <= HammingMax)
+  }
+
+  // ---- embedding near-dup (signed-random-projection LSH) ----
+
+  /** ±1 hyperplane component for (table, plane, dim) from md5 parity —
+    * reproducible in the oracle, no RNG state anywhere.
+    */
+  private def planeSign(t: Int, p: Int, d: Int): Double = {
+    val dig = MessageDigest.getInstance("MD5")
+      .digest(s"$t:$p:$d".getBytes("UTF-8"))
+    if ((Integer.parseInt(f"${dig(0) & 0xff}%02x".take(1), 16) & 1) == 1) 1.0
+    else -1.0
+  }
+
+  val SrpTables = 8
+  val SrpBits = 8
+
+  /** Embedding-cosine near-dup: 8 SRP tables × 8 sign bits bucket each
+    * vector; pairs sharing any table bucket are candidates; exact cosine
+    * (sequential-order double arithmetic, matching the oracle op-for-op)
+    * filters at [[CosMin]]. The plane set is a 64×64 constant literal —
+    * broadcast inside the plan, never a shuffle. Approximate-by-design:
+    * the oracle replays the same SRP bucketing, so recall is part of the
+    * contract, not hand-waved.
+    */
+  def embeddingNearDup(spark: SparkSession, dir: String): DataFrame = {
+    val s = spark; import s.implicits._
+    val emb = Tables(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+    val planes = (for { t <- 0 until SrpTables; p <- 0 until SrpBits }
+      yield (t, p, (0 until 64).map(d => planeSign(t, p, d))))
+      .toDF("t", "p", "w")
+    val proj = emb.crossJoin(broadcast(planes))
+      .select(col("vec_id"), col("t"), col("p"),
+        aggregate(zip_with(col("e"), col("w"), (x, y) => x * y),
+          lit(0.0), (a, x) => a + x).as("pr"))
+    val buckets = proj.groupBy("vec_id", "t")
+      .agg(sum(when(col("pr") > 0,
+        pow(lit(2.0), col("p")).cast("long")).otherwise(0L)).as("bkt"))
+    val cand = buckets.as("x").join(buckets.as("y"),
+        col("x.t") === col("y.t") && col("x.bkt") === col("y.bkt")
+          && col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("va"), col("y.vec_id").as("vb"))
+      .distinct()
+    def dot(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    cand
+      .join(emb.as("A"), col("va") === col("A.vec_id"))
+      .join(emb.as("B"), col("vb") === col("B.vec_id"))
+      .select(col("va").as("vec_a"), col("vb").as("vec_b"),
+        (dot(col("A.e"), col("B.e")) /
+          (sqrt(dot(col("A.e"), col("A.e")))
+            * sqrt(dot(col("B.e"), col("B.e"))))).as("cos_sim"))
+      .where(col("cos_sim") >= CosMin)
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "llm_dedup_exact" -> exact,
+    "llm_dedup_minhash" -> minhashLsh,
+    "llm_dedup_ngram" -> ngramJaccard,
+    "llm_dedup_simhash" -> simhashPairs,
+    "llm_dedup_embedding" -> embeddingNearDup
+  )
+
+  /** Shared oracle scaffolding: tokenized docs + n-gram shingle lists. */
+  private def shSql(n: Int): String =
+    s"""tok AS (SELECT doc_id, text, string_split(text, ' ') AS t FROM documents),
+       |sh AS (
+       |  SELECT doc_id, CASE WHEN len(t) >= $n THEN
+       |    list_distinct(list_transform(range(1, len(t) - ${n - 2}),
+       |      i -> array_to_string(list_slice(t, i, i + ${n - 1}), ' ')))
+       |  ELSE [text] END AS s FROM tok
+       |)""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+    "llm_dedup_exact" ->
+      """SELECT md5(text) AS content_hash, count(*) AS n_copies,
+        |  min(doc_id) AS keep_doc_id
+        |FROM documents GROUP BY 1""".stripMargin,
+    // All-pairs exact Jaccard — the LSH plan must reproduce it exactly.
+    "llm_dedup_minhash" ->
+      s"""WITH ${shSql(3)},
+         |pairs AS (
+         |  SELECT a.doc_id da, b.doc_id db,
+         |    len(list_intersect(a.s, b.s)) i, len(a.s) la, len(b.s) lb
+         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         |)
+         |SELECT da AS doc_a, db AS doc_b,
+         |  i::DOUBLE / (la + lb - i)::DOUBLE AS jaccard
+         |FROM pairs
+         |WHERE i::DOUBLE / (la + lb - i)::DOUBLE >= $JaccardMinhash"""
+        .stripMargin,
+    "llm_dedup_ngram" ->
+      s"""WITH ${shSql(4)},
+         |ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+         |inter AS (
+         |  SELECT a.doc_id da, b.doc_id db, count(*) i
+         |  FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2
+         |),
+         |sz AS (SELECT doc_id, len(s) n FROM sh)
+         |SELECT da AS doc_a, db AS doc_b,
+         |  i::DOUBLE / (sa.n + sb.n - i)::DOUBLE AS jaccard
+         |FROM inter JOIN sz sa ON da = sa.doc_id JOIN sz sb ON db = sb.doc_id
+         |WHERE i::DOUBLE / (sa.n + sb.n - i)::DOUBLE >= $JaccardNgram"""
+        .stripMargin,
+    "llm_dedup_simhash" ->
+      s"""WITH ${shSql(3)},
+         |hv AS (SELECT doc_id,
+         |  ('0x' || substr(md5(unnest(s)), 1, 14))::BIGINT AS h FROM sh),
+         |bits AS (
+         |  SELECT doc_id, b,
+         |    CASE WHEN sum(((h >> b) & 1) * 2 - 1) > 0
+         |      THEN (1::BIGINT << b) ELSE 0::BIGINT END AS v
+         |  FROM hv, (SELECT unnest(range(0, $SimhashBits)) AS b) bb
+         |  GROUP BY doc_id, b
+         |),
+         |sims AS (SELECT doc_id, sum(v)::BIGINT AS sim FROM bits GROUP BY doc_id)
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  bit_count(xor(a.sim, b.sim))::BIGINT AS hamming
+         |FROM sims a JOIN sims b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.sim, b.sim)) <= $HammingMax""".stripMargin,
+    "llm_dedup_embedding" ->
+      s"""WITH planes AS (
+         |  SELECT t, p, list_transform(range(0, 64),
+         |    d -> CASE WHEN (('0x' || substr(md5(t || ':' || p || ':' || d), 1, 1))::INT & 1) = 1
+         |         THEN 1.0 ELSE -1.0 END) AS w
+         |  FROM (SELECT unnest(range(0, $SrpTables)) t) tt,
+         |       (SELECT unnest(range(0, $SrpBits)) p) pp
+         |),
+         |proj AS (
+         |  SELECT vec_id, t, p,
+         |    list_reduce(list_transform(range(1, 65),
+         |      i -> embedding[i]::DOUBLE * w[i]), (a, b) -> a + b) AS pr
+         |  FROM embeddings, planes
+         |),
+         |buckets AS (
+         |  SELECT vec_id, t,
+         |    sum(CASE WHEN pr > 0 THEN (1::BIGINT << p) ELSE 0 END)::BIGINT AS bkt
+         |  FROM proj GROUP BY vec_id, t
+         |),
+         |cand AS (
+         |  SELECT DISTINCT a.vec_id va, b.vec_id vb
+         |  FROM buckets a JOIN buckets b
+         |    ON a.t = b.t AND a.bkt = b.bkt AND a.vec_id < b.vec_id
+         |),
+         |v AS (SELECT vec_id, embedding e FROM embeddings)
+         |SELECT va AS vec_a, vb AS vec_b,
+         |  list_reduce(list_transform(range(1, 65),
+         |    i -> a.e[i]::DOUBLE * b.e[i]::DOUBLE), (x, y) -> x + y)
+         |  / (sqrt(list_reduce(list_transform(range(1, 65),
+         |       i -> a.e[i]::DOUBLE * a.e[i]::DOUBLE), (x, y) -> x + y))
+         |   * sqrt(list_reduce(list_transform(range(1, 65),
+         |       i -> b.e[i]::DOUBLE * b.e[i]::DOUBLE), (x, y) -> x + y)))
+         |    AS cos_sim
+         |FROM cand JOIN v a ON va = a.vec_id JOIN v b ON vb = b.vec_id
+         |WHERE list_reduce(list_transform(range(1, 65),
+         |    i -> a.e[i]::DOUBLE * b.e[i]::DOUBLE), (x, y) -> x + y)
+         |  / (sqrt(list_reduce(list_transform(range(1, 65),
+         |       i -> a.e[i]::DOUBLE * a.e[i]::DOUBLE), (x, y) -> x + y))
+         |   * sqrt(list_reduce(list_transform(range(1, 65),
+         |       i -> b.e[i]::DOUBLE * b.e[i]::DOUBLE), (x, y) -> x + y)))
+         |  >= $CosMin""".stripMargin
+  )
+}
