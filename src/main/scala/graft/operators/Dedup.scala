@@ -1,7 +1,5 @@
 package graft.operators
 
-import java.security.MessageDigest
-
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
@@ -65,12 +63,6 @@ object Dedup {
       array_distinct(transform(sequence(lit(1), size(toks) - (n - 1)),
         i => concat_ws(" ", slice(toks, i, lit(n))))))
       .otherwise(array(col("text")))
-
-  /** 56-bit positive hash shared with the DuckDB oracle:
-    * first 14 hex chars of md5, parsed base-16.
-    */
-  private def md5hash56(c: Column): Column =
-    conv(substring(md5(c), 1, 14), 16, 10).cast("long")
 
   /** Exact dedup: group by content hash; survivor = lowest doc_id.
     * At 100 TB this is one hash-partitioned aggregation with map-side
@@ -149,7 +141,8 @@ object Dedup {
     */
   def simhashPairs(spark: SparkSession, dir: String): DataFrame = {
     val hv = docs(spark, dir)
-      .select(col("doc_id"), transform(shingles(3), md5hash56(_)).as("hs"))
+      .select(col("doc_id"),
+        transform(shingles(3), Hashing.md5hash56(_)).as("hs"))
     val simhash = (0 until SimhashBits).map { b =>
       when(aggregate(col("hs"), lit(0L), (acc, h) =>
         acc + shiftright(h, b).bitwiseAND(lit(1L)) * 2 - 1) > 0,
@@ -173,16 +166,6 @@ object Dedup {
 
   // ---- embedding near-dup (signed-random-projection LSH) ----
 
-  /** ±1 hyperplane component for (table, plane, dim) from md5 parity —
-    * reproducible in the oracle, no RNG state anywhere.
-    */
-  private def planeSign(t: Int, p: Int, d: Int): Double = {
-    val dig = MessageDigest.getInstance("MD5")
-      .digest(s"$t:$p:$d".getBytes("UTF-8"))
-    if ((Integer.parseInt(f"${dig(0) & 0xff}%02x".take(1), 16) & 1) == 1) 1.0
-    else -1.0
-  }
-
   val SrpTables = 8
   val SrpBits = 8
 
@@ -195,12 +178,9 @@ object Dedup {
     * contract, not hand-waved.
     */
   def embeddingNearDup(spark: SparkSession, dir: String): DataFrame = {
-    val s = spark; import s.implicits._
     val emb = Tables(spark, dir, "embeddings")
       .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
-    val planes = (for { t <- 0 until SrpTables; p <- 0 until SrpBits }
-      yield (t, p, (0 until 64).map(d => planeSign(t, p, d))))
-      .toDF("t", "p", "w")
+    val planes = Hashing.planesDF(spark, SrpTables, SrpBits, 64)
     val proj = emb.crossJoin(broadcast(planes))
       .select(col("vec_id"), col("t"), col("p"),
         aggregate(zip_with(col("e"), col("w"), (x, y) => x * y),
@@ -213,15 +193,11 @@ object Dedup {
           && col("x.vec_id") < col("y.vec_id"))
       .select(col("x.vec_id").as("va"), col("y.vec_id").as("vb"))
       .distinct()
-    def dot(a: Column, b: Column): Column =
-      aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
     cand
       .join(emb.as("A"), col("va") === col("A.vec_id"))
       .join(emb.as("B"), col("vb") === col("B.vec_id"))
       .select(col("va").as("vec_a"), col("vb").as("vec_b"),
-        (dot(col("A.e"), col("B.e")) /
-          (sqrt(dot(col("A.e"), col("A.e")))
-            * sqrt(dot(col("B.e"), col("B.e"))))).as("cos_sim"))
+        Hashing.cosine(col("A.e"), col("B.e")).as("cos_sim"))
       .where(col("cos_sim") >= CosMin)
   }
 
@@ -292,13 +268,7 @@ object Dedup {
          |FROM sims a JOIN sims b ON a.doc_id < b.doc_id
          |WHERE bit_count(xor(a.sim, b.sim)) <= $HammingMax""".stripMargin,
     "llm_dedup_embedding" ->
-      s"""WITH planes AS (
-         |  SELECT t, p, list_transform(range(0, 64),
-         |    d -> CASE WHEN (('0x' || substr(md5(t || ':' || p || ':' || d), 1, 1))::INT & 1) = 1
-         |         THEN 1.0 ELSE -1.0 END) AS w
-         |  FROM (SELECT unnest(range(0, $SrpTables)) t) tt,
-         |       (SELECT unnest(range(0, $SrpBits)) p) pp
-         |),
+      s"""WITH ${Hashing.planesSqlCte(SrpTables, SrpBits, 64)},
          |proj AS (
          |  SELECT vec_id, t, p,
          |    list_reduce(list_transform(range(1, 65),
@@ -315,22 +285,12 @@ object Dedup {
          |  FROM buckets a JOIN buckets b
          |    ON a.t = b.t AND a.bkt = b.bkt AND a.vec_id < b.vec_id
          |),
-         |v AS (SELECT vec_id, embedding e FROM embeddings)
-         |SELECT va AS vec_a, vb AS vec_b,
-         |  list_reduce(list_transform(range(1, 65),
-         |    i -> a.e[i]::DOUBLE * b.e[i]::DOUBLE), (x, y) -> x + y)
-         |  / (sqrt(list_reduce(list_transform(range(1, 65),
-         |       i -> a.e[i]::DOUBLE * a.e[i]::DOUBLE), (x, y) -> x + y))
-         |   * sqrt(list_reduce(list_transform(range(1, 65),
-         |       i -> b.e[i]::DOUBLE * b.e[i]::DOUBLE), (x, y) -> x + y)))
-         |    AS cos_sim
-         |FROM cand JOIN v a ON va = a.vec_id JOIN v b ON vb = b.vec_id
-         |WHERE list_reduce(list_transform(range(1, 65),
-         |    i -> a.e[i]::DOUBLE * b.e[i]::DOUBLE), (x, y) -> x + y)
-         |  / (sqrt(list_reduce(list_transform(range(1, 65),
-         |       i -> a.e[i]::DOUBLE * a.e[i]::DOUBLE), (x, y) -> x + y))
-         |   * sqrt(list_reduce(list_transform(range(1, 65),
-         |       i -> b.e[i]::DOUBLE * b.e[i]::DOUBLE), (x, y) -> x + y)))
-         |  >= $CosMin""".stripMargin
+         |v AS (SELECT vec_id, embedding e FROM embeddings),
+         |scored AS (
+         |  SELECT va, vb, ${Hashing.cosineSql("a.e", "b.e", 64)} AS cos_sim
+         |  FROM cand JOIN v a ON va = a.vec_id JOIN v b ON vb = b.vec_id
+         |)
+         |SELECT va AS vec_a, vb AS vec_b, cos_sim
+         |FROM scored WHERE cos_sim >= $CosMin""".stripMargin
   )
 }
