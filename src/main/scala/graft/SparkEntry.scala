@@ -18,12 +18,14 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Apriori.queries ++ Relational.queries ++ Sgd.queries ++
-      TextOps.queries ++ Dedup.queries ++ Similarity.queries
+      TextOps.queries ++ Dedup.queries ++ Similarity.queries ++
+      Multimodal.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops.
     */
   def oracleSql: Map[String, String] =
     Apriori.oracle ++ Relational.oracle ++ Sgd.oracle ++
-      TextOps.oracle ++ Dedup.oracle ++ Similarity.oracle
+      TextOps.oracle ++ Dedup.oracle ++ Similarity.oracle ++
+      Multimodal.oracle
 }

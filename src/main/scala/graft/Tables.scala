@@ -11,6 +11,12 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * the scan — the first requirement for 100 TB behavior.
   */
 object Tables {
-  def apply(spark: SparkSession, dir: String, name: String): DataFrame =
+  def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
+    // events.parquet carries TIMESTAMP(NANOS), which Spark's Parquet
+    // reader rejects unless mapped to a nanosecond LongType; queries that
+    // need a timestamp convert explicitly (timestamp_micros(ts / 1000)).
+    if (name == "events")
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.read.parquet(s"$dir/$name.parquet")
+  }
 }

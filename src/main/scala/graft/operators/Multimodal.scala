@@ -1,0 +1,161 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Multimodal-column operators (SURVEY.md §2.11): opaque `binary` media
+  * columns with typed metadata, nested/JSON property extraction, and the
+  * decode / feature-extract / frame-sample plumbing of a media pipeline.
+  *
+  * The container has no imaging/audio runtime, so the actual byte→pixels
+  * decode is STUBBED (see [[MediaDecoder]]): [[ByteHistogramDecoder]] is a
+  * clearly-marked deterministic fake. Everything around the stub — the
+  * binary column representation, per-partition batched iteration, fixed
+  * output schema, partition-parallel plan shape — is real and oracle- or
+  * spec-tested. Media bytes are derived from `documents.text` via
+  * `encode(_, 'UTF-8')` so the fixtures need no new tables.
+  *
+  * Scale notes: every query here is embarrassingly parallel (per-row or
+  * per-partition narrow ops; the only shuffle is props_agg's groupBy with
+  * partial aggregation). A real 100 TB media pipeline keeps bytes out of
+  * the shuffle exactly like this: decode early, ship features, never
+  * repartition raw media.
+  */
+object Multimodal {
+
+  /** The decode seam a real deployment fills with an imaging library. */
+  trait MediaDecoder extends Serializable {
+    /** bytes → 8 strided byte-histogram feature sums (fixed shape). */
+    def features(bin: Array[Byte]): Array[Long]
+  }
+
+  /** Deterministic fake decoder (STUB — stands in for e.g. a JPEG
+    * decode + pooling): byte b at offset i contributes to feature i % 8.
+    * Exactly reproducible in SQL, which is what makes the plumbing
+    * oracle-checkable without a media runtime.
+    */
+  object ByteHistogramDecoder extends MediaDecoder {
+    val NumFeatures = 8
+    def features(bin: Array[Byte]): Array[Long] = {
+      val sums = new Array[Long](NumFeatures)
+      var i = 0
+      while (i < bin.length) {
+        sums(i % NumFeatures) += (bin(i) & 0xff).toLong
+        i += 1
+      }
+      sums
+    }
+  }
+
+  /** Placeholder for the real thing; deliberately unimplemented. */
+  object RealImageDecoder extends MediaDecoder {
+    def features(bin: Array[Byte]): Array[Long] =
+      throw new UnsupportedOperationException(
+        "real media decode requires an imaging runtime not present in " +
+          "this container; use ByteHistogramDecoder for the plumbing path")
+  }
+
+  // NOT private: Spark's generated deserializer code must reach it.
+  case class DocBin(doc_id: Long, bin: Array[Byte])
+
+  /** Nested-property extraction: `events.props` JSON → typed value,
+    * aggregated per event type. The JSON parse is a per-row codegen'd
+    * expression; the groupBy has map-side partial aggregation.
+    */
+  def propsAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "events")
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("k")).as("sum_k"),
+        min(col("k")).as("min_k"),
+        max(col("k")).as("max_k"))
+
+  /** Typed metadata over an opaque binary column: size, head bytes (hex),
+    * content digest — the catalog row a media lake stores next to the
+    * blob. The bytes never leave the scan partition.
+    */
+  def binaryMeta(spark: SparkSession, dir: String): DataFrame = {
+    val bin = encode(col("text"), "UTF-8")
+    Tables(spark, dir, "documents").select(
+      col("doc_id"),
+      octet_length(bin).as("n_bytes"),
+      hex(encode(substring(col("text"), 1, 4), "UTF-8")).as("head_hex"),
+      md5(bin).as("content_md5"))
+  }
+
+  /** Decode + feature-extract through the [[MediaDecoder]] seam: binary
+    * column → per-partition batched typed iteration → fixed-shape feature
+    * rows (doc_id, grp, byte_sum). `mapPartitions` is the deliberate
+    * choice: a real decoder amortizes native-lib init per partition, not
+    * per row — the same batch shape `mapInPandas` gives Python pipelines.
+    */
+  def decodeFeatures(spark: SparkSession, dir: String): DataFrame = {
+    val s = spark; import s.implicits._
+    val decoder: MediaDecoder = ByteHistogramDecoder
+    Tables(spark, dir, "documents")
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("bin"))
+      .as[DocBin]
+      .mapPartitions { it =>
+        it.flatMap { d =>
+          val f = decoder.features(d.bin)
+          f.indices.iterator.map(g => (d.doc_id, g, f(g)))
+        }
+      }
+      .toDF("doc_id", "grp", "byte_sum")
+  }
+
+  /** Frame sampling: every 32nd byte of the media column as a (frame_idx,
+    * sample) row — the stride-subsample shape of video keyframe
+    * extraction, as a narrow generator (sequence + posexplode), no UDF.
+    */
+  val FrameStride = 32
+
+  def frameSample(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "documents")
+      .select(col("doc_id"),
+        posexplode(transform(
+          sequence(lit(0), floor((length(col("text")) - 1) / FrameStride)
+            .cast("int")),
+          f => ascii(substring(col("text"), f * FrameStride + 1, lit(1))))))
+      .select(col("doc_id"), col("pos").as("frame_idx"),
+        col("col").cast("long").as("sample_byte"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "llm_mm_props_agg" -> propsAgg,
+    "llm_mm_binary_meta" -> binaryMeta,
+    "llm_mm_decode_features" -> decodeFeatures,
+    "llm_mm_frame_sample" -> frameSample
+  )
+
+  val oracle: Map[String, String] = Map(
+    "llm_mm_props_agg" ->
+      """SELECT event_type, count(*) AS n_events,
+        |  sum(json_extract_string(props, '$.k')::BIGINT)::BIGINT AS sum_k,
+        |  min(json_extract_string(props, '$.k')::BIGINT) AS min_k,
+        |  max(json_extract_string(props, '$.k')::BIGINT) AS max_k
+        |FROM events GROUP BY event_type""".stripMargin,
+    "llm_mm_binary_meta" ->
+      """SELECT doc_id,
+        |  octet_length(encode(text)) AS n_bytes,
+        |  hex(encode(substr(text, 1, 4))) AS head_hex,
+        |  md5(text) AS content_md5
+        |FROM documents""".stripMargin,
+    "llm_mm_decode_features" ->
+      """SELECT doc_id, (i - 1) % 8 AS grp,
+        |  sum(ord(substr(text, i::INT, 1)))::BIGINT AS byte_sum
+        |FROM documents,
+        |  (SELECT unnest(range(1, 2001)) AS i) ii
+        |WHERE i <= len(text)
+        |GROUP BY doc_id, (i - 1) % 8""".stripMargin,
+    "llm_mm_frame_sample" ->
+      s"""SELECT doc_id, f AS frame_idx,
+         |  ord(substr(text, (f * $FrameStride + 1)::INT, 1))::BIGINT
+         |    AS sample_byte
+         |FROM documents,
+         |  (SELECT unnest(range(0, 40)) AS f) ff
+         |WHERE f * $FrameStride < len(text)""".stripMargin
+  )
+}
