@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.operators._
+import graft.streaming.Streams
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -19,7 +20,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Apriori.queries ++ Relational.queries ++ Sgd.queries ++
       TextOps.queries ++ Dedup.queries ++ Similarity.queries ++
-      Multimodal.queries
+      Multimodal.queries ++ Streams.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops.
@@ -27,5 +28,5 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     Apriori.oracle ++ Relational.oracle ++ Sgd.oracle ++
       TextOps.oracle ++ Dedup.oracle ++ Similarity.oracle ++
-      Multimodal.oracle
+      Multimodal.oracle ++ Streams.oracle
 }

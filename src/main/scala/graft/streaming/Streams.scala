@@ -1,0 +1,135 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Event-stream operators over `events` (SURVEY.md §2.10 — additive: the
+  * reference is pure batch, `job.waitForCompletion` barriers at
+  * apriori_final.java:265).
+  *
+  * Each transform is written against a plain DataFrame so the SAME code
+  * runs in batch (where the DuckDB oracle checks it) and under
+  * Structured Streaming (`readStream` → transform → `writeStream`, with
+  * an event-time watermark — exercised by the streaming spec). That is
+  * the Spark-first design: tumbling windows and sessionization are plan
+  * shapes, not a separate engine.
+  *
+  * Timestamps: the fixture's `ts` is TIMESTAMP(NANOS), surfaced as a
+  * nanosecond Long (see [[graft.Tables]]); `ts DIV 1000` (integer
+  * division — a double round-trip would lose precision above 2^53)
+  * truncates to microseconds exactly like DuckDB's Parquet reader, so
+  * both engines window the identical instants.
+  */
+object Streams {
+
+  /** 30-minute inactivity gap, in microseconds. */
+  val SessionGapUs: Long = 30L * 60 * 1000 * 1000
+
+  private def dsum(c: Column): Column =
+    sum(c.cast("decimal(24,6)")).cast("double")
+
+  /** events with event-time columns: `ts_us` (long micros) + `ts_ts`. */
+  def withEventTime(events: DataFrame): DataFrame =
+    events
+      .withColumn("ts_us", expr("ts DIV 1000"))
+      .withColumn("ts_ts", timestamp_micros(col("ts_us")))
+
+  /** Tumbling 1-hour stats per event type. Batch and streaming share
+    * this; pass a watermark for streaming so state is bounded (late data
+    * beyond it is dropped, windows finalize incrementally).
+    */
+  def tumblingStats(events: DataFrame,
+      watermark: Option[String] = None): DataFrame = {
+    val e = withEventTime(events)
+    val w = watermark.fold(e)(e.withWatermark("ts_ts", _))
+    w.groupBy(window(col("ts_ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("sum_value"))
+      .select(col("window.start").as("win_start"), col("event_type"),
+        col("n_events"), col("sum_value"))
+  }
+
+  /** Gap-based sessionization (batch plan): lag + running sum assigns a
+    * per-user session sequence; one aggregate summarizes each session.
+    * Two shuffles total (both on user_id — the second reuses the first's
+    * partitioning). The streaming equivalent is [[sessionWindowStats]];
+    * this windowed form is the oracle-checkable batch semantics.
+    */
+  def sessions(events: DataFrame): DataFrame = {
+    val order = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us"), col("event_id"))
+    val e = withEventTime(events).select("user_id", "event_id", "ts_us")
+      .withColumn("prev_us", lag(col("ts_us"), 1).over(order))
+      .withColumn("new_sess",
+        when(col("prev_us").isNull
+          || col("ts_us") - col("prev_us") > SessionGapUs, 1).otherwise(0))
+      .withColumn("session_seq",
+        sum(col("new_sess")).over(order.rowsBetween(
+          Window.unboundedPreceding, Window.currentRow)))
+    e.groupBy(col("user_id"), col("session_seq"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("ts_us")).as("start_us"),
+        (max(col("ts_us")) - min(col("ts_us"))).as("duration_us"))
+  }
+
+  /** Native session-window aggregation — the streaming-first formulation
+    * (`session_window` + watermark keeps per-user open-session state and
+    * emits on gap expiry). Not oracle-bound: its gap boundary is
+    * half-open where [[sessions]]' lag test is closed, so the two can
+    * legitimately differ when a gap is exactly 30 minutes; the streaming
+    * spec asserts stream-vs-batch agreement of THIS transform instead.
+    */
+  def sessionWindowStats(events: DataFrame,
+      watermark: Option[String] = None): DataFrame = {
+    val e = withEventTime(events)
+    val w = watermark.fold(e)(e.withWatermark("ts_ts", _))
+    w.groupBy(session_window(col("ts_ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("session_window.start").as("win_start"),
+        col("n_events"))
+  }
+
+  private def events(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "events")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_tumbling_stats" ->
+      ((s: SparkSession, d: String) => tumblingStats(events(s, d))),
+    "stream_sessions" ->
+      ((s: SparkSession, d: String) => sessions(events(s, d)))
+  )
+
+  val oracle: Map[String, String] = Map(
+    "stream_tumbling_stats" ->
+      """SELECT time_bucket(INTERVAL 1 HOUR, ts) AS win_start, event_type,
+        |  count(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(24,6))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
+    "stream_sessions" ->
+      s"""WITH e AS (
+         |  SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events
+         |),
+         |l AS (
+         |  SELECT user_id, event_id, ts_us,
+         |    lag(ts_us) OVER (PARTITION BY user_id
+         |      ORDER BY ts_us, event_id) AS prev_us
+         |  FROM e
+         |),
+         |n AS (
+         |  SELECT *, CASE WHEN prev_us IS NULL
+         |      OR ts_us - prev_us > ${SessionGapUs} THEN 1 ELSE 0 END AS ns
+         |  FROM l
+         |),
+         |s AS (
+         |  SELECT *, sum(ns) OVER (PARTITION BY user_id
+         |    ORDER BY ts_us, event_id ROWS UNBOUNDED PRECEDING)::BIGINT
+         |      AS session_seq
+         |  FROM n
+         |)
+         |SELECT user_id, session_seq, count(*) AS n_events,
+         |  min(ts_us) AS start_us,
+         |  (max(ts_us) - min(ts_us))::BIGINT AS duration_us
+         |FROM s GROUP BY user_id, session_seq""".stripMargin
+  )
+}
