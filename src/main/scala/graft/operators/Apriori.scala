@@ -54,6 +54,26 @@ object Apriori {
 
   case class Basket(l_orderkey: Long, fitems: Seq[String])
 
+  /** G1 generator (pure): every subset (1 ≤ size ≤ n, input order
+    * preserved — inputs are pre-sorted) of a basket's frequent items,
+    * keyed by the space-joined canonical string. Spark-side use is a
+    * typed flatMap; the reference's recursive equivalent is
+    * `CandidatesGenRecursion` (apriori_final.java:70-110).
+    */
+  def subsetKeys(items: Seq[String]): Iterator[(String, Int)] =
+    (1 to items.length).iterator
+      .flatMap(k => items.combinations(k))
+      .map(c => (c.mkString(" "), c.length))
+
+  /** G3 generator (pure): (antecedent, consequent) for every non-empty
+    * proper subset of a frequent itemset
+    * (`AssociationRuleRecursion`, apriori_raw.java:196-297).
+    */
+  def antecedents(z: Seq[String]): Iterator[(String, String)] =
+    (1 until z.length).iterator
+      .flatMap(k => z.combinations(k))
+      .map(x => (x.mkString(" "), z.diff(x).mkString(" ")))
+
   /** One transaction per order: the distinct, sorted set of part brands
     * (FIXTURES.md canonical mapping). The reference's transaction file is
     * one whitespace-joined line per basket (apriori_final.java:6).
@@ -118,12 +138,7 @@ object Apriori {
         array_sort(array_intersect($"items", $"freqset")).as("fitems"))
       .as[Basket]
     baskets
-      .flatMap { b =>
-        val it = b.fitems.take(MaxBasket)
-        (1 to it.length).iterator
-          .flatMap(k => it.combinations(k))
-          .map(c => (c.mkString(" "), c.length))
-      }
+      .flatMap(b => subsetKeys(b.fitems.take(MaxBasket)))
       .toDF("itemset", "k")
       .groupBy($"itemset", $"k")
       .agg(count(lit(1)).as("cnt"))
@@ -150,9 +165,7 @@ object Apriori {
       .select(split($"itemset", " ").as("z"), $"cnt".as("zcnt"))
       .as[(Seq[String], Long)]
       .flatMap { case (z, zcnt) =>
-        (1 until z.length).iterator
-          .flatMap(k => z.combinations(k))
-          .map(x => (x.mkString(" "), z.diff(x).mkString(" "), zcnt))
+        antecedents(z).map { case (a, c) => (a, c, zcnt) }
       }
       .toDF("antecedent", "consequent", "zcnt")
     // supports is tiny relative to the data (aggregated itemsets); AQE /

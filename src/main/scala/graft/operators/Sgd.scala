@@ -171,7 +171,10 @@ object Sgd {
 
   /** Non-SQL-expressible (iterative SGD with the reference's stop-flag
     * semantics has no DuckDB equivalent) → no oracle entries; verified by
-    * ScalaTest convergence/determinism specs instead (SURVEY.md §5.2).
+    * `graft.SgdSpec` instead: bit-exact parity with a sequential
+    * reference implementation, run-to-run determinism, stop-flag
+    * semantics, convergence on noiseless data, and a single-exchange
+    * plan guard (SURVEY.md §5.2).
     */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sgd_linreg_theta" -> linregTheta,

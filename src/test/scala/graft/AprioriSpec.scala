@@ -1,0 +1,71 @@
+package graft
+
+import graft.operators.Apriori
+
+/** G1/G3 generator semantics + Apriori pipeline invariants (SURVEY.md
+  * §5.2/§5.3; reference semantics from apriori_final.java:70-110 with the
+  * documented sorted-canonicalization deviation).
+  */
+class AprioriSpec extends SparkSpecBase {
+
+  test("subsetKeys enumerates every sorted subset exactly once") {
+    val got = Apriori.subsetKeys(Seq("a", "b", "c")).toList
+    val want = List(
+      ("a", 1), ("b", 1), ("c", 1),
+      ("a b", 2), ("a c", 2), ("b c", 2),
+      ("a b c", 3))
+    assert(got.sorted == want.sorted)
+    assert(got.size == got.distinct.size)
+  }
+
+  test("subsetKeys count is 2^k - 1 (and 2^k - k - 1 for size >= 2)") {
+    for (k <- 1 to 12) {
+      val items = (0 until k).map(i => f"i$i%02d")
+      val all = Apriori.subsetKeys(items).toList
+      assert(all.size == (1 << k) - 1, s"k=$k")
+      assert(all.count(_._2 >= 2) == (1 << k) - k - 1, s"k=$k")
+    }
+  }
+
+  test("antecedents emits every proper non-empty split, partitioning z") {
+    val got = Apriori.antecedents(Seq("a", "b", "c")).toList
+    val want = List(
+      ("a", "b c"), ("b", "a c"), ("c", "a b"),
+      ("a b", "c"), ("a c", "b"), ("b c", "a"))
+    assert(got.sorted == want.sorted)
+    // antecedent ∪ consequent = z for every rule
+    got.foreach { case (a, c) =>
+      assert((a.split(" ") ++ c.split(" ")).sorted.toSeq == Seq("a", "b", "c"))
+    }
+  }
+
+  test("freqItems matches a brute-force recount of the basket join") {
+    val got = Apriori.freqItems(spark, Sf)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val brute = Apriori.transactions(spark, Sf)
+      .collect()
+      .flatMap(_.getSeq[String](1).distinct)
+      .groupBy(identity).map { case (k, v) => k -> v.length.toLong }
+      .filter(_._2 >= Apriori.Support)
+    assert(got == brute)
+  }
+
+  test("fixture baskets stay within MaxBasket (oracle parity guard)") {
+    import org.apache.spark.sql.functions._
+    val widest = Apriori.transactions(spark, Sf)
+      .select(max(size(col("items")))).collect()(0).getInt(0)
+    assert(widest <= Apriori.MaxBasket,
+      s"basket width $widest exceeds MaxBasket=${Apriori.MaxBasket}: " +
+        "Spark and the DuckDB oracle would silently diverge")
+  }
+
+  test("support monotonicity: every frequent k-itemset's items are frequent") {
+    val freq1 = Apriori.freqItems(spark, Sf)
+      .collect().map(_.getString(0)).toSet
+    val sets = Apriori.freqItemsets(spark, Sf).collect()
+    assert(sets.nonEmpty)
+    sets.foreach { r =>
+      r.getString(0).split(" ").foreach(i => assert(freq1.contains(i)))
+    }
+  }
+}

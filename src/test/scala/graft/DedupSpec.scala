@@ -1,0 +1,85 @@
+package graft
+
+import java.security.MessageDigest
+
+import graft.operators.{Dedup, Multimodal}
+
+/** Dedup operators vs in-memory brute force on the sf0.001 fixture —
+  * an independent dataset from the sf0.01 oracle gate, so LSH recall is
+  * demonstrated on two corpora. Plus the multimodal decode seam.
+  */
+class DedupSpec extends SparkSpecBase {
+
+  private lazy val docs: Seq[(Long, String)] =
+    graft.Tables(spark, Sf, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+
+  private def shingleSet(text: String, n: Int): Set[String] = {
+    val t = text.split(" ")
+    if (t.length >= n) t.sliding(n).map(_.mkString(" ")).toSet
+    else Set(text)
+  }
+
+  private def bruteJaccard(n: Int, minJ: Double): Map[(Long, Long), Double] = {
+    val sh = docs.map { case (id, tx) => (id, shingleSet(tx, n)) }
+    (for {
+      (a, sa) <- sh; (b, sb) <- sh if a < b
+      inter = (sa & sb).size
+      j = inter.toDouble / (sa.size + sb.size - inter).toDouble
+      if j >= minJ
+    } yield (a, b) -> j).toMap
+  }
+
+  test("exact dedup partitions the corpus (copies sum to total)") {
+    val rows = Dedup.exact(spark, Sf).collect()
+    assert(rows.map(_.getLong(1)).sum == docs.size)
+    assert(rows.forall(r => r.getLong(1) >= 1))
+  }
+
+  test("minhash-LSH reproduces brute-force 3-gram Jaccard >= 0.8 exactly") {
+    val got = Dedup.minhashLsh(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val want = bruteJaccard(3, Dedup.JaccardMinhash)
+    assert(got.keySet == want.keySet,
+      s"missed=${want.keySet -- got.keySet} extra=${got.keySet -- want.keySet}")
+    got.foreach { case (k, j) => assert(j == want(k), s"pair $k") }
+  }
+
+  test("ngram inverted-index reproduces brute-force 4-gram Jaccard >= 0.7") {
+    val got = Dedup.ngramJaccard(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(got == bruteJaccard(4, Dedup.JaccardNgram))
+  }
+
+  test("simhash chunk join reproduces brute-force Hamming <= 7 pairs") {
+    def h56(s: String): Long =
+      java.lang.Long.parseLong(
+        MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+          .take(7).map(b => f"${b & 0xff}%02x").mkString, 16)
+    def simhash(sh: Set[String]): Long =
+      (0 until Dedup.SimhashBits).map { b =>
+        val vote = sh.toSeq.map(s => ((h56(s) >> b) & 1L) * 2 - 1).sum
+        if (vote > 0) 1L << b else 0L
+      }.sum
+    val sims = docs.map { case (id, tx) => (id, simhash(shingleSet(tx, 3))) }
+    val want = (for {
+      (a, sa) <- sims; (b, sb) <- sims if a < b
+      hd = java.lang.Long.bitCount(sa ^ sb)
+      if hd <= Dedup.HammingMax
+    } yield (a, b, hd.toLong)).toSet
+    val got = Dedup.simhashPairs(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == want)
+  }
+
+  test("media decode seam: deterministic stub, explicit real-decoder gap") {
+    val f = Multimodal.ByteHistogramDecoder.features("abcdefgh".getBytes)
+    assert(f.toSeq == "abcdefgh".getBytes.map(b => (b & 0xff).toLong).toSeq)
+    assert(Multimodal.ByteHistogramDecoder.features(Array.emptyByteArray)
+      .forall(_ == 0L))
+    intercept[UnsupportedOperationException] {
+      Multimodal.RealImageDecoder.features(Array[Byte](1))
+    }
+  }
+}

@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import graft.operators.{Apriori, Relational, Similarity}
+
+/** Physical-plan guards (SURVEY.md §5.5): these encode the 100 TB design
+  * intent — if a future change regresses a broadcast join to a shuffle,
+  * drops scan-level filter pushdown, or sneaks in a cartesian product,
+  * a test fails rather than a cluster.
+  */
+class PlanShapeSpec extends SparkSpecBase {
+
+  /** Final (post-AQE) physical plan as text. */
+  private def finalPlan(df: DataFrame): String = {
+    df.collect() // materialize so AQE finalizes the plan
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("nation join broadcasts (J1 stays a BroadcastHashJoin)") {
+    val p = finalPlan(Relational.revenueByNation(spark, Sf))
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("global top-k compiles to TakeOrderedAndProject, not a full sort") {
+    val p = finalPlan(Relational.topParts(spark, Sf))
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("pricing summary pushes the quantity filter into the parquet scan") {
+    val p = finalPlan(Relational.pricingSummary(spark, Sf))
+    assert(p.contains("PushedFilters") && p.contains("LessThan(l_quantity"), p)
+  }
+
+  test("pricing summary aggregates partially before the exchange") {
+    val p = finalPlan(Relational.pricingSummary(spark, Sf))
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+  }
+
+  test("itemset supports: 1-row broadcast lookup, never a cartesian") {
+    // itemsetSupports may already be session-cached (shared across the
+    // apriori queries); the cached InMemoryRelation's stored physical plan
+    // surfaces through the optimized plan, so inspect both.
+    val qe = Apriori.itemsetSupports(spark, Sf).queryExecution
+    val p = qe.executedPlan.toString + "\n" + qe.optimizedPlan.toString
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("brute-force similarity broadcasts the query side") {
+    val p = finalPlan(Similarity.bruteForceTopK(spark, Sf))
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("scans prune columns: pricing summary reads only what it needs") {
+    val p = finalPlan(Relational.pricingSummary(spark, Sf))
+    assert(!p.contains("l_partkey"),
+      s"pricing summary plan reads unneeded columns:\n$p")
+  }
+}

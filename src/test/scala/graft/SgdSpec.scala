@@ -1,0 +1,117 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Sgd
+import graft.operators.Sgd.Obs
+
+/** SGD semantics: determinism, sequential-reference parity, the
+  * reference's any-record-converged stop flag, and convergence on
+  * noiseless data (SURVEY.md §5.2/§5.3; quirks from
+  * multilinereg.java:80-93, 121-138, 202).
+  */
+class SgdSpec extends SparkSpecBase {
+
+  /** Bit-exact sequential re-implementation of the reference semantics
+    * (per-record update, per-record θ snapshot averaging, AND'd stop
+    * flags) — what Sgd.fit must equal on a single partition.
+    */
+  private def seqFit(obs: Seq[Obs], nf: Int, logistic: Boolean)
+      : (Array[Double], Int, Boolean) = {
+    var theta = new Array[Double](nf)
+    var cont = true
+    var it = 0
+    while (cont && it < Sgd.MaxIter) {
+      val th = theta.clone()
+      val snap = new Array[Double](nf)
+      var n = 0L
+      var allCont = true
+      obs.foreach { o =>
+        var h = 0.0
+        var i = 0
+        while (i < nf) { h += th(i) * o.x(i); i += 1 }
+        if (logistic) h = 1.0 / (1.0 + math.exp(-h))
+        val err = o.y - h
+        if (math.abs(err) > Sgd.Accuracy) {
+          var j = 0
+          while (j < nf) { th(j) += Sgd.Alpha * err * o.x(j); j += 1 }
+        } else allCont = false
+        var j = 0
+        while (j < nf) { snap(j) += th(j); j += 1 }
+        n += 1
+      }
+      cont = allCont
+      if (n > 0) theta = snap.map(_ / n) else cont = false
+      it += 1
+    }
+    (theta, it, !cont)
+  }
+
+  private def toDs(obs: Seq[Obs], parts: Int) = {
+    val s = spark; import s.implicits._
+    spark.createDataset(obs)
+      .repartition(parts, col("id"))
+      .sortWithinPartitions("id")
+  }
+
+  /** Noiseless linear data, |y| bounded away from the 0.01 tolerance so
+    * training does not stop on the first record at θ = 0.
+    */
+  private def synth(n: Int): (Seq[Obs], Array[Double]) = {
+    val trueTheta = Array(0.5, 0.3, -0.2)
+    val obs = (0 until n).map { i =>
+      val x = Array(1.0, ((i * 37) % 100) / 100.0, ((i * 61) % 100) / 100.0)
+      val y = (x, trueTheta).zipped.map(_ * _).sum
+      Obs(i.toLong, if (math.abs(y) > 0.1) y else y + 0.5, x)
+    }
+    (obs, trueTheta)
+  }
+
+  test("single-partition fit is bit-identical to the sequential reference") {
+    val (obs, _) = synth(200)
+    for (logistic <- Seq(false, true)) {
+      val got = Sgd.fit(toDs(obs, 1), 3, logistic)
+      val want = seqFit(obs.sortBy(_.id), 3, logistic)
+      assert(got.theta.toSeq == want._1.toSeq, s"logistic=$logistic")
+      assert(got.iterations == want._2 && got.converged == want._3)
+    }
+  }
+
+  test("fit is deterministic run-to-run at a fixed partition count") {
+    spark.conf.set("graft.sgd.numPartitions", "4")
+    try {
+      val a = Sgd.linregTheta(spark, Sf).collect()(0)
+      val b = Sgd.linregTheta(spark, Sf).collect()(0)
+      assert(a == b)
+    } finally spark.conf.unset("graft.sgd.numPartitions")
+  }
+
+  test("stop flag: one in-tolerance record halts training after epoch 1") {
+    // x = 0 ⇒ h = 0 ⇒ |h − y| = 0 ≤ accuracy: votes stop immediately
+    // (the reference's quirky bool-AND semantics, multilinereg.java:202).
+    val obs = Seq(
+      Obs(1L, 0.0, Array(0.0, 0.0)),
+      Obs(2L, 5.0, Array(1.0, 2.0)))
+    val r = Sgd.fit(toDs(obs, 1), 2, logistic = false)
+    assert(r.iterations == 1 && r.converged)
+  }
+
+  test("parameter-averaged SGD reduces MSE on noiseless linear data") {
+    val (obs, _) = synth(500)
+    def mse(theta: Array[Double]): Double =
+      obs.map { o =>
+        val h = (o.x, theta).zipped.map(_ * _).sum
+        (h - o.y) * (h - o.y)
+      }.sum / obs.size
+    val r = Sgd.fit(toDs(obs, 4), 3, logistic = false)
+    assert(mse(r.theta) < mse(new Array[Double](3)) / 10.0,
+      s"MSE did not improve 10x: ${mse(r.theta)}")
+  }
+
+  test("epoch data has exactly one exchange (the id repartition)") {
+    val ds = Sgd.dataset(spark, Sf, logistic = false)
+    val plan = ds.queryExecution.executedPlan.toString
+    val exchanges = "Exchange".r.findAllIn(plan).size
+    assert(exchanges == 1,
+      s"expected the single deterministic repartition, got $exchanges:\n$plan")
+  }
+}

@@ -1,0 +1,59 @@
+package graft
+
+import graft.operators.Similarity
+
+/** Similarity search vs an in-memory exact reference on sf0.001. */
+class SimilaritySpec extends SparkSpecBase {
+
+  private lazy val vecs: Map[Long, Array[Double]] =
+    graft.Tables(spark, Sf, "embeddings")
+      .selectExpr("vec_id", "cast(embedding as array<double>) e")
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+
+  /** Sequential-order cosine — same op order as Hashing.cosine. */
+  private def cos(a: Array[Double], b: Array[Double]): Double = {
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < a.length) {
+      dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  test("brute-force top-k matches the exact in-memory ranking") {
+    val got = Similarity.bruteForceTopK(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getInt(3)) -> (r.getLong(1), r.getDouble(2)))
+      .toMap
+    val qids = vecs.keys.filter(_ < Similarity.NumQueries)
+    assert(got.size == qids.size * Similarity.TopK)
+    for (q <- qids) {
+      val expect = vecs.toSeq.filter(_._1 != q)
+        .map { case (n, e) => (n, cos(vecs(q), e)) }
+        .sortBy { case (n, c) => (-c, n) }
+        .take(Similarity.TopK)
+      expect.zipWithIndex.foreach { case ((n, c), i) =>
+        val (gn, gc) = got((q, i + 1))
+        assert(gn == n, s"query $q rank ${i + 1}")
+        assert(gc == c, s"query $q rank ${i + 1} cosine")
+      }
+    }
+  }
+
+  test("LSH top-k rows carry exact cosines and bounded ranks") {
+    val rows = Similarity.lshTopK(spark, Sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (q, n, c, rk) =
+        (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))
+      assert(q < Similarity.NumQueries && n != q)
+      assert(rk >= 1 && rk <= Similarity.TopK)
+      assert(c == cos(vecs(q), vecs(n)), s"cosine mismatch for ($q,$n)")
+    }
+    // ranks are dense per query: 1..k without gaps
+    rows.groupBy(_.getLong(0)).foreach { case (q, rs) =>
+      val ranks = rs.map(_.getInt(3)).sorted
+      assert(ranks.toSeq == (1 to ranks.length).toSeq, s"query $q ranks")
+    }
+  }
+}
