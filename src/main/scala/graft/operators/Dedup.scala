@@ -81,7 +81,11 @@ object Dedup {
     * oracle sees is exact int/int.
     */
   def minhashLsh(spark: SparkSession, dir: String): DataFrame = {
+    // Materialize the shingle table once (localCheckpoint): it feeds the
+    // signature pipeline AND both sides of the verify join — without the
+    // checkpoint each consumer recomputes tokenize+shingle from the scan.
     val sh = docs(spark, dir).select(col("doc_id"), shingles(3).as("s"))
+      .localCheckpoint()
     val sig = sh.select(
       col("doc_id"),
       array((0 until MinhashFuncs).map(i =>
@@ -117,6 +121,7 @@ object Dedup {
     */
   def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
     val sh = docs(spark, dir).select(col("doc_id"), shingles(4).as("s"))
+      .localCheckpoint() // feeds both join sides + the size lookup
     val ex = sh.select(col("doc_id"), explode(col("s")).as("g"))
     val inter = ex.as("x").join(ex.as("y"),
         col("x.g") === col("y.g") && col("x.doc_id") < col("y.doc_id"))
@@ -148,7 +153,10 @@ object Dedup {
         acc + shiftright(h, b).bitwiseAND(lit(1L)) * 2 - 1) > 0,
         lit(1L << b)).otherwise(lit(0L))
     }.reduce(_ + _)
-    val sims = hv.select(col("doc_id"), simhash.as("sim"))
+    // 5000 rows × one long after the expensive 56-bit vote: checkpoint so
+    // the chunk self-join reads the fingerprints instead of recomputing
+    // the md5 pipeline on both sides.
+    val sims = hv.select(col("doc_id"), simhash.as("sim")).localCheckpoint()
     val chunks = sims.select(
       col("doc_id"), col("sim"),
       posexplode(array((0 until SimhashChunks).map(c =>
@@ -180,14 +188,8 @@ object Dedup {
   def embeddingNearDup(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables(spark, dir, "embeddings")
       .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
-    val planes = Hashing.planesDF(spark, SrpTables, SrpBits, 64)
-    val proj = emb.crossJoin(broadcast(planes))
-      .select(col("vec_id"), col("t"), col("p"),
-        aggregate(zip_with(col("e"), col("w"), (x, y) => x * y),
-          lit(0.0), (a, x) => a + x).as("pr"))
-    val buckets = proj.groupBy("vec_id", "t")
-      .agg(sum(when(col("pr") > 0,
-        pow(lit(2.0), col("p")).cast("long")).otherwise(0L)).as("bkt"))
+    val buckets = Hashing.srpBuckets(spark, emb, SrpTables, SrpBits)
+      .localCheckpoint() // both sides of the bucket self-join
     val cand = buckets.as("x").join(buckets.as("y"),
         col("x.t") === col("y.t") && col("x.bkt") === col("y.bkt")
           && col("x.vec_id") < col("y.vec_id"))

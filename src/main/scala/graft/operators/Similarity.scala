@@ -44,15 +44,27 @@ object Similarity {
     Window.partitionBy(col("query_id"))
       .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
 
-  /** Exact top-k: query set broadcast against the partitioned corpus. */
+  /** Exact top-k: the (small, bounded) query set rides a broadcast to a
+    * typed kernel that scans the corpus partition-parallel — the corpus
+    * is never shuffled for scoring, only the scored pairs move into the
+    * ranking window. Cosines come from [[Hashing.cosineSeq]], bit-equal
+    * to the oracle's sequential list arithmetic.
+    */
   def bruteForceTopK(spark: SparkSession, dir: String): DataFrame = {
-    val corpus = emb(spark, dir)
-    val queries = corpus.where(col("vec_id") < NumQueries)
-      .select(col("vec_id").as("qid"), col("e").as("qe"))
-    corpus.crossJoin(broadcast(queries))
-      .where(col("vec_id") =!= col("qid"))
-      .select(col("qid").as("query_id"), col("vec_id").as("neighbor_id"),
-        Hashing.cosine(col("qe"), col("e")).as("cos_sim"))
+    val s = spark; import s.implicits._
+    val corpus = emb(spark, dir).as[(Long, Array[Double])]
+    val queries = corpus.filter(_._1 < NumQueries).collect().sortBy(_._1)
+    val bc = spark.sparkContext.broadcast(queries)
+    corpus
+      .mapPartitions { it =>
+        val qs = bc.value
+        it.flatMap { case (nid, e) =>
+          qs.iterator.filter(_._1 != nid).map { case (qid, qe) =>
+            (qid, nid, Hashing.cosineSeq(qe, e))
+          }
+        }
+      }
+      .toDF("query_id", "neighbor_id", "cos_sim")
       .withColumn("rank", row_number().over(rankWindow))
       .where(col("rank") <= TopK)
   }
@@ -62,14 +74,9 @@ object Similarity {
     * the ANN recall trade, and the oracle prices it identically.
     */
   def lshTopK(spark: SparkSession, dir: String): DataFrame = {
-    val corpus = emb(spark, dir)
-    val planes = Hashing.planesDF(spark, LshTables, LshBits, 64)
-    val buckets = corpus.crossJoin(broadcast(planes))
-      .select(col("vec_id"), col("t"), col("p"),
-        Hashing.dot(col("e"), col("w")).as("pr"))
-      .groupBy("vec_id", "t")
-      .agg(sum(when(col("pr") > 0,
-        pow(lit(2.0), col("p")).cast("long")).otherwise(0L)).as("bkt"))
+    val buckets =
+      Hashing.srpBuckets(spark, emb(spark, dir), LshTables, LshBits)
+        .localCheckpoint() // both sides of the bucket self-join
     val cand = buckets.as("q")
       .where(col("q.vec_id") < NumQueries)
       .join(buckets.as("n"),

@@ -46,10 +46,15 @@ class PlanShapeSpec extends SparkSpecBase {
     assert(!p.contains("CartesianProduct"), p)
   }
 
-  test("brute-force similarity broadcasts the query side") {
+  test("brute-force similarity never shuffles the corpus for scoring") {
     val p = finalPlan(Similarity.bruteForceTopK(spark, Sf))
-    assert(p.contains("BroadcastNestedLoopJoin"), p)
     assert(!p.contains("CartesianProduct"), p)
+    // the only shuffle is the ranking window's partition-by-query —
+    // scoring itself runs where the corpus already lives (AQE's toString
+    // repeats the initial plan, so count executed shuffle stages)
+    assert("ShuffleQueryStage".r.findAllIn(p).size == 1, p)
+    // and the window prunes per-partition before that shuffle
+    assert(p.contains("WindowGroupLimit"), p)
   }
 
   test("scans prune columns: pricing summary reads only what it needs") {
