@@ -81,21 +81,37 @@ object Dedup {
     * oracle sees is exact int/int.
     */
   def minhashLsh(spark: SparkSession, dir: String): DataFrame = {
+    val s = spark; import s.implicits._
     // Materialize the shingle table once (localCheckpoint): it feeds the
     // signature pipeline AND both sides of the verify join — without the
     // checkpoint each consumer recomputes tokenize+shingle from the scan.
     val sh = docs(spark, dir).select(col("doc_id"), shingles(3).as("s"))
       .localCheckpoint()
-    val sig = sh.select(
-      col("doc_id"),
-      array((0 until MinhashFuncs).map(i =>
-        array_min(transform(col("s"), x => xxhash64(lit(i), x)))): _*)
-        .as("sig"))
-    val bands = sig.select(
-      col("doc_id"),
-      posexplode(array((0 until MinhashBands).map(b =>
-        xxhash64(lit(b), col("sig")(2 * b), col("sig")(2 * b + 1))): _*)))
-      .select(col("doc_id"), col("pos").as("band"), col("col").as("bkey"))
+    // Signature + banding in one typed kernel: one md5 per shingle, then
+    // MinhashFuncs cheap splitmix derivations (an interpreted
+    // array_min(transform(...)) per hash function is ~5× slower).
+    val bands = sh.as[(Long, Seq[String])]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.flatMap { case (id, ss) =>
+          val base = ss.map(Hashing.md5hash56Jvm(md, _)).toArray
+          val sig = Array.tabulate(MinhashFuncs) { i =>
+            var m = Long.MaxValue
+            var j = 0
+            while (j < base.length) {
+              val x = Hashing.mix64(base(j) ^ (i * 0x9e3779b97f4a7c15L))
+              if (x < m) m = x
+              j += 1
+            }
+            m
+          }
+          (0 until MinhashBands).iterator.map { b =>
+            (id, b, Hashing.mix64(sig(2 * b) ^ Hashing.mix64(sig(2 * b + 1))))
+          }
+        }
+      }
+      .toDF("doc_id", "band", "bkey")
+      .localCheckpoint()
     val cand = bands.as("x").join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey")
           && col("x.doc_id") < col("y.doc_id"))
@@ -145,18 +161,37 @@ object Dedup {
     * part of the oracle contract.
     */
   def simhashPairs(spark: SparkSession, dir: String): DataFrame = {
-    val hv = docs(spark, dir)
-      .select(col("doc_id"),
-        transform(shingles(3), Hashing.md5hash56(_)).as("hs"))
-    val simhash = (0 until SimhashBits).map { b =>
-      when(aggregate(col("hs"), lit(0L), (acc, h) =>
-        acc + shiftright(h, b).bitwiseAND(lit(1L)) * 2 - 1) > 0,
-        lit(1L << b)).otherwise(lit(0L))
-    }.reduce(_ + _)
-    // 5000 rows × one long after the expensive 56-bit vote: checkpoint so
-    // the chunk self-join reads the fingerprints instead of recomputing
-    // the md5 pipeline on both sides.
-    val sims = hv.select(col("doc_id"), simhash.as("sim")).localCheckpoint()
+    val s = spark; import s.implicits._
+    // Bit-vote in a typed kernel (56 interpreted aggregate-lambdas per
+    // row measured ~5× slower); hashes stay md5-derived because the
+    // simhash value itself is part of the oracle contract. Checkpointed:
+    // the chunk self-join reads the 1-long-per-doc fingerprints instead
+    // of recomputing the pipeline on both sides.
+    val sims = docs(spark, dir).select(col("doc_id"), shingles(3).as("s"))
+      .as[(Long, Seq[String])]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.map { case (id, ss) =>
+          val votes = new Array[Int](SimhashBits)
+          ss.foreach { str =>
+            val h = Hashing.md5hash56Jvm(md, str)
+            var b = 0
+            while (b < SimhashBits) {
+              if (((h >> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+              b += 1
+            }
+          }
+          var sim = 0L
+          var b = 0
+          while (b < SimhashBits) {
+            if (votes(b) > 0) sim |= (1L << b)
+            b += 1
+          }
+          (id, sim)
+        }
+      }
+      .toDF("doc_id", "sim")
+      .localCheckpoint()
     val chunks = sims.select(
       col("doc_id"), col("sim"),
       posexplode(array((0 until SimhashChunks).map(c =>
@@ -168,8 +203,10 @@ object Dedup {
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
         bit_count(col("x.sim").bitwiseXOR(col("y.sim"))).cast("long")
           .as("hamming"))
-      .distinct()
+      // filter BEFORE distinct: the Hamming test kills ~all of the
+      // random 7-bit chunk collisions, so the dedup only sees survivors
       .where(col("hamming") <= HammingMax)
+      .distinct()
   }
 
   // ---- embedding near-dup (signed-random-projection LSH) ----

@@ -20,6 +20,31 @@ private[operators] object Hashing {
   def md5hash56(c: Column): Column =
     conv(substring(md5(c), 1, 14), 16, 10).cast("long")
 
+  /** JVM twin of [[md5hash56]]: big-endian 56-bit int of md5's first 7
+    * bytes == first-14-hex-chars base-16. Parity with both the Column
+    * form and DuckDB's `('0x' || substr(md5(x),1,14))::BIGINT` is
+    * asserted by the dedup brute-force specs.
+    */
+  def md5hash56Jvm(md: MessageDigest, s: String): Long = {
+    md.reset()
+    val d = md.digest(s.getBytes("UTF-8"))
+    var v = 0L
+    var i = 0
+    while (i < 7) { v = (v << 8) | (d(i) & 0xffL); i += 1 }
+    v
+  }
+
+  /** splitmix64 finalizer: derives the i-th minhash function from one
+    * base hash per shingle (internal candidate keys only — never part of
+    * an oracle contract).
+    */
+  def mix64(x0: Long): Long = {
+    var x = x0 + 0x9e3779b97f4a7c15L
+    x = (x ^ (x >>> 30)) * 0xbf58476d1ce4e5b9L
+    x = (x ^ (x >>> 27)) * 0x94d049bb133111ebL
+    x ^ (x >>> 31)
+  }
+
   /** ±1 hyperplane component for (table, plane, dim) from md5 parity.
     * Oracle equivalent: the CASE in [[planesSqlCte]].
     */
