@@ -236,7 +236,7 @@ object Dedup {
       .join(emb.as("A"), col("va") === col("A.vec_id"))
       .join(emb.as("B"), col("vb") === col("B.vec_id"))
       .select(col("va").as("vec_a"), col("vb").as("vec_b"),
-        Hashing.cosine(col("A.e"), col("B.e")).as("cos_sim"))
+        Hashing.cosineNative(spark, col("A.e"), col("B.e")).as("cos_sim"))
       .where(col("cos_sim") >= CosMin)
   }
 

@@ -100,19 +100,16 @@ private[operators] object Hashing {
   /** Fixture embedding dimensionality. */
   val Dims = 64
 
-  /** Sequential-order dot product of two double-array columns — op-for-op
-    * identical to the oracle's `list_reduce(list_transform(...))` (same
-    * IEEE addition order; the leading +0.0 is an identity), so the
-    * resulting double is bit-equal across engines. Fine off the hot path
-    * (higher-order functions evaluate interpreted); dense kernels use
-    * [[dotSeq]] inside typed mapPartitions instead.
+  /** Cosine similarity on the column path, built on the codegen'd
+    * [[graft.functions.DotProduct]] expression (ascending-index
+    * summation — bit-equal to the oracle's `list_reduce` and to
+    * [[dotSeq]]; a `zip_with`+`aggregate` formulation computes the same
+    * value but evaluates interpreted).
     */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
-
-  /** Cosine similarity from [[dot]]s (exact same expression as oracle). */
-  def cosine(a: Column, b: Column): Column =
-    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+  def cosineNative(spark: SparkSession, a: Column, b: Column): Column = {
+    def d(x: Column, y: Column) = graft.functions.DotProduct.dot(spark, x, y)
+    d(a, b) / (sqrt(d(a, a)) * sqrt(d(b, b)))
+  }
 
   /** JVM kernel with the SAME sequential order as [[dot]] / the oracle's
     * list_reduce — bit-equal results, ~100× the interpreted expression

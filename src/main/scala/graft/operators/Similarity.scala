@@ -88,7 +88,7 @@ object Similarity {
       .join(emb(spark, dir).as("A"), col("qid") === col("A.vec_id"))
       .join(emb(spark, dir).as("B"), col("nid") === col("B.vec_id"))
       .select(col("qid").as("query_id"), col("nid").as("neighbor_id"),
-        Hashing.cosine(col("A.e"), col("B.e")).as("cos_sim"))
+        Hashing.cosineNative(spark, col("A.e"), col("B.e")).as("cos_sim"))
       .withColumn("rank", row_number().over(rankWindow))
       .where(col("rank") <= TopK)
   }
