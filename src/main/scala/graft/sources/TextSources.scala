@@ -1,0 +1,62 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators.Sgd.Obs
+
+/** The reference's literal file formats as engine sources/sinks, so a
+  * user of the reference can point this library at their existing data:
+  *
+  *  - transaction lines: one basket per line, whitespace-separated items
+  *    (`apriori/apriori_final.java:6` "Item1 Item2 Item3…",
+  *    `StringTokenizer` at `:50-51`, `TextInputFormat` at `:259`);
+  *  - labeled vector lines: `y x1 x2 …` doubles with an implicit bias
+  *    x0 = 1.0 prepended (`multilinereg/multilinereg.java:3, 58-66`,
+  *    bias at `:61`);
+  *  - `key<TAB>value` text sink (`TextOutputFormat`,
+  *    `apriori_final.java:260`).
+  *
+  * Scans stay distributed (spark.read.text splits files); parsing is
+  * per-row column expressions. The parquet star-schema loaders in
+  * [[graft.Tables]] remain the primary path — these adapters exist for
+  * format parity.
+  */
+object TextSources {
+
+  /** Basket file → `items: ARRAY<STRING>` (one row per transaction).
+    * Blank lines are dropped, repeated whitespace tolerated — matching
+    * StringTokenizer semantics.
+    */
+  def transactions(spark: SparkSession, path: String): DataFrame =
+    spark.read.text(path)
+      .select(split(trim(col("value")), "\\s+").as("items"))
+      .where(size(col("items")) > 0 && col("items")(0) =!= "")
+
+  /** Labeled vector file → `Dataset[Obs]` with the bias prepended and a
+    * deterministic per-line id (file read order, like the reference's
+    * sequential map over each split).
+    */
+  def labeledVectors(spark: SparkSession, path: String): Dataset[Obs] = {
+    val s = spark; import s.implicits._
+    spark.read.textFile(path).rdd
+      .zipWithIndex()
+      .toDF("value", "id")
+      .select(col("id"), split(trim(col("value")), "\\s+").as("t"))
+      .where(size(col("t")) >= 2 && col("t")(0) =!= "")
+      .select(
+        col("id"),
+        col("t")(0).cast("double").as("y"),
+        concat(
+          array(lit(1.0)),
+          expr("transform(slice(t, 2, size(t) - 1), v -> cast(v as double))"))
+          .as("x"))
+      .as[Obs]
+  }
+
+  /** `key<TAB>value` line sink: the named columns are tab-joined in
+    * order and written as text part files.
+    */
+  def writeKV(df: DataFrame, path: String, cols: String*): Unit =
+    df.select(concat_ws("\t", cols.map(col): _*).as("value"))
+      .write.mode("overwrite").text(path)
+}

@@ -1,0 +1,52 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import graft.sources.TextSources
+
+/** The reference's text formats (FIXTURES.md §1 samples, checked in as
+  * resources): basket lines, labeled vector lines, key<TAB>value sink.
+  */
+class TextSourcesSpec extends SparkSpecBase {
+
+  private def res(name: String): String =
+    getClass.getClassLoader.getResource(name).getPath
+
+  test("transaction lines parse to baskets; blanks dropped, runs of spaces ok") {
+    val tx = TextSources.transactions(spark, res("transactions.txt"))
+      .collect().map(_.getSeq[String](0).toList)
+    assert(tx.length == 4) // 5 lines, 1 blank
+    assert(tx.count(_ == List("bread", "milk", "eggs")) == 2) // incl. "  "
+    assert(tx.contains(List("bread", "milk")))
+    assert(tx.contains(List("milk", "eggs", "butter")))
+  }
+
+  test("wordcount over the basket file matches the reference's job-1 shape") {
+    val counts = TextSources.transactions(spark, res("transactions.txt"))
+      .select(explode(col("items")).as("item"))
+      .groupBy("item").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts == Map("bread" -> 3L, "milk" -> 4L, "eggs" -> 3L,
+      "butter" -> 1L))
+  }
+
+  test("labeled vector lines parse with the bias prepended") {
+    val obs = TextSources.labeledVectors(spark, res("labeled.txt"))
+      .collect().sortBy(_.id)
+    assert(obs.length == 3)
+    assert(obs(0).y == 3.1 && obs(0).x.toSeq == Seq(1.0, 1.0, 2.0))
+    assert(obs(1).y == 5.0 && obs(1).x.toSeq == Seq(1.0, 2.0, 3.5))
+    assert(obs(2).y == -0.5 && obs(2).x.toSeq == Seq(1.0, 0.25, 1.25))
+  }
+
+  test("key-tab-value sink round-trips") {
+    val s = spark; import s.implicits._
+    val out = Files.createTempDirectory("graft_kv").toString
+    TextSources.writeKV(
+      Seq(("bread", 3L), ("milk", 4L)).toDF("item", "cnt"),
+      out, "item", "cnt")
+    val lines = spark.read.text(out).collect().map(_.getString(0)).sorted
+    assert(lines.toSeq == Seq("bread\t3", "milk\t4"))
+  }
+}
