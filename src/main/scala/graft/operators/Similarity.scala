@@ -93,9 +93,71 @@ object Similarity {
       .where(col("rank") <= TopK)
   }
 
+  /** IVF coarse-quantizer size and probe count. Centroids are the first
+    * [[NumCentroids]] corpus vectors — a deterministic sampled quantizer
+    * (production would k-means; sampling keeps the index reproducible
+    * and oracle-expressible, and changes nothing structural about the
+    * plan). Assignment order ties break toward the lower centroid id,
+    * identical to the oracle's (cos DESC, cid ASC) row_number.
+    */
+  val NumCentroids = 16
+  val NumProbes = 2
+
+  /** IVF top-k: assign every vector to its nearest centroid (inverted
+    * lists), probe the query's [[NumProbes]] nearest lists, score only
+    * those candidates. Assignment/probing are O(centroids) typed-kernel
+    * flops per vector with the centroid matrix broadcast; the only
+    * shuffles are the candidate equi-join on the list id and the ranking
+    * window. At 100 TB the inverted lists are the partition key — the
+    * classic ANN layout.
+    */
+  def ivfTopK(spark: SparkSession, dir: String): DataFrame = {
+    val s = spark; import s.implicits._
+    val corpus = emb(spark, dir).as[(Long, Array[Double])]
+    val cents = corpus.filter(_._1 < NumCentroids).collect().sortBy(_._1)
+    val bc = spark.sparkContext.broadcast(cents)
+    val assign = corpus
+      .mapPartitions { it =>
+        val cs = bc.value
+        it.map { case (id, e) =>
+          var best = Double.NegativeInfinity
+          var bestC = 0L
+          cs.foreach { case (cid, ce) =>
+            val c = Hashing.cosineSeq(e, ce)
+            if (c > best) { best = c; bestC = cid } // ascending cid ⇒ ties → lower cid
+          }
+          (id, bestC)
+        }
+      }
+      .toDF("vec_id", "cid")
+    val probes = corpus
+      .filter(_._1 < NumQueries)
+      .mapPartitions { it =>
+        val cs = bc.value
+        it.flatMap { case (qid, e) =>
+          cs.map { case (cid, ce) => (cid, Hashing.cosineSeq(e, ce)) }
+            .sortBy { case (cid, c) => (-c, cid) }
+            .take(NumProbes)
+            .map { case (cid, _) => (qid, cid) }
+        }
+      }
+      .toDF("qid", "cid")
+    val cand = probes.join(assign, "cid")
+      .where(col("qid") =!= col("vec_id"))
+      .select(col("qid"), col("vec_id").as("nid"))
+    cand
+      .join(emb(spark, dir).as("A"), col("qid") === col("A.vec_id"))
+      .join(emb(spark, dir).as("B"), col("nid") === col("B.vec_id"))
+      .select(col("qid").as("query_id"), col("nid").as("neighbor_id"),
+        Hashing.cosineNative(spark, col("A.e"), col("B.e")).as("cos_sim"))
+      .withColumn("rank", row_number().over(rankWindow))
+      .where(col("rank") <= TopK)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "llm_sim_topk" -> bruteForceTopK,
-    "llm_sim_lsh_topk" -> lshTopK
+    "llm_sim_lsh_topk" -> lshTopK,
+    "llm_sim_ivf_topk" -> ivfTopK
   )
 
   val oracle: Map[String, String] = Map(
@@ -133,6 +195,44 @@ object Similarity {
          |    AND q.vec_id < $NumQueries AND q.vec_id != n.vec_id
          |),
          |v AS (SELECT vec_id, embedding e FROM embeddings),
+         |scored AS (
+         |  SELECT qid AS query_id, nid AS neighbor_id,
+         |    ${Hashing.cosineSql("a.e", "b.e", 64)} AS cos_sim
+         |  FROM cand JOIN v a ON qid = a.vec_id JOIN v b ON nid = b.vec_id
+         |)
+         |SELECT * FROM (
+         |  SELECT query_id, neighbor_id, cos_sim,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+         |  FROM scored
+         |) WHERE rank <= $TopK""".stripMargin,
+    "llm_sim_ivf_topk" ->
+      s"""WITH v AS (SELECT vec_id, embedding e FROM embeddings),
+         |cents AS (SELECT vec_id AS cid, e AS ce FROM v
+         |          WHERE vec_id < $NumCentroids),
+         |cscore AS (
+         |  SELECT v.vec_id, cents.cid,
+         |    ${Hashing.cosineSql("v.e", "cents.ce", 64)} AS c
+         |  FROM v, cents
+         |),
+         |assign AS (
+         |  SELECT vec_id, cid FROM (
+         |    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
+         |      ORDER BY c DESC, cid ASC) AS rn FROM cscore
+         |  ) WHERE rn = 1
+         |),
+         |probes AS (
+         |  SELECT vec_id AS qid, cid FROM (
+         |    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
+         |      ORDER BY c DESC, cid ASC) AS rn FROM cscore
+         |    WHERE vec_id < $NumQueries
+         |  ) WHERE rn <= $NumProbes
+         |),
+         |cand AS (
+         |  SELECT p.qid, a.vec_id AS nid
+         |  FROM probes p JOIN assign a ON p.cid = a.cid
+         |  WHERE p.qid != a.vec_id
+         |),
          |scored AS (
          |  SELECT qid AS query_id, nid AS neighbor_id,
          |    ${Hashing.cosineSql("a.e", "b.e", 64)} AS cos_sim

@@ -56,4 +56,25 @@ class SimilaritySpec extends SparkSpecBase {
       assert(ranks.toSeq == (1 to ranks.length).toSeq, s"query $q ranks")
     }
   }
+
+  test("IVF top-k scores only probed inverted lists, exactly") {
+    val rows = Similarity.ivfTopK(spark, Sf).collect()
+    assert(rows.nonEmpty)
+    // recompute the quantizer in-memory: assignment + 2 probes per query
+    val cents = vecs.filter(_._1 < Similarity.NumCentroids).toSeq.sortBy(_._1)
+    def nearest(e: Array[Double]): Long =
+      cents.map { case (c, ce) => (c, cos(e, ce)) }
+        .maxBy { case (c, s) => (s, -c) }._1
+    val assign = vecs.map { case (id, e) => id -> nearest(e) }
+    rows.foreach { r =>
+      val (q, n, c, rk) =
+        (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))
+      val probed = cents.map { case (cid, ce) => (cid, cos(vecs(q), ce)) }
+        .sortBy { case (cid, s) => (-s, cid) }
+        .take(Similarity.NumProbes).map(_._1).toSet
+      assert(probed.contains(assign(n)),
+        s"neighbor $n of query $q is outside the probed lists")
+      assert(c == cos(vecs(q), vecs(n)) && rk <= Similarity.TopK)
+    }
+  }
 }
