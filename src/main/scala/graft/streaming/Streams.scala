@@ -1,9 +1,19 @@
 package graft.streaming
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 import graft.Tables
+
+/** Typed rows for the stateful sessionizer (top-level: Spark's generated
+  * deserializers cannot reach nested case classes).
+  */
+case class SessionEvent(user_id: Long, event_id: Long, ts_us: Long,
+    ts_ts: java.sql.Timestamp)
+case class OpenSession(start_us: Long, last_us: Long, n_events: Long)
+case class ClosedSession(user_id: Long, start_us: Long,
+    duration_us: Long, n_events: Long)
 
 /** Event-stream operators over `events` (SURVEY.md §2.10 — additive: the
   * reference is pure batch, `job.waitForCompletion` barriers at
@@ -88,6 +98,62 @@ object Streams {
       .agg(count(lit(1)).as("n_events"))
       .select(col("user_id"), col("session_window.start").as("win_start"),
         col("n_events"))
+  }
+
+  /** Custom-state sessionization for streams (SURVEY.md §2.10's "custom
+    * state" surface): per-user `flatMapGroupsWithState` with an
+    * event-time timeout. A session closes — and is emitted — either when
+    * a later event arrives past the gap, or when the watermark passes
+    * last-event + gap (the timeout path). State per user is one
+    * [[OpenSession]]: O(1), bounded by the user-key cardinality, exactly
+    * what a 100 TB stream needs. [[sessionWindowStats]] is the built-in
+    * formulation of the same thing; this is the escape hatch for
+    * semantics `session_window` can't express (e.g. the emitted duration
+    * & count here).
+    */
+  def sessionizeStateful(events: DataFrame,
+      watermark: String = "1 hour"): Dataset[ClosedSession] = {
+    val s = events.sparkSession; import s.implicits._
+    val gap = SessionGapUs
+    withEventTime(events)
+      .withWatermark("ts_ts", watermark)
+      // ts_ts rides along: the watermarked column must reach the
+      // stateful operator or the event-time timeout is rejected
+      .select(col("user_id"), col("event_id"), col("ts_us"), col("ts_ts"))
+      .as[SessionEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[OpenSession, ClosedSession](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (user: Long, it: Iterator[SessionEvent],
+            state: GroupState[OpenSession]) =>
+          if (state.hasTimedOut) {
+            val open = state.get
+            state.remove()
+            Iterator.single(ClosedSession(user, open.start_us,
+              open.last_us - open.start_us, open.n_events))
+          } else {
+            val closed = Seq.newBuilder[ClosedSession]
+            var open = state.getOption
+            it.toSeq.sortBy(e => (e.ts_us, e.event_id)).foreach { e =>
+              open match {
+                case Some(o) if e.ts_us - o.last_us <= gap =>
+                  open = Some(o.copy(last_us = e.ts_us,
+                    n_events = o.n_events + 1))
+                case Some(o) =>
+                  closed += ClosedSession(user, o.start_us,
+                    o.last_us - o.start_us, o.n_events)
+                  open = Some(OpenSession(e.ts_us, e.ts_us, 1))
+                case None =>
+                  open = Some(OpenSession(e.ts_us, e.ts_us, 1))
+              }
+            }
+            open.foreach { o =>
+              state.update(o)
+              state.setTimeoutTimestamp(o.last_us / 1000 + gap / 1000)
+            }
+            closed.result().iterator
+          }
+      }
   }
 
   private def events(spark: SparkSession, dir: String): DataFrame =

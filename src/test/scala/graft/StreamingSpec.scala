@@ -89,4 +89,51 @@ class StreamingSpec extends SparkSpecBase {
       assert(u1 == Set(2L, 1L) && batch.count(_._1 == 2L) == 1)
     } finally q.stop()
   }
+
+  test("flatMapGroupsWithState sessions close on gap and on timeout") {
+    val s = spark; import s.implicits._
+    implicit val ctx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val q = Streams.sessionizeStateful(mem.toDF())
+      .writeStream.format("memory").queryName("fmgws_test")
+      .outputMode("append").start()
+    try {
+      // user 1: burst of 3 (1h, 1h10m, 1h20m), then a gap, then 1 event —
+      // the first session closes on data arrival, not timeout;
+      // user 2: singleton that only a watermark timeout can close.
+      // (base offset 1h: an event at exactly ts=0 ties the initial
+      // watermark and is dropped as late — itself a fact worth pinning)
+      val B = HourNs
+      mem.addData(
+        ev(1, B, user = 1), ev(2, B + 10 * MinNs, user = 1),
+        ev(3, B + 20 * MinNs, user = 1),
+        ev(4, B + 2 * HourNs, user = 1),
+        ev(5, B + 5 * MinNs, user = 2))
+      q.processAllAvailable()
+      mem.addData(ev(9, 20 * HourNs, user = 3)) // watermark → timeouts fire
+      q.processAllAvailable()
+      mem.addData(ev(10, 30 * HourNs, user = 3))
+      q.processAllAvailable()
+
+      val got = spark.table("fmgws_test")
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSet
+      val MinUs = 60L * 1000 * 1000
+      val BUs = 60 * MinUs
+      assert(got.contains((1L, BUs, 20 * MinUs, 3L)), got)        // gap-closed
+      assert(got.contains((1L, BUs + 120 * MinUs, 0L, 1L)), got)  // timeout
+      assert(got.contains((2L, BUs + 5 * MinUs, 0L, 1L)), got)    // timeout
+      // batch lag/cumsum sessionization agrees on the closed sessions
+      val wave = Seq(
+        ev(1, B, user = 1), ev(2, B + 10 * MinNs, user = 1),
+        ev(3, B + 20 * MinNs, user = 1), ev(4, B + 2 * HourNs, user = 1),
+        ev(5, B + 5 * MinNs, user = 2))
+      val batch = Streams.sessions(wave.toDF())
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(3), r.getLong(4), r.getLong(2)))
+        .toSet
+      assert(batch.forall(got.contains), s"batch=${batch} got=${got}")
+    } finally q.stop()
+  }
 }
