@@ -156,6 +156,28 @@ object Streams {
       }
   }
 
+  /** Interval (range) join: ordered event pairs per user within a
+    * 5-minute window, counted by type pair — the follows-within-Δt
+    * primitive of funnel/sequence analysis, and the batch shape of a
+    * stream-stream join with a time bound. Physically an equi-join on
+    * user_id with the range as a join-level filter: shuffles once per
+    * side on the user key, never a cross product. (In streaming form the
+    * same predicate bounds state retention via watermarks.)
+    */
+  val PairWindowUs: Long = 5L * 60 * 1000 * 1000
+
+  def eventPairs(events: DataFrame): DataFrame = {
+    val e = withEventTime(events)
+      .select("user_id", "event_id", "ts_us", "event_type")
+    e.as("a").join(e.as("b"),
+        col("a.user_id") === col("b.user_id")
+          && col("b.ts_us") > col("a.ts_us")
+          && col("b.ts_us") - col("a.ts_us") <= PairWindowUs)
+      .groupBy(col("a.event_type").as("type_a"),
+        col("b.event_type").as("type_b"))
+      .agg(count(lit(1)).as("n_pairs"))
+  }
+
   private def events(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir, "events")
 
@@ -163,7 +185,9 @@ object Streams {
     "stream_tumbling_stats" ->
       ((s: SparkSession, d: String) => tumblingStats(events(s, d))),
     "stream_sessions" ->
-      ((s: SparkSession, d: String) => sessions(events(s, d)))
+      ((s: SparkSession, d: String) => sessions(events(s, d))),
+    "stream_event_pairs" ->
+      ((s: SparkSession, d: String) => eventPairs(events(s, d)))
   )
 
   val oracle: Map[String, String] = Map(
@@ -196,6 +220,17 @@ object Streams {
          |SELECT user_id, session_seq, count(*) AS n_events,
          |  min(ts_us) AS start_us,
          |  (max(ts_us) - min(ts_us))::BIGINT AS duration_us
-         |FROM s GROUP BY user_id, session_seq""".stripMargin
+         |FROM s GROUP BY user_id, session_seq""".stripMargin,
+    "stream_event_pairs" ->
+      s"""WITH e AS (
+         |  SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type
+         |  FROM events
+         |)
+         |SELECT a.event_type AS type_a, b.event_type AS type_b,
+         |  count(*) AS n_pairs
+         |FROM e a JOIN e b ON a.user_id = b.user_id
+         |  AND b.ts_us > a.ts_us
+         |  AND b.ts_us - a.ts_us <= ${PairWindowUs}
+         |GROUP BY 1, 2""".stripMargin
   )
 }

@@ -1,0 +1,54 @@
+package graft
+
+import org.scalacheck.{Gen, Prop, Properties}
+import graft.operators.Apriori
+
+/** Property-based coverage of the pure generator/hash logic (SURVEY.md
+  * §5.3) — runs under sbt's native ScalaCheck support, no bridge needed.
+  */
+object GeneratorProps extends Properties("graft.generators") {
+
+  private val itemsGen: Gen[List[String]] =
+    Gen.choose(1, 10).flatMap { k =>
+      Gen.pick(k, ('a' to 'z').map(_.toString)).map(_.sorted.toList)
+    }
+
+  property("subsetKeys emits 2^k - 1 distinct subsets") =
+    Prop.forAll(itemsGen) { items =>
+      val all = Apriori.subsetKeys(items).toList
+      all.size == (1 << items.size) - 1 &&
+        all.distinct.size == all.size
+    }
+
+  property("subsetKeys size>=2 count is 2^k - k - 1") =
+    Prop.forAll(itemsGen) { items =>
+      Apriori.subsetKeys(items).count(_._2 >= 2) ==
+        (1 << items.size) - items.size - 1
+    }
+
+  property("every subset key is a sorted subsequence of its basket") =
+    Prop.forAll(itemsGen) { items =>
+      Apriori.subsetKeys(items).forall { case (key, k) =>
+        val parts = key.split(" ").toList
+        parts.length == k && parts == parts.sorted &&
+          parts.forall(items.contains)
+      }
+    }
+
+  property("antecedents partition the itemset, both sides non-empty") =
+    Prop.forAll(itemsGen.suchThat(_.size >= 2)) { items =>
+      val rules = Apriori.antecedents(items).toList
+      rules.size == (1 << items.size) - 2 &&
+        rules.forall { case (a, c) =>
+          a.nonEmpty && c.nonEmpty &&
+            (a.split(" ") ++ c.split(" ")).sorted.toList == items.sorted
+        }
+    }
+
+  property("support monotonicity: shrinking a basket shrinks its subsets") =
+    Prop.forAll(itemsGen.suchThat(_.size >= 2)) { items =>
+      val sub = items.init
+      val all = Apriori.subsetKeys(items).map(_._1).toSet
+      Apriori.subsetKeys(sub).map(_._1).forall(all.contains)
+    }
+}
