@@ -152,6 +152,57 @@ object Apriori {
       .where(col("k") >= 2 && col("cnt") >= Support)
       .select("itemset", "cnt")
 
+  /** Frequent k-itemsets, level-wise (classic Apriori iteration) — the
+    * 100 TB path for the same answer as [[freqItemsets]]. The per-basket
+    * variant enumerates all 2^n subsets of every basket in one pass; this
+    * one iterates k = 2, 3, … and, before enumerating k-subsets, prunes
+    * each basket to the items still ACTIVE at level k−1 (items appearing
+    * in some frequent (k−1)-itemset, support monotonicity), stopping at
+    * the first empty level. When the deepest frequent itemset is much
+    * shallower than the widest basket — the realistic shape at scale —
+    * the enumerated volume drops from 2^n to Σ_{k≤D+1} C(n', k) on
+    * shrinking n'. Driver state per level is the active-item set (item
+    * vocabulary scale, broadcast each level like SGD's θ) and the
+    * per-level support tables stay distributed.
+    */
+  def freqItemsetsLevelwise(spark: SparkSession, dir: String): DataFrame = {
+    val s = spark; import s.implicits._
+    val freqSet = freqItems(spark, dir).agg(collect_set($"item").as("freqset"))
+    val baskets = transactions(spark, dir)
+      .join(broadcast(freqSet))
+      .select(array_sort(array_intersect($"items", $"freqset")).as("fitems"))
+      .as[Seq[String]]
+      .map(_.take(MaxBasket))
+      .localCheckpoint() // read once per level, not recomputed
+    var active = freqItems(spark, dir).select("item")
+      .collect().map(_.getString(0)).toSet
+    var result: DataFrame = null
+    var k = 2
+    while (active.nonEmpty && k <= MaxBasket) {
+      val bc = spark.sparkContext.broadcast(active)
+      val lk = baskets
+        .flatMap { b =>
+          val pruned = b.filter(bc.value.contains)
+          if (pruned.length >= k)
+            pruned.combinations(k).map(_.mkString(" "))
+          else Iterator.empty
+        }
+        .toDF("itemset")
+        .groupBy("itemset")
+        .agg(count(lit(1)).as("cnt"))
+        .where($"cnt" >= Support)
+        .localCheckpoint()
+      active = lk.select(explode(split($"itemset", " ")).as("i"))
+        .distinct().collect().map(_.getString(0)).toSet
+      if (active.nonEmpty)
+        result = if (result == null) lk else result.union(lk)
+      k += 1
+    }
+    if (result == null)
+      spark.emptyDataset[(String, Long)].toDF("itemset", "cnt")
+    else result
+  }
+
   /** Association rules X ⇒ Y from every frequent itemset Z = X ∪ Y with
     * X a non-empty proper subset; confidence = 100·supp(Z)/supp(X)
     * (apriori_raw.java:275-278). The reference emits all rules without a
@@ -182,6 +233,7 @@ object Apriori {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "apriori_freq_items" -> freqItems,
     "apriori_freq_itemsets" -> freqItemsets,
+    "apriori_freq_itemsets_lw" -> freqItemsetsLevelwise,
     "apriori_assoc_rules" -> assocRules
   )
 
@@ -233,6 +285,11 @@ object Apriori {
          |FROM (SELECT l_orderkey, unnest(items) AS item FROM tx)
          |GROUP BY item HAVING count(*) >= ${Support}""".stripMargin,
     "apriori_freq_itemsets" ->
+      s"""WITH $subSql
+         |SELECT itemset, cnt FROM supports
+         |WHERE k >= 2 AND cnt >= ${Support}""".stripMargin,
+    // level-wise variant: same answer by construction, same oracle
+    "apriori_freq_itemsets_lw" ->
       s"""WITH $subSql
          |SELECT itemset, cnt FROM supports
          |WHERE k >= 2 AND cnt >= ${Support}""".stripMargin,

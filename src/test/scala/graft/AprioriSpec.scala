@@ -59,6 +59,14 @@ class AprioriSpec extends SparkSpecBase {
         "Spark and the DuckDB oracle would silently diverge")
   }
 
+  test("level-wise Apriori equals the per-basket enumeration exactly") {
+    val perBasket = Apriori.freqItemsets(spark, Sf)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val levelwise = Apriori.freqItemsetsLevelwise(spark, Sf)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(levelwise == perBasket)
+  }
+
   test("support monotonicity: every frequent k-itemset's items are frequent") {
     val freq1 = Apriori.freqItems(spark, Sf)
       .collect().map(_.getString(0)).toSet
