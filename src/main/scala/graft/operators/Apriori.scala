@@ -115,9 +115,16 @@ object Apriori {
   private val supportsCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]
 
+  /** Only frequent rows are cached: every downstream lookup is an
+    * antecedent of a frequent itemset, and supp(X) ≥ supp(Z) ≥ Support
+    * by monotonicity — infrequent subsets can never be probed, so
+    * filtering before persist shrinks the cache and the join build side
+    * for free.
+    */
   def itemsetSupports(spark: SparkSession, dir: String): DataFrame =
     supportsCache.computeIfAbsent((spark, dir),
-      _ => itemsetSupportsUncached(spark, dir).persist())
+      _ => itemsetSupportsUncached(spark, dir)
+        .where(col("cnt") >= Support).persist())
 
   /** Support of every subset (size ≥ 1, canonical sorted) of each basket's
     * frequent items: cnt(X) = #baskets ⊇ X. Monotonicity makes the per-item
