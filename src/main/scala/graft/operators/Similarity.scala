@@ -24,9 +24,13 @@ import graft.Tables
   *    by design — and the DuckDB oracle replays the identical bucketing,
   *    so the approximation itself is verified, not hand-waved.
   *
-  * Cosines are sequential-order IEEE doubles (see [[Hashing.cosine]]),
-  * bit-equal to the oracle; ranking ties break on neighbor_id so the
-  * row_number is deterministic in both engines.
+  * Cosines are sequential-order IEEE doubles, bit-equal to the oracle;
+  * ranking ties break on neighbor_id so the row_number is deterministic
+  * in both engines. The partition-the-corpus / broadcast-the-queries /
+  * prune-by-index decomposition follows the distributed top-k similarity
+  * literature (PAPERS.md: REPOSE, ICDE 2021 — reference-point pruning;
+  * Continuously Adaptive Similarity Search, SIGMOD 2020 — index-guided
+  * candidate generation).
   */
 object Similarity {
 
