@@ -240,12 +240,63 @@ object Dedup {
       .where(col("cos_sim") >= CosMin)
   }
 
+  // ---- document BOW-embedding near-dup ----
+
+  /** Hashed bag-of-bigrams dimensionality and output threshold (fixture
+    * separation: random pairs max ≈ 0.52, planted near-dups ≥ 0.95).
+    */
+  val BowDims = 256
+  val BowCosMin = 0.9
+
+  /** Embedding-cosine near-dup applied to the documents themselves: each
+    * doc becomes a [[BowDims]]-dim hashed bag-of-bigrams count vector
+    * (feature hashing, md5-derived so the oracle rebuilds the identical
+    * vectors), candidates come from the same SRP bucket join as the
+    * embedding path, survivors verify with exact cosine. Text in,
+    * vector-space dedup out — no external embedding model needed.
+    */
+  def bowCosine(spark: SparkSession, dir: String): DataFrame = {
+    val s = spark; import s.implicits._
+    val vecs = docs(spark, dir)
+      .select(col("doc_id"), toks.as("t"))
+      .as[(Long, Seq[String])]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.map { case (id, w) =>
+          val v = new Array[Double](BowDims)
+          var i = 0
+          while (i < w.length - 1) {
+            val h = Hashing.md5hash56Jvm(md, w(i) + " " + w(i + 1))
+            v((h % BowDims).toInt) += 1.0
+            i += 1
+          }
+          (id, v)
+        }
+      }
+      .toDF("vec_id", "e")
+      .localCheckpoint() // feeds the bucket kernel and both scoring sides
+    val buckets =
+      Hashing.srpBuckets(spark, vecs, SrpTables, SrpBits, BowDims)
+    val cand = buckets.as("x").join(buckets.as("y"),
+        col("x.t") === col("y.t") && col("x.bkt") === col("y.bkt")
+          && col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("da"), col("y.vec_id").as("db"))
+      .distinct()
+    cand
+      .join(vecs.as("A"), col("da") === col("A.vec_id"))
+      .join(vecs.as("B"), col("db") === col("B.vec_id"))
+      .select(col("da").as("doc_a"), col("db").as("doc_b"),
+        Hashing.cosineNative(spark, col("A.e"), col("B.e")).as("cos_sim"))
+      .where(col("cos_sim") >= BowCosMin)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "llm_dedup_exact" -> exact,
     "llm_dedup_minhash" -> minhashLsh,
     "llm_dedup_ngram" -> ngramJaccard,
     "llm_dedup_simhash" -> simhashPairs,
-    "llm_dedup_embedding" -> embeddingNearDup
+    "llm_dedup_embedding" -> embeddingNearDup,
+    "llm_dedup_bow_cosine" -> bowCosine
   )
 
   /** Shared oracle scaffolding: tokenized docs + n-gram shingle lists. */
@@ -330,6 +381,53 @@ object Dedup {
          |  FROM cand JOIN v a ON va = a.vec_id JOIN v b ON vb = b.vec_id
          |)
          |SELECT va AS vec_a, vb AS vec_b, cos_sim
-         |FROM scored WHERE cos_sim >= $CosMin""".stripMargin
+         |FROM scored WHERE cos_sim >= $CosMin""".stripMargin,
+    "llm_dedup_bow_cosine" ->
+      s"""WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         |big AS (
+         |  SELECT doc_id, unnest(list_transform(range(1, len(t)),
+         |    i -> array_to_string(list_slice(t, i, i + 1), ' '))) AS g
+         |  FROM tok WHERE len(t) >= 2
+         |),
+         |dims AS (
+         |  SELECT doc_id,
+         |    (('0x' || substr(md5(g), 1, 14))::BIGINT % $BowDims) AS d,
+         |    count(*) AS c
+         |  FROM big GROUP BY 1, 2
+         |),
+         |grid AS (
+         |  SELECT doc_id, unnest(range(0, $BowDims)) AS i
+         |  FROM (SELECT DISTINCT doc_id FROM documents) dd
+         |),
+         |vecs AS (
+         |  SELECT g.doc_id AS vec_id,
+         |    list(coalesce(dims.c, 0)::DOUBLE ORDER BY g.i) AS e
+         |  FROM grid g LEFT JOIN dims
+         |    ON g.doc_id = dims.doc_id AND g.i = dims.d
+         |  GROUP BY g.doc_id
+         |),
+         |${Hashing.planesSqlCte(SrpTables, SrpBits, BowDims)},
+         |proj AS (
+         |  SELECT vec_id, t, p,
+         |    list_reduce(list_transform(range(1, ${BowDims + 1}),
+         |      i -> e[i] * w[i]), (a, b) -> a + b) AS pr
+         |  FROM vecs, planes
+         |),
+         |buckets AS (
+         |  SELECT vec_id, t,
+         |    sum(CASE WHEN pr > 0 THEN (1::BIGINT << p) ELSE 0 END)::BIGINT AS bkt
+         |  FROM proj GROUP BY vec_id, t
+         |),
+         |cand AS (
+         |  SELECT DISTINCT a.vec_id va, b.vec_id vb
+         |  FROM buckets a JOIN buckets b
+         |    ON a.t = b.t AND a.bkt = b.bkt AND a.vec_id < b.vec_id
+         |),
+         |scored AS (
+         |  SELECT va, vb, ${Hashing.cosineSql("a.e", "b.e", BowDims)} AS cos_sim
+         |  FROM cand JOIN vecs a ON va = a.vec_id JOIN vecs b ON vb = b.vec_id
+         |)
+         |SELECT va AS doc_a, vb AS doc_b, cos_sim
+         |FROM scored WHERE cos_sim >= $BowCosMin""".stripMargin
   )
 }

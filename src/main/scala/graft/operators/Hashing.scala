@@ -64,10 +64,10 @@ private[operators] object Hashing {
     * bit-identical to [[planesSqlCte]]-based SQL.
     */
   def srpBuckets(spark: SparkSession, emb: DataFrame, tables: Int,
-      bits: Int): DataFrame = {
+      bits: Int, dims: Int = Dims): DataFrame = {
     val s = spark; import s.implicits._
     val planes = Array.tabulate(tables, bits)((t, p) =>
-      Array.tabulate(Dims)(planeSign(t, p, _)))
+      Array.tabulate(dims)(planeSign(t, p, _)))
     val bc = spark.sparkContext.broadcast(planes)
     emb.as[(Long, Array[Double])]
       .mapPartitions { it =>
