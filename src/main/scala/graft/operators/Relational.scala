@@ -128,7 +128,32 @@ object Relational {
       .agg(countDistinct(col("l_partkey")).as("n_parts"),
         count(lit(1)).as("n_lineitems"))
 
+  /** Order timeline per customer: sequence number, gap to the previous
+    * order, cumulative spend — row_number + lag + a running-frame SUM in
+    * one pass over a single window partitioning (one shuffle on the
+    * customer key serves all three). The running sum goes through
+    * DECIMAL so every prefix is exact; timestamps compare as integer
+    * microseconds on both engines.
+    */
+  def orderTimeline(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("ts_us"), col("o_orderkey"))
+    Tables(spark, dir, "orders")
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+        // NTZ → TZ is the identity instant under the UTC session zone,
+        // matching DuckDB's epoch_us on the naive timestamp
+        unix_micros(col("o_orderdate").cast("timestamp")).as("ts_us"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("gap_us", col("ts_us") - lag(col("ts_us"), 1).over(w))
+      .withColumn("cum_spend",
+        sum(col("o_totalprice").cast("decimal(24,6)"))
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .cast("double"))
+      .select("o_custkey", "o_orderkey", "rn", "gap_us", "cum_spend")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "rel_order_timeline" -> orderTimeline,
     "rel_pricing_summary" -> pricingSummary,
     "rel_revenue_by_nation" -> revenueByNation,
     "rel_topk_orders_per_customer" -> topOrdersPerCustomer,
@@ -141,6 +166,17 @@ object Relational {
   )
 
   val oracle: Map[String, String] = Map(
+    "rel_order_timeline" ->
+      """SELECT o_custkey, o_orderkey,
+        |  row_number() OVER w AS rn,
+        |  epoch_us(o_orderdate) - lag(epoch_us(o_orderdate)) OVER w AS gap_us,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(24,6)))
+        |    OVER (PARTITION BY o_custkey
+        |          ORDER BY epoch_us(o_orderdate), o_orderkey
+        |          ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS cum_spend
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey
+        |             ORDER BY epoch_us(o_orderdate), o_orderkey)""".stripMargin,
     "rel_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(24,6))) AS DOUBLE) AS sum_qty,
