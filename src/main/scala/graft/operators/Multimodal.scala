@@ -48,6 +48,27 @@ object Multimodal {
     }
   }
 
+  /** Deterministic "resize" STUB (stands in for bilinear image resize):
+    * bucket the byte stream into `target` equal spans and average each —
+    * the shape (fixed-size output from variable-size media, pure
+    * function of the bytes) is what downstream batching relies on.
+    */
+  def resizeStub(bin: Array[Byte], target: Int): Array[Double] = {
+    val out = new Array[Double](target)
+    if (bin.isEmpty) return out
+    var t = 0
+    while (t < target) {
+      val lo = (t.toLong * bin.length / target).toInt
+      val hi = math.max((((t + 1).toLong * bin.length) / target).toInt, lo + 1)
+      var s = 0.0
+      var i = lo
+      while (i < hi && i < bin.length) { s += (bin(i) & 0xff); i += 1 }
+      out(t) = s / (hi - lo)
+      t += 1
+    }
+    out
+  }
+
   /** Placeholder for the real thing; deliberately unimplemented. */
   object RealImageDecoder extends MediaDecoder {
     def features(bin: Array[Byte]): Array[Long] =

@@ -108,10 +108,23 @@ object TextOps {
       size(regexp_extract_all(col("text"), lit(TokenPattern), lit(0)))
         .as("n_regex_tokens"))
 
-  /** Document fingerprints: whole-content hash plus a min-hash-of-
-    * 3-gram-shingles fingerprint (winnowing-style); two docs sharing the
-    * shingle fingerprint are near-dup candidates. Hex-string min is
-    * lexicographic in both engines.
+  /** Karp–Rabin polynomial rolling hash of the whole text: fold
+    * h ← (h·31 + codepoint) mod 2³¹ left to right. Exact 64-bit integer
+    * arithmetic (31·2³¹ < 2³⁶, no overflow), so Spark's `aggregate` and
+    * DuckDB's `list_reduce` agree digit-for-digit.
+    */
+  private val rollMod = 1L << 31
+
+  private def rollingHash(c: Column): Column =
+    aggregate(
+      transform(sequence(lit(1), length(c)),
+        i => ascii(substring(c, i, lit(1))).cast("long")),
+      lit(0L), (h, ch) => (h * 31 + ch) % rollMod)
+
+  /** Document fingerprints: whole-content hash, a min-hash-of-3-gram-
+    * shingles fingerprint (winnowing-style; two docs sharing it are
+    * near-dup candidates — hex-string min is lexicographic in both
+    * engines), and the Karp–Rabin rolling hash.
     */
   def fingerprint(spark: SparkSession, dir: String): DataFrame =
     docs(spark, dir).select(
@@ -120,7 +133,8 @@ object TextOps {
       when(size(toks) >= 3,
         array_min(transform(sequence(lit(1), size(toks) - 2),
           i => md5(concat_ws(" ", slice(toks, i, lit(3)))))))
-        .otherwise(md5(col("text"))).as("shingle_fp"))
+        .otherwise(md5(col("text"))).as("shingle_fp"),
+      rollingHash(col("text")).as("rolling_hash"))
 
   /** Quality gate: the length / duplication / stopword-share filters a
     * pretraining pipeline applies before a document enters the corpus.
@@ -184,7 +198,12 @@ object TextOps {
         |      range(1, len(string_split(text, ' ')) - 1),
         |      i -> md5(array_to_string(
         |        list_slice(string_split(text, ' '), i, i + 2), ' '))))
-        |  ELSE md5(text) END AS shingle_fp
+        |  ELSE md5(text) END AS shingle_fp,
+        |  list_reduce(
+        |    list_prepend(0::BIGINT,
+        |      list_transform(range(1, len(text) + 1),
+        |        i -> ord(substr(text, i::INT, 1))::BIGINT)),
+        |    (h, ch) -> (h * 31 + ch) % 2147483648) AS rolling_hash
         |FROM documents""".stripMargin,
     "llm_quality_score" ->
       """SELECT doc_id,

@@ -81,5 +81,10 @@ class DedupSpec extends SparkSpecBase {
     intercept[UnsupportedOperationException] {
       Multimodal.RealImageDecoder.features(Array[Byte](1))
     }
+    // resize stub: fixed-size output, mean-preserving on uniform input
+    val r = Multimodal.resizeStub(Array.fill[Byte](100)(10), 8)
+    assert(r.length == 8 && r.forall(_ == 10.0))
+    assert(Multimodal.resizeStub(Array.emptyByteArray, 4).toSeq ==
+      Seq(0.0, 0.0, 0.0, 0.0))
   }
 }
