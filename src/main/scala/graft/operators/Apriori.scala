@@ -134,11 +134,18 @@ object Apriori {
   private def itemsetSupportsUncached(
       spark: SparkSession, dir: String): DataFrame = {
     val s = spark; import s.implicits._
-    val freqSet = freqItems(spark, dir)
+    // One basket-join scan serves both the frequent-item derivation and
+    // the subset enumeration (localCheckpoint; without it Catalyst
+    // computes the lineitem⋈part join once per consumer).
+    val tx = transactions(spark, dir).localCheckpoint()
+    val freqSet = tx
+      .select(explode($"items").as("item"))
+      .groupBy("item").agg(count(lit(1)).as("cnt"))
+      .where($"cnt" >= Support)
       .agg(collect_set($"item").as("freqset"))
     // 1-row broadcast nested-loop join: the Spark analog of the reference's
     // per-token HBase Get (apriori_raw.java:160-171), without the RTT.
-    val baskets = transactions(spark, dir)
+    val baskets = tx
       .join(broadcast(freqSet))
       .select(
         $"l_orderkey",
@@ -174,14 +181,18 @@ object Apriori {
     */
   def freqItemsetsLevelwise(spark: SparkSession, dir: String): DataFrame = {
     val s = spark; import s.implicits._
-    val freqSet = freqItems(spark, dir).agg(collect_set($"item").as("freqset"))
-    val baskets = transactions(spark, dir)
+    val tx = transactions(spark, dir).localCheckpoint() // one basket scan
+    val freqDf = tx.select(explode($"items").as("item"))
+      .groupBy("item").agg(count(lit(1)).as("cnt"))
+      .where($"cnt" >= Support)
+    val freqSet = freqDf.agg(collect_set($"item").as("freqset"))
+    val baskets = tx
       .join(broadcast(freqSet))
       .select(array_sort(array_intersect($"items", $"freqset")).as("fitems"))
       .as[Seq[String]]
       .map(_.take(MaxBasket))
       .localCheckpoint() // read once per level, not recomputed
-    var active = freqItems(spark, dir).select("item")
+    var active = freqDf.select("item")
       .collect().map(_.getString(0)).toSet
     var result: DataFrame = null
     var k = 2
