@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 
@@ -163,6 +163,30 @@ object Sgd {
     } finally ds.unpersist()
   }
 
+  /** OLS sufficient statistics of the SGD feature pipeline: the Gram
+    * matrix Σ xᵢxⱼ (upper triangle) and moment vector Σ xᵢy as one row
+    * of DECIMAL-stable sums. Two uses: it puts the regression FEATURE
+    * pipeline (P2 positional extraction + scaling, exactly the columns
+    * [[dataset]] feeds the iterative solver) under the DuckDB oracle,
+    * and in closed form θ* = G⁻¹b is the exact answer the SGD
+    * approximates — the spec solves the 4×4 system and checks the SGD θ
+    * lands near it. Single global aggregate with map-side partials;
+    * per-row products are identical IEEE doubles in both engines, and
+    * the DECIMAL sum makes the reduction order-independent.
+    */
+  def gramMatrix(spark: SparkSession, dir: String): DataFrame = {
+    val s = spark; import s.implicits._
+    val x = Seq(lit(1.0), $"l_quantity" / 50.0,
+      $"l_extendedprice" / 100000.0, $"l_tax")
+    val y = $"l_extendedprice" * (lit(1.0) - $"l_discount") / lit(100000.0)
+    def dsum(c: Column): Column = sum(c.cast("decimal(28,12)")).cast("double")
+    val gram = for { i <- 0 until 4; j <- i until 4 }
+      yield dsum(x(i) * x(j)).as(s"g_${i}${j}")
+    val mom = (0 until 4).map(i => dsum(x(i) * y).as(s"b_$i"))
+    Tables(spark, dir, "lineitem")
+      .agg((gram ++ mom).head, (gram ++ mom).tail: _*)
+  }
+
   def linregTheta(spark: SparkSession, dir: String): DataFrame =
     thetaDf(spark, dir, logistic = false)
 
@@ -178,8 +202,22 @@ object Sgd {
     */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sgd_linreg_theta" -> linregTheta,
-    "sgd_logreg_theta" -> logregTheta
+    "sgd_logreg_theta" -> logregTheta,
+    "sgd_gram_matrix" -> gramMatrix
   )
 
-  val oracle: Map[String, String] = Map.empty
+  private val gramOracleSql: String = {
+    val xs = Seq("1.0", "(l_quantity / 50.0)", "(l_extendedprice / 100000.0)",
+      "l_tax")
+    val y = "(l_extendedprice * (1.0 - l_discount) / 100000.0)"
+    val cols =
+      (for { i <- 0 until 4; j <- i until 4 } yield
+        s"CAST(SUM(CAST(${xs(i)} * ${xs(j)} AS DECIMAL(28,12))) AS DOUBLE) AS g_$i$j") ++
+        (0 until 4).map(i =>
+          s"CAST(SUM(CAST(${xs(i)} * $y AS DECIMAL(28,12))) AS DOUBLE) AS b_$i")
+    s"SELECT ${cols.mkString(", ")} FROM lineitem"
+  }
+
+  val oracle: Map[String, String] = Map(
+    "sgd_gram_matrix" -> gramOracleSql)
 }

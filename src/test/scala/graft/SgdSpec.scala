@@ -107,6 +107,46 @@ class SgdSpec extends SparkSpecBase {
       s"MSE did not improve 10x: ${mse(r.theta)}")
   }
 
+  test("closed-form OLS from the Gram matrix beats the SGD iterate") {
+    val row = Sgd.gramMatrix(spark, Sf).collect()(0)
+    val g = Array.ofDim[Double](4, 4)
+    var idx = 0
+    for (i <- 0 until 4; j <- i until 4) {
+      g(i)(j) = row.getDouble(idx); g(j)(i) = g(i)(j); idx += 1
+    }
+    val b = (0 until 4).map(i => row.getDouble(idx + i)).toArray
+    // g_00 = Σ1 = row count of lineitem
+    val n = graft.Tables(spark, Sf, "lineitem").count()
+    assert(g(0)(0) == n.toDouble)
+    // Gaussian elimination for θ* = G⁻¹ b
+    val a = Array.tabulate(4, 5)((i, j) => if (j < 4) g(i)(j) else b(i))
+    for (p <- 0 until 4) {
+      val pivot = (p until 4).maxBy(r => math.abs(a(r)(p)))
+      val t = a(p); a(p) = a(pivot); a(pivot) = t
+      for (r <- 0 until 4 if r != p) {
+        val f = a(r)(p) / a(p)(p)
+        for (c <- p to 4) a(r)(c) -= f * a(p)(c)
+      }
+    }
+    val ols = (0 until 4).map(i => a(i)(4) / a(i)(i)).toArray
+    // OLS is the exact minimizer: its MSE lower-bounds the SGD iterate's
+    val obs = Sgd.dataset(spark, Sf, logistic = false).collect()
+    def mse(t: Array[Double]): Double =
+      obs.map { o =>
+        val h = (o.x, t).zipped.map(_ * _).sum
+        (h - o.y) * (h - o.y)
+      }.sum / obs.length
+    spark.conf.set("graft.sgd.numPartitions", "4")
+    try {
+      val sgd = Sgd.fit(Sgd.dataset(spark, Sf, logistic = false)
+        .persist(), 4, logistic = false)
+      assert(mse(ols) <= mse(sgd.theta) + 1e-12,
+        s"OLS ${mse(ols)} vs SGD ${mse(sgd.theta)}")
+      assert(mse(sgd.theta) < mse(new Array[Double](4)),
+        "SGD did not improve on the zero vector")
+    } finally spark.conf.unset("graft.sgd.numPartitions")
+  }
+
   test("epoch data has exactly one exchange (the id repartition)") {
     val ds = Sgd.dataset(spark, Sf, logistic = false)
     val plan = ds.queryExecution.executedPlan.toString
