@@ -86,6 +86,54 @@ object Apriori {
       .agg(array_sort(collect_set(col("p_brand"))).as("items"))
   }
 
+  // ---- DataFrame-parameterized API -------------------------------------
+  // The fixture entry points below read the star schema, but the
+  // pipeline itself composes with ANY transactions DataFrame
+  // (`items: ARRAY<STRING>`, one row per basket) — e.g.
+  // `graft.sources.TextSources.transactions` for the reference's own
+  // basket files — and an arbitrary support threshold.
+
+  /** Frequent 1-itemsets of a transactions DF: item → basket count. */
+  def freqItemsOf(tx: DataFrame, support: Int = Support): DataFrame =
+    tx.select(explode(col("items")).as("item"))
+      .groupBy("item")
+      .agg(count(lit(1)).as("cnt"))
+      .where(col("cnt") >= support)
+
+  /** Subset supports of a transactions DF (frequent-filtered baskets,
+    * sorted-canonical keys, truncated to [[MaxBasket]]).
+    */
+  def itemsetSupportsOf(tx0: DataFrame, support: Int = Support): DataFrame = {
+    val spark = tx0.sparkSession
+    val s = spark; import s.implicits._
+    val tx = tx0.localCheckpoint()
+    val freqSet = freqItemsOf(tx, support)
+      .agg(collect_set($"item").as("freqset"))
+    tx.join(broadcast(freqSet))
+      .select(lit(0L).as("l_orderkey"),
+        array_sort(array_intersect($"items", $"freqset")).as("fitems"))
+      .as[Basket]
+      .flatMap(b => subsetKeys(b.fitems.take(MaxBasket)))
+      .toDF("itemset", "k")
+      .groupBy($"itemset", $"k")
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Frequent k-itemsets (k ≥ 2) of a transactions DF. */
+  def freqItemsetsOf(tx: DataFrame, support: Int = Support): DataFrame =
+    itemsetSupportsOf(tx, support)
+      .where(col("k") >= 2 && col("cnt") >= support)
+      .select("itemset", "cnt")
+
+  /** Association rules of a transactions DF (see [[assocRules]]). */
+  def assocRulesOf(tx: DataFrame, support: Int = Support): DataFrame = {
+    val spark = tx.sparkSession
+    val s = spark; import s.implicits._
+    val supports = itemsetSupportsOf(tx, support)
+      .where($"cnt" >= support).localCheckpoint()
+    rulesFrom(spark, supports, support)
+  }
+
   /** Frequent 1-itemsets: item → basket count, count ≥ [[Support]].
     * Reference Job 1 (A1/A2/P4 in SURVEY.md §2).
     *
@@ -130,33 +178,14 @@ object Apriori {
     * frequent items: cnt(X) = #baskets ⊇ X. Monotonicity makes the per-item
     * frequency pre-filter a pure optimization — it never changes which
     * itemsets reach support (any X with supp(X) ≥ S has all items ≥ S).
+    * Delegates to the DF-parameterized pipeline: one checkpointed basket
+    * scan serves the frequent-item derivation and the enumeration, and
+    * the frequent set rides a 1-row broadcast (the Spark analog of the
+    * reference's per-token HBase Get, apriori_raw.java:160-171).
     */
   private def itemsetSupportsUncached(
-      spark: SparkSession, dir: String): DataFrame = {
-    val s = spark; import s.implicits._
-    // One basket-join scan serves both the frequent-item derivation and
-    // the subset enumeration (localCheckpoint; without it Catalyst
-    // computes the lineitem⋈part join once per consumer).
-    val tx = transactions(spark, dir).localCheckpoint()
-    val freqSet = tx
-      .select(explode($"items").as("item"))
-      .groupBy("item").agg(count(lit(1)).as("cnt"))
-      .where($"cnt" >= Support)
-      .agg(collect_set($"item").as("freqset"))
-    // 1-row broadcast nested-loop join: the Spark analog of the reference's
-    // per-token HBase Get (apriori_raw.java:160-171), without the RTT.
-    val baskets = tx
-      .join(broadcast(freqSet))
-      .select(
-        $"l_orderkey",
-        array_sort(array_intersect($"items", $"freqset")).as("fitems"))
-      .as[Basket]
-    baskets
-      .flatMap(b => subsetKeys(b.fitems.take(MaxBasket)))
-      .toDF("itemset", "k")
-      .groupBy($"itemset", $"k")
-      .agg(count(lit(1)).as("cnt"))
-  }
+      spark: SparkSession, dir: String): DataFrame =
+    itemsetSupportsOf(transactions(spark, dir), Support)
 
   /** Frequent k-itemsets (k ≥ 2), support ≥ [[Support]] — reference Job 2
     * output with the final-variant support filter (apriori_final.java:215).
@@ -226,11 +255,17 @@ object Apriori {
     * (apriori_raw.java:275-278). The reference emits all rules without a
     * min-confidence gate; so do we.
     */
-  def assocRules(spark: SparkSession, dir: String): DataFrame = {
+  def assocRules(spark: SparkSession, dir: String): DataFrame =
+    rulesFrom(spark, itemsetSupports(spark, dir), Support)
+
+  /** Rule expansion + confidence join over a supports table (shared by
+    * the fixture path and [[assocRulesOf]]).
+    */
+  private def rulesFrom(spark: SparkSession, supports: DataFrame,
+      support: Int): DataFrame = {
     val s = spark; import s.implicits._
-    val supports = itemsetSupports(spark, dir)
     val expanded = supports
-      .where($"k" >= 2 && $"cnt" >= Support)
+      .where($"k" >= 2 && $"cnt" >= support)
       .select(split($"itemset", " ").as("z"), $"cnt".as("zcnt"))
       .as[(Seq[String], Long)]
       .flatMap { case (z, zcnt) =>

@@ -40,6 +40,26 @@ class TextSourcesSpec extends SparkSpecBase {
     assert(obs(2).y == -0.5 && obs(2).x.toSeq == Seq(1.0, 0.25, 1.25))
   }
 
+  test("Apriori runs end-to-end on the reference's basket file format") {
+    import graft.operators.Apriori
+    val tx = TextSources.transactions(spark, res("transactions.txt"))
+    // support 2 over: {bread milk eggs}×2, {bread milk}, {milk eggs butter}
+    val sets = Apriori.freqItemsetsOf(tx, support = 2)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(sets == Map(
+      "bread milk" -> 3L, "bread eggs" -> 2L, "eggs milk" -> 3L,
+      "bread eggs milk" -> 2L))
+    val rules = Apriori.assocRulesOf(tx, support = 2)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    // confidence(bread ⇒ milk) = 100·supp(bread milk)/supp(bread) = 100·3/3
+    assert(rules(("bread", "milk")) == 100.0)
+    // confidence(milk ⇒ bread) = 100·3/4
+    assert(rules(("milk", "bread")) == 75.0)
+    // confidence(eggs milk ⇒ bread) = 100·2/3
+    assert(math.abs(rules(("eggs milk", "bread")) - 200.0 / 3) < 1e-9)
+  }
+
   test("key-tab-value sink round-trips") {
     val s = spark; import s.implicits._
     val out = Files.createTempDirectory("graft_kv").toString
