@@ -64,14 +64,21 @@ object Dedup {
         i => concat_ws(" ", slice(toks, i, lit(n))))))
       .otherwise(array(col("text")))
 
+  // Each method has a DataFrame-parameterized form (`…Of`) taking any
+  // (doc_id, text) corpus — e.g. text files via graft.sources — and a
+  // fixture entry point used by the oracle contract.
+
   /** Exact dedup: group by content hash; survivor = lowest doc_id.
     * At 100 TB this is one hash-partitioned aggregation with map-side
     * partials — the canonical first pass of every dedup pipeline.
     */
-  def exact(spark: SparkSession, dir: String): DataFrame =
-    docs(spark, dir)
+  def exactOf(corpus: DataFrame): DataFrame =
+    corpus
       .groupBy(md5(col("text")).as("content_hash"))
       .agg(count(lit(1)).as("n_copies"), min(col("doc_id")).as("keep_doc_id"))
+
+  def exact(spark: SparkSession, dir: String): DataFrame =
+    exactOf(docs(spark, dir))
 
   /** MinHash-LSH near-dup: shingle → 32 minhashes → 16 banded bucket keys
     * → equi-self-join on (band, key) → exact Jaccard verify on candidates.
@@ -80,12 +87,15 @@ object Dedup {
     * Internal hashes are xxhash64 (codegen'd); the verified Jaccard the
     * oracle sees is exact int/int.
     */
-  def minhashLsh(spark: SparkSession, dir: String): DataFrame = {
-    val s = spark; import s.implicits._
+  def minhashLsh(spark: SparkSession, dir: String): DataFrame =
+    minhashLshOf(docs(spark, dir))
+
+  def minhashLshOf(corpus: DataFrame): DataFrame = {
+    val s = corpus.sparkSession; import s.implicits._
     // Materialize the shingle table once (localCheckpoint): it feeds the
     // signature pipeline AND both sides of the verify join — without the
     // checkpoint each consumer recomputes tokenize+shingle from the scan.
-    val sh = docs(spark, dir).select(col("doc_id"), shingles(3).as("s"))
+    val sh = corpus.select(col("doc_id"), shingles(3).as("s"))
       .localCheckpoint()
     // Signature + banding in one typed kernel: one md5 per shingle, then
     // MinhashFuncs cheap splitmix derivations (an interpreted
@@ -135,8 +145,11 @@ object Dedup {
     * high-Jaccard pair on their own and dominate join skew); not applied
     * at fixture scale where no shingle is hot.
     */
-  def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
-    val sh = docs(spark, dir).select(col("doc_id"), shingles(4).as("s"))
+  def ngramJaccard(spark: SparkSession, dir: String): DataFrame =
+    ngramJaccardOf(docs(spark, dir))
+
+  def ngramJaccardOf(corpus: DataFrame): DataFrame = {
+    val sh = corpus.select(col("doc_id"), shingles(4).as("s"))
       .localCheckpoint() // feeds both join sides + the size lookup
     val ex = sh.select(col("doc_id"), explode(col("s")).as("g"))
     val inter = ex.as("x").join(ex.as("y"),
@@ -160,14 +173,17 @@ object Dedup {
     * nothing. Hashes are md5-derived because the simhash value itself is
     * part of the oracle contract.
     */
-  def simhashPairs(spark: SparkSession, dir: String): DataFrame = {
-    val s = spark; import s.implicits._
+  def simhashPairs(spark: SparkSession, dir: String): DataFrame =
+    simhashPairsOf(docs(spark, dir))
+
+  def simhashPairsOf(corpus: DataFrame): DataFrame = {
+    val s = corpus.sparkSession; import s.implicits._
     // Bit-vote in a typed kernel (56 interpreted aggregate-lambdas per
     // row measured ~5× slower); hashes stay md5-derived because the
     // simhash value itself is part of the oracle contract. Checkpointed:
     // the chunk self-join reads the 1-long-per-doc fingerprints instead
     // of recomputing the pipeline on both sides.
-    val sims = docs(spark, dir).select(col("doc_id"), shingles(3).as("s"))
+    val sims = corpus.select(col("doc_id"), shingles(3).as("s"))
       .as[(Long, Seq[String])]
       .mapPartitions { it =>
         val md = java.security.MessageDigest.getInstance("MD5")
@@ -222,9 +238,13 @@ object Dedup {
     * the oracle replays the same SRP bucketing, so recall is part of the
     * contract, not hand-waved.
     */
-  def embeddingNearDup(spark: SparkSession, dir: String): DataFrame = {
-    val emb = Tables(spark, dir, "embeddings")
-      .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+  def embeddingNearDup(spark: SparkSession, dir: String): DataFrame =
+    embeddingNearDupOf(Tables(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("e")))
+
+  /** Vector form: any (vec_id, e: ARRAY<DOUBLE>) DataFrame. */
+  def embeddingNearDupOf(emb: DataFrame): DataFrame = {
+    val spark = emb.sparkSession
     val buckets = Hashing.srpBuckets(spark, emb, SrpTables, SrpBits)
       .localCheckpoint() // both sides of the bucket self-join
     val cand = buckets.as("x").join(buckets.as("y"),
@@ -255,9 +275,13 @@ object Dedup {
     * embedding path, survivors verify with exact cosine. Text in,
     * vector-space dedup out — no external embedding model needed.
     */
-  def bowCosine(spark: SparkSession, dir: String): DataFrame = {
+  def bowCosine(spark: SparkSession, dir: String): DataFrame =
+    bowCosineOf(docs(spark, dir))
+
+  def bowCosineOf(corpus: DataFrame): DataFrame = {
+    val spark = corpus.sparkSession
     val s = spark; import s.implicits._
-    val vecs = docs(spark, dir)
+    val vecs = corpus
       .select(col("doc_id"), toks.as("t"))
       .as[(Long, Seq[String])]
       .mapPartitions { it =>

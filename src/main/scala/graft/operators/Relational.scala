@@ -100,6 +100,19 @@ object Relational {
         coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
         col("sum_qty"), col("n"))
 
+  /** CUBE aggregation: all four grouping sets over (returnflag,
+    * linestatus) — completes the grouping-set surface next to
+    * [[rollupSales]]' hierarchy.
+    */
+  def cubeSales(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "lineitem")
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(dsum(col("l_extendedprice")).as("sum_price"), count(lit(1)).as("n"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+        col("sum_price"), col("n"))
+
   /** Anti join: customers with no high-value order (NOT EXISTS). */
   def customersWithoutOrders(spark: SparkSession, dir: String): DataFrame = {
     val cust = Tables(spark, dir, "customer").select("c_custkey", "c_name")
@@ -160,6 +173,7 @@ object Relational {
     "rel_top_parts" -> topParts,
     "rel_brand_setops" -> brandSetOps,
     "rel_rollup_sales" -> rollupSales,
+    "rel_cube_sales" -> cubeSales,
     "rel_customers_without_orders" -> customersWithoutOrders,
     "rel_priority_semijoin" -> prioritySemiJoin,
     "rel_distinct_parts_per_supplier" -> distinctPartsPerSupplier
@@ -213,6 +227,12 @@ object Relational {
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(24,6))) AS DOUBLE) AS sum_qty,
         |  count(*) AS n
         |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin,
+    "rel_cube_sales" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+        |  coalesce(l_linestatus, 'ALL') AS linestatus,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(24,6))) AS DOUBLE) AS sum_price,
+        |  count(*) AS n
+        |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)""".stripMargin,
     "rel_customers_without_orders" ->
       """SELECT c_custkey, c_name FROM customer c
         |WHERE NOT EXISTS (SELECT 1 FROM orders o

@@ -60,6 +60,21 @@ object Streams {
         col("n_events"), col("sum_value"))
   }
 
+  /** Hopping (sliding) 1-hour windows every 30 minutes: each event lands
+    * in exactly two windows. Same batch/stream duality as
+    * [[tumblingStats]]; the oracle enumerates the two covering window
+    * starts per event explicitly.
+    */
+  def hoppingStats(events: DataFrame,
+      watermark: Option[String] = None): DataFrame = {
+    val e = withEventTime(events)
+    val w = watermark.fold(e)(e.withWatermark("ts_ts", _))
+    w.groupBy(window(col("ts_ts"), "1 hour", "30 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("sum_value"))
+      .select(col("window.start").as("win_start"), col("event_type"),
+        col("n_events"), col("sum_value"))
+  }
+
   /** Gap-based sessionization (batch plan): lag + running sum assigns a
     * per-user session sequence; one aggregate summarizes each session.
     * Two shuffles total (both on user_id — the second reuses the first's
@@ -187,7 +202,9 @@ object Streams {
     "stream_sessions" ->
       ((s: SparkSession, d: String) => sessions(events(s, d))),
     "stream_event_pairs" ->
-      ((s: SparkSession, d: String) => eventPairs(events(s, d)))
+      ((s: SparkSession, d: String) => eventPairs(events(s, d))),
+    "stream_hopping_stats" ->
+      ((s: SparkSession, d: String) => hoppingStats(events(s, d)))
   )
 
   val oracle: Map[String, String] = Map(
@@ -231,6 +248,17 @@ object Streams {
          |FROM e a JOIN e b ON a.user_id = b.user_id
          |  AND b.ts_us > a.ts_us
          |  AND b.ts_us - a.ts_us <= ${PairWindowUs}
-         |GROUP BY 1, 2""".stripMargin
+         |GROUP BY 1, 2""".stripMargin,
+    "stream_hopping_stats" ->
+      """SELECT w AS win_start, event_type, count(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(24,6))) AS DOUBLE) AS sum_value
+        |FROM (
+        |  SELECT unnest([
+        |      time_bucket(INTERVAL 30 MINUTE, ts),
+        |      time_bucket(INTERVAL 30 MINUTE, ts) - INTERVAL 30 MINUTE
+        |    ]) AS w, event_type, value
+        |  FROM events
+        |)
+        |GROUP BY 1, 2""".stripMargin
   )
 }
