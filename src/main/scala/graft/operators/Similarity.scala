@@ -54,10 +54,15 @@ object Similarity {
     * ranking window. Cosines come from [[Hashing.cosineSeq]], bit-equal
     * to the oracle's sequential list arithmetic.
     */
-  def bruteForceTopK(spark: SparkSession, dir: String): DataFrame = {
+  def bruteForceTopK(spark: SparkSession, dir: String): DataFrame =
+    bruteForceTopKOf(emb(spark, dir), NumQueries)
+
+  /** Any (vec_id, e: ARRAY<DOUBLE>) corpus; queries = ids < nQueries. */
+  def bruteForceTopKOf(corpusDf: DataFrame, nQueries: Long): DataFrame = {
+    val spark = corpusDf.sparkSession
     val s = spark; import s.implicits._
-    val corpus = emb(spark, dir).as[(Long, Array[Double])]
-    val queries = corpus.filter(_._1 < NumQueries).collect().sortBy(_._1)
+    val corpus = corpusDf.as[(Long, Array[Double])]
+    val queries = corpus.filter(_._1 < nQueries).collect().sortBy(_._1)
     val bc = spark.sparkContext.broadcast(queries)
     corpus
       .mapPartitions { it =>
@@ -77,20 +82,24 @@ object Similarity {
     * pairs. Queries with no collision simply produce no rows — that is
     * the ANN recall trade, and the oracle prices it identically.
     */
-  def lshTopK(spark: SparkSession, dir: String): DataFrame = {
+  def lshTopK(spark: SparkSession, dir: String): DataFrame =
+    lshTopKOf(emb(spark, dir), NumQueries)
+
+  def lshTopKOf(corpusDf: DataFrame, nQueries: Long): DataFrame = {
+    val spark = corpusDf.sparkSession
     val buckets =
-      Hashing.srpBuckets(spark, emb(spark, dir), LshTables, LshBits)
+      Hashing.srpBuckets(spark, corpusDf, LshTables, LshBits)
         .localCheckpoint() // both sides of the bucket self-join
     val cand = buckets.as("q")
-      .where(col("q.vec_id") < NumQueries)
+      .where(col("q.vec_id") < nQueries)
       .join(buckets.as("n"),
         col("q.t") === col("n.t") && col("q.bkt") === col("n.bkt")
           && col("q.vec_id") =!= col("n.vec_id"))
       .select(col("q.vec_id").as("qid"), col("n.vec_id").as("nid"))
       .distinct()
     cand
-      .join(emb(spark, dir).as("A"), col("qid") === col("A.vec_id"))
-      .join(emb(spark, dir).as("B"), col("nid") === col("B.vec_id"))
+      .join(corpusDf.as("A"), col("qid") === col("A.vec_id"))
+      .join(corpusDf.as("B"), col("nid") === col("B.vec_id"))
       .select(col("qid").as("query_id"), col("nid").as("neighbor_id"),
         Hashing.cosineNative(spark, col("A.e"), col("B.e")).as("cos_sim"))
       .withColumn("rank", row_number().over(rankWindow))
@@ -115,9 +124,13 @@ object Similarity {
     * window. At 100 TB the inverted lists are the partition key — the
     * classic ANN layout.
     */
-  def ivfTopK(spark: SparkSession, dir: String): DataFrame = {
+  def ivfTopK(spark: SparkSession, dir: String): DataFrame =
+    ivfTopKOf(emb(spark, dir), NumQueries)
+
+  def ivfTopKOf(corpusDf: DataFrame, nQueries: Long): DataFrame = {
+    val spark = corpusDf.sparkSession
     val s = spark; import s.implicits._
-    val corpus = emb(spark, dir).as[(Long, Array[Double])]
+    val corpus = corpusDf.as[(Long, Array[Double])]
     val cents = corpus.filter(_._1 < NumCentroids).collect().sortBy(_._1)
     val bc = spark.sparkContext.broadcast(cents)
     val assign = corpus
@@ -135,7 +148,7 @@ object Similarity {
       }
       .toDF("vec_id", "cid")
     val probes = corpus
-      .filter(_._1 < NumQueries)
+      .filter(_._1 < nQueries)
       .mapPartitions { it =>
         val cs = bc.value
         it.flatMap { case (qid, e) =>
@@ -150,8 +163,8 @@ object Similarity {
       .where(col("qid") =!= col("vec_id"))
       .select(col("qid"), col("vec_id").as("nid"))
     cand
-      .join(emb(spark, dir).as("A"), col("qid") === col("A.vec_id"))
-      .join(emb(spark, dir).as("B"), col("nid") === col("B.vec_id"))
+      .join(corpusDf.as("A"), col("qid") === col("A.vec_id"))
+      .join(corpusDf.as("B"), col("nid") === col("B.vec_id"))
       .select(col("qid").as("query_id"), col("nid").as("neighbor_id"),
         Hashing.cosineNative(spark, col("A.e"), col("B.e")).as("cos_sim"))
       .withColumn("rank", row_number().over(rankWindow))

@@ -26,6 +26,9 @@ import graft.Tables
   *    groupBy, which has map-side partial aggregation.
   */
 object TextOps {
+  // Every per-document op also has a DataFrame-parameterized `…Of` form
+  // taking any (doc_id, text) corpus (langId stays fixture-bound: it
+  // carries the label column for comparison).
 
   private def docs(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir, "documents")
@@ -58,7 +61,10 @@ object TextOps {
     * training-data pipeline filters on.
     */
   def textStats(spark: SparkSession, dir: String): DataFrame =
-    docs(spark, dir).select(
+    textStatsOf(docs(spark, dir))
+
+  def textStatsOf(corpus: DataFrame): DataFrame =
+    corpus.select(
       col("doc_id"),
       length(col("text")).as("n_chars"),
       size(toks).as("n_tokens"),
@@ -73,7 +79,10 @@ object TextOps {
     * `documents.text`: split → explode → groupBy → count.
     */
   def wordCount(spark: SparkSession, dir: String): DataFrame =
-    docs(spark, dir)
+    wordCountOf(docs(spark, dir))
+
+  def wordCountOf(corpus: DataFrame): DataFrame =
+    corpus
       .select(explode(toks).as("word"))
       .groupBy("word")
       .agg(count(lit(1)).as("cnt"))
@@ -103,7 +112,10 @@ object TextOps {
   val TokenPattern = "[a-z]+|[0-9]+|[^a-z0-9 ]"
 
   def tokenCount(spark: SparkSession, dir: String): DataFrame =
-    docs(spark, dir).select(
+    tokenCountOf(docs(spark, dir))
+
+  def tokenCountOf(corpus: DataFrame): DataFrame =
+    corpus.select(
       col("doc_id"),
       size(regexp_extract_all(col("text"), lit(TokenPattern), lit(0)))
         .as("n_regex_tokens"))
@@ -127,7 +139,10 @@ object TextOps {
     * engines), and the Karp–Rabin rolling hash.
     */
   def fingerprint(spark: SparkSession, dir: String): DataFrame =
-    docs(spark, dir).select(
+    fingerprintOf(docs(spark, dir))
+
+  def fingerprintOf(corpus: DataFrame): DataFrame =
+    corpus.select(
       col("doc_id"),
       md5(col("text")).as("content_hash"),
       when(size(toks) >= 3,
@@ -140,9 +155,12 @@ object TextOps {
     * pretraining pipeline applies before a document enters the corpus.
     * All fractions are exact int/int divisions.
     */
-  def qualityScore(spark: SparkSession, dir: String): DataFrame = {
+  def qualityScore(spark: SparkSession, dir: String): DataFrame =
+    qualityScoreOf(docs(spark, dir))
+
+  def qualityScoreOf(corpus: DataFrame): DataFrame = {
     val nTok = size(toks).cast("double")
-    docs(spark, dir).select(
+    corpus.select(
       col("doc_id"),
       size(toks).as("n_tokens"),
       (size(array_distinct(toks)).cast("double") / nTok)
