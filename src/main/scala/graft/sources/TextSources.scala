@@ -45,11 +45,16 @@ object TextSources {
       .where(size(col("t")) >= 2 && col("t")(0) =!= "")
       .select(
         col("id"),
-        col("t")(0).cast("double").as("y"),
+        expr("try_cast(t[0] AS DOUBLE)").as("y"),
         concat(
           array(lit(1.0)),
-          expr("transform(slice(t, 2, size(t) - 1), v -> cast(v as double))"))
+          expr("transform(slice(t, 2, size(t) - 1)," +
+            " v -> try_cast(v AS DOUBLE))"))
           .as("x"))
+      // drop malformed lines (non-numeric tokens cast to null) instead of
+      // failing at Obs decode — StringTokenizer-era inputs are dirty
+      .where(col("y").isNotNull
+        && !array_contains(transform(col("x"), _.isNull), true))
       .as[Obs]
   }
 

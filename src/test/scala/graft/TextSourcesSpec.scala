@@ -60,6 +60,17 @@ class TextSourcesSpec extends SparkSpecBase {
     assert(math.abs(rules(("eggs milk", "bread")) - 200.0 / 3) < 1e-9)
   }
 
+  test("labeled vector parsing drops malformed lines instead of failing") {
+    val dir = Files.createTempDirectory("graft_dirty")
+    val f = dir.resolve("dirty.txt")
+    Files.writeString(f,
+      "1.0 2.0 3.0\nnot numeric\n4.0 oops 6.0\n\n7.0 8.0 9.0\n")
+    val obs = TextSources.labeledVectors(spark, f.toString)
+      .collect().sortBy(_.id)
+    assert(obs.length == 2)
+    assert(obs.map(_.y).toSeq == Seq(1.0, 7.0))
+  }
+
   test("key-tab-value sink round-trips") {
     val s = spark; import s.implicits._
     val out = Files.createTempDirectory("graft_kv").toString
