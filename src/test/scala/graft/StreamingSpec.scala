@@ -52,6 +52,36 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("hopping windows emit two finalized windows per event, matching batch") {
+    val s = spark; import s.implicits._
+    implicit val ctx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val q = Streams.hoppingStats(mem.toDF(), Some("2 hours"))
+      .writeStream.format("memory").queryName("hopping_test")
+      .outputMode("append").start()
+    try {
+      val wave = Seq(
+        ev(1, HourNs + 10 * MinNs), ev(2, HourNs + 40 * MinNs, typ = "view"))
+      mem.addData(wave: _*)
+      q.processAllAvailable()
+      mem.addData(ev(5, 10 * HourNs))
+      q.processAllAvailable()
+      mem.addData(ev(6, 11 * HourNs))
+      q.processAllAvailable()
+      val streamed = spark.table("hopping_test")
+        .collect()
+        .map(r => (r.getTimestamp(0).getTime, r.getString(1), r.getLong(2)))
+        .toSet
+      val batch = Streams.hoppingStats(wave.toDF(), None)
+        .collect()
+        .map(r => (r.getTimestamp(0).getTime, r.getString(1), r.getLong(2)))
+        .toSet
+      assert(batch.size == 4, batch) // 2 events × 2 covering windows
+      assert(batch.subsetOf(streamed),
+        s"finalized hopping windows missing: ${batch -- streamed}")
+    } finally q.stop()
+  }
+
   test("session windows close on gap expiry and match batch sessions") {
     val s = spark; import s.implicits._
     implicit val ctx = spark.sqlContext
