@@ -75,9 +75,8 @@ object DotProduct {
 
   private val ident = FunctionIdentifier("graft_dot")
 
-  private val info = new ExpressionInfo(classOf[DotProduct].getName,
-    null, "graft_dot", "graft_dot(a, b) - dot product of two double arrays",
-    "")
+  private val info =
+    new ExpressionInfo(classOf[DotProduct].getName, null, "graft_dot")
 
   private val builder: Seq[Expression] => Expression = {
     case Seq(a, b) => DotProduct(a, b)
@@ -107,7 +106,6 @@ object DotProduct {
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit =
     ext.injectFunction((FunctionIdentifier("graft_dot"),
-      new ExpressionInfo(classOf[DotProduct].getName, null, "graft_dot",
-        "graft_dot(a, b) - dot product of two double arrays", ""),
+      new ExpressionInfo(classOf[DotProduct].getName, null, "graft_dot"),
       { exprs: Seq[Expression] => DotProduct(exprs(0), exprs(1)) }))
 }
