@@ -104,8 +104,12 @@ object DotProduct {
   * start (the harness mains and specs set this).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[DotProduct].getName, null, "graft_dot"),
       { exprs: Seq[Expression] => DotProduct(exprs(0), exprs(1)) }))
+    ext.injectFunction((FunctionIdentifier("graft_topk"),
+      new ExpressionInfo(classOf[TopKAgg].getName, null, "graft_topk"),
+      { exprs: Seq[Expression] => TopKAgg(exprs(0), exprs(1), exprs(2)) }))
+  }
 }

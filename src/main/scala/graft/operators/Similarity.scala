@@ -57,8 +57,10 @@ object Similarity {
   def bruteForceTopK(spark: SparkSession, dir: String): DataFrame =
     bruteForceTopKOf(emb(spark, dir), NumQueries)
 
-  /** Any (vec_id, e: ARRAY<DOUBLE>) corpus; queries = ids < nQueries. */
-  def bruteForceTopKOf(corpusDf: DataFrame, nQueries: Long): DataFrame = {
+  /** All (query, neighbor, cosine) pairs: queries broadcast, corpus
+    * scanned partition-parallel by a typed kernel.
+    */
+  private def scoredPairs(corpusDf: DataFrame, nQueries: Long): DataFrame = {
     val spark = corpusDf.sparkSession
     val s = spark; import s.implicits._
     val corpus = corpusDf.as[(Long, Array[Double])]
@@ -74,9 +76,34 @@ object Similarity {
         }
       }
       .toDF("query_id", "neighbor_id", "cos_sim")
+  }
+
+  /** Any (vec_id, e: ARRAY<DOUBLE>) corpus; queries = ids < nQueries. */
+  def bruteForceTopKOf(corpusDf: DataFrame, nQueries: Long): DataFrame =
+    scoredPairs(corpusDf, nQueries)
       .withColumn("rank", row_number().over(rankWindow))
       .where(col("rank") <= TopK)
+
+  /** Same answer through the custom bounded-heap aggregate
+    * ([[graft.functions.TopKAgg]]) instead of the ranking window: the
+    * aggregate participates in partial aggregation, so each map task
+    * forwards at most k pairs per query into the shuffle — O(queries×k)
+    * shuffle volume where the window ships every scored pair. Tie order
+    * (score DESC, id ASC) matches the window exactly; both share one
+    * oracle.
+    */
+  def bruteForceTopKAggOf(corpusDf: DataFrame, nQueries: Long): DataFrame = {
+    graft.functions.TopKAgg.register(corpusDf.sparkSession)
+    scoredPairs(corpusDf, nQueries)
+      .groupBy("query_id")
+      .agg(expr(s"graft_topk(cos_sim, neighbor_id, $TopK)").as("top"))
+      .select(col("query_id"), explode(col("top")).as("t"))
+      .select(col("query_id"), col("t.neighbor_id").as("neighbor_id"),
+        col("t.cos_sim").as("cos_sim"), col("t.rank").as("rank"))
   }
+
+  def bruteForceTopKAgg(spark: SparkSession, dir: String): DataFrame =
+    bruteForceTopKAggOf(emb(spark, dir), NumQueries)
 
   /** LSH-bucketed top-k: score only bucket-colliding (query, neighbor)
     * pairs. Queries with no collision simply produce no rows — that is
@@ -173,25 +200,31 @@ object Similarity {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "llm_sim_topk" -> bruteForceTopK,
+    "llm_sim_topk_agg" -> bruteForceTopKAgg,
     "llm_sim_lsh_topk" -> lshTopK,
     "llm_sim_ivf_topk" -> ivfTopK
   )
 
+  private val topkOracleSql =
+    s"""WITH v AS (SELECT vec_id, embedding e FROM embeddings),
+       |scored AS (
+       |  SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+       |    ${Hashing.cosineSql("q.e", "n.e", 64)} AS cos_sim
+       |  FROM v q JOIN v n ON q.vec_id < $NumQueries
+       |    AND q.vec_id != n.vec_id
+       |)
+       |SELECT * FROM (
+       |  SELECT query_id, neighbor_id, cos_sim,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+       |  FROM scored
+       |) WHERE rank <= $TopK""".stripMargin
+
   val oracle: Map[String, String] = Map(
-    "llm_sim_topk" ->
-      s"""WITH v AS (SELECT vec_id, embedding e FROM embeddings),
-         |scored AS (
-         |  SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
-         |    ${Hashing.cosineSql("q.e", "n.e", 64)} AS cos_sim
-         |  FROM v q JOIN v n ON q.vec_id < $NumQueries
-         |    AND q.vec_id != n.vec_id
-         |)
-         |SELECT * FROM (
-         |  SELECT query_id, neighbor_id, cos_sim,
-         |    row_number() OVER (PARTITION BY query_id
-         |      ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
-         |  FROM scored
-         |) WHERE rank <= $TopK""".stripMargin,
+    "llm_sim_topk" -> topkOracleSql,
+    // identical answer contract: the custom aggregate must reproduce the
+    // window ranking row-for-row
+    "llm_sim_topk_agg" -> topkOracleSql,
     "llm_sim_lsh_topk" ->
       s"""WITH ${Hashing.planesSqlCte(LshTables, LshBits, 64)},
          |proj AS (

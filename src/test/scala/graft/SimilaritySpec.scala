@@ -57,6 +57,21 @@ class SimilaritySpec extends SparkSpecBase {
     }
   }
 
+  test("bounded-heap aggregate equals the window ranking and partial-aggregates") {
+    val win = Similarity.bruteForceTopK(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+      .toSet
+    val df = Similarity.bruteForceTopKAgg(spark, Sf)
+    val agg = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+      .toSet
+    assert(agg == win)
+    // the whole point: the aggregate runs partial → final, so each map
+    // task forwards at most k pairs per query into the shuffle
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("partial_graft_topk"), plan)
+  }
+
   test("IVF top-k scores only probed inverted lists, exactly") {
     val rows = Similarity.ivfTopK(spark, Sf).collect()
     assert(rows.nonEmpty)
