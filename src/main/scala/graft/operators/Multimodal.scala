@@ -144,11 +144,35 @@ object Multimodal {
       .select(col("doc_id"), col("pos").as("frame_idx"),
         col("col").cast("long").as("sample_byte"))
 
+  /** Overlapping-frame energy: 64-byte frames every 32 bytes (each byte
+    * in ≤ 2 frames), per-frame sum of squared byte values — the
+    * hop/window shape of audio feature extraction (RMS energy, STFT
+    * framing), as narrow generators + exact integer arithmetic.
+    */
+  val FrameLen = 64
+  val FrameHop = 32
+
+  def audioEnergy(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "documents")
+      .select(col("doc_id"),
+        posexplode(transform(
+          sequence(lit(0),
+            floor((length(col("text")) - 1) / FrameHop).cast("int")),
+          f => aggregate(
+            transform(
+              sequence(f * FrameHop + 1,
+                least(f * FrameHop + FrameLen, length(col("text")))),
+              i => ascii(substring(col("text"), i, lit(1))).cast("long")),
+            lit(0L), (a, c) => a + c * c))))
+      .select(col("doc_id"), col("pos").as("frame_idx"),
+        col("col").as("energy"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "llm_mm_props_agg" -> propsAgg,
     "llm_mm_binary_meta" -> binaryMeta,
     "llm_mm_decode_features" -> decodeFeatures,
-    "llm_mm_frame_sample" -> frameSample
+    "llm_mm_frame_sample" -> frameSample,
+    "llm_mm_audio_energy" -> audioEnergy
   )
 
   val oracle: Map[String, String] = Map(
@@ -177,6 +201,18 @@ object Multimodal {
          |    AS sample_byte
          |FROM documents,
          |  (SELECT unnest(range(0, 40)) AS f) ff
-         |WHERE f * $FrameStride < len(text)""".stripMargin
+         |WHERE f * $FrameStride < len(text)""".stripMargin,
+    "llm_mm_audio_energy" ->
+      s"""SELECT doc_id, f AS frame_idx,
+         |  list_reduce(
+         |    list_prepend(0::BIGINT,
+         |      list_transform(
+         |        range(f * $FrameHop + 1,
+         |              least(f * $FrameHop + $FrameLen, len(text)) + 1),
+         |        i -> ord(substr(text, i::INT, 1))::BIGINT)),
+         |    (a, c) -> a + c * c)::BIGINT AS energy
+         |FROM documents,
+         |  (SELECT unnest(range(0, 40)) AS f) ff
+         |WHERE f * $FrameHop < len(text)""".stripMargin
   )
 }
