@@ -193,6 +193,32 @@ object Streams {
       .agg(count(lit(1)).as("n_pairs"))
   }
 
+  /** Stream-stream interval join: purchases attributed to a same-user
+    * view within the preceding hour. In streaming both sides carry
+    * watermarks and the time-range condition bounds join state (Spark
+    * evicts rows once the other side's watermark passes the range) —
+    * the canonical two-stream join; in batch the same transform is
+    * oracle-checked.
+    */
+  val AttributionWindow = "INTERVAL 1 HOUR"
+
+  def purchaseAttribution(views: DataFrame, purchases: DataFrame,
+      watermark: Option[String] = None): DataFrame = {
+    def prep(df: DataFrame, prefix: String): DataFrame = {
+      val e = withEventTime(df).select(
+        col("user_id").as(s"${prefix}_user"),
+        col("event_id").as(s"${prefix}_id"),
+        col("ts_ts").as(s"${prefix}_ts"))
+      watermark.fold(e)(e.withWatermark(s"${prefix}_ts", _))
+    }
+    prep(views, "view").join(prep(purchases, "purchase"),
+        col("view_user") === col("purchase_user")
+          && col("purchase_ts") >= col("view_ts")
+          && col("purchase_ts") <= col("view_ts") + expr(AttributionWindow))
+      .select(col("view_user").as("user_id"),
+        col("view_id"), col("purchase_id"))
+  }
+
   private def events(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir, "events")
 
@@ -204,7 +230,14 @@ object Streams {
     "stream_event_pairs" ->
       ((s: SparkSession, d: String) => eventPairs(events(s, d))),
     "stream_hopping_stats" ->
-      ((s: SparkSession, d: String) => hoppingStats(events(s, d)))
+      ((s: SparkSession, d: String) => hoppingStats(events(s, d))),
+    "stream_attribution" ->
+      ((s: SparkSession, d: String) => {
+        val e = events(s, d)
+        purchaseAttribution(
+          e.where(col("event_type") === "view"),
+          e.where(col("event_type") === "purchase"))
+      })
   )
 
   val oracle: Map[String, String] = Map(
@@ -259,6 +292,14 @@ object Streams {
         |    ]) AS w, event_type, value
         |  FROM events
         |)
-        |GROUP BY 1, 2""".stripMargin
+        |GROUP BY 1, 2""".stripMargin,
+    "stream_attribution" ->
+      """SELECT v.user_id, v.event_id AS view_id,
+        |  p.event_id AS purchase_id
+        |FROM events v JOIN events p
+        |  ON v.user_id = p.user_id
+        |  AND v.event_type = 'view' AND p.event_type = 'purchase'
+        |  AND epoch_us(p.ts) >= epoch_us(v.ts)
+        |  AND epoch_us(p.ts) <= epoch_us(v.ts) + 3600000000""".stripMargin
   )
 }

@@ -120,6 +120,39 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("stream-stream interval join attributes purchases to views") {
+    val s = spark; import s.implicits._
+    implicit val ctx = spark.sqlContext
+    val views = MemoryStream[Ev]
+    val purchases = MemoryStream[Ev]
+    val q = Streams.purchaseAttribution(
+        views.toDF(), purchases.toDF(), Some("2 hours"))
+      .writeStream.format("memory").queryName("attr_test")
+      .outputMode("append").start()
+    try {
+      val B = HourNs
+      // user 1: view at 1h, purchases at 1h30m (in window) and 3h (out);
+      // user 2: purchase with no view
+      views.addData(ev(1, B, user = 1, typ = "view"))
+      purchases.addData(
+        ev(10, B + 30 * MinNs, user = 1, typ = "purchase"),
+        ev(11, 3 * HourNs, user = 1, typ = "purchase"),
+        ev(12, B + 10 * MinNs, user = 2, typ = "purchase"))
+      q.processAllAvailable()
+      views.addData(ev(5, 20 * HourNs, user = 9, typ = "view"))
+      purchases.addData(ev(13, 20 * HourNs, user = 9, typ = "purchase"))
+      q.processAllAvailable()
+      val got = spark.table("attr_test")
+        .select("user_id", "view_id", "purchase_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .toSet
+      assert(got.contains((1L, 1L, 10L)), got)   // in-window pair
+      assert(!got.exists(_._3 == 11L), got)      // out of window
+      assert(!got.exists(_._1 == 2L), got)       // no view to attribute
+      assert(got.contains((9L, 5L, 13L)), got)   // same-instant boundary
+    } finally q.stop()
+  }
+
   test("flatMapGroupsWithState sessions close on gap and on timeout") {
     val s = spark; import s.implicits._
     implicit val ctx = spark.sqlContext
