@@ -58,6 +58,21 @@ object TextSources {
       .as[Obs]
   }
 
+  /** Document file → `(doc_id, text)`: one document per line with a
+    * deterministic line-order id — the corpus shape every dedup /
+    * text-analysis `…Of` operator accepts, so e.g.
+    * `Dedup.minhashLshOf(TextSources.documents(spark, path))` runs the
+    * near-dup pipeline straight off raw text files.
+    */
+  def documents(spark: SparkSession, path: String): DataFrame = {
+    val s = spark; import s.implicits._
+    spark.read.textFile(path).rdd
+      .zipWithIndex()
+      .toDF("text", "doc_id")
+      .select(col("doc_id"), trim(col("text")).as("text"))
+      .where(length(col("text")) > 0)
+  }
+
   /** `key<TAB>value` line sink: the named columns are tab-joined in
     * order and written as text part files.
     */

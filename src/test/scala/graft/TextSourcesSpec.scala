@@ -71,6 +71,25 @@ class TextSourcesSpec extends SparkSpecBase {
     assert(obs.map(_.y).toSeq == Seq(1.0, 7.0))
   }
 
+  test("near-dup dedup runs straight off a raw text file") {
+    import graft.operators.Dedup
+    val dir = Files.createTempDirectory("graft_docs")
+    val f = dir.resolve("docs.txt")
+    // two near-identical docs (last token changed), one unrelated
+    Files.writeString(f,
+      ("alpha beta gamma delta epsilon zeta eta theta iota kappa mu kappa\n"
+        + "alpha beta gamma delta epsilon zeta eta theta iota kappa mu nu\n"
+        + "one two three four five six seven eight nine ten\n"))
+    val docs = TextSources.documents(spark, f.toString)
+    val pairs = Dedup.minhashLshOf(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(pairs.length == 1)
+    val (a, b, j) = pairs(0)
+    assert(Set(a, b) == Set(0L, 1L))
+    // 12 tokens → 10 3-gram shingles; only the last differs → J = 9/11
+    assert(j == 9.0 / 11.0)
+  }
+
   test("key-tab-value sink round-trips") {
     val s = spark; import s.implicits._
     val out = Files.createTempDirectory("graft_kv").toString
