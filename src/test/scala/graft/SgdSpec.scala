@@ -147,6 +147,24 @@ class SgdSpec extends SparkSpecBase {
     } finally spark.conf.unset("graft.sgd.numPartitions")
   }
 
+  test("typed VectorAvg aggregator matches the Gram-derived feature means") {
+    val s = spark; import s.implicits._
+    val ds = Sgd.dataset(spark, Sf, logistic = false).map(_.x)
+    val mean = ds.select(graft.functions.VectorAvg.toColumn).collect()(0)
+    // Gram row 0 is Σ 1·x_j, so g_0j / n are the exact feature means
+    val row = Sgd.gramMatrix(spark, Sf).collect()(0)
+    val n = row.getDouble(0) // g_00 = Σ1
+    val want = Array(row.getDouble(0), row.getDouble(1),
+      row.getDouble(2), row.getDouble(3)).map(_ / n)
+    assert(mean.length == 4)
+    mean.zip(want).foreach { case (m, w) =>
+      assert(math.abs(m - w) < 1e-9, s"$m vs $w")
+    }
+    // empty input → empty vector, no division by zero
+    assert(spark.emptyDataset[Array[Double]]
+      .select(graft.functions.VectorAvg.toColumn).collect()(0).isEmpty)
+  }
+
   test("epoch data has exactly one exchange (the id repartition)") {
     val ds = Sgd.dataset(spark, Sf, logistic = false)
     val plan = ds.queryExecution.executedPlan.toString
