@@ -20,7 +20,7 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
   * whole-stage codegen ([[doGenCode]] emits the tight loop inline into
   * the generated stage), so scoring joins stay in one compiled pass.
   * The summation order is ascending-index, bit-identical to the DuckDB
-  * oracle's `list_reduce` and to [[graft.operators.Hashing.dotSeq]].
+  * oracle's `list_reduce` and to `graft.operators.Hashing.dotSeq`.
   *
   * Assumes non-null array elements (inputs come from casts of the
   * non-null parquet embedding columns).

@@ -20,7 +20,7 @@ import graft.Tables
   *    score list.
   *  - [[lshTopK]] — the scale path: signed-random-projection buckets
   *    (16 tables × 8 bits, md5-derived planes shared with the oracle via
-  *    [[Hashing]]); only bucket-colliding pairs are scored. Approximate
+  *    `Hashing`); only bucket-colliding pairs are scored. Approximate
   *    by design — and the DuckDB oracle replays the identical bucketing,
   *    so the approximation itself is verified, not hand-waved.
   *
@@ -51,7 +51,7 @@ object Similarity {
   /** Exact top-k: the (small, bounded) query set rides a broadcast to a
     * typed kernel that scans the corpus partition-parallel — the corpus
     * is never shuffled for scoring, only the scored pairs move into the
-    * ranking window. Cosines come from [[Hashing.cosineSeq]], bit-equal
+    * ranking window. Cosines come from `Hashing.cosineSeq`, bit-equal
     * to the oracle's sequential list arithmetic.
     */
   def bruteForceTopK(spark: SparkSession, dir: String): DataFrame =
