@@ -90,17 +90,21 @@ object Dedup {
   def minhashLsh(spark: SparkSession, dir: String): DataFrame =
     minhashLshOf(docs(spark, dir))
 
-  def minhashLshOf(corpus: DataFrame): DataFrame = {
-    val s = corpus.sparkSession; import s.implicits._
-    // Materialize the shingle table once (localCheckpoint): it feeds the
-    // signature pipeline AND both sides of the verify join — without the
-    // checkpoint each consumer recomputes tokenize+shingle from the scan.
-    val sh = corpus.select(col("doc_id"), shingles(3).as("s"))
-      .localCheckpoint()
-    // Signature + banding in one typed kernel: one md5 per shingle, then
-    // MinhashFuncs cheap splitmix derivations (an interpreted
-    // array_min(transform(...)) per hash function is ~5× slower).
-    val bands = sh.as[(Long, Seq[String])]
+  /** Shingle table of a corpus, materialized once (localCheckpoint): it
+    * feeds the signature pipeline AND the verify joins — without the
+    * checkpoint each consumer recomputes tokenize+shingle from the scan.
+    */
+  private def shingleTable(corpus: DataFrame): DataFrame =
+    corpus.select(col("doc_id"), shingles(3).as("s")).localCheckpoint()
+
+  /** Banded minhash index of a shingle table. Signature + banding in one
+    * typed kernel: one md5 per shingle, then [[MinhashFuncs]] cheap
+    * splitmix derivations (an interpreted array_min(transform(...)) per
+    * hash function is ~5× slower).
+    */
+  private def bandTable(sh: DataFrame): DataFrame = {
+    val s = sh.sparkSession; import s.implicits._
+    sh.as[(Long, Seq[String])]
       .mapPartitions { it =>
         val md = java.security.MessageDigest.getInstance("MD5")
         it.flatMap { case (id, ss) =>
@@ -122,6 +126,37 @@ object Dedup {
       }
       .toDF("doc_id", "band", "bkey")
       .localCheckpoint()
+  }
+
+  /** Incremental near-dup check: NEW documents against an EXISTING
+    * corpus — the ingestion-time shape of dedup (is this crawl batch a
+    * near-copy of anything already in the lake?). Both sides get banded
+    * minhash indexes; candidates come from the cross band join only (no
+    * self-pairs within either set); survivors verify with exact Jaccard
+    * at the same threshold. At scale the corpus band table is the
+    * persistent index — computed once, joined by every arriving batch.
+    * Output: (new_doc_id, corpus_doc_id, jaccard).
+    */
+  def minhashLshAgainst(newDocs: DataFrame, corpus: DataFrame): DataFrame = {
+    val shNew = shingleTable(newDocs)
+    val shOld = shingleTable(corpus)
+    val cand = bandTable(shNew).as("x").join(bandTable(shOld).as("y"),
+        col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey"))
+      .select(col("x.doc_id").as("da"), col("y.doc_id").as("db"))
+      .distinct()
+    val inter = size(array_intersect(col("A.s"), col("B.s")))
+    val union = size(col("A.s")) + size(col("B.s")) - inter
+    cand
+      .join(shNew.as("A"), col("da") === col("A.doc_id"))
+      .join(shOld.as("B"), col("db") === col("B.doc_id"))
+      .select(col("da").as("new_doc_id"), col("db").as("corpus_doc_id"),
+        (inter.cast("double") / union.cast("double")).as("jaccard"))
+      .where(col("jaccard") >= JaccardMinhash)
+  }
+
+  def minhashLshOf(corpus: DataFrame): DataFrame = {
+    val sh = shingleTable(corpus)
+    val bands = bandTable(sh)
     val cand = bands.as("x").join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey")
           && col("x.doc_id") < col("y.doc_id"))

@@ -46,6 +46,26 @@ class DedupSpec extends SparkSpecBase {
     got.foreach { case (k, j) => assert(j == want(k), s"pair $k") }
   }
 
+  test("incremental minhash finds exactly the cross-set near-dup pairs") {
+    val s = spark; import s.implicits._
+    val half = docs.size / 2
+    val newDocs = docs.filter(_._1 < half).toDF("doc_id", "text")
+    val corpus = docs.filter(_._1 >= half).toDF("doc_id", "text")
+    val got = Dedup.minhashLshAgainst(newDocs, corpus).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // brute force restricted to (new, corpus) pairs
+    val sh = docs.map { case (id, tx) => (id, shingleSet(tx, 3)) }.toMap
+    val want = (for {
+      a <- sh.keys if a < half; b <- sh.keys if b >= half
+      inter = (sh(a) & sh(b)).size
+      j = inter.toDouble / (sh(a).size + sh(b).size - inter).toDouble
+      if j >= Dedup.JaccardMinhash
+    } yield (a, b) -> j).toMap
+    assert(got == want,
+      s"missed=${want.keySet -- got.keySet} extra=${got.keySet -- want.keySet}")
+    assert(got.nonEmpty) // fixture plants cross-half near-dups
+  }
+
   test("ngram inverted-index reproduces brute-force 4-gram Jaccard >= 0.7") {
     val got = Dedup.ngramJaccard(spark, Sf).collect()
       .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
