@@ -349,7 +349,24 @@ object Dedup {
       .where(col("cos_sim") >= BowCosMin)
   }
 
+  /** Apply dedup: the cleaned corpus. Removal policy — drop the
+    * higher-id document of every verified near-dup pair (and exact-dup
+    * non-survivors, subsumed: an exact dup is a Jaccard-1 pair). A doc
+    * is kept iff it never appears as the doc_b of a pair; simple,
+    * deterministic, one anti-join. This is the step a pipeline actually
+    * ships: corpus in, smaller corpus out.
+    */
+  def applyDedupOf(corpus: DataFrame): DataFrame =
+    corpus.join(
+      minhashLshOf(corpus).select(col("doc_b").as("doc_id")).distinct(),
+      Seq("doc_id"), "left_anti")
+      .select("doc_id")
+
+  def applyDedup(spark: SparkSession, dir: String): DataFrame =
+    applyDedupOf(docs(spark, dir))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "llm_dedup_apply" -> applyDedup,
     "llm_dedup_exact" -> exact,
     "llm_dedup_minhash" -> minhashLsh,
     "llm_dedup_ngram" -> ngramJaccard,
@@ -369,6 +386,18 @@ object Dedup {
        |)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "llm_dedup_apply" ->
+      s"""WITH ${shSql(3)},
+         |pairs AS (
+         |  SELECT a.doc_id da, b.doc_id db,
+         |    len(list_intersect(a.s, b.s)) i, len(a.s) la, len(b.s) lb
+         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         |)
+         |SELECT doc_id FROM documents
+         |WHERE doc_id NOT IN (
+         |  SELECT db FROM pairs
+         |  WHERE i::DOUBLE / (la + lb - i)::DOUBLE >= $JaccardMinhash)"""
+        .stripMargin,
     "llm_dedup_exact" ->
       """SELECT md5(text) AS content_hash, count(*) AS n_copies,
         |  min(doc_id) AS keep_doc_id
