@@ -69,7 +69,10 @@ object TextSources {
     spark.read.textFile(path).rdd
       .zipWithIndex()
       .toDF("text", "doc_id")
-      .select(col("doc_id"), trim(col("text")).as("text"))
+      // normalize to the single-space-joined contract the text/dedup
+      // operators tokenize against (raw files have ragged whitespace)
+      .select(col("doc_id"),
+        regexp_replace(trim(col("text")), "\\s+", " ").as("text"))
       .where(length(col("text")) > 0)
   }
 

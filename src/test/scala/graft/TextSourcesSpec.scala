@@ -90,6 +90,21 @@ class TextSourcesSpec extends SparkSpecBase {
     assert(j == 9.0 / 11.0)
   }
 
+  test("text analysis Of-variants run over a raw text file corpus") {
+    import graft.operators.TextOps
+    val docs = TextSources.documents(spark, res("transactions.txt"))
+    val stats = TextOps.textStatsOf(docs).collect()
+      .map(r => r.getLong(0) -> r.getInt(2)).toMap
+    assert(stats.values.sum == 11) // 3+2+3+3 tokens over 4 non-blank lines
+    val wc = TextOps.wordCountOf(docs).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(wc == Map("bread" -> 3L, "milk" -> 4L, "eggs" -> 3L,
+      "butter" -> 1L))
+    val fp = TextOps.fingerprintOf(docs).collect()
+    assert(fp.length == 4 && fp.map(_.getString(1)).distinct.length == 3,
+      "the two identical basket lines must share a content hash")
+  }
+
   test("key-tab-value sink round-trips") {
     val s = spark; import s.implicits._
     val out = Files.createTempDirectory("graft_kv").toString
