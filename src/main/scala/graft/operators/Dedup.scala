@@ -5,8 +5,11 @@ import org.apache.spark.sql.functions._
 import graft.Tables
 
 /** Deduplication operators over `documents` / `embeddings` (SURVEY.md
-  * §2.11 — the LLM-training-pipeline dedup family). Five methods, each a
-  * different recall/cost point, all BUCKETED designs: no query here ever
+  * §2.11 — the LLM-training-pipeline dedup family). Six detection
+  * methods (exact, MinHash-LSH, n-gram Jaccard, SimHash, embedding SRP,
+  * BOW-bigram cosine) plus the incremental new-batch-vs-corpus check and
+  * the apply step that emits the cleaned corpus — each a different
+  * recall/cost point, all BUCKETED designs: no query here ever
   * materializes the all-pairs cross product — candidate pairs always come
   * from an equi-join on a derived key (content hash, LSH band, shingle,
   * simhash chunk, SRP bucket), which is the property that survives 100 TB.

@@ -8,8 +8,10 @@ import graft.Tables
 /** Approximate-nearest-neighbor similarity search over
   * `embeddings.embedding` (SURVEY.md §2.11).
   *
-  * Two plans for the same task shape (a query set scanned against a
-  * corpus, top-k by cosine):
+  * Four plans for the same task shape (a query set scanned against a
+  * corpus, top-k by cosine): the exact window baseline, the same answer
+  * through the bounded-heap aggregate, and two index paths (SRP-LSH,
+  * IVF). The two headline trade-offs:
   *
   *  - [[bruteForceTopK]] — the exact baseline: broadcast the (small)
   *    query set, scan the corpus partition-parallel, window top-k. The
