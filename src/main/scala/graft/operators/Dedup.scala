@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.Tables
+import graft.{Materialize, Tables}
 
 /** Deduplication operators over `documents` / `embeddings` (SURVEY.md
   * §2.11 — the LLM-training-pipeline dedup family). Six detection
@@ -93,21 +93,23 @@ object Dedup {
   def minhashLsh(spark: SparkSession, dir: String): DataFrame =
     minhashLshOf(docs(spark, dir))
 
-  /** Shingle table of a corpus, materialized once (localCheckpoint): it
-    * feeds the signature pipeline AND the verify joins — without the
-    * checkpoint each consumer recomputes tokenize+shingle from the scan.
+  /** Shingle table of a corpus, materialized once (via `mat`): it feeds
+    * the signature pipeline AND the verify joins — without the cut each
+    * consumer recomputes tokenize+shingle from the scan.
     */
-  private def shingleTable(corpus: DataFrame): DataFrame =
-    corpus.select(col("doc_id"), shingles(3).as("s")).localCheckpoint()
+  private def shingleTable(corpus: DataFrame,
+                           mat: Materialize.Strategy): DataFrame =
+    mat(corpus.select(col("doc_id"), shingles(3).as("s")))
 
   /** Banded minhash index of a shingle table. Signature + banding in one
     * typed kernel: one md5 per shingle, then [[MinhashFuncs]] cheap
     * splitmix derivations (an interpreted array_min(transform(...)) per
     * hash function is ~5× slower).
     */
-  private def bandTable(sh: DataFrame): DataFrame = {
+  private def bandTable(sh: DataFrame,
+                        mat: Materialize.Strategy): DataFrame = {
     val s = sh.sparkSession; import s.implicits._
-    sh.as[(Long, Seq[String])]
+    val bands = sh.as[(Long, Seq[String])]
       .mapPartitions { it =>
         val md = java.security.MessageDigest.getInstance("MD5")
         it.flatMap { case (id, ss) =>
@@ -128,7 +130,7 @@ object Dedup {
         }
       }
       .toDF("doc_id", "band", "bkey")
-      .localCheckpoint()
+    mat(bands)
   }
 
   /** Incremental near-dup check: NEW documents against an EXISTING
@@ -140,10 +142,12 @@ object Dedup {
     * persistent index — computed once, joined by every arriving batch.
     * Output: (new_doc_id, corpus_doc_id, jaccard).
     */
-  def minhashLshAgainst(newDocs: DataFrame, corpus: DataFrame): DataFrame = {
-    val shNew = shingleTable(newDocs)
-    val shOld = shingleTable(corpus)
-    val cand = bandTable(shNew).as("x").join(bandTable(shOld).as("y"),
+  def minhashLshAgainst(newDocs: DataFrame, corpus: DataFrame,
+                        mat: Materialize.Strategy = Materialize.Local)
+      : DataFrame = {
+    val shNew = shingleTable(newDocs, mat)
+    val shOld = shingleTable(corpus, mat)
+    val cand = bandTable(shNew, mat).as("x").join(bandTable(shOld, mat).as("y"),
         col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey"))
       .select(col("x.doc_id").as("da"), col("y.doc_id").as("db"))
       .distinct()
@@ -157,9 +161,21 @@ object Dedup {
       .where(col("jaccard") >= JaccardMinhash)
   }
 
-  def minhashLshOf(corpus: DataFrame): DataFrame = {
-    val sh = shingleTable(corpus)
-    val bands = bandTable(sh)
+  /** Fixture entry for [[minhashLshAgainst]]: documents with
+    * doc_id ≡ 0 (mod 10) play the arriving batch, the rest the existing
+    * corpus — a deterministic 10% "new crawl" split.
+    */
+  def minhashIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    minhashLshAgainst(d.where(col("doc_id") % 10 === 0),
+      d.where(col("doc_id") % 10 =!= 0))
+  }
+
+  def minhashLshOf(corpus: DataFrame,
+                   mat: Materialize.Strategy = Materialize.Local)
+      : DataFrame = {
+    val sh = shingleTable(corpus, mat)
+    val bands = bandTable(sh, mat)
     val cand = bands.as("x").join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey")
           && col("x.doc_id") < col("y.doc_id"))
@@ -175,32 +191,63 @@ object Dedup {
       .where(col("jaccard") >= JaccardMinhash)
   }
 
+  /** Stop-shingle doc-frequency cap for [[ngramJaccardOf]]: a 4-gram
+    * appearing in > this many docs is dropped from the inverted index
+    * before the self-join. A shingle in m docs contributes m² join rows —
+    * at 100 TB a boilerplate 4-gram is a full-blown skew key — yet a hot
+    * shingle alone cannot certify a high-Jaccard pair (it is one element
+    * of sets with dozens of shingles), so dropping it from CANDIDATE
+    * GENERATION only (the verify step still scores full shingle sets,
+    * exactly) bounds per-shingle fan-out at stopDf² while leaving every
+    * reported Jaccard value exact. Recall is lost only for pairs whose
+    * EVERY shared shingle is hot — boilerplate-only overlap, which is
+    * precisely what near-dedup should not fire on. 64 is a no-op on the
+    * fixtures (max observed doc-frequency: 6 at sf0.1), so the all-pairs
+    * oracle still hash-matches.
+    */
+  val NgramStopDf = 64
+
   /** n-gram Jaccard near-dup via inverted index: explode 4-gram shingles,
-    * equi-self-join on the shingle (|A∩B| falls out of the join count),
-    * reconstruct Jaccard from set sizes. Exact — no signature
-    * approximation. At scale the known refinement is a stop-shingle list
-    * (drop shingles appearing in > k docs: they cannot certify a
-    * high-Jaccard pair on their own and dominate join skew); not applied
-    * at fixture scale where no shingle is hot.
+    * drop stop-shingles (doc-frequency > `stopDf` — the skew guard, see
+    * [[NgramStopDf]]), equi-self-join on the shingle for candidate pairs,
+    * then exact Jaccard verify on full shingle sets. No signature
+    * approximation: every emitted value is exact int/int.
     */
   def ngramJaccard(spark: SparkSession, dir: String): DataFrame =
     ngramJaccardOf(docs(spark, dir))
 
-  def ngramJaccardOf(corpus: DataFrame): DataFrame = {
-    val sh = corpus.select(col("doc_id"), shingles(4).as("s"))
-      .localCheckpoint() // feeds both join sides + the size lookup
+  /** 4-gram shingle table of a corpus (pre-materialization). */
+  private[graft] def ngramShingles(corpus: DataFrame): DataFrame =
+    corpus.select(col("doc_id"), shingles(4).as("s"))
+
+  /** Candidate pairs from the stop-filtered inverted index — exposed for
+    * the skew spec: bounded CANDIDATE volume (not just correct output) is
+    * the property that survives 100 TB.
+    */
+  private[graft] def ngramCandidates(sh: DataFrame, stopDf: Int): DataFrame = {
     val ex = sh.select(col("doc_id"), explode(col("s")).as("g"))
-    val inter = ex.as("x").join(ex.as("y"),
+    val idx = ex.join(
+      ex.groupBy("g").agg(count(lit(1)).as("df"))
+        .where(col("df") <= stopDf).drop("df"),
+      Seq("g"))
+    idx.as("x").join(idx.as("y"),
         col("x.g") === col("y.g") && col("x.doc_id") < col("y.doc_id"))
-      .groupBy(col("x.doc_id").as("da"), col("y.doc_id").as("db"))
-      .agg(count(lit(1)).as("i"))
-    val sz = sh.select(col("doc_id"), size(col("s")).as("n"))
-    inter
-      .join(sz.as("sa"), col("da") === col("sa.doc_id"))
-      .join(sz.as("sb"), col("db") === col("sb.doc_id"))
+      .select(col("x.doc_id").as("da"), col("y.doc_id").as("db"))
+      .distinct()
+  }
+
+  def ngramJaccardOf(corpus: DataFrame, stopDf: Int = NgramStopDf,
+                     mat: Materialize.Strategy = Materialize.Local)
+      : DataFrame = {
+    // feeds the index build + both verify sides
+    val sh = mat(ngramShingles(corpus))
+    val inter = size(array_intersect(col("A.s"), col("B.s")))
+    val union = size(col("A.s")) + size(col("B.s")) - inter
+    ngramCandidates(sh, stopDf)
+      .join(sh.as("A"), col("da") === col("A.doc_id"))
+      .join(sh.as("B"), col("db") === col("B.doc_id"))
       .select(col("da").as("doc_a"), col("db").as("doc_b"),
-        (col("i").cast("double") /
-          (col("sa.n") + col("sb.n") - col("i")).cast("double")).as("jaccard"))
+        (inter.cast("double") / union.cast("double")).as("jaccard"))
       .where(col("jaccard") >= JaccardNgram)
   }
 
@@ -214,14 +261,16 @@ object Dedup {
   def simhashPairs(spark: SparkSession, dir: String): DataFrame =
     simhashPairsOf(docs(spark, dir))
 
-  def simhashPairsOf(corpus: DataFrame): DataFrame = {
+  def simhashPairsOf(corpus: DataFrame,
+                     mat: Materialize.Strategy = Materialize.Local)
+      : DataFrame = {
     val s = corpus.sparkSession; import s.implicits._
     // Bit-vote in a typed kernel (56 interpreted aggregate-lambdas per
     // row measured ~5× slower); hashes stay md5-derived because the
-    // simhash value itself is part of the oracle contract. Checkpointed:
+    // simhash value itself is part of the oracle contract. Materialized:
     // the chunk self-join reads the 1-long-per-doc fingerprints instead
     // of recomputing the pipeline on both sides.
-    val sims = corpus.select(col("doc_id"), shingles(3).as("s"))
+    val sims = mat(corpus.select(col("doc_id"), shingles(3).as("s"))
       .as[(Long, Seq[String])]
       .mapPartitions { it =>
         val md = java.security.MessageDigest.getInstance("MD5")
@@ -244,8 +293,7 @@ object Dedup {
           (id, sim)
         }
       }
-      .toDF("doc_id", "sim")
-      .localCheckpoint()
+      .toDF("doc_id", "sim"))
     val chunks = sims.select(
       col("doc_id"), col("sim"),
       posexplode(array((0 until SimhashChunks).map(c =>
@@ -281,10 +329,12 @@ object Dedup {
       .select(col("vec_id"), col("embedding").cast("array<double>").as("e")))
 
   /** Vector form: any (vec_id, e: ARRAY<DOUBLE>) DataFrame. */
-  def embeddingNearDupOf(emb: DataFrame): DataFrame = {
+  def embeddingNearDupOf(emb: DataFrame,
+                         mat: Materialize.Strategy = Materialize.Local)
+      : DataFrame = {
     val spark = emb.sparkSession
-    val buckets = Hashing.srpBuckets(spark, emb, SrpTables, SrpBits)
-      .localCheckpoint() // both sides of the bucket self-join
+    val buckets = mat(Hashing.srpBuckets(spark, emb, SrpTables, SrpBits))
+      // both sides of the bucket self-join read the materialized table
     val cand = buckets.as("x").join(buckets.as("y"),
         col("x.t") === col("y.t") && col("x.bkt") === col("y.bkt")
           && col("x.vec_id") < col("y.vec_id"))
@@ -316,10 +366,12 @@ object Dedup {
   def bowCosine(spark: SparkSession, dir: String): DataFrame =
     bowCosineOf(docs(spark, dir))
 
-  def bowCosineOf(corpus: DataFrame): DataFrame = {
+  def bowCosineOf(corpus: DataFrame,
+                  mat: Materialize.Strategy = Materialize.Local)
+      : DataFrame = {
     val spark = corpus.sparkSession
     val s = spark; import s.implicits._
-    val vecs = corpus
+    val vecs = mat(corpus
       .select(col("doc_id"), toks.as("t"))
       .as[(Long, Seq[String])]
       .mapPartitions { it =>
@@ -335,8 +387,7 @@ object Dedup {
           (id, v)
         }
       }
-      .toDF("vec_id", "e")
-      .localCheckpoint() // feeds the bucket kernel and both scoring sides
+      .toDF("vec_id", "e")) // feeds the bucket kernel and both scoring sides
     val buckets =
       Hashing.srpBuckets(spark, vecs, SrpTables, SrpBits, BowDims)
     val cand = buckets.as("x").join(buckets.as("y"),
@@ -359,9 +410,11 @@ object Dedup {
     * deterministic, one anti-join. This is the step a pipeline actually
     * ships: corpus in, smaller corpus out.
     */
-  def applyDedupOf(corpus: DataFrame): DataFrame =
+  def applyDedupOf(corpus: DataFrame,
+                   mat: Materialize.Strategy = Materialize.Local)
+      : DataFrame =
     corpus.join(
-      minhashLshOf(corpus).select(col("doc_b").as("doc_id")).distinct(),
+      minhashLshOf(corpus, mat).select(col("doc_b").as("doc_id")).distinct(),
       Seq("doc_id"), "left_anti")
       .select("doc_id")
 
@@ -372,6 +425,7 @@ object Dedup {
     "llm_dedup_apply" -> applyDedup,
     "llm_dedup_exact" -> exact,
     "llm_dedup_minhash" -> minhashLsh,
+    "llm_dedup_incremental" -> minhashIncremental,
     "llm_dedup_ngram" -> ngramJaccard,
     "llm_dedup_simhash" -> simhashPairs,
     "llm_dedup_embedding" -> embeddingNearDup,
@@ -414,6 +468,20 @@ object Dedup {
          |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
          |)
          |SELECT da AS doc_a, db AS doc_b,
+         |  i::DOUBLE / (la + lb - i)::DOUBLE AS jaccard
+         |FROM pairs
+         |WHERE i::DOUBLE / (la + lb - i)::DOUBLE >= $JaccardMinhash"""
+        .stripMargin,
+    // All-pairs exact cross-set Jaccard — the incremental banded plan
+    // must reproduce it exactly (same split: doc_id % 10 == 0 is "new").
+    "llm_dedup_incremental" ->
+      s"""WITH ${shSql(3)},
+         |pairs AS (
+         |  SELECT a.doc_id da, b.doc_id db,
+         |    len(list_intersect(a.s, b.s)) i, len(a.s) la, len(b.s) lb
+         |  FROM sh a JOIN sh b ON a.doc_id % 10 = 0 AND b.doc_id % 10 != 0
+         |)
+         |SELECT da AS new_doc_id, db AS corpus_doc_id,
          |  i::DOUBLE / (la + lb - i)::DOUBLE AS jaccard
          |FROM pairs
          |WHERE i::DOUBLE / (la + lb - i)::DOUBLE >= $JaccardMinhash"""

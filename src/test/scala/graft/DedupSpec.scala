@@ -72,6 +72,63 @@ class DedupSpec extends SparkSpecBase {
     assert(got == bruteJaccard(4, Dedup.JaccardNgram))
   }
 
+  test("incremental fixture split (doc_id % 10) finds planted cross-set pairs") {
+    val got = Dedup.minhashIncremental(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val sh = docs.map { case (id, tx) => (id, shingleSet(tx, 3)) }.toMap
+    val want = (for {
+      a <- sh.keys if a % 10 == 0; b <- sh.keys if b % 10 != 0
+      inter = (sh(a) & sh(b)).size
+      j = inter.toDouble / (sh(a).size + sh(b).size - inter).toDouble
+      if j >= Dedup.JaccardMinhash
+    } yield (a, b) -> j).toMap
+    assert(got == want,
+      s"missed=${want.keySet -- got.keySet} extra=${got.keySet -- want.keySet}")
+    assert(got.nonEmpty) // fixture plants cross-decade near-dups
+  }
+
+  test("stop-shingle guard bounds candidate volume under a planted hot 4-gram") {
+    val s = spark; import s.implicits._
+    // 100 docs, unique except one boilerplate tail 4-gram shared by ALL,
+    // plus one planted true near-dup pair (ids 100, 101).
+    val boiler = "terms of service apply"
+    val base = (0 until 100).map(i =>
+      (i.toLong, s"u${i}a u${i}b u${i}c u${i}d u${i}e $boiler"))
+    // Planted true near-dup: 22 shared z-tokens, last one differs →
+    // 19 of 23 4-gram shingles shared, J = 19/27 ≈ 0.704 ≥ 0.7.
+    val zs = (1 to 21).map("z" + _).mkString(" ")
+    val nearDup = Seq(
+      (100L, s"$zs z22 $boiler"),
+      (101L, s"$zs z22x $boiler"))
+    val corpus = (base ++ nearDup).toDF("doc_id", "text")
+    val sh = Dedup.ngramShingles(corpus).localCheckpoint()
+    // Unguarded: the hot shingle alone yields all C(102,2) pairs.
+    assert(Dedup.ngramCandidates(sh, Int.MaxValue).count() == 102L * 101 / 2)
+    // Guarded (hot shingle df=102 > 10 dropped): only pairs sharing a
+    // non-boilerplate shingle survive — the planted near-dup pair.
+    val guarded = Dedup.ngramCandidates(sh, 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(guarded == Set((100L, 101L)))
+    // Output is identical with and without the guard: boilerplate-only
+    // pairs sit far below the Jaccard threshold anyway, and the verify
+    // step scores FULL shingle sets, so reported values stay exact.
+    def out(stopDf: Int) = Dedup.ngramJaccardOf(corpus, stopDf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(out(10) == out(Int.MaxValue))
+    assert(out(10).map(t => (t._1, t._2)) == Set((100L, 101L)))
+    assert(out(10).head._3 == 19.0 / 27.0)
+  }
+
+  test("Materialize.Disk strategy reproduces the Local minhash output") {
+    val s = spark; import s.implicits._
+    val corpus = docs.toDF("doc_id", "text")
+    def pairs(m: Materialize.Strategy) =
+      Dedup.minhashLshOf(corpus, m).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(pairs(Materialize.Disk) == pairs(Materialize.Local))
+    assert(pairs(Materialize.None) == pairs(Materialize.Local))
+  }
+
   test("simhash chunk join reproduces brute-force Hamming <= 7 pairs") {
     def h56(s: String): Long =
       java.lang.Long.parseLong(
