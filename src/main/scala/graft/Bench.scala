@@ -13,6 +13,7 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       .config("spark.ui.enabled", "false")
+      .config(Tables.RequiredConf)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     def q(s: String): String = "\"" + s.flatMap {
@@ -28,20 +29,31 @@ object Bench {
       spark.range(1000).selectExpr("sum(id)").collect()
       spark.read.parquet(s"$sfDir/nation.parquet").count()
     } catch { case _: Throwable => () }
+    // Median of `reps` in-process repetitions per query: single-run
+    // timings on a shared host swing ±20% (identical code has measured
+    // 51.5 s and 75 s), which made round-over-round comparisons noise.
+    // The median of 3 discards one bad scheduling draw per query.
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() }
-      catch { case e: Throwable =>
-        errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
+    val samples = SparkEntry.queries.map { case (name, fn) =>
+      val times = (1 to reps).map { _ =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() }
+        catch { case e: Throwable =>
+          errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
+        }
+        (System.nanoTime() - t0) / 1e9
       }
-      name -> (System.nanoTime() - t0) / 1e9
+      name -> times.sorted
     }
-    val qs = results.map { case (k, v) => s"${q(k)}:$v" }.mkString("{", ",", "}")
+    val medians = samples.map { case (k, ts) => k -> ts(ts.size / 2) }
+    val qs = medians.map { case (k, v) => s"${q(k)}:$v" }.mkString("{", ",", "}")
+    val ss = samples.map { case (k, ts) => s"${q(k)}:${ts.mkString("[", ",", "]")}" }
+      .mkString("{", ",", "}")
     val es = errors.map { case (k, v) => s"${q(k)}:${q(v.take(200))}" }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$es,"sf":"$sfDir"}""")
+    val total = if (medians.nonEmpty) medians.values.sum else 0.0
+    println(s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"queries":$qs,"samples":$ss,"errors":$es,"sf":"$sfDir"}""")
     if (errors.nonEmpty) { spark.stop(); sys.exit(1) }
     spark.stop()
   }

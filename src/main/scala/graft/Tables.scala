@@ -11,12 +11,18 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * the scan — the first requirement for 100 TB behavior.
   */
 object Tables {
-  def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
-    // events.parquet carries TIMESTAMP(NANOS), which Spark's Parquet
-    // reader rejects unless mapped to a nanosecond LongType; queries that
-    // need a timestamp convert explicitly (timestamp_micros(ts / 1000)).
-    if (name == "events")
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+  /** Session conf every graft session needs, applied by the [[Verify]] /
+    * [[Bench]] / test-spec builders (NOT mutated here at read time — a
+    * conf write inside a loader races with concurrent planning on other
+    * threads of the same session): events.parquet carries
+    * TIMESTAMP(NANOS), which Spark's Parquet reader rejects unless mapped
+    * to a nanosecond LongType; queries that need a timestamp convert
+    * explicitly (timestamp_micros(ts / 1000)).
+    */
+  val RequiredConf: Map[String, String] =
+    Map("spark.sql.legacy.parquet.nanosAsLong" -> "true")
+
+  def apply(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
-  }
 }

@@ -1,6 +1,7 @@
 package graft.functions
 
-import org.apache.spark.sql.{Encoder, Encoders, SparkSession}
+import org.apache.spark.sql.{Encoder, Encoders}
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
 import org.apache.spark.sql.expressions.Aggregator
 
 /** Element-wise vector average as a typed `Aggregator` — the user-facing
@@ -40,8 +41,11 @@ object VectorAvg
   override def finish(r: (Array[Double], Long)): Array[Double] =
     if (r._2 == 0) Array.emptyDoubleArray else r._1.map(_ / r._2)
 
-  private val arr: Encoder[Array[Double]] =
-    SparkSession.active.implicits.newDoubleArrayEncoder
+  // Session-independent and lazy: the serialized Aggregator forces class
+  // init on executor JVMs (readResolve), where no SparkSession is active —
+  // encoders are only ever needed driver-side at planning time.
+  private lazy val arr: Encoder[Array[Double]] =
+    ExpressionEncoder[Array[Double]]()
 
   override def bufferEncoder: Encoder[(Array[Double], Long)] =
     Encoders.tuple(arr, Encoders.scalaLong)

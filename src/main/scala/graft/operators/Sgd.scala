@@ -179,7 +179,17 @@ object Sgd {
     val x = Seq(lit(1.0), $"l_quantity" / 50.0,
       $"l_extendedprice" / 100000.0, $"l_tax")
     val y = $"l_extendedprice" * (lit(1.0) - $"l_discount") / lit(100000.0)
-    def dsum(c: Column): Column = sum(c.cast("decimal(28,12)")).cast("double")
+    // Per-row quantization happens in PURE double arithmetic —
+    // floor(t·10¹²) is exact and bit-identical in any engine (t ≤ ~1.2,
+    // so t·10¹² < 2⁵³) — then the integers sum exactly in DECIMAL(38,0).
+    // A direct double→DECIMAL(p,s) cast is NOT portable: Spark rounds
+    // the shortest decimal string (Java BigDecimal.decimal), DuckDB the
+    // exact binary expansion, and the two disagree on near-half digit
+    // patterns (~1e-12 per affected row — measured 4.2e-11 drift on the
+    // sf0.01 moment vector, i.e. dozens of rows per 60k).
+    def dsum(c: Column): Column =
+      (sum(floor(c * lit(1e12)).cast("decimal(38,0)")).cast("double") /
+        lit(1e12))
     val gram = for { i <- 0 until 4; j <- i until 4 }
       yield dsum(x(i) * x(j)).as(s"g_${i}${j}")
     val mom = (0 until 4).map(i => dsum(x(i) * y).as(s"b_$i"))
@@ -210,11 +220,12 @@ object Sgd {
     val xs = Seq("1.0", "(l_quantity / 50.0)", "(l_extendedprice / 100000.0)",
       "l_tax")
     val y = "(l_extendedprice * (1.0 - l_discount) / 100000.0)"
+    def dsum(t: String) =
+      s"CAST(SUM(CAST(FLOOR(($t) * 1e12) AS DECIMAL(38,0))) AS DOUBLE) / 1e12"
     val cols =
       (for { i <- 0 until 4; j <- i until 4 } yield
-        s"CAST(SUM(CAST(${xs(i)} * ${xs(j)} AS DECIMAL(28,12))) AS DOUBLE) AS g_$i$j") ++
-        (0 until 4).map(i =>
-          s"CAST(SUM(CAST(${xs(i)} * $y AS DECIMAL(28,12))) AS DOUBLE) AS b_$i")
+        s"${dsum(s"${xs(i)} * ${xs(j)}")} AS g_$i$j") ++
+        (0 until 4).map(i => s"${dsum(s"${xs(i)} * $y")} AS b_$i")
     s"SELECT ${cols.mkString(", ")} FROM lineitem"
   }
 

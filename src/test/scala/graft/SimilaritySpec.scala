@@ -92,4 +92,40 @@ class SimilaritySpec extends SparkSpecBase {
       assert(c == cos(vecs(q), vecs(n)) && rk <= Similarity.TopK)
     }
   }
+
+  private def embDf = graft.Tables(spark, Sf, "embeddings")
+    .selectExpr("vec_id", "cast(embedding as array<double>) as e")
+
+  /** Quantizer objective: mean best-cosine over the corpus. */
+  private def objective(cents: Array[(Long, Array[Double])]): Double =
+    vecs.values.map(e => cents.map(c => cos(e, c._2)).max).sum / vecs.size
+
+  test("kmeans quantizer: iters=0 is the sampled seed the oracle encodes") {
+    val got = Similarity.kmeansCentroids(embDf, 0)
+    val want = vecs.filter(_._1 < Similarity.NumCentroids).toSeq.sortBy(_._1)
+    assert(got.map(_._1).toSeq == want.map(_._1))
+    got.zip(want).foreach { case ((_, g), (_, w)) => assert(g.sameElements(w)) }
+  }
+
+  test("kmeans quantizer: bit-identical centroids under any partitioning") {
+    val a = Similarity.kmeansCentroids(embDf.repartition(7), 3)
+    val b = Similarity.kmeansCentroids(embDf.repartition(3), 3)
+    a.zip(b).foreach { case ((ca, ea), (cb, eb)) =>
+      assert(ca == cb)
+      assert(ea.sameElements(eb), s"centroid $ca differs across partitionings")
+    }
+  }
+
+  test("kmeans quantizer: Lloyd steps improve the assignment objective") {
+    val o0 = objective(Similarity.kmeansCentroids(embDf, 0))
+    val o3 = objective(Similarity.kmeansCentroids(embDf, 3))
+    assert(o3 >= o0, s"objective regressed: $o0 -> $o3")
+    // and the refined quantizer drives the same IVF plan end-to-end
+    val rows = Similarity.ivfTopKOf(embDf, Similarity.NumQueries, 2).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getDouble(2) == cos(vecs(r.getLong(0)), vecs(r.getLong(1))))
+      assert(r.getInt(3) <= Similarity.TopK)
+    }
+  }
 }

@@ -18,5 +18,6 @@ trait SparkSpecBase extends AnyFunSuite {
     .config("spark.sql.extensions", "graft.functions.GraftExtensions")
     .config("spark.sql.warehouse.dir", "/tmp/graft-warehouse")
     .config("spark.ui.enabled", "false")
+    .config(graft.Tables.RequiredConf)
     .getOrCreate()
 }

@@ -199,4 +199,40 @@ class StreamingSpec extends SparkSpecBase {
       assert(batch.forall(got.contains), s"batch=${batch} got=${got}")
     } finally q.stop()
   }
+
+  test("file source → parquet file sink under Trigger.AvailableNow") {
+    // The production sink shape: a parquet-backed stream drained with
+    // AvailableNow into a parquet sink + checkpoint — the same
+    // tumblingStats transform the oracle checks, end-to-end outside
+    // MemoryStream. maxFilesPerTrigger=1 over 4 time-ranged input files
+    // forces multiple micro-batches, so the watermark advances between
+    // batches and append mode actually finalizes (emits) windows.
+    import org.apache.spark.sql.functions.col
+    val base = java.nio.file.Files.createTempDirectory("graft-sink-")
+    val (in, out, ck) = (s"$base/in", s"$base/out", s"$base/ck")
+    val events = graft.Tables(spark, Sf, "events")
+    events.repartitionByRange(4, col("ts")).write.parquet(in)
+    val src = spark.readStream
+      .schema(spark.read.parquet(in).schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(in)
+    val q = Streams.tumblingStats(src, Some("1 minute"))
+      .writeStream.format("parquet")
+      .option("path", out)
+      .option("checkpointLocation", ck)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    assert(q.awaitTermination(180000), "AvailableNow drain did not finish")
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getTimestamp(0).getTime, r.getString(1), r.getLong(2), r.getDouble(3))
+    val emitted = spark.read.parquet(out).collect().map(key).toSet
+    val batch = Streams.tumblingStats(events, None).collect().map(key).toSet
+    assert(emitted.nonEmpty, "file sink emitted no finalized windows")
+    assert(emitted.subsetOf(batch),
+      s"sink rows diverge from batch: ${emitted -- batch}")
+    // only the tail past the final watermark may be missing
+    assert((batch -- emitted).size < batch.size / 2,
+      s"too few windows finalized: ${emitted.size}/${batch.size}")
+  }
 }

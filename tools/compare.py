@@ -28,8 +28,9 @@ def cell_eq(a, b):
         if math.isnan(a) and math.isnan(b):
             return True
         # Exact-==-after-DECIMAL is the goal, but Spark (HALF_UP) and DuckDB
-        # can round a last-ulp tie differently; tolerate only that.
-        return math.isclose(a, b, rel_tol=1e-12, abs_tol=1e-12)
+        # can round a last-ulp tie differently; tolerate exactly one ulp —
+        # anything wider would mask genuine summation-order divergence.
+        return a == b or abs(a - b) <= max(math.ulp(a), math.ulp(b))
     return a == b
 
 
