@@ -91,7 +91,71 @@ object Dedup {
     * oracle sees is exact int/int.
     */
   def minhashLsh(spark: SparkSession, dir: String): DataFrame =
-    minhashLshOf(docs(spark, dir))
+    minhashPairsFrom(sh3(spark, dir), bands3(spark, dir))
+
+  /** Session-lifetime dedup index cache — the [[Apriori.itemsetSupports]]
+    * pattern. A dedup pass over a lake is never one query: minhash,
+    * incremental, and apply all read the same 3-gram shingle + band
+    * tables, simhash the same shingles, and a real pipeline keeps these
+    * as its persistent index rather than re-deriving them per pass. One
+    * persisted table per (session, dir, kind); entries live until
+    * [[invalidateIndex]] (same lifetime contract as Apriori's cache —
+    * callers that rewrite parquet under a cached dir or cycle sessions
+    * invalidate at the boundary). The `…Of` forms stay cache-free: they
+    * take arbitrary DataFrames, so identity-keyed caching would leak.
+    */
+  private val indexCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String, String), DataFrame]
+
+  private def cachedIdx(spark: SparkSession, dir: String, kind: String)(
+      build: => DataFrame): DataFrame = {
+    // localCheckpoint, not persist(): the typed kernels and self-joins
+    // re-read these tables as ROWS, and scanning the columnar SQL cache
+    // (deserialize per consumer) measured 2-4× slower and erratic vs
+    // checkpointed row blocks on the bow pipeline. Local-mode trade as
+    // documented on [[Materialize.Local]]; cluster deployments use the
+    // `…Of` forms with [[Materialize.Disk]].
+    //
+    // get + putIfAbsent, NOT computeIfAbsent: builds are nested (bands3
+    // and simhash derive from sh3), and a nested computeIfAbsent on the
+    // same map throws "Recursive update" when the keys share a bin. A
+    // lost race means one redundant build of a deterministic table —
+    // harmless; holding a bin lock through a Spark job is not.
+    val key = (spark, dir, kind)
+    val got = indexCache.get(key)
+    if (got != null) got
+    else {
+      val built = build.localCheckpoint()
+      val prev = indexCache.putIfAbsent(key, built)
+      if (prev != null) prev else built
+    }
+  }
+
+  /** Drop cached dedup indexes (a (session, dir) pair, a whole session
+    * with `dir = null`, or everything): unpersist + remove.
+    */
+  def invalidateIndex(spark: SparkSession = null, dir: String = null): Unit = {
+    val it = indexCache.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      val (s, d, _) = e.getKey
+      if ((spark == null || s == spark) && (dir == null || d == dir)) {
+        e.getValue.unpersist()
+        it.remove()
+      }
+    }
+  }
+
+  private def sh3(spark: SparkSession, dir: String): DataFrame =
+    cachedIdx(spark, dir, "sh3")(
+      docs(spark, dir).select(col("doc_id"), shingles(3).as("s")))
+
+  private def bands3(spark: SparkSession, dir: String): DataFrame =
+    cachedIdx(spark, dir, "bands3")(bandKernel(sh3(spark, dir)))
+
+  private def sh4(spark: SparkSession, dir: String): DataFrame =
+    cachedIdx(spark, dir, "sh4")(
+      docs(spark, dir).select(col("doc_id"), shingles(4).as("s")))
 
   /** Shingle table of a corpus, materialized once (via `mat`): it feeds
     * the signature pipeline AND the verify joins — without the cut each
@@ -107,9 +171,12 @@ object Dedup {
     * hash function is ~5× slower).
     */
   private def bandTable(sh: DataFrame,
-                        mat: Materialize.Strategy): DataFrame = {
+                        mat: Materialize.Strategy): DataFrame =
+    mat(bandKernel(sh))
+
+  private def bandKernel(sh: DataFrame): DataFrame = {
     val s = sh.sparkSession; import s.implicits._
-    val bands = sh.as[(Long, Seq[String])]
+    sh.as[(Long, Seq[String])]
       .mapPartitions { it =>
         val md = java.security.MessageDigest.getInstance("MD5")
         it.flatMap { case (id, ss) =>
@@ -130,7 +197,6 @@ object Dedup {
         }
       }
       .toDF("doc_id", "band", "bkey")
-    mat(bands)
   }
 
   /** Incremental near-dup check: NEW documents against an EXISTING
@@ -142,12 +208,9 @@ object Dedup {
     * persistent index — computed once, joined by every arriving batch.
     * Output: (new_doc_id, corpus_doc_id, jaccard).
     */
-  def minhashLshAgainst(newDocs: DataFrame, corpus: DataFrame,
-                        mat: Materialize.Strategy = Materialize.Local)
-      : DataFrame = {
-    val shNew = shingleTable(newDocs, mat)
-    val shOld = shingleTable(corpus, mat)
-    val cand = bandTable(shNew, mat).as("x").join(bandTable(shOld, mat).as("y"),
+  private def minhashAgainstFrom(shNew: DataFrame, bandsNew: DataFrame,
+      shOld: DataFrame, bandsOld: DataFrame): DataFrame = {
+    val cand = bandsNew.as("x").join(bandsOld.as("y"),
         col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey"))
       .select(col("x.doc_id").as("da"), col("y.doc_id").as("db"))
       .distinct()
@@ -161,21 +224,30 @@ object Dedup {
       .where(col("jaccard") >= JaccardMinhash)
   }
 
-  /** Fixture entry for [[minhashLshAgainst]]: documents with
-    * doc_id ≡ 0 (mod 10) play the arriving batch, the rest the existing
-    * corpus — a deterministic 10% "new crawl" split.
-    */
-  def minhashIncremental(spark: SparkSession, dir: String): DataFrame = {
-    val d = docs(spark, dir)
-    minhashLshAgainst(d.where(col("doc_id") % 10 === 0),
-      d.where(col("doc_id") % 10 =!= 0))
+  def minhashLshAgainst(newDocs: DataFrame, corpus: DataFrame,
+                        mat: Materialize.Strategy = Materialize.Local)
+      : DataFrame = {
+    val shNew = shingleTable(newDocs, mat)
+    val shOld = shingleTable(corpus, mat)
+    minhashAgainstFrom(shNew, bandTable(shNew, mat),
+      shOld, bandTable(shOld, mat))
   }
 
-  def minhashLshOf(corpus: DataFrame,
-                   mat: Materialize.Strategy = Materialize.Local)
-      : DataFrame = {
-    val sh = shingleTable(corpus, mat)
-    val bands = bandTable(sh, mat)
+  /** Fixture entry for [[minhashLshAgainst]]: documents with
+    * doc_id ≡ 0 (mod 10) play the arriving batch, the rest the existing
+    * corpus — a deterministic 10% "new crawl" split. Shingling and
+    * banding are per-row, so both sides are filters of the session-cached
+    * whole-corpus index — exactly how a persistent lake index serves an
+    * arriving batch.
+    */
+  def minhashIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val isNew = col("doc_id") % 10 === 0
+    minhashAgainstFrom(
+      sh3(spark, dir).where(isNew), bands3(spark, dir).where(isNew),
+      sh3(spark, dir).where(!isNew), bands3(spark, dir).where(!isNew))
+  }
+
+  private def minhashPairsFrom(sh: DataFrame, bands: DataFrame): DataFrame = {
     val cand = bands.as("x").join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey")
           && col("x.doc_id") < col("y.doc_id"))
@@ -189,6 +261,13 @@ object Dedup {
       .select(col("da").as("doc_a"), col("db").as("doc_b"),
         (inter.cast("double") / union.cast("double")).as("jaccard"))
       .where(col("jaccard") >= JaccardMinhash)
+  }
+
+  def minhashLshOf(corpus: DataFrame,
+                   mat: Materialize.Strategy = Materialize.Local)
+      : DataFrame = {
+    val sh = shingleTable(corpus, mat)
+    minhashPairsFrom(sh, bandTable(sh, mat))
   }
 
   /** Stop-shingle doc-frequency cap for [[ngramJaccardOf]]: a 4-gram
@@ -214,7 +293,7 @@ object Dedup {
     * approximation: every emitted value is exact int/int.
     */
   def ngramJaccard(spark: SparkSession, dir: String): DataFrame =
-    ngramJaccardOf(docs(spark, dir))
+    ngramJaccardFrom(sh4(spark, dir), NgramStopDf)
 
   /** 4-gram shingle table of a corpus (pre-materialization). */
   private[graft] def ngramShingles(corpus: DataFrame): DataFrame =
@@ -238,9 +317,11 @@ object Dedup {
 
   def ngramJaccardOf(corpus: DataFrame, stopDf: Int = NgramStopDf,
                      mat: Materialize.Strategy = Materialize.Local)
-      : DataFrame = {
-    // feeds the index build + both verify sides
-    val sh = mat(ngramShingles(corpus))
+      : DataFrame =
+    // `sh` feeds the index build + both verify sides
+    ngramJaccardFrom(mat(ngramShingles(corpus)), stopDf)
+
+  private def ngramJaccardFrom(sh: DataFrame, stopDf: Int): DataFrame = {
     val inter = size(array_intersect(col("A.s"), col("B.s")))
     val union = size(col("A.s")) + size(col("B.s")) - inter
     ngramCandidates(sh, stopDf)
@@ -259,19 +340,25 @@ object Dedup {
     * part of the oracle contract.
     */
   def simhashPairs(spark: SparkSession, dir: String): DataFrame =
-    simhashPairsOf(docs(spark, dir))
+    simhashFrom(cachedIdx(spark, dir, "simhash")(
+      simhashKernel(sh3(spark, dir))))
 
   def simhashPairsOf(corpus: DataFrame,
                      mat: Materialize.Strategy = Materialize.Local)
-      : DataFrame = {
-    val s = corpus.sparkSession; import s.implicits._
-    // Bit-vote in a typed kernel (56 interpreted aggregate-lambdas per
-    // row measured ~5× slower); hashes stay md5-derived because the
-    // simhash value itself is part of the oracle contract. Materialized:
-    // the chunk self-join reads the 1-long-per-doc fingerprints instead
-    // of recomputing the pipeline on both sides.
-    val sims = mat(corpus.select(col("doc_id"), shingles(3).as("s"))
-      .as[(Long, Seq[String])]
+      : DataFrame =
+    // Materialized: the chunk self-join reads the 1-long-per-doc
+    // fingerprints instead of recomputing the pipeline on both sides.
+    simhashFrom(mat(simhashKernel(
+      corpus.select(col("doc_id"), shingles(3).as("s")))))
+
+  /** (doc_id, sim) fingerprints of a (doc_id, s) shingle table. Bit-vote
+    * in a typed kernel (56 interpreted aggregate-lambdas per row measured
+    * ~5× slower); hashes stay md5-derived because the simhash value
+    * itself is part of the oracle contract.
+    */
+  private def simhashKernel(sh: DataFrame): DataFrame = {
+    val s = sh.sparkSession; import s.implicits._
+    sh.as[(Long, Seq[String])]
       .mapPartitions { it =>
         val md = java.security.MessageDigest.getInstance("MD5")
         it.map { case (id, ss) =>
@@ -293,7 +380,10 @@ object Dedup {
           (id, sim)
         }
       }
-      .toDF("doc_id", "sim"))
+      .toDF("doc_id", "sim")
+  }
+
+  private def simhashFrom(sims: DataFrame): DataFrame = {
     val chunks = sims.select(
       col("doc_id"), col("sim"),
       posexplode(array((0 until SimhashChunks).map(c =>
@@ -364,14 +454,18 @@ object Dedup {
     * vector-space dedup out — no external embedding model needed.
     */
   def bowCosine(spark: SparkSession, dir: String): DataFrame =
-    bowCosineOf(docs(spark, dir))
+    bowFrom(cachedIdx(spark, dir, "bowvecs")(
+      bowVecKernel(docs(spark, dir))))
 
   def bowCosineOf(corpus: DataFrame,
                   mat: Materialize.Strategy = Materialize.Local)
-      : DataFrame = {
-    val spark = corpus.sparkSession
-    val s = spark; import s.implicits._
-    val vecs = mat(corpus
+      : DataFrame =
+    // `vecs` feeds the bucket kernel and both scoring sides
+    bowFrom(mat(bowVecKernel(corpus)))
+
+  private def bowVecKernel(corpus: DataFrame): DataFrame = {
+    val s = corpus.sparkSession; import s.implicits._
+    corpus
       .select(col("doc_id"), toks.as("t"))
       .as[(Long, Seq[String])]
       .mapPartitions { it =>
@@ -387,7 +481,11 @@ object Dedup {
           (id, v)
         }
       }
-      .toDF("vec_id", "e")) // feeds the bucket kernel and both scoring sides
+      .toDF("vec_id", "e")
+  }
+
+  private def bowFrom(vecs: DataFrame): DataFrame = {
+    val spark = vecs.sparkSession
     val buckets =
       Hashing.srpBuckets(spark, vecs, SrpTables, SrpBits, BowDims)
     val cand = buckets.as("x").join(buckets.as("y"),
@@ -419,7 +517,11 @@ object Dedup {
       .select("doc_id")
 
   def applyDedup(spark: SparkSession, dir: String): DataFrame =
-    applyDedupOf(docs(spark, dir))
+    // rides the session-cached shingle/band index via minhashLsh
+    docs(spark, dir).join(
+      minhashLsh(spark, dir).select(col("doc_b").as("doc_id")).distinct(),
+      Seq("doc_id"), "left_anti")
+      .select("doc_id")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "llm_dedup_apply" -> applyDedup,
