@@ -1,0 +1,156 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Corpus-curation operators (SURVEY.md §2.11 extension): the three
+  * steps between "scored documents" and "training shards" in an
+  * LLM-data pipeline — deterministic stratified sampling (data mixing),
+  * token-budget shard packing, and the end-to-end curation gate that
+  * composes quality + language + near-dedup into the final corpus.
+  *
+  * Determinism contract (same as the rest of the library): sampling
+  * uniforms are md5-derived and divided by 2³² (a power of two — the
+  * division is EXACT in IEEE doubles, so Spark and DuckDB compare the
+  * same bits against the same rate constants); packing arithmetic is
+  * all BIGINT.
+  */
+object Curation {
+
+  private def docs(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "documents").select("doc_id", "lang", "text")
+
+  // ---- deterministic stratified sampling (data mixing) ----
+
+  /** Per-language keep rates: the mixing weights of a pretraining data
+    * recipe (up-sample English, down-sample the tail). Unlisted
+    * languages fall through to [[DefaultRate]].
+    */
+  val SampleRates: Seq[(String, Double)] =
+    Seq("en" -> 0.5, "de" -> 0.25, "fr" -> 0.25)
+  val DefaultRate = 0.1
+
+  /** Keep a document iff u(doc_id) < rate(lang), where u is an
+    * md5-derived uniform in [0, 1). Hash-based, not `sample()`: the
+    * decision is a pure function of the row, so it is reproducible
+    * across runs/partitionings/engines, survives re-partitioning, and
+    * extends to consistent joins (two tables sampled on the same key
+    * keep the same entities). Embarrassingly parallel — no shuffle.
+    */
+  def sampleStratified(spark: SparkSession, dir: String): DataFrame =
+    sampleStratifiedOf(docs(spark, dir))
+
+  def sampleStratifiedOf(corpus: DataFrame): DataFrame = {
+    val h = conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+      .cast("long")
+    val u = h / lit(4294967296.0) // 2³² — exact binary division
+    val rate = SampleRates.foldLeft(lit(DefaultRate)) {
+      case (acc, (l, r)) => when(col("lang") === l, lit(r)).otherwise(acc)
+    }
+    corpus.select(col("doc_id"), col("lang"), u.as("u"))
+      .where(col("u") < rate)
+  }
+
+  // ---- token-budget shard packing ----
+
+  /** Tokens per training shard and the prefix-sum group width. */
+  val ShardBudget = 4096L
+  val PackGroup = 256L
+
+  /** Assign each document (in doc_id order) to the training shard its
+    * cumulative token offset falls into: shard = ⌊(cumsum − n) / budget⌋.
+    *
+    * Scale shape: a single `Window.orderBy(doc_id)` would serialize the
+    * corpus through ONE partition — the classic global-window trap — so
+    * the prefix sum is two-level: a per-group running sum (window
+    * PARTITIONED by g = doc_id div [[PackGroup]], fully parallel) plus
+    * per-group base offsets (a window over only #groups rows, broadcast
+    * back). Identical result to the global window, no single-partition
+    * stage over the data.
+    */
+  def packShards(spark: SparkSession, dir: String): DataFrame =
+    packShardsOf(docs(spark, dir))
+
+  def packShardsOf(corpus: DataFrame, budget: Long = ShardBudget): DataFrame = {
+    val base = corpus.select(col("doc_id"),
+      size(split(col("text"), " ")).cast("long").as("n_tokens"),
+      expr(s"doc_id div $PackGroup").as("g"))
+    val within = base.withColumn("wcum",
+      sum(col("n_tokens")).over(Window.partitionBy("g").orderBy("doc_id")))
+    val offsets = base.groupBy("g").agg(sum(col("n_tokens")).as("t"))
+      .withColumn("goff",
+        coalesce(sum(col("t")).over(Window.orderBy("g")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("g", "goff")
+    within.join(broadcast(offsets), "g")
+      .select(col("doc_id"), col("n_tokens"),
+        expr(s"(goff + wcum - n_tokens) div $budget").as("shard"))
+  }
+
+  // ---- end-to-end curation gate ----
+
+  /** The corpus a pipeline actually trains on: documents that pass the
+    * quality gate, classify as English, and are not the dropped side of
+    * a verified minhash near-dup pair. Pure composition of the library's
+    * own operators — two key-unique inner joins (semantically semi-joins)
+    * and one anti-join; the dedup side rides the session-cached band
+    * index.
+    */
+  def curate(spark: SparkSession, dir: String): DataFrame = {
+    val q = TextOps.qualityScore(spark, dir)
+      .where(col("quality_pass")).select("doc_id")
+    val l = TextOps.langId(spark, dir)
+      .where(col("lang_pred") === "en").select("doc_id")
+    val dup = Dedup.minhashLsh(spark, dir)
+      .select(col("doc_b").as("doc_id")).distinct()
+    docs(spark, dir).select("doc_id")
+      .join(q, "doc_id")
+      .join(l, "doc_id")
+      .join(dup, Seq("doc_id"), "left_anti")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "llm_sample_stratified" -> sampleStratified,
+    "llm_pack_shards" -> packShards,
+    "llm_curate" -> curate
+  )
+
+  private val rateSql =
+    SampleRates.map { case (l, r) => s"WHEN '$l' THEN $r" }
+      .mkString("CASE lang ", " ", s" ELSE $DefaultRate END")
+
+  private val uSql =
+    "(('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT::DOUBLE" +
+      " / 4294967296.0)"
+
+  val oracle: Map[String, String] = Map(
+    "llm_sample_stratified" ->
+      s"""SELECT doc_id, lang, $uSql AS u
+         |FROM documents
+         |WHERE $uSql < $rateSql""".stripMargin,
+    // the oracle uses the straightforward single global window — the
+    // two-level Spark plan must reproduce it exactly
+    "llm_pack_shards" ->
+      s"""SELECT doc_id,
+         |  len(string_split(text, ' '))::BIGINT AS n_tokens,
+         |  (SUM(len(string_split(text, ' '))::BIGINT) OVER
+         |     (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND
+         |      CURRENT ROW)
+         |   - len(string_split(text, ' '))::BIGINT) // $ShardBudget
+         |    AS shard
+         |FROM documents""".stripMargin,
+    "llm_curate" ->
+      s"""WITH q AS (SELECT doc_id
+         |           FROM (${TextOps.oracle("llm_quality_score")})
+         |           WHERE quality_pass),
+         |l AS (SELECT doc_id FROM (${TextOps.oracle("llm_lang_id")})
+         |      WHERE lang_pred = 'en'),
+         |dup AS (SELECT DISTINCT doc_b AS doc_id
+         |        FROM (${Dedup.oracle("llm_dedup_minhash")}))
+         |SELECT d.doc_id FROM documents d
+         |JOIN q USING (doc_id) JOIN l USING (doc_id)
+         |WHERE d.doc_id NOT IN (SELECT doc_id FROM dup)""".stripMargin
+  )
+}

@@ -82,4 +82,25 @@ object TextSources {
   def writeKV(df: DataFrame, path: String, cols: String*): Unit =
     df.select(concat_ws("\t", cols.map(col): _*).as("value"))
       .write.mode("overwrite").text(path)
+
+  /** JSONL (one JSON object per line) corpus reader — the de-facto
+    * interchange format of LLM training data. The explicit schema keeps
+    * the read single-pass (no sampling inference job) and the scan
+    * splittable; `mode=PERMISSIVE` nulls malformed lines, which are then
+    * dropped like every other dirty-input path here. Output is the same
+    * `(doc_id, lang, text)` shape as the parquet documents table, so all
+    * `…Of` operators compose.
+    */
+  def jsonlDocuments(spark: SparkSession, path: String): DataFrame =
+    spark.read
+      .schema("doc_id BIGINT, lang STRING, text STRING")
+      .option("mode", "PERMISSIVE")
+      .json(path)
+      .where(col("doc_id").isNotNull && col("text").isNotNull)
+
+  /** JSONL corpus sink: one compact JSON object per line, the shape
+    * [[jsonlDocuments]] reads back.
+    */
+  def writeJsonl(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").json(path)
 }

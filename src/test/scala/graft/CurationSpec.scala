@@ -1,0 +1,68 @@
+package graft
+
+import java.security.MessageDigest
+
+import graft.operators.{Curation, Dedup, TextOps}
+
+/** Curation operators vs in-memory brute force on sf0.001. */
+class CurationSpec extends SparkSpecBase {
+
+  private lazy val docs: Seq[(Long, String, String)] =
+    graft.Tables(spark, Sf, "documents")
+      .select("doc_id", "lang", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq
+
+  private def u(docId: Long): Double = {
+    val md = MessageDigest.getInstance("MD5")
+    val hex = md.digest(docId.toString.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    java.lang.Long.parseLong(hex.take(8), 16).toDouble / 4294967296.0
+  }
+
+  private def rate(lang: String): Double =
+    Curation.SampleRates.toMap.getOrElse(lang, Curation.DefaultRate)
+
+  test("stratified sampling keeps exactly the docs with u(id) < rate(lang)") {
+    val got = Curation.sampleStratified(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+    val want = docs.collect {
+      case (id, lang, _) if u(id) < rate(lang) => (id, lang, u(id))
+    }.toSet
+    assert(got == want)
+    assert(got.nonEmpty && got.size < docs.size) // both sides of the gate
+    // reproducible: hash sampling is a pure row function
+    val again = Curation.sampleStratified(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+    assert(again == got)
+  }
+
+  test("two-level shard packing equals the naive global prefix sum") {
+    val got = Curation.packShards(spark, Sf).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+    var cum = 0L
+    val want = docs.sortBy(_._1).map { case (id, _, text) =>
+      val n = text.split(" ", -1).length.toLong
+      val shard = cum / Curation.ShardBudget
+      cum += n
+      id -> (n, shard)
+    }.toMap
+    assert(got == want)
+    // multiple shards exist and ids are non-decreasing along doc order:
+    // a doc never lands in an earlier shard than its predecessor
+    assert(got.values.map(_._2).max >= 2)
+    val byId = got.toSeq.sortBy(_._1).map(_._2._2)
+    assert(byId.zip(byId.tail).forall { case (a, b) => a <= b })
+  }
+
+  test("curate = quality pass ∩ lang=en − minhash near-dup victims") {
+    val got = Curation.curate(spark, Sf).collect().map(_.getLong(0)).toSet
+    val q = TextOps.qualityScore(spark, Sf)
+      .collect().filter(_.getBoolean(4)).map(_.getLong(0)).toSet
+    val en = TextOps.langId(spark, Sf)
+      .collect().filter(_.getString(5) == "en").map(_.getLong(0)).toSet
+    val dup = Dedup.minhashLsh(spark, Sf)
+      .collect().map(_.getLong(1)).toSet
+    assert(got == (q & en) -- dup)
+    assert(got.nonEmpty && got.size < docs.size)
+  }
+}

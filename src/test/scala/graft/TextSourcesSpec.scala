@@ -114,4 +114,27 @@ class TextSourcesSpec extends SparkSpecBase {
     val lines = spark.read.text(out).collect().map(_.getString(0)).sorted
     assert(lines.toSeq == Seq("bread\t3", "milk\t4"))
   }
+
+  test("jsonl corpus round-trips and feeds the Of-operators") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-jsonl-")
+    val in = graft.Tables(spark, Sf, "documents")
+      .select("doc_id", "lang", "text")
+    TextSources.writeJsonl(in, s"$dir/docs")
+    val back = TextSources.jsonlDocuments(spark, s"$dir/docs")
+    assert(back.collect().map(r =>
+        (r.getLong(0), r.getString(1), r.getString(2))).toSet ==
+      in.collect().map(r =>
+        (r.getLong(0), r.getString(1), r.getString(2))).toSet)
+    // malformed + unparsable lines drop, valid ones survive
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$dir/dirty.jsonl"),
+      "not json at all\n{\"doc_id\": 7, \"lang\": \"en\", \"text\": \"ok doc\"}\n{\"lang\": \"en\"}\n"
+        .getBytes("UTF-8"))
+    val dirty = TextSources.jsonlDocuments(spark, s"$dir/dirty.jsonl")
+      .collect()
+    assert(dirty.map(r => (r.getLong(0), r.getString(2))).toSeq ==
+      Seq((7L, "ok doc")))
+    // and the corpus shape composes with the operator surface
+    assert(graft.operators.TextOps.tokenCountOf(back).count() == in.count())
+  }
 }
