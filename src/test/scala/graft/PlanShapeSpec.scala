@@ -62,4 +62,26 @@ class PlanShapeSpec extends SparkSpecBase {
     assert(!p.contains("l_partkey"),
       s"pricing summary plan reads unneeded columns:\n$p")
   }
+
+  test("shard packing: the corpus-wide window is partitioned, not global") {
+    val p = finalPlan(graft.operators.Curation.packShards(spark, Sf))
+    // the per-group running sum hash-partitions on g — the data-scale
+    // window runs parallel ...
+    assert(p.contains("hashpartitioning(g"), p)
+    // ... and the single-partition stage exists only for the per-GROUP
+    // offsets (#groups rows), which then ride a broadcast back
+    assert(p.contains("BroadcastHashJoin"), p)
+    // the only single-partition exchange feeds DIRECTLY from the
+    // per-group aggregate — #groups rows, never the raw corpus
+    val singles = "Exchange SinglePartition[^\n]*\n[^\n]*".r.findAllIn(p).toList
+    assert(singles.nonEmpty, p)
+    singles.foreach(s =>
+      assert(s.contains("HashAggregate(keys=[g"),
+        s"SinglePartition exchange over non-aggregated rows:\n$s"))
+  }
+
+  test("stratified sampling is a pure scan: no exchange at all") {
+    val p = finalPlan(graft.operators.Curation.sampleStratified(spark, Sf))
+    assert(!p.contains("Exchange"), s"sampling plan shuffles:\n$p")
+  }
 }
