@@ -245,6 +245,40 @@ object Streams {
         col("view_id"), col("purchase_id"))
   }
 
+  /** As-of join — the "latest earlier fact" operator Spark has no
+    * native form of: every purchase paired with the same user's most
+    * recent view at-or-before it (left: no-view purchases keep null).
+    * Spark-first implementation, no custom physical operator needed:
+    * tag and UNION the two sides, ONE per-user window ordered by
+    * (ts, side, id) carries the last seen view forward
+    * (`last(_, ignoreNulls)` over a rows frame), keep the purchase
+    * rows. One shuffle on user_id; per-user state is a running scalar,
+    * so a hot user costs O(events) — unlike a range-join formulation,
+    * whose per-user candidate set is O(views × purchases). Semantics
+    * equal DuckDB's native ASOF JOIN (validated; the oracle uses the
+    * same union-window SQL so tie order is bit-deterministic).
+    */
+  def asofViewBeforePurchase(events: DataFrame): DataFrame = {
+    val e = withEventTime(events)
+    def side(typ: String, tag: Int) =
+      e.where(col("event_type") === typ)
+        .select(col("user_id"), col("ts_us"), lit(tag).as("side"),
+          col("event_id"))
+    val w = Window.partitionBy("user_id")
+      .orderBy("ts_us", "side", "event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    side("view", 0).union(side("purchase", 1))
+      .withColumn("view_id",
+        last(when(col("side") === 0, col("event_id")), ignoreNulls = true)
+          .over(w))
+      .withColumn("view_ts",
+        last(when(col("side") === 0, col("ts_us")), ignoreNulls = true)
+          .over(w))
+      .where(col("side") === 1)
+      .select(col("user_id"), col("event_id").as("purchase_id"),
+        col("view_id"), (col("ts_us") - col("view_ts")).as("lag_us"))
+  }
+
   private def events(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir, "events")
 
@@ -264,6 +298,8 @@ object Streams {
           e.where(col("event_type") === "view"),
           e.where(col("event_type") === "purchase"))
       }),
+    "stream_asof_join" ->
+      ((s: SparkSession, d: String) => asofViewBeforePurchase(events(s, d))),
     // Oracle-safe because the fixture has no gap of exactly 30 minutes
     // (verified), where session_window's half-open boundary and the lag
     // formulation's closed one would differ.
@@ -332,6 +368,33 @@ object Streams {
         |  AND v.event_type = 'view' AND p.event_type = 'purchase'
         |  AND epoch_us(p.ts) >= epoch_us(v.ts)
         |  AND epoch_us(p.ts) <= epoch_us(v.ts) + 3600000000""".stripMargin,
+    // same union-window formulation as the Spark side (tie order
+    // (ts, side, id) is part of the contract); validated equal to
+    // DuckDB's native ASOF LEFT JOIN on the fixture
+    "stream_asof_join" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(ts) AS ts_us, event_id, event_type
+        |  FROM events),
+        |u AS (
+        |  SELECT user_id, ts_us, 0 AS side, event_id FROM e
+        |  WHERE event_type = 'view'
+        |  UNION ALL
+        |  SELECT user_id, ts_us, 1 AS side, event_id FROM e
+        |  WHERE event_type = 'purchase'),
+        |w AS (
+        |  SELECT *,
+        |    last_value(CASE WHEN side = 0 THEN event_id END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY ts_us, side, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS view_id,
+        |    last_value(CASE WHEN side = 0 THEN ts_us END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY ts_us, side, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS view_ts
+        |  FROM u)
+        |SELECT user_id, event_id AS purchase_id, view_id,
+        |  ts_us - view_ts AS lag_us
+        |FROM w WHERE side = 1""".stripMargin,
     "stream_session_window" ->
       s"""WITH e AS (
          |  SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events

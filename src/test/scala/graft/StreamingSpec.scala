@@ -200,6 +200,25 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("as-of join picks the latest view at-or-before each purchase") {
+    val s = spark; import s.implicits._
+    val evts = Seq(
+      // user 1: views at 10m and 30m, purchases at 20m, 30m (tie), 40m
+      Ev(1, 10 * MinNs, 1, "view", 0), Ev(2, 20 * MinNs, 1, "purchase", 0),
+      Ev(3, 30 * MinNs, 1, "view", 0), Ev(4, 30 * MinNs, 1, "purchase", 0),
+      Ev(5, 40 * MinNs, 1, "purchase", 0),
+      // user 2: purchase with no prior view (view comes after)
+      Ev(6, 10 * MinNs, 2, "purchase", 0), Ev(7, 20 * MinNs, 2, "view", 0))
+    val got = Streams.asofViewBeforePurchase(evts.toDF()).collect()
+      .map(r => r.getLong(1) ->
+        (if (r.isNullAt(2)) None else Some(r.getLong(2)))).toMap
+    assert(got == Map(
+      2L -> Some(1L), // latest earlier view
+      4L -> Some(3L), // view at the SAME instant counts (at-or-before)
+      5L -> Some(3L),
+      6L -> None))    // no prior view → null, purchase still emitted
+  }
+
   test("file source → parquet file sink under Trigger.AvailableNow") {
     // The production sink shape: a parquet-backed stream drained with
     // AvailableNow into a parquet sink + checkpoint — the same
