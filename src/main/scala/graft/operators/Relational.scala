@@ -165,7 +165,61 @@ object Relational {
       .select("o_custkey", "o_orderkey", "rn", "gap_us", "cum_spend")
   }
 
+  /** The ranking-function suite in one window: rank / dense_rank /
+    * percent_rank / ntile / cume_dist per order priority, top-100 rows
+    * kept (the ntile and distribution values are computed over the FULL
+    * partition before the filter — same evaluation order in both
+    * engines). Ordering is total ((price desc, orderkey)), so every
+    * function is deterministic; percent_rank and cume_dist are exact
+    * int/int divisions in doubles, bit-equal across engines.
+    */
+  def rankFunctions(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    Tables(spark, dir, "orders")
+      .select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"))
+      .withColumn("rnk", rank().over(w))
+      .withColumn("drnk", dense_rank().over(w))
+      .withColumn("pct_rank", percent_rank().over(w))
+      .withColumn("quartile", ntile(4).over(w))
+      .withColumn("cdist", cume_dist().over(w))
+      .where(col("rnk") <= 100)
+  }
+
+  /** Explicit GROUPING SETS (the third grouping-set shape next to
+    * [[rollupSales]] / [[cubeSales]]): by returnflag only and by
+    * linestatus only — a set cube/rollup cannot express (no combined,
+    * no grand total). Uses the Spark 4 `groupingSets` Dataset API.
+    */
+  def groupingSetsSales(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "lineitem")
+      .groupingSets(
+        Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus"))),
+        col("l_returnflag"), col("l_linestatus"))
+      .agg(dsum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+        col("sum_qty"), col("n"))
+
+  /** Pivot: one row per returnflag, a quantity column per linestatus —
+    * `pivot` with EXPLICIT values, which keeps the plan a single pass
+    * (no distinct-values pre-query) and the output schema static, the
+    * form that scales. The oracle is the equivalent conditional
+    * aggregation.
+    */
+  def pivotSales(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "lineitem")
+      .groupBy(col("l_returnflag").as("returnflag"))
+      .pivot("l_linestatus", Seq("O", "F"))
+      .agg(dsum(col("l_quantity")))
+      .withColumnRenamed("O", "qty_o")
+      .withColumnRenamed("F", "qty_f")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "rel_rank_functions" -> rankFunctions,
+    "rel_grouping_sets" -> groupingSetsSales,
+    "rel_pivot_sales" -> pivotSales,
     "rel_order_timeline" -> orderTimeline,
     "rel_pricing_summary" -> pricingSummary,
     "rel_revenue_by_nation" -> revenueByNation,
@@ -221,6 +275,30 @@ object Relational {
         | SELECT DISTINCT p_brand, p_size FROM part WHERE p_retailprice <= 920.0)
         |EXCEPT
         |SELECT DISTINCT p_brand, p_size FROM part WHERE p_size >= 40""".stripMargin,
+    "rel_rank_functions" ->
+      """SELECT * FROM (
+        |  SELECT o_orderpriority, o_orderkey, o_totalprice,
+        |    rank() OVER w AS rnk, dense_rank() OVER w AS drnk,
+        |    percent_rank() OVER w AS pct_rank,
+        |    ntile(4) OVER w AS quartile, cume_dist() OVER w AS cdist
+        |  FROM orders
+        |  WINDOW w AS (PARTITION BY o_orderpriority
+        |               ORDER BY o_totalprice DESC, o_orderkey))
+        |WHERE rnk <= 100""".stripMargin,
+    "rel_grouping_sets" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+        |  coalesce(l_linestatus, 'ALL') AS linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(24,6))) AS DOUBLE) AS sum_qty,
+        |  count(*) AS n
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))""".stripMargin,
+    "rel_pivot_sales" ->
+      """SELECT l_returnflag AS returnflag,
+        |  CAST(SUM(CASE WHEN l_linestatus = 'O'
+        |    THEN CAST(l_quantity AS DECIMAL(24,6)) END) AS DOUBLE) AS qty_o,
+        |  CAST(SUM(CASE WHEN l_linestatus = 'F'
+        |    THEN CAST(l_quantity AS DECIMAL(24,6)) END) AS DOUBLE) AS qty_f
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
     "rel_rollup_sales" ->
       """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
         |  coalesce(l_linestatus, 'ALL') AS linestatus,
