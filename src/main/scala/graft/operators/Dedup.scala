@@ -516,6 +516,48 @@ object Dedup {
       Seq("doc_id"), "left_anti")
       .select("doc_id")
 
+  /** Near-dup CLUSTERS: connected components of the verified-pair graph,
+    * labeled by the component's minimum doc_id — the step between "pairs"
+    * and "survivors" in a real pipeline (transitive near-dups A≈B≈C must
+    * land in ONE cluster even when (A, C) itself fell under the
+    * threshold). Iterative min-label propagation: each round every node
+    * takes min(own label, neighbors' labels) — two shuffles per round
+    * (the join and the min-aggregate), converging in O(component
+    * diameter) rounds, and near-dup components are dense (clique-ish), so
+    * diameter is tiny; at extreme scale the same loop upgrades to
+    * alternating large-star/small-star (O(log n) rounds) without changing
+    * the output contract. The driver-side loop state is ONE long (the
+    * changed-label count) — the M5 iterate-to-convergence shape.
+    * Output: (doc_id, cluster_id) for every doc in ≥ 1 pair.
+    */
+  def clustersOf(pairs: DataFrame,
+                 mat: Materialize.Strategy = Materialize.Local): DataFrame = {
+    val edges = mat(pairs.select(col("doc_a").as("a"), col("doc_b").as("b"))
+      .union(pairs.select(col("doc_b").as("a"), col("doc_a").as("b")))
+      .distinct())
+    var labels = mat(edges.select(col("a").as("id")).distinct()
+      .withColumn("lbl", col("id")))
+    var changed = 1L
+    while (changed > 0) {
+      val prop = edges.join(labels, col("b") === col("id"))
+        .groupBy(col("a").as("nid")).agg(min(col("lbl")).as("nlbl"))
+      val next = mat(labels.join(prop, col("id") === col("nid"), "left")
+        .select(col("id"), least(col("lbl"),
+          coalesce(col("nlbl"), col("lbl"))).as("lbl")))
+      changed = next.as("n")
+        .join(labels.as("o"), col("n.id") === col("o.id"))
+        .where(col("n.lbl") =!= col("o.lbl")).count()
+      labels = next
+    }
+    labels.select(col("id").as("doc_id"), col("lbl").as("cluster_id"))
+  }
+
+  /** Fixture entry: components of the minhash near-dup graph (rides the
+    * session-cached band index).
+    */
+  def clusters(spark: SparkSession, dir: String): DataFrame =
+    clustersOf(minhashLsh(spark, dir))
+
   def applyDedup(spark: SparkSession, dir: String): DataFrame =
     // rides the session-cached shingle/band index via minhashLsh
     docs(spark, dir).join(
@@ -525,6 +567,7 @@ object Dedup {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "llm_dedup_apply" -> applyDedup,
+    "llm_dedup_clusters" -> clusters,
     "llm_dedup_exact" -> exact,
     "llm_dedup_minhash" -> minhashLsh,
     "llm_dedup_incremental" -> minhashIncremental,
@@ -544,6 +587,23 @@ object Dedup {
        |  ELSE [text] END AS s FROM tok
        |)""".stripMargin
 
+  /** All-pairs exact Jaccard ≥ threshold — the minhash contract, shared
+    * by the `llm_dedup_minhash` entry and (as a subquery) the clusters
+    * oracle.
+    */
+  private val minhashPairsOracleSql: String =
+    s"""WITH ${shSql(3)},
+       |pairs AS (
+       |  SELECT a.doc_id da, b.doc_id db,
+       |    len(list_intersect(a.s, b.s)) i, len(a.s) la, len(b.s) lb
+       |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+       |)
+       |SELECT da AS doc_a, db AS doc_b,
+       |  i::DOUBLE / (la + lb - i)::DOUBLE AS jaccard
+       |FROM pairs
+       |WHERE i::DOUBLE / (la + lb - i)::DOUBLE >= $JaccardMinhash"""
+      .stripMargin
+
   val oracle: Map[String, String] = Map(
     "llm_dedup_apply" ->
       s"""WITH ${shSql(3)},
@@ -561,19 +621,24 @@ object Dedup {
       """SELECT md5(text) AS content_hash, count(*) AS n_copies,
         |  min(doc_id) AS keep_doc_id
         |FROM documents GROUP BY 1""".stripMargin,
-    // All-pairs exact Jaccard — the LSH plan must reproduce it exactly.
-    "llm_dedup_minhash" ->
-      s"""WITH ${shSql(3)},
-         |pairs AS (
-         |  SELECT a.doc_id da, b.doc_id db,
-         |    len(list_intersect(a.s, b.s)) i, len(a.s) la, len(b.s) lb
-         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    // Connected components of the near-dup pair graph via a recursive
+    // CTE (UNION dedups, so a k-clique costs k² reach rows, not k!
+    // paths); the iterative Spark label propagation must converge to
+    // the identical min-label-per-component answer.
+    "llm_dedup_clusters" ->
+      s"""WITH RECURSIVE
+         |p AS (SELECT doc_a, doc_b FROM (PAIRS_SQL)),
+         |edges AS (SELECT doc_a a, doc_b b FROM p
+         |          UNION SELECT doc_b, doc_a FROM p),
+         |reach(a, b) AS (
+         |  SELECT DISTINCT a, a FROM edges
+         |  UNION
+         |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
          |)
-         |SELECT da AS doc_a, db AS doc_b,
-         |  i::DOUBLE / (la + lb - i)::DOUBLE AS jaccard
-         |FROM pairs
-         |WHERE i::DOUBLE / (la + lb - i)::DOUBLE >= $JaccardMinhash"""
-        .stripMargin,
+         |SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a"""
+        .stripMargin.replace("PAIRS_SQL", minhashPairsOracleSql),
+    // All-pairs exact Jaccard — the LSH plan must reproduce it exactly.
+    "llm_dedup_minhash" -> minhashPairsOracleSql,
     // All-pairs exact cross-set Jaccard — the incremental banded plan
     // must reproduce it exactly (same split: doc_id % 10 == 0 is "new").
     "llm_dedup_incremental" ->

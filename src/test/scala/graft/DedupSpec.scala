@@ -119,6 +119,36 @@ class DedupSpec extends SparkSpecBase {
     assert(out(10).head._3 == 19.0 / 27.0)
   }
 
+  test("near-dup clustering: min-label components over chain/clique/pair") {
+    val s = spark; import s.implicits._
+    // chain 1-2-3-4 (transitive dups where (1,4) never paired directly),
+    // clique 10-11-12, isolated pair 20-21
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L),
+      (10L, 11L), (11L, 12L), (10L, 12L), (20L, 21L))
+      .toDF("doc_a", "doc_b")
+    val got = Dedup.clustersOf(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
+    // fixture components agree with a driver-side union-find
+    val fixPairs = Dedup.minhashLsh(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    fixPairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val want = parent.keys.map(k => k -> find(k)).toMap
+    val gotFix = Dedup.clusters(spark, Sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(gotFix == want)
+    assert(gotFix.values.toSet.size < gotFix.size) // non-trivial clusters
+  }
+
   test("Materialize.Disk strategy reproduces the Local minhash output") {
     val s = spark; import s.implicits._
     val corpus = docs.toDF("doc_id", "text")
