@@ -180,7 +180,32 @@ object Multimodal {
       .toDF("doc_id", "frame_idx", "energy")
   }
 
+  /** Fixed-size resample width for [[resizeFeatures]]. */
+  val ResizeTarget = 8
+
+  /** Fixed-size representation per document through the [[resizeStub]]
+    * seam — the batching contract of media pipelines (variable-size
+    * blobs in, constant-width tensors out), exploded to one row per
+    * output cell so the oracle can hash-compare it. Span sums are
+    * integer-exact in doubles (bytes < 2⁵³), so the per-cell mean is
+    * bit-equal to the oracle's BIGINT-sum-then-divide.
+    */
+  def resizeFeatures(spark: SparkSession, dir: String): DataFrame = {
+    val s = spark; import s.implicits._
+    Tables(spark, dir, "documents")
+      .where(length(col("text")) > 0)
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("bin"))
+      .as[DocBin]
+      .flatMap { d =>
+        resizeStub(d.bin, ResizeTarget).iterator.zipWithIndex.map {
+          case (v, t) => (d.doc_id, t, v)
+        }
+      }
+      .toDF("doc_id", "px", "v")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "llm_mm_resize" -> resizeFeatures,
     "llm_mm_props_agg" -> propsAgg,
     "llm_mm_binary_meta" -> binaryMeta,
     "llm_mm_decode_features" -> decodeFeatures,
@@ -208,6 +233,20 @@ object Multimodal {
         |  (SELECT unnest(range(1, 2001)) AS i) ii
         |WHERE i <= len(text)
         |GROUP BY doc_id, (i - 1) % 8""".stripMargin,
+    // same span arithmetic as resizeStub, chars == bytes on the ASCII
+    // fixture (the decode oracle already pins that assumption)
+    "llm_mm_resize" ->
+      s"""SELECT doc_id, t AS px,
+         |  list_sum(list_transform(range(lo + 1, hi + 1),
+         |    i -> ord(substr(text, i::INT, 1))))::DOUBLE
+         |    / (hi - lo)::DOUBLE AS v
+         |FROM (
+         |  SELECT doc_id, text, t,
+         |    (t * len(text)) // $ResizeTarget AS lo,
+         |    greatest(((t + 1) * len(text)) // $ResizeTarget,
+         |             (t * len(text)) // $ResizeTarget + 1) AS hi
+         |  FROM documents, (SELECT unnest(range(0, $ResizeTarget)) AS t) tt
+         |  WHERE len(text) > 0)""".stripMargin,
     "llm_mm_frame_sample" ->
       s"""SELECT doc_id, f AS frame_idx,
          |  ord(substr(text, (f * $FrameStride + 1)::INT, 1))::BIGINT
