@@ -149,6 +149,17 @@ class DedupSpec extends SparkSpecBase {
     assert(gotFix.values.toSet.size < gotFix.size) // non-trivial clusters
   }
 
+  test("index cache invalidation: rebuilt entries reproduce the answer") {
+    val before = Dedup.minhashLsh(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    Dedup.invalidateIndex(spark, Sf)
+    val after = Dedup.minhashLsh(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(after == before)
+    graft.operators.Apriori.invalidateSupports(spark, Sf)
+    assert(graft.operators.Apriori.freqItemsets(spark, Sf).count() > 0)
+  }
+
   test("Materialize.Disk strategy reproduces the Local minhash output") {
     val s = spark; import s.implicits._
     val corpus = docs.toDF("doc_id", "text")
