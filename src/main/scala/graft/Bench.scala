@@ -33,7 +33,7 @@ object Bench {
     // timings on a shared host swing ±20% (identical code has measured
     // 51.5 s and 75 s), which made round-over-round comparisons noise.
     // The median of 3 discards one bad scheduling draw per query.
-    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt.max(1)
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     val samples = SparkEntry.queries.map { case (name, fn) =>
       val times = (1 to reps).map { _ =>

@@ -23,6 +23,14 @@ object Tables {
   val RequiredConf: Map[String, String] =
     Map("spark.sql.legacy.parquet.nanosAsLong" -> "true")
 
-  def apply(spark: SparkSession, dir: String, name: String): DataFrame =
+  def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
+    // Self-heal for library consumers whose session builder missed
+    // [[RequiredConf]]: set-if-unset only (idempotent constant — a
+    // concurrent duplicate write stores the same value, unlike the old
+    // unconditional per-read mutation this replaces).
+    if (name == "events") RequiredConf.foreach { case (k, v) =>
+      if (spark.conf.getOption(k).isEmpty) spark.conf.set(k, v)
+    }
     spark.read.parquet(s"$dir/$name.parquet")
+  }
 }

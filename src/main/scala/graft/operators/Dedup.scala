@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.{Materialize, Tables}
 
@@ -132,7 +133,13 @@ object Dedup {
   }
 
   /** Drop cached dedup indexes (a (session, dir) pair, a whole session
-    * with `dir = null`, or everything): unpersist + remove.
+    * with `dir = null`, or everything). The entries are
+    * localCheckpoint-backed, so this releases the REFERENCES; the
+    * checkpoint blocks themselves are reclaimed by Spark's
+    * ContextCleaner once the dropped RDDs are garbage-collected (the
+    * unpersist call covers any persist-backed strategy and is a no-op
+    * for checkpoints). After invalidation, the next query rebuilds from
+    * the current parquet state.
     */
   def invalidateIndex(spark: SparkSession = null, dir: String = null): Unit = {
     val it = indexCache.entrySet().iterator()
@@ -208,20 +215,31 @@ object Dedup {
     * persistent index — computed once, joined by every arriving batch.
     * Output: (new_doc_id, corpus_doc_id, jaccard).
     */
+  /** Shared exact-Jaccard verify: join candidate (da, db) pairs back to
+    * their full shingle sets and keep those at/above `minJ`. Every
+    * emitted value is exact int/int — the one place the contract's
+    * Jaccard arithmetic lives.
+    */
+  private def jaccardVerify(cand: DataFrame, shA: DataFrame, shB: DataFrame,
+      outA: String, outB: String, minJ: Double): DataFrame = {
+    val inter = size(array_intersect(col("A.s"), col("B.s")))
+    val union = size(col("A.s")) + size(col("B.s")) - inter
+    cand
+      .join(shA.as("A"), col("da") === col("A.doc_id"))
+      .join(shB.as("B"), col("db") === col("B.doc_id"))
+      .select(col("da").as(outA), col("db").as(outB),
+        (inter.cast("double") / union.cast("double")).as("jaccard"))
+      .where(col("jaccard") >= minJ)
+  }
+
   private def minhashAgainstFrom(shNew: DataFrame, bandsNew: DataFrame,
       shOld: DataFrame, bandsOld: DataFrame): DataFrame = {
     val cand = bandsNew.as("x").join(bandsOld.as("y"),
         col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey"))
       .select(col("x.doc_id").as("da"), col("y.doc_id").as("db"))
       .distinct()
-    val inter = size(array_intersect(col("A.s"), col("B.s")))
-    val union = size(col("A.s")) + size(col("B.s")) - inter
-    cand
-      .join(shNew.as("A"), col("da") === col("A.doc_id"))
-      .join(shOld.as("B"), col("db") === col("B.doc_id"))
-      .select(col("da").as("new_doc_id"), col("db").as("corpus_doc_id"),
-        (inter.cast("double") / union.cast("double")).as("jaccard"))
-      .where(col("jaccard") >= JaccardMinhash)
+    jaccardVerify(cand, shNew, shOld,
+      "new_doc_id", "corpus_doc_id", JaccardMinhash)
   }
 
   def minhashLshAgainst(newDocs: DataFrame, corpus: DataFrame,
@@ -253,14 +271,7 @@ object Dedup {
           && col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("da"), col("y.doc_id").as("db"))
       .distinct()
-    val inter = size(array_intersect(col("A.s"), col("B.s")))
-    val union = size(col("A.s")) + size(col("B.s")) - inter
-    cand
-      .join(sh.as("A"), col("da") === col("A.doc_id"))
-      .join(sh.as("B"), col("db") === col("B.doc_id"))
-      .select(col("da").as("doc_a"), col("db").as("doc_b"),
-        (inter.cast("double") / union.cast("double")).as("jaccard"))
-      .where(col("jaccard") >= JaccardMinhash)
+    jaccardVerify(cand, sh, sh, "doc_a", "doc_b", JaccardMinhash)
   }
 
   def minhashLshOf(corpus: DataFrame,
@@ -270,19 +281,28 @@ object Dedup {
     minhashPairsFrom(sh, bandTable(sh, mat))
   }
 
-  /** Stop-shingle doc-frequency cap for [[ngramJaccardOf]]: a 4-gram
-    * appearing in > this many docs is dropped from the inverted index
-    * before the self-join. A shingle in m docs contributes m² join rows —
-    * at 100 TB a boilerplate 4-gram is a full-blown skew key — yet a hot
-    * shingle alone cannot certify a high-Jaccard pair (it is one element
-    * of sets with dozens of shingles), so dropping it from CANDIDATE
-    * GENERATION only (the verify step still scores full shingle sets,
-    * exactly) bounds per-shingle fan-out at stopDf² while leaving every
-    * reported Jaccard value exact. Recall is lost only for pairs whose
-    * EVERY shared shingle is hot — boilerplate-only overlap, which is
-    * precisely what near-dedup should not fire on. 64 is a no-op on the
-    * fixtures (max observed doc-frequency: 6 at sf0.1), so the all-pairs
-    * oracle still hash-matches.
+  /** Hot-shingle doc-frequency threshold for [[ngramJaccardOf]]'s
+    * candidate generation. A shingle in m docs contributes m² join rows
+    * to the inverted-index self-join — at 100 TB a boilerplate 4-gram is
+    * a full-blown skew key — so postings are split by doc frequency:
+    *
+    *  - COLD shingles (df ≤ stopDf) keep the full pairwise join:
+    *    ≤ stopDf² candidates per shingle.
+    *  - HOT shingles (df > stopDf) emit only ADJACENT postings pairs
+    *    (each doc with its doc_id-successor in the posting list): m − 1
+    *    candidates — linear, never quadratic.
+    *
+    * The verify step scores FULL shingle sets, so every reported Jaccard
+    * is exact. Recall: any pair sharing ≥ 1 cold shingle is found
+    * directly. A pair whose EVERY shared shingle is hot is either
+    * boilerplate-only overlap (below threshold anyway) or part of a
+    * mass-duplicated template cluster — and there the adjacent chain
+    * links each doc to its neighbor (near-identical, so the verified
+    * Jaccard passes), keeping the cluster connected: [[clustersOf]]
+    * recovers the full component even though the direct pair list is
+    * chain-shaped rather than all-pairs for those docs. 64 is a no-op
+    * on the fixtures (max observed doc-frequency: 6 at sf0.1), so the
+    * all-pairs oracle still hash-matches.
     */
   val NgramStopDf = 64
 
@@ -305,14 +325,19 @@ object Dedup {
     */
   private[graft] def ngramCandidates(sh: DataFrame, stopDf: Int): DataFrame = {
     val ex = sh.select(col("doc_id"), explode(col("s")).as("g"))
-    val idx = ex.join(
-      ex.groupBy("g").agg(count(lit(1)).as("df"))
-        .where(col("df") <= stopDf).drop("df"),
-      Seq("g"))
-    idx.as("x").join(idx.as("y"),
+      .withColumn("df", count(lit(1)).over(Window.partitionBy("g")))
+    val cold = ex.where(col("df") <= stopDf).drop("df")
+    val coldPairs = cold.as("x").join(cold.as("y"),
         col("x.g") === col("y.g") && col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("da"), col("y.doc_id").as("db"))
-      .distinct()
+    // hot shingles: adjacent postings only — m−1 rows instead of m²;
+    // the per-shingle window is a sort of one posting list, linear
+    val hotPairs = ex.where(col("df") > stopDf)
+      .withColumn("nxt", lead(col("doc_id"), 1).over(
+        Window.partitionBy("g").orderBy("doc_id")))
+      .where(col("nxt").isNotNull)
+      .select(col("doc_id").as("da"), col("nxt").as("db"))
+    coldPairs.union(hotPairs).distinct()
   }
 
   def ngramJaccardOf(corpus: DataFrame, stopDf: Int = NgramStopDf,
@@ -321,16 +346,9 @@ object Dedup {
     // `sh` feeds the index build + both verify sides
     ngramJaccardFrom(mat(ngramShingles(corpus)), stopDf)
 
-  private def ngramJaccardFrom(sh: DataFrame, stopDf: Int): DataFrame = {
-    val inter = size(array_intersect(col("A.s"), col("B.s")))
-    val union = size(col("A.s")) + size(col("B.s")) - inter
-    ngramCandidates(sh, stopDf)
-      .join(sh.as("A"), col("da") === col("A.doc_id"))
-      .join(sh.as("B"), col("db") === col("B.doc_id"))
-      .select(col("da").as("doc_a"), col("db").as("doc_b"),
-        (inter.cast("double") / union.cast("double")).as("jaccard"))
-      .where(col("jaccard") >= JaccardNgram)
-  }
+  private def ngramJaccardFrom(sh: DataFrame, stopDf: Int): DataFrame =
+    jaccardVerify(ngramCandidates(sh, stopDf), sh, sh,
+      "doc_a", "doc_b", JaccardNgram)
 
   /** 56-bit SimHash fingerprint per doc (sign of per-bit ±1 vote over
     * md5-derived shingle hashes — computed narrow, zero shuffles), then
@@ -511,8 +529,12 @@ object Dedup {
   def applyDedupOf(corpus: DataFrame,
                    mat: Materialize.Strategy = Materialize.Local)
       : DataFrame =
+    removeVictims(corpus, minhashLshOf(corpus, mat))
+
+  /** The one removal policy: anti-join out every doc_b of a pair. */
+  private def removeVictims(corpus: DataFrame, pairs: DataFrame): DataFrame =
     corpus.join(
-      minhashLshOf(corpus, mat).select(col("doc_b").as("doc_id")).distinct(),
+      pairs.select(col("doc_b").as("doc_id")).distinct(),
       Seq("doc_id"), "left_anti")
       .select("doc_id")
 
@@ -532,6 +554,12 @@ object Dedup {
     */
   def clustersOf(pairs: DataFrame,
                  mat: Materialize.Strategy = Materialize.Local): DataFrame = {
+    // an un-cut label table would embed every previous round's plan —
+    // lineage doubles per iteration and the convergence count recomputes
+    // the whole history; this loop REQUIRES a real materialization
+    require(mat ne Materialize.None,
+      "clustersOf is iterative; Materialize.None would recompute " +
+        "exponentially growing lineage each round")
     val edges = mat(pairs.select(col("doc_a").as("a"), col("doc_b").as("b"))
       .union(pairs.select(col("doc_b").as("a"), col("doc_a").as("b")))
       .distinct())
@@ -560,10 +588,7 @@ object Dedup {
 
   def applyDedup(spark: SparkSession, dir: String): DataFrame =
     // rides the session-cached shingle/band index via minhashLsh
-    docs(spark, dir).join(
-      minhashLsh(spark, dir).select(col("doc_b").as("doc_id")).distinct(),
-      Seq("doc_id"), "left_anti")
-      .select("doc_id")
+    removeVictims(docs(spark, dir), minhashLsh(spark, dir))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "llm_dedup_apply" -> applyDedup,
@@ -605,18 +630,11 @@ object Dedup {
       .stripMargin
 
   val oracle: Map[String, String] = Map(
+    // one removal policy, one pairs contract: reuse the shared pairs SQL
     "llm_dedup_apply" ->
-      s"""WITH ${shSql(3)},
-         |pairs AS (
-         |  SELECT a.doc_id da, b.doc_id db,
-         |    len(list_intersect(a.s, b.s)) i, len(a.s) la, len(b.s) lb
-         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-         |)
-         |SELECT doc_id FROM documents
+      s"""SELECT doc_id FROM documents
          |WHERE doc_id NOT IN (
-         |  SELECT db FROM pairs
-         |  WHERE i::DOUBLE / (la + lb - i)::DOUBLE >= $JaccardMinhash)"""
-        .stripMargin,
+         |  SELECT doc_b FROM ($minhashPairsOracleSql))""".stripMargin,
     "llm_dedup_exact" ->
       """SELECT md5(text) AS content_hash, count(*) AS n_copies,
         |  min(doc_id) AS keep_doc_id

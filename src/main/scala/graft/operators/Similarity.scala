@@ -197,6 +197,7 @@ object Similarity {
         .select(col("cid"), col("pm.m").as("mean"))
         .as[(Long, Array[Double])]
         .collect().toMap
+      bc.destroy() // consumed by the collect above; don't accumulate
       cents = cents.map { case (cid, prev) =>
         (cid, means.getOrElse(cid, prev))
       }

@@ -104,11 +104,13 @@ class DedupSpec extends SparkSpecBase {
     val sh = Dedup.ngramShingles(corpus).localCheckpoint()
     // Unguarded: the hot shingle alone yields all C(102,2) pairs.
     assert(Dedup.ngramCandidates(sh, Int.MaxValue).count() == 102L * 101 / 2)
-    // Guarded (hot shingle df=102 > 10 dropped): only pairs sharing a
-    // non-boilerplate shingle survive — the planted near-dup pair.
+    // Guarded (boilerplate df=102 > 10 is hot): the hot shingle emits
+    // only its 101 ADJACENT postings pairs; the planted pair also rides
+    // its cold z-shingles (and happens to be adjacent) — candidate
+    // volume collapses from quadratic to linear.
     val guarded = Dedup.ngramCandidates(sh, 10).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
-    assert(guarded == Set((100L, 101L)))
+    assert(guarded == (0L until 101L).map(i => (i, i + 1)).toSet)
     // Output is identical with and without the guard: boilerplate-only
     // pairs sit far below the Jaccard threshold anyway, and the verify
     // step scores FULL shingle sets, so reported values stay exact.
@@ -117,6 +119,21 @@ class DedupSpec extends SparkSpecBase {
     assert(out(10) == out(Int.MaxValue))
     assert(out(10).map(t => (t._1, t._2)) == Set((100L, 101L)))
     assert(out(10).head._3 == 19.0 / 27.0)
+  }
+
+  test("mass-duplicate cluster survives the hot-shingle guard via chaining") {
+    val s = spark; import s.implicits._
+    // 100 copies of one template: EVERY shared shingle is hot, the case
+    // where dropping hot shingles outright would silently lose the core
+    // dedup target. Adjacent-chain candidates keep the cluster connected.
+    val corpus = (0 until 100).map(i =>
+      (i.toLong, "w1 w2 w3 w4 w5 w6 w7 w8")).toDF("doc_id", "text")
+    val pairs = Dedup.ngramJaccardOf(corpus, stopDf = 10)
+    val got = pairs.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.length == 99 && got.forall(_._3 == 1.0)) // the chain, exact
+    val cl = Dedup.clustersOf(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cl.size == 100 && cl.values.forall(_ == 0L)) // one full cluster
   }
 
   test("near-dup clustering: min-label components over chain/clique/pair") {
