@@ -51,4 +51,33 @@ object GeneratorProps extends Properties("graft.generators") {
       val all = Apriori.subsetKeys(items).map(_._1).toSet
       Apriori.subsetKeys(sub).map(_._1).forall(all.contains)
     }
+
+  private val binGen: Gen[Array[Byte]] =
+    Gen.choose(0, 200).flatMap(n =>
+      Gen.listOfN(n, Gen.choose(Byte.MinValue, Byte.MaxValue)))
+      .map(_.toArray)
+
+  property("resizeStub: output width is always the target") =
+    Prop.forAll(binGen, Gen.choose(1, 32)) { (bin, t) =>
+      graft.operators.Multimodal.resizeStub(bin, t).length == t
+    }
+
+  property("resizeStub: uniform input resizes to the constant") =
+    Prop.forAll(Gen.choose(1, 200), Gen.choose(1, 32),
+      Gen.choose(0, 255)) { (n, t, v) =>
+      graft.operators.Multimodal.resizeStub(
+        Array.fill[Byte](n)(v.toByte), t).forall(_ == v.toDouble)
+    }
+
+  property("resizeStub: spans partition the input when n >= target (mass preserved)") =
+    Prop.forAll(binGen.suchThat(_.length >= 32), Gen.choose(1, 32)) { (bin, t) =>
+      val out = graft.operators.Multimodal.resizeStub(bin, t)
+      val spanSum = (0 until t).map { i =>
+        val lo = (i.toLong * bin.length / t).toInt
+        val hi = math.max(((i + 1).toLong * bin.length / t).toInt, lo + 1)
+        out(i) * (hi - lo)
+      }.sum
+      spanSum == bin.map(b => (b & 0xff).toDouble).sum
+    }
+
 }
