@@ -219,6 +219,48 @@ class StreamingSpec extends SparkSpecBase {
       6L -> None))    // no prior view → null, purchase still emitted
   }
 
+  test("streaming ingestion dedup: each micro-batch checks the corpus index") {
+    // The ingestion-time dedup shape end-to-end: new documents arrive as
+    // a stream; every micro-batch runs minhashLshAgainst the persistent
+    // corpus (whose shingle/band index a real lake keeps materialized) in
+    // foreachBatch — the standard pattern for joining a stream against
+    // big batch state with full batch-API semantics.
+    import graft.operators.Dedup
+    import org.apache.spark.sql.functions.col
+    val s = spark; import s.implicits._
+    val all = graft.Tables(spark, Sf, "documents").select("doc_id", "text")
+    val corpus = all.where(col("doc_id") % 10 =!= 0).localCheckpoint()
+    val newDocs = all.where(col("doc_id") % 10 === 0)
+    val base = java.nio.file.Files.createTempDirectory("graft-ingest-")
+    newDocs.repartitionByRange(3, col("doc_id")).write.parquet(s"$base/in")
+    val found = java.util.concurrent.ConcurrentHashMap
+      .newKeySet[(Long, Long, Double)]()
+    var batches = 0
+    val q = spark.readStream
+      .schema(newDocs.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$base/in")
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        batches += 1
+        Dedup.minhashLshAgainst(batch, corpus).collect().foreach(r =>
+          found.add((r.getLong(0), r.getLong(1), r.getDouble(2))))
+        ()
+      }
+      .option("checkpointLocation", s"$base/ck")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    assert(q.awaitTermination(180000), "ingestion drain did not finish")
+    assert(batches >= 3, s"expected one batch per file, got $batches")
+    // union of per-batch results == the one-shot batch answer
+    val want = Dedup.minhashLshAgainst(newDocs, corpus).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(found.asInstanceOf[java.util.Set[(Long, Long, Double)]]
+      .size == want.size)
+    want.foreach(t => assert(found.contains(t), s"missing $t"))
+    assert(want.nonEmpty)
+  }
+
   test("file source → parquet file sink under Trigger.AvailableNow") {
     // The production sink shape: a parquet-backed stream drained with
     // AvailableNow into a parquet sink + checkpoint — the same
