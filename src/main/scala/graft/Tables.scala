@@ -25,11 +25,14 @@ object Tables {
 
   def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
     // Self-heal for library consumers whose session builder missed
-    // [[RequiredConf]]: set-if-unset only (idempotent constant — a
-    // concurrent duplicate write stores the same value, unlike the old
-    // unconditional per-read mutation this replaces).
+    // [[RequiredConf]]: write only when the effective value differs
+    // (getOption can't distinguish "unset" from the registered default,
+    // so compare values). One mutation on the first events read of a
+    // bare session, a pure read afterwards — unlike the unconditional
+    // per-read set this replaces; concurrent first reads write the same
+    // constant.
     if (name == "events") RequiredConf.foreach { case (k, v) =>
-      if (spark.conf.getOption(k).isEmpty) spark.conf.set(k, v)
+      if (!spark.conf.getOption(k).contains(v)) spark.conf.set(k, v)
     }
     spark.read.parquet(s"$dir/$name.parquet")
   }
