@@ -242,14 +242,35 @@ object Dedup {
       "new_doc_id", "corpus_doc_id", JaccardMinhash)
   }
 
-  def minhashLshAgainst(newDocs: DataFrame, corpus: DataFrame,
+  /** A corpus's precomputed minhash index: the shingle table and its
+    * banded signature table. Build once ([[buildMinhashIndex]]) with a
+    * durable [[Materialize.Strategy]], then serve every arriving batch
+    * through [[minhashLshAgainstIndex]] — the persistent-lake-index
+    * access pattern an ingestion pipeline actually runs.
+    */
+  case class MinhashIndex(sh: DataFrame, bands: DataFrame)
+
+  def buildMinhashIndex(corpus: DataFrame,
                         mat: Materialize.Strategy = Materialize.Local)
+      : MinhashIndex = {
+    val sh = shingleTable(corpus, mat)
+    MinhashIndex(sh, bandTable(sh, mat))
+  }
+
+  /** Incremental check of a new batch against a prebuilt corpus index —
+    * the index is NOT recomputed per call.
+    */
+  def minhashLshAgainstIndex(newDocs: DataFrame, idx: MinhashIndex,
+                             mat: Materialize.Strategy = Materialize.Local)
       : DataFrame = {
     val shNew = shingleTable(newDocs, mat)
-    val shOld = shingleTable(corpus, mat)
-    minhashAgainstFrom(shNew, bandTable(shNew, mat),
-      shOld, bandTable(shOld, mat))
+    minhashAgainstFrom(shNew, bandTable(shNew, mat), idx.sh, idx.bands)
   }
+
+  def minhashLshAgainst(newDocs: DataFrame, corpus: DataFrame,
+                        mat: Materialize.Strategy = Materialize.Local)
+      : DataFrame =
+    minhashLshAgainstIndex(newDocs, buildMinhashIndex(corpus, mat), mat)
 
   /** Fixture entry for [[minhashLshAgainst]]: documents with
     * doc_id ≡ 0 (mod 10) play the arriving batch, the rest the existing
@@ -288,20 +309,22 @@ object Dedup {
     *
     *  - COLD shingles (df ≤ stopDf) keep the full pairwise join:
     *    ≤ stopDf² candidates per shingle.
-    *  - HOT shingles (df > stopDf) emit only ADJACENT postings pairs
-    *    (each doc with its doc_id-successor in the posting list): m − 1
-    *    candidates — linear, never quadratic.
+    *  - HOT shingles (df > stopDf) emit only STAR pairs — each posting
+    *    with the posting list's minimum doc_id: m − 1 candidates,
+    *    linear, never quadratic, and the star keeps the induced
+    *    component's diameter at 2.
     *
     * The verify step scores FULL shingle sets, so every reported Jaccard
-    * is exact. Recall: any pair sharing ≥ 1 cold shingle is found
-    * directly. A pair whose EVERY shared shingle is hot is either
-    * boilerplate-only overlap (below threshold anyway) or part of a
-    * mass-duplicated template cluster — and there the adjacent chain
-    * links each doc to its neighbor (near-identical, so the verified
-    * Jaccard passes), keeping the cluster connected: [[clustersOf]]
-    * recovers the full component even though the direct pair list is
-    * chain-shaped rather than all-pairs for those docs. 64 is a no-op
-    * on the fixtures (max observed doc-frequency: 6 at sf0.1), so the
+    * is exact. Recall bound (explicit): any pair sharing ≥ 1 cold
+    * shingle is found directly. For pairs whose EVERY shared shingle is
+    * hot, only the star pairs are verified — a mass-duplicated template
+    * cluster is recovered in full (every copy verifies against the
+    * representative, so [[clustersOf]] yields one component), but two
+    * docs that share ≥ threshold hot shingles WITHOUT being near-dups of
+    * the posting representative are not emitted. That residue is the
+    * price of linear candidate volume; lower stopDf risk-free only for
+    * corpora whose hot shingles are true boilerplate. 64 is a no-op on
+    * the fixtures (max observed doc-frequency: 6 at sf0.1), so the
     * all-pairs oracle still hash-matches.
     */
   val NgramStopDf = 64
@@ -330,13 +353,14 @@ object Dedup {
     val coldPairs = cold.as("x").join(cold.as("y"),
         col("x.g") === col("y.g") && col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("da"), col("y.doc_id").as("db"))
-    // hot shingles: adjacent postings only — m−1 rows instead of m²;
-    // the per-shingle window is a sort of one posting list, linear
+    // hot shingles: STAR pairs (posting-minimum doc, other doc) — m−1
+    // rows instead of m², and the induced component has diameter 2, so
+    // downstream clustersOf converges in O(1) rounds (a chain topology
+    // would need O(m) sequential rounds). da < db holds by construction.
     val hotPairs = ex.where(col("df") > stopDf)
-      .withColumn("nxt", lead(col("doc_id"), 1).over(
-        Window.partitionBy("g").orderBy("doc_id")))
-      .where(col("nxt").isNotNull)
-      .select(col("doc_id").as("da"), col("nxt").as("db"))
+      .withColumn("mn", min(col("doc_id")).over(Window.partitionBy("g")))
+      .where(col("doc_id") =!= col("mn"))
+      .select(col("mn").as("da"), col("doc_id").as("db"))
     coldPairs.union(hotPairs).distinct()
   }
 

@@ -105,12 +105,13 @@ class DedupSpec extends SparkSpecBase {
     // Unguarded: the hot shingle alone yields all C(102,2) pairs.
     assert(Dedup.ngramCandidates(sh, Int.MaxValue).count() == 102L * 101 / 2)
     // Guarded (boilerplate df=102 > 10 is hot): the hot shingle emits
-    // only its 101 ADJACENT postings pairs; the planted pair also rides
-    // its cold z-shingles (and happens to be adjacent) — candidate
-    // volume collapses from quadratic to linear.
+    // only its 101 STAR pairs (posting-min doc 0 vs each other); the
+    // planted pair rides its cold z-shingles — candidate volume
+    // collapses from quadratic to linear.
     val guarded = Dedup.ngramCandidates(sh, 10).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
-    assert(guarded == (0L until 101L).map(i => (i, i + 1)).toSet)
+    assert(guarded ==
+      (1L to 101L).map(j => (0L, j)).toSet + ((100L, 101L)))
     // Output is identical with and without the guard: boilerplate-only
     // pairs sit far below the Jaccard threshold anyway, and the verify
     // step scores FULL shingle sets, so reported values stay exact.
@@ -125,12 +126,14 @@ class DedupSpec extends SparkSpecBase {
     val s = spark; import s.implicits._
     // 100 copies of one template: EVERY shared shingle is hot, the case
     // where dropping hot shingles outright would silently lose the core
-    // dedup target. Adjacent-chain candidates keep the cluster connected.
+    // dedup target. Star candidates keep the cluster connected with
+    // diameter 2 (clustersOf converges in O(1) rounds, not O(m)).
     val corpus = (0 until 100).map(i =>
       (i.toLong, "w1 w2 w3 w4 w5 w6 w7 w8")).toDF("doc_id", "text")
     val pairs = Dedup.ngramJaccardOf(corpus, stopDf = 10)
     val got = pairs.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
-    assert(got.length == 99 && got.forall(_._3 == 1.0)) // the chain, exact
+    assert(got.length == 99 && got.forall(_._3 == 1.0)) // the star, exact
+    assert(got.forall(_._1 == 0L)) // all pairs anchor on the representative
     val cl = Dedup.clustersOf(pairs).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(cl.size == 100 && cl.values.forall(_ == 0L)) // one full cluster

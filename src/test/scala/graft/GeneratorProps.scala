@@ -69,15 +69,19 @@ object GeneratorProps extends Properties("graft.generators") {
         Array.fill[Byte](n)(v.toByte), t).forall(_ == v.toDouble)
     }
 
-  property("resizeStub: spans partition the input when n >= target (mass preserved)") =
-    Prop.forAll(binGen.suchThat(_.length >= 32), Gen.choose(1, 32)) { (bin, t) =>
+  property("resizeStub: every cell is exactly its span's mean") =
+    Prop.forAll(binGen.suchThat(_.length >= 1), Gen.choose(1, 32)) { (bin, t) =>
+      // recompute each span mean with the same int-sum / double-divide
+      // order (comparing (s/len)*len to s instead would trip IEEE
+      // non-roundtripping pairs like 29/7*7 = 28.999…96)
       val out = graft.operators.Multimodal.resizeStub(bin, t)
-      val spanSum = (0 until t).map { i =>
+      (0 until t).forall { i =>
         val lo = (i.toLong * bin.length / t).toInt
         val hi = math.max(((i + 1).toLong * bin.length / t).toInt, lo + 1)
-        out(i) * (hi - lo)
-      }.sum
-      spanSum == bin.map(b => (b & 0xff).toDouble).sum
+        val s = (lo until math.min(hi, bin.length))
+          .map(j => (bin(j) & 0xff).toDouble).sum
+        out(i) == s / (hi - lo)
+      }
     }
 
 }

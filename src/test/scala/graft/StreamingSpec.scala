@@ -229,8 +229,10 @@ class StreamingSpec extends SparkSpecBase {
     import org.apache.spark.sql.functions.col
     val s = spark; import s.implicits._
     val all = graft.Tables(spark, Sf, "documents").select("doc_id", "text")
-    val corpus = all.where(col("doc_id") % 10 =!= 0).localCheckpoint()
+    val corpus = all.where(col("doc_id") % 10 =!= 0)
     val newDocs = all.where(col("doc_id") % 10 === 0)
+    // the persistent index: built ONCE, served to every micro-batch
+    val idx = Dedup.buildMinhashIndex(corpus)
     val base = java.nio.file.Files.createTempDirectory("graft-ingest-")
     newDocs.repartitionByRange(3, col("doc_id")).write.parquet(s"$base/in")
     val found = java.util.concurrent.ConcurrentHashMap
@@ -243,7 +245,7 @@ class StreamingSpec extends SparkSpecBase {
       .writeStream
       .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
         batches += 1
-        Dedup.minhashLshAgainst(batch, corpus).collect().foreach(r =>
+        Dedup.minhashLshAgainstIndex(batch, idx).collect().foreach(r =>
           found.add((r.getLong(0), r.getLong(1), r.getDouble(2))))
         ()
       }
@@ -255,8 +257,7 @@ class StreamingSpec extends SparkSpecBase {
     // union of per-batch results == the one-shot batch answer
     val want = Dedup.minhashLshAgainst(newDocs, corpus).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
-    assert(found.asInstanceOf[java.util.Set[(Long, Long, Double)]]
-      .size == want.size)
+    assert(found.size == want.size)
     want.foreach(t => assert(found.contains(t), s"missing $t"))
     assert(want.nonEmpty)
   }
