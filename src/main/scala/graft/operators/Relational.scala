@@ -216,7 +216,26 @@ object Relational {
       .withColumnRenamed("O", "qty_o")
       .withColumnRenamed("F", "qty_f")
 
+  /** Exact discrete quantiles (percentile_disc): always an actual data
+    * value — no interpolation arithmetic to diverge between engines, so
+    * the result hash-matches bit-for-bit (percentile_cont's
+    * `a + (b−a)·f` vs `(1−f)·a + f·b` formulations would not). The
+    * ordered-set aggregate runs as a regular hash aggregation per group.
+    */
+  def quantiles(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "lineitem")
+      .groupBy(col("l_returnflag").as("returnflag"))
+      .agg(
+        expr("percentile_disc(0.25) WITHIN GROUP (ORDER BY l_quantity)")
+          .as("q25"),
+        expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY l_quantity)")
+          .as("q50"),
+        expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY l_quantity)")
+          .as("q90"),
+        count(lit(1)).as("n"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "rel_quantiles" -> quantiles,
     "rel_rank_functions" -> rankFunctions,
     "rel_grouping_sets" -> groupingSetsSales,
     "rel_pivot_sales" -> pivotSales,
@@ -275,6 +294,13 @@ object Relational {
         | SELECT DISTINCT p_brand, p_size FROM part WHERE p_retailprice <= 920.0)
         |EXCEPT
         |SELECT DISTINCT p_brand, p_size FROM part WHERE p_size >= 40""".stripMargin,
+    "rel_quantiles" ->
+      """SELECT l_returnflag AS returnflag,
+        |  quantile_disc(l_quantity, 0.25) AS q25,
+        |  quantile_disc(l_quantity, 0.5) AS q50,
+        |  quantile_disc(l_quantity, 0.9) AS q90,
+        |  count(*) AS n
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
     "rel_rank_functions" ->
       """SELECT * FROM (
         |  SELECT o_orderpriority, o_orderkey, o_totalprice,
