@@ -230,6 +230,25 @@ object Apriori {
   def freqAll(spark: SparkSession, dir: String): DataFrame =
     itemsetSupports(spark, dir).select("itemset", "cnt")
 
+  /** MAXIMAL frequent itemsets — frequent itemsets with no frequent
+    * superset, the compressed representation mining pipelines report.
+    * Monotonicity collapses the superset check to one arity: if any
+    * frequent superset exists, one with exactly one more item does. So
+    * "covered" = the drop-one subsets of every frequent k ≥ 2 itemset
+    * (generated by an indexed-lambda filter, |X| strings per itemset),
+    * and maximal = frequent ∖ covered in ONE anti-join — no quadratic
+    * subset-containment join. Rides the session supports cache.
+    */
+  def maximalItemsets(spark: SparkSession, dir: String): DataFrame = {
+    val L = itemsetSupports(spark, dir) // already filtered to frequent
+    val t = split(col("itemset"), " ")
+    val covered = L.where(col("k") >= 2)
+      .select(explode(transform(sequence(lit(0), size(t) - 1),
+        i => array_join(filter(t, (_, j) => j =!= i), " "))).as("itemset"))
+      .distinct()
+    L.join(covered, Seq("itemset"), "left_anti").select("itemset", "cnt")
+  }
+
   /** Frequent k-itemsets, level-wise (classic Apriori iteration) — the
     * 100 TB path for the same answer as [[freqItemsets]]. The per-basket
     * variant enumerates all 2^n subsets of every basket in one pass; this
@@ -323,6 +342,7 @@ object Apriori {
     "apriori_freq_itemsets" -> freqItemsets,
     "apriori_freq_itemsets_lw" -> freqItemsetsLevelwise,
     "apriori_freq_all" -> freqAll,
+    "apriori_maximal" -> maximalItemsets,
     "apriori_assoc_rules" -> assocRules
   )
 
@@ -377,6 +397,20 @@ object Apriori {
       s"""WITH $subSql
          |SELECT itemset, cnt FROM supports
          |WHERE k >= 2 AND cnt >= ${Support}""".stripMargin,
+    // maximal = frequent minus the drop-one subsets of frequent k>=2
+    // itemsets (monotonicity: a frequent superset implies one of k+1)
+    "apriori_maximal" ->
+      s"""WITH $subSql,
+         |L AS (SELECT itemset, k, cnt FROM supports WHERE cnt >= ${Support}),
+         |covered AS (
+         |  SELECT DISTINCT array_to_string(
+         |    list_filter(string_split(itemset, ' '), (x, j) -> j != i),
+         |    ' ') AS itemset
+         |  FROM L, (SELECT unnest(range(1, ${MaxBasket + 1})) AS i) ii
+         |  WHERE k >= 2 AND i <= k
+         |)
+         |SELECT itemset, cnt FROM L
+         |WHERE itemset NOT IN (SELECT itemset FROM covered)""".stripMargin,
     // reference Job-2 combined stream: singletons + k-itemsets together
     "apriori_freq_all" ->
       s"""WITH $subSql

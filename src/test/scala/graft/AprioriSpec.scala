@@ -76,4 +76,18 @@ class AprioriSpec extends SparkSpecBase {
       r.getString(0).split(" ").foreach(i => assert(freq1.contains(i)))
     }
   }
+
+  test("maximal itemsets: exactly the frequent sets with no frequent superset") {
+    val freq = Apriori.freqAll(spark, Sf)
+      .collect().map(r => r.getString(0).split(" ").toSet -> r.getLong(1))
+    val freqSets = freq.map(_._1).toSet
+    val got = Apriori.maximalItemsets(spark, Sf)
+      .collect().map(r => r.getString(0).split(" ").toSet -> r.getLong(1))
+      .toMap
+    val want = freq.filter { case (s, _) =>
+      !freqSets.exists(o => s != o && s.subsetOf(o))
+    }.toMap
+    assert(got == want)
+    assert(got.nonEmpty && got.size < freq.length)
+  }
 }
