@@ -239,14 +239,39 @@ object Apriori {
     * and maximal = frequent ∖ covered in ONE anti-join — no quadratic
     * subset-containment join. Rides the session supports cache.
     */
+  /** The drop-one subsets of each frequent k ≥ 2 itemset, with the
+    * parent's support — the one-arity covering relation both
+    * [[maximalItemsets]] and [[closedItemsets]] reduce to.
+    */
+  private def dropOneCovered(L: DataFrame): DataFrame = {
+    val t = split(col("itemset"), " ")
+    L.where(col("k") >= 2)
+      .select(explode(transform(sequence(lit(0), size(t) - 1),
+        i => array_join(filter(t, (_, j) => j =!= i), " "))).as("itemset"),
+        col("cnt").as("pcnt"))
+  }
+
   def maximalItemsets(spark: SparkSession, dir: String): DataFrame = {
     val L = itemsetSupports(spark, dir) // already filtered to frequent
-    val t = split(col("itemset"), " ")
-    val covered = L.where(col("k") >= 2)
-      .select(explode(transform(sequence(lit(0), size(t) - 1),
-        i => array_join(filter(t, (_, j) => j =!= i), " "))).as("itemset"))
-      .distinct()
-    L.join(covered, Seq("itemset"), "left_anti").select("itemset", "cnt")
+    L.join(dropOneCovered(L).select("itemset").distinct(),
+        Seq("itemset"), "left_anti")
+      .select("itemset", "cnt")
+  }
+
+  /** CLOSED frequent itemsets — no superset with EQUAL support (the
+    * lossless compressed representation: all supports reconstruct from
+    * the closed sets). Same one-arity reduction as [[maximalItemsets]]:
+    * support is antitone in ⊆, so a superset of equal support exists iff
+    * a one-item-larger one does. X is closed iff max over parents'
+    * supports < supp(X) (or no parent).
+    */
+  def closedItemsets(spark: SparkSession, dir: String): DataFrame = {
+    val L = itemsetSupports(spark, dir)
+    val covered = dropOneCovered(L)
+      .groupBy("itemset").agg(max(col("pcnt")).as("maxp"))
+    L.join(covered, Seq("itemset"), "left")
+      .where(col("maxp").isNull || col("maxp") < col("cnt"))
+      .select("itemset", "cnt")
   }
 
   /** Frequent k-itemsets, level-wise (classic Apriori iteration) — the
@@ -343,6 +368,7 @@ object Apriori {
     "apriori_freq_itemsets_lw" -> freqItemsetsLevelwise,
     "apriori_freq_all" -> freqAll,
     "apriori_maximal" -> maximalItemsets,
+    "apriori_closed" -> closedItemsets,
     "apriori_assoc_rules" -> assocRules
   )
 
@@ -411,6 +437,21 @@ object Apriori {
          |)
          |SELECT itemset, cnt FROM L
          |WHERE itemset NOT IN (SELECT itemset FROM covered)""".stripMargin,
+    // closed = keep X unless some one-larger frequent superset has the
+    // SAME support (supports are antitone in subset order)
+    "apriori_closed" ->
+      s"""WITH $subSql,
+         |L AS (SELECT itemset, k, cnt FROM supports WHERE cnt >= ${Support}),
+         |covered AS (
+         |  SELECT array_to_string(
+         |    list_filter(string_split(itemset, ' '), (x, j) -> j != i),
+         |    ' ') AS itemset, max(cnt) AS maxp
+         |  FROM L, (SELECT unnest(range(1, ${MaxBasket + 1})) AS i) ii
+         |  WHERE k >= 2 AND i <= k
+         |  GROUP BY 1
+         |)
+         |SELECT L.itemset, cnt FROM L LEFT JOIN covered USING (itemset)
+         |WHERE maxp IS NULL OR maxp < cnt""".stripMargin,
     // reference Job-2 combined stream: singletons + k-itemsets together
     "apriori_freq_all" ->
       s"""WITH $subSql

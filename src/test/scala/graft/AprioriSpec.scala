@@ -90,4 +90,22 @@ class AprioriSpec extends SparkSpecBase {
     assert(got == want)
     assert(got.nonEmpty && got.size < freq.length)
   }
+
+  test("closed itemsets: no superset of equal support; maximal ⊆ closed") {
+    val freq = Apriori.freqAll(spark, Sf)
+      .collect().map(r => r.getString(0).split(" ").toSet -> r.getLong(1))
+    val got = Apriori.closedItemsets(spark, Sf)
+      .collect().map(r => r.getString(0).split(" ").toSet -> r.getLong(1))
+      .toMap
+    val want = freq.filter { case (s, c) =>
+      !freq.exists { case (o, oc) => s != o && s.subsetOf(o) && oc == c }
+    }.toMap
+    assert(got == want)
+    val maximal = Apriori.maximalItemsets(spark, Sf)
+      .collect().map(_.getString(0).split(" ").toSet).toSet
+    assert(maximal.subsetOf(got.keySet))
+    // sf0.001 happens to have every frequent set closed (1401 == 1401);
+    // compression shows at sf0.01 (12741 of 12744) — don't over-assert
+    assert(got.size <= freq.length)
+  }
 }
