@@ -230,15 +230,6 @@ object Apriori {
   def freqAll(spark: SparkSession, dir: String): DataFrame =
     itemsetSupports(spark, dir).select("itemset", "cnt")
 
-  /** MAXIMAL frequent itemsets — frequent itemsets with no frequent
-    * superset, the compressed representation mining pipelines report.
-    * Monotonicity collapses the superset check to one arity: if any
-    * frequent superset exists, one with exactly one more item does. So
-    * "covered" = the drop-one subsets of every frequent k ≥ 2 itemset
-    * (generated by an indexed-lambda filter, |X| strings per itemset),
-    * and maximal = frequent ∖ covered in ONE anti-join — no quadratic
-    * subset-containment join. Rides the session supports cache.
-    */
   /** The drop-one subsets of each frequent k ≥ 2 itemset, with the
     * parent's support — the one-arity covering relation both
     * [[maximalItemsets]] and [[closedItemsets]] reduce to.
@@ -251,6 +242,15 @@ object Apriori {
         col("cnt").as("pcnt"))
   }
 
+  /** MAXIMAL frequent itemsets — frequent itemsets with no frequent
+    * superset, the compressed representation mining pipelines report.
+    * Monotonicity collapses the superset check to one arity: if any
+    * frequent superset exists, one with exactly one more item does. So
+    * "covered" = the drop-one subsets of every frequent k ≥ 2 itemset
+    * (generated by an indexed-lambda filter, |X| strings per itemset),
+    * and maximal = frequent ∖ covered in ONE anti-join — no quadratic
+    * subset-containment join. Rides the session supports cache.
+    */
   def maximalItemsets(spark: SparkSession, dir: String): DataFrame = {
     val L = itemsetSupports(spark, dir) // already filtered to frequent
     L.join(dropOneCovered(L).select("itemset").distinct(),

@@ -104,8 +104,8 @@ class AprioriSpec extends SparkSpecBase {
     val maximal = Apriori.maximalItemsets(spark, Sf)
       .collect().map(_.getString(0).split(" ").toSet).toSet
     assert(maximal.subsetOf(got.keySet))
-    // sf0.001 happens to have every frequent set closed (1401 == 1401);
-    // compression shows at sf0.01 (12741 of 12744) — don't over-assert
-    assert(got.size <= freq.length)
+    // pin the fixture's behavior: at sf0.001 EVERY frequent set is
+    // closed (compression only shows at sf0.01: 12741 of 12744)
+    assert(got.size == freq.length)
   }
 }

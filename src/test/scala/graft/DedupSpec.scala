@@ -122,7 +122,7 @@ class DedupSpec extends SparkSpecBase {
     assert(out(10).head._3 == 19.0 / 27.0)
   }
 
-  test("mass-duplicate cluster survives the hot-shingle guard via chaining") {
+  test("mass-duplicate cluster survives the hot-shingle guard via star pairs") {
     val s = spark; import s.implicits._
     // 100 copies of one template: EVERY shared shingle is hot, the case
     // where dropping hot shingles outright would silently lose the core

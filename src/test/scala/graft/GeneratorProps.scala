@@ -69,6 +69,15 @@ object GeneratorProps extends Properties("graft.generators") {
         Array.fill[Byte](n)(v.toByte), t).forall(_ == v.toDouble)
     }
 
+  property("resizeStub: every cell lies within the input byte range") =
+    // independent of the span formula: whatever the buckets are, a mean
+    // of bytes can never leave [min, max] of the input
+    Prop.forAll(binGen.suchThat(_.length >= 1), Gen.choose(1, 32)) { (bin, t) =>
+      val vals = bin.map(b => (b & 0xff).toDouble)
+      val out = graft.operators.Multimodal.resizeStub(bin, t)
+      out.forall(v => v >= vals.min && v <= vals.max)
+    }
+
   property("resizeStub: every cell is exactly its span's mean") =
     Prop.forAll(binGen.suchThat(_.length >= 1), Gen.choose(1, 32)) { (bin, t) =>
       // recompute each span mean with the same int-sum / double-divide
