@@ -30,4 +30,22 @@ object Materialize {
 
   /** No cut at all (consumers recompute) — for single-consumer plans. */
   val None: Strategy = identity
+
+  /** Best-effort release of a table previously returned by a strategy:
+    * iterative operators ([[graft.operators.Dedup.clustersOf]]) supersede
+    * a materialized table every round, and without an explicit release the
+    * pinned blocks accumulate linearly with round count. `unpersist`
+    * covers [[Disk]] (cache-manager entries); the plan walk covers
+    * [[Local]], whose blocks belong to the checkpointed RDD behind the
+    * `LogicalRDD` leaf, not to any cache-manager entry. Safe on [[None]]
+    * output (both paths no-op).
+    */
+  def release(df: DataFrame): Unit = {
+    df.unpersist(blocking = false)
+    df.queryExecution.analyzed.foreach {
+      case l: org.apache.spark.sql.execution.LogicalRDD =>
+        l.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
+  }
 }

@@ -131,13 +131,16 @@ object Curation {
          |FROM documents
          |WHERE $uSql < $rateSql""".stripMargin,
     // the oracle uses the straightforward single global window — the
-    // two-level Spark plan must reproduce it exactly
+    // two-level Spark plan must reproduce it exactly. DuckDB widens
+    // SUM(BIGINT) OVER to HUGEINT (INT128), which the strict schema/hash
+    // gate would see as a different column type than Spark's BIGINT, so
+    // the window sum is cast back down before the shard arithmetic.
     "llm_pack_shards" ->
       s"""SELECT doc_id,
          |  len(string_split(text, ' '))::BIGINT AS n_tokens,
-         |  (SUM(len(string_split(text, ' '))::BIGINT) OVER
-         |     (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND
-         |      CURRENT ROW)
+         |  ((SUM(len(string_split(text, ' '))::BIGINT) OVER
+         |      (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND
+         |       CURRENT ROW))::BIGINT
          |   - len(string_split(text, ' '))::BIGINT) // $ShardBudget
          |    AS shard
          |FROM documents""".stripMargin,

@@ -599,8 +599,12 @@ object Dedup {
       changed = next.as("n")
         .join(labels.as("o"), col("n.id") === col("o.id"))
         .where(col("n.lbl") =!= col("o.lbl")).count()
+      // the superseded round's blocks are dead once `changed` is counted;
+      // without this, checkpoint storage grows linearly with rounds
+      Materialize.release(labels)
       labels = next
     }
+    Materialize.release(edges)
     labels.select(col("id").as("doc_id"), col("lbl").as("cluster_id"))
   }
 

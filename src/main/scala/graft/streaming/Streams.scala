@@ -190,14 +190,18 @@ object Streams {
     * events inside one [[PairWindowUs]] bucket is a scraper, and its n²
     * pair expansion is join skew, not funnel signal — events beyond the
     * cap (per user per bucket, earliest-first) are excluded from pairing.
-    * 256 is a no-op on the fixtures (max observed burst: 3 at sf0.1) so
-    * the exact all-pairs oracle still hash-matches; a production pipeline
-    * tunes it to its bot threshold or disables with Int.MaxValue.
+    * The cap is OPT-IN: `eventPairs` defaults to `Int.MaxValue` (exact
+    * all-pairs semantics) because silently dropping pairs for genuinely
+    * bursty non-bot traffic is a correctness surprise, not a guard; a
+    * production pipeline passes this (or its own bot threshold)
+    * explicitly, as the fixture query does. 256 is a no-op on the
+    * fixtures (max observed burst: 3 at sf0.1), so the capped fixture
+    * query still hash-matches the exact all-pairs oracle.
     */
   val MaxBurstPerUser = 256
 
   def eventPairs(events: DataFrame,
-      maxBurst: Int = MaxBurstPerUser): DataFrame = {
+      maxBurst: Int = Int.MaxValue): DataFrame = {
     val e = withEventTime(events)
       .select("user_id", "event_id", "ts_us", "event_type")
       .withColumn("bucket", expr(s"ts_us div $PairWindowUs"))
@@ -288,7 +292,8 @@ object Streams {
     "stream_sessions" ->
       ((s: SparkSession, d: String) => sessions(events(s, d))),
     "stream_event_pairs" ->
-      ((s: SparkSession, d: String) => eventPairs(events(s, d))),
+      ((s: SparkSession, d: String) =>
+        eventPairs(events(s, d), MaxBurstPerUser)),
     "stream_hopping_stats" ->
       ((s: SparkSession, d: String) => hoppingStats(events(s, d))),
     "stream_attribution" ->

@@ -24,6 +24,15 @@ def canon(df):
 def cell_eq(a, b):
     if a is None and b is None:
         return True
+    # The driver gate hashes typed values, so int64 vs float64 (2 vs 2.0)
+    # is a hard mismatch there — make the dev mimic just as strict instead
+    # of letting Python's cross-type `2 == 2.0` paper over it (that is
+    # exactly how the llm_pack_shards HUGEINT-vs-BIGINT divergence slipped
+    # past this script while the driver flagged it).
+    if isinstance(a, bool) != isinstance(b, bool):
+        return False
+    if isinstance(a, float) != isinstance(b, float):
+        return False
     if isinstance(a, float) and isinstance(b, float):
         if math.isnan(a) and math.isnan(b):
             return True
