@@ -20,7 +20,8 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Apriori.queries ++ Relational.queries ++ Sgd.queries ++
       TextOps.queries ++ Dedup.queries ++ Similarity.queries ++
-      Multimodal.queries ++ Streams.queries ++ Curation.queries
+      Multimodal.queries ++ Streams.queries ++ Curation.queries ++
+      Contamination.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops.
@@ -28,5 +29,6 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     Apriori.oracle ++ Relational.oracle ++ Sgd.oracle ++
       TextOps.oracle ++ Dedup.oracle ++ Similarity.oracle ++
-      Multimodal.oracle ++ Streams.oracle ++ Curation.oracle
+      Multimodal.oracle ++ Streams.oracle ++ Curation.oracle ++
+      Contamination.oracle
 }

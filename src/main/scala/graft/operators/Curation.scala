@@ -53,6 +53,68 @@ object Curation {
       .where(col("u") < rate)
   }
 
+  // ---- deterministic fixed-size per-stratum sample ----
+
+  /** Docs kept per language by [[sampleTopN]]. */
+  val TopNPerLang = 20
+
+  /** Exactly-N-per-stratum sample (vs [[sampleStratified]]'s rate-based
+    * keep): rank each language's docs by md5(doc_id) — a deterministic
+    * shuffle of the stratum — and keep the first N. The reservoir-sample
+    * use case (fixed eval slices, per-domain inspection samples) with
+    * none of reservoir sampling's run-order dependence.
+    *
+    * Scale shape: `row_number` over (lang) looks like a one-partition-
+    * per-language serialization, but Catalyst inserts WindowGroupLimit:
+    * each input partition pre-prunes to its local top-N per language
+    * BEFORE the shuffle, so exchange volume is ≤ N·|langs|·partitions
+    * rows, independent of corpus size — same plan shape the top-k
+    * similarity queries assert in PlanShapeSpec.
+    */
+  def sampleTopN(spark: SparkSession, dir: String): DataFrame =
+    sampleTopNOf(docs(spark, dir))
+
+  def sampleTopNOf(corpus: DataFrame, n: Int = TopNPerLang): DataFrame =
+    corpus.select(col("doc_id"), col("lang"),
+      md5(col("doc_id").cast("string")).as("h"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("lang").orderBy("h", "doc_id")).cast("long"))
+      .where(col("rk") <= n)
+      .select("doc_id", "lang", "rk")
+
+  // ---- language mixing weights ----
+
+  /** Additive-smoothing constant for [[mixWeights]] (in tokens). */
+  val MixSmooth = 1000L
+
+  /** Per-language corpus statistics and training mixing weights: doc and
+    * token counts, raw token share, and an additively smoothed weight
+    * (+[[MixSmooth]] tokens per language) that keeps tail languages from
+    * rounding to zero — the summary a data-mixing recipe is tuned
+    * against. One map-side-combined aggregation over the corpus plus a
+    * broadcast of the single global-totals row; every number is a BIGINT
+    * sum or an exact int/int double division, so the oracle hash-matches
+    * bit-for-bit.
+    */
+  def mixWeights(spark: SparkSession, dir: String): DataFrame =
+    mixWeightsOf(docs(spark, dir))
+
+  def mixWeightsOf(corpus: DataFrame): DataFrame = {
+    val perLang = corpus.groupBy("lang").agg(
+      count(lit(1)).as("n_docs"),
+      sum(size(split(col("text"), " ")).cast("long")).as("n_tokens"))
+    val totals = perLang.agg(
+      sum(col("n_tokens")).as("tot_tokens"),
+      count(lit(1)).as("n_langs"))
+    perLang.join(broadcast(totals))
+      .select(col("lang"), col("n_docs"), col("n_tokens"),
+        (col("n_tokens").cast("double") / col("tot_tokens").cast("double"))
+          .as("token_share"),
+        ((col("n_tokens") + MixSmooth).cast("double")
+          / (col("tot_tokens") + lit(MixSmooth) * col("n_langs"))
+            .cast("double")).as("mix_weight"))
+  }
+
   // ---- token-budget shard packing ----
 
   /** Tokens per training shard and the prefix-sum group width. */
@@ -113,6 +175,8 @@ object Curation {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "llm_sample_stratified" -> sampleStratified,
+    "llm_sample_topn" -> sampleTopN,
+    "llm_mix_weights" -> mixWeights,
     "llm_pack_shards" -> packShards,
     "llm_curate" -> curate
   )
@@ -130,6 +194,29 @@ object Curation {
       s"""SELECT doc_id, lang, $uSql AS u
          |FROM documents
          |WHERE $uSql < $rateSql""".stripMargin,
+    "llm_sample_topn" ->
+      s"""SELECT doc_id, lang, rk FROM (
+         |  SELECT doc_id, lang,
+         |    row_number() OVER (PARTITION BY lang
+         |      ORDER BY md5(doc_id::VARCHAR), doc_id) AS rk
+         |  FROM documents)
+         |WHERE rk <= $TopNPerLang""".stripMargin,
+    // sums cast back down from DuckDB's HUGEINT widening before any
+    // division so the column types (and hashes) match Spark's BIGINT
+    "llm_mix_weights" ->
+      s"""WITH pl AS (
+         |  SELECT lang, count(*)::BIGINT AS n_docs,
+         |    sum(len(string_split(text, ' ')))::BIGINT AS n_tokens
+         |  FROM documents GROUP BY lang),
+         |g AS (
+         |  SELECT sum(n_tokens)::BIGINT AS tot_tokens,
+         |    count(*)::BIGINT AS n_langs FROM pl)
+         |SELECT lang, n_docs, n_tokens,
+         |  n_tokens::DOUBLE / tot_tokens::DOUBLE AS token_share,
+         |  (n_tokens + $MixSmooth)::BIGINT::DOUBLE
+         |    / (tot_tokens + $MixSmooth * n_langs)::BIGINT::DOUBLE
+         |    AS mix_weight
+         |FROM pl, g""".stripMargin,
     // the oracle uses the straightforward single global window — the
     // two-level Spark plan must reproduce it exactly. DuckDB widens
     // SUM(BIGINT) OVER to HUGEINT (INT128), which the strict schema/hash

@@ -172,7 +172,47 @@ object TextOps {
         .as("quality_pass"))
   }
 
+  /** Repetition-based quality signals (the Gopher rules' n-gram family:
+    * "fraction of duplicate n-grams" and "fraction covered by the most
+    * common n-gram"): per-doc duplicate-bigram fraction, top-bigram
+    * fraction, and the combined gate. Boilerplate, SEO spam, and
+    * degenerate generations all light these up while the per-token stats
+    * in [[qualityScore]] stay normal.
+    *
+    * Shape: explode bigrams → (doc, bigram) count → per-doc agg. Both
+    * aggregations hash-partition with map-side partials; nothing here is
+    * per-doc quadratic, so the op scales as a plain two-level word count.
+    */
+  val DupBigramMax = 0.1
+  val TopBigramMax = 0.1
+
+  def repNgrams(spark: SparkSession, dir: String): DataFrame =
+    repNgramsOf(docs(spark, dir))
+
+  def repNgramsOf(corpus: DataFrame): DataFrame = {
+    val bigrams = transform(sequence(lit(1), size(toks) - 1),
+      i => concat_ws(" ", slice(toks, i, lit(2))))
+    val counts = corpus
+      .select(col("doc_id"), explode(bigrams).as("g"))
+      .groupBy("doc_id", "g").agg(count(lit(1)).as("cnt"))
+    val n = col("n_bigrams").cast("double")
+    counts.groupBy("doc_id").agg(
+      sum(col("cnt")).as("n_bigrams"),
+      count(lit(1)).as("n_distinct_bigrams"),
+      max(col("cnt")).as("top_bigram_n"))
+      .select(
+        col("doc_id"), col("n_bigrams"), col("n_distinct_bigrams"),
+        col("top_bigram_n"),
+        ((col("n_bigrams") - col("n_distinct_bigrams")).cast("double") / n)
+          .as("dup_bigram_frac"),
+        (col("top_bigram_n").cast("double") / n).as("top_bigram_frac"))
+      .withColumn("rep_pass",
+        col("dup_bigram_frac") <= DupBigramMax
+          && col("top_bigram_frac") <= TopBigramMax)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "llm_rep_ngrams" -> repNgrams,
     "llm_text_stats" -> textStats,
     "llm_word_count" -> wordCount,
     "llm_lang_id" -> langId,
@@ -182,6 +222,27 @@ object TextOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "llm_rep_ngrams" ->
+      s"""WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t
+         |            FROM documents),
+         |bg AS (SELECT doc_id,
+         |  unnest(list_transform(range(1, len(t)),
+         |    i -> array_to_string(list_slice(t, i, i + 1), ' '))) AS g
+         |  FROM tok),
+         |c AS (SELECT doc_id, g, count(*) AS cnt FROM bg GROUP BY 1, 2)
+         |SELECT doc_id,
+         |  sum(cnt)::BIGINT AS n_bigrams,
+         |  count(*)::BIGINT AS n_distinct_bigrams,
+         |  max(cnt)::BIGINT AS top_bigram_n,
+         |  (sum(cnt) - count(*))::BIGINT::DOUBLE / sum(cnt)::BIGINT::DOUBLE
+         |    AS dup_bigram_frac,
+         |  max(cnt)::BIGINT::DOUBLE / sum(cnt)::BIGINT::DOUBLE
+         |    AS top_bigram_frac,
+         |  ((sum(cnt) - count(*))::BIGINT::DOUBLE
+         |     / sum(cnt)::BIGINT::DOUBLE <= $DupBigramMax
+         |   AND max(cnt)::BIGINT::DOUBLE
+         |     / sum(cnt)::BIGINT::DOUBLE <= $TopBigramMax) AS rep_pass
+         |FROM c GROUP BY doc_id""".stripMargin,
     "llm_text_stats" ->
       """SELECT doc_id,
         |  len(text) AS n_chars,

@@ -1,0 +1,123 @@
+package graft
+
+import java.security.MessageDigest
+
+import graft.operators.{Contamination, Curation, TextOps}
+
+/** Round-4 pipeline operators (decontamination, repetition quality,
+  * per-stratum top-N sample, mixing weights) vs in-memory brute force on
+  * sf0.001.
+  */
+class PipelineOpsSpec extends SparkSpecBase {
+
+  private lazy val docs: Seq[(Long, String, String)] =
+    graft.Tables(spark, Sf, "documents")
+      .select("doc_id", "lang", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq
+
+  private def md5hex(s: String): String =
+    MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  private def shingles(text: String, n: Int): Set[String] = {
+    val t = text.split(" ", -1)
+    if (t.length >= n) t.sliding(n).map(_.mkString(" ")).toSet
+    else Set(text)
+  }
+
+  test("decontaminate matches brute-force eval-set n-gram overlap") {
+    val evalGrams = docs.collect {
+      case (id, _, text) if id % Contamination.EvalMod == 0 =>
+        shingles(text, Contamination.NgramWidth)
+    }.flatten.toSet
+    val want = docs.collect {
+      case (id, _, text) if id % Contamination.EvalMod != 0 =>
+        val hits = shingles(text, Contamination.NgramWidth)
+          .count(evalGrams.contains)
+        (id, (hits.toLong, hits > 0))
+    }.toMap
+    val got = Contamination.decontaminate(spark, Sf).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getBoolean(2)))).toMap
+    assert(got == want)
+    assert(got.size == docs.count(_._1 % Contamination.EvalMod != 0))
+  }
+
+  test("decontaminateOf flags a planted leak and broadcasts the eval side") {
+    import spark.implicits._
+    val train = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"), // shares a 5-gram
+      (2L, "one two three four five six seven")    // disjoint
+    ).toDF("doc_id", "text")
+    val eval = Seq(
+      (100L, "prefix alpha beta gamma delta epsilon suffix")
+    ).toDF("doc_id", "text")
+    val out = Contamination.decontaminateOf(train, eval)
+    val byId = out.collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(byId(1L) == ((1L, true)))  // "alpha beta gamma delta epsilon"
+    assert(byId(2L) == ((0L, false)))
+    // the benchmark side must broadcast: the train corpus never shuffles
+    // for the semi-join
+    assert(out.queryExecution.executedPlan.toString
+      .contains("BroadcastHashJoin"))
+  }
+
+  test("repNgrams matches brute-force bigram counting") {
+    val want = docs.map { case (id, _, text) =>
+      val t = text.split(" ", -1)
+      val bg = t.sliding(2).map(_.mkString(" ")).toSeq
+      val n = bg.size.toLong
+      val nd = bg.distinct.size.toLong
+      val top = bg.groupBy(identity).values.map(_.size).max.toLong
+      val dupFrac = (n - nd).toDouble / n.toDouble
+      val topFrac = top.toDouble / n.toDouble
+      id -> ((n, nd, top, dupFrac, topFrac,
+        dupFrac <= TextOps.DupBigramMax && topFrac <= TextOps.TopBigramMax))
+    }.toMap
+    val got = TextOps.repNgrams(spark, Sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5), r.getBoolean(6)))).toMap
+    assert(got == want)
+  }
+
+  test("sampleTopN keeps exactly min(N, stratum) docs per language," +
+    " ranked by md5") {
+    val got = Curation.sampleTopN(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val want = docs.groupBy(_._2).flatMap { case (lang, ds) =>
+      ds.map(d => (d._1, md5hex(d._1.toString)))
+        .sortBy { case (id, h) => (h, id) }
+        .take(Curation.TopNPerLang)
+        .zipWithIndex
+        .map { case ((id, _), i) => (id, lang, (i + 1).toLong) }
+    }.toSet
+    assert(got.toSet == want)
+    val perLang = got.groupBy(_._2).map { case (l, rs) => l -> rs.length }
+    val strata = docs.groupBy(_._2).map { case (l, ds) => l -> ds.size }
+    assert(perLang == strata.map { case (l, n) =>
+      l -> math.min(n, Curation.TopNPerLang)
+    })
+  }
+
+  test("mixWeights matches brute-force per-language token accounting") {
+    val perLang = docs.groupBy(_._2).map { case (lang, ds) =>
+      lang -> (ds.size.toLong,
+        ds.map(_._3.split(" ", -1).length.toLong).sum)
+    }
+    val tot = perLang.values.map(_._2).sum
+    val nl = perLang.size.toLong
+    val k = Curation.MixSmooth
+    val want = perLang.map { case (lang, (nd, nt)) =>
+      lang -> ((nd, nt, nt.toDouble / tot.toDouble,
+        (nt + k).toDouble / (tot + k * nl).toDouble))
+    }
+    val got = Curation.mixWeights(spark, Sf).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4)))).toMap
+    assert(got == want)
+    // weights are a (sub-stochastic) mixture: each in (0,1), sum ≈ 1
+    val ws = got.values.map(_._4)
+    assert(ws.forall(w => w > 0 && w < 1))
+    assert(math.abs(ws.sum - 1.0) < 1e-9)
+  }
+}
