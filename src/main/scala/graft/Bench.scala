@@ -34,11 +34,17 @@ object Bench {
     // 51.5 s and 75 s), which made round-over-round comparisons noise.
     // The median of 3 discards one bad scheduling draw per query.
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt.max(1)
+    // Dev-loop filter: comma-separated query names to bench in isolation
+    // (unset = the full contract set).
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val picked = only.fold(SparkEntry.queries)(names =>
+      SparkEntry.queries.filter { case (n, _) => names(n) })
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     // Failed reps contribute an error entry, never a timing sample —
     // mixing fast-failing wall times into the median would make an
     // intermittently failing query look fast.
-    val samples = SparkEntry.queries.map { case (name, fn) =>
+    val samples = picked.map { case (name, fn) =>
       val times = (1 to reps).flatMap { _ =>
         val t0 = System.nanoTime()
         val ok =

@@ -302,6 +302,11 @@ object Apriori {
       .localCheckpoint() // read once per level, not recomputed
     var active = freqDf.select("item")
       .collect().map(_.getString(0)).toSet
+    // tx fed freqDf (just collected) and the baskets checkpoint (eager) —
+    // its blocks are dead from here; release so repeated calls don't
+    // accumulate basket-scan copies in executor storage
+    graft.Materialize.release(tx)
+    val levels = scala.collection.mutable.ListBuffer[DataFrame]()
     var result: DataFrame = null
     var k = 2
     while (active.nonEmpty && k <= MaxBasket) {
@@ -318,15 +323,24 @@ object Apriori {
         .agg(count(lit(1)).as("cnt"))
         .where($"cnt" >= Support)
         .localCheckpoint()
+      bc.unpersist(blocking = false) // consumed by the eager checkpoint
+      levels += lk
       active = lk.select(explode(split($"itemset", " ")).as("i"))
         .distinct().collect().map(_.getString(0)).toSet
       if (active.nonEmpty)
         result = if (result == null) lk else result.union(lk)
       k += 1
     }
-    if (result == null)
-      spark.emptyDataset[(String, Long)].toDF("itemset", "cnt")
-    else result
+    // consolidate the union into ONE retained table and release the
+    // per-level checkpoints + the basket table: a call leaves behind one
+    // frequent-itemset-sized table, not O(levels) basket-scale blocks
+    val out =
+      if (result == null)
+        spark.emptyDataset[(String, Long)].toDF("itemset", "cnt")
+      else result.localCheckpoint()
+    levels.foreach(graft.Materialize.release)
+    graft.Materialize.release(baskets.toDF())
+    out
   }
 
   /** Association rules X ⇒ Y from every frequent itemset Z = X ∪ Y with

@@ -114,11 +114,12 @@ object Similarity {
   def lshTopK(spark: SparkSession, dir: String): DataFrame =
     lshTopKOf(emb(spark, dir), NumQueries)
 
-  def lshTopKOf(corpusDf: DataFrame, nQueries: Long): DataFrame = {
+  def lshTopKOf(corpusDf: DataFrame, nQueries: Long,
+      mat: graft.Materialize.Strategy = graft.Materialize.Local)
+      : DataFrame = {
     val spark = corpusDf.sparkSession
-    val buckets =
-      Hashing.srpBuckets(spark, corpusDf, LshTables, LshBits)
-        .localCheckpoint() // both sides of the bucket self-join
+    val buckets = // both sides of the bucket self-join read this table
+      mat(Hashing.srpBuckets(spark, corpusDf, LshTables, LshBits))
     val cand = buckets.as("q")
       .where(col("q.vec_id") < nQueries)
       .join(buckets.as("n"),
