@@ -211,7 +211,41 @@ object TextOps {
           && col("top_bigram_frac") <= TopBigramMax)
   }
 
+  /** Top TF-IDF terms per doc (keyword extraction / index-term
+    * selection). IDF is kept RATIONAL — score = tf·N/df, an exact
+    * integer product followed by one IEEE division — because `ln` is a
+    * libm call whose last bit Spark and DuckDB may round differently,
+    * and monotone transforms don't change the ranking anyway.
+    *
+    * Shape: explode → (doc, word) counts → word-keyed join against the
+    * vocabulary-sized df table → per-doc top-k window (WindowGroupLimit
+    * prunes to k per doc per partition before the shuffle). The df table
+    * and the 1-row corpus count are the only small sides; at 100 TB the
+    * df join is a plain hash-partitioned equi-join on word.
+    */
+  val TfidfTopK = 5
+
+  def tfidfTopTerms(spark: SparkSession, dir: String): DataFrame =
+    tfidfTopTermsOf(docs(spark, dir))
+
+  def tfidfTopTermsOf(corpus: DataFrame): DataFrame = {
+    val ex = corpus.select(col("doc_id"), explode(toks).as("word"))
+    val tf = ex.groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+    val df = ex.distinct().groupBy("word").agg(count(lit(1)).as("df"))
+    val n = corpus.agg(count(lit(1)).as("n"))
+    val score =
+      (col("tf") * col("n")).cast("double") / col("df").cast("double")
+    tf.join(df, "word").join(broadcast(n))
+      .select(col("doc_id"), col("word"), col("tf"), col("df"),
+        score.as("tfidf"))
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
+          .orderBy(col("tfidf").desc, col("word"))).cast("long"))
+      .where(col("rk") <= TfidfTopK)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "llm_tfidf_topterms" -> tfidfTopTerms,
     "llm_rep_ngrams" -> repNgrams,
     "llm_text_stats" -> textStats,
     "llm_word_count" -> wordCount,
@@ -222,6 +256,21 @@ object TextOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "llm_tfidf_topterms" ->
+      s"""WITH ex AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+         |            FROM documents),
+         |tf AS (SELECT doc_id, w, count(*)::BIGINT AS tf
+         |       FROM ex GROUP BY 1, 2),
+         |df AS (SELECT w, count(*)::BIGINT AS df
+         |       FROM (SELECT DISTINCT doc_id, w FROM ex) GROUP BY w),
+         |n AS (SELECT count(*)::BIGINT AS n FROM documents)
+         |SELECT doc_id, word, tf, df, tfidf, rk FROM (
+         |  SELECT doc_id, w AS word, tf, df,
+         |    (tf * n)::DOUBLE / df::DOUBLE AS tfidf,
+         |    row_number() OVER (PARTITION BY doc_id
+         |      ORDER BY (tf * n)::DOUBLE / df::DOUBLE DESC, w) AS rk
+         |  FROM tf JOIN df USING (w), n)
+         |WHERE rk <= $TfidfTopK""".stripMargin,
     "llm_rep_ngrams" ->
       s"""WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t
          |            FROM documents),

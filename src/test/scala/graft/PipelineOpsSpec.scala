@@ -99,6 +99,33 @@ class PipelineOpsSpec extends SparkSpecBase {
     })
   }
 
+  test("tfidfTopTerms matches brute-force tf·N/df ranking") {
+    val n = docs.size.toLong
+    val tfByDoc = docs.map { case (id, _, text) =>
+      id -> text.split(" ", -1).toSeq.groupBy(identity)
+        .map { case (w, ws) => w -> ws.size.toLong }
+    }.toMap
+    val dfByWord = tfByDoc.values.flatMap(_.keys).toSeq
+      .groupBy(identity).map { case (w, ds) => w -> ds.size.toLong }
+    val want = tfByDoc.flatMap { case (id, tfs) =>
+      tfs.toSeq
+        .map { case (w, tf) =>
+          (w, tf, dfByWord(w), tf.toDouble * n.toDouble / dfByWord(w).toDouble)
+        }
+        .sortBy { case (w, _, _, s) => (-s, w) }
+        .take(TextOps.TfidfTopK)
+        .zipWithIndex
+        .map { case ((w, tf, df, s), i) =>
+          (id, w) -> ((tf, df, s, (i + 1).toLong))
+        }
+    }
+    val got = TextOps.tfidfTopTerms(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getDouble(4), r.getLong(5)))).toMap
+    assert(got == want)
+    assert(got.count { case (_, (_, _, _, rk)) => rk == 1L } == docs.size)
+  }
+
   test("mixWeights matches brute-force per-language token accounting") {
     val perLang = docs.groupBy(_._2).map { case (lang, ds) =>
       lang -> (ds.size.toLong,
