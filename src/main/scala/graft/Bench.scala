@@ -41,6 +41,10 @@ object Bench {
     val picked = only.fold(SparkEntry.queries)(names =>
       SparkEntry.queries.filter { case (n, _) => names(n) })
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
+    // a typo'd filter name must fail loudly, not bench zero queries and
+    // report an instant success
+    only.foreach(_.diff(SparkEntry.queries.keySet)
+      .foreach(n => errors(n) = "unknown query name"))
     // Failed reps contribute an error entry, never a timing sample —
     // mixing fast-failing wall times into the median would make an
     // intermittently failing query look fast.
@@ -66,20 +70,26 @@ object Bench {
     // ~7 KB) overflowed that tail and the driver recorded parsed:null.
     // So stdout carries millisecond-rounded medians only; full-precision
     // per-rep samples go to a side file, never the console.
-    def ms(v: Double): String = f"$v%.3f"
+    def ms(v: Double): String = // Locale.ROOT: a comma-decimal default
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+      // locale would render 0,123 and break the JSON contract
     val qs = medians.map { case (k, v) => s"${q(k)}:${ms(v)}" }
       .mkString("{", ",", "}")
     val es = errors.map { case (k, v) => s"${q(k)}:${q(v.take(120))}" }
       .mkString("{", ",", "}")
     val total = if (medians.nonEmpty) medians.values.sum else 0.0
-    val ss = samples.map { case (k, ts) =>
-      s"${q(k)}:${ts.mkString("[", ",", "]")}"
-    }.mkString("{", ",", "}")
-    val samplesPath = java.nio.file.Paths.get(
-      sys.env.getOrElse("SPARK_GRAFT_BENCH_SAMPLES", "bench_samples.json"))
-    java.nio.file.Files.write(samplesPath,
-      s"""{"reps":$reps,"sf":${q(sfDir)},"samples":$ss}""".getBytes("UTF-8"))
     println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","reps":$reps,"queries":$qs,"errors":$es,"sf":"$sfDir"}""")
+    // diagnostics only, AFTER the stdout contract line and best-effort:
+    // an unwritable cwd must not turn a successful bench into a crash
+    try {
+      val ss = samples.map { case (k, ts) =>
+        s"${q(k)}:${ts.mkString("[", ",", "]")}"
+      }.mkString("{", ",", "}")
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(sys.env.getOrElse(
+          "SPARK_GRAFT_BENCH_SAMPLES", "bench_samples.json")),
+        s"""{"reps":$reps,"sf":${q(sfDir)},"samples":$ss}""".getBytes("UTF-8"))
+    } catch { case _: Throwable => () }
     if (errors.nonEmpty) { spark.stop(); sys.exit(1) }
     spark.stop()
   }

@@ -35,14 +35,33 @@ object Materialize {
     * iterative operators ([[graft.operators.Dedup.clustersOf]]) supersede
     * a materialized table every round, and without an explicit release the
     * pinned blocks accumulate linearly with round count. `unpersist`
-    * covers [[Disk]] (cache-manager entries); the plan walk covers
+    * covers [[Disk]] (cache-manager entries); the root match covers
     * [[Local]], whose blocks belong to the checkpointed RDD behind the
-    * `LogicalRDD` leaf, not to any cache-manager entry. Safe on [[None]]
-    * output (both paths no-op).
+    * plan's ROOT `LogicalRDD`, not to any cache-manager entry.
+    *
+    * Deliberately releases ONLY the table it is handed: it matches the
+    * plan root (through aliases/`toDF` projections), never walking into
+    * leaves, because a lineage-retaining plan ([[Disk]]/[[None]] output
+    * derived from checkpointed inputs) legitimately contains upstream
+    * `LogicalRDD` leaves this call does not own — e.g. the session dedup
+    * index — and unpersisting a localCheckpoint someone else still reads
+    * is unrecoverable (no lineage fallback). Safe on [[None]] output
+    * (both paths no-op).
     */
-  def release(df: DataFrame): Unit = {
-    df.unpersist(blocking = false)
-    df.queryExecution.analyzed.foreach {
+  def release(ds: org.apache.spark.sql.Dataset[_]): Unit = {
+    ds.unpersist(blocking = false)
+    var p = ds.queryExecution.analyzed
+    var unwrapping = true
+    while (unwrapping) p match {
+      case a: org.apache.spark.sql.catalyst.plans.logical.SubqueryAlias =>
+        p = a.child
+      case pr: org.apache.spark.sql.catalyst.plans.logical.Project
+          if pr.projectList.forall(
+            _.isInstanceOf[org.apache.spark.sql.catalyst.expressions.Attribute]) =>
+        p = pr.child
+      case _ => unwrapping = false
+    }
+    p match {
       case l: org.apache.spark.sql.execution.LogicalRDD =>
         l.rdd.unpersist(blocking = false)
       case _ => ()

@@ -339,7 +339,7 @@ object Apriori {
         spark.emptyDataset[(String, Long)].toDF("itemset", "cnt")
       else result.localCheckpoint()
     levels.foreach(graft.Materialize.release)
-    graft.Materialize.release(baskets.toDF())
+    graft.Materialize.release(baskets)
     out
   }
 

@@ -62,8 +62,13 @@ object Contamination {
     // row per contaminated shingle occurrence — count(*) is the hit count
     val hits = trainGrams.join(broadcast(evalGrams), "g")
       .groupBy("doc_id").agg(count(lit(1)).as("n_hit_ngrams"))
+    // hits only contains docs that actually overlap the benchmark — rare
+    // by construction (the same bounded-benchmark assumption that lets
+    // evalGrams broadcast) — so the audit left-join broadcasts it too;
+    // without the hint the post-aggregate's static size estimate would
+    // pick a sort-merge join and shuffle the full train corpus
     train.select("doc_id")
-      .join(hits, Seq("doc_id"), "left")
+      .join(broadcast(hits), Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("n_hit_ngrams"), lit(0L)).as("n_hit_ngrams"))
       .withColumn("contaminated", col("n_hit_ngrams") > 0)

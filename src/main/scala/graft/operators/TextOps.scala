@@ -190,8 +190,13 @@ object TextOps {
     repNgramsOf(docs(spark, dir))
 
   def repNgramsOf(corpus: DataFrame): DataFrame = {
-    val bigrams = transform(sequence(lit(1), size(toks) - 1),
-      i => concat_ws(" ", slice(toks, i, lit(2))))
+    // guard the degenerate <2-token doc: sequence(1, 0) DESCENDS in
+    // Spark and slice would throw; an empty array explodes to no rows,
+    // matching the oracle (DuckDB's range(1,1) is empty)
+    val bigrams = when(size(toks) >= 2,
+      transform(sequence(lit(1), size(toks) - 1),
+        i => concat_ws(" ", slice(toks, i, lit(2)))))
+      .otherwise(array().cast("array<string>"))
     val counts = corpus
       .select(col("doc_id"), explode(bigrams).as("g"))
       .groupBy("doc_id", "g").agg(count(lit(1)).as("cnt"))
@@ -231,7 +236,9 @@ object TextOps {
   def tfidfTopTermsOf(corpus: DataFrame): DataFrame = {
     val ex = corpus.select(col("doc_id"), explode(toks).as("word"))
     val tf = ex.groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
-    val df = ex.distinct().groupBy("word").agg(count(lit(1)).as("df"))
+    // tf already holds exactly one row per (doc, word): derive df from it
+    // rather than re-exploding the corpus through a second scan+distinct
+    val df = tf.groupBy("word").agg(count(lit(1)).as("df"))
     val n = corpus.agg(count(lit(1)).as("n"))
     val score =
       (col("tf") * col("n")).cast("double") / col("df").cast("double")

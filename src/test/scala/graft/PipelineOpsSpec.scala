@@ -57,9 +57,11 @@ class PipelineOpsSpec extends SparkSpecBase {
     assert(byId(1L) == ((1L, true)))  // "alpha beta gamma delta epsilon"
     assert(byId(2L) == ((0L, false)))
     // the benchmark side must broadcast: the train corpus never shuffles
-    // for the semi-join
-    assert(out.queryExecution.executedPlan.toString
-      .contains("BroadcastHashJoin"))
+    // for the semi-join, and the audit left-join must broadcast the hits
+    // table rather than sort-merge the full train side
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"))
+    assert(!plan.contains("SortMergeJoin"))
   }
 
   test("repNgrams matches brute-force bigram counting") {
@@ -97,6 +99,31 @@ class PipelineOpsSpec extends SparkSpecBase {
     assert(perLang == strata.map { case (l, n) =>
       l -> math.min(n, Curation.TopNPerLang)
     })
+  }
+
+  test("repNgramsOf drops sub-bigram docs instead of crashing") {
+    import spark.implicits._
+    val out = TextOps.repNgramsOf(
+      Seq((1L, "only"), (2L, "a b a b"), (3L, "")).toDF("doc_id", "text"))
+      .collect()
+    assert(out.map(_.getLong(0)).toSet == Set(2L))
+    val r = out.head // "a b","b a","a b": n=3, distinct=2, top=2
+    assert((r.getLong(1), r.getLong(2), r.getLong(3)) == ((3L, 2L, 2L)))
+  }
+
+  test("Materialize.release only touches the table it is handed") {
+    import spark.implicits._
+    val base = Seq(1, 2, 3).toDF("x").localCheckpoint()
+    // lineage-retaining strategy output DERIVED from the checkpoint: its
+    // plan contains base's LogicalRDD as a leaf, which release must not
+    // unpersist (a released localCheckpoint cannot recompute)
+    val derived = Materialize.Disk(base.where($"x" > 1))
+    assert(derived.count() == 2)
+    Materialize.release(derived)
+    assert(base.count() == 3) // upstream checkpoint blocks intact
+    val local = Materialize.Local(base.select($"x"))
+    Materialize.release(local) // releases its OWN root checkpoint only
+    assert(base.count() == 3)
   }
 
   test("tfidfTopTerms matches brute-force tf·N/df ranking") {
