@@ -255,7 +255,35 @@ object Similarity {
       .where(col("rank") <= TopK)
   }
 
+  /** Per-label element-wise embedding centroids — the corpus-statistics
+    * side of the embedding family (class prototypes for nearest-centroid
+    * classification / cluster summaries / drift dashboards). Plan:
+    * `posexplode` to (label, dim, v) — embarrassingly parallel — then ONE
+    * hash aggregation keyed (label, dim) with map-side partials, so the
+    * shuffle carries |labels|·dims·partitions partial rows, never the
+    * vectors. Float sums are order-dependent, so the mean uses the
+    * DECIMAL-stable recipe shared with [[Sgd.gramMatrix]]: floor(v·10¹²)
+    * is exact in doubles, sums exactly in DECIMAL(38,0), and the final
+    * two divisions are identical IEEE ops in both engines — the hash
+    * gate stays bit-stable under any partitioning.
+    */
+  def embCentroids(spark: SparkSession, dir: String): DataFrame =
+    embCentroidsOf(Tables(spark, dir, "embeddings")
+      .select(col("label"), col("embedding")))
+
+  def embCentroidsOf(vectors: DataFrame): DataFrame =
+    vectors
+      .select(col("label"),
+        posexplode(col("embedding").cast("array<double>")).as(Seq("dim", "v")))
+      .select(col("label"), col("dim").cast("long").as("dim"), col("v"))
+      .groupBy("label", "dim")
+      .agg(count(lit(1)).as("n"),
+        (sum(floor(col("v") * lit(1e12)).cast("decimal(38,0)"))
+          .cast("double") / lit(1e12) / count(lit(1)).cast("double"))
+          .as("centroid"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "llm_emb_centroids" -> embCentroids,
     "llm_sim_topk" -> bruteForceTopK,
     "llm_sim_topk_agg" -> bruteForceTopKAgg,
     "llm_sim_lsh_topk" -> lshTopK,
@@ -278,6 +306,16 @@ object Similarity {
        |) WHERE rank <= $TopK""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "llm_emb_centroids" ->
+      """SELECT label, u.i - 1 AS dim, count(*)::BIGINT AS n,
+        |  CAST(SUM(CAST(FLOOR(u.v::DOUBLE * 1e12) AS DECIMAL(38,0)))
+        |       AS DOUBLE) / 1e12 / count(*)::DOUBLE AS centroid
+        |FROM (
+        |  SELECT label,
+        |    unnest(list_transform(range(1, len(embedding) + 1),
+        |      i -> {'i': i, 'v': embedding[i]})) AS u
+        |  FROM embeddings)
+        |GROUP BY label, u.i""".stripMargin,
     "llm_sim_topk" -> topkOracleSql,
     // identical answer contract: the custom aggregate must reproduce the
     // window ranking row-for-row

@@ -153,6 +153,30 @@ class PipelineOpsSpec extends SparkSpecBase {
     assert(got.count { case (_, (_, _, _, rk)) => rk == 1L } == docs.size)
   }
 
+  test("embCentroids: brute-force parity, bit-stable under repartition") {
+    import graft.operators.Similarity
+    val rows = graft.Tables(spark, Sf, "embeddings")
+      .selectExpr("label", "cast(embedding as array<double>) e").collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1)))
+    val want = rows.groupBy(_._1).flatMap { case (label, vs) =>
+      vs.head._2.indices.map { d =>
+        val scaled = vs.map(v => math.floor(v._2(d) * 1e12).toLong).sum
+        (label, d.toLong) ->
+          ((vs.size.toLong, scaled.toDouble / 1e12 / vs.size.toDouble))
+      }
+    }
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Similarity.embCentroidsOf(df).collect()
+        .map(r => (r.getInt(0), r.getLong(1)) ->
+          ((r.getLong(2), r.getDouble(3)))).toMap
+    val base = graft.Tables(spark, Sf, "embeddings")
+      .select("label", "embedding")
+    val got = run(base)
+    assert(got == want)
+    // the DECIMAL-stable sum is the point: any partitioning, same bits
+    assert(run(base.repartition(7)) == got)
+  }
+
   test("mixWeights matches brute-force per-language token accounting") {
     val perLang = docs.groupBy(_._2).map { case (lang, ds) =>
       lang -> (ds.size.toLong,
