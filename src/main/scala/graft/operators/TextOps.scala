@@ -251,7 +251,48 @@ object TextOps {
       .where(col("rk") <= TfidfTopK)
   }
 
+  /** KMV (K-minimum-values) distinct-count sketch, per language: estimate
+    * the vocabulary size from the K smallest md5-derived token hashes —
+    * est = (K−1)/u₍K₎ (Bar-Yossef et al.'s KMV estimator), falling back
+    * to the exact count when a stratum has fewer than K distinct tokens.
+    * Unlike HLL this sketch is DETERMINISTIC given the hash, so the
+    * DuckDB oracle reproduces it bit-for-bit — the approximation itself
+    * is verified, not hand-waved — and the per-language exact count sits
+    * alongside for error inspection.
+    *
+    * Scale shape: the (lang, token) distinct is the one corpus-scale
+    * shuffle (map-side partial dedup); the K-th order statistic then
+    * moves ≤ K rows per language per partition (WindowGroupLimit prunes
+    * the rank window map-side). A production variant replaces the window
+    * with a bounded min-K heap aggregate ([[graft.functions.TopKAgg]]'s
+    * shape) — same answer, same O(groups·K) shuffle bound.
+    */
+  val KmvK = 64
+
+  def distinctKmv(spark: SparkSession, dir: String): DataFrame =
+    distinctKmvOf(docs(spark, dir))
+
+  def distinctKmvOf(corpus: DataFrame): DataFrame = {
+    val tokens = corpus.select(col("lang"), explode(toks).as("w")).distinct()
+    val hashed = tokens.withColumn("u",
+      conv(substring(md5(col("w")), 1, 8), 16, 10).cast("long")
+        / lit(4294967296.0)) // 2³² — exact binary division
+    val kth = hashed
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("lang")
+          .orderBy("u", "w")))
+      .where(col("rk") === KmvK)
+      .select(col("lang"), col("u").as("uk"))
+    tokens.groupBy("lang").agg(count(lit(1)).as("n_exact"))
+      .join(kth, Seq("lang"), "left")
+      .select(col("lang"), col("n_exact"),
+        when(col("uk").isNull, col("n_exact").cast("double"))
+          .otherwise(lit((KmvK - 1).toDouble) / col("uk"))
+          .as("est_distinct"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "llm_distinct_kmv" -> distinctKmv,
     "llm_tfidf_topterms" -> tfidfTopTerms,
     "llm_rep_ngrams" -> repNgrams,
     "llm_text_stats" -> textStats,
@@ -263,6 +304,22 @@ object TextOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "llm_distinct_kmv" ->
+      s"""WITH t AS (SELECT DISTINCT lang, w FROM (
+         |  SELECT lang, unnest(string_split(text, ' ')) AS w
+         |  FROM documents)),
+         |h AS (SELECT lang, w,
+         |  ('0x' || substr(md5(w), 1, 8))::BIGINT::DOUBLE / 4294967296.0 AS u
+         |  FROM t),
+         |k AS (SELECT lang, u AS uk FROM (
+         |  SELECT lang, u, w, row_number() OVER (PARTITION BY lang
+         |    ORDER BY u, w) AS rk FROM h)
+         |  WHERE rk = $KmvK),
+         |x AS (SELECT lang, count(*)::BIGINT AS n_exact FROM t GROUP BY lang)
+         |SELECT x.lang, n_exact,
+         |  CASE WHEN uk IS NULL THEN n_exact::DOUBLE
+         |       ELSE ${(KmvK - 1).toDouble} / uk END AS est_distinct
+         |FROM x LEFT JOIN k ON x.lang = k.lang""".stripMargin,
     "llm_tfidf_topterms" ->
       s"""WITH ex AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
          |            FROM documents),

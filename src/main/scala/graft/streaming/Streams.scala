@@ -283,6 +283,29 @@ object Streams {
         col("view_id"), (col("ts_us") - col("view_ts")).as("lag_us"))
   }
 
+  /** First-touch per (user, event_type): the streaming-deduplication
+    * shape — an ingestion pipeline keeps one record per key and drops
+    * the rest. Expressed as a keyed min-aggregate over
+    * `struct(ts_us, event_id)` (lexicographic arg-min, deterministic
+    * tiebreak) rather than `dropDuplicates` so batch and streaming give
+    * the SAME answer: streaming `dropDuplicates` keeps the first row to
+    * ARRIVE, which under out-of-order delivery is not the event-time
+    * first. In streaming the watermark bounds state (keys idle past it
+    * finalize); in batch the oracle checks it exactly. One map-side-
+    * combined shuffle on the key — the 100 TB shape of "keep the
+    * earliest".
+    */
+  def firstTouch(events: DataFrame,
+      watermark: Option[String] = None): DataFrame = {
+    val e = withEventTime(events)
+    val w = watermark.fold(e)(e.withWatermark("ts_ts", _))
+    w.groupBy(col("user_id"), col("event_type"))
+      .agg(min(struct(col("ts_us"), col("event_id"))).as("f"))
+      .select(col("user_id"), col("event_type"),
+        col("f.ts_us").as("first_ts_us"),
+        col("f.event_id").as("first_event_id"))
+  }
+
   private def events(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir, "events")
 
@@ -296,6 +319,8 @@ object Streams {
         eventPairs(events(s, d), MaxBurstPerUser)),
     "stream_hopping_stats" ->
       ((s: SparkSession, d: String) => hoppingStats(events(s, d))),
+    "stream_first_touch" ->
+      ((s: SparkSession, d: String) => firstTouch(events(s, d))),
     "stream_attribution" ->
       ((s: SparkSession, d: String) => {
         val e = events(s, d)
@@ -313,6 +338,14 @@ object Streams {
   )
 
   val oracle: Map[String, String] = Map(
+    "stream_first_touch" ->
+      """SELECT user_id, event_type, first_ts_us, first_event_id FROM (
+        |  SELECT user_id, event_type,
+        |    epoch_us(ts) AS first_ts_us, event_id AS first_event_id,
+        |    row_number() OVER (PARTITION BY user_id, event_type
+        |      ORDER BY epoch_us(ts), event_id) AS rn
+        |  FROM events)
+        |WHERE rn = 1""".stripMargin,
     "stream_tumbling_stats" ->
       """SELECT time_bucket(INTERVAL 1 HOUR, ts) AS win_start, event_type,
         |  count(*) AS n_events,

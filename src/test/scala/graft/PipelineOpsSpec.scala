@@ -153,6 +153,30 @@ class PipelineOpsSpec extends SparkSpecBase {
     assert(got.count { case (_, (_, _, _, rk)) => rk == 1L } == docs.size)
   }
 
+  test("distinctKmv matches brute force; estimate lands near exact") {
+    def u(w: String): Double =
+      java.lang.Long.parseLong(md5hex(w).take(8), 16).toDouble / 4294967296.0
+    val want = docs.groupBy(_._2).map { case (lang, ds) =>
+      val vocab = ds.flatMap(_._3.split(" ", -1)).distinct
+      val n = vocab.size.toLong
+      val est =
+        if (n < TextOps.KmvK) n.toDouble
+        else {
+          val uk = vocab.map(w => (u(w), w)).sorted.apply(TextOps.KmvK - 1)._1
+          (TextOps.KmvK - 1).toDouble / uk
+        }
+      lang -> ((n, est))
+    }
+    val got = TextOps.distinctKmv(spark, Sf).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(got == want)
+    // the estimator should actually estimate: within ±50% of exact
+    // (k=64 ⇒ ~13% relative error, 50% is a loose determinism-proof band)
+    got.values.foreach { case (n, est) =>
+      assert(est > n * 0.5 && est < n * 1.5, s"estimate $est vs exact $n")
+    }
+  }
+
   test("embCentroids: brute-force parity, bit-stable under repartition") {
     import graft.operators.Similarity
     val rows = graft.Tables(spark, Sf, "embeddings")

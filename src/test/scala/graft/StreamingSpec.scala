@@ -120,6 +120,35 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("first-touch dedup keeps the event-time first under out-of-order arrival") {
+    val s = spark; import s.implicits._
+    implicit val ctx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val q = Streams.firstTouch(mem.toDF(), Some("2 hours"))
+      .writeStream.format("memory").queryName("first_touch_test")
+      .outputMode("complete").start()
+    try {
+      val wave1 = Seq(ev(10, 2 * HourNs), ev(11, 3 * HourNs, typ = "view"))
+      // wave2 arrives LATER but carries an EARLIER event for the same
+      // key — dropDuplicates would wrongly keep event 10; the min-agg
+      // must revise first-touch to event 12
+      val wave2 = Seq(ev(12, 1 * HourNs))
+      mem.addData(wave1: _*)
+      q.processAllAvailable()
+      mem.addData(wave2: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("first_touch_test").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+        .toSet
+      val batch = Streams.firstTouch((wave1 ++ wave2).toDF(), None).collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+        .toSet
+      assert(streamed == batch)
+      assert(streamed.exists { case (_, t, _, id) =>
+        t == "click" && id == 12L })
+    } finally q.stop()
+  }
+
   test("stream-stream interval join attributes purchases to views") {
     val s = spark; import s.implicits._
     implicit val ctx = spark.sqlContext
