@@ -238,11 +238,13 @@ object TextOps {
     * libm call whose last bit Spark and DuckDB may round differently,
     * and monotone transforms don't change the ranking anyway.
     *
-    * Shape: explode → (doc, word) counts → word-keyed join against the
-    * vocabulary-sized df table → per-doc top-k window (WindowGroupLimit
-    * prunes to k per doc per partition before the shuffle). The df table
-    * and the 1-row corpus count are the only small sides; at 100 TB the
-    * df join is a plain hash-partitioned equi-join on word.
+    * Shape: term frequencies are row-local, so tf comes from the same
+    * zero-shuffle typed kernel pattern as [[repNgramsOf]] (one hash-map
+    * pass per doc) instead of an explode + corpus-volume (doc, word)
+    * shuffle; the remaining exchanges are the ones the semantics force —
+    * the vocabulary-sized df aggregation, the word-keyed df join, and
+    * the per-doc top-k window (WindowGroupLimit prunes to k per doc per
+    * partition before it shuffles). The 1-row corpus count broadcasts.
     */
   val TfidfTopK = 5
 
@@ -250,10 +252,17 @@ object TextOps {
     tfidfTopTermsOf(docs(spark, dir))
 
   def tfidfTopTermsOf(corpus: DataFrame): DataFrame = {
-    val ex = corpus.select(col("doc_id"), explode(toks).as("word"))
-    val tf = ex.groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
-    // tf already holds exactly one row per (doc, word): derive df from it
-    // rather than re-exploding the corpus through a second scan+distinct
+    val s = corpus.sparkSession; import s.implicits._
+    val tf = corpus.select(col("doc_id"), toks.as("t"))
+      .as[(Long, Seq[String])]
+      .mapPartitions(_.flatMap { case (id, t) =>
+        val m = new scala.collection.mutable.HashMap[String, Long]
+        t.foreach(w => m.update(w, m.getOrElse(w, 0L) + 1))
+        m.iterator.map { case (w, c) => (id, w, c) }
+      })
+      .toDF("doc_id", "word", "tf")
+    // tf holds exactly one row per (doc, word): df derives from it
+    // without touching the corpus again
     val df = tf.groupBy("word").agg(count(lit(1)).as("df"))
     val n = corpus.agg(count(lit(1)).as("n"))
     val score =
