@@ -1,0 +1,34 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** The DECIMAL-stable double summation shared by every operator whose
+  * float aggregate must hash-match the DuckDB oracle under ANY
+  * partitioning ([[graft.operators.Sgd.gramMatrix]],
+  * [[graft.operators.Similarity.embCentroidsOf]]).
+  *
+  * Per-row quantization happens in PURE double arithmetic —
+  * floor(x·10¹²) is exact and bit-identical in any engine as long as
+  * |x|·10¹² < 2⁵³ (true for all users: inputs are unit-scale features /
+  * embedding coordinates) — then the integers sum exactly in
+  * DECIMAL(38,0), making the reduction order-independent, and one final
+  * division restores the scale. A direct double→DECIMAL(p,s) cast is
+  * NOT portable: Spark rounds the shortest decimal string (Java
+  * `BigDecimal(double.toString)`), DuckDB the exact binary expansion,
+  * and the two disagree on near-half digit patterns (~1e-12 per
+  * affected row — measured 4.2e-11 drift on the sf0.01 moment vector,
+  * i.e. dozens of rows per 60k). Keep the Column and SQL forms in
+  * lockstep — they are two spellings of one numeric contract.
+  */
+object StableSum {
+
+  /** Order-independent Σc, exact while |c|·10¹² < 2⁵³. */
+  def dsum(c: Column): Column =
+    sum(floor(c * lit(1e12)).cast("decimal(38,0)")).cast("double") /
+      lit(1e12)
+
+  /** The identical reduction in DuckDB SQL, for oracle queries. */
+  def dsumSql(t: String): String =
+    s"CAST(SUM(CAST(FLOOR(($t) * 1e12) AS DECIMAL(38,0))) AS DOUBLE) / 1e12"
+}

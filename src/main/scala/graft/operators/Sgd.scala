@@ -179,17 +179,9 @@ object Sgd {
     val x = Seq(lit(1.0), $"l_quantity" / 50.0,
       $"l_extendedprice" / 100000.0, $"l_tax")
     val y = $"l_extendedprice" * (lit(1.0) - $"l_discount") / lit(100000.0)
-    // Per-row quantization happens in PURE double arithmetic —
-    // floor(t·10¹²) is exact and bit-identical in any engine (t ≤ ~1.2,
-    // so t·10¹² < 2⁵³) — then the integers sum exactly in DECIMAL(38,0).
-    // A direct double→DECIMAL(p,s) cast is NOT portable: Spark rounds
-    // the shortest decimal string (Java BigDecimal.decimal), DuckDB the
-    // exact binary expansion, and the two disagree on near-half digit
-    // patterns (~1e-12 per affected row — measured 4.2e-11 drift on the
-    // sf0.01 moment vector, i.e. dozens of rows per 60k).
-    def dsum(c: Column): Column =
-      (sum(floor(c * lit(1e12)).cast("decimal(38,0)")).cast("double") /
-        lit(1e12))
+    // order-independent exact reduction; see graft.functions.StableSum
+    // for why a direct double→DECIMAL cast would NOT be portable
+    def dsum(c: Column): Column = graft.functions.StableSum.dsum(c)
     val gram = for { i <- 0 until 4; j <- i until 4 }
       yield dsum(x(i) * x(j)).as(s"g_${i}${j}")
     val mom = (0 until 4).map(i => dsum(x(i) * y).as(s"b_$i"))
@@ -220,8 +212,7 @@ object Sgd {
     val xs = Seq("1.0", "(l_quantity / 50.0)", "(l_extendedprice / 100000.0)",
       "l_tax")
     val y = "(l_extendedprice * (1.0 - l_discount) / 100000.0)"
-    def dsum(t: String) =
-      s"CAST(SUM(CAST(FLOOR(($t) * 1e12) AS DECIMAL(38,0))) AS DOUBLE) / 1e12"
+    def dsum(t: String) = graft.functions.StableSum.dsumSql(t)
     val cols =
       (for { i <- 0 until 4; j <- i until 4 } yield
         s"${dsum(s"${xs(i)} * ${xs(j)}")} AS g_$i$j") ++

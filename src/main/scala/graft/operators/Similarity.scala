@@ -278,9 +278,8 @@ object Similarity {
       .select(col("label"), col("dim").cast("long").as("dim"), col("v"))
       .groupBy("label", "dim")
       .agg(count(lit(1)).as("n"),
-        (sum(floor(col("v") * lit(1e12)).cast("decimal(38,0)"))
-          .cast("double") / lit(1e12) / count(lit(1)).cast("double"))
-          .as("centroid"))
+        (graft.functions.StableSum.dsum(col("v"))
+          / count(lit(1)).cast("double")).as("centroid"))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "llm_emb_centroids" -> embCentroids,
@@ -307,9 +306,9 @@ object Similarity {
 
   val oracle: Map[String, String] = Map(
     "llm_emb_centroids" ->
-      """SELECT label, u.i - 1 AS dim, count(*)::BIGINT AS n,
-        |  CAST(SUM(CAST(FLOOR(u.v::DOUBLE * 1e12) AS DECIMAL(38,0)))
-        |       AS DOUBLE) / 1e12 / count(*)::DOUBLE AS centroid
+      s"""SELECT label, u.i - 1 AS dim, count(*)::BIGINT AS n,
+        |  ${graft.functions.StableSum.dsumSql("u.v::DOUBLE")}
+        |    / count(*)::DOUBLE AS centroid
         |FROM (
         |  SELECT label,
         |    unnest(list_transform(range(1, len(embedding) + 1),

@@ -204,7 +204,9 @@ object TextOps {
     val facts = corpus.select(col("doc_id"), toks.as("t"))
       .as[(Long, Seq[String])]
       .mapPartitions(_.flatMap { case (id, t) =>
-        if (t.length < 2) Iterator.empty
+        // null text decodes to a null Seq; the replaced column form
+        // produced no rows for such docs — keep that contract
+        if (t == null || t.length < 2) Iterator.empty
         else {
           val m = new scala.collection.mutable.HashMap[String, Long]
           var top = 0L
@@ -256,9 +258,12 @@ object TextOps {
     val tf = corpus.select(col("doc_id"), toks.as("t"))
       .as[(Long, Seq[String])]
       .mapPartitions(_.flatMap { case (id, t) =>
-        val m = new scala.collection.mutable.HashMap[String, Long]
-        t.foreach(w => m.update(w, m.getOrElse(w, 0L) + 1))
-        m.iterator.map { case (w, c) => (id, w, c) }
+        if (t == null) Iterator.empty // null text → no terms (explode contract)
+        else {
+          val m = new scala.collection.mutable.HashMap[String, Long]
+          t.foreach(w => m.update(w, m.getOrElse(w, 0L) + 1))
+          m.iterator.map { case (w, c) => (id, w, c) }
+        }
       })
       .toDF("doc_id", "word", "tf")
     // tf holds exactly one row per (doc, word): df derives from it

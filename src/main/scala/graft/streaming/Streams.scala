@@ -290,10 +290,20 @@ object Streams {
     * tiebreak) rather than `dropDuplicates` so batch and streaming give
     * the SAME answer: streaming `dropDuplicates` keeps the first row to
     * ARRIVE, which under out-of-order delivery is not the event-time
-    * first. In streaming the watermark bounds state (keys idle past it
-    * finalize); in batch the oracle checks it exactly. One map-side-
-    * combined shuffle on the key — the 100 TB shape of "keep the
-    * earliest".
+    * first. One map-side-combined shuffle on the key; the batch form is
+    * what the oracle checks exactly.
+    *
+    * Streaming honesty note: the grouping key carries no event-time
+    * column, so the watermark does NOT evict per-key state or finalize
+    * keys for append mode — it only bounds how LATE a revision may
+    * arrive (later rows are dropped at the source). Run it in update
+    * mode with state sized to the live key cardinality — the true cost
+    * of exact first-touch over an unbounded stream. When arrival-order
+    * first within a horizon is acceptable, Spark's
+    * `dropDuplicatesWithinWatermark` is the bounded-state alternative;
+    * exact event-time first with eviction would be a
+    * `flatMapGroupsWithState` with an event-time timeout (the
+    * [[sessionizeStateful]] pattern).
     */
   def firstTouch(events: DataFrame,
       watermark: Option[String] = None): DataFrame = {

@@ -101,12 +101,17 @@ class PipelineOpsSpec extends SparkSpecBase {
     })
   }
 
-  test("repNgramsOf drops sub-bigram docs instead of crashing") {
+  test("repNgramsOf drops sub-bigram and null docs instead of crashing") {
     import spark.implicits._
     val out = TextOps.repNgramsOf(
-      Seq((1L, "only"), (2L, "a b a b"), (3L, "")).toDF("doc_id", "text"))
+      Seq((1L, "only"), (2L, "a b a b"), (3L, ""), (4L, null: String))
+        .toDF("doc_id", "text"))
       .collect()
     assert(out.map(_.getLong(0)).toSet == Set(2L))
+    // the tfidf kernel shares the null contract: null text → no terms
+    assert(TextOps.tfidfTopTermsOf(
+      Seq((1L, "x y"), (2L, null: String)).toDF("doc_id", "text"))
+      .collect().map(_.getLong(0)).toSet == Set(1L))
     val r = out.head // "a b","b a","a b": n=3, distinct=2, top=2
     assert((r.getLong(1), r.getLong(2), r.getLong(3)) == ((3L, 2L, 2L)))
   }

@@ -124,6 +124,9 @@ class StreamingSpec extends SparkSpecBase {
     val s = spark; import s.implicits._
     implicit val ctx = spark.sqlContext
     val mem = MemoryStream[Ev]
+    // complete mode: a non-event-time-keyed aggregation never finalizes
+    // for append (see the firstTouch scaladoc's streaming honesty note) —
+    // the memory sink's full table is the per-key state being revised
     val q = Streams.firstTouch(mem.toDF(), Some("2 hours"))
       .writeStream.format("memory").queryName("first_touch_test")
       .outputMode("complete").start()
