@@ -84,4 +84,28 @@ class PlanShapeSpec extends SparkSpecBase {
     val p = finalPlan(graft.operators.Curation.sampleStratified(spark, Sf))
     assert(!p.contains("Exchange"), s"sampling plan shuffles:\n$p")
   }
+
+  test("repetition stats are a pure scan: per-doc kernel, no exchange") {
+    val p = finalPlan(graft.operators.TextOps.repNgrams(spark, Sf))
+    assert(!p.contains("Exchange"), s"per-doc stat plan shuffles:\n$p")
+  }
+
+  test("per-stratum top-N sample prunes map-side via WindowGroupLimit") {
+    val p = finalPlan(graft.operators.Curation.sampleTopN(spark, Sf))
+    assert(p.contains("WindowGroupLimit"), p)
+  }
+
+  test("tfidf: top-k window prunes map-side; no corpus-side explode shuffle") {
+    val p = finalPlan(graft.operators.TextOps.tfidfTopTerms(spark, Sf))
+    assert(p.contains("WindowGroupLimit"), p)
+    // the semantics force three exchanges (df agg, word join, doc
+    // window); the kernel must NOT add a fourth for the tf counts
+    assert("ShuffleQueryStage".r.findAllIn(p).size <= 3, p)
+  }
+
+  test("embedding centroids partially aggregate before their one exchange") {
+    val p = finalPlan(graft.operators.Similarity.embCentroids(spark, Sf))
+    assert("ShuffleQueryStage".r.findAllIn(p).size == 1, p)
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+  }
 }
