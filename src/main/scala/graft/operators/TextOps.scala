@@ -196,30 +196,34 @@ object TextOps {
   def repNgrams(spark: SparkSession, dir: String): DataFrame =
     repNgramsOf(docs(spark, dir))
 
+  /** Row-local bigram facts (total, distinct, max multiplicity) in one
+    * hash-map pass; None for null / sub-bigram docs (the no-output-row
+    * contract). Pure — property-tested against a naive recount.
+    */
+  private[graft] def bigramFacts(t: Seq[String]): Option[(Long, Long, Long)] =
+    if (t == null || t.length < 2) None
+    else {
+      val m = new scala.collection.mutable.HashMap[String, Long]
+      var top = 0L
+      var i = 0
+      while (i < t.length - 1) {
+        val g = t(i) + " " + t(i + 1)
+        val c = m.getOrElse(g, 0L) + 1
+        m.update(g, c)
+        if (c > top) top = c
+        i += 1
+      }
+      Some(((t.length - 1).toLong, m.size.toLong, top))
+    }
+
   def repNgramsOf(corpus: DataFrame): DataFrame = {
     val s = corpus.sparkSession; import s.implicits._
-    // typed per-row kernel (one open-addressing pass per doc): bigram
-    // counts are row-local, so this is a pure scan — docs shorter than
-    // two tokens produce no row, matching the oracle's empty range()
+    // typed per-row kernel: bigram counts are row-local, so this is a
+    // pure scan — no shuffle anywhere (asserted in PlanShapeSpec)
     val facts = corpus.select(col("doc_id"), toks.as("t"))
       .as[(Long, Seq[String])]
       .mapPartitions(_.flatMap { case (id, t) =>
-        // null text decodes to a null Seq; the replaced column form
-        // produced no rows for such docs — keep that contract
-        if (t == null || t.length < 2) Iterator.empty
-        else {
-          val m = new scala.collection.mutable.HashMap[String, Long]
-          var top = 0L
-          var i = 0
-          while (i < t.length - 1) {
-            val g = t(i) + " " + t(i + 1)
-            val c = m.getOrElse(g, 0L) + 1
-            m.update(g, c)
-            if (c > top) top = c
-            i += 1
-          }
-          Iterator((id, (t.length - 1).toLong, m.size.toLong, top))
-        }
+        bigramFacts(t).map { case (n, nd, top) => (id, n, nd, top) }
       })
       .toDF("doc_id", "n_bigrams", "n_distinct_bigrams", "top_bigram_n")
     val n = col("n_bigrams").cast("double")
@@ -253,17 +257,23 @@ object TextOps {
   def tfidfTopTerms(spark: SparkSession, dir: String): DataFrame =
     tfidfTopTermsOf(docs(spark, dir))
 
+  /** Row-local term frequencies; empty for null text (the explode
+    * contract). Pure — property-tested.
+    */
+  private[graft] def termFreqs(t: Seq[String]): Iterator[(String, Long)] =
+    if (t == null) Iterator.empty
+    else {
+      val m = new scala.collection.mutable.HashMap[String, Long]
+      t.foreach(w => m.update(w, m.getOrElse(w, 0L) + 1))
+      m.iterator
+    }
+
   def tfidfTopTermsOf(corpus: DataFrame): DataFrame = {
     val s = corpus.sparkSession; import s.implicits._
     val tf = corpus.select(col("doc_id"), toks.as("t"))
       .as[(Long, Seq[String])]
       .mapPartitions(_.flatMap { case (id, t) =>
-        if (t == null) Iterator.empty // null text → no terms (explode contract)
-        else {
-          val m = new scala.collection.mutable.HashMap[String, Long]
-          t.foreach(w => m.update(w, m.getOrElse(w, 0L) + 1))
-          m.iterator.map { case (w, c) => (id, w, c) }
-        }
+        termFreqs(t).map { case (w, c) => (id, w, c) }
       })
       .toDF("doc_id", "word", "tf")
     // tf holds exactly one row per (doc, word): df derives from it
