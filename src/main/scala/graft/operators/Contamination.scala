@@ -36,16 +36,10 @@ object Contamination {
   private def docs(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir, "documents").select("doc_id", "text")
 
-  private val toks: Column = split(col("text"), " ")
-
-  /** Distinct word n-gram shingles (whole text for degenerate docs
-    * shorter than n tokens — same convention as [[Dedup]]).
+  /** Distinct word n-gram shingles — the [[Shingles]] convention shared
+    * with [[Dedup]]'s indexes.
     */
-  private def shingles(n: Int): Column =
-    when(size(toks) >= n,
-      array_distinct(transform(sequence(lit(1), size(toks) - (n - 1)),
-        i => concat_ws(" ", slice(toks, i, lit(n))))))
-      .otherwise(array(col("text")))
+  private def shingles(n: Int): Column = Shingles.shingles(n)
 
   /** Per-train-doc contamination report against an eval corpus: how many
     * of the doc's distinct [[NgramWidth]]-grams appear anywhere in the
@@ -88,14 +82,7 @@ object Contamination {
 
   val oracle: Map[String, String] = Map(
     "llm_decontaminate" ->
-      s"""WITH tok AS (SELECT doc_id, text, string_split(text, ' ') AS t
-         |            FROM documents),
-         |sh AS (
-         |  SELECT doc_id, CASE WHEN len(t) >= $NgramWidth THEN
-         |    list_distinct(list_transform(range(1, len(t) - ${NgramWidth - 2}),
-         |      i -> array_to_string(list_slice(t, i, i + ${NgramWidth - 1}), ' ')))
-         |  ELSE [text] END AS s FROM tok
-         |),
+      s"""WITH ${Shingles.shSql(NgramWidth)},
          |ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
          |ev AS (SELECT DISTINCT g FROM ex WHERE doc_id % $EvalMod = 0),
          |hit AS (

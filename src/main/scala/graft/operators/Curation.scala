@@ -43,9 +43,7 @@ object Curation {
     sampleStratifiedOf(docs(spark, dir))
 
   def sampleStratifiedOf(corpus: DataFrame): DataFrame = {
-    val h = conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
-      .cast("long")
-    val u = h / lit(4294967296.0) // 2³² — exact binary division
+    val u = graft.functions.Md5Uniform.uniform(col("doc_id"))
     val rate = SampleRates.foldLeft(lit(DefaultRate)) {
       case (acc, (l, r)) => when(col("lang") === l, lit(r)).otherwise(acc)
     }
@@ -185,9 +183,7 @@ object Curation {
     SampleRates.map { case (l, r) => s"WHEN '$l' THEN $r" }
       .mkString("CASE lang ", " ", s" ELSE $DefaultRate END")
 
-  private val uSql =
-    "(('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT::DOUBLE" +
-      " / 4294967296.0)"
+  private val uSql = graft.functions.Md5Uniform.sql("doc_id")
 
   val oracle: Map[String, String] = Map(
     "llm_sample_stratified" ->

@@ -61,12 +61,9 @@ object Dedup {
 
   /** Distinct word n-gram shingles of `text`; whole text as the single
     * shingle for degenerate short docs (fixture min is 10 tokens).
+    * Shared convention — see [[Shingles]].
     */
-  private def shingles(n: Int): Column =
-    when(size(toks) >= n,
-      array_distinct(transform(sequence(lit(1), size(toks) - (n - 1)),
-        i => concat_ws(" ", slice(toks, i, lit(n))))))
-      .otherwise(array(col("text")))
+  private def shingles(n: Int): Column = Shingles.shingles(n)
 
   // Each method has a DataFrame-parameterized form (`…Of`) taking any
   // (doc_id, text) corpus — e.g. text files via graft.sources — and a
@@ -630,15 +627,10 @@ object Dedup {
     "llm_dedup_bow_cosine" -> bowCosine
   )
 
-  /** Shared oracle scaffolding: tokenized docs + n-gram shingle lists. */
-  private def shSql(n: Int): String =
-    s"""tok AS (SELECT doc_id, text, string_split(text, ' ') AS t FROM documents),
-       |sh AS (
-       |  SELECT doc_id, CASE WHEN len(t) >= $n THEN
-       |    list_distinct(list_transform(range(1, len(t) - ${n - 2}),
-       |      i -> array_to_string(list_slice(t, i, i + ${n - 1}), ' ')))
-       |  ELSE [text] END AS s FROM tok
-       |)""".stripMargin
+  /** Shared oracle scaffolding: tokenized docs + n-gram shingle lists
+    * (the [[Shingles]] convention in SQL).
+    */
+  private def shSql(n: Int): String = Shingles.shSql(n)
 
   /** All-pairs exact Jaccard ≥ threshold — the minhash contract, shared
     * by the `llm_dedup_minhash` entry and (as a subquery) the clusters

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 
@@ -286,7 +287,7 @@ object TextOps {
       .select(col("doc_id"), col("word"), col("tf"), col("df"),
         score.as("tfidf"))
       .withColumn("rk", row_number().over(
-        org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
+        Window.partitionBy("doc_id")
           .orderBy(col("tfidf").desc, col("word"))).cast("long"))
       .where(col("rk") <= TfidfTopK)
   }
@@ -315,12 +316,10 @@ object TextOps {
   def distinctKmvOf(corpus: DataFrame): DataFrame = {
     val tokens = corpus.select(col("lang"), explode(toks).as("w")).distinct()
     val hashed = tokens.withColumn("u",
-      conv(substring(md5(col("w")), 1, 8), 16, 10).cast("long")
-        / lit(4294967296.0)) // 2³² — exact binary division
+      graft.functions.Md5Uniform.uniform(col("w")))
     val kth = hashed
       .withColumn("rk", row_number().over(
-        org.apache.spark.sql.expressions.Window.partitionBy("lang")
-          .orderBy("u", "w")))
+        Window.partitionBy("lang").orderBy("u", "w")))
       .where(col("rk") === KmvK)
       .select(col("lang"), col("u").as("uk"))
     tokens.groupBy("lang").agg(count(lit(1)).as("n_exact"))
@@ -349,7 +348,7 @@ object TextOps {
          |  SELECT lang, unnest(string_split(text, ' ')) AS w
          |  FROM documents)),
          |h AS (SELECT lang, w,
-         |  ('0x' || substr(md5(w), 1, 8))::BIGINT::DOUBLE / 4294967296.0 AS u
+         |  ${graft.functions.Md5Uniform.sql("w")} AS u
          |  FROM t),
          |k AS (SELECT lang, u AS uk FROM (
          |  SELECT lang, u, w, row_number() OVER (PARTITION BY lang
