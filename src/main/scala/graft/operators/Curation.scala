@@ -171,7 +171,26 @@ object Curation {
       .join(dup, Seq("doc_id"), "left_anti")
   }
 
+  /** The strict corpus gate: [[curate]]'s quality ∩ English ∩ not-near-
+    * dup, additionally requiring the repetition gate
+    * ([[TextOps.repNgrams]]) and benchmark cleanliness
+    * ([[Contamination.decontaminate]]). Joining on the decontamination
+    * AUDIT (which only covers train-side docs) also drops the eval split
+    * itself from the corpus — benchmark documents are never trained on.
+    * Same composition shape as [[curate]]: key-unique inner joins
+    * (semantically semi-joins) + one anti-join, riding the session dedup
+    * index.
+    */
+  def curateStrict(spark: SparkSession, dir: String): DataFrame = {
+    val rep = TextOps.repNgrams(spark, dir)
+      .where(col("rep_pass")).select("doc_id")
+    val clean = Contamination.decontaminate(spark, dir)
+      .where(!col("contaminated")).select("doc_id")
+    curate(spark, dir).join(rep, "doc_id").join(clean, "doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "llm_curate_strict" -> curateStrict,
     "llm_sample_stratified" -> sampleStratified,
     "llm_sample_topn" -> sampleTopN,
     "llm_mix_weights" -> mixWeights,
@@ -184,6 +203,21 @@ object Curation {
       .mkString("CASE lang ", " ", s" ELSE $DefaultRate END")
 
   private val uSql = graft.functions.Md5Uniform.sql("doc_id")
+
+  /** Shared by the `llm_curate` entry and (as a subquery) the strict
+    * gate's oracle.
+    */
+  private val curateSql: String =
+    s"""WITH q AS (SELECT doc_id
+       |           FROM (${TextOps.oracle("llm_quality_score")})
+       |           WHERE quality_pass),
+       |l AS (SELECT doc_id FROM (${TextOps.oracle("llm_lang_id")})
+       |      WHERE lang_pred = 'en'),
+       |dup AS (SELECT DISTINCT doc_b AS doc_id
+       |        FROM (${Dedup.oracle("llm_dedup_minhash")}))
+       |SELECT d.doc_id FROM documents d
+       |JOIN q USING (doc_id) JOIN l USING (doc_id)
+       |WHERE d.doc_id NOT IN (SELECT doc_id FROM dup)""".stripMargin
 
   val oracle: Map[String, String] = Map(
     "llm_sample_stratified" ->
@@ -227,16 +261,15 @@ object Curation {
          |   - len(string_split(text, ' '))::BIGINT) // $ShardBudget
          |    AS shard
          |FROM documents""".stripMargin,
-    "llm_curate" ->
-      s"""WITH q AS (SELECT doc_id
-         |           FROM (${TextOps.oracle("llm_quality_score")})
-         |           WHERE quality_pass),
-         |l AS (SELECT doc_id FROM (${TextOps.oracle("llm_lang_id")})
-         |      WHERE lang_pred = 'en'),
-         |dup AS (SELECT DISTINCT doc_b AS doc_id
-         |        FROM (${Dedup.oracle("llm_dedup_minhash")}))
-         |SELECT d.doc_id FROM documents d
-         |JOIN q USING (doc_id) JOIN l USING (doc_id)
-         |WHERE d.doc_id NOT IN (SELECT doc_id FROM dup)""".stripMargin
+    "llm_curate_strict" ->
+      s"""WITH rep AS (SELECT doc_id
+         |            FROM (${TextOps.oracle("llm_rep_ngrams")})
+         |            WHERE rep_pass),
+         |cl AS (SELECT doc_id
+         |       FROM (${Contamination.oracle("llm_decontaminate")})
+         |       WHERE NOT contaminated)
+         |SELECT doc_id FROM ($curateSql)
+         |JOIN rep USING (doc_id) JOIN cl USING (doc_id)""".stripMargin,
+    "llm_curate" -> curateSql
   )
 }

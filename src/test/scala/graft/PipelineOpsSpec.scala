@@ -206,6 +206,22 @@ class PipelineOpsSpec extends SparkSpecBase {
     assert(run(base.repartition(7)) == got)
   }
 
+  test("curateStrict = curate ∩ rep_pass ∩ not-contaminated") {
+    import graft.operators.{Contamination, Curation}
+    val strict = Curation.curateStrict(spark, Sf).collect()
+      .map(_.getLong(0)).toSet
+    val base = Curation.curate(spark, Sf).collect().map(_.getLong(0)).toSet
+    val rep = TextOps.repNgrams(spark, Sf).collect()
+      .filter(_.getBoolean(6)).map(_.getLong(0)).toSet
+    val clean = Contamination.decontaminate(spark, Sf).collect()
+      .filter(!_.getBoolean(2)).map(_.getLong(0)).toSet
+    assert(strict == (base & rep & clean))
+    assert(strict.nonEmpty && strict.subsetOf(base))
+    // the audit join drops the eval split itself: benchmark docs are
+    // never in the training corpus
+    assert(strict.forall(_ % Contamination.EvalMod != 0))
+  }
+
   test("mixWeights matches brute-force per-language token accounting") {
     val perLang = docs.groupBy(_._2).map { case (lang, ds) =>
       lang -> (ds.size.toLong,
