@@ -330,7 +330,29 @@ object TextOps {
           .as("est_distinct"))
   }
 
+  /** Corpus-level analytics a pipeline dashboard reads alongside the
+    * per-doc gates: the top of the vocabulary (tokenizer/stopword
+    * tuning) and the document-length histogram (shard-budget and
+    * truncation tuning). Both are one aggregation; the vocab top-k
+    * compiles to TakeOrderedAndProject (per-partition heaps, no global
+    * sort — the shape PlanShapeSpec guards on rel_top_parts).
+    */
+  val VocabTopK = 20
+  val LenBucket = 20L
+
+  def vocabTop(spark: SparkSession, dir: String): DataFrame =
+    wordCountOf(docs(spark, dir))
+      .orderBy(col("cnt").desc, col("word")).limit(VocabTopK)
+
+  def lenHistogram(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .select(expr(s"cast(size(split(text, ' ')) as bigint)" +
+        s" div $LenBucket * $LenBucket").as("len_bucket"))
+      .groupBy("len_bucket").agg(count(lit(1)).as("n_docs"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "llm_vocab_top" -> vocabTop,
+    "llm_len_histogram" -> lenHistogram,
     "llm_distinct_kmv" -> distinctKmv,
     "llm_tfidf_topterms" -> tfidfTopTerms,
     "llm_rep_ngrams" -> repNgrams,
@@ -343,6 +365,18 @@ object TextOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "llm_vocab_top" ->
+      s"""SELECT word, count(*) AS cnt
+         |FROM (SELECT unnest(string_split(text, ' ')) AS word
+         |      FROM documents)
+         |GROUP BY word
+         |ORDER BY cnt DESC, word
+         |LIMIT $VocabTopK""".stripMargin,
+    "llm_len_histogram" ->
+      s"""SELECT len(string_split(text, ' '))::BIGINT
+         |    // $LenBucket * $LenBucket AS len_bucket,
+         |  count(*) AS n_docs
+         |FROM documents GROUP BY 1""".stripMargin,
     "llm_distinct_kmv" ->
       s"""WITH t AS (SELECT DISTINCT lang, w FROM (
          |  SELECT lang, unnest(string_split(text, ' ')) AS w
