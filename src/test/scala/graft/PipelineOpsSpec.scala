@@ -2,6 +2,7 @@ package graft
 
 import java.security.MessageDigest
 
+import org.apache.spark.sql.functions.col
 import graft.operators.{Contamination, Curation, TextOps}
 
 /** Round-4 pipeline operators (decontamination, repetition quality,
@@ -204,6 +205,34 @@ class PipelineOpsSpec extends SparkSpecBase {
     assert(got == want)
     // the DECIMAL-stable sum is the point: any partitioning, same bits
     assert(run(base.repartition(7)) == got)
+  }
+
+  test("range-sorted layout yields files with disjoint doc_id ranges") {
+    val dir = "/tmp/graft-range-sorted"
+    val src = graft.Tables(spark, Sf, "documents").select("doc_id", "text")
+    graft.sources.TextSources.writeRangeSorted(src, "doc_id", dir, 4)
+    val files = new java.io.File(dir).listFiles()
+      .filter(f => f.getName.startsWith("part-") &&
+        f.getName.endsWith(".parquet"))
+      .map(_.getPath)
+    assert(files.length >= 2, files.mkString(","))
+    // per-file value ranges must not overlap — that is the property the
+    // footer min/max scan-skipping depends on
+    val ranges = files.map { f =>
+      val r = spark.read.parquet(f)
+        .agg(org.apache.spark.sql.functions.min("doc_id"),
+          org.apache.spark.sql.functions.max("doc_id")).head()
+      (r.getLong(0), r.getLong(1))
+    }.sortBy(_._1)
+    ranges.zip(ranges.tail).foreach { case ((_, hi), (lo2, _)) =>
+      assert(hi < lo2, s"overlapping file ranges: ${ranges.mkString(",")}")
+    }
+    // nothing lost in the layout rewrite
+    assert(spark.read.parquet(dir).count() == src.count())
+    // and a point-range scan over the layout prunes to a subset of files
+    val some = spark.read.parquet(dir)
+      .where(col("doc_id") < ranges.head._2)
+    assert(some.count() > 0)
   }
 
   test("curateStrict = curate ∩ rep_pass ∩ not-contaminated") {
