@@ -149,6 +149,44 @@ object Curation {
         expr(s"(goff + wcum - n_tokens) div $budget").as("shard"))
   }
 
+  // ---- fixed-stride context chunking ----
+
+  /** Tokens per training chunk and the overlap stride. */
+  val ChunkSize = 64
+  val ChunkStride = 48
+
+  /** Split each document into fixed-size token windows with overlap
+    * (stride < size): the context-length chunking step that turns
+    * curated documents into training sequences. Chunk starts are
+    * 0, stride, 2·stride … < n_tokens, so every token is covered and
+    * consecutive chunks share (size − stride) tokens of context; the
+    * final chunk may be short (no padding here — [[packShards]] is the
+    * budget step).
+    *
+    * Scale shape: chunk boundaries are row-local arithmetic — the whole
+    * operator is one generator expression per row, zero shuffles, and
+    * the ~size/stride row-count amplification happens AFTER the scan.
+    */
+  def chunk(spark: SparkSession, dir: String): DataFrame =
+    chunkOf(docs(spark, dir))
+
+  def chunkOf(corpus: DataFrame): DataFrame = {
+    val t = split(col("text"), " ")
+    corpus
+      .select(col("doc_id"), t.as("t"))
+      .select(col("doc_id"), col("t"),
+        explode(sequence(lit(0), size(col("t")) - 1, lit(ChunkStride)))
+          .as("start"))
+      .select(
+        col("doc_id"),
+        expr(s"start div $ChunkStride").cast("long").as("chunk_id"),
+        col("start").cast("long").as("start"),
+        size(slice(col("t"), col("start") + 1, lit(ChunkSize)))
+          .as("n_tokens"),
+        concat_ws(" ", slice(col("t"), col("start") + 1, lit(ChunkSize)))
+          .as("chunk_text"))
+  }
+
   // ---- end-to-end curation gate ----
 
   /** The corpus a pipeline actually trains on: documents that pass the
@@ -190,6 +228,7 @@ object Curation {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "llm_chunk" -> chunk,
     "llm_curate_strict" -> curateStrict,
     "llm_sample_stratified" -> sampleStratified,
     "llm_sample_topn" -> sampleTopN,
@@ -220,6 +259,17 @@ object Curation {
        |WHERE d.doc_id NOT IN (SELECT doc_id FROM dup)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "llm_chunk" ->
+      s"""SELECT doc_id,
+         |  start // $ChunkStride AS chunk_id,
+         |  start,
+         |  len(list_slice(t, start + 1, start + $ChunkSize)) AS n_tokens,
+         |  array_to_string(list_slice(t, start + 1, start + $ChunkSize), ' ')
+         |    AS chunk_text
+         |FROM (SELECT doc_id, t, unnest(range(0, len(t), $ChunkStride))
+         |        AS start
+         |      FROM (SELECT doc_id, string_split(text, ' ') AS t
+         |            FROM documents))""".stripMargin,
     "llm_sample_stratified" ->
       s"""SELECT doc_id, lang, $uSql AS u
          |FROM documents

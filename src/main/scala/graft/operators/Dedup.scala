@@ -615,7 +615,57 @@ object Dedup {
     // rides the session-cached shingle/band index via minhashLsh
     removeVictims(docs(spark, dir), minhashLsh(spark, dir))
 
+  // ---- corpus-wide duplicated-span removal ----
+
+  /** Non-overlapping span width (tokens) for [[spanDedup]]. */
+  val SpanWidth = 8
+
+  /** Exact duplicated-span removal (the substring-dedup step of
+    * CCNet/RefinedWeb-style pipelines): cut each document into
+    * consecutive [[SpanWidth]]-token blocks, drop every block whose
+    * text occurs in MORE THAN ONE document, re-join the survivors in
+    * document order. Unlike the document-level families above this
+    * removes boilerplate shared by otherwise-distinct documents without
+    * dropping the documents themselves; documents reduced to nothing
+    * come back as empty text (n_kept = 0), ready for a length gate.
+    *
+    * Scale shape: blocks meet their corpus-wide doc-frequency through an
+    * equi-join on md5(block) — a fixed-width hash key, never the text,
+    * never all-pairs; reassembly is one groupBy(doc_id) over ≤ n/width
+    * blocks per doc with a row-local sort. One map-side-combined df
+    * aggregation, one hash join, one reassembly shuffle.
+    */
+  def spanDedup(spark: SparkSession, dir: String): DataFrame =
+    spanDedupOf(docs(spark, dir))
+
+  def spanDedupOf(corpus: DataFrame): DataFrame = {
+    val blocks = corpus
+      .select(col("doc_id"), toks.as("t"))
+      .select(col("doc_id"), col("t"),
+        explode(sequence(lit(1), size(col("t")), lit(SpanWidth)))
+          .as("start"))
+      .select(col("doc_id"), col("start"),
+        concat_ws(" ", slice(col("t"), col("start"), lit(SpanWidth)))
+          .as("blk"))
+      .withColumn("h", md5(col("blk")))
+    val bdf = blocks.groupBy("h")
+      .agg(countDistinct(col("doc_id")).as("bdf"))
+    val kept = blocks.join(bdf, "h").where(col("bdf") === 1)
+    val agg = kept.groupBy("doc_id").agg(
+      count(lit(1)).as("n_kept"),
+      array_join(
+        transform(
+          sort_array(collect_list(struct(col("start"), col("blk")))),
+          s => s.getField("blk")), " ").as("clean_text"))
+    blocks.groupBy("doc_id").agg(count(lit(1)).as("n_blocks"))
+      .join(agg, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_blocks"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "llm_dedup_spans" -> spanDedup,
     "llm_dedup_apply" -> applyDedup,
     "llm_dedup_clusters" -> clusters,
     "llm_dedup_exact" -> exact,
@@ -650,6 +700,28 @@ object Dedup {
       .stripMargin
 
   val oracle: Map[String, String] = Map(
+    "llm_dedup_spans" ->
+      s"""WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t
+         |            FROM documents),
+         |b AS (SELECT doc_id, start,
+         |        array_to_string(
+         |          list_slice(t, start, start + ${SpanWidth - 1}), ' ') AS blk
+         |      FROM (SELECT doc_id, t,
+         |              unnest(range(1, len(t) + 1, $SpanWidth)) AS start
+         |            FROM tok)),
+         |bdf AS (SELECT md5(blk) AS h, count(DISTINCT doc_id) AS bdf
+         |        FROM b GROUP BY 1),
+         |kept AS (SELECT doc_id, start, blk
+         |         FROM b JOIN bdf ON md5(blk) = h WHERE bdf = 1),
+         |agg AS (SELECT doc_id, count(*) AS n_kept,
+         |          array_to_string(list(blk ORDER BY start), ' ')
+         |            AS clean_text
+         |        FROM kept GROUP BY doc_id),
+         |tot AS (SELECT doc_id, count(*) AS n_blocks FROM b GROUP BY doc_id)
+         |SELECT tot.doc_id, n_blocks,
+         |  coalesce(n_kept, 0)::BIGINT AS n_kept,
+         |  coalesce(clean_text, '') AS clean_text
+         |FROM tot LEFT JOIN agg ON tot.doc_id = agg.doc_id""".stripMargin,
     // one removal policy, one pairs contract: reuse the shared pairs SQL
     "llm_dedup_apply" ->
       s"""SELECT doc_id FROM documents

@@ -234,7 +234,86 @@ object Relational {
           .as("q90"),
         count(lit(1)).as("n"))
 
+  /** TPC-H Q3-shape shipping priority: segment-filtered customers ⋈
+    * date-filtered orders ⋈ date-filtered lineitem, revenue per open
+    * order, top 10. The classic selective multi-join: both date
+    * predicates and the segment predicate push to the parquet scans
+    * (each side is filtered BEFORE its shuffle), and the final top-k is
+    * TakeOrderedAndProject — per-partition heaps, no global sort. Dates
+    * compare as integer epoch-microseconds on both engines, so there is
+    * no timestamp-dialect risk.
+    */
+  val ShipCutUs = 899251200000000L // 1998-07-01T00:00:00Z
+
+  def shippingPriority(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables(spark, dir, "customer")
+      .where(col("c_mktsegment") === "BUILDING").select("c_custkey")
+    val ord = Tables(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderpriority"),
+        unix_micros(col("o_orderdate").cast("timestamp")).as("order_us"))
+      .where(col("order_us") < ShipCutUs)
+    val li = Tables(spark, dir, "lineitem")
+      .where(unix_micros(col("l_shipdate").cast("timestamp")) > ShipCutUs)
+      .select(col("l_orderkey"),
+        (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("rev"))
+    li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+      .join(cust, ord("o_custkey") === cust("c_custkey"))
+      .groupBy(col("l_orderkey"), col("order_us"), col("o_orderpriority"))
+      .agg(dsum(col("rev")).as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
+  /** TPC-H Q10-shape returned-item reporting: revenue lost to returned
+    * lineitems per customer, top 20. lineitem filters on the return flag
+    * at the scan, shuffles once on the order key, once on the customer
+    * key; nation (25 rows) broadcasts.
+    */
+  def returnedCustomers(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables(spark, dir, "lineitem")
+      .where(col("l_returnflag") === "R")
+      .select(col("l_orderkey"),
+        (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("rev"))
+    val ord = Tables(spark, dir, "orders").select("o_orderkey", "o_custkey")
+    val cust = Tables(spark, dir, "customer")
+      .select("c_custkey", "c_name", "c_nationkey", "c_acctbal")
+    val nat = Tables(spark, dir, "nation").select("n_nationkey", "n_name")
+    li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+      .join(cust, ord("o_custkey") === cust("c_custkey"))
+      .join(broadcast(nat), cust("c_nationkey") === nat("n_nationkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"),
+        col("n_name"))
+      .agg(dsum(col("rev")).as("revenue"),
+        count(lit(1)).as("n_returned"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(20)
+  }
+
+  /** Correlated-scalar-subquery shape, decorrelated the way Catalyst
+    * would: orders priced above 1.5× their customer's average order.
+    * Implemented with ONE window shuffle (sum+count over the customer
+    * partition) instead of the aggregate-then-self-join a literal
+    * decorrelation produces — half the exchanges for identical
+    * semantics. The predicate is exact DECIMAL·INT arithmetic
+    * (2·price·n > 3·sum ⟺ price > 1.5·avg) so both engines evaluate the
+    * same booleans — no floating-point average anywhere.
+    */
+  def aboveAvgOrders(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+    Tables(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      .withColumn("n_orders", count(lit(1)).over(w))
+      .withColumn("sum_dec",
+        sum(col("o_totalprice").cast("decimal(24,6)")).over(w))
+      .where(col("o_totalprice").cast("decimal(24,6)")
+        * col("n_orders") * 2 > col("sum_dec") * 3)
+      .select("o_orderkey", "o_custkey", "o_totalprice", "n_orders")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "rel_shipping_priority" -> shippingPriority,
+    "rel_returned_customers" -> returnedCustomers,
+    "rel_above_avg_orders" -> aboveAvgOrders,
     "rel_quantiles" -> quantiles,
     "rel_rank_functions" -> rankFunctions,
     "rel_grouping_sets" -> groupingSetsSales,
@@ -253,6 +332,41 @@ object Relational {
   )
 
   val oracle: Map[String, String] = Map(
+    "rel_shipping_priority" ->
+      s"""SELECT l_orderkey, epoch_us(o_orderdate) AS order_us,
+         |  o_orderpriority,
+         |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount)
+         |    AS DECIMAL(24,6))) AS DOUBLE) AS revenue
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |WHERE c_mktsegment = 'BUILDING'
+         |  AND epoch_us(o_orderdate) < $ShipCutUs
+         |  AND epoch_us(l_shipdate) > $ShipCutUs
+         |GROUP BY l_orderkey, epoch_us(o_orderdate), o_orderpriority
+         |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+    "rel_returned_customers" ->
+      """SELECT c_custkey, c_name, c_acctbal, n_name,
+        |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount)
+        |    AS DECIMAL(24,6))) AS DOUBLE) AS revenue,
+        |  count(*) AS n_returned
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE l_returnflag = 'R'
+        |GROUP BY c_custkey, c_name, c_acctbal, n_name
+        |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
+    "rel_above_avg_orders" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice,
+        |  (SELECT count(*) FROM orders i
+        |   WHERE i.o_custkey = o.o_custkey) AS n_orders
+        |FROM orders o
+        |WHERE CAST(o_totalprice AS DECIMAL(24,6))
+        |    * (SELECT count(*) FROM orders i
+        |       WHERE i.o_custkey = o.o_custkey) * 2
+        |  > (SELECT SUM(CAST(o_totalprice AS DECIMAL(24,6))) FROM orders i
+        |     WHERE i.o_custkey = o.o_custkey) * 3""".stripMargin,
     "rel_order_timeline" ->
       """SELECT o_custkey, o_orderkey,
         |  row_number() OVER w AS rn,

@@ -330,6 +330,38 @@ object TextOps {
           .as("est_distinct"))
   }
 
+  /** C4-style blocklist gate + scrub: per-document blocklisted-token
+    * count and ratio, a redacted copy (each hit replaced by a mask
+    * token), and the pass flag. C4 drops any document containing a
+    * listed word; a ratio threshold keeps borderline documents
+    * scrubbable instead — both policies read off these columns.
+    *
+    * The scrub is a LITERAL token-by-token rewrite (split → transform →
+    * re-join), not a regex replace: no word-boundary or dialect
+    * semantics to disagree on, and the whole operator stays a per-row
+    * codegen'd expression — zero shuffles.
+    */
+  val Blocklist = Seq("slow", "dup")
+  val BadRatioMax = 0.02
+  val MaskToken = "[scrubbed]"
+
+  def badwords(spark: SparkSession, dir: String): DataFrame =
+    badwordsOf(docs(spark, dir))
+
+  def badwordsOf(corpus: DataFrame): DataFrame = {
+    val bad = typedLit(Blocklist)
+    val nBad = size(filter(toks, t => array_contains(bad, t)))
+    corpus.select(
+      col("doc_id"),
+      nBad.as("n_bad"),
+      (nBad.cast("double") / size(toks).cast("double")).as("bad_ratio"),
+      array_join(
+        transform(toks, t =>
+          when(array_contains(bad, t), MaskToken).otherwise(t)), " ")
+        .as("scrubbed"))
+      .withColumn("badwords_pass", col("bad_ratio") <= BadRatioMax)
+  }
+
   /** Corpus-level analytics a pipeline dashboard reads alongside the
     * per-doc gates: the top of the vocabulary (tokenizer/stopword
     * tuning) and the document-length histogram (shard-budget and
@@ -351,6 +383,7 @@ object TextOps {
       .groupBy("len_bucket").agg(count(lit(1)).as("n_docs"))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "llm_badwords" -> badwords,
     "llm_vocab_top" -> vocabTop,
     "llm_len_histogram" -> lenHistogram,
     "llm_distinct_kmv" -> distinctKmv,
@@ -365,6 +398,17 @@ object TextOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "llm_badwords" ->
+      s"""SELECT doc_id,
+         |  N_BAD AS n_bad,
+         |  N_BAD::DOUBLE / len(string_split(text, ' '))::DOUBLE AS bad_ratio,
+         |  array_to_string(list_transform(string_split(text, ' '),
+         |    t -> CASE WHEN list_contains(${sqlList(Blocklist)}, t)
+         |              THEN '$MaskToken' ELSE t END), ' ') AS scrubbed,
+         |  N_BAD::DOUBLE / len(string_split(text, ' '))::DOUBLE
+         |    <= $BadRatioMax AS badwords_pass
+         |FROM documents"""
+        .stripMargin.replace("N_BAD", sqlHits(Blocklist)),
     "llm_vocab_top" ->
       s"""SELECT word, count(*) AS cnt
          |FROM (SELECT unnest(string_split(text, ' ')) AS word

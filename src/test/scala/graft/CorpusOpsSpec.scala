@@ -1,0 +1,198 @@
+package graft
+
+import scala.math.BigDecimal.RoundingMode
+
+import org.apache.spark.sql.Row
+import graft.operators.{Curation, Dedup, Relational, TextOps}
+
+/** Round-4 corpus/relational additions (context chunking, duplicated-span
+  * removal, blocklist scrub, TPC-H Q3/Q10/correlated-subquery shapes) vs
+  * in-memory brute force.
+  */
+class CorpusOpsSpec extends SparkSpecBase {
+
+  import spark.implicits._
+
+  /** Mirror of Relational.dsum: shortest-repr double → DECIMAL(24,6)
+    * HALF_UP, exact decimal sum, back to double.
+    */
+  private def dsum(xs: Seq[Double]): Double =
+    xs.map(BigDecimal.decimal(_).setScale(6, RoundingMode.HALF_UP))
+      .sum.toDouble
+
+  // ---- Curation.chunkOf ----
+
+  test("chunkOf covers every token with overlapping fixed-stride windows") {
+    val text = (1 to 150).map(i => s"w$i").mkString(" ")
+    val out = Curation.chunkOf(Seq((7L, text)).toDF("doc_id", "text"))
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getInt(3),
+        r.getString(4))).sortBy(_._2)
+    val starts = Seq(0L, 48L, 96L, 144L)
+    assert(out.map(_._2).toSeq == starts)
+    assert(out.map(_._1).toSeq == Seq(0L, 1L, 2L, 3L))
+    out.foreach { case (_, start, n, chunk) =>
+      val want = (start.toInt + 1 to math.min(start.toInt + 64, 150))
+        .map(i => s"w$i")
+      assert(n == want.length)
+      assert(chunk == want.mkString(" "))
+    }
+    // consecutive chunks share size − stride = 16 tokens of context
+    assert(out(0)._4.split(" ").takeRight(16).toSeq ==
+      out(1)._4.split(" ").take(16).toSeq)
+  }
+
+  test("chunkOf handles a single-token document as one chunk") {
+    val out = Curation.chunkOf(Seq((1L, "solo")).toDF("doc_id", "text"))
+      .collect()
+    assert(out.length == 1)
+    assert(out.head == Row(1L, 0L, 0L, 1, "solo"))
+  }
+
+  // ---- Dedup.spanDedupOf ----
+
+  test("spanDedupOf removes cross-document spans, keeps unique ones in order") {
+    val boiler = (1 to Dedup.SpanWidth).map(i => s"b$i").mkString(" ")
+    val a = (1 to Dedup.SpanWidth).map(i => s"a$i").mkString(" ")
+    val c = (1 to Dedup.SpanWidth).map(i => s"c$i").mkString(" ")
+    val df = Seq(
+      (1L, s"$a $boiler $c"), // unique + shared + unique
+      (2L, s"$boiler"),       // nothing but the shared block
+      (3L, s"$boiler $a2")    // shared + its own unique tail
+    ).toDF("doc_id", "text")
+    val got = Dedup.spanDedupOf(df).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getString(3)))).toMap
+    assert(got(1L) == ((3L, 2L, s"$a $c")))
+    assert(got(2L) == ((1L, 0L, "")))
+    assert(got(3L) == ((2L, 1L, a2)))
+  }
+
+  private val a2 = (1 to Dedup.SpanWidth).map(i => s"d$i").mkString(" ")
+
+  test("spanDedup matches brute force on the fixture corpus") {
+    val docs = Tables(spark, Sf, "documents")
+      .select("doc_id", "text").as[(Long, String)].collect()
+    val w = Dedup.SpanWidth
+    def blocks(text: String): Seq[String] =
+      text.split(" ", -1).grouped(w).map(_.mkString(" ")).toSeq
+    val df = docs.flatMap { case (id, t) => blocks(t).map(b => (b, id)) }
+      .groupBy(_._1).map { case (b, xs) => b -> xs.map(_._2).distinct.size }
+    val want = docs.map { case (id, t) =>
+      val bs = blocks(t)
+      val kept = bs.filter(df(_) == 1)
+      id -> ((bs.size.toLong, kept.size.toLong, kept.mkString(" ")))
+    }.toMap
+    val got = Dedup.spanDedup(spark, Sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getString(3)))).toMap
+    assert(got == want)
+  }
+
+  // ---- TextOps.badwordsOf ----
+
+  test("badwordsOf counts, scores and scrubs blocklisted tokens") {
+    val df = Seq(
+      (1L, "clean text with nothing listed here at all ok ok"),
+      (2L, "slow start but then a dup appears and another dup")
+    ).toDF("doc_id", "text")
+    val got = TextOps.badwordsOf(df).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getDouble(2),
+        r.getString(3), r.getBoolean(4)))).toMap
+    assert(got(1L) == ((0, 0.0,
+      "clean text with nothing listed here at all ok ok", true)))
+    val m = TextOps.MaskToken
+    assert(got(2L) == ((3, 3.0 / 10.0,
+      s"$m start but then a $m appears and another $m", false)))
+  }
+
+  test("badwords pass-rate on the fixture matches brute force") {
+    val docs = Tables(spark, Sf, "documents")
+      .select("doc_id", "text").as[(Long, String)].collect()
+    val bad = TextOps.Blocklist.toSet
+    val want = docs.map { case (id, t) =>
+      val toks = t.split(" ", -1)
+      val n = toks.count(bad)
+      id -> ((n, n.toDouble / toks.length <= TextOps.BadRatioMax))
+    }.toMap
+    val got = TextOps.badwords(spark, Sf).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getBoolean(4)))).toMap
+    assert(got == want)
+    assert(want.values.exists(!_._2), "fixture should trip the gate somewhere")
+  }
+
+  // ---- Relational TPC-H shapes ----
+
+  private lazy val orders = Tables(spark, Sf, "orders")
+    .select($"o_orderkey", $"o_custkey", $"o_orderpriority", $"o_totalprice",
+      org.apache.spark.sql.functions
+        .unix_micros($"o_orderdate".cast("timestamp")).as("us"))
+    .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+      r.getDouble(3), r.getLong(4)))
+
+  test("shippingPriority matches brute force top-10") {
+    val cut = Relational.ShipCutUs
+    val cust = Tables(spark, Sf, "customer")
+      .where($"c_mktsegment" === "BUILDING")
+      .select("c_custkey").as[Long].collect().toSet
+    val openOrders = orders.collect {
+      case (ok, ck, pri, _, us) if us < cut && cust(ck) => ok -> ((us, pri))
+    }.toMap
+    val li = Tables(spark, Sf, "lineitem")
+      .select($"l_orderkey", $"l_extendedprice", $"l_discount",
+        org.apache.spark.sql.functions
+          .unix_micros($"l_shipdate".cast("timestamp")).as("us"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2),
+        r.getLong(3)))
+    val want = li.collect {
+      case (ok, p, d, ship) if ship > cut && openOrders.contains(ok) =>
+        ok -> p * (1.0 - d)
+    }.groupBy(_._1).map { case (ok, xs) =>
+      (ok, openOrders(ok)._1, openOrders(ok)._2, dsum(xs.map(_._2).toSeq))
+    }.toSeq.sortBy { case (ok, _, _, rev) => (-rev, ok) }.take(10)
+    val got = Relational.shippingPriority(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getDouble(3)))
+    assert(got.toSeq == want)
+  }
+
+  test("returnedCustomers matches brute force top-20") {
+    val custKey = orders.map(o => o._1 -> o._2).toMap
+    val cust = Tables(spark, Sf, "customer")
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getInt(2),
+        r.getDouble(3)))).toMap
+    val nation = Tables(spark, Sf, "nation")
+      .select("n_nationkey", "n_name").collect()
+      .map(r => r.getInt(0) -> r.getString(1)).toMap
+    val li = Tables(spark, Sf, "lineitem")
+      .where($"l_returnflag" === "R")
+      .select("l_orderkey", "l_extendedprice", "l_discount")
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+    val want = li.map { case (ok, p, d) => (custKey(ok), p * (1.0 - d)) }
+      .groupBy(_._1).map { case (ck, xs) =>
+        val (name, nk, bal) = cust(ck)
+        (ck, name, bal, nation(nk), dsum(xs.map(_._2).toSeq), xs.size.toLong)
+      }.toSeq.sortBy { case (ck, _, _, _, rev, _) => (-rev, ck) }.take(20)
+    val got = Relational.returnedCustomers(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2),
+        r.getString(3), r.getDouble(4), r.getLong(5)))
+    assert(got.toSeq == want)
+  }
+
+  test("aboveAvgOrders matches the correlated-subquery brute force") {
+    val byCust = orders.groupBy(_._2)
+    val want = byCust.toSeq.flatMap { case (_, os) =>
+      val n = os.length
+      val total = os.map(o => BigDecimal.decimal(o._4)
+        .setScale(6, RoundingMode.HALF_UP)).sum
+      os.collect {
+        case (ok, ck, _, price, _)
+          if BigDecimal.decimal(price).setScale(6, RoundingMode.HALF_UP)
+            * n * 2 > total * 3 => (ok, ck, price, n.toLong)
+      }
+    }.toSet
+    val got = Relational.aboveAvgOrders(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+      .toSet
+    assert(got == want)
+    assert(got.nonEmpty && got.size < orders.length)
+  }
+}
