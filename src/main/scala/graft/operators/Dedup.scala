@@ -639,8 +639,12 @@ object Dedup {
     spanDedupOf(docs(spark, dir))
 
   def spanDedupOf(corpus: DataFrame): DataFrame = {
-    val blocks = corpus
-      .select(col("doc_id"), toks.as("t"))
+    // per-doc block count is row-local arithmetic — carry it instead of
+    // re-aggregating the exploded blocks a third time at corpus scale
+    val withN = corpus.select(col("doc_id"), toks.as("t"))
+      .withColumn("n_blocks",
+        expr(s"(size(t) + ${SpanWidth - 1}) div $SpanWidth"))
+    val blocks = withN
       .select(col("doc_id"), col("t"),
         explode(sequence(lit(1), size(col("t")), lit(SpanWidth)))
           .as("start"))
@@ -657,7 +661,7 @@ object Dedup {
         transform(
           sort_array(collect_list(struct(col("start"), col("blk")))),
           s => s.getField("blk")), " ").as("clean_text"))
-    blocks.groupBy("doc_id").agg(count(lit(1)).as("n_blocks"))
+    withN.select("doc_id", "n_blocks")
       .join(agg, Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_blocks"),
         coalesce(col("n_kept"), lit(0L)).as("n_kept"),

@@ -245,15 +245,23 @@ object Relational {
     */
   val ShipCutUs = 899251200000000L // 1998-07-01T00:00:00Z
 
+  /** [[ShipCutUs]] as a TIMESTAMP_NTZ literal matching the parquet
+    * column type: comparing the RAW column against it (instead of
+    * wrapping the column in unix_micros(cast(...))) is what lets the
+    * date predicates reach the parquet scan as PushedFilters.
+    */
+  private val shipCut = lit(java.time.LocalDateTime
+    .ofEpochSecond(ShipCutUs / 1000000L, 0, java.time.ZoneOffset.UTC))
+
   def shippingPriority(spark: SparkSession, dir: String): DataFrame = {
     val cust = Tables(spark, dir, "customer")
       .where(col("c_mktsegment") === "BUILDING").select("c_custkey")
     val ord = Tables(spark, dir, "orders")
+      .where(col("o_orderdate") < shipCut)
       .select(col("o_orderkey"), col("o_custkey"), col("o_orderpriority"),
         unix_micros(col("o_orderdate").cast("timestamp")).as("order_us"))
-      .where(col("order_us") < ShipCutUs)
     val li = Tables(spark, dir, "lineitem")
-      .where(unix_micros(col("l_shipdate").cast("timestamp")) > ShipCutUs)
+      .where(col("l_shipdate") > shipCut)
       .select(col("l_orderkey"),
         (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("rev"))
     li.join(ord, li("l_orderkey") === ord("o_orderkey"))
@@ -301,10 +309,11 @@ object Relational {
   def aboveAvgOrders(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("o_custkey"))
     Tables(spark, dir, "orders")
-      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
-      .withColumn("n_orders", count(lit(1)).over(w))
-      .withColumn("sum_dec",
-        sum(col("o_totalprice").cast("decimal(24,6)")).over(w))
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+        // both aggregates in ONE projection so they share a single
+        // Window node (and its single exchange) instead of stacking two
+        count(lit(1)).over(w).as("n_orders"),
+        sum(col("o_totalprice").cast("decimal(24,6)")).over(w).as("sum_dec"))
       .where(col("o_totalprice").cast("decimal(24,6)")
         * col("n_orders") * 2 > col("sum_dec") * 3)
       .select("o_orderkey", "o_custkey", "o_totalprice", "n_orders")

@@ -16,6 +16,12 @@ class PlanShapeSpec extends SparkSpecBase {
     df.queryExecution.executedPlan.toString
   }
 
+  /** [[finalPlan]] truncated at AQE's repeated "Initial Plan" section,
+    * so node-counting asserts don't double-count every operator.
+    */
+  private def finalOnly(df: DataFrame): String =
+    finalPlan(df).split("== Initial Plan ==").head
+
   test("nation join broadcasts (J1 stays a BroadcastHashJoin)") {
     val p = finalPlan(Relational.revenueByNation(spark, Sf))
     assert(p.contains("BroadcastHashJoin"), p)
@@ -101,6 +107,45 @@ class PlanShapeSpec extends SparkSpecBase {
     // the semantics force three exchanges (df agg, word join, doc
     // window); the kernel must NOT add a fourth for the tf counts
     assert("ShuffleQueryStage".r.findAllIn(p).size <= 3, p)
+  }
+
+  test("shipping priority pushes segment + both date filters to the scans") {
+    val p = finalPlan(Relational.shippingPriority(spark, Sf))
+    assert(p.contains("EqualTo(c_mktsegment,BUILDING)"), p)
+    assert(p.contains("LessThan(o_orderdate"), p)
+    assert(p.contains("GreaterThan(l_shipdate"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("returned customers: flag filter pushed, nation broadcast, top-k") {
+    val p = finalPlan(Relational.returnedCustomers(spark, Sf))
+    assert(p.contains("EqualTo(l_returnflag,R)"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("above-avg orders: one window shuffle, no self-join decorrelation") {
+    val p = finalOnly(Relational.aboveAvgOrders(spark, Sf))
+    assert("ShuffleQueryStage".r.findAllIn(p).size == 1, p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"), p)
+    // count+sum over the same partition spec collapse into ONE Window
+    assert("Window \\[".r.findAllIn(p).size == 1, p)
+  }
+
+  test("span dedup: equi-joins only, no third corpus-scale block pass") {
+    val p = finalOnly(graft.operators.Dedup.spanDedup(spark, Sf))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+    // blocks explode twice (df agg + keep join); the per-doc block count
+    // is carried row-locally, so no third explode-scale derivation
+    assert("Generate explode".r.findAllIn(p).size <= 2, p)
+  }
+
+  test("chunking and blocklist scrub are pure scans: no exchange") {
+    val pc = finalPlan(graft.operators.Curation.chunk(spark, Sf))
+    assert(!pc.contains("Exchange"), s"chunk plan shuffles:\n$pc")
+    val pb = finalPlan(graft.operators.TextOps.badwords(spark, Sf))
+    assert(!pb.contains("Exchange"), s"badwords plan shuffles:\n$pb")
   }
 
   test("embedding centroids partially aggregate before their one exchange") {
