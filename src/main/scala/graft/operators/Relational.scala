@@ -319,7 +319,30 @@ object Relational {
       .select("o_orderkey", "o_custkey", "o_totalprice", "n_orders")
   }
 
+  /** TPC-H Q13-shape customer order-count distribution: how many
+    * customers placed 0, 1, 2 … orders. The outer-join-with-zeros
+    * shape, written with the aggregation PUSHED BELOW the join: orders
+    * pre-aggregate to one row per customer (map-side partials take the
+    * shuffle from |orders| to |customers|), the left join then carries
+    * customer-sized sides only, and the final histogram groupBy is
+    * #distinct-counts rows. A literal left-join-then-count would
+    * shuffle every order row through the join first.
+    */
+  def customerOrdersDist(spark: SparkSession, dir: String): DataFrame =
+    customerOrdersDistOf(
+      Tables(spark, dir, "customer").select("c_custkey"),
+      Tables(spark, dir, "orders").select("o_custkey"))
+
+  def customerOrdersDistOf(cust: DataFrame, orders: DataFrame): DataFrame = {
+    val ordCnt = orders
+      .groupBy(col("o_custkey")).agg(count(lit(1)).as("cnt"))
+    cust.join(ordCnt, cust("c_custkey") === ordCnt("o_custkey"), "left")
+      .select(coalesce(col("cnt"), lit(0L)).as("n_orders"))
+      .groupBy("n_orders").agg(count(lit(1)).as("n_custs"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "rel_customer_orders_dist" -> customerOrdersDist,
     "rel_shipping_priority" -> shippingPriority,
     "rel_returned_customers" -> returnedCustomers,
     "rel_above_avg_orders" -> aboveAvgOrders,
@@ -341,6 +364,12 @@ object Relational {
   )
 
   val oracle: Map[String, String] = Map(
+    "rel_customer_orders_dist" ->
+      """SELECT n_orders, count(*) AS n_custs
+        |FROM (SELECT c_custkey, count(o_custkey)::BIGINT AS n_orders
+        |      FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |      GROUP BY c_custkey)
+        |GROUP BY n_orders""".stripMargin,
     "rel_shipping_priority" ->
       s"""SELECT l_orderkey, epoch_us(o_orderdate) AS order_us,
          |  o_orderpriority,

@@ -159,6 +159,24 @@ object TextOps {
   def qualityScore(spark: SparkSession, dir: String): DataFrame =
     qualityScoreOf(docs(spark, dir))
 
+  /** The boolean quality gate alone — shared by [[qualityScoreOf]] and
+    * the per-source rollup [[sourceStatsOf]].
+    */
+  private def qualityPass: Column = {
+    val nTok = size(toks).cast("double")
+    size(toks) >= 20 && size(toks) <= 1000 &&
+      (size(array_distinct(toks)).cast("double") / nTok) >= lit(0.2) &&
+      (hits(EnStop).cast("double") / nTok) <= lit(0.5)
+  }
+
+  /** DuckDB form of [[qualityPass]] (shared by the matching oracles). */
+  private val qualityPassSql: String =
+    """(len(string_split(text, ' ')) BETWEEN 20 AND 1000
+      |   AND len(list_distinct(string_split(text, ' ')))::DOUBLE
+      |       / len(string_split(text, ' '))::DOUBLE >= 0.2
+      |   AND HITS_EN::DOUBLE / len(string_split(text, ' '))::DOUBLE <= 0.5)"""
+      .stripMargin.replace("HITS_EN", sqlHits(EnStop))
+
   def qualityScoreOf(corpus: DataFrame): DataFrame = {
     val nTok = size(toks).cast("double")
     corpus.select(
@@ -167,10 +185,7 @@ object TextOps {
       (size(array_distinct(toks)).cast("double") / nTok)
         .as("distinct_ratio"),
       (hits(EnStop).cast("double") / nTok).as("stopword_ratio"),
-      (size(toks) >= 20 && size(toks) <= 1000
-        && (size(array_distinct(toks)).cast("double") / nTok) >= lit(0.2)
-        && (hits(EnStop).cast("double") / nTok) <= lit(0.5))
-        .as("quality_pass"))
+      qualityPass.as("quality_pass"))
   }
 
   /** Repetition-based quality signals (the Gopher rules' n-gram family:
@@ -362,6 +377,70 @@ object TextOps {
       .withColumn("badwords_pass", col("bad_ratio") <= BadRatioMax)
   }
 
+  // ---- collocation mining ----
+
+  /** How many top collocations [[collocationsOf]] returns. */
+  val TopCollocations = 20
+
+  /** Corpus-wide collocation mining: adjacent-bigram counts scored by
+    * lift = P(w1,w2) / (P(w1)·P(w2)) — the exponent-free core of PMI
+    * (same ranking as PMI since log is monotone), kept as one exact
+    * integer-product division so both engines compute identical bits.
+    *
+    * Scale shape: bigrams come from a slice+zip per row (no
+    * sequence-generator edge cases), counted with map-side partial
+    * aggregation; the unigram table is vocabulary-sized (≪ corpus by
+    * Heaps' law) and joins by key — AQE broadcasts it when it is small,
+    * falls back to a shuffle join when an open vocabulary isn't; the
+    * 1-row total rides an explicit broadcast.
+    */
+  def collocations(spark: SparkSession, dir: String): DataFrame =
+    collocationsOf(docs(spark, dir))
+
+  def collocationsOf(corpus: DataFrame): DataFrame = {
+    val bi = corpus.select(toks.as("t"))
+      // size=1 docs slice to two empty arrays → zero bigrams (NEVER use
+      // sequence(1, size-1) here: it DESCENDS for size=1)
+      .select(slice(col("t"), lit(1), size(col("t")) - 1).as("a"),
+        slice(col("t"), lit(2), size(col("t")) - 1).as("b"))
+      .select(explode(arrays_zip(col("a"), col("b"))).as("p"))
+      .select(col("p.a").as("w1"), col("p.b").as("w2"))
+    val biCnt = bi.groupBy("w1", "w2").agg(count(lit(1)).as("c_xy"))
+    val uni = corpus.select(explode(toks).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+    val total = biCnt.agg(sum(col("c_xy")).as("m_total"))
+    biCnt
+      .join(uni.select(col("w").as("w1"), col("c").as("c_x")), "w1")
+      .join(uni.select(col("w").as("w2"), col("c").as("c_y")), "w2")
+      .crossJoin(broadcast(total))
+      .select(col("w1"), col("w2"), col("c_xy"),
+        ((col("c_xy") * col("m_total")).cast("double")
+          / (col("c_x") * col("c_y")).cast("double")).as("lift"))
+      .orderBy(col("lift").desc, col("w1"), col("w2"))
+      .limit(TopCollocations)
+  }
+
+  // ---- per-source rollup ----
+
+  /** Per-source corpus accounting: the keep/drop-a-source dashboard.
+    * Document counts, token mass, language spread, and how many
+    * documents clear the [[qualityPass]] gate, per `source`. One
+    * map-side-combined aggregation over row-local expressions — a
+    * single shuffle of #sources rows.
+    */
+  def sourceStats(spark: SparkSession, dir: String): DataFrame =
+    sourceStatsOf(docs(spark, dir))
+
+  def sourceStatsOf(corpus: DataFrame): DataFrame =
+    corpus
+      .select(col("source"), col("lang"),
+        size(toks).cast("long").as("n_tok"), qualityPass.as("pass"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).as("n_tokens"),
+        countDistinct(col("lang")).as("n_langs"),
+        sum(when(col("pass"), 1L).otherwise(0L)).as("n_pass"))
+
   /** Corpus-level analytics a pipeline dashboard reads alongside the
     * per-doc gates: the top of the vocabulary (tokenizer/stopword
     * tuning) and the document-length histogram (shard-budget and
@@ -384,6 +463,8 @@ object TextOps {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "llm_badwords" -> badwords,
+    "llm_collocations" -> collocations,
+    "llm_source_stats" -> sourceStats,
     "llm_vocab_top" -> vocabTop,
     "llm_len_histogram" -> lenHistogram,
     "llm_distinct_kmv" -> distinctKmv,
@@ -515,17 +596,35 @@ object TextOps {
         |    (h, ch) -> (h * 31 + ch) % 2147483648) AS rolling_hash
         |FROM documents""".stripMargin,
     "llm_quality_score" ->
-      """SELECT doc_id,
+      s"""SELECT doc_id,
         |  len(string_split(text, ' ')) AS n_tokens,
         |  len(list_distinct(string_split(text, ' ')))::DOUBLE
         |    / len(string_split(text, ' '))::DOUBLE AS distinct_ratio,
         |  HITS_EN::DOUBLE / len(string_split(text, ' '))::DOUBLE AS stopword_ratio,
-        |  (len(string_split(text, ' ')) BETWEEN 20 AND 1000
-        |   AND len(list_distinct(string_split(text, ' ')))::DOUBLE
-        |       / len(string_split(text, ' '))::DOUBLE >= 0.2
-        |   AND HITS_EN::DOUBLE / len(string_split(text, ' '))::DOUBLE <= 0.5)
-        |    AS quality_pass
+        |  $qualityPassSql AS quality_pass
         |FROM documents"""
-        .stripMargin.replace("HITS_EN", sqlHits(EnStop))
+        .stripMargin.replace("HITS_EN", sqlHits(EnStop)),
+    "llm_collocations" ->
+      s"""WITH tok AS (SELECT string_split(text, ' ') AS t FROM documents),
+         |bi AS (SELECT t[i] AS w1, t[i + 1] AS w2
+         |       FROM (SELECT t, unnest(range(1, len(t))) AS i FROM tok)),
+         |bc AS (SELECT w1, w2, count(*) AS c_xy FROM bi GROUP BY 1, 2),
+         |u AS (SELECT w, count(*) AS c
+         |      FROM (SELECT unnest(t) AS w FROM tok) GROUP BY 1),
+         |m AS (SELECT sum(c_xy)::BIGINT AS m_total FROM bc)
+         |SELECT w1, w2, c_xy,
+         |  (c_xy * m_total)::DOUBLE / (u1.c * u2.c)::DOUBLE AS lift
+         |FROM bc
+         |JOIN u u1 ON bc.w1 = u1.w
+         |JOIN u u2 ON bc.w2 = u2.w
+         |CROSS JOIN m
+         |ORDER BY lift DESC, w1, w2 LIMIT $TopCollocations""".stripMargin,
+    "llm_source_stats" ->
+      s"""SELECT source, count(*) AS n_docs,
+         |  sum(len(string_split(text, ' ')))::BIGINT AS n_tokens,
+         |  count(DISTINCT lang) AS n_langs,
+         |  sum(CASE WHEN $qualityPassSql THEN 1 ELSE 0 END)::BIGINT
+         |    AS n_pass
+         |FROM documents GROUP BY source""".stripMargin
   )
 }

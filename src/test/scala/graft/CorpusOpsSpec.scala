@@ -177,6 +177,70 @@ class CorpusOpsSpec extends SparkSpecBase {
     assert(got.toSeq == want)
   }
 
+  test("collocations matches brute-force lift ranking") {
+    val texts = Tables(spark, Sf, "documents")
+      .select("text").as[String].collect()
+    val uni = texts.flatMap(_.split(" ", -1))
+      .groupBy(identity).map { case (w, xs) => w -> xs.length.toLong }
+    val bi = texts.flatMap(_.split(" ", -1).sliding(2).filter(_.length == 2))
+      .map(p => (p(0), p(1)))
+      .groupBy(identity).map { case (p, xs) => p -> xs.length.toLong }
+    val m = bi.values.sum
+    val want = bi.toSeq.map { case ((w1, w2), cxy) =>
+      (w1, w2, cxy, (cxy * m).toDouble / (uni(w1) * uni(w2)).toDouble)
+    }.sortBy { case (w1, w2, _, lift) => (-lift, w1, w2) }
+      .take(TextOps.TopCollocations)
+    val got = TextOps.collocations(spark, Sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getDouble(3)))
+    assert(got.toSeq == want)
+  }
+
+  test("sourceStats matches brute-force per-source accounting") {
+    val docs = Tables(spark, Sf, "documents")
+      .select("source", "lang", "text")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2)))
+    val en = Set("the", "a", "of", "and", "to", "in", "is",
+      "that", "it", "for")
+    def pass(text: String): Boolean = {
+      val t = text.split(" ", -1)
+      val n = t.length.toDouble
+      t.length >= 20 && t.length <= 1000 &&
+        t.distinct.length / n >= 0.2 && t.count(en) / n <= 0.5
+    }
+    val want = docs.groupBy(_._1).map { case (src, xs) =>
+      (src, xs.length.toLong,
+        xs.map(_._3.split(" ", -1).length.toLong).sum,
+        xs.map(_._2).distinct.length.toLong,
+        xs.count(d => pass(d._3)).toLong)
+    }.toSet
+    val got = TextOps.sourceStats(spark, Sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSet
+    assert(got == want)
+    assert(want.size > 1)
+  }
+
+  test("customerOrdersDist counts zero-order customers") {
+    val custs = Tables(spark, Sf, "customer")
+      .select("c_custkey").as[Long].collect()
+    val perCust = orders.groupBy(_._2).map { case (ck, os) =>
+      ck -> os.length.toLong
+    }
+    val want = custs.map(ck => perCust.getOrElse(ck, 0L))
+      .groupBy(identity).map { case (n, xs) => (n, xs.length.toLong) }.toSet
+    val got = Relational.customerOrdersDist(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == want)
+    // no fixture customer has zero orders, so pin the outer-join zero
+    // path on an in-memory pair: customers 1,2,3 with orders only for 1,1,3
+    val dist = Relational.customerOrdersDistOf(
+      Seq(1L, 2L, 3L).toDF("c_custkey"),
+      Seq(1L, 1L, 3L).toDF("o_custkey"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(dist == Set((0L, 1L), (1L, 1L), (2L, 1L)))
+  }
+
   test("aboveAvgOrders matches the correlated-subquery brute force") {
     val byCust = orders.groupBy(_._2)
     val want = byCust.toSeq.flatMap { case (_, os) =>
