@@ -281,7 +281,37 @@ object Similarity {
         (graft.functions.StableSum.dsum(col("v"))
           / count(lit(1)).cast("double")).as("centroid"))
 
+  /** Symmetric int8 quantization of the embedding column — the 4×
+    * storage/bandwidth shrink step before an embedding corpus ships to
+    * an ANN index. Per vector: scale = max |v_i|, q_i = ⌊v_i·127/scale
+    * + 0.5⌋ (round-half-up, exact double arithmetic on exactly-widened
+    * floats, so both engines produce identical integers bit-for-bit);
+    * an all-zero vector quantizes to zeros. Output is exploded to
+    * (vec_id, i, scale, q) so the oracle verifies every element.
+    *
+    * Scale shape: entirely row-local (one generator per row, zero
+    * shuffles); the dim-fold for the scale and the explode both sit in
+    * the projection above the scan.
+    */
+  def embQuantize(spark: SparkSession, dir: String): DataFrame =
+    embQuantizeOf(Tables(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding")))
+
+  def embQuantizeOf(vectors: DataFrame): DataFrame = {
+    val scale = aggregate(col("embedding"), lit(0.0),
+      (acc, x) => greatest(acc, abs(x.cast("double"))))
+    vectors
+      .select(col("vec_id"), col("embedding"), scale.as("scale"))
+      .select(col("vec_id"), col("scale"),
+        posexplode(col("embedding")).as(Seq("i", "v")))
+      .select(col("vec_id"), col("i").cast("long").as("i"), col("scale"),
+        when(col("scale") === 0.0, lit(0L))
+          .otherwise(floor(col("v").cast("double") * 127.0
+            / col("scale") + 0.5)).as("q"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "llm_emb_quantize" -> embQuantize,
     "llm_emb_centroids" -> embCentroids,
     "llm_sim_topk" -> bruteForceTopK,
     "llm_sim_topk_agg" -> bruteForceTopKAgg,
@@ -305,6 +335,18 @@ object Similarity {
        |) WHERE rank <= $TopK""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "llm_emb_quantize" ->
+      """SELECT vec_id, u.i - 1 AS i, scale,
+        |  CASE WHEN scale = 0 THEN 0
+        |       ELSE floor(u.v::DOUBLE * 127.0 / scale + 0.5)::BIGINT
+        |  END AS q
+        |FROM (
+        |  SELECT vec_id,
+        |    list_max(list_transform(embedding, x -> abs(x::DOUBLE)))
+        |      AS scale,
+        |    unnest(list_transform(range(1, len(embedding) + 1),
+        |      i -> {'i': i, 'v': embedding[i]})) AS u
+        |  FROM embeddings)""".stripMargin,
     "llm_emb_centroids" ->
       s"""SELECT label, u.i - 1 AS dim, count(*)::BIGINT AS n,
         |  ${graft.functions.StableSum.dsumSql("u.v::DOUBLE")}

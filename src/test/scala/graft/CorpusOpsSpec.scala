@@ -241,6 +241,31 @@ class CorpusOpsSpec extends SparkSpecBase {
     assert(dist == Set((0L, 1L), (1L, 1L), (2L, 1L)))
   }
 
+  test("embQuantize matches brute force, |q| ≤ 127, error ≤ half a step") {
+    val vecs = Tables(spark, Sf, "embeddings").select("vec_id", "embedding")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+    val want = vecs.flatMap { case (id, v) =>
+      val scale = v.map(x => math.abs(x.toDouble)).max
+      v.zipWithIndex.map { case (x, i) =>
+        val q = if (scale == 0.0) 0L
+        else math.floor(x.toDouble * 127.0 / scale + 0.5).toLong
+        (id, i.toLong, scale, q)
+      }
+    }.toSet
+    val got = graft.operators.Similarity.embQuantize(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+      .toSet
+    assert(got == want)
+    assert(got.forall { case (_, _, _, q) => math.abs(q) <= 127 })
+    // reconstruction stays within half a quantization step
+    val byId = vecs.toMap
+    got.foreach { case (id, i, scale, q) =>
+      val back = q.toDouble * scale / 127.0
+      assert(math.abs(back - byId(id)(i.toInt).toDouble)
+        <= scale / 254.0 + 1e-12)
+    }
+  }
+
   test("aboveAvgOrders matches the correlated-subquery brute force") {
     val byCust = orders.groupBy(_._2)
     val want = byCust.toSeq.flatMap { case (_, os) =>
