@@ -60,6 +60,36 @@ object Streams {
         col("n_events"), col("sum_value"))
   }
 
+  /** How many event types the per-window leaderboard keeps. */
+  val TopKTypes = 3
+
+  /** Per-window leaderboard: the top [[TopKTypes]] event types per
+    * tumbling hour by count (ties break on the type name). Batch (and
+    * the oracle) run the rank inline over [[tumblingStats]]'s counts;
+    * under streaming the COUNT stage is what runs incrementally (append
+    * mode + watermark — already proven against batch), and [[rankTypes]]
+    * is applied to the FINALIZED windows at the sink — the standard
+    * streaming-leaderboard split, exercised as such by the streaming
+    * spec. Ranking finalized windows is exact; ranking open windows is
+    * unanswerable in append mode by construction.
+    *
+    * Scale shape: rank is per-window with rk ≤ k, so WindowGroupLimit
+    * prunes to k rows per partition map-side before the rank shuffle.
+    */
+  def topkTypes(events: DataFrame): DataFrame =
+    rankTypes(tumblingStats(events))
+
+  /** The sink-side rank stage of [[topkTypes]] — takes any DataFrame
+    * with [[tumblingStats]]'s (win_start, event_type, n_events) columns.
+    */
+  def rankTypes(counts: DataFrame): DataFrame =
+    counts
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("win_start")
+          .orderBy(col("n_events").desc, col("event_type"))).cast("long"))
+      .where(col("rk") <= TopKTypes)
+      .select("win_start", "event_type", "n_events", "rk")
+
   /** Hopping (sliding) 1-hour windows every 30 minutes: each event lands
     * in exactly two windows. Same batch/stream duality as
     * [[tumblingStats]]; the oracle enumerates the two covering window
@@ -322,6 +352,8 @@ object Streams {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_tumbling_stats" ->
       ((s: SparkSession, d: String) => tumblingStats(events(s, d))),
+    "stream_topk_types" ->
+      ((s: SparkSession, d: String) => topkTypes(events(s, d))),
     "stream_sessions" ->
       ((s: SparkSession, d: String) => sessions(events(s, d))),
     "stream_event_pairs" ->
@@ -361,6 +393,15 @@ object Streams {
         |  count(*) AS n_events,
         |  CAST(SUM(CAST(value AS DECIMAL(24,6))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2""".stripMargin,
+    "stream_topk_types" ->
+      s"""SELECT win_start, event_type, n_events, rk FROM (
+         |  SELECT time_bucket(INTERVAL 1 HOUR, ts) AS win_start,
+         |    event_type, count(*) AS n_events,
+         |    row_number() OVER (
+         |      PARTITION BY time_bucket(INTERVAL 1 HOUR, ts)
+         |      ORDER BY count(*) DESC, event_type) AS rk
+         |  FROM events GROUP BY 1, 2)
+         |WHERE rk <= $TopKTypes""".stripMargin,
     "stream_sessions" ->
       s"""WITH e AS (
          |  SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events

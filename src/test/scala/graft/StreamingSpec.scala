@@ -52,6 +52,45 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("windowed top-k: ranking finalized streamed windows matches batch") {
+    val s = spark; import s.implicits._
+    implicit val ctx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val q = Streams.tumblingStats(mem.toDF(), Some("2 hours"))
+      .writeStream.format("memory").queryName("topk_types_test")
+      .outputMode("append").start()
+    try {
+      // hour 0: click ×3, view ×2, buy ×2, scroll ×1 → top-3 drops scroll;
+      // buy/view tie on 2 → "buy" outranks "view" lexicographically
+      val wave = Seq(
+        ev(1, 1 * MinNs), ev(2, 2 * MinNs), ev(3, 3 * MinNs),
+        ev(4, 4 * MinNs, typ = "view"), ev(5, 5 * MinNs, typ = "view"),
+        ev(6, 6 * MinNs, typ = "buy"), ev(7, 7 * MinNs, typ = "buy"),
+        ev(8, 8 * MinNs, typ = "scroll"))
+      mem.addData(wave: _*)
+      q.processAllAvailable()
+      mem.addData(ev(9, 10 * HourNs))
+      q.processAllAvailable()
+      mem.addData(ev(10, 11 * HourNs))
+      q.processAllAvailable()
+
+      // the production split: rank the FINALIZED windows at the sink
+      val streamed = Streams.rankTypes(spark.table("topk_types_test"))
+        .collect()
+        .map(r => (r.getTimestamp(0).getTime, r.getString(1), r.getLong(2),
+          r.getLong(3))).toSet
+      val batch = Streams.topkTypes(wave.toDF())
+        .collect()
+        .map(r => (r.getTimestamp(0).getTime, r.getString(1), r.getLong(2),
+          r.getLong(3))).toSet
+      assert(batch.subsetOf(streamed),
+        s"finalized leaderboards missing: ${batch -- streamed}")
+      val hour0 = streamed.filter(_._1 == 0L).toSeq.sortBy(_._4)
+      assert(hour0.map(t => (t._2, t._3, t._4)) ==
+        Seq(("click", 3L, 1L), ("buy", 2L, 2L), ("view", 2L, 3L)))
+    } finally q.stop()
+  }
+
   test("hopping windows emit two finalized windows per event, matching batch") {
     val s = spark; import s.implicits._
     implicit val ctx = spark.sqlContext
