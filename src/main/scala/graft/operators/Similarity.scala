@@ -310,7 +310,49 @@ object Similarity {
             / col("scale") + 0.5)).as("q"))
   }
 
+  /** Int8-scored brute-force top-k — the scoring path a quantized ANN
+    * serving tier runs: both sides quantized with [[embQuantizeOf]]'s
+    * arithmetic (kept as arrays), scored by the EXACT integer dot
+    * product rescaled by the two scales (idot·s_a·s_b/127²), ranked per
+    * query. Integer dots are exact and the rescale is three IEEE ops in
+    * a fixed order, so the oracle reproduces every score bit-for-bit —
+    * the quantization ERROR itself is what the differential check
+    * verifies (it prices the same approximation identically).
+    *
+    * Scale shape: quantization is row-local; the 50-query side
+    * broadcasts; the corpus is scored where it lives and the ranking
+    * window's WindowGroupLimit prunes to k per partition map-side.
+    */
+  def int8TopK(spark: SparkSession, dir: String): DataFrame =
+    int8TopKOf(Tables(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding")), NumQueries)
+
+  def int8TopKOf(vectors: DataFrame, nQueries: Long): DataFrame = {
+    val scale = aggregate(col("embedding"), lit(0.0),
+      (acc, x) => greatest(acc, abs(x.cast("double"))))
+    val qv = transform(col("embedding"), v =>
+      when(scale === lit(0.0), lit(0L))
+        .otherwise(floor(v.cast("double") * 127.0 / scale + 0.5)))
+    val quant = vectors.select(col("vec_id"), scale.as("scale"), qv.as("qv"))
+    val queries = broadcast(quant
+      .where(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("scale").as("q_scale"),
+        col("qv").as("q_qv")))
+    val idot = aggregate(zip_with(col("q_qv"), col("qv"), (a, b) => a * b),
+      lit(0L), (acc, x) => acc + x)
+    quant.crossJoin(queries)
+      .where(col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        (idot.cast("double") * col("q_scale") * col("scale")
+          / lit(16129.0)).as("qdot"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("qdot").desc, col("neighbor_id").asc)))
+      .where(col("rank") <= TopK)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "llm_sim_int8_topk" -> int8TopK,
     "llm_emb_quantize" -> embQuantize,
     "llm_emb_centroids" -> embCentroids,
     "llm_sim_topk" -> bruteForceTopK,
@@ -335,6 +377,31 @@ object Similarity {
        |) WHERE rank <= $TopK""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "llm_sim_int8_topk" ->
+      s"""WITH v AS (
+         |  SELECT vec_id,
+         |    list_max(list_transform(embedding, x -> abs(x::DOUBLE)))
+         |      AS scale,
+         |    embedding FROM embeddings),
+         |q AS (
+         |  SELECT vec_id, scale,
+         |    list_transform(embedding, x -> CASE WHEN scale = 0 THEN 0
+         |      ELSE floor(x::DOUBLE * 127.0 / scale + 0.5)::BIGINT END)
+         |      AS qv
+         |  FROM v),
+         |scored AS (
+         |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         |    list_reduce(list_transform(range(1, 65),
+         |        i -> a.qv[i] * b.qv[i]), (x, y) -> x + y)::DOUBLE
+         |      * a.scale * b.scale / 16129.0 AS qdot
+         |  FROM q a JOIN q b ON a.vec_id < $NumQueries
+         |    AND a.vec_id != b.vec_id)
+         |SELECT * FROM (
+         |  SELECT query_id, neighbor_id, qdot,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY qdot DESC, neighbor_id ASC) AS rank
+         |  FROM scored
+         |) WHERE rank <= $TopK""".stripMargin,
     "llm_emb_quantize" ->
       """SELECT vec_id, u.i - 1 AS i, scale,
         |  CASE WHEN scale = 0 THEN 0

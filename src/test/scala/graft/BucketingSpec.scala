@@ -9,6 +9,41 @@ import org.apache.spark.sql.functions._
   */
 class BucketingSpec extends SparkSpecBase {
 
+  test("hive-partitioned layout prunes partitions at planning time") {
+    val s = spark; import s.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-partitioned").toString
+    Tables(spark, Sf, "events")
+      .select($"event_id", $"user_id", $"value", $"event_type")
+      .write.mode("overwrite").partitionBy("event_type").parquet(dir)
+
+    val q = spark.read.parquet(dir).where($"event_type" === "click")
+      .groupBy($"user_id").agg(count(lit(1)).as("n"))
+    q.collect()
+    val plan = q.queryExecution.executedPlan.toString
+    // the predicate must resolve at PLANNING time against directory
+    // names (PartitionFilters), never as a row-level filter
+    assert(plan.contains("PartitionFilters: [isnotnull(event_type"), plan)
+    assert(!plan.contains("PushedFilters: [IsNotNull(event_type"), plan)
+    // and the files ACTUALLY read are only the matching directory's
+    // (inputFiles lists the relation pre-pruning, so ask the executor)
+    val read = spark.read.parquet(dir).where($"event_type" === "click")
+      .select(input_file_name()).distinct()
+      .collect().map(_.getString(0))
+    assert(read.nonEmpty && read.forall(_.contains("event_type=click")),
+      s"pruned scan still read: ${read.mkString(",")}")
+
+    // correctness of the pruned read vs the unpartitioned source
+    val want = Tables(spark, Sf, "events")
+      .where($"event_type" === "click")
+      .groupBy($"user_id").agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = q.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == want)
+    org.apache.commons.io.FileUtils
+      .deleteDirectory(new java.io.File(dir))
+  }
+
   test("join of co-bucketed tables shuffles neither side") {
     val s = spark; import s.implicits._
     spark.sql("DROP TABLE IF EXISTS li_bucketed")

@@ -266,6 +266,50 @@ class CorpusOpsSpec extends SparkSpecBase {
     }
   }
 
+  test("int8TopK matches brute force and approximates the exact ranking") {
+    import graft.operators.Similarity
+    def dot(a: Array[Double], b: Array[Double]): Double =
+      a.zip(b).map { case (x, y) => x * y }.sum
+    def cosine(a: Array[Double], b: Array[Double]): Double =
+      dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b)))
+    val vecs = Tables(spark, Sf, "embeddings").select("vec_id", "embedding")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+    def quant(v: Array[Float]): (Double, Array[Long]) = {
+      val s = v.map(x => math.abs(x.toDouble)).max
+      (s, v.map(x => if (s == 0.0) 0L
+      else math.floor(x.toDouble * 127.0 / s + 0.5).toLong))
+    }
+    val q = vecs.map { case (id, v) => id -> quant(v) }.toMap
+    val want = vecs.filter(_._1 < Similarity.NumQueries).flatMap {
+      case (qid, _) =>
+        val (qs, qq) = q(qid)
+        vecs.filter(_._1 != qid).map { case (nid, _) =>
+          val (ns, nq) = q(nid)
+          val idot = qq.zip(nq).map { case (a, b) => a * b }.sum
+          (qid, nid, idot.toDouble * qs * ns / 16129.0)
+        }.sortBy { case (_, nid, s) => (-s, nid) }
+          .take(Similarity.TopK).zipWithIndex
+          .map { case ((a, b, s), i) => (a, b, s, i + 1) }
+    }.toSet
+    val got = Similarity.int8TopK(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+      .toSet
+    assert(got == want)
+    // the int8 ranking should broadly agree with the exact cosine one:
+    // most of each query's exact top-k survives quantization
+    val exact = vecs.map { case (id, v) => id -> v.map(_.toDouble) }.toMap
+    val overlap = want.groupBy(_._1).map { case (qid, rows) =>
+      val approx = rows.map(_._2)
+      val truth = exact.keys.filter(_ != qid).toSeq
+        .map(n => n -> cosine(exact(qid), exact(n)))
+        .sortBy { case (n, s) => (-s, n) }.take(Similarity.TopK)
+        .map(_._1).toSet
+      approx.count(truth) / Similarity.TopK.toDouble
+    }
+    assert(overlap.sum / overlap.size >= 0.6,
+      s"mean top-k overlap ${overlap.sum / overlap.size}")
+  }
+
   test("aboveAvgOrders matches the correlated-subquery brute force") {
     val byCust = orders.groupBy(_._2)
     val want = byCust.toSeq.flatMap { case (_, os) =>
