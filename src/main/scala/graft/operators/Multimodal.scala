@@ -128,6 +128,37 @@ object Multimodal {
       .toDF("doc_id", "grp", "byte_sum")
   }
 
+  /** Feature-quantization step for [[featureDup]]: byte-sum buckets of
+    * this width collapse near-identical media into the same fingerprint
+    * (the coarseness knob every perceptual hash has).
+    */
+  val FeatureQuant = 256L
+
+  /** Perceptual-style duplicate detection in DECODED-FEATURE space: two
+    * media objects whose QUANTIZED [[MediaDecoder]] features agree are
+    * flagged as a duplicate pair even when their bytes differ — the
+    * composition a multimodal pipeline runs (decode → quantize →
+    * fingerprint → bucket-join), here over the [[ByteHistogramDecoder]]
+    * stub seam. The fingerprint is md5 of the ordered quantized vector,
+    * so candidates meet through an equi-join on a fixed-width key
+    * (exact-dedup's scale shape — never an all-pairs product); pairs
+    * emit as doc_a < doc_b.
+    */
+  def featureDup(spark: SparkSession, dir: String): DataFrame = {
+    val keys = decodeFeatures(spark, dir)
+      .select(col("doc_id"), col("grp"),
+        expr(s"byte_sum div $FeatureQuant").as("fq"))
+      .groupBy("doc_id")
+      .agg(md5(concat_ws("_",
+        transform(sort_array(collect_list(struct(col("grp"),
+          col("fq")))), s => s.getField("fq").cast("string"))))
+        .as("fkey"))
+    val a = keys.select(col("doc_id").as("doc_a"), col("fkey"))
+    val b = keys.select(col("doc_id").as("doc_b"), col("fkey"))
+    a.join(b, "fkey").where(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("fkey"))
+  }
+
   /** Frame sampling: every 32nd byte of the media column as a (frame_idx,
     * sample) row — the stride-subsample shape of video keyframe
     * extraction, as a narrow generator (sequence + posexplode), no UDF.
@@ -209,6 +240,7 @@ object Multimodal {
     "llm_mm_props_agg" -> propsAgg,
     "llm_mm_binary_meta" -> binaryMeta,
     "llm_mm_decode_features" -> decodeFeatures,
+    "llm_mm_feature_dup" -> featureDup,
     "llm_mm_frame_sample" -> frameSample,
     "llm_mm_audio_energy" -> audioEnergy
   )
@@ -233,6 +265,22 @@ object Multimodal {
         |  (SELECT unnest(range(1, 2001)) AS i) ii
         |WHERE i <= len(text)
         |GROUP BY doc_id, (i - 1) % 8""".stripMargin,
+    "llm_mm_feature_dup" ->
+      s"""WITH f AS (
+        |  SELECT doc_id, (i - 1) % 8 AS grp,
+        |    (sum(ord(substr(text, i::INT, 1))) // $FeatureQuant)::BIGINT
+        |      AS fq
+        |  FROM documents,
+        |    (SELECT unnest(range(1, 2001)) AS i) ii
+        |  WHERE i <= len(text)
+        |  GROUP BY doc_id, (i - 1) % 8),
+        |k AS (
+        |  SELECT doc_id,
+        |    md5(string_agg(fq::VARCHAR, '_' ORDER BY grp)) AS fkey
+        |  FROM f GROUP BY doc_id)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.fkey
+        |FROM k a JOIN k b ON a.fkey = b.fkey AND a.doc_id < b.doc_id"""
+        .stripMargin,
     // same span arithmetic as resizeStub, chars == bytes on the ASCII
     // fixture (the decode oracle already pins that assumption)
     "llm_mm_resize" ->

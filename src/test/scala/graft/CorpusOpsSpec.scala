@@ -310,6 +310,29 @@ class CorpusOpsSpec extends SparkSpecBase {
       s"mean top-k overlap ${overlap.sum / overlap.size}")
   }
 
+  test("featureDup pairs documents with equal quantized decoded features") {
+    import graft.operators.Multimodal
+    val docs = Tables(spark, Sf, "documents")
+      .select("doc_id", "text").as[(Long, String)].collect()
+    def fingerprint(text: String): Seq[Long] = {
+      val sums = Array.fill(8)(0L)
+      text.take(2000).zipWithIndex.foreach { case (c, i) =>
+        sums(i % 8) += c.toInt
+      }
+      sums.toSeq.map(_ / Multimodal.FeatureQuant)
+    }
+    val byFp = docs.map { case (id, t) => id -> fingerprint(t) }
+      .groupBy(_._2).values.filter(_.length > 1)
+    val want = byFp.flatMap { g =>
+      val ids = g.map(_._1).sorted.toSeq
+      for (a <- ids; b <- ids if a < b) yield (a, b)
+    }.toSet
+    val got = Multimodal.featureDup(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == want)
+    assert(got.nonEmpty, "fixture should contain feature-level near-dups")
+  }
+
   test("aboveAvgOrders matches the correlated-subquery brute force") {
     val byCust = orders.groupBy(_._2)
     val want = byCust.toSeq.flatMap { case (_, os) =>
