@@ -258,15 +258,25 @@ object Multimodal {
         |  hex(encode(substr(text, 1, 4))) AS head_hex,
         |  md5(text) AS content_md5
         |FROM documents""".stripMargin,
+    // the decoder zero-fills all 8 groups even for docs shorter than 8
+    // bytes, so the oracle pads missing groups with 0 instead of
+    // dropping them (a char-indexed GROUP BY alone would emit < 8 rows)
     "llm_mm_decode_features" ->
-      """SELECT doc_id, (i - 1) % 8 AS grp,
-        |  sum(ord(substr(text, i::INT, 1)))::BIGINT AS byte_sum
-        |FROM documents,
-        |  (SELECT unnest(range(1, 2001)) AS i) ii
-        |WHERE i <= len(text)
-        |GROUP BY doc_id, (i - 1) % 8""".stripMargin,
+      """WITH f0 AS (
+        |  SELECT doc_id, (i - 1) % 8 AS grp,
+        |    sum(ord(substr(text, i::INT, 1)))::BIGINT AS byte_sum
+        |  FROM documents,
+        |    (SELECT unnest(range(1, 2001)) AS i) ii
+        |  WHERE i <= len(text)
+        |  GROUP BY doc_id, (i - 1) % 8)
+        |SELECT d.doc_id, g.grp, coalesce(f0.byte_sum, 0)::BIGINT
+        |  AS byte_sum
+        |FROM (SELECT doc_id FROM documents) d
+        |CROSS JOIN (SELECT unnest(range(0, 8)) AS grp) g
+        |LEFT JOIN f0 ON f0.doc_id = d.doc_id AND f0.grp = g.grp"""
+        .stripMargin,
     "llm_mm_feature_dup" ->
-      s"""WITH f AS (
+      s"""WITH f0 AS (
         |  SELECT doc_id, (i - 1) % 8 AS grp,
         |    (sum(ord(substr(text, i::INT, 1))) // $FeatureQuant)::BIGINT
         |      AS fq
@@ -274,6 +284,11 @@ object Multimodal {
         |    (SELECT unnest(range(1, 2001)) AS i) ii
         |  WHERE i <= len(text)
         |  GROUP BY doc_id, (i - 1) % 8),
+        |f AS (
+        |  SELECT d.doc_id, g.grp, coalesce(f0.fq, 0)::BIGINT AS fq
+        |  FROM (SELECT doc_id FROM documents) d
+        |  CROSS JOIN (SELECT unnest(range(0, 8)) AS grp) g
+        |  LEFT JOIN f0 ON f0.doc_id = d.doc_id AND f0.grp = g.grp),
         |k AS (
         |  SELECT doc_id,
         |    md5(string_agg(fq::VARCHAR, '_' ORDER BY grp)) AS fkey

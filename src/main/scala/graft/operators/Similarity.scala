@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
@@ -297,18 +297,25 @@ object Similarity {
     embQuantizeOf(Tables(spark, dir, "embeddings")
       .select(col("vec_id"), col("embedding")))
 
-  def embQuantizeOf(vectors: DataFrame): DataFrame = {
-    val scale = aggregate(col("embedding"), lit(0.0),
+  /** The one quantization rule (max-abs scale, round-half-up) shared by
+    * [[embQuantizeOf]] and [[int8TopKOf]] — a tweak here (e.g. clamping)
+    * changes both ends of the quantize→serve path together.
+    */
+  private def qScale: Column =
+    aggregate(col("embedding"), lit(0.0),
       (acc, x) => greatest(acc, abs(x.cast("double"))))
+
+  private def qElem(v: Column, scale: Column): Column =
+    when(scale === lit(0.0), lit(0L))
+      .otherwise(floor(v.cast("double") * 127.0 / scale + 0.5))
+
+  def embQuantizeOf(vectors: DataFrame): DataFrame =
     vectors
-      .select(col("vec_id"), col("embedding"), scale.as("scale"))
+      .select(col("vec_id"), col("embedding"), qScale.as("scale"))
       .select(col("vec_id"), col("scale"),
         posexplode(col("embedding")).as(Seq("i", "v")))
       .select(col("vec_id"), col("i").cast("long").as("i"), col("scale"),
-        when(col("scale") === 0.0, lit(0L))
-          .otherwise(floor(col("v").cast("double") * 127.0
-            / col("scale") + 0.5)).as("q"))
-  }
+        qElem(col("v"), col("scale")).as("q"))
 
   /** Int8-scored brute-force top-k — the scoring path a quantized ANN
     * serving tier runs: both sides quantized with [[embQuantizeOf]]'s
@@ -328,12 +335,9 @@ object Similarity {
       .select(col("vec_id"), col("embedding")), NumQueries)
 
   def int8TopKOf(vectors: DataFrame, nQueries: Long): DataFrame = {
-    val scale = aggregate(col("embedding"), lit(0.0),
-      (acc, x) => greatest(acc, abs(x.cast("double"))))
-    val qv = transform(col("embedding"), v =>
-      when(scale === lit(0.0), lit(0L))
-        .otherwise(floor(v.cast("double") * 127.0 / scale + 0.5)))
-    val quant = vectors.select(col("vec_id"), scale.as("scale"), qv.as("qv"))
+    val qv = transform(col("embedding"), v => qElem(v, qScale))
+    val quant = vectors.select(col("vec_id"), qScale.as("scale"),
+      qv.as("qv"))
     val queries = broadcast(quant
       .where(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("scale").as("q_scale"),

@@ -384,8 +384,11 @@ object TextOps {
 
   /** Corpus-wide collocation mining: adjacent-bigram counts scored by
     * lift = P(w1,w2) / (P(w1)·P(w2)) — the exponent-free core of PMI
-    * (same ranking as PMI since log is monotone), kept as one exact
-    * integer-product division so both engines compute identical bits.
+    * (same ranking as PMI since log is monotone). Counts are exact
+    * integers widened to double BEFORE the products (c_xy·m_total can
+    * exceed 2^63 at corpus scale; double products are deterministic
+    * IEEE ops both engines evaluate identically, so the scores still
+    * match bit-for-bit).
     *
     * Scale shape: bigrams come from a slice+zip per row (no
     * sequence-generator edge cases), counted with map-side partial
@@ -414,8 +417,9 @@ object TextOps {
       .join(uni.select(col("w").as("w2"), col("c").as("c_y")), "w2")
       .crossJoin(broadcast(total))
       .select(col("w1"), col("w2"), col("c_xy"),
-        ((col("c_xy") * col("m_total")).cast("double")
-          / (col("c_x") * col("c_y")).cast("double")).as("lift"))
+        (col("c_xy").cast("double") * col("m_total").cast("double")
+          / (col("c_x").cast("double") * col("c_y").cast("double")))
+          .as("lift"))
       .orderBy(col("lift").desc, col("w1"), col("w2"))
       .limit(TopCollocations)
   }
@@ -613,7 +617,8 @@ object TextOps {
          |      FROM (SELECT unnest(t) AS w FROM tok) GROUP BY 1),
          |m AS (SELECT sum(c_xy)::BIGINT AS m_total FROM bc)
          |SELECT w1, w2, c_xy,
-         |  (c_xy * m_total)::DOUBLE / (u1.c * u2.c)::DOUBLE AS lift
+         |  c_xy::DOUBLE * m_total::DOUBLE
+         |    / (u1.c::DOUBLE * u2.c::DOUBLE) AS lift
          |FROM bc
          |JOIN u u1 ON bc.w1 = u1.w
          |JOIN u u2 ON bc.w2 = u2.w

@@ -13,6 +13,7 @@ class BucketingSpec extends SparkSpecBase {
     val s = spark; import s.implicits._
     val dir = java.nio.file.Files
       .createTempDirectory("graft-partitioned").toString
+    try {
     Tables(spark, Sf, "events")
       .select($"event_id", $"user_id", $"value", $"event_type")
       .write.mode("overwrite").partitionBy("event_type").parquet(dir)
@@ -40,7 +41,7 @@ class BucketingSpec extends SparkSpecBase {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val got = q.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(got == want)
-    org.apache.commons.io.FileUtils
+    } finally org.apache.commons.io.FileUtils
       .deleteDirectory(new java.io.File(dir))
   }
 

@@ -187,7 +187,8 @@ class CorpusOpsSpec extends SparkSpecBase {
       .groupBy(identity).map { case (p, xs) => p -> xs.length.toLong }
     val m = bi.values.sum
     val want = bi.toSeq.map { case ((w1, w2), cxy) =>
-      (w1, w2, cxy, (cxy * m).toDouble / (uni(w1) * uni(w2)).toDouble)
+      (w1, w2, cxy,
+        cxy.toDouble * m.toDouble / (uni(w1).toDouble * uni(w2).toDouble))
     }.sortBy { case (w1, w2, _, lift) => (-lift, w1, w2) }
       .take(TextOps.TopCollocations)
     val got = TextOps.collocations(spark, Sf).collect()
