@@ -292,6 +292,62 @@ object Streams {
     * equal DuckDB's native ASOF JOIN (validated; the oracle uses the
     * same union-window SQL so tie order is bit-deterministic).
     */
+  /** Microseconds per day, for cohort arithmetic. */
+  val DayUs = 86400000000L
+
+  /** Strictly-ordered conversion funnel view → click → purchase: per
+    * user, the FIRST view, the first click AFTER that view, and the
+    * first purchase AFTER that click (each stage anchored on the
+    * previous one, so out-of-order events never count). One row per
+    * user who reached stage 1; later stages are null until reached —
+    * the funnel report is a count over the null pattern.
+    *
+    * Scale shape: three user-keyed aggregations with map-side partials;
+    * every join after the first aggregate carries one row per user, and
+    * all of them hash on user_id so the exchanges align. Under
+    * streaming the same anchoring runs as keyed state
+    * (flatMapGroupsWithState, one (t_view, t_click) pair per user) —
+    * the batch plan is the oracle-checked semantics.
+    */
+  def funnel(events: DataFrame): DataFrame = {
+    val e = withEventTime(events)
+    def typed(t: String) = e.where(col("event_type") === t)
+      .select(col("user_id"), col("ts_us"))
+    val v = typed("view").groupBy("user_id")
+      .agg(min(col("ts_us")).as("t_view"))
+    val c = typed("click").join(v, "user_id")
+      .where(col("ts_us") > col("t_view"))
+      .groupBy("user_id").agg(min(col("ts_us")).as("t_click"))
+    val p = typed("purchase").join(c, "user_id")
+      .where(col("ts_us") > col("t_click"))
+      .groupBy("user_id").agg(min(col("ts_us")).as("t_purchase"))
+    v.join(c, Seq("user_id"), "left")
+      .join(p, Seq("user_id"), "left")
+      .select(col("user_id"), col("t_view"), col("t_click"),
+        col("t_purchase"))
+  }
+
+  /** Retention cohorts: users grouped by their first-activity day; for
+    * each (cohort_day, day-offset) cell, how many of that cohort were
+    * active. The classic triangle a growth dashboard reads. Day
+    * arithmetic is exact integer division of epoch-microseconds.
+    *
+    * Scale shape: one distinct over (user, day) — row count bounded by
+    * users×days, far below raw events — then a user-keyed min and one
+    * aligned join; the final histogram groupBy is #cohorts×#offsets.
+    */
+  def retention(events: DataFrame): DataFrame = {
+    val active = withEventTime(events)
+      .select(col("user_id"), expr(s"ts_us div $DayUs").as("day"))
+      .distinct()
+    val cohort = active.groupBy("user_id")
+      .agg(min(col("day")).as("cohort_day"))
+    active.join(cohort, "user_id")
+      .groupBy(col("cohort_day"),
+        (col("day") - col("cohort_day")).as("offset_days"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+  }
+
   def asofViewBeforePurchase(events: DataFrame): DataFrame = {
     val e = withEventTime(events)
     def side(typ: String, tag: Int) =
@@ -354,6 +410,10 @@ object Streams {
       ((s: SparkSession, d: String) => tumblingStats(events(s, d))),
     "stream_topk_types" ->
       ((s: SparkSession, d: String) => topkTypes(events(s, d))),
+    "stream_funnel" ->
+      ((s: SparkSession, d: String) => funnel(events(s, d))),
+    "stream_retention" ->
+      ((s: SparkSession, d: String) => retention(events(s, d))),
     "stream_sessions" ->
       ((s: SparkSession, d: String) => sessions(events(s, d))),
     "stream_event_pairs" ->
@@ -393,6 +453,33 @@ object Streams {
         |  count(*) AS n_events,
         |  CAST(SUM(CAST(value AS DECIMAL(24,6))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2""".stripMargin,
+    "stream_funnel" ->
+      """WITH v AS (
+        |  SELECT user_id, min(epoch_us(ts)) AS t_view FROM events
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |c AS (
+        |  SELECT e.user_id, min(epoch_us(ts)) AS t_click
+        |  FROM events e JOIN v ON e.user_id = v.user_id
+        |  WHERE event_type = 'click' AND epoch_us(ts) > t_view
+        |  GROUP BY 1),
+        |p AS (
+        |  SELECT e.user_id, min(epoch_us(ts)) AS t_purchase
+        |  FROM events e JOIN c ON e.user_id = c.user_id
+        |  WHERE event_type = 'purchase' AND epoch_us(ts) > t_click
+        |  GROUP BY 1)
+        |SELECT v.user_id, t_view, t_click, t_purchase
+        |FROM v
+        |LEFT JOIN c ON v.user_id = c.user_id
+        |LEFT JOIN p ON v.user_id = p.user_id""".stripMargin,
+    "stream_retention" ->
+      s"""WITH a AS (
+         |  SELECT DISTINCT user_id, epoch_us(ts) // $DayUs AS day
+         |  FROM events),
+         |c AS (SELECT user_id, min(day) AS cohort_day FROM a GROUP BY 1)
+         |SELECT cohort_day, day - cohort_day AS offset_days,
+         |  count(DISTINCT a.user_id) AS n_users
+         |FROM a JOIN c ON a.user_id = c.user_id
+         |GROUP BY 1, 2""".stripMargin,
     "stream_topk_types" ->
       s"""SELECT win_start, event_type, n_events, rk FROM (
          |  SELECT time_bucket(INTERVAL 1 HOUR, ts) AS win_start,

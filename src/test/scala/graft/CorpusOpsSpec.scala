@@ -334,6 +334,51 @@ class CorpusOpsSpec extends SparkSpecBase {
     assert(got.nonEmpty, "fixture should contain feature-level near-dups")
   }
 
+  test("funnel anchors each stage strictly after the previous one") {
+    import graft.streaming.Streams
+    // user 1: full ordered funnel; user 2: click BEFORE first view (must
+    // not count) then purchase without a valid click; user 3: view only
+    val us = 1000L * 1000
+    val ev = Seq(
+      (1L, 10 * us, 1L, "view", 0.0, "{}"),
+      (2L, 20 * us, 1L, "click", 0.0, "{}"),
+      (3L, 30 * us, 1L, "purchase", 0.0, "{}"),
+      (4L, 5 * us, 2L, "click", 0.0, "{}"),
+      (5L, 10 * us, 2L, "view", 0.0, "{}"),
+      (6L, 20 * us, 2L, "purchase", 0.0, "{}"),
+      (7L, 10 * us, 3L, "view", 0.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .withColumn("ts", $"ts" * 1000) // ns, as the fixture surfaces
+    val got = Streams.funnel(ev).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1),
+        Option(r.get(2)).map(_.asInstanceOf[Long]),
+        Option(r.get(3)).map(_.asInstanceOf[Long])))).toMap
+    assert(got(1L) == ((10 * us, Some(20 * us), Some(30 * us))))
+    // user 2's 5s click precedes the first view → no click stage, and
+    // therefore the purchase can't anchor either
+    assert(got(2L) == ((10 * us, None, None)))
+    assert(got(3L) == ((10 * us, None, None)))
+  }
+
+  test("retention matches the brute-force cohort triangle") {
+    import graft.streaming.Streams
+    val ev = Tables(spark, Sf, "events")
+      .select($"user_id",
+        org.apache.spark.sql.functions.expr("ts DIV 1000").as("us"))
+      .collect().map(r => (r.getLong(0), r.getLong(1) / Streams.DayUs))
+    val active = ev.distinct
+    val cohort = active.groupBy(_._1).map { case (u, xs) =>
+      u -> xs.map(_._2).min
+    }
+    val want = active.map { case (u, d) => (cohort(u), d - cohort(u)) }
+      .groupBy(identity).map { case (k, xs) => (k._1, k._2, xs.length.toLong) }
+      .toSet
+    val got = Streams.retention(Tables(spark, Sf, "events")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == want)
+    assert(want.exists(_._2 > 0), "fixture should span multiple days")
+  }
+
   test("aboveAvgOrders matches the correlated-subquery brute force") {
     val byCust = orders.groupBy(_._2)
     val want = byCust.toSeq.flatMap { case (_, os) =>
