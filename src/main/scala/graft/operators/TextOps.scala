@@ -400,15 +400,21 @@ object TextOps {
   def collocations(spark: SparkSession, dir: String): DataFrame =
     collocationsOf(docs(spark, dir))
 
-  def collocationsOf(corpus: DataFrame): DataFrame = {
-    val bi = corpus.select(toks.as("t"))
-      // size=1 docs slice to two empty arrays → zero bigrams (NEVER use
-      // sequence(1, size-1) here: it DESCENDS for size=1)
+  /** Corpus-wide adjacent-bigram counts (w1, w2, c_xy) — shared by
+    * [[collocationsOf]] and [[bigramNextOf]]. size=1 docs slice to two
+    * empty arrays → zero bigrams (NEVER use sequence(1, size-1) here:
+    * it DESCENDS for size=1).
+    */
+  private def bigramCounts(corpus: DataFrame): DataFrame =
+    corpus.select(toks.as("t"))
       .select(slice(col("t"), lit(1), size(col("t")) - 1).as("a"),
         slice(col("t"), lit(2), size(col("t")) - 1).as("b"))
       .select(explode(arrays_zip(col("a"), col("b"))).as("p"))
       .select(col("p.a").as("w1"), col("p.b").as("w2"))
-    val biCnt = bi.groupBy("w1", "w2").agg(count(lit(1)).as("c_xy"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("c_xy"))
+
+  def collocationsOf(corpus: DataFrame): DataFrame = {
+    val biCnt = bigramCounts(corpus)
     val uni = corpus.select(explode(toks).as("w"))
       .groupBy("w").agg(count(lit(1)).as("c"))
     val total = biCnt.agg(sum(col("c_xy")).as("m_total"))
@@ -422,6 +428,32 @@ object TextOps {
           .as("lift"))
       .orderBy(col("lift").desc, col("w1"), col("w2"))
       .limit(TopCollocations)
+  }
+
+  /** Bigram language-model table: for every word, its most likely
+    * successor and the exact conditional probability
+    * P(w2 | w1) = c_xy / Σ_y c_xy — the greedy-decode row of a count
+    * LM, and the lookup a corpus-statistics dashboard shows next to
+    * [[collocationsOf]]. Integer counts divide once in double (exact
+    * int64→double widening, one IEEE division — bit-identical across
+    * engines); ties break on the successor word.
+    *
+    * Scale shape: one bigram-count aggregation (map-side partials),
+    * then two windows over the SAME w1 partitioning — the denominator
+    * sum and the rank share one exchange.
+    */
+  def bigramNext(spark: SparkSession, dir: String): DataFrame =
+    bigramNextOf(docs(spark, dir))
+
+  def bigramNextOf(corpus: DataFrame): DataFrame = {
+    val byW1 = Window.partitionBy("w1")
+    bigramCounts(corpus)
+      .withColumn("den", sum(col("c_xy")).over(byW1))
+      .withColumn("rk", row_number().over(
+        byW1.orderBy(col("c_xy").desc, col("w2"))))
+      .where(col("rk") === 1)
+      .select(col("w1"), col("w2").as("next_word"), col("c_xy"),
+        (col("c_xy").cast("double") / col("den").cast("double")).as("p"))
   }
 
   // ---- per-source rollup ----
@@ -468,6 +500,7 @@ object TextOps {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "llm_badwords" -> badwords,
     "llm_collocations" -> collocations,
+    "llm_bigram_next" -> bigramNext,
     "llm_source_stats" -> sourceStats,
     "llm_vocab_top" -> vocabTop,
     "llm_len_histogram" -> lenHistogram,
@@ -624,6 +657,19 @@ object TextOps {
          |JOIN u u2 ON bc.w2 = u2.w
          |CROSS JOIN m
          |ORDER BY lift DESC, w1, w2 LIMIT $TopCollocations""".stripMargin,
+    "llm_bigram_next" ->
+      """WITH tok AS (SELECT string_split(text, ' ') AS t FROM documents),
+        |bi AS (SELECT t[i] AS w1, t[i + 1] AS w2
+        |       FROM (SELECT t, unnest(range(1, len(t))) AS i FROM tok)),
+        |bc AS (SELECT w1, w2, count(*) AS c_xy FROM bi GROUP BY 1, 2)
+        |SELECT w1, w2 AS next_word, c_xy,
+        |  c_xy::DOUBLE / den::DOUBLE AS p
+        |FROM (SELECT w1, w2, c_xy,
+        |        sum(c_xy) OVER (PARTITION BY w1)::BIGINT AS den,
+        |        row_number() OVER (PARTITION BY w1
+        |          ORDER BY c_xy DESC, w2) AS rk
+        |      FROM bc)
+        |WHERE rk = 1""".stripMargin,
     "llm_source_stats" ->
       s"""SELECT source, count(*) AS n_docs,
          |  sum(len(string_split(text, ' ')))::BIGINT AS n_tokens,

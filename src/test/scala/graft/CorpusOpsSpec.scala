@@ -197,6 +197,24 @@ class CorpusOpsSpec extends SparkSpecBase {
     assert(got.toSeq == want)
   }
 
+  test("bigramNext picks each word's most likely successor exactly") {
+    val texts = Tables(spark, Sf, "documents")
+      .select("text").as[String].collect()
+    val bi = texts.flatMap(_.split(" ", -1).sliding(2).filter(_.length == 2))
+      .map(p => (p(0), p(1)))
+      .groupBy(identity).map { case (p, xs) => p -> xs.length.toLong }
+    val want = bi.groupBy(_._1._1).map { case (w1, m) =>
+      val den = m.values.sum
+      val ((_, w2), cnt) = m.minBy { case ((_, n), c) => (-c, n) }
+      (w1, w2, cnt, cnt.toDouble / den.toDouble)
+    }.toSet
+    val got = TextOps.bigramNext(spark, Sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    assert(got == want)
+    assert(got.forall { case (_, _, _, p) => p > 0.0 && p <= 1.0 })
+  }
+
   test("sourceStats matches brute-force per-source accounting") {
     val docs = Tables(spark, Sf, "documents")
       .select("source", "lang", "text")
