@@ -341,7 +341,31 @@ object Relational {
       .groupBy("n_orders").agg(count(lit(1)).as("n_custs"))
   }
 
+  /** RANGE-frame window width: 7 days of microseconds. */
+  val TrailingUs = 7L * 86400000000L
+
+  /** Trailing 7-day spend per order: a VALUE-range window frame (RANGE
+    * BETWEEN 7 days PRECEDING AND CURRENT ROW over epoch-micros), the
+    * moving-aggregate shape row-count frames can't express when orders
+    * are unevenly spaced. Peers (equal timestamps) are all included by
+    * RANGE semantics in both engines; the sum goes through DECIMAL so
+    * frame-internal addition order can't matter.
+    */
+  def trailingSpend(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("order_us"))
+      .rangeBetween(-TrailingUs, Window.currentRow)
+    Tables(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"),
+        unix_micros(col("o_orderdate").cast("timestamp")).as("order_us"),
+        col("o_totalprice"))
+      .withColumn("trailing_spend",
+        sum(col("o_totalprice").cast("decimal(24,6)")).over(w)
+          .cast("double"))
+      .withColumn("n_recent", count(lit(1)).over(w))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "rel_trailing_spend" -> trailingSpend,
     "rel_customer_orders_dist" -> customerOrdersDist,
     "rel_shipping_priority" -> shippingPriority,
     "rel_returned_customers" -> returnedCustomers,
@@ -364,6 +388,17 @@ object Relational {
   )
 
   val oracle: Map[String, String] = Map(
+    "rel_trailing_spend" ->
+      s"""SELECT o_orderkey, o_custkey, epoch_us(o_orderdate) AS order_us,
+         |  o_totalprice,
+         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(24,6))) OVER w AS DOUBLE)
+         |    AS trailing_spend,
+         |  COUNT(*) OVER w AS n_recent
+         |FROM orders
+         |WINDOW w AS (PARTITION BY o_custkey
+         |  ORDER BY epoch_us(o_orderdate)
+         |  RANGE BETWEEN $TrailingUs PRECEDING AND CURRENT ROW)"""
+        .stripMargin,
     "rel_customer_orders_dist" ->
       """SELECT n_orders, count(*) AS n_custs
         |FROM (SELECT c_custkey, count(o_custkey)::BIGINT AS n_orders

@@ -240,6 +240,23 @@ class CorpusOpsSpec extends SparkSpecBase {
     assert(want.size > 1)
   }
 
+  test("trailingSpend matches a brute-force range frame") {
+    val want = orders.groupBy(_._2).toSeq.flatMap { case (_, os) =>
+      os.map { case (ok, ck, _, _, us) =>
+        val frame = os.filter(o =>
+          o._5 >= us - Relational.TrailingUs && o._5 <= us)
+        val spend = dsum(frame.map(_._4).toSeq)
+        (ok, ck, us, spend, frame.length.toLong)
+      }
+    }.toSet
+    val got = Relational.trailingSpend(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(4),
+        r.getLong(5))).toSet
+    assert(got == want)
+    // windows genuinely accumulate: some order has >1 recent order
+    assert(want.exists(_._5 > 1L))
+  }
+
   test("customerOrdersDist counts zero-order customers") {
     val custs = Tables(spark, Sf, "customer")
       .select("c_custkey").as[Long].collect()
