@@ -358,10 +358,12 @@ object Relational {
       .select(col("o_orderkey"), col("o_custkey"),
         unix_micros(col("o_orderdate").cast("timestamp")).as("order_us"),
         col("o_totalprice"))
-      .withColumn("trailing_spend",
+      // both aggregates in ONE projection → one Window node, the RANGE
+      // frames are walked once
+      .select(col("*"),
         sum(col("o_totalprice").cast("decimal(24,6)")).over(w)
-          .cast("double"))
-      .withColumn("n_recent", count(lit(1)).over(w))
+          .cast("double").as("trailing_spend"),
+        count(lit(1)).over(w).as("n_recent"))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

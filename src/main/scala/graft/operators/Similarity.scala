@@ -345,7 +345,11 @@ object Similarity {
     // expression path at fixture scale
     val quant = vectors.select(col("vec_id"), qScale.as("scale"),
       qv.as("qv")).as[(Long, Double, Array[Long])]
-    val queries = quant.filter(_._1 < nQueries).collect().sortBy(_._1)
+    // declarative pruning BEFORE the typed conversion: the query-side
+    // collect scans (and quantizes) 50 rows, not the corpus
+    val queries = vectors.where(col("vec_id") < nQueries)
+      .select(col("vec_id"), qScale.as("scale"), qv.as("qv"))
+      .as[(Long, Double, Array[Long])].collect().sortBy(_._1)
     val bc = spark.sparkContext.broadcast(queries)
     quant
       .mapPartitions { it =>

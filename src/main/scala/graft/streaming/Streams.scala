@@ -279,19 +279,6 @@ object Streams {
         col("view_id"), col("purchase_id"))
   }
 
-  /** As-of join — the "latest earlier fact" operator Spark has no
-    * native form of: every purchase paired with the same user's most
-    * recent view at-or-before it (left: no-view purchases keep null).
-    * Spark-first implementation, no custom physical operator needed:
-    * tag and UNION the two sides, ONE per-user window ordered by
-    * (ts, side, id) carries the last seen view forward
-    * (`last(_, ignoreNulls)` over a rows frame), keep the purchase
-    * rows. One shuffle on user_id; per-user state is a running scalar,
-    * so a hot user costs O(events) — unlike a range-join formulation,
-    * whose per-user candidate set is O(views × purchases). Semantics
-    * equal DuckDB's native ASOF JOIN (validated; the oracle uses the
-    * same union-window SQL so tie order is bit-deterministic).
-    */
   /** Microseconds per day, for cohort arithmetic. */
   val DayUs = 86400000000L
 
@@ -304,10 +291,11 @@ object Streams {
     *
     * Scale shape: three user-keyed aggregations with map-side partials;
     * every join after the first aggregate carries one row per user, and
-    * all of them hash on user_id so the exchanges align. Under
-    * streaming the same anchoring runs as keyed state
-    * (flatMapGroupsWithState, one (t_view, t_click) pair per user) —
-    * the batch plan is the oracle-checked semantics.
+    * all of them hash on user_id so the exchanges align. A streaming
+    * form would keep the same anchoring as keyed state
+    * (flatMapGroupsWithState, one (t_view, t_click) pair per user);
+    * only the batch plan exists here, and it is the oracle-checked
+    * semantics.
     */
   def funnel(events: DataFrame): DataFrame = {
     val e = withEventTime(events)
@@ -348,6 +336,20 @@ object Streams {
       .agg(countDistinct(col("user_id")).as("n_users"))
   }
 
+
+  /** As-of join — the "latest earlier fact" operator Spark has no
+    * native form of: every purchase paired with the same user's most
+    * recent view at-or-before it (left: no-view purchases keep null).
+    * Spark-first implementation, no custom physical operator needed:
+    * tag and UNION the two sides, ONE per-user window ordered by
+    * (ts, side, id) carries the last seen view forward
+    * (`last(_, ignoreNulls)` over a rows frame), keep the purchase
+    * rows. One shuffle on user_id; per-user state is a running scalar,
+    * so a hot user costs O(events) — unlike a range-join formulation,
+    * whose per-user candidate set is O(views × purchases). Semantics
+    * equal DuckDB's native ASOF JOIN (validated; the oracle uses the
+    * same union-window SQL so tie order is bit-deterministic).
+    */
   def asofViewBeforePurchase(events: DataFrame): DataFrame = {
     val e = withEventTime(events)
     def side(typ: String, tag: Int) =
