@@ -187,6 +187,37 @@ object Curation {
           .as("chunk_text"))
   }
 
+  /** [[chunkOf]] composed with [[packShardsOf]]'s two-level prefix sum:
+    * every training chunk assigned, in (doc_id, chunk_id) order, to the
+    * shard its cumulative token offset falls into — the step that turns
+    * chunked documents into fixed-budget training shards. Same
+    * scale shape as [[packShards]]: the per-group running sum is
+    * partitioned (g = doc_id div [[PackGroup]], chunks follow their
+    * document), the single-partition window sees only #groups rows, and
+    * the result equals a global ORDER BY (doc_id, chunk_id) window
+    * without serializing the corpus.
+    */
+  def packChunks(spark: SparkSession, dir: String): DataFrame =
+    packChunksOf(chunkOf(docs(spark, dir)))
+
+  def packChunksOf(chunks: DataFrame,
+      budget: Long = ShardBudget): DataFrame = {
+    val base = chunks.select(col("doc_id"), col("chunk_id"),
+      col("n_tokens").cast("long").as("n_tokens"),
+      expr(s"doc_id div $PackGroup").as("g"))
+    val within = base.withColumn("wcum",
+      sum(col("n_tokens")).over(
+        Window.partitionBy("g").orderBy("doc_id", "chunk_id")))
+    val offsets = base.groupBy("g").agg(sum(col("n_tokens")).as("t"))
+      .withColumn("goff",
+        coalesce(sum(col("t")).over(Window.orderBy("g")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("g", "goff")
+    within.join(broadcast(offsets), "g")
+      .select(col("doc_id"), col("chunk_id"), col("n_tokens"),
+        expr(s"(goff + wcum - n_tokens) div $budget").as("shard"))
+  }
+
   // ---- end-to-end curation gate ----
 
   /** The corpus a pipeline actually trains on: documents that pass the
@@ -229,6 +260,7 @@ object Curation {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "llm_chunk" -> chunk,
+    "llm_pack_chunks" -> packChunks,
     "llm_curate_strict" -> curateStrict,
     "llm_sample_stratified" -> sampleStratified,
     "llm_sample_topn" -> sampleTopN,
@@ -258,18 +290,29 @@ object Curation {
        |JOIN q USING (doc_id) JOIN l USING (doc_id)
        |WHERE d.doc_id NOT IN (SELECT doc_id FROM dup)""".stripMargin
 
+  /** Shared by the `llm_chunk` entry and `llm_pack_chunks`' oracle. */
+  private val chunkSql: String =
+    s"""SELECT doc_id,
+       |  start // $ChunkStride AS chunk_id,
+       |  start,
+       |  len(list_slice(t, start + 1, start + $ChunkSize)) AS n_tokens,
+       |  array_to_string(list_slice(t, start + 1, start + $ChunkSize), ' ')
+       |    AS chunk_text
+       |FROM (SELECT doc_id, t, unnest(range(0, len(t), $ChunkStride))
+       |        AS start
+       |      FROM (SELECT doc_id, string_split(text, ' ') AS t
+       |            FROM documents))""".stripMargin
+
   val oracle: Map[String, String] = Map(
-    "llm_chunk" ->
-      s"""SELECT doc_id,
-         |  start // $ChunkStride AS chunk_id,
-         |  start,
-         |  len(list_slice(t, start + 1, start + $ChunkSize)) AS n_tokens,
-         |  array_to_string(list_slice(t, start + 1, start + $ChunkSize), ' ')
-         |    AS chunk_text
-         |FROM (SELECT doc_id, t, unnest(range(0, len(t), $ChunkStride))
-         |        AS start
-         |      FROM (SELECT doc_id, string_split(text, ' ') AS t
-         |            FROM documents))""".stripMargin,
+    "llm_chunk" -> chunkSql,
+    // the two-level prefix sum must equal ONE global ordered window
+    "llm_pack_chunks" ->
+      s"""WITH ch AS ($chunkSql)
+         |SELECT doc_id, chunk_id, n_tokens::BIGINT AS n_tokens,
+         |  ((SUM(n_tokens) OVER (ORDER BY doc_id, chunk_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT
+         |    - n_tokens) // $ShardBudget)::BIGINT AS shard
+         |FROM ch""".stripMargin,
     "llm_sample_stratified" ->
       s"""SELECT doc_id, lang, $uSql AS u
          |FROM documents

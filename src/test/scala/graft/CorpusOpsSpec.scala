@@ -88,6 +88,23 @@ class CorpusOpsSpec extends SparkSpecBase {
     assert(got == want)
   }
 
+  test("packChunks equals the global ordered prefix sum over chunks") {
+    val chunks = Curation.chunk(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(3)))
+      .sortBy(t => (t._1, t._2))
+    var cum = 0L
+    val want = chunks.map { case (d, c, n) =>
+      val shard = cum / Curation.ShardBudget
+      cum += n
+      (d, c, n.toLong, shard)
+    }.toSet
+    val got = Curation.packChunks(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(got == want)
+    assert(want.map(_._4).size > 1, "fixture should fill several shards")
+  }
+
   // ---- TextOps.badwordsOf ----
 
   test("badwordsOf counts, scores and scrubs blocklisted tokens") {
