@@ -148,6 +148,28 @@ class PlanShapeSpec extends SparkSpecBase {
     assert(!pb.contains("Exchange"), s"badwords plan shuffles:\n$pb")
   }
 
+  test("chunk packing: the single-partition window sees only group rows") {
+    val p = finalPlan(graft.operators.Curation.packChunks(spark, Sf))
+    assert(p.contains("hashpartitioning(g"), p)
+    val singles = "Exchange SinglePartition[^\n]*\n[^\n]*".r.findAllIn(p).toList
+    assert(singles.nonEmpty, p)
+    singles.foreach(s =>
+      assert(s.contains("HashAggregate(keys=[g"),
+        s"SinglePartition exchange over non-aggregated rows:\n$s"))
+  }
+
+  test("funnel: all three stage aggregations align on the user hash") {
+    val p = finalOnly(graft.streaming.Streams.funnel(
+      graft.Tables(spark, Sf, "events")))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+    // every exchange in the plan hashes on user_id — the stages reuse
+    // one partitioning instead of reshuffling between joins
+    val exchanges = "Exchange hashpartitioning\\(([a-z_]+)".r
+      .findAllMatchIn(p).map(_.group(1)).toSet
+    assert(exchanges.subsetOf(Set("user_id")), s"$exchanges\n$p")
+  }
+
   test("embedding centroids partially aggregate before their one exchange") {
     val p = finalPlan(graft.operators.Similarity.embCentroids(spark, Sf))
     assert("ShuffleQueryStage".r.findAllIn(p).size == 1, p)
