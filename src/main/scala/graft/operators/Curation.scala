@@ -80,6 +80,48 @@ object Curation {
       .where(col("rk") <= n)
       .select("doc_id", "lang", "rk")
 
+  // ---- deterministic train/val/test split ----
+
+  /** Split fractions: train takes u ∈ [0, [[TrainFrac]]), val the next
+    * [[ValFrac]], test the remainder.
+    */
+  val TrainFrac = 0.9
+  val ValFrac = 0.05
+
+  /** The val/test boundary as the EXACT double Spark computes
+    * (0.9 + 0.05 rounds up one ulp from the literal 0.95); the oracle
+    * SQL interpolates this value so both engines compare u against the
+    * same bits.
+    */
+  val ValCut: Double = TrainFrac + ValFrac
+
+  /** Salt for the split uniform, so it is independent of
+    * [[sampleStratifiedOf]]'s (which hashes the bare doc_id): whether a
+    * document is sampled into the corpus says nothing about which split
+    * it lands in.
+    */
+  val SplitSalt = "split:"
+
+  /** Deterministic train/val/test assignment: split by thresholding the
+    * salted md5 uniform, the standard leakage-safe split for training
+    * corpora — a pure function of doc_id, so it is stable across runs,
+    * partitionings, and engines, and any derived table (chunks, shards,
+    * embeddings) inherits the SAME split by joining on doc_id.
+    * Embarrassingly parallel, zero shuffles.
+    */
+  def splitAssign(spark: SparkSession, dir: String): DataFrame =
+    splitAssignOf(docs(spark, dir))
+
+  def splitAssignOf(corpus: DataFrame): DataFrame = {
+    val u = graft.functions.Md5Uniform.uniform(
+      concat(lit(SplitSalt), col("doc_id").cast("string")))
+    corpus.select(col("doc_id"), u.as("u"))
+      .withColumn("split",
+        when(col("u") < TrainFrac, "train")
+          .when(col("u") < ValCut, "val")
+          .otherwise("test"))
+  }
+
   // ---- language mixing weights ----
 
   /** Additive-smoothing constant for [[mixWeights]] (in tokens). */
@@ -262,6 +304,7 @@ object Curation {
     "llm_chunk" -> chunk,
     "llm_pack_chunks" -> packChunks,
     "llm_curate_strict" -> curateStrict,
+    "llm_split" -> splitAssign,
     "llm_sample_stratified" -> sampleStratified,
     "llm_sample_topn" -> sampleTopN,
     "llm_mix_weights" -> mixWeights,
@@ -313,6 +356,17 @@ object Curation {
          |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT
          |    - n_tokens) // $ShardBudget)::BIGINT AS shard
          |FROM ch""".stripMargin,
+    // ValCut is interpolated as the exact double 0.9 + 0.05 evaluates
+    // to (one ulp above the literal 0.95) so both engines threshold u
+    // on identical bits
+    "llm_split" ->
+      s"""SELECT doc_id, u,
+         |  CASE WHEN u < $TrainFrac THEN 'train'
+         |       WHEN u < $ValCut THEN 'val'
+         |       ELSE 'test' END AS split
+         |FROM (SELECT doc_id,
+         |        ${graft.functions.Md5Uniform.sql(s"'$SplitSalt' || doc_id::VARCHAR")} AS u
+         |      FROM documents)""".stripMargin,
     "llm_sample_stratified" ->
       s"""SELECT doc_id, lang, $uSql AS u
          |FROM documents

@@ -341,6 +341,39 @@ object Relational {
       .groupBy("n_orders").agg(count(lit(1)).as("n_custs"))
   }
 
+  /** Summed-quantity threshold above which an order counts as "large"
+    * (≈ the top 1% of fixture orders, mirroring TPC-H Q18's intent).
+    */
+  val BigOrderQty = 250
+
+  /** TPC-H Q18-shape large-volume customers: orders whose summed
+    * lineitem quantity clears [[BigOrderQty]], joined to their order and
+    * customer rows, top 100 by price. The lineitem aggregation runs
+    * BELOW the joins — one corpus-scale shuffle on l_orderkey with
+    * map-side partials, emitting only the ~1% of orders that clear the
+    * HAVING — so both joins carry filtered-order-sized sides (AQE is
+    * free to broadcast them), and the quantity sum is reused from the
+    * aggregate instead of recomputed from a second lineitem scan. The
+    * final top-k is TakeOrderedAndProject (per-partition heaps, no
+    * global sort).
+    */
+  def bigOrders(spark: SparkSession, dir: String): DataFrame = {
+    val big = Tables(spark, dir, "lineitem")
+      .groupBy(col("l_orderkey"))
+      .agg(dsum(col("l_quantity")).as("sum_qty"))
+      .where(col("sum_qty") > BigOrderQty)
+    val ord = Tables(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+        unix_micros(col("o_orderdate").cast("timestamp")).as("order_us"))
+    val cust = Tables(spark, dir, "customer").select("c_custkey", "c_name")
+    big.join(ord, big("l_orderkey") === ord("o_orderkey"))
+      .join(cust, ord("o_custkey") === cust("c_custkey"))
+      .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+        col("order_us"), col("o_totalprice"), col("sum_qty"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(100)
+  }
+
   /** RANGE-frame window width: 7 days of microseconds. */
   val TrailingUs = 7L * 86400000000L
 
@@ -367,6 +400,7 @@ object Relational {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "rel_big_orders" -> bigOrders,
     "rel_trailing_spend" -> trailingSpend,
     "rel_customer_orders_dist" -> customerOrdersDist,
     "rel_shipping_priority" -> shippingPriority,
@@ -390,6 +424,18 @@ object Relational {
   )
 
   val oracle: Map[String, String] = Map(
+    "rel_big_orders" ->
+      s"""SELECT c_custkey, c_name, o_orderkey,
+         |  epoch_us(o_orderdate) AS order_us, o_totalprice, sum_qty
+         |FROM (SELECT l_orderkey,
+         |        CAST(SUM(CAST(l_quantity AS DECIMAL(24,6))) AS DOUBLE)
+         |          AS sum_qty
+         |      FROM lineitem GROUP BY l_orderkey
+         |      HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(24,6)))
+         |        AS DOUBLE) > $BigOrderQty)
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin,
     "rel_trailing_spend" ->
       s"""SELECT o_orderkey, o_custkey, epoch_us(o_orderdate) AS order_us,
          |  o_totalprice,

@@ -456,6 +456,55 @@ object TextOps {
         (col("c_xy").cast("double") / col("den").cast("double")).as("p"))
   }
 
+  /** Count-LM surprise score per document: score each document's word
+    * transitions against the corpus bigram model ([[bigramCounts]] with
+    * per-w1 totals) and report the LEAST likely one — min P(w2|w1) with
+    * its arg-min pair — plus the distinct-transition count. The
+    * perplexity-style LM quality gate (CCNet filters on LM score)
+    * without the cross-engine float hazard: a mean-log-prob sums doubles
+    * in shuffle order, while min is order-independent, so this is
+    * bit-stable under any partitioning. A low min_p flags documents with
+    * out-of-distribution transitions (boilerplate splices, garbled
+    * text) that per-token stats miss.
+    *
+    * Scale shape: the doc side joins DISTINCT (doc, w1, w2) triples —
+    * min ignores multiplicity, so join volume is bounded by distinct
+    * transitions per doc, not tokens; the model table is
+    * vocabulary²-bounded (≪ corpus by Heaps' law) and joins by key, AQE
+    * free to broadcast it; the arg-min is ONE hash aggregate
+    * (min over a (p, w1, w2) struct — partial aggregation applies),
+    * not a rank window.
+    */
+  def lmScore(spark: SparkSession, dir: String): DataFrame =
+    lmScoreOf(docs(spark, dir))
+
+  def lmScoreOf(corpus: DataFrame): DataFrame = {
+    // DuckDB widens the windowed SUM to HUGEINT; Spark keeps long. Both
+    // divide the same integer values in double, so p is bit-identical.
+    val model = bigramCounts(corpus)
+      .withColumn("den",
+        sum(col("c_xy")).over(Window.partitionBy("w1")))
+      .select(col("w1"), col("w2"),
+        (col("c_xy").cast("double") / col("den").cast("double")).as("p"))
+    val docPairs = corpus.select(col("doc_id"), toks.as("t"))
+      .select(col("doc_id"),
+        slice(col("t"), lit(1), size(col("t")) - 1).as("a"),
+        slice(col("t"), lit(2), size(col("t")) - 1).as("b"))
+      .select(col("doc_id"),
+        explode(arrays_zip(col("a"), col("b"))).as("pr"))
+      .select(col("doc_id"), col("pr.a").as("w1"), col("pr.b").as("w2"))
+      .distinct()
+    docPairs.join(model, Seq("w1", "w2"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_pairs"),
+        // struct ordering = (p, then w1, then w2): the arg-min pair is
+        // deterministic under ties, matching the oracle's ORDER BY
+        min(struct(col("p"), col("w1"), col("w2"))).as("m"))
+      .select(col("doc_id"), col("n_pairs"),
+        col("m.w1").as("min_w1"), col("m.w2").as("min_w2"),
+        col("m.p").as("min_p"))
+  }
+
   // ---- per-source rollup ----
 
   /** Per-source corpus accounting: the keep/drop-a-source dashboard.
@@ -499,6 +548,7 @@ object TextOps {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "llm_badwords" -> badwords,
+    "llm_lm_score" -> lmScore,
     "llm_collocations" -> collocations,
     "llm_bigram_next" -> bigramNext,
     "llm_source_stats" -> sourceStats,
@@ -641,6 +691,29 @@ object TextOps {
         |  $qualityPassSql AS quality_pass
         |FROM documents"""
         .stripMargin.replace("HITS_EN", sqlHits(EnStop)),
+    // the windowed SUM widens to HUGEINT in DuckDB → cast back to
+    // BIGINT before the double division (the pack_shards lesson)
+    "llm_lm_score" ->
+      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t
+        |            FROM documents),
+        |cb AS (SELECT t[i] AS w1, t[i + 1] AS w2
+        |       FROM (SELECT t, unnest(range(1, len(t))) AS i FROM tok)),
+        |bc AS (SELECT w1, w2, count(*) AS c_xy FROM cb GROUP BY 1, 2),
+        |p AS (SELECT w1, w2, c_xy::DOUBLE
+        |        / (SUM(c_xy) OVER (PARTITION BY w1))::BIGINT::DOUBLE AS p
+        |      FROM bc),
+        |dp AS (SELECT DISTINCT doc_id, t[i] AS w1, t[i + 1] AS w2
+        |       FROM (SELECT doc_id, t, unnest(range(1, len(t))) AS i
+        |             FROM tok)),
+        |j AS (SELECT doc_id, dp.w1, dp.w2, p
+        |      FROM dp JOIN p ON dp.w1 = p.w1 AND dp.w2 = p.w2)
+        |SELECT doc_id, n_pairs, w1 AS min_w1, w2 AS min_w2, p AS min_p
+        |FROM (SELECT doc_id, w1, w2, p,
+        |        count(*) OVER (PARTITION BY doc_id) AS n_pairs,
+        |        row_number() OVER (PARTITION BY doc_id
+        |          ORDER BY p, w1, w2) AS rk
+        |      FROM j)
+        |WHERE rk = 1""".stripMargin,
     "llm_collocations" ->
       s"""WITH tok AS (SELECT string_split(text, ' ') AS t FROM documents),
          |bi AS (SELECT t[i] AS w1, t[i + 1] AS w2

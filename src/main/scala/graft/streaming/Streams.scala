@@ -404,6 +404,46 @@ object Streams {
         col("f.event_id").as("first_event_id"))
   }
 
+  /** Squared outlier threshold: flag beyond 2σ, compared in squared
+    * space so no sqrt enters the plan.
+    */
+  val OutlierSigmaSq = 4.0
+
+  /** Per-user value-anomaly detection: flag events whose value deviates
+    * from that user's mean by more than 2 standard deviations — the
+    * monitoring query behind fraud/bot/sensor alerting. Determinism
+    * discipline: both moments are DECIMAL-exact sums (order-independent
+    * under any partitioning), the variance is the two-pass-free
+    * E[v²]−E[v]² form, and the threshold compares SQUARED deviation
+    * against [[OutlierSigmaSq]]·σ² — no sqrt, so every arithmetic step
+    * is an IEEE op both engines evaluate identically.
+    *
+    * Scale shape: ONE window shuffle on user_id with all three moments
+    * (count, Σv, Σv²) in a single projection → a single Window node —
+    * the [[graft.operators.Relational.aboveAvgOrders]] pattern. This is
+    * the batch/oracle form; an incremental variant keeps (n, Σv, Σv²)
+    * per user in `mapGroupsWithState` and scores arrivals against the
+    * state — same algebra, streaming state O(users).
+    */
+  def valueOutliers(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+    val mean = col("s1") / col("n_user").cast("double")
+    events
+      .select(col("event_id"), col("user_id"), col("value"),
+        // all three moments in ONE projection → one Window, one shuffle
+        count(lit(1)).over(w).as("n_user"),
+        sum(col("value").cast("decimal(24,6)")).over(w)
+          .cast("double").as("s1"),
+        sum((col("value") * col("value")).cast("decimal(24,6)")).over(w)
+          .cast("double").as("s2"))
+      .select(col("event_id"), col("user_id"), col("value"), col("n_user"),
+        mean.as("mean_v"),
+        (col("s2") / col("n_user").cast("double") - mean * mean)
+          .as("var_v"))
+      .where((col("value") - col("mean_v")) * (col("value") - col("mean_v"))
+        > lit(OutlierSigmaSq) * col("var_v"))
+  }
+
   private def events(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir, "events")
 
@@ -425,6 +465,8 @@ object Streams {
       ((s: SparkSession, d: String) => hoppingStats(events(s, d))),
     "stream_first_touch" ->
       ((s: SparkSession, d: String) => firstTouch(events(s, d))),
+    "stream_outliers" ->
+      ((s: SparkSession, d: String) => valueOutliers(events(s, d))),
     "stream_attribution" ->
       ((s: SparkSession, d: String) => {
         val e = events(s, d)
@@ -450,6 +492,28 @@ object Streams {
         |      ORDER BY epoch_us(ts), event_id) AS rn
         |  FROM events)
         |WHERE rn = 1""".stripMargin,
+    // mean/variance derive from the same DECIMAL-exact sums as Spark's,
+    // and the flag compares squared deviation — identical IEEE ops, no
+    // sqrt, so the booleans (and hashes) match bit-for-bit
+    "stream_outliers" ->
+      s"""WITH s AS (
+         |  SELECT event_id, user_id, value,
+         |    COUNT(*) OVER w AS n_user,
+         |    CAST(SUM(CAST(value AS DECIMAL(24,6))) OVER w AS DOUBLE)
+         |      AS s1,
+         |    CAST(SUM(CAST(value * value AS DECIMAL(24,6))) OVER w
+         |      AS DOUBLE) AS s2
+         |  FROM events
+         |  WINDOW w AS (PARTITION BY user_id)),
+         |m AS (
+         |  SELECT event_id, user_id, value, n_user,
+         |    s1 / n_user::DOUBLE AS mean_v,
+         |    s2 / n_user::DOUBLE
+         |      - (s1 / n_user::DOUBLE) * (s1 / n_user::DOUBLE) AS var_v
+         |  FROM s)
+         |SELECT * FROM m
+         |WHERE (value - mean_v) * (value - mean_v)
+         |  > $OutlierSigmaSq * var_v""".stripMargin,
     "stream_tumbling_stats" ->
       """SELECT time_bucket(INTERVAL 1 HOUR, ts) AS win_start, event_type,
         |  count(*) AS n_events,

@@ -449,4 +449,54 @@ class CorpusOpsSpec extends SparkSpecBase {
     assert(got == want)
     assert(got.nonEmpty && got.size < orders.length)
   }
+
+  test("bigOrders matches brute-force HAVING-then-join top-100") {
+    val sumQty = Tables(spark, Sf, "lineitem")
+      .select($"l_orderkey", $"l_quantity")
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+      .groupBy(_._1).map { case (ok, xs) => ok -> dsum(xs.map(_._2).toSeq) }
+      .filter(_._2 > Relational.BigOrderQty)
+    val custName = Tables(spark, Sf, "customer")
+      .select("c_custkey", "c_name").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val want = orders.collect {
+      case (ok, ck, _, price, us) if sumQty.contains(ok) =>
+        (ck, custName(ck), ok, us, price, sumQty(ok))
+    }.sortBy { case (_, _, ok, _, price, _) => (-price, ok) }.take(100).toSeq
+    val got = Relational.bigOrders(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5))).toSeq
+    assert(got == want)
+    assert(got.nonEmpty, "fixture should contain big orders")
+  }
+
+  test("valueOutliers flags exactly the >2σ events, exact moments") {
+    import graft.streaming.Streams
+    val ev = Tables(spark, Sf, "events")
+      .select($"event_id", $"user_id", $"value")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val want = ev.groupBy(_._2).flatMap { case (_, es) =>
+      val n = es.length.toLong
+      val s1 = dsum(es.map(_._3).toSeq)
+      val s2 = dsum(es.map(e => e._3 * e._3).toSeq)
+      val mean = s1 / n.toDouble
+      val varv = s2 / n.toDouble - mean * mean
+      es.toSeq.collect {
+        case (id, uid, v)
+          if (v - mean) * (v - mean) > Streams.OutlierSigmaSq * varv =>
+          (id, uid, v, n, mean, varv)
+      }
+    }.toSet
+    val got = Streams.valueOutliers(Tables(spark, Sf, "events")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5))).toSet
+    assert(got == want)
+    // both sides of the gate at fixture scale
+    assert(got.nonEmpty && got.size < ev.length)
+    // the moments are order-independent: repartitioning changes nothing
+    assert(Streams.valueOutliers(
+      Tables(spark, Sf, "events").repartition(7)).collect()
+      .map(r => (r.getLong(0), r.getDouble(4), r.getDouble(5))).toSet ==
+      got.map(t => (t._1, t._5, t._6)))
+  }
 }

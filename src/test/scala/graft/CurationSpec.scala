@@ -54,6 +54,40 @@ class CurationSpec extends SparkSpecBase {
     assert(byId.zip(byId.tail).forall { case (a, b) => a <= b })
   }
 
+  private def uSalted(docId: Long): Double = {
+    val md = MessageDigest.getInstance("MD5")
+    val hex = md.digest((Curation.SplitSalt + docId.toString)
+      .getBytes("UTF-8")).map("%02x".format(_)).mkString
+    java.lang.Long.parseLong(hex.take(8), 16).toDouble / 4294967296.0
+  }
+
+  test("split assigns every doc exactly one split by the salted uniform") {
+    val got = Curation.splitAssign(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getString(2)))
+    // a partition of the corpus: every doc appears exactly once
+    assert(got.map(_._1).toSet == docs.map(_._1).toSet)
+    assert(got.length == docs.size)
+    // each assignment matches the brute-force salted threshold
+    got.foreach { case (id, uu, split) =>
+      assert(uu == uSalted(id))
+      val want =
+        if (uu < Curation.TrainFrac) "train"
+        else if (uu < Curation.ValCut) "val"
+        else "test"
+      assert(split == want, s"doc $id u=$uu")
+    }
+    // train dominates; and the split is independent of the SAMPLING
+    // uniform (different salt): some sampled-out docs still train
+    val bySplit = got.groupBy(_._3).view.mapValues(_.length).toMap
+    assert(bySplit("train") > bySplit.getOrElse("val", 0))
+    assert(bySplit("train") > bySplit.getOrElse("test", 0))
+    // stable under repartitioning (pure row function)
+    val again = Curation.splitAssignOf(
+      graft.Tables(spark, Sf, "documents").repartition(7)).collect()
+      .map(r => (r.getLong(0), r.getString(2))).toSet
+    assert(again == got.map(t => (t._1, t._3)).toSet)
+  }
+
   test("curate = quality pass ∩ lang=en − minhash near-dup victims") {
     val got = Curation.curate(spark, Sf).collect().map(_.getLong(0)).toSet
     val q = TextOps.qualityScore(spark, Sf)

@@ -159,6 +159,39 @@ class PipelineOpsSpec extends SparkSpecBase {
     assert(got.count { case (_, (_, _, _, rk)) => rk == 1L } == docs.size)
   }
 
+  test("lmScore matches brute-force min-transition-probability scoring") {
+    val bigramsByDoc = docs.map { case (id, _, text) =>
+      id -> text.split(" ", -1).toSeq.sliding(2).filter(_.size == 2)
+        .map(p => (p(0), p(1))).toSeq
+    }.toMap
+    val corpusCounts = bigramsByDoc.values.flatten.toSeq
+      .groupBy(identity).map { case (g, gs) => g -> gs.size.toLong }
+    val denByW1 = corpusCounts.toSeq.groupBy(_._1._1)
+      .map { case (w1, gs) => w1 -> gs.map(_._2).sum }
+    val want = bigramsByDoc.collect {
+      case (id, bgs) if bgs.nonEmpty =>
+        val distinctPairs = bgs.distinct
+        val scored = distinctPairs.map { case (w1, w2) =>
+          (corpusCounts((w1, w2)).toDouble / denByW1(w1).toDouble, w1, w2)
+        }
+        val m = scored.min // (p, w1, w2) tuple order = the struct order
+        id -> ((distinctPairs.size.toLong, m._2, m._3, m._1))
+    }
+    val got = TextOps.lmScore(spark, Sf).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getString(2), r.getString(3), r.getDouble(4))))
+      .toMap
+    assert(got == want)
+    // probabilities are genuine conditionals: in (0, 1]
+    assert(got.values.forall { case (_, _, _, p) => p > 0.0 && p <= 1.0 })
+    // sub-bigram docs produce no row (none in the fixture, so prove the
+    // contract on a tiny corpus: "only" has no transitions)
+    import spark.implicits._
+    val tiny = TextOps.lmScoreOf(
+      Seq((1L, "a b a"), (2L, "only")).toDF("doc_id", "text")).collect()
+    assert(tiny.map(_.getLong(0)).toSet == Set(1L))
+  }
+
   test("distinctKmv matches brute force; estimate lands near exact") {
     def u(w: String): Double =
       java.lang.Long.parseLong(md5hex(w).take(8), 16).toDouble / 4294967296.0

@@ -170,6 +170,43 @@ class PlanShapeSpec extends SparkSpecBase {
     assert(exchanges.subsetOf(Set("user_id")), s"$exchanges\n$p")
   }
 
+  test("big orders: aggregation below the joins, top-k via heaps") {
+    val p = finalOnly(Relational.bigOrders(spark, Sf))
+    // the HAVING-filtered lineitem aggregate partially aggregates
+    // map-side and reaches the join as the ~1%-of-orders side
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // lineitem is scanned ONCE: sum_qty is reused from the aggregate,
+    // not recomputed via a second scan
+    assert("lineitem\\.parquet".r.findAllIn(p).size == 1, p)
+  }
+
+  test("lm score: doc side dedups before the model join, agg not window") {
+    val p = finalOnly(graft.operators.TextOps.lmScore(spark, Sf))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+    // the arg-min is an aggregate (partial+final — struct min sorts, so
+    // SortAggregate) over the join output, never a rank window over the
+    // doc partition; the only Window is the model side's per-w1 total
+    assert(!"Window [^\n]*\\[doc_id".r.findFirstIn(p).isDefined, p)
+    assert("partial_min\\(struct".r.findAllIn(p).size >= 1, p)
+  }
+
+  test("split assignment is a pure scan: no exchange at all") {
+    val p = finalPlan(graft.operators.Curation.splitAssign(spark, Sf))
+    assert(!p.contains("Exchange"), s"split plan shuffles:\n$p")
+  }
+
+  test("value outliers: one window shuffle, all three moments share it") {
+    val p = finalOnly(graft.streaming.Streams.valueOutliers(
+      graft.Tables(spark, Sf, "events")))
+    assert("ShuffleQueryStage".r.findAllIn(p).size == 1, p)
+    // count + Σv + Σv² collapse into ONE Window node over user_id
+    assert("Window \\[".r.findAllIn(p).size == 1, p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"), p)
+  }
+
   test("embedding centroids partially aggregate before their one exchange") {
     val p = finalPlan(graft.operators.Similarity.embCentroids(spark, Sf))
     assert("ShuffleQueryStage".r.findAllIn(p).size == 1, p)
