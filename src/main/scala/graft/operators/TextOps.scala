@@ -505,6 +505,34 @@ object TextOps {
         col("m.p").as("min_p"))
   }
 
+  /** Buckets for [[lmBuckets]]: head / middle / tail thirds. */
+  val LmBucketCount = 3
+
+  /** CCNet-style per-language quality tiers: rank each language's
+    * documents by their [[lmScore]] (higher min transition probability =
+    * more in-distribution) and cut into equal thirds — head / middle /
+    * tail, the tiers CCNet keeps, downweights, and drops. Deterministic:
+    * ntile over a totally ordered ranking (min_p DESC, doc_id).
+    *
+    * Scale note: exact ntile globally sorts each language partition —
+    * the oracle-checkable form. At 100 TB the production variant reads
+    * two approx-quantile cutpoints per language off a sketch and buckets
+    * row-locally (embarrassingly parallel, same tiers up to sketch
+    * error); the ranking here is the exact semantics that variant
+    * approximates.
+    */
+  def lmBuckets(spark: SparkSession, dir: String): DataFrame = {
+    val lang = docs(spark, dir).select(col("doc_id"), col("lang"))
+    lmScore(spark, dir).join(lang, "doc_id")
+      .withColumn("bucket", ntile(LmBucketCount).over(
+        Window.partitionBy("lang")
+          .orderBy(col("min_p").desc, col("doc_id"))).cast("long"))
+      .select(col("doc_id"), col("lang"), col("min_p"), col("bucket"),
+        when(col("bucket") === 1, "head")
+          .when(col("bucket") === 2, "middle")
+          .otherwise("tail").as("tier"))
+  }
+
   // ---- per-source rollup ----
 
   /** Per-source corpus accounting: the keep/drop-a-source dashboard.
@@ -549,6 +577,7 @@ object TextOps {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "llm_badwords" -> badwords,
     "llm_lm_score" -> lmScore,
+    "llm_lm_buckets" -> lmBuckets,
     "llm_collocations" -> collocations,
     "llm_bigram_next" -> bigramNext,
     "llm_source_stats" -> sourceStats,
@@ -564,6 +593,29 @@ object TextOps {
     "llm_fingerprint" -> fingerprint,
     "llm_quality_score" -> qualityScore
   )
+
+  /** Shared by the `llm_lm_score` entry and `llm_lm_buckets`' oracle. */
+  private val lmScoreSql: String =
+    """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t
+      |            FROM documents),
+      |cb AS (SELECT t[i] AS w1, t[i + 1] AS w2
+      |       FROM (SELECT t, unnest(range(1, len(t))) AS i FROM tok)),
+      |bc AS (SELECT w1, w2, count(*) AS c_xy FROM cb GROUP BY 1, 2),
+      |p AS (SELECT w1, w2, c_xy::DOUBLE
+      |        / (SUM(c_xy) OVER (PARTITION BY w1))::BIGINT::DOUBLE AS p
+      |      FROM bc),
+      |dp AS (SELECT DISTINCT doc_id, t[i] AS w1, t[i + 1] AS w2
+      |       FROM (SELECT doc_id, t, unnest(range(1, len(t))) AS i
+      |             FROM tok)),
+      |j AS (SELECT doc_id, dp.w1, dp.w2, p
+      |      FROM dp JOIN p ON dp.w1 = p.w1 AND dp.w2 = p.w2)
+      |SELECT doc_id, n_pairs, w1 AS min_w1, w2 AS min_w2, p AS min_p
+      |FROM (SELECT doc_id, w1, w2, p,
+      |        count(*) OVER (PARTITION BY doc_id) AS n_pairs,
+      |        row_number() OVER (PARTITION BY doc_id
+      |          ORDER BY p, w1, w2) AS rk
+      |      FROM j)
+      |WHERE rk = 1""".stripMargin
 
   val oracle: Map[String, String] = Map(
     "llm_badwords" ->
@@ -693,27 +745,16 @@ object TextOps {
         .stripMargin.replace("HITS_EN", sqlHits(EnStop)),
     // the windowed SUM widens to HUGEINT in DuckDB → cast back to
     // BIGINT before the double division (the pack_shards lesson)
-    "llm_lm_score" ->
-      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t
-        |            FROM documents),
-        |cb AS (SELECT t[i] AS w1, t[i + 1] AS w2
-        |       FROM (SELECT t, unnest(range(1, len(t))) AS i FROM tok)),
-        |bc AS (SELECT w1, w2, count(*) AS c_xy FROM cb GROUP BY 1, 2),
-        |p AS (SELECT w1, w2, c_xy::DOUBLE
-        |        / (SUM(c_xy) OVER (PARTITION BY w1))::BIGINT::DOUBLE AS p
-        |      FROM bc),
-        |dp AS (SELECT DISTINCT doc_id, t[i] AS w1, t[i + 1] AS w2
-        |       FROM (SELECT doc_id, t, unnest(range(1, len(t))) AS i
-        |             FROM tok)),
-        |j AS (SELECT doc_id, dp.w1, dp.w2, p
-        |      FROM dp JOIN p ON dp.w1 = p.w1 AND dp.w2 = p.w2)
-        |SELECT doc_id, n_pairs, w1 AS min_w1, w2 AS min_w2, p AS min_p
-        |FROM (SELECT doc_id, w1, w2, p,
-        |        count(*) OVER (PARTITION BY doc_id) AS n_pairs,
-        |        row_number() OVER (PARTITION BY doc_id
-        |          ORDER BY p, w1, w2) AS rk
-        |      FROM j)
-        |WHERE rk = 1""".stripMargin,
+    "llm_lm_score" -> lmScoreSql,
+    "llm_lm_buckets" ->
+      s"""SELECT doc_id, lang, min_p,
+         |  ntile($LmBucketCount) OVER (PARTITION BY lang
+         |    ORDER BY min_p DESC, doc_id) AS bucket,
+         |  CASE ntile($LmBucketCount) OVER (PARTITION BY lang
+         |    ORDER BY min_p DESC, doc_id)
+         |    WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+         |    ELSE 'tail' END AS tier
+         |FROM ($lmScoreSql) JOIN documents USING (doc_id)""".stripMargin,
     "llm_collocations" ->
       s"""WITH tok AS (SELECT string_split(text, ' ') AS t FROM documents),
          |bi AS (SELECT t[i] AS w1, t[i + 1] AS w2

@@ -192,6 +192,29 @@ class PipelineOpsSpec extends SparkSpecBase {
     assert(tiny.map(_.getLong(0)).toSet == Set(1L))
   }
 
+  test("lmBuckets cuts each language into balanced ordered tiers") {
+    val got = TextOps.lmBuckets(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2),
+        r.getLong(3), r.getString(4)))
+    // every scored doc is bucketed exactly once
+    val scored = TextOps.lmScore(spark, Sf).collect().map(_.getLong(0)).toSet
+    assert(got.map(_._1).toSet == scored && got.length == scored.size)
+    got.groupBy(_._2).foreach { case (lang, rs) =>
+      // ntile balance: bucket sizes differ by at most one
+      val sizes = rs.groupBy(_._4).view.mapValues(_.length).toMap
+      assert(sizes.keySet == (1L to TextOps.LmBucketCount).toSet)
+      assert(sizes.values.max - sizes.values.min <= 1, s"$lang: $sizes")
+      // tiers are ordered: every head min_p >= every middle >= every tail
+      def band(b: Long) = rs.filter(_._4 == b).map(_._3)
+      assert(band(1L).min >= band(2L).max, lang)
+      assert(band(2L).min >= band(3L).max, lang)
+      // labels follow buckets
+      rs.foreach { case (_, _, _, b, tier) =>
+        assert(tier == Seq("head", "middle", "tail")(b.toInt - 1))
+      }
+    }
+  }
+
   test("distinctKmv matches brute force; estimate lands near exact") {
     def u(w: String): Double =
       java.lang.Long.parseLong(md5hex(w).take(8), 16).toDouble / 4294967296.0
