@@ -260,6 +260,46 @@ object Curation {
         expr(s"(goff + wcum - n_tokens) div $budget").as("shard"))
   }
 
+  // ---- corpus refresh (latest-wins upsert) ----
+
+  /** Which doc_ids the fixture "re-crawl" batch touches (mod key). */
+  val UpsertMod = 7L
+
+  /** Latest-wins key merge — the corpus-refresh / CDC-upsert step: a
+    * re-crawled batch replaces the snapshot row with the same key,
+    * batch-only keys insert, untouched snapshot rows carry through.
+    * Implemented as union + one max-struct aggregate (version, then
+    * payload), NOT a join: one shuffle with map-side partials, no
+    * build side to size, and n-way batches compose by unioning more
+    * inputs. At 100 TB this is the merge-on-read compaction kernel;
+    * pairing it with [[graft.sources.TextSources.writeRangeSorted]]
+    * keeps the merged layout scan-skippable.
+    */
+  def upsert(spark: SparkSession, dir: String): DataFrame = {
+    val snap = docs(spark, dir)
+      .select(col("doc_id"), lit(0L).as("version"), col("text"))
+    // deterministic fixture "re-crawl": every UpsertMod-th document
+    // arrives again at version 1 with its tokens reversed
+    val batch = docs(spark, dir)
+      .where(col("doc_id") % UpsertMod === 0)
+      .select(col("doc_id"), lit(1L).as("version"),
+        concat_ws(" ", reverse(split(col("text"), " "))).as("text"))
+    upsertOf(snap, batch)
+  }
+
+  /** Merge `batch` into `snapshot` keeping the highest (version, text)
+    * per doc_id. Both inputs need (doc_id, version, text).
+    */
+  def upsertOf(snapshot: DataFrame, batch: DataFrame): DataFrame =
+    snapshot.unionByName(batch)
+      .groupBy("doc_id")
+      // struct ordering: version first — ties cannot occur across a
+      // snapshot/batch pair (distinct versions), and equal-version
+      // duplicates resolve deterministically by payload
+      .agg(max(struct(col("version"), col("text"))).as("m"))
+      .select(col("doc_id"), col("m.version").as("version"),
+        col("m.text").as("text"))
+
   // ---- end-to-end curation gate ----
 
   /** The corpus a pipeline actually trains on: documents that pass the
@@ -305,6 +345,7 @@ object Curation {
     "llm_pack_chunks" -> packChunks,
     "llm_curate_strict" -> curateStrict,
     "llm_split" -> splitAssign,
+    "llm_upsert" -> upsert,
     "llm_sample_stratified" -> sampleStratified,
     "llm_sample_topn" -> sampleTopN,
     "llm_mix_weights" -> mixWeights,
@@ -367,6 +408,20 @@ object Curation {
          |FROM (SELECT doc_id,
          |        ${graft.functions.Md5Uniform.sql(s"'$SplitSalt' || doc_id::VARCHAR")} AS u
          |      FROM documents)""".stripMargin,
+    "llm_upsert" ->
+      s"""WITH snap AS (SELECT doc_id, 0::BIGINT AS version, text
+         |             FROM documents),
+         |b AS (SELECT doc_id, 1::BIGINT AS version,
+         |        array_to_string(list_reverse(string_split(text, ' ')), ' ')
+         |          AS text
+         |      FROM documents WHERE doc_id % $UpsertMod = 0),
+         |u AS (SELECT * FROM snap UNION ALL SELECT * FROM b)
+         |SELECT doc_id, version, text FROM (
+         |  SELECT doc_id, version, text,
+         |    row_number() OVER (PARTITION BY doc_id
+         |      ORDER BY version DESC, text DESC) AS rk
+         |  FROM u)
+         |WHERE rk = 1""".stripMargin,
     "llm_sample_stratified" ->
       s"""SELECT doc_id, lang, $uSql AS u
          |FROM documents

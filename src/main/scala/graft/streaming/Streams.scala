@@ -404,6 +404,27 @@ object Streams {
         col("f.event_id").as("first_event_id"))
   }
 
+  /** Bounded-state ingestion dedup: drop re-deliveries of the same
+    * event_id arriving within the watermark horizon — the
+    * at-least-once-delivery companion to [[firstTouch]]'s exact (but
+    * unbounded-key-state) semantics. Streaming uses
+    * `dropDuplicatesWithinWatermark`: state is keyed by event_id but
+    * each key is EVICTED once the watermark passes its first-seen
+    * event time, so state is O(events per horizon) regardless of how
+    * many distinct keys the stream ever carries. Batch degenerates to
+    * plain per-key dedup (arrival order is deterministic only in the
+    * streaming run; batch keeps an arbitrary representative — fine,
+    * because re-deliveries are byte-identical).
+    */
+  def dedupWithinWatermark(events: DataFrame,
+      horizon: String = "2 hours"): DataFrame = {
+    val e = withEventTime(events)
+    if (e.isStreaming)
+      e.withWatermark("ts_ts", horizon)
+        .dropDuplicatesWithinWatermark("event_id")
+    else e.dropDuplicates("event_id")
+  }
+
   /** Squared outlier threshold: flag beyond 2σ, compared in squared
     * space so no sqrt enters the plan.
     */

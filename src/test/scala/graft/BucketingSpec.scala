@@ -45,6 +45,46 @@ class BucketingSpec extends SparkSpecBase {
       .deleteDirectory(new java.io.File(dir))
   }
 
+  test("selective shuffle join is eligible for runtime bloom-filter pruning") {
+    val s = spark; import s.implicits._
+    // at 100 TB the probe side of a selective join should be pre-filtered
+    // by a runtime bloom filter built from the small side — prove the
+    // engine's plain equi-join plans are ELIGIBLE for Spark's injection
+    // (thresholds lowered because the fixture scan is far below the
+    // production 10 GB application-side default)
+    val prev = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+      "spark.sql.autoBroadcastJoinThreshold")
+      .map(k => k -> spark.conf.get(k))
+    try {
+      spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      spark.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val ord = Tables(spark, Sf, "orders")
+        .where($"o_orderpriority" === "1-URGENT")
+        .select("o_orderkey")
+      val q = Tables(spark, Sf, "lineitem").select("l_orderkey", "l_quantity")
+        .join(ord, $"l_orderkey" === $"o_orderkey")
+        .groupBy("l_orderkey").agg(sum($"l_quantity").as("q"))
+      q.collect()
+      val plan = q.queryExecution.executedPlan.toString
+      assert(plan.contains("might_contain"),
+        s"no runtime bloom filter injected:\n$plan")
+      // the filter is a pre-shuffle prune, not a correctness change
+      val want = Tables(spark, Sf, "lineitem")
+        .select("l_orderkey", "l_quantity")
+        .join(Tables(spark, Sf, "orders")
+          .where($"o_orderpriority" === "1-URGENT").select("o_orderkey"),
+          $"l_orderkey" === $"o_orderkey")
+        .groupBy("l_orderkey").agg(sum($"l_quantity").as("q"))
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+      assert(q.collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+        == want)
+    } finally prev.foreach { case (k, v) => spark.conf.set(k, v) }
+  }
+
   test("join of co-bucketed tables shuffles neither side") {
     val s = spark; import s.implicits._
     spark.sql("DROP TABLE IF EXISTS li_bucketed")

@@ -88,6 +88,32 @@ class CurationSpec extends SparkSpecBase {
     assert(again == got.map(t => (t._1, t._3)).toSet)
   }
 
+  test("upsert: updates win, inserts land, untouched rows carry through") {
+    val s = spark; import s.implicits._
+    val snap = Seq((1L, 0L, "old one"), (2L, 0L, "old two"),
+      (3L, 0L, "old three")).toDF("doc_id", "version", "text")
+    val batch = Seq((2L, 1L, "new two"), (9L, 1L, "brand new"))
+      .toDF("doc_id", "version", "text")
+    val got = Curation.upsertOf(snap, batch).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    assert(got == Set((1L, 0L, "old one"), (2L, 1L, "new two"),
+      (3L, 0L, "old three"), (9L, 1L, "brand new")))
+    // fixture entry: exactly the mod-keyed docs advance to version 1
+    // with reversed tokens; everything else is version 0 verbatim
+    val full = Curation.upsert(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(full.map(_._1).toSet == docs.map(_._1).toSet)
+    val byId = docs.map(d => d._1 -> d._3).toMap
+    full.foreach { case (id, v, text) =>
+      if (id % Curation.UpsertMod == 0) {
+        assert(v == 1L)
+        assert(text == byId(id).split(" ", -1).reverse.mkString(" "))
+      } else {
+        assert(v == 0L && text == byId(id))
+      }
+    }
+  }
+
   test("curate = quality pass ∩ lang=en − minhash near-dup victims") {
     val got = Curation.curate(spark, Sf).collect().map(_.getLong(0)).toSet
     val q = TextOps.qualityScore(spark, Sf)

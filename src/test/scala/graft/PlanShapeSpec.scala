@@ -198,6 +198,14 @@ class PlanShapeSpec extends SparkSpecBase {
     assert(!p.contains("Exchange"), s"split plan shuffles:\n$p")
   }
 
+  test("upsert merges in one exchange with map-side partial aggregation") {
+    val p = finalOnly(graft.operators.Curation.upsert(spark, Sf))
+    assert("ShuffleQueryStage".r.findAllIn(p).size == 1, p)
+    // union + aggregate, not a join: no build side, n-way composable
+    assert(!p.contains("Join"), p)
+    assert("partial_max\\(struct".r.findAllIn(p).size >= 1, p)
+  }
+
   test("value outliers: one window shuffle, all three moments share it") {
     val p = finalOnly(graft.streaming.Streams.valueOutliers(
       graft.Tables(spark, Sf, "events")))

@@ -191,6 +191,35 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("watermark-bounded dedup drops re-deliveries, keeps distinct events") {
+    val s = spark; import s.implicits._
+    implicit val ctx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val q = Streams.dedupWithinWatermark(mem.toDF(), "2 hours")
+      .writeStream.format("memory").queryName("dedup_wm_test")
+      .outputMode("append").start()
+    try {
+      // wave 1: two distinct events + an in-batch duplicate of event 20
+      mem.addData(ev(20, 1 * HourNs), ev(20, 1 * HourNs),
+        ev(21, 2 * HourNs, typ = "view"))
+      q.processAllAvailable()
+      // wave 2: event 20 re-delivered within the horizon (dropped), one
+      // new event far enough ahead to advance the watermark
+      mem.addData(ev(20, 1 * HourNs), ev(22, 6 * HourNs))
+      q.processAllAvailable()
+      val got = spark.table("dedup_wm_test").collect()
+        .map(r => (r.getAs[Long]("event_id"), r.getAs[String]("event_type")))
+      assert(got.length == got.map(_._1).distinct.length, got.mkString(","))
+      assert(got.map(_._1).toSet == Set(20L, 21L, 22L))
+      // batch form agrees on the surviving key set
+      val batch = Streams.dedupWithinWatermark(
+        Seq(ev(20, 1 * HourNs), ev(20, 1 * HourNs), ev(21, 2 * HourNs),
+          ev(22, 6 * HourNs)).toDF())
+        .collect().map(_.getAs[Long]("event_id")).toSet
+      assert(batch == Set(20L, 21L, 22L))
+    } finally q.stop()
+  }
+
   test("stream-stream interval join attributes purchases to views") {
     val s = spark; import s.implicits._
     implicit val ctx = spark.sqlContext
