@@ -445,16 +445,25 @@ object TextOps {
   def bigramNext(spark: SparkSession, dir: String): DataFrame =
     bigramNextOf(docs(spark, dir))
 
-  def bigramNextOf(corpus: DataFrame): DataFrame = {
-    val byW1 = Window.partitionBy("w1")
+  /** The corpus bigram conditional model (w1, w2, c_xy, den, p) with
+    * p = P(w2|w1) = c_xy / Σ_y c_xy — shared by [[bigramNextOf]] and
+    * [[lmScoreOf]] so the cross-engine cast discipline (DuckDB widens
+    * the windowed SUM to HUGEINT; both engines divide the same integer
+    * values in double) lives in exactly one place.
+    */
+  private def bigramModel(corpus: DataFrame): DataFrame =
     bigramCounts(corpus)
-      .withColumn("den", sum(col("c_xy")).over(byW1))
+      .withColumn("den", sum(col("c_xy")).over(Window.partitionBy("w1")))
+      .withColumn("p",
+        col("c_xy").cast("double") / col("den").cast("double"))
+
+  def bigramNextOf(corpus: DataFrame): DataFrame =
+    bigramModel(corpus)
+      // rank and denominator share the w1 partitioning → one exchange
       .withColumn("rk", row_number().over(
-        byW1.orderBy(col("c_xy").desc, col("w2"))))
+        Window.partitionBy("w1").orderBy(col("c_xy").desc, col("w2"))))
       .where(col("rk") === 1)
-      .select(col("w1"), col("w2").as("next_word"), col("c_xy"),
-        (col("c_xy").cast("double") / col("den").cast("double")).as("p"))
-  }
+      .select(col("w1"), col("w2").as("next_word"), col("c_xy"), col("p"))
 
   /** Count-LM surprise score per document: score each document's word
     * transitions against the corpus bigram model ([[bigramCounts]] with
@@ -479,13 +488,7 @@ object TextOps {
     lmScoreOf(docs(spark, dir))
 
   def lmScoreOf(corpus: DataFrame): DataFrame = {
-    // DuckDB widens the windowed SUM to HUGEINT; Spark keeps long. Both
-    // divide the same integer values in double, so p is bit-identical.
-    val model = bigramCounts(corpus)
-      .withColumn("den",
-        sum(col("c_xy")).over(Window.partitionBy("w1")))
-      .select(col("w1"), col("w2"),
-        (col("c_xy").cast("double") / col("den").cast("double")).as("p"))
+    val model = bigramModel(corpus).select("w1", "w2", "p")
     val docPairs = corpus.select(col("doc_id"), toks.as("t"))
       .select(col("doc_id"),
         slice(col("t"), lit(1), size(col("t")) - 1).as("a"),

@@ -436,8 +436,14 @@ object Streams {
     * discipline: both moments are DECIMAL-exact sums (order-independent
     * under any partitioning), the variance is the two-pass-free
     * E[v²]−E[v]² form, and the threshold compares SQUARED deviation
-    * against [[OutlierSigmaSq]]·σ² — no sqrt, so every arithmetic step
-    * is an IEEE op both engines evaluate identically.
+    * against [[OutlierSigmaSq]]·σ² — no sqrt, so once the decimal sums
+    * agree every later step is an IEEE op both engines evaluate
+    * identically. One caveat shared with every double→DECIMAL cast in
+    * the library: Spark rounds the double's shortest decimal
+    * representation (HALF_UP) while DuckDB rounds the binary value, so
+    * a v² landing exactly on a 6-decimal rounding tie could round apart
+    * — a measure-zero boundary no fixture value hits (the oracle
+    * hash-matches), same acceptance as the `dsum` price expressions.
     *
     * Scale shape: ONE window shuffle on user_id with all three moments
     * (count, Σv, Σv²) in a single projection → a single Window node —
@@ -514,8 +520,9 @@ object Streams {
         |  FROM events)
         |WHERE rn = 1""".stripMargin,
     // mean/variance derive from the same DECIMAL-exact sums as Spark's,
-    // and the flag compares squared deviation — identical IEEE ops, no
-    // sqrt, so the booleans (and hashes) match bit-for-bit
+    // and the flag compares squared deviation — no sqrt, so given equal
+    // sums the booleans (and hashes) match (see the scaladoc's
+    // decimal-tie caveat)
     "stream_outliers" ->
       s"""WITH s AS (
          |  SELECT event_id, user_id, value,

@@ -57,6 +57,15 @@ class BucketingSpec extends SparkSpecBase {
       "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
       "spark.sql.autoBroadcastJoinThreshold")
       .map(k => k -> spark.conf.get(k))
+    // control result BEFORE touching any conf, so it runs un-pruned —
+    // comparing two identically-configured runs would be vacuous
+    val want = Tables(spark, Sf, "lineitem")
+      .select("l_orderkey", "l_quantity")
+      .join(Tables(spark, Sf, "orders")
+        .where($"o_orderpriority" === "1-URGENT").select("o_orderkey"),
+        $"l_orderkey" === $"o_orderkey")
+      .groupBy("l_orderkey").agg(sum($"l_quantity").as("q"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
     try {
       spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
       spark.conf.set(
@@ -68,20 +77,13 @@ class BucketingSpec extends SparkSpecBase {
       val q = Tables(spark, Sf, "lineitem").select("l_orderkey", "l_quantity")
         .join(ord, $"l_orderkey" === $"o_orderkey")
         .groupBy("l_orderkey").agg(sum($"l_quantity").as("q"))
-      q.collect()
+      val rows = q.collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
       val plan = q.queryExecution.executedPlan.toString
       assert(plan.contains("might_contain"),
         s"no runtime bloom filter injected:\n$plan")
-      // the filter is a pre-shuffle prune, not a correctness change
-      val want = Tables(spark, Sf, "lineitem")
-        .select("l_orderkey", "l_quantity")
-        .join(Tables(spark, Sf, "orders")
-          .where($"o_orderpriority" === "1-URGENT").select("o_orderkey"),
-          $"l_orderkey" === $"o_orderkey")
-        .groupBy("l_orderkey").agg(sum($"l_quantity").as("q"))
-        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
-      assert(q.collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
-        == want)
+      // the filter is a pre-shuffle prune, not a correctness change:
+      // pruned run ≡ the un-pruned control collected above
+      assert(rows == want)
     } finally prev.foreach { case (k, v) => spark.conf.set(k, v) }
   }
 

@@ -12,12 +12,15 @@ class CurationSpec extends SparkSpecBase {
       .select("doc_id", "lang", "text").collect()
       .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq
 
-  private def u(docId: Long): Double = {
+  /** Brute-force mirror of [[graft.functions.Md5Uniform]]. */
+  private def u(key: String): Double = {
     val md = MessageDigest.getInstance("MD5")
-    val hex = md.digest(docId.toString.getBytes("UTF-8"))
+    val hex = md.digest(key.getBytes("UTF-8"))
       .map("%02x".format(_)).mkString
     java.lang.Long.parseLong(hex.take(8), 16).toDouble / 4294967296.0
   }
+
+  private def u(docId: Long): Double = u(docId.toString)
 
   private def rate(lang: String): Double =
     Curation.SampleRates.toMap.getOrElse(lang, Curation.DefaultRate)
@@ -54,12 +57,8 @@ class CurationSpec extends SparkSpecBase {
     assert(byId.zip(byId.tail).forall { case (a, b) => a <= b })
   }
 
-  private def uSalted(docId: Long): Double = {
-    val md = MessageDigest.getInstance("MD5")
-    val hex = md.digest((Curation.SplitSalt + docId.toString)
-      .getBytes("UTF-8")).map("%02x".format(_)).mkString
-    java.lang.Long.parseLong(hex.take(8), 16).toDouble / 4294967296.0
-  }
+  private def uSalted(docId: Long): Double =
+    u(Curation.SplitSalt + docId.toString)
 
   test("split assigns every doc exactly one split by the salted uniform") {
     val got = Curation.splitAssign(spark, Sf).collect()
