@@ -1,6 +1,6 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.operators.Sgd.Obs
 
@@ -118,5 +118,54 @@ object TextSources {
       partitions: Int): Unit =
     df.repartitionByRange(partitions, col(column))
       .sortWithinPartitions(column)
+      .write.mode("overwrite").parquet(path)
+
+  /** Default per-key bit width for [[zValue]] (2·[[ZBits]] ≤ 63). */
+  val ZBits = 21
+
+  /** Morton/Z-value of two non-negative integer columns, MSB-ALIGNED:
+    * the j-th most significant bit of each key (within its declared
+    * width) lands at paired positions, so the curve's coarsest splits
+    * alternate between the two dimensions even when their domains have
+    * very different widths (LSB-aligned interleaving lets the wider
+    * key's top bits dominate every file boundary and the narrow key
+    * never prunes). All shift amounts are literals — a flat
+    * codegen-friendly OR chain, no UDF, no fold.
+    */
+  def zValue(a: String, b: String,
+      bitsA: Int = ZBits, bitsB: Int = ZBits): Column = {
+    require(bitsA + bitsB <= 62, "z-value must fit a signed long")
+    val m = math.max(bitsA, bitsB)
+    val terms = (0 until m).flatMap { j =>
+      val pa = 2 * (m - 1 - j)
+      val ia = bitsA - 1 - j
+      val ib = bitsB - 1 - j
+      Seq(
+        Option.when(ia >= 0)(
+          s"shiftleft(shiftright($a, $ia) & 1, $pa)"),
+        Option.when(ib >= 0)(
+          s"shiftleft(shiftright($b, $ib) & 1, ${pa + 1})")).flatten
+    }
+    expr(terms.mkString("(", " | ", ")"))
+  }
+
+  /** Z-ordered parquet layout: range-partition + sort on the MORTON
+    * interleaving of TWO keys, so per-file min/max footer ranges are
+    * narrow on BOTH columns and a filter on EITHER key skips most
+    * files. [[writeRangeSorted]] can only serve its one sort key —
+    * the second dimension scatters across every file; Z-order is the
+    * standard multi-dimensional clustering answer (Delta/Iceberg
+    * OPTIMIZE ZORDER) expressed with stock Spark: derive z, range-write
+    * on it, drop it. Keys must be non-negative; pass each key's actual
+    * bit width (bits to cover its max value) so the MSB alignment is
+    * tight — a loose width wastes the top splits on constant-zero bits.
+    */
+  def writeZOrdered(df: DataFrame, colA: String, colB: String,
+      path: String, partitions: Int,
+      bitsA: Int = ZBits, bitsB: Int = ZBits): Unit =
+    df.withColumn("__z", zValue(colA, colB, bitsA, bitsB))
+      .repartitionByRange(partitions, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
       .write.mode("overwrite").parquet(path)
 }

@@ -291,6 +291,65 @@ class PipelineOpsSpec extends SparkSpecBase {
     assert(some.count() > 0)
   }
 
+  test("z-ordered layout bounds per-file ranges on BOTH keys") {
+    import graft.sources.TextSources
+    val dirZ = "/tmp/graft-zorder"
+    val dirS = "/tmp/graft-singlesort"
+    val dayAbs = org.apache.spark.sql.functions
+      .expr(s"(ts div ${1000L * graft.streaming.Streams.DayUs})")
+    val raw = graft.Tables(spark, Sf, "events")
+      .select(col("event_id"), col("user_id"), dayAbs.as("day_abs"))
+    // normalize to min-zero: absolute epoch-days share a constant
+    // high-bit prefix that would waste every MSB split
+    val day0 = raw.agg(org.apache.spark.sql.functions.min(col("day_abs")))
+      .head().getLong(0)
+    val src = raw.select(col("event_id"), col("user_id"),
+      (col("day_abs") - day0).as("day"))
+    val parts = 8
+    // tight bit widths so the MSB alignment splits both dimensions
+    def bits(c: String): Int = {
+      val mx = src.agg(org.apache.spark.sql.functions.max(col(c)))
+        .head().getLong(0)
+      64 - java.lang.Long.numberOfLeadingZeros(mx max 1L)
+    }
+    TextSources.writeZOrdered(src, "user_id", "day", dirZ, parts,
+      bits("user_id"), bits("day"))
+    TextSources.writeRangeSorted(src, "user_id", dirS, parts)
+
+    def ranges(dir: String, c: String): Seq[(Long, Long, String)] =
+      new java.io.File(dir).listFiles()
+        .filter(f => f.getName.startsWith("part-") &&
+          f.getName.endsWith(".parquet")).toSeq
+        .map { f =>
+          val r = spark.read.parquet(f.getPath)
+            .agg(org.apache.spark.sql.functions.min(c),
+              org.apache.spark.sql.functions.max(c)).head()
+          (r.getLong(0), r.getLong(1), f.getName)
+        }
+    def hitting(rs: Seq[(Long, Long, String)], v: Long): Int =
+      rs.count { case (lo, hi, _) => lo <= v && v <= hi }
+
+    val zUser = ranges(dirZ, "user_id")
+    val zDay = ranges(dirZ, "day")
+    val sDay = ranges(dirS, "day")
+    assert(zUser.size >= parts - 1)
+    // probe with mid-domain values (extremes land in one file trivially)
+    val probeU = src.selectExpr("percentile_approx(user_id, 0.5, 100)")
+      .head().getLong(0)
+    val probeD = src.selectExpr("percentile_approx(day, 0.5, 100)")
+      .head().getLong(0)
+    // a single-key sort serves only its own key: the OTHER key's value
+    // ranges span every file (no pruning); z-order skips files on both
+    assert(hitting(sDay, probeD) == sDay.size,
+      s"single-sort day ranges unexpectedly prune: $sDay")
+    assert(hitting(zUser, probeU) < zUser.size,
+      s"z-order did not prune on user_id: $zUser")
+    assert(hitting(zDay, probeD) < zDay.size,
+      s"z-order did not prune on day: $zDay")
+    // the layout rewrite loses nothing
+    assert(spark.read.parquet(dirZ).count() == src.count())
+  }
+
   test("curateStrict = curate ∩ rep_pass ∩ not-contaminated") {
     import graft.operators.{Contamination, Curation}
     val strict = Curation.curateStrict(spark, Sf).collect()
