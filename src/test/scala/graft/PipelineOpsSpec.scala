@@ -348,6 +348,39 @@ class PipelineOpsSpec extends SparkSpecBase {
       s"z-order did not prune on day: $zDay")
     // the layout rewrite loses nothing
     assert(spark.read.parquet(dirZ).count() == src.count())
+
+    // the interleave itself round-trips: the SQL expression equals a
+    // Scala mirror, and de-interleaving recovers both keys exactly
+    def zMirror(a: Long, b: Long, bA: Int, bB: Int): Long = {
+      val m = math.max(bA, bB)
+      (0 until m).foldLeft(0L) { (acc, j) =>
+        val pa = 2 * (m - 1 - j)
+        val va = if (bA - 1 - j >= 0) ((a >> (bA - 1 - j)) & 1) << pa
+                 else 0L
+        val vb = if (bB - 1 - j >= 0) ((b >> (bB - 1 - j)) & 1) << (pa + 1)
+                 else 0L
+        acc | va | vb
+      }
+    }
+    val s = spark; import s.implicits._
+    val rnd = new scala.util.Random(42)
+    val pairs = Seq.fill(200)((rnd.nextInt(1 << 9).toLong,
+      rnd.nextInt(1 << 13).toLong))
+    val zdf = pairs.toDF("a", "b")
+      .withColumn("z", TextSources.zValue("a", "b", 9, 13))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    zdf.foreach { case (a, b, z) =>
+      assert(z == zMirror(a, b, 9, 13), s"($a,$b)")
+      // de-interleave: walk the paired positions back out
+      val m = 13
+      var (ra, rb) = (0L, 0L)
+      (0 until m).foreach { j =>
+        val pa = 2 * (m - 1 - j)
+        if (9 - 1 - j >= 0) ra |= ((z >> pa) & 1) << (9 - 1 - j)
+        if (13 - 1 - j >= 0) rb |= ((z >> (pa + 1)) & 1) << (13 - 1 - j)
+      }
+      assert(ra == a && rb == b, s"roundtrip ($a,$b) -> ($ra,$rb)")
+    }
   }
 
   test("curateStrict = curate ∩ rep_pass ∩ not-contaminated") {
