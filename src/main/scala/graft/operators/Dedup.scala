@@ -477,6 +477,51 @@ object Dedup {
       .where(col("cos_sim") >= CosMin)
   }
 
+  // ---- semantic dedup (cluster-partitioned, SemDeDup-style) ----
+
+  /** SemDeDup-style semantic dedup (Abbas et al. 2023, "SemDeDup: data-
+    * efficient learning at web-scale through semantic deduplication"):
+    * cluster the embedding space with the IVF coarse quantizer
+    * ([[Similarity.kmeansCentroids]] — `iters = 0` is the sampled,
+    * oracle-replayable quantizer; `iters > 0` the deterministic-Lloyd
+    * production one), then compare pairs ONLY within a cluster and flag
+    * those above [[CosMin]], keeping the lower vec_id. Complementary to
+    * [[embeddingNearDupOf]]'s SRP buckets: clusters give each vector ONE
+    * partition (no cross-table candidate union) and the cluster id is
+    * the natural partition key for the 100 TB layout; the published
+    * algorithm sizes K so within-cluster pairs stay tractable (√N-ish
+    * clusters), which is exactly the centroid-count seam.
+    *
+    * Scale shape: assignment is a broadcast typed kernel (O(K) flops
+    * per vector, no shuffle); the candidate generator is an equi-join on
+    * cid — never all-pairs across clusters; exact cosine verifies inside
+    * the join projection.
+    */
+  def semantic(spark: SparkSession, dir: String): DataFrame =
+    semanticOf(Tables(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("e")))
+
+  def semanticOf(emb: DataFrame, kmeansIters: Int = 0): DataFrame = {
+    val spark = emb.sparkSession
+    val s = spark; import s.implicits._
+    val cents = Similarity.kmeansCentroids(emb, kmeansIters)
+    val bc = spark.sparkContext.broadcast(cents)
+    val assign = emb.as[(Long, Array[Double])]
+      .mapPartitions { it =>
+        val cs = bc.value
+        it.map { case (id, e) => (id, Similarity.nearestCid(cs, e)) }
+      }
+      .toDF("vec_id", "cid")
+    val withC = emb.join(assign, "vec_id")
+    withC.as("A").join(withC.as("B"),
+        col("A.cid") === col("B.cid")
+          && col("A.vec_id") < col("B.vec_id"))
+      .select(col("A.cid").as("cluster_id"),
+        col("A.vec_id").as("vec_a"), col("B.vec_id").as("vec_b"),
+        Hashing.cosineNative(spark, col("A.e"), col("B.e")).as("cos_sim"))
+      .where(col("cos_sim") >= CosMin)
+  }
+
   // ---- document BOW-embedding near-dup ----
 
   /** Hashed bag-of-bigrams dimensionality and output threshold (fixture
@@ -678,6 +723,7 @@ object Dedup {
     "llm_dedup_ngram" -> ngramJaccard,
     "llm_dedup_simhash" -> simhashPairs,
     "llm_dedup_embedding" -> embeddingNearDup,
+    "llm_dedup_semantic" -> semantic,
     "llm_dedup_bow_cosine" -> bowCosine
   )
 
@@ -822,6 +868,29 @@ object Dedup {
          |)
          |SELECT va AS vec_a, vb AS vec_b, cos_sim
          |FROM scored WHERE cos_sim >= $CosMin""".stripMargin,
+    // the oracle replays the sampled quantizer (first NumCentroids
+    // vectors) and the tie-toward-lower-cid assignment exactly
+    "llm_dedup_semantic" ->
+      s"""WITH v AS (SELECT vec_id, embedding e FROM embeddings),
+         |cents AS (SELECT vec_id AS cid, e AS ce FROM v
+         |          WHERE vec_id < ${Similarity.NumCentroids}),
+         |cscore AS (
+         |  SELECT v.vec_id, cents.cid,
+         |    ${Hashing.cosineSql("v.e", "cents.ce", 64)} AS c
+         |  FROM v, cents),
+         |assign AS (
+         |  SELECT vec_id, cid FROM (
+         |    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
+         |      ORDER BY c DESC, cid ASC) AS rn FROM cscore)
+         |  WHERE rn = 1),
+         |w AS (SELECT a.vec_id, a.cid, v.e
+         |      FROM assign a JOIN v ON a.vec_id = v.vec_id),
+         |scored AS (
+         |  SELECT a.cid AS cluster_id, a.vec_id AS vec_a,
+         |    b.vec_id AS vec_b,
+         |    ${Hashing.cosineSql("a.e", "b.e", 64)} AS cos_sim
+         |  FROM w a JOIN w b ON a.cid = b.cid AND a.vec_id < b.vec_id)
+         |SELECT * FROM scored WHERE cos_sim >= $CosMin""".stripMargin,
     "llm_dedup_bow_cosine" ->
       s"""WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
          |big AS (

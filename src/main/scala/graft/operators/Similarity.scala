@@ -148,8 +148,10 @@ object Similarity {
   val NumCentroids = 16
   val NumProbes = 2
 
-  /** Nearest centroid by cosine; ties → lower cid (cs sorted by cid). */
-  private def nearestCid(cs: Array[(Long, Array[Double])],
+  /** Nearest centroid by cosine; ties → lower cid (cs sorted by cid).
+    * Shared with [[Dedup.semanticOf]]'s cluster assignment.
+    */
+  private[operators] def nearestCid(cs: Array[(Long, Array[Double])],
                          e: Array[Double]): Long = {
     var best = Double.NegativeInfinity
     var bestC = 0L

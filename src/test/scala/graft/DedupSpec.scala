@@ -169,6 +169,42 @@ class DedupSpec extends SparkSpecBase {
     assert(gotFix.values.toSet.size < gotFix.size) // non-trivial clusters
   }
 
+  test("semantic dedup: within-cluster pairs above threshold, brute force") {
+    import graft.operators.Similarity
+    val vecs = graft.Tables(spark, Sf, "embeddings")
+      .selectExpr("vec_id", "cast(embedding as array<double>) e")
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val cents = vecs.filter(_._1 < Similarity.NumCentroids).sortBy(_._1)
+    // strict > replicates the tie-toward-lower-cid assignment
+    def nearest(e: Array[Double]): Long = {
+      var best = Double.NegativeInfinity; var bestC = 0L
+      cents.foreach { case (cid, ce) =>
+        val c = cos(e, ce); if (c > best) { best = c; bestC = cid }
+      }
+      bestC
+    }
+    val want = vecs.groupBy(v => nearest(v._2)).flatMap { case (cid, vs) =>
+      (for {
+        a <- vs.toSeq; b <- vs.toSeq if a._1 < b._1
+        c = cos(a._2, b._2) if c >= Dedup.CosMin
+      } yield (cid, a._1, b._1, c))
+    }.toSet
+    val got = Dedup.semantic(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    assert(got == want)
+    assert(got.nonEmpty, "fixture should contain semantic near-dups")
+    // candidates never cross clusters: each pair's members share a cid
+    assert(got.map(_._1).size <= Similarity.NumCentroids)
+  }
+
   test("index cache invalidation: rebuilt entries reproduce the answer") {
     val before = Dedup.minhashLsh(spark, Sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
