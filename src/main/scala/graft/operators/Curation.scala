@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
@@ -340,7 +340,56 @@ object Curation {
     curate(spark, dir).join(rep, "doc_id").join(clean, "doc_id")
   }
 
+  // ---- per-source gate report ----
+
+  /** The pipeline owner's dashboard: for every source, how many
+    * documents clear EACH gate (quality, repetition, blocklist,
+    * language, decontamination, near-dup uniqueness) and how many clear
+    * them all — the table that decides which sources to keep, scrub, or
+    * drop, and the one aggregate view over the whole gate family.
+    * Eval-split documents (no decontamination audit row) count as not
+    * clean, matching [[curateStrict]]'s exclusion.
+    *
+    * Shape: every gate is a doc-keyed column join (the dedup side is a
+    * distinct key list riding the session band index), then ONE
+    * map-side-combined aggregation down to #sources rows.
+    */
+  def gateReport(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables(spark, dir, "documents").select("doc_id", "source")
+    val q = TextOps.qualityScore(spark, dir)
+      .select(col("doc_id"), col("quality_pass"))
+    val rep = TextOps.repNgrams(spark, dir)
+      .select(col("doc_id"), col("rep_pass"))
+    val bad = TextOps.badwords(spark, dir)
+      .select(col("doc_id"), col("badwords_pass"))
+    val en = TextOps.langId(spark, dir)
+      .select(col("doc_id"), (col("lang_pred") === "en").as("is_en"))
+    val cl = Contamination.decontaminate(spark, dir)
+      .select(col("doc_id"), (!col("contaminated")).as("clean"))
+    val dup = Dedup.minhashLsh(spark, dir)
+      .select(col("doc_b").as("doc_id")).distinct()
+      .withColumn("is_dup", lit(true))
+    def n(c: Column): Column = sum(when(c, 1L).otherwise(0L))
+    d.join(q, Seq("doc_id")).join(rep, Seq("doc_id"))
+      .join(bad, Seq("doc_id")).join(en, Seq("doc_id"))
+      .join(cl, Seq("doc_id"), "left")
+      .join(dup, Seq("doc_id"), "left")
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        n(col("quality_pass")).as("n_quality"),
+        n(col("rep_pass")).as("n_rep"),
+        n(col("badwords_pass")).as("n_badwords"),
+        n(col("is_en")).as("n_en"),
+        n(coalesce(col("clean"), lit(false))).as("n_clean"),
+        n(col("is_dup").isNull).as("n_unique"),
+        n(col("quality_pass") && col("rep_pass") && col("badwords_pass")
+          && col("is_en") && coalesce(col("clean"), lit(false))
+          && col("is_dup").isNull).as("n_corpus"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "llm_gate_report" -> gateReport,
     "llm_chunk" -> chunk,
     "llm_pack_chunks" -> packChunks,
     "llm_curate_strict" -> curateStrict,
@@ -388,6 +437,40 @@ object Curation {
        |            FROM documents))""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // sums cast ::BIGINT (DuckDB widens SUM(INT) to HUGEINT)
+    "llm_gate_report" ->
+      s"""WITH q AS (SELECT doc_id, quality_pass
+         |           FROM (${TextOps.oracle("llm_quality_score")})),
+         |rep AS (SELECT doc_id, rep_pass
+         |        FROM (${TextOps.oracle("llm_rep_ngrams")})),
+         |bad AS (SELECT doc_id, badwords_pass
+         |        FROM (${TextOps.oracle("llm_badwords")})),
+         |en AS (SELECT doc_id, lang_pred = 'en' AS is_en
+         |       FROM (${TextOps.oracle("llm_lang_id")})),
+         |cl AS (SELECT doc_id, NOT contaminated AS clean
+         |       FROM (${Contamination.oracle("llm_decontaminate")})),
+         |dup AS (SELECT DISTINCT doc_b AS doc_id
+         |        FROM (${Dedup.oracle("llm_dedup_minhash")}))
+         |SELECT d.source, count(*) AS n_docs,
+         |  sum(CASE WHEN quality_pass THEN 1 ELSE 0 END)::BIGINT
+         |    AS n_quality,
+         |  sum(CASE WHEN rep_pass THEN 1 ELSE 0 END)::BIGINT AS n_rep,
+         |  sum(CASE WHEN badwords_pass THEN 1 ELSE 0 END)::BIGINT
+         |    AS n_badwords,
+         |  sum(CASE WHEN is_en THEN 1 ELSE 0 END)::BIGINT AS n_en,
+         |  sum(CASE WHEN coalesce(clean, false) THEN 1 ELSE 0 END)::BIGINT
+         |    AS n_clean,
+         |  sum(CASE WHEN dup.doc_id IS NULL THEN 1 ELSE 0 END)::BIGINT
+         |    AS n_unique,
+         |  sum(CASE WHEN quality_pass AND rep_pass AND badwords_pass
+         |    AND is_en AND coalesce(clean, false) AND dup.doc_id IS NULL
+         |    THEN 1 ELSE 0 END)::BIGINT AS n_corpus
+         |FROM documents d
+         |JOIN q USING (doc_id) JOIN rep USING (doc_id)
+         |JOIN bad USING (doc_id) JOIN en USING (doc_id)
+         |LEFT JOIN cl USING (doc_id)
+         |LEFT JOIN dup ON d.doc_id = dup.doc_id
+         |GROUP BY d.source""".stripMargin,
     "llm_chunk" -> chunkSql,
     // the two-level prefix sum must equal ONE global ordered window
     "llm_pack_chunks" ->

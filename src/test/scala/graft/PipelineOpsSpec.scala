@@ -383,6 +383,43 @@ class PipelineOpsSpec extends SparkSpecBase {
     }
   }
 
+  test("gateReport aggregates the individual gates per source") {
+    import graft.operators.Dedup
+    val source = graft.Tables(spark, Sf, "documents")
+      .select("doc_id", "source").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val q = TextOps.qualityScore(spark, Sf).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(4)).toMap
+    val rep = TextOps.repNgrams(spark, Sf).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(6)).toMap
+    val bad = TextOps.badwords(spark, Sf).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(4)).toMap
+    val en = TextOps.langId(spark, Sf).collect()
+      .map(r => r.getLong(0) -> (r.getString(5) == "en")).toMap
+    val clean = Contamination.decontaminate(spark, Sf).collect()
+      .map(r => r.getLong(0) -> !r.getBoolean(2)).toMap
+    val dup = Dedup.minhashLsh(spark, Sf).collect()
+      .map(_.getLong(1)).toSet
+    val want = source.groupBy(_._2).map { case (src, ds) =>
+      val ids = ds.keys.toSeq
+      def n(p: Long => Boolean) = ids.count(p).toLong
+      src -> ((ids.size.toLong, n(q), n(rep), n(bad), n(en),
+        n(id => clean.getOrElse(id, false)), n(id => !dup(id)),
+        n(id => q(id) && rep(id) && bad(id) && en(id) &&
+          clean.getOrElse(id, false) && !dup(id))))
+    }
+    val got = Curation.gateReport(spark, Sf).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6),
+        r.getLong(7), r.getLong(8)))).toMap
+    assert(got == want)
+    // n_corpus per source sums to the strict corpus (which does not
+    // gate on badwords) intersected with the badwords gate
+    val strict = Curation.curateStrict(spark, Sf).collect()
+      .map(_.getLong(0)).toSet
+    assert(got.values.map(_._8).sum == strict.count(bad(_)).toLong)
+  }
+
   test("curateStrict = curate ∩ rep_pass ∩ not-contaminated") {
     import graft.operators.{Contamination, Curation}
     val strict = Curation.curateStrict(spark, Sf).collect()
