@@ -9,6 +9,9 @@ import graft.Tables
 /** Typed rows for the stateful sessionizer (top-level: Spark's generated
   * deserializers cannot reach nested case classes).
   */
+case class UserMoments(n: Long, s1: Double, s2: Double)
+case class ScoredEvent(event_id: Long, user_id: Long, value: Double,
+    n_prior: Long, mean_v: Double, var_v: Double)
 case class SessionEvent(user_id: Long, event_id: Long, ts_us: Long,
     ts_ts: java.sql.Timestamp)
 case class OpenSession(start_us: Long, last_us: Long, n_events: Long)
@@ -469,6 +472,49 @@ object Streams {
           .as("var_v"))
       .where((col("value") - col("mean_v")) * (col("value") - col("mean_v"))
         > lit(OutlierSigmaSq) * col("var_v"))
+  }
+
+  /** Prior observations a user needs before the ONLINE detector scores
+    * an arrival (cold-start guard: variance of a near-empty state is
+    * noise, not a baseline).
+    */
+  val OutlierMinPrior = 8
+
+  /** Streaming companion of [[valueOutliers]] — the `mapGroupsWithState`
+    * design its scaladoc names, made concrete: the (n, Σv, Σv²) moments
+    * live per user in the state store, every arrival is scored against
+    * the PRIOR state (online semantics — an event cannot vouch for
+    * itself) and then folded in. Append mode, state O(users)·O(1).
+    * Deliberately NOT oracle-bound: the online flag depends on arrival
+    * position (each event sees only its past), which is the point — the
+    * batch form scores against the global moments, this one alerts as
+    * data flows. Runs on a batch DataFrame too (same code path), which
+    * is what the spec's batch-parity leg uses.
+    */
+  def valueOutliersStreaming(events: DataFrame): Dataset[ScoredEvent] = {
+    val s = events.sparkSession; import s.implicits._
+    withEventTime(events)
+      .select(col("event_id"), col("user_id"), col("value"), col("ts_us"))
+      .as[(Long, Long, Double, Long)]
+      .groupByKey(_._2)
+      .flatMapGroupsWithState[UserMoments, ScoredEvent](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, it: Iterator[(Long, Long, Double, Long)],
+            state: GroupState[UserMoments]) =>
+          var st = state.getOption.getOrElse(UserMoments(0L, 0.0, 0.0))
+          val out = Seq.newBuilder[ScoredEvent]
+          it.toSeq.sortBy(e => (e._4, e._1)).foreach { case (id, _, v, _) =>
+            if (st.n >= OutlierMinPrior) {
+              val mean = st.s1 / st.n
+              val varv = st.s2 / st.n - mean * mean
+              if ((v - mean) * (v - mean) > OutlierSigmaSq * varv)
+                out += ScoredEvent(id, user, v, st.n, mean, varv)
+            }
+            st = UserMoments(st.n + 1, st.s1 + v, st.s2 + v * v)
+          }
+          state.update(st)
+          out.result().iterator
+      }
   }
 
   private def events(spark: SparkSession, dir: String): DataFrame =

@@ -220,6 +220,36 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("online outlier detector scores arrivals against prior state only") {
+    val s = spark; import s.implicits._
+    implicit val ctx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val q = Streams.valueOutliersStreaming(mem.toDF())
+      .writeStream.format("memory").queryName("outlier_stream_test")
+      .outputMode("append").start()
+    try {
+      val base = Streams.OutlierMinPrior
+      // wave 1: a huge value arrives FIRST — with zero prior
+      // observations it must NOT be scored (cold-start guard) — then a
+      // jittered baseline of `base` events around 10
+      val baseline = (1 to base).map(i =>
+        ev(i, i * HourNs, v = if (i % 2 == 0) 10.5 else 9.5))
+      mem.addData(ev(99, 0, v = 500.0) +: baseline: _*)
+      q.processAllAvailable()
+      // wave 2: state persisted across batches — another 500 now scores
+      // against baseline+cold-start moments and is flagged; a mild
+      // 10.2 is scored but stays inside the 2σ band
+      mem.addData(ev(100, (base + 2) * HourNs, v = 500.0),
+        ev(101, (base + 3) * HourNs, v = 10.2))
+      q.processAllAvailable()
+      val got = spark.table("outlier_stream_test").collect()
+        .map(r => (r.getLong(0), r.getLong(3)))
+      assert(got.map(_._1).toSet == Set(100L), got.mkString(","))
+      // the flag used the prior-state count (cold-start event + baseline)
+      assert(got.head._2 == base + 1L)
+    } finally q.stop()
+  }
+
   test("stream-stream interval join attributes purchases to views") {
     val s = spark; import s.implicits._
     implicit val ctx = spark.sqlContext
