@@ -501,7 +501,8 @@ object Dedup {
     semanticOf(Tables(spark, dir, "embeddings")
       .select(col("vec_id"), col("embedding").cast("array<double>").as("e")))
 
-  def semanticOf(emb: DataFrame, kmeansIters: Int = 0): DataFrame = {
+  def semanticOf(emb: DataFrame, kmeansIters: Int = 0,
+      mat: Materialize.Strategy = Materialize.Local): DataFrame = {
     val spark = emb.sparkSession
     val s = spark; import s.implicits._
     val cents = Similarity.kmeansCentroids(emb, kmeansIters)
@@ -512,7 +513,9 @@ object Dedup {
         it.map { case (id, e) => (id, Similarity.nearestCid(cs, e)) }
       }
       .toDF("vec_id", "cid")
-    val withC = emb.join(assign, "vec_id")
+    // both sides of the cluster self-join read the materialized table —
+    // without the cut the O(N·K) assignment kernel runs twice
+    val withC = mat(emb.join(assign, "vec_id"))
     withC.as("A").join(withC.as("B"),
         col("A.cid") === col("B.cid")
           && col("A.vec_id") < col("B.vec_id"))

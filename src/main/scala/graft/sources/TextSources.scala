@@ -134,17 +134,23 @@ object TextSources {
     */
   def zValue(a: String, b: String,
       bitsA: Int = ZBits, bitsB: Int = ZBits): Column = {
-    require(bitsA + bitsB <= 62, "z-value must fit a signed long")
+    // positions run to 2·max−1, so it is the MAX width (not the sum)
+    // that must fit below the sign bit; JVM shifts mask the amount
+    // mod 64, which would silently scramble rather than error
+    require(2 * math.max(bitsA, bitsB) <= 62,
+      "z-value must fit a signed long: 2*max(bitsA,bitsB) <= 62")
     val m = math.max(bitsA, bitsB)
+    // cast to bigint: int-typed keys would otherwise shift mod 32
+    val (la, lb) = (s"cast($a as bigint)", s"cast($b as bigint)")
     val terms = (0 until m).flatMap { j =>
       val pa = 2 * (m - 1 - j)
       val ia = bitsA - 1 - j
       val ib = bitsB - 1 - j
       Seq(
         Option.when(ia >= 0)(
-          s"shiftleft(shiftright($a, $ia) & 1, $pa)"),
+          s"shiftleft(shiftright($la, $ia) & 1, $pa)"),
         Option.when(ib >= 0)(
-          s"shiftleft(shiftright($b, $ib) & 1, ${pa + 1})")).flatten
+          s"shiftleft(shiftright($lb, $ib) & 1, ${pa + 1})")).flatten
     }
     expr(terms.mkString("(", " | ", ")"))
   }

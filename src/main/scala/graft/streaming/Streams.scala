@@ -506,8 +506,16 @@ object Streams {
           it.toSeq.sortBy(e => (e._4, e._1)).foreach { case (id, _, v, _) =>
             if (st.n >= OutlierMinPrior) {
               val mean = st.s1 / st.n
-              val varv = st.s2 / st.n - mean * mean
-              if ((v - mean) * (v - mean) > OutlierSigmaSq * varv)
+              // the double-accumulating E[v²]−E[v]² can cancel to a
+              // tiny NEGATIVE for near-constant baselines — clamp, and
+              // add a relative dead-band so an arrival equal to its
+              // baseline (where (v−mean)² is rounding noise) can never
+              // out-flag a zero variance
+              val varv = math.max(0.0, st.s2 / st.n - mean * mean)
+              val dev = v - mean
+              val deadBand = 1e-9 * (1.0 + math.abs(mean))
+              if (dev * dev > OutlierSigmaSq * varv
+                  && math.abs(dev) > deadBand)
                 out += ScoredEvent(id, user, v, st.n, mean, varv)
             }
             st = UserMoments(st.n + 1, st.s1 + v, st.s2 + v * v)

@@ -201,8 +201,13 @@ class DedupSpec extends SparkSpecBase {
       .toSet
     assert(got == want)
     assert(got.nonEmpty, "fixture should contain semantic near-dups")
-    // candidates never cross clusters: each pair's members share a cid
-    assert(got.map(_._1).size <= Similarity.NumCentroids)
+    // candidates never cross clusters: BOTH members of every emitted
+    // pair were assigned to the pair's cluster id
+    val byId = vecs.toMap
+    got.foreach { case (cid, a, b, _) =>
+      assert(nearest(byId(a)) == cid && nearest(byId(b)) == cid,
+        s"pair ($a,$b) crosses clusters")
+    }
   }
 
   test("index cache invalidation: rebuilt entries reproduce the answer") {

@@ -381,6 +381,19 @@ class PipelineOpsSpec extends SparkSpecBase {
       }
       assert(ra == a && rb == b, s"roundtrip ($a,$b) -> ($ra,$rb)")
     }
+    // int-typed key columns interleave identically to bigint ones
+    // (JVM int shifts mask the amount mod 32 — the cast guards that)
+    val zInt = pairs.map { case (a, b) => (a.toInt, b.toInt) }
+      .toDF("a", "b")
+      .withColumn("z", TextSources.zValue("a", "b", 9, 13))
+      .collect().map(r => (r.getInt(0).toLong, r.getInt(1).toLong,
+        r.getLong(2))).toSet
+    assert(zInt == zdf.toSet)
+    // asymmetric widths whose POSITIONS would overflow the long are
+    // rejected even when the width sum looks safe
+    intercept[IllegalArgumentException] {
+      TextSources.zValue("a", "b", 10, 40)
+    }
   }
 
   test("gateReport aggregates the individual gates per source") {
