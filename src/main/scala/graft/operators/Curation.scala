@@ -388,7 +388,24 @@ object Curation {
           && col("is_dup").isNull).as("n_corpus"))
   }
 
+  // ---- the whole pipeline, one declarative plan ----
+
+  /** The full training-data pipeline as ONE lazy DataFrame: strict
+    * curation (quality ∩ English ∩ repetition ∩ decontaminated − near-
+    * dups) → fixed-stride context chunking → token-budget shard packing.
+    * What a user of this library actually ships — and a proof that the
+    * whole path stays declarative: Catalyst sees every stage at once
+    * (gate filters, the chunk generator, the two-level prefix sum) in a
+    * single optimized plan with no materialization barrier between
+    * stages.
+    */
+  def pipelineE2e(spark: SparkSession, dir: String): DataFrame = {
+    val kept = curateStrict(spark, dir)
+    packChunksOf(chunkOf(docs(spark, dir).join(kept, "doc_id")))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "llm_pipeline_e2e" -> pipelineE2e,
     "llm_gate_report" -> gateReport,
     "llm_chunk" -> chunk,
     "llm_pack_chunks" -> packChunks,
@@ -423,8 +440,11 @@ object Curation {
        |JOIN q USING (doc_id) JOIN l USING (doc_id)
        |WHERE d.doc_id NOT IN (SELECT doc_id FROM dup)""".stripMargin
 
-  /** Shared by the `llm_chunk` entry and `llm_pack_chunks`' oracle. */
-  private val chunkSql: String =
+  /** Chunking SQL over any (doc_id, text) relation — shared by the
+    * `llm_chunk` entry ([[chunkSql]] over `documents`), `llm_pack_chunks`,
+    * and the end-to-end pipeline oracle (over the curated subset).
+    */
+  private def chunkSqlFrom(src: String): String =
     s"""SELECT doc_id,
        |  start // $ChunkStride AS chunk_id,
        |  start,
@@ -434,7 +454,22 @@ object Curation {
        |FROM (SELECT doc_id, t, unnest(range(0, len(t), $ChunkStride))
        |        AS start
        |      FROM (SELECT doc_id, string_split(text, ' ') AS t
-       |            FROM documents))""".stripMargin
+       |            FROM $src))""".stripMargin
+
+  private val chunkSql: String = chunkSqlFrom("documents")
+
+  /** Shared by the `llm_curate_strict` entry and the end-to-end
+    * pipeline oracle.
+    */
+  private lazy val curateStrictSql: String =
+    s"""WITH rep AS (SELECT doc_id
+       |            FROM (${TextOps.oracle("llm_rep_ngrams")})
+       |            WHERE rep_pass),
+       |cl AS (SELECT doc_id
+       |       FROM (${Contamination.oracle("llm_decontaminate")})
+       |       WHERE NOT contaminated)
+       |SELECT doc_id FROM ($curateSql)
+       |JOIN rep USING (doc_id) JOIN cl USING (doc_id)""".stripMargin
 
   val oracle: Map[String, String] = Map(
     // sums cast ::BIGINT (DuckDB widens SUM(INT) to HUGEINT)
@@ -546,15 +581,20 @@ object Curation {
          |   - len(string_split(text, ' '))::BIGINT) // $ShardBudget
          |    AS shard
          |FROM documents""".stripMargin,
-    "llm_curate_strict" ->
-      s"""WITH rep AS (SELECT doc_id
-         |            FROM (${TextOps.oracle("llm_rep_ngrams")})
-         |            WHERE rep_pass),
-         |cl AS (SELECT doc_id
-         |       FROM (${Contamination.oracle("llm_decontaminate")})
-         |       WHERE NOT contaminated)
-         |SELECT doc_id FROM ($curateSql)
-         |JOIN rep USING (doc_id) JOIN cl USING (doc_id)""".stripMargin,
+    "llm_curate_strict" -> curateStrictSql,
+    // the pipeline oracle composes the strict gate, the chunker, and
+    // the single-global-window packing the two-level Spark plan must
+    // reproduce exactly
+    "llm_pipeline_e2e" ->
+      s"""WITH kept AS ($curateStrictSql),
+         |d2 AS (SELECT d.doc_id, d.text
+         |       FROM documents d JOIN kept USING (doc_id)),
+         |ch AS (${chunkSqlFrom("d2")})
+         |SELECT doc_id, chunk_id, n_tokens::BIGINT AS n_tokens,
+         |  ((SUM(n_tokens) OVER (ORDER BY doc_id, chunk_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT
+         |    - n_tokens) // $ShardBudget)::BIGINT AS shard
+         |FROM ch""".stripMargin,
     "llm_curate" -> curateSql
   )
 }

@@ -113,6 +113,29 @@ class CurationSpec extends SparkSpecBase {
     }
   }
 
+  test("pipelineE2e = strict curation → chunking → packing, composed") {
+    val kept = Curation.curateStrict(spark, Sf).collect()
+      .map(_.getLong(0)).toSet
+    val chunks = Curation.chunk(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(3).toLong))
+      .filter(c => kept(c._1))
+      .sortBy(c => (c._1, c._2))
+    var cum = 0L
+    val want = chunks.map { case (id, cid, n) =>
+      val shard = cum / Curation.ShardBudget
+      cum += n
+      (id, cid, n, shard)
+    }.toSet
+    val got = Curation.pipelineE2e(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(got == want)
+    // only curated docs flow through, and they span multiple shards
+    assert(got.map(_._1).toSet == kept.filter(id =>
+      chunks.exists(_._1 == id)))
+    assert(got.map(_._4).max >= 1)
+  }
+
   test("curate = quality pass ∩ lang=en − minhash near-dup victims") {
     val got = Curation.curate(spark, Sf).collect().map(_.getLong(0)).toSet
     val q = TextOps.qualityScore(spark, Sf)
