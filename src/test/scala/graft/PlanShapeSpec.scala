@@ -198,6 +198,14 @@ class PlanShapeSpec extends SparkSpecBase {
     assert(!p.contains("Exchange"), s"split plan shuffles:\n$p")
   }
 
+  test("pipeline e2e: packing stays partitioned through the composition") {
+    val p = finalPlan(graft.operators.Curation.pipelineE2e(spark, Sf))
+    assert(!p.contains("CartesianProduct"), p)
+    // the chunk-packing prefix sum keeps its per-group partitioning even
+    // with the curation gates composed underneath
+    assert(p.contains("hashpartitioning(g"), p)
+  }
+
   test("upsert merges in one exchange with map-side partial aggregation") {
     val p = finalOnly(graft.operators.Curation.upsert(spark, Sf))
     assert("ShuffleQueryStage".r.findAllIn(p).size == 1, p)
