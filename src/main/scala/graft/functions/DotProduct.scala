@@ -111,5 +111,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("graft_topk"),
       new ExpressionInfo(classOf[TopKAgg].getName, null, "graft_topk"),
       { exprs: Seq[Expression] => TopKAgg(exprs(0), exprs(1), exprs(2)) }))
+    ext.injectFunction((FunctionIdentifier("graft_subsets"),
+      new ExpressionInfo(classOf[SubsetsGenerator].getName, null,
+        "graft_subsets"),
+      SubsetsGenerator.builder))
   }
 }

@@ -103,20 +103,51 @@ object Apriori {
   /** Subset supports of a transactions DF (frequent-filtered baskets,
     * sorted-canonical keys, truncated to [[MaxBasket]]).
     */
+  /** Frequent-filtered, sorted-canonical baskets (`fitems` array) — the
+    * prune-before-generate input shared by the typed-flatMap pipeline
+    * and the SQL/LATERAL VIEW form.
+    */
+  private def frequentBasketsOf(tx0: DataFrame, support: Int): DataFrame = {
+    val tx = tx0.localCheckpoint()
+    val freqSet = freqItemsOf(tx, support)
+      .agg(collect_set(col("item")).as("freqset"))
+    tx.join(broadcast(freqSet))
+      .select(array_sort(array_intersect(col("items"), col("freqset")))
+        .as("fitems"))
+  }
+
   def itemsetSupportsOf(tx0: DataFrame, support: Int = Support): DataFrame = {
     val spark = tx0.sparkSession
     val s = spark; import s.implicits._
-    val tx = tx0.localCheckpoint()
-    val freqSet = freqItemsOf(tx, support)
-      .agg(collect_set($"item").as("freqset"))
-    tx.join(broadcast(freqSet))
-      .select(lit(0L).as("l_orderkey"),
-        array_sort(array_intersect($"items", $"freqset")).as("fitems"))
+    frequentBasketsOf(tx0, support)
+      .select(lit(0L).as("l_orderkey"), $"fitems")
       .as[Basket]
       .flatMap(b => subsetKeys(b.fitems.take(MaxBasket)))
       .toDF("itemset", "k")
       .groupBy($"itemset", $"k")
       .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Frequent k-itemsets through the SQL surface: the custom Catalyst
+    * `Generator` [[graft.functions.SubsetsGenerator]] (`graft_subsets`)
+    * replaces the typed flatMap in a plain LATERAL VIEW query — proving
+    * the UDTF tier end-to-end against the same oracle as
+    * [[freqItemsets]]. Identical plan shape: prune-before-generate, one
+    * aggregation with map-side partials after the generator.
+    */
+  def freqItemsetsSql(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.SubsetsGenerator.register(spark)
+    frequentBasketsOf(transactions(spark, dir), Support)
+      .select(slice(col("fitems"), 1, MaxBasket).as("fitems"))
+      .createOrReplaceTempView("graft_freq_baskets")
+    spark.sql(
+      s"""SELECT itemset, count(*) AS cnt
+         |FROM graft_freq_baskets
+         |LATERAL VIEW graft_subsets(fitems) t AS itemset, k
+         |WHERE k >= 2
+         |GROUP BY itemset, k
+         |HAVING count(*) >= $Support""".stripMargin)
+      .select("itemset", "cnt")
   }
 
   /** Frequent k-itemsets (k ≥ 2) of a transactions DF. */
@@ -379,6 +410,7 @@ object Apriori {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "apriori_freq_items" -> freqItems,
     "apriori_freq_itemsets" -> freqItemsets,
+    "apriori_freq_itemsets_sql" -> freqItemsetsSql,
     "apriori_freq_itemsets_lw" -> freqItemsetsLevelwise,
     "apriori_freq_all" -> freqAll,
     "apriori_maximal" -> maximalItemsets,
@@ -434,6 +466,12 @@ object Apriori {
          |FROM (SELECT l_orderkey, unnest(items) AS item FROM tx)
          |GROUP BY item HAVING count(*) >= ${Support}""".stripMargin,
     "apriori_freq_itemsets" ->
+      s"""WITH $subSql
+         |SELECT itemset, cnt FROM supports
+         |WHERE k >= 2 AND cnt >= ${Support}""".stripMargin,
+    // the LATERAL VIEW / custom-Generator form must produce the exact
+    // same table as the typed-flatMap pipeline
+    "apriori_freq_itemsets_sql" ->
       s"""WITH $subSql
          |SELECT itemset, cnt FROM supports
          |WHERE k >= 2 AND cnt >= ${Support}""".stripMargin,

@@ -29,6 +29,33 @@ class DotProductSpec extends SparkSpecBase {
     assert(viaCol == want)
   }
 
+  test("graft_subsets generator matches subsetKeys row-for-row via SQL") {
+    val s = spark; import s.implicits._
+    graft.functions.SubsetsGenerator.register(spark)
+    val baskets = Seq(
+      Seq("a", "b", "c"),
+      Seq("x"),
+      Seq.empty[String])
+    baskets.map(Tuple1(_)).toDF("items")
+      .createOrReplaceTempView("subsets_gen_test")
+    val got = spark.sql(
+      """SELECT itemset, k FROM subsets_gen_test
+        |LATERAL VIEW graft_subsets(items) t AS itemset, k""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getInt(1)))
+      .groupBy(identity).view.mapValues(_.size).toMap
+    val want = baskets
+      .flatMap(b => graft.operators.Apriori.subsetKeys(b))
+      .groupBy(identity).view.mapValues(_.size).toMap
+    assert(got == want)
+    // 2^3-1 + 1 + 0 subsets in total (singletons included)
+    assert(got.values.sum == 8)
+    // null arrays generate nothing instead of crashing
+    assert(spark.sql(
+      """SELECT itemset FROM (SELECT cast(null as array<string>) AS items)
+        |LATERAL VIEW graft_subsets(items) t AS itemset, k""".stripMargin)
+      .count() == 0)
+  }
+
   test("graft_dot handles mismatched lengths and null arrays") {
     val s = spark; import s.implicits._
     DotProduct.register(spark)
