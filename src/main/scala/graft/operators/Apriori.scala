@@ -137,16 +137,15 @@ object Apriori {
     */
   def freqItemsetsSql(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.SubsetsGenerator.register(spark)
+    // selectExpr rather than a temp view + spark.sql: no session-global
+    // name to collide on; the LATERAL VIEW spelling is spec-covered
     frequentBasketsOf(transactions(spark, dir), Support)
       .select(slice(col("fitems"), 1, MaxBasket).as("fitems"))
-      .createOrReplaceTempView("graft_freq_baskets")
-    spark.sql(
-      s"""SELECT itemset, count(*) AS cnt
-         |FROM graft_freq_baskets
-         |LATERAL VIEW graft_subsets(fitems) t AS itemset, k
-         |WHERE k >= 2
-         |GROUP BY itemset, k
-         |HAVING count(*) >= $Support""".stripMargin)
+      .selectExpr("graft_subsets(fitems) AS (itemset, k)")
+      .where(col("k") >= 2)
+      .groupBy("itemset", "k")
+      .agg(count(lit(1)).as("cnt"))
+      .where(col("cnt") >= Support)
       .select("itemset", "cnt")
   }
 
