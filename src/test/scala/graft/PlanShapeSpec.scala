@@ -198,6 +198,14 @@ class PlanShapeSpec extends SparkSpecBase {
     assert(!p.contains("Exchange"), s"split plan shuffles:\n$p")
   }
 
+  test("gate report: key joins only, one final #sources aggregation") {
+    val p = finalOnly(graft.operators.Curation.gateReport(spark, Sf))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+    // the rollup aggregates partially before its #sources-row exchange
+    assert("partial_count\\(1\\)".r.findAllIn(p).size >= 1, p)
+  }
+
   test("pipeline e2e: packing stays partitioned through the composition") {
     val p = finalPlan(graft.operators.Curation.pipelineE2e(spark, Sf))
     assert(!p.contains("CartesianProduct"), p)
