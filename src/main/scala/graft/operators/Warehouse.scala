@@ -1,0 +1,401 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** TPC-H optimizer-shape pack (SURVEY.md §2.7 widening): the multi-join /
+  * subquery report shapes [[Relational]] does not already cover, each
+  * chosen to exercise a DIFFERENT Catalyst capability a 100 TB warehouse
+  * user leans on daily:
+  *
+  *   - [[localSupplierVolume]] (Q5 shape)  — 6-table join reorder with a
+  *     non-hierarchical correlation (customer and supplier must share a
+  *     nation), dimension filters reducing fact scans transitively.
+  *   - [[nationTradeVolume]] (Q7 shape)    — the same dimension joined
+  *     twice under different roles, with a disjunctive cross-role pair
+  *     predicate evaluated after both broadcasts.
+  *   - [[promoRevenue]] (Q14 shape)        — conditional-aggregate ratio
+  *     in one pass (no second scan for the numerator).
+  *   - [[topSupplier]] (Q15 shape)         — scalar aggregate subquery
+  *     (global max) applied via a 1-row broadcast, never a global sort.
+  *   - [[smallQtyRevenue]] (Q17 shape)     — correlated per-key average
+  *     subquery, decorrelated into ONE window pass (single fact scan).
+  *   - [[disjunctiveRevenue]] (Q19 shape)  — OR-of-conjuncts across both
+  *     join sides: the equi-join key must still factor out, and the
+  *     implied coarse ranges must still reach the scans.
+  *   - [[idleCustomers]] (Q22 shape)       — global scalar threshold +
+  *     NOT EXISTS anti-join, in exact arithmetic.
+  *
+  * The reference engine (whiker92/MapReduce_code) has no optimizer at all
+  * — every one of these shapes would be a hand-sequenced MR job chain
+  * (cf. the manual two-job pipeline in apriori_final.java:49-160); here
+  * each is one declarative plan Catalyst reorders, pushes down, and
+  * broadcasts.
+  *
+  * Cross-engine determinism discipline (see [[Relational]]): float SUMs
+  * ride DECIMAL(24,6); every scalar-subquery comparison is restated in
+  * exact integer/decimal arithmetic so both engines compute identical
+  * booleans; timestamps compare as raw NTZ values (pushdown-friendly)
+  * against literals.
+  */
+object Warehouse {
+
+  /** Exact decimal sum of a double expression, surfaced back as double. */
+  private def dsum(c: Column): Column =
+    sum(c.cast("decimal(24,6)")).cast("double")
+
+  /** TIMESTAMP_NTZ literal matching the parquet column type, so raw-column
+    * comparisons reach the scan as PushedFilters (the ShipCut pattern,
+    * Relational.scala:248-254).
+    */
+  private def ts(s: String): Column =
+    lit(java.time.LocalDateTime.parse(s + "T00:00:00"))
+
+  private def rev: Column =
+    col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+
+  // ---- Q5 shape: local supplier volume ----
+
+  /** Revenue shipped within one region by suppliers to customers of the
+    * SAME nation, per nation. The join graph is not a star: the
+    * `c_nationkey = s_nationkey` edge correlates two different fact
+    * foreign keys, so join ORDER matters. Written filter-first: the
+    * 5-row region filter reduces nation (25 rows) before either
+    * broadcast, suppliers shrink 5× before touching lineitem, and the
+    * order-date filter is pushed to the orders scan — the fact table is
+    * never joined against an unfiltered dimension.
+    */
+  def localSupplierVolume(spark: SparkSession, dir: String): DataFrame = {
+    val asian = Tables(spark, dir, "nation")
+      .join(Tables(spark, dir, "region").where(col("r_name") === "ASIA"),
+        col("n_regionkey") === col("r_regionkey"))
+      .select("n_nationkey", "n_name")
+    val supp = Tables(spark, dir, "supplier")
+      .select("s_suppkey", "s_nationkey")
+      .join(broadcast(asian), col("s_nationkey") === col("n_nationkey"))
+      .select("s_suppkey", "s_nationkey", "n_name")
+    val ord = Tables(spark, dir, "orders")
+      .where(col("o_orderdate") >= ts("1996-01-01") &&
+        col("o_orderdate") < ts("1997-01-01"))
+      .select("o_orderkey", "o_custkey")
+    val cust = Tables(spark, dir, "customer").select("c_custkey", "c_nationkey")
+    val li = Tables(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_suppkey"), rev.as("rev"))
+    li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+      .join(supp, li("l_suppkey") === supp("s_suppkey"))
+      .join(cust, ord("o_custkey") === cust("c_custkey") &&
+        supp("s_nationkey") === cust("c_nationkey"))
+      .groupBy("n_name")
+      .agg(dsum(col("rev")).as("revenue"), count(lit(1)).as("n_items"))
+  }
+
+  // ---- Q7 shape: cross-nation trade volume ----
+
+  /** The two trading nations of [[nationTradeVolume]]. */
+  val TradeNationA = "NATION_1"
+  val TradeNationB = "NATION_2"
+
+  /** Yearly shipping volume between two nations, in both directions.
+    * nation joins the plan TWICE under different roles (supplier's vs
+    * customer's); each copy broadcasts pre-filtered to the two names (a
+    * 12.5× fact reduction before the orders join), and the directional
+    * pair predicate — an OR spanning BOTH copies, so no single join can
+    * evaluate it — filters after the second broadcast.
+    */
+  def nationTradeVolume(spark: SparkSession, dir: String): DataFrame = {
+    val nat = Tables(spark, dir, "nation")
+      .where(col("n_name").isin(TradeNationA, TradeNationB))
+    val supp = Tables(spark, dir, "supplier")
+      .select("s_suppkey", "s_nationkey")
+      .join(broadcast(nat.select(col("n_nationkey"),
+        col("n_name").as("supp_nation"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .select("s_suppkey", "supp_nation")
+    val cust = Tables(spark, dir, "customer")
+      .select("c_custkey", "c_nationkey")
+      .join(broadcast(nat.select(col("n_nationkey").as("n2_nationkey"),
+        col("n_name").as("cust_nation"))),
+        col("c_nationkey") === col("n2_nationkey"))
+      .select("c_custkey", "cust_nation")
+    val ord = Tables(spark, dir, "orders").select("o_orderkey", "o_custkey")
+    val li = Tables(spark, dir, "lineitem")
+      .where(col("l_shipdate") >= ts("1996-01-01") &&
+        col("l_shipdate") < ts("1998-01-01"))
+      .select(col("l_orderkey"), col("l_suppkey"),
+        year(col("l_shipdate")).cast("long").as("l_year"), rev.as("rev"))
+    li.join(supp, col("l_suppkey") === col("s_suppkey"))
+      .join(ord, col("l_orderkey") === ord("o_orderkey"))
+      .join(cust, ord("o_custkey") === cust("c_custkey"))
+      .where((col("supp_nation") === TradeNationA &&
+        col("cust_nation") === TradeNationB) ||
+        (col("supp_nation") === TradeNationB &&
+          col("cust_nation") === TradeNationA))
+      .groupBy("supp_nation", "cust_nation", "l_year")
+      .agg(dsum(col("rev")).as("revenue"), count(lit(1)).as("n_items"))
+  }
+
+  // ---- Q14 shape: promo revenue ratio ----
+
+  /** Share of one month's revenue from promotional parts: numerator
+    * (conditional) and denominator (total) aggregate in the SAME pass —
+    * one scan, one join, two sums — instead of the two-query form a
+    * naive ratio computes. Both sums are exact decimals; the single
+    * double division is then bit-identical across engines.
+    */
+  def promoRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables(spark, dir, "lineitem")
+      .where(col("l_shipdate") >= ts("1997-09-01") &&
+        col("l_shipdate") < ts("1997-10-01"))
+      .select(col("l_partkey"), rev.as("rev"))
+    val part = Tables(spark, dir, "part").select("p_partkey", "p_type")
+    li.join(part, col("l_partkey") === col("p_partkey"))
+      .agg(
+        dsum(when(col("p_type") === "PROMO", col("rev")).otherwise(lit(0.0)))
+          .as("promo_revenue"),
+        dsum(col("rev")).as("total_revenue"),
+        count(lit(1)).as("n_items"))
+      .select(
+        (lit(100.0) * col("promo_revenue") / col("total_revenue"))
+          .as("promo_pct"),
+        col("promo_revenue"), col("total_revenue"), col("n_items"))
+  }
+
+  // ---- Q15 shape: top supplier by quarterly revenue ----
+
+  /** Supplier(s) with the maximum revenue over one quarter. The global
+    * max is a scalar aggregate subquery: computed as a 1-row aggregate
+    * and applied via broadcast — the revenue table is scanned once,
+    * never globally sorted, and ties are kept (same semantics as the
+    * correlated `= (SELECT max …)`). Revenue stays DECIMAL through the
+    * equality (exact), cast to double only on output.
+    */
+  def topSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val perSupp = Tables(spark, dir, "lineitem")
+      .where(col("l_shipdate") >= ts("1996-01-01") &&
+        col("l_shipdate") < ts("1996-04-01"))
+      .groupBy(col("l_suppkey"))
+      .agg(sum(rev.cast("decimal(24,6)")).as("rev_dec"))
+    val maxRev = perSupp.agg(max(col("rev_dec")).as("max_rev"))
+    val supp = Tables(spark, dir, "supplier").select("s_suppkey", "s_name")
+    perSupp
+      .crossJoin(broadcast(maxRev))
+      .where(col("rev_dec") === col("max_rev"))
+      .join(supp, col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"),
+        col("rev_dec").cast("double").as("total_revenue"))
+  }
+
+  // ---- Q17 shape: small-quantity revenue (correlated average) ----
+
+  val SmallQtyBrand = "Brand#23"
+  val SmallQtyMaxSize = 10
+
+  /** Average yearly revenue lost if small-quantity orders (below 20% of
+    * their part's average quantity) were no longer filled. The textbook
+    * correlated scalar subquery — `l_quantity < 0.2 · avg(per part)` —
+    * decorrelated into ONE window pass over the part key: lineitem is
+    * scanned once (the self-join a literal decorrelation produces would
+    * scan it twice), the filtered part side broadcasts, and count+sum
+    * share a single Window node. The predicate is restated in exact
+    * int64 arithmetic (5·qty·n < Σqty ⟺ qty < 0.2·avg; fixture
+    * quantities are integral, asserted by the oracle's own match) so no
+    * float average can diverge between engines.
+    */
+  def smallQtyRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val part = Tables(spark, dir, "part")
+      .where(col("p_brand") === SmallQtyBrand &&
+        col("p_size") <= SmallQtyMaxSize)
+      .select("p_partkey")
+    val w = Window.partitionBy(col("l_partkey"))
+    Tables(spark, dir, "lineitem")
+      .select(col("l_partkey"), col("l_quantity").cast("long").as("qty"),
+        col("l_extendedprice"))
+      .join(broadcast(part), col("l_partkey") === col("p_partkey"))
+      // both per-part aggregates in ONE projection → a single Window
+      // node and a single exchange on l_partkey
+      .select(col("qty"), col("l_extendedprice"),
+        count(lit(1)).over(w).as("n_li"),
+        sum(col("qty")).over(w).as("qty_sum"))
+      .where(col("qty") * lit(5L) * col("n_li") < col("qty_sum"))
+      .agg((dsum(col("l_extendedprice")) / lit(7.0)).as("avg_yearly"),
+        count(lit(1)).as("n_small"))
+  }
+
+  // ---- Q19 shape: disjunctive predicate revenue ----
+
+  /** The three (brand, max size, quantity range) branches. */
+  val DisjunctiveBranches: Seq[(String, Int, Double, Double)] = Seq(
+    ("Brand#12", 5, 1.0, 11.0),
+    ("Brand#23", 10, 10.0, 20.0),
+    ("Brand#34", 15, 20.0, 30.0))
+
+  /** Revenue from three disjoint (brand, size, quantity) corners — an
+    * OR-of-conjuncts spanning BOTH join sides. Two plan hazards, both
+    * handled: (1) the common `l_partkey = p_partkey` must factor out of
+    * the OR so the join stays an equi-join (written factored); (2)
+    * Catalyst does not derive implied ranges from a disjunction, so the
+    * coarse bounds each side implies (quantity ∈ [1,30], brand ∈ the
+    * three, size ≥ 1) are written explicitly where the scans see them —
+    * at 100 TB that is the difference between scanning 2% and 100% of
+    * lineitem row groups.
+    */
+  def disjunctiveRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val qLo = DisjunctiveBranches.map(_._3).min
+    val qHi = DisjunctiveBranches.map(_._4).max
+    val li = Tables(spark, dir, "lineitem")
+      .where(col("l_quantity") >= qLo && col("l_quantity") <= qHi)
+      .select(col("l_partkey"), col("l_quantity"), rev.as("rev"))
+    val part = Tables(spark, dir, "part")
+      .where(col("p_brand").isin(DisjunctiveBranches.map(_._1): _*) &&
+        col("p_size") >= 1 &&
+        col("p_size") <= DisjunctiveBranches.map(_._2).max)
+      .select("p_partkey", "p_brand", "p_size")
+    val branch = DisjunctiveBranches.map { case (b, sz, lo, hi) =>
+      col("p_brand") === b && col("p_size") <= sz &&
+        col("l_quantity") >= lo && col("l_quantity") <= hi
+    }.reduce(_ || _)
+    li.join(part, col("l_partkey") === col("p_partkey"))
+      .where(branch)
+      .groupBy("p_brand")
+      .agg(dsum(col("rev")).as("revenue"), count(lit(1)).as("n_items"))
+  }
+
+  // ---- Q22 shape: idle high-balance customers ----
+
+  /** Customers above the positive-balance average who never ordered,
+    * summarized per market segment. The global average is a scalar
+    * subquery → a 1-row (count, Σ) aggregate broadcast to every
+    * partition; the threshold is evaluated as exact decimal
+    * `bal · n > Σ` (never a float average); "never ordered" is a
+    * NOT EXISTS anti-join. The count rides DECIMAL(14,0) so the product
+    * stays within DECIMAL(38,6) in BOTH engines (DuckDB silently widens
+    * an over-width decimal product to DOUBLE, which would break
+    * exactness).
+    */
+  def idleCustomers(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables(spark, dir, "customer")
+      .select("c_custkey", "c_mktsegment", "c_acctbal")
+    val bal = cust.where(col("c_acctbal") > 0.0)
+      .agg(count(lit(1)).cast("decimal(14,0)").as("n_pos"),
+        sum(col("c_acctbal").cast("decimal(24,6)")).as("bal_sum"))
+    val ord = Tables(spark, dir, "orders").select("o_custkey")
+    cust
+      .crossJoin(broadcast(bal))
+      .where(col("c_acctbal").cast("decimal(24,6)") * col("n_pos") >
+        col("bal_sum"))
+      .join(ord, col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_mktsegment").as("segment"))
+      .agg(count(lit(1)).as("n_cust"), dsum(col("c_acctbal")).as("total_bal"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "rel_local_supplier_volume" -> localSupplierVolume,
+    "rel_nation_trade_volume" -> nationTradeVolume,
+    "rel_promo_revenue" -> promoRevenue,
+    "rel_top_supplier" -> topSupplier,
+    "rel_small_qty_revenue" -> smallQtyRevenue,
+    "rel_disjunctive_revenue" -> disjunctiveRevenue,
+    "rel_idle_customers" -> idleCustomers
+  )
+
+  val oracle: Map[String, String] = Map(
+    "rel_local_supplier_volume" ->
+      """SELECT n_name,
+        |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount)
+        |    AS DECIMAL(24,6))) AS DOUBLE) AS revenue,
+        |  count(*) AS n_items
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN customer ON o_custkey = c_custkey AND s_nationkey = c_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01'
+        |GROUP BY n_name""".stripMargin,
+    "rel_nation_trade_volume" ->
+      s"""SELECT supp_nation, cust_nation, l_year,
+         |  CAST(SUM(CAST(volume AS DECIMAL(24,6))) AS DOUBLE) AS revenue,
+         |  count(*) AS n_items
+         |FROM (SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         |        year(l_shipdate) AS l_year,
+         |        l_extendedprice * (1.0 - l_discount) AS volume
+         |      FROM lineitem
+         |      JOIN supplier ON l_suppkey = s_suppkey
+         |      JOIN orders ON l_orderkey = o_orderkey
+         |      JOIN customer ON o_custkey = c_custkey
+         |      JOIN nation n1 ON s_nationkey = n1.n_nationkey
+         |      JOIN nation n2 ON c_nationkey = n2.n_nationkey
+         |      WHERE ((n1.n_name = '$TradeNationA'
+         |              AND n2.n_name = '$TradeNationB')
+         |          OR (n1.n_name = '$TradeNationB'
+         |              AND n2.n_name = '$TradeNationA'))
+         |        AND l_shipdate >= TIMESTAMP '1996-01-01'
+         |        AND l_shipdate < TIMESTAMP '1998-01-01')
+         |GROUP BY supp_nation, cust_nation, l_year""".stripMargin,
+    "rel_promo_revenue" ->
+      """SELECT 100.0 * promo_revenue / total_revenue AS promo_pct,
+        |  promo_revenue, total_revenue, n_items
+        |FROM (SELECT
+        |  CAST(SUM(CAST(CASE WHEN p_type = 'PROMO'
+        |    THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END
+        |    AS DECIMAL(24,6))) AS DOUBLE) AS promo_revenue,
+        |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount)
+        |    AS DECIMAL(24,6))) AS DOUBLE) AS total_revenue,
+        |  count(*) AS n_items
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE l_shipdate >= TIMESTAMP '1997-09-01'
+        |  AND l_shipdate < TIMESTAMP '1997-10-01')""".stripMargin,
+    "rel_top_supplier" ->
+      """WITH rev AS (
+        |  SELECT l_suppkey,
+        |    SUM(CAST(l_extendedprice * (1.0 - l_discount)
+        |      AS DECIMAL(24,6))) AS rev_dec
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |    AND l_shipdate < TIMESTAMP '1996-04-01'
+        |  GROUP BY l_suppkey)
+        |SELECT s_suppkey, s_name, CAST(rev_dec AS DOUBLE) AS total_revenue
+        |FROM rev JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE rev_dec = (SELECT max(rev_dec) FROM rev)""".stripMargin,
+    "rel_small_qty_revenue" ->
+      s"""SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(24,6))) AS DOUBLE)
+         |    / 7.0 AS avg_yearly,
+         |  count(*) AS n_small
+         |FROM lineitem JOIN part ON l_partkey = p_partkey
+         |WHERE p_brand = '$SmallQtyBrand' AND p_size <= $SmallQtyMaxSize
+         |  AND CAST(l_quantity AS BIGINT) * 5 *
+         |      (SELECT count(*) FROM lineitem i
+         |       WHERE i.l_partkey = lineitem.l_partkey)
+         |    < (SELECT SUM(CAST(i.l_quantity AS BIGINT)) FROM lineitem i
+         |       WHERE i.l_partkey = lineitem.l_partkey)""".stripMargin,
+    "rel_disjunctive_revenue" -> {
+      val branches = DisjunctiveBranches.map { case (b, sz, lo, hi) =>
+        s"""(p_brand = '$b' AND p_size BETWEEN 1 AND $sz
+           |   AND l_quantity BETWEEN $lo AND $hi)""".stripMargin
+      }.mkString("\n  OR ")
+      s"""SELECT p_brand,
+         |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount)
+         |    AS DECIMAL(24,6))) AS DOUBLE) AS revenue,
+         |  count(*) AS n_items
+         |FROM lineitem JOIN part ON l_partkey = p_partkey
+         |WHERE $branches
+         |GROUP BY p_brand""".stripMargin
+    },
+    "rel_idle_customers" ->
+      """SELECT c_mktsegment AS segment, count(*) AS n_cust,
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(24,6))) AS DOUBLE) AS total_bal
+        |FROM customer c
+        |WHERE CAST(c_acctbal AS DECIMAL(24,6)) *
+        |      CAST((SELECT count(*) FROM customer WHERE c_acctbal > 0.0)
+        |        AS DECIMAL(14,0))
+        |    > (SELECT SUM(CAST(c_acctbal AS DECIMAL(24,6))) FROM customer
+        |       WHERE c_acctbal > 0.0)
+        |  AND NOT EXISTS (SELECT 1 FROM orders o
+        |                  WHERE o.o_custkey = c.c_custkey)
+        |GROUP BY c_mktsegment""".stripMargin
+  )
+}

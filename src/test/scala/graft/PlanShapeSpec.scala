@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.DataFrame
-import graft.operators.{Apriori, Relational, Similarity}
+import graft.operators.{Apriori, Relational, Similarity, Warehouse}
 
 /** Physical-plan guards (SURVEY.md §5.5): these encode the 100 TB design
   * intent — if a future change regresses a broadcast join to a shuffle,
@@ -229,6 +229,50 @@ class PlanShapeSpec extends SparkSpecBase {
     // count + Σv + Σv² collapse into ONE Window node over user_id
     assert("Window \\[".r.findAllIn(p).size == 1, p)
     assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("local supplier volume: dims broadcast, no cartesian, date pushed") {
+    val p = finalPlan(Warehouse.localSupplierVolume(spark, Sf))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("GreaterThanOrEqual(o_orderdate"), p)
+  }
+
+  test("disjunctive revenue: equi-join survives the OR, ranges reach scans") {
+    val p = finalPlan(Warehouse.disjunctiveRevenue(spark, Sf))
+    // the common partkey equality factored out of the disjunction — the
+    // join is a hash equi-join, never a nested-loop over the OR
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"), p)
+    // the implied coarse bounds were written where the scans see them
+    assert(p.contains("GreaterThanOrEqual(l_quantity,1.0)"), p)
+    assert(p.contains("In(p_brand"), p)
+  }
+
+  test("small-qty revenue: decorrelated to ONE lineitem scan + one window") {
+    // sf0.01: at spec scale the brand/size filter matches no parts and
+    // AQE collapses the whole plan to EmptyRelation, hiding its shape
+    val p = finalOnly(Warehouse.smallQtyRevenue(spark, "/root/testdata/sf0.01"))
+    // the correlated avg subquery must NOT become a second scan + self-join
+    assert("lineitem\\.parquet".r.findAllIn(p).size == 1, p)
+    assert("Window \\[".r.findAllIn(p).size == 1, p)
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("top supplier: global max via 1-row broadcast, no global sort") {
+    val p = finalOnly(Warehouse.topSupplier(spark, Sf))
+    // no Window / Sort over the per-supplier aggregate — the scalar max
+    // rides a broadcast join back onto it
+    assert(!"Window \\[".r.findFirstIn(p).isDefined, p)
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("idle customers: 1-row threshold broadcast + anti join, exact math") {
+    val p = finalOnly(Warehouse.idleCustomers(spark, Sf))
+    assert(p.contains("LeftAnti"), p)
+    // the only nested-loop is the single-row scalar broadcast
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size <= 1, p)
   }
 
   test("embedding centroids partially aggregate before their one exchange") {
