@@ -155,6 +155,35 @@ object Curation {
             .cast("double")).as("mix_weight"))
   }
 
+  /** Fraction of total corpus tokens [[mixApply]] targets. */
+  val MixTargetFrac = 0.5
+
+  /** Mixing weights APPLIED — the loop-closer after [[mixWeights]]:
+    * sample each language at `keep_rate = min(1, frac·w_l / share_l)` so
+    * the surviving corpus approaches the smoothed target mixture at
+    * [[MixTargetFrac]] of the original token budget. The rates are a
+    * COMPUTED #langs-row table (not config literals like
+    * [[sampleStratifiedOf]]) — aggregated once, broadcast back onto the
+    * corpus — and the per-doc decision is the salted md5 uniform, so
+    * membership is deterministic, leakage-free w.r.t. the train/val
+    * split's salt, and bit-identical in the oracle (the rate doubles
+    * derive from identical integer arithmetic on both engines).
+    */
+  def mixApply(spark: SparkSession, dir: String): DataFrame =
+    mixApplyOf(docs(spark, dir))
+
+  def mixApplyOf(corpus: DataFrame): DataFrame = {
+    val rates = mixWeightsOf(corpus).select(col("lang"),
+      least(lit(1.0),
+        lit(MixTargetFrac) * col("mix_weight") / col("token_share"))
+        .as("keep_rate"))
+    corpus.select(col("doc_id"), col("lang"))
+      .join(broadcast(rates), Seq("lang"))
+      .where(graft.functions.Md5Uniform.uniform(
+        concat(col("doc_id").cast("string"), lit(":mix"))) < col("keep_rate"))
+      .select(col("doc_id"), col("lang"), col("keep_rate"))
+  }
+
   // ---- token-budget shard packing ----
 
   /** Tokens per training shard and the prefix-sum group width. */
@@ -415,6 +444,7 @@ object Curation {
     "llm_sample_stratified" -> sampleStratified,
     "llm_sample_topn" -> sampleTopN,
     "llm_mix_weights" -> mixWeights,
+    "llm_mix_apply" -> mixApply,
     "llm_pack_shards" -> packShards,
     "llm_curate" -> curate
   )
@@ -470,6 +500,24 @@ object Curation {
        |       WHERE NOT contaminated)
        |SELECT doc_id FROM ($curateSql)
        |JOIN rep USING (doc_id) JOIN cl USING (doc_id)""".stripMargin
+
+  /** Shared by the `llm_mix_weights` entry and (as a subquery)
+    * `llm_mix_apply`'s oracle.
+    */
+  private val mixWeightsOracleSql: String =
+    s"""WITH pl AS (
+       |  SELECT lang, count(*)::BIGINT AS n_docs,
+       |    sum(len(string_split(text, ' ')))::BIGINT AS n_tokens
+       |  FROM documents GROUP BY lang),
+       |g AS (
+       |  SELECT sum(n_tokens)::BIGINT AS tot_tokens,
+       |    count(*)::BIGINT AS n_langs FROM pl)
+       |SELECT lang, n_docs, n_tokens,
+       |  n_tokens::DOUBLE / tot_tokens::DOUBLE AS token_share,
+       |  (n_tokens + $MixSmooth)::BIGINT::DOUBLE
+       |    / (tot_tokens + $MixSmooth * n_langs)::BIGINT::DOUBLE
+       |    AS mix_weight
+       |FROM pl, g""".stripMargin
 
   val oracle: Map[String, String] = Map(
     // sums cast ::BIGINT (DuckDB widens SUM(INT) to HUGEINT)
@@ -553,20 +601,18 @@ object Curation {
          |WHERE rk <= $TopNPerLang""".stripMargin,
     // sums cast back down from DuckDB's HUGEINT widening before any
     // division so the column types (and hashes) match Spark's BIGINT
-    "llm_mix_weights" ->
-      s"""WITH pl AS (
-         |  SELECT lang, count(*)::BIGINT AS n_docs,
-         |    sum(len(string_split(text, ' ')))::BIGINT AS n_tokens
-         |  FROM documents GROUP BY lang),
-         |g AS (
-         |  SELECT sum(n_tokens)::BIGINT AS tot_tokens,
-         |    count(*)::BIGINT AS n_langs FROM pl)
-         |SELECT lang, n_docs, n_tokens,
-         |  n_tokens::DOUBLE / tot_tokens::DOUBLE AS token_share,
-         |  (n_tokens + $MixSmooth)::BIGINT::DOUBLE
-         |    / (tot_tokens + $MixSmooth * n_langs)::BIGINT::DOUBLE
-         |    AS mix_weight
-         |FROM pl, g""".stripMargin,
+    "llm_mix_apply" ->
+      s"""WITH mw AS (
+         |  SELECT lang,
+         |    least(1.0, $MixTargetFrac * mix_weight / token_share)
+         |      AS keep_rate
+         |  FROM (MIX_WEIGHTS_SQL))
+         |SELECT doc_id, lang, keep_rate
+         |FROM documents JOIN mw USING (lang)
+         |WHERE ${graft.functions.Md5Uniform
+        .sql("doc_id::VARCHAR || ':mix'")} < keep_rate""".stripMargin
+        .replace("MIX_WEIGHTS_SQL", mixWeightsOracleSql),
+    "llm_mix_weights" -> mixWeightsOracleSql,
     // the oracle uses the straightforward single global window — the
     // two-level Spark plan must reproduce it exactly. DuckDB widens
     // SUM(BIGINT) OVER to HUGEINT (INT128), which the strict schema/hash

@@ -663,6 +663,29 @@ object Dedup {
     // rides the session-cached shingle/band index via minhashLsh
     removeVictims(docs(spark, dir), minhashLsh(spark, dir))
 
+  /** Canonical-representative selection — the "which copy survives"
+    * policy a pipeline applies after [[clustersOf]]: per cluster keep
+    * the member with the MOST content (token count), ties to the
+    * smallest doc_id. One equi-join (cluster table ⋈ corpus sizes) and
+    * one aggregation whose arg-min rides a single struct-ordered
+    * `min((−len, doc_id))` — partial-aggregable, so the shuffle carries
+    * one row per cluster, never the membership lists.
+    */
+  def keepBest(spark: SparkSession, dir: String): DataFrame =
+    keepBestOf(docs(spark, dir), clusters(spark, dir))
+
+  def keepBestOf(corpus: DataFrame, clusterTable: DataFrame): DataFrame =
+    clusterTable
+      .join(corpus.select(col("doc_id"),
+        size(toks).cast("long").as("n_toks")), Seq("doc_id"))
+      .groupBy("cluster_id")
+      .agg(
+        min(struct((-col("n_toks")).as("neg_len"), col("doc_id").as("d")))
+          .as("best"),
+        count(lit(1)).as("n_members"))
+      .select(col("cluster_id"), col("best.d").as("rep_doc_id"),
+        (-col("best.neg_len")).as("rep_tokens"), col("n_members"))
+
   // ---- corpus-wide duplicated-span removal ----
 
   /** Non-overlapping span width (tokens) for [[spanDedup]]. */
@@ -720,6 +743,7 @@ object Dedup {
     "llm_dedup_spans" -> spanDedup,
     "llm_dedup_apply" -> applyDedup,
     "llm_dedup_clusters" -> clusters,
+    "llm_dedup_keep_best" -> keepBest,
     "llm_dedup_exact" -> exact,
     "llm_dedup_minhash" -> minhashLsh,
     "llm_dedup_incremental" -> minhashIncremental,
@@ -752,7 +776,39 @@ object Dedup {
        |WHERE i::DOUBLE / (la + lb - i)::DOUBLE >= $JaccardMinhash"""
       .stripMargin
 
+  /** Connected components of the near-dup pair graph via a recursive
+    * CTE (UNION dedups, so a k-clique costs k² reach rows, not k!
+    * paths); the iterative Spark label propagation must converge to
+    * the identical min-label-per-component answer. Shared by the
+    * `llm_dedup_clusters` entry and (as a subquery) `llm_dedup_keep_best`.
+    */
+  private val clustersOracleSql: String =
+    s"""WITH RECURSIVE
+       |p AS (SELECT doc_a, doc_b FROM (PAIRS_SQL)),
+       |edges AS (SELECT doc_a a, doc_b b FROM p
+       |          UNION SELECT doc_b, doc_a FROM p),
+       |reach(a, b) AS (
+       |  SELECT DISTINCT a, a FROM edges
+       |  UNION
+       |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+       |)
+       |SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a"""
+      .stripMargin.replace("PAIRS_SQL", minhashPairsOracleSql)
+
   val oracle: Map[String, String] = Map(
+    "llm_dedup_keep_best" ->
+      s"""WITH cl AS ($clustersOracleSql),
+         |sz AS (SELECT doc_id,
+         |         len(string_split(text, ' '))::BIGINT AS n_toks
+         |       FROM documents)
+         |SELECT cluster_id, doc_id AS rep_doc_id, n_toks AS rep_tokens,
+         |  n_members
+         |FROM (SELECT cl.cluster_id, cl.doc_id, sz.n_toks,
+         |        count(*) OVER (PARTITION BY cl.cluster_id) AS n_members,
+         |        row_number() OVER (PARTITION BY cl.cluster_id
+         |          ORDER BY sz.n_toks DESC, cl.doc_id) AS rk
+         |      FROM cl JOIN sz USING (doc_id))
+         |WHERE rk = 1""".stripMargin,
     "llm_dedup_spans" ->
       s"""WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t
          |            FROM documents),
@@ -784,22 +840,7 @@ object Dedup {
       """SELECT md5(text) AS content_hash, count(*) AS n_copies,
         |  min(doc_id) AS keep_doc_id
         |FROM documents GROUP BY 1""".stripMargin,
-    // Connected components of the near-dup pair graph via a recursive
-    // CTE (UNION dedups, so a k-clique costs k² reach rows, not k!
-    // paths); the iterative Spark label propagation must converge to
-    // the identical min-label-per-component answer.
-    "llm_dedup_clusters" ->
-      s"""WITH RECURSIVE
-         |p AS (SELECT doc_a, doc_b FROM (PAIRS_SQL)),
-         |edges AS (SELECT doc_a a, doc_b b FROM p
-         |          UNION SELECT doc_b, doc_a FROM p),
-         |reach(a, b) AS (
-         |  SELECT DISTINCT a, a FROM edges
-         |  UNION
-         |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
-         |)
-         |SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a"""
-        .stripMargin.replace("PAIRS_SQL", minhashPairsOracleSql),
+    "llm_dedup_clusters" -> clustersOracleSql,
     // All-pairs exact Jaccard — the LSH plan must reproduce it exactly.
     "llm_dedup_minhash" -> minhashPairsOracleSql,
     // All-pairs exact cross-set Jaccard — the incremental banded plan

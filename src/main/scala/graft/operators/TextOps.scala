@@ -577,7 +577,63 @@ object TextOps {
         s" div $LenBucket * $LenBucket").as("len_bucket"))
       .groupBy("len_bucket").agg(count(lit(1)).as("n_docs"))
 
+  // ---- vocabulary token-id encoding ----
+
+  /** Vocabulary size for [[encode]]: top-[[EncodeVocab]] tokens by corpus
+    * frequency (ties broken lexically) get ids 0…V−1; everything else
+    * encodes as [[OovId]].
+    */
+  val EncodeVocab = 256
+  val OovId = -1L
+
+  /** Corpus-frequency vocabulary: (tok, tok_id) with ids assigned by
+    * (count desc, token asc) — a TOTAL order, so ids are reproducible
+    * run-to-run and engine-to-engine. The id window runs over the
+    * already-limited top-V rows: vocab-sized data on a single partition,
+    * never the corpus.
+    */
+  def vocabulary(corpus: DataFrame, vocabSize: Int = EncodeVocab): DataFrame = {
+    val w = Window.orderBy(col("cnt").desc, col("word"))
+    wordCountOf(corpus)
+      .orderBy(col("cnt").desc, col("word")).limit(vocabSize)
+      .select(col("word").as("tok"),
+        (row_number().over(w).cast("long") - 1L).as("tok_id"))
+  }
+
+  /** Token-id encoding — the text→ints step every training pipeline runs
+    * last: each document's token stream mapped through [[vocabulary]] to
+    * an id array (OOV → [[OovId]]), with per-doc token and OOV counts.
+    *
+    * Scale shape: the vocabulary (V rows) BROADCASTS to the exploded
+    * token stream — the corpus never shuffles on token — and the ordered
+    * reassembly is ONE groupBy(doc_id) whose payload is the output
+    * itself (ids ≈ the same bytes as the text). No sort exchange: order
+    * is restored row-locally by array_sort over (pos, id) structs.
+    */
+  def encodeOf(corpus: DataFrame, vocabSize: Int = EncodeVocab): DataFrame = {
+    val vocab = vocabulary(corpus, vocabSize)
+    corpus
+      .select(col("doc_id"), posexplode(toks).as(Seq("pos", "tok")))
+      .join(broadcast(vocab), Seq("tok"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("tok_id").isNull, 1L).otherwise(0L)).as("n_oov"),
+        transform(
+          array_sort(collect_list(struct(col("pos"),
+            coalesce(col("tok_id"), lit(OovId)).as("tid")))),
+          x => x("tid")).as("ids"))
+  }
+
+  /** Fixture entry: ids rendered as CSV (the driver gate compares scalar
+    * columns; the array form is the library API).
+    */
+  def encode(spark: SparkSession, dir: String): DataFrame =
+    encodeOf(docs(spark, dir))
+      .select(col("doc_id"), col("n_tokens"), col("n_oov"),
+        concat_ws(",", col("ids").cast("array<string>")).as("ids_csv"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "llm_encode" -> encode,
     "llm_badwords" -> badwords,
     "llm_lm_score" -> lmScore,
     "llm_lm_buckets" -> lmBuckets,
@@ -621,6 +677,25 @@ object TextOps {
       |WHERE rk = 1""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "llm_encode" ->
+      s"""WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t
+         |            FROM documents),
+         |c2 AS (SELECT unnest(t) AS tok FROM tok),
+         |cnt AS (SELECT tok, count(*) AS cnt FROM c2 GROUP BY tok),
+         |vocab AS (SELECT tok,
+         |    (row_number() OVER (ORDER BY cnt DESC, tok) - 1)::BIGINT
+         |      AS tok_id
+         |  FROM cnt ORDER BY cnt DESC, tok LIMIT $EncodeVocab),
+         |ex AS (SELECT doc_id, unnest(t) AS tok,
+         |         unnest(range(len(t))) AS pos FROM tok),
+         |j AS (SELECT e.doc_id, e.pos,
+         |        coalesce(v.tok_id, $OovId) AS tid,
+         |        CASE WHEN v.tok_id IS NULL THEN 1 ELSE 0 END AS oov
+         |      FROM ex e LEFT JOIN vocab v ON e.tok = v.tok)
+         |SELECT doc_id, count(*)::BIGINT AS n_tokens,
+         |  sum(oov)::BIGINT AS n_oov,
+         |  array_to_string(list(tid ORDER BY pos), ',') AS ids_csv
+         |FROM j GROUP BY doc_id""".stripMargin,
     "llm_badwords" ->
       s"""SELECT doc_id,
          |  N_BAD AS n_bad,

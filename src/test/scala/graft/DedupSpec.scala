@@ -169,6 +169,24 @@ class DedupSpec extends SparkSpecBase {
     assert(gotFix.values.toSet.size < gotFix.size) // non-trivial clusters
   }
 
+  test("keep-best picks the longest member, ties to the smallest doc_id") {
+    val s = spark; import s.implicits._
+    val corpus = Seq(
+      (1L, "a b c"), (2L, "a b c d e"), (3L, "x"),   // cluster 1: 2 wins (longest)
+      (10L, "p q"), (11L, "p q"),                     // cluster 10: tie → 10
+      (20L, "lone doc here")                          // cluster 20: singleton
+    ).toDF("doc_id", "text")
+    val clusterTable = Seq((1L, 1L), (2L, 1L), (3L, 1L),
+      (10L, 10L), (11L, 10L), (20L, 20L)).toDF("doc_id", "cluster_id")
+    val got = Dedup.keepBestOf(corpus, clusterTable).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(got == Map(
+      1L -> ((2L, 5L, 3L)),
+      10L -> ((10L, 2L, 2L)),
+      20L -> ((20L, 3L, 1L))))
+  }
+
   test("semantic dedup: within-cluster pairs above threshold, brute force") {
     import graft.operators.Similarity
     val vecs = graft.Tables(spark, Sf, "embeddings")

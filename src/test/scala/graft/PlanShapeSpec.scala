@@ -275,6 +275,28 @@ class PlanShapeSpec extends SparkSpecBase {
     assert("BroadcastNestedLoopJoin".r.findAllIn(p).size <= 1, p)
   }
 
+  test("encode: vocab broadcasts to the token stream; one id window") {
+    val p = finalOnly(graft.operators.TextOps.encode(spark, Sf))
+    // the corpus never shuffles on token — the V-row vocab rides a
+    // broadcast to the exploded stream
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // the only Window is the id assignment over the already-limited
+    // vocab rows (never a corpus-scale sort)
+    assert("Window \\[".r.findAllIn(p).size == 1, p)
+  }
+
+  test("mix apply: computed rates broadcast back; corpus never reshuffles") {
+    val p = finalOnly(graft.operators.Curation.mixApply(spark, Sf))
+    assert(p.contains("BroadcastHashJoin"), p)
+    // the only exchanges belong to the #langs-row rate derivation (the
+    // per-lang aggregate feeds both the totals and the final rates, plus
+    // the 1-row totals); the corpus fact side filters in place — no
+    // exchange hashes on doc_id
+    assert("ShuffleQueryStage".r.findAllIn(p).size <= 3, p)
+    assert(!p.contains("hashpartitioning(doc_id"), p)
+  }
+
   test("embedding centroids partially aggregate before their one exchange") {
     val p = finalPlan(graft.operators.Similarity.embCentroids(spark, Sf))
     assert("ShuffleQueryStage".r.findAllIn(p).size == 1, p)
