@@ -399,7 +399,30 @@ object Relational {
         count(lit(1)).over(w).as("n_recent"))
   }
 
+  /** The navigation-function suite ([[rankFunctions]]' complement):
+    * first_value / last_value / nth_value over an EXPLICIT whole-
+    * partition frame (the default running frame makes last_value the
+    * current row — the classic window gotcha, avoided identically in
+    * both engines) plus lead/lag offsets. Both window specs share one
+    * partitioning, so a single exchange serves all five columns; the
+    * ordering is total (price desc, orderkey).
+    */
+  def frameFunctions(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    val full = w.rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables(spark, dir, "orders")
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+      .withColumn("best_ok", first_value(col("o_orderkey")).over(full))
+      .withColumn("worst_ok", last_value(col("o_orderkey")).over(full))
+      .withColumn("third_ok", nth_value(col("o_orderkey"), 3).over(full))
+      .withColumn("next_ok", lead(col("o_orderkey"), 1).over(w))
+      .withColumn("prev_price", lag(col("o_totalprice"), 1).over(w))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "rel_frame_functions" -> frameFunctions,
     "rel_big_orders" -> bigOrders,
     "rel_trailing_spend" -> trailingSpend,
     "rel_customer_orders_dist" -> customerOrdersDist,
@@ -424,6 +447,20 @@ object Relational {
   )
 
   val oracle: Map[String, String] = Map(
+    "rel_frame_functions" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice,
+        |  first_value(o_orderkey) OVER wf AS best_ok,
+        |  last_value(o_orderkey) OVER wf AS worst_ok,
+        |  nth_value(o_orderkey, 3) OVER wf AS third_ok,
+        |  lead(o_orderkey, 1) OVER w AS next_ok,
+        |  lag(o_totalprice, 1) OVER w AS prev_price
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey
+        |             ORDER BY o_totalprice DESC, o_orderkey),
+        |  wf AS (PARTITION BY o_custkey
+        |         ORDER BY o_totalprice DESC, o_orderkey
+        |         ROWS BETWEEN UNBOUNDED PRECEDING
+        |           AND UNBOUNDED FOLLOWING)""".stripMargin,
     "rel_big_orders" ->
       s"""SELECT c_custkey, c_name, o_orderkey,
          |  epoch_us(o_orderdate) AS order_us, o_totalprice, sum_qty

@@ -136,6 +136,58 @@ object Warehouse {
       .agg(dsum(col("rev")).as("revenue"), count(lit(1)).as("n_items"))
   }
 
+  // ---- Q8 shape: national market share ----
+
+  /** [[TradeNationA]]'s market share of ECONOMY-part revenue sold to
+    * ASIA-region customers, by order year. The widest join in the pack
+    * (7 tables, nation in BOTH roles again) topped by a conditional
+    * ratio per group: numerator and denominator aggregate in the same
+    * pass, so the plan is the join tree + ONE aggregation. Selective
+    * dimensions (part type, region) are filtered before their joins;
+    * the supplier-side nation only decorates (no filter), so it stays a
+    * broadcast decoration join.
+    */
+  def marketShare(spark: SparkSession, dir: String): DataFrame = {
+    val part = Tables(spark, dir, "part")
+      .where(col("p_type") === "ECONOMY").select("p_partkey")
+    val asianCust = Tables(spark, dir, "customer")
+      .select("c_custkey", "c_nationkey")
+      .join(broadcast(Tables(spark, dir, "nation")
+        .join(Tables(spark, dir, "region").where(col("r_name") === "ASIA"),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey"))),
+        col("c_nationkey") === col("n_nationkey"))
+      .select("c_custkey")
+    val supp = Tables(spark, dir, "supplier")
+      .select("s_suppkey", "s_nationkey")
+      .join(broadcast(Tables(spark, dir, "nation")
+        .select(col("n_nationkey").as("sn_key"),
+          col("n_name").as("supp_nation"))),
+        col("s_nationkey") === col("sn_key"))
+      .select("s_suppkey", "supp_nation")
+    val ord = Tables(spark, dir, "orders")
+      .where(col("o_orderdate") >= ts("1996-01-01") &&
+        col("o_orderdate") < ts("1998-01-01"))
+      .select(col("o_orderkey"), col("o_custkey"),
+        year(col("o_orderdate")).cast("long").as("o_year"))
+    val li = Tables(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+        rev.as("rev"))
+    li.join(part, col("l_partkey") === col("p_partkey"))
+      .join(ord, col("l_orderkey") === ord("o_orderkey"))
+      .join(asianCust, ord("o_custkey") === asianCust("c_custkey"))
+      .join(supp, col("l_suppkey") === supp("s_suppkey"))
+      .groupBy("o_year")
+      .agg(
+        dsum(when(col("supp_nation") === TradeNationA, col("rev"))
+          .otherwise(lit(0.0))).as("nation_volume"),
+        dsum(col("rev")).as("total_volume"),
+        count(lit(1)).as("n_items"))
+      .select(col("o_year"),
+        (col("nation_volume") / col("total_volume")).as("mkt_share"),
+        col("nation_volume"), col("total_volume"), col("n_items"))
+  }
+
   // ---- Q14 shape: promo revenue ratio ----
 
   /** Share of one month's revenue from promotional parts: numerator
@@ -293,6 +345,7 @@ object Warehouse {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "rel_local_supplier_volume" -> localSupplierVolume,
     "rel_nation_trade_volume" -> nationTradeVolume,
+    "rel_market_share" -> marketShare,
     "rel_promo_revenue" -> promoRevenue,
     "rel_top_supplier" -> topSupplier,
     "rel_small_qty_revenue" -> smallQtyRevenue,
@@ -336,6 +389,28 @@ object Warehouse {
          |        AND l_shipdate >= TIMESTAMP '1996-01-01'
          |        AND l_shipdate < TIMESTAMP '1998-01-01')
          |GROUP BY supp_nation, cust_nation, l_year""".stripMargin,
+    "rel_market_share" ->
+      s"""SELECT o_year, nation_volume / total_volume AS mkt_share,
+         |  nation_volume, total_volume, n_items
+         |FROM (SELECT year(o_orderdate) AS o_year,
+         |  CAST(SUM(CAST(CASE WHEN n2.n_name = '$TradeNationA'
+         |    THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END
+         |    AS DECIMAL(24,6))) AS DOUBLE) AS nation_volume,
+         |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount)
+         |    AS DECIMAL(24,6))) AS DOUBLE) AS total_volume,
+         |  count(*) AS n_items
+         |FROM lineitem
+         |JOIN part ON l_partkey = p_partkey
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN nation n1 ON c_nationkey = n1.n_nationkey
+         |JOIN region ON n1.n_regionkey = r_regionkey
+         |JOIN supplier ON l_suppkey = s_suppkey
+         |JOIN nation n2 ON s_nationkey = n2.n_nationkey
+         |WHERE p_type = 'ECONOMY' AND r_name = 'ASIA'
+         |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+         |  AND o_orderdate < TIMESTAMP '1998-01-01'
+         |GROUP BY year(o_orderdate))""".stripMargin,
     "rel_promo_revenue" ->
       """SELECT 100.0 * promo_revenue / total_revenue AS promo_pct,
         |  promo_revenue, total_revenue, n_items

@@ -275,6 +275,22 @@ class PlanShapeSpec extends SparkSpecBase {
     assert("BroadcastNestedLoopJoin".r.findAllIn(p).size <= 1, p)
   }
 
+  test("market share: 7-table join, one aggregation, no cartesian") {
+    val p = finalOnly(Warehouse.marketShare(spark, Sf))
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    // numerator and denominator share ONE aggregation pass
+    assert("HashAggregate".r.findAllIn(p).size == 2, p) // partial + final
+    assert(p.contains("GreaterThanOrEqual(o_orderdate"), p)
+  }
+
+  test("frame functions: both window specs share a single exchange") {
+    val p = finalOnly(Relational.frameFunctions(spark, Sf))
+    // one shuffle on o_custkey serves the full-frame and running-frame
+    // windows alike
+    assert("ShuffleQueryStage".r.findAllIn(p).size == 1, p)
+  }
+
   test("encode: vocab broadcasts to the token stream; one id window") {
     val p = finalOnly(graft.operators.TextOps.encode(spark, Sf))
     // the corpus never shuffles on token — the V-row vocab rides a
