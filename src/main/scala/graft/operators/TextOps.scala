@@ -624,6 +624,26 @@ object TextOps {
           x => x("tid")).as("ids"))
   }
 
+  /** Rendering of [[OovId]] when decoding. */
+  val UnkToken = "<unk>"
+
+  /** Inverse of [[encodeOf]]: id arrays back to text through the same
+    * vocabulary ([[OovId]] → [[UnkToken]]). Same shape as the encoder —
+    * broadcast vocab over the exploded id stream, row-local ordered
+    * reassembly — so decode(encode(x)) == x for fully in-vocabulary
+    * corpora (proven in CorpusOpsSpec), and the OOV positions are the
+    * only lossy ones.
+    */
+  def decodeOf(encoded: DataFrame, vocab: DataFrame): DataFrame =
+    encoded
+      .select(col("doc_id"), posexplode(col("ids")).as(Seq("pos", "tok_id")))
+      .join(broadcast(vocab), Seq("tok_id"), "left")
+      .groupBy("doc_id")
+      .agg(concat_ws(" ", transform(
+        array_sort(collect_list(struct(col("pos"),
+          coalesce(col("tok"), lit(UnkToken)).as("t")))),
+        x => x("t"))).as("text"))
+
   /** Fixture entry: ids rendered as CSV (the driver gate compares scalar
     * columns; the array form is the library API).
     */

@@ -327,6 +327,44 @@ object Streams {
     * users×days, far below raw events — then a user-keyed min and one
     * aligned join; the final histogram groupBy is #cohorts×#offsets.
     */
+  /** Uniform-grid resampling — the downsampler a metrics pipeline runs
+    * before charting or joining irregular event streams: one row per
+    * (user, day) over the corpus' FULL day range, carrying the user's
+    * cumulative event count and cumulative value as of the END of that
+    * day (days before the user's first event read 0 — the flat-line
+    * convention). Cumulative rather than last-value semantics on
+    * purpose: a running DECIMAL sum is insensitive to same-timestamp
+    * tie order, so the result is deterministic under any shuffle.
+    *
+    * Scale shape: the raw stream collapses to one row per (user, day)
+    * FIRST (map-side combined — the only corpus-scale aggregation);
+    * the grid is |users| × |days| built from a broadcast 1-row day
+    * range; the carry-forward is one window over the user key with
+    * a running frame over grid-sized data. Never a per-grid-point scan
+    * of the raw events (the range-join formulation a naive resample
+    * produces).
+    */
+  def resampleDaily(events: DataFrame): DataFrame = {
+    val e = withEventTime(events)
+      .select(col("user_id"), expr(s"ts_us div $DayUs").as("day"),
+        col("value"))
+    val perDay = e.groupBy("user_id", "day")
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("value").cast("decimal(24,6)")).as("v"))
+    val bounds = e.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+    val grid = perDay.select("user_id").distinct()
+      .crossJoin(broadcast(bounds))
+      .select(col("user_id"),
+        explode(sequence(col("d0"), col("d1"))).as("day"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(perDay, Seq("user_id", "day"), "left")
+      .select(col("user_id"), col("day"),
+        sum(coalesce(col("cnt"), lit(0L))).over(w).as("n_events"),
+        sum(coalesce(col("v"), lit(0).cast("decimal(24,6)"))).over(w)
+          .cast("double").as("cum_value"))
+  }
+
   def retention(events: DataFrame): DataFrame = {
     val active = withEventTime(events)
       .select(col("user_id"), expr(s"ts_us div $DayUs").as("day"))
@@ -537,6 +575,8 @@ object Streams {
       ((s: SparkSession, d: String) => funnel(events(s, d))),
     "stream_retention" ->
       ((s: SparkSession, d: String) => retention(events(s, d))),
+    "stream_resample" ->
+      ((s: SparkSession, d: String) => resampleDaily(events(s, d))),
     "stream_sessions" ->
       ((s: SparkSession, d: String) => sessions(events(s, d))),
     "stream_event_pairs" ->
@@ -619,6 +659,21 @@ object Streams {
         |FROM v
         |LEFT JOIN c ON v.user_id = c.user_id
         |LEFT JOIN p ON v.user_id = p.user_id""".stripMargin,
+    "stream_resample" ->
+      s"""WITH e AS (
+         |  SELECT user_id, epoch_us(ts) // $DayUs AS day, value
+         |  FROM events),
+         |b AS (SELECT min(day) AS d0, max(day) AS d1 FROM e),
+         |g AS (SELECT u.user_id, d.day
+         |      FROM (SELECT DISTINCT user_id FROM e) u,
+         |           (SELECT unnest(range(d0, d1 + 1)) AS day FROM b) d)
+         |SELECT g.user_id, g.day,
+         |  count(e.value)::BIGINT AS n_events,
+         |  coalesce(CAST(SUM(CAST(e.value AS DECIMAL(24,6))) AS DOUBLE),
+         |    0.0) AS cum_value
+         |FROM g LEFT JOIN e
+         |  ON e.user_id = g.user_id AND e.day <= g.day
+         |GROUP BY g.user_id, g.day""".stripMargin,
     "stream_retention" ->
       s"""WITH a AS (
          |  SELECT DISTINCT user_id, epoch_us(ts) // $DayUs AS day

@@ -20,6 +20,29 @@ class CorpusOpsSpec extends SparkSpecBase {
     xs.map(BigDecimal.decimal(_).setScale(6, RoundingMode.HALF_UP))
       .sum.toDouble
 
+  // ---- TextOps.encodeOf / decodeOf ----
+
+  test("decode(encode(x)) == x in-vocabulary; OOV positions become <unk>") {
+    val corpus = Seq(
+      (1L, "the cat sat on the mat"),
+      (2L, "the dog sat"),
+      (3L, "cat dog cat")).toDF("doc_id", "text")
+    // vocab covering every token → lossless round trip
+    val vocabAll = TextOps.vocabulary(corpus, vocabSize = 100)
+    val back = TextOps.decodeOf(TextOps.encodeOf(corpus, 100), vocabAll)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(back == Map(1L -> "the cat sat on the mat",
+      2L -> "the dog sat", 3L -> "cat dog cat"))
+    // tiny vocab: top-2 by (count desc, token asc) = "cat"(3), "the"(3)
+    val enc2 = TextOps.encodeOf(corpus, 2)
+    val oov = enc2.collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(oov == Map(1L -> 3L, 2L -> 2L, 3L -> 1L))
+    val back2 = TextOps.decodeOf(enc2, TextOps.vocabulary(corpus, 2))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(back2(3L) == "cat <unk> cat")
+    assert(back2(1L) == "the cat <unk> <unk> the <unk>")
+  }
+
   // ---- Curation.chunkOf ----
 
   test("chunkOf covers every token with overlapping fixed-stride windows") {

@@ -291,6 +291,20 @@ class PlanShapeSpec extends SparkSpecBase {
     assert("ShuffleQueryStage".r.findAllIn(p).size == 1, p)
   }
 
+  test("resample: grid built from aggregates, raw events never range-join") {
+    val p = finalOnly(graft.streaming.Streams.resampleDaily(
+      graft.Tables(spark, Sf, "events")))
+    // the fill join is an equi-join on (user, day); the only nested-loop
+    // is the 1-row day-bounds broadcast — a naive resample's
+    // events.day <= grid.day range join would appear as a second one
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size <= 1, p)
+    assert(!p.contains("CartesianProduct"), p)
+    // raw events are scanned a FIXED number of times (per-day aggregate,
+    // 1-row bounds, distinct users — each column-pruned) — never once
+    // per grid point
+    assert("events\\.parquet".r.findAllIn(p).size <= 3, p)
+  }
+
   test("encode: vocab broadcasts to the token stream; one id window") {
     val p = finalOnly(graft.operators.TextOps.encode(spark, Sf))
     // the corpus never shuffles on token — the V-row vocab rides a
