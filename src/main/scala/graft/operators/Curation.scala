@@ -184,6 +184,44 @@ object Curation {
       .select(col("doc_id"), col("lang"), col("keep_rate"))
   }
 
+  // ---- per-column profiling ----
+
+  /** Table profiling — the "what is in this table" dashboard every
+    * ingestion run records: per column, row/null/distinct counts plus
+    * min/max in BOTH a lexicographic string rendering (defined for every
+    * type) and a numeric one (null for non-numeric columns). One pass:
+    * each row explodes into #columns (name, sval, dval) tuples and a
+    * single map-side-combined aggregation profiles all columns together
+    * — never one scan per column.
+    */
+  def profile(spark: SparkSession, dir: String): DataFrame =
+    profileOf(Tables(spark, dir, "documents"), Seq(
+      ("doc_id", col("doc_id").cast("string"), col("doc_id").cast("double")),
+      ("lang", col("lang"), lit(null).cast("double")),
+      ("source", col("source"), lit(null).cast("double")),
+      ("n_chars", col("n_chars").cast("string"),
+        col("n_chars").cast("double")),
+      ("text", col("text"), lit(null).cast("double"))))
+
+  /** Profile any DataFrame given (column name, string form, numeric
+    * form or typed-null) triples.
+    */
+  def profileOf(df: DataFrame,
+                cols: Seq[(String, Column, Column)]): DataFrame =
+    df.select(explode(array(cols.map { case (n, s, d) =>
+        struct(lit(n).as("col_name"), s.as("sval"), d.as("dval"))
+      }: _*)).as("c"))
+      .select(col("c.col_name").as("col_name"),
+        col("c.sval").as("sval"), col("c.dval").as("dval"))
+      .groupBy("col_name")
+      .agg(count(lit(1)).as("n_rows"),
+        sum(when(col("sval").isNull, 1L).otherwise(0L)).as("n_null"),
+        countDistinct(col("sval")).as("n_distinct"),
+        min(col("sval")).as("min_str"),
+        max(col("sval")).as("max_str"),
+        min(col("dval")).as("min_num"),
+        max(col("dval")).as("max_num"))
+
   // ---- token-budget shard packing ----
 
   /** Tokens per training shard and the prefix-sum group width. */
@@ -436,6 +474,7 @@ object Curation {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "llm_pipeline_e2e" -> pipelineE2e,
     "llm_gate_report" -> gateReport,
+    "llm_profile" -> profile,
     "llm_chunk" -> chunk,
     "llm_pack_chunks" -> packChunks,
     "llm_curate_strict" -> curateStrict,
@@ -519,7 +558,29 @@ object Curation {
        |    AS mix_weight
        |FROM pl, g""".stripMargin
 
+  /** One profile row per column, UNION ALL — the oracle's per-column
+    * scans vs the Spark side's single-pass explode.
+    */
+  private val profileOracleSql: String = {
+    def row(name: String, sExpr: String, dExpr: String) =
+      s"""SELECT '$name' AS col_name, count(*) AS n_rows,
+         |  sum(CASE WHEN $sExpr IS NULL THEN 1 ELSE 0 END)::BIGINT
+         |    AS n_null,
+         |  count(DISTINCT $sExpr) AS n_distinct,
+         |  min($sExpr) AS min_str, max($sExpr) AS max_str,
+         |  min($dExpr) AS min_num, max($dExpr) AS max_num
+         |FROM documents""".stripMargin
+    Seq(
+      row("doc_id", "doc_id::VARCHAR", "doc_id::DOUBLE"),
+      row("lang", "lang", "CAST(NULL AS DOUBLE)"),
+      row("source", "source", "CAST(NULL AS DOUBLE)"),
+      row("n_chars", "n_chars::VARCHAR", "n_chars::DOUBLE"),
+      row("text", "text", "CAST(NULL AS DOUBLE)")
+    ).mkString("", "\nUNION ALL\n", "")
+  }
+
   val oracle: Map[String, String] = Map(
+    "llm_profile" -> profileOracleSql,
     // sums cast ::BIGINT (DuckDB widens SUM(INT) to HUGEINT)
     "llm_gate_report" ->
       s"""WITH q AS (SELECT doc_id, quality_pass

@@ -136,6 +136,24 @@ object Warehouse {
       .agg(dsum(col("rev")).as("revenue"), count(lit(1)).as("n_items"))
   }
 
+  // ---- Q6 shape: forecasting revenue change ----
+
+  /** Revenue increase from lifting narrow-band discounts for one year —
+    * the no-join TPC-H shape: three range predicates ALL pushed to the
+    * parquet scan (year of shipdate, discount band, quantity cap), one
+    * global aggregate. The simplest query in the pack and the purest
+    * pushdown demonstration: at 100 TB the scan reads only row groups
+    * whose min/max stats intersect all three ranges.
+    */
+  def forecastRevenue(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "lineitem")
+      .where(col("l_shipdate") >= ts("1996-01-01") &&
+        col("l_shipdate") < ts("1997-01-01") &&
+        col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
+        col("l_quantity") < 24.0)
+      .agg(dsum(col("l_extendedprice") * col("l_discount")).as("revenue"),
+        count(lit(1)).as("n_items"))
+
   // ---- Q8 shape: national market share ----
 
   /** [[TradeNationA]]'s market share of ECONOMY-part revenue sold to
@@ -345,6 +363,7 @@ object Warehouse {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "rel_local_supplier_volume" -> localSupplierVolume,
     "rel_nation_trade_volume" -> nationTradeVolume,
+    "rel_forecast_revenue" -> forecastRevenue,
     "rel_market_share" -> marketShare,
     "rel_promo_revenue" -> promoRevenue,
     "rel_top_supplier" -> topSupplier,
@@ -389,6 +408,15 @@ object Warehouse {
          |        AND l_shipdate >= TIMESTAMP '1996-01-01'
          |        AND l_shipdate < TIMESTAMP '1998-01-01')
          |GROUP BY supp_nation, cust_nation, l_year""".stripMargin,
+    "rel_forecast_revenue" ->
+      """SELECT CAST(SUM(CAST(l_extendedprice * l_discount
+        |    AS DECIMAL(24,6))) AS DOUBLE) AS revenue,
+        |  count(*) AS n_items
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  AND l_discount >= 0.05 AND l_discount <= 0.07
+        |  AND l_quantity < 24.0""".stripMargin,
     "rel_market_share" ->
       s"""SELECT o_year, nation_volume / total_volume AS mkt_share,
          |  nation_volume, total_volume, n_items

@@ -275,6 +275,28 @@ class PlanShapeSpec extends SparkSpecBase {
     assert("BroadcastNestedLoopJoin".r.findAllIn(p).size <= 1, p)
   }
 
+  test("forecast revenue: all three range predicates reach the scan") {
+    // toString truncates the PushedFilters list; FormattedMode prints it
+    // in full
+    val df = Warehouse.forecastRevenue(spark, Sf)
+    df.collect()
+    val p = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(p.contains("GreaterThanOrEqual(l_shipdate"), p)
+    assert(p.contains("GreaterThanOrEqual(l_discount,0.05)"), p)
+    assert(p.contains("LessThan(l_quantity,24.0)"), p)
+  }
+
+  test("profile: one documents scan profiles every column") {
+    val p = finalOnly(graft.operators.Curation.profile(spark, Sf))
+    assert("documents\\.parquet".r.findAllIn(p).size == 1,
+      s"profile should scan once, not per column:\n$p")
+    // string min/max + count(distinct) plan as SortAggregates — what
+    // matters is the map-side partial before the col_name exchange
+    assert("(Sort|Hash)Aggregate".r.findAllIn(p).size >= 2, p)
+    assert(p.contains("partial_count(distinct"), p)
+  }
+
   test("market share: 7-table join, one aggregation, no cartesian") {
     val p = finalOnly(Warehouse.marketShare(spark, Sf))
     assert(!p.contains("CartesianProduct"), p)
