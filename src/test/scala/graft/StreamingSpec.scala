@@ -427,4 +427,84 @@ class StreamingSpec extends SparkSpecBase {
     assert((batch -- emitted).size < batch.size / 2,
       s"too few windows finalized: ${emitted.size}/${batch.size}")
   }
+
+  test("checkpoint restart resumes exactly-once (no reprocessing)") {
+    // The recovery contract a production sink depends on: drain input A
+    // under AvailableNow, stop, append input B, start a NEW query over
+    // the SAME checkpoint — the second drain must process ONLY B.
+    // Stateless passthrough makes the proof exact: every event_id
+    // appears exactly once in the sink across both runs.
+    import org.apache.spark.sql.functions.col
+    val base = java.nio.file.Files.createTempDirectory("graft-resume-")
+    val (in, out, ck) = (s"$base/in", s"$base/out", s"$base/ck")
+    val events = graft.Tables(spark, Sf, "events")
+    val (a, b) = (events.where(col("event_id") % 2 === 0),
+      events.where(col("event_id") % 2 =!= 0))
+    def drain(): Unit = {
+      val q = spark.readStream.schema(events.schema).parquet(in)
+        .select(col("event_id"), col("user_id"))
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ck)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      assert(q.awaitTermination(120000), "drain did not finish")
+    }
+    a.write.parquet(in)
+    drain()
+    val afterA = spark.read.parquet(out).count()
+    assert(afterA == a.count())
+    b.write.mode("append").parquet(in)
+    drain()
+    val ids = spark.read.parquet(out).collect().map(_.getLong(0)).toSeq
+    // exactly once: nothing from A reprocessed, all of B present
+    assert(ids.length == events.count(), s"${ids.length} rows after resume")
+    assert(ids.distinct.length == ids.length, "duplicate rows after resume")
+  }
+
+  test("foreachBatch incremental upsert converges to the batch merge") {
+    // Streaming ingestion applying Curation.upsertOf per micro-batch
+    // against a versioned parquet snapshot — the merge-on-read loop a
+    // corpus refresh runs in production. The max-struct merge is
+    // order-independent, so the final snapshot must equal the one-shot
+    // batch merge whatever order the micro-batches arrive in.
+    import org.apache.spark.sql.functions._
+    val base = java.nio.file.Files.createTempDirectory("graft-upsert-")
+    val (in, snapDir, ck) = (s"$base/in", s"$base/snap", s"$base/ck")
+    val docs = graft.Tables(spark, Sf, "documents")
+      .select(col("doc_id"), lit(0L).as("version"), col("text"))
+    docs.write.parquet(s"$snapDir/v0")
+    val recrawl1 = docs.where(col("doc_id") % 3 === 0)
+      .select(col("doc_id"), lit(1L).as("version"),
+        concat_ws(" ", reverse(split(col("text"), " "))).as("text"))
+    val recrawl2 = docs.where(col("doc_id") % 5 === 0)
+      .select(col("doc_id"), lit(2L).as("version"),
+        concat(lit("v2 "), col("text")).as("text"))
+    recrawl1.write.parquet(in)
+    recrawl2.write.mode("append").parquet(in)
+    @volatile var ver = 0
+    val q = spark.readStream
+      .schema(recrawl1.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(in)
+      .writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        val cur = spark.read.parquet(s"$snapDir/v$ver")
+        graft.operators.Curation.upsertOf(cur, b)
+          .write.parquet(s"$snapDir/v${ver + 1}")
+        ver += 1
+      }
+      .option("checkpointLocation", ck)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    assert(q.awaitTermination(120000), "upsert drain did not finish")
+    assert(ver >= 1)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    val streamed = rows(spark.read.parquet(s"$snapDir/v$ver"))
+    val direct = rows(graft.operators.Curation.upsertOf(
+      graft.operators.Curation.upsertOf(docs, recrawl1), recrawl2))
+    assert(streamed == direct)
+    // and the merge actually changed something
+    assert(streamed != rows(docs))
+  }
 }
