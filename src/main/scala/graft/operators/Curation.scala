@@ -471,7 +471,37 @@ object Curation {
     packChunksOf(chunkOf(docs(spark, dir).join(kept, "doc_id")))
   }
 
+  /** The WHOLE training-data pipeline as one declarative plan — strict
+    * curation gates → train-split selection → fixed-stride chunking →
+    * token-budget shard packing → token-id encoding against a
+    * vocabulary built from the chunked TRAINING stream itself (what the
+    * trainer consumes). Output: one row per training chunk with its
+    * shard assignment and id sequence — the tensor-ready form.
+    * Every stage is the library's own operator; Catalyst sees a single
+    * tree and pipelines the gates into the scans. The id vocabulary
+    * deliberately derives from the post-gate, post-split corpus: no
+    * token statistics leak in from documents the model never sees.
+    */
+  def pipelineTokens(spark: SparkSession, dir: String): DataFrame = {
+    val kept = curateStrict(spark, dir)
+    val train = splitAssignOf(docs(spark, dir))
+      .where(col("split") === "train").select("doc_id")
+    val chunks = chunkOf(docs(spark, dir)
+      .join(kept, "doc_id").join(train, "doc_id"))
+    val packed = packChunksOf(chunks)
+    val vocab = TextOps.vocabulary(
+      chunks.select(col("chunk_text").as("text")))
+    val enc = TextOps.encodeWith(chunks, vocab,
+      Seq("doc_id", "chunk_id"), "chunk_text")
+    packed.select("doc_id", "chunk_id", "shard")
+      .join(enc, Seq("doc_id", "chunk_id"))
+      .select(col("doc_id"), col("chunk_id"), col("shard"),
+        col("n_tokens"), col("n_oov"),
+        concat_ws(",", col("ids").cast("array<string>")).as("ids_csv"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "llm_pipeline_tokens" -> pipelineTokens,
     "llm_pipeline_e2e" -> pipelineE2e,
     "llm_gate_report" -> gateReport,
     "llm_profile" -> profile,
@@ -539,6 +569,19 @@ object Curation {
        |       WHERE NOT contaminated)
        |SELECT doc_id FROM ($curateSql)
        |JOIN rep USING (doc_id) JOIN cl USING (doc_id)""".stripMargin
+
+  /** Shared by the `llm_split` entry and (as a subquery)
+    * `llm_pipeline_tokens`' oracle.
+    */
+  private val splitOracleSql: String =
+    s"""SELECT doc_id, u,
+       |  CASE WHEN u < $TrainFrac THEN 'train'
+       |       WHEN u < $ValCut THEN 'val'
+       |       ELSE 'test' END AS split
+       |FROM (SELECT doc_id,
+       |        ${graft.functions.Md5Uniform
+      .sql(s"'$SplitSalt' || doc_id::VARCHAR")} AS u
+       |      FROM documents)""".stripMargin
 
   /** Shared by the `llm_mix_weights` entry and (as a subquery)
     * `llm_mix_apply`'s oracle.
@@ -627,14 +670,7 @@ object Curation {
     // ValCut is interpolated as the exact double 0.9 + 0.05 evaluates
     // to (one ulp above the literal 0.95) so both engines threshold u
     // on identical bits
-    "llm_split" ->
-      s"""SELECT doc_id, u,
-         |  CASE WHEN u < $TrainFrac THEN 'train'
-         |       WHEN u < $ValCut THEN 'val'
-         |       ELSE 'test' END AS split
-         |FROM (SELECT doc_id,
-         |        ${graft.functions.Md5Uniform.sql(s"'$SplitSalt' || doc_id::VARCHAR")} AS u
-         |      FROM documents)""".stripMargin,
+    "llm_split" -> splitOracleSql,
     "llm_upsert" ->
       s"""WITH snap AS (SELECT doc_id, 0::BIGINT AS version, text
          |             FROM documents),
@@ -692,6 +728,41 @@ object Curation {
     // the pipeline oracle composes the strict gate, the chunker, and
     // the single-global-window packing the two-level Spark plan must
     // reproduce exactly
+    "llm_pipeline_tokens" ->
+      s"""WITH kept AS ($curateStrictSql),
+         |tr AS (SELECT doc_id FROM ($splitOracleSql)
+         |       WHERE split = 'train'),
+         |d2 AS (SELECT d.doc_id, d.text
+         |       FROM documents d
+         |       JOIN kept USING (doc_id) JOIN tr USING (doc_id)),
+         |ch AS (${chunkSqlFrom("d2")}),
+         |pk AS (SELECT doc_id, chunk_id,
+         |        ((SUM(n_tokens) OVER (ORDER BY doc_id, chunk_id
+         |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |            ::BIGINT
+         |          - n_tokens) // $ShardBudget)::BIGINT AS shard
+         |       FROM ch),
+         |tokc AS (SELECT doc_id, chunk_id,
+         |           string_split(chunk_text, ' ') AS t FROM ch),
+         |cnt AS (SELECT tok, count(*) AS cnt
+         |        FROM (SELECT unnest(t) AS tok FROM tokc) GROUP BY tok),
+         |vocab AS (SELECT tok,
+         |    (row_number() OVER (ORDER BY cnt DESC, tok) - 1)::BIGINT
+         |      AS tok_id
+         |  FROM cnt ORDER BY cnt DESC, tok LIMIT ${TextOps.EncodeVocab}),
+         |ex AS (SELECT doc_id, chunk_id, unnest(t) AS tok,
+         |         unnest(range(len(t))) AS pos FROM tokc),
+         |j AS (SELECT e.doc_id, e.chunk_id, e.pos,
+         |        coalesce(v.tok_id, ${TextOps.OovId}) AS tid,
+         |        CASE WHEN v.tok_id IS NULL THEN 1 ELSE 0 END AS oov
+         |      FROM ex e LEFT JOIN vocab v ON e.tok = v.tok),
+         |enc AS (SELECT doc_id, chunk_id, count(*)::BIGINT AS n_tokens,
+         |          sum(oov)::BIGINT AS n_oov,
+         |          array_to_string(list(tid ORDER BY pos), ',') AS ids_csv
+         |        FROM j GROUP BY doc_id, chunk_id)
+         |SELECT pk.doc_id, pk.chunk_id, pk.shard,
+         |  enc.n_tokens, enc.n_oov, enc.ids_csv
+         |FROM pk JOIN enc USING (doc_id, chunk_id)""".stripMargin,
     "llm_pipeline_e2e" ->
       s"""WITH kept AS ($curateStrictSql),
          |d2 AS (SELECT d.doc_id, d.text

@@ -610,19 +610,27 @@ object TextOps {
     * itself (ids ≈ the same bytes as the text). No sort exchange: order
     * is restored row-locally by array_sort over (pos, id) structs.
     */
-  def encodeOf(corpus: DataFrame, vocabSize: Int = EncodeVocab): DataFrame = {
-    val vocab = vocabulary(corpus, vocabSize)
+  def encodeOf(corpus: DataFrame, vocabSize: Int = EncodeVocab): DataFrame =
+    encodeWith(corpus, vocabulary(corpus, vocabSize), Seq("doc_id"), "text")
+
+  /** [[encodeOf]] generalized to any key columns / text column — the
+    * form pipeline compositions use (e.g. chunked corpora keyed by
+    * (doc_id, chunk_id)). Same scale shape: broadcast vocab, one
+    * reassembly groupBy over the keys.
+    */
+  def encodeWith(corpus: DataFrame, vocab: DataFrame,
+                 keys: Seq[String], textCol: String): DataFrame =
     corpus
-      .select(col("doc_id"), posexplode(toks).as(Seq("pos", "tok")))
+      .select(keys.map(col) :+
+        posexplode(split(col(textCol), " ")).as(Seq("pos", "tok")): _*)
       .join(broadcast(vocab), Seq("tok"), "left")
-      .groupBy("doc_id")
+      .groupBy(keys.map(col): _*)
       .agg(count(lit(1)).as("n_tokens"),
         sum(when(col("tok_id").isNull, 1L).otherwise(0L)).as("n_oov"),
         transform(
           array_sort(collect_list(struct(col("pos"),
             coalesce(col("tok_id"), lit(OovId)).as("tid")))),
           x => x("tid")).as("ids"))
-  }
 
   /** Rendering of [[OovId]] when decoding. */
   val UnkToken = "<unk>"

@@ -214,6 +214,18 @@ class PlanShapeSpec extends SparkSpecBase {
     assert(p.contains("hashpartitioning(g"), p)
   }
 
+  test("pipeline tokens: one tree — gates pipelined, vocab broadcast") {
+    val p = finalPlan(graft.operators.Curation.pipelineTokens(
+      spark, "/root/testdata/sf0.01"))
+    assert(!p.contains("CartesianProduct"), p)
+    // the chunk-packing prefix sum keeps its per-group partitioning
+    assert(p.contains("hashpartitioning(g"), p)
+    // the vocabulary rides broadcasts (id join + the top-V limit); the
+    // token stream never shuffles on token for the encode join
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("hashpartitioning(tok"), p)
+  }
+
   test("upsert merges in one exchange with map-side partial aggregation") {
     val p = finalOnly(graft.operators.Curation.upsert(spark, Sf))
     assert("ShuffleQueryStage".r.findAllIn(p).size == 1, p)
