@@ -86,6 +86,44 @@ object Similarity {
       .withColumn("rank", row_number().over(rankWindow))
       .where(col("rank") <= TopK)
 
+  /** Hard-negative mining — the contrastive-training companion of
+    * [[bruteForceTopK]]: for each query, the top-k most SIMILAR corpus
+    * vectors with a DIFFERENT label (the near-misses that teach the
+    * margin; same-label neighbors are positives, not negatives). Same
+    * scale shape as the exact kernel: queries + their labels broadcast
+    * (bounded), the corpus is scored where it lives with the label
+    * filter applied INSIDE the kernel — excluded pairs never
+    * materialize — and only surviving scored pairs enter the ranking
+    * window.
+    */
+  def hardNegatives(spark: SparkSession, dir: String): DataFrame =
+    hardNegativesOf(Tables(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("e"),
+        col("label")), NumQueries)
+
+  /** Any (vec_id, e: ARRAY<DOUBLE>, label: INT) corpus. */
+  def hardNegativesOf(corpusDf: DataFrame, nQueries: Long): DataFrame = {
+    val spark = corpusDf.sparkSession
+    val s = spark; import s.implicits._
+    val corpus = corpusDf.as[(Long, Array[Double], Int)]
+    val queries = corpus.filter(_._1 < nQueries).collect().sortBy(_._1)
+    val bc = spark.sparkContext.broadcast(queries)
+    corpus
+      .mapPartitions { it =>
+        val qs = bc.value
+        it.flatMap { case (nid, e, nlbl) =>
+          qs.iterator
+            .filter(q => q._1 != nid && q._3 != nlbl)
+            .map { case (qid, qe, _) =>
+              (qid, nid, nlbl, Hashing.cosineSeq(qe, e))
+            }
+        }
+      }
+      .toDF("query_id", "neighbor_id", "neighbor_label", "cos_sim")
+      .withColumn("rank", row_number().over(rankWindow))
+      .where(col("rank") <= TopK)
+  }
+
   /** Same answer through the custom bounded-heap aggregate
     * ([[graft.functions.TopKAgg]]) instead of the ranking window: the
     * aggregate participates in partial aggregation, so each map task
@@ -377,6 +415,7 @@ object Similarity {
     "llm_emb_quantize" -> embQuantize,
     "llm_emb_centroids" -> embCentroids,
     "llm_sim_topk" -> bruteForceTopK,
+    "llm_sim_hard_negatives" -> hardNegatives,
     "llm_sim_topk_agg" -> bruteForceTopKAgg,
     "llm_sim_lsh_topk" -> lshTopK,
     "llm_sim_ivf_topk" -> ivfTopK
@@ -398,6 +437,21 @@ object Similarity {
        |) WHERE rank <= $TopK""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "llm_sim_hard_negatives" ->
+      s"""WITH v AS (SELECT vec_id, embedding e, label FROM embeddings),
+         |scored AS (
+         |  SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+         |    n.label AS neighbor_label,
+         |    ${Hashing.cosineSql("q.e", "n.e", 64)} AS cos_sim
+         |  FROM v q JOIN v n ON q.vec_id < $NumQueries
+         |    AND q.vec_id != n.vec_id AND q.label != n.label
+         |)
+         |SELECT * FROM (
+         |  SELECT query_id, neighbor_id, neighbor_label, cos_sim,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+         |  FROM scored
+         |) WHERE rank <= $TopK""".stripMargin,
     "llm_sim_int8_topk" ->
       s"""WITH v AS (
          |  SELECT vec_id,
