@@ -86,6 +86,44 @@ object Similarity {
       .withColumn("rank", row_number().over(rankWindow))
       .where(col("rank") <= TopK)
 
+  // ---- linear-classifier scoring (model-based filtering) ----
+
+  /** Deterministic pseudo-weights for the fixture classifier entry:
+    * w_i = u("w:" + i) − 0.5 with the library's md5 uniform, computed
+    * driver-side and interpolated into the oracle as shortest-repr
+    * double literals (bit-identical on both engines). A real pipeline
+    * hands [[classifyOf]] a trained θ (e.g. from [[Sgd]]); the weights
+    * parameterize the plan, never its shape.
+    */
+  lazy val ClassifierWeights: Seq[Double] = (0 until 64).map { i =>
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s"w:$i".getBytes("UTF-8"))
+      .take(4).map(b => f"${b & 0xff}%02x").mkString
+    java.lang.Long.parseLong(hex, 16) / 4294967296.0 - 0.5
+  }
+
+  /** Classifier-based corpus scoring — the model-in-the-loop filtering
+    * step (FineWeb-Edu-style quality classifiers, toxicity gates): every
+    * vector scored against ONE broadcast weight vector through the
+    * codegen'd [[graft.functions.DotProduct]] expression, flagged by
+    * margin sign. Embarrassingly parallel: the weights are a literal in
+    * the plan, the corpus never shuffles, and the margin stays LINEAR
+    * (no exp/sigmoid — cross-engine libm rounding can differ; the sign
+    * and any downstream threshold are identical either way).
+    */
+  def classify(spark: SparkSession, dir: String): DataFrame =
+    classifyOf(Tables(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("e"),
+        col("label")), ClassifierWeights)
+
+  def classifyOf(corpusDf: DataFrame, weights: Seq[Double]): DataFrame = {
+    val spark = corpusDf.sparkSession
+    val margin = graft.functions.DotProduct.dot(
+      spark, col("e"), typedLit(weights))
+    corpusDf.select(col("vec_id"), col("label"),
+      margin.as("margin"), (margin > 0.0).as("pred"))
+  }
+
   /** Hard-negative mining — the contrastive-training companion of
     * [[bruteForceTopK]]: for each query, the top-k most SIMILAR corpus
     * vectors with a DIFFERENT label (the near-misses that teach the
@@ -416,6 +454,7 @@ object Similarity {
     "llm_emb_centroids" -> embCentroids,
     "llm_sim_topk" -> bruteForceTopK,
     "llm_sim_hard_negatives" -> hardNegatives,
+    "llm_classify" -> classify,
     "llm_sim_topk_agg" -> bruteForceTopKAgg,
     "llm_sim_lsh_topk" -> lshTopK,
     "llm_sim_ivf_topk" -> ivfTopK
@@ -437,6 +476,22 @@ object Similarity {
        |) WHERE rank <= $TopK""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "llm_classify" -> {
+      // Two DuckDB literal traps, both measured on this fixture:
+      // (1) a bare numeric literal parses as DECIMAL — rounding the
+      //     weight BEFORE the double conversion (off by an ulp) — so
+      //     every weight rides a VARCHAR→DOUBLE cast, which parses the
+      //     shortest-repr string to the exact Scala double;
+      // (2) the UNROLLED `+` chain (left-associative, each op correctly
+      //     rounded) is the expression loop's fold order bit-for-bit.
+      val terms = ClassifierWeights.zipWithIndex.map { case (w, i) =>
+        s"(embedding[${i + 1}]::DOUBLE * ('$w'::DOUBLE))"
+      }.mkString("\n      + ")
+      s"""SELECT vec_id, label, m AS margin, m > 0.0 AS pred
+         |FROM (SELECT vec_id, label,
+         |        $terms AS m
+         |      FROM embeddings)""".stripMargin
+    },
     "llm_sim_hard_negatives" ->
       s"""WITH v AS (SELECT vec_id, embedding e, label FROM embeddings),
          |scored AS (
