@@ -367,6 +367,50 @@ object Curation {
       .select(col("doc_id"), col("m.version").as("version"),
         col("m.text").as("text"))
 
+  // ---- corpus snapshot diff ----
+
+  /** Deterministic fixture "next snapshot" mod keys: every [[UpsertMod]]-th
+    * doc re-crawled (changed), every [[DiffDropMod]]-th dropped, every
+    * [[DiffAddMod]]-th also present under a new id (added).
+    */
+  val DiffDropMod = 11L
+  val DiffAddMod = 17L
+  val DiffAddOffset = 100000L
+
+  /** Snapshot diff — the crawl-over-crawl audit: FULL OUTER join of two
+    * corpus snapshots on the key, each doc classified added / removed /
+    * changed / unchanged by null pattern and content hash. The one join
+    * type the rest of the library never needs appears here because diff
+    * semantics REQUIRE both dangling sides in one pass; comparing
+    * md5(text) instead of text keeps the shuffled payload fixed-width.
+    */
+  def snapshotDiff(spark: SparkSession, dir: String): DataFrame = {
+    val old = docs(spark, dir).select(col("doc_id"), col("text"))
+    val changed = old.where(col("doc_id") % UpsertMod === 0)
+      .select(col("doc_id"),
+        concat_ws(" ", reverse(split(col("text"), " "))).as("text"))
+    val kept = old.where(col("doc_id") % UpsertMod =!= 0)
+    val added = old.where(col("doc_id") % DiffAddMod === 0)
+      .select((col("doc_id") + DiffAddOffset).as("doc_id"), col("text"))
+    val next = kept.unionByName(changed).unionByName(added)
+      .where(col("doc_id") % DiffDropMod =!= 0)
+    snapshotDiffOf(old, next)
+  }
+
+  /** Classify every key of either snapshot. Both sides reduce to
+    * (doc_id, md5) BEFORE the join — fixed-width shuffle rows.
+    */
+  def snapshotDiffOf(old: DataFrame, next: DataFrame): DataFrame = {
+    val a = old.select(col("doc_id"), md5(col("text")).as("h_old"))
+    val b = next.select(col("doc_id"), md5(col("text")).as("h_new"))
+    a.join(b, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        when(col("h_old").isNull, "added")
+          .when(col("h_new").isNull, "removed")
+          .when(col("h_old") === col("h_new"), "unchanged")
+          .otherwise("changed").as("status"))
+  }
+
   // ---- end-to-end curation gate ----
 
   /** The corpus a pipeline actually trains on: documents that pass the
@@ -510,6 +554,7 @@ object Curation {
     "llm_curate_strict" -> curateStrict,
     "llm_split" -> splitAssign,
     "llm_upsert" -> upsert,
+    "llm_diff" -> snapshotDiff,
     "llm_sample_stratified" -> sampleStratified,
     "llm_sample_topn" -> sampleTopN,
     "llm_mix_weights" -> mixWeights,
@@ -671,6 +716,27 @@ object Curation {
     // to (one ulp above the literal 0.95) so both engines threshold u
     // on identical bits
     "llm_split" -> splitOracleSql,
+    "llm_diff" ->
+      s"""WITH old AS (SELECT doc_id, md5(text) AS h_old FROM documents),
+         |changed AS (SELECT doc_id,
+         |    md5(array_to_string(list_reverse(string_split(text, ' ')),
+         |      ' ')) AS h_new
+         |  FROM documents WHERE doc_id % $UpsertMod = 0),
+         |kept AS (SELECT doc_id, md5(text) AS h_new FROM documents
+         |         WHERE doc_id % $UpsertMod != 0),
+         |added AS (SELECT doc_id + $DiffAddOffset AS doc_id,
+         |    md5(text) AS h_new
+         |  FROM documents WHERE doc_id % $DiffAddMod = 0),
+         |nxt AS (SELECT * FROM (SELECT * FROM kept UNION ALL
+         |          SELECT * FROM changed UNION ALL SELECT * FROM added)
+         |        WHERE doc_id % $DiffDropMod != 0)
+         |SELECT coalesce(old.doc_id, nxt.doc_id) AS doc_id,
+         |  CASE WHEN old.doc_id IS NULL THEN 'added'
+         |       WHEN nxt.doc_id IS NULL THEN 'removed'
+         |       WHEN h_old = h_new THEN 'unchanged'
+         |       ELSE 'changed' END AS status
+         |FROM old FULL OUTER JOIN nxt ON old.doc_id = nxt.doc_id"""
+        .stripMargin,
     "llm_upsert" ->
       s"""WITH snap AS (SELECT doc_id, 0::BIGINT AS version, text
          |             FROM documents),
