@@ -43,6 +43,19 @@ class CorpusOpsSpec extends SparkSpecBase {
     assert(back2(1L) == "the cat <unk> <unk> the <unk>")
   }
 
+  // ---- Curation.snapshotDiffOf ----
+
+  test("snapshot diff classifies added/removed/changed/unchanged") {
+    val old = Seq((1L, "a b"), (2L, "c d"), (3L, "e f"))
+      .toDF("doc_id", "text")
+    val next = Seq((1L, "a b"), (2L, "X d"), (4L, "new doc"))
+      .toDF("doc_id", "text")
+    val got = Curation.snapshotDiffOf(old, next).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> "unchanged", 2L -> "changed",
+      3L -> "removed", 4L -> "added"))
+  }
+
   // ---- Curation.chunkOf ----
 
   test("chunkOf covers every token with overlapping fixed-stride windows") {

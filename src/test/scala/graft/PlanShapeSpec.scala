@@ -214,6 +214,21 @@ class PlanShapeSpec extends SparkSpecBase {
     assert(p.contains("hashpartitioning(g"), p)
   }
 
+  test("snapshot diff: full-outer on fixed-width rows, text never shuffles") {
+    val p = finalOnly(graft.operators.Curation.snapshotDiff(spark, Sf))
+    assert(p.contains("FullOuter"), p)
+    // both sides hash to md5 BEFORE their exchange — the shuffled rows
+    // are (doc_id, 32-char hash), never the document text
+    val exchanges = "Exchange hashpartitioning\\(doc_id[^\n]*\n[^\n]*".r
+      .findAllIn(p).toList
+    // "md5(cast(text#…))" below the exchange is the hash being COMPUTED
+    // (fine); a raw "text#N" list entry would mean the column itself
+    // crosses the shuffle
+    exchanges.foreach(e =>
+      assert(!"[\\[,] ?text#\\d+[,\\]]".r.findFirstIn(e).isDefined,
+        s"text crosses an exchange:\n$e"))
+  }
+
   test("pipeline tokens: one tree — gates pipelined, vocab broadcast") {
     val p = finalPlan(graft.operators.Curation.pipelineTokens(
       spark, "/root/testdata/sf0.01"))
