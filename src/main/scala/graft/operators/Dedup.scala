@@ -674,6 +674,24 @@ object Dedup {
   def keepBest(spark: SparkSession, dir: String): DataFrame =
     keepBestOf(docs(spark, dir), clusters(spark, dir))
 
+  /** The cleaned corpus under the keep-best policy: documents in no
+    * near-dup cluster pass through; each cluster contributes exactly
+    * its [[keepBestOf]] representative. Contrast [[applyDedup]]'s
+    * simpler drop-every-doc_b rule, which can drop BOTH sides of a
+    * transitive chain's middle link — the cluster-aware policy keeps
+    * exactly one survivor per component by construction. One anti-join
+    * + a rep semi-join, both on the key.
+    */
+  def applyKeepBest(spark: SparkSession, dir: String): DataFrame = {
+    val corpus = docs(spark, dir)
+    val cl = clusters(spark, dir)
+    val reps = keepBestOf(corpus, cl)
+      .select(col("rep_doc_id").as("doc_id"))
+    corpus.select("doc_id")
+      .join(cl.select("doc_id"), Seq("doc_id"), "left_anti")
+      .unionByName(reps)
+  }
+
   def keepBestOf(corpus: DataFrame, clusterTable: DataFrame): DataFrame =
     clusterTable
       .join(corpus.select(col("doc_id"),
@@ -744,6 +762,7 @@ object Dedup {
     "llm_dedup_apply" -> applyDedup,
     "llm_dedup_clusters" -> clusters,
     "llm_dedup_keep_best" -> keepBest,
+    "llm_dedup_apply_best" -> applyKeepBest,
     "llm_dedup_exact" -> exact,
     "llm_dedup_minhash" -> minhashLsh,
     "llm_dedup_incremental" -> minhashIncremental,
@@ -796,6 +815,20 @@ object Dedup {
       .stripMargin.replace("PAIRS_SQL", minhashPairsOracleSql)
 
   val oracle: Map[String, String] = Map(
+    "llm_dedup_apply_best" ->
+      s"""WITH cl AS ($clustersOracleSql),
+         |sz AS (SELECT doc_id,
+         |         len(string_split(text, ' '))::BIGINT AS n_toks
+         |       FROM documents)
+         |SELECT doc_id FROM documents
+         |WHERE doc_id NOT IN (SELECT doc_id FROM cl)
+         |UNION ALL
+         |SELECT doc_id
+         |FROM (SELECT cl.doc_id,
+         |        row_number() OVER (PARTITION BY cl.cluster_id
+         |          ORDER BY sz.n_toks DESC, cl.doc_id) AS rk
+         |      FROM cl JOIN sz USING (doc_id))
+         |WHERE rk = 1""".stripMargin,
     "llm_dedup_keep_best" ->
       s"""WITH cl AS ($clustersOracleSql),
          |sz AS (SELECT doc_id,
