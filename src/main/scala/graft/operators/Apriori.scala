@@ -381,6 +381,47 @@ object Apriori {
   def assocRules(spark: SparkSession, dir: String): DataFrame =
     rulesFrom(spark, itemsetSupports(spark, dir), Support)
 
+  /** Association rules with the full interest-metric suite: the
+    * reference's confidence percentage (apriori_raw.java:203) plus lift
+    * (confidence over the consequent's base rate — the "is this rule
+    * better than chance" ratio) and leverage (the additive version).
+    * The consequent's support resolves against the SAME session-cached
+    * supports table — apriori monotonicity guarantees every consequent
+    * of a frequent set is itself frequent, so the key always joins —
+    * and the transaction total rides a 1-row broadcast. Every metric is
+    * one double expression over exact BIGINT counts, evaluated as the
+    * identical tree in both engines.
+    */
+  def assocRulesMetrics(spark: SparkSession, dir: String): DataFrame = {
+    val s = spark; import s.implicits._
+    val supports = itemsetSupports(spark, dir)
+    val expanded = supports
+      .where($"k" >= 2 && $"cnt" >= Support)
+      .select(split($"itemset", " ").as("z"), $"cnt".as("zcnt"))
+      .as[(Seq[String], Long)]
+      .flatMap { case (z, zcnt) =>
+        antecedents(z).map { case (a, c) => (a, c, zcnt) }
+      }
+      .toDF("antecedent", "consequent", "zcnt")
+    val nTx = transactions(spark, dir).agg(count(lit(1)).as("n_tx"))
+    expanded
+      .join(supports.select($"itemset".as("xkey"), $"cnt".as("xcnt")),
+        col("antecedent") === col("xkey"))
+      .join(supports.select($"itemset".as("ykey"), $"cnt".as("ycnt")),
+        col("consequent") === col("ykey"))
+      .crossJoin(broadcast(nTx))
+      .select(
+        col("antecedent"), col("consequent"),
+        (col("zcnt") * lit(100.0) / col("xcnt")).as("confidence"),
+        ((col("zcnt").cast("double") * col("n_tx").cast("double"))
+          / (col("xcnt").cast("double") * col("ycnt").cast("double")))
+          .as("lift"),
+        (col("zcnt").cast("double") / col("n_tx").cast("double")
+          - (col("xcnt").cast("double") / col("n_tx").cast("double"))
+            * (col("ycnt").cast("double") / col("n_tx").cast("double")))
+          .as("leverage"))
+  }
+
   /** Rule expansion + confidence join over a supports table (shared by
     * the fixture path and [[assocRulesOf]]).
     */
@@ -414,7 +455,8 @@ object Apriori {
     "apriori_freq_all" -> freqAll,
     "apriori_maximal" -> maximalItemsets,
     "apriori_closed" -> closedItemsets,
-    "apriori_assoc_rules" -> assocRules
+    "apriori_assoc_rules" -> assocRules,
+    "apriori_rules_metrics" -> assocRulesMetrics
   )
 
   // DuckDB oracle: subsets enumerated with a bitmask join (the fixture's
@@ -535,6 +577,38 @@ object Apriori {
          |)
          |SELECT a.antecedent, a.consequent,
          |       a.zcnt * 100.0 / s.cnt AS confidence
-         |FROM ante a JOIN supports s ON a.antecedent = s.itemset""".stripMargin
+         |FROM ante a JOIN supports s ON a.antecedent = s.itemset""".stripMargin,
+    "apriori_rules_metrics" ->
+      s"""WITH $subSql,
+         |freqsets AS (
+         |  SELECT subset, count(*) AS zcnt FROM sub
+         |  WHERE len(subset) >= 2 GROUP BY 1 HAVING count(*) >= ${Support}
+         |),
+         |ante AS (
+         |  SELECT
+         |    list_aggregate(list_transform(
+         |      list_filter(range(1, len(f.subset) + 1),
+         |                  i -> ((m.mask >> (i - 1)::INT) & 1) = 1),
+         |      i -> f.subset[i]), 'string_agg', ' ') AS antecedent,
+         |    list_aggregate(list_transform(
+         |      list_filter(range(1, len(f.subset) + 1),
+         |                  i -> ((m.mask >> (i - 1)::INT) & 1) = 0),
+         |      i -> f.subset[i]), 'string_agg', ' ') AS consequent,
+         |    f.zcnt
+         |  FROM freqsets f
+         |  JOIN masks m ON m.mask >= 1 AND m.mask < (1 << len(f.subset)) - 1
+         |),
+         |n AS (SELECT count(*)::BIGINT AS n_tx FROM tx)
+         |SELECT a.antecedent, a.consequent,
+         |  a.zcnt * 100.0 / x.cnt AS confidence,
+         |  (a.zcnt::DOUBLE * n.n_tx::DOUBLE)
+         |    / (x.cnt::DOUBLE * y.cnt::DOUBLE) AS lift,
+         |  a.zcnt::DOUBLE / n.n_tx::DOUBLE
+         |    - (x.cnt::DOUBLE / n.n_tx::DOUBLE)
+         |      * (y.cnt::DOUBLE / n.n_tx::DOUBLE) AS leverage
+         |FROM ante a
+         |JOIN supports x ON a.antecedent = x.itemset
+         |JOIN supports y ON a.consequent = y.itemset
+         |CROSS JOIN n""".stripMargin
   )
 }
