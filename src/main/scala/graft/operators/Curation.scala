@@ -327,6 +327,20 @@ object Curation {
         expr(s"(goff + wcum - n_tokens) div $budget").as("shard"))
   }
 
+  /** Per-shard QA over [[packChunks]] — the validation a packing run
+    * records: chunks and tokens per shard. Every shard but the last
+    * lands within one chunk of [[ShardBudget]] by construction; the
+    * aggregate (one map-side-combined pass over the packing output)
+    * makes that checkable downstream without re-deriving the prefix
+    * sums.
+    */
+  def shardStats(spark: SparkSession, dir: String): DataFrame =
+    packChunks(spark, dir)
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(col("n_tokens")).as("n_tokens"),
+        countDistinct(col("doc_id")).as("n_docs"))
+
   // ---- corpus refresh (latest-wins upsert) ----
 
   /** Which doc_ids the fixture "re-crawl" batch touches (mod key). */
@@ -551,6 +565,7 @@ object Curation {
     "llm_profile" -> profile,
     "llm_chunk" -> chunk,
     "llm_pack_chunks" -> packChunks,
+    "llm_shard_stats" -> shardStats,
     "llm_curate_strict" -> curateStrict,
     "llm_split" -> splitAssign,
     "llm_upsert" -> upsert,
@@ -614,6 +629,17 @@ object Curation {
        |       WHERE NOT contaminated)
        |SELECT doc_id FROM ($curateSql)
        |JOIN rep USING (doc_id) JOIN cl USING (doc_id)""".stripMargin
+
+  /** Shared by the `llm_pack_chunks` entry and (as a subquery)
+    * `llm_shard_stats`' oracle.
+    */
+  private lazy val packChunksOracleSql: String =
+    s"""WITH ch AS ($chunkSql)
+       |SELECT doc_id, chunk_id, n_tokens::BIGINT AS n_tokens,
+       |  ((SUM(n_tokens) OVER (ORDER BY doc_id, chunk_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT
+       |    - n_tokens) // $ShardBudget)::BIGINT AS shard
+       |FROM ch""".stripMargin
 
   /** Shared by the `llm_split` entry and (as a subquery)
     * `llm_pipeline_tokens`' oracle.
@@ -705,13 +731,13 @@ object Curation {
          |GROUP BY d.source""".stripMargin,
     "llm_chunk" -> chunkSql,
     // the two-level prefix sum must equal ONE global ordered window
-    "llm_pack_chunks" ->
-      s"""WITH ch AS ($chunkSql)
-         |SELECT doc_id, chunk_id, n_tokens::BIGINT AS n_tokens,
-         |  ((SUM(n_tokens) OVER (ORDER BY doc_id, chunk_id
-         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT
-         |    - n_tokens) // $ShardBudget)::BIGINT AS shard
-         |FROM ch""".stripMargin,
+    "llm_pack_chunks" -> packChunksOracleSql,
+    "llm_shard_stats" ->
+      s"""SELECT shard, count(*) AS n_chunks,
+         |  sum(n_tokens)::BIGINT AS n_tokens,
+         |  count(DISTINCT doc_id) AS n_docs
+         |FROM ($packChunksOracleSql)
+         |GROUP BY shard""".stripMargin,
     // ValCut is interpolated as the exact double 0.9 + 0.05 evaluates
     // to (one ulp above the literal 0.95) so both engines threshold u
     // on identical bits
