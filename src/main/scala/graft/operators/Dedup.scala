@@ -453,17 +453,30 @@ object Dedup {
     * the oracle replays the same SRP bucketing, so recall is part of the
     * contract, not hand-waved.
     */
-  def embeddingNearDup(spark: SparkSession, dir: String): DataFrame =
-    embeddingNearDupOf(Tables(spark, dir, "embeddings")
-      .select(col("vec_id"), col("embedding").cast("array<double>").as("e")))
+  def embeddingNearDup(spark: SparkSession, dir: String): DataFrame = {
+    // the SRP bucket table rides the session index cache (the shingle/
+    // band pattern): built+checkpointed once per (session, dir) instead
+    // of re-kernelized per invocation — an ANN/dedup pass keeps its
+    // bucket index persistent, same as the minhash band table
+    val emb = Tables(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+    embeddingNearDupFrom(emb, cachedIdx(spark, dir, "srp")(
+      Hashing.srpBuckets(spark, emb, SrpTables, SrpBits)))
+  }
 
   /** Vector form: any (vec_id, e: ARRAY<DOUBLE>) DataFrame. */
   def embeddingNearDupOf(emb: DataFrame,
                          mat: Materialize.Strategy = Materialize.Local)
       : DataFrame = {
     val spark = emb.sparkSession
-    val buckets = mat(Hashing.srpBuckets(spark, emb, SrpTables, SrpBits))
+    embeddingNearDupFrom(emb,
+      mat(Hashing.srpBuckets(spark, emb, SrpTables, SrpBits)))
       // both sides of the bucket self-join read the materialized table
+  }
+
+  private def embeddingNearDupFrom(emb: DataFrame,
+                                   buckets: DataFrame): DataFrame = {
+    val spark = emb.sparkSession
     val cand = buckets.as("x").join(buckets.as("y"),
         col("x.t") === col("y.t") && col("x.bkt") === col("y.bkt")
           && col("x.vec_id") < col("y.vec_id"))

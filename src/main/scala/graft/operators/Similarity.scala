@@ -448,6 +448,39 @@ object Similarity {
       .where(col("rank") <= TopK)
   }
 
+  /** ANN recall report — the number an ANN user actually tunes
+    * [[LshTables]] / [[NumProbes]] / the quantization width by: for each
+    * approximate method, the fraction of the EXACT top-k pairs
+    * ([[bruteForceTopK]]) it recovers. The exact pair set is cut once
+    * (it feeds the denominator and the semi-join probe); each method
+    * contributes one tagged (query, neighbor) stream into a single
+    * semi-join + per-method count. SQL-expressible end-to-end, so the
+    * recall itself sits behind the oracle gate: both engines replay the
+    * exact AND approximate pipelines and must agree on every hit count.
+    */
+  def simRecall(spark: SparkSession, dir: String): DataFrame = {
+    val exact = bruteForceTopK(spark, dir)
+      .select("query_id", "neighbor_id").localCheckpoint()
+    val total = exact.agg(count(lit(1)).as("n_exact"))
+    val approx = Seq(
+      "int8" -> int8TopK(spark, dir),
+      "ivf" -> ivfTopK(spark, dir),
+      "lsh" -> lshTopK(spark, dir))
+      .map { case (m, df) =>
+        df.select(lit(m).as("method"), col("query_id"), col("neighbor_id"))
+      }.reduce(_.unionByName(_))
+    val hits = approx.join(exact, Seq("query_id", "neighbor_id"), "left_semi")
+      .groupBy("method").agg(count(lit(1)).as("n_hit"))
+    val s = spark; import s.implicits._
+    Seq("int8", "ivf", "lsh").toDF("method")
+      .join(hits, Seq("method"), "left")
+      .crossJoin(broadcast(total))
+      .select(col("method"), col("n_exact"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        (coalesce(col("n_hit"), lit(0L)).cast("double")
+          / col("n_exact").cast("double")).as("recall"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "llm_sim_int8_topk" -> int8TopK,
     "llm_emb_quantize" -> embQuantize,
@@ -457,7 +490,8 @@ object Similarity {
     "llm_classify" -> classify,
     "llm_sim_topk_agg" -> bruteForceTopKAgg,
     "llm_sim_lsh_topk" -> lshTopK,
-    "llm_sim_ivf_topk" -> ivfTopK
+    "llm_sim_ivf_topk" -> ivfTopK,
+    "llm_sim_recall" -> simRecall
   )
 
   private val topkOracleSql =
@@ -467,6 +501,103 @@ object Similarity {
        |    ${Hashing.cosineSql("q.e", "n.e", 64)} AS cos_sim
        |  FROM v q JOIN v n ON q.vec_id < $NumQueries
        |    AND q.vec_id != n.vec_id
+       |)
+       |SELECT * FROM (
+       |  SELECT query_id, neighbor_id, cos_sim,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+       |  FROM scored
+       |) WHERE rank <= $TopK""".stripMargin
+
+  private val oracleInt8 =
+    s"""WITH v AS (
+       |  SELECT vec_id,
+       |    list_max(list_transform(embedding, x -> abs(x::DOUBLE)))
+       |      AS scale,
+       |    embedding FROM embeddings),
+       |q AS (
+       |  SELECT vec_id, scale,
+       |    list_transform(embedding, x -> CASE WHEN scale = 0 THEN 0
+       |      ELSE floor(x::DOUBLE * 127.0 / scale + 0.5)::BIGINT END)
+       |      AS qv
+       |  FROM v),
+       |scored AS (
+       |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+       |    list_reduce(list_transform(range(1, 65),
+       |        i -> a.qv[i] * b.qv[i]), (x, y) -> x + y)::DOUBLE
+       |      * a.scale * b.scale / 16129.0 AS qdot
+       |  FROM q a JOIN q b ON a.vec_id < $NumQueries
+       |    AND a.vec_id != b.vec_id)
+       |SELECT * FROM (
+       |  SELECT query_id, neighbor_id, qdot,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY qdot DESC, neighbor_id ASC) AS rank
+       |  FROM scored
+       |) WHERE rank <= $TopK""".stripMargin
+
+  private val oracleLsh =
+    s"""WITH ${Hashing.planesSqlCte(LshTables, LshBits, 64)},
+       |proj AS (
+       |  SELECT vec_id, t, p,
+       |    list_reduce(list_transform(range(1, 65),
+       |      i -> embedding[i]::DOUBLE * w[i]), (a, b) -> a + b) AS pr
+       |  FROM embeddings, planes
+       |),
+       |buckets AS (
+       |  SELECT vec_id, t,
+       |    sum(CASE WHEN pr > 0 THEN (1::BIGINT << p) ELSE 0 END)::BIGINT AS bkt
+       |  FROM proj GROUP BY vec_id, t
+       |),
+       |cand AS (
+       |  SELECT DISTINCT q.vec_id qid, n.vec_id nid
+       |  FROM buckets q JOIN buckets n
+       |    ON q.t = n.t AND q.bkt = n.bkt
+       |    AND q.vec_id < $NumQueries AND q.vec_id != n.vec_id
+       |),
+       |v AS (SELECT vec_id, embedding e FROM embeddings),
+       |scored AS (
+       |  SELECT qid AS query_id, nid AS neighbor_id,
+       |    ${Hashing.cosineSql("a.e", "b.e", 64)} AS cos_sim
+       |  FROM cand JOIN v a ON qid = a.vec_id JOIN v b ON nid = b.vec_id
+       |)
+       |SELECT * FROM (
+       |  SELECT query_id, neighbor_id, cos_sim,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+       |  FROM scored
+       |) WHERE rank <= $TopK""".stripMargin
+
+  private val oracleIvf =
+    s"""WITH v AS (SELECT vec_id, embedding e FROM embeddings),
+       |cents AS (SELECT vec_id AS cid, e AS ce FROM v
+       |          WHERE vec_id < $NumCentroids),
+       |cscore AS (
+       |  SELECT v.vec_id, cents.cid,
+       |    ${Hashing.cosineSql("v.e", "cents.ce", 64)} AS c
+       |  FROM v, cents
+       |),
+       |assign AS (
+       |  SELECT vec_id, cid FROM (
+       |    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
+       |      ORDER BY c DESC, cid ASC) AS rn FROM cscore
+       |  ) WHERE rn = 1
+       |),
+       |probes AS (
+       |  SELECT vec_id AS qid, cid FROM (
+       |    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
+       |      ORDER BY c DESC, cid ASC) AS rn FROM cscore
+       |    WHERE vec_id < $NumQueries
+       |  ) WHERE rn <= $NumProbes
+       |),
+       |cand AS (
+       |  SELECT p.qid, a.vec_id AS nid
+       |  FROM probes p JOIN assign a ON p.cid = a.cid
+       |  WHERE p.qid != a.vec_id
+       |),
+       |scored AS (
+       |  SELECT qid AS query_id, nid AS neighbor_id,
+       |    ${Hashing.cosineSql("a.e", "b.e", 64)} AS cos_sim
+       |  FROM cand JOIN v a ON qid = a.vec_id JOIN v b ON nid = b.vec_id
        |)
        |SELECT * FROM (
        |  SELECT query_id, neighbor_id, cos_sim,
@@ -507,31 +638,7 @@ object Similarity {
          |      ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
          |  FROM scored
          |) WHERE rank <= $TopK""".stripMargin,
-    "llm_sim_int8_topk" ->
-      s"""WITH v AS (
-         |  SELECT vec_id,
-         |    list_max(list_transform(embedding, x -> abs(x::DOUBLE)))
-         |      AS scale,
-         |    embedding FROM embeddings),
-         |q AS (
-         |  SELECT vec_id, scale,
-         |    list_transform(embedding, x -> CASE WHEN scale = 0 THEN 0
-         |      ELSE floor(x::DOUBLE * 127.0 / scale + 0.5)::BIGINT END)
-         |      AS qv
-         |  FROM v),
-         |scored AS (
-         |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
-         |    list_reduce(list_transform(range(1, 65),
-         |        i -> a.qv[i] * b.qv[i]), (x, y) -> x + y)::DOUBLE
-         |      * a.scale * b.scale / 16129.0 AS qdot
-         |  FROM q a JOIN q b ON a.vec_id < $NumQueries
-         |    AND a.vec_id != b.vec_id)
-         |SELECT * FROM (
-         |  SELECT query_id, neighbor_id, qdot,
-         |    row_number() OVER (PARTITION BY query_id
-         |      ORDER BY qdot DESC, neighbor_id ASC) AS rank
-         |  FROM scored
-         |) WHERE rank <= $TopK""".stripMargin,
+    "llm_sim_int8_topk" -> oracleInt8,
     "llm_emb_quantize" ->
       """SELECT vec_id, u.i - 1 AS i, scale,
         |  CASE WHEN scale = 0 THEN 0
@@ -558,74 +665,40 @@ object Similarity {
     // identical answer contract: the custom aggregate must reproduce the
     // window ranking row-for-row
     "llm_sim_topk_agg" -> topkOracleSql,
-    "llm_sim_lsh_topk" ->
-      s"""WITH ${Hashing.planesSqlCte(LshTables, LshBits, 64)},
-         |proj AS (
-         |  SELECT vec_id, t, p,
-         |    list_reduce(list_transform(range(1, 65),
-         |      i -> embedding[i]::DOUBLE * w[i]), (a, b) -> a + b) AS pr
-         |  FROM embeddings, planes
+    "llm_sim_lsh_topk" -> oracleLsh,
+    "llm_sim_ivf_topk" -> oracleIvf,
+    // recall = |approx ∩ exact| / |exact| per method, with each side's
+    // pipeline replayed verbatim as a nested-CTE subquery — the oracle
+    // prices the exact baseline AND all three approximations, then the
+    // recall arithmetic, identically
+    "llm_sim_recall" -> {
+      def pairs(sql: String) =
+        s"(SELECT query_id, neighbor_id FROM ($sql) zz)"
+      s"""WITH exact AS ${pairs(topkOracleSql)},
+         |ap AS (
+         |  SELECT 'int8' AS method, query_id, neighbor_id
+         |  FROM ${pairs(oracleInt8)} a1
+         |  UNION ALL
+         |  SELECT 'ivf' AS method, query_id, neighbor_id
+         |  FROM ${pairs(oracleIvf)} a2
+         |  UNION ALL
+         |  SELECT 'lsh' AS method, query_id, neighbor_id
+         |  FROM ${pairs(oracleLsh)} a3
          |),
-         |buckets AS (
-         |  SELECT vec_id, t,
-         |    sum(CASE WHEN pr > 0 THEN (1::BIGINT << p) ELSE 0 END)::BIGINT AS bkt
-         |  FROM proj GROUP BY vec_id, t
+         |hits AS (
+         |  SELECT method, count(*)::BIGINT AS n_hit FROM ap
+         |  WHERE EXISTS (SELECT 1 FROM exact e
+         |                WHERE e.query_id = ap.query_id
+         |                  AND e.neighbor_id = ap.neighbor_id)
+         |  GROUP BY method
          |),
-         |cand AS (
-         |  SELECT DISTINCT q.vec_id qid, n.vec_id nid
-         |  FROM buckets q JOIN buckets n
-         |    ON q.t = n.t AND q.bkt = n.bkt
-         |    AND q.vec_id < $NumQueries AND q.vec_id != n.vec_id
-         |),
-         |v AS (SELECT vec_id, embedding e FROM embeddings),
-         |scored AS (
-         |  SELECT qid AS query_id, nid AS neighbor_id,
-         |    ${Hashing.cosineSql("a.e", "b.e", 64)} AS cos_sim
-         |  FROM cand JOIN v a ON qid = a.vec_id JOIN v b ON nid = b.vec_id
-         |)
-         |SELECT * FROM (
-         |  SELECT query_id, neighbor_id, cos_sim,
-         |    row_number() OVER (PARTITION BY query_id
-         |      ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
-         |  FROM scored
-         |) WHERE rank <= $TopK""".stripMargin,
-    "llm_sim_ivf_topk" ->
-      s"""WITH v AS (SELECT vec_id, embedding e FROM embeddings),
-         |cents AS (SELECT vec_id AS cid, e AS ce FROM v
-         |          WHERE vec_id < $NumCentroids),
-         |cscore AS (
-         |  SELECT v.vec_id, cents.cid,
-         |    ${Hashing.cosineSql("v.e", "cents.ce", 64)} AS c
-         |  FROM v, cents
-         |),
-         |assign AS (
-         |  SELECT vec_id, cid FROM (
-         |    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
-         |      ORDER BY c DESC, cid ASC) AS rn FROM cscore
-         |  ) WHERE rn = 1
-         |),
-         |probes AS (
-         |  SELECT vec_id AS qid, cid FROM (
-         |    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
-         |      ORDER BY c DESC, cid ASC) AS rn FROM cscore
-         |    WHERE vec_id < $NumQueries
-         |  ) WHERE rn <= $NumProbes
-         |),
-         |cand AS (
-         |  SELECT p.qid, a.vec_id AS nid
-         |  FROM probes p JOIN assign a ON p.cid = a.cid
-         |  WHERE p.qid != a.vec_id
-         |),
-         |scored AS (
-         |  SELECT qid AS query_id, nid AS neighbor_id,
-         |    ${Hashing.cosineSql("a.e", "b.e", 64)} AS cos_sim
-         |  FROM cand JOIN v a ON qid = a.vec_id JOIN v b ON nid = b.vec_id
-         |)
-         |SELECT * FROM (
-         |  SELECT query_id, neighbor_id, cos_sim,
-         |    row_number() OVER (PARTITION BY query_id
-         |      ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
-         |  FROM scored
-         |) WHERE rank <= $TopK""".stripMargin
+         |tot AS (SELECT count(*)::BIGINT AS n_exact FROM exact)
+         |SELECT m.method, tot.n_exact,
+         |  coalesce(hits.n_hit, 0)::BIGINT AS n_hit,
+         |  coalesce(hits.n_hit, 0)::DOUBLE / tot.n_exact::DOUBLE AS recall
+         |FROM (VALUES ('int8'), ('ivf'), ('lsh')) m(method)
+         |LEFT JOIN hits ON m.method = hits.method
+         |CROSS JOIN tot""".stripMargin
+    }
   )
 }

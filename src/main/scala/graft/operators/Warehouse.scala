@@ -247,6 +247,10 @@ object Warehouse {
         col("l_shipdate") < ts("1996-04-01"))
       .groupBy(col("l_suppkey"))
       .agg(sum(rev.cast("decimal(24,6)")).as("rev_dec"))
+      // referenced by BOTH the max aggregate and the equality side: cut
+      // here so the filtered lineitem scan + aggregation run once (the
+      // table is one row per supplier — small at any scale)
+      .localCheckpoint()
     val maxRev = perSupp.agg(max(col("rev_dec")).as("max_rev"))
     val supp = Tables(spark, dir, "supplier").select("s_suppkey", "s_name")
     perSupp

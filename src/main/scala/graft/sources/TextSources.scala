@@ -120,7 +120,9 @@ object TextSources {
       .sortWithinPartitions(column)
       .write.mode("overwrite").parquet(path)
 
-  /** Default per-key bit width for [[zValue]] (2·[[ZBits]] ≤ 63). */
+  /** Default per-key bit width for [[zValue]] (2·max width ≤ 62, the
+    * enforced bound — sign bit and top bit stay clear).
+    */
   val ZBits = 21
 
   /** Morton/Z-value of two non-negative integer columns, MSB-ALIGNED:

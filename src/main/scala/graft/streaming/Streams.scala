@@ -234,19 +234,39 @@ object Streams {
   val MaxBurstPerUser = 256
 
   def eventPairs(events: DataFrame,
-      maxBurst: Int = Int.MaxValue): DataFrame = {
+      maxBurst: Int = Int.MaxValue): DataFrame =
+    eventPairsAudited(events, maxBurst)._1
+
+  /** [[eventPairs]] plus the cap AUDIT: the second DataFrame counts, per
+    * (user_id, bucket), the events the opt-in `maxBurst` guard excluded
+    * from pairing (empty whenever the cap never fires, including the
+    * default). Opting into the bot guard is thereby observable — a
+    * pipeline can alert on, or re-ingest, whatever the cap dropped —
+    * instead of a silent pair deficit. Lazy like everything else: the
+    * audit costs its one extra window+aggregate only if the caller
+    * actually evaluates it.
+    */
+  def eventPairsAudited(events: DataFrame,
+      maxBurst: Int = Int.MaxValue): (DataFrame, DataFrame) = {
     val e = withEventTime(events)
       .select("user_id", "event_id", "ts_us", "event_type")
       .withColumn("bucket", expr(s"ts_us div $PairWindowUs"))
-    val capped =
-      if (maxBurst == Int.MaxValue) e
-      else e.withColumn("rn", row_number().over(
+    val (capped, audit) =
+      if (maxBurst == Int.MaxValue)
+        (e, e.where(lit(false)).groupBy("user_id", "bucket")
+          .agg(count(lit(1)).as("n_capped")))
+      else {
+        val rn = e.withColumn("rn", row_number().over(
           Window.partitionBy("user_id", "bucket")
             .orderBy("ts_us", "event_id")))
-        .where(col("rn") <= maxBurst).drop("rn")
+        (rn.where(col("rn") <= maxBurst).drop("rn"),
+          rn.where(col("rn") > maxBurst)
+            .groupBy("user_id", "bucket")
+            .agg(count(lit(1)).as("n_capped")))
+      }
     val a = capped.select(col("user_id"), col("ts_us"), col("event_type"),
       explode(array(col("bucket"), col("bucket") + 1)).as("tb"))
-    capped.as("b").join(a.as("a"),
+    val pairs = capped.as("b").join(a.as("a"),
         col("a.user_id") === col("b.user_id")
           && col("a.tb") === col("b.bucket")
           && col("b.ts_us") > col("a.ts_us")
@@ -254,6 +274,7 @@ object Streams {
       .groupBy(col("a.event_type").as("type_a"),
         col("b.event_type").as("type_b"))
       .agg(count(lit(1)).as("n_pairs"))
+    (pairs, audit)
   }
 
   /** Stream-stream interval join: purchases attributed to a same-user
@@ -506,10 +527,18 @@ object Streams {
           .cast("double").as("s2"))
       .select(col("event_id"), col("user_id"), col("value"), col("n_user"),
         mean.as("mean_v"),
-        (col("s2") / col("n_user").cast("double") - mean * mean)
-          .as("var_v"))
+        // E[v²]−E[v]² can cancel to a tiny NEGATIVE for a near-constant
+        // baseline — clamp at zero (the streaming variant's guard,
+        // mirrored in the oracle) so such users can't flag everything
+        greatest(col("s2") / col("n_user").cast("double") - mean * mean,
+          lit(0.0)).as("var_v"))
       .where((col("value") - col("mean_v")) * (col("value") - col("mean_v"))
-        > lit(OutlierSigmaSq) * col("var_v"))
+        > lit(OutlierSigmaSq) * col("var_v")
+        // dead-band twin of the clamp: an arrival equal to its baseline
+        // (where (v−mean)² is rounding noise) can never out-flag a zero
+        // variance — identical IEEE ops on both engines
+        && abs(col("value") - col("mean_v"))
+          > lit(1e-9) * (lit(1.0) + abs(col("mean_v"))))
   }
 
   /** Prior observations a user needs before the ONLINE detector scores
@@ -630,12 +659,14 @@ object Streams {
          |m AS (
          |  SELECT event_id, user_id, value, n_user,
          |    s1 / n_user::DOUBLE AS mean_v,
-         |    s2 / n_user::DOUBLE
-         |      - (s1 / n_user::DOUBLE) * (s1 / n_user::DOUBLE) AS var_v
+         |    greatest(s2 / n_user::DOUBLE
+         |      - (s1 / n_user::DOUBLE) * (s1 / n_user::DOUBLE), 0.0)
+         |      AS var_v
          |  FROM s)
          |SELECT * FROM m
          |WHERE (value - mean_v) * (value - mean_v)
-         |  > $OutlierSigmaSq * var_v""".stripMargin,
+         |  > $OutlierSigmaSq * var_v
+         |  AND abs(value - mean_v) > 1e-9 * (1.0 + abs(mean_v))""".stripMargin,
     "stream_tumbling_stats" ->
       """SELECT time_bucket(INTERVAL 1 HOUR, ts) AS win_start, event_type,
         |  count(*) AS n_events,

@@ -43,10 +43,12 @@ class PlanShapeSpec extends SparkSpecBase {
   }
 
   test("itemset supports: 1-row broadcast lookup, never a cartesian") {
-    // itemsetSupports may already be session-cached (shared across the
-    // apriori queries); the cached InMemoryRelation's stored physical plan
-    // surfaces through the optimized plan, so inspect both.
-    val qe = Apriori.itemsetSupports(spark, Sf).queryExecution
+    // the fixture entry reads the session basket cache (a checkpoint,
+    // lineage truncated), so inspect the identical DF-parameterized
+    // pipeline: the frequent-item set must reach the baskets as a 1-row
+    // broadcast, never a cartesian
+    val qe = Apriori.itemsetSupportsOf(Apriori.transactions(spark, Sf))
+      .queryExecution
     val p = qe.executedPlan.toString + "\n" + qe.optimizedPlan.toString
     assert(p.contains("BroadcastNestedLoopJoin"), p)
     assert(!p.contains("CartesianProduct"), p)
@@ -74,16 +76,17 @@ class PlanShapeSpec extends SparkSpecBase {
     // the per-group running sum hash-partitions on g — the data-scale
     // window runs parallel ...
     assert(p.contains("hashpartitioning(g"), p)
-    // ... and the single-partition stage exists only for the per-GROUP
-    // offsets (#groups rows), which then ride a broadcast back
+    // ... and the offsets ride joins back (broadcast while small)
     assert(p.contains("BroadcastHashJoin"), p)
-    // the only single-partition exchange feeds DIRECTLY from the
-    // per-group aggregate — #groups rows, never the raw corpus
+    // every single-partition exchange feeds DIRECTLY from a RECURSED
+    // per-group-of-groups aggregate (keys=[g2…], the twice-or-more
+    // reduced totals) — never the raw corpus, and never even the
+    // first-level N/PackGroup offsets table
     val singles = "Exchange SinglePartition[^\n]*\n[^\n]*".r.findAllIn(p).toList
     assert(singles.nonEmpty, p)
     singles.foreach(s =>
-      assert(s.contains("HashAggregate(keys=[g"),
-        s"SinglePartition exchange over non-aggregated rows:\n$s"))
+      assert(s.contains("HashAggregate(keys=[g2"),
+        s"SinglePartition exchange over an unrecursed table:\n$s"))
   }
 
   test("stratified sampling is a pure scan: no exchange at all") {
@@ -148,14 +151,14 @@ class PlanShapeSpec extends SparkSpecBase {
     assert(!pb.contains("Exchange"), s"badwords plan shuffles:\n$pb")
   }
 
-  test("chunk packing: the single-partition window sees only group rows") {
+  test("chunk packing: the single-partition window sees recursed totals") {
     val p = finalPlan(graft.operators.Curation.packChunks(spark, Sf))
     assert(p.contains("hashpartitioning(g"), p)
     val singles = "Exchange SinglePartition[^\n]*\n[^\n]*".r.findAllIn(p).toList
     assert(singles.nonEmpty, p)
     singles.foreach(s =>
-      assert(s.contains("HashAggregate(keys=[g"),
-        s"SinglePartition exchange over non-aggregated rows:\n$s"))
+      assert(s.contains("HashAggregate(keys=[g2"),
+        s"SinglePartition exchange over an unrecursed table:\n$s"))
   }
 
   test("funnel: all three stage aggregations align on the user hash") {
@@ -229,7 +232,7 @@ class PlanShapeSpec extends SparkSpecBase {
         s"text crosses an exchange:\n$e"))
   }
 
-  test("pipeline tokens: one tree — gates pipelined, vocab broadcast") {
+  test("pipeline tokens: chunk subtree cut once, vocab broadcast") {
     val p = finalPlan(graft.operators.Curation.pipelineTokens(
       spark, "/root/testdata/sf0.01"))
     assert(!p.contains("CartesianProduct"), p)
@@ -239,6 +242,16 @@ class PlanShapeSpec extends SparkSpecBase {
     // token stream never shuffles on token for the encode join
     assert(p.contains("BroadcastHashJoin"), p)
     assert(!p.contains("hashpartitioning(tok"), p)
+    // the three chunk consumers read the materialize cut — the gate
+    // family (documents ⋈ quality ⋈ lang ⋈ dedup ⋈ split) must not be
+    // re-derived per branch, so the documents scan appears at most
+    // twice (the cut subtree's lineage is truncated away entirely;
+    // without the cut it appeared once per consumer branch)
+    assert("documents\\.parquet".r.findAllIn(p).size <= 2, p)
+    // and the same answer is still available as ONE declarative tree
+    val one = graft.operators.Curation.pipelineTokensMat(
+      spark, "/root/testdata/sf0.01", graft.Materialize.None)
+    assert(one.queryExecution.optimizedPlan != null)
   }
 
   test("upsert merges in one exchange with map-side partial aggregation") {

@@ -330,6 +330,26 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("eventPairs cap audit counts exactly the planted burst overflow") {
+    val s = spark; import s.implicits._
+    val SecNs = 1000L * 1000 * 1000
+    // user 1: a 7-event burst inside one pair bucket; user 2: 2 events
+    val evts = ((1 to 7).map(i => ev(i, i * SecNs, user = 1)) ++
+      Seq(ev(11, 1 * SecNs, user = 2), ev(12, 2 * SecNs, user = 2))).toDF()
+    val (pairs, audit) = Streams.eventPairsAudited(evts, maxBurst = 4)
+    // beyond-cap events are observable: user 1 lost exactly 3 in its
+    // bucket, user 2 (under the cap) does not appear
+    val a = audit.collect().map(r => (r.getLong(0), r.getLong(2)))
+    assert(a.toSeq == Seq((1L, 3L)), a.mkString(","))
+    // and the pair deficit matches: C(4,2) for user 1 + 1 for user 2
+    val n = pairs.collect().map(_.getLong(2)).sum
+    assert(n == 7, pairs.collect().mkString(","))
+    // the exact default emits every pair and an EMPTY audit
+    val (allPairs, noAudit) = Streams.eventPairsAudited(evts)
+    assert(allPairs.collect().map(_.getLong(2)).sum == 21 + 1)
+    assert(noAudit.collect().isEmpty)
+  }
+
   test("as-of join picks the latest view at-or-before each purchase") {
     val s = spark; import s.implicits._
     val evts = Seq(
