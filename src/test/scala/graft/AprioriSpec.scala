@@ -50,6 +50,28 @@ class AprioriSpec extends SparkSpecBase {
     assert(got == brute)
   }
 
+  test("raw candidate stream: support-gating it yields exactly freqItemsets") {
+    // apriori_raw parity (CandidateGenReduce emits ungated counts; the
+    // gate applies later): filtering the raw stream at Support must
+    // reproduce the final variant's answer row-for-row
+    val gated = Apriori.candidatesRaw(spark, Sf)
+      .where(org.apache.spark.sql.functions.col("cnt") >= Apriori.Support)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val fin = Apriori.freqItemsets(spark, Sf)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(gated == fin)
+    // and the raw stream is strictly larger (ungated candidates exist)
+    assert(Apriori.candidatesRaw(spark, Sf).count() > fin.size)
+  }
+
+  test("text basket round-trip reproduces the parquet-path frequent items") {
+    val viaText = Apriori.freqItemsText(spark, Sf)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val viaParquet = Apriori.freqItems(spark, Sf)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(viaText == viaParquet)
+  }
+
   test("fixture baskets stay within MaxBasket (oracle parity guard)") {
     import org.apache.spark.sql.functions._
     val widest = Apriori.transactions(spark, Sf)

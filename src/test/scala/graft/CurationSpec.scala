@@ -57,6 +57,29 @@ class CurationSpec extends SparkSpecBase {
     assert(byId.zip(byId.tail).forall { case (a, b) => a <= b })
   }
 
+  test("recursed offsets equal the global prefix sum beyond one group level") {
+    // the fixture has ≤ 2 first-level groups, so recursion levels run
+    // degenerate there; 70k synthetic docs give 274 groups → 2 groups of
+    // groups → 1 root row, exercising every recursion level non-trivially
+    val s = spark; import s.implicits._
+    val n = 70000L
+    val corpus = spark.range(n).selectExpr(
+      "id AS doc_id",
+      // 1..7 single-char tokens per doc, deterministic in doc_id
+      "array_join(array_repeat('x', cast(id % 7 AS INT) + 1), ' ') AS text")
+    val got = Curation.packShardsOf(corpus).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+    var cum = 0L
+    val want = (0L until n).map { id =>
+      val tok = (id % 7) + 1
+      val shard = cum / Curation.ShardBudget
+      cum += tok
+      id -> (tok, shard)
+    }.toMap
+    assert(got == want)
+    assert(got.values.map(_._2).max > 60) // many shards, real cumsum depth
+  }
+
   private def uSalted(docId: Long): Double =
     u(Curation.SplitSalt + docId.toString)
 

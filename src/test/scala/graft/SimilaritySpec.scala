@@ -100,6 +100,27 @@ class SimilaritySpec extends SparkSpecBase {
   private def objective(cents: Array[(Long, Array[Double])]): Double =
     vecs.values.map(e => cents.map(c => cos(e, c._2)).max).sum / vecs.size
 
+  test("recall report equals a recount of its own constituent queries") {
+    val exact = Similarity.bruteForceTopK(spark, Sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = Map(
+      "int8" -> pairs(Similarity.int8TopK(spark, Sf)),
+      "ivf" -> pairs(Similarity.ivfTopK(spark, Sf)),
+      "lsh" -> pairs(Similarity.lshTopK(spark, Sf)))
+    val got = Similarity.simRecall(spark, Sf).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(got.keySet == Set("int8", "ivf", "lsh"))
+    got.foreach { case (m, (nExact, nHit, recall)) =>
+      assert(nExact == exact.size.toLong, m)
+      assert(nHit == (want(m) & exact).size.toLong, m)
+      assert(recall == nHit.toDouble / nExact.toDouble, m)
+      assert(recall >= 0.0 && recall <= 1.0, m)
+    }
+  }
+
   test("kmeans quantizer: iters=0 is the sampled seed the oracle encodes") {
     val got = Similarity.kmeansCentroids(embDf, 0)
     val want = vecs.filter(_._1 < Similarity.NumCentroids).toSeq.sortBy(_._1)
