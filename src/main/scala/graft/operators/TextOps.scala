@@ -660,7 +660,127 @@ object TextOps {
       .select(col("doc_id"), col("n_tokens"), col("n_oov"),
         concat_ws(",", col("ids").cast("array<string>")).as("ids_csv"))
 
+  // ---- PII redaction ----
+
+  /** Redaction patterns (RE2/Java-common subset — no lookaround, so both
+    * engines compile the identical automaton): email-shaped spans and
+    * NNN-NNNN phone-shaped spans.
+    */
+  val EmailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  val PhoneRe = "\\b\\d{3}-\\d{4}\\b"
+
+  /** PII scrub of any (doc_id, text) corpus — the redaction pass every
+    * training-data pipeline runs before a crawl ships: count, then
+    * replace, email- and phone-shaped spans with typed placeholders.
+    * Counts are computed on the PRE-scrub text (audit numbers are
+    * independent of replacement order). Entirely row-local — one
+    * projection above the scan, zero shuffles, trivially parallel at
+    * any scale.
+    */
+  def piiScrubOf(corpus: DataFrame): DataFrame =
+    corpus.select(
+      col("doc_id"),
+      size(regexp_extract_all(col("text"), lit(EmailRe), lit(0)))
+        .cast("long").as("n_emails"),
+      size(regexp_extract_all(col("text"), lit(PhoneRe), lit(0)))
+        .cast("long").as("n_phones"),
+      regexp_replace(regexp_replace(col("text"), EmailRe, "<email>"),
+        PhoneRe, "<phone>").as("clean_text"))
+
+  /** Fixture entry: the corpus carries no PII by construction (lowercase
+    * letter tokens — FIXTURES.md), so the entry INJECTS deterministic
+    * synthetic emails/phones first (a pure function of doc_id, the
+    * [[Curation.upsert]] synthetic-batch pattern) and scrubs them. The
+    * oracle replays injection + scrub, so the redaction kernel, its
+    * counts, and the untouched-text passthrough are all hash-verified.
+    */
+  def piiScrub(spark: SparkSession, dir: String): DataFrame =
+    piiScrubOf(docs(spark, dir).select(col("doc_id"),
+      concat(col("text"),
+        when(col("doc_id") % 3 === 0,
+          concat(lit(" contact user"), col("doc_id").cast("string"),
+            lit("@example.com"))).otherwise(lit("")),
+        when(col("doc_id") % 5 === 0,
+          concat(lit(" call 555-"),
+            lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+          .otherwise(lit(""))).as("text")))
+
+  // ---- BPE tokenizer training (merge learning) ----
+
+  /** Merge steps the fixture entry learns. */
+  val BpeMerges = 12
+
+  /** Learn the first `n` BPE merges from a (word, freq) vocabulary — the
+    * tokenizer-training step of an LLM data pipeline (Sennrich et al.
+    * 2016, "Neural Machine Translation of Rare Words with Subword
+    * Units"): repeatedly count adjacent symbol pairs weighted by word
+    * frequency, merge the most frequent pair (ties: lexicographically
+    * smallest (a, b)), rewrite the vocabulary, repeat.
+    *
+    * Scale shape: the vocabulary is the AGGREGATED word-frequency table
+    * (≪ corpus — the only corpus-scale work is the one word count that
+    * feeds it, exactly how industrial BPE trainers run); each step is
+    * one pair-count aggregation with map-side partials plus a row-local
+    * rewrite, and driver state is ONE (a, b) pair per step — the
+    * [[Apriori.freqItemsetsLevelwise]] / [[Sgd]] loop shape.
+    *
+    * Words are carried as '|'-delimited symbol strings ('|c||a||t|'):
+    * a merge is then ONE non-overlapping left-to-right literal string
+    * replace — identical semantics on the JVM and in DuckDB — and
+    * greedy-left BPE ('|a||a||a|' → '|aa||a|') falls out of replace's
+    * scan order. '|' can never occur inside a symbol (symbols grow only
+    * by concatenation from single characters), so a pattern can never
+    * match across symbol boundaries.
+    */
+  def bpeMergesOf(vocab: DataFrame, n: Int): DataFrame = {
+    val spark = vocab.sparkSession
+    val s = spark; import s.implicits._
+    var words = vocab.select(
+      regexp_replace(col("word"), "(.)", "|$1|").as("w"), col("freq"))
+      .localCheckpoint()
+    val merges = Seq.newBuilder[(Long, String, String, String, Long)]
+    var step = 1
+    var done = false
+    while (step <= n && !done) {
+      val top = words
+        .select(col("freq"),
+          split(expr("substr(w, 2, length(w) - 2)"), "\\|\\|").as("s"))
+        .where(size(col("s")) >= 2) // sequence(0, -1) would run DESCENDING
+        .select(col("freq"), explode(expr(
+          "transform(sequence(0, size(s) - 2)," +
+            " i -> named_struct('a', s[i], 'b', s[i + 1]))")).as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum(col("freq")).as("cnt"))
+        .orderBy(col("cnt").desc, col("a").asc, col("b").asc)
+        .limit(1)
+        .collect()
+      if (top.isEmpty) done = true // vocabulary fully merged before n
+      else {
+        val (a, b, c) =
+          (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        merges += ((step.toLong, a, b, a + b, c))
+        val next = words.select(
+          org.apache.spark.sql.functions.replace(col("w"),
+            lit("|" + a + "||" + b + "|"), lit("|" + a + b + "|")).as("w"),
+          col("freq")).localCheckpoint()
+        graft.Materialize.release(words)
+        words = next
+        step += 1
+      }
+    }
+    graft.Materialize.release(words)
+    merges.result().toDF("step", "a", "b", "merged", "cnt")
+  }
+
+  /** Fixture entry: merges learned from the documents word frequencies. */
+  def bpeMerges(spark: SparkSession, dir: String): DataFrame =
+    bpeMergesOf(docs(spark, dir)
+      .select(explode(toks).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("freq")), BpeMerges)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "llm_pii_scrub" -> piiScrub,
+    "llm_bpe_merges" -> bpeMerges,
     "llm_encode" -> encode,
     "llm_badwords" -> badwords,
     "llm_lm_score" -> lmScore,
@@ -704,7 +824,60 @@ object TextOps {
       |      FROM j)
       |WHERE rk = 1""".stripMargin
 
+  /** Generated n-step BPE oracle: each step is a pair-count CTE, a
+    * 1-row argmax CTE (same (cnt DESC, a, b) tie order as Spark), and a
+    * rewrite CTE using the same non-overlapping left-to-right replace.
+    */
+  private def bpeOracleSql(n: Int): String = {
+    val w0 =
+      """w0 AS (
+        |  SELECT regexp_replace(word, '(.)', '|\1|', 'g') AS w,
+        |         count(*)::BIGINT AS freq
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS word
+        |        FROM documents)
+        |  GROUP BY 1)""".stripMargin
+    val steps = (1 to n).map { i =>
+      s"""pc$i AS (
+         |  SELECT u.a AS a, u.b AS b, sum(freq)::BIGINT AS cnt FROM (
+         |    SELECT freq, unnest(list_transform(range(1, len(s)),
+         |      j -> {'a': s[j], 'b': s[j + 1]})) AS u
+         |    FROM (SELECT string_split(substr(w, 2, len(w) - 2), '||')
+         |            AS s, freq
+         |          FROM w${i - 1})
+         |  ) GROUP BY 1, 2),
+         |p$i AS (
+         |  SELECT $i::BIGINT AS step, a, b, a || b AS merged, cnt
+         |  FROM pc$i ORDER BY cnt DESC, a ASC, b ASC LIMIT 1),
+         |w$i AS (
+         |  SELECT replace(w, '|' || a || '||' || b || '|',
+         |                 '|' || a || b || '|') AS w, freq
+         |  FROM w${i - 1}, p$i)""".stripMargin
+    }
+    val sel = (1 to n)
+      .map(i => s"SELECT step, a, b, merged, cnt FROM p$i")
+      .mkString("\nUNION ALL\n")
+    s"WITH $w0,\n${steps.mkString(",\n")}\n$sel"
+  }
+
   val oracle: Map[String, String] = Map(
+    "llm_pii_scrub" ->
+      s"""WITH t2 AS (
+         |  SELECT doc_id,
+         |    text
+         |    || CASE WHEN doc_id % 3 = 0
+         |       THEN ' contact user' || doc_id || '@example.com'
+         |       ELSE '' END
+         |    || CASE WHEN doc_id % 5 = 0
+         |       THEN ' call 555-' || lpad((doc_id % 10000)::VARCHAR, 4, '0')
+         |       ELSE '' END AS text
+         |  FROM documents)
+         |SELECT doc_id,
+         |  len(regexp_extract_all(text, '$EmailRe'))::BIGINT AS n_emails,
+         |  len(regexp_extract_all(text, '$PhoneRe'))::BIGINT AS n_phones,
+         |  regexp_replace(regexp_replace(text, '$EmailRe', '<email>', 'g'),
+         |                 '$PhoneRe', '<phone>', 'g') AS clean_text
+         |FROM t2""".stripMargin,
+    "llm_bpe_merges" -> bpeOracleSql(BpeMerges),
     "llm_encode" ->
       s"""WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t
          |            FROM documents),

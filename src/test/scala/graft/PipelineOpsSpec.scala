@@ -26,6 +26,78 @@ class PipelineOpsSpec extends SparkSpecBase {
     else Set(text)
   }
 
+  /** Driver-side reference BPE: greedy-left merges over a char-symbol
+    * word-frequency dict (Sennrich et al. 2016 semantics).
+    */
+  private def refBpe(freqs: Map[String, Long],
+      n: Int): Seq[(Long, String, String, String, Long)] = {
+    var words: Seq[(Seq[String], Long)] =
+      freqs.toSeq.map { case (w, f) => (w.map(_.toString), f) }
+    (1 to n).flatMap { step =>
+      val counts = scala.collection.mutable.Map[(String, String), Long]()
+      words.foreach { case (syms, f) =>
+        syms.zip(syms.drop(1)).foreach { p =>
+          counts(p) = counts.getOrElse(p, 0L) + f
+        }
+      }
+      if (counts.isEmpty) None
+      else {
+        val ((a, b), c) = counts.minBy { case ((a, b), c) => (-c, a, b) }
+        words = words.map { case (syms, f) =>
+          val out = Seq.newBuilder[String]
+          var i = 0
+          while (i < syms.length) { // greedy-left merge
+            if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+              out += a + b; i += 2
+            } else { out += syms(i); i += 1 }
+          }
+          (out.result(), f)
+        }
+        Some((step.toLong, a, b, a + b, c))
+      }
+    }
+  }
+
+  test("BPE merges equal the reference greedy-left trainer") {
+    val freqs = docs.flatMap(_._3.split(" "))
+      .groupBy(identity).map { case (w, g) => w -> g.size.toLong }
+    val want = refBpe(freqs, TextOps.BpeMerges)
+    val got = TextOps.bpeMerges(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4))).sortBy(_._1).toSeq
+    assert(got == want)
+    assert(got.size == TextOps.BpeMerges) // fixture vocab doesn't exhaust
+  }
+
+  test("BPE merge application is greedy-left on overlapping runs") {
+    val s = spark; import s.implicits._
+    // 'aaaa'×5: pair (a,a) counts 15; merging gives aa aa (greedy-left),
+    // then (aa,aa) merges next — the overlap semantics that distinguish
+    // BPE from naive pair rewriting
+    val vocab = Seq(("aaaa", 5L)).toDF("word", "freq")
+    val got = TextOps.bpeMergesOf(vocab, 2).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getLong(4))).toSeq.sortBy(_._1)
+    assert(got == Seq((1L, "a", "a", 15L), (2L, "aa", "aa", 5L)), got)
+  }
+
+  test("PII scrub: injected spans are counted and redacted, rest untouched") {
+    val got = TextOps.piiScrub(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(got.length == docs.size)
+    val text = docs.map(d => d._1 -> d._3).toMap
+    got.foreach { case (id, nEmail, nPhone, clean) =>
+      assert(nEmail == (if (id % 3 == 0) 1L else 0L), id)
+      assert(nPhone == (if (id % 5 == 0) 1L else 0L), id)
+      // the original text survives verbatim as the prefix (redaction
+      // never touches non-PII spans — fixture text has no @ or digits)
+      assert(clean.startsWith(text(id)), id)
+      assert(clean.contains("<email>") == (id % 3 == 0), id)
+      assert(clean.contains("<phone>") == (id % 5 == 0), id)
+      assert(!clean.contains("@") && !clean.exists(_.isDigit), id)
+    }
+  }
+
   test("decontaminate matches brute-force eval-set n-gram overlap") {
     val evalGrams = docs.collect {
       case (id, _, text) if id % Contamination.EvalMod == 0 =>
