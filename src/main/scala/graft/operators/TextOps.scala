@@ -778,9 +778,63 @@ object TextOps {
       .select(explode(toks).as("word"))
       .groupBy("word").agg(count(lit(1)).as("freq")), BpeMerges)
 
+  /** Session-lifetime learned-merge cache (driver-side: n tiny rows per
+    * (session, dir)): training runs once, every encode invocation reuses
+    * the table — a tokenizer is trained once and applied per shard.
+    * get + putIfAbsent, not computeIfAbsent (never hold a map bin lock
+    * through the training loop's Spark jobs).
+    */
+  private val bpeCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), Seq[(String, String)]]
+
+  private def learnedMerges(spark: SparkSession,
+      dir: String): Seq[(String, String)] = {
+    val key = (spark, dir)
+    val got = bpeCache.get(key)
+    if (got != null) got
+    else {
+      val built = bpeMerges(spark, dir).orderBy("step").collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      val prev = bpeCache.putIfAbsent(key, built)
+      if (prev != null) prev else built
+    }
+  }
+
+  /** Apply a learned merge table — the tokenize side of [[bpeMergesOf]],
+    * and the proof the learned merges actually segment: every word is
+    * exploded to its character symbols and the merges replay IN TRAINING
+    * ORDER (the same left-to-right literal replace), then per-document
+    * word and subword totals aggregate. Character fallback means no OOV
+    * by construction. Entirely row-local until the final per-doc
+    * aggregation (one shuffle with map-side partials); the merge table
+    * is a handful of string literals baked into the plan — at 100 TB
+    * the corpus never shuffles to be encoded.
+    */
+  def bpeEncodeOf(corpus: DataFrame,
+      merges: Seq[(String, String)]): DataFrame = {
+    val encoded = merges.foldLeft(
+      regexp_replace(col("word"), "(.)", "|$1|")) { case (c, (a, b)) =>
+      org.apache.spark.sql.functions.replace(c,
+        lit("|" + a + "||" + b + "|"), lit("|" + a + b + "|"))
+    }
+    corpus
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+      .select(col("doc_id"), encoded.as("w"))
+      .select(col("doc_id"),
+        size(split(expr("substr(w, 2, length(w) - 2)"), "\\|\\|"))
+          .cast("long").as("n_sub"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"), sum(col("n_sub")).as("n_subwords"))
+  }
+
+  /** Fixture entry: the corpus encoded with its own learned merges. */
+  def bpeEncode(spark: SparkSession, dir: String): DataFrame =
+    bpeEncodeOf(docs(spark, dir), learnedMerges(spark, dir))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "llm_pii_scrub" -> piiScrub,
     "llm_bpe_merges" -> bpeMerges,
+    "llm_bpe_encode" -> bpeEncode,
     "llm_encode" -> encode,
     "llm_badwords" -> badwords,
     "llm_lm_score" -> lmScore,
@@ -828,7 +882,7 @@ object TextOps {
     * 1-row argmax CTE (same (cnt DESC, a, b) tie order as Spark), and a
     * rewrite CTE using the same non-overlapping left-to-right replace.
     */
-  private def bpeOracleSql(n: Int): String = {
+  private def bpeCtePrefix(n: Int): String = {
     val w0 =
       """w0 AS (
         |  SELECT regexp_replace(word, '(.)', '|\1|', 'g') AS w,
@@ -853,10 +907,36 @@ object TextOps {
          |                 '|' || a || b || '|') AS w, freq
          |  FROM w${i - 1}, p$i)""".stripMargin
     }
+    s"WITH $w0,\n${steps.mkString(",\n")}"
+  }
+
+  private def bpeOracleSql(n: Int): String = {
     val sel = (1 to n)
       .map(i => s"SELECT step, a, b, merged, cnt FROM p$i")
       .mkString("\nUNION ALL\n")
-    s"WITH $w0,\n${steps.mkString(",\n")}\n$sel"
+    s"${bpeCtePrefix(n)}\n$sel"
+  }
+
+  /** Encode oracle: the training chain's p1..pn rows cross-join onto
+    * every corpus word occurrence and replay as the same nested
+    * left-to-right replaces, then per-doc totals aggregate.
+    */
+  private def bpeEncodeOracleSql(n: Int): String = {
+    val applied = (1 to n).foldLeft("w")((e, i) =>
+      s"replace($e, '|' || p$i.a || '||' || p$i.b || '|'," +
+        s" '|' || p$i.merged || '|')")
+    s"""${bpeCtePrefix(n)},
+       |occ AS (
+       |  SELECT doc_id, regexp_replace(word, '(.)', '|\\1|', 'g') AS w
+       |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+       |        FROM documents)),
+       |enc AS (
+       |  SELECT doc_id, $applied AS ew
+       |  FROM occ, ${(1 to n).map("p" + _).mkString(", ")})
+       |SELECT doc_id, count(*)::BIGINT AS n_words,
+       |  sum(len(string_split(substr(ew, 2, len(ew) - 2), '||')))::BIGINT
+       |    AS n_subwords
+       |FROM enc GROUP BY doc_id""".stripMargin
   }
 
   val oracle: Map[String, String] = Map(
@@ -878,6 +958,7 @@ object TextOps {
          |                 '$PhoneRe', '<phone>', 'g') AS clean_text
          |FROM t2""".stripMargin,
     "llm_bpe_merges" -> bpeOracleSql(BpeMerges),
+    "llm_bpe_encode" -> bpeEncodeOracleSql(BpeMerges),
     "llm_encode" ->
       s"""WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t
          |            FROM documents),

@@ -81,6 +81,38 @@ class PipelineOpsSpec extends SparkSpecBase {
     assert(got == Seq((1L, "a", "a", 15L), (2L, "aa", "aa", 5L)), got)
   }
 
+  test("BPE encode totals equal a driver-side replay of the learned merges") {
+    val freqs = docs.flatMap(_._3.split(" "))
+      .groupBy(identity).map { case (w, g) => w -> g.size.toLong }
+    val merges = refBpe(freqs, TextOps.BpeMerges).map(m => (m._2, m._3))
+    def apply1(syms: Seq[String], a: String, b: String): Seq[String] = {
+      val out = Seq.newBuilder[String]; var i = 0
+      while (i < syms.length) {
+        if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+          out += a + b; i += 2
+        } else { out += syms(i); i += 1 }
+      }
+      out.result()
+    }
+    val seg: Map[String, Long] = freqs.keys.map { w =>
+      w -> merges.foldLeft(w.map(_.toString): Seq[String]) {
+        case (s, (a, b)) => apply1(s, a, b)
+      }.length.toLong
+    }.toMap
+    val want = docs.map { case (id, _, t) =>
+      val ws = t.split(" ")
+      id -> ((ws.length.toLong, ws.map(seg).sum))
+    }.toMap
+    val got = TextOps.bpeEncode(spark, Sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got == want)
+    // merges strictly compress: fewer subwords than characters
+    got.foreach { case (id, (nw, ns)) =>
+      val chars = docs.find(_._1 == id).get._3.count(_ != ' ').toLong
+      assert(ns >= nw && ns < chars, id)
+    }
+  }
+
   test("PII scrub: injected spans are counted and redacted, rest untouched") {
     val got = TextOps.piiScrub(spark, Sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
