@@ -149,6 +149,17 @@ class PlanShapeSpec extends SparkSpecBase {
     assert(!pc.contains("Exchange"), s"chunk plan shuffles:\n$pc")
     val pb = finalPlan(graft.operators.TextOps.badwords(spark, Sf))
     assert(!pb.contains("Exchange"), s"badwords plan shuffles:\n$pb")
+    val pp = finalPlan(graft.operators.TextOps.piiScrub(spark, Sf))
+    assert(!pp.contains("Exchange"), s"pii scrub plan shuffles:\n$pp")
+  }
+
+  test("BPE encode: merges ride the plan as literals, one doc aggregation") {
+    val p = finalOnly(graft.operators.TextOps.bpeEncode(spark, Sf))
+    // the merge table is baked into the projection (no join against a
+    // merges relation), so the only exchange is the per-doc aggregate
+    assert(!p.contains("Join"), p)
+    assert("ShuffleQueryStage".r.findAllIn(p).size == 1, p)
+    assert("partial_count\\(1\\)".r.findAllIn(p).size >= 1, p)
   }
 
   test("chunk packing: the single-partition window sees recursed totals") {
