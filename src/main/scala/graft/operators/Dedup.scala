@@ -666,11 +666,31 @@ object Dedup {
     labels.select(col("id").as("doc_id"), col("lbl").as("cluster_id"))
   }
 
-  /** Fixture entry: components of the minhash near-dup graph (rides the
-    * session-cached band index).
+  /** Fixture entry: components of the minhash near-dup graph. The
+    * membership table rides the session index cache (like the band
+    * index it derives from): four entries — clusters, keep-best, its
+    * applied form, the size histogram — read the same components, and
+    * a real pipeline materializes them once per pass rather than
+    * re-running the label-propagation loop. (The loop's own final
+    * checkpoint is superseded by the cache's; its blocks are reclaimed
+    * by the ContextCleaner once unreferenced.)
     */
   def clusters(spark: SparkSession, dir: String): DataFrame =
-    clustersOf(minhashLsh(spark, dir))
+    cachedIdx(spark, dir, "clusters")(clustersOf(minhashLsh(spark, dir)))
+
+  /** Cluster-size distribution — the dedup QA report a pipeline records
+    * per pass: how many near-dup components of each size exist (pairs
+    * vs long transitive chains — the shape that decides between the
+    * drop-doc_b and keep-best policies). Two partial-aggregated
+    * group-bys over the (already component-scale) membership table.
+    */
+  def clusterSizes(spark: SparkSession, dir: String): DataFrame =
+    clusterSizesOf(clusters(spark, dir))
+
+  def clusterSizesOf(cl: DataFrame): DataFrame =
+    cl.groupBy("cluster_id").agg(count(lit(1)).as("sz"))
+      .groupBy("sz").agg(count(lit(1)).as("n_clusters"))
+      .select(col("sz").as("cluster_size"), col("n_clusters"))
 
   def applyDedup(spark: SparkSession, dir: String): DataFrame =
     // rides the session-cached shingle/band index via minhashLsh
@@ -774,6 +794,7 @@ object Dedup {
     "llm_dedup_spans" -> spanDedup,
     "llm_dedup_apply" -> applyDedup,
     "llm_dedup_clusters" -> clusters,
+    "llm_dedup_cluster_sizes" -> clusterSizes,
     "llm_dedup_keep_best" -> keepBest,
     "llm_dedup_apply_best" -> applyKeepBest,
     "llm_dedup_exact" -> exact,
@@ -887,6 +908,12 @@ object Dedup {
         |  min(doc_id) AS keep_doc_id
         |FROM documents GROUP BY 1""".stripMargin,
     "llm_dedup_clusters" -> clustersOracleSql,
+    "llm_dedup_cluster_sizes" ->
+      s"""WITH cl AS ($clustersOracleSql)
+         |SELECT sz AS cluster_size, count(*)::BIGINT AS n_clusters
+         |FROM (SELECT cluster_id, count(*)::BIGINT AS sz
+         |      FROM cl GROUP BY 1)
+         |GROUP BY 1""".stripMargin,
     // All-pairs exact Jaccard — the LSH plan must reproduce it exactly.
     "llm_dedup_minhash" -> minhashPairsOracleSql,
     // All-pairs exact cross-set Jaccard — the incremental banded plan

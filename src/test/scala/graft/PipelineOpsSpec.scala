@@ -130,6 +130,31 @@ class PipelineOpsSpec extends SparkSpecBase {
     }
   }
 
+  test("cluster-size histogram equals a recount of the membership table") {
+    import graft.operators.Dedup
+    val members = Dedup.clusters(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val want = members.groupBy(_._2).values.map(_.size.toLong)
+      .groupBy(identity).map { case (sz, g) => sz -> g.size.toLong }
+    val got = Dedup.clusterSizes(spark, Sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == want)
+    assert(got.keys.min >= 2) // a component is at least a pair
+  }
+
+  test("Of-forms tolerate an empty corpus without failing") {
+    val s = spark; import s.implicits._
+    val corpus = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(Curation.packShardsOf(corpus).count() == 0)
+    assert(Curation.chunkOf(corpus).count() == 0)
+    assert(TextOps.piiScrubOf(corpus).count() == 0)
+    assert(graft.operators.Dedup.exactOf(corpus).count() == 0)
+    val vocab = Seq.empty[(String, Long)].toDF("word", "freq")
+    assert(TextOps.bpeMergesOf(vocab, 3).count() == 0)
+    val cl = Seq.empty[(Long, Long)].toDF("doc_id", "cluster_id")
+    assert(graft.operators.Dedup.clusterSizesOf(cl).count() == 0)
+  }
+
   test("decontaminate matches brute-force eval-set n-gram overlap") {
     val evalGrams = docs.collect {
       case (id, _, text) if id % Contamination.EvalMod == 0 =>
