@@ -660,6 +660,23 @@ object TextOps {
       .select(col("doc_id"), col("n_tokens"), col("n_oov"),
         concat_ws(",", col("ids").cast("array<string>")).as("ids_csv"))
 
+  /** JSONL round-trip parity — the [[graft.sources.TextSources]] analog
+    * of `apriori_freq_items_text`: the fixture corpus is dumped as JSONL
+    * (the de-facto LLM-training interchange format), read back through
+    * [[graft.sources.TextSources.jsonlDocuments]], and run through the
+    * same per-document stats; the oracle recomputes from parquet, so
+    * the hash gate verifies the JSON round trip end-to-end (an escaping
+    * or schema bug would shift a count and break the hash).
+    */
+  def textStatsJsonl(spark: SparkSession, dir: String): DataFrame = {
+    val path = new java.io.File(
+      sys.props.getOrElse("java.io.tmpdir", "/tmp"),
+      "graft_docs_jsonl_" +
+        java.lang.Integer.toHexString(dir.hashCode)).getPath
+    graft.sources.TextSources.writeJsonl(docs(spark, dir), path)
+    textStatsOf(graft.sources.TextSources.jsonlDocuments(spark, path))
+  }
+
   // ---- PII redaction ----
 
   /** Redaction patterns (RE2/Java-common subset — no lookaround, so both
@@ -848,6 +865,7 @@ object TextOps {
     "llm_tfidf_topterms" -> tfidfTopTerms,
     "llm_rep_ngrams" -> repNgrams,
     "llm_text_stats" -> textStats,
+    "llm_text_stats_jsonl" -> textStatsJsonl,
     "llm_word_count" -> wordCount,
     "llm_lang_id" -> langId,
     "llm_token_count" -> tokenCount,
@@ -938,6 +956,17 @@ object TextOps {
        |    AS n_subwords
        |FROM enc GROUP BY doc_id""".stripMargin
   }
+
+  private lazy val textStatsOracleSql: String =
+    """SELECT doc_id,
+      |  len(text) AS n_chars,
+      |  len(string_split(text, ' ')) AS n_tokens,
+      |  len(list_distinct(string_split(text, ' '))) AS n_distinct,
+      |  list_sum(list_transform(string_split(text, ' '), t -> len(t)))::BIGINT::DOUBLE
+      |    / len(string_split(text, ' '))::DOUBLE AS avg_token_len,
+      |  HITS_EN::DOUBLE / len(string_split(text, ' '))::DOUBLE AS stopword_ratio
+      |FROM documents"""
+      .stripMargin.replace("HITS_EN", sqlHits(EnStop))
 
   val oracle: Map[String, String] = Map(
     "llm_pii_scrub" ->
@@ -1053,16 +1082,10 @@ object TextOps {
          |   AND max(cnt)::BIGINT::DOUBLE
          |     / sum(cnt)::BIGINT::DOUBLE <= $TopBigramMax) AS rep_pass
          |FROM c GROUP BY doc_id""".stripMargin,
-    "llm_text_stats" ->
-      """SELECT doc_id,
-        |  len(text) AS n_chars,
-        |  len(string_split(text, ' ')) AS n_tokens,
-        |  len(list_distinct(string_split(text, ' '))) AS n_distinct,
-        |  list_sum(list_transform(string_split(text, ' '), t -> len(t)))::BIGINT::DOUBLE
-        |    / len(string_split(text, ' '))::DOUBLE AS avg_token_len,
-        |  HITS_EN::DOUBLE / len(string_split(text, ' '))::DOUBLE AS stopword_ratio
-        |FROM documents"""
-        .stripMargin.replace("HITS_EN", sqlHits(EnStop)),
+    "llm_text_stats" -> textStatsOracleSql,
+    // the Spark side computes the same stats off the JSONL round trip —
+    // the oracle recomputing from parquet IS the round-trip check
+    "llm_text_stats_jsonl" -> textStatsOracleSql,
     "llm_word_count" ->
       """SELECT word, count(*) AS cnt
         |FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
