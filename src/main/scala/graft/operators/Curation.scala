@@ -184,6 +184,19 @@ object Curation {
       .select(col("doc_id"), col("lang"), col("keep_rate"))
   }
 
+  /** Realized-mix audit — the QA view after [[mixApply]]: per language,
+    * how many documents and tokens actually survived the computed keep
+    * rates (the numbers one compares against the [[mixWeights]] targets
+    * to confirm the sampler hit its mixture). One key join + one
+    * aggregation with map-side partials.
+    */
+  def mixCheck(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .join(mixApply(spark, dir).select("doc_id"), "doc_id")
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(split(col("text"), " ")).cast("long")).as("n_tokens"))
+
   // ---- per-column profiling ----
 
   /** Table profiling — the "what is in this table" dashboard every
@@ -620,6 +633,7 @@ object Curation {
     "llm_sample_topn" -> sampleTopN,
     "llm_mix_weights" -> mixWeights,
     "llm_mix_apply" -> mixApply,
+    "llm_mix_check" -> mixCheck,
     "llm_pack_shards" -> packShards,
     "llm_curate" -> curate
   )
@@ -717,6 +731,18 @@ object Curation {
        |    / (tot_tokens + $MixSmooth * n_langs)::BIGINT::DOUBLE
        |    AS mix_weight
        |FROM pl, g""".stripMargin
+
+  private val mixApplyOracleSql: String =
+    s"""WITH mw AS (
+       |  SELECT lang,
+       |    least(1.0, $MixTargetFrac * mix_weight / token_share)
+       |      AS keep_rate
+       |  FROM (MIX_WEIGHTS_SQL))
+       |SELECT doc_id, lang, keep_rate
+       |FROM documents JOIN mw USING (lang)
+       |WHERE ${graft.functions.Md5Uniform
+      .sql("doc_id::VARCHAR || ':mix'")} < keep_rate""".stripMargin
+      .replace("MIX_WEIGHTS_SQL", mixWeightsOracleSql)
 
   /** One profile row per column, UNION ALL — the oracle's per-column
     * scans vs the Spark side's single-pass explode.
@@ -836,17 +862,14 @@ object Curation {
          |WHERE rk <= $TopNPerLang""".stripMargin,
     // sums cast back down from DuckDB's HUGEINT widening before any
     // division so the column types (and hashes) match Spark's BIGINT
-    "llm_mix_apply" ->
-      s"""WITH mw AS (
-         |  SELECT lang,
-         |    least(1.0, $MixTargetFrac * mix_weight / token_share)
-         |      AS keep_rate
-         |  FROM (MIX_WEIGHTS_SQL))
-         |SELECT doc_id, lang, keep_rate
-         |FROM documents JOIN mw USING (lang)
-         |WHERE ${graft.functions.Md5Uniform
-        .sql("doc_id::VARCHAR || ':mix'")} < keep_rate""".stripMargin
-        .replace("MIX_WEIGHTS_SQL", mixWeightsOracleSql),
+    "llm_mix_apply" -> mixApplyOracleSql,
+    // SUM(BIGINT) widens to HUGEINT in DuckDB — cast the token total
+    "llm_mix_check" ->
+      s"""WITH ma AS ($mixApplyOracleSql)
+         |SELECT d.lang, count(*)::BIGINT AS n_docs,
+         |  sum(len(string_split(d.text, ' '))::BIGINT)::BIGINT AS n_tokens
+         |FROM documents d JOIN ma ON d.doc_id = ma.doc_id
+         |GROUP BY 1""".stripMargin,
     "llm_mix_weights" -> mixWeightsOracleSql,
     // the oracle uses the straightforward single global window — the
     // two-level Spark plan must reproduce it exactly. DuckDB widens

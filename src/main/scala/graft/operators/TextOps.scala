@@ -660,6 +660,21 @@ object TextOps {
       .select(col("doc_id"), col("n_tokens"), col("n_oov"),
         concat_ws(",", col("ids").cast("array<string>")).as("ids_csv"))
 
+  /** Language-ID confusion matrix — the evaluation view of [[langId]]:
+    * per (label, prediction) document counts plus each cell's share of
+    * its label row (the per-label recall decomposition a gate owner
+    * tunes the lexicons by). One aggregation over the per-doc scorer;
+    * the share's window runs over at most |langs|² rows.
+    */
+  def langConfusion(spark: SparkSession, dir: String): DataFrame =
+    langId(spark, dir)
+      .groupBy(col("lang_label"), col("lang_pred"))
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("label_recall",
+        col("n_docs").cast("double")
+          / sum(col("n_docs")).over(Window.partitionBy("lang_label"))
+            .cast("double"))
+
   /** JSONL round-trip parity — the [[graft.sources.TextSources]] analog
     * of `apriori_freq_items_text`: the fixture corpus is dumped as JSONL
     * (the de-facto LLM-training interchange format), read back through
@@ -868,6 +883,7 @@ object TextOps {
     "llm_text_stats_jsonl" -> textStatsJsonl,
     "llm_word_count" -> wordCount,
     "llm_lang_id" -> langId,
+    "llm_lang_confusion" -> langConfusion,
     "llm_token_count" -> tokenCount,
     "llm_fingerprint" -> fingerprint,
     "llm_quality_score" -> qualityScore
@@ -956,6 +972,16 @@ object TextOps {
        |    AS n_subwords
        |FROM enc GROUP BY doc_id""".stripMargin
   }
+
+  private lazy val langIdOracleSql: String =
+    """SELECT doc_id, lang AS lang_label,
+      |  HITS_EN AS en_hits, HITS_DE AS de_hits, HITS_FR AS fr_hits,
+      |  CASE WHEN HITS_EN >= HITS_DE AND HITS_EN >= HITS_FR THEN 'en'
+      |       WHEN HITS_DE >= HITS_FR THEN 'de' ELSE 'fr' END AS lang_pred
+      |FROM documents"""
+      .stripMargin.replace("HITS_EN", sqlHits(EnStop))
+      .replace("HITS_DE", sqlHits(DeStop))
+      .replace("HITS_FR", sqlHits(FrStop))
 
   private lazy val textStatsOracleSql: String =
     """SELECT doc_id,
@@ -1090,15 +1116,17 @@ object TextOps {
       """SELECT word, count(*) AS cnt
         |FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
         |GROUP BY word""".stripMargin,
-    "llm_lang_id" ->
-      """SELECT doc_id, lang AS lang_label,
-        |  HITS_EN AS en_hits, HITS_DE AS de_hits, HITS_FR AS fr_hits,
-        |  CASE WHEN HITS_EN >= HITS_DE AND HITS_EN >= HITS_FR THEN 'en'
-        |       WHEN HITS_DE >= HITS_FR THEN 'de' ELSE 'fr' END AS lang_pred
-        |FROM documents"""
-        .stripMargin.replace("HITS_EN", sqlHits(EnStop))
-        .replace("HITS_DE", sqlHits(DeStop))
-        .replace("HITS_FR", sqlHits(FrStop)),
+    "llm_lang_id" -> langIdOracleSql,
+    // SUM(BIGINT) OVER widens to HUGEINT in DuckDB — cast back before
+    // the recall division so the schema/hash gate sees DOUBLE both sides
+    "llm_lang_confusion" ->
+      s"""WITH li AS ($langIdOracleSql)
+         |SELECT lang_label, lang_pred, count(*)::BIGINT AS n_docs,
+         |  count(*)::BIGINT::DOUBLE
+         |    / (sum(count(*)::BIGINT) OVER
+         |        (PARTITION BY lang_label))::BIGINT::DOUBLE
+         |    AS label_recall
+         |FROM li GROUP BY 1, 2""".stripMargin,
     "llm_token_count" ->
       s"""SELECT doc_id,
          |  len(regexp_extract_all(text, '$TokenPattern')) AS n_regex_tokens
