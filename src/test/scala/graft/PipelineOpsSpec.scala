@@ -130,6 +130,31 @@ class PipelineOpsSpec extends SparkSpecBase {
     }
   }
 
+  test("language confusion matrix partitions the corpus, recalls sum to 1") {
+    val rows = TextOps.langConfusion(spark, Sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getDouble(3)))
+    assert(rows.map(_._3).sum == docs.size.toLong)
+    rows.groupBy(_._1).foreach { case (label, cells) =>
+      assert(math.abs(cells.map(_._4).sum - 1.0) < 1e-12, label)
+      // each cell's recall is its count over the label total
+      val tot = cells.map(_._3).sum
+      cells.foreach(c => assert(c._4 == c._3.toDouble / tot, c))
+    }
+  }
+
+  test("mix check equals a recount over the applied-sample membership") {
+    val kept = Curation.mixApply(spark, Sf).collect()
+      .map(_.getLong(0)).toSet
+    val want = docs.filter(d => kept(d._1)).groupBy(_._2).map {
+      case (lang, g) =>
+        lang -> ((g.size.toLong, g.map(_._3.split(" ").length.toLong).sum))
+    }
+    val got = Curation.mixCheck(spark, Sf).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got == want)
+  }
+
   test("cluster-size histogram equals a recount of the membership table") {
     import graft.operators.Dedup
     val members = Dedup.clusters(spark, Sf).collect()
