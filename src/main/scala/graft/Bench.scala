@@ -57,13 +57,23 @@ object Bench {
       // one UNTIMED warmup run per query: populates the session caches
       // (apriori supports/baskets, dedup indexes) and JITs the query's
       // own kernels, so the timed reps measure steady state instead of
-      // whichever query happened to pay the shared-cache build first
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
-      val times = (1 to reps).flatMap { _ =>
+      // whichever query happened to pay the shared-cache build first.
+      // NonFatal only — an OOM or JVM error must propagate, not leave a
+      // silently degraded session corrupting every later timing. A
+      // deterministically failing query fails here once and skips its
+      // timed reps (no point doubling its wall-clock).
+      val warmOk =
+        try { fn(spark, sfDir).count(); true }
+        catch { case scala.util.control.NonFatal(e) =>
+          errors(name) =
+            Option(e.getMessage).getOrElse(e.getClass.getName)
+          false
+        }
+      val times = if (!warmOk) Seq.empty[Double] else (1 to reps).flatMap { _ =>
         val t0 = System.nanoTime()
         val ok =
           try { fn(spark, sfDir).count(); true }
-          catch { case e: Throwable =>
+          catch { case scala.util.control.NonFatal(e) =>
             errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
             false
           }
@@ -75,20 +85,22 @@ object Bench {
       case (k, ts) if ts.nonEmpty => k -> ts(ts.size / 2)
     }
     // The stdout contract is ONE parseable JSON line, and the harness
-    // captures a bounded tail of the run's output — round 3's line
-    // (full-precision medians + a per-rep samples map for 60 queries,
-    // ~7 KB) overflowed that tail and the driver recorded parsed:null.
-    // So stdout carries millisecond-rounded medians only; full-precision
-    // per-rep samples go to a side file, never the console.
+    // captures a bounded tail of the run's output — rounds 3-5 all
+    // overflowed it once the suite grew (131 queries of millisecond
+    // medians is ~4 KB and the driver recorded parsed:null twice). So
+    // stdout carries the total plus only the TOP-20 medians (the ones a
+    // reader would plan-audit), 2-decimal, target < 1.5 KB; the full
+    // per-query per-rep data lives in bench_samples.json.
     def ms(v: Double): String = // Locale.ROOT: a comma-decimal default
-      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
-      // locale would render 0,123 and break the JSON contract
-    val qs = medians.map { case (k, v) => s"${q(k)}:${ms(v)}" }
+      String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
+      // locale would render 0,12 and break the JSON contract
+    val qs = medians.sortBy(-_._2).take(20)
+      .map { case (k, v) => s"${q(k)}:${ms(v)}" }
       .mkString("{", ",", "}")
-    val es = errors.map { case (k, v) => s"${q(k)}:${q(v.take(120))}" }
+    val es = errors.take(10).map { case (k, v) => s"${q(k)}:${q(v.take(80))}" }
       .mkString("{", ",", "}")
     val total = medians.map(_._2).sum
-    println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","reps":$reps,"order":"sorted-name","warmup":1,"queries":$qs,"errors":$es,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","reps":$reps,"order":"sorted-name","warmup":1,"n_queries":${medians.size},"n_errors":${errors.size},"queries":$qs,"errors":$es,"sf":"$sfDir"}""")
     // diagnostics only, AFTER the stdout contract line and best-effort:
     // an unwritable cwd must not turn a successful bench into a crash
     try {

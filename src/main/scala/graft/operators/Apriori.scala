@@ -167,19 +167,24 @@ object Apriori {
   /** Frequent 1-itemsets: item → basket count, count ≥ [[Support]].
     * Reference Job 1 (A1/A2/P4 in SURVEY.md §2).
     *
-    * Derived as the k = 1 projection of the session supports cache (the
-    * [[freqAll]] pattern): a frequent item's singleton subset is counted
-    * once per basket containing it, so the cached table already holds
-    * exactly this answer — no second lineitem⋈part incidence build per
-    * invocation. ([[MaxBasket]] truncation cannot drop a singleton at
-    * fixture scale — max basket is 11 — and beyond it the truncation is
-    * the library's one documented Apriori deviation, shared by every
-    * entry riding the cache.)
+    * Counted by exploding the session-cached frequent-basket table's
+    * UNTRUNCATED `fitems` arrays: `fitems` holds every frequent item of
+    * the basket (the [[MaxBasket]] cap applies only to the k ≥ 2 subset
+    * enumeration), and since `items` is a set, #rows-containing-item is
+    * exactly the basket incidence count. So singleton counts stay EXACT
+    * at any basket width — a >MaxBasket basket truncates only the
+    * documented k ≥ 2 deviation, never this entry — while still reusing
+    * the cached basket build (no second lineitem⋈part join per
+    * invocation). The count ≥ Support filter is a no-op by construction
+    * (every item in `fitems` already passed the frequency gate) but
+    * states the contract.
     */
   def freqItems(spark: SparkSession, dir: String): DataFrame =
-    itemsetSupports(spark, dir)
-      .where(col("k") === 1)
-      .select(col("itemset").as("item"), col("cnt"))
+    frequentBaskets(spark, dir)
+      .select(explode(col("fitems")).as("item"))
+      .groupBy(col("item"))
+      .agg(count(lit(1)).as("cnt"))
+      .where(col("cnt") >= Support)
 
   /** Session-lifetime cache: one persisted supports table per
     * (session, dir). The three apriori query entries are invoked
@@ -441,10 +446,8 @@ object Apriori {
     * counts and break the hash).
     */
   def freqItemsText(spark: SparkSession, dir: String): DataFrame = {
-    val path = new java.io.File(
-      sys.props.getOrElse("java.io.tmpdir", "/tmp"),
-      "graft_baskets_" +
-        java.lang.Integer.toHexString(dir.hashCode)).getPath
+    val path =
+      graft.sources.TextSources.scratchPath(spark, "baskets", dir)
     transactions(spark, dir)
       .select(concat_ws(" ", col("items")).as("value"))
       .write.mode("overwrite").text(path)

@@ -684,10 +684,8 @@ object TextOps {
     * or schema bug would shift a count and break the hash).
     */
   def textStatsJsonl(spark: SparkSession, dir: String): DataFrame = {
-    val path = new java.io.File(
-      sys.props.getOrElse("java.io.tmpdir", "/tmp"),
-      "graft_docs_jsonl_" +
-        java.lang.Integer.toHexString(dir.hashCode)).getPath
+    val path =
+      graft.sources.TextSources.scratchPath(spark, "docs_jsonl", dir)
     graft.sources.TextSources.writeJsonl(docs(spark, dir), path)
     textStatsOf(graft.sources.TextSources.jsonlDocuments(spark, path))
   }
@@ -915,17 +913,28 @@ object TextOps {
   /** Generated n-step BPE oracle: each step is a pair-count CTE, a
     * 1-row argmax CTE (same (cnt DESC, a, b) tie order as Spark), and a
     * rewrite CTE using the same non-overlapping left-to-right replace.
+    *
+    * Every chained CTE is `AS MATERIALIZED`: DuckDB inlines plain CTEs
+    * per reference, which makes a k-step chain exponential (~3.2x per
+    * step; n=12 exceeded 150s and hung the round-5 gate). Materialized,
+    * n=12 runs in well under a second.
+    *
+    * The rewrite is a LEFT JOIN so an exhausted step (no pairs left —
+    * every word already a single symbol) degrades to an identity
+    * rewrite: the coalesced search string '|||||' (five pipes) can never
+    * occur in the '|sym||sym|' word encoding, whose pipe runs are at
+    * most two.
     */
   private def bpeCtePrefix(n: Int): String = {
     val w0 =
-      """w0 AS (
+      """w0 AS MATERIALIZED (
         |  SELECT regexp_replace(word, '(.)', '|\1|', 'g') AS w,
         |         count(*)::BIGINT AS freq
         |  FROM (SELECT unnest(string_split(text, ' ')) AS word
         |        FROM documents)
         |  GROUP BY 1)""".stripMargin
     val steps = (1 to n).map { i =>
-      s"""pc$i AS (
+      s"""pc$i AS MATERIALIZED (
          |  SELECT u.a AS a, u.b AS b, sum(freq)::BIGINT AS cnt FROM (
          |    SELECT freq, unnest(list_transform(range(1, len(s)),
          |      j -> {'a': s[j], 'b': s[j + 1]})) AS u
@@ -933,13 +942,19 @@ object TextOps {
          |            AS s, freq
          |          FROM w${i - 1})
          |  ) GROUP BY 1, 2),
-         |p$i AS (
+         |p$i AS MATERIALIZED (
          |  SELECT $i::BIGINT AS step, a, b, a || b AS merged, cnt
          |  FROM pc$i ORDER BY cnt DESC, a ASC, b ASC LIMIT 1),
-         |w$i AS (
-         |  SELECT replace(w, '|' || a || '||' || b || '|',
-         |                 '|' || a || b || '|') AS w, freq
-         |  FROM w${i - 1}, p$i)""".stripMargin
+         |w$i AS MATERIALIZED (
+         |  SELECT replace(w,
+         |      concat('|', coalesce(a, ''), '||', coalesce(b, ''), '|'),
+         |      concat('|', coalesce(a, ''), coalesce(b, ''), '|')) AS w,
+         |    freq
+         |  FROM w${i - 1} LEFT JOIN p$i ON TRUE)""".stripMargin
+      // concat(), not the || operator: this prefix is re-embedded inside
+      // bpeEncodeOracleSql's stripMargin'd template, and a generated line
+      // that happens to start with whitespace + '|' would get a pipe
+      // eaten by that OUTER stripMargin (the r6 binder-error bug).
     }
     s"WITH $w0,\n${steps.mkString(",\n")}"
   }
@@ -951,14 +966,19 @@ object TextOps {
     s"${bpeCtePrefix(n)}\n$sel"
   }
 
-  /** Encode oracle: the training chain's p1..pn rows cross-join onto
+  /** Encode oracle: the training chain's p1..pn rows LEFT-join onto
     * every corpus word occurrence and replay as the same nested
-    * left-to-right replaces, then per-doc totals aggregate.
+    * left-to-right replaces, then per-doc totals aggregate. LEFT JOIN
+    * (not cross join) so an exhausted step — empty `p_i` because the
+    * vocabulary fully merged before step n — contributes an identity
+    * replace (coalesced '|||||' search, never present) instead of
+    * zeroing out the whole result set.
     */
   private def bpeEncodeOracleSql(n: Int): String = {
     val applied = (1 to n).foldLeft("w")((e, i) =>
-      s"replace($e, '|' || p$i.a || '||' || p$i.b || '|'," +
-        s" '|' || p$i.merged || '|')")
+      s"replace($e, '|' || coalesce(p$i.a, '') || '||'" +
+        s" || coalesce(p$i.b, '') || '|'," +
+        s" '|' || coalesce(p$i.merged, '') || '|')")
     s"""${bpeCtePrefix(n)},
        |occ AS (
        |  SELECT doc_id, regexp_replace(word, '(.)', '|\\1|', 'g') AS w
@@ -966,7 +986,9 @@ object TextOps {
        |        FROM documents)),
        |enc AS (
        |  SELECT doc_id, $applied AS ew
-       |  FROM occ, ${(1 to n).map("p" + _).mkString(", ")})
+       |  FROM occ ${(1 to n)
+      .map(i => s"LEFT JOIN p$i ON TRUE")
+      .mkString(" ")})
        |SELECT doc_id, count(*)::BIGINT AS n_words,
        |  sum(len(string_split(substr(ew, 2, len(ew) - 2), '||')))::BIGINT
        |    AS n_subwords

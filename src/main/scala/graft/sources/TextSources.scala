@@ -104,6 +104,39 @@ object TextSources {
   def writeJsonl(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").json(path)
 
+  /** Per-application scratch path for round-trip entries (text/JSONL
+    * write-then-read-back parity checks). The path embeds the Spark
+    * `applicationId`, so two JVMs/sessions benching the same fixture dir
+    * can never overwrite each other's file mid-read, plus the SANITIZED
+    * source dir (not just its hashCode), so two different dirs can never
+    * silently serve each other's corpus. The per-app root is removed by
+    * a JVM shutdown hook — round-trip scratch never outlives the
+    * process. (Within one session, repeated calls overwrite the same
+    * path with identical deterministic content; Verify/Bench run entries
+    * sequentially, so there is no overwrite-while-read window.)
+    */
+  def scratchPath(spark: SparkSession, tag: String, dir: String): String = {
+    val root = new java.io.File(
+      sys.props.getOrElse("java.io.tmpdir", "/tmp"),
+      "graft_scratch_" + spark.sparkContext.applicationId)
+    if (cleanupRegistered.putIfAbsent(root.getPath, true) == null) {
+      Runtime.getRuntime.addShutdownHook(new Thread(() =>
+        deleteRecursively(root)))
+    }
+    val safe = dir.replaceAll("[^A-Za-z0-9._-]", "_")
+    new java.io.File(root,
+      s"${tag}_${safe}_${Integer.toHexString(dir.hashCode)}").getPath
+  }
+
+  private val cleanupRegistered =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    val kids = f.listFiles()
+    if (kids != null) kids.foreach(deleteRecursively)
+    f.delete(): Unit
+  }
+
   /** Range-partitioned, sorted parquet layout: repartition by value
     * RANGES of `column` (sampled split points), sort within each
     * partition, write one file per range. Files then carry DISJOINT

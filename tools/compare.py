@@ -10,9 +10,16 @@ import duckdb
 import json
 import math
 import sys
+import time
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
+
+# One pathological oracle (round 5's exponential un-materialized BPE CTE
+# chain) can hang the whole gate and zero out the round's correctness
+# artifact. Budget each oracle's wall seconds and fail LOUDLY past it so
+# the cost shows up in the dev loop, not the driver's timeout.
+ORACLE_BUDGET_SEC = 30.0
 
 
 def canon(df):
@@ -50,15 +57,27 @@ def main():
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
     oracle = json.load(open(f"{out}/oracle_sql.json"))
     n_pass = n_fail = 0
+    slow = []
     for name, sql in sorted(oracle.items()):
         try:
             got = canon(con.sql(
                 f"SELECT * FROM '{out}/{name}/*.parquet'").df())
+            t0 = time.monotonic()
             exp = canon(con.sql(sql).df())
+            oracle_sec = time.monotonic() - t0
         except Exception as e:
             print(f"FAIL {name}: {e}")
             n_fail += 1
             continue
+        if oracle_sec > ORACLE_BUDGET_SEC:
+            slow.append((name, oracle_sec))
+            print(f"FAIL {name}: oracle took {oracle_sec:.1f}s "
+                  f"(budget {ORACLE_BUDGET_SEC:.0f}s) — rewrite the oracle "
+                  f"SQL; a slow oracle can hang the driver gate")
+            n_fail += 1
+            continue
+        if oracle_sec > 1.0:
+            print(f"  [oracle {name}: {oracle_sec:.2f}s]")
         if list(got.columns) != list(exp.columns):
             print(f"FAIL {name}: columns {list(got.columns)} "
                   f"vs oracle {list(exp.columns)}")
@@ -81,6 +100,9 @@ def main():
         else:
             print(f"PASS {name} ({len(got)} rows)")
             n_pass += 1
+    if slow:
+        print(f"== SLOW ORACLES over {ORACLE_BUDGET_SEC:.0f}s budget: "
+              + ", ".join(f"{n}={s:.1f}s" for n, s in slow) + " ==")
     print(f"== {n_pass} pass, {n_fail} fail ==")
     sys.exit(1 if n_fail else 0)
 
