@@ -563,7 +563,7 @@ object Dedup {
     // `vecs` feeds the bucket kernel and both scoring sides
     bowFrom(mat(bowVecKernel(corpus)))
 
-  private def bowVecKernel(corpus: DataFrame): DataFrame = {
+  private[graft] def bowVecKernel(corpus: DataFrame): DataFrame = {
     val s = corpus.sparkSession; import s.implicits._
     corpus
       .select(col("doc_id"), toks.as("t"))

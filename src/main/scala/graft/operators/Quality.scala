@@ -1,0 +1,360 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.{Materialize, Tables}
+
+/** Trained quality classification — the model-in-the-loop quality gate of
+  * a production training-data pipeline (the KenLM / fastText-classifier
+  * role): instead of scoring documents with FIXED weights
+  * ([[Similarity.classifyOf]]) or hand-set thresholds
+  * ([[TextOps.qualityScoreOf]]), LEARN the scorer from the corpus and
+  * apply it back. Two trainers, deliberately different trade-offs:
+  *
+  *  1. [[qualityProbe]] — a linear probe over the 5 interpretable
+  *     quality signals (token count, distinct ratio, stopword ratio,
+  *     duplicate/top bigram fractions), trained by FULL-BATCH gradient
+  *     descent with class-weighted squared loss. Every arithmetic step
+  *     is order-independent (per-row IEEE double expressions with a
+  *     pinned evaluation order + DECIMAL(24,6) gradient sums, which are
+  *     exact and commutative), so the learned θ — and therefore every
+  *     score — is bit-identical across partitionings AND across engines:
+  *     the DuckDB oracle replays the whole training loop as unrolled
+  *     MATERIALIZED CTEs and the gate hash-checks train → score
+  *     END-TO-END. Scale shape: one narrow feature table (6 doubles per
+  *     doc) materialized once, then one scan + tiny aggregate per epoch
+  *     (driver state = 6 doubles); the corpus itself is read once.
+  *
+  *  2. [[qualityTrain]] — the reference's per-record SGD
+  *     (multilinereg.java:41-97 via [[Sgd.fit]], M3-M5 in SURVEY §2)
+  *     on 256-dim hashed bag-of-bigrams frequency vectors
+  *     ([[Dedup.bowVecKernel]], the same features the near-dup pass
+  *     uses). Per-record sequential updates are partition-order
+  *     dependent, so like the `sgd_*` θ entries this is deterministic
+  *     for a pinned partition count but not SQL-expressible → rows-only
+  *     gate + spec-pinned parity, by the same documented design.
+  *
+  * Labels for both: the combined hand-set gate (quality_pass AND
+  * rep_pass) — the trained models learn to IMITATE the rule-based gate,
+  * which is exactly how a production pipeline bootstraps a classifier
+  * from heuristics before human labels exist.
+  */
+object Quality {
+
+  private def docs(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "documents")
+
+  // ---- linear probe (batch GD, oracle-replayable) ----------------------
+
+  /** Probe hyper-parameters. lr/weights chosen on the fixture: balanced
+    * accuracy ≈ 0.81 at 8 epochs (majority-class predictor = 0.5
+    * balanced); lr ≥ 1 diverges (squared loss, unnormalized features).
+    * NegWeight counters the ≈ 9:1 pass:fail imbalance — unweighted, the
+    * probe collapses to the majority class.
+    */
+  val ProbeLr = 0.5
+  val ProbeEpochs = 8
+  val ProbeNegWeight = 8.0
+  val ProbeDims = 6
+
+  /** Per-doc feature row: label y ∈ {0.0, 1.0} and f0..f5 =
+    * (bias, n_tokens/100, distinct_ratio, stopword_ratio,
+    * dup_bigram_frac, top_bigram_frac). Docs with < 2 tokens have no
+    * bigram facts and drop out (inner join) — mirrored by the oracle.
+    */
+  def probeFeaturesOf(corpus: DataFrame): DataFrame = {
+    val q = TextOps.qualityScoreOf(corpus)
+    val r = TextOps.repNgramsOf(corpus)
+      .select(col("doc_id"), col("dup_bigram_frac"),
+        col("top_bigram_frac"), col("rep_pass"))
+    q.join(r, Seq("doc_id"))
+      .select(col("doc_id"),
+        when(col("quality_pass") && col("rep_pass"), 1.0)
+          .otherwise(0.0).as("y"),
+        lit(1.0).as("f0"),
+        (col("n_tokens").cast("double") / 100.0).as("f1"),
+        col("distinct_ratio").as("f2"),
+        col("stopword_ratio").as("f3"),
+        col("dup_bigram_frac").as("f4"),
+        col("top_bigram_frac").as("f5"))
+  }
+
+  /** θ·x with a PINNED left-to-right association:
+    * ((((th0*f0 + th1*f1) + th2*f2) + …). The oracle writes the same
+    * chain, so the double result is bit-identical.
+    */
+  private def scoreCol(theta: Array[Double]): Column =
+    theta.toIndexedSeq.zipWithIndex
+      .map { case (t, j) => lit(t) * col(s"f$j") }
+      .reduceLeft(_ + _)
+
+  /** One full-batch epoch: θ_j ← θ_j + lr·(G_j / n) with
+    * G_j = Σ DECIMAL(24,6)(werr·f_j), werr = (y − θ·x)·w,
+    * w = 1 for positives / [[ProbeNegWeight]] for negatives. The DECIMAL
+    * cast makes the sum exact → order-independent → reproducible under
+    * ANY partitioning (and in DuckDB); everything else is per-row double
+    * arithmetic with pinned order.
+    */
+  private def fitProbe(feat: DataFrame): Array[Double] = {
+    var theta = new Array[Double](ProbeDims)
+    var e = 0
+    while (e < ProbeEpochs) {
+      val werr = (col("y") - scoreCol(theta)) *
+        when(col("y") > 0.5, 1.0).otherwise(ProbeNegWeight)
+      val aggs = (0 until ProbeDims).map(j =>
+        sum((werr * col(s"f$j")).cast("decimal(24,6)"))
+          .cast("double").as(s"g$j")) :+ count(lit(1)).as("n")
+      val row = feat.agg(aggs.head, aggs.tail: _*).head()
+      val n = row.getLong(ProbeDims).toDouble
+      theta = Array.tabulate(ProbeDims)(j =>
+        theta(j) + ProbeLr * (row.getDouble(j) / n))
+      e += 1
+    }
+    theta
+  }
+
+  /** Session-lifetime (feature table, learned θ) per (session, dir) —
+    * the [[Apriori.itemsetSupports]] cache pattern: the probe and gate
+    * entries are invoked independently by Verify/Bench, and without this
+    * each invocation would re-checkpoint the feature table AND re-run
+    * the 8 training scans (accumulating orphaned checkpoint blocks).
+    * Same lifetime contract: immutable fixture dirs, or invalidate at
+    * the boundary.
+    */
+  private val probeCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), (DataFrame, Array[Double])]
+
+  private def trainedProbe(spark: SparkSession, dir: String)
+      : (DataFrame, Array[Double]) =
+    probeCache.computeIfAbsent((spark, dir), _ => {
+      val feat = probeFeaturesOf(docs(spark, dir)).localCheckpoint()
+      (feat, fitProbe(feat))
+    })
+
+  def invalidateProbe(spark: SparkSession = null, dir: String = null)
+      : Unit = {
+    val it = probeCache.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      val (s, d) = e.getKey
+      if ((spark == null || s == spark) && (dir == null || d == dir)) {
+        Materialize.release(e.getValue._1)
+        it.remove()
+      }
+    }
+  }
+
+  /** Train the probe and score every document:
+    * (doc_id, label, score, pred). `pred` = score > 0.5 — the learned
+    * quality gate.
+    */
+  def qualityProbe(spark: SparkSession, dir: String): DataFrame = {
+    val (feat, theta) = trainedProbe(spark, dir)
+    scoreProbe(feat, theta)
+  }
+
+  def qualityProbeOf(corpus: DataFrame,
+                     mat: Materialize.Strategy = Materialize.Local)
+      : DataFrame = {
+    // one materialization feeds all 8 epoch scans + the final scoring
+    val feat = mat(probeFeaturesOf(corpus))
+    scoreProbe(feat, fitProbe(feat))
+  }
+
+  private def scoreProbe(feat: DataFrame, theta: Array[Double])
+      : DataFrame = {
+    val s = scoreCol(theta)
+    feat.select(col("doc_id"), col("y").as("label"), s.as("score"),
+      (s > 0.5).as("pred"))
+  }
+
+  /** The learned gate applied: documents the probe keeps. */
+  def qualityGate(spark: SparkSession, dir: String): DataFrame =
+    qualityProbe(spark, dir)
+      .where(col("pred"))
+      .select(col("doc_id"), col("score"))
+
+  // ---- SGD classifier on hashed bag-of-bigrams (reference M3-M5) -------
+
+  /** SGD feature width: bias + 256 hashed-bigram frequencies + the 5
+    * scalar quality signals (f1..f5 of [[probeFeaturesOf]]).
+    */
+  val TrainDims: Int = Dedup.BowDims + 6
+
+  /** Bias + L1-normalized 256-dim hashed bag-of-bigrams frequencies +
+    * the 5 interpretable quality scalars. Normalizing the bigram counts
+    * bounds their magnitudes so the reference's fixed α = 0.03 is
+    * stable at any document length — but it also erases length itself,
+    * which is the label's dominant signal, so the scalar features carry
+    * it (without them the classifier collapses to the majority class:
+    * measured train_acc == pos_rate).
+    */
+  private def bowObs(corpus: DataFrame) = {
+    val spark = corpus.sparkSession
+    val s = spark; import s.implicits._
+    val lab = probeFeaturesOf(corpus)
+    Dedup.bowVecKernel(corpus)
+      .join(lab, col("vec_id") === col("doc_id"))
+      .select(col("doc_id"), col("y"), col("e"),
+        array((1 to 5).map(j => col(s"f$j")): _*).as("fs"))
+      .as[(Long, Double, Array[Double], Array[Double])]
+      .map { case (id, y, e, fs) =>
+        val t = e.sum
+        val x = if (t > 0) e.map(_ / t) else e
+        Sgd.Obs(id, y, (1.0 +: x) ++ fs)
+      }
+  }
+
+  /** Train the reference-shaped SGD logistic classifier on the corpus
+    * and report the run: ONE summary row (n_docs, n_features,
+    * iterations, converged, train accuracy, label base rate). θ is
+    * partition-order dependent (per-record sequential SGD — same
+    * documented contract as `sgd_logreg_theta`), so the entry is
+    * rows-only; the spec pins run-to-run determinism and that the
+    * classifier beats the trivial all-pass predictor's error profile.
+    */
+  def qualityTrain(spark: SparkSession, dir: String): DataFrame =
+    qualityTrainOf(docs(spark, dir))
+
+  /** Deterministic negative-class oversampling factor for the SGD
+    * training pass: ≈ the fixture's 9:1 pass:fail imbalance (the same
+    * counterweight the probe applies as [[ProbeNegWeight]]). Data-side
+    * on purpose — [[Sgd.fit]] keeps the reference's exact per-record
+    * semantics, and repeating a record k times IS k sequential updates.
+    * Without it the classifier collapses to all-positive (measured
+    * tpr = 1.0, tnr = 0.0). Ids are remapped id·k+r, so copies stay
+    * unique, deterministic, and adjacent under the id sort.
+    */
+  val TrainNegOversample = 8
+
+  def qualityTrainOf(corpus: DataFrame): DataFrame = {
+    val spark = corpus.sparkSession
+    val s = spark; import s.implicits._
+    val obs = bowObs(corpus)
+      .repartition(Sgd.numParts(spark), col("id"))
+      .sortWithinPartitions("id")
+      .persist()
+    val k = TrainNegOversample
+    val trainSet = obs
+      .flatMap(o =>
+        if (o.y < 0.5) (0 until k).map(r => o.copy(id = o.id * k + r))
+        else Seq(o.copy(id = o.id * k)))
+      .repartition(Sgd.numParts(spark), col("id"))
+      .sortWithinPartitions("id")
+      .persist()
+    try {
+      val r = Sgd.fit(trainSet, TrainDims, logistic = true)
+      // score through the codegen'd dot Expression — the same scoring
+      // path a 100 TB deployment runs (weights are plan literals, the
+      // corpus never shuffles)
+      val margin = graft.functions.DotProduct.dot(
+        spark, col("x"), typedLit(r.theta.toSeq))
+      val hit = (margin > 0.0) === (col("y") > 0.5)
+      val m = obs.toDF()
+        .select(
+          count(lit(1)).as("n"),
+          avg(when(hit, 1.0).otherwise(0.0)).as("acc"),
+          avg(col("y")).as("pos_rate"),
+          // per-class recalls: the numbers that expose a majority-class
+          // collapse that plain accuracy hides at a 9:1 base rate
+          (sum(when(hit && col("y") > 0.5, 1L).otherwise(0L))
+            .cast("double") /
+            sum(when(col("y") > 0.5, 1L).otherwise(0L)).cast("double"))
+            .as("tpr"),
+          (sum(when(hit && col("y") < 0.5, 1L).otherwise(0L))
+            .cast("double") /
+            sum(when(col("y") < 0.5, 1L).otherwise(0L)).cast("double"))
+            .as("tnr"))
+        .head()
+      Seq((m.getLong(0), TrainDims.toLong, r.iterations.toLong,
+        r.converged, m.getDouble(1), m.getDouble(2), m.getDouble(3),
+        m.getDouble(4)))
+        .toDF("n_docs", "n_features", "iterations", "converged",
+          "train_acc", "pos_rate", "tpr", "tnr")
+    } finally { trainSet.unpersist(); obs.unpersist(): Unit }
+  }
+
+  // ---- oracle ----------------------------------------------------------
+
+  /** The probe's feature table in DuckDB, composed from the ALREADY
+    * hash-verified per-doc oracles (nested-WITH derived tables, the
+    * llm_sim_recall pattern) so the feature definitions can never drift
+    * between the two entries.
+    */
+  private def featSql: String = {
+    val q = TextOps.oracle("llm_quality_score")
+    val r = TextOps.oracle("llm_rep_ngrams")
+    // every numeric literal is cast ::DOUBLE — DuckDB parses bare
+    // decimal literals as DECIMAL, which would change column dtypes
+    "feat AS MATERIALIZED (\n" +
+      "  SELECT q.doc_id,\n" +
+      "    CAST(CASE WHEN q.quality_pass AND r.rep_pass\n" +
+      "         THEN 1.0 ELSE 0.0 END AS DOUBLE) AS y,\n" +
+      "    1.0::DOUBLE AS f0, q.n_tokens::DOUBLE / 100.0 AS f1,\n" +
+      "    q.distinct_ratio AS f2, q.stopword_ratio AS f3,\n" +
+      "    r.dup_bigram_frac AS f4, r.top_bigram_frac AS f5\n" +
+      s"  FROM ($q) q JOIN ($r) r USING (doc_id))"
+  }
+
+  /** θ·x chain with the same left-to-right association as [[scoreCol]],
+    * reading θ from epoch-CTE columns.
+    */
+  private def scoreSql(t: String, f: String): String =
+    (0 until ProbeDims).map(j => s"$t.th$j*$f.f$j").mkString(" + ")
+
+  /** The full training loop unrolled: per epoch a scored CTE (werr), a
+    * gradient CTE (DECIMAL-exact sums), and a θ-update CTE — all
+    * MATERIALIZED (the BPE lesson: DuckDB inlines plain chained CTEs
+    * exponentially). t0 = zeros; the final SELECT scores with t{E}.
+    */
+  private def probeCtes: String = {
+    val zeros = (0 until ProbeDims).map(j => s"0.0::DOUBLE AS th$j")
+      .mkString(", ")
+    val steps = (1 to ProbeEpochs).map { i =>
+      val grads = (0 until ProbeDims).map(j =>
+        s"CAST(SUM(CAST(werr*f$j AS DECIMAL(24,6))) AS DOUBLE) AS g$j")
+        .mkString(",\n    ")
+      val upd = (0 until ProbeDims).map(j =>
+        s"t.th$j + $ProbeLr*(g.g$j/g.n::DOUBLE) AS th$j")
+        .mkString(",\n    ")
+      s"""s$i AS MATERIALIZED (
+  SELECT f.*, (f.y - (${scoreSql("t", "f")}))
+    * CASE WHEN f.y > 0.5 THEN 1.0 ELSE $ProbeNegWeight END AS werr
+  FROM feat f, t${i - 1} t),
+g$i AS MATERIALIZED (
+  SELECT $grads,
+    count(*)::BIGINT AS n FROM s$i),
+t$i AS MATERIALIZED (
+  SELECT $upd
+  FROM t${i - 1} t, g$i g)"""
+    }
+    s"WITH $featSql,\nt0 AS (SELECT $zeros),\n${steps.mkString(",\n")}"
+  }
+
+  private def probeOracleSql: String =
+    s"""$probeCtes
+SELECT doc_id, label, score, score > 0.5 AS pred FROM (
+  SELECT f.doc_id, f.y AS label, ${scoreSql("t", "f")} AS score
+  FROM feat f, t$ProbeEpochs t)"""
+
+  private def gateOracleSql: String =
+    s"""$probeCtes
+SELECT doc_id, score FROM (
+  SELECT f.doc_id, ${scoreSql("t", "f")} AS score
+  FROM feat f, t$ProbeEpochs t)
+WHERE score > 0.5"""
+
+  // ---- contract --------------------------------------------------------
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "llm_quality_probe" -> qualityProbe,
+    "llm_quality_gate" -> qualityGate,
+    "llm_quality_train" -> qualityTrain)
+
+  /** `llm_quality_train` is rows-only by documented design (per-record
+    * SGD, same as the `sgd_*` θ entries).
+    */
+  lazy val oracle: Map[String, String] = Map(
+    "llm_quality_probe" -> probeOracleSql,
+    "llm_quality_gate" -> gateOracleSql)
+}

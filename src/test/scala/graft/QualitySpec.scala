@@ -1,0 +1,92 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Quality, TextOps}
+
+/** Trained-quality-classifier semantics: the probe's partition-
+  * independence (DECIMAL-exact gradient sums), that both trainers
+  * actually learn the gate (beat the majority-class predictor on BOTH
+  * classes), label/gate composition, and SGD run-to-run determinism
+  * under a pinned partition count.
+  */
+class QualitySpec extends SparkSpecBase {
+
+  private lazy val docs =
+    Tables(spark, Sf, "documents").select("doc_id", "text")
+
+  test("probe θ and scores are partition-count independent") {
+    // order-independent DECIMAL gradient sums ⇒ bit-identical θ no
+    // matter how the feature table is partitioned — the property that
+    // makes the probe reproducible on a 1000-executor cluster AND
+    // replayable by the single-threaded oracle
+    val a = Quality.qualityProbeOf(docs.repartition(3))
+      .select("doc_id", "score", "pred")
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getBoolean(2)))
+      .sortBy(_._1)
+    val b = Quality.qualityProbeOf(docs.repartition(17))
+      .select("doc_id", "score", "pred")
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getBoolean(2)))
+      .sortBy(_._1)
+    assert(a.length > 0 && a.sameElements(b))
+  }
+
+  test("probe learns the gate: beats majority-class on both classes") {
+    val p = Quality.qualityProbe(spark, Sf)
+      .select(col("label"), col("pred")).collect()
+      .map(r => (r.getDouble(0) > 0.5, r.getBoolean(1)))
+    val pos = p.filter(_._1)
+    val neg = p.filterNot(_._1)
+    assert(pos.nonEmpty && neg.nonEmpty, "fixture must have both classes")
+    val tpr = pos.count(_._2).toDouble / pos.length
+    val tnr = neg.count(!_._2).toDouble / neg.length
+    // majority-class predictor: tpr = 1, tnr = 0 (balanced 0.5).
+    // measured at sf0.001: tpr 0.711, tnr 0.885 — assert with margin
+    assert(tpr >= 0.6, s"tpr $tpr")
+    assert(tnr >= 0.7, s"tnr $tnr")
+  }
+
+  test("probe label is the hand gate: quality_pass AND rep_pass") {
+    val lab = Quality.qualityProbe(spark, Sf).select("doc_id", "label")
+    val hand = TextOps.qualityScoreOf(docs)
+      .select(col("doc_id"), col("quality_pass"))
+      .join(TextOps.repNgramsOf(docs)
+        .select(col("doc_id"), col("rep_pass")), Seq("doc_id"))
+      .select(col("doc_id"),
+        when(col("quality_pass") && col("rep_pass"), 1.0)
+          .otherwise(0.0).as("label"))
+    assert(lab.except(hand).isEmpty && hand.except(lab).isEmpty)
+  }
+
+  test("gate is exactly the probe's kept set") {
+    val kept = Quality.qualityGate(spark, Sf)
+    val fromProbe = Quality.qualityProbe(spark, Sf)
+      .where(col("pred")).select("doc_id", "score")
+    assert(kept.except(fromProbe).isEmpty
+      && fromProbe.except(kept).isEmpty)
+    // and the gate keeps a strict, non-trivial subset
+    val n = docs.count()
+    val nk = kept.count()
+    assert(nk > 0 && nk < n)
+  }
+
+  test("SGD classifier is run-to-run deterministic (pinned parts) " +
+      "and learns both classes") {
+    spark.conf.set("graft.sgd.numPartitions", "4")
+    try {
+      val r1 = Quality.qualityTrainOf(docs).collect()(0)
+      val r2 = Quality.qualityTrainOf(docs).collect()(0)
+      assert(r1 == r2, "same corpus + pinned parts ⇒ identical row")
+      val tpr = r1.getAs[Double]("tpr")
+      val tnr = r1.getAs[Double]("tnr")
+      val acc = r1.getAs[Double]("train_acc")
+      val pos = r1.getAs[Double]("pos_rate")
+      assert(r1.getAs[Long]("n_features") == Quality.TrainDims.toLong)
+      // the majority-class collapse this entry exists to beat:
+      // tpr 1/tnr 0. Oversampled training must recover real negatives
+      // without giving up the positive class.
+      assert(tnr >= 0.5, s"tnr $tnr")
+      assert(tpr >= 0.6, s"tpr $tpr")
+      assert(acc > 0.0 && pos > 0.0 && pos < 1.0)
+    } finally spark.conf.unset("graft.sgd.numPartitions")
+  }
+}
