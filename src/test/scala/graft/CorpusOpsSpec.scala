@@ -56,6 +56,55 @@ class CorpusOpsSpec extends SparkSpecBase {
       3L -> "removed", 4L -> "added"))
   }
 
+  // ---- Curation.bpeDriftOf ----
+
+  test("bpeDriftOf on identical corpora reports same=true at every step") {
+    val c = Seq((1L, "abab cd cd abab"), (2L, "ab cd")).toDF("doc_id", "text")
+    val got = Curation.bpeDriftOf(c, c).collect()
+    assert(got.nonEmpty)
+    assert(got.forall(_.getBoolean(3)))
+    got.foreach(r => assert(r.getString(1) == r.getString(2)))
+  }
+
+  test("bpeDriftOf flags a flipped top pair as drift at step 1") {
+    // old: (a,b) dominates → step-1 merge "ab"; next: (c,d) dominates
+    val old = Seq((1L, "ab ab ab cd")).toDF("doc_id", "text")
+    val nxt = Seq((1L, "cd cd cd ab")).toDF("doc_id", "text")
+    val byStep = Curation.bpeDriftOf(old, nxt).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getString(2),
+        r.getBoolean(3)))).toMap
+    assert(byStep(1L) == (("ab", "cd", false)))
+  }
+
+  test("bpeDriftOf dangles the deeper side's steps when one exhausts early") {
+    // old exhausts after 1 merge; next runs 3 — FULL OUTER keeps 2..3
+    val old = Seq((1L, "ab")).toDF("doc_id", "text")
+    val nxt = Seq((1L, "abcd")).toDF("doc_id", "text")
+    val rows = Curation.bpeDriftOf(old, nxt).collect()
+      .map(r => r.getLong(0) -> ((Option(r.getString(1)),
+        Option(r.getString(2)), r.getBoolean(3)))).toMap
+    assert(rows.keySet == Set(1L, 2L, 3L))
+    assert(rows(1L) == ((Some("ab"), Some("ab"), true)))
+    assert(rows(2L) == ((None, Some("abc"), false)))
+    assert(rows(3L) == ((None, Some("abcd"), false)))
+  }
+
+  test("bpeDrift fixture: old side is exactly bpeMerges; real drift exists") {
+    val got = Curation.bpeDrift(spark, Sf).collect()
+      .map(r => (r.getLong(0), Option(r.getString(1)),
+        Option(r.getString(2)), r.getBoolean(3))).sortBy(_._1)
+    val trained = TextOps.bpeMerges(spark, Sf).collect()
+      .map(r => r.getLong(0) -> r.getString(3)).toMap
+    // every trained step appears with its merge on the old side
+    trained.foreach { case (step, merged) =>
+      val row = got.find(_._1 == step).get
+      assert(row._2.contains(merged))
+    }
+    // the fabricated re-crawl genuinely drifts AND genuinely agrees
+    assert(got.exists(!_._4))
+    assert(got.exists(_._4))
+  }
+
   // ---- Curation.chunkOf ----
 
   test("chunkOf covers every token with overlapping fixed-stride windows") {
