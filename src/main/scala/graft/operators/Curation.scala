@@ -112,15 +112,21 @@ object Curation {
   def splitAssign(spark: SparkSession, dir: String): DataFrame =
     splitAssignOf(docs(spark, dir))
 
-  def splitAssignOf(corpus: DataFrame): DataFrame = {
-    val u = graft.functions.Md5Uniform.uniform(
-      concat(lit(SplitSalt), col("doc_id").cast("string")))
-    corpus.select(col("doc_id"), u.as("u"))
-      .withColumn("split",
-        when(col("u") < TrainFrac, "train")
-          .when(col("u") < ValCut, "val")
-          .otherwise("test"))
-  }
+  def splitAssignOf(corpus: DataFrame): DataFrame =
+    corpus.select(col("doc_id"), splitU(col("doc_id")).as("u"))
+      .withColumn("split", splitFromU(col("u")))
+
+  /** The salted split uniform / its thresholding, as standalone column
+    * expressions — so any doc_id-keyed table (e.g. the probe feature
+    * table in `llm_quality_eval`) can derive its split row-locally, no
+    * join against a split table.
+    */
+  private[operators] def splitU(id: Column): Column =
+    graft.functions.Md5Uniform.uniform(
+      concat(lit(SplitSalt), id.cast("string")))
+
+  private[operators] def splitFromU(u: Column): Column =
+    when(u < TrainFrac, "train").when(u < ValCut, "val").otherwise("test")
 
   // ---- language mixing weights ----
 
@@ -520,6 +526,22 @@ object Curation {
     }
   }
 
+  /** Drop cached drift reports — same boundary contract as
+    * [[Quality.invalidateProbe]] / [[Apriori.invalidateSupports]]: call
+    * when a fixture dir is regenerated within a session (the cached
+    * n-row local table is otherwise served for the JVM lifetime).
+    */
+  def invalidateDrift(spark: SparkSession = null, dir: String = null)
+      : Unit = {
+    val it = driftCache.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      val (s, d) = e.getKey
+      if ((spark == null || s == spark) && (dir == null || d == dir))
+        it.remove()
+    }
+  }
+
   /** Classify every key of either snapshot. Both sides reduce to
     * (doc_id, md5) BEFORE the join — fixed-width shuffle rows.
     */
@@ -572,6 +594,103 @@ object Curation {
     val clean = Contamination.decontaminate(spark, dir)
       .where(!col("contaminated")).select("doc_id")
     curate(spark, dir).join(rep, "doc_id").join(clean, "doc_id")
+  }
+
+  /** The LEARNED corpus gate — the production learn-then-gate loop
+    * closed: [[curate]]'s composition with the hand-set quality and
+    * repetition rules REPLACED by the trained probe's prediction
+    * ([[Quality.qualityGate]], which the probe learned by imitating
+    * exactly those rules). This is the fastText-classifier role a real
+    * pipeline runs: bootstrap a classifier from heuristics, then the
+    * CLASSIFIER becomes the gate — so the kept set is probe-kept ∩
+    * English ∩ not-near-dup, and each doc carries its learned score.
+    *
+    * Scale shape: identical to [[curate]] — the probe side rides the
+    * session (feature table, θ) cache and scores with plan-literal
+    * weights (the corpus never shuffles to be scored); lang is a
+    * row-local projection; the dedup side rides the session band index.
+    * Two key-unique inner joins + one anti-join.
+    */
+  def curateLearned(spark: SparkSession, dir: String): DataFrame = {
+    val pk = Quality.qualityGate(spark, dir) // (doc_id, score), pred-kept
+    val l = TextOps.langId(spark, dir)
+      .where(col("lang_pred") === "en").select("doc_id")
+    val dup = Dedup.minhashLsh(spark, dir)
+      .select(col("doc_b").as("doc_id")).distinct()
+    pk.join(l, "doc_id")
+      .join(dup, Seq("doc_id"), "left_anti")
+  }
+
+  // ---- leakage-safe probe evaluation ----
+
+  /** Held-out evaluation of the trained quality probe — [[Quality]] ×
+    * [[splitAssignOf]] composed: the probe is fit ONLY on documents the
+    * deterministic split assigns to `train`, then every document (train,
+    * val, AND test) is scored with that θ and the report gives per-split
+    * n / accuracy / pos_rate / tpr / tnr. The val and test rows are the
+    * honest generalization numbers the train-and-score-on-the-same-rows
+    * probe entry (`llm_quality_probe`, legitimate for gate imitation)
+    * cannot provide — and the standard check before a learned gate
+    * ships. Docs with < 2 tokens have no feature row (the probe's
+    * documented inner-join contract) and so don't participate.
+    *
+    * Determinism: the split is a row-local salted-md5 threshold, the
+    * train-split fit reuses the probe's DECIMAL-exact order-independent
+    * gradient sums, and every reported metric is a ratio of integer
+    * counts (exact casts + one IEEE division) — so the whole report is
+    * bit-identical across partitionings and engines, and the oracle
+    * replays fit-on-train → score-all end-to-end (same unrolled
+    * MATERIALIZED CTEs, with one `WHERE split = 'train'`). A split with
+    * no negatives (possible on tiny corpora) reports NaN recall rather
+    * than null, mirrored by the oracle's CASE.
+    *
+    * Scale shape: identical to the probe — the feature table is the
+    * session-cached checkpoint, the split column is computed in the
+    * scan (no join), each epoch is one filtered scan + 6-decimal-sum
+    * aggregate, and the report is one map-side-combined aggregation to
+    * 3 rows.
+    */
+  def qualityEval(spark: SparkSession, dir: String): DataFrame = {
+    val key = (spark, dir)
+    val got = evalCache.get(key)
+    if (got != null) got
+    else {
+      val built = evalReport(Quality.probeFeatures(spark, dir))
+      val prev = evalCache.putIfAbsent(key, built)
+      if (prev != null) prev else built
+    }
+  }
+
+  def qualityEvalOf(corpus: DataFrame,
+      mat: graft.Materialize.Strategy = graft.Materialize.Local)
+      : DataFrame =
+    evalReport(mat(Quality.probeFeaturesOf(corpus)))
+
+  /** θ caching note: the learned θ bakes into the returned plan as
+    * literals at build time, so caching the DataFrame caches the
+    * training; each collect re-runs only the final 3-row aggregation.
+    */
+  private val evalCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), DataFrame]
+
+  private def evalReport(feat: DataFrame): DataFrame = {
+    val fs = feat.withColumn("split", splitFromU(splitU(col("doc_id"))))
+    val theta = Quality.fitProbe(fs.where(col("split") === "train"))
+    val s = Quality.scoreCol(theta)
+    val hit = (s > 0.5) === (col("y") > 0.5)
+    def cnt(c: Column) = sum(when(c, 1L).otherwise(0L))
+    // try_divide, not `/`: ANSI mode (Spark 4 default) turns the
+    // zero-negative-split division into a runtime error; NULL → NaN
+    // mirrors the oracle's CASE
+    fs.groupBy("split").agg(
+      count(lit(1)).as("n"),
+      (cnt(hit).cast("double") / count(lit(1)).cast("double")).as("acc"),
+      (cnt(col("y") > 0.5).cast("double") / count(lit(1)).cast("double"))
+        .as("pos_rate"),
+      coalesce(try_divide(cnt(hit && col("y") > 0.5).cast("double"),
+        cnt(col("y") > 0.5).cast("double")), lit(Double.NaN)).as("tpr"),
+      coalesce(try_divide(cnt(hit && col("y") < 0.5).cast("double"),
+        cnt(col("y") < 0.5).cast("double")), lit(Double.NaN)).as("tnr"))
   }
 
   // ---- per-source gate report ----
@@ -686,6 +805,8 @@ object Curation {
     "llm_pack_chunks" -> packChunks,
     "llm_shard_stats" -> shardStats,
     "llm_curate_strict" -> curateStrict,
+    "llm_curate_learned" -> curateLearned,
+    "llm_quality_eval" -> qualityEval,
     "llm_split" -> splitAssign,
     "llm_upsert" -> upsert,
     "llm_diff" -> snapshotDiff,
@@ -863,7 +984,42 @@ SELECT coalesce(ma.step, mb.step) AS step,
 FROM ma FULL OUTER JOIN mb ON ma.step = mb.step"""
   }
 
+  /** Fit-on-train → score-all, replayed: the probe's unrolled training
+    * CTEs with the epoch scans redirected to the split-filtered `ft`
+    * (one added WHERE), then per-split integer-count metrics. The u
+    * expression is textually identical to `llm_split`'s, so the two
+    * entries can never disagree on an assignment.
+    */
+  private lazy val qualityEvalOracleSql: String = {
+    val uExpr = graft.functions.Md5Uniform
+      .sql(s"'$SplitSalt' || doc_id::VARCHAR")
+    val extra =
+      s"""fs AS MATERIALIZED (
+  SELECT f.*, CASE WHEN u < $TrainFrac THEN 'train'
+                   WHEN u < $ValCut THEN 'val'
+                   ELSE 'test' END AS split
+  FROM (SELECT *, $uExpr AS u FROM feat) f),
+ft AS MATERIALIZED (SELECT * FROM fs WHERE split = 'train')"""
+    def n(c: String) = s"sum(CASE WHEN $c THEN 1 ELSE 0 END)::BIGINT"
+    s"""${Quality.probeCtes("ft", extra)}
+SELECT split, count(*)::BIGINT AS n,
+  ${n("hit")}::DOUBLE / count(*)::BIGINT::DOUBLE AS acc,
+  ${n("y > 0.5")}::DOUBLE / count(*)::BIGINT::DOUBLE AS pos_rate,
+  CASE WHEN ${n("y > 0.5")} = 0 THEN 'NaN'::DOUBLE
+       ELSE ${n("hit AND y > 0.5")}::DOUBLE
+            / ${n("y > 0.5")}::DOUBLE END AS tpr,
+  CASE WHEN ${n("y < 0.5")} = 0 THEN 'NaN'::DOUBLE
+       ELSE ${n("hit AND y < 0.5")}::DOUBLE
+            / ${n("y < 0.5")}::DOUBLE END AS tnr
+FROM (
+  SELECT fs.split, fs.y,
+    ((${Quality.scoreSql("t", "fs")}) > 0.5) = (fs.y > 0.5) AS hit
+  FROM fs, t${Quality.ProbeEpochs} t)
+GROUP BY split"""
+  }
+
   val oracle: Map[String, String] = Map(
+    "llm_quality_eval" -> qualityEvalOracleSql,
     "llm_bpe_drift" -> bpeDriftOracleSql,
     "llm_profile" -> profileOracleSql,
     // sums cast ::BIGINT (DuckDB widens SUM(INT) to HUGEINT)
@@ -985,6 +1141,19 @@ FROM ma FULL OUTER JOIN mb ON ma.step = mb.step"""
          |    AS shard
          |FROM documents""".stripMargin,
     "llm_curate_strict" -> curateStrictSql,
+    // the learned gate: the probe's replayed-training oracle (nested
+    // WITH, MATERIALIZED CTEs — the llm_sim_recall pattern) composed
+    // with the lang + dedup subqueries exactly as `llm_curate` does
+    "llm_curate_learned" ->
+      s"""WITH pk AS (SELECT doc_id, score
+         |           FROM (${Quality.oracle("llm_quality_gate")})),
+         |l AS (SELECT doc_id FROM (${TextOps.oracle("llm_lang_id")})
+         |      WHERE lang_pred = 'en'),
+         |dup AS (SELECT DISTINCT doc_b AS doc_id
+         |        FROM (${Dedup.oracle("llm_dedup_minhash")}))
+         |SELECT doc_id, score FROM pk
+         |JOIN l USING (doc_id)
+         |WHERE doc_id NOT IN (SELECT doc_id FROM dup)""".stripMargin,
     // the pipeline oracle composes the strict gate, the chunker, and
     // the single-global-window packing the two-level Spark plan must
     // reproduce exactly

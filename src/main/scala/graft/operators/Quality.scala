@@ -83,7 +83,7 @@ object Quality {
     * ((((th0*f0 + th1*f1) + th2*f2) + …). The oracle writes the same
     * chain, so the double result is bit-identical.
     */
-  private def scoreCol(theta: Array[Double]): Column =
+  private[operators] def scoreCol(theta: Array[Double]): Column =
     theta.toIndexedSeq.zipWithIndex
       .map { case (t, j) => lit(t) * col(s"f$j") }
       .reduceLeft(_ + _)
@@ -95,7 +95,7 @@ object Quality {
     * ANY partitioning (and in DuckDB); everything else is per-row double
     * arithmetic with pinned order.
     */
-  private def fitProbe(feat: DataFrame): Array[Double] = {
+  private[operators] def fitProbe(feat: DataFrame): Array[Double] = {
     var theta = new Array[Double](ProbeDims)
     var e = 0
     while (e < ProbeEpochs) {
@@ -125,11 +125,29 @@ object Quality {
     (SparkSession, String), (DataFrame, Array[Double])]
 
   private def trainedProbe(spark: SparkSession, dir: String)
-      : (DataFrame, Array[Double]) =
-    probeCache.computeIfAbsent((spark, dir), _ => {
+      : (DataFrame, Array[Double]) = {
+    // get/putIfAbsent, NOT computeIfAbsent: never hold a map bin lock
+    // through checkpoint + 8 Spark training jobs (the Apriori
+    // frequentBaskets rationale — a lost race rebuilds a deterministic
+    // table once and releases its extra checkpoint)
+    val key = (spark, dir)
+    val got = probeCache.get(key)
+    if (got != null) got
+    else {
       val feat = probeFeaturesOf(docs(spark, dir)).localCheckpoint()
-      (feat, fitProbe(feat))
-    })
+      val built = (feat, fitProbe(feat))
+      val prev = probeCache.putIfAbsent(key, built)
+      if (prev != null) { Materialize.release(feat); prev } else built
+    }
+  }
+
+  /** The session-cached checkpointed feature table — shared with the
+    * leakage-safe evaluation composition ([[Curation]]'s
+    * `llm_quality_eval`), which re-fits the probe on the train split
+    * over the SAME materialization.
+    */
+  private[operators] def probeFeatures(spark: SparkSession, dir: String)
+      : DataFrame = trainedProbe(spark, dir)._1
 
   def invalidateProbe(spark: SparkSession = null, dir: String = null)
       : Unit = {
@@ -257,14 +275,19 @@ object Quality {
           avg(col("y")).as("pos_rate"),
           // per-class recalls: the numbers that expose a majority-class
           // collapse that plain accuracy hides at a 9:1 base rate
-          (sum(when(hit && col("y") > 0.5, 1L).otherwise(0L))
-            .cast("double") /
-            sum(when(col("y") > 0.5, 1L).otherwise(0L)).cast("double"))
-            .as("tpr"),
-          (sum(when(hit && col("y") < 0.5, 1L).otherwise(0L))
-            .cast("double") /
-            sum(when(col("y") < 0.5, 1L).otherwise(0L)).cast("double"))
-            .as("tnr"))
+          // try_divide + NaN (not `/` → ANSI error, nor null → NPE at
+          // getDouble) when a class is absent: only the fixture
+          // guarantees both classes for the public qualityTrainOf API
+          coalesce(try_divide(
+            sum(when(hit && col("y") > 0.5, 1L).otherwise(0L))
+              .cast("double"),
+            sum(when(col("y") > 0.5, 1L).otherwise(0L)).cast("double")),
+            lit(Double.NaN)).as("tpr"),
+          coalesce(try_divide(
+            sum(when(hit && col("y") < 0.5, 1L).otherwise(0L))
+              .cast("double"),
+            sum(when(col("y") < 0.5, 1L).otherwise(0L)).cast("double")),
+            lit(Double.NaN)).as("tnr"))
         .head()
       Seq((m.getLong(0), TrainDims.toLong, r.iterations.toLong,
         r.converged, m.getDouble(1), m.getDouble(2), m.getDouble(3),
@@ -299,15 +322,22 @@ object Quality {
   /** θ·x chain with the same left-to-right association as [[scoreCol]],
     * reading θ from epoch-CTE columns.
     */
-  private def scoreSql(t: String, f: String): String =
+  private[operators] def scoreSql(t: String, f: String): String =
     (0 until ProbeDims).map(j => s"$t.th$j*$f.f$j").mkString(" + ")
 
   /** The full training loop unrolled: per epoch a scored CTE (werr), a
     * gradient CTE (DECIMAL-exact sums), and a θ-update CTE — all
     * MATERIALIZED (the BPE lesson: DuckDB inlines plain chained CTEs
     * exponentially). t0 = zeros; the final SELECT scores with t{E}.
+    *
+    * `trainRel` is the relation the epoch scans read (default: the
+    * whole feature table); `extra` injects additional CTEs between
+    * `feat` and `t0` — together they let the leakage-safe evaluation
+    * oracle ([[Curation]]'s `llm_quality_eval`) train on a split-
+    * filtered CTE while scoring everything.
     */
-  private def probeCtes: String = {
+  private[operators] def probeCtes(trainRel: String = "feat",
+      extra: String = ""): String = {
     val zeros = (0 until ProbeDims).map(j => s"0.0::DOUBLE AS th$j")
       .mkString(", ")
     val steps = (1 to ProbeEpochs).map { i =>
@@ -320,7 +350,7 @@ object Quality {
       s"""s$i AS MATERIALIZED (
   SELECT f.*, (f.y - (${scoreSql("t", "f")}))
     * CASE WHEN f.y > 0.5 THEN 1.0 ELSE $ProbeNegWeight END AS werr
-  FROM feat f, t${i - 1} t),
+  FROM $trainRel f, t${i - 1} t),
 g$i AS MATERIALIZED (
   SELECT $grads,
     count(*)::BIGINT AS n FROM s$i),
@@ -328,17 +358,18 @@ t$i AS MATERIALIZED (
   SELECT $upd
   FROM t${i - 1} t, g$i g)"""
     }
-    s"WITH $featSql,\nt0 AS (SELECT $zeros),\n${steps.mkString(",\n")}"
+    val ex = if (extra.isEmpty) "" else s"$extra,\n"
+    s"WITH $featSql,\n${ex}t0 AS (SELECT $zeros),\n${steps.mkString(",\n")}"
   }
 
   private def probeOracleSql: String =
-    s"""$probeCtes
+    s"""${probeCtes()}
 SELECT doc_id, label, score, score > 0.5 AS pred FROM (
   SELECT f.doc_id, f.y AS label, ${scoreSql("t", "f")} AS score
   FROM feat f, t$ProbeEpochs t)"""
 
   private def gateOracleSql: String =
-    s"""$probeCtes
+    s"""${probeCtes()}
 SELECT doc_id, score FROM (
   SELECT f.doc_id, ${scoreSql("t", "f")} AS score
   FROM feat f, t$ProbeEpochs t)

@@ -929,6 +929,14 @@ object TextOps {
     * rewrite: the coalesced search string '|||||' (five pipes) can never
     * occur in the '|sym||sym|' word encoding, whose pipe runs are at
     * most two.
+    *
+    * CORPUS INVARIANT (load-bearing for BOTH the delimited encoding and
+    * the identity-rewrite degradation): document text contains no '|'
+    * characters. A literal '|' token would encode as '|||' and two
+    * adjacent ones would produce a pipe run ≥ 5, colliding with the
+    * exhausted-step search string. The fixture satisfies this (lowercase
+    * a-z tokens); a corpus that may contain '|' must strip or escape it
+    * upstream before the BPE entries run.
     */
   /** The chain's CTE list without the leading WITH, parameterized by
     * source relation and a CTE-name tag so TWO chains (e.g. current vs

@@ -123,7 +123,11 @@ object TextSources {
       Runtime.getRuntime.addShutdownHook(new Thread(() =>
         deleteRecursively(root)))
     }
-    val safe = dir.replaceAll("[^A-Za-z0-9._-]", "_")
+    // bounded suffix of the sanitized dir: keeps the component readable
+    // AND under the 255-byte filename limit for deep fixture paths; the
+    // appended dir.hashCode hex carries the disambiguation
+    val safe0 = dir.replaceAll("[^A-Za-z0-9._-]", "_")
+    val safe = safe0.substring(math.max(0, safe0.length - 80))
     new java.io.File(root,
       s"${tag}_${safe}_${Integer.toHexString(dir.hashCode)}").getPath
   }

@@ -237,6 +237,19 @@ class DedupSpec extends SparkSpecBase {
     assert(after == before)
     graft.operators.Apriori.invalidateSupports(spark, Sf)
     assert(graft.operators.Apriori.freqItemsets(spark, Sf).count() > 0)
+    // the drift + probe caches share the same boundary contract
+    val drift = graft.operators.Curation.bpeDrift(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getBoolean(3))).toSet
+    graft.operators.Curation.invalidateDrift(spark, Sf)
+    val drift2 = graft.operators.Curation.bpeDrift(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getBoolean(3))).toSet
+    assert(drift2 == drift)
+    val probe = graft.operators.Quality.qualityProbe(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getBoolean(3))).toSet
+    graft.operators.Quality.invalidateProbe(spark, Sf)
+    val probe2 = graft.operators.Quality.qualityProbe(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getBoolean(3))).toSet
+    assert(probe2 == probe)
   }
 
   test("Materialize.Disk strategy reproduces the Local minhash output") {

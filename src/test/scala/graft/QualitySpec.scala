@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.operators.{Quality, TextOps}
+import graft.operators.{Curation, Dedup, Quality, TextOps}
 
 /** Trained-quality-classifier semantics: the probe's partition-
   * independence (DECIMAL-exact gradient sums), that both trainers
@@ -67,6 +67,57 @@ class QualitySpec extends SparkSpecBase {
     val n = docs.count()
     val nk = kept.count()
     assert(nk > 0 && nk < n)
+  }
+
+  test("curate_learned = probe-kept ∩ english ∩ non-dup") {
+    val pk = Quality.qualityProbe(spark, Sf).where(col("pred"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val en = TextOps.langId(spark, Sf)
+      .where(col("lang_pred") === "en")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val dup = Dedup.minhashLsh(spark, Sf)
+      .select("doc_b").collect().map(_.getLong(0)).toSet
+    val want = (pk intersect en) diff dup
+    val got = Curation.curateLearned(spark, Sf)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got == want)
+    assert(got.nonEmpty && got.size < 500)
+    // the learned gate must actually be the PROBE's decision: every
+    // kept doc carries the probe's score
+    val scored = Curation.curateLearned(spark, Sf).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val probeScores = Quality.qualityProbe(spark, Sf).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    scored.foreach { case (id, s) => assert(probeScores(id) == s) }
+  }
+
+  test("quality_eval fits on the train split and generalizes") {
+    val rows = Curation.qualityEval(spark, Sf).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(rows.keySet == Set("train", "val", "test"))
+    val featN = Quality.qualityProbe(spark, Sf).count()
+    assert(rows.values.map(_.getLong(1)).sum == featN,
+      "every feature row lands in exactly one split")
+    val accT = rows("train").getDouble(2)
+    assert(accT >= 0.6, s"train acc $accT — the probe should learn")
+    // the held-out bands: val/test accuracy within a sane distance of
+    // train (a leak-free linear probe on 6 features cannot overfit far)
+    Seq("val", "test").foreach { s =>
+      val acc = rows(s).getDouble(2)
+      assert(math.abs(acc - accT) <= 0.3, s"$s acc $acc vs train $accT")
+    }
+  }
+
+  test("quality_eval report is partition-count independent") {
+    def run(parts: Int) =
+      Curation.qualityEvalOf(docs.repartition(parts)).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+          r.getDouble(3), r.getDouble(4), r.getDouble(5)))
+        .sortBy(_._1)
+    val a = run(3)
+    val b = run(17)
+    // NaN != NaN under ==, so compare the rendered rows
+    assert(a.map(_.toString) sameElements b.map(_.toString))
   }
 
   test("SGD classifier is run-to-run deterministic (pinned parts) " +
