@@ -250,6 +250,12 @@ class DedupSpec extends SparkSpecBase {
     val probe2 = graft.operators.Quality.qualityProbe(spark, Sf).collect()
       .map(r => (r.getLong(0), r.getBoolean(3))).toSet
     assert(probe2 == probe)
+    val ivf = graft.operators.Similarity.ivfTopK(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    graft.operators.Similarity.invalidateCentroids(spark, Sf)
+    val ivf2 = graft.operators.Similarity.ivfTopK(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(ivf2 == ivf)
   }
 
   test("Materialize.Disk strategy reproduces the Local minhash output") {

@@ -72,11 +72,39 @@ class SimilaritySpec extends SparkSpecBase {
     assert(plan.contains("partial_graft_topk"), plan)
   }
 
+  /** In-memory replay of [[Similarity.kmeansCentroids]]: nearest-cid
+    * assignment (ties → lower cid), then per-dim means through the SAME
+    * dsum arithmetic (Σ floor(x·10¹²) as an exact integer → double →
+    * /10¹² → /n) so the refined centroids are bit-identical to the
+    * Spark side's.
+    */
+  private def refinedCents(iters: Int): Seq[(Long, Array[Double])] = {
+    var cents = vecs.filter(_._1 < Similarity.NumCentroids).toSeq.sortBy(_._1)
+    for (_ <- 0 until iters) {
+      val cs = cents
+      val groups = vecs.toSeq.groupBy { case (_, e) =>
+        cs.map { case (c, ce) => (c, cos(e, ce)) }
+          .maxBy { case (c, s) => (s, -c) }._1
+      }
+      cents = cents.map { case (cid, prev) =>
+        groups.get(cid) match {
+          case Some(vs) =>
+            (cid, Array.tabulate(prev.length) { d =>
+              val s = vs.map(v => math.floor(v._2(d) * 1e12).toLong).sum
+              s.toDouble / 1e12 / vs.size
+            })
+          case None => (cid, prev)
+        }
+      }
+    }
+    cents
+  }
+
   test("IVF top-k scores only probed inverted lists, exactly") {
     val rows = Similarity.ivfTopK(spark, Sf).collect()
     assert(rows.nonEmpty)
-    // recompute the quantizer in-memory: assignment + 2 probes per query
-    val cents = vecs.filter(_._1 < Similarity.NumCentroids).toSeq.sortBy(_._1)
+    // replay the refined quantizer in-memory: assignment + probes
+    val cents = refinedCents(Similarity.IvfKmeansIters)
     def nearest(e: Array[Double]): Long =
       cents.map { case (c, ce) => (c, cos(e, ce)) }
         .maxBy { case (c, s) => (s, -c) }._1
