@@ -741,6 +741,74 @@ object Curation {
           && col("is_dup").isNull).as("n_corpus"))
   }
 
+  // ---- incremental corpus refresh, one declarative plan ----
+
+  /** The incremental-refresh composition — the CommonCrawl-refresh loop
+    * a production corpus actually runs when the next crawl lands,
+    * end-to-end as ONE plan: fabricate the next snapshot
+    * ([[nextSnapshot]]), classify it against the current corpus
+    * ([[snapshotDiffOf]]), then process ONLY the delta: each
+    * added/changed document is near-dup-checked against the EXISTING
+    * corpus (the session minhash band index, [[Dedup]]'s incremental
+    * path — a re-found copy of content already in the lake is not new
+    * data), quality- and language-gated on its NEW text, and priced:
+    * `token_delta` is what the doc contributes to the corpus token
+    * count if ingested (new − old for an accepted refresh, 0 for a
+    * rejected one — the old version stays), and every `removed` key
+    * contributes −old (a drop needs no gate). One row per affected key;
+    * `sum(token_delta)` is the refresh's corpus-size delta.
+    *
+    * A changed doc colliding only with ITSELF (same key) is a refresh,
+    * not a duplicate — self-pairs don't block ingestion.
+    *
+    * Scale shape: the batch (≪ corpus) builds its own shingle/band
+    * tables and joins the corpus's PERSISTENT index — the corpus is
+    * never re-shingled, never shuffled; gates are row-local projections
+    * of the batch; the diff is one fixed-width full-outer key join.
+    */
+  def pipelineIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val old = docs(spark, dir).select(col("doc_id"), col("text"))
+    val next = nextSnapshot(spark, dir)
+    val diff = snapshotDiffOf(old, next)
+    val batch = next
+      .join(diff.where(col("status").isin("added", "changed")), "doc_id")
+      .select(col("doc_id"), col("status"), col("text"))
+    val dup = Dedup.minhashLshAgainstIndex(
+        batch.select("doc_id", "text"), Dedup.corpusIndex(spark, dir))
+      .where(col("new_doc_id") =!= col("corpus_doc_id"))
+      .select(col("new_doc_id").as("doc_id")).distinct()
+      .withColumn("dup_hit", lit(true))
+    val gates = TextOps.qualityScoreOf(batch)
+      .select(col("doc_id"), col("quality_pass"))
+    val lang = batch.select(col("doc_id"),
+      (TextOps.langPred === "en").as("is_en"))
+    val oldTok = old.select(col("doc_id"),
+      size(split(col("text"), " ")).cast("long").as("n_tokens_old"))
+    val isDup = coalesce(col("dup_hit"), lit(false))
+    val accepted = !isDup && col("quality_pass") && col("is_en")
+    val ingest = batch
+      .select(col("doc_id"), col("status"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens_new"))
+      .join(dup, Seq("doc_id"), "left")
+      .join(gates, "doc_id")
+      .join(lang, "doc_id")
+      .join(oldTok, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("status"), isDup.as("is_dup"),
+        col("quality_pass"), col("is_en"), accepted.as("accepted"),
+        col("n_tokens_new"),
+        coalesce(col("n_tokens_old"), lit(0L)).as("n_tokens_old"),
+        when(accepted,
+          col("n_tokens_new") - coalesce(col("n_tokens_old"), lit(0L)))
+          .otherwise(0L).as("token_delta"))
+    val removed = diff.where(col("status") === "removed")
+      .join(oldTok, "doc_id")
+      .select(col("doc_id"), col("status"), lit(false).as("is_dup"),
+        lit(false).as("quality_pass"), lit(false).as("is_en"),
+        lit(true).as("accepted"), lit(0L).as("n_tokens_new"),
+        col("n_tokens_old"), (-col("n_tokens_old")).as("token_delta"))
+    ingest.unionByName(removed)
+  }
+
   // ---- the whole pipeline, one declarative plan ----
 
   /** The full training-data pipeline as ONE lazy DataFrame: strict
@@ -797,6 +865,7 @@ object Curation {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "llm_pipeline_incremental" -> pipelineIncremental,
     "llm_pipeline_tokens" -> pipelineTokens,
     "llm_pipeline_e2e" -> pipelineE2e,
     "llm_gate_report" -> gateReport,
@@ -1018,7 +1087,80 @@ FROM (
 GROUP BY split"""
   }
 
+  /** The refresh composition replayed: next snapshot → diff → batch →
+    * all-pairs exact Jaccard vs the corpus (the incremental-dedup
+    * contract — banding must recover every passing pair) → batch-text
+    * gates → the same per-key token ledger. The gate expressions are
+    * the SHARED spellings ([[TextOps.qualityPassSql]] /
+    * [[TextOps.langPredSql]]), so entry and composition can't drift.
+    */
+  private lazy val pipelineIncrementalOracleSql: String =
+    s"""WITH nxt AS MATERIALIZED (
+       |  SELECT doc_id, text FROM (
+       |    SELECT doc_id, text FROM documents
+       |    WHERE doc_id % $UpsertMod != 0
+       |    UNION ALL
+       |    SELECT doc_id,
+       |      array_to_string(list_reverse(string_split(text, ' ')), ' ')
+       |        AS text
+       |    FROM documents WHERE doc_id % $UpsertMod = 0
+       |    UNION ALL
+       |    SELECT doc_id + $DiffAddOffset AS doc_id, text
+       |    FROM documents WHERE doc_id % $DiffAddMod = 0)
+       |  WHERE doc_id % $DiffDropMod != 0),
+       |st AS MATERIALIZED (
+       |  SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+       |    CASE WHEN o.doc_id IS NULL THEN 'added'
+       |         WHEN n.doc_id IS NULL THEN 'removed'
+       |         WHEN md5(o.text) = md5(n.text) THEN 'unchanged'
+       |         ELSE 'changed' END AS status
+       |  FROM documents o FULL OUTER JOIN nxt n ON o.doc_id = n.doc_id),
+       |batch AS MATERIALIZED (
+       |  SELECT n.doc_id, st.status, n.text
+       |  FROM nxt n JOIN st ON n.doc_id = st.doc_id
+       |  WHERE st.status IN ('added', 'changed')),
+       |${Shingles.shSql(3)},
+       |${Shingles.shSql(3, "batch", "b")},
+       |dp AS MATERIALIZED (
+       |  SELECT a.doc_id, len(list_intersect(a.s, c.s)) i,
+       |    len(a.s) la, len(c.s) lc
+       |  FROM bsh a JOIN sh c ON a.doc_id != c.doc_id),
+       |dup AS MATERIALIZED (
+       |  SELECT DISTINCT doc_id FROM dp
+       |  WHERE i::DOUBLE / (la + lc - i)::DOUBLE
+       |    >= ${Dedup.JaccardMinhash}),
+       |g AS MATERIALIZED (
+       |  SELECT doc_id, ${TextOps.qualityPassSql} AS quality_pass,
+       |    (${TextOps.langPredSql}) = 'en' AS is_en,
+       |    len(string_split(text, ' '))::BIGINT AS n_new
+       |  FROM batch),
+       |ot AS (SELECT doc_id, len(string_split(text, ' '))::BIGINT AS n_old
+       |       FROM documents),
+       |ing AS (
+       |  SELECT b.doc_id, b.status,
+       |    (d.doc_id IS NOT NULL) AS is_dup,
+       |    g.quality_pass, g.is_en,
+       |    (d.doc_id IS NULL AND g.quality_pass AND g.is_en) AS accepted,
+       |    g.n_new AS n_tokens_new,
+       |    coalesce(ot.n_old, 0::BIGINT) AS n_tokens_old,
+       |    CASE WHEN d.doc_id IS NULL AND g.quality_pass AND g.is_en
+       |         THEN g.n_new - coalesce(ot.n_old, 0::BIGINT)
+       |         ELSE 0::BIGINT END AS token_delta
+       |  FROM batch b
+       |  JOIN g ON b.doc_id = g.doc_id
+       |  LEFT JOIN dup d ON b.doc_id = d.doc_id
+       |  LEFT JOIN ot ON b.doc_id = ot.doc_id),
+       |rem AS (
+       |  SELECT st.doc_id, st.status, false AS is_dup,
+       |    false AS quality_pass, false AS is_en, true AS accepted,
+       |    0::BIGINT AS n_tokens_new, ot.n_old AS n_tokens_old,
+       |    -ot.n_old AS token_delta
+       |  FROM st JOIN ot ON st.doc_id = ot.doc_id
+       |  WHERE st.status = 'removed')
+       |SELECT * FROM ing UNION ALL SELECT * FROM rem""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "llm_pipeline_incremental" -> pipelineIncrementalOracleSql,
     "llm_quality_eval" -> qualityEvalOracleSql,
     "llm_bpe_drift" -> bpeDriftOracleSql,
     "llm_profile" -> profileOracleSql,

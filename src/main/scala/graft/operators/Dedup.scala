@@ -264,6 +264,15 @@ object Dedup {
     minhashAgainstFrom(shNew, bandTable(shNew, mat), idx.sh, idx.bands)
   }
 
+  /** The fixture corpus's session-cached minhash index as a
+    * [[MinhashIndex]] — what an arriving batch joins against
+    * ([[graft.operators.Curation]]'s incremental-refresh composition)
+    * without rebuilding the shingle/band tables the other dedup entries
+    * already cut.
+    */
+  private[operators] def corpusIndex(spark: SparkSession, dir: String)
+      : MinhashIndex = MinhashIndex(sh3(spark, dir), bands3(spark, dir))
+
   def minhashLshAgainst(newDocs: DataFrame, corpus: DataFrame,
                         mat: Materialize.Strategy = Materialize.Local)
       : DataFrame =

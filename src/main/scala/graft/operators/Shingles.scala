@@ -21,15 +21,19 @@ private[operators] object Shingles {
         i => concat_ws(" ", slice(toks, i, lit(n))))))
       .otherwise(array(col("text")))
 
-  /** The identical shingling as DuckDB CTEs (`tok`, `sh(doc_id, s)`)
-    * over `documents`, for oracle queries.
+  /** The identical shingling as DuckDB CTEs (`{tag}tok`,
+    * `{tag}sh(doc_id, s)`) over any (doc_id, text) relation — `src`
+    * defaults to `documents`; a non-empty `tag` lets two shingle chains
+    * (e.g. an ingest batch vs the corpus, `llm_pipeline_incremental`)
+    * coexist in one statement.
     */
-  def shSql(n: Int): String =
-    s"""tok AS (SELECT doc_id, text, string_split(text, ' ') AS t FROM documents),
-       |sh AS (
+  def shSql(n: Int, src: String = "documents", tag: String = ""): String =
+    s"""${tag}tok AS (SELECT doc_id, text, string_split(text, ' ') AS t
+       |            FROM $src),
+       |${tag}sh AS (
        |  SELECT doc_id, CASE WHEN len(t) >= $n THEN
        |    list_distinct(list_transform(range(1, len(t) - ${n - 2}),
        |      i -> array_to_string(list_slice(t, i, i + ${n - 1}), ' ')))
-       |  ELSE [text] END AS s FROM tok
+       |  ELSE [text] END AS s FROM ${tag}tok
        |)""".stripMargin
 }

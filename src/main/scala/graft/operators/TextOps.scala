@@ -105,6 +105,26 @@ object TextOps {
           .when(col("de_hits") >= col("fr_hits"), "de")
           .otherwise("fr"))
 
+  /** The language prediction alone, straight off a `text` column (no
+    * label needed) — for compositions that gate an unlabeled batch
+    * ([[Curation]]'s incremental-refresh ingest). Same stopword-hit
+    * argmax and tie order as [[langId]].
+    */
+  private[operators] def langPred: Column =
+    when(hits(EnStop) >= hits(DeStop)
+      && hits(EnStop) >= hits(FrStop), "en")
+      .when(hits(DeStop) >= hits(FrStop), "de")
+      .otherwise("fr")
+
+  /** DuckDB spelling of [[langPred]], over any relation with `text`. */
+  private[operators] lazy val langPredSql: String =
+    """CASE WHEN HITS_EN >= HITS_DE AND HITS_EN >= HITS_FR THEN 'en'
+      |     WHEN HITS_DE >= HITS_FR THEN 'de' ELSE 'fr' END"""
+      .stripMargin
+      .replace("HITS_EN", sqlHits(EnStop))
+      .replace("HITS_DE", sqlHits(DeStop))
+      .replace("HITS_FR", sqlHits(FrStop))
+
   /** BPE-ish regex token count: alpha runs / digit runs / single
     * non-alphanumeric marks, the shape of a byte-pair pre-tokenizer.
     * Pattern kept to a dialect-neutral character-class subset so Java
@@ -169,8 +189,10 @@ object TextOps {
       (hits(EnStop).cast("double") / nTok) <= lit(0.5)
   }
 
-  /** DuckDB form of [[qualityPass]] (shared by the matching oracles). */
-  private val qualityPassSql: String =
+  /** DuckDB form of [[qualityPass]] (shared by the matching oracles and
+    * [[Curation]]'s incremental-refresh oracle, which gates batch text).
+    */
+  private[operators] val qualityPassSql: String =
     """(len(string_split(text, ' ')) BETWEEN 20 AND 1000
       |   AND len(list_distinct(string_split(text, ' ')))::DOUBLE
       |       / len(string_split(text, ' '))::DOUBLE >= 0.2
@@ -1023,10 +1045,9 @@ object TextOps {
   }
 
   private lazy val langIdOracleSql: String =
-    """SELECT doc_id, lang AS lang_label,
+    s"""SELECT doc_id, lang AS lang_label,
       |  HITS_EN AS en_hits, HITS_DE AS de_hits, HITS_FR AS fr_hits,
-      |  CASE WHEN HITS_EN >= HITS_DE AND HITS_EN >= HITS_FR THEN 'en'
-      |       WHEN HITS_DE >= HITS_FR THEN 'de' ELSE 'fr' END AS lang_pred
+      |  $langPredSql AS lang_pred
       |FROM documents"""
       .stripMargin.replace("HITS_EN", sqlHits(EnStop))
       .replace("HITS_DE", sqlHits(DeStop))

@@ -159,6 +159,47 @@ class CurationSpec extends SparkSpecBase {
     assert(got.map(_._4).max >= 1)
   }
 
+  test("pipeline_incremental: per-key ledger matches its constituents") {
+    val rows = Curation.pipelineIncremental(spark, Sf).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getBoolean(2),
+        r.getBoolean(3), r.getBoolean(4), r.getBoolean(5),
+        r.getLong(6), r.getLong(7), r.getLong(8)))).toMap
+    // the report covers exactly the diff's added/changed/removed keys
+    val diff = Curation.snapshotDiff(spark, Sf).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val affected = diff.filter(kv => kv._2 != "unchanged")
+    assert(rows.keySet == affected.keySet)
+    rows.foreach { case (id, (status, _, _, _, _, _, _, _)) =>
+      assert(status == diff(id), s"doc $id status")
+    }
+    // ledger arithmetic: accepted = !dup ∧ quality ∧ en, delta priced
+    // only when the ingest applies; a removal always applies
+    rows.foreach { case (id,
+        (status, dup, q, en, acc, nNew, nOld, delta)) =>
+      if (status == "removed") {
+        assert(acc && nNew == 0L && delta == -nOld, s"doc $id removal")
+      } else {
+        assert(acc == (!dup && q && en), s"doc $id accepted")
+        assert(delta == (if (acc) nNew - nOld else 0L), s"doc $id delta")
+        if (status == "added") assert(nOld == 0L, s"doc $id old tokens")
+      }
+    }
+    // the planted re-found copies: every 'added' key is a clone of a
+    // corpus doc that is still in the old index → must be flagged dup
+    val added = rows.filter(_._2._1 == "added")
+    assert(added.nonEmpty)
+    added.foreach { case (id, (_, dup, _, _, _, _, _, _)) =>
+      assert(dup, s"added clone $id must near-dup its source")
+    }
+    // and the corpus-size delta is the sum of the per-key ledger
+    val want = rows.values.map(_._8).sum
+    assert(want == rows.values.collect {
+      case (s, _, _, _, true, nNew, nOld, _) if s != "removed" =>
+        nNew - nOld
+      case ("removed", _, _, _, _, _, nOld, _) => -nOld
+    }.sum)
+  }
+
   test("curate = quality pass ∩ lang=en − minhash near-dup victims") {
     val got = Curation.curate(spark, Sf).collect().map(_.getLong(0)).toSet
     val q = TextOps.qualityScore(spark, Sf)
