@@ -235,7 +235,75 @@ object Multimodal {
       .toDF("doc_id", "px", "v")
   }
 
+  /** Caption-alignment threshold: `aligned` = positive quantized-dot
+    * margin between the two modality vectors.
+    */
+  val CaptionThreshold = 0.0
+
+  /** Text↔media alignment scoring — the caption-filter gate (the
+    * CLIP-score role) of a multimodal curation pipeline: each document's
+    * TEXT embedding is pooled into the [[ByteHistogramDecoder]]'s 8-dim
+    * feature space (dim d contributes to group d mod 8 — the same
+    * folding rule the decoder applies to bytes), both modality vectors
+    * are int8-quantized with [[Similarity]]'s symmetric rule, and the
+    * pair is scored by the EXACT integer dot product rescaled by the two
+    * scales through the codegen'd [[graft.functions.DotProduct]] — the
+    * `llm_sim_int8_topk` serving arithmetic, reused 1:1 per pair.
+    * `aligned` = score > [[CaptionThreshold]]: the keep/drop decision a
+    * caption filter makes per (text, media) pair.
+    *
+    * Every step is exact or pinned-order (integer feature sums, exact
+    * quantization arithmetic, ≤ 8-term integer dot, one fixed-order IEEE
+    * rescale), so the oracle replays the whole two-modality pipeline and
+    * hash-matches every score.
+    *
+    * Scale shape: media features come from the decode seam
+    * (partition-parallel, bytes never shuffle); pooling/quantization are
+    * row-local projections; the only shuffles are the 8-row-per-doc
+    * feature regroup and one key-unique equi-join of the two modality
+    * tables.
+    */
+  def captionScore(spark: SparkSession, dir: String): DataFrame =
+    captionScoreOf(spark,
+      decodeFeatures(spark, dir),
+      Tables(spark, dir, "embeddings")
+        .select(col("vec_id").as("doc_id"), col("embedding")))
+
+  /** `mediaFeatures` = (doc_id, grp, byte_sum) rows (the
+    * [[decodeFeatures]] shape); `emb` = (doc_id, embedding).
+    */
+  def captionScoreOf(spark: SparkSession, mediaFeatures: DataFrame,
+      emb: DataFrame): DataFrame = {
+    val n = ByteHistogramDecoder.NumFeatures
+    // media modality: the 8 decoder features as an ordered double array
+    val m = mediaFeatures
+      .groupBy("doc_id")
+      .agg(transform(
+        sort_array(collect_list(struct(col("grp"), col("byte_sum")))),
+        s => s.getField("byte_sum").cast("double")).as("mv"))
+    // text modality: embedding folded into the same 8-dim space,
+    // summed j-ascending with a 0.0 seed (the oracle prepends 0.0)
+    val e = col("embedding").cast("array<double>")
+    val pooled = transform(sequence(lit(0), lit(n - 1)), g =>
+      aggregate(sequence(lit(0), lit(n - 1)), lit(0.0),
+        (acc, j) => acc + element_at(e, g + j * lit(n) + lit(1))))
+    val t = emb.select(col("doc_id"), pooled.as("tv"))
+    val st = Similarity.qScaleOf(col("tv"))
+    val sm = Similarity.qScaleOf(col("mv"))
+    val joined = t.join(m, "doc_id")
+      .select(col("doc_id"), st.as("st"), sm.as("sm"),
+        transform(col("tv"), x =>
+          Similarity.qElemOf(x, st).cast("double")).as("qt"),
+        transform(col("mv"), x =>
+          Similarity.qElemOf(x, sm).cast("double")).as("qm"))
+    val score = graft.functions.DotProduct.dot(
+      spark, col("qt"), col("qm")) * col("st") * col("sm") / 16129.0
+    joined.select(col("doc_id"), score.as("cap_score"),
+      (score > CaptionThreshold).as("aligned"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "llm_mm_caption_score" -> captionScore,
     "llm_mm_resize" -> resizeFeatures,
     "llm_mm_props_agg" -> propsAgg,
     "llm_mm_binary_meta" -> binaryMeta,
@@ -245,7 +313,61 @@ object Multimodal {
     "llm_mm_audio_energy" -> audioEnergy
   )
 
+  /** The two-modality pipeline replayed: decoder features (the
+    * `llm_mm_decode_features` zero-padded shape) as an ordered list,
+    * the embedding folded mod-8 (0.0-prepended left fold = the Spark
+    * side's 0.0-seeded aggregate), the int8 quantization rule, and the
+    * `llm_sim_int8_topk` rescale order.
+    */
+  private lazy val captionScoreOracleSql: String = {
+    val n = ByteHistogramDecoder.NumFeatures
+    val dotSql =
+      s"""list_reduce(list_transform(range(1, ${n + 1}),
+         |    i -> qt[i] * qm[i]), (x, y) -> x + y)::DOUBLE
+         |    * st * sm / 16129.0""".stripMargin
+    s"""WITH f0 AS (
+       |  SELECT doc_id, (i - 1) % $n AS grp,
+       |    sum(ord(substr(text, i::INT, 1)))::BIGINT AS byte_sum
+       |  FROM documents,
+       |    (SELECT unnest(range(1, 2001)) AS i) ii
+       |  WHERE i <= len(text)
+       |  GROUP BY doc_id, (i - 1) % $n),
+       |mf AS (
+       |  SELECT d.doc_id,
+       |    list(coalesce(f0.byte_sum, 0)::DOUBLE ORDER BY g.grp) AS mv
+       |  FROM (SELECT doc_id FROM documents) d
+       |  CROSS JOIN (SELECT unnest(range(0, $n)) AS grp) g
+       |  LEFT JOIN f0 ON f0.doc_id = d.doc_id AND f0.grp = g.grp
+       |  GROUP BY d.doc_id),
+       |tf AS (
+       |  SELECT vec_id AS doc_id,
+       |    list_transform(range(0, $n), g ->
+       |      list_reduce(
+       |        list_prepend(0.0::DOUBLE,
+       |          list_transform(range(0, $n),
+       |            j -> embedding[g + j * $n + 1]::DOUBLE)),
+       |        (a, b) -> a + b)) AS tv
+       |  FROM embeddings),
+       |j AS (
+       |  SELECT tf.doc_id, tv, mv,
+       |    list_max(list_transform(tv, x -> abs(x))) AS st,
+       |    list_max(list_transform(mv, x -> abs(x))) AS sm
+       |  FROM tf JOIN mf ON tf.doc_id = mf.doc_id),
+       |q AS (
+       |  SELECT doc_id, st, sm,
+       |    list_transform(tv, x -> CASE WHEN st = 0 THEN 0::BIGINT
+       |      ELSE floor(x * 127.0 / st + 0.5)::BIGINT END) AS qt,
+       |    list_transform(mv, x -> CASE WHEN sm = 0 THEN 0::BIGINT
+       |      ELSE floor(x * 127.0 / sm + 0.5)::BIGINT END) AS qm
+       |  FROM j)
+       |SELECT doc_id,
+       |  $dotSql AS cap_score,
+       |  $dotSql > $CaptionThreshold AS aligned
+       |FROM q""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
+    "llm_mm_caption_score" -> captionScoreOracleSql,
     "llm_mm_props_agg" ->
       """SELECT event_type, count(*) AS n_events,
         |  sum(json_extract_string(props, '$.k')::BIGINT)::BIGINT AS sum_k,

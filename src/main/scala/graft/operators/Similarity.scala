@@ -448,13 +448,17 @@ object Similarity {
     * [[embQuantizeOf]] and [[int8TopKOf]] — a tweak here (e.g. clamping)
     * changes both ends of the quantize→serve path together.
     */
-  private def qScale: Column =
-    aggregate(col("embedding"), lit(0.0),
+  private[operators] def qScaleOf(v: Column): Column =
+    aggregate(v, lit(0.0),
       (acc, x) => greatest(acc, abs(x.cast("double"))))
 
-  private def qElem(v: Column, scale: Column): Column =
+  private[operators] def qElemOf(x: Column, scale: Column): Column =
     when(scale === lit(0.0), lit(0L))
-      .otherwise(floor(v.cast("double") * 127.0 / scale + 0.5))
+      .otherwise(floor(x.cast("double") * 127.0 / scale + 0.5))
+
+  private def qScale: Column = qScaleOf(col("embedding"))
+
+  private def qElem(v: Column, scale: Column): Column = qElemOf(v, scale)
 
   def embQuantizeOf(vectors: DataFrame): DataFrame =
     vectors

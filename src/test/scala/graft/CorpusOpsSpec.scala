@@ -471,6 +471,71 @@ class CorpusOpsSpec extends SparkSpecBase {
     assert(got.nonEmpty, "fixture should contain feature-level near-dups")
   }
 
+  test("captionScore matches brute force; a planted media swap moves " +
+      "only the swapped pair onto its cross-modal scores") {
+    import graft.operators.Multimodal
+    val texts = Tables(spark, Sf, "documents").select("doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val embs = Tables(spark, Sf, "embeddings")
+      .selectExpr("vec_id", "cast(embedding as array<double>) e")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
+      .toMap
+    def mediaVec(text: String): Array[Double] =
+      Multimodal.ByteHistogramDecoder.features(text.getBytes("UTF-8"))
+        .map(_.toDouble)
+    def pool(e: Array[Double]): Array[Double] =
+      Array.tabulate(8)(g =>
+        (0 until 8).foldLeft(0.0)((a, j) => a + e(g + 8 * j)))
+    def quant(v: Array[Double]): (Double, Array[Long]) = {
+      val s = v.foldLeft(0.0)((a, x) => math.max(a, math.abs(x)))
+      (s, v.map(x =>
+        if (s == 0.0) 0L else math.floor(x * 127.0 / s + 0.5).toLong))
+    }
+    def score(e: Array[Double], text: String): Double = {
+      val (st, qt) = quant(pool(e))
+      val (sm, qm) = quant(mediaVec(text))
+      var acc = 0.0
+      var i = 0
+      while (i < qt.length) { acc += qt(i).toDouble * qm(i).toDouble; i += 1 }
+      acc * st * sm / 16129.0
+    }
+    val got = Multimodal.captionScore(spark, Sf).collect()
+      .map(r => r.getLong(0) -> ((r.getDouble(1), r.getBoolean(2)))).toMap
+    assert(got.keySet == (texts.keySet intersect embs.keySet))
+    got.foreach { case (id, (s, al)) =>
+      assert(s == score(embs(id), texts(id)), s"doc $id score")
+      assert(al == (s > Multimodal.CaptionThreshold), s"doc $id aligned")
+    }
+    // the gate is non-trivial on the fixture
+    assert(got.values.exists(_._2) && got.values.exists(!_._2))
+    // planted misalignment: swap the MEDIA of two docs whose feature
+    // histograms differ, embeddings unchanged
+    val ids = texts.keys.toSeq.sorted
+    val a = ids.head
+    val b = ids.find(i =>
+      !mediaVec(texts(i)).sameElements(mediaVec(texts(a)))).get
+    val swapped = texts.map { case (id, t) =>
+      if (id == a) id -> texts(b)
+      else if (id == b) id -> texts(a)
+      else id -> t
+    }
+    val mfRows = swapped.toSeq.flatMap { case (id, t) =>
+      Multimodal.ByteHistogramDecoder.features(t.getBytes("UTF-8"))
+        .zipWithIndex.map { case (v, g) => (id, g, v) }
+    }.toDF("doc_id", "grp", "byte_sum")
+    val embDf = Tables(spark, Sf, "embeddings")
+      .selectExpr("vec_id as doc_id", "embedding")
+    val mis = Multimodal.captionScoreOf(spark, mfRows, embDf).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // swapped keys score against the OTHER doc's media...
+    assert(mis(a) == score(embs(a), texts(b)), "swapped pair a")
+    assert(mis(b) == score(embs(b), texts(a)), "swapped pair b")
+    // ...and every untouched pair is bit-identical to the base run
+    (mis.keySet - a - b).foreach { id =>
+      assert(mis(id) == got(id)._1, s"doc $id moved")
+    }
+  }
+
   test("funnel anchors each stage strictly after the previous one") {
     import graft.streaming.Streams
     // user 1: full ordered funnel; user 2: click BEFORE first view (must
