@@ -405,4 +405,35 @@ class PlanShapeSpec extends SparkSpecBase {
     assert("ShuffleQueryStage".r.findAllIn(p).size == 1, p)
     assert("HashAggregate".r.findAllIn(p).size >= 2, p)
   }
+
+  test("caption score: one modality equi-join, scored by graft_dot") {
+    val p = finalOnly(graft.operators.Multimodal.captionScore(spark, Sf))
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    // the pair score goes through the codegen'd dot Expression, not an
+    // interpreted fold
+    assert(p.contains("graft_dot"), p)
+    // exactly one join: the (text-modality) ⋈ (media-modality) key join
+    assert(("SortMergeJoin".r.findAllIn(p).size
+      + "BroadcastHashJoin".r.findAllIn(p).size
+      + "ShuffledHashJoin".r.findAllIn(p).size) == 1, p)
+  }
+
+  test("quality eval report: plan-literal scoring, no join after feat") {
+    // the fixture entry reads the session-cached checkpointed feature
+    // table, so its report plan must be scan → row-local split/score
+    // projection → one partially-aggregated 3-row rollup: θ lives in
+    // the plan as literals, the corpus never shuffles to be scored
+    val p = finalOnly(graft.operators.Curation.qualityEval(spark, Sf))
+    assert(!p.contains("Join"), p)
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+    assert("ShuffleQueryStage".r.findAllIn(p).size <= 1, p)
+  }
+
+  test("incremental refresh: equi-joins only, no corpus text reshuffle") {
+    val p = finalOnly(
+      graft.operators.Curation.pipelineIncremental(spark, Sf))
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
 }
