@@ -76,8 +76,67 @@ object Contamination {
       d.where(col("doc_id") % EvalMod === 0))
   }
 
+  /** Heavy-contamination flag threshold for [[contamFracOf]]: a doc
+    * whose eval-overlapping shingles exceed this fraction of its own
+    * distinct shingles is flagged. Any-overlap (the [[decontaminateOf]]
+    * gate) is the conservative pre-training drop; the FRACTION is what
+    * distinguishes a doc that quotes one benchmark sentence from a doc
+    * that IS the benchmark — the graded report the GPT-3/PaLM appendix
+    * methodology actually computes before choosing a drop rule.
+    */
+  val FracThreshold = 0.05
+
+  /** Per-train-doc overlap FRACTION against the eval corpus: the doc's
+    * distinct [[NgramWidth]]-gram count, how many of those appear in the
+    * eval set, their ratio, and the heavy-contamination flag.
+    *
+    * Determinism: both counts are exact integers (the shingle set is
+    * distinct by construction, so the row-local `size` and the
+    * post-join `count(*)` agree with DuckDB exactly) and the fraction is
+    * ONE IEEE division — bit-stable across engines. A doc too short to
+    * have any shingle reports NaN, not an ANSI divide error.
+    *
+    * Scale shape: identical to [[decontaminateOf]] — the doc's own
+    * shingle count is row-local arithmetic in the scan projection (no
+    * extra aggregation over the exploded grams), the eval set broadcasts,
+    * and the only exchange is the per-doc hit count over the rare
+    * matching rows.
+    */
+  def contamFracOf(train: DataFrame, eval: DataFrame): DataFrame = {
+    val evalGrams = eval.select(explode(shingles(NgramWidth)).as("g"))
+      .distinct()
+    val withN = train.select(col("doc_id"),
+      shingles(NgramWidth).as("s"))
+      .select(col("doc_id"), col("s"),
+        size(col("s")).cast("long").as("n_grams"))
+    val hits = withN
+      .select(col("doc_id"), explode(col("s")).as("g"))
+      .join(broadcast(evalGrams), "g")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_hit_ngrams"))
+    val frac = coalesce(
+      try_divide(col("n_hit_ngrams").cast("double"),
+        col("n_grams").cast("double")),
+      lit(Double.NaN))
+    withN.select("doc_id", "n_grams")
+      .join(broadcast(hits), Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_grams"),
+        coalesce(col("n_hit_ngrams"), lit(0L)).as("n_hit_ngrams"))
+      .select(col("doc_id"), col("n_grams"), col("n_hit_ngrams"),
+        frac.as("overlap_frac"),
+        (frac >= FracThreshold).as("heavy"))
+  }
+
+  /** Fixture entry: same train/eval split as [[decontaminate]]. */
+  def contamFrac(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    contamFracOf(
+      d.where(col("doc_id") % EvalMod =!= 0),
+      d.where(col("doc_id") % EvalMod === 0))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "llm_decontaminate" -> decontaminate
+    "llm_decontaminate" -> decontaminate,
+    "llm_contam_frac" -> contamFrac
   )
 
   val oracle: Map[String, String] = Map(
@@ -95,6 +154,33 @@ object Contamination {
          |  coalesce(n, 0::BIGINT) AS n_hit_ngrams,
          |  coalesce(n, 0::BIGINT) > 0 AS contaminated
          |FROM documents d LEFT JOIN hit USING (doc_id)
-         |WHERE d.doc_id % $EvalMod != 0""".stripMargin
+         |WHERE d.doc_id % $EvalMod != 0""".stripMargin,
+    // NaN via CASE (not a bare division): Spark's try_divide(0,0)→NULL→
+    // NaN coalesce must line up with an explicit 'NaN' literal here, and
+    // a NaN fraction must not satisfy the `heavy` comparison in either
+    // engine — hence the n_grams = 0 guard on BOTH columns
+    "llm_contam_frac" ->
+      s"""WITH ${Shingles.shSql(NgramWidth)},
+         |tr AS (SELECT doc_id, len(s)::BIGINT AS n_grams, s FROM sh
+         |       WHERE doc_id % $EvalMod != 0),
+         |ev AS (SELECT DISTINCT g FROM (
+         |         SELECT unnest(s) AS g FROM sh
+         |         WHERE doc_id % $EvalMod = 0)),
+         |hit AS (
+         |  SELECT doc_id, count(*)::BIGINT AS n
+         |  FROM (SELECT doc_id, unnest(s) AS g FROM tr) x
+         |  JOIN ev USING (g)
+         |  GROUP BY doc_id
+         |)
+         |SELECT tr.doc_id, tr.n_grams,
+         |  coalesce(n, 0::BIGINT) AS n_hit_ngrams,
+         |  CASE WHEN tr.n_grams = 0 THEN 'NaN'::DOUBLE
+         |       ELSE coalesce(n, 0::BIGINT)::DOUBLE / tr.n_grams::DOUBLE
+         |  END AS overlap_frac,
+         |  CASE WHEN tr.n_grams = 0 THEN false
+         |       ELSE coalesce(n, 0::BIGINT)::DOUBLE / tr.n_grams::DOUBLE
+         |            >= $FracThreshold
+         |  END AS heavy
+         |FROM tr LEFT JOIN hit USING (doc_id)""".stripMargin
   )
 }

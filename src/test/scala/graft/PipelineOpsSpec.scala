@@ -219,6 +219,36 @@ class PipelineOpsSpec extends SparkSpecBase {
     assert(!plan.contains("SortMergeJoin"))
   }
 
+  test("contamFrac matches brute-force overlap fractions") {
+    val evalGrams = docs.collect {
+      case (id, _, text) if id % Contamination.EvalMod == 0 =>
+        shingles(text, Contamination.NgramWidth)
+    }.flatten.toSet
+    val want = docs.collect {
+      case (id, _, text) if id % Contamination.EvalMod != 0 =>
+        val s = shingles(text, Contamination.NgramWidth)
+        val hits = s.count(evalGrams.contains)
+        val frac = hits.toDouble / s.size.toDouble
+        (id, (s.size.toLong, hits.toLong, frac,
+          frac >= Contamination.FracThreshold))
+    }.toMap
+    val got = Contamination.contamFrac(spark, Sf).collect()
+      .map(r => (r.getLong(0),
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getBoolean(4))))
+      .toMap
+    assert(got == want)
+    // the fraction is bounded and consistent with the boolean gate
+    got.values.foreach { case (n, h, f, _) =>
+      assert(h <= n && f >= 0.0 && f <= 1.0)
+    }
+    // heavy ⊆ contaminated: a heavy doc always has at least one hit
+    val anyHit = Contamination.decontaminate(spark, Sf).collect()
+      .collect { case r if r.getBoolean(2) => r.getLong(0) }.toSet
+    got.foreach { case (id, (_, _, _, heavy)) =>
+      if (heavy) assert(anyHit.contains(id))
+    }
+  }
+
   test("repNgrams matches brute-force bigram counting") {
     val want = docs.map { case (id, _, text) =>
       val t = text.split(" ", -1)
