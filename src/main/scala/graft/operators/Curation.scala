@@ -741,6 +741,60 @@ object Curation {
           && col("is_dup").isNull).as("n_corpus"))
   }
 
+  /** Per-document gate attribution — the drill-down behind
+    * [[gateReport]]: every document with EVERY gate's verdict, the
+    * final keep decision, and the first failing gate in the pipeline's
+    * canonical order (quality → repetition → badwords → language →
+    * contamination → duplicate). This is the table a pipeline owner
+    * actually opens when a source's numbers look wrong in the report —
+    * "why did THIS doc drop" — and the audit trail a data-governance
+    * review asks for. `kept` reproduces [[curateStrict]]'s membership
+    * (plus the badwords gate, as in the report's n_corpus).
+    *
+    * Determinism: every column is a boolean of exact joins or a CASE
+    * over them — no floats anywhere.
+    *
+    * Scale shape: identical to [[gateReport]] minus the final
+    * aggregation — doc-keyed column joins (the contamination and dedup
+    * sides broadcast; the corpus-sized gate columns co-partition on the
+    * key), output one row per doc.
+    */
+  def curateAudit(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables(spark, dir, "documents").select("doc_id", "source")
+    val q = TextOps.qualityScore(spark, dir)
+      .select(col("doc_id"), col("quality_pass"))
+    val rep = TextOps.repNgrams(spark, dir)
+      .select(col("doc_id"), col("rep_pass"))
+    val bad = TextOps.badwords(spark, dir)
+      .select(col("doc_id"), col("badwords_pass"))
+    val en = TextOps.langId(spark, dir)
+      .select(col("doc_id"), (col("lang_pred") === "en").as("is_en"))
+    val cl = Contamination.decontaminate(spark, dir)
+      .select(col("doc_id"), (!col("contaminated")).as("clean0"))
+    val dup = Dedup.minhashLsh(spark, dir)
+      .select(col("doc_b").as("doc_id")).distinct()
+      .withColumn("is_dup", lit(true))
+    d.join(q, Seq("doc_id")).join(rep, Seq("doc_id"))
+      .join(bad, Seq("doc_id")).join(en, Seq("doc_id"))
+      .join(cl, Seq("doc_id"), "left")
+      .join(dup, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("source"), col("quality_pass"),
+        col("rep_pass"), col("badwords_pass"), col("is_en"),
+        coalesce(col("clean0"), lit(false)).as("clean"),
+        col("is_dup").isNull.as("is_unique"))
+      .withColumn("kept",
+        col("quality_pass") && col("rep_pass") && col("badwords_pass")
+          && col("is_en") && col("clean") && col("is_unique"))
+      .withColumn("first_fail",
+        when(!col("quality_pass"), "quality")
+          .when(!col("rep_pass"), "repetition")
+          .when(!col("badwords_pass"), "badwords")
+          .when(!col("is_en"), "language")
+          .when(!col("clean"), "contamination")
+          .when(!col("is_unique"), "duplicate")
+          .otherwise("none"))
+  }
+
   // ---- incremental corpus refresh, one declarative plan ----
 
   /** The incremental-refresh composition — the CommonCrawl-refresh loop
@@ -869,6 +923,7 @@ object Curation {
     "llm_pipeline_tokens" -> pipelineTokens,
     "llm_pipeline_e2e" -> pipelineE2e,
     "llm_gate_report" -> gateReport,
+    "llm_curate_audit" -> curateAudit,
     "llm_profile" -> profile,
     "llm_chunk" -> chunk,
     "llm_pack_chunks" -> packChunks,
@@ -1198,6 +1253,39 @@ GROUP BY split"""
          |LEFT JOIN cl USING (doc_id)
          |LEFT JOIN dup ON d.doc_id = dup.doc_id
          |GROUP BY d.source""".stripMargin,
+    // the report's CTEs, un-aggregated: one row per doc, CASE priority
+    // chain for the first failing gate
+    "llm_curate_audit" ->
+      s"""WITH q AS (SELECT doc_id, quality_pass
+         |           FROM (${TextOps.oracle("llm_quality_score")})),
+         |rep AS (SELECT doc_id, rep_pass
+         |        FROM (${TextOps.oracle("llm_rep_ngrams")})),
+         |bad AS (SELECT doc_id, badwords_pass
+         |        FROM (${TextOps.oracle("llm_badwords")})),
+         |en AS (SELECT doc_id, lang_pred = 'en' AS is_en
+         |       FROM (${TextOps.oracle("llm_lang_id")})),
+         |cl AS (SELECT doc_id, NOT contaminated AS clean0
+         |       FROM (${Contamination.oracle("llm_decontaminate")})),
+         |dup AS (SELECT DISTINCT doc_b AS doc_id
+         |        FROM (${Dedup.oracle("llm_dedup_minhash")}))
+         |SELECT d.doc_id, d.source, quality_pass, rep_pass,
+         |  badwords_pass, is_en,
+         |  coalesce(clean0, false) AS clean,
+         |  dup.doc_id IS NULL AS is_unique,
+         |  quality_pass AND rep_pass AND badwords_pass AND is_en
+         |    AND coalesce(clean0, false) AND dup.doc_id IS NULL AS kept,
+         |  CASE WHEN NOT quality_pass THEN 'quality'
+         |       WHEN NOT rep_pass THEN 'repetition'
+         |       WHEN NOT badwords_pass THEN 'badwords'
+         |       WHEN NOT is_en THEN 'language'
+         |       WHEN NOT coalesce(clean0, false) THEN 'contamination'
+         |       WHEN dup.doc_id IS NOT NULL THEN 'duplicate'
+         |       ELSE 'none' END AS first_fail
+         |FROM documents d
+         |JOIN q USING (doc_id) JOIN rep USING (doc_id)
+         |JOIN bad USING (doc_id) JOIN en USING (doc_id)
+         |LEFT JOIN cl USING (doc_id)
+         |LEFT JOIN dup ON d.doc_id = dup.doc_id""".stripMargin,
     "llm_chunk" -> chunkSql,
     // the two-level prefix sum must equal ONE global ordered window
     "llm_pack_chunks" -> packChunksOracleSql,

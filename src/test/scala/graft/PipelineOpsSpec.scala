@@ -249,6 +249,38 @@ class PipelineOpsSpec extends SparkSpecBase {
     }
   }
 
+  test("curateAudit aggregates back to gateReport and orders first_fail") {
+    val audit = Curation.curateAudit(spark, Sf).collect().map { r =>
+      (r.getLong(0), r.getString(1), r.getBoolean(2), r.getBoolean(3),
+        r.getBoolean(4), r.getBoolean(5), r.getBoolean(6),
+        r.getBoolean(7), r.getBoolean(8), r.getString(9))
+    }
+    // per-source recount == the report, gate by gate
+    val want = Curation.gateReport(spark, Sf).collect().map { r =>
+      r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7),
+        r.getLong(8))
+    }.toMap
+    val got = audit.groupBy(_._2).map { case (src, rows) =>
+      src -> (rows.length.toLong,
+        rows.count(_._3).toLong, rows.count(_._4).toLong,
+        rows.count(_._5).toLong, rows.count(_._6).toLong,
+        rows.count(_._7).toLong, rows.count(_._8).toLong,
+        rows.count(_._9).toLong)
+    }
+    assert(got == want)
+    // first_fail is the FIRST false gate in canonical order; 'none' iff kept
+    audit.foreach {
+      case (_, _, q, rep, bad, en, cl, uniq, kept, ff) =>
+        val expect =
+          if (!q) "quality" else if (!rep) "repetition"
+          else if (!bad) "badwords" else if (!en) "language"
+          else if (!cl) "contamination" else if (!uniq) "duplicate"
+          else "none"
+        assert(ff == expect && kept == (ff == "none"))
+    }
+  }
+
   test("repNgrams matches brute-force bigram counting") {
     val want = docs.map { case (id, _, text) =>
       val t = text.split(" ", -1)
