@@ -402,6 +402,64 @@ object Similarity {
       .where(col("rank") <= TopK)
   }
 
+  /** Per-cluster sample cap for [[sampleCluster]]: at 16 clusters over
+    * the sf0.01 fixture's 500 vectors (~31/cluster mean) a cap of 20
+    * truncates the big clusters for real while keeping the small ones
+    * whole — the behavior the op exists for.
+    */
+  val ClusterSampleCap = 20
+
+  /** Cluster-balanced embedding sampling — the SemDeDup / DataComp-style
+    * diversity cap: assign every vector to its nearest coarse-quantizer
+    * centroid (the IVF assignment, reused verbatim), then keep at most
+    * [[ClusterSampleCap]] vectors per cluster, chosen by the library's
+    * deterministic md5 order (the `llm_sample_topn` rule — a seedless,
+    * engine-reproducible uniform draw). Dense regions of embedding
+    * space — boilerplate, templates, near-dup clouds that survive
+    * doc-level dedup — get capped; sparse regions pass through whole.
+    * `cluster_n` carries the pre-cap size so the output doubles as the
+    * cluster-population audit.
+    *
+    * Scale shape: assignment is O(centroids) typed-kernel flops per
+    * vector with the centroid matrix broadcast (zero shuffle); the
+    * per-cluster rank is ONE window whose `rk <= cap` filter Spark
+    * rewrites to a WindowGroupLimit — each partition prunes to the top
+    * cap rows per cluster BEFORE the exchange, so the shuffle carries
+    * O(clusters · cap) rows per partition, not the corpus; the pre-cap
+    * sizes are a map-side-combined count to K rows, broadcast back.
+    */
+  def sampleCluster(spark: SparkSession, dir: String): DataFrame =
+    sampleClusterWith(emb(spark, dir),
+      cachedCents(spark, dir, IvfKmeansIters))
+
+  def sampleClusterOf(corpusDf: DataFrame, kmeansIters: Int = 0)
+      : DataFrame =
+    sampleClusterWith(corpusDf, kmeansCentroids(corpusDf, kmeansIters))
+
+  private def sampleClusterWith(corpusDf: DataFrame,
+      cents: Array[(Long, Array[Double])]): DataFrame = {
+    val spark = corpusDf.sparkSession
+    val s = spark; import s.implicits._
+    val corpus = corpusDf.as[(Long, Array[Double])]
+    val bc = spark.sparkContext.broadcast(cents)
+    val assign = corpus
+      .mapPartitions { it =>
+        val cs = bc.value
+        it.map { case (id, e) => (id, nearestCid(cs, e)) }
+      }
+      .toDF("vec_id", "cid")
+    val sizes = assign.groupBy("cid")
+      .agg(count(lit(1)).as("cluster_n"))
+    assign
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("cid")
+          .orderBy(md5(col("vec_id").cast("string")), col("vec_id")))
+        .cast("long"))
+      .where(col("rk") <= ClusterSampleCap)
+      .join(broadcast(sizes), "cid")
+      .select(col("vec_id"), col("cid"), col("cluster_n"), col("rk"))
+  }
+
   /** Per-label element-wise embedding centroids — the corpus-statistics
     * side of the embedding family (class prototypes for nearest-centroid
     * classification / cluster summaries / drift dashboards). Plan:
@@ -564,7 +622,8 @@ object Similarity {
     "llm_sim_topk_agg" -> bruteForceTopKAgg,
     "llm_sim_lsh_topk" -> lshTopK,
     "llm_sim_ivf_topk" -> ivfTopK,
-    "llm_sim_recall" -> simRecall
+    "llm_sim_recall" -> simRecall,
+    "llm_sample_cluster" -> sampleCluster
   )
 
   private val topkOracleSql =
@@ -816,6 +875,32 @@ object Similarity {
          |FROM (VALUES ('int8'), ('ivf'), ('lsh')) m(method)
          |LEFT JOIN hits ON m.method = hits.method
          |CROSS JOIN tot""".stripMargin
-    }
+    },
+    // the IVF quantizer CTEs replayed, then the llm_sample_topn md5
+    // ordering rule inside each cluster
+    "llm_sample_cluster" ->
+      s"""WITH v AS (SELECT vec_id, embedding e FROM embeddings),
+         |${ivfKmeansCtes(IvfKmeansIters)},
+         |cents AS (SELECT cid, ce FROM c$IvfKmeansIters),
+         |cscore AS (
+         |  SELECT v.vec_id, cents.cid,
+         |    ${Hashing.cosineSql("v.e", "cents.ce", 64)} AS c
+         |  FROM v, cents
+         |),
+         |assign AS (
+         |  SELECT vec_id, cid FROM (
+         |    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
+         |      ORDER BY c DESC, cid ASC) AS rn FROM cscore
+         |  ) WHERE rn = 1
+         |),
+         |sz AS (SELECT cid, count(*)::BIGINT AS cluster_n
+         |       FROM assign GROUP BY cid)
+         |SELECT vec_id, cid, cluster_n, rk FROM (
+         |  SELECT vec_id, cid,
+         |    row_number() OVER (PARTITION BY cid
+         |      ORDER BY md5(vec_id::VARCHAR), vec_id)::BIGINT AS rk
+         |  FROM assign) a
+         |JOIN sz USING (cid)
+         |WHERE rk <= $ClusterSampleCap""".stripMargin
   )
 }

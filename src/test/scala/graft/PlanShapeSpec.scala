@@ -104,6 +104,15 @@ class PlanShapeSpec extends SparkSpecBase {
     assert(p.contains("WindowGroupLimit"), p)
   }
 
+  test("cluster sample: rank prunes map-side, sizes broadcast back") {
+    val p = finalPlan(graft.operators.Similarity.sampleCluster(spark, Sf))
+    // the per-cluster cap must prune before the window exchange, and the
+    // K-row size table must broadcast, not sort-merge
+    assert(p.contains("WindowGroupLimit"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
   test("tfidf: top-k window prunes map-side; no corpus-side explode shuffle") {
     val p = finalPlan(graft.operators.TextOps.tfidfTopTerms(spark, Sf))
     assert(p.contains("WindowGroupLimit"), p)

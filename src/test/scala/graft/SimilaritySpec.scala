@@ -165,6 +165,39 @@ class SimilaritySpec extends SparkSpecBase {
     }
   }
 
+  test("cluster-balanced sample: caps dense clusters, keeps sparse whole") {
+    import java.security.MessageDigest
+    def md5hex(s: String) = MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    // brute-force reference: nearest-centroid assignment with the
+    // iters=0 sampled quantizer, then the md5 per-cluster order
+    val cents = Similarity.kmeansCentroids(embDf, 0)
+    val assign = vecs.map { case (id, e) =>
+      id -> cents.maxBy { case (cid, ce) => (cos(e, ce), -cid) }._1
+    }
+    val want = assign.groupBy(_._2).flatMap { case (cid, m) =>
+      val ordered = m.keys.toSeq.sortBy(id => (md5hex(id.toString), id))
+      ordered.zipWithIndex.collect {
+        case (id, i) if i < Similarity.ClusterSampleCap =>
+          (id, cid, m.size.toLong, i + 1L)
+      }
+    }.toSet
+    val got = Similarity.sampleClusterOf(embDf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(got == want)
+    // per-cluster output is min(cluster_n, cap); sparse clusters whole
+    got.groupBy(_._2).foreach { case (_, rows) =>
+      val n = rows.head._3
+      assert(rows.size == math.min(n, Similarity.ClusterSampleCap.toLong))
+    }
+    // deterministic under any partitioning
+    val again = Similarity.sampleClusterOf(embDf.repartition(7)).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(again == got)
+  }
+
   test("kmeans quantizer: Lloyd steps improve the assignment objective") {
     val o0 = objective(Similarity.kmeansCentroids(embDf, 0))
     val o3 = objective(Similarity.kmeansCentroids(embDf, 3))
