@@ -542,6 +542,54 @@ object Curation {
     }
   }
 
+  /** Cross-snapshot QUALITY drift — the monitoring row a pipeline
+    * checks before ingesting a re-crawl, next to [[bpeDriftOf]]'s
+    * tokenizer check: the corpus-level quality profile (doc count,
+    * gate pass count and rate, mean token length, mean distinct-token
+    * and stopword ratios) for the current corpus and the next snapshot,
+    * one row each. A pass-rate or length-mean shift between the rows is
+    * the "this crawl is different" alarm that gates a refresh before
+    * any per-doc processing spends money on it.
+    *
+    * Determinism: counts are exact integers; the token mean is an exact
+    * BIGINT sum over one IEEE division; the two ratio means sum
+    * per-doc exact-division doubles through [[graft.functions.StableSum]]
+    * (order-independent DECIMAL quantization, ratios are unit-scale) —
+    * every cell bit-stable across partitionings and engines.
+    *
+    * Scale shape: two corpus scans (current + fabricated next), each
+    * reduced by ONE map-side-combined aggregation to a single row;
+    * quality signals are row-local projections in the scan. Nothing
+    * else moves.
+    */
+  def qualityDrift(spark: SparkSession, dir: String): DataFrame =
+    qualityDriftOf(docs(spark, dir).select(col("doc_id"), col("text")),
+      nextSnapshot(spark, dir))
+
+  def qualityDriftOf(oldCorpus: DataFrame, nextCorpus: DataFrame)
+      : DataFrame = {
+    def side(tag: String, c: DataFrame): DataFrame =
+      TextOps.qualityScoreOf(c)
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(when(col("quality_pass"), 1L).otherwise(0L)).as("n_pass"),
+          sum(col("n_tokens").cast("long")).as("tok_sum"),
+          graft.functions.StableSum.dsum(col("distinct_ratio"))
+            .as("dr_sum"),
+          graft.functions.StableSum.dsum(col("stopword_ratio"))
+            .as("sw_sum"))
+        .select(lit(tag).as("snapshot"), col("n_docs"), col("n_pass"),
+          (col("n_pass").cast("double") / col("n_docs").cast("double"))
+            .as("pass_rate"),
+          (col("tok_sum").cast("double") / col("n_docs").cast("double"))
+            .as("mean_tokens"),
+          (col("dr_sum") / col("n_docs").cast("double"))
+            .as("mean_distinct_ratio"),
+          (col("sw_sum") / col("n_docs").cast("double"))
+            .as("mean_stopword_ratio"))
+    side("current", oldCorpus).unionByName(side("next", nextCorpus))
+  }
+
   /** Classify every key of either snapshot. Both sides reduce to
     * (doc_id, md5) BEFORE the join — fixed-width shuffle rows.
     */
@@ -935,6 +983,7 @@ object Curation {
     "llm_upsert" -> upsert,
     "llm_diff" -> snapshotDiff,
     "llm_bpe_drift" -> bpeDrift,
+    "llm_quality_drift" -> qualityDrift,
     "llm_sample_stratified" -> sampleStratified,
     "llm_sample_topn" -> sampleTopN,
     "llm_mix_weights" -> mixWeights,
@@ -1149,9 +1198,12 @@ GROUP BY split"""
     * the SHARED spellings ([[TextOps.qualityPassSql]] /
     * [[TextOps.langPredSql]]), so entry and composition can't drift.
     */
-  private lazy val pipelineIncrementalOracleSql: String =
-    s"""WITH nxt AS MATERIALIZED (
-       |  SELECT doc_id, text FROM (
+  /** The fabricated next crawl WITH text as a standalone SELECT —
+    * shared by the incremental composition and the quality-drift
+    * oracle, so the two replay the same snapshot.
+    */
+  private lazy val nextSnapshotSelectSql: String =
+    s"""SELECT doc_id, text FROM (
        |    SELECT doc_id, text FROM documents
        |    WHERE doc_id % $UpsertMod != 0
        |    UNION ALL
@@ -1162,7 +1214,11 @@ GROUP BY split"""
        |    UNION ALL
        |    SELECT doc_id + $DiffAddOffset AS doc_id, text
        |    FROM documents WHERE doc_id % $DiffAddMod = 0)
-       |  WHERE doc_id % $DiffDropMod != 0),
+       |  WHERE doc_id % $DiffDropMod != 0""".stripMargin
+
+  private lazy val pipelineIncrementalOracleSql: String =
+    s"""WITH nxt AS MATERIALIZED (
+       |  $nextSnapshotSelectSql),
        |st AS MATERIALIZED (
        |  SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
        |    CASE WHEN o.doc_id IS NULL THEN 'added'
@@ -1320,6 +1376,28 @@ GROUP BY split"""
          |       ELSE 'changed' END AS status
          |FROM old FULL OUTER JOIN nxt ON old.doc_id = nxt.doc_id"""
         .stripMargin,
+    // one aggregate row per snapshot over the SHARED quality-signal and
+    // next-crawl spellings; ratio means via the DECIMAL-stable dsum
+    "llm_quality_drift" -> {
+      def side(tag: String, q: String) =
+        s"""SELECT '$tag' AS snapshot, count(*)::BIGINT AS n_docs,
+           |  sum(CASE WHEN quality_pass THEN 1 ELSE 0 END)::BIGINT
+           |    AS n_pass,
+           |  sum(CASE WHEN quality_pass THEN 1 ELSE 0 END)::BIGINT::DOUBLE
+           |    / count(*)::DOUBLE AS pass_rate,
+           |  sum(n_tokens::BIGINT)::BIGINT::DOUBLE / count(*)::DOUBLE
+           |    AS mean_tokens,
+           |  ${graft.functions.StableSum.dsumSql("distinct_ratio")}
+           |    / count(*)::DOUBLE AS mean_distinct_ratio,
+           |  ${graft.functions.StableSum.dsumSql("stopword_ratio")}
+           |    / count(*)::DOUBLE AS mean_stopword_ratio
+           |FROM ($q)""".stripMargin
+      s"""WITH nxt AS (
+         |  $nextSnapshotSelectSql)
+         |${side("current", TextOps.qualityScoreSql("documents"))}
+         |UNION ALL
+         |${side("next", TextOps.qualityScoreSql("nxt"))}""".stripMargin
+    },
     "llm_upsert" ->
       s"""WITH snap AS (SELECT doc_id, 0::BIGINT AS version, text
          |             FROM documents),

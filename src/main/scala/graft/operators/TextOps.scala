@@ -192,6 +192,21 @@ object TextOps {
   /** DuckDB form of [[qualityPass]] (shared by the matching oracles and
     * [[Curation]]'s incremental-refresh oracle, which gates batch text).
     */
+  /** The full quality-signal SQL over any (doc_id, text) relation —
+    * shared by the `llm_quality_score` oracle (over `documents`) and
+    * [[Curation]]'s snapshot-drift oracle (over the fabricated next
+    * crawl), so entry and composition can't drift.
+    */
+  private[operators] def qualityScoreSql(src: String): String =
+    s"""SELECT doc_id,
+      |  len(string_split(text, ' ')) AS n_tokens,
+      |  len(list_distinct(string_split(text, ' ')))::DOUBLE
+      |    / len(string_split(text, ' '))::DOUBLE AS distinct_ratio,
+      |  HITS_EN::DOUBLE / len(string_split(text, ' '))::DOUBLE AS stopword_ratio,
+      |  $qualityPassSql AS quality_pass
+      |FROM $src"""
+      .stripMargin.replace("HITS_EN", sqlHits(EnStop))
+
   private[operators] val qualityPassSql: String =
     """(len(string_split(text, ' ')) BETWEEN 20 AND 1000
       |   AND len(list_distinct(string_split(text, ' ')))::DOUBLE
@@ -1215,15 +1230,7 @@ object TextOps {
         |        i -> ord(substr(text, i::INT, 1))::BIGINT)),
         |    (h, ch) -> (h * 31 + ch) % 2147483648) AS rolling_hash
         |FROM documents""".stripMargin,
-    "llm_quality_score" ->
-      s"""SELECT doc_id,
-        |  len(string_split(text, ' ')) AS n_tokens,
-        |  len(list_distinct(string_split(text, ' ')))::DOUBLE
-        |    / len(string_split(text, ' '))::DOUBLE AS distinct_ratio,
-        |  HITS_EN::DOUBLE / len(string_split(text, ' '))::DOUBLE AS stopword_ratio,
-        |  $qualityPassSql AS quality_pass
-        |FROM documents"""
-        .stripMargin.replace("HITS_EN", sqlHits(EnStop)),
+    "llm_quality_score" -> qualityScoreSql("documents"),
     // the windowed SUM widens to HUGEINT in DuckDB → cast back to
     // BIGINT before the double division (the pack_shards lesson)
     "llm_lm_score" -> lmScoreSql,

@@ -200,6 +200,37 @@ class CurationSpec extends SparkSpecBase {
     }.sum)
   }
 
+  test("quality drift recounts from the per-doc quality tables") {
+    val got = Curation.qualityDrift(spark, Sf).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5), r.getDouble(6))))
+      .toMap
+    assert(got.keySet == Set("current", "next"))
+    def recount(side: org.apache.spark.sql.DataFrame) = {
+      val rows = TextOps.qualityScoreOf(side).collect()
+        .map(r => (r.getInt(1).toLong, r.getDouble(2), r.getDouble(3),
+          r.getBoolean(4)))
+      val n = rows.length.toLong
+      val nPass = rows.count(_._4).toLong
+      def dmean(xs: Seq[Double]) =
+        xs.map(x => math.floor(x * 1e12).toLong).sum / 1e12 / n.toDouble
+      (n, nPass, nPass.toDouble / n.toDouble,
+        rows.map(_._1).sum.toDouble / n.toDouble,
+        dmean(rows.map(_._2).toSeq), dmean(rows.map(_._3).toSeq))
+    }
+    val d = graft.Tables(spark, Sf, "documents").select("doc_id", "text")
+    assert(got("current") == recount(d))
+    // the fabricated crawl's add/drop resampling must move the profile:
+    // the report exists to catch exactly this
+    assert(got("next")._1 != got("current")._1)
+    // and the whole report is partition-independent
+    val nextSub = d.where(org.apache.spark.sql.functions.col("doc_id") % 3 === 0)
+    val again = Curation.qualityDriftOf(
+      d.repartition(7), nextSub.repartition(3)).collect()
+    val once = Curation.qualityDriftOf(d, nextSub).collect()
+    assert(again.map(_.toSeq.toList).toSet == once.map(_.toSeq.toList).toSet)
+  }
+
   test("curate = quality pass ∩ lang=en − minhash near-dup victims") {
     val got = Curation.curate(spark, Sf).collect().map(_.getLong(0)).toSet
     val q = TextOps.qualityScore(spark, Sf)
