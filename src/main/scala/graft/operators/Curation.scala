@@ -669,6 +669,27 @@ object Curation {
       .join(dup, Seq("doc_id"), "left_anti")
   }
 
+  /** Gates THEN diversity — the DataComp-style curation tail: apply the
+    * [[curate]] composition (quality ∩ English ∩ non-dup), then cap
+    * each embedding-space cluster of the SURVIVORS at
+    * [[Similarity.ClusterSampleCap]] ([[Similarity.sampleClusterFor]]).
+    * Doc-level dedup removes copies; the cluster cap removes
+    * redundancy dedup can't see — a thousand distinct-but-templated
+    * pages that all pass the gates still land in one dense cluster and
+    * get capped. Order matters and is pinned: the cap ranks within the
+    * gated survivors (a gate-dropped doc never occupies a cluster
+    * slot), while the quantizer stays the corpus-level session-cached
+    * one.
+    *
+    * Scale shape: [[curate]]'s join tree, one key semi-join into the
+    * embedding table, the zero-shuffle assignment kernel, and the
+    * WindowGroupLimit-pruned per-cluster rank.
+    */
+  def curateDiverse(spark: SparkSession, dir: String): DataFrame =
+    Similarity.sampleClusterFor(spark, dir, curate(spark, dir))
+      .select(col("vec_id").as("doc_id"), col("cid"), col("cluster_n"),
+        col("rk"))
+
   // ---- leakage-safe probe evaluation ----
 
   /** Held-out evaluation of the trained quality probe — [[Quality]] ×
@@ -978,6 +999,7 @@ object Curation {
     "llm_shard_stats" -> shardStats,
     "llm_curate_strict" -> curateStrict,
     "llm_curate_learned" -> curateLearned,
+    "llm_curate_diverse" -> curateDiverse,
     "llm_quality_eval" -> qualityEval,
     "llm_split" -> splitAssign,
     "llm_upsert" -> upsert,
@@ -1375,6 +1397,15 @@ GROUP BY split"""
          |       WHEN h_old = h_new THEN 'unchanged'
          |       ELSE 'changed' END AS status
          |FROM old FULL OUTER JOIN nxt ON old.doc_id = nxt.doc_id"""
+        .stripMargin,
+    // the curate subquery restricts WHICH rows get assigned and capped;
+    // the quantizer CTEs still train on the full corpus (the
+    // sampleClusterFor contract)
+    "llm_curate_diverse" ->
+      s"""SELECT vec_id AS doc_id, cid, cluster_n, rk
+         |FROM (${Similarity.sampleClusterOracleSql(
+               s"ck AS ($curateSql),\n",
+               "SELECT v.* FROM v JOIN ck ON v.vec_id = ck.doc_id")}) z"""
         .stripMargin,
     // one aggregate row per snapshot over the SHARED quality-signal and
     // next-crawl spellings; ratio means via the DECIMAL-stable dsum

@@ -436,6 +436,23 @@ object Similarity {
       : DataFrame =
     sampleClusterWith(corpusDf, kmeansCentroids(corpusDf, kmeansIters))
 
+  /** [[sampleCluster]] restricted to a key subset (doc_id rows) — the
+    * curated-corpus diversity cap [[Curation.curateDiverse]] composes.
+    * The quantizer stays the session-cached FULL-corpus one (a coarse
+    * quantizer is a corpus-level artifact; re-training it per subset
+    * would make the cap's geometry drift with the gate), only the
+    * assignment and the per-cluster rank run over the subset. The
+    * subset arrives as keys, so the restriction is a key semi-join
+    * before the zero-shuffle assignment kernel.
+    */
+  def sampleClusterFor(spark: SparkSession, dir: String,
+      ids: DataFrame): DataFrame =
+    sampleClusterWith(
+      emb(spark, dir).join(
+        ids.select(col("doc_id").as("vec_id")), Seq("vec_id"),
+        "left_semi"),
+      cachedCents(spark, dir, IvfKmeansIters))
+
   private def sampleClusterWith(corpusDf: DataFrame,
       cents: Array[(Long, Array[Double])]): DataFrame = {
     val spark = corpusDf.sparkSession
@@ -878,29 +895,39 @@ object Similarity {
     },
     // the IVF quantizer CTEs replayed, then the llm_sample_topn md5
     // ordering rule inside each cluster
-    "llm_sample_cluster" ->
-      s"""WITH v AS (SELECT vec_id, embedding e FROM embeddings),
-         |${ivfKmeansCtes(IvfKmeansIters)},
-         |cents AS (SELECT cid, ce FROM c$IvfKmeansIters),
-         |cscore AS (
-         |  SELECT v.vec_id, cents.cid,
-         |    ${Hashing.cosineSql("v.e", "cents.ce", 64)} AS c
-         |  FROM v, cents
-         |),
-         |assign AS (
-         |  SELECT vec_id, cid FROM (
-         |    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
-         |      ORDER BY c DESC, cid ASC) AS rn FROM cscore
-         |  ) WHERE rn = 1
-         |),
-         |sz AS (SELECT cid, count(*)::BIGINT AS cluster_n
-         |       FROM assign GROUP BY cid)
-         |SELECT vec_id, cid, cluster_n, rk FROM (
-         |  SELECT vec_id, cid,
-         |    row_number() OVER (PARTITION BY cid
-         |      ORDER BY md5(vec_id::VARCHAR), vec_id)::BIGINT AS rk
-         |  FROM assign) a
-         |JOIN sz USING (cid)
-         |WHERE rk <= $ClusterSampleCap""".stripMargin
+    "llm_sample_cluster" -> sampleClusterOracleSql("", "SELECT * FROM v")
   )
+
+  /** The sample-cluster oracle parameterized for composition: the
+    * quantizer always trains on the FULL corpus (`v`), while
+    * `vvSelect` picks the rows that get assigned and capped —
+    * `llm_curate_diverse` passes the curated key set ([[sampleClusterFor]]'s
+    * contract, replayed).
+    */
+  private[operators] def sampleClusterOracleSql(extraCtes: String,
+      vvSelect: String): String =
+    s"""WITH ${extraCtes}v AS (SELECT vec_id, embedding e FROM embeddings),
+       |${ivfKmeansCtes(IvfKmeansIters)},
+       |cents AS (SELECT cid, ce FROM c$IvfKmeansIters),
+       |vv AS ($vvSelect),
+       |cscore AS (
+       |  SELECT vv.vec_id, cents.cid,
+       |    ${Hashing.cosineSql("vv.e", "cents.ce", 64)} AS c
+       |  FROM vv, cents
+       |),
+       |assign AS (
+       |  SELECT vec_id, cid FROM (
+       |    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
+       |      ORDER BY c DESC, cid ASC) AS rn FROM cscore
+       |  ) WHERE rn = 1
+       |),
+       |sz AS (SELECT cid, count(*)::BIGINT AS cluster_n
+       |       FROM assign GROUP BY cid)
+       |SELECT vec_id, cid, cluster_n, rk FROM (
+       |  SELECT vec_id, cid,
+       |    row_number() OVER (PARTITION BY cid
+       |      ORDER BY md5(vec_id::VARCHAR), vec_id)::BIGINT AS rk
+       |  FROM assign) a
+       |JOIN sz USING (cid)
+       |WHERE rk <= $ClusterSampleCap""".stripMargin
 }

@@ -200,6 +200,43 @@ class CurationSpec extends SparkSpecBase {
     }.sum)
   }
 
+  test("curate_diverse = md5 cluster cap over exactly the curated set") {
+    import graft.operators.Similarity
+    val kept = Curation.curate(spark, Sf).collect().map(_.getLong(0)).toSet
+    val got = Curation.curateDiverse(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // brute force: corpus-trained refined quantizer, assignment + md5
+    // rank restricted to the curated survivors
+    val embDf = graft.Tables(spark, Sf, "embeddings")
+      .selectExpr("vec_id", "cast(embedding as array<double>) e")
+    val vecs = embDf.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    val cents = Similarity.kmeansCentroids(embDf, Similarity.IvfKmeansIters)
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    def md5hex(s: String) = MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val assign = vecs.filter(kv => kept.contains(kv._1)).map {
+      case (id, e) =>
+        id -> cents.maxBy { case (cid, ce) => (cos(e, ce), -cid) }._1
+    }
+    val want = assign.groupBy(_._2).flatMap { case (cid, m) =>
+      val ordered = m.keys.toSeq.sortBy(id => (md5hex(id.toString), id))
+      ordered.zipWithIndex.collect {
+        case (id, i) if i < Similarity.ClusterSampleCap =>
+          (id, cid, m.size.toLong, i + 1L)
+      }
+    }.toSet
+    assert(got.toSet == want)
+    // a gate-dropped doc never occupies a cluster slot
+    assert(got.map(_._1).toSet.subsetOf(kept))
+  }
+
   test("quality drift recounts from the per-doc quality tables") {
     val got = Curation.qualityDrift(spark, Sf).collect()
       .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
