@@ -134,9 +134,96 @@ object Contamination {
       d.where(col("doc_id") % EvalMod === 0))
   }
 
+  // ---- Bloom-filter decontamination: the compact at-scale path ----
+
+  /** Filter size in bits and the word width the bitset is sharded into.
+    * Sizing is the visible design decision: at 4096 bits the fixture's
+    * ~60-gram docs saturate (measured: 448/486 docs flagged vs 3 truly
+    * contaminated — a per-gram FP of ~5% ORs to ~95% per doc), because
+    * the DOC-level flag amplifies the per-gram rate by the gram count.
+    * 131072 bits puts the per-gram FP near 6e-5: measured 5 flagged vs
+    * 3 exact at sf0.001 and 3 vs 1 at sf0.01 — false positives real
+    * and visible, but rare, with the no-false-negative guarantee
+    * spec-pinned. A production run sizes m the same way
+    * (m ≈ −n·ln p / ln²2 against the per-DOC budget p/grams-per-doc).
+    * 32-bit words keep every mask a small positive BIGINT — no sign
+    * games in either engine.
+    */
+  val BloomBits = 131072
+  val BloomWordBits = 32
+
+  /** k = 2 positions per gram from disjoint md5 hex windows — the
+    * [[graft.functions.Md5Uniform]] recipe, engine-reproducible.
+    */
+  private def bloomPos(g: Column, hexOff: Int): Column =
+    conv(substring(md5(g), hexOff, 8), 16, 10).cast("long") % BloomBits
+
+  /** Bloom-filter decontamination — what the any-overlap gate
+    * ([[decontaminateOf]]) becomes when the eval set is too large to
+    * broadcast as raw shingles: the eval grams fold into a fixed
+    * [[BloomBits]]-bit filter (4096 (word, bits) rows ≈ 32 KB — vs
+    * megabytes-to-gigabytes of shingle strings), and every train gram
+    * probes the filter. One-sided by construction: a Bloom filter has NO false
+    * negatives, so `n_bloom_hits >= ` the exact `n_hit_ngrams` per doc
+    * and every truly contaminated doc is flagged; the overcount is the
+    * tunable FP price (spec-pinned against the exact entry).
+    *
+    * Scale shape: the filter build reduces eval grams to ≤ m/32 rows
+    * via one map-side-combined `bit_or`; the probe side is row-local
+    * hash arithmetic plus two broadcast joins of the ≤ 128-row filter;
+    * the per-doc report is ONE aggregation of the exploded grams
+    * (n_grams rides the group key — no audit re-join of the corpus,
+    * which even the exact entry needs). The train corpus is never
+    * shuffled, never re-scanned.
+    */
+  def decontamBloomOf(train: DataFrame, eval: DataFrame): DataFrame = {
+    val pos = eval.select(explode(shingles(NgramWidth)).as("g"))
+      .distinct()
+      .select(explode(array(bloomPos(col("g"), 1),
+        bloomPos(col("g"), 9))).as("p"))
+    val bloom = pos
+      .select(expr(s"p div $BloomWordBits").as("word"),
+        expr(s"shiftleft(1L, cast(p % $BloomWordBits as int))").as("m"))
+      .groupBy("word").agg(bit_or(col("m")).as("bits"))
+    val grams = train
+      .select(col("doc_id"), shingles(NgramWidth).as("s"))
+      .select(col("doc_id"), size(col("s")).cast("long").as("n_grams"),
+        explode(col("s")).as("g"))
+      .select(col("doc_id"), col("n_grams"),
+        bloomPos(col("g"), 1).as("p1"), bloomPos(col("g"), 9).as("p2"))
+    val b1 = bloom.select(col("word").as("w1"), col("bits").as("bits1"))
+    val b2 = bloom.select(col("word").as("w2"), col("bits").as("bits2"))
+    def bitSet(bits: Column, pName: String): Column =
+      (bits.bitwiseAND(expr(
+        s"shiftleft(1L, cast($pName % $BloomWordBits as int))"))
+        =!= 0L)
+    grams
+      .join(broadcast(b1),
+        expr(s"p1 div $BloomWordBits") === col("w1"), "left")
+      .join(broadcast(b2),
+        expr(s"p2 div $BloomWordBits") === col("w2"), "left")
+      .select(col("doc_id"), col("n_grams"),
+        when(bitSet(coalesce(col("bits1"), lit(0L)), "p1")
+          && bitSet(coalesce(col("bits2"), lit(0L)), "p2"), 1L)
+          .otherwise(0L).as("hit"))
+      .groupBy("doc_id", "n_grams")
+      .agg(sum(col("hit")).as("n_bloom_hits"))
+      .select(col("doc_id"), col("n_grams"), col("n_bloom_hits"),
+        (col("n_bloom_hits") > 0L).as("contaminated_bloom"))
+  }
+
+  /** Fixture entry: same train/eval split as [[decontaminate]]. */
+  def decontamBloom(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    decontamBloomOf(
+      d.where(col("doc_id") % EvalMod =!= 0),
+      d.where(col("doc_id") % EvalMod === 0))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "llm_decontaminate" -> decontaminate,
-    "llm_contam_frac" -> contamFrac
+    "llm_contam_frac" -> contamFrac,
+    "llm_decontam_bloom" -> decontamBloom
   )
 
   val oracle: Map[String, String] = Map(
@@ -181,6 +268,50 @@ object Contamination {
          |       ELSE coalesce(n, 0::BIGINT)::DOUBLE / tr.n_grams::DOUBLE
          |            >= $FracThreshold
          |  END AS heavy
-         |FROM tr LEFT JOIN hit USING (doc_id)""".stripMargin
+         |FROM tr LEFT JOIN hit USING (doc_id)""".stripMargin,
+    // the same md5 hex windows, word split, and bit_or fold — the probe
+    // joins the ≤ m/32-row filter and requires BOTH bits
+    "llm_decontam_bloom" ->
+      s"""WITH ${Shingles.shSql(NgramWidth)},
+         |ev AS (SELECT DISTINCT g FROM (
+         |         SELECT unnest(s) AS g FROM sh
+         |         WHERE doc_id % $EvalMod = 0)),
+         |pos AS (
+         |  SELECT ('0x' || substr(md5(g), 1, 8))::BIGINT % $BloomBits AS p
+         |  FROM ev
+         |  UNION ALL
+         |  SELECT ('0x' || substr(md5(g), 9, 8))::BIGINT % $BloomBits
+         |  FROM ev),
+         |bloom AS (
+         |  SELECT p // $BloomWordBits AS word,
+         |    bit_or(1::BIGINT << (p % $BloomWordBits)::INT) AS bits
+         |  FROM pos GROUP BY 1),
+         |grams AS (
+         |  SELECT doc_id, len(s)::BIGINT AS n_grams, unnest(s) AS g
+         |  FROM sh WHERE doc_id % $EvalMod != 0),
+         |probed AS (
+         |  SELECT doc_id, n_grams,
+         |    ('0x' || substr(md5(g), 1, 8))::BIGINT % $BloomBits AS p1,
+         |    ('0x' || substr(md5(g), 9, 8))::BIGINT % $BloomBits AS p2
+         |  FROM grams)
+         |SELECT doc_id, n_grams,
+         |  sum(CASE WHEN
+         |      (coalesce(b1.bits, 0::BIGINT)
+         |        & (1::BIGINT << (p1 % $BloomWordBits)::INT)) != 0
+         |      AND
+         |      (coalesce(b2.bits, 0::BIGINT)
+         |        & (1::BIGINT << (p2 % $BloomWordBits)::INT)) != 0
+         |    THEN 1 ELSE 0 END)::BIGINT AS n_bloom_hits,
+         |  sum(CASE WHEN
+         |      (coalesce(b1.bits, 0::BIGINT)
+         |        & (1::BIGINT << (p1 % $BloomWordBits)::INT)) != 0
+         |      AND
+         |      (coalesce(b2.bits, 0::BIGINT)
+         |        & (1::BIGINT << (p2 % $BloomWordBits)::INT)) != 0
+         |    THEN 1 ELSE 0 END) > 0 AS contaminated_bloom
+         |FROM probed
+         |LEFT JOIN bloom b1 ON p1 // $BloomWordBits = b1.word
+         |LEFT JOIN bloom b2 ON p2 // $BloomWordBits = b2.word
+         |GROUP BY doc_id, n_grams""".stripMargin
   )
 }

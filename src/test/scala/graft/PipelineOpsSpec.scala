@@ -219,6 +219,33 @@ class PipelineOpsSpec extends SparkSpecBase {
     assert(!plan.contains("SortMergeJoin"))
   }
 
+  test("bloom decontamination: no false negatives, rare false positives") {
+    val exact = Contamination.decontaminate(spark, Sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val bloom = Contamination.decontamBloom(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getBoolean(3)))
+    assert(bloom.map(_._1).toSet == exact.keySet)
+    bloom.foreach { case (id, nGrams, bHits, flag) =>
+      // one-sided: every exact hit is a bloom hit
+      assert(bHits >= exact(id), s"doc $id lost an exact hit")
+      assert(bHits <= nGrams && flag == (bHits > 0))
+    }
+    // the fixture's measured operating point: FPs exist but are rare
+    // (the m-sizing note at Contamination.BloomBits)
+    val fpDocs = bloom.count { case (id, _, bHits, _) =>
+      bHits > exact(id)
+    }
+    assert(fpDocs > 0, "filter sized so the FP path is exercised")
+    assert(fpDocs < bloom.length / 10, s"FP saturation: $fpDocs docs")
+    // plan: filter broadcasts, the corpus is aggregated once, never
+    // sort-merged
+    val plan = Contamination.decontamBloom(spark, Sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"))
+    assert(!plan.contains("SortMergeJoin"))
+  }
+
   test("contamFrac matches brute-force overlap fractions") {
     val evalGrams = docs.collect {
       case (id, _, text) if id % Contamination.EvalMod == 0 =>
