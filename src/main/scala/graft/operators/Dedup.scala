@@ -734,6 +734,27 @@ object Dedup {
       .unionByName(reps)
   }
 
+  /** [[keepBestOf]] with the survivor policy swapped from "most tokens"
+    * to an external per-doc score (the RefinedWeb-style "keep the
+    * highest-QUALITY copy" rule — [[Quality]]'s learned probe score in
+    * the `llm_dedup_keep_scored` entry): per cluster the member with the
+    * max score, ties to the smallest doc_id. Same partial-aggregable
+    * arg-min-struct shuffle shape — one row per cluster moves, never
+    * the membership. Members without a score row (no feature row under
+    * the probe's ≥ 2-token contract) don't compete.
+    */
+  def keepScoredOf(scores: DataFrame, clusterTable: DataFrame)
+      : DataFrame =
+    clusterTable
+      .join(scores.select(col("doc_id"), col("score")), Seq("doc_id"))
+      .groupBy("cluster_id")
+      .agg(
+        min(struct((-col("score")).as("neg"), col("doc_id").as("d")))
+          .as("best"),
+        count(lit(1)).as("n_members"))
+      .select(col("cluster_id"), col("best.d").as("rep_doc_id"),
+        (-col("best.neg")).as("rep_score"), col("n_members"))
+
   def keepBestOf(corpus: DataFrame, clusterTable: DataFrame): DataFrame =
     clusterTable
       .join(corpus.select(col("doc_id"),

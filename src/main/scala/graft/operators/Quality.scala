@@ -377,15 +377,42 @@ WHERE score > 0.5"""
 
   // ---- contract --------------------------------------------------------
 
+  /** Score-policy dedup survivor selection — [[Dedup.keepScoredOf]]
+    * driven by the trained probe's score (which rides the session
+    * probe cache): per near-dup cluster, the highest-QUALITY copy
+    * survives. The learned-model-as-policy counterpart to
+    * `llm_dedup_keep_best`'s most-tokens rule.
+    */
+  def dedupKeepScored(spark: SparkSession, dir: String): DataFrame =
+    Dedup.keepScoredOf(
+      qualityProbe(spark, dir).select(col("doc_id"), col("score")),
+      Dedup.clusters(spark, dir))
+
+  private def keepScoredOracleSql: String =
+    s"""${probeCtes()},
+sc AS (SELECT f.doc_id, ${scoreSql("t", "f")} AS score
+       FROM feat f, t$ProbeEpochs t),
+cl AS (SELECT * FROM (${Dedup.oracle("llm_dedup_clusters")}) c0)
+SELECT cluster_id, doc_id AS rep_doc_id, score AS rep_score, n_members
+FROM (
+  SELECT cl.cluster_id, cl.doc_id, sc.score,
+    count(*) OVER (PARTITION BY cl.cluster_id)::BIGINT AS n_members,
+    row_number() OVER (PARTITION BY cl.cluster_id
+      ORDER BY sc.score DESC, cl.doc_id) AS rn
+  FROM cl JOIN sc USING (doc_id))
+WHERE rn = 1"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "llm_quality_probe" -> qualityProbe,
     "llm_quality_gate" -> qualityGate,
-    "llm_quality_train" -> qualityTrain)
+    "llm_quality_train" -> qualityTrain,
+    "llm_dedup_keep_scored" -> dedupKeepScored)
 
   /** `llm_quality_train` is rows-only by documented design (per-record
     * SGD, same as the `sgd_*` θ entries).
     */
   lazy val oracle: Map[String, String] = Map(
     "llm_quality_probe" -> probeOracleSql,
-    "llm_quality_gate" -> gateOracleSql)
+    "llm_quality_gate" -> gateOracleSql,
+    "llm_dedup_keep_scored" -> keepScoredOracleSql)
 }

@@ -91,6 +91,27 @@ class QualitySpec extends SparkSpecBase {
     scored.foreach { case (id, s) => assert(probeScores(id) == s) }
   }
 
+  test("keep_scored: per cluster the highest-probe-score copy survives") {
+    val score = Quality.qualityProbe(spark, Sf).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val cl = Dedup.clusters(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val got = Quality.dedupKeepScored(spark, Sf).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getLong(3)))).toMap
+    val want = cl.filter(m => score.contains(m._1)).groupBy(_._2)
+      .map { case (cid, ms) =>
+        val best = ms.map(_._1).minBy(id => (-score(id), id))
+        cid -> ((best, score(best), ms.size.toLong))
+      }
+    assert(got == want)
+    // the two policies pick from the same clusters but CAN disagree —
+    // the scored policy must still emit one rep per cluster
+    val byLen = Dedup.keepBest(spark, Sf).collect()
+      .map(r => r.getLong(0)).toSet
+    assert(got.keySet == byLen)
+  }
+
   test("quality_eval fits on the train split and generalizes") {
     val rows = Curation.qualityEval(spark, Sf).collect()
       .map(r => r.getString(0) -> r).toMap
