@@ -448,6 +448,42 @@ class StreamingSpec extends SparkSpecBase {
       s"too few windows finalized: ${emitted.size}/${batch.size}")
   }
 
+  test("row-local curation gates run unchanged under a document stream") {
+    // The Spark-first claim for the LLM-pipeline family, proven the way
+    // the stream_* family proves it: the SAME qualityScoreOf code (a
+    // row-local scan — the shape shared by langId, badwords, piiScrub,
+    // repNgrams — so streaming-safe by construction, no watermark
+    // needed) drains a parquet-backed document stream and must emit
+    // exactly the batch answer. This is the ingest-time gate shape a
+    // production corpus runs as documents arrive, rather than as a
+    // nightly batch.
+    val base = java.nio.file.Files.createTempDirectory("graft-gate-")
+    val (in, out, ck) = (s"$base/in", s"$base/out", s"$base/ck")
+    val docs = graft.Tables(spark, Sf, "documents")
+      .select("doc_id", "text")
+    docs.repartition(3).write.parquet(in)
+    val src = spark.readStream
+      .schema(spark.read.parquet(in).schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(in)
+    val q = graft.operators.TextOps.qualityScoreOf(src)
+      .writeStream.format("parquet")
+      .option("path", out)
+      .option("checkpointLocation", ck)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    assert(q.awaitTermination(180000), "AvailableNow drain did not finish")
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getInt(1), r.getDouble(2), r.getDouble(3),
+        r.getBoolean(4))
+    val streamed = spark.read.parquet(out).collect().map(key).toSet
+    val batch = graft.operators.TextOps.qualityScoreOf(docs)
+      .collect().map(key).toSet
+    assert(streamed == batch,
+      "streamed quality gate diverges from batch")
+  }
+
   test("checkpoint restart resumes exactly-once (no reprocessing)") {
     // The recovery contract a production sink depends on: drain input A
     // under AvailableNow, stop, append input B, start a NEW query over
