@@ -27,6 +27,13 @@ import graft.Tables
   *     implied coarse ranges must still reach the scans.
   *   - [[idleCustomers]] (Q22 shape)       — global scalar threshold +
   *     NOT EXISTS anti-join, in exact arithmetic.
+  *   - [[lateOrderPriority]] (Q4 shape)    — EXISTS as a semi-join whose
+  *     condition mixes equi and cross-table non-equi parts.
+  *   - [[soleLateSupplier]] (Q21 shape)    — one derived fact in three
+  *     roles: probe, self semi-join, self anti-join, each with a
+  *     supplier-key inequality beside the order-key equality.
+  *   - [[importantSuppliers]] (Q11 shape)  — grouped aggregate kept only
+  *     where it exceeds a fraction of its own global total.
   *
   * The reference engine (whiker92/MapReduce_code) has no optimizer at all
   * — every one of these shapes would be a hand-sequenced MR job chain
@@ -364,7 +371,106 @@ object Warehouse {
       .agg(count(lit(1)).as("n_cust"), dsum(col("c_acctbal")).as("total_bal"))
   }
 
+  // ---- Q4 shape: late-order priority check ----
+
+  /** Order-priority histogram over orders having at least one lineitem
+    * shipped more than 60 days after the order date (TPC-H Q4 shape,
+    * restated on this schema: lateness is ship-vs-ORDER-date — the
+    * fixture has no commit/receipt dates). The EXISTS becomes a LEFT
+    * SEMI join whose condition mixes the equi part (`l_orderkey =
+    * o_orderkey`) with a non-equi part referencing BOTH sides
+    * (`l_shipdate > o_orderdate + 60 days`): the late predicate cannot
+    * be pushed to either scan alone, so it must ride the hash join as a
+    * post-probe filter — the capability Q4 exists to exercise. Contrast
+    * [[Relational.prioritySemiJoin]] (J1), whose lineitem filter is
+    * side-local and the semi-join purely equi.
+    */
+  def lateOrderPriority(spark: SparkSession, dir: String): DataFrame = {
+    val ord = Tables(spark, dir, "orders")
+      .select("o_orderkey", "o_orderdate", "o_orderpriority")
+    val li = Tables(spark, dir, "lineitem")
+      .select("l_orderkey", "l_shipdate")
+    ord.join(li,
+        ord("o_orderkey") === li("l_orderkey") &&
+          li("l_shipdate") > ord("o_orderdate") + expr("INTERVAL 60 DAYS"),
+        "left_semi")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"))
+  }
+
+  // ---- Q21 shape: sole late supplier on multi-supplier orders ----
+
+  /** Suppliers who were the ONLY late shipper on a finished ('F')
+    * multi-supplier order (TPC-H Q21 shape; late := shipped > 75 days
+    * after the order date, restated as in [[lateOrderPriority]]). One
+    * derived fact — lineitem ⋈ finished orders with a lateness flag —
+    * is consumed in THREE roles: the probe side, an EXISTS (another
+    * supplier on the same order → LEFT SEMI whose condition carries a
+    * supplier-key INEQUALITY next to the order-key equality), and a
+    * NOT EXISTS (no OTHER supplier also late → LEFT ANTI, same
+    * correlation pattern plus the flag). Per-role column pruning makes
+    * the three subplans distinct, so each re-derives from the two
+    * scans; at 100 TB the derived fact is what you'd materialize once
+    * (the Dedup family's Materialize.Local seam is that call). The
+    * supplier dimension broadcasts onto the final 100-row aggregate.
+    */
+  def soleLateSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val ord = Tables(spark, dir, "orders")
+      .where(col("o_orderstatus") === "F")
+      .select("o_orderkey", "o_orderdate")
+    val li = Tables(spark, dir, "lineitem")
+      .select("l_orderkey", "l_suppkey", "l_shipdate")
+    val f = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"),
+        (col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 75 DAYS"))
+          .as("late"))
+    val others = f.select(col("ok").as("ok2"), col("sk").as("sk2"))
+    val lateOthers = f.where(col("late"))
+      .select(col("ok").as("ok3"), col("sk").as("sk3"))
+    val supp = Tables(spark, dir, "supplier").select("s_suppkey", "s_name")
+    f.where(col("late"))
+      .join(others,
+        col("ok") === col("ok2") && col("sk") =!= col("sk2"), "left_semi")
+      .join(lateOthers,
+        col("ok") === col("ok3") && col("sk") =!= col("sk3"), "left_anti")
+      .groupBy("sk")
+      .agg(count(lit(1)).as("numwait"))
+      .join(broadcast(supp), col("sk") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("numwait"))
+  }
+
+  // ---- Q11 shape: important suppliers by share of global revenue ----
+
+  /** Suppliers whose revenue exceeds 1/98 of GLOBAL revenue (TPC-H
+    * Q11's grouped-aggregate-vs-fraction-of-global-total shape, on the
+    * revenue ledger — the fixture has no partsupp). The same
+    * per-supplier aggregate feeds both the kept rows and the 1-row
+    * global total that broadcasts back over them; the threshold is
+    * exact decimal (`rev · 98 > Σrev` — never a float fraction, the
+    * [[idleCustomers]] discipline), and the reported share divides as
+    * IEEE double only at output. At 100 TB the per-supplier aggregate
+    * is tiny (one row per supplier), so the second pass over it costs
+    * nothing; the one large shuffle is the groupBy both consumers
+    * share.
+    */
+  def importantSuppliers(spark: SparkSession, dir: String): DataFrame = {
+    val s = Tables(spark, dir, "lineitem")
+      .groupBy(col("l_suppkey"))
+      .agg(sum(rev.cast("decimal(24,6)")).cast("decimal(24,6)").as("rev"))
+    val g = s.agg(sum(col("rev")).cast("decimal(30,6)").as("tot"))
+    val supp = Tables(spark, dir, "supplier").select("s_suppkey", "s_name")
+    s.crossJoin(broadcast(g))
+      .where(col("rev") * lit(98).cast("decimal(3,0)") > col("tot"))
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"),
+        col("rev").cast("double").as("revenue"),
+        (col("rev").cast("double") / col("tot").cast("double")).as("share"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "rel_late_order_priority" -> lateOrderPriority,
+    "rel_sole_late_supplier" -> soleLateSupplier,
+    "rel_important_suppliers" -> importantSuppliers,
     "rel_local_supplier_volume" -> localSupplierVolume,
     "rel_nation_trade_volume" -> nationTradeVolume,
     "rel_forecast_revenue" -> forecastRevenue,
@@ -377,6 +483,42 @@ object Warehouse {
   )
 
   val oracle: Map[String, String] = Map(
+    "rel_late_order_priority" ->
+      """SELECT o_orderpriority, count(*) AS n_orders
+        |FROM orders
+        |WHERE EXISTS (SELECT 1 FROM lineitem
+        |  WHERE l_orderkey = o_orderkey
+        |    AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+        |GROUP BY o_orderpriority""".stripMargin,
+    "rel_sole_late_supplier" ->
+      """WITH f AS MATERIALIZED (
+        |  SELECT l_orderkey AS ok, l_suppkey AS sk,
+        |         l_shipdate > o_orderdate + INTERVAL 75 DAY AS late
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  WHERE o_orderstatus = 'F')
+        |SELECT s_suppkey, s_name, numwait
+        |FROM (SELECT sk, count(*) AS numwait FROM f l1
+        |      WHERE l1.late
+        |        AND EXISTS (SELECT 1 FROM f l2
+        |              WHERE l2.ok = l1.ok AND l2.sk <> l1.sk)
+        |        AND NOT EXISTS (SELECT 1 FROM f l3
+        |              WHERE l3.ok = l1.ok AND l3.sk <> l1.sk AND l3.late)
+        |      GROUP BY sk) w
+        |JOIN supplier ON sk = s_suppkey""".stripMargin,
+    "rel_important_suppliers" ->
+      """WITH s AS MATERIALIZED (
+        |  SELECT l_suppkey,
+        |    CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount)
+        |      AS DECIMAL(24,6))) AS DECIMAL(24,6)) AS rev
+        |  FROM lineitem GROUP BY l_suppkey),
+        |g AS MATERIALIZED (
+        |  SELECT CAST(SUM(rev) AS DECIMAL(30,6)) AS tot FROM s)
+        |SELECT s_suppkey, s_name,
+        |  CAST(rev AS DOUBLE) AS revenue,
+        |  CAST(rev AS DOUBLE) / CAST(tot AS DOUBLE) AS share
+        |FROM s CROSS JOIN g
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE rev * CAST(98 AS DECIMAL(3,0)) > tot""".stripMargin,
     "rel_local_supplier_volume" ->
       """SELECT n_name,
         |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount)

@@ -335,6 +335,34 @@ class PlanShapeSpec extends SparkSpecBase {
     assert("BroadcastNestedLoopJoin".r.findAllIn(p).size <= 1, p)
   }
 
+  test("late-order priority: EXISTS is a hash semi-join, not a loop") {
+    val p = finalOnly(Warehouse.lateOrderPriority(spark, Sf))
+    // the equi key factored out of the mixed condition → hash semi-join;
+    // the cross-table late predicate rides it, never a nested loop
+    assert(p.contains("LeftSemi"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"), p)
+  }
+
+  test("sole late supplier: self semi + self anti, dims broadcast") {
+    val p = finalOnly(Warehouse.soleLateSupplier(spark, Sf))
+    assert(p.contains("LeftSemi") && p.contains("LeftAnti"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"), p)
+    // the 100-row supplier dimension broadcasts onto the aggregate
+    assert(p.contains("BroadcastHashJoin"), p)
+    // the status filter reaches the orders scan
+    assert(p.contains("EqualTo(o_orderstatus,F)"), p)
+  }
+
+  test("important suppliers: 1-row global total broadcast, no sort") {
+    val p = finalOnly(Warehouse.importantSuppliers(spark, Sf))
+    // the global total is the only nested-loop (single-row broadcast)
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size <= 1, p)
+    assert(!"Window \\[".r.findFirstIn(p).isDefined, p)
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
   test("forecast revenue: all three range predicates reach the scan") {
     // toString truncates the PushedFilters list; FormattedMode prints it
     // in full
