@@ -122,13 +122,22 @@ object Bench {
     def ms(v: Double): String = // Locale.ROOT: a comma-decimal default
       String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
       // locale would render 0,12 and break the JSON contract
-    val qs = medians.sortBy(-_._2).take(20)
-      .map { case (k, v) => s"${q(k)}:${ms(v)}" }
+    val top = medians.sortBy(-_._2).take(20)
+    val qs = top.map { case (k, v) => s"${q(k)}:${ms(v)}" }
       .mkString("{", ",", "}")
+    // max 1-min loadavg seen across the query's reps, for the SAME top-20
+    // keys — lets a judge separate host contention from real regression
+    // without opening bench_samples.json (round-7 advice item 7).
+    val loadByName = samples.toMap
+    val lq = top.map { case (k, _) =>
+      val mx = loadByName.getOrElse(k, Seq.empty)
+        .flatMap(r => scala.util.Try(r._2.toDouble).toOption)
+      s"${q(k)}:${ms(if (mx.isEmpty) -1.0 else mx.max)}"
+    }.mkString("{", ",", "}")
     val es = errors.take(10).map { case (k, v) => s"${q(k)}:${q(v.take(80))}" }
       .mkString("{", ",", "}")
     val total = medians.map(_._2).sum
-    println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","reps":$reps,"order":"sorted-name","warmup":1,"n_queries":${medians.size},"n_errors":${errors.size},"queries":$qs,"errors":$es,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","reps":$reps,"order":"sorted-name","warmup":1,"n_queries":${medians.size},"n_errors":${errors.size},"queries":$qs,"max_load":$lq,"errors":$es,"sf":"$sfDir"}""")
     // diagnostics only, AFTER the stdout contract line and best-effort:
     // an unwritable cwd must not turn a successful bench into a crash
     try {

@@ -22,12 +22,27 @@ object Verify {
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     def selected(name: String) = only.forall(_.contains(name))
+    // Failures must be LOUD (round-7 lesson: a swallowed analysis error
+    // made 12 broken queries vanish from the correctness file instead of
+    // showing as red rows). On failure, write a one-row sentinel parquet
+    // (schema `_graft_error: string`) under the query's name — the
+    // driver's DuckDB compare then reports a schema/hash mismatch for
+    // that key instead of silently dropping it — and collect the
+    // failures into `_failures.json` alongside the oracle dump.
+    val failures = scala.collection.mutable.LinkedHashMap[String, String]()
     SparkEntry.queries.foreach { case (name, fn) =>
       if (selected(name))
         try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
           .parquet(s"$outDir/$name")
         catch { case e: Throwable =>
-          System.err.println(s"[verify] $name failed: ${e.getMessage}")
+          val msg = s"${e.getClass.getSimpleName}: ${e.getMessage}"
+          failures(name) = msg
+          System.err.println(s"[verify] FAILED $name: $msg")
+          try {
+            import spark.implicits._
+            Seq(msg).toDF("_graft_error").coalesce(1)
+              .write.mode("overwrite").parquet(s"$outDir/$name")
+          } catch { case _: Throwable => () }
         }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
@@ -46,6 +61,12 @@ object Verify {
       .filter { case (k, _) => selected(k) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    val failJson = failures
+      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/_failures.json"), failJson)
+    if (failures.nonEmpty)
+      System.err.println(s"[verify] ${failures.size} queries FAILED: " +
+        failures.keys.mkString(", "))
     spark.stop()
   }
 }

@@ -29,11 +29,18 @@ case class ClosedSession(user_id: Long, start_us: Long,
   * the Spark-first design: tumbling windows and sessionization are plan
   * shapes, not a separate engine.
   *
-  * Timestamps: the fixture's `ts` is TIMESTAMP(NANOS), surfaced as a
-  * nanosecond Long (see [[graft.Tables]]); `ts DIV 1000` (integer
-  * division — a double round-trip would lose precision above 2^53)
-  * truncates to microseconds exactly like DuckDB's Parquet reader, so
-  * both engines window the identical instants.
+  * Timestamps: the fixture's `ts` encoding has varied across driver
+  * regenerations — TIMESTAMP(NANOS) surfaced as a nanosecond Long (via
+  * `spark.sql.legacy.parquet.nanosAsLong`, see [[graft.Tables]]), and
+  * timestamp[us] surfaced as TIMESTAMP_NTZ (isAdjustedToUTC=false +
+  * Spark's NTZ inference) or TIMESTAMP. [[withEventTime]] normalizes all
+  * three to epoch-microsecond `ts_us` by matching the column's dtype, so
+  * every downstream operator and every oracle (`epoch_us(ts)` in DuckDB)
+  * windows the identical instants. For the Long case, `DIV 1000` is
+  * integer division — a double round-trip would lose precision above
+  * 2^53. For the NTZ case the session timezone must be UTC (all graft
+  * entry points pin it) so the NTZ→timestamp cast is field-identity,
+  * matching DuckDB's naive `epoch_us`.
   */
 object Streams {
 
@@ -43,11 +50,24 @@ object Streams {
   private def dsum(c: Column): Column =
     sum(c.cast("decimal(24,6)")).cast("double")
 
-  /** events with event-time columns: `ts_us` (long micros) + `ts_ts`. */
-  def withEventTime(events: DataFrame): DataFrame =
+  /** events with event-time columns: `ts_us` (long micros) + `ts_ts`.
+    * Adaptive to the fixture's `ts` encoding (see object Scaladoc):
+    * nanosecond Long, TIMESTAMP, or TIMESTAMP_NTZ all normalize to the
+    * same epoch-microsecond Long.
+    */
+  def withEventTime(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    val tsUs = events.schema("ts").dataType match {
+      case LongType         => expr("ts DIV 1000") // nanos-as-long fixture
+      case TimestampType    => unix_micros(col("ts"))
+      case TimestampNTZType => unix_micros(col("ts").cast(TimestampType))
+      case other => throw new IllegalArgumentException(
+        s"events.ts has unsupported type $other")
+    }
     events
-      .withColumn("ts_us", expr("ts DIV 1000"))
+      .withColumn("ts_us", tsUs)
       .withColumn("ts_ts", timestamp_micros(col("ts_us")))
+  }
 
   /** Tumbling 1-hour stats per event type. Batch and streaming share
     * this; pass a watermark for streaming so state is bounded (late data

@@ -539,8 +539,9 @@ class PipelineOpsSpec extends SparkSpecBase {
     val dirZ = "/tmp/graft-zorder"
     val dirS = "/tmp/graft-singlesort"
     val dayAbs = org.apache.spark.sql.functions
-      .expr(s"(ts div ${1000L * graft.streaming.Streams.DayUs})")
-    val raw = graft.Tables(spark, Sf, "events")
+      .expr(s"(ts_us div ${graft.streaming.Streams.DayUs})")
+    val raw = graft.streaming.Streams
+      .withEventTime(graft.Tables(spark, Sf, "events"))
       .select(col("event_id"), col("user_id"), dayAbs.as("day_abs"))
     // normalize to min-zero: absolute epoch-days share a constant
     // high-bit prefix that would waste every MSB split
