@@ -21,7 +21,8 @@ object SparkEntry {
     Apriori.queries ++ Relational.queries ++ Sgd.queries ++
       TextOps.queries ++ Dedup.queries ++ Similarity.queries ++
       Multimodal.queries ++ Streams.queries ++ Curation.queries ++
-      Contamination.queries ++ Warehouse.queries ++ Quality.queries
+      Contamination.queries ++ Warehouse.queries ++ Quality.queries ++
+      Sketch.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops.
@@ -30,5 +31,6 @@ object SparkEntry {
     Apriori.oracle ++ Relational.oracle ++ Sgd.oracle ++
       TextOps.oracle ++ Dedup.oracle ++ Similarity.oracle ++
       Multimodal.oracle ++ Streams.oracle ++ Curation.oracle ++
-      Contamination.oracle ++ Warehouse.oracle ++ Quality.oracle
+      Contamination.oracle ++ Warehouse.oracle ++ Quality.oracle ++
+      Sketch.oracle
 }

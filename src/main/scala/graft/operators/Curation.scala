@@ -742,6 +742,23 @@ object Curation {
   private val evalCache = new java.util.concurrent.ConcurrentHashMap[
     (SparkSession, String), DataFrame]
 
+  /** Drop cached eval reports. The cached DataFrame reads
+    * [[Quality.probeFeatures]]' localCheckpoint with NO lineage
+    * fallback, so [[Quality.invalidateProbe]] — which unpersists those
+    * blocks — MUST cascade here (it does): a retained entry would fail
+    * its next collect with CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND.
+    */
+  def invalidateEval(spark: SparkSession = null, dir: String = null)
+      : Unit = {
+    val it = evalCache.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      val (s, d) = e.getKey
+      if ((spark == null || s == spark) && (dir == null || d == dir))
+        it.remove()
+    }
+  }
+
   private def evalReport(feat: DataFrame): DataFrame = {
     val fs = feat.withColumn("split", splitFromU(splitU(col("doc_id"))))
     val theta = Quality.fitProbe(fs.where(col("split") === "train"))
@@ -987,7 +1004,66 @@ object Curation {
         concat_ws(",", col("ids").cast("array<string>")).as("ids_csv"))
   }
 
+  // ---- curriculum / annealing stages ----
+
+  /** Score-bucket count for [[curriculum]] and the two cumulative-token
+    * share boundaries: stage 0 = the first half of the token mass in
+    * ascending-score order, stage 1 = the next 30%, stage 2 = the final
+    * 20% — the anneal-on-best-last recipe (most tokens early from
+    * average data, the tail of training reserved for the highest-score
+    * slice). Boundaries compare as integer cross-products (2·cum ≥ T,
+    * 5·cum ≥ 4·T), no float thresholds.
+    */
+  val CurriculumBuckets = 20L
+
+  /** Curriculum stage assignment — the data-ordering step between
+    * curation and packing: every document lands in a training stage by
+    * its quality-proxy score (distinct-token ratio — row-local, the
+    * [[TextOps.qualityScore]] signal), where stages are cumulative
+    * TOKEN-share bands over ascending score. Deliberately
+    * BUCKET-granular: the corpus is never globally sorted by a double —
+    * docs map row-locally to [[CurriculumBuckets]] score buckets, the
+    * ≤ B-row bucket-total table takes one tiny prefix-sum window, and
+    * stages broadcast back. That is the 100 TB shape (a per-doc global
+    * score sort would be the exact serial trap [[packShardsOf]]
+    * avoids); within a bucket all docs share a stage, which is what a
+    * production curriculum does anyway (stage decisions at cohort
+    * granularity, not per document).
+    *
+    * Determinism: the score is an exact int/int division, bucket =
+    * floor(score · B) clamped (IEEE-identical in DuckDB), totals are
+    * exact integers, and the stage rule is integer comparisons.
+    */
+  def curriculum(spark: SparkSession, dir: String): DataFrame =
+    curriculumOf(docs(spark, dir))
+
+  def curriculumOf(corpus: DataFrame): DataFrame = {
+    val t = split(col("text"), " ")
+    val ratio = size(array_distinct(t)).cast("double") /
+      size(t).cast("double")
+    val base = corpus.select(col("doc_id"),
+      size(t).cast("long").as("n_tokens"),
+      least(floor(ratio * CurriculumBuckets).cast("long"),
+        lit(CurriculumBuckets - 1)).as("bucket"))
+    // ≤ CurriculumBuckets rows end-to-end: the unpartitioned window is
+    // bounded by B, never by the corpus
+    val totals = base.groupBy("bucket").agg(sum(col("n_tokens")).as("t"))
+    val w = Window.orderBy("bucket")
+    val stages = totals
+      .withColumn("cum_prev", coalesce(sum(col("t")).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("total", sum(col("t")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .select(col("bucket"),
+        when(col("cum_prev") * 5 >= col("total") * 4, 2L)
+          .when(col("cum_prev") * 2 >= col("total"), 1L)
+          .otherwise(0L).as("stage"))
+    base.join(broadcast(stages), "bucket")
+      .select("doc_id", "bucket", "n_tokens", "stage")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "llm_curriculum" -> curriculum,
     "llm_pipeline_incremental" -> pipelineIncremental,
     "llm_pipeline_tokens" -> pipelineTokens,
     "llm_pipeline_e2e" -> pipelineE2e,
@@ -1293,6 +1369,31 @@ GROUP BY split"""
        |SELECT * FROM ing UNION ALL SELECT * FROM rem""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "llm_curriculum" ->
+      s"""WITH base AS (
+         |  SELECT doc_id,
+         |    len(string_split(text, ' '))::BIGINT AS n_tokens,
+         |    least(floor(
+         |        (len(list_distinct(string_split(text, ' ')))::DOUBLE
+         |         / len(string_split(text, ' '))::DOUBLE)
+         |        * $CurriculumBuckets)::BIGINT,
+         |      ${CurriculumBuckets - 1}) AS bucket
+         |  FROM documents),
+         |b AS (SELECT bucket, sum(n_tokens)::BIGINT AS t
+         |      FROM base GROUP BY bucket),
+         |s AS (SELECT bucket,
+         |        coalesce(sum(t) OVER (ORDER BY bucket
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+         |          0)::BIGINT AS cum_prev,
+         |        (sum(t) OVER ())::BIGINT AS total
+         |      FROM b),
+         |st AS (SELECT bucket,
+         |        (CASE WHEN cum_prev * 5 >= total * 4 THEN 2
+         |              WHEN cum_prev * 2 >= total THEN 1
+         |              ELSE 0 END)::BIGINT AS stage
+         |      FROM s)
+         |SELECT doc_id, bucket, n_tokens, stage
+         |FROM base JOIN st USING (bucket)""".stripMargin,
     "llm_pipeline_incremental" -> pipelineIncrementalOracleSql,
     "llm_quality_eval" -> qualityEvalOracleSql,
     "llm_bpe_drift" -> bpeDriftOracleSql,

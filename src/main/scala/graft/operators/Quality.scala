@@ -160,6 +160,12 @@ object Quality {
         it.remove()
       }
     }
+    // The released feature checkpoint has no lineage fallback, so every
+    // cache holding a DataFrame DERIVED from it must drop too —
+    // Curation's eval report is the one such dependent (full-suite runs
+    // hit CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND on its stale entry before
+    // this cascade existed).
+    Curation.invalidateEval(spark, dir)
   }
 
   /** Train the probe and score every document:

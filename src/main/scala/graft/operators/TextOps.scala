@@ -903,7 +903,36 @@ object TextOps {
   def bpeEncode(spark: SparkSession, dir: String): DataFrame =
     bpeEncodeOf(docs(spark, dir), learnedMerges(spark, dir))
 
+  /** Tokenizer fertility per language — subwords emitted per whitespace
+    * word under the learned BPE merges, grouped by the fixture's `lang`
+    * label. THE cross-language tokenizer-equity number (a tokenizer
+    * trained on English text segments other languages into more pieces,
+    * inflating their effective sequence length and training cost); a
+    * pipeline owner reads this table before fixing per-language mixing
+    * weights, because token budgets and document budgets diverge
+    * exactly by this ratio. Fertility ≥ 1 by construction (every word
+    * is at least one subword — character fallback, merges never cross
+    * the word boundary; spec-pinned).
+    *
+    * Determinism: integer sums over [[bpeEncodeOf]]'s exact per-doc
+    * counts, one IEEE division — hash-stable.
+    *
+    * Scale shape: [[bpeEncode]]'s row-local encode + its one per-doc
+    * aggregation, a key-unique join to the (doc_id, lang) projection,
+    * then ONE map-side-combined aggregation to |langs| rows.
+    */
+  def fertility(spark: SparkSession, dir: String): DataFrame =
+    bpeEncode(spark, dir)
+      .join(docs(spark, dir).select("doc_id", "lang"), "doc_id")
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_words")).as("n_words"),
+        sum(col("n_subwords")).as("n_subwords"),
+        (sum(col("n_subwords")).cast("double")
+          / sum(col("n_words")).cast("double")).as("fertility"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "llm_fertility" -> fertility,
     "llm_pii_scrub" -> piiScrub,
     "llm_bpe_merges" -> bpeMerges,
     "llm_bpe_encode" -> bpeEncode,
@@ -1099,6 +1128,16 @@ object TextOps {
          |FROM t2""".stripMargin,
     "llm_bpe_merges" -> bpeOracleSql(BpeMerges),
     "llm_bpe_encode" -> bpeEncodeOracleSql(BpeMerges),
+    // sums cast ::BIGINT (DuckDB sum(BIGINT) is HUGEINT — the
+    // llm_pack_shards lesson); the division is int-exact → one IEEE op
+    "llm_fertility" ->
+      s"""SELECT lang, count(*)::BIGINT AS n_docs,
+         |  sum(n_words)::BIGINT AS n_words,
+         |  sum(n_subwords)::BIGINT AS n_subwords,
+         |  sum(n_subwords)::DOUBLE / sum(n_words)::DOUBLE AS fertility
+         |FROM (${bpeEncodeOracleSql(BpeMerges)}) enc
+         |JOIN documents USING (doc_id)
+         |GROUP BY lang""".stripMargin,
     "llm_encode" ->
       s"""WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t
          |            FROM documents),

@@ -564,9 +564,8 @@ class CorpusOpsSpec extends SparkSpecBase {
 
   test("retention matches the brute-force cohort triangle") {
     import graft.streaming.Streams
-    val ev = Tables(spark, Sf, "events")
-      .select($"user_id",
-        org.apache.spark.sql.functions.expr("ts DIV 1000").as("us"))
+    val ev = Streams.withEventTime(Tables(spark, Sf, "events"))
+      .select($"user_id", $"ts_us".as("us"))
       .collect().map(r => (r.getLong(0), r.getLong(1) / Streams.DayUs))
     val active = ev.distinct
     val cohort = active.groupBy(_._1).map { case (u, xs) =>

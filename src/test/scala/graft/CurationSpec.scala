@@ -279,4 +279,49 @@ class CurationSpec extends SparkSpecBase {
     assert(got == (q & en) -- dup)
     assert(got.nonEmpty && got.size < docs.size)
   }
+
+  test("curriculum stages match the brute-force cumulative-share bands") {
+    val got = Curation.curriculum(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // driver-side replay: bucket by distinct ratio, prefix-sum the
+    // bucket token totals in ascending-bucket order, band at 50%/80%
+    val base = docs.map { case (id, _, text) =>
+      val t = text.split(" ", -1)
+      val ratio = t.distinct.length.toDouble / t.length.toDouble
+      val b = math.min(
+        math.floor(ratio * Curation.CurriculumBuckets).toLong,
+        Curation.CurriculumBuckets - 1)
+      (id, b, t.length.toLong)
+    }
+    val totals = base.groupBy(_._2).view.mapValues(_.map(_._3).sum).toMap
+    val total = totals.values.sum
+    val stageOf = totals.keys.toSeq.sorted.map { b =>
+      val cumPrev = totals.filter(_._1 < b).values.sum
+      b -> (if (cumPrev * 5 >= total * 4) 2L
+            else if (cumPrev * 2 >= total) 1L else 0L)
+    }.toMap
+    val want = base.map { case (id, b, n) => (id, b, n, stageOf(b)) }.toSet
+    assert(got.toSet == want)
+    // all three stages are populated and monotone in bucket order
+    assert(got.map(_._4).toSet == Set(0L, 1L, 2L))
+    val byBucket = got.groupBy(_._2).view.mapValues(_.map(_._4).toSet)
+    byBucket.foreach { case (b, ss) =>
+      assert(ss.size == 1, s"bucket $b spans stages $ss")
+    }
+    val ordered = byBucket.toSeq.sortBy(_._1).map(_._2.head)
+    assert(ordered == ordered.sorted, s"stages not monotone: $ordered")
+  }
+
+  test("fertility: >= 1 per language, accounts for every document") {
+    val rows = TextOps.fertility(spark, Sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (lang, _, nw, ns, f) =>
+      assert(ns >= nw, s"$lang: $ns subwords < $nw words")
+      assert(f >= 1.0 && f == ns.toDouble / nw.toDouble, s"$lang: $f")
+    }
+    assert(rows.map(_._2).sum ==
+      graft.Tables(spark, Sf, "documents").count())
+  }
 }
