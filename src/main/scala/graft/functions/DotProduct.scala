@@ -115,5 +115,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[SubsetsGenerator].getName, null,
         "graft_subsets"),
       SubsetsGenerator.builder))
+    ext.injectFunction((FunctionIdentifier("graft_token_count"),
+      new ExpressionInfo(classOf[TokenCount].getName, null,
+        "graft_token_count"),
+      { exprs: Seq[Expression] => TokenCount(exprs(0), exprs(1)) }))
+    // every size(split(s, <plain char>)) in any plan becomes the
+    // allocation-free TokenCount — see RewriteSizeOfSplit's contract
+    ext.injectOptimizerRule(_ => RewriteSizeOfSplit)
   }
 }
