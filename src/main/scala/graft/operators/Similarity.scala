@@ -596,6 +596,194 @@ object Similarity {
       .where(col("rank") <= TopK)
   }
 
+  // ---- product quantization (PQ) — the compressed serving path ----
+
+  /** PQ geometry over the 64-dim fixture embeddings: [[PqSubspaces]]
+    * subvectors of [[PqSubDim]] dims, [[PqCodes]] centroids per
+    * subspace — the canonical PQ32×8 cell (32 sub-quantizers × 8-bit
+    * codes). A corpus vector compresses from 512 bytes of doubles to
+    * 32 bytes of codes against a shared broadcastable codebook — 16×
+    * smaller, the reason PQ is what actually serves billion-vector ANN
+    * (the codes fit where the vectors could not).
+    *
+    * Tuned against `llm_sim_recall` at sf0.01 (each rung oracle-
+    * verified): 4×16-dim/K16/1 iter = 0.188, 8×8/K64/1 = 0.380,
+    * 16×4/K64/1 = 0.572, 16×4/K128/2 = 0.672, 32×2/K128/2 = 0.864,
+    * shipped 32×2/K256/2 = **0.912** — finer subspaces beat bigger
+    * codebooks per byte on these embeddings, the standard PQ finding.
+    */
+  val PqSubspaces = 32
+  val PqSubDim = 2
+  val PqCodes = 256
+
+  /** Lloyd steps per sub-quantizer (unrolled in the oracle). */
+  val PqKmeansIters = 2
+
+  /** Nearest sub-centroid by squared L2 (the PQ metric — subvector
+    * norms matter, unlike the coarse quantizer's spherical cosine);
+    * strict `<` keeps the FIRST best over the cid-ascending array, ==
+    * the oracle's (d ASC, code ASC) row_number. Distances accumulate
+    * in ascending-index order, bit-equal to DuckDB's list_reduce fold.
+    */
+  private def nearestCodeL2(cs: Array[(Long, Array[Double])],
+      e: Array[Double]): Long = {
+    var best = Double.PositiveInfinity
+    var bestC = 0L
+    cs.foreach { case (cid, ce) =>
+      var d = 0.0
+      var i = 0
+      while (i < e.length) { val t = e(i) - ce(i); d += t * t; i += 1 }
+      if (d < best) { best = d; bestC = cid }
+    }
+    bestC
+  }
+
+  /** One sub-quantizer: deterministic L2 Lloyd from the sampled seed
+    * (first [[PqCodes]] vec_ids, so code ids are 0…K−1), means through
+    * the DECIMAL-stable sum — the [[kmeansCentroids]] recipe with the
+    * metric swapped, so the trained codebook is bit-identical under any
+    * partitioning and replayable by the oracle's unrolled CTEs.
+    */
+  private def pqSubCentroids(subDf: DataFrame,
+      iters: Int): Array[(Long, Array[Double])] = {
+    val spark = subDf.sparkSession
+    val s = spark; import s.implicits._
+    val corpus = subDf.as[(Long, Array[Double])]
+    var cents = corpus.filter(_._1 < PqCodes).collect().sortBy(_._1)
+    var i = 0
+    while (i < iters) {
+      val bc = spark.sparkContext.broadcast(cents)
+      val means = corpus
+        .mapPartitions { it =>
+          val cs = bc.value
+          it.map { case (_, e) => (nearestCodeL2(cs, e), e) }
+        }
+        .toDF("cid", "e")
+        .select(col("cid"), posexplode(col("e")).as(Seq("pos", "x")))
+        .groupBy("cid", "pos")
+        .agg((graft.functions.StableSum.dsum(col("x"))
+          / count(lit(1)).cast("double")).as("m"))
+        .groupBy("cid")
+        .agg(sort_array(collect_list(struct(col("pos"), col("m")))).as("pm"))
+        .select(col("cid"), col("pm.m").as("mean"))
+        .as[(Long, Array[Double])]
+        .collect().toMap
+      bc.destroy()
+      cents = cents.map { case (cid, prev) =>
+        (cid, means.getOrElse(cid, prev))
+      }
+      i += 1
+    }
+    cents
+  }
+
+  /** Session-lifetime codebook (the [[centsCache]] contract): training
+    * is a driver loop at plan-build time; the cached value is
+    * [[PqSubspaces]]·[[PqCodes]] short vectors.
+    */
+  private val pqCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), Array[Array[(Long, Array[Double])]]]
+
+  private def cachedCodebook(spark: SparkSession, dir: String)
+      : Array[Array[(Long, Array[Double])]] = {
+    val key = (spark, dir)
+    val got = pqCache.get(key)
+    if (got != null) got
+    else {
+      val e = emb(spark, dir)
+      val built = (0 until PqSubspaces).map { m =>
+        pqSubCentroids(e.select(col("vec_id"),
+          slice(col("e"), m * PqSubDim + 1, PqSubDim).as("e")),
+          PqKmeansIters)
+      }.toArray
+      val prev = pqCache.putIfAbsent(key, built)
+      if (prev != null) prev else built
+    }
+  }
+
+  /** The session-cached trained codebook (read-only view for audits
+    * and specs): `book(m)` = the [[PqCodes]] (code, centroid) pairs of
+    * subspace m, code-ascending.
+    */
+  def pqCodebook(spark: SparkSession, dir: String)
+      : Array[Array[(Long, Array[Double])]] = cachedCodebook(spark, dir)
+
+  def invalidatePq(spark: SparkSession = null, dir: String = null)
+      : Unit = {
+    val it = pqCache.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      val (s, d) = e.getKey
+      if ((spark == null || s == spark) && (dir == null || d == dir))
+        it.remove()
+    }
+  }
+
+  /** PQ-ADC top-k: every corpus vector is encoded (per subspace, the
+    * nearest sub-centroid) and scored against the full-precision query
+    * as ONE sequential 64-dim dot with its RECONSTRUCTION (the
+    * concatenated sub-centroids) — mathematically the asymmetric
+    * distance computation Σ_m ⟨q_m, c_{m,code_m}⟩, but fused into a
+    * single ascending-index fold so the value is bit-equal to the
+    * oracle's flat list_reduce over the concatenated lists.
+    *
+    * Scale shape: the codebook broadcasts (tiny); encoding is
+    * O(K·subdim) flops per vector, row-local; the corpus never
+    * shuffles for scoring; the ranking window prunes to k per
+    * partition map-side. At 100 TB the recon step reads 4-byte codes,
+    * not 256-byte vectors — the compression IS the scan saving.
+    */
+  def pqTopK(spark: SparkSession, dir: String): DataFrame =
+    pqTopKWith(emb(spark, dir), NumQueries, cachedCodebook(spark, dir))
+
+  def pqTopKOf(corpusDf: DataFrame, nQueries: Long): DataFrame = {
+    val book = (0 until PqSubspaces).map { m =>
+      pqSubCentroids(corpusDf.select(col(corpusDf.columns(0)),
+        slice(col(corpusDf.columns(1)),
+          m * PqSubDim + 1, PqSubDim).as("e")), PqKmeansIters)
+    }.toArray
+    pqTopKWith(corpusDf, nQueries, book)
+  }
+
+  private def pqTopKWith(corpusDf: DataFrame, nQueries: Long,
+      book: Array[Array[(Long, Array[Double])]]): DataFrame = {
+    val spark = corpusDf.sparkSession
+    val s = spark; import s.implicits._
+    val corpus = corpusDf.as[(Long, Array[Double])]
+    val bcBook = spark.sparkContext.broadcast(book)
+    val queries = corpus.filter(_._1 < nQueries).collect().sortBy(_._1)
+    val bcQ = spark.sparkContext.broadcast(queries)
+    corpus
+      .mapPartitions { it =>
+        val bk = bcBook.value
+        val qs = bcQ.value
+        it.flatMap { case (nid, e) =>
+          // encode + reconstruct: seed ids are 0…K−1, so the code
+          // indexes the codebook array directly
+          val r = new Array[Double](e.length)
+          var m = 0
+          while (m < PqSubspaces) {
+            val sub = java.util.Arrays.copyOfRange(
+              e, m * PqSubDim, (m + 1) * PqSubDim)
+            val code = nearestCodeL2(bk(m), sub).toInt
+            System.arraycopy(bk(m)(code)._2, 0, r, m * PqSubDim, PqSubDim)
+            m += 1
+          }
+          qs.iterator.filter(_._1 != nid).map { case (qid, qe) =>
+            var acc = 0.0
+            var i = 0
+            while (i < qe.length) { acc += qe(i) * r(i); i += 1 }
+            (qid, nid, acc)
+          }
+        }
+      }
+      .toDF("query_id", "neighbor_id", "pq_dot")
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("pq_dot").desc, col("neighbor_id").asc)))
+      .where(col("rank") <= TopK)
+  }
+
   /** ANN recall report — the number an ANN user actually tunes
     * [[LshTables]] / [[NumProbes]] / the quantization width by: for each
     * approximate method, the fraction of the EXACT top-k pairs
@@ -606,6 +794,8 @@ object Similarity {
     * recall itself sits behind the oracle gate: both engines replay the
     * exact AND approximate pipelines and must agree on every hit count.
     */
+  val RecallMethods = Seq("int8", "ivf", "lsh", "pq")
+
   def simRecall(spark: SparkSession, dir: String): DataFrame = {
     val exact = bruteForceTopK(spark, dir)
       .select("query_id", "neighbor_id").localCheckpoint()
@@ -613,14 +803,15 @@ object Similarity {
     val approx = Seq(
       "int8" -> int8TopK(spark, dir),
       "ivf" -> ivfTopK(spark, dir),
-      "lsh" -> lshTopK(spark, dir))
+      "lsh" -> lshTopK(spark, dir),
+      "pq" -> pqTopK(spark, dir))
       .map { case (m, df) =>
         df.select(lit(m).as("method"), col("query_id"), col("neighbor_id"))
       }.reduce(_.unionByName(_))
     val hits = approx.join(exact, Seq("query_id", "neighbor_id"), "left_semi")
       .groupBy("method").agg(count(lit(1)).as("n_hit"))
     val s = spark; import s.implicits._
-    Seq("int8", "ivf", "lsh").toDF("method")
+    RecallMethods.toDF("method")
       .join(hits, Seq("method"), "left")
       .crossJoin(broadcast(total))
       .select(col("method"), col("n_exact"),
@@ -639,6 +830,7 @@ object Similarity {
     "llm_sim_topk_agg" -> bruteForceTopKAgg,
     "llm_sim_lsh_topk" -> lshTopK,
     "llm_sim_ivf_topk" -> ivfTopK,
+    "llm_sim_pq_topk" -> pqTopK,
     "llm_sim_recall" -> simRecall,
     "llm_sample_cluster" -> sampleCluster
   )
@@ -713,6 +905,91 @@ object Similarity {
        |  SELECT query_id, neighbor_id, cos_sim,
        |    row_number() OVER (PARTITION BY query_id
        |      ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+       |  FROM scored
+       |) WHERE rank <= $TopK""".stripMargin
+
+  /** Squared-L2 of two [[PqSubDim]]-dim list columns, ascending-index
+    * fold — bit-equal to [[nearestCodeL2]]'s accumulation.
+    */
+  private def pqDistSql(a: String, b: String): String =
+    s"""list_reduce(list_transform(range(1, ${PqSubDim + 1}),
+       |      j -> ($a[j] - $b[j]) * ($a[j] - $b[j])), (x, y) -> x + y)"""
+      .stripMargin
+
+  /** PQ oracle: the per-subspace L2 k-means unrolled (all
+    * [[PqSubspaces]] subspaces ride one CTE chain with `m` as a
+    * column — the same math as the per-subspace Spark driver loop),
+    * then encode → reconstruct (sub-centroids concatenated in m order)
+    * → one flat 64-dim dot against the full-precision query.
+    */
+  private def pqKmeansCtes(k: Int): String = {
+    val seed =
+      s"""sub AS MATERIALIZED (
+         |  SELECT vec_id, m,
+         |    list_transform(range(1, ${PqSubDim + 1}),
+         |      i -> e[m * $PqSubDim + i]::DOUBLE) AS sv
+         |  FROM v, (SELECT unnest(range(0, $PqSubspaces)) AS m)),
+         |p0 AS (SELECT m, vec_id AS code, sv AS ce FROM sub
+         |       WHERE vec_id < $PqCodes),
+         |pex AS MATERIALIZED (
+         |  SELECT vec_id, m, u.i AS pos, u.v::DOUBLE AS x
+         |  FROM (SELECT vec_id, m,
+         |          unnest(list_transform(range(1, ${PqSubDim + 1}),
+         |            i -> {'i': i, 'v': sv[i]})) AS u
+         |        FROM sub))""".stripMargin
+    val iters = (1 to k).map { i =>
+      s"""ps$i AS MATERIALIZED (
+         |  SELECT sub.vec_id, sub.m, p.code,
+         |    ${pqDistSql("sub.sv", "p.ce")} AS d
+         |  FROM sub JOIN p${i - 1} p ON sub.m = p.m),
+         |pa$i AS MATERIALIZED (
+         |  SELECT vec_id, m, code FROM (
+         |    SELECT vec_id, m, code, row_number() OVER (
+         |      PARTITION BY vec_id, m ORDER BY d ASC, code ASC) AS rn
+         |    FROM ps$i)
+         |  WHERE rn = 1),
+         |pm$i AS MATERIALIZED (
+         |  SELECT a.m, a.code, pex.pos,
+         |    ${graft.functions.StableSum.dsumSql("pex.x")}
+         |      / count(*)::DOUBLE AS mm
+         |  FROM pa$i a JOIN pex
+         |    ON a.vec_id = pex.vec_id AND a.m = pex.m
+         |  GROUP BY a.m, a.code, pex.pos),
+         |p$i AS MATERIALIZED (
+         |  SELECT p.m, p.code, coalesce(n.ce, p.ce) AS ce
+         |  FROM p${i - 1} p LEFT JOIN (
+         |    SELECT m, code, list(mm ORDER BY pos) AS ce
+         |    FROM pm$i GROUP BY m, code) n
+         |  ON p.m = n.m AND p.code = n.code)""".stripMargin
+    }
+    (seed +: iters).mkString(",\n")
+  }
+
+  private def oraclePq =
+    s"""WITH v AS (SELECT vec_id, embedding e FROM embeddings),
+       |${pqKmeansCtes(PqKmeansIters)},
+       |book AS (SELECT m, code, ce FROM p$PqKmeansIters),
+       |encd AS MATERIALIZED (
+       |  SELECT vec_id, m, code FROM (
+       |    SELECT sub.vec_id, sub.m, b.code, row_number() OVER (
+       |      PARTITION BY sub.vec_id, sub.m ORDER BY
+       |        ${pqDistSql("sub.sv", "b.ce")} ASC, b.code ASC) AS rn
+       |    FROM sub JOIN book b ON sub.m = b.m)
+       |  WHERE rn = 1),
+       |recon AS MATERIALIZED (
+       |  SELECT e.vec_id, flatten(list(b.ce ORDER BY e.m)) AS r
+       |  FROM encd e JOIN book b ON e.m = b.m AND e.code = b.code
+       |  GROUP BY e.vec_id),
+       |scored AS (
+       |  SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+       |    list_reduce(list_transform(range(1, 65),
+       |      i -> q.e[i]::DOUBLE * n.r[i]), (x, y) -> x + y) AS pq_dot
+       |  FROM v q JOIN recon n ON q.vec_id < $NumQueries
+       |    AND q.vec_id != n.vec_id)
+       |SELECT * FROM (
+       |  SELECT query_id, neighbor_id, pq_dot,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY pq_dot DESC, neighbor_id ASC) AS rank
        |  FROM scored
        |) WHERE rank <= $TopK""".stripMargin
 
@@ -860,6 +1137,7 @@ object Similarity {
     "llm_sim_topk_agg" -> topkOracleSql,
     "llm_sim_lsh_topk" -> oracleLsh,
     "llm_sim_ivf_topk" -> oracleIvf,
+    "llm_sim_pq_topk" -> oraclePq,
     // recall = |approx ∩ exact| / |exact| per method, with each side's
     // pipeline replayed verbatim as a nested-CTE subquery — the oracle
     // prices the exact baseline AND all three approximations, then the
@@ -877,6 +1155,9 @@ object Similarity {
          |  UNION ALL
          |  SELECT 'lsh' AS method, query_id, neighbor_id
          |  FROM ${pairs(oracleLsh)} a3
+         |  UNION ALL
+         |  SELECT 'pq' AS method, query_id, neighbor_id
+         |  FROM ${pairs(oraclePq)} a4
          |),
          |hits AS (
          |  SELECT method, count(*)::BIGINT AS n_hit FROM ap
@@ -889,7 +1170,7 @@ object Similarity {
          |SELECT m.method, tot.n_exact,
          |  coalesce(hits.n_hit, 0)::BIGINT AS n_hit,
          |  coalesce(hits.n_hit, 0)::DOUBLE / tot.n_exact::DOUBLE AS recall
-         |FROM (VALUES ('int8'), ('ivf'), ('lsh')) m(method)
+         |FROM (VALUES ('int8'), ('ivf'), ('lsh'), ('pq')) m(method)
          |LEFT JOIN hits ON m.method = hits.method
          |CROSS JOIN tot""".stripMargin
     },

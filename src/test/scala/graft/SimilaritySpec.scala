@@ -136,11 +136,12 @@ class SimilaritySpec extends SparkSpecBase {
     val want = Map(
       "int8" -> pairs(Similarity.int8TopK(spark, Sf)),
       "ivf" -> pairs(Similarity.ivfTopK(spark, Sf)),
-      "lsh" -> pairs(Similarity.lshTopK(spark, Sf)))
+      "lsh" -> pairs(Similarity.lshTopK(spark, Sf)),
+      "pq" -> pairs(Similarity.pqTopK(spark, Sf)))
     val got = Similarity.simRecall(spark, Sf).collect()
       .map(r => r.getString(0) ->
         ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
-    assert(got.keySet == Set("int8", "ivf", "lsh"))
+    assert(got.keySet == Similarity.RecallMethods.toSet)
     got.foreach { case (m, (nExact, nHit, recall)) =>
       assert(nExact == exact.size.toLong, m)
       assert(nHit == (want(m) & exact).size.toLong, m)
@@ -209,5 +210,69 @@ class SimilaritySpec extends SparkSpecBase {
       assert(r.getDouble(2) == cos(vecs(r.getLong(0)), vecs(r.getLong(1))))
       assert(r.getInt(3) <= Similarity.TopK)
     }
+  }
+
+  /** Sequential squared-L2, same accumulation order as the kernel. */
+  private def l2sq(a: Array[Double], b: Array[Double]): Double = {
+    var d = 0.0; var i = 0
+    while (i < a.length) { val t = a(i) - b(i); d += t * t; i += 1 }
+    d
+  }
+
+  test("PQ: scores are exact dots against the optimal reconstruction") {
+    val book = Similarity.pqCodebook(spark, Sf)
+    assert(book.length == Similarity.PqSubspaces)
+    book.foreach(sub => assert(sub.length == Similarity.PqCodes))
+    // in-memory reconstruction: per subspace the L2-nearest code
+    // (first-wins tie, code ascending — the kernel's contract)
+    def recon(e: Array[Double]): Array[Double] = {
+      val r = new Array[Double](e.length)
+      for (m <- 0 until Similarity.PqSubspaces) {
+        val sub = e.slice(m * Similarity.PqSubDim,
+          (m + 1) * Similarity.PqSubDim)
+        val best = book(m).minBy { case (code, ce) =>
+          (l2sq(sub, ce), code)
+        }
+        System.arraycopy(best._2, 0, r, m * Similarity.PqSubDim,
+          Similarity.PqSubDim)
+      }
+      r
+    }
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }
+      s
+    }
+    val rows = Similarity.pqTopK(spark, Sf).collect()
+    assert(rows.nonEmpty)
+    val reconOf = vecs.map { case (id, e) => id -> recon(e) }
+    rows.foreach { r =>
+      val (q, n, pd, rk) =
+        (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))
+      assert(q < Similarity.NumQueries && n != q && rk <= Similarity.TopK)
+      assert(pd == dot(vecs(q), reconOf(n)), s"pq_dot mismatch ($q,$n)")
+    }
+    // and the full ranking matches the in-memory ADC ranking
+    val got = rows.map(r => (r.getLong(0), r.getInt(3)) -> r.getLong(1))
+      .toMap
+    for (q <- vecs.keys.filter(_ < Similarity.NumQueries)) {
+      val expect = vecs.keys.toSeq.filter(_ != q)
+        .map(n => (n, dot(vecs(q), reconOf(n))))
+        .sortBy { case (n, d) => (-d, n) }
+        .take(Similarity.TopK)
+      expect.zipWithIndex.foreach { case ((n, _), i) =>
+        assert(got((q, i + 1)) == n, s"query $q rank ${i + 1}")
+      }
+    }
+  }
+
+  test("PQ: bit-identical output under any partitioning") {
+    val embDf = graft.Tables(spark, Sf, "embeddings")
+      .selectExpr("vec_id", "cast(embedding as array<double>) e")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Similarity.pqTopKOf(df, Similarity.NumQueries).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+        .toSet
+    assert(run(embDf.repartition(7)) == run(embDf.repartition(2)))
   }
 }
