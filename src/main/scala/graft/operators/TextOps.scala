@@ -47,8 +47,18 @@ object TextOps {
   private val FrStop = Seq("le", "la", "les", "et", "est", "un", "une",
     "des", "du", "pour")
 
+  /** Lexicon-hit count — the codegen'd [[graft.functions.TokensInSet]]
+    * kernel (one-pass hash-set probe; value-identical to the
+    * `size(filter(toks, t => array_contains(...)))` form it replaced,
+    * whose interpreted per-token lambda it removes — the
+    * [[graft.functions.ShinglesExpr]] rationale).
+    */
   private def hits(words: Seq[String]): Column =
-    size(filter(toks, t => array_contains(typedLit(words), t)))
+    org.apache.spark.sql.GraftColumnBridge.column(
+      graft.functions.TokensInSet(
+        org.apache.spark.sql.GraftColumnBridge.expression(col("text")),
+        org.apache.spark.sql.GraftColumnBridge.expression(
+          typedLit(words))))
 
   private def sqlList(words: Seq[String]): String =
     words.map(w => s"'$w'").mkString("[", ", ", "]")

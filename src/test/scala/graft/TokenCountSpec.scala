@@ -59,6 +59,28 @@ class TokenCountSpec extends SparkSpecBase {
     }).isEmpty, s"rewrote a non-literal delimiter:\n$plan2")
   }
 
+  test("graft_set_hits equals size(filter(array_contains)) everywhere") {
+    val s = spark; import s.implicits._
+    val lex = Seq("the", "a", "of")
+    val rows = Seq("", "the", "the the a", "b the  c", "of a the of",
+      "none here", "THE a")
+    def viaKernel(c: org.apache.spark.sql.Column) =
+      org.apache.spark.sql.GraftColumnBridge.column(
+        graft.functions.TokensInSet(
+          org.apache.spark.sql.GraftColumnBridge.expression(c),
+          org.apache.spark.sql.GraftColumnBridge.expression(
+            typedLit(lex))))
+    val got = rows.toDF("text").select(
+      size(filter(split(col("text"), " "),
+        t => array_contains(typedLit(lex), t))).as("builtin"),
+      viaKernel(col("text")).as("fast")).collect()
+    got.foreach(r => assert(r.getInt(0) == r.getInt(1), r.toString))
+    // null-in-null-out
+    val n = Seq[Option[String]](None).toDF("text")
+      .select(viaKernel(col("text"))).head()
+    assert(n.isNullAt(0))
+  }
+
   test("token count participates in whole-stage codegen") {
     val df = Tables(spark, Sf, "documents")
       .select(size(split(col("text"), " ")).as("n"))
