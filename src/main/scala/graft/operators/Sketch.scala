@@ -101,8 +101,57 @@ object Sketch {
         (col("cnt_est") - col("cnt")).as("overcount"))
   }
 
+  // ---- mergeable quantile sketch (deterministic uniform sample) ----
+
+  /** Sample size and probed quantiles for [[quantileSketch]]. */
+  val QSketchK = 512
+  val QSketchQs = Seq(0.25, 0.5, 0.75, 0.9, 0.99)
+
+  /** Quantile estimation from a bounded MERGEABLE sample — the numeric
+    * companion to the Count-Min audit: keep the [[QSketchK]] rows with
+    * the smallest md5-derived uniforms (a seedless, engine-reproducible
+    * uniform sample — the KMV trick applied to sampling), estimate
+    * quantiles from the sample, and report them against the exact
+    * `percentile_disc` per probed q with the absolute error. At 100 TB
+    * the exact side is the audit baseline only; the sketch is the scale
+    * path — `orderBy(u).limit(k)` compiles to TakeOrderedAndProject
+    * (per-partition bounded heaps, k-row exchange), so the shuffle is k
+    * rows whatever the table size, and two sketches merge by union +
+    * re-limit (the property a shard-parallel profiler needs).
+    *
+    * Determinism: u is the library md5 uniform over the row's unique
+    * (orderkey, linenumber) key, ordering ties break on (v, key), and
+    * percentile_disc picks actual values — both engines agree bit-wise.
+    */
+  def quantileSketch(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables(spark, dir, "lineitem").select(
+      col("l_extendedprice").as("v"),
+      concat_ws(":", col("l_orderkey"), col("l_linenumber")).as("key"))
+      .select(col("v"), col("key"),
+        graft.functions.Md5Uniform.uniform(col("key")).as("u"))
+    val sample = li.orderBy(col("u"), col("v"), col("key"))
+      .limit(QSketchK)
+    def discs(src: DataFrame, prefix: String) = src.agg(
+      expr(s"percentile_disc(${QSketchQs.head}) WITHIN GROUP (ORDER BY v)")
+        .as(prefix + "0"),
+      QSketchQs.tail.zipWithIndex.map { case (q, i) =>
+        expr(s"percentile_disc($q) WITHIN GROUP (ORDER BY v)")
+          .as(prefix + (i + 1))
+      }: _*)
+    val exact = discs(li, "e")
+    val est = discs(sample, "s")
+    val stackArgs = QSketchQs.zipWithIndex
+      .map { case (q, i) => s"'$q', e$i, s$i" }.mkString(", ")
+    exact.crossJoin(est)
+      .select(expr(
+        s"stack(${QSketchQs.size}, $stackArgs) AS (q, exact_v, est_v)"))
+      .select(col("q"), col("exact_v"), col("est_v"),
+        abs(col("est_v") - col("exact_v")).as("abs_err"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "llm_heavy_hitters" -> heavyHitters
+    "llm_heavy_hitters" -> heavyHitters,
+    "llm_quantile_sketch" -> quantileSketch
   )
 
   val oracle: Map[String, String] = Map(
@@ -126,6 +175,28 @@ object Sketch {
          |  (min(c) - cnt)::BIGINT AS overcount
          |FROM probe JOIN cells USING (d, p)
          |GROUP BY word, cnt""".stripMargin
+    },
+    "llm_quantile_sketch" -> {
+      val u = graft.functions.Md5Uniform.sql(
+        "l_orderkey::VARCHAR || ':' || l_linenumber::VARCHAR")
+      def discs(src: String, prefix: String) = QSketchQs.zipWithIndex
+        .map { case (q, i) =>
+          s"quantile_disc(v, $q) AS $prefix$i"
+        }.mkString(", ")
+      val unioned = QSketchQs.zipWithIndex.map { case (q, i) =>
+        s"""SELECT '$q' AS q, e$i AS exact_v, s$i AS est_v,
+           |  abs(s$i - e$i) AS abs_err FROM exact, est""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH base AS (
+         |  SELECT l_extendedprice AS v,
+         |    l_orderkey::VARCHAR || ':' || l_linenumber::VARCHAR AS key,
+         |    $u AS u
+         |  FROM lineitem),
+         |sample AS (SELECT v FROM base ORDER BY u, v, key
+         |           LIMIT $QSketchK),
+         |exact AS (SELECT ${discs("base", "e")} FROM base),
+         |est AS (SELECT ${discs("sample", "s")} FROM sample)
+         |$unioned""".stripMargin
     }
   )
 }

@@ -56,4 +56,26 @@ class SketchSpec extends SparkSpecBase {
     assert(plan.contains("BroadcastHashJoin"),
       s"sketch probe should broadcast:\n$plan")
   }
+
+  test("quantile sketch: every probed q reported, bounded error") {
+    val rows = Sketch.quantileSketch(spark, Sf).collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2),
+        r.getDouble(3)))
+    assert(rows.map(_._1).toSet ==
+      Sketch.QSketchQs.map(_.toString).toSet)
+    rows.foreach { case (q, exact, est, err) =>
+      assert(err == math.abs(est - exact), q)
+      // DKW-style sanity at k=512: the estimate's rank error is a few
+      // percent, so the VALUE error stays well inside the value range
+      val range = rows.map(_._2).max - rows.map(_._2).min
+      assert(err <= range * 0.25, s"q=$q err=$err vs range $range")
+    }
+  }
+
+  test("quantile sketch sample is a bounded TakeOrdered, not a sort") {
+    val plan = Sketch.quantileSketch(spark, Sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"sample should be per-partition bounded heaps:\n$plan")
+  }
 }
