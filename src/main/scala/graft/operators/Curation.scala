@@ -161,6 +161,46 @@ object Curation {
             .cast("double")).as("mix_weight"))
   }
 
+  /** Token-budget multiple and per-language up-sampling cap for
+    * [[mixEpochs]]: the training run sees [[EpochBudgetMult]]× the
+    * corpus' tokens, and no language repeats more than [[MaxEpochs]]
+    * times (the Llama-style repetition cap — past ~4 epochs repeated
+    * data stops helping).
+    */
+  val EpochBudgetMult = 2L
+  val MaxEpochs = 4.0
+
+  /** Epoch / repetition schedule — the step between [[mixWeightsOf]]'s
+    * target mixture and an actual training run: given a token budget of
+    * [[EpochBudgetMult]]× the corpus, each language's repeat factor is
+    * `min(MaxEpochs, budget·w_l / T_l)` — low-resource languages
+    * up-sample toward the smoothed target until the repetition cap,
+    * high-resource ones run under one epoch. `planned_tokens` =
+    * epochs·T_l is what the language contributes to the run.
+    *
+    * Determinism: weights and totals are exact-integer ratios, the
+    * epoch formula is two IEEE ops in a fixed order, and there are NO
+    * cross-row double sums (a realized-share column would need an
+    * order-pinned double fold; the reader derives shares downstream).
+    *
+    * Scale shape: [[mixWeightsOf]]'s one aggregation to |langs| rows
+    * plus a 1-row broadcast total — nothing further touches the corpus.
+    */
+  def mixEpochs(spark: SparkSession, dir: String): DataFrame =
+    mixEpochsOf(docs(spark, dir))
+
+  def mixEpochsOf(corpus: DataFrame): DataFrame = {
+    val w = mixWeightsOf(corpus)
+    val tot = w.agg(sum(col("n_tokens")).as("tot"))
+    val epochs = least(lit(MaxEpochs),
+      (col("mix_weight") * (col("tot") * EpochBudgetMult).cast("double"))
+        / col("n_tokens").cast("double"))
+    w.join(broadcast(tot))
+      .select(col("lang"), col("n_docs"), col("n_tokens"),
+        col("mix_weight"), epochs.as("epochs"),
+        (epochs * col("n_tokens").cast("double")).as("planned_tokens"))
+  }
+
   /** Fraction of total corpus tokens [[mixApply]] targets. */
   val MixTargetFrac = 0.5
 
@@ -1085,6 +1125,7 @@ object Curation {
     "llm_sample_stratified" -> sampleStratified,
     "llm_sample_topn" -> sampleTopN,
     "llm_mix_weights" -> mixWeights,
+    "llm_mix_epochs" -> mixEpochs,
     "llm_mix_apply" -> mixApply,
     "llm_mix_check" -> mixCheck,
     "llm_pack_shards" -> packShards,
@@ -1566,6 +1607,20 @@ GROUP BY split"""
          |FROM documents d JOIN ma ON d.doc_id = ma.doc_id
          |GROUP BY 1""".stripMargin,
     "llm_mix_weights" -> mixWeightsOracleSql,
+    // the epoch formula's op order (mul, then div) matches the Column
+    // side exactly; 4.0 and the budget are explicit DOUBLEs so DuckDB
+    // does not route the comparison through DECIMAL
+    "llm_mix_epochs" ->
+      s"""WITH w AS ($mixWeightsOracleSql),
+         |tot AS (SELECT sum(n_tokens)::BIGINT AS tot FROM w)
+         |SELECT lang, n_docs, n_tokens, mix_weight,
+         |  least($MaxEpochs::DOUBLE,
+         |    (mix_weight * (tot * $EpochBudgetMult)::DOUBLE)
+         |      / n_tokens::DOUBLE) AS epochs,
+         |  least($MaxEpochs::DOUBLE,
+         |    (mix_weight * (tot * $EpochBudgetMult)::DOUBLE)
+         |      / n_tokens::DOUBLE) * n_tokens::DOUBLE AS planned_tokens
+         |FROM w, tot""".stripMargin,
     // the oracle uses the straightforward single global window — the
     // two-level Spark plan must reproduce it exactly. DuckDB widens
     // SUM(BIGINT) OVER to HUGEINT (INT128), which the strict schema/hash

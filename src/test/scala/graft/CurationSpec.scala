@@ -312,6 +312,31 @@ class CurationSpec extends SparkSpecBase {
     assert(ordered == ordered.sorted, s"stages not monotone: $ordered")
   }
 
+  test("mix epochs: brute-force replay, cap respected, budget-shaped") {
+    val got = Curation.mixEpochs(spark, Sf).collect()
+      .map(r => r.getString(0) -> ((r.getLong(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5)))).toMap
+    val perLang = docs.groupBy(_._2).view.mapValues { xs =>
+      xs.map(_._3.split(" ", -1).length.toLong).sum
+    }.toMap
+    val tot = perLang.values.sum
+    val nLangs = perLang.size
+    got.foreach { case (lang, (nTok, w, epochs, planned)) =>
+      assert(nTok == perLang(lang), lang)
+      val wWant = (nTok + Curation.MixSmooth).toDouble /
+        (tot + Curation.MixSmooth * nLangs).toDouble
+      assert(w == wWant, lang)
+      val eWant = math.min(Curation.MaxEpochs,
+        w * (tot * Curation.EpochBudgetMult).toDouble / nTok.toDouble)
+      assert(epochs == eWant && epochs <= Curation.MaxEpochs, lang)
+      assert(planned == epochs * nTok.toDouble, lang)
+    }
+    // up-sampling direction: the scarcest language repeats the most
+    val byTok = got.toSeq.sortBy(_._2._1)
+    assert(byTok.head._2._3 >= byTok.last._2._3,
+      "low-resource language should get >= epochs of the largest")
+  }
+
   test("fertility: >= 1 per language, accounts for every document") {
     val rows = TextOps.fertility(spark, Sf).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
