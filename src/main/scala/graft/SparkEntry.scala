@@ -22,7 +22,7 @@ object SparkEntry {
       TextOps.queries ++ Dedup.queries ++ Similarity.queries ++
       Multimodal.queries ++ Streams.queries ++ Curation.queries ++
       Contamination.queries ++ Warehouse.queries ++ Quality.queries ++
-      Sketch.queries
+      Sketch.queries ++ Dsir.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops.
@@ -32,5 +32,5 @@ object SparkEntry {
       TextOps.oracle ++ Dedup.oracle ++ Similarity.oracle ++
       Multimodal.oracle ++ Streams.oracle ++ Curation.oracle ++
       Contamination.oracle ++ Warehouse.oracle ++ Quality.oracle ++
-      Sketch.oracle
+      Sketch.oracle ++ Dsir.oracle
 }

@@ -467,7 +467,181 @@ object Warehouse {
         (col("rev").cast("double") / col("tot").cast("double")).as("share"))
   }
 
+  // ---- Q2 shape: cheapest supplier per part ----
+
+  /** For every SMALL-type part of size ≤ 15, the supplier(s) whose best
+    * (minimum) unit sale price for that part equals the part's global
+    * minimum (TPC-H Q2's correlated-min shape; the fixture has no
+    * partsupp, so the part↔supplier bridge and the "cost" both come
+    * from the sales ledger — unit price = l_extendedprice/l_quantity,
+    * one exactly-rounded IEEE division per row, bit-equal in both
+    * engines). The correlated `= (SELECT min(..) WHERE ps_partkey =
+    * p_partkey)` decorrelates into ONE pass: aggregate min unit price
+    * per (part, supplier), then a window-min per part over that tiny
+    * aggregate — the [[smallQtyRevenue]] discipline, except the window
+    * rides the POST-aggregate rows (one row per pair), so the extra
+    * exchange is proportional to the pair count, never the fact table.
+    * The 15%-of-part dimension filter broadcasts into the fact scan
+    * before any aggregation.
+    */
+  def cheapestSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val part = Tables(spark, dir, "part")
+      .where(col("p_type") === "SMALL" && col("p_size") <= 15)
+      .select("p_partkey", "p_name")
+    val pairs = Tables(spark, dir, "lineitem")
+      .select(col("l_partkey"), col("l_suppkey"),
+        (col("l_extendedprice") / col("l_quantity")).as("unit_price"))
+      .join(broadcast(part), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("l_partkey"), col("l_suppkey"), col("p_name"))
+      .agg(min(col("unit_price")).as("best_price"))
+    val supp = Tables(spark, dir, "supplier")
+      .select("s_suppkey", "s_name", "s_nationkey")
+    val nat = Tables(spark, dir, "nation").select("n_nationkey", "n_name")
+    pairs
+      .withColumn("part_min", min(col("best_price")).over(
+        Window.partitionBy(col("l_partkey"))))
+      .where(col("best_price") === col("part_min"))
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+      .select(col("l_partkey").as("p_partkey"), col("p_name"),
+        col("s_name"), col("n_name"), col("best_price"))
+  }
+
+  // ---- Q9 shape: product-line profit by nation and year ----
+
+  /** Profit on red parts per supplier nation per order year (TPC-H Q9
+    * shape: the widest join in the suite — lineitem against part,
+    * supplier, orders, nation — with amount arithmetic mixing columns
+    * of THREE tables, so no single join can pre-reduce the expression;
+    * the fixture has no ps_supplycost, so cost is restated as
+    * 0.5 · p_retailprice · l_quantity). Group keys come from two
+    * different dimensions (nation via supplier, year via orders) —
+    * the aggregation can only run above the full join, which is the
+    * Q9 stress: Catalyst must still broadcast all three dimension
+    * sides and leave lineitem as the lone big probe. `year()` is
+    * evaluated on the raw NTZ timestamp identically in both engines;
+    * the profit SUM rides the DECIMAL(24,6) discipline.
+    */
+  def productProfit(spark: SparkSession, dir: String): DataFrame = {
+    val part = Tables(spark, dir, "part")
+      .where(col("p_name").startsWith("red "))
+      .select("p_partkey", "p_retailprice")
+    val supp = Tables(spark, dir, "supplier")
+      .select("s_suppkey", "s_nationkey")
+    val nat = Tables(spark, dir, "nation").select("n_nationkey", "n_name")
+    val ord = Tables(spark, dir, "orders").select("o_orderkey", "o_orderdate")
+    Tables(spark, dir, "lineitem")
+      .join(broadcast(part), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("n_name").as("nation"),
+        year(col("o_orderdate")).as("o_year"))
+      .agg(dsum(rev - lit(0.5) * col("p_retailprice") * col("l_quantity"))
+        .as("profit"), count(lit(1)).as("n_items"))
+  }
+
+  // ---- Q12 shape: order-priority mix per return flag ----
+
+  /** High- vs low-priority order counts per lineitem return flag for
+    * one ship year (TPC-H Q12's conditional two-way aggregate; the
+    * fixture has no l_shipmode/commitdate, so the group key is the
+    * return flag and the date window is on l_shipdate). The year
+    * window is pushed to the lineitem scan; the join carries only
+    * (orderkey, priority); the CASE branches aggregate in ONE pass —
+    * never two scans for the two counts.
+    */
+  def priorityMix(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables(spark, dir, "lineitem")
+      .where(col("l_shipdate") >= ts("1997-01-01") &&
+        col("l_shipdate") < ts("1998-01-01"))
+      .select("l_orderkey", "l_returnflag")
+    val ord = Tables(spark, dir, "orders")
+      .select("o_orderkey", "o_orderpriority")
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .groupBy("l_returnflag")
+      .agg(
+        count_if(col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
+          .as("high_line_count"),
+        count_if(!col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
+          .as("low_line_count"))
+  }
+
+  // ---- Q16 shape: supplier diversity per brand/type ----
+
+  /** Distinct-supplier counts per (brand, type) for mid-size parts,
+    * excluding delinquent suppliers (TPC-H Q16 shape: COUNT DISTINCT
+    * above a NOT-IN exclusion; the fixture has no partsupp or
+    * s_comment, so the bridge is the distinct (part, supplier) pairs
+    * of the sales ledger and "complaints" is a negative account
+    * balance). The exclusion list is a broadcast LEFT ANTI join — the
+    * NOT IN subquery's safe form (no null-key hazards: keys are
+    * non-null by construction). The distinct runs INSIDE the
+    * aggregation (one shuffle carries dedup + count); the brand/size
+    * filters reach the part scan.
+    */
+  def supplierCnt(spark: SparkSession, dir: String): DataFrame = {
+    val part = Tables(spark, dir, "part")
+      .where(col("p_brand") =!= "Brand#5" &&
+        col("p_size").isin(10, 20, 30, 40, 49))
+      .select("p_partkey", "p_brand", "p_type", "p_size")
+    val delinquent = Tables(spark, dir, "supplier")
+      .where(col("s_acctbal") < 0.0).select(col("s_suppkey").as("bad_sk"))
+    Tables(spark, dir, "lineitem")
+      .select("l_partkey", "l_suppkey")
+      .join(broadcast(part), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(delinquent), col("l_suppkey") === col("bad_sk"),
+        "left_anti")
+      .groupBy("p_brand", "p_type", "p_size")
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+  }
+
+  // ---- Q20 shape: suppliers with an excess share of a part line ----
+
+  /** Suppliers who shipped MORE THAN HALF of some red part's total 1997
+    * quantity (TPC-H Q20's nested-aggregate-threshold shape: the
+    * original's `ps_availqty > 0.5 · sum(l_quantity)` correlated
+    * subquery restated as a share-of-total test on the sales ledger).
+    * Per-(part, supplier) 1997 quantities aggregate once; the part's
+    * total is a window SUM over that aggregate (the [[cheapestSupplier]]
+    * decorrelation); the half test is EXACT — quantities sum as
+    * DECIMAL(24,6) and the comparison is `2·q > total`, never a float
+    * fraction (the [[idleCustomers]] discipline). Qualifying pairs
+    * collapse to distinct suppliers via the groupBy, then the supplier
+    * and nation dims broadcast onto rows that number at most the
+    * supplier count.
+    */
+  def excessSuppliers(spark: SparkSession, dir: String): DataFrame = {
+    val part = Tables(spark, dir, "part")
+      .where(col("p_name").startsWith("red "))
+      .select("p_partkey")
+    val pairs = Tables(spark, dir, "lineitem")
+      .where(col("l_shipdate") >= ts("1997-01-01") &&
+        col("l_shipdate") < ts("1998-01-01"))
+      .join(broadcast(part), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(sum(col("l_quantity").cast("decimal(24,6)")).as("q"))
+    val supp = Tables(spark, dir, "supplier")
+      .select("s_suppkey", "s_name", "s_nationkey")
+    val nat = Tables(spark, dir, "nation").select("n_nationkey", "n_name")
+    pairs
+      .withColumn("tot", sum(col("q")).over(
+        Window.partitionBy(col("l_partkey"))))
+      .where(col("q") * lit(2).cast("decimal(2,0)") > col("tot"))
+      .groupBy(col("l_suppkey"))
+      .agg(count(lit(1)).as("n_dominated_parts"))
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("s_name"), col("n_name"),
+        col("n_dominated_parts"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "rel_cheapest_supplier" -> cheapestSupplier,
+    "rel_product_profit" -> productProfit,
+    "rel_priority_mix" -> priorityMix,
+    "rel_supplier_cnt" -> supplierCnt,
+    "rel_excess_suppliers" -> excessSuppliers,
     "rel_late_order_priority" -> lateOrderPriority,
     "rel_sole_late_supplier" -> soleLateSupplier,
     "rel_important_suppliers" -> importantSuppliers,
@@ -483,6 +657,71 @@ object Warehouse {
   )
 
   val oracle: Map[String, String] = Map(
+    "rel_cheapest_supplier" ->
+      """WITH pairs AS (
+        |  SELECT l_partkey, l_suppkey, p_name,
+        |    min(l_extendedprice / l_quantity) AS best_price
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE p_type = 'SMALL' AND p_size <= 15
+        |  GROUP BY l_partkey, l_suppkey, p_name),
+        |winmin AS (
+        |  SELECT *, min(best_price) OVER (PARTITION BY l_partkey)
+        |    AS part_min FROM pairs)
+        |SELECT l_partkey AS p_partkey, p_name, s_name, n_name, best_price
+        |FROM winmin
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |WHERE best_price = part_min""".stripMargin,
+    "rel_product_profit" ->
+      """SELECT n_name AS nation, year(o_orderdate)::BIGINT AS o_year,
+        |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount)
+        |    - 0.5 * p_retailprice * l_quantity
+        |    AS DECIMAL(24,6))) AS DOUBLE) AS profit,
+        |  count(*) AS n_items
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |WHERE p_name LIKE 'red %'
+        |GROUP BY n_name, year(o_orderdate)""".stripMargin,
+    "rel_priority_mix" ->
+      """SELECT l_returnflag,
+        |  count(*) FILTER (o_orderpriority IN ('1-URGENT', '2-HIGH'))
+        |    AS high_line_count,
+        |  count(*) FILTER (o_orderpriority NOT IN ('1-URGENT', '2-HIGH'))
+        |    AS low_line_count
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        |  AND l_shipdate < TIMESTAMP '1998-01-01'
+        |GROUP BY l_returnflag""".stripMargin,
+    "rel_supplier_cnt" ->
+      """SELECT p_brand, p_type, p_size,
+        |  count(DISTINCT l_suppkey) AS supplier_cnt
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE p_brand <> 'Brand#5' AND p_size IN (10, 20, 30, 40, 49)
+        |  AND l_suppkey NOT IN
+        |    (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0.0)
+        |GROUP BY p_brand, p_type, p_size""".stripMargin,
+    "rel_excess_suppliers" ->
+      """WITH pairs AS (
+        |  SELECT l_partkey, l_suppkey,
+        |    SUM(CAST(l_quantity AS DECIMAL(24,6))) AS q
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE p_name LIKE 'red %'
+        |    AND l_shipdate >= TIMESTAMP '1997-01-01'
+        |    AND l_shipdate < TIMESTAMP '1998-01-01'
+        |  GROUP BY l_partkey, l_suppkey),
+        |dominated AS (
+        |  SELECT l_suppkey, count(*) AS n_dominated_parts FROM (
+        |    SELECT *, sum(q) OVER (PARTITION BY l_partkey) AS tot
+        |    FROM pairs)
+        |  WHERE q * 2 > tot
+        |  GROUP BY l_suppkey)
+        |SELECT s_suppkey, s_name, n_name, n_dominated_parts
+        |FROM dominated
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey""".stripMargin,
     "rel_late_order_priority" ->
       """SELECT o_orderpriority, count(*) AS n_orders
         |FROM orders

@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Dsir
+
+/** Semantics guards for the DSIR-style importance ranking that the
+  * DuckDB oracle (a full replay) cannot express directionally: the
+  * selection must actually ENRICH for the target distribution, and the
+  * per-source quota arithmetic must hold exactly.
+  */
+class DsirSpec extends SparkSpecBase {
+
+  private lazy val docs =
+    graft.Tables(spark, Sf, "documents").cache()
+  private lazy val weights = Dsir.dsirWeightsOf(docs).cache()
+
+  test("every document is weighted, with at least one gram each") {
+    val n = docs.count()
+    assert(weights.count() === n)
+    assert(weights.where(col("n_grams") < 1L).count() === 0L)
+    assert(weights.where(col("dsir_score") < 0L).count() === 0L)
+  }
+
+  test("bucket table: target counts never exceed raw counts") {
+    val bad = Dsir.bucketRatios(docs)
+      .where(col("ct") > col("cr")).count()
+    assert(bad === 0L)
+  }
+
+  test("selection enriches for the target: seed-source docs score higher " +
+    "on average than the raw pool") {
+    val flagged = docs
+      .select(col("doc_id"), (col("lang") === "en" &&
+        col("source").isin(Dsir.SeedSources: _*)).as("is_target"))
+      .join(weights, Seq("doc_id"))
+    val Array(tgt, all) = flagged
+      .agg(avg(when(col("is_target"), col("dsir_mean"))),
+        avg(col("dsir_mean")))
+      .collect()(0).toSeq.map(_.asInstanceOf[Double]).toArray
+    assert(tgt > all,
+      s"target mean $tgt should exceed pool mean $all — the ranking " +
+        "would otherwise not be selecting toward the target at all")
+  }
+
+  test("per-source quota is exactly ceil(n/4), filled by the top means") {
+    val sample = Dsir.dsirSampleOf(docs)
+    val quotas = docs.groupBy("source").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val kept = sample.groupBy("source").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(kept.keySet === quotas.keySet)
+    kept.foreach { case (src, k) =>
+      assert(k === (quotas(src) + 3) / 4, s"source $src")
+    }
+    // brute-force the selection from the weights table
+    val bySource = docs.select("doc_id", "source")
+      .join(weights, Seq("doc_id"))
+      .collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Long]("doc_id"),
+        r.getAs[Long]("dsir_mean")))
+      .groupBy(_._1)
+    val expect = bySource.iterator.flatMap { case (_, rows) =>
+      rows.sortBy(t => (-t._3, t._2)).take((rows.length + 3) / 4)
+        .map(_._2)
+    }.toSet
+    val got = sample.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got === expect)
+  }
+}

@@ -473,4 +473,60 @@ class PlanShapeSpec extends SparkSpecBase {
     assert(!p.contains("CartesianProduct"), p)
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
+
+  test("product profit (Q9): three dims broadcast, name filter at scan") {
+    val p = finalPlan(Warehouse.productProfit(spark, Sf))
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 3, p)
+    assert(p.contains("StringStartsWith(p_name,red )"), p)
+  }
+
+  test("cheapest supplier (Q2): window rides the post-agg pair rows") {
+    val p = finalOnly(Warehouse.cheapestSupplier(spark, Sf))
+    assert(!p.contains("CartesianProduct"), p)
+    // decorrelation = ONE window over the (part, supplier) aggregate,
+    // never a self-join of the fact
+    assert("Window".r.findAllIn(p).size === 1, p)
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p) // partial agg
+  }
+
+  test("excess suppliers (Q20): ship-year bounds reach the fact scan") {
+    val p = finalPlan(Warehouse.excessSuppliers(spark, Sf))
+    assert(p.contains("GreaterThanOrEqual(l_shipdate"), p)
+    assert(p.contains("LessThan(l_shipdate"), p)
+    assert("Window".r.findAllIn(finalOnly(
+      Warehouse.excessSuppliers(spark, Sf))).size === 1, p)
+  }
+
+  test("supplier cnt (Q16): the NOT IN runs as a broadcast anti-join") {
+    val p = finalPlan(Warehouse.supplierCnt(spark, Sf))
+    assert(p.contains("LeftAnti"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("priority mix (Q12): both counts in one aggregation pass") {
+    val p = finalPlan(Warehouse.priorityMix(spark, Sf))
+    // one partial+final pair — a second scan for the second count
+    // would show four
+    assert("HashAggregate".r.findAllIn(
+      p.split("== Initial Plan ==").head).size === 2, p)
+    assert(p.contains("GreaterThanOrEqual(l_shipdate"), p)
+  }
+
+  test("dsir weights: the bucket-ratio table broadcasts back, the gram " +
+    "stream never shuffles for the score join") {
+    val p = finalOnly(graft.operators.Dsir.dsirWeightsOf(
+      graft.Tables(spark, Sf, "documents")))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("dsir sample: ranking windows are per-source, never global") {
+    val df = graft.operators.Dsir.dsirSampleOf(
+      graft.Tables(spark, Sf, "documents"))
+    val p = finalOnly(df)
+    // every Window node must carry the source partition key
+    val windows = "Window \\[[^\\n]*".r.findAllIn(p).toList
+    assert(windows.nonEmpty, p)
+    windows.foreach(w => assert(w.contains("source"), w))
+  }
 }
