@@ -149,12 +149,164 @@ object Sketch {
         abs(col("est_v") - col("exact_v")).as("abs_err"))
   }
 
+  // ---- HyperLogLog distinct sketch (mergeable registers) ----
+
+  /** HLL geometry: 2^9 = 512 registers addressed by the low 9 bits of a
+    * 48-bit md5 hash; the remaining [[HllW]] = 39 bits feed the
+    * leading-zero rank, so ranks span 1..40.
+    */
+  val HllP = 9
+  val HllM: Long = 1L << HllP
+  val HllW: Int = 48 - HllP
+
+  /** α_m·m²·2^(W+1) — the whole estimator numerator as ONE double
+    * constant, so both engines evaluate the identical literal and the
+    * estimate is a single exactly-rounded division A/S.
+    */
+  val HllA: Double =
+    0.7213 / (1.0 + 1.079 / HllM) * HllM * HllM *
+      java.lang.Math.pow(2.0, HllW + 1)
+
+  /** Per-scope HLL registers of a (scope, word) stream: (scope, j, M)
+    * with M = max rank over words hashing to register j — ≤ [[HllM]]
+    * rows per scope whatever the stream size (the same bounded-exchange
+    * contract as [[cmsOf]], on the DISTINCT side of the ledger). Rank =
+    * leading zeros of the 39-bit hash suffix + 1 = 40 − bitlength(v),
+    * via the minimal-width `bin()` string both engines share.
+    */
+  def hllRegisters(words: DataFrame): DataFrame =
+    words
+      .select(col("scope"),
+        conv(substring(md5(col("word")), 1, 12), 16, 10).cast("long").as("h"))
+      .select(col("scope"), (col("h") % HllM).as("j"),
+        expr(s"h DIV $HllM").as("v"))
+      .select(col("scope"), col("j"),
+        when(col("v") === 0L, lit(HllW + 1))
+          .otherwise(lit(HllW + 1) - length(bin(col("v")))).as("rank"))
+      .groupBy("scope", "j")
+      .agg(max(col("rank")).as("M"))
+
+  /** Linear-counting table: LcTable(V) = m·ln(m/V) for V = 1..m empty
+    * registers, precomputed ONCE in Scala and baked into both plans as
+    * the identical double literals — the small-range correction without
+    * any runtime `ln`, whose last-ulp behavior differs across engines.
+    * (V has only m possible values, so the whole correction is a
+    * lookup; `Double.toString` round-trips exactly, so the SQL literal
+    * parses to the same bits `lit` carries.)
+    */
+  val LcTable: IndexedSeq[Double] =
+    (1 to HllM.toInt).map(v => HllM * math.log(HllM.toDouble / v))
+
+  /** The raw-vs-linear-counting switch threshold, 2.5·m. */
+  val LcCut: Double = 2.5 * HllM
+
+  /** Estimates from a register table: (scope, n_est). The harmonic sum
+    * is EXACT — Σ 2^(W+1−M) over present registers plus 2^(W+1) per
+    * empty register is a BIGINT (≤ 512·2^40 ≪ 2^63) — so the only
+    * runtime float op is the final A/S division; below [[LcCut]] with
+    * empty registers present, the estimate is the [[LcTable]] lookup
+    * (the standard HLL small-range correction, here with the log table
+    * a plan literal).
+    */
+  def hllEstimates(regs: DataFrame): DataFrame =
+    regs
+      .groupBy("scope")
+      .agg((sum(expr(s"shiftleft(CAST(1 AS BIGINT), ${HllW + 1} - M)")) +
+        (lit(HllM) - count(lit(1))) * lit(1L << (HllW + 1))).as("S"),
+        (lit(HllM) - count(lit(1))).as("V"))
+      .select(col("scope"), col("V"), (lit(HllA) / col("S")).as("raw"))
+      .select(col("scope"),
+        when(col("raw") <= LcCut && col("V") > 0L,
+          element_at(lit(LcTable.toArray), col("V").cast("int")))
+          .otherwise(col("raw")).as("n_est"))
+
+  /** The distinct-count audit: exact distinct counts against their HLL
+    * estimates (512 registers, expected relative error ≈ 1.04/√512 ≈
+    * 4.6%) over one stream that exercises BOTH estimator regimes — the
+    * corpus's per-source token vocabularies (31 words: deep in the
+    * linear-counting branch, where raw HLL would read 11× high) and
+    * the order ledger's distinct order keys per return flag (~15k:
+    * the raw harmonic-mean branch with real register collisions). The
+    * whole-stream sketch is NOT rebuilt from the rows — it is the
+    * per-scope sketches MERGED (max per register), exercising the
+    * property that makes HLL the 100 TB answer: shard sketches combine
+    * by a 512-row max-aggregate, so per-scope profiling and the global
+    * number cost one scan total. The exact side is the audit baseline
+    * only.
+    */
+  def distinctHll(spark: SparkSession, dir: String): DataFrame =
+    distinctHllOf(Tables(spark, dir, "documents")
+      .select(col("source").as("scope"),
+        explode(split(col("text"), " ")).as("word"))
+      .unionByName(Tables(spark, dir, "lineitem")
+        .select(concat(lit("rf:"), col("l_returnflag")).as("scope"),
+          col("l_orderkey").cast("string").as("word"))))
+
+  def distinctHllOf(words: DataFrame): DataFrame = {
+    val perSrc = hllRegisters(words)
+    val merged = perSrc.groupBy("j").agg(max(col("M")).as("M"))
+      .select(lit("ALL").as("scope"), col("j"), col("M"))
+    val est = hllEstimates(perSrc.unionByName(merged))
+    val exact = words.groupBy("scope")
+      .agg(countDistinct(col("word")).as("n_exact"))
+      .unionByName(words.agg(countDistinct(col("word")).as("n_exact"))
+        .select(lit("ALL").as("scope"), col("n_exact")))
+    exact.join(est, Seq("scope"))
+      .select(col("scope"), col("n_exact"), col("n_est"),
+        ((col("n_est") - col("n_exact")) / col("n_exact")).as("rel_err"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "llm_heavy_hitters" -> heavyHitters,
-    "llm_quantile_sketch" -> quantileSketch
+    "llm_quantile_sketch" -> quantileSketch,
+    "llm_distinct_hll" -> distinctHll
   )
 
   val oracle: Map[String, String] = Map(
+    "llm_distinct_hll" -> {
+      val w1 = HllW + 1
+      s"""WITH words AS (
+         |  SELECT source AS scope, unnest(string_split(text, ' ')) AS word
+         |  FROM documents
+         |  UNION ALL
+         |  SELECT 'rf:' || l_returnflag AS scope,
+         |    l_orderkey::VARCHAR AS word
+         |  FROM lineitem),
+         |hashed AS (
+         |  SELECT scope,
+         |    ('0x' || substr(md5(word), 1, 12))::BIGINT % $HllM AS j,
+         |    ('0x' || substr(md5(word), 1, 12))::BIGINT // $HllM AS v
+         |  FROM words),
+         |per_src AS (
+         |  SELECT scope, j,
+         |    max(CASE WHEN v = 0 THEN $w1
+         |        ELSE $w1 - length(bin(v)) END) AS M
+         |  FROM hashed GROUP BY scope, j),
+         |regs AS (
+         |  SELECT * FROM per_src
+         |  UNION ALL
+         |  SELECT 'ALL' AS scope, j, max(M) AS M FROM per_src GROUP BY j),
+         |sums AS (
+         |  SELECT scope,
+         |    (sum(1::BIGINT << ($w1 - M))
+         |      + ($HllM - count(*)) * (1::BIGINT << $w1))::BIGINT AS S,
+         |    ($HllM - count(*))::BIGINT AS V
+         |  FROM regs GROUP BY scope),
+         |est AS (
+         |  SELECT scope,
+         |    CASE WHEN $HllA / S <= $LcCut AND V > 0
+         |      THEN [${LcTable.map(_.toString + "e0").mkString(", ")}][V::INT]
+         |      ELSE $HllA / S END AS n_est
+         |  FROM sums),
+         |exact AS (
+         |  SELECT scope, count(DISTINCT word)::BIGINT AS n_exact
+         |  FROM words GROUP BY scope
+         |  UNION ALL
+         |  SELECT 'ALL', count(DISTINCT word)::BIGINT FROM words)
+         |SELECT scope, n_exact, n_est,
+         |  (n_est - n_exact) / n_exact AS rel_err
+         |FROM exact JOIN est USING (scope)""".stripMargin
+    },
     "llm_heavy_hitters" -> {
       val posList = (0 until CmsDepth)
         .map(d => sqlPos("word", d)).mkString("[", ", ", "]")

@@ -78,4 +78,41 @@ class SketchSpec extends SparkSpecBase {
     assert(plan.contains("TakeOrderedAndProject"),
       s"sample should be per-partition bounded heaps:\n$plan")
   }
+
+  test("hll: every scope estimated within the 512-register error band") {
+    val rows = Sketch.distinctHll(spark, Sf).collect()
+    assert(rows.map(_.getString(0)).contains("ALL"))
+    rows.foreach { r =>
+      val (scope, err) = (r.getString(0), r.getDouble(3))
+      // 1.04/sqrt(512) ≈ 4.6% std error; 3σ band ≈ 14%
+      assert(math.abs(err) < 0.15, s"scope=$scope rel_err=$err")
+    }
+  }
+
+  test("hll registers merge: sketch(A ∪ B) == merge(sketch(A), sketch(B))") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.Tables(spark, Sf, "documents")
+    val words = docs.select(lit("all").as("scope"),
+      explode(split(col("text"), " ")).as("word"),
+      (col("doc_id") % 2).as("half"))
+    val whole = Sketch.hllRegisters(words.select("scope", "word"))
+      .collect().map(r => (r.getLong(1), r.getInt(2))).toMap
+    val halves = Seq(0, 1).map(h =>
+      Sketch.hllRegisters(words.where(col("half") === h)
+        .select("scope", "word"))
+        .collect().map(r => (r.getLong(1), r.getInt(2))).toMap)
+    val merged = (halves(0).keySet ++ halves(1).keySet).map(j =>
+      j -> math.max(halves(0).getOrElse(j, 0), halves(1).getOrElse(j, 0)))
+      .toMap
+    assert(merged === whole)
+  }
+
+  test("hll register table is bounded at m rows per scope") {
+    val docs = graft.Tables(spark, Sf, "documents")
+    val words = docs.select(col("source").as("scope"),
+      explode(split(col("text"), " ")).as("word"))
+    val over = Sketch.hllRegisters(words).groupBy("scope").count()
+      .where(col("count") > Sketch.HllM).count()
+    assert(over === 0L)
+  }
 }
