@@ -133,18 +133,34 @@ object Dsir {
         col("dsir_mean"), col("rk"))
   }
 
+  /** Gates THEN selection (the `llm_curate_diverse` discipline, with
+    * importance in place of diversity): the strict curation gate cuts
+    * the corpus first, and DSIR is re-estimated WITHIN the clean pool —
+    * both the target and raw distributions come from surviving docs, so
+    * junk the gates removed can no longer distort the bucket ratios —
+    * then the per-source top quarter of the survivors is kept. This is
+    * the budget step of a production pipeline: clean everything, then
+    * spend the token budget on the quarter that looks most like the
+    * trusted sources.
+    */
+  def curateDsir(spark: SparkSession, dir: String): DataFrame =
+    dsirSampleOf(Tables(spark, dir, "documents")
+      .join(Curation.curateStrict(spark, dir).select("doc_id"), "doc_id"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "llm_dsir_weights" -> dsirWeights,
-    "llm_dsir_sample" -> dsirSample
+    "llm_dsir_sample" -> dsirSample,
+    "llm_curate_dsir" -> curateDsir
   )
 
-  /** Shared oracle CTE chain: the gram stream (unigrams ∪ bigrams via
-    * the [[Shingles.shSql]] spellings), the one-pass bucket table, and
-    * the per-doc weights.
+  /** Shared oracle CTE chain over any (doc_id, text, lang, source)
+    * relation `src`: the gram stream (unigrams ∪ bigrams via the
+    * [[Shingles.shSql]] spellings), the one-pass bucket table, and the
+    * per-doc weights.
     */
-  private def weightsCte: String =
-    s"""${Shingles.shSql(1, "documents", "u")},
-       |${Shingles.shSql(2, "documents", "bi")},
+  private def weightsCte(src: String = "documents"): String =
+    s"""${Shingles.shSql(1, src, "u")},
+       |${Shingles.shSql(2, src, "bi")},
        |grams AS (
        |  SELECT doc_id, is_target, ${sqlBucket("g")} AS b FROM (
        |    SELECT d.doc_id,
@@ -152,7 +168,7 @@ object Dsir {
        |        (${SeedSources.map("'" + _ + "'").mkString(", ")}))
        |        AS is_target,
        |      unnest(list_distinct(flatten([uni.s, bi.s]))) AS g
-       |    FROM documents d
+       |    FROM $src d
        |    JOIN ush uni ON uni.doc_id = d.doc_id
        |    JOIN bish bi ON bi.doc_id = d.doc_id
        |  )),
@@ -169,21 +185,36 @@ object Dsir {
        |  FROM grams JOIN buckets USING (b)
        |  GROUP BY doc_id)""".stripMargin
 
+  /** The rank-and-quota selection over `src`, assuming [[weightsCte]]'s
+    * `weights` CTE is in scope.
+    */
+  private def sampleSql(src: String): String =
+    s"""ranked AS (
+       |  SELECT d.doc_id, d.lang, d.source, w.dsir_mean,
+       |    row_number() OVER (PARTITION BY d.source
+       |      ORDER BY w.dsir_mean DESC, d.doc_id)::BIGINT AS rk,
+       |    count(*) OVER (PARTITION BY d.source)::BIGINT AS n_src
+       |  FROM $src d JOIN weights w ON w.doc_id = d.doc_id)
+       |SELECT doc_id, lang, source, dsir_mean, rk
+       |FROM ranked
+       |WHERE rk <= (n_src + ${KeepDenom - 1}) // $KeepDenom""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "llm_dsir_weights" ->
-      s"""WITH $weightsCte
+      s"""WITH ${weightsCte()}
          |SELECT doc_id, n_grams, dsir_score, dsir_mean
          |FROM weights""".stripMargin,
     "llm_dsir_sample" ->
-      s"""WITH $weightsCte,
-         |ranked AS (
-         |  SELECT d.doc_id, d.lang, d.source, w.dsir_mean,
-         |    row_number() OVER (PARTITION BY d.source
-         |      ORDER BY w.dsir_mean DESC, d.doc_id)::BIGINT AS rk,
-         |    count(*) OVER (PARTITION BY d.source)::BIGINT AS n_src
-         |  FROM documents d JOIN weights w ON w.doc_id = d.doc_id)
-         |SELECT doc_id, lang, source, dsir_mean, rk
-         |FROM ranked
-         |WHERE rk <= (n_src + ${KeepDenom - 1}) // $KeepDenom""".stripMargin
+      s"""WITH ${weightsCte()},
+         |${sampleSql("documents")}""".stripMargin,
+    // the strict-gate oracle (itself a nested WITH) becomes the doc
+    // relation both the distributions and the ranking see
+    "llm_curate_dsir" ->
+      s"""WITH strictdocs AS (
+         |  SELECT d.* FROM documents d
+         |  JOIN (${Curation.oracle("llm_curate_strict")}) k
+         |    ON k.doc_id = d.doc_id),
+         |${weightsCte("strictdocs")},
+         |${sampleSql("strictdocs")}""".stripMargin
   )
 }
