@@ -123,6 +123,61 @@ object Sketch {
     * (orderkey, linenumber) key, ordering ties break on (v, key), and
     * percentile_disc picks actual values — both engines agree bit-wise.
     */
+  /** Bucket count for [[exactQuantilesOf]]'s histogram pass. */
+  val QSelBuckets = 4096
+
+  /** EXACT q-quantiles of `values`' column `v` by distributed
+    * bucket-histogram selection, as a (q, exact_v) table — the
+    * scale-correct replacement for a global buffered `percentile_disc`
+    * (which serializes every value through ONE aggregation buffer: the
+    * single worst bench entry at sf0.1, and a guaranteed OOM at
+    * 100 TB). Three bounded passes instead: (1) a 1-row (n, min, max)
+    * aggregate broadcasts back; (2) each value buckets row-locally
+    * into ≤ [[QSelBuckets]] range buckets whose histogram + prefix sum
+    * is a ≤ 4096-row exchange (the tiny-window discipline of the
+    * recursed shard packing); (3) only the few buckets actually
+    * holding a probed rank are re-scanned and sorted — per-bucket
+    * row_number over ~n/4096 rows — and the value at the rank's
+    * in-bucket offset is picked. Same answers as `percentile_disc`
+    * (value at rank ⌈q·n⌉ ascending — ties interchangeable), so the
+    * DuckDB oracle keeps its native spelling. Degenerate constant
+    * column → everything in bucket 0, still correct (one sorted
+    * group).
+    */
+  def exactQuantilesOf(values: DataFrame, qs: Seq[Double]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val stats = values.agg(count(lit(1)).as("n"),
+      min(col("v")).as("vmin"), max(col("v")).as("vmax"))
+    val bucketed = values.select(col("v")).crossJoin(broadcast(stats))
+      .select(col("v"),
+        when(col("vmax") === col("vmin"), lit(0))
+          .otherwise(least(lit(QSelBuckets - 1),
+            floor((col("v") - col("vmin")) / (col("vmax") - col("vmin"))
+              * QSelBuckets).cast("int"))).as("b"))
+    val cum = bucketed.groupBy("b").agg(count(lit(1)).as("c"))
+      .withColumn("cum", sum(col("c")).over(Window.orderBy("b")))
+    val ranks = stats.select(explode(array(qs.map(q =>
+      struct(lit(q.toString).as("q"),
+        ceil(lit(q) * col("n")).cast("long").as("r"))): _*)).as("t"))
+      .select(col("t.q").as("q"), col("t.r").as("r"))
+    val target = ranks
+      .join(broadcast(cum), col("cum") >= col("r"))
+      .groupBy("q", "r").agg(min(col("b")).as("tb"))
+      .join(broadcast(cum), col("b") === col("tb"))
+      .select(col("q"), col("tb"),
+        (col("r") - (col("cum") - col("c"))).as("local_r"))
+    bucketed
+      .join(broadcast(target.select(col("tb"), col("local_r"), col("q"))),
+        col("b") === col("tb"))
+      // two probed ranks can share a bucket, duplicating its rows in
+      // the join — rank within (bucket, q) so each probe counts its
+      // own copy exactly once
+      .withColumn("lr", row_number().over(
+        Window.partitionBy("b", "q").orderBy("v")).cast("long"))
+      .where(col("lr") === col("local_r"))
+      .select(col("q"), col("v").as("exact_v"))
+  }
+
   def quantileSketch(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables(spark, dir, "lineitem").select(
       col("l_extendedprice").as("v"),
@@ -131,20 +186,21 @@ object Sketch {
         graft.functions.Md5Uniform.uniform(col("key")).as("u"))
     val sample = li.orderBy(col("u"), col("v"), col("key"))
       .limit(QSketchK)
-    def discs(src: DataFrame, prefix: String) = src.agg(
+    // the 512-row sample side stays a buffered percentile_disc — tiny
+    // by construction; the exact side is the distributed selection
+    val est = sample.agg(
       expr(s"percentile_disc(${QSketchQs.head}) WITHIN GROUP (ORDER BY v)")
-        .as(prefix + "0"),
+        .as("s0"),
       QSketchQs.tail.zipWithIndex.map { case (q, i) =>
         expr(s"percentile_disc($q) WITHIN GROUP (ORDER BY v)")
-          .as(prefix + (i + 1))
+          .as("s" + (i + 1))
       }: _*)
-    val exact = discs(li, "e")
-    val est = discs(sample, "s")
-    val stackArgs = QSketchQs.zipWithIndex
-      .map { case (q, i) => s"'$q', e$i, s$i" }.mkString(", ")
-    exact.crossJoin(est)
-      .select(expr(
-        s"stack(${QSketchQs.size}, $stackArgs) AS (q, exact_v, est_v)"))
+    val estLong = est.select(explode(array(QSketchQs.zipWithIndex.map {
+      case (q, i) => struct(lit(q.toString).as("q"),
+        col("s" + i).as("est_v"))
+    }: _*)).as("t")).select(col("t.q").as("q"), col("t.est_v").as("est_v"))
+    exactQuantilesOf(li, QSketchQs)
+      .join(estLong, Seq("q"))
       .select(col("q"), col("exact_v"), col("est_v"),
         abs(col("est_v") - col("exact_v")).as("abs_err"))
   }
@@ -256,13 +312,85 @@ object Sketch {
         ((col("n_est") - col("n_exact")) / col("n_exact")).as("rel_err"))
   }
 
+  // ---- per-group quantile sample (bounded heaps per group) ----
+
+  /** Per-group sample size and probed quantiles. */
+  val GQK = 64
+  val GQQs = Seq(0.5, 0.9)
+
+  /** Per-source document-length quantiles from a bounded PER-GROUP
+    * sample — the grouped companion to [[quantileSketch]]: keep the
+    * [[GQK]] rows with the smallest md5 uniforms WITHIN EACH SOURCE
+    * (the `rk ≤ k` rank filter compiles to WindowGroupLimit, so every
+    * partition prunes to k rows per group map-side before the one
+    * window shuffle), estimate each probed quantile from the sample,
+    * and report it against the exact per-group `percentile_disc` with
+    * the absolute error. At 100 TB the exact side is the audit
+    * baseline; the sample side's exchange is ≤ k·|groups| rows
+    * whatever the corpus, and two per-group samples merge by union +
+    * re-rank — the shard-parallel profiling shape, now per stratum.
+    * Determinism: the [[graft.functions.Md5Uniform]] ordering with
+    * (v, doc_id) tie-breaks, integer-valued lengths, and
+    * percentile_disc picking actual values — bit-identical in DuckDB.
+    */
+  def groupQuantiles(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = Tables(spark, dir, "documents").select(col("source"),
+      col("n_chars").cast("double").as("v"), col("doc_id"),
+      graft.functions.Md5Uniform.uniform(col("doc_id").cast("string"))
+        .as("u"))
+    val sample = base
+      .withColumn("rk", row_number().over(Window.partitionBy("source")
+        .orderBy(col("u"), col("v"), col("doc_id"))))
+      .where(col("rk") <= GQK)
+    def discs(src: DataFrame, prefix: String) =
+      src.groupBy("source").agg(
+        expr(s"percentile_disc(${GQQs.head}) WITHIN GROUP (ORDER BY v)")
+          .as(prefix + "0"),
+        GQQs.tail.zipWithIndex.map { case (q, i) =>
+          expr(s"percentile_disc($q) WITHIN GROUP (ORDER BY v)")
+            .as(prefix + (i + 1))
+        }: _*)
+    val stackArgs = GQQs.zipWithIndex
+      .map { case (q, i) => s"'$q', e$i, s$i" }.mkString(", ")
+    discs(base, "e").join(discs(sample, "s"), Seq("source"))
+      .select(col("source"), expr(
+        s"stack(${GQQs.size}, $stackArgs) AS (q, exact_v, est_v)"))
+      .select(col("source"), col("q"), col("exact_v"), col("est_v"),
+        abs(col("est_v") - col("exact_v")).as("abs_err"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "llm_heavy_hitters" -> heavyHitters,
     "llm_quantile_sketch" -> quantileSketch,
-    "llm_distinct_hll" -> distinctHll
+    "llm_distinct_hll" -> distinctHll,
+    "llm_group_quantiles" -> groupQuantiles
   )
 
   val oracle: Map[String, String] = Map(
+    "llm_group_quantiles" -> {
+      val u = graft.functions.Md5Uniform.sql("doc_id::VARCHAR")
+      def discs(prefix: String) = GQQs.zipWithIndex
+        .map { case (q, i) => s"quantile_disc(v, $q) AS $prefix$i" }
+        .mkString(", ")
+      val unioned = GQQs.zipWithIndex.map { case (q, i) =>
+        s"""SELECT source, '$q' AS q, e$i AS exact_v, s$i AS est_v
+           |FROM exact JOIN est USING (source)""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH base AS (
+         |  SELECT source, n_chars::DOUBLE AS v, doc_id, $u AS u
+         |  FROM documents),
+         |sample AS (
+         |  SELECT source, v FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY source
+         |      ORDER BY u, v, doc_id) AS rk FROM base)
+         |  WHERE rk <= $GQK),
+         |exact AS (SELECT source, ${discs("e")} FROM base GROUP BY source),
+         |est AS (SELECT source, ${discs("s")} FROM sample GROUP BY source)
+         |SELECT source, q, exact_v, est_v,
+         |  abs(est_v - exact_v) AS abs_err
+         |FROM ($unioned)""".stripMargin
+    },
     "llm_distinct_hll" -> {
       val w1 = HllW + 1
       s"""WITH words AS (

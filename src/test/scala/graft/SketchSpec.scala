@@ -107,6 +107,23 @@ class SketchSpec extends SparkSpecBase {
     assert(merged === whole)
   }
 
+  test("group quantiles: per-group rank prunes map-side, all probed " +
+    "qs per source, error bounded by the value range") {
+    val df = Sketch.groupQuantiles(spark, Sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"),
+      s"rank filter should prune per-partition:\n$plan")
+    val rows = df.collect()
+    val bySrc = rows.groupBy(_.getString(0))
+    bySrc.foreach { case (src, rs) =>
+      assert(rs.map(_.getString(1)).toSet ===
+        Sketch.GQQs.map(_.toString).toSet, src)
+      val range = rs.map(_.getDouble(2)).max - rs.map(_.getDouble(2)).min
+      rs.foreach(r => assert(r.getDouble(4) <= math.max(range, 1.0) * 4,
+        s"$src q=${r.getString(1)} err=${r.getDouble(4)}"))
+    }
+  }
+
   test("hll register table is bounded at m rows per scope") {
     val docs = graft.Tables(spark, Sf, "documents")
     val words = docs.select(col("source").as("scope"),
