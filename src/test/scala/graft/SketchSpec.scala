@@ -124,6 +124,30 @@ class SketchSpec extends SparkSpecBase {
     }
   }
 
+  test("distributed exact-quantile selection == sorted-rank reference " +
+    "on adversarial shapes") {
+    import org.apache.spark.sql.functions._
+    val spark2 = spark
+    import spark2.implicits._
+    val qs = Seq(0.25, 0.5, 0.75, 0.9, 0.99)
+    val cases: Seq[(String, Seq[Double])] = Seq(
+      "all-equal" -> Seq.fill(100)(7.5),
+      "two-values" -> (Seq.fill(97)(1.0) ++ Seq.fill(3)(2.0)),
+      "singleton" -> Seq(42.0),
+      "skewed" -> (1 to 1000).map(i => math.pow(1.01, i)),
+      "negatives" -> Seq(-5.0, -1.0, 0.0, 3.5, 3.5, 3.5, 9.9)
+    )
+    cases.foreach { case (name, vs) =>
+      val df = vs.toDF("v").repartition(4)
+      val got = Sketch.exactQuantilesOf(df, qs).collect()
+        .map(r => r.getString(0) -> r.getDouble(1)).toMap
+      val sorted = vs.sorted
+      val expect = qs.map(q => q.toString ->
+        sorted(math.ceil(q * vs.size).toInt - 1)).toMap
+      assert(got === expect, name)
+    }
+  }
+
   test("hll register table is bounded at m rows per scope") {
     val docs = graft.Tables(spark, Sf, "documents")
     val words = docs.select(col("source").as("scope"),
