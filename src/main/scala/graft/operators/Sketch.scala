@@ -232,15 +232,26 @@ object Sketch {
     */
   def hllRegisters(words: DataFrame): DataFrame =
     words
-      .select(col("scope"),
-        conv(substring(md5(col("word")), 1, 12), 16, 10).cast("long").as("h"))
-      .select(col("scope"), (col("h") % HllM).as("j"),
-        expr(s"h DIV $HllM").as("v"))
-      .select(col("scope"), col("j"),
-        when(col("v") === 0L, lit(HllW + 1))
-          .otherwise(lit(HllW + 1) - length(bin(col("v")))).as("rank"))
+      .select(col("scope"), hllJ(col("word")).as("j"),
+        hllRank(col("word")).as("rank"))
       .groupBy("scope", "j")
       .agg(max(col("rank")).as("M"))
+
+  /** 48-bit md5 hash of `w` (row-local building block, also used by
+    * the streaming windowed form in [[graft.streaming.Streams]]).
+    */
+  private def hllH(w: Column): Column =
+    conv(substring(md5(w), 1, 12), 16, 10).cast("long")
+
+  /** Register index: the low [[HllP]] bits. */
+  def hllJ(w: Column): Column = hllH(w) % HllM
+
+  /** Leading-zero rank of the remaining [[HllW]] bits (+1). */
+  def hllRank(w: Column): Column = {
+    val v = shiftright(hllH(w), HllP)
+    when(v === 0L, lit(HllW + 1))
+      .otherwise(lit(HllW + 1) - length(bin(v)))
+  }
 
   /** Linear-counting table: LcTable(V) = m·ln(m/V) for V = 1..m empty
     * registers, precomputed ONCE in Scala and baked into both plans as
@@ -255,6 +266,14 @@ object Sketch {
 
   /** The raw-vs-linear-counting switch threshold, 2.5·m. */
   val LcCut: Double = 2.5 * HllM
+
+  /** [[LcTable]] as a DuckDB list literal of DOUBLE (`e0`-suffixed —
+    * bare decimal literals parse as DECIMAL and list unification can
+    * shift the last ulp). Shared with the windowed form in
+    * [[graft.streaming.Streams]].
+    */
+  def lcSqlList: String =
+    LcTable.map(_.toString + "e0").mkString("[", ", ", "]")
 
   /** Estimates from a register table: (scope, n_est). The harmonic sum
     * is EXACT — Σ 2^(W+1−M) over present registers plus 2^(W+1) per
@@ -423,7 +442,7 @@ object Sketch {
          |est AS (
          |  SELECT scope,
          |    CASE WHEN $HllA / S <= $LcCut AND V > 0
-         |      THEN [${LcTable.map(_.toString + "e0").mkString(", ")}][V::INT]
+         |      THEN $lcSqlList[V::INT]
          |      ELSE $HllA / S END AS n_est
          |  FROM sums),
          |exact AS (

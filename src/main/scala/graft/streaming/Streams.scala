@@ -615,7 +615,74 @@ object Streams {
   private def events(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir, "events")
 
+  /** Per-tumbling-hour distinct users, exact vs HyperLogLog — the
+    * sketch family ([[graft.operators.Sketch]]) joined to the stream
+    * family. The register table (window, j, M) is a plain MAX
+    * aggregation, so under `readStream` it is an INCREMENTAL windowed
+    * aggregate (append mode + watermark, finalized like
+    * [[tumblingStats]] — proven by the streaming spec); the estimate
+    * is the sink-side transform, the [[topkTypes]]/[[rankTypes]]
+    * split. At 100 TB the exact `countDistinct` per window is the
+    * audit baseline only — it shuffles every (window, user) pair,
+    * where the register aggregation exchanges ≤ 512 rows per window
+    * whatever the traffic, and yesterday's registers MERGE with
+    * today's by the same max.
+    */
+  def distinctUsers(events: DataFrame): DataFrame =
+    distinctUsersEstimates(distinctUsersRegisters(events), events)
+
+  /** The streaming-side register aggregation: (win_us, j, M). */
+  def distinctUsersRegisters(events: DataFrame): DataFrame = {
+    import graft.operators.Sketch
+    withEventTime(events)
+      .select(
+        (col("ts_us") - pmod(col("ts_us"), lit(3600L * 1000 * 1000)))
+          .as("scope"),
+        col("user_id").cast("string").as("word"))
+      .transform(Sketch.hllRegisters)
+  }
+
+  /** The register aggregation as it runs under `readStream`: the same
+    * (window, j) → max(rank) cells keyed by a real event-time window
+    * so append mode + watermark finalize and evict state per hour —
+    * value-identical to [[distinctUsersRegisters]]' integer-truncation
+    * spelling (window(ts, 1 hour).start IS the hour truncation), which
+    * the streaming spec pins batch-vs-stream.
+    */
+  def distinctUsersRegistersStreaming(events: DataFrame,
+      watermark: String): DataFrame = {
+    import graft.operators.Sketch
+    withEventTime(events)
+      .withWatermark("ts_ts", watermark)
+      .select(col("ts_ts"),
+        Sketch.hllJ(col("user_id").cast("string")).as("j"),
+        Sketch.hllRank(col("user_id").cast("string")).as("rank"))
+      .groupBy(window(col("ts_ts"), "1 hour"), col("j"))
+      .agg(max(col("rank")).as("M"))
+      .select(unix_micros(col("window.start")).as("scope"), col("j"),
+        col("M"))
+  }
+
+  /** The sink-side estimate + exact audit join. */
+  def distinctUsersEstimates(regs: DataFrame,
+      events: DataFrame): DataFrame = {
+    import graft.operators.Sketch
+    val est = Sketch.hllEstimates(regs)
+    val exact = withEventTime(events)
+      .select(
+        (col("ts_us") - pmod(col("ts_us"), lit(3600L * 1000 * 1000)))
+          .as("win_us"), col("user_id"))
+      .groupBy("win_us")
+      .agg(countDistinct(col("user_id")).as("n_exact"))
+    exact.join(est, col("win_us") === col("scope"))
+      .select(timestamp_micros(col("win_us")).as("win_start"),
+        col("n_exact"), col("n_est"),
+        ((col("n_est") - col("n_exact")) / col("n_exact")).as("rel_err"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_distinct_users" ->
+      ((s: SparkSession, d: String) => distinctUsers(events(s, d))),
     "stream_tumbling_stats" ->
       ((s: SparkSession, d: String) => tumblingStats(events(s, d))),
     "stream_topk_types" ->
@@ -654,6 +721,43 @@ object Streams {
   )
 
   val oracle: Map[String, String] = Map(
+    "stream_distinct_users" -> {
+      import graft.operators.Sketch
+      val w1 = Sketch.HllW + 1
+      val h = "('0x' || substr(md5(word), 1, 12))::BIGINT"
+      s"""WITH e AS (
+         |  SELECT epoch_us(time_bucket(INTERVAL 1 HOUR, ts)) AS win_us,
+         |    user_id::VARCHAR AS word
+         |  FROM events),
+         |hashed AS (
+         |  SELECT win_us, $h % ${Sketch.HllM} AS j,
+         |    $h // ${Sketch.HllM} AS v
+         |  FROM e),
+         |regs AS (
+         |  SELECT win_us, j,
+         |    max(CASE WHEN v = 0 THEN $w1
+         |        ELSE $w1 - length(bin(v)) END) AS M
+         |  FROM hashed GROUP BY 1, 2),
+         |sums AS (
+         |  SELECT win_us,
+         |    (sum(1::BIGINT << ($w1 - M))
+         |      + (${Sketch.HllM} - count(*)) * (1::BIGINT << $w1))::BIGINT
+         |      AS S,
+         |    (${Sketch.HllM} - count(*))::BIGINT AS V
+         |  FROM regs GROUP BY 1),
+         |est AS (
+         |  SELECT win_us,
+         |    CASE WHEN ${Sketch.HllA} / S <= ${Sketch.LcCut} AND V > 0
+         |      THEN ${Sketch.lcSqlList}[V::INT]
+         |      ELSE ${Sketch.HllA} / S END AS n_est
+         |  FROM sums),
+         |exact AS (
+         |  SELECT win_us, count(DISTINCT word)::BIGINT AS n_exact
+         |  FROM e GROUP BY 1)
+         |SELECT make_timestamp(win_us) AS win_start, n_exact, n_est,
+         |  (n_est - n_exact) / n_exact AS rel_err
+         |FROM exact JOIN est USING (win_us)""".stripMargin
+    },
     "stream_first_touch" ->
       """SELECT user_id, event_type, first_ts_us, first_event_id FROM (
         |  SELECT user_id, event_type,

@@ -52,6 +52,35 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("windowed HLL registers run incrementally and match the batch " +
+    "truncation spelling") {
+    val s = spark; import s.implicits._
+    implicit val ctx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val q = Streams.distinctUsersRegistersStreaming(mem.toDF(), "2 hours")
+      .writeStream.format("memory").queryName("hll_regs_test")
+      .outputMode("append").start()
+    try {
+      val wave1 = Seq(
+        ev(1, 10 * MinNs, user = 11), ev(2, 20 * MinNs, user = 12),
+        ev(3, 25 * MinNs, user = 11), // dup user, same window
+        ev(4, HourNs + 5 * MinNs, user = 13),
+        ev(5, HourNs + 40 * MinNs, user = 11))
+      mem.addData(wave1: _*)
+      q.processAllAvailable()
+      mem.addData(ev(6, 10 * HourNs, user = 14))
+      q.processAllAvailable()
+      mem.addData(ev(7, 11 * HourNs, user = 15))
+      q.processAllAvailable()
+      val streamed = spark.table("hll_regs_test").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      val batch = Streams.distinctUsersRegisters(wave1.toDF()).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      assert(batch.subsetOf(streamed),
+        s"finalized registers missing: ${batch -- streamed}")
+    } finally q.stop()
+  }
+
   test("windowed top-k: ranking finalized streamed windows matches batch") {
     val s = spark; import s.implicits._
     implicit val ctx = spark.sqlContext
