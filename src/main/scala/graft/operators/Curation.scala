@@ -201,6 +201,40 @@ object Curation {
         (epochs * col("n_tokens").cast("double")).as("planned_tokens"))
   }
 
+  /** The epoch schedule MATERIALIZED — [[mixEpochs]] turned into the
+    * actual training manifest: each document of language l appears
+    * ⌊epochs_l⌋ times plus one more with probability frac(epochs_l),
+    * decided by the salted md5 uniform (`:ups`, disjoint from the
+    * `:mix` and split salts). Languages under one epoch (epochs < 1)
+    * subsample to exactly that fraction; capped languages repeat
+    * [[MaxEpochs]] times — the Llama-style up-sampling plan a data
+    * loader would consume, with `epoch` as the pass index. The
+    * expected per-language token total is [[mixEpochs]]'
+    * planned_tokens.
+    *
+    * Scale shape: the |langs|-row schedule broadcasts; the generator
+    * is row-local (explode of a ≤ [[MaxEpochs]]-element sequence), so
+    * the output materializes with zero shuffles.
+    */
+  def mixUpsample(spark: SparkSession, dir: String): DataFrame =
+    mixUpsampleOf(docs(spark, dir))
+
+  def mixUpsampleOf(corpus: DataFrame): DataFrame = {
+    val sched = mixEpochsOf(corpus).select(col("lang"), col("epochs"))
+    corpus.select(col("doc_id"), col("lang"))
+      .join(broadcast(sched), Seq("lang"))
+      .select(col("doc_id"), col("lang"),
+        (floor(col("epochs")).cast("long") +
+          when(graft.functions.Md5Uniform.uniform(
+            concat(col("doc_id").cast("string"), lit(":ups")))
+            < col("epochs") - floor(col("epochs")), 1L).otherwise(0L))
+          .as("n"))
+      // sequence(1, 0) would run DESCENDING in Spark — keep the guard
+      .where(col("n") >= 1L)
+      .select(col("doc_id"), col("lang"),
+        explode(sequence(lit(1L), col("n"))).as("epoch"))
+  }
+
   /** Fraction of total corpus tokens [[mixApply]] targets. */
   val MixTargetFrac = 0.5
 
@@ -1126,6 +1160,7 @@ object Curation {
     "llm_sample_topn" -> sampleTopN,
     "llm_mix_weights" -> mixWeights,
     "llm_mix_epochs" -> mixEpochs,
+    "llm_mix_upsample" -> mixUpsample,
     "llm_mix_apply" -> mixApply,
     "llm_mix_check" -> mixCheck,
     "llm_pack_shards" -> packShards,
@@ -1621,6 +1656,26 @@ GROUP BY split"""
          |    (mix_weight * (tot * $EpochBudgetMult)::DOUBLE)
          |      / n_tokens::DOUBLE) * n_tokens::DOUBLE AS planned_tokens
          |FROM w, tot""".stripMargin,
+    "llm_mix_upsample" -> {
+      val u = graft.functions.Md5Uniform.sql("doc_id::VARCHAR || ':ups'")
+      s"""WITH w AS ($mixWeightsOracleSql),
+         |tot AS (SELECT sum(n_tokens)::BIGINT AS tot FROM w),
+         |sched AS (
+         |  SELECT lang,
+         |    least($MaxEpochs::DOUBLE,
+         |      (mix_weight * (tot * $EpochBudgetMult)::DOUBLE)
+         |        / n_tokens::DOUBLE) AS epochs
+         |  FROM w, tot),
+         |copies AS (
+         |  SELECT doc_id, lang,
+         |    floor(epochs)::BIGINT
+         |      + CASE WHEN $u < epochs - floor(epochs)
+         |        THEN 1 ELSE 0 END AS n
+         |  FROM documents JOIN sched USING (lang))
+         |SELECT doc_id, lang,
+         |  unnest(generate_series(1::BIGINT, n)) AS epoch
+         |FROM copies WHERE n >= 1""".stripMargin
+    },
     // the oracle uses the straightforward single global window — the
     // two-level Spark plan must reproduce it exactly. DuckDB widens
     // SUM(BIGINT) OVER to HUGEINT (INT128), which the strict schema/hash

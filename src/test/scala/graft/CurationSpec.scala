@@ -349,4 +349,30 @@ class CurationSpec extends SparkSpecBase {
     assert(rows.map(_._2).sum ==
       graft.Tables(spark, Sf, "documents").count())
   }
+
+  test("mix upsample: each doc appears floor(epochs) or floor+1 times, " +
+    "epochs contiguous from 1, totals track planned tokens") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.Tables(spark, Sf, "documents")
+    val sched = Curation.mixEpochsOf(docs).collect()
+      .map(r => r.getAs[String]("lang") -> r.getAs[Double]("epochs")).toMap
+    val manifest = Curation.mixUpsampleOf(docs).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val byDoc = manifest.groupBy(m => (m._1, m._2))
+    byDoc.foreach { case ((id, lang), rows) =>
+      val fl = math.floor(sched(lang)).toLong
+      assert(rows.length == fl || rows.length == fl + 1,
+        s"doc $id ($lang): ${rows.length} copies vs epochs ${sched(lang)}")
+      assert(rows.map(_._3).sorted.toSeq ==
+        (1L to rows.length.toLong), s"doc $id epochs not contiguous")
+    }
+    // langs under one epoch subsample, capped langs repeat: both present
+    // in the fixture schedule make this a two-sided test
+    sched.foreach { case (lang, e) =>
+      val nDocs = docs.where(col("lang") === lang).count()
+      val copies = manifest.count(_._2 == lang).toLong
+      assert(copies >= math.floor(e).toLong * nDocs &&
+        copies <= math.ceil(e).toLong * nDocs, s"$lang: $copies vs $e")
+    }
+  }
 }
