@@ -390,6 +390,47 @@ object Curation {
         expr(s"(goff + wcum - n_tokens) div $budget").as("shard"))
   }
 
+  // ---- token-weighted systematic (PPS) sampling ----
+
+  /** Target sample size for [[samplePps]]. */
+  val PpsTarget = 100L
+
+  /** Probability-proportional-to-size document sampling, exact-integer
+    * systematic form: lay every document's tokens on one line (the
+    * [[packShardsOf]] cumulative sum, same recursed-offsets machinery —
+    * no raw-corpus single-partition window), divide the line into
+    * strides of `T DIV k` tokens, and select the document under each
+    * stride boundary. Inclusion probability is proportional to token
+    * count — the Horvitz-Thompson workhorse for estimating corpus
+    * statistics from a document sample — with none of the float `pow`
+    * an Efraimidis-Spirakis weighted reservoir needs (whose last-ulp
+    * behavior is not pinned across engines). Documents longer than a
+    * stride carry their multiplicity in `n_picks`; total picks are
+    * exactly `T DIV stride` by construction.
+    */
+  def samplePps(spark: SparkSession, dir: String): DataFrame =
+    samplePpsOf(docs(spark, dir), PpsTarget)
+
+  def samplePpsOf(corpus: DataFrame, k: Long): DataFrame = {
+    val base = corpus.select(col("doc_id"),
+      size(split(col("text"), " ")).cast("long").as("n_tokens"),
+      expr(s"doc_id div $PackGroup").as("g"))
+    val within = base.withColumn("wcum",
+      sum(col("n_tokens")).over(Window.partitionBy("g").orderBy("doc_id")))
+    val offsets = exclusiveOffsets(
+      base.groupBy("g").agg(sum(col("n_tokens")).as("t")), OffsetsDepth)
+    val stride = base.agg(
+      greatest(lit(1L), expr(s"sum(n_tokens) DIV $k")).as("stride"))
+    within.join(offsets, "g").crossJoin(broadcast(stride))
+      .select(col("doc_id"), col("n_tokens"),
+        (col("goff") + col("wcum")).as("cum"), col("stride"))
+      .where(expr("cum DIV stride") >
+        expr("(cum - n_tokens) DIV stride"))
+      .select(col("doc_id"), col("n_tokens"),
+        (expr("cum DIV stride") - expr("(cum - n_tokens) DIV stride"))
+          .as("n_picks"))
+  }
+
   // ---- fixed-stride context chunking ----
 
   /** Tokens per training chunk and the overlap stride. */
@@ -1161,6 +1202,7 @@ object Curation {
     "llm_mix_weights" -> mixWeights,
     "llm_mix_epochs" -> mixEpochs,
     "llm_mix_upsample" -> mixUpsample,
+    "llm_sample_pps" -> samplePps,
     "llm_mix_apply" -> mixApply,
     "llm_mix_check" -> mixCheck,
     "llm_pack_shards" -> packShards,
@@ -1676,6 +1718,26 @@ GROUP BY split"""
          |  unnest(generate_series(1::BIGINT, n)) AS epoch
          |FROM copies WHERE n >= 1""".stripMargin
     },
+    // the oracle uses the straightforward single global window (the
+    // llm_pack_shards precedent); the two-level Spark plan must
+    // reproduce its integers exactly
+    "llm_sample_pps" ->
+      s"""WITH base AS (
+         |  SELECT doc_id, len(string_split(text, ' '))::BIGINT AS n_tokens
+         |  FROM documents),
+         |tot AS (
+         |  SELECT greatest(1, sum(n_tokens) // $PpsTarget)::BIGINT
+         |    AS stride FROM base),
+         |cum AS (
+         |  SELECT doc_id, n_tokens,
+         |    (SUM(n_tokens) OVER (ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT
+         |      AS cum
+         |  FROM base)
+         |SELECT doc_id, n_tokens,
+         |  (cum // stride - (cum - n_tokens) // stride)::BIGINT AS n_picks
+         |FROM cum, tot
+         |WHERE cum // stride > (cum - n_tokens) // stride""".stripMargin,
     // the oracle uses the straightforward single global window — the
     // two-level Spark plan must reproduce it exactly. DuckDB widens
     // SUM(BIGINT) OVER to HUGEINT (INT128), which the strict schema/hash

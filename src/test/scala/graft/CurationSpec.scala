@@ -375,4 +375,26 @@ class CurationSpec extends SparkSpecBase {
         copies <= math.ceil(e).toLong * nDocs, s"$lang: $copies vs $e")
     }
   }
+
+  test("pps sample: matches the sequential systematic walk, total picks " +
+    "exactly T div stride") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.Tables(spark, Sf, "documents")
+    val k = 17L // deliberately not the entry constant
+    val got = Curation.samplePpsOf(docs, k).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val lens = docs
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    val total = lens.map(_._2).sum
+    val stride = math.max(1L, total / k)
+    var cum = 0L
+    val expect = lens.flatMap { case (id, n) =>
+      val before = cum; cum += n
+      val picks = cum / stride - before / stride
+      if (picks > 0) Some((id, n, picks)) else None
+    }
+    assert(got.sortBy(_._1).toSeq === expect.toSeq)
+    assert(got.map(_._3).sum === total / stride)
+  }
 }
