@@ -168,6 +168,74 @@ object Streams {
         col("n_events"))
   }
 
+  /** Gap a purchase keeps its session alive for — longer than the
+    * default [[SessionGapUs]]: a conversion signals continued intent, so
+    * the session shouldn't expire on the usual 30-minute idle rule.
+    */
+  val PurchaseGapUs: Long = 45L * 60 * 1000 * 1000
+
+  private def gapUsOf(t: Column): Column =
+    when(t === "purchase", lit(PurchaseGapUs)).otherwise(lit(SessionGapUs))
+
+  /** Dynamic-gap sessionization (batch/oracle form): every event opens a
+    * half-open window `[ts, ts + gap(event_type))` — 45 minutes for a
+    * purchase, 30 for anything else — and overlapping windows merge into
+    * one session. That is exactly the semantics of Spark's dynamic
+    * `session_window(ts, gapExpr)` ([[dynamicSessionWindowStats]] is the
+    * streaming-native formulation; the streaming spec pins the two
+    * equal), expressed as a window plan DuckDB can replay: the merge
+    * test must compare against the RUNNING MAX of preceding window ends,
+    * not just the previous event's end — an early purchase's 45-minute
+    * window can outlast a later view's 30-minute one, and the
+    * next-event-only test would split a session the native operator
+    * keeps open.
+    *
+    * Scale shape: identical to [[sessions]] — two shuffles, both keyed
+    * on user_id (the aggregation reuses the window's partitioning), the
+    * running max rides the same sort as the session-seq running sum.
+    */
+  def dynamicSessions(events: DataFrame): DataFrame = {
+    val order = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us"), col("event_id"))
+    val e = withEventTime(events)
+      .select("user_id", "event_id", "ts_us", "event_type")
+      .withColumn("prev_end",
+        max(col("ts_us") + gapUsOf(col("event_type")))
+          .over(order.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("new_sess",
+        when(col("prev_end").isNull
+          || col("ts_us") >= col("prev_end"), 1).otherwise(0))
+      .withColumn("session_seq",
+        sum(col("new_sess")).over(order.rowsBetween(
+          Window.unboundedPreceding, Window.currentRow)))
+    e.groupBy(col("user_id"), col("session_seq"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("n_purchases"),
+        min(col("ts_us")).as("start_us"),
+        (max(col("ts_us")) - min(col("ts_us"))).as("duration_us"))
+  }
+
+  /** Streaming-native dynamic-gap sessions: `session_window` with a
+    * per-event gap EXPRESSION — the Spark-first feature the batch
+    * formulation above mirrors. Under a watermark the open-session state
+    * per user is bounded and windows finalize on gap expiry, exactly as
+    * the fixed-gap [[sessionWindowStats]]; spec-bound (stream == batch ==
+    * [[dynamicSessions]]' per-session event counts) rather than
+    * oracle-bound, the [[sessionWindowStats]] precedent.
+    */
+  def dynamicSessionWindowStats(events: DataFrame,
+      watermark: Option[String] = None): DataFrame = {
+    val e = withEventTime(events)
+    val w = watermark.fold(e)(e.withWatermark("ts_ts", _))
+    val gapExpr = when(col("event_type") === "purchase", lit("45 minutes"))
+      .otherwise(lit("30 minutes"))
+    w.groupBy(session_window(col("ts_ts"), gapExpr), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("session_window.start").as("win_start"),
+        col("n_events"))
+  }
+
   /** Custom-state sessionization for streams (SURVEY.md §2.10's "custom
     * state" surface): per-user `flatMapGroupsWithState` with an
     * event-time timeout. A session closes — and is emitted — either when
@@ -717,7 +785,9 @@ object Streams {
     // (verified), where session_window's half-open boundary and the lag
     // formulation's closed one would differ.
     "stream_session_window" ->
-      ((s: SparkSession, d: String) => sessionWindowStats(events(s, d)))
+      ((s: SparkSession, d: String) => sessionWindowStats(events(s, d))),
+    "stream_sessions_dynamic" ->
+      ((s: SparkSession, d: String) => dynamicSessions(events(s, d)))
   )
 
   val oracle: Map[String, String] = Map(
@@ -951,6 +1021,38 @@ object Streams {
          |)
          |SELECT user_id, make_timestamp(min(ts_us)) AS win_start,
          |  count(*) AS n_events
-         |FROM s GROUP BY user_id, seq""".stripMargin
+         |FROM s GROUP BY user_id, seq""".stripMargin,
+    // running-max of preceding window ends, NOT lag(end): an early
+    // purchase's 45-min window can outlast a later view's 30-min one
+    "stream_sessions_dynamic" ->
+      s"""WITH e AS (
+         |  SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type,
+         |    CASE WHEN event_type = 'purchase' THEN ${PurchaseGapUs}
+         |         ELSE ${SessionGapUs} END AS gap
+         |  FROM events
+         |),
+         |m AS (
+         |  SELECT *, max(ts_us + gap) OVER (PARTITION BY user_id
+         |    ORDER BY ts_us, event_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+         |  FROM e
+         |),
+         |n AS (
+         |  SELECT *, CASE WHEN prev_end IS NULL
+         |      OR ts_us >= prev_end THEN 1 ELSE 0 END AS ns
+         |  FROM m
+         |),
+         |s AS (
+         |  SELECT *, sum(ns) OVER (PARTITION BY user_id
+         |    ORDER BY ts_us, event_id ROWS UNBOUNDED PRECEDING)::BIGINT
+         |      AS session_seq
+         |  FROM n
+         |)
+         |SELECT user_id, session_seq, count(*) AS n_events,
+         |  sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT
+         |    AS n_purchases,
+         |  min(ts_us) AS start_us,
+         |  (max(ts_us) - min(ts_us))::BIGINT AS duration_us
+         |FROM s GROUP BY user_id, session_seq""".stripMargin
   )
 }

@@ -188,6 +188,65 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("dynamic-gap sessions: stream == batch == the oracle formulation") {
+    val s = spark; import s.implicits._
+    implicit val ctx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val q = Streams.dynamicSessionWindowStats(mem.toDF(), Some("1 hour"))
+      .writeStream.format("memory").queryName("dynsession_test")
+      .outputMode("append").start()
+    try {
+      // user 1: purchase at 0 (45-min window) keeps the session open for
+      //   a view at 40 min that the fixed 30-min gap would have split;
+      //   an event at 80 min starts session 2.
+      // user 2: singleton.
+      // user 3: the running-max proof — purchase at 0 [0,45m), view at
+      //   5m [5m,35m), view at 40m: the PREVIOUS event's window closed
+      //   at 35m (a lag-only merge test splits here) but the purchase's
+      //   45m window is still open, so the native semantics keep ONE
+      //   session of 3.
+      val wave = Seq(
+        ev(1, 0, typ = "purchase"), ev(2, 40 * MinNs, typ = "view"),
+        ev(3, 80 * MinNs),
+        ev(4, 5 * MinNs, user = 2),
+        ev(5, 0, user = 3, typ = "purchase"),
+        ev(6, 5 * MinNs, user = 3, typ = "view"),
+        ev(7, 40 * MinNs, user = 3, typ = "view"))
+      mem.addData(wave: _*)
+      q.processAllAvailable()
+      mem.addData(ev(9, 20 * HourNs)) // advance watermark far
+      q.processAllAvailable()
+      mem.addData(ev(10, 21 * HourNs))
+      q.processAllAvailable()
+
+      val streamed = spark.table("dynsession_test")
+        .collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1).getTime, r.getLong(2)))
+        .toSet
+      val batch = Streams.dynamicSessionWindowStats(wave.toDF(), None)
+        .collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1).getTime, r.getLong(2)))
+        .toSet
+      assert(batch.subsetOf(streamed),
+        s"closed dynamic sessions missing: ${batch -- streamed}")
+      // hand-computable: u1 = {2-event, 1-event}, u2 = {1}, u3 = {3}
+      assert(batch.filter(_._1 == 1L).map(_._3) == Set(2L, 1L))
+      assert(batch.filter(_._1 == 2L).map(_._3) == Set(1L))
+      assert(batch.filter(_._1 == 3L).map(_._3) == Set(3L),
+        "running-max merge failed: user 3 must be ONE 3-event session")
+
+      // and the oracle-bound batch formulation agrees per (user, count)
+      val oracleForm = Streams.dynamicSessions(wave.toDF())
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(2)))
+        .groupBy(_._1).view.mapValues(_.map(_._2).sorted.toSeq).toMap
+      val native = batch.toSeq.map(t => (t._1, t._3))
+        .groupBy(_._1).view.mapValues(_.map(_._2).sorted.toSeq).toMap
+      assert(oracleForm == native,
+        s"window formulation diverges from session_window: $oracleForm vs $native")
+    } finally q.stop()
+  }
+
   test("first-touch dedup keeps the event-time first under out-of-order arrival") {
     val s = spark; import s.implicits._
     implicit val ctx = spark.sqlContext
