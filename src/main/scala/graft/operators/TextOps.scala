@@ -604,6 +604,46 @@ object TextOps {
         countDistinct(col("lang")).as("n_langs"),
         sum(when(col("pass"), 1L).otherwise(0L)).as("n_pass"))
 
+  /** Per-source quality RANKING with a Wilson lower confidence bound —
+    * the "which crawl sources to trust / expand" decision table. A raw
+    * pass rate ranks a 3-doc source with 3 passes above a 10 000-doc
+    * source at 99.9%; the Wilson score interval's lower bound
+    * (z = 1.96, the 95% two-sided normal quantile) penalizes small
+    * samples exactly as much as the binomial evidence warrants, so the
+    * ranking is what a curation loop should actually act on.
+    *
+    * Bit-exactness across engines: every step is IEEE double arithmetic
+    * in a pinned association (sqrt is correctly rounded in both the JVM
+    * and DuckDB; the oracle spells the identical expression tree with
+    * `e0`-typed double literals), so `wilson_lb` sits behind the hash
+    * gate, not a tolerance. Shape: one partial-aggregated rollup to
+    * |sources| rows, then a window over that tiny table — the corpus is
+    * touched once, the ranking never sees it.
+    */
+  def sourceQuality(spark: SparkSession, dir: String): DataFrame =
+    sourceQualityOf(docs(spark, dir))
+
+  def sourceQualityOf(corpus: DataFrame): DataFrame = {
+    val agg = corpus
+      .select(col("source"), qualityPass.as("pass"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("pass"), 1L).otherwise(0L)).as("n_pass"))
+    val z = lit(1.96)
+    val z2 = z * z
+    val nd = col("n_docs").cast("double")
+    val p = col("n_pass").cast("double") / nd
+    val center = p + z2 / (lit(2.0) * nd)
+    val inner = (p * (lit(1.0) - p) + z2 / (lit(4.0) * nd * nd)) / nd
+    val lb = (center - z * sqrt(inner)) / (lit(1.0) + z2 / nd)
+    agg
+      .select(col("source"), col("n_docs"), col("n_pass"),
+        p.as("p_hat"), lb.as("wilson_lb"))
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("wilson_lb").desc, col("source"))).cast("long"))
+  }
+
   /** Corpus-level analytics a pipeline dashboard reads alongside the
     * per-doc gates: the top of the vocabulary (tokenizer/stopword
     * tuning) and the document-length histogram (shard-budget and
@@ -953,6 +993,7 @@ object TextOps {
     "llm_collocations" -> collocations,
     "llm_bigram_next" -> bigramNext,
     "llm_source_stats" -> sourceStats,
+    "llm_source_quality" -> sourceQuality,
     "llm_vocab_top" -> vocabTop,
     "llm_len_histogram" -> lenHistogram,
     "llm_distinct_kmv" -> distinctKmv,
@@ -1327,6 +1368,31 @@ object TextOps {
          |  count(DISTINCT lang) AS n_langs,
          |  sum(CASE WHEN $qualityPassSql THEN 1 ELSE 0 END)::BIGINT
          |    AS n_pass
-         |FROM documents GROUP BY source""".stripMargin
+         |FROM documents GROUP BY source""".stripMargin,
+    // the Wilson expression tree mirrors the Spark association exactly;
+    // e0 literals force DOUBLE (a bare decimal parses as DECIMAL and
+    // can shift the last ulp)
+    "llm_source_quality" ->
+      s"""WITH q AS (
+         |  SELECT source, count(*)::BIGINT AS n_docs,
+         |    sum(CASE WHEN $qualityPassSql THEN 1 ELSE 0 END)::BIGINT
+         |      AS n_pass
+         |  FROM documents GROUP BY source),
+         |w AS (
+         |  SELECT source, n_docs, n_pass,
+         |    n_pass::DOUBLE / n_docs::DOUBLE AS p_hat,
+         |    (((n_pass::DOUBLE / n_docs::DOUBLE)
+         |        + (1.96e0 * 1.96e0) / (2.0e0 * n_docs::DOUBLE))
+         |      - 1.96e0 * sqrt((((n_pass::DOUBLE / n_docs::DOUBLE)
+         |            * (1.0e0 - (n_pass::DOUBLE / n_docs::DOUBLE)))
+         |          + (1.96e0 * 1.96e0)
+         |            / (4.0e0 * n_docs::DOUBLE * n_docs::DOUBLE))
+         |        / n_docs::DOUBLE))
+         |    / (1.0e0 + (1.96e0 * 1.96e0) / n_docs::DOUBLE) AS wilson_lb
+         |  FROM q)
+         |SELECT source, n_docs, n_pass, p_hat, wilson_lb,
+         |  row_number() OVER (ORDER BY wilson_lb DESC, source)::BIGINT
+         |    AS rk
+         |FROM w""".stripMargin
   )
 }

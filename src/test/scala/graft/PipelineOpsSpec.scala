@@ -324,6 +324,42 @@ class PipelineOpsSpec extends SparkSpecBase {
     }
   }
 
+  test("sourceQuality: Wilson bounds match a driver-side replay, bitwise") {
+    val stats = TextOps.sourceStats(spark, Sf).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(4)))).toMap
+    val rows = TextOps.sourceQuality(spark, Sf).collect()
+    assert(rows.nonEmpty && rows.length == stats.size)
+    // driver-side Wilson with the same pinned association
+    def wilson(n: Long, k: Long): Double = {
+      val z = 1.96
+      val z2 = z * z
+      val nd = n.toDouble
+      val p = k.toDouble / nd
+      val center = p + z2 / (2.0 * nd)
+      val inner = (p * (1.0 - p) + z2 / (4.0 * nd * nd)) / nd
+      (center - z * math.sqrt(inner)) / (1.0 + z2 / nd)
+    }
+    rows.foreach { r =>
+      val (src, n, k, p, lb) = (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4))
+      assert((n, k) == stats(src), src)
+      assert(p == k.toDouble / n.toDouble, src)
+      assert(lb == wilson(n, k), s"$src wilson_lb not bit-equal")
+      assert(lb >= 0.0 && lb <= p, s"$src bound outside [0, p_hat]")
+    }
+    // rank is the (wilson_lb DESC, source) order, dense from 1
+    val byRank = rows.sortBy(_.getLong(5))
+    assert(byRank.map(_.getLong(5)).toSeq == (1L to rows.length).toSeq)
+    val resorted = rows.sortBy(r => (-r.getDouble(4), r.getString(0)))
+    assert(byRank.map(_.getString(0)).toSeq ==
+      resorted.map(_.getString(0)).toSeq)
+    // the small-sample penalty is real: the bound is strictly below the
+    // point estimate whenever the estimate is informative
+    rows.filter(r => r.getDouble(3) > 0.0).foreach { r =>
+      assert(r.getDouble(4) < r.getDouble(3), r.getString(0))
+    }
+  }
+
   test("repNgrams matches brute-force bigram counting") {
     val want = docs.map { case (id, _, text) =>
       val t = text.split(" ", -1)
