@@ -942,6 +942,74 @@ object Curation {
           && col("is_dup").isNull).as("n_corpus"))
   }
 
+  /** Token-length quantiles the corpus card probes. */
+  val CardQs: Seq[Double] = Seq(0.25, 0.5, 0.75, 0.95)
+
+  /** The corpus card — the "datasheet for datasets" summary a training
+    * run ships next to its corpus, as ONE long-format (section, metric,
+    * value) table: volume (docs / tokens / sources / languages),
+    * per-language token share, every [[gateReport]] gate's corpus-level
+    * pass rate (the full composition: quality, repetition, badwords,
+    * language, decontamination, dedup — the dedup side riding the
+    * session band index), and exact token-length quantiles via the
+    * distributed bucket-histogram selection
+    * ([[Sketch.exactQuantilesOf]] — no global sort, no buffered
+    * percentile).
+    *
+    * Scale shape: three corpus-scan families (the stats scan, the gate
+    * columns, the quantile selection's bucket pass), each reduced
+    * map-side to constant-size section tables before the tiny unions —
+    * nothing post-aggregation exceeds |sources| + |langs| + 11 rows.
+    * All values are exact integer aggregates carried to DOUBLE with at
+    * most one division, so every cell sits behind the hash gate.
+    */
+  def corpusCard(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables(spark, dir, "documents")
+      .select(col("lang"), col("source"),
+        expr("cast(size(split(text, ' ')) as bigint)").as("n_tok"))
+    val vol = base
+      .agg(count(lit(1)).cast("double").as("nd"),
+        sum(col("n_tok")).cast("double").as("nt"),
+        countDistinct(col("source")).cast("double").as("ns"),
+        countDistinct(col("lang")).cast("double").as("nl"))
+      .select(explode(map(
+        lit("n_docs"), col("nd"), lit("n_tokens"), col("nt"),
+        lit("n_sources"), col("ns"), lit("n_langs"), col("nl")))
+        .as(Seq("metric", "value")))
+      .select(lit("volume").as("section"), col("metric"), col("value"))
+    val tot = base.agg(sum(col("n_tok")).cast("double").as("nt_all"))
+    val langs = base.groupBy("lang")
+      .agg(sum(col("n_tok")).cast("double").as("lt"))
+      .crossJoin(broadcast(tot))
+      .select(lit("lang_share").as("section"), col("lang").as("metric"),
+        (col("lt") / col("nt_all")).as("value"))
+    val grates = gateReport(spark, dir)
+      .agg(sum(col("n_docs")).cast("double").as("nd"),
+        sum(col("n_quality")).cast("double").as("nq"),
+        sum(col("n_rep")).cast("double").as("nr"),
+        sum(col("n_badwords")).cast("double").as("nb"),
+        sum(col("n_en")).cast("double").as("ne"),
+        sum(col("n_clean")).cast("double").as("nc"),
+        sum(col("n_unique")).cast("double").as("nu"),
+        sum(col("n_corpus")).cast("double").as("nk"))
+      .select(explode(map(
+        lit("quality"), col("nq") / col("nd"),
+        lit("repetition"), col("nr") / col("nd"),
+        lit("badwords"), col("nb") / col("nd"),
+        lit("english"), col("ne") / col("nd"),
+        lit("decontaminated"), col("nc") / col("nd"),
+        lit("unique"), col("nu") / col("nd"),
+        lit("corpus"), col("nk") / col("nd")))
+        .as(Seq("metric", "value")))
+      .select(lit("gate_rate").as("section"), col("metric"), col("value"))
+    val quant = Sketch
+      .exactQuantilesOf(base.select(col("n_tok").cast("double").as("v")),
+        CardQs)
+      .select(lit("len_quantile").as("section"), col("q").as("metric"),
+        col("exact_v").as("value"))
+    vol.unionByName(langs).unionByName(grates).unionByName(quant)
+  }
+
   /** Per-document gate attribution — the drill-down behind
     * [[gateReport]]: every document with EVERY gate's verdict, the
     * final keep decision, and the first failing gate in the pipeline's
@@ -1183,6 +1251,7 @@ object Curation {
     "llm_pipeline_tokens" -> pipelineTokens,
     "llm_pipeline_e2e" -> pipelineE2e,
     "llm_gate_report" -> gateReport,
+    "llm_corpus_card" -> corpusCard,
     "llm_curate_audit" -> curateAudit,
     "llm_profile" -> profile,
     "llm_chunk" -> chunk,
@@ -1486,6 +1555,43 @@ GROUP BY split"""
        |  WHERE st.status = 'removed')
        |SELECT * FROM ing UNION ALL SELECT * FROM rem""".stripMargin
 
+  /** The gate-report SQL, shared between its own entry and the corpus
+    * card's gate-rate section (so the two cannot drift).
+    */
+  private def gateReportOracleSql: String =
+    s"""WITH q AS (SELECT doc_id, quality_pass
+       |           FROM (${TextOps.oracle("llm_quality_score")})),
+       |rep AS (SELECT doc_id, rep_pass
+       |        FROM (${TextOps.oracle("llm_rep_ngrams")})),
+       |bad AS (SELECT doc_id, badwords_pass
+       |        FROM (${TextOps.oracle("llm_badwords")})),
+       |en AS (SELECT doc_id, lang_pred = 'en' AS is_en
+       |       FROM (${TextOps.oracle("llm_lang_id")})),
+       |cl AS (SELECT doc_id, NOT contaminated AS clean
+       |       FROM (${Contamination.oracle("llm_decontaminate")})),
+       |dup AS (SELECT DISTINCT doc_b AS doc_id
+       |        FROM (${Dedup.oracle("llm_dedup_minhash")}))
+       |SELECT d.source, count(*) AS n_docs,
+       |  sum(CASE WHEN quality_pass THEN 1 ELSE 0 END)::BIGINT
+       |    AS n_quality,
+       |  sum(CASE WHEN rep_pass THEN 1 ELSE 0 END)::BIGINT AS n_rep,
+       |  sum(CASE WHEN badwords_pass THEN 1 ELSE 0 END)::BIGINT
+       |    AS n_badwords,
+       |  sum(CASE WHEN is_en THEN 1 ELSE 0 END)::BIGINT AS n_en,
+       |  sum(CASE WHEN coalesce(clean, false) THEN 1 ELSE 0 END)::BIGINT
+       |    AS n_clean,
+       |  sum(CASE WHEN dup.doc_id IS NULL THEN 1 ELSE 0 END)::BIGINT
+       |    AS n_unique,
+       |  sum(CASE WHEN quality_pass AND rep_pass AND badwords_pass
+       |    AND is_en AND coalesce(clean, false) AND dup.doc_id IS NULL
+       |    THEN 1 ELSE 0 END)::BIGINT AS n_corpus
+       |FROM documents d
+       |JOIN q USING (doc_id) JOIN rep USING (doc_id)
+       |JOIN bad USING (doc_id) JOIN en USING (doc_id)
+       |LEFT JOIN cl USING (doc_id)
+       |LEFT JOIN dup ON d.doc_id = dup.doc_id
+       |GROUP BY d.source""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "llm_curriculum" ->
       s"""WITH base AS (
@@ -1517,39 +1623,57 @@ GROUP BY split"""
     "llm_bpe_drift" -> bpeDriftOracleSql,
     "llm_profile" -> profileOracleSql,
     // sums cast ::BIGINT (DuckDB widens SUM(INT) to HUGEINT)
-    "llm_gate_report" ->
-      s"""WITH q AS (SELECT doc_id, quality_pass
-         |           FROM (${TextOps.oracle("llm_quality_score")})),
-         |rep AS (SELECT doc_id, rep_pass
-         |        FROM (${TextOps.oracle("llm_rep_ngrams")})),
-         |bad AS (SELECT doc_id, badwords_pass
-         |        FROM (${TextOps.oracle("llm_badwords")})),
-         |en AS (SELECT doc_id, lang_pred = 'en' AS is_en
-         |       FROM (${TextOps.oracle("llm_lang_id")})),
-         |cl AS (SELECT doc_id, NOT contaminated AS clean
-         |       FROM (${Contamination.oracle("llm_decontaminate")})),
-         |dup AS (SELECT DISTINCT doc_b AS doc_id
-         |        FROM (${Dedup.oracle("llm_dedup_minhash")}))
-         |SELECT d.source, count(*) AS n_docs,
-         |  sum(CASE WHEN quality_pass THEN 1 ELSE 0 END)::BIGINT
-         |    AS n_quality,
-         |  sum(CASE WHEN rep_pass THEN 1 ELSE 0 END)::BIGINT AS n_rep,
-         |  sum(CASE WHEN badwords_pass THEN 1 ELSE 0 END)::BIGINT
-         |    AS n_badwords,
-         |  sum(CASE WHEN is_en THEN 1 ELSE 0 END)::BIGINT AS n_en,
-         |  sum(CASE WHEN coalesce(clean, false) THEN 1 ELSE 0 END)::BIGINT
-         |    AS n_clean,
-         |  sum(CASE WHEN dup.doc_id IS NULL THEN 1 ELSE 0 END)::BIGINT
-         |    AS n_unique,
-         |  sum(CASE WHEN quality_pass AND rep_pass AND badwords_pass
-         |    AND is_en AND coalesce(clean, false) AND dup.doc_id IS NULL
-         |    THEN 1 ELSE 0 END)::BIGINT AS n_corpus
-         |FROM documents d
-         |JOIN q USING (doc_id) JOIN rep USING (doc_id)
-         |JOIN bad USING (doc_id) JOIN en USING (doc_id)
-         |LEFT JOIN cl USING (doc_id)
-         |LEFT JOIN dup ON d.doc_id = dup.doc_id
-         |GROUP BY d.source""".stripMargin,
+    "llm_gate_report" -> gateReportOracleSql,
+    // every section of the card is a replayed constituent: the gate
+    // rates nest the FULL gate-report oracle (minhash + contamination
+    // included), the quantiles are quantile_disc per the
+    // llm_quantile_sketch precedent, and volumes/shares are exact
+    // integer aggregates divided once
+    "llm_corpus_card" ->
+      s"""WITH base AS (
+         |  SELECT lang, source,
+         |    len(string_split(text, ' '))::BIGINT AS n_tok
+         |  FROM documents),
+         |volagg AS (
+         |  SELECT count(*)::DOUBLE AS nd, sum(n_tok)::DOUBLE AS nt,
+         |    count(DISTINCT source)::DOUBLE AS ns,
+         |    count(DISTINCT lang)::DOUBLE AS nl
+         |  FROM base),
+         |vol AS (
+         |  SELECT 'volume' AS section,
+         |    unnest(['n_docs', 'n_tokens', 'n_sources', 'n_langs'])
+         |      AS metric,
+         |    unnest([nd, nt, ns, nl]) AS value
+         |  FROM volagg),
+         |langs AS (
+         |  SELECT 'lang_share' AS section, lang AS metric,
+         |    sum(n_tok)::DOUBLE / (SELECT sum(n_tok)::DOUBLE FROM base)
+         |      AS value
+         |  FROM base GROUP BY lang),
+         |gagg AS (
+         |  SELECT sum(n_docs)::DOUBLE AS nd, sum(n_quality)::DOUBLE AS nq,
+         |    sum(n_rep)::DOUBLE AS nr, sum(n_badwords)::DOUBLE AS nb,
+         |    sum(n_en)::DOUBLE AS ne, sum(n_clean)::DOUBLE AS nc,
+         |    sum(n_unique)::DOUBLE AS nu, sum(n_corpus)::DOUBLE AS nk
+         |  FROM ($gateReportOracleSql) gr),
+         |grates AS (
+         |  SELECT 'gate_rate' AS section,
+         |    unnest(['quality', 'repetition', 'badwords', 'english',
+         |      'decontaminated', 'unique', 'corpus']) AS metric,
+         |    unnest([nq / nd, nr / nd, nb / nd, ne / nd, nc / nd,
+         |      nu / nd, nk / nd]) AS value
+         |  FROM gagg),
+         |quant AS (
+         |  SELECT 'len_quantile' AS section,
+         |    unnest(['0.25', '0.5', '0.75', '0.95']) AS metric,
+         |    unnest([quantile_disc(n_tok::DOUBLE, 0.25),
+         |      quantile_disc(n_tok::DOUBLE, 0.5),
+         |      quantile_disc(n_tok::DOUBLE, 0.75),
+         |      quantile_disc(n_tok::DOUBLE, 0.95)]) AS value
+         |  FROM base)
+         |SELECT * FROM vol UNION ALL SELECT * FROM langs
+         |UNION ALL SELECT * FROM grates
+         |UNION ALL SELECT * FROM quant""".stripMargin,
     // the report's CTEs, un-aggregated: one row per doc, CASE priority
     // chain for the first failing gate
     "llm_curate_audit" ->

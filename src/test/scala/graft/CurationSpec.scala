@@ -237,6 +237,48 @@ class CurationSpec extends SparkSpecBase {
     assert(got.map(_._1).toSet.subsetOf(kept))
   }
 
+  test("corpus card: every section recounts from its constituent tables") {
+    val rows = Curation.corpusCard(spark, Sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    // volume from a direct recount
+    val toks = graft.Tables(spark, Sf, "documents")
+      .selectExpr("lang", "source",
+        "cast(size(split(text, ' ')) as bigint) as n_tok")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(rows(("volume", "n_docs")) == toks.length.toDouble)
+    assert(rows(("volume", "n_tokens")) == toks.map(_._3).sum.toDouble)
+    assert(rows(("volume", "n_sources")) ==
+      toks.map(_._2).distinct.length.toDouble)
+    assert(rows(("volume", "n_langs")) ==
+      toks.map(_._1).distinct.length.toDouble)
+    // language shares: same single division, and they sum to ~1
+    val total = toks.map(_._3).sum.toDouble
+    toks.groupBy(_._1).foreach { case (lang, ds) =>
+      assert(rows(("lang_share", lang)) ==
+        ds.map(_._3).sum.toDouble / total, lang)
+    }
+    val shareSum = rows.collect {
+      case ((s, _), v) if s == "lang_share" => v }.sum
+    assert(math.abs(shareSum - 1.0) < 1e-9)
+    // gate rates re-aggregate from the gate report
+    val gr = Curation.gateReport(spark, Sf).collect()
+    val nd = gr.map(_.getLong(1)).sum.toDouble
+    def rate(i: Int) = gr.map(_.getLong(i)).sum.toDouble / nd
+    assert(rows(("gate_rate", "quality")) == rate(2))
+    assert(rows(("gate_rate", "repetition")) == rate(3))
+    assert(rows(("gate_rate", "badwords")) == rate(4))
+    assert(rows(("gate_rate", "english")) == rate(5))
+    assert(rows(("gate_rate", "decontaminated")) == rate(6))
+    assert(rows(("gate_rate", "unique")) == rate(7))
+    assert(rows(("gate_rate", "corpus")) == rate(8))
+    // exact quantiles: the ceil(q·n)-th smallest token count
+    val sorted = toks.map(_._3.toDouble).sorted
+    Curation.CardQs.foreach { q =>
+      val want = sorted(math.ceil(q * sorted.length).toInt - 1)
+      assert(rows(("len_quantile", q.toString)) == want, s"q=$q")
+    }
+  }
+
   test("quality drift recounts from the per-doc quality tables") {
     val got = Curation.qualityDrift(spark, Sf).collect()
       .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
