@@ -236,6 +236,97 @@ object Streams {
         col("n_events"))
   }
 
+  /** Candidate watermark delays (seconds) [[watermarkPlan]] prices. */
+  val WatermarkDelaysSec: Seq[Long] = Seq(60L, 300L, 900L, 3600L)
+
+  /** Bucket width for the hierarchical exclusive prefix max. */
+  private val LateGroup = 4096L
+
+  /** Exclusive prefix max over bucket totals `(g, t)` → `(g, gmax)`
+    * where gmax = max t over all buckets `< g` (null for the first):
+    * the [[graft.operators.Curation]] recursed-offsets scheme with SUM
+    * swapped for MAX (max is associative, so the two-level split is
+    * exact). The only single-partition window sees the depth-times-
+    * reduced totals, never the raw stream.
+    */
+  private def exclusiveMax(totals: DataFrame, depth: Int): DataFrame =
+    if (depth <= 0)
+      totals.withColumn("gmax",
+        max(col("t")).over(Window.orderBy("g")
+          .rowsBetween(Window.unboundedPreceding, -1)))
+        .select("g", "gmax")
+    else {
+      val b = totals.withColumn("g2", expr(s"g div $LateGroup"))
+      val within = b.withColumn("wmax",
+        max(col("t")).over(Window.partitionBy("g2").orderBy("g")
+          .rowsBetween(Window.unboundedPreceding, -1)))
+      val up = exclusiveMax(b.groupBy("g2").agg(max(col("t")).as("t"))
+          .withColumnRenamed("g2", "g"), depth - 1)
+        .select(col("g").as("g2"), col("gmax").as("g2max"))
+      // greatest() skips nulls, so a missing side falls through
+      within.join(up, "g2")
+        .select(col("g"), greatest(col("wmax"), col("g2max")).as("gmax"))
+    }
+
+  /** Ingestion delay injected on every [[LateEvery]]-th event (the
+    * deterministic-synthetic-fixture rule the PII scrub established:
+    * the raw fixture arrives perfectly ordered, so without injection
+    * the audit would be all zeros and the hash gate vacuous).
+    */
+  val LateInjectUs: Long = 30L * 60 * 1000 * 1000
+  val LateEvery = 97L
+
+  /** Watermark-tuning audit — the table that answers "what delay do I
+    * set?" before a streaming job ships: per event, its LATENESS
+    * against the maximum event time already seen at arrival, rolled
+    * into the fraction of events a watermark of each candidate delay
+    * would drop (Spark drops a row whose event time trails the
+    * observed max beyond the delay; per-batch watermark advancement
+    * makes the real engine drop at most this — the audit is the
+    * conservative bound). Arrival time is the event time plus a
+    * deterministic [[LateInjectUs]] perturbation on every
+    * [[LateEvery]]-th event — both engines replay the same disorder,
+    * so the drop rates are real numbers, not zeros.
+    *
+    * Scale shape: the natural spelling is ONE global arrival-ordered
+    * window — the serialize-the-stream-through-one-partition trap — so
+    * the exclusive running max is hierarchical exactly like the shard
+    * packer's prefix sum: a per-arrival-hour window (hash-partitioned,
+    * fully parallel, bounded by an hour of traffic) joined with
+    * [[exclusiveMax]] bucket offsets (recursed, max being associative
+    * the split is exact), identical result, no unbounded serial stage;
+    * then one map-side-combined aggregation down to |delays| rows.
+    */
+  def watermarkPlan(events: DataFrame): DataFrame = {
+    val e = withEventTime(events).select(col("event_id"), col("ts_us"))
+      .withColumn("arr_us", col("ts_us")
+        + when(col("event_id") % LateEvery === 0, lit(LateInjectUs))
+          .otherwise(lit(0L)))
+      .withColumn("g", expr("arr_us div 3600000000"))
+    val order = Window.partitionBy("g")
+      .orderBy(col("arr_us"), col("event_id"))
+    val within = e.withColumn("wmax",
+      max(col("ts_us")).over(
+        order.rowsBetween(Window.unboundedPreceding, -1)))
+    val offs = exclusiveMax(
+      e.groupBy("g").agg(max(col("ts_us")).as("t")), 2)
+    val late = within.join(offs, "g")
+      .select(coalesce(
+        greatest(col("wmax"), col("gmax")) - col("ts_us"), lit(0L))
+        .as("d"))
+      .select(greatest(lit(0L), col("d")).as("late_us"))
+    val aggCols = WatermarkDelaysSec.map(d =>
+      sum(when(col("late_us") > d * 1000000L, 1L).otherwise(0L))
+        .as(s"l$d"))
+    val agg = late.agg(count(lit(1)).cast("double").as("n"),
+      aggCols: _*)
+    agg.select(explode(array(WatermarkDelaysSec.map(d =>
+        struct(lit(d).as("delay_s"), col(s"l$d").as("n_late"),
+          (col(s"l$d").cast("double") / col("n")).as("drop_rate"))): _*))
+      .as("t"))
+      .select(col("t.delay_s"), col("t.n_late"), col("t.drop_rate"))
+  }
+
   /** Custom-state sessionization for streams (SURVEY.md §2.10's "custom
     * state" surface): per-user `flatMapGroupsWithState` with an
     * event-time timeout. A session closes — and is emitted — either when
@@ -787,7 +878,9 @@ object Streams {
     "stream_session_window" ->
       ((s: SparkSession, d: String) => sessionWindowStats(events(s, d))),
     "stream_sessions_dynamic" ->
-      ((s: SparkSession, d: String) => dynamicSessions(events(s, d)))
+      ((s: SparkSession, d: String) => dynamicSessions(events(s, d))),
+    "stream_watermark_plan" ->
+      ((s: SparkSession, d: String) => watermarkPlan(events(s, d)))
   )
 
   val oracle: Map[String, String] = Map(
@@ -1053,6 +1146,36 @@ object Streams {
          |    AS n_purchases,
          |  min(ts_us) AS start_us,
          |  (max(ts_us) - min(ts_us))::BIGINT AS duration_us
-         |FROM s GROUP BY user_id, session_seq""".stripMargin
+         |FROM s GROUP BY user_id, session_seq""".stripMargin,
+    // the oracle spells the ONE global window the Spark side refuses
+    // to run (its hierarchical split is exact, max being associative)
+    "stream_watermark_plan" -> {
+      val delays = WatermarkDelaysSec
+      s"""WITH e AS (
+         |  SELECT event_id, epoch_us(ts) AS ts_us,
+         |    epoch_us(ts) + CASE WHEN event_id % $LateEvery = 0
+         |      THEN $LateInjectUs ELSE 0 END AS arr_us
+         |  FROM events),
+         |m AS (
+         |  SELECT ts_us, max(ts_us) OVER (ORDER BY arr_us, event_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+         |  FROM e),
+         |l AS (
+         |  SELECT CASE WHEN pm IS NULL OR pm - ts_us < 0 THEN 0
+         |              ELSE pm - ts_us END AS late_us
+         |  FROM m),
+         |a AS (
+         |  SELECT count(*)::DOUBLE AS n,
+         |${delays.map(d =>
+            s"    sum(CASE WHEN late_us > ${d * 1000000L} THEN 1 ELSE 0" +
+              s" END)::BIGINT AS l$d").mkString(",\n")}
+         |  FROM l)
+         |SELECT
+         |  unnest([${delays.mkString(", ")}])::BIGINT AS delay_s,
+         |  unnest([${delays.map(d => s"l$d").mkString(", ")}]) AS n_late,
+         |  unnest([${delays.map(d => s"l$d::DOUBLE / n").mkString(", ")}])
+         |    AS drop_rate
+         |FROM a""".stripMargin
+    }
   )
 }

@@ -188,6 +188,39 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("watermark plan matches a sequential arrival replay, any partitioning") {
+    val s = spark; import s.implicits._
+    val ev = graft.Tables(spark, Sf, "events")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Streams.watermarkPlan(df).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val got = run(ev)
+    // sequential replay: sort by the injected arrival order, walk once
+    val evs = Streams.withEventTime(ev)
+      .select("event_id", "ts_us").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val byArrival = evs.map { case (id, ts) =>
+      (id, ts, ts + (if (id % Streams.LateEvery == 0)
+        Streams.LateInjectUs else 0L))
+    }.sortBy { case (id, _, arr) => (arr, id) }
+    var seen = Long.MinValue
+    val lates = byArrival.map { case (_, ts, _) =>
+      val l = if (seen == Long.MinValue) 0L else math.max(0L, seen - ts)
+      seen = math.max(seen, ts)
+      l
+    }
+    val n = lates.length.toDouble
+    val want = Streams.WatermarkDelaysSec.map { d =>
+      val nl = lates.count(_ > d * 1000000L).toLong
+      (d, nl, nl.toDouble / n)
+    }.toSet
+    assert(got == want, s"got $got want $want")
+    // injection is real on the fixture: some lateness, bounded by it
+    assert(lates.exists(_ > 0L) && lates.max <= Streams.LateInjectUs)
+    // the hierarchical prefix max is partition-count independent
+    assert(run(ev.repartition(7)) == got)
+  }
+
   test("dynamic-gap sessions: stream == batch == the oracle formulation") {
     val s = spark; import s.implicits._
     implicit val ctx = spark.sqlContext
