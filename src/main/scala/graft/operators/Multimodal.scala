@@ -211,6 +211,35 @@ object Multimodal {
       .toDF("doc_id", "frame_idx", "energy")
   }
 
+  /** Scene-change segmentation over the [[audioEnergy]] frame stream —
+    * the keyframe-selection primitive of a video ingestion pipeline: a
+    * frame opens a new scene when its energy jumps more than 25% from
+    * the previous frame (spelled `|Δe|·4 > prev` so the test is exact
+    * integer arithmetic, no division), and each scene rolls up to one
+    * (doc, scene) row with its frame count, start frame, and total
+    * energy. Downstream, one keyframe per scene is what gets decoded /
+    * embedded instead of every frame — this table is the pruning plan.
+    *
+    * Shape: one lag + one running sum, both windows PARTITIONED by
+    * doc_id (parallel, bounded by frames-per-media), then a group-by on
+    * the same key — the partitioning is reused across all three.
+    */
+  def sceneCuts(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("frame_idx")
+    audioEnergy(spark, dir)
+      .withColumn("prev_e", lag(col("energy"), 1).over(w))
+      .withColumn("cut", when(col("prev_e").isNull
+          || abs(col("energy") - col("prev_e")) * 4 > col("prev_e"), 1L)
+        .otherwise(0L))
+      .withColumn("scene_id", sum(col("cut")).over(w.rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+      .groupBy("doc_id", "scene_id")
+      .agg(count(lit(1)).as("n_frames"),
+        min(col("frame_idx")).as("start_frame"),
+        sum(col("energy")).as("sum_energy"))
+  }
+
   /** Fixed-size resample width for [[resizeFeatures]]. */
   val ResizeTarget = 8
 
@@ -310,7 +339,8 @@ object Multimodal {
     "llm_mm_decode_features" -> decodeFeatures,
     "llm_mm_feature_dup" -> featureDup,
     "llm_mm_frame_sample" -> frameSample,
-    "llm_mm_audio_energy" -> audioEnergy
+    "llm_mm_audio_energy" -> audioEnergy,
+    "llm_mm_scene_cuts" -> sceneCuts
   )
 
   /** The two-modality pipeline replayed: decoder features (the
@@ -439,17 +469,45 @@ object Multimodal {
          |FROM documents,
          |  (SELECT unnest(range(0, 40)) AS f) ff
          |WHERE f * $FrameStride < len(text)""".stripMargin,
-    "llm_mm_audio_energy" ->
-      s"""SELECT doc_id, f AS frame_idx,
-         |  list_reduce(
-         |    list_prepend(0::BIGINT,
-         |      list_transform(
-         |        range(f * $FrameHop + 1,
-         |              least(f * $FrameHop + $FrameLen, len(text)) + 1),
-         |        i -> ord(substr(text, i::INT, 1))::BIGINT)),
-         |    (a, c) -> a + c * c)::BIGINT AS energy
-         |FROM documents,
-         |  (SELECT unnest(range(0, 40)) AS f) ff
-         |WHERE f * $FrameHop < len(text)""".stripMargin
+    "llm_mm_audio_energy" -> audioEnergyOracleSql,
+    // the frame stream replayed, then the exact-integer 25% jump test
+    // and the per-doc scene numbering/rollup
+    "llm_mm_scene_cuts" ->
+      s"""WITH fr AS ($audioEnergyOracleSql),
+         |lg AS (
+         |  SELECT doc_id, frame_idx, energy,
+         |    lag(energy) OVER (PARTITION BY doc_id ORDER BY frame_idx)
+         |      AS prev_e
+         |  FROM fr),
+         |ct AS (
+         |  SELECT *, CASE WHEN prev_e IS NULL
+         |      OR abs(energy - prev_e) * 4 > prev_e
+         |    THEN 1 ELSE 0 END AS cut
+         |  FROM lg),
+         |sg AS (
+         |  SELECT doc_id, frame_idx, energy,
+         |    sum(cut) OVER (PARTITION BY doc_id ORDER BY frame_idx
+         |      ROWS UNBOUNDED PRECEDING)::BIGINT AS scene_id
+         |  FROM ct)
+         |SELECT doc_id, scene_id, count(*)::BIGINT AS n_frames,
+         |  min(frame_idx) AS start_frame,
+         |  sum(energy)::BIGINT AS sum_energy
+         |FROM sg GROUP BY doc_id, scene_id""".stripMargin
   )
+
+  /** Shared by the `llm_mm_audio_energy` entry and the scene-cut
+    * oracle's frame stream (so the two cannot drift).
+    */
+  private lazy val audioEnergyOracleSql: String =
+    s"""SELECT doc_id, f AS frame_idx,
+       |  list_reduce(
+       |    list_prepend(0::BIGINT,
+       |      list_transform(
+       |        range(f * $FrameHop + 1,
+       |              least(f * $FrameHop + $FrameLen, len(text)) + 1),
+       |        i -> ord(substr(text, i::INT, 1))::BIGINT)),
+       |    (a, c) -> a + c * c)::BIGINT AS energy
+       |FROM documents,
+       |  (SELECT unnest(range(0, 40)) AS f) ff
+       |WHERE f * $FrameHop < len(text)""".stripMargin
 }

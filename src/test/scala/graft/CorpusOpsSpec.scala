@@ -192,6 +192,39 @@ class CorpusOpsSpec extends SparkSpecBase {
 
   // ---- TextOps.badwordsOf ----
 
+  test("sceneCuts equals a sequential per-doc replay of the jump rule") {
+    import graft.operators.Multimodal
+    val frames = Multimodal.audioEnergy(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    val got = Multimodal.sceneCuts(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3),
+        r.getLong(4))).toSet
+    val want = frames.groupBy(_._1).flatMap { case (doc, fs) =>
+      var prev = Option.empty[Long]
+      var scene = 0L
+      fs.sortBy(_._2).map { case (_, idx, e) =>
+        val cut = prev match {
+          case None => true
+          case Some(p) => math.abs(e - p) * 4 > p
+        }
+        if (cut) scene += 1
+        prev = Some(e)
+        (doc, scene, idx, e)
+      }.groupBy { case (_, s, _, _) => s }.map { case (s, rows) =>
+        (doc, s, rows.length.toLong, rows.map(_._3).min,
+          rows.map(_._4).sum)
+      }
+    }.toSet
+    assert(got == want)
+    // every doc's scenes are dense from 1 and cover all its frames
+    got.groupBy(_._1).foreach { case (doc, scenes) =>
+      val ids = scenes.map(_._2).toSeq.sorted
+      assert(ids == (1L to ids.length).toSeq, s"doc $doc")
+      assert(scenes.toSeq.map(_._3).sum ==
+        frames.count(_._1 == doc).toLong, s"doc $doc coverage")
+    }
+  }
+
   test("badwordsOf counts, scores and scrubs blocklisted tokens") {
     val df = Seq(
       (1L, "clean text with nothing listed here at all ok ok"),
