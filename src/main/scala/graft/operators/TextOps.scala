@@ -98,6 +98,47 @@ object TextOps {
       .groupBy("word")
       .agg(count(lit(1)).as("cnt"))
 
+  /** Candidate vocabulary sizes [[vocabCoverage]] prices — scaled to
+    * the fixture's 31-type vocabulary so the curve actually bends (the
+    * [[graft.operators.Similarity.ClusterSampleCap]] rule: constants
+    * sized so the fixture exercises the behavior the op exists for); a
+    * real corpus would probe 2^8…2^16.
+    */
+  val CoverageVocabSizes: Seq[Long] = Seq(4L, 8L, 16L, 32L)
+
+  /** Tokenizer vocabulary-size tuning curve: for each candidate size V,
+    * the fraction of all corpus TOKEN OCCURRENCES the top-V types (by
+    * frequency, ties lexical — the [[encode]] vocabulary rule) would
+    * cover. The complement is the OOV rate a V-sized word-level
+    * vocabulary ships with — the first number a tokenizer design reads,
+    * and the reason subword tokenizers exist (the curve saturates long
+    * before the long tail is covered).
+    *
+    * Shape: one corpus explode to the word-count aggregation (the
+    * vocabulary-sized shuffle [[wordCountOf]] already pays), a rank
+    * window over the vocabulary table only, then conditional sums down
+    * to ONE row exploded to |sizes|. Exact integer counts, one division
+    * per row.
+    */
+  def vocabCoverage(spark: SparkSession, dir: String): DataFrame =
+    vocabCoverageOf(docs(spark, dir))
+
+  def vocabCoverageOf(corpus: DataFrame): DataFrame = {
+    val wc = wordCountOf(corpus)
+    val ranked = wc.withColumn("rk", row_number().over(
+      org.apache.spark.sql.expressions.Window
+        .orderBy(col("cnt").desc, col("word"))).cast("long"))
+    val aggCols = CoverageVocabSizes.map(v =>
+      sum(when(col("rk") <= v, col("cnt")).otherwise(0L)).as(s"c$v"))
+    val agg = ranked.agg(sum(col("cnt")).cast("double").as("tot"),
+      aggCols: _*)
+    agg.select(explode(array(CoverageVocabSizes.map(v =>
+        struct(lit(v).as("vocab_size"), col(s"c$v").as("n_covered"),
+          (col(s"c$v").cast("double") / col("tot")).as("coverage"))): _*))
+      .as("t"))
+      .select(col("t.vocab_size"), col("t.n_covered"), col("t.coverage"))
+  }
+
   /** Lexicon-based language ID: function-word hit counts per candidate
     * language, argmax with a fixed tiebreak order (en > de > fr). A
     * character-n-gram model is the production upgrade; the lexicon
@@ -995,6 +1036,7 @@ object TextOps {
     "llm_source_stats" -> sourceStats,
     "llm_source_quality" -> sourceQuality,
     "llm_vocab_top" -> vocabTop,
+    "llm_vocab_coverage" -> vocabCoverage,
     "llm_len_histogram" -> lenHistogram,
     "llm_distinct_kmv" -> distinctKmv,
     "llm_tfidf_topterms" -> tfidfTopTerms,
@@ -1219,6 +1261,30 @@ object TextOps {
          |    <= $BadRatioMax AS badwords_pass
          |FROM documents"""
         .stripMargin.replace("N_BAD", sqlHits(Blocklist)),
+    "llm_vocab_coverage" -> {
+      val sizes = CoverageVocabSizes
+      s"""WITH wc AS (
+         |  SELECT word, count(*)::BIGINT AS cnt
+         |  FROM (SELECT unnest(string_split(text, ' ')) AS word
+         |        FROM documents)
+         |  GROUP BY word),
+         |r AS (
+         |  SELECT cnt, row_number() OVER (ORDER BY cnt DESC, word)
+         |    AS rk
+         |  FROM wc),
+         |a AS (
+         |  SELECT sum(cnt)::DOUBLE AS tot,
+         |${sizes.map(v =>
+            s"    sum(CASE WHEN rk <= $v THEN cnt ELSE 0 END)::BIGINT" +
+              s" AS c$v").mkString(",\n")}
+         |  FROM r)
+         |SELECT unnest([${sizes.mkString(", ")}])::BIGINT AS vocab_size,
+         |  unnest([${sizes.map(v => s"c$v").mkString(", ")}])
+         |    AS n_covered,
+         |  unnest([${sizes.map(v => s"c$v::DOUBLE / tot").mkString(", ")}])
+         |    AS coverage
+         |FROM a""".stripMargin
+    },
     "llm_vocab_top" ->
       s"""SELECT word, count(*) AS cnt
          |FROM (SELECT unnest(string_split(text, ' ')) AS word

@@ -192,6 +192,25 @@ class CorpusOpsSpec extends SparkSpecBase {
 
   // ---- TextOps.badwordsOf ----
 
+  test("vocabCoverage matches a brute-force ranked-frequency recount") {
+    val counts = scala.collection.mutable.Map[String, Long]()
+    graft.Tables(spark, Sf, "documents").select("text").collect()
+      .foreach(_.getString(0).split(" ", -1)
+        .foreach(w => counts(w) = counts.getOrElse(w, 0L) + 1))
+    val ranked = counts.toSeq.sortBy { case (w, c) => (-c, w) }
+    val total = ranked.map(_._2).sum
+    val got = TextOps.vocabCoverage(spark, Sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(got.keySet == TextOps.CoverageVocabSizes.toSet)
+    TextOps.CoverageVocabSizes.foreach { v =>
+      val cov = ranked.take(v.toInt).map(_._2).sum
+      assert(got(v) == ((cov, cov.toDouble / total.toDouble)), s"V=$v")
+    }
+    // the curve is monotone and actually bends on the fixture
+    val covs = TextOps.CoverageVocabSizes.map(got(_)._2)
+    assert(covs == covs.sorted && covs.head < covs.last)
+  }
+
   test("sceneCuts equals a sequential per-doc replay of the jump rule") {
     import graft.operators.Multimodal
     val frames = Multimodal.audioEnergy(spark, Sf).collect()
