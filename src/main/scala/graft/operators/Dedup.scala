@@ -820,7 +820,70 @@ object Dedup {
         coalesce(col("clean_text"), lit("")).as("clean_text"))
   }
 
+  /** Methods [[dedupRecall]] audits, alphabetical. */
+  val DedupRecallMethods = Seq("bow", "minhash", "simhash")
+
+  /** Dedup-method audit — the [[graft.operators.Similarity.simRecall]]
+    * framing applied to the dedup family: with the exact 4-gram-Jaccard
+    * pairs ([[ngramJaccard]] — no signature approximation, every value
+    * exact) as the reference, how much of it does each production
+    * method recover (recall), and how much of what each method flags is
+    * in the reference (precision)? The methods intentionally keep their
+    * SHIPPED settings (minhash: banded 3-shingle signatures @ J ≥ 0.8;
+    * simhash: Hamming ≤ 7 on 56-bit; bow: SRP-bucketed cosine ≥ its
+    * threshold), so the table prices the real configurations against
+    * one reference definition — the number a pipeline owner reads
+    * before choosing which dedup pass to trust at 100 TB.
+    *
+    * Shape: the reference pair set is cut once (localCheckpoint) and
+    * feeds both the denominator and the semi-join probe; all methods
+    * union into ONE tagged stream for the size and hit counts.
+    */
+  def dedupRecall(spark: SparkSession, dir: String): DataFrame =
+    recallFrom(ngramJaccard(spark, dir), Seq(
+      "bow" -> bowCosine(spark, dir),
+      "minhash" -> minhashLsh(spark, dir),
+      "simhash" -> simhashPairs(spark, dir)))
+
+  /** Spec seam: the same audit over any (doc_id, text) corpus — the
+    * fixture's planted dups are easy for every method (all 1.0), so the
+    * spec runs this on borderline pairs where the methods disagree.
+    */
+  def dedupRecallOf(corpus: DataFrame): DataFrame =
+    recallFrom(ngramJaccardOf(corpus), Seq(
+      "bow" -> bowCosineOf(corpus),
+      "minhash" -> minhashLshOf(corpus),
+      "simhash" -> simhashPairsOf(corpus)))
+
+  private def recallFrom(reference: DataFrame,
+      methods: Seq[(String, DataFrame)]): DataFrame = {
+    val exact = reference.select("doc_a", "doc_b").localCheckpoint()
+    val total = exact.agg(count(lit(1)).as("n_ref"))
+    val approx = methods
+      .map { case (m, df) =>
+        df.select(lit(m).as("method"), col("doc_a"), col("doc_b"))
+      }.reduce(_.unionByName(_))
+    val sizes = approx.groupBy("method").agg(count(lit(1)).as("n_method"))
+    val hits = approx.join(exact, Seq("doc_a", "doc_b"), "left_semi")
+      .groupBy("method").agg(count(lit(1)).as("n_hit"))
+    val spark = reference.sparkSession
+    val s = spark; import s.implicits._
+    val nm = coalesce(col("n_method"), lit(0L))
+    val nh = coalesce(col("n_hit"), lit(0L))
+    methods.map(_._1).toDF("method")
+      .join(sizes, Seq("method"), "left")
+      .join(hits, Seq("method"), "left")
+      .crossJoin(broadcast(total))
+      .select(col("method"), col("n_ref"), nm.as("n_method"),
+        nh.as("n_hit"),
+        (nh.cast("double") / col("n_ref").cast("double")).as("recall"),
+        when(nm === 0L, lit(0.0))
+          .otherwise(nh.cast("double") / nm.cast("double"))
+          .as("precision"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "llm_dedup_recall" -> dedupRecall,
     "llm_dedup_spans" -> spanDedup,
     "llm_dedup_apply" -> applyDedup,
     "llm_dedup_clusters" -> clusters,
@@ -878,7 +941,7 @@ object Dedup {
        |SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a"""
       .stripMargin.replace("PAIRS_SQL", minhashPairsOracleSql)
 
-  val oracle: Map[String, String] = Map(
+  private val baseOracle: Map[String, String] = Map(
     "llm_dedup_apply_best" ->
       s"""WITH cl AS ($clustersOracleSql),
          |sz AS (SELECT doc_id,
@@ -1086,4 +1149,47 @@ object Dedup {
          |SELECT va AS doc_a, vb AS doc_b, cos_sim
          |FROM scored WHERE cos_sim >= $BowCosMin""".stripMargin
   )
+
+  /** [[baseOracle]] plus the recall audit, which nests four of its
+    * entries verbatim (the [[graft.operators.Similarity]] recall-oracle
+    * pattern) — built after the base map so the spellings are shared,
+    * not copied.
+    */
+  val oracle: Map[String, String] = baseOracle + {
+    def pairs(name: String) =
+      s"(SELECT doc_a, doc_b FROM (${baseOracle(name)}) zz)"
+    "llm_dedup_recall" ->
+      s"""WITH exact AS ${pairs("llm_dedup_ngram")},
+         |ap AS (
+         |  SELECT 'bow' AS method, doc_a, doc_b
+         |  FROM ${pairs("llm_dedup_bow_cosine")} a1
+         |  UNION ALL
+         |  SELECT 'minhash' AS method, doc_a, doc_b
+         |  FROM ${pairs("llm_dedup_minhash")} a2
+         |  UNION ALL
+         |  SELECT 'simhash' AS method, doc_a, doc_b
+         |  FROM ${pairs("llm_dedup_simhash")} a3
+         |),
+         |sizes AS (
+         |  SELECT method, count(*)::BIGINT AS n_method FROM ap
+         |  GROUP BY method),
+         |hits AS (
+         |  SELECT method, count(*)::BIGINT AS n_hit FROM ap
+         |  WHERE EXISTS (SELECT 1 FROM exact e
+         |                WHERE e.doc_a = ap.doc_a
+         |                  AND e.doc_b = ap.doc_b)
+         |  GROUP BY method),
+         |tot AS (SELECT count(*)::BIGINT AS n_ref FROM exact)
+         |SELECT m.method, tot.n_ref,
+         |  coalesce(sizes.n_method, 0)::BIGINT AS n_method,
+         |  coalesce(hits.n_hit, 0)::BIGINT AS n_hit,
+         |  coalesce(hits.n_hit, 0)::DOUBLE / tot.n_ref::DOUBLE AS recall,
+         |  CASE WHEN coalesce(sizes.n_method, 0) = 0 THEN 0.0e0
+         |    ELSE coalesce(hits.n_hit, 0)::DOUBLE
+         |      / sizes.n_method::DOUBLE END AS precision
+         |FROM (VALUES ('bow'), ('minhash'), ('simhash')) m(method)
+         |LEFT JOIN sizes ON m.method = sizes.method
+         |LEFT JOIN hits ON m.method = hits.method
+         |CROSS JOIN tot""".stripMargin
+  }
 }

@@ -139,6 +139,51 @@ class DedupSpec extends SparkSpecBase {
     assert(cl.size == 100 && cl.values.forall(_ == 0L)) // one full cluster
   }
 
+  test("dedup recall audit: borderline pair separates the methods") {
+    val s = spark; import s.implicits._
+    // 100-word doc + a copy with 4 isolated single-word substitutions
+    // (positions spread > 4 apart): 4-gram Jaccard = 81/113 ≈ 0.717 — in
+    // the reference (≥ 0.7) — while 3-gram Jaccard = 86/110 ≈ 0.782 is
+    // below the minhash verify threshold (0.8), so minhash MUST miss it
+    val a = (0 until 100).map(i => s"w$i")
+    val b = a.updated(10, "x1").updated(30, "x2")
+      .updated(55, "x3").updated(80, "x4")
+    val corpus = Seq(
+      (1L, (0 until 50).map(i => s"p$i").mkString(" ")),
+      (2L, (0 until 50).map(i => s"p$i").mkString(" ")), // exact twin
+      (3L, a.mkString(" ")),
+      (4L, b.mkString(" ")),
+      (5L, (0 until 30).map(i => s"q$i").mkString(" ")),
+      (6L, (0 until 30).map(i => s"r$i").mkString(" "))
+    ).toDF("doc_id", "text")
+    def pairSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_a", "doc_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ref = pairSet(Dedup.ngramJaccardOf(corpus))
+    assert(ref.contains((3L, 4L)), "borderline pair must be in the reference")
+    val methods = Map(
+      "bow" -> pairSet(Dedup.bowCosineOf(corpus)),
+      "minhash" -> pairSet(Dedup.minhashLshOf(corpus)),
+      "simhash" -> pairSet(Dedup.simhashPairsOf(corpus)))
+    assert(!methods("minhash").contains((3L, 4L)),
+      "minhash @ J3>=0.8 must reject the 0.782 pair")
+    val got = Dedup.dedupRecallOf(corpus).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4), r.getDouble(5)))).toMap
+    assert(got.keySet == Dedup.DedupRecallMethods.toSet)
+    got.foreach { case (m, (nRef, nMethod, nHit, recall, precision)) =>
+      val hits = (methods(m) & ref).size.toLong
+      assert(nRef == ref.size.toLong, m)
+      assert(nMethod == methods(m).size.toLong, m)
+      assert(nHit == hits, m)
+      assert(recall == hits.toDouble / ref.size.toDouble, m)
+      assert(precision == (if (methods(m).isEmpty) 0.0
+        else hits.toDouble / methods(m).size.toDouble), m)
+    }
+    // the audit separates the methods on this corpus
+    assert(got("minhash")._4 < 1.0, "minhash recall must drop")
+  }
+
   test("near-dup clustering: min-label components over chain/clique/pair") {
     val s = spark; import s.implicits._
     // chain 1-2-3-4 (transitive dups where (1,4) never paired directly),
