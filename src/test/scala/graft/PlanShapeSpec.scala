@@ -113,6 +113,41 @@ class PlanShapeSpec extends SparkSpecBase {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("ivfpq: list-keyed candidate join, rank prunes map-side, no cartesian") {
+    val p = finalPlan(graft.operators.Similarity.ivfPqTopK(spark, Sf))
+    // the per-query rank must prune to k per partition before its
+    // exchange, and the probe-to-assignment join must stay an equi-join
+    // on the list id — never an all-pairs product
+    assert(p.contains("WindowGroupLimit"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("source quality: one corpus scan, no joins until the |sources| window") {
+    val p = finalOnly(graft.operators.TextOps.sourceQuality(spark, Sf))
+    // the ranking operates on the post-rollup |sources|-row table; the
+    // corpus itself is touched exactly once and never joined
+    assert(!p.contains("Join"), p)
+    assert("Scan parquet".r.findAllIn(p).size == 1, p)
+  }
+
+  test("watermark plan: the arrival-ordered window is partitioned, not global") {
+    val p = finalPlan(graft.streaming.Streams.watermarkPlan(
+      graft.Tables(spark, Sf, "events")))
+    // the data-scale running max hash-partitions on the arrival-hour
+    // bucket — the stream never serializes through one partition
+    assert(p.contains("hashpartitioning(g"), p)
+    // every single-partition exchange feeds an aggregate over bucket
+    // totals (keys=[g…]) or the final |delays|-row rollup — never the
+    // raw event stream
+    val singles =
+      "Exchange SinglePartition[^\n]*\n[^\n]*".r.findAllIn(p).toList
+    assert(singles.nonEmpty, p)
+    singles.foreach(s =>
+      assert(s.contains("HashAggregate(keys=[g") ||
+        s.contains("HashAggregate(keys=[]"),
+        s"SinglePartition exchange over an unreduced table:\n$s"))
+  }
+
   test("tfidf: top-k window prunes map-side; no corpus-side explode shuffle") {
     val p = finalPlan(graft.operators.TextOps.tfidfTopTerms(spark, Sf))
     assert(p.contains("WindowGroupLimit"), p)
