@@ -161,6 +161,40 @@ object Curation {
             .cast("double")).as("mix_weight"))
   }
 
+  /** Temperature-scaled multilingual mixing (the XLM-R / mT5 rule):
+    * sampling weight ∝ share^(1/τ) with τ = 2, i.e. ∝ √share — high-
+    * resource languages are down-weighted, low-resource ones boosted,
+    * the standard fix for English drowning the tail. τ = 2 is chosen
+    * deliberately: the exponent becomes `sqrt`, which is correctly
+    * rounded in both engines, where a general `pow` is not — so unlike
+    * the paper's arbitrary-τ form, this table is bit-exact behind the
+    * hash gate. The normalizer (a sum of |langs| irrational doubles,
+    * order-dependent) folds left in lang order on both sides — the
+    * 0.0-seeded ascending fold the caption-score oracle established.
+    * `boost` = temp_weight / natural share is the up/down-sampling
+    * factor a mixing loop actually applies.
+    */
+  def mixTemperature(spark: SparkSession, dir: String): DataFrame =
+    mixTemperatureOf(docs(spark, dir))
+
+  def mixTemperatureOf(corpus: DataFrame): DataFrame = {
+    val perLang = corpus.groupBy("lang").agg(
+      sum(size(split(col("text"), " ")).cast("long")).as("n_tokens"))
+    val tot = perLang.agg(sum(col("n_tokens")).as("tot"))
+    val shares = perLang.crossJoin(broadcast(tot))
+      .select(col("lang"), col("n_tokens"),
+        (col("n_tokens").cast("double") / col("tot").cast("double"))
+          .as("share"))
+      .withColumn("s", sqrt(col("share")))
+    val denom = shares.agg(
+      aggregate(sort_array(collect_list(struct(col("lang"), col("s")))),
+        lit(0.0), (acc, x) => acc + x.getField("s")).as("denom"))
+    shares.crossJoin(broadcast(denom))
+      .select(col("lang"), col("n_tokens"), col("share"),
+        (col("s") / col("denom")).as("temp_weight"),
+        ((col("s") / col("denom")) / col("share")).as("boost"))
+  }
+
   /** Token-budget multiple and per-language up-sampling cap for
     * [[mixEpochs]]: the training run sees [[EpochBudgetMult]]× the
     * corpus' tokens, and no language repeats more than [[MaxEpochs]]
@@ -495,6 +529,33 @@ object Curation {
     within.join(offsets, "g")
       .select(col("doc_id"), col("chunk_id"), col("n_tokens"),
         expr(s"(goff + wcum - n_tokens) div $budget").as("shard"))
+  }
+
+  /** [[packChunksOf]] with the WITHIN-SHARD token offset carried — the
+    * column the data loader needs beyond the shard id: with
+    * (shard, offset, n_tokens) per chunk, sequences concatenate at
+    * `offset` and the block-diagonal attention mask (tokens attend only
+    * within their own chunk) falls out without re-deriving any prefix
+    * sum at load time. offset = global_start mod budget, same recursed
+    * machinery, zero extra shuffles.
+    */
+  def packOffsets(spark: SparkSession, dir: String): DataFrame =
+    packOffsetsOf(chunkOf(docs(spark, dir)))
+
+  def packOffsetsOf(chunks: DataFrame,
+      budget: Long = ShardBudget): DataFrame = {
+    val base = chunks.select(col("doc_id"), col("chunk_id"),
+      col("n_tokens").cast("long").as("n_tokens"),
+      expr(s"doc_id div $PackGroup").as("g"))
+    val within = base.withColumn("wcum",
+      sum(col("n_tokens")).over(
+        Window.partitionBy("g").orderBy("doc_id", "chunk_id")))
+    val offsets = exclusiveOffsets(
+      base.groupBy("g").agg(sum(col("n_tokens")).as("t")), OffsetsDepth)
+    within.join(offsets, "g")
+      .select(col("doc_id"), col("chunk_id"), col("n_tokens"),
+        expr(s"(goff + wcum - n_tokens) div $budget").as("shard"),
+        expr(s"(goff + wcum - n_tokens) % $budget").as("offset"))
   }
 
   /** Per-shard QA over [[packChunks]] — the validation a packing run
@@ -1256,6 +1317,8 @@ object Curation {
     "llm_profile" -> profile,
     "llm_chunk" -> chunk,
     "llm_pack_chunks" -> packChunks,
+    "llm_pack_offsets" -> packOffsets,
+    "llm_mix_temperature" -> mixTemperature,
     "llm_shard_stats" -> shardStats,
     "llm_curate_strict" -> curateStrict,
     "llm_curate_learned" -> curateLearned,
@@ -1339,6 +1402,17 @@ object Curation {
        |  ((SUM(n_tokens) OVER (ORDER BY doc_id, chunk_id
        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT
        |    - n_tokens) // $ShardBudget)::BIGINT AS shard
+       |FROM ch""".stripMargin
+
+  private lazy val packOffsetsOracleSql: String =
+    s"""WITH ch AS ($chunkSql)
+       |SELECT doc_id, chunk_id, n_tokens::BIGINT AS n_tokens,
+       |  ((SUM(n_tokens) OVER (ORDER BY doc_id, chunk_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT
+       |    - n_tokens) // $ShardBudget)::BIGINT AS shard,
+       |  ((SUM(n_tokens) OVER (ORDER BY doc_id, chunk_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT
+       |    - n_tokens) % $ShardBudget)::BIGINT AS "offset"
        |FROM ch""".stripMargin
 
   /** Shared by the `llm_split` entry and (as a subquery)
@@ -1710,6 +1784,29 @@ GROUP BY split"""
     "llm_chunk" -> chunkSql,
     // the two-level prefix sum must equal ONE global ordered window
     "llm_pack_chunks" -> packChunksOracleSql,
+    "llm_pack_offsets" -> packOffsetsOracleSql,
+    // τ = 2 temperature mixing: exponent = sqrt (correctly rounded in
+    // both engines); the |langs|-term normalizer folds left in lang
+    // order, 0.0-seeded — the caption-score fold convention
+    "llm_mix_temperature" ->
+      s"""WITH pl AS (
+         |  SELECT lang,
+         |    sum(len(string_split(text, ' ')))::BIGINT AS n_tokens
+         |  FROM documents GROUP BY lang),
+         |t AS (SELECT sum(n_tokens)::BIGINT AS tot FROM pl),
+         |sh AS (
+         |  SELECT lang, n_tokens,
+         |    n_tokens::DOUBLE / tot::DOUBLE AS share,
+         |    sqrt(n_tokens::DOUBLE / tot::DOUBLE) AS s
+         |  FROM pl, t),
+         |d AS (
+         |  SELECT list_reduce(list_prepend(0.0e0,
+         |    list(s ORDER BY lang)), (a, b) -> a + b) AS denom
+         |  FROM sh)
+         |SELECT lang, n_tokens, share,
+         |  s / denom AS temp_weight,
+         |  (s / denom) / share AS boost
+         |FROM sh, d""".stripMargin,
     "llm_shard_stats" ->
       s"""SELECT shard, count(*) AS n_chunks,
          |  sum(n_tokens)::BIGINT AS n_tokens,

@@ -237,6 +237,67 @@ class CurationSpec extends SparkSpecBase {
     assert(got.map(_._1).toSet.subsetOf(kept))
   }
 
+  test("temperature mixing: sqrt-share weights, pinned fold, boosts invert") {
+    val toks = graft.Tables(spark, Sf, "documents")
+      .selectExpr("lang", "cast(size(split(text, ' ')) as bigint) n")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val perLang = toks.groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    val tot = perLang.values.sum
+    val s = perLang.map { case (l, n) =>
+      l -> math.sqrt(n.toDouble / tot.toDouble) }
+    val denom = s.toSeq.sortBy(_._1).map(_._2).foldLeft(0.0)(_ + _)
+    val got = Curation.mixTemperature(spark, Sf).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4)))).toMap
+    assert(got.keySet == perLang.keySet)
+    got.foreach { case (l, (n, share, w, boost)) =>
+      assert(n == perLang(l), l)
+      assert(share == n.toDouble / tot.toDouble, l)
+      assert(w == s(l) / denom, s"$l temp_weight not bit-equal")
+      assert(boost == (s(l) / denom) / share, l)
+    }
+    // weights are a distribution; the temperature flattens toward the
+    // tail: above-average-share langs get boost < 1, below get > 1
+    assert(math.abs(got.values.map(_._3).sum - 1.0) < 1e-12)
+    got.foreach { case (l, (_, share, w, boost)) =>
+      assert((share > w) == (boost < 1.0), l)
+    }
+  }
+
+  test("pack offsets: within-shard offsets replay the global prefix sum") {
+    val rows = Curation.packOffsets(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(rows.nonEmpty)
+    // global sequential replay in (doc_id, chunk_id) order
+    var cum = 0L
+    val budget = Curation.ShardBudget
+    rows.sortBy(t => (t._1, t._2)).foreach {
+      case (doc, chunk, n, shard, off) =>
+        assert(shard == cum / budget, s"($doc,$chunk) shard")
+        assert(off == cum % budget, s"($doc,$chunk) offset")
+        cum += n
+    }
+    // shard ids agree with packChunks row-for-row
+    val shardOf = Curation.packChunks(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(3)).toMap
+    rows.foreach { case (doc, chunk, _, shard, _) =>
+      assert(shardOf((doc, chunk)) == shard, s"($doc,$chunk)")
+    }
+    // within a shard, chunks tile contiguously (shard 0 from offset 0;
+    // later shards may open mid-offset when the previous shard's last
+    // chunk straddles the boundary — assignment is by START position)
+    rows.groupBy(_._4).foreach { case (shard, rs) =>
+      val sorted = rs.sortBy(t => (t._1, t._2))
+      if (shard == 0L) assert(sorted.head._5 == 0L, "shard 0 start")
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a._5 + a._3 == b._5, s"shard $shard gap at ${b._2}")
+        case _ =>
+      }
+    }
+  }
+
   test("corpus card: every section recounts from its constituent tables") {
     val rows = Curation.corpusCard(spark, Sf).collect()
       .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
