@@ -784,6 +784,132 @@ object Similarity {
       .where(col("rank") <= TopK)
   }
 
+  /** Power-iteration steps behind [[embPca]] (unrolled in the oracle). */
+  val PcaIters = 8
+
+  /** Session-cached (mean, first principal direction) per corpus. */
+  private val pcaCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), (Array[Double], Array[Double])]
+
+  private def cachedPca(spark: SparkSession, dir: String)
+      : (Array[Double], Array[Double]) = {
+    val key = (spark, dir)
+    val got = pcaCache.get(key)
+    if (got != null) got
+    else {
+      val built = pcaOf(emb(spark, dir))
+      val prev = pcaCache.putIfAbsent(key, built)
+      if (prev != null) prev else built
+    }
+  }
+
+  def invalidatePca(spark: SparkSession = null, dir: String = null)
+      : Unit = {
+    val it = pcaCache.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      val (s, d) = e.getKey
+      if ((spark == null || s == spark) && (dir == null || d == dir))
+        it.remove()
+    }
+  }
+
+  /** Trains the first principal component of any (id, e) corpus:
+    * DECIMAL-stable per-dim mean, DECIMAL-stable 64×64 covariance
+    * aggregation (order-independent under any partitioning), then
+    * [[PcaIters]] deterministic power-iteration steps on the collected
+    * matrix — driver state is dims² cells, the θ/centroid O(small)
+    * class. Every fold (matvec over j, norm over i, projection over i)
+    * runs ascending-index sequential, so the direction — and every
+    * downstream projection — is bit-replayable by the oracle's
+    * list_reduce spellings. The start vector is 1/8 per dim (unit norm
+    * EXACTLY: 64·0.125² = 1, and 0.125 is a power of two).
+    */
+  private[operators] def pcaOf(corpusDf: DataFrame)
+      : (Array[Double], Array[Double]) = {
+    val spark = corpusDf.sparkSession
+    val s = spark; import s.implicits._
+    val corpus = corpusDf.as[(Long, Array[Double])]
+    val m = corpusDf
+      .select(posexplode(col(corpusDf.columns(1))).as(Seq("i", "x")))
+      .groupBy("i")
+      .agg((graft.functions.StableSum.dsum(col("x"))
+        / count(lit(1)).cast("double")).as("m"))
+      .collect().map(r => (r.getInt(0), r.getDouble(1)))
+      .sortBy(_._1).map(_._2)
+    val bcM = spark.sparkContext.broadcast(m)
+    val cells = corpus
+      .flatMap { case (_, e) =>
+        val mm = bcM.value
+        for {
+          i <- (0 until e.length).iterator
+          j <- 0 until e.length
+        } yield (i, j, (e(i) - mm(i)) * (e(j) - mm(j)))
+      }
+      .toDF("i", "j", "p")
+      .groupBy("i", "j")
+      .agg(graft.functions.StableSum.dsum(col("p")).as("c"))
+      .collect().map(r => ((r.getInt(0), r.getInt(1)), r.getDouble(2)))
+      .toMap
+    val n = m.length
+    val c = Array.tabulate(n, n)((i, j) => cells((i, j)))
+    var x = Array.fill(n)(0.125)
+    var t = 0
+    while (t < PcaIters) {
+      val y = new Array[Double](n)
+      var i = 0
+      while (i < n) {
+        var acc = 0.0
+        var j = 0
+        while (j < n) { acc += c(i)(j) * x(j); j += 1 }
+        y(i) = acc
+        i += 1
+      }
+      var nrm = 0.0
+      i = 0
+      while (i < n) { nrm += y(i) * y(i); i += 1 }
+      nrm = math.sqrt(nrm)
+      i = 0
+      while (i < n) { y(i) = y(i) / nrm; i += 1 }
+      x = y
+      t += 1
+    }
+    (m, x)
+  }
+
+  /** Per-vector first-principal-component score — distributed PCA with
+    * the trained direction riding the session cache like the IVF
+    * centroids and PQ codebook. The projection is a row-local centered
+    * dot (ascending fold, broadcast mean + direction): the corpus never
+    * shuffles to be scored, the shape every whitening / 1-D
+    * embedding-compression pass needs. The covariance build's 64²-cell
+    * explode amplifies CPU, not shuffle — map-side combine reduces the
+    * exchange to dims² rows per partition.
+    */
+  def embPca(spark: SparkSession, dir: String): DataFrame =
+    embPcaWith(emb(spark, dir), cachedPca(spark, dir))
+
+  def embPcaOf(corpusDf: DataFrame): DataFrame =
+    embPcaWith(corpusDf, pcaOf(corpusDf))
+
+  private def embPcaWith(corpusDf: DataFrame,
+      mv: (Array[Double], Array[Double])): DataFrame = {
+    val spark = corpusDf.sparkSession
+    val s = spark; import s.implicits._
+    val bc = spark.sparkContext.broadcast(mv)
+    corpusDf.as[(Long, Array[Double])]
+      .mapPartitions { it =>
+        val (mm, vv) = bc.value
+        it.map { case (id, e) =>
+          var acc = 0.0
+          var i = 0
+          while (i < e.length) { acc += (e(i) - mm(i)) * vv(i); i += 1 }
+          (id, acc)
+        }
+      }
+      .toDF("vec_id", "pc1")
+  }
+
   /** IVF+PQ serving path — the two index layers COMPOSED, which is the
     * layout that actually serves billion-vector ANN (FAISS's IVFADC
     * cell, here without residual encoding): the coarse quantizer prunes
@@ -941,6 +1067,7 @@ object Similarity {
     "llm_sim_ivf_topk" -> ivfTopK,
     "llm_sim_pq_topk" -> pqTopK,
     "llm_sim_ivfpq_topk" -> ivfPqTopK,
+    "llm_emb_pca" -> embPca,
     "llm_sim_recall" -> simRecall,
     "llm_sample_cluster" -> sampleCluster
   )
@@ -1245,7 +1372,55 @@ object Similarity {
        |  FROM scored
        |) WHERE rank <= $TopK""".stripMargin
 
+  /** PCA oracle: DECIMAL-stable mean + covariance, the [[PcaIters]]
+    * power-iteration steps unrolled as CTEs (matvec and norm folds
+    * 0.0-seeded ascending — bit-equal to the driver loop), then the
+    * centered projection.
+    */
+  private def oraclePca: String = {
+    val dsum = graft.functions.StableSum.dsumSql _
+    val iters = (1 to PcaIters).map { t =>
+      s"""y$t AS MATERIALIZED (
+         |  SELECT cov.i,
+         |    list_reduce(list_prepend(0.0e0,
+         |      list(cov.c * p${t - 1}.x ORDER BY cov.j)),
+         |      (a, b) -> a + b) AS y
+         |  FROM cov JOIN p${t - 1} ON cov.j = p${t - 1}.i
+         |  GROUP BY cov.i),
+         |n$t AS (
+         |  SELECT sqrt(list_reduce(list_prepend(0.0e0,
+         |    list(y * y ORDER BY i)), (a, b) -> a + b)) AS nr
+         |  FROM y$t),
+         |p$t AS (SELECT i, y / nr AS x FROM y$t, n$t)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH v AS (SELECT vec_id, embedding e FROM embeddings),
+       |ex AS MATERIALIZED (
+       |  SELECT vec_id, u.i AS i, u.v::DOUBLE AS x
+       |  FROM (SELECT vec_id, unnest(list_transform(range(1, 65),
+       |          i -> {'i': i, 'v': e[i]})) AS u
+       |        FROM v)),
+       |mn AS MATERIALIZED (
+       |  SELECT i, ${dsum("x")} / count(*)::DOUBLE AS m
+       |  FROM ex GROUP BY i),
+       |ctr AS MATERIALIZED (
+       |  SELECT ex.vec_id, ex.i, ex.x - mn.m AS cx
+       |  FROM ex JOIN mn USING (i)),
+       |cov AS MATERIALIZED (
+       |  SELECT a.i AS i, b.i AS j, ${dsum("a.cx * b.cx")} AS c
+       |  FROM ctr a JOIN ctr b ON a.vec_id = b.vec_id
+       |  GROUP BY a.i, b.i),
+       |p0 AS (SELECT unnest(range(1, 65)) AS i, 0.125e0 AS x),
+       |$iters
+       |SELECT c.vec_id,
+       |  list_reduce(list_prepend(0.0e0,
+       |    list(c.cx * p$PcaIters.x ORDER BY c.i)), (a, b) -> a + b)
+       |    AS pc1
+       |FROM ctr c JOIN p$PcaIters ON c.i = p$PcaIters.i
+       |GROUP BY c.vec_id""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
+    "llm_emb_pca" -> oraclePca,
     "llm_classify" -> {
       // Two DuckDB literal traps, both measured on this fixture:
       // (1) a bare numeric literal parses as DECIMAL — rounding the

@@ -325,6 +325,55 @@ class SimilaritySpec extends SparkSpecBase {
     }
   }
 
+  test("PCA: projections replay in-memory; bit-stable under partitioning") {
+    // the two trained artifacts from the session cache path
+    val rows = Similarity.embPca(spark, Sf).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(rows.keySet == vecs.keySet)
+    // in-memory replay: DECIMAL-stable sums via the same quantization
+    def dsum(xs: Iterable[Double]): Double =
+      xs.map(x => BigDecimal(math.floor(x * 1e12))).sum.toDouble / 1e12
+    val n = 64
+    val ids = vecs.keys.toSeq.sorted
+    val mean = (0 until n).map(i => dsum(ids.map(vecs(_)(i)))
+      / ids.size.toDouble).toArray
+    val cov = Array.tabulate(n, n)((i, j) =>
+      dsum(ids.map(id => (vecs(id)(i) - mean(i)) * (vecs(id)(j) - mean(j)))))
+    var x = Array.fill(n)(0.125)
+    for (_ <- 1 to Similarity.PcaIters) {
+      val y = (0 until n).map { i =>
+        var acc = 0.0; var j = 0
+        while (j < n) { acc += cov(i)(j) * x(j); j += 1 }
+        acc
+      }.toArray
+      var nrm = 0.0; var i = 0
+      while (i < n) { nrm += y(i) * y(i); i += 1 }
+      nrm = math.sqrt(nrm)
+      x = y.map(_ / nrm)
+    }
+    ids.foreach { id =>
+      var acc = 0.0; var i = 0
+      while (i < n) { acc += (vecs(id)(i) - mean(i)) * x(i); i += 1 }
+      assert(rows(id) == acc, s"pc1 mismatch for vec $id")
+    }
+    // the direction is meaningful: unit norm, and the projections carry
+    // more variance than any single coordinate axis does
+    assert(math.abs(x.map(v => v * v).sum - 1.0) < 1e-9)
+    val pcVar = {
+      val vs = ids.map(rows(_))
+      val mu = vs.sum / vs.size
+      vs.map(v => (v - mu) * (v - mu)).sum
+    }
+    val axisVar = (0 until n).map(i => cov(i)(i)).max
+    assert(pcVar >= axisVar * 0.999,
+      s"pc1 variance $pcVar below best axis $axisVar")
+    // partition-count independence of the whole train+project pipeline
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Similarity.embPcaOf(df).collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toSet
+    assert(run(embDf.repartition(7)) == run(embDf.repartition(2)))
+  }
+
   test("PQ: bit-identical output under any partitioning") {
     val embDf = graft.Tables(spark, Sf, "embeddings")
       .selectExpr("vec_id", "cast(embedding as array<double>) e")
