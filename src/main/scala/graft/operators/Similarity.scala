@@ -910,6 +910,42 @@ object Similarity {
       .toDF("vec_id", "pc1")
   }
 
+  /** All-but-the-top embedding post-processing (Mu & Viswanath, ICLR
+    * 2018): subtract the corpus mean and remove the top principal
+    * component — the dominant direction is common-mode (frequency)
+    * energy, and removing it measurably improves cosine-similarity
+    * quality on most embedding tables. Rides the SAME session-cached
+    * (mean, direction) as [[embPca]]; entirely row-local per vector
+    * (one centered-dot fold + one fused multiply-subtract per dim),
+    * exploded to (vec_id, dim, w) rows so every cell is hash-gated.
+    */
+  def embAbtt(spark: SparkSession, dir: String): DataFrame =
+    embAbttWith(emb(spark, dir), cachedPca(spark, dir))
+
+  def embAbttOf(corpusDf: DataFrame): DataFrame =
+    embAbttWith(corpusDf, pcaOf(corpusDf))
+
+  private def embAbttWith(corpusDf: DataFrame,
+      mv: (Array[Double], Array[Double])): DataFrame = {
+    val spark = corpusDf.sparkSession
+    val s = spark; import s.implicits._
+    val bc = spark.sparkContext.broadcast(mv)
+    corpusDf.as[(Long, Array[Double])]
+      .mapPartitions { it =>
+        val (mm, vv) = bc.value
+        it.flatMap { case (id, e) =>
+          var pc1 = 0.0
+          var i = 0
+          while (i < e.length) { pc1 += (e(i) - mm(i)) * vv(i); i += 1 }
+          val p = pc1
+          (0 until e.length).iterator.map { i =>
+            (id, (i + 1).toLong, (e(i) - mm(i)) - p * vv(i))
+          }
+        }
+      }
+      .toDF("vec_id", "dim", "w")
+  }
+
   /** IVF+PQ serving path — the two index layers COMPOSED, which is the
     * layout that actually serves billion-vector ANN (FAISS's IVFADC
     * cell, here without residual encoding): the coarse quantizer prunes
@@ -1068,6 +1104,7 @@ object Similarity {
     "llm_sim_pq_topk" -> pqTopK,
     "llm_sim_ivfpq_topk" -> ivfPqTopK,
     "llm_emb_pca" -> embPca,
+    "llm_emb_abtt" -> embAbtt,
     "llm_sim_recall" -> simRecall,
     "llm_sample_cluster" -> sampleCluster
   )
@@ -1377,7 +1414,7 @@ object Similarity {
     * 0.0-seeded ascending — bit-equal to the driver loop), then the
     * centered projection.
     */
-  private def oraclePca: String = {
+  private def pcaCtes: String = {
     val dsum = graft.functions.StableSum.dsumSql _
     val iters = (1 to PcaIters).map { t =>
       s"""y$t AS MATERIALIZED (
@@ -1410,17 +1447,31 @@ object Similarity {
        |  FROM ctr a JOIN ctr b ON a.vec_id = b.vec_id
        |  GROUP BY a.i, b.i),
        |p0 AS (SELECT unnest(range(1, 65)) AS i, 0.125e0 AS x),
-       |$iters
-       |SELECT c.vec_id,
-       |  list_reduce(list_prepend(0.0e0,
-       |    list(c.cx * p$PcaIters.x ORDER BY c.i)), (a, b) -> a + b)
-       |    AS pc1
-       |FROM ctr c JOIN p$PcaIters ON c.i = p$PcaIters.i
-       |GROUP BY c.vec_id""".stripMargin
+       |$iters,
+       |proj AS MATERIALIZED (
+       |  SELECT c.vec_id,
+       |    list_reduce(list_prepend(0.0e0,
+       |      list(c.cx * p$PcaIters.x ORDER BY c.i)), (a, b) -> a + b)
+       |      AS pc1
+       |  FROM ctr c JOIN p$PcaIters ON c.i = p$PcaIters.i
+       |  GROUP BY c.vec_id)""".stripMargin
   }
+
+  private def oraclePca: String =
+    s"""$pcaCtes
+       |SELECT vec_id, pc1 FROM proj""".stripMargin
+
+  private def oracleAbtt: String =
+    s"""$pcaCtes
+       |SELECT c.vec_id, c.i AS dim,
+       |  c.cx - proj.pc1 * p$PcaIters.x AS w
+       |FROM ctr c
+       |JOIN proj ON c.vec_id = proj.vec_id
+       |JOIN p$PcaIters ON c.i = p$PcaIters.i""".stripMargin
 
   val oracle: Map[String, String] = Map(
     "llm_emb_pca" -> oraclePca,
+    "llm_emb_abtt" -> oracleAbtt,
     "llm_classify" -> {
       // Two DuckDB literal traps, both measured on this fixture:
       // (1) a bare numeric literal parses as DECIMAL — rounding the
