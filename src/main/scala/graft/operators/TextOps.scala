@@ -818,6 +818,27 @@ object TextOps {
     textStatsOf(graft.sources.TextSources.jsonlDocuments(spark, path))
   }
 
+  /** The same write-then-read-back parity check through the ORC and CSV
+    * source/sink pairs: the stats must hash-match the parquet-path
+    * oracle, proving the format round-trips byte-identically.
+    */
+  def textStatsOrc(spark: SparkSession, dir: String): DataFrame = {
+    val path =
+      graft.sources.TextSources.scratchPath(spark, "docs_orc", dir)
+    graft.sources.TextSources.writeOrc(docs(spark, dir), path)
+    textStatsOf(graft.sources.TextSources.orcDocuments(spark, path))
+  }
+
+  def textStatsCsv(spark: SparkSession, dir: String): DataFrame = {
+    val path =
+      graft.sources.TextSources.scratchPath(spark, "docs_csv", dir)
+    // CSV is positional: write in the reader's declared column order
+    // (the header is skipped under an explicit schema, not matched)
+    graft.sources.TextSources.writeCsv(
+      docs(spark, dir).select("doc_id", "lang", "text"), path)
+    textStatsOf(graft.sources.TextSources.csvDocuments(spark, path))
+  }
+
   // ---- PII redaction ----
 
   /** Redaction patterns (RE2/Java-common subset — no lookaround, so both
@@ -1043,6 +1064,8 @@ object TextOps {
     "llm_rep_ngrams" -> repNgrams,
     "llm_text_stats" -> textStats,
     "llm_text_stats_jsonl" -> textStatsJsonl,
+    "llm_text_stats_orc" -> textStatsOrc,
+    "llm_text_stats_csv" -> textStatsCsv,
     "llm_word_count" -> wordCount,
     "llm_lang_id" -> langId,
     "llm_lang_confusion" -> langConfusion,
@@ -1353,6 +1376,8 @@ object TextOps {
     // the Spark side computes the same stats off the JSONL round trip —
     // the oracle recomputing from parquet IS the round-trip check
     "llm_text_stats_jsonl" -> textStatsOracleSql,
+    "llm_text_stats_orc" -> textStatsOracleSql,
+    "llm_text_stats_csv" -> textStatsOracleSql,
     "llm_word_count" ->
       """SELECT word, count(*) AS cnt
         |FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)

@@ -104,6 +104,35 @@ object TextSources {
   def writeJsonl(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").json(path)
 
+  /** ORC corpus reader — the other columnar interchange format Spark
+    * ships natively (Hive-ecosystem corpora arrive as ORC). Same
+    * `(doc_id, lang, text)` contract as [[jsonlDocuments]], so every
+    * `…Of` operator composes; predicate pushdown and column pruning
+    * reach ORC scans exactly as they do parquet.
+    */
+  def orcDocuments(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+      .select("doc_id", "lang", "text")
+      .where(col("doc_id").isNotNull && col("text").isNotNull)
+
+  def writeOrc(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").orc(path)
+
+  /** CSV corpus reader: explicit schema (single-pass, no inference
+    * job), header row, standard quoting — Spark's writer quotes
+    * embedded delimiters/newlines and this reader round-trips them.
+    */
+  def csvDocuments(spark: SparkSession, path: String): DataFrame =
+    spark.read
+      .schema("doc_id BIGINT, lang STRING, text STRING")
+      .option("header", "true")
+      .option("mode", "PERMISSIVE")
+      .csv(path)
+      .where(col("doc_id").isNotNull && col("text").isNotNull)
+
+  def writeCsv(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").option("header", "true").csv(path)
+
   /** Per-application scratch path for round-trip entries (text/JSONL
     * write-then-read-back parity checks). The path embeds the Spark
     * `applicationId`, so two JVMs/sessions benching the same fixture dir
