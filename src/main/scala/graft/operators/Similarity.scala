@@ -946,6 +946,69 @@ object Similarity {
       .toDF("vec_id", "dim", "w")
   }
 
+  /** The ABTT transform as full vectors (internal: feeds the retrieval
+    * A/B, where cosine needs the whole processed row).
+    */
+  private def abttVectors(corpusDf: DataFrame,
+      mv: (Array[Double], Array[Double])): DataFrame = {
+    val spark = corpusDf.sparkSession
+    val s = spark; import s.implicits._
+    val bc = spark.sparkContext.broadcast(mv)
+    corpusDf.as[(Long, Array[Double])]
+      .mapPartitions { it =>
+        val (mm, vv) = bc.value
+        it.map { case (id, e) =>
+          var pc1 = 0.0
+          var i = 0
+          while (i < e.length) { pc1 += (e(i) - mm(i)) * vv(i); i += 1 }
+          val w = new Array[Double](e.length)
+          i = 0
+          while (i < e.length) {
+            w(i) = (e(i) - mm(i)) - pc1 * vv(i)
+            i += 1
+          }
+          (id, w)
+        }
+      }
+      .toDF("vec_id", "e")
+  }
+
+  /** Does the isotropy fix actually help retrieval on THIS corpus? The
+    * A/B a pipeline owner reads before switching representations:
+    * label-agreement@k — the fraction of exact top-[[TopK]] neighbors
+    * sharing their query's label — for the raw cosine vs the
+    * [[embAbtt]]-processed cosine. Both sides are EXACT rankings (the
+    * brute-force kernel, no ANN confound); the processed vectors are
+    * bit-replayable from the PCA chain, so the whole A/B sits behind
+    * the hash gate. Same framing as [[simRecall]] / `llm_dedup_recall`:
+    * measure the trade, don't assert it.
+    */
+  def abttEval(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir)
+    val labels = Tables(spark, dir, "embeddings")
+      .select(col("vec_id"), col("label"))
+    val proc = abttVectors(e, cachedPca(spark, dir))
+    val tagged = Seq(
+      "abtt" -> bruteForceTopKOf(proc, NumQueries),
+      "raw" -> bruteForceTopKOf(e, NumQueries))
+      .map { case (m, df) =>
+        df.select(lit(m).as("method"), col("query_id"),
+          col("neighbor_id"))
+      }.reduce(_.unionByName(_))
+    tagged
+      .join(labels.select(col("vec_id").as("query_id"),
+        col("label").as("q_label")), Seq("query_id"))
+      .join(labels.select(col("vec_id").as("neighbor_id"),
+        col("label").as("n_label")), Seq("neighbor_id"))
+      .groupBy("method")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(when(col("q_label") === col("n_label"), 1L).otherwise(0L))
+          .as("n_same_label"))
+      .select(col("method"), col("n_pairs"), col("n_same_label"),
+        (col("n_same_label").cast("double")
+          / col("n_pairs").cast("double")).as("agreement"))
+  }
+
   /** IVF+PQ serving path — the two index layers COMPOSED, which is the
     * layout that actually serves billion-vector ANN (FAISS's IVFADC
     * cell, here without residual encoding): the coarse quantizer prunes
@@ -1105,6 +1168,7 @@ object Similarity {
     "llm_sim_ivfpq_topk" -> ivfPqTopK,
     "llm_emb_pca" -> embPca,
     "llm_emb_abtt" -> embAbtt,
+    "llm_emb_abtt_eval" -> abttEval,
     "llm_sim_recall" -> simRecall,
     "llm_sample_cluster" -> sampleCluster
   )
@@ -1461,6 +1525,42 @@ object Similarity {
     s"""$pcaCtes
        |SELECT vec_id, pc1 FROM proj""".stripMargin
 
+  private def oracleAbttEval: String = {
+    def top(src: String) =
+      s"""SELECT query_id, neighbor_id FROM (
+         |  SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+         |    row_number() OVER (PARTITION BY q.vec_id ORDER BY
+         |      ${Hashing.cosineSql("q.e", "n.e", 64)} DESC,
+         |      n.vec_id ASC) AS rn
+         |  FROM $src q JOIN $src n ON q.vec_id < $NumQueries
+         |    AND q.vec_id != n.vec_id
+         |) WHERE rn <= $TopK""".stripMargin
+    s"""$pcaCtes,
+       |wl AS MATERIALIZED (
+       |  SELECT c.vec_id,
+       |    list(c.cx - proj.pc1 * p$PcaIters.x ORDER BY c.i) AS e
+       |  FROM ctr c
+       |  JOIN proj ON c.vec_id = proj.vec_id
+       |  JOIN p$PcaIters ON c.i = p$PcaIters.i
+       |  GROUP BY c.vec_id),
+       |ap AS (
+       |  SELECT 'abtt' AS method, query_id, neighbor_id
+       |  FROM (${top("wl")}) t1
+       |  UNION ALL
+       |  SELECT 'raw' AS method, query_id, neighbor_id
+       |  FROM (${top("v")}) t2),
+       |lab AS (SELECT vec_id, label FROM embeddings)
+       |SELECT method, count(*)::BIGINT AS n_pairs,
+       |  sum(CASE WHEN ql.label = nl.label THEN 1 ELSE 0 END)::BIGINT
+       |    AS n_same_label,
+       |  sum(CASE WHEN ql.label = nl.label THEN 1 ELSE 0 END)::DOUBLE
+       |    / count(*)::DOUBLE AS agreement
+       |FROM ap
+       |JOIN lab ql ON ap.query_id = ql.vec_id
+       |JOIN lab nl ON ap.neighbor_id = nl.vec_id
+       |GROUP BY method""".stripMargin
+  }
+
   private def oracleAbtt: String =
     s"""$pcaCtes
        |SELECT c.vec_id, c.i AS dim,
@@ -1472,6 +1572,7 @@ object Similarity {
   val oracle: Map[String, String] = Map(
     "llm_emb_pca" -> oraclePca,
     "llm_emb_abtt" -> oracleAbtt,
+    "llm_emb_abtt_eval" -> oracleAbttEval,
     "llm_classify" -> {
       // Two DuckDB literal traps, both measured on this fixture:
       // (1) a bare numeric literal parses as DECIMAL — rounding the

@@ -412,6 +412,40 @@ class SimilaritySpec extends SparkSpecBase {
     }
   }
 
+  test("ABTT eval recounts from the processed cells and raw ranking") {
+    val labels = graft.Tables(spark, Sf, "embeddings")
+      .selectExpr("vec_id", "cast(label as long) label").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // processed vectors rebuilt from the public per-cell output
+    val wcells = Similarity.embAbtt(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val wvecs = wcells.groupBy(_._1).map { case (id, cs) =>
+      id -> cs.sortBy(_._2).map(_._3).toArray
+    }
+    def topPairs(vs: Map[Long, Array[Double]]) = {
+      val qs = vs.keys.filter(_ < Similarity.NumQueries)
+      qs.flatMap { q =>
+        vs.toSeq.filter(_._1 != q)
+          .map { case (n, e) => (n, cos(vs(q), e)) }
+          .sortBy { case (n, c) => (-c, n) }
+          .take(Similarity.TopK)
+          .map { case (n, _) => (q, n) }
+      }.toSet
+    }
+    val expect = Map("raw" -> topPairs(vecs), "abtt" -> topPairs(wvecs))
+    val got = Similarity.abttEval(spark, Sf).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(got.keySet == Set("raw", "abtt"))
+    got.foreach { case (m, (nPairs, nSame, agree)) =>
+      val pairs = expect(m)
+      val same = pairs.count { case (q, n) => labels(q) == labels(n) }
+      assert(nPairs == pairs.size.toLong, m)
+      assert(nSame == same.toLong, m)
+      assert(agree == same.toDouble / pairs.size.toDouble, m)
+    }
+  }
+
   test("PQ: bit-identical output under any partitioning") {
     val embDf = graft.Tables(spark, Sf, "embeddings")
       .selectExpr("vec_id", "cast(embedding as array<double>) e")
