@@ -408,17 +408,66 @@ FROM (
   FROM cl JOIN sc USING (doc_id))
 WHERE rn = 1"""
 
+  /** Calibration (reliability) table for the trained probe — the
+    * diagnostic that closes the classifier story (train → gate → eval →
+    * drift → CALIBRATION): documents bucketed by predicted score into
+    * [[CalibBins]] clamped deciles, each bin reporting its size, mean
+    * predicted score (DECIMAL-stable) and EMPIRICAL positive rate. A
+    * well-calibrated probe has frac_pos tracking mean_score bin by bin;
+    * a probe that separates but mis-scales shows the classic S-shape —
+    * either way this is the table that justifies (or indicts) using
+    * `score > 0.5` as the gate threshold. Scores ride the session probe
+    * cache; one corpus-free aggregation over the scored table down to
+    * ≤ [[CalibBins]] rows.
+    */
+  val CalibBins = 10
+
+  def qualityCalibration(spark: SparkSession, dir: String): DataFrame = {
+    val top = lit(CalibBins.toLong - 1)
+    qualityProbe(spark, dir)
+      .select(col("label"), col("score"),
+        least(top, greatest(lit(0L),
+          floor(col("score") * 10).cast("long"))).as("bin"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("label") > 0.5, 1L).otherwise(0L)).as("n_pos"),
+        (graft.functions.StableSum.dsum(col("score"))
+          / count(lit(1)).cast("double")).as("mean_score"))
+      .select(col("bin"), col("n_docs"), col("n_pos"),
+        (col("n_pos").cast("double") / col("n_docs").cast("double"))
+          .as("frac_pos"),
+        col("mean_score"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "llm_quality_probe" -> qualityProbe,
     "llm_quality_gate" -> qualityGate,
     "llm_quality_train" -> qualityTrain,
+    "llm_quality_calibration" -> qualityCalibration,
     "llm_dedup_keep_scored" -> dedupKeepScored)
 
   /** `llm_quality_train` is rows-only by documented design (per-record
     * SGD, same as the `sgd_*` θ entries).
     */
+  private def calibrationOracleSql: String =
+    s"""${probeCtes()},
+sc AS (SELECT f.y AS label, ${scoreSql("t", "f")} AS score
+       FROM feat f, t$ProbeEpochs t),
+b AS (SELECT label, score,
+        CAST(least(${CalibBins - 1}.0e0, greatest(0.0e0,
+          floor(score * 10.0e0))) AS BIGINT) AS bin
+      FROM sc)
+SELECT bin, count(*)::BIGINT AS n_docs,
+  sum(CASE WHEN label > 0.5 THEN 1 ELSE 0 END)::BIGINT AS n_pos,
+  sum(CASE WHEN label > 0.5 THEN 1 ELSE 0 END)::DOUBLE
+    / count(*)::DOUBLE AS frac_pos,
+  ${graft.functions.StableSum.dsumSql("score")}
+    / count(*)::DOUBLE AS mean_score
+FROM b GROUP BY bin"""
+
   lazy val oracle: Map[String, String] = Map(
     "llm_quality_probe" -> probeOracleSql,
     "llm_quality_gate" -> gateOracleSql,
+    "llm_quality_calibration" -> calibrationOracleSql,
     "llm_dedup_keep_scored" -> keepScoredOracleSql)
 }

@@ -69,6 +69,38 @@ class QualitySpec extends SparkSpecBase {
     assert(nk > 0 && nk < n)
   }
 
+  test("calibration recounts from the scored table; threshold bins separate") {
+    val scored = Quality.qualityProbe(spark, Sf).collect()
+      .map(r => (r.getDouble(1), r.getDouble(2))) // (label, score)
+    val got = Quality.qualityCalibration(spark, Sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4)))).toMap
+    def binOf(s: Double): Long =
+      math.min(Quality.CalibBins - 1L, math.max(0L,
+        math.floor(s * 10).toLong))
+    def dsum(xs: Iterable[Double]): Double =
+      xs.map(x => BigDecimal(math.floor(x * 1e12))).sum.toDouble / 1e12
+    val want = scored.groupBy { case (_, s) => binOf(s) }
+    assert(got.keySet == want.keySet)
+    want.foreach { case (bin, rows) =>
+      val (n, pos, frac, mean) = got(bin)
+      val p = rows.count(_._1 > 0.5).toLong
+      assert(n == rows.length.toLong, bin)
+      assert(pos == p, bin)
+      assert(frac == p.toDouble / rows.length.toDouble, bin)
+      assert(mean == dsum(rows.map(_._2)) / rows.length.toDouble, bin)
+    }
+    // the table justifies the 0.5 gate: bins at/above it are
+    // overwhelmingly positive, strictly more so than the bins below
+    val hi = got.filter(_._1 >= 5).values
+    val lo = got.filter(_._1 < 5).values
+    assert(hi.nonEmpty && lo.nonEmpty)
+    val hiRate = hi.map(_._2).sum.toDouble / hi.map(_._1).sum.toDouble
+    val loRate = lo.map(_._2).sum.toDouble / lo.map(_._1).sum.toDouble
+    assert(hiRate > 0.9 && hiRate > loRate,
+      s"calibration does not separate: hi=$hiRate lo=$loRate")
+  }
+
   test("curate_learned = probe-kept ∩ english ∩ non-dup") {
     val pk = Quality.qualityProbe(spark, Sf).where(col("pred"))
       .select("doc_id").collect().map(_.getLong(0)).toSet
