@@ -76,6 +76,37 @@ object Contamination {
       d.where(col("doc_id") % EvalMod === 0))
   }
 
+  /** Shingle widths the sensitivity sweep prices. */
+  val SweepWidths: Seq[Int] = Seq(3, 5, 8)
+
+  /** Decontamination sensitivity sweep — the tuning curve behind the
+    * [[NgramWidth]] = 5 choice: the same train-vs-eval overlap audit at
+    * 3-, 5- and 8-gram shingles, each width one (n, contaminated-docs,
+    * hit-shingles) row. Short shingles over-flag (natural phrase reuse
+    * collides); long ones under-flag (one changed word breaks the
+    * window) — the sweep shows where THIS corpus sits on that trade,
+    * the same measure-don't-assert framing as `llm_sim_recall` /
+    * `llm_dedup_recall` / `llm_vocab_coverage`. Per width the eval
+    * shingle set broadcasts and the train side never shuffles — three
+    * passes of the production plan, nothing new at scale.
+    */
+  def contamSweep(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val train = d.where(col("doc_id") % EvalMod =!= 0)
+    val eval = d.where(col("doc_id") % EvalMod === 0)
+    SweepWidths.map { n =>
+      val evalGrams = eval.select(explode(shingles(n)).as("g")).distinct()
+      val hits = train
+        .select(col("doc_id"), explode(shingles(n)).as("g"))
+        .join(broadcast(evalGrams), "g")
+        .groupBy("doc_id").agg(count(lit(1)).as("h"))
+      hits.agg(count(lit(1)).as("n_contaminated"),
+          coalesce(sum(col("h")), lit(0L)).as("n_hit_ngrams"))
+        .select(lit(n.toLong).as("ngram_n"), col("n_contaminated"),
+          col("n_hit_ngrams"))
+    }.reduce(_.unionByName(_))
+  }
+
   /** Heavy-contamination flag threshold for [[contamFracOf]]: a doc
     * whose eval-overlapping shingles exceed this fraction of its own
     * distinct shingles is flagged. Any-overlap (the [[decontaminateOf]]
@@ -312,11 +343,35 @@ object Contamination {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "llm_decontaminate" -> decontaminate,
+    "llm_contam_sweep" -> contamSweep,
     "llm_contam_frac" -> contamFrac,
     "llm_decontam_bloom" -> decontamBloom
   )
 
   val oracle: Map[String, String] = Map(
+    // three widths of the same audit; per width the eval set is the
+    // distinct shingles of the mod-37 docs, hits one row per
+    // (train doc, overlapping shingle)
+    "llm_contam_sweep" -> {
+      def one(n: Int) =
+        s"""e$n AS (SELECT doc_id, unnest(s) AS g FROM s${n}sh),
+           |ev$n AS (SELECT DISTINCT g FROM e$n WHERE doc_id % $EvalMod = 0),
+           |h$n AS (
+           |  SELECT doc_id, count(*)::BIGINT AS h
+           |  FROM e$n JOIN ev$n USING (g)
+           |  WHERE doc_id % $EvalMod != 0
+           |  GROUP BY doc_id),
+           |a$n AS (
+           |  SELECT $n::BIGINT AS ngram_n,
+           |    count(*)::BIGINT AS n_contaminated,
+           |    coalesce(sum(h), 0)::BIGINT AS n_hit_ngrams
+           |  FROM h$n)""".stripMargin
+      s"""WITH ${SweepWidths.map(n =>
+            Shingles.shSql(n, "documents", s"s$n")).mkString(",\n")},
+         |${SweepWidths.map(one).mkString(",\n")}
+         |${SweepWidths.map(n => s"SELECT * FROM a$n")
+            .mkString("\nUNION ALL\n")}""".stripMargin
+    },
     "llm_decontaminate" ->
       s"""WITH ${Shingles.shSql(NgramWidth)},
          |ex AS (SELECT doc_id, unnest(s) AS g FROM sh),

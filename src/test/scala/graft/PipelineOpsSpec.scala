@@ -262,6 +262,27 @@ class PipelineOpsSpec extends SparkSpecBase {
     assert(viaWith == bloom.map(b => (b._1, b._3)).toSet)
   }
 
+  test("contamSweep recounts per width and shows the over/under-flag trade") {
+    val got = Contamination.contamSweep(spark, Sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got.keySet == Contamination.SweepWidths.map(_.toLong).toSet)
+    Contamination.SweepWidths.foreach { n =>
+      val sh = docs.map { case (id, _, tx) => (id, shingles(tx, n)) }
+      val evalSet = sh.filter(_._1 % Contamination.EvalMod == 0)
+        .flatMap(_._2).toSet
+      val hits = sh.filter(_._1 % Contamination.EvalMod != 0)
+        .map { case (_, s) => (s & evalSet).size }
+        .filter(_ > 0)
+      assert(got(n.toLong) ==
+        ((hits.length.toLong, hits.map(_.toLong).sum)), s"n=$n")
+    }
+    // shorter shingles must flag at least as much as longer ones, and
+    // the fixture separates the regimes for real
+    val flagged = Contamination.SweepWidths.map(n => got(n.toLong)._1)
+    assert(flagged == flagged.sorted.reverse)
+    assert(flagged.head > flagged.last)
+  }
+
   test("contamFrac matches brute-force overlap fractions") {
     val evalGrams = docs.collect {
       case (id, _, text) if id % Contamination.EvalMod == 0 =>
