@@ -236,6 +236,54 @@ object Streams {
         col("n_events"))
   }
 
+  /** Quartile probes for [[userRfm]]'s segmentation boundaries. */
+  val RfmQs: Seq[Double] = Seq(0.25, 0.5, 0.75)
+
+  /** RFM user segmentation — the classic event-warehouse workload next
+    * to funnels and retention: per user, Recency (µs since their last
+    * event, against the stream's max event time), Frequency (event
+    * count) and Monetary (DECIMAL-exact value sum), each scored into
+    * quartiles 1–4 and composed into one segment code (RFM digits).
+    * Quartile boundaries come from the DISTRIBUTED exact-quantile
+    * selection ([[graft.operators.Sketch.exactQuantilesOf]] — bucketed
+    * histogram, never a global buffered percentile), collected as nine
+    * bounded driver values and baked into the row-local scoring as plan
+    * literals — the θ/centroid driver-state class. Score = 1 + number
+    * of boundaries strictly below the value (deterministic under ties,
+    * replayed verbatim by the oracle's quantile_disc).
+    */
+  def userRfm(events: DataFrame): DataFrame = {
+    val e = withEventTime(events)
+    val per = e.groupBy("user_id").agg(
+      max(col("ts_us")).as("last_us"),
+      count(lit(1)).as("n_events"),
+      dsum(col("value")).as("sum_value"))
+    val mx = per.agg(max(col("last_us")).as("mx"))
+    val base = per.crossJoin(broadcast(mx))
+      .select(col("user_id"),
+        (col("mx") - col("last_us")).as("recency_us"),
+        col("n_events"), col("sum_value"))
+    def bounds(c: String): Seq[Double] =
+      graft.operators.Sketch
+        .exactQuantilesOf(base.select(col(c).cast("double").as("v")),
+          RfmQs)
+        .collect().map(r => (r.getString(0), r.getDouble(1)))
+        .sortBy(_._1).map(_._2).toSeq
+    def score(c: Column, bs: Seq[Double]): Column =
+      bs.foldLeft(lit(1L)) { (acc, b) =>
+        acc + when(c > lit(b), 1L).otherwise(0L)
+      }
+    val (rb, fb, mb) = (bounds("recency_us"), bounds("n_events"),
+      bounds("sum_value"))
+    base.select(col("user_id"), col("recency_us"), col("n_events"),
+        col("sum_value"),
+        score(col("recency_us").cast("double"), rb).as("r_q"),
+        score(col("n_events").cast("double"), fb).as("f_q"),
+        score(col("sum_value"), mb).as("m_q"))
+      .withColumn("segment",
+        col("r_q") * 100 + col("f_q") * 10 + col("m_q"))
+  }
+
   /** Candidate watermark delays (seconds) [[watermarkPlan]] prices. */
   val WatermarkDelaysSec: Seq[Long] = Seq(60L, 300L, 900L, 3600L)
 
@@ -880,7 +928,9 @@ object Streams {
     "stream_sessions_dynamic" ->
       ((s: SparkSession, d: String) => dynamicSessions(events(s, d))),
     "stream_watermark_plan" ->
-      ((s: SparkSession, d: String) => watermarkPlan(events(s, d)))
+      ((s: SparkSession, d: String) => watermarkPlan(events(s, d))),
+    "stream_user_rfm" ->
+      ((s: SparkSession, d: String) => userRfm(events(s, d)))
   )
 
   val oracle: Map[String, String] = Map(
@@ -1147,6 +1197,42 @@ object Streams {
          |  min(ts_us) AS start_us,
          |  (max(ts_us) - min(ts_us))::BIGINT AS duration_us
          |FROM s GROUP BY user_id, session_seq""".stripMargin,
+    // quantile_disc == the distributed selection's ceil(q·n) rank; the
+    // strict-> scoring replays the Spark literals bit-for-bit
+    "stream_user_rfm" -> {
+      def qd(c: String, p: String) = RfmQs.zipWithIndex.map {
+        case (q, i) => s"quantile_disc($c, $q) AS $p${i + 1}"
+      }.mkString(",\n    ")
+      def sc(c: String, p: String) =
+        "(1" + RfmQs.indices.map(i =>
+          s" + CASE WHEN $c > ${p}${i + 1} THEN 1 ELSE 0 END")
+          .mkString + ")::BIGINT"
+      s"""WITH per AS (
+         |  SELECT user_id, max(epoch_us(ts)) AS last_us,
+         |    count(*)::BIGINT AS n_events,
+         |    CAST(SUM(CAST(value AS DECIMAL(24,6))) AS DOUBLE)
+         |      AS sum_value
+         |  FROM events GROUP BY user_id),
+         |mx AS (SELECT max(last_us) AS mx FROM per),
+         |base AS (
+         |  SELECT user_id, (mx - last_us)::BIGINT AS recency_us,
+         |    n_events, sum_value
+         |  FROM per, mx),
+         |qb AS (
+         |  SELECT
+         |    ${qd("recency_us::DOUBLE", "r")},
+         |    ${qd("n_events::DOUBLE", "f")},
+         |    ${qd("sum_value", "m")}
+         |  FROM base),
+         |scored AS (
+         |  SELECT user_id, recency_us, n_events, sum_value,
+         |    ${sc("recency_us::DOUBLE", "r")} AS r_q,
+         |    ${sc("n_events::DOUBLE", "f")} AS f_q,
+         |    ${sc("sum_value", "m")} AS m_q
+         |  FROM base, qb)
+         |SELECT *, r_q * 100 + f_q * 10 + m_q AS segment
+         |FROM scored""".stripMargin
+    },
     // the oracle spells the ONE global window the Spark side refuses
     // to run (its hierarchical split is exact, max being associative)
     "stream_watermark_plan" -> {

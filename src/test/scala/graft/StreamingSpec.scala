@@ -188,6 +188,46 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("RFM segmentation recounts from per-user aggregates and quartiles") {
+    val ev = graft.Tables(spark, Sf, "events")
+    val rows = Streams.userRfm(ev).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getLong(4), r.getLong(5), r.getLong(6),
+        r.getLong(7)))).toMap
+    // driver replay of the per-user metrics
+    val per = Streams.withEventTime(ev)
+      .select("user_id", "ts_us", "value").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .groupBy(_._1)
+    val mx = per.values.flatMap(_.map(_._2)).max
+    val base = per.map { case (u, es) =>
+      val sv = (es.map(e => BigDecimal(e._3).setScale(6,
+        BigDecimal.RoundingMode.HALF_UP)).sum).toDouble
+      (u, mx - es.map(_._2).max, es.length.toLong, sv)
+    }.toSeq
+    assert(rows.keySet == base.map(_._1).toSet)
+    def quarts(vs: Seq[Double]): Seq[Double] = {
+      val sorted = vs.sorted
+      Streams.RfmQs.map(q =>
+        sorted(math.ceil(q * sorted.length).toInt - 1))
+    }
+    def score(v: Double, bs: Seq[Double]): Long =
+      1L + bs.count(v > _)
+    val rb = quarts(base.map(_._2.toDouble))
+    val fb = quarts(base.map(_._3.toDouble))
+    val mb = quarts(base.map(_._4))
+    base.foreach { case (u, rec, n, sv) =>
+      val (gr, gn, gs, rq, fq, mq, seg) = rows(u)
+      assert(gr == rec && gn == n && gs == sv, s"user $u metrics")
+      assert(rq == score(rec.toDouble, rb), s"user $u r_q")
+      assert(fq == score(n.toDouble, fb), s"user $u f_q")
+      assert(mq == score(sv, mb), s"user $u m_q")
+      assert(seg == rq * 100 + fq * 10 + mq, s"user $u segment")
+    }
+    // quartile scoring actually spreads users across segments
+    assert(rows.values.map(_._7).toSet.size > 4)
+  }
+
   test("watermark plan matches a sequential arrival replay, any partitioning") {
     val s = spark; import s.implicits._
     val ev = graft.Tables(spark, Sf, "events")
