@@ -148,6 +148,22 @@ class PlanShapeSpec extends SparkSpecBase {
         s"SinglePartition exchange over an unreduced table:\n$s"))
   }
 
+  test("contam sweep: every width's eval side broadcasts, never sort-merges") {
+    val p = finalPlan(graft.operators.Contamination.contamSweep(spark, Sf))
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 3, p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("rfm: quartile boundaries are plan literals, no sort-merge join") {
+    val p = finalPlan(graft.streaming.Streams.userRfm(
+      graft.Tables(spark, Sf, "events")))
+    // scoring must ride baked literals + the 1-row broadcast max — a
+    // sort-merge join would mean the boundaries joined as a table
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("tfidf: top-k window prunes map-side; no corpus-side explode shuffle") {
     val p = finalPlan(graft.operators.TextOps.tfidfTopTerms(spark, Sf))
     assert(p.contains("WindowGroupLimit"), p)
