@@ -161,6 +161,51 @@ object Curation {
             .cast("double")).as("mix_weight"))
   }
 
+  /** Shard width for [[datasetHash]]'s first digest level —
+    * fixture-scaled (500 docs → 4 shards) so the two-level structure is
+    * actually exercised; a real corpus would shard far coarser.
+    */
+  val HashShard = 128L
+
+  /** Deterministic corpus content fingerprint — the reproducibility
+    * manifest entry a training run pins its data to ("this exact
+    * corpus"): a two-level Merkle-style digest. Level 1: each doc's
+    * content hash md5(doc_id:text), rolled per shard (doc_id div
+    * [[HashShard]]) into md5(concat of member hashes in doc_id order).
+    * Level 2 (the CORPUS row, shard = −1): md5 over the shard digests
+    * in shard order. Any changed byte, added doc, or dropped doc flips
+    * its shard digest and therefore the corpus digest; equal digests
+    * across two runs/engines certify byte-identical data.
+    *
+    * Scale shape: level 1 is one partial-aggregated groupBy to
+    * corpus/[[HashShard]] rows (the in-shard concat is bounded by the
+    * shard width); level 2 aggregates THOSE rows — the driver never
+    * sees documents, and nothing concatenates more than a shard. The
+    * output doubles as the per-shard audit: diff two corpus versions'
+    * tables to localize which shards changed.
+    */
+  def datasetHash(spark: SparkSession, dir: String): DataFrame =
+    datasetHashOf(docs(spark, dir))
+
+  def datasetHashOf(corpus: DataFrame): DataFrame = {
+    val perDoc = corpus.select(
+      expr(s"doc_id div $HashShard").as("shard"), col("doc_id"),
+      md5(concat_ws(":", col("doc_id"), col("text"))).as("h"))
+    val shards = perDoc.groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"),
+        md5(concat_ws("",
+          array_sort(collect_list(struct(col("doc_id"), col("h"))))
+            .getField("h"))).as("digest"))
+    val corpusRow = shards
+      .agg(sum(col("n_docs")).as("n_docs"),
+        md5(concat_ws("",
+          array_sort(collect_list(struct(col("shard"), col("digest"))))
+            .getField("digest"))).as("digest"))
+      .select(lit(-1L).as("shard"), col("n_docs"), col("digest"))
+    shards.select(col("shard"), col("n_docs"), col("digest"))
+      .unionByName(corpusRow)
+  }
+
   /** Temperature-scaled multilingual mixing (the XLM-R / mT5 rule):
     * sampling weight ∝ share^(1/τ) with τ = 2, i.e. ∝ √share — high-
     * resource languages are down-weighted, low-resource ones boosted,
@@ -1319,6 +1364,7 @@ object Curation {
     "llm_pack_chunks" -> packChunks,
     "llm_pack_offsets" -> packOffsets,
     "llm_mix_temperature" -> mixTemperature,
+    "llm_dataset_hash" -> datasetHash,
     "llm_shard_stats" -> shardStats,
     "llm_curate_strict" -> curateStrict,
     "llm_curate_learned" -> curateLearned,
@@ -1785,6 +1831,23 @@ GROUP BY split"""
     // the two-level prefix sum must equal ONE global ordered window
     "llm_pack_chunks" -> packChunksOracleSql,
     "llm_pack_offsets" -> packOffsetsOracleSql,
+    // list(... ORDER BY doc_id/shard) inside the aggregate = the Spark
+    // side's array_sort(collect_list(struct(...))) key order
+    "llm_dataset_hash" ->
+      s"""WITH perdoc AS (
+         |  SELECT doc_id // $HashShard AS shard, doc_id,
+         |    md5(doc_id::VARCHAR || ':' || text) AS h
+         |  FROM documents),
+         |shards AS (
+         |  SELECT shard, count(*)::BIGINT AS n_docs,
+         |    md5(string_agg(h, '' ORDER BY doc_id)) AS digest
+         |  FROM perdoc GROUP BY shard),
+         |corpus AS (
+         |  SELECT -1::BIGINT AS shard, sum(n_docs)::BIGINT AS n_docs,
+         |    md5(string_agg(digest, '' ORDER BY shard)) AS digest
+         |  FROM shards)
+         |SELECT shard, n_docs, digest FROM shards
+         |UNION ALL SELECT * FROM corpus""".stripMargin,
     // τ = 2 temperature mixing: exponent = sqrt (correctly rounded in
     // both engines); the |langs|-term normalizer folds left in lang
     // order, 0.0-seeded — the caption-score fold convention

@@ -237,6 +237,44 @@ class CurationSpec extends SparkSpecBase {
     assert(got.map(_._1).toSet.subsetOf(kept))
   }
 
+  test("dataset hash: driver replay, partition independence, tamper evidence") {
+    import java.security.MessageDigest
+    def md5hex(s: String): String =
+      MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val corpus = graft.Tables(spark, Sf, "documents")
+      .select("doc_id", "text")
+    val got = Curation.datasetHashOf(corpus).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2)))).toMap
+    // driver replay of the two digest levels
+    val d = corpus.collect().map(r => (r.getLong(0), r.getString(1)))
+    val perShard = d.groupBy(_._1 / Curation.HashShard)
+    val wantShards = perShard.map { case (sh, ds) =>
+      sh -> ((ds.length.toLong,
+        md5hex(ds.sortBy(_._1).map { case (id, tx) =>
+          md5hex(s"$id:$tx") }.mkString)))
+    }
+    wantShards.foreach { case (sh, w) => assert(got(sh) == w, s"shard $sh") }
+    val wantCorpus = md5hex(wantShards.toSeq.sortBy(_._1)
+      .map(_._2._2).mkString)
+    assert(got(-1L) == ((d.length.toLong, wantCorpus)))
+    // repartitioning cannot move the digest
+    val again = Curation.datasetHashOf(corpus.repartition(7)).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2)))).toMap
+    assert(again == got)
+    // one flipped byte in one doc flips exactly its shard + the corpus
+    val s2 = spark; import s2.implicits._
+    val tampered = d.map { case (id, tx) =>
+      (id, if (id == 3L) tx + "x" else tx) }.toSeq.toDF("doc_id", "text")
+    val t = Curation.datasetHashOf(tampered).collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    got.foreach { case (sh, (_, dig)) =>
+      if (sh == 3L / Curation.HashShard || sh == -1L)
+        assert(t(sh) != dig, s"shard $sh should have flipped")
+      else assert(t(sh) == dig, s"shard $sh should be unchanged")
+    }
+  }
+
   test("temperature mixing: sqrt-share weights, pinned fold, boosts invert") {
     val toks = graft.Tables(spark, Sf, "documents")
       .selectExpr("lang", "cast(size(split(text, ' ')) as bigint) n")
