@@ -1,0 +1,262 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.{Materialize, Tables}
+
+/** Graph analytics over the part co-purchase graph (additive §2.11 —
+  * the classic iterative-MapReduce workload family the reference's SGD
+  * loop belongs to: like multilinereg/multilinereg.java:192-208, each
+  * round is one full-data pass driven by a tiny driver loop, except the
+  * per-round state here is a distributed rank table instead of a
+  * broadcastable θ vector).
+  *
+  * The graph: nodes are parts, and an undirected edge (a, b) connects
+  * two parts that appear together in at least one order, weighted by
+  * the number of co-purchasing orders. Edge derivation is BASKET-LOCAL,
+  * not a lineitem self-join: group lineitem by order, `collect_set` the
+  * parts (TPC-H order baskets are ≤ 7 lines, so the per-row array is
+  * bounded), and generate the pairs row-locally above the scan. At
+  * 100 TB the self-join spelling would shuffle the fact table twice and
+  * square the hot orders; the basket spelling shuffles each line once
+  * into its order group and the only other exchange is the (a, b)
+  * groupBy. A pathological basket (one order holding thousands of
+  * items) would square row-locally — a production run caps the basket
+  * at the 99.9th percentile first, the same burst-cap discipline as
+  * [[graft.streaming.Streams]]' interval join.
+  *
+  * Determinism: every number in the family is exact integer arithmetic
+  * (counts, integer DIV) or a single exactly-rounded IEEE division, so
+  * all three entries sit behind the DuckDB hash gate bit-for-bit — the
+  * [[Dsir]] integer-scaling discipline applied to PageRank.
+  */
+object Graph {
+
+  /** PageRank fixed point scale: ranks are BIGINT multiples of 1e-12. */
+  val PrScale = 1000000000000L
+
+  /** Damping numerator (d = 0.85 as the exact rational 85/100). */
+  val PrDamp = 85L
+
+  /** Teleport mass per node per round: (1−d)·scale, exact in Long. */
+  val PrBase: Long = PrScale / 100L * (100L - PrDamp)
+
+  /** Fixed iteration count — rank mass converges geometrically in d, so
+    * 5 rounds pin the ordering of the head; a production run iterates
+    * to an L1 tolerance with the same per-round plan.
+    */
+  val PrIters = 5
+
+  /** How many top-ranked parts [[pagerank]] reports. */
+  val PrTopK = 20
+
+  /** Undirected co-purchase edges (a, b, w) with a < b and w = number
+    * of distinct orders containing both parts.
+    */
+  def edges(spark: SparkSession, dir: String): DataFrame =
+    edgesOf(Tables(spark, dir, "lineitem"))
+
+  def edgesOf(lineitem: DataFrame): DataFrame =
+    lineitem
+      .groupBy(col("l_orderkey"))
+      .agg(collect_set(col("l_partkey")).as("parts"))
+      .select(explode(col("parts")).as("a"), col("parts"))
+      .select(col("a"), explode(col("parts")).as("b"))
+      .where(col("a") < col("b"))
+      .groupBy("a", "b")
+      .agg(count(lit(1)).as("w"))
+
+  /** Both directions of the edge list — the adjacency each per-node
+    * pass (degrees, PageRank contributions) consumes.
+    */
+  private def symOf(ed: DataFrame): DataFrame =
+    ed.select(col("a").as("src"), col("b").as("dst"))
+      .union(ed.select(col("b").as("src"), col("a").as("dst")))
+
+  private def degOf(sym: DataFrame): DataFrame =
+    sym.groupBy(col("src").as("node")).agg(count(lit(1)).as("d"))
+
+  /** Degree histogram (degree, n_nodes) — the first thing a pipeline
+    * owner reads off a new graph: output is bounded by the max degree,
+    * whatever the edge count.
+    */
+  def degrees(spark: SparkSession, dir: String): DataFrame =
+    degreesOf(edges(spark, dir))
+
+  def degreesOf(ed: DataFrame): DataFrame =
+    degOf(symOf(ed))
+      .groupBy(col("d").as("degree"))
+      .agg(count(lit(1)).as("n_nodes"))
+
+  /** Global triangle census: one row with node/edge/wedge/triangle
+    * counts and the global clustering coefficient 3·T / wedges.
+    *
+    * Triangle counting uses DEGREE ORIENTATION (each undirected edge
+    * directed from its (degree, id)-smaller endpoint), the standard
+    * bound that makes the wedge join O(m^1.5) instead of Σ deg² — a hub
+    * of degree D contributes C(out(D), 2) wedges with out(D) ≤ √(2m),
+    * not C(D, 2). Each triangle {x, y, z} has exactly one node with
+    * oriented edges to the other two, and the closing edge is probed
+    * by id order against the canonical (a < b) edge table, so every
+    * triangle is counted exactly once. The count is orientation-free,
+    * which is why the DuckDB oracle can use the naive id-ordered 3-way
+    * join and still land on the identical integer.
+    */
+  def triangles(spark: SparkSession, dir: String): DataFrame =
+    trianglesOf(edges(spark, dir), Materialize.Local)
+
+  def trianglesOf(edgesRaw: DataFrame,
+      mat: Materialize.Strategy = Materialize.None): DataFrame = {
+    val ed = mat(edgesRaw.select("a", "b"))
+    val deg = degOf(symOf(ed))
+    val da = deg.select(col("node").as("a"), col("d").as("da"))
+    val db = deg.select(col("node").as("b"), col("d").as("db"))
+    val aFirst = col("da") < col("db") ||
+      (col("da") === col("db") && col("a") < col("b"))
+    val oriented = ed.join(da, "a").join(db, "b")
+      .select(when(aFirst, col("a")).otherwise(col("b")).as("u"),
+        when(aFirst, col("b")).otherwise(col("a")).as("v"))
+    val e1 = oriented.select(col("u"), col("v").as("x"))
+    val e2 = oriented.select(col("u"), col("v").as("y"))
+    val wedgesAtU = e1.join(e2, "u").where(col("x") < col("y"))
+    val tri = wedgesAtU
+      .join(ed, col("x") === col("a") && col("y") === col("b"),
+        "left_semi")
+      .agg(count(lit(1)).as("n_triangles"))
+    val counts = deg.agg(count(lit(1)).as("n_nodes"),
+      sum(expr("d * (d - 1) DIV 2")).as("n_wedges"))
+      .crossJoin(ed.agg(count(lit(1)).as("n_edges")))
+    val out = counts.crossJoin(tri)
+      .select(col("n_nodes"), col("n_edges"), col("n_wedges"),
+        col("n_triangles"),
+        (lit(3) * col("n_triangles")).cast("double")
+          ./(col("n_wedges").cast("double")).as("clustering"))
+    // the 1-row census is cut eagerly so the edge table THIS call
+    // materialized can be released (Apriori level-wise discipline);
+    // under mat = None, `ed` is a pure projection of the caller's
+    // table — releasing it would unwrap to and kill the caller's own
+    // checkpoint, so only release what this call created
+    if (mat ne Materialize.None) {
+      val forced = Materialize.Local(out)
+      Materialize.release(ed)
+      forced
+    } else out
+  }
+
+  /** Top-[[PrTopK]] parts by PageRank after [[PrIters]] synchronous
+    * rounds over the co-purchase graph: (node, pr, rk).
+    *
+    * Ranks are integer-scaled ([[PrScale]]) so every round is exact
+    * BIGINT arithmetic — contribution = pr DIV degree, damping =
+    * (85 · Σ) DIV 100 — and both engines land on identical longs; a
+    * float spelling would diverge by summation order (the [[Dsir]]
+    * rationale). Headroom: total rank mass stays ≈ n·scale (2·10¹⁶ at
+    * sf0.1), so 85·Σ ≤ 1.7·10¹⁸ < 2⁶³.
+    *
+    * Scale shape: the adjacency (src, dst, d) is materialized ONCE and
+    * reused by all [[PrIters]] rounds; each round is one hash join of
+    * the rank table against it plus one map-side-combined groupBy(dst)
+    * — the [[Sgd]] driver-loop shape with the model table kept
+    * DISTRIBUTED (θ there is broadcastable; a rank per node is not).
+    * The final top-k is a TakeOrderedAndProject, never a global sort.
+    */
+  def pagerank(spark: SparkSession, dir: String): DataFrame =
+    pagerankOf(edges(spark, dir), Materialize.Local)
+
+  def pagerankOf(edgesRaw: DataFrame,
+      mat: Materialize.Strategy = Materialize.None): DataFrame = {
+    val sym = symOf(edgesRaw.select("a", "b"))
+    val adj = mat(sym.join(degOf(sym), col("src") === col("node"))
+      .select(col("src"), col("dst"), col("d")))
+    var pr = adj.select(col("src").as("node")).distinct()
+      .select(col("node"), lit(PrScale).as("pr"))
+    for (_ <- 1 to PrIters)
+      pr = adj.join(pr, adj("src") === pr("node"))
+        .select(col("dst"), expr("pr DIV d").as("c"))
+        .groupBy(col("dst"))
+        .agg(sum(col("c")).as("sc"))
+        .select(col("dst").as("node"),
+          (lit(PrBase) + expr(s"($PrDamp * sc) DIV 100")).as("pr"))
+    // the global window ranks the bounded rank table (|nodes| = part
+    // vocabulary rows, not corpus-scale)
+    val out = pr
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("pr").desc, col("node"))).cast("long"))
+      .where(col("rk") <= PrTopK)
+    // the ≤ PrTopK-row result is cut eagerly so the adjacency THIS
+    // call materialized can be released (see trianglesOf)
+    if (mat ne Materialize.None) {
+      val forced = Materialize.Local(out)
+      Materialize.release(adj)
+      forced
+    } else out
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "graph_degrees" -> degrees,
+    "graph_triangles" -> triangles,
+    "graph_pagerank" -> pagerank
+  )
+
+  /** Shared oracle CTEs: per-order distinct parts, canonical a < b
+    * edges, both-direction adjacency, degrees.
+    */
+  private val graphCte: String =
+    """op AS MATERIALIZED (
+      |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+      |ed AS MATERIALIZED (
+      |  SELECT x.p AS a, y.p AS b, count(*)::BIGINT AS w
+      |  FROM op x JOIN op y ON x.o = y.o AND x.p < y.p
+      |  GROUP BY 1, 2),
+      |sym AS MATERIALIZED (
+      |  SELECT a AS src, b AS dst FROM ed
+      |  UNION ALL SELECT b, a FROM ed),
+      |deg AS MATERIALIZED (
+      |  SELECT src AS node, count(*)::BIGINT AS d FROM sym GROUP BY 1)"""
+      .stripMargin
+
+  /** One PageRank round as a CTE body: rank table `prev` → next. */
+  private def prRound(prev: String): String =
+    s"""  SELECT s.dst AS node,
+       |    ($PrBase + ($PrDamp * sum(r.pr // g.d)) // 100)::BIGINT AS pr
+       |  FROM sym s
+       |  JOIN deg g ON g.node = s.src
+       |  JOIN $prev r ON r.node = s.src
+       |  GROUP BY s.dst""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+    "graph_degrees" ->
+      s"""WITH $graphCte
+         |SELECT d AS degree, count(*)::BIGINT AS n_nodes
+         |FROM deg GROUP BY 1""".stripMargin,
+    "graph_triangles" ->
+      s"""WITH $graphCte,
+         |tri AS (
+         |  SELECT count(*)::BIGINT AS n_triangles
+         |  FROM ed e1
+         |  JOIN ed e2 ON e2.a = e1.b
+         |  JOIN ed e3 ON e3.a = e1.a AND e3.b = e2.b),
+         |wed AS (
+         |  SELECT count(*)::BIGINT AS n_nodes,
+         |         sum(d * (d - 1) // 2)::BIGINT AS n_wedges
+         |  FROM deg),
+         |ec AS (SELECT count(*)::BIGINT AS n_edges FROM ed)
+         |SELECT n_nodes, n_edges, n_wedges, n_triangles,
+         |  (3 * n_triangles)::DOUBLE / n_wedges::DOUBLE AS clustering
+         |FROM wed, ec, tri""".stripMargin,
+    "graph_pagerank" -> {
+      val rounds = (1 to PrIters).map(i =>
+        s"r$i AS MATERIALIZED (\n${prRound(s"r${i - 1}")})").mkString(",\n")
+      s"""WITH $graphCte,
+         |r0 AS MATERIALIZED (
+         |  SELECT node, $PrScale::BIGINT AS pr FROM deg),
+         |$rounds
+         |SELECT node, pr, rk FROM (
+         |  SELECT node, pr,
+         |    row_number() OVER (ORDER BY pr DESC, node)::BIGINT AS rk
+         |  FROM r$PrIters)
+         |WHERE rk <= $PrTopK""".stripMargin
+    }
+  )
+}

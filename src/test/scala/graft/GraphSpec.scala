@@ -1,0 +1,99 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Graph
+
+/** Graph-family invariants the DuckDB oracle cannot see in isolation:
+  * hand-checked counts on a tiny known graph, the orientation-free
+  * triangle count, PageRank's conserved/integer rank mass, and the
+  * basket-local (no self-join) edge-derivation plan.
+  */
+class GraphSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  /** lineitem-shaped rows for two baskets: order 1 = {1,2,3} (with a
+    * duplicated part line), order 2 = {3,4}. Expected canonical edges:
+    * (1,2) (1,3) (2,3) w=1 each, (3,4) w=1; one triangle {1,2,3}.
+    */
+  private def tinyLineitem = Seq(
+    (1L, 1L), (1L, 2L), (1L, 3L), (1L, 3L), (2L, 3L), (2L, 4L))
+    .toDF("l_orderkey", "l_partkey")
+
+  test("edges: basket-local pairs, duplicate part lines collapse") {
+    val ed = Graph.edgesOf(tinyLineitem)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    assert(ed == Set((1L, 2L, 1L), (1L, 3L, 1L), (2L, 3L, 1L),
+      (3L, 4L, 1L)))
+  }
+
+  test("triangles: hand-checked census on the tiny graph") {
+    val r = Graph.trianglesOf(Graph.edgesOf(tinyLineitem)).head()
+    assert(r.getLong(0) == 4, "n_nodes")
+    assert(r.getLong(1) == 4, "n_edges")
+    // degrees 2,2,3,1 -> wedges 1+1+3+0 = 5
+    assert(r.getLong(2) == 5, "n_wedges")
+    assert(r.getLong(3) == 1, "n_triangles")
+    assert(r.getDouble(4) == 3.0 / 5.0, "clustering")
+  }
+
+  test("triangle count matches the naive id-ordered 3-way join") {
+    val ed = Graph.edges(spark, Sf).select("a", "b").localCheckpoint()
+    val naive = ed.as("e1")
+      .join(ed.as("e2"), col("e2.a") === col("e1.b"))
+      .join(ed.as("e3"), col("e3.a") === col("e1.a")
+        && col("e3.b") === col("e2.b"))
+      .count()
+    val census = Graph.trianglesOf(ed).head()
+    assert(census.getLong(3) == naive,
+      s"oriented=${census.getLong(3)} naive=$naive")
+    Materialize.release(ed)
+  }
+
+  test("pagerank: regular graphs stay uniform at full rank mass") {
+    // 4-cycle: every node degree 2 — ranks are the fixed point PrScale
+    // at every iteration, so the integer loop must return exactly it
+    val cyc = Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 4L))
+      .toDF("a", "b").withColumn("w", lit(1L))
+    val ranks = Graph.pagerankOf(cyc).collect()
+    assert(ranks.length == 4)
+    ranks.foreach(r => assert(r.getLong(1) == Graph.PrScale, s"$r"))
+  }
+
+  test("pagerank: star center outranks leaves, mass nearly conserved") {
+    val star = Seq((1L, 2L), (1L, 3L), (1L, 4L), (1L, 5L))
+      .toDF("a", "b").withColumn("w", lit(1L))
+    val ranks = Graph.pagerankOf(star).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(ranks(1L) > ranks(2L), s"center should lead: $ranks")
+    assert(ranks(2L) == ranks(5L), "leaves tie by symmetry")
+    // integer DIV only ever rounds down: total mass <= n * scale,
+    // and within n rounding losses of it
+    val total = ranks.values.sum
+    assert(total <= 5L * Graph.PrScale)
+    assert(total >= 5L * Graph.PrScale - 5L * Graph.PrIters * 100L)
+  }
+
+  test("fixture entries: histogram covers every node, top-k is dense") {
+    val ed = Graph.edges(spark, Sf).localCheckpoint()
+    val nNodes = Graph.trianglesOf(ed).head().getLong(0)
+    val histTotal = Graph.degreesOf(ed)
+      .agg(sum("n_nodes")).head().getLong(0)
+    assert(histTotal == nNodes, s"hist=$histTotal nodes=$nNodes")
+    val top = Graph.pagerank(spark, Sf).collect()
+    assert(top.length == math.min(Graph.PrTopK, nNodes).toInt)
+    assert(top.map(_.getLong(2)).sorted.toSeq ==
+      (1L to top.length.toLong).toSeq, "rk is 1..k dense")
+    Materialize.release(ed)
+  }
+
+  test("edge derivation is basket-local: no lineitem self-join") {
+    val plan = Graph.edges(spark, Sf).queryExecution.optimizedPlan
+    val scans = plan.collect {
+      case r: org.apache.spark.sql.execution.datasources.LogicalRelation => r
+      case r: org.apache.spark.sql.catalyst.plans.logical.LeafNode => r
+    }
+    assert(scans.length == 1,
+      s"expected ONE lineitem scan (basket-local pairs), got:\n$plan")
+  }
+}
