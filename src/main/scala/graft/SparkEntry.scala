@@ -22,7 +22,8 @@ object SparkEntry {
       TextOps.queries ++ Dedup.queries ++ Similarity.queries ++
       Multimodal.queries ++ Streams.queries ++ Curation.queries ++
       Contamination.queries ++ Warehouse.queries ++ Quality.queries ++
-      Sketch.queries ++ Dsir.queries
+      Sketch.queries ++ Dsir.queries ++ Graph.queries ++
+      Retrieval.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops.
@@ -32,5 +33,6 @@ object SparkEntry {
       TextOps.oracle ++ Dedup.oracle ++ Similarity.oracle ++
       Multimodal.oracle ++ Streams.oracle ++ Curation.oracle ++
       Contamination.oracle ++ Warehouse.oracle ++ Quality.oracle ++
-      Sketch.oracle ++ Dsir.oracle
+      Sketch.oracle ++ Dsir.oracle ++ Graph.oracle ++
+      Retrieval.oracle
 }

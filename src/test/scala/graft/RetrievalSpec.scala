@@ -1,0 +1,107 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Retrieval, TextOps}
+
+/** Retrieval-family invariants beyond the oracle diff: posting heads
+  * agree with the independent word-count path, BM25 behaves like BM25
+  * (tf monotone, saturating, length-penalized), and the probe side of
+  * the ranking plan broadcasts.
+  */
+class RetrievalSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def corpus = Tables(spark, Sf, "documents")
+    .select("doc_id", "text")
+
+  test("postings: cf sums to the word-count table, df <= cf") {
+    val posts = Retrieval.postings(spark, Sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val wc = TextOps.wordCountOf(corpus).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(posts.keySet == wc.keySet, "every term has one posting head")
+    posts.foreach { case (w, (df, cf)) =>
+      assert(cf == wc(w), s"cf($w) drift: $cf vs ${wc(w)}")
+      assert(df >= 1 && df <= cf, s"df($w)=$df out of [1, cf=$cf]")
+    }
+  }
+
+  test("postings: top posting really is that term's max-tf document") {
+    val tf = Retrieval.tfOf(corpus)
+      .collect().map(r => (r.getString(1), r.getLong(0), r.getLong(2)))
+    val best = tf.groupBy(_._1).map { case (w, rows) =>
+      w -> rows.map { case (_, d, t) => (-t, d) }.min
+    }
+    Retrieval.postings(spark, Sf).collect().foreach { r =>
+      val (negTf, docId) = best(r.getString(0))
+      assert(r.getLong(4) == -negTf && r.getLong(3) == docId,
+        s"posting head mismatch for ${r.getString(0)}")
+    }
+  }
+
+  test("bm25: exactly the rank-window query terms, k docs each, dense rk") {
+    val rows = Retrieval.bm25TopK(spark, Sf).collect()
+    val terms = rows.map(_.getString(0)).distinct
+    assert(terms.length == Retrieval.BmQueryN.toInt, terms.mkString(","))
+    terms.foreach { t =>
+      val rks = rows.filter(_.getString(0) == t).map(_.getLong(6)).sorted
+      assert(rks.toSeq == (1L to Retrieval.BmTopK.toLong).toSeq,
+        s"$t ranks: ${rks.mkString(",")}")
+    }
+  }
+
+  test("bm25 score: tf-monotone and saturating on a controlled corpus") {
+    // equal-length docs differing only in tf of the probed word; the
+    // window constants make 'target' the rank-5 term by corpus count
+    val filler = Seq("f1", "f2", "f3", "f4")
+    val docs = (1 to 8).map { i =>
+      val pad = (1 to (10 - i)).map(j => filler((i + j) % 4))
+      (i.toLong,
+        (Seq.fill(i)("target") ++ pad ++
+          filler.flatMap(f => Seq.fill(12)(f))).mkString(" "))
+    }.toDF("doc_id", "text")
+    val scored = Retrieval.bm25TopKOf(docs)
+      .where(col("word") === "target")
+      .orderBy(col("rk")).collect()
+      .map(r => (r.getLong(2), r.getDouble(5)))
+    assert(scored.nonEmpty, "'target' must be a probed query term")
+    // ranks follow tf (equal dl): strictly increasing tf down the list
+    assert(scored.sliding(2).forall {
+      case Array((tf1, s1), (tf2, s2)) => tf1 > tf2 && s1 > s2
+      case _ => true
+    }, s"tf/score not monotone: ${scored.mkString(",")}")
+    // saturation: the score step from the top pair is smaller than the
+    // step at the bottom pair (diminishing returns in tf)
+    if (scored.length >= 3) {
+      val top = scored(0)._2 - scored(1)._2
+      val bottom = scored(scored.length - 2)._2 - scored.last._2
+      assert(top < bottom, s"no saturation: top=$top bottom=$bottom")
+    }
+  }
+
+  test("bm25: longer doc scores below shorter at equal tf") {
+    // p1..p4 outrank 'target' by corpus count, pushing it to exactly
+    // vocabulary rank 5 — the low edge of the probe window
+    val docs = Seq(
+      (1L, (Seq.fill(3)("target") ++ Seq.fill(7)("p1")).mkString(" ")),
+      (2L, (Seq.fill(3)("target") ++ Seq.fill(47)("p1")).mkString(" ")),
+      (3L, Seq("p1", "p2", "p3", "p4")
+        .flatMap(p => Seq.fill(10)(p)).mkString(" ")))
+      .toDF("doc_id", "text")
+    val scored = Retrieval.bm25TopKOf(docs)
+      .where(col("word") === "target").collect()
+      .map(r => r.getLong(1) -> r.getDouble(5)).toMap
+    assert(scored.contains(1L) && scored.contains(2L),
+      s"'target' should be probed: $scored")
+    assert(scored(1L) > scored(2L),
+      s"length normalization inverted: $scored")
+  }
+
+  test("plan: query terms and corpus stats ride broadcast joins") {
+    val plan = Retrieval.bm25TopK(spark, Sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") &&
+      plan.contains("BroadcastNestedLoopJoin"),
+      s"bounded sides should broadcast:\n$plan")
+  }
+}
