@@ -88,7 +88,10 @@ class GraphSpec extends SparkSpecBase {
   }
 
   test("edge derivation is basket-local: no lineitem self-join") {
-    val plan = Graph.edges(spark, Sf).queryExecution.optimizedPlan
+    // edgesOf directly: the cached `edges` entry point is a checkpoint
+    // leaf, which would make this assertion vacuous
+    val plan = Graph.edgesOf(Tables(spark, Sf, "lineitem"))
+      .queryExecution.optimizedPlan
     val scans = plan.collect {
       case r: org.apache.spark.sql.execution.datasources.LogicalRelation => r
       case r: org.apache.spark.sql.catalyst.plans.logical.LeafNode => r
