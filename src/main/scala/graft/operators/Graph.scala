@@ -247,10 +247,46 @@ object Graph {
     } else out
   }
 
+  /** Recommendations returned per part by [[itemRecs]]. */
+  val RecsTopK = 3
+
+  /** Item-item collaborative filtering: for every part, the
+    * [[RecsTopK]] strongest co-purchase neighbors by Jaccard affinity
+    * |orders(a) ∩ orders(b)| / |orders(a) ∪ orders(b)| — the
+    * amazon-style "bought together" table. (part, rec, w, jaccard, rk).
+    *
+    * The intersection is the cached edge weight; the union is
+    * n_ord(a) + n_ord(b) − w with per-part order counts from one
+    * distinct-projection aggregate of lineitem. One |V|-row count
+    * table joined twice onto the edge list (AQE broadcasts it at
+    * vocabulary scale), one partitioned window — no global sort, and
+    * the score is a single exactly-rounded division.
+    */
+  def itemRecs(spark: SparkSession, dir: String): DataFrame =
+    itemRecsOf(Tables(spark, dir, "lineitem"), edges(spark, dir))
+
+  def itemRecsOf(lineitem: DataFrame, ed: DataFrame): DataFrame = {
+    val pc = lineitem.select("l_orderkey", "l_partkey").distinct()
+      .groupBy(col("l_partkey").as("node"))
+      .agg(count(lit(1)).as("n_ord"))
+    val symw = ed.select(col("a").as("part"), col("b").as("rec"), col("w"))
+      .union(ed.select(col("b").as("part"), col("a").as("rec"), col("w")))
+    val jaccard = col("w").cast("double")
+      ./((col("na") + col("nb") - col("w")).cast("double"))
+    symw
+      .join(pc.select(col("node").as("part"), col("n_ord").as("na")), "part")
+      .join(pc.select(col("node").as("rec"), col("n_ord").as("nb")), "rec")
+      .select(col("part"), col("rec"), col("w"), jaccard.as("jaccard"))
+      .withColumn("rk", row_number().over(Window.partitionBy("part")
+        .orderBy(col("jaccard").desc, col("rec"))).cast("long"))
+      .where(col("rk") <= RecsTopK)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "graph_degrees" -> degrees,
     "graph_triangles" -> triangles,
-    "graph_pagerank" -> pagerank
+    "graph_pagerank" -> pagerank,
+    "graph_item_recs" -> itemRecs
   )
 
   /** Shared oracle CTEs: per-order distinct parts, canonical a < b
@@ -299,6 +335,23 @@ object Graph {
          |SELECT n_nodes, n_edges, n_wedges, n_triangles,
          |  (3 * n_triangles)::DOUBLE / n_wedges::DOUBLE AS clustering
          |FROM wed, ec, tri""".stripMargin,
+    "graph_item_recs" ->
+      s"""WITH $graphCte,
+         |pc AS (SELECT p AS node, count(*)::BIGINT AS n_ord
+         |       FROM op GROUP BY 1),
+         |symw AS (SELECT a AS part, b AS rec, w FROM ed
+         |         UNION ALL SELECT b, a, w FROM ed)
+         |SELECT part, rec, w, jaccard, rk FROM (
+         |  SELECT s.part, s.rec, s.w,
+         |    s.w::DOUBLE / (na.n_ord + nb.n_ord - s.w)::DOUBLE AS jaccard,
+         |    row_number() OVER (PARTITION BY s.part
+         |      ORDER BY s.w::DOUBLE
+         |        / (na.n_ord + nb.n_ord - s.w)::DOUBLE DESC,
+         |        s.rec)::BIGINT AS rk
+         |  FROM symw s
+         |  JOIN pc na ON na.node = s.part
+         |  JOIN pc nb ON nb.node = s.rec)
+         |WHERE rk <= $RecsTopK""".stripMargin,
     "graph_pagerank" -> {
       val rounds = (1 to PrIters).map(i =>
         s"r$i AS MATERIALIZED (\n${prRound(s"r${i - 1}")})").mkString(",\n")

@@ -87,6 +87,19 @@ class GraphSpec extends SparkSpecBase {
     Materialize.release(ed)
   }
 
+  test("item recs: hand-checked Jaccard on the tiny graph") {
+    // n_ord: p1=1 p2=1 p3=2 p4=1; jaccard: (1,2)=1.0, (1,3)=(2,3)=(3,4)=0.5
+    val recs = Graph.itemRecsOf(tinyLineitem, Graph.edgesOf(tinyLineitem))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(3), r.getLong(4)))
+    val byPart = recs.groupBy(_._1)
+    assert(byPart(1L).sortBy(_._4).map(t => (t._2, t._3)).toSeq ==
+      Seq((2L, 1.0), (3L, 0.5)), s"${byPart(1L).toSeq}")
+    // part 3's neighbors all tie at 0.5 -> rec-id order, capped at k
+    assert(byPart(3L).sortBy(_._4).map(_._2).toSeq == Seq(1L, 2L, 4L))
+    assert(recs.forall(_._4 <= Graph.RecsTopK))
+  }
+
   test("edge derivation is basket-local: no lineitem self-join") {
     // edgesOf directly: the cached `edges` entry point is a checkpoint
     // leaf, which would make this assertion vacuous
