@@ -379,14 +379,150 @@ object Sketch {
         abs(col("est_v") - col("exact_v")).as("abs_err"))
   }
 
+  // ---- KMV set operations (audience overlap) ----
+
+  /** KMV sketch size for [[audienceKmv]]. 64 against the fixture's
+    * per-type audiences (150 distinct users at sf0.01, 15 at sf0.001)
+    * puts sf0.01+ pairs in the ESTIMATE regime (union > k) while
+    * sf0.001 lands in the exact small-set regime — both branches
+    * exercised and hash-gated, the [[distinctHll]] dual-regime
+    * discipline. Expected relative error ≈ 1/√64 ≈ 12%; production
+    * sizes k for the error it needs.
+    */
+  val KmvAudK = 64
+
+  /** Audience-overlap estimation via KMV θ-sketch SET OPERATIONS —
+    * the capability that picks KMV over HLL: HLL registers union but
+    * never intersect, while two KMV sketches merge (union = k smallest
+    * of either) AND intersect (Beyer et al., SIGMOD 2007: ρ = the
+    * fraction of the merged sketch present in both sides, and
+    * |A ∩ B| ≈ ρ · |A ∪ B|_est). For every event-type pair:
+    * (type_a, type_b, n_a, n_b, inter_exact, union_exact, union_est,
+    * inter_est) — exact sides are the audit baseline, the sketches are
+    * the scale path.
+    *
+    * Scale shape: ONE distinct projection of events (map-side partial
+    * dedup), one per-type rank window bounded to ≤ k rows per type
+    * (WindowGroupLimit — the [[graft.operators.TextOps.distinctKmvOf]]
+    * shape), then everything downstream touches only |types|·k sketch
+    * rows: the pair merge, the re-rank, and the 10-row estimate table.
+    * At 100 TB the sketches are what ships between shards — k doubles
+    * per audience, mergeable by union + re-limit.
+    *
+    * Determinism: hashes are the exact [[graft.functions.Md5Uniform]]
+    * doubles (x/2³² — exact in IEEE), counts are integers, θ is a max,
+    * and the estimators are fixed trees of exactly-rounded divisions —
+    * bit-identical in DuckDB, so the approximation itself sits behind
+    * the hash gate.
+    */
+  def audienceKmv(spark: SparkSession, dir: String): DataFrame =
+    audienceKmvOf(Tables(spark, dir, "events")
+      .select(col("event_type").as("t"), col("user_id")))
+
+  def audienceKmvOf(members: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val du = members.select(col("t"), col("user_id")).distinct()
+    val h = du.withColumn("u",
+      graft.functions.Md5Uniform.uniform(col("user_id")))
+    val sk = h
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("t").orderBy(col("u"), col("user_id"))))
+      .where(col("rk") <= KmvAudK)
+      .select(col("t"), col("u"))
+    val ty = du.select("t").distinct()
+    val pr = ty.select(col("t").as("ta"))
+      .crossJoin(ty.select(col("t").as("tb")))
+      .where(col("ta") < col("tb"))
+    // merged sketch per pair: distinct hashes of either side with
+    // membership flags, re-ranked to the k smallest
+    val m = pr.join(sk, sk("t") === col("ta") || sk("t") === col("tb"))
+      .groupBy("ta", "tb", "u")
+      .agg(max(when(col("t") === col("ta"), 1).otherwise(0)).as("ina"),
+        max(when(col("t") === col("tb"), 1).otherwise(0)).as("inb"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("ta", "tb").orderBy("u")))
+      .where(col("rk") <= KmvAudK)
+    val agg = m.groupBy("ta", "tb")
+      .agg(count(lit(1)).as("nm"), max(col("u")).as("theta"),
+        sum(col("ina") * col("inb")).as("c"))
+    val na = du.groupBy(col("t").as("ta")).agg(count(lit(1)).as("n_a"))
+    val nb = du.groupBy(col("t").as("tb")).agg(count(lit(1)).as("n_b"))
+    val xi = du.select(col("t").as("ta"), col("user_id"))
+      .join(du.select(col("t").as("tb"), col("user_id")), "user_id")
+      .where(col("ta") < col("tb"))
+      .groupBy("ta", "tb").agg(count(lit(1)).as("inter_exact"))
+    val unionEst = when(col("nm") < KmvAudK, col("nm").cast("double"))
+      .otherwise(lit((KmvAudK - 1).toDouble) / col("theta"))
+    val interEst = when(col("nm") < KmvAudK, col("c").cast("double"))
+      .otherwise((col("c").cast("double") / lit(KmvAudK.toDouble))
+        * (lit((KmvAudK - 1).toDouble) / col("theta")))
+    agg.join(na, "ta").join(nb, "tb")
+      .join(xi, Seq("ta", "tb"), "left")
+      .select(col("ta").as("type_a"), col("tb").as("type_b"),
+        col("n_a"), col("n_b"),
+        coalesce(col("inter_exact"), lit(0L)).as("inter_exact"),
+        (col("n_a") + col("n_b")
+          - coalesce(col("inter_exact"), lit(0L))).as("union_exact"),
+        unionEst.as("union_est"), interEst.as("inter_est"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "llm_heavy_hitters" -> heavyHitters,
     "llm_quantile_sketch" -> quantileSketch,
     "llm_distinct_hll" -> distinctHll,
-    "llm_group_quantiles" -> groupQuantiles
+    "llm_group_quantiles" -> groupQuantiles,
+    "llm_audience_kmv" -> audienceKmv
   )
 
   val oracle: Map[String, String] = Map(
+    "llm_audience_kmv" -> {
+      val u = graft.functions.Md5Uniform.sql("user_id::VARCHAR")
+      s"""WITH du AS (
+         |  SELECT DISTINCT event_type AS t, user_id FROM events),
+         |h AS (SELECT t, user_id, $u AS u FROM du),
+         |sk AS (SELECT t, u FROM (
+         |  SELECT t, u, row_number() OVER (PARTITION BY t
+         |    ORDER BY u, user_id) AS rk FROM h)
+         |  WHERE rk <= $KmvAudK),
+         |ty AS (SELECT DISTINCT t FROM du),
+         |pr AS (SELECT a.t AS ta, b.t AS tb
+         |       FROM ty a JOIN ty b ON a.t < b.t),
+         |m0 AS (
+         |  SELECT pr.ta, pr.tb, sk.u,
+         |    max(CASE WHEN sk.t = pr.ta THEN 1 ELSE 0 END) AS ina,
+         |    max(CASE WHEN sk.t = pr.tb THEN 1 ELSE 0 END) AS inb
+         |  FROM pr JOIN sk ON sk.t = pr.ta OR sk.t = pr.tb
+         |  GROUP BY 1, 2, 3),
+         |m AS (SELECT * FROM (
+         |  SELECT m0.*, row_number() OVER (PARTITION BY ta, tb
+         |    ORDER BY u) AS rk FROM m0)
+         |  WHERE rk <= $KmvAudK),
+         |agg AS (
+         |  SELECT ta, tb, count(*)::BIGINT AS nm, max(u) AS theta,
+         |    sum(ina * inb)::BIGINT AS c
+         |  FROM m GROUP BY 1, 2),
+         |na AS (SELECT t AS ta, count(*)::BIGINT AS n_a
+         |       FROM du GROUP BY 1),
+         |nb AS (SELECT t AS tb, count(*)::BIGINT AS n_b
+         |       FROM du GROUP BY 1),
+         |xi AS (
+         |  SELECT a.t AS ta, b.t AS tb, count(*)::BIGINT AS inter_exact
+         |  FROM du a JOIN du b
+         |    ON a.user_id = b.user_id AND a.t < b.t
+         |  GROUP BY 1, 2)
+         |SELECT agg.ta AS type_a, agg.tb AS type_b, n_a, n_b,
+         |  coalesce(inter_exact, 0)::BIGINT AS inter_exact,
+         |  (n_a + n_b - coalesce(inter_exact, 0))::BIGINT AS union_exact,
+         |  CASE WHEN nm < $KmvAudK THEN nm::DOUBLE
+         |       ELSE ${(KmvAudK - 1).toDouble}e0 / theta END AS union_est,
+         |  CASE WHEN nm < $KmvAudK THEN c::DOUBLE
+         |       ELSE (c::DOUBLE / ${KmvAudK.toDouble}e0)
+         |         * (${(KmvAudK - 1).toDouble}e0 / theta) END AS inter_est
+         |FROM agg
+         |JOIN na ON na.ta = agg.ta
+         |JOIN nb ON nb.tb = agg.tb
+         |LEFT JOIN xi ON xi.ta = agg.ta AND xi.tb = agg.tb""".stripMargin
+    },
     "llm_group_quantiles" -> {
       val u = graft.functions.Md5Uniform.sql("doc_id::VARCHAR")
       def discs(prefix: String) = GQQs.zipWithIndex

@@ -148,6 +148,34 @@ class SketchSpec extends SparkSpecBase {
     }
   }
 
+  test("kmv audience overlap: exact regime identity + estimate band") {
+    import spark.implicits._
+    // sf0.001: 15 users per type < k -> the sketch IS the set; both
+    // estimators must return the exact values
+    Sketch.audienceKmv(spark, Sf).collect().foreach { r =>
+      assert(r.getDouble(6) == r.getLong(5).toDouble,
+        s"union_est != union_exact in exact regime: $r")
+      assert(r.getDouble(7) == r.getLong(4).toDouble,
+        s"inter_est != inter_exact in exact regime: $r")
+    }
+    // synthetic big audiences force the estimate regime: 1200 users in
+    // A (even ids < 2400) and B (multiples of 3 < 3600); true
+    // inter = multiples of 6 below 2400 = 400, union = 2000
+    val members = ((0 until 2400 by 2).map(i => ("a", i.toLong)) ++
+      (0 until 3600 by 3).map(i => ("b", i.toLong)))
+      .toDF("t", "user_id")
+    val r = Sketch.audienceKmvOf(members).head()
+    assert(r.getLong(2) == 1200 && r.getLong(3) == 1200)
+    assert(r.getLong(4) == 400 && r.getLong(5) == 2000)
+    val (ue, ie) = (r.getDouble(6), r.getDouble(7))
+    assert(math.abs(ue - 2000) / 2000 < 0.4, s"union_est=$ue")
+    // intersection noise: c ~ Binomial(k, rho) with rho = 400/2000, so
+    // sigma(c)/E[c] = sqrt((1-rho)/(k*rho)) ~ 25% -> a 3-sigma band is
+    // ~75%; the md5 draw is deterministic (measured 0.69 high), the
+    // band just documents the k=64 error theory instead of the draw
+    assert(ie > 0 && math.abs(ie - 400) / 400 < 0.8, s"inter_est=$ie")
+  }
+
   test("hll register table is bounded at m rows per scope") {
     val docs = graft.Tables(spark, Sf, "documents")
     val words = docs.select(col("source").as("scope"),
