@@ -99,6 +99,14 @@ class PlanShapeSpec extends SparkSpecBase {
     assert(!p.contains("Exchange"), s"per-doc stat plan shuffles:\n$p")
   }
 
+  test("kmv audiences: both rank windows prune map-side, pairs broadcast") {
+    val p = finalPlan(graft.operators.Sketch.audienceKmv(spark, Sf))
+    // the per-type k-smallest filter and the per-pair merged-sketch
+    // re-rank must both prune before their exchanges (the pair/flag
+    // joins over <= |types|*k sketch rows are free to broadcast)
+    assert(p.contains("WindowGroupLimit"), p)
+  }
+
   test("per-stratum top-N sample prunes map-side via WindowGroupLimit") {
     val p = finalPlan(graft.operators.Curation.sampleTopN(spark, Sf))
     assert(p.contains("WindowGroupLimit"), p)
