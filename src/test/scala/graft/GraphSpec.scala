@@ -87,6 +87,43 @@ class GraphSpec extends SparkSpecBase {
     Materialize.release(ed)
   }
 
+  test("random graphs: census matches Scala brute force, rank mass bounded") {
+    val rnd = new scala.util.Random(42)
+    for (_ <- 1 to 4) {
+      val n = 8 + rnd.nextInt(8)
+      val edges = (for {
+        a <- 1 to n; b <- (a + 1) to n if rnd.nextDouble() < 0.35
+      } yield (a.toLong, b.toLong)).toSeq
+      if (edges.nonEmpty) {
+        val df = edges.toDF("a", "b").withColumn("w", lit(1L))
+        val r = Graph.trianglesOf(df).head()
+        val es = edges.toSet
+        def has(x: Long, y: Long) =
+          es.contains((math.min(x, y), math.max(x, y)))
+        val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct.sorted
+        val triBrute = (for {
+          i <- nodes; j <- nodes if i < j && has(i, j)
+          k <- nodes if j < k && has(j, k) && has(i, k)
+        } yield 1).size
+        assert(r.getLong(3) == triBrute, s"n=$n edges=$edges")
+        val wedges = edges.flatMap(e => Seq(e._1, e._2))
+          .groupBy(identity).values.map(g => g.size.toLong * (g.size - 1) / 2)
+          .sum
+        assert(r.getLong(2) == wedges, s"wedges n=$n")
+        // integer PageRank only ever rounds down: total mass is at most
+        // n*scale and within the (tiny) cumulative DIV losses of it
+        val ranks = Graph.pagerankOf(df).collect().map(_.getLong(1))
+        assert(ranks.length == math.min(nodes.size, Graph.PrTopK))
+        if (nodes.size <= Graph.PrTopK) {
+          val total = ranks.sum
+          assert(total <= nodes.size.toLong * Graph.PrScale)
+          assert(total > nodes.size.toLong * Graph.PrScale - 1000000L,
+            s"mass leak: $total vs ${nodes.size.toLong * Graph.PrScale}")
+        }
+      }
+    }
+  }
+
   test("item recs: hand-checked Jaccard on the tiny graph") {
     // n_ord: p1=1 p2=1 p3=2 p4=1; jaccard: (1,2)=1.0, (1,3)=(2,3)=(3,4)=0.5
     val recs = Graph.itemRecsOf(tinyLineitem, Graph.edgesOf(tinyLineitem))
