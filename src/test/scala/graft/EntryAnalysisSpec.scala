@@ -30,4 +30,15 @@ class EntryAnalysisSpec extends SparkSpecBase {
     val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
     assert(orphans.isEmpty, s"oracleSql without queries: $orphans")
   }
+
+  test("rows-only entries are exactly the documented allow-list") {
+    // every query must carry an oracle unless it is one of the three
+    // SGD-family trainers whose rows-only status is documented in
+    // SURVEY.md §5 — a new entry missing its oracle fails HERE, not
+    // silently as a weaker rows-only row in the driver's gate
+    val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    assert(rowsOnly == Set("sgd_linreg_theta", "sgd_logreg_theta",
+      "llm_quality_train"),
+      s"undocumented rows-only entries: $rowsOnly")
+  }
 }
