@@ -819,6 +819,81 @@ object Streams {
       }
   }
 
+  /** Paths reported per length by [[frequentPaths]]. */
+  val PathTopK = 10
+
+  /** Sequential pattern mining over user event streams — the SEQUENCE
+    * sibling of the reference's Apriori itemset mining (GSP/PrefixSpan
+    * lineage, Srikant & Agrawal EDBT '96): for every consecutive
+    * event-type path of length 2 and 3, its support = the number of
+    * DISTINCT users whose timeline contains it (the standard
+    * sequence-support definition), reported as the top-[[PathTopK]]
+    * per length with the user fraction.
+    * (k, path, support, n_users, support_frac, rk).
+    *
+    * Scale shape: ONE shuffle by user_id for the ordered window (the
+    * per-user discipline every stream entry shares), row-local lead()
+    * path assembly, a distinct on (user, path) — map-side partial —
+    * and a bounded groupBy (≤ |types|^3 paths). The final rank window
+    * partitions by k over that bounded table. Consecutive-only paths
+    * by design: gapped subsequences explode combinatorially at
+    * 100 TB; the consecutive spelling is what funnels/journeys need
+    * and keeps the generator row-local.
+    *
+    * Determinism: integer supports, one exactly-rounded division for
+    * the fraction, ties break on path text.
+    */
+  def frequentPaths(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts_us"), col("event_id"))
+    val seq = withEventTime(events)
+      .select(col("user_id"), col("event_type").as("t0"),
+        lead(col("event_type"), 1).over(w).as("t1"),
+        lead(col("event_type"), 2).over(w).as("t2"))
+    val bi = seq.where(col("t1").isNotNull)
+      .select(col("user_id"), lit(2L).as("k"),
+        concat_ws(">", col("t0"), col("t1")).as("path"))
+    val tri = seq.where(col("t2").isNotNull)
+      .select(col("user_id"), lit(3L).as("k"),
+        concat_ws(">", col("t0"), col("t1"), col("t2")).as("path"))
+    val support = bi.union(tri).distinct()
+      .groupBy("k", "path").agg(count(lit(1)).as("support"))
+    val nUsers = events.agg(
+      countDistinct(col("user_id")).as("n_users"))
+    support.crossJoin(broadcast(nUsers))
+      .select(col("k"), col("path"), col("support"), col("n_users"),
+        (col("support").cast("double") / col("n_users").cast("double"))
+          .as("support_frac"))
+      .withColumn("rk", row_number().over(Window.partitionBy("k")
+        .orderBy(col("support").desc, col("path"))).cast("long"))
+      .where(col("rk") <= PathTopK)
+  }
+
+  /** First-order Markov transition table over consecutive user events:
+    * (cur_type, next_type, n_pairs, out_total, p) with
+    * p = P(next | cur) — the "what happens after X" table a funnel
+    * designer reads before hard-coding stages. Same one-shuffle
+    * ordered-window shape as [[frequentPaths]]; the output is
+    * |types|² rows and p is a single exactly-rounded division over
+    * the window-summed denominator.
+    */
+  def eventMarkov(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts_us"), col("event_id"))
+    withEventTime(events)
+      .select(col("event_type").as("cur_type"),
+        lead(col("event_type"), 1).over(w).as("next_type"))
+      .where(col("next_type").isNotNull)
+      .groupBy("cur_type", "next_type")
+      .agg(count(lit(1)).as("n_pairs"))
+      .withColumn("out_total",
+        sum(col("n_pairs")).over(Window.partitionBy("cur_type")))
+      .select(col("cur_type"), col("next_type"), col("n_pairs"),
+        col("out_total"),
+        (col("n_pairs").cast("double") / col("out_total").cast("double"))
+          .as("p"))
+  }
+
   private def events(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir, "events")
 
@@ -888,6 +963,10 @@ object Streams {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_frequent_paths" ->
+      ((s: SparkSession, d: String) => frequentPaths(events(s, d))),
+    "stream_event_markov" ->
+      ((s: SparkSession, d: String) => eventMarkov(events(s, d))),
     "stream_distinct_users" ->
       ((s: SparkSession, d: String) => distinctUsers(events(s, d))),
     "stream_tumbling_stats" ->
@@ -934,6 +1013,52 @@ object Streams {
   )
 
   val oracle: Map[String, String] = Map(
+    "stream_frequent_paths" ->
+      s"""WITH seq AS (
+         |  SELECT user_id, event_type AS t0,
+         |    lead(event_type, 1) OVER (PARTITION BY user_id
+         |      ORDER BY epoch_us(ts), event_id) AS t1,
+         |    lead(event_type, 2) OVER (PARTITION BY user_id
+         |      ORDER BY epoch_us(ts), event_id) AS t2
+         |  FROM events),
+         |paths AS (
+         |  SELECT DISTINCT user_id, 2::BIGINT AS k,
+         |    t0 || '>' || t1 AS path
+         |  FROM seq WHERE t1 IS NOT NULL
+         |  UNION
+         |  SELECT DISTINCT user_id, 3::BIGINT AS k,
+         |    t0 || '>' || t1 || '>' || t2 AS path
+         |  FROM seq WHERE t2 IS NOT NULL),
+         |sup AS (
+         |  SELECT k, path, count(*)::BIGINT AS support
+         |  FROM paths GROUP BY 1, 2),
+         |nu AS (SELECT count(DISTINCT user_id)::BIGINT AS n_users
+         |       FROM events)
+         |SELECT k, path, support, n_users,
+         |  support::DOUBLE / n_users::DOUBLE AS support_frac, rk
+         |FROM (
+         |  SELECT sup.*, n_users,
+         |    row_number() OVER (PARTITION BY k
+         |      ORDER BY support DESC, path)::BIGINT AS rk
+         |  FROM sup CROSS JOIN nu)
+         |WHERE rk <= $PathTopK""".stripMargin,
+    "stream_event_markov" ->
+      """WITH pairs AS (
+        |  SELECT event_type AS cur_type,
+        |    lead(event_type, 1) OVER (PARTITION BY user_id
+        |      ORDER BY epoch_us(ts), event_id) AS next_type
+        |  FROM events),
+        |c AS (
+        |  SELECT cur_type, next_type, count(*)::BIGINT AS n_pairs
+        |  FROM pairs WHERE next_type IS NOT NULL
+        |  GROUP BY 1, 2)
+        |SELECT cur_type, next_type, n_pairs,
+        |  (sum(n_pairs) OVER (PARTITION BY cur_type))::BIGINT
+        |    AS out_total,
+        |  n_pairs::DOUBLE
+        |    / (sum(n_pairs) OVER (PARTITION BY cur_type))::BIGINT::DOUBLE
+        |    AS p
+        |FROM c""".stripMargin,
     "stream_distinct_users" -> {
       import graft.operators.Sketch
       val w1 = Sketch.HllW + 1

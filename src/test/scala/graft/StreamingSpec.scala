@@ -724,4 +724,38 @@ class StreamingSpec extends SparkSpecBase {
     // and the merge actually changed something
     assert(streamed != rows(docs))
   }
+
+  test("frequent paths and markov transitions: hand-checked sequences") {
+    val s = spark; import s.implicits._
+    // user 1: a b a c   user 2: a b  (consecutive pairs:
+    // a->b x2, b->a x1, a->c x1)
+    val evs = Seq(
+      ev(1, 1 * MinNs, 1, "a"), ev(2, 2 * MinNs, 1, "b"),
+      ev(3, 3 * MinNs, 1, "a"), ev(4, 4 * MinNs, 1, "c"),
+      ev(5, 1 * MinNs, 2, "a"), ev(6, 2 * MinNs, 2, "b")).toDF()
+    val paths = Streams.frequentPaths(evs).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(5)))
+    val b = paths.filter(_._1 == 2L)
+    assert(b.map(p => p._2 -> p._3).toMap ==
+      Map("a>b" -> 2L, "b>a" -> 1L, "a>c" -> 1L))
+    assert(b.forall(_._4 == 2L), "n_users")
+    // rank 1 is the highest-support path; ties break on path text
+    assert(b.find(_._5 == 1L).get._2 == "a>b")
+    val t = paths.filter(_._1 == 3L)
+    assert(t.map(p => p._2 -> p._3).toMap ==
+      Map("a>b>a" -> 1L, "b>a>c" -> 1L))
+    val mk = Streams.eventMarkov(evs).collect()
+      .map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(mk(("a", "b")) == ((2L, 3L, 2.0 / 3.0)))
+    assert(mk(("a", "c")) == ((1L, 3L, 1.0 / 3.0)))
+    assert(mk(("b", "a")) == ((1L, 1L, 1.0)))
+    assert(mk.size == 3)
+    // per-cur probabilities sum to 1 exactly on these denominators
+    val bySrc = mk.toSeq.groupBy(_._1._1)
+    bySrc.foreach { case (src, rows) =>
+      assert(math.abs(rows.map(_._2._3).sum - 1.0) < 1e-12, src)
+    }
+  }
 }
