@@ -12,6 +12,8 @@ import graft.Tables
 case class UserMoments(n: Long, s1: Double, s2: Double)
 case class ScoredEvent(event_id: Long, user_id: Long, value: Double,
     n_prior: Long, mean_v: Double, var_v: Double)
+case class PathTail(t1: String, t2: String)
+case class PathObs(user_id: Long, k: Long, path: String)
 case class SessionEvent(user_id: Long, event_id: Long, ts_us: Long,
     ts_ts: java.sql.Timestamp)
 case class OpenSession(start_us: Long, last_us: Long, n_events: Long)
@@ -867,6 +869,54 @@ object Streams {
       .withColumn("rk", row_number().over(Window.partitionBy("k")
         .orderBy(col("support").desc, col("path"))).cast("long"))
       .where(col("rk") <= PathTopK)
+  }
+
+  /** The path generator as it runs under `readStream`: per-user state
+    * is just the LAST TWO event types (O(users) state, the
+    * [[valueOutliersStreaming]] class), and each arriving event emits
+    * the bigram/trigram observations it completes — so the union of
+    * emissions over any in-order wave split equals the batch
+    * [[frequentPaths]] pre-aggregation stream (spec-pinned), and the
+    * support aggregation is the incremental sink-side distinct count.
+    * Within a micro-batch, events sort by event time; ACROSS batches
+    * the state tail assumes in-order delivery per user — a production
+    * run fronts this with the watermark delay, the same arrival
+    * contract the online outlier scorer documents.
+    */
+  def pathObservationsStreaming(
+      events: DataFrame): org.apache.spark.sql.Dataset[PathObs] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    withEventTime(events)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("ts_us"))
+      .as[(Long, Long, String, Long)]
+      .groupByKey(_._2)
+      .flatMapGroupsWithState[PathTail, PathObs](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, it: Iterator[(Long, Long, String, Long)],
+            state: GroupState[PathTail]) =>
+          val arriving = it.toSeq.sortBy(e => (e._4, e._1)).map(_._3)
+          val prior = state.getOption
+            .map(s => Seq(Option(s.t1), Option(s.t2)).flatten)
+            .getOrElse(Seq.empty)
+          val seq = (prior ++ arriving).toIndexedSeq
+          val out = Seq.newBuilder[PathObs]
+          // every 2-/3-window whose LAST element is a new arrival
+          for (i <- prior.length until seq.length) {
+            if (i >= 1)
+              out += PathObs(user, 2L,
+                seq(i - 1) + ">" + seq(i))
+            if (i >= 2)
+              out += PathObs(user, 3L,
+                seq(i - 2) + ">" + seq(i - 1) + ">" + seq(i))
+          }
+          val tail = seq.takeRight(2)
+          state.update(
+            if (tail.length == 2) PathTail(tail(0), tail(1))
+            else PathTail(null, tail.headOption.orNull))
+          out.result().iterator
+      }
   }
 
   /** First-order Markov transition table over consecutive user events:

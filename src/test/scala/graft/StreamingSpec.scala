@@ -725,6 +725,34 @@ class StreamingSpec extends SparkSpecBase {
     assert(streamed != rows(docs))
   }
 
+  test("path observations stream incrementally across waves == batch") {
+    val s = spark; import s.implicits._
+    implicit val ctx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val q = Streams.pathObservationsStreaming(mem.toDF())
+      .writeStream.format("memory").queryName("path_obs_test")
+      .outputMode("append").start()
+    try {
+      // wave 1 ends mid-sequence; wave 2 completes paths that SPAN the
+      // wave boundary (c after a,b -> a>b>c only if state carried)
+      mem.addData(ev(1, 1 * MinNs, 1, "a"), ev(2, 2 * MinNs, 1, "b"),
+        ev(5, 1 * MinNs, 2, "x"))
+      q.processAllAvailable()
+      mem.addData(ev(3, 3 * MinNs, 1, "c"), ev(4, 4 * MinNs, 1, "a"),
+        ev(6, 2 * MinNs, 2, "y"))
+      q.processAllAvailable()
+      val got = spark.table("path_obs_test").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+      // full per-user sequences: u1 = a b c a, u2 = x y
+      val expected = Seq(
+        (1L, 2L, "a>b"), (1L, 2L, "b>c"), (1L, 2L, "c>a"),
+        (1L, 3L, "a>b>c"), (1L, 3L, "b>c>a"),
+        (2L, 2L, "x>y"))
+      assert(got.sorted.toSeq == expected.sorted,
+        s"got: ${got.sorted.mkString(",")}")
+    } finally q.stop()
+  }
+
   test("frequent paths and markov transitions: hand-checked sequences") {
     val s = spark; import s.implicits._
     // user 1: a b a c   user 2: a b  (consecutive pairs:
