@@ -282,11 +282,37 @@ object Graph {
       .where(col("rk") <= RecsTopK)
   }
 
+  /** Minimum co-purchase multiplicity for a "strong" edge. One shared
+    * order is noise at fixture scale (the w = 1 graph is one giant
+    * blob); requiring two fragments it into real product families.
+    */
+  val StrongW = 2L
+
+  /** Component-size histogram (size, n_components) of the STRONG-edge
+    * co-purchase graph — the product-family census. Components come
+    * from [[Dedup.clustersOf]]'s hash-min label-propagation loop
+    * (iterate-until-converged with per-round checkpoint + release —
+    * the proven machinery, reused rather than re-derived); the DuckDB
+    * oracle computes the same partition via a recursive transitive
+    * closure + min label, so convergence itself is hash-checked.
+    * Isolated nodes never enter (every labeled node has a strong
+    * edge), so sizes start at 2.
+    */
+  def components(spark: SparkSession, dir: String): DataFrame =
+    componentsOf(edges(spark, dir))
+
+  def componentsOf(ed: DataFrame): DataFrame =
+    Dedup.clustersOf(ed.where(col("w") >= StrongW)
+      .select(col("a").as("doc_a"), col("b").as("doc_b")))
+      .groupBy("cluster_id").agg(count(lit(1)).as("size"))
+      .groupBy("size").agg(count(lit(1)).as("n_components"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "graph_degrees" -> degrees,
     "graph_triangles" -> triangles,
     "graph_pagerank" -> pagerank,
-    "graph_item_recs" -> itemRecs
+    "graph_item_recs" -> itemRecs,
+    "graph_components" -> components
   )
 
   /** Shared oracle CTEs: per-order distinct parts, canonical a < b
@@ -335,6 +361,21 @@ object Graph {
          |SELECT n_nodes, n_edges, n_wedges, n_triangles,
          |  (3 * n_triangles)::DOUBLE / n_wedges::DOUBLE AS clustering
          |FROM wed, ec, tri""".stripMargin,
+    "graph_components" ->
+      s"""WITH RECURSIVE
+         |$graphCte,
+         |sp AS (SELECT a, b FROM ed WHERE w >= $StrongW),
+         |se AS (SELECT a, b FROM sp UNION SELECT b, a FROM sp),
+         |reach(a, b) AS (
+         |  SELECT DISTINCT a, a FROM se
+         |  UNION
+         |  SELECT r.a, e.b FROM reach r JOIN se e ON r.b = e.a),
+         |lbl AS (SELECT a AS node, min(b) AS cluster_id
+         |        FROM reach GROUP BY a),
+         |cs AS (SELECT cluster_id, count(*)::BIGINT AS size
+         |       FROM lbl GROUP BY 1)
+         |SELECT size, count(*)::BIGINT AS n_components
+         |FROM cs GROUP BY 1""".stripMargin,
     "graph_item_recs" ->
       s"""WITH $graphCte,
          |pc AS (SELECT p AS node, count(*)::BIGINT AS n_ord

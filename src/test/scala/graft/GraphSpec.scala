@@ -137,6 +137,21 @@ class GraphSpec extends SparkSpecBase {
     assert(recs.forall(_._4 <= Graph.RecsTopK))
   }
 
+  test("components: strong-edge families, hand-checked histogram") {
+    // w=2 edges: (1,2) from orders 10/11, (3,4) from 12/13, (4,5) from
+    // 14/15 -> components {1,2} and {3,4,5}; the w=1 edge (6,7) from
+    // order 16 must NOT merge anything
+    val li = Seq(
+      (10L, 1L), (10L, 2L), (11L, 1L), (11L, 2L),
+      (12L, 3L), (12L, 4L), (13L, 3L), (13L, 4L),
+      (14L, 4L), (14L, 5L), (15L, 4L), (15L, 5L),
+      (16L, 6L), (16L, 7L))
+      .toDF("l_orderkey", "l_partkey")
+    val hist = Graph.componentsOf(Graph.edgesOf(li)).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hist == Map(2L -> 1L, 3L -> 1L), s"$hist")
+  }
+
   test("edge derivation is basket-local: no lineitem self-join") {
     // edgesOf directly: the cached `edges` entry point is a checkpoint
     // leaf, which would make this assertion vacuous
