@@ -1351,7 +1351,44 @@ object Curation {
       .select("doc_id", "bucket", "n_tokens", "stage")
   }
 
+  /** k-anonymity threshold for [[kAnonymity]]: a quasi-identifier
+    * combination shared by fewer than K documents is a
+    * re-identification risk (Sweeney 2002).
+    */
+  val AnonK = 5L
+
+  /** Width of the length bucket joining the quasi-identifier tuple. */
+  val AnonLenBucket = 20L
+
+  /** Training-data governance audit: k-anonymity over the release
+    * metadata a corpus card exposes — every (lang, source,
+    * length-bucket) quasi-identifier combination with its document
+    * count and the at-risk flag (n < [[AnonK]]). The companion to the
+    * row-level [[graft.operators.TextOps.piiScrub]]: scrubbing hides
+    * values INSIDE documents, while rare metadata combinations leak
+    * identity BETWEEN them — a release gate reads this table and
+    * coarsens or drops the flagged cells before publishing.
+    *
+    * Scale shape: one row-local bucket projection + one
+    * map-side-combined groupBy; output bounded by
+    * |langs|·|sources|·|buckets|. Exact integers throughout.
+    */
+  def kAnonymity(spark: SparkSession, dir: String): DataFrame =
+    kAnonymityOf(Tables(spark, dir, "documents")
+      .select("lang", "source", "text"))
+
+  def kAnonymityOf(corpus: DataFrame): DataFrame =
+    corpus
+      .select(col("lang"), col("source"),
+        expr(s"cast(size(split(text, ' ')) AS bigint)" +
+          s" DIV $AnonLenBucket * $AnonLenBucket").as("len_bucket"))
+      .groupBy("lang", "source", "len_bucket")
+      .agg(count(lit(1)).as("n_docs"))
+      .select(col("lang"), col("source"), col("len_bucket"),
+        col("n_docs"), (col("n_docs") < AnonK).as("at_risk"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "llm_k_anonymity" -> kAnonymity,
     "llm_curriculum" -> curriculum,
     "llm_pipeline_incremental" -> pipelineIncremental,
     "llm_pipeline_tokens" -> pipelineTokens,
@@ -1713,6 +1750,16 @@ GROUP BY split"""
        |GROUP BY d.source""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "llm_k_anonymity" ->
+      s"""SELECT lang, source, len_bucket, n_docs,
+         |  n_docs < $AnonK AS at_risk
+         |FROM (
+         |  SELECT lang, source,
+         |    len(string_split(text, ' '))::BIGINT
+         |      // $AnonLenBucket * $AnonLenBucket AS len_bucket,
+         |    count(*)::BIGINT AS n_docs
+         |  FROM documents
+         |  GROUP BY 1, 2, 3)""".stripMargin,
     "llm_curriculum" ->
       s"""WITH base AS (
          |  SELECT doc_id,

@@ -28,7 +28,7 @@ import graft.{Materialize, Tables}
   *
   * Determinism: every number in the family is exact integer arithmetic
   * (counts, integer DIV) or a single exactly-rounded IEEE division, so
-  * all three entries sit behind the DuckDB hash gate bit-for-bit — the
+  * every entry sits behind the DuckDB hash gate bit-for-bit — the
   * [[Dsir]] integer-scaling discipline applied to PageRank.
   */
 object Graph {

@@ -538,4 +538,21 @@ class CurationSpec extends SparkSpecBase {
     assert(got.sortBy(_._1).toSeq === expect.toSeq)
     assert(got.map(_._3).sum === total / stride)
   }
+
+  test("k-anonymity: partition of the corpus, at_risk iff n < K") {
+    val rows = Curation.kAnonymity(spark, Sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getBoolean(4)))
+    assert(rows.nonEmpty)
+    // the QI cells partition the corpus exactly
+    val corpusN = Tables(spark, Sf, "documents").count()
+    assert(rows.map(_._4).sum == corpusN)
+    // flag is exactly the threshold predicate, buckets are aligned
+    rows.foreach { case (_, _, bucket, n, risk) =>
+      assert(risk == (n < Curation.AnonK))
+      assert(bucket % Curation.AnonLenBucket == 0 && bucket >= 0)
+    }
+    // and the fixture actually exercises both flag values
+    assert(rows.exists(_._5) && rows.exists(!_._5))
+  }
 }
