@@ -261,10 +261,13 @@ object Streams {
       count(lit(1)).as("n_events"),
       dsum(col("value")).as("sum_value"))
     val mx = per.agg(max(col("last_us")).as("mx"))
-    val base = per.crossJoin(broadcast(mx))
+    // |users| rows, consumed ten times (three quantile selections of
+    // three passes each + the final scoring pass): cut it once so the
+    // event-scale aggregation runs once, not per consumer
+    val base = graft.Materialize.Local(per.crossJoin(broadcast(mx))
       .select(col("user_id"),
         (col("mx") - col("last_us")).as("recency_us"),
-        col("n_events"), col("sum_value"))
+        col("n_events"), col("sum_value")))
     def bounds(c: String): Seq[Double] =
       graft.operators.Sketch
         .exactQuantilesOf(base.select(col(c).cast("double").as("v")),
