@@ -307,12 +307,47 @@ object Graph {
       .groupBy("cluster_id").agg(count(lit(1)).as("size"))
       .groupBy("size").agg(count(lit(1)).as("n_components"))
 
+  /** Degree assortativity (Newman 2002): the Pearson correlation of
+    * endpoint degrees over every directed edge — negative for the
+    * hub-and-spoke mixing co-purchase graphs typically show. Because
+    * the directed edge list contains both directions, the x and y
+    * marginals are identical, so the textbook formula collapses to
+    * r = (m·Σxy − (Σx)²) / (m·Σx² − (Σx)²) — NO square root, and
+    * every term is an exact integer (Long sums; the cross products
+    * ride DECIMAL(38,0) / HUGEINT for headroom), so r is one
+    * correctly-rounded integer→double conversion pair and one exact
+    * division — hash-stable. One row:
+    * (m, sum_xy, sum_x, sum_x2, assortativity).
+    */
+  def assortativity(spark: SparkSession, dir: String): DataFrame =
+    assortativityOf(edges(spark, dir))
+
+  def assortativityOf(ed: DataFrame): DataFrame = {
+    val sym = symOf(ed.select("a", "b"))
+    val deg = degOf(sym)
+    val dec = "decimal(38,0)"
+    sym
+      .join(deg.select(col("node").as("src"), col("d").as("x")), "src")
+      .join(deg.select(col("node").as("dst"), col("d").as("y")), "dst")
+      .agg(count(lit(1)).as("m"),
+        sum(col("x") * col("y")).as("sum_xy"),
+        sum(col("x")).as("sum_x"),
+        sum(col("x") * col("x")).as("sum_x2"))
+      .select(col("m"), col("sum_xy"), col("sum_x"), col("sum_x2"),
+        ((col("m").cast(dec) * col("sum_xy").cast(dec)
+          - col("sum_x").cast(dec) * col("sum_x").cast(dec)).cast("double")
+          / (col("m").cast(dec) * col("sum_x2").cast(dec)
+            - col("sum_x").cast(dec) * col("sum_x").cast(dec))
+            .cast("double")).as("assortativity"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "graph_degrees" -> degrees,
     "graph_triangles" -> triangles,
     "graph_pagerank" -> pagerank,
     "graph_item_recs" -> itemRecs,
-    "graph_components" -> components
+    "graph_components" -> components,
+    "graph_assortativity" -> assortativity
   )
 
   /** Shared oracle CTEs: per-order distinct parts, canonical a < b
@@ -361,6 +396,26 @@ object Graph {
          |SELECT n_nodes, n_edges, n_wedges, n_triangles,
          |  (3 * n_triangles)::DOUBLE / n_wedges::DOUBLE AS clustering
          |FROM wed, ec, tri""".stripMargin,
+    "graph_assortativity" ->
+      s"""WITH $graphCte,
+         |j AS (
+         |  SELECT dx.d AS x, dy.d AS y
+         |  FROM sym s
+         |  JOIN deg dx ON dx.node = s.src
+         |  JOIN deg dy ON dy.node = s.dst),
+         |sums AS (
+         |  SELECT count(*)::BIGINT AS m,
+         |    sum(x * y)::BIGINT AS sum_xy,
+         |    sum(x)::BIGINT AS sum_x,
+         |    sum(x * x)::BIGINT AS sum_x2
+         |  FROM j)
+         |SELECT m, sum_xy, sum_x, sum_x2,
+         |  (m::HUGEINT * sum_xy::HUGEINT
+         |    - sum_x::HUGEINT * sum_x::HUGEINT)::DOUBLE
+         |  / (m::HUGEINT * sum_x2::HUGEINT
+         |    - sum_x::HUGEINT * sum_x::HUGEINT)::DOUBLE
+         |  AS assortativity
+         |FROM sums""".stripMargin,
     "graph_components" ->
       s"""WITH RECURSIVE
          |$graphCte,

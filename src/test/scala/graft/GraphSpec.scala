@@ -137,6 +137,19 @@ class GraphSpec extends SparkSpecBase {
     assert(recs.forall(_._4 <= Graph.RecsTopK))
   }
 
+  test("assortativity: hand-checked values, star graph hits exactly -1") {
+    // tiny graph degrees 2,2,3,1: m=8, sxy=38, sx=18, sx2=44
+    // -> r = (8*38-324)/(8*44-324) = -20/28
+    val r = Graph.assortativityOf(Graph.edgesOf(tinyLineitem)).head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      ((8L, 38L, 18L, 44L)), s"$r")
+    assert(r.getDouble(4) == -20.0 / 28.0, s"$r")
+    // a star is the textbook perfectly-disassortative graph
+    val star = Seq((1L, 2L), (1L, 3L), (1L, 4L), (1L, 5L))
+      .toDF("a", "b").withColumn("w", lit(1L))
+    assert(Graph.assortativityOf(star).head().getDouble(4) == -1.0)
+  }
+
   test("components: strong-edge families, hand-checked histogram") {
     // w=2 edges: (1,2) from orders 10/11, (3,4) from 12/13, (4,5) from
     // 14/15 -> components {1,2} and {3,4,5}; the w=1 edge (6,7) from
