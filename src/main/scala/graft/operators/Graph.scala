@@ -82,17 +82,18 @@ object Graph {
   /** Drop cached edge tables: the given (session, dir) entry, all
     * entries of a session (`dir = null`), or everything (no args).
     */
-  def invalidateEdges(spark: SparkSession = null, dir: String = null): Unit = {
-    val it = edgeCache.entrySet().iterator()
-    while (it.hasNext) {
-      val e = it.next()
-      val (s, d) = e.getKey
-      if ((spark == null || s == spark) && (dir == null || d == dir)) {
-        graft.Materialize.release(e.getValue)
-        it.remove()
+  def invalidateEdges(spark: SparkSession = null, dir: String = null): Unit =
+    Seq(edgeCache, memberCache).foreach { cache =>
+      val it = cache.entrySet().iterator()
+      while (it.hasNext) {
+        val e = it.next()
+        val (s, d) = e.getKey
+        if ((spark == null || s == spark) && (dir == null || d == dir)) {
+          graft.Materialize.release(e.getValue)
+          it.remove()
+        }
       }
     }
-  }
 
   def edgesOf(lineitem: DataFrame): DataFrame =
     lineitem
@@ -307,6 +308,102 @@ object Graph {
       .groupBy("cluster_id").agg(count(lit(1)).as("size"))
       .groupBy("size").agg(count(lit(1)).as("n_components"))
 
+  /** HITS iteration count and the fixed-point scale both sides share. */
+  val HitsIters = 3
+  val HitsScale = 1000000L
+
+  /** How many top authorities [[hits]] reports. */
+  val HitsTopK = 20
+
+  /** HITS (Kleinberg '99) on the BIPARTITE order ↔ part membership
+    * graph — hubs are orders, authorities are parts, and the authority
+    * vector converges to the principal singular direction of the
+    * membership matrix: a part ranks high for sitting in orders that
+    * themselves contain high-authority parts, which is NOT degree
+    * (compare `graph_pagerank`, a random walk on the co-purchase
+    * projection). Top-[[HitsTopK]] authorities: (node, auth, rk).
+    *
+    * Determinism: the float-renormalization of the textbook loop is
+    * replaced by an exact integer one — after each half-step the
+    * vector is rescaled to ≤ [[HitsScale]] via (v·scale) DIV max(v),
+    * a 1-row max broadcast + integer DIV, so every round is exact
+    * BIGINT arithmetic in both engines (the PageRank discipline;
+    * ranking is scale-free, so the rescale changes no order). Sum
+    * headroom: ≤ max-degree · scale ≪ 2⁶³.
+    *
+    * Scale shape: the membership table is the distinct (order, part)
+    * projection, materialized once per call; each half-round is one
+    * hash join of the current |O|- or |P|-row score table against it
+    * plus a map-side-combined groupBy — the [[Sgd]] driver-loop shape
+    * with two alternating distributed state tables.
+    */
+  /** Session-lifetime (order, part) membership cache — the HITS input,
+    * same lifecycle contract as [[edgeCache]].
+    */
+  private val memberCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]
+
+  private def members(spark: SparkSession, dir: String): DataFrame = {
+    val key = (spark, dir)
+    val got = memberCache.get(key)
+    if (got != null) got
+    else {
+      val built = Tables(spark, dir, "lineitem")
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+        .distinct().localCheckpoint()
+      val prev = memberCache.putIfAbsent(key, built)
+      if (prev != null) { graft.Materialize.release(built); prev }
+      else built
+    }
+  }
+
+  def hits(spark: SparkSession, dir: String): DataFrame =
+    hitsOnMembers(members(spark, dir), Materialize.Local, ownM = false)
+
+  def hitsOf(lineitem: DataFrame,
+      mat: Materialize.Strategy = Materialize.None): DataFrame =
+    hitsOnMembers(mat(lineitem
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+      .distinct()), mat, ownM = true)
+
+  private def hitsOnMembers(m: DataFrame, mat: Materialize.Strategy,
+      ownM: Boolean): DataFrame = {
+    def rescale(v: DataFrame, c: String): DataFrame =
+      v.crossJoin(broadcast(v.agg(max(col(c)).as("mx"))))
+        .select(v.columns.filter(_ != c).map(col) :+
+          expr(s"($c * $HitsScale) DIV mx").as(c): _*)
+    // rescale references its input twice (the max aggregate + the
+    // division), so a fully uncut loop doubles the plan per HALF-round
+    // — 2^(2·iters) copies of the membership join (the clustersOf
+    // exponential-lineage hazard). Cutting just the |P|-row authority
+    // table once per round bounds the growth at 4 membership joins per
+    // round while paying half the eager jobs.
+    val cuts = scala.collection.mutable.ListBuffer.empty[DataFrame]
+    def cut(df: DataFrame): DataFrame =
+      if (mat ne Materialize.None) { val c = mat(df); cuts += c; c }
+      else df
+    var hub = m.select(col("o")).distinct()
+      .select(col("o"), lit(HitsScale).as("h"))
+    var auth: DataFrame = null
+    for (_ <- 1 to HitsIters) {
+      auth = cut(rescale(
+        m.join(hub, "o").groupBy("p").agg(sum(col("h")).as("a")), "a"))
+      hub = rescale(
+        m.join(auth, "p").groupBy("o").agg(sum(col("a")).as("h")), "h")
+    }
+    val out = auth
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("a").desc, col("p"))).cast("long"))
+      .where(col("rk") <= HitsTopK)
+      .select(col("p").as("node"), col("a").as("auth"), col("rk"))
+    if (mat ne Materialize.None) {
+      val forced = Materialize.Local(out)
+      cuts.foreach(Materialize.release)
+      if (ownM) Materialize.release(m)
+      forced
+    } else out
+  }
+
   /** Degree assortativity (Newman 2002): the Pearson correlation of
     * endpoint degrees over every directed edge — negative for the
     * hub-and-spoke mixing co-purchase graphs typically show. Because
@@ -347,7 +444,8 @@ object Graph {
     "graph_pagerank" -> pagerank,
     "graph_item_recs" -> itemRecs,
     "graph_components" -> components,
-    "graph_assortativity" -> assortativity
+    "graph_assortativity" -> assortativity,
+    "graph_hits" -> hits
   )
 
   /** Shared oracle CTEs: per-order distinct parts, canonical a < b
@@ -396,6 +494,33 @@ object Graph {
          |SELECT n_nodes, n_edges, n_wedges, n_triangles,
          |  (3 * n_triangles)::DOUBLE / n_wedges::DOUBLE AS clustering
          |FROM wed, ec, tri""".stripMargin,
+    "graph_hits" -> {
+      val rounds = (1 to HitsIters).map { i =>
+        val prevH = if (i == 1) "h0" else s"h${i - 1}"
+        s"""a${i}r AS MATERIALIZED (
+           |  SELECT op.p, sum(h)::BIGINT AS a
+           |  FROM op JOIN $prevH ON $prevH.o = op.o GROUP BY op.p),
+           |a$i AS MATERIALIZED (
+           |  SELECT p, (a * $HitsScale) // (SELECT max(a) FROM a${i}r)
+           |    AS a FROM a${i}r),
+           |h${i}r AS MATERIALIZED (
+           |  SELECT op.o, sum(a)::BIGINT AS h
+           |  FROM op JOIN a$i ON a$i.p = op.p GROUP BY op.o),
+           |h$i AS MATERIALIZED (
+           |  SELECT o, (h * $HitsScale) // (SELECT max(h) FROM h${i}r)
+           |    AS h FROM h${i}r)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH op AS MATERIALIZED (
+         |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+         |  FROM lineitem),
+         |h0 AS (SELECT DISTINCT o, $HitsScale::BIGINT AS h FROM op),
+         |$rounds
+         |SELECT node, auth, rk FROM (
+         |  SELECT p AS node, a::BIGINT AS auth,
+         |    row_number() OVER (ORDER BY a DESC, p)::BIGINT AS rk
+         |  FROM a$HitsIters)
+         |WHERE rk <= $HitsTopK""".stripMargin
+    },
     "graph_assortativity" ->
       s"""WITH $graphCte,
          |j AS (

@@ -137,6 +137,24 @@ class GraphSpec extends SparkSpecBase {
     assert(recs.forall(_._4 <= Graph.RecsTopK))
   }
 
+  test("hits: authority ordering and the rescale fixed points") {
+    // orders {p1,p2}, {p1,p2}, {p1,p3}: p1 sits in every order, p2 in
+    // the two "stronger" hubs, p3 only in the weaker one
+    val li = Seq((1L, 1L), (1L, 2L), (2L, 1L), (2L, 2L), (3L, 1L),
+      (3L, 3L)).toDF("l_orderkey", "l_partkey")
+    val rows = Graph.hitsOf(li).orderBy("rk").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.map(_._1).toSeq == Seq(1L, 2L, 3L), s"${rows.toSeq}")
+    // the integer rescale pins the top authority at exactly the scale
+    assert(rows.head._2 == Graph.HitsScale)
+    assert(rows.forall(r => r._2 > 0 && r._2 <= Graph.HitsScale))
+    // fixture run: dense ranks, same fixed-point invariant
+    val fx = Graph.hits(spark, Sf).orderBy("rk").collect()
+    assert(fx.length == Graph.HitsTopK)
+    assert(fx.head.getLong(1) == Graph.HitsScale)
+    assert(fx.map(_.getLong(2)).toSeq == (1L to Graph.HitsTopK).toSeq)
+  }
+
   test("assortativity: hand-checked values, star graph hits exactly -1") {
     // tiny graph degrees 2,2,3,1: m=8, sxy=38, sx=18, sx2=44
     // -> r = (8*38-324)/(8*44-324) = -20/28
