@@ -596,6 +596,106 @@ object Similarity {
       .where(col("rank") <= TopK)
   }
 
+  // ---- binary (1-bit) quantization — Hamming shortlist + re-rank ----
+
+  /** Sign-signature layout: 64 dims → two 32-bit words (bits 0..31 of
+    * each word, dims ascending). Two-word spelling on purpose — no bit
+    * ever lands in a BIGINT sign position (a 1::BIGINT << 63 overflows
+    * DuckDB's checked shift), and it IS the multi-word layout a real
+    * d > 64 corpus needs.
+    */
+  val BinBitsPerWord = 32
+
+  /** Hamming candidates per query handed to the exact re-rank — the
+    * over-fetch knob every binary serving stack exposes (rescore
+    * multiplier). Tuned against `llm_sim_recall` at sf0.01: 4·k = 0.480,
+    * 10·k = 0.700, shipped 20·k = **0.868** — uncentered sign bits are
+    * the weakest quantizer per bit here (compare int8 0.992, pq 0.912),
+    * priced honestly by the recall report; the shortlist is an ABSOLUTE
+    * per-query row count, so the re-rank fetch stays ≤ queries·this
+    * whatever the corpus size.
+    */
+  val BinShortlist = 100
+
+  /** One signature word over dims [lo, lo + 32): bit i set iff
+    * embedding[lo + i] > 0. Row-local, codegen-able, no shuffle.
+    */
+  private def binWord(lo: Int): Column =
+    expr(s"""aggregate(zip_with(
+      slice(embedding, ${lo + 1}, $BinBitsPerWord),
+      sequence(0, ${BinBitsPerWord - 1}),
+      (v, i) -> IF(CAST(v AS DOUBLE) > 0.0D, shiftleft(1L, i), 0L)),
+      0L, (acc, x) -> acc + x)""")
+
+  /** Binary-quantized top-k — the cheapest ANN serving tier (1 bit per
+    * dim, 64× smaller than float32): sign signatures packed row-local
+    * into two longs, candidates shortlisted by exact Hamming distance
+    * (`Long.bitCount(xor)` in a typed kernel over the broadcast 50-query
+    * signature set), then ONLY the ≤ queries·[[BinShortlist]] survivors
+    * re-ranked by exact cosine against full vectors fetched via a
+    * broadcast join back into the corpus scan — the two-phase
+    * shortlist-then-rerank pattern every binary/PQ serving stack runs
+    * (the corpus' float vectors are touched for 1000 rows, not n·q).
+    *
+    * Determinism: signatures and Hamming distances are exact integers;
+    * the re-rank cosine is [[Hashing.cosineSeq]]'s fixed sequential
+    * order — both engines replay pack → xor/popcount → shortlist →
+    * cosine bit-for-bit. (query_id, neighbor_id, hamming, cos_sim,
+    * rank).
+    */
+  def binaryTopK(spark: SparkSession, dir: String): DataFrame =
+    binaryTopKOf(Tables(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding")), NumQueries)
+
+  def binaryTopKOf(vectors: DataFrame, nQueries: Long): DataFrame = {
+    val spark = vectors.sparkSession
+    val s = spark; import s.implicits._
+    val sig = vectors.select(col("vec_id"),
+      binWord(0).as("sig_lo"), binWord(BinBitsPerWord).as("sig_hi"))
+    // bounded query-side pull: nQueries rows of (id, 2 words, vector)
+    val queries = vectors.where(col("vec_id") < nQueries)
+      .select(col("vec_id"), binWord(0).as("sig_lo"),
+        binWord(BinBitsPerWord).as("sig_hi"),
+        col("embedding").cast("array<double>").as("e"))
+      .as[(Long, Long, Long, Array[Double])].collect().sortBy(_._1)
+    val bc = spark.sparkContext.broadcast(queries)
+    val short = sig.as[(Long, Long, Long)]
+      .mapPartitions { it =>
+        val qs = bc.value
+        it.flatMap { case (nid, lo, hi) =>
+          qs.iterator.filter(_._1 != nid).map { case (qid, qlo, qhi, _) =>
+            (qid, nid, (java.lang.Long.bitCount(lo ^ qlo)
+              + java.lang.Long.bitCount(hi ^ qhi)).toLong)
+          }
+        }
+      }
+      .toDF("query_id", "neighbor_id", "hamming")
+      .withColumn("hrk", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("hamming").asc, col("neighbor_id").asc)))
+      .where(col("hrk") <= BinShortlist)
+      .select("query_id", "neighbor_id", "hamming")
+    // re-rank: the tiny shortlist broadcasts INTO the corpus scan to
+    // fetch candidate vectors; query vectors come off the broadcast
+    short.hint("broadcast")
+      .join(vectors.select(col("vec_id").as("neighbor_id"),
+        col("embedding").cast("array<double>").as("ne")), "neighbor_id")
+      .select(col("query_id"), col("neighbor_id"), col("hamming"),
+        col("ne"))
+      .as[(Long, Long, Long, Array[Double])]
+      .mapPartitions { it =>
+        val qm = bc.value.map(q => q._1 -> q._4).toMap
+        it.map { case (qid, nid, h, ne) =>
+          (qid, nid, h, Hashing.cosineSeq(qm(qid), ne))
+        }
+      }
+      .toDF("query_id", "neighbor_id", "hamming", "cos_sim")
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("cos_sim").desc, col("neighbor_id").asc)))
+      .where(col("rank") <= TopK)
+  }
+
   // ---- product quantization (PQ) — the compressed serving path ----
 
   /** PQ geometry over the 64-dim fixture embeddings: [[PqSubspaces]]
@@ -1127,13 +1227,14 @@ object Similarity {
     * recall itself sits behind the oracle gate: both engines replay the
     * exact AND approximate pipelines and must agree on every hit count.
     */
-  val RecallMethods = Seq("int8", "ivf", "ivfpq", "lsh", "pq")
+  val RecallMethods = Seq("binary", "int8", "ivf", "ivfpq", "lsh", "pq")
 
   def simRecall(spark: SparkSession, dir: String): DataFrame = {
     val exact = bruteForceTopK(spark, dir)
       .select("query_id", "neighbor_id").localCheckpoint()
     val total = exact.agg(count(lit(1)).as("n_exact"))
     val approx = Seq(
+      "binary" -> binaryTopK(spark, dir),
       "int8" -> int8TopK(spark, dir),
       "ivf" -> ivfTopK(spark, dir),
       "ivfpq" -> ivfPqTopK(spark, dir),
@@ -1155,6 +1256,7 @@ object Similarity {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "llm_sim_binary_topk" -> binaryTopK,
     "llm_sim_int8_topk" -> int8TopK,
     "llm_emb_quantize" -> embQuantize,
     "llm_emb_centroids" -> embCentroids,
@@ -1213,6 +1315,41 @@ object Similarity {
        |      ORDER BY qdot DESC, neighbor_id ASC) AS rank
        |  FROM scored
        |) WHERE rank <= $TopK""".stripMargin
+
+  private val oracleBinary = {
+    def word(lo: Int) =
+      s"""list_reduce(list_transform(range(${lo + 1}, ${lo + 33}),
+         |      i -> CASE WHEN e[i] > 0e0
+         |        THEN (1::BIGINT << (i - ${lo + 1})) ELSE 0::BIGINT END),
+         |      (x, y) -> x + y)""".stripMargin
+    s"""WITH v AS (SELECT vec_id, embedding e FROM embeddings),
+       |sig AS (
+       |  SELECT vec_id, e,
+       |    ${word(0)} AS sig_lo,
+       |    ${word(BinBitsPerWord)} AS sig_hi
+       |  FROM v),
+       |ham AS (
+       |  SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+       |    (bit_count(xor(q.sig_lo, n.sig_lo))
+       |      + bit_count(xor(q.sig_hi, n.sig_hi)))::BIGINT AS hamming,
+       |    q.e AS qe, n.e AS ne
+       |  FROM sig q JOIN sig n ON q.vec_id < $NumQueries
+       |    AND q.vec_id != n.vec_id),
+       |short AS (
+       |  SELECT * FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY query_id
+       |      ORDER BY hamming ASC, neighbor_id ASC) AS hrk
+       |    FROM ham)
+       |  WHERE hrk <= $BinShortlist)
+       |SELECT query_id, neighbor_id, hamming, cos_sim, rank FROM (
+       |  SELECT query_id, neighbor_id, hamming,
+       |    ${Hashing.cosineSql("qe", "ne", 64)} AS cos_sim,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY ${Hashing.cosineSql("qe", "ne", 64)} DESC,
+       |        neighbor_id ASC) AS rank
+       |  FROM short)
+       |WHERE rank <= $TopK""".stripMargin
+  }
 
   private val oracleLsh =
     s"""WITH ${Hashing.planesSqlCte(LshTables, LshBits, 64)},
@@ -1604,6 +1741,7 @@ object Similarity {
          |      ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
          |  FROM scored
          |) WHERE rank <= $TopK""".stripMargin,
+    "llm_sim_binary_topk" -> oracleBinary,
     "llm_sim_int8_topk" -> oracleInt8,
     "llm_emb_quantize" ->
       """SELECT vec_id, u.i - 1 AS i, scale,
@@ -1644,6 +1782,9 @@ object Similarity {
         s"(SELECT query_id, neighbor_id FROM ($sql) zz)"
       s"""WITH exact AS ${pairs(topkOracleSql)},
          |ap AS (
+         |  SELECT 'binary' AS method, query_id, neighbor_id
+         |  FROM ${pairs(oracleBinary)} a0
+         |  UNION ALL
          |  SELECT 'int8' AS method, query_id, neighbor_id
          |  FROM ${pairs(oracleInt8)} a1
          |  UNION ALL
@@ -1670,7 +1811,8 @@ object Similarity {
          |SELECT m.method, tot.n_exact,
          |  coalesce(hits.n_hit, 0)::BIGINT AS n_hit,
          |  coalesce(hits.n_hit, 0)::DOUBLE / tot.n_exact::DOUBLE AS recall
-         |FROM (VALUES ('int8'), ('ivf'), ('ivfpq'), ('lsh'), ('pq'))
+         |FROM (VALUES ('binary'), ('int8'), ('ivf'), ('ivfpq'), ('lsh'),
+         |  ('pq'))
          |  m(method)
          |LEFT JOIN hits ON m.method = hits.method
          |CROSS JOIN tot""".stripMargin

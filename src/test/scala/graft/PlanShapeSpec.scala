@@ -579,6 +579,17 @@ class PlanShapeSpec extends SparkSpecBase {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("binary top-k: shortlist broadcasts into the re-rank fetch, " +
+      "no cartesian") {
+    val p = finalOnly(Similarity.binaryTopK(spark, "/root/testdata/sf0.01"))
+    // the ≤ queries·BinShortlist candidate table must be the broadcast
+    // build side of the vector-fetch join — a corpus-side shuffle or an
+    // all-pairs product would defeat the two-phase serving shape
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
   test("dsir sample: ranking windows are per-source, never global") {
     val df = graft.operators.Dsir.dsirSampleOf(
       graft.Tables(spark, Sf, "documents"))

@@ -446,6 +446,46 @@ class SimilaritySpec extends SparkSpecBase {
     }
   }
 
+  test("binary top-k matches the in-memory shortlist-then-rerank replay") {
+    // replay: pack sign bits (two 32-bit words), Hamming-shortlist
+    // BinShortlist, exact-cosine re-rank to TopK — same tie-breaks
+    def sigOf(e: Array[Double]): (Long, Long) = {
+      var lo = 0L; var hi = 0L
+      var i = 0
+      while (i < 32) { if (e(i) > 0.0) lo |= 1L << i; i += 1 }
+      while (i < 64) { if (e(i) > 0.0) hi |= 1L << (i - 32); i += 1 }
+      (lo, hi)
+    }
+    val sigs = vecs.map { case (id, e) => id -> sigOf(e) }
+    val got = Similarity.binaryTopK(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getInt(4)) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    val qids = vecs.keys.filter(_ < Similarity.NumQueries)
+    assert(got.size == qids.size * Similarity.TopK)
+    for (q <- qids) {
+      val (qlo, qhi) = sigs(q)
+      val short = vecs.keys.filter(_ != q).toSeq
+        .map { n =>
+          val (lo, hi) = sigs(n)
+          (n, (java.lang.Long.bitCount(lo ^ qlo)
+            + java.lang.Long.bitCount(hi ^ qhi)).toLong)
+        }
+        .sortBy { case (n, h) => (h, n) }
+        .take(Similarity.BinShortlist)
+      val expect = short
+        .map { case (n, h) => (n, h, cos(vecs(q), vecs(n))) }
+        .sortBy { case (n, _, c) => (-c, n) }
+        .take(Similarity.TopK)
+      expect.zipWithIndex.foreach { case ((n, h, c), i) =>
+        val (gn, gh, gc) = got((q, i + 1))
+        assert(gn == n, s"query $q rank ${i + 1}")
+        assert(gh == h, s"query $q rank ${i + 1} hamming")
+        assert(gc == c, s"query $q rank ${i + 1} cosine")
+      }
+    }
+  }
+
   test("PQ: bit-identical output under any partitioning") {
     val embDf = graft.Tables(spark, Sf, "embeddings")
       .selectExpr("vec_id", "cast(embedding as array<double>) e")
