@@ -5,11 +5,14 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 
-/** Lexical retrieval over the document corpus: the inverted index and
-  * BM25 ranking (additive §2.11 — the inverted index is THE canonical
-  * MapReduce workload the reference's wordcount mapper is one half of,
-  * apriori/apriori_final.java:49-62; BM25 is Robertson & Walker's
-  * Okapi weighting, public SIGIR '94 lineage).
+/** Lexical retrieval over the document corpus: the inverted index,
+  * BM25 and Dirichlet query-likelihood ranking, reciprocal-rank fusion
+  * of the two, and pseudo-relevance-feedback query expansion (additive
+  * §2.11 — the inverted index is THE canonical MapReduce workload the
+  * reference's wordcount mapper is one half of,
+  * apriori/apriori_final.java:49-62; BM25 is Robertson & Walker's Okapi
+  * weighting, SIGIR '94; Dirichlet smoothing is Zhai & Lafferty, SIGIR
+  * '01; RRF is Cormack, Clarke & Büttcher, SIGIR '09).
   *
   * Spark-first shape: the term-frequency table (doc_id, word, tf) is
   * ONE explode + ONE map-side-combined groupBy of the corpus scan —
@@ -19,15 +22,20 @@ import graft.Tables
   * vocabulary, and the 1-row corpus stats and the ≤ [[BmQueryN]]-row
   * query list ride broadcast joins. No corpus-scale sort anywhere: the
   * per-term top-k is a partitioned window over the posting lists of
-  * the probed terms only.
+  * the probed terms only, the fusion join touches two ≤ q·[[FuseDepth]]
+  * rank lists, and expansion candidates come from q·[[BmTopK]] feedback
+  * documents.
   *
-  * Determinism (the DuckDB hash gate): counts are exact integers; the
-  * BM25 score is a fixed tree of exactly-rounded IEEE ops (+ × ÷) on
-  * values < 2^53 with NO transcendentals — the classic `ln` idf is
-  * replaced by its rational argument (N − df + ½)/(df + ½), a strictly
-  * monotone surrogate, so per-term rankings are the textbook ones and
-  * both engines land on bit-identical doubles (the [[Dsir]] rationale;
-  * ties break on doc_id).
+  * Determinism (the DuckDB hash gate): counts are exact integers; each
+  * score is a fixed tree of exactly-rounded IEEE ops (+ × ÷) on values
+  * < 2^53 with NO transcendentals — BM25's `ln` idf is replaced by its
+  * rational argument (N − df + ½)/(df + ½), query likelihood keeps the
+  * Dirichlet posterior as ONE division of two exact integers
+  * (tf·C + μ·cf) / ((dl + μ)·C), and an RRF score is the sum of exactly
+  * two correctly-rounded divisions — strictly monotone surrogates, so
+  * rankings are the textbook ones and both engines land on
+  * bit-identical doubles (the [[Dsir]] rationale; ties break on
+  * doc_id).
   */
 object Retrieval {
 
@@ -50,6 +58,29 @@ object Retrieval {
 
   /** Documents returned per query term. */
   val BmTopK = 5
+
+  /** Dirichlet smoothing mass μ (the textbook default 2000): a doc's
+    * term estimate is (tf + μ·p(t|C)) / (dl + μ). Kept exact by
+    * cross-multiplying with the corpus token count C — the spelling is
+    * (tf·C + μ·cf) / ((dl + μ)·C), exact in BIGINT while tf·C < 2^63
+    * (any fixture scale; a true 100 TB corpus flips to the two-division
+    * float spelling and accepts last-ulp rank jitter).
+    */
+  val QlMu = 2000L
+
+  /** Per-system list depth feeding the fusion (the standard RRF setup
+    * fuses deeper lists than it returns).
+    */
+  val FuseDepth = 20
+
+  /** RRF discount constant k (Cormack et al.'s 60). */
+  val RrfK = 60L
+
+  /** Fused documents returned per query term. */
+  val FuseTopK = 10
+
+  /** Expansion terms returned per query term. */
+  val PrfTerms = 5
 
   private def docs(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir, "documents").select("doc_id", "text")
@@ -81,44 +112,161 @@ object Retrieval {
         col("doc_id").as("top_doc_id"), col("tf").as("top_tf"))
   }
 
-  /** BM25 top-[[BmTopK]] per query term:
+  /** Full vocabulary ranking (word, df, cf, vrk) by corpus frequency
+    * desc, term asc — |V| rows, the shared base for query-term
+    * selection and the expansion stopword cut.
+    */
+  private def vocabRankedOf(tf: DataFrame): DataFrame =
+    tf.groupBy("word")
+      .agg(count(lit(1)).as("df"), sum(col("tf")).as("cf"))
+      .withColumn("vrk", row_number().over(
+        Window.orderBy(col("cf").desc, col("word"))).cast("long"))
+
+  /** The probed query terms (word, df, cf): vocabulary ranks
+    * [[BmRankLo]]..[[BmRankHi]] by corpus frequency. ≤ |V| rows ranked,
+    * [[BmQueryN]] rows out — always a broadcast side.
+    */
+  private def queryTermsOf(tf: DataFrame): DataFrame =
+    vocabRankedOf(tf)
+      .where(col("vrk") >= BmRankLo && col("vrk") <= BmRankHi)
+      .select(col("word"), col("df"), col("cf"))
+
+  /** (doc_id, dl): document lengths in whitespace tokens. */
+  private def dlOf(corpus: DataFrame): DataFrame =
+    corpus.select(col("doc_id"),
+      size(split(col("text"), " ")).cast("long").as("dl"))
+
+  /** Full BM25 ranking per query term (no top-k cut):
     * (word, doc_id, tf, dl, df, score, rk).
     */
-  def bm25TopK(spark: SparkSession, dir: String): DataFrame =
-    bm25TopKOf(docs(spark, dir))
-
-  def bm25TopKOf(corpus: DataFrame): DataFrame = {
+  private def bm25ScoredOf(corpus: DataFrame): DataFrame = {
     val tf = tfOf(corpus)
-    val dl = corpus.select(col("doc_id"),
-      size(split(col("text"), " ")).cast("long").as("dl"))
+    val dl = dlOf(corpus)
     val stats = dl.agg(count(lit(1)).as("n_docs"),
       sum(col("dl")).as("sum_dl"))
       .select(col("n_docs"), (col("sum_dl").cast("double")
         / col("n_docs").cast("double")).as("avgdl"))
-    val queryTerms = tf.groupBy("word")
-      .agg(sum(col("tf")).as("cnt"), count(lit(1)).as("df"))
-      .withColumn("vrk", row_number().over(
-        Window.orderBy(col("cnt").desc, col("word"))))
-      .where(col("vrk") >= BmRankLo && col("vrk") <= BmRankHi)
-      .select(col("word"), col("df"))
     val idf = (col("n_docs") - col("df") + lit(0.5))
       ./(col("df") + lit(0.5))
     val sat = (col("tf") * lit(BmK1 + 1.0))
       ./(col("tf") + lit(BmK1)
         * (lit(1.0 - BmB) + lit(BmB) * (col("dl") / col("avgdl"))))
-    tf.join(broadcast(queryTerms), "word")
+    tf.join(broadcast(queryTermsOf(tf).drop("cf")), "word")
       .join(dl, "doc_id")
       .crossJoin(broadcast(stats))
       .select(col("word"), col("doc_id"), col("tf"), col("dl"),
         col("df"), (idf * sat).as("score"))
       .withColumn("rk", row_number().over(Window.partitionBy("word")
         .orderBy(col("score").desc, col("doc_id"))).cast("long"))
-      .where(col("rk") <= BmTopK)
+  }
+
+  /** BM25 top-[[BmTopK]] per query term:
+    * (word, doc_id, tf, dl, df, score, rk).
+    */
+  def bm25TopK(spark: SparkSession, dir: String): DataFrame =
+    bm25TopKOf(docs(spark, dir))
+
+  def bm25TopKOf(corpus: DataFrame): DataFrame =
+    bm25ScoredOf(corpus).where(col("rk") <= BmTopK)
+
+  /** Full Dirichlet query-likelihood ranking per query term (no top-k
+    * cut): (word, doc_id, tf, dl, cf, score, rk). Candidates are the
+    * term's posting list (docs that contain it), the standard
+    * inverted-index evaluation — the smoothing term alone never
+    * promotes a non-matching document into a single-term ranking.
+    */
+  private def qlScoredOf(corpus: DataFrame): DataFrame = {
+    val tf = tfOf(corpus)
+    val dl = dlOf(corpus)
+    val tot = dl.agg(sum(col("dl")).as("c_tokens"))
+    val num = col("tf") * col("c_tokens") + lit(QlMu) * col("cf")
+    val den = (col("dl") + lit(QlMu)) * col("c_tokens")
+    tf.join(broadcast(queryTermsOf(tf).drop("df")), "word")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(tot))
+      .select(col("word"), col("doc_id"), col("tf"), col("dl"),
+        col("cf"),
+        (num.cast("double") / den.cast("double")).as("score"))
+      .withColumn("rk", row_number().over(Window.partitionBy("word")
+        .orderBy(col("score").desc, col("doc_id"))).cast("long"))
+  }
+
+  /** Dirichlet query-likelihood top-[[BmTopK]] per query term:
+    * (word, doc_id, tf, dl, cf, score, rk).
+    */
+  def qlTopK(spark: SparkSession, dir: String): DataFrame =
+    qlTopKOf(docs(spark, dir))
+
+  def qlTopKOf(corpus: DataFrame): DataFrame =
+    qlScoredOf(corpus).where(col("rk") <= BmTopK)
+
+  /** Reciprocal-rank fusion of the BM25 and query-likelihood rankings —
+    * the standard way to combine retrieval systems without score
+    * calibration (and THE pattern for fusing lexical with dense
+    * retrieval): each system contributes 1/([[RrfK]] + rank) for the
+    * documents in its top-[[FuseDepth]] list, absent docs contribute 0,
+    * and the fused top-[[FuseTopK]] is ranked by the sum. The join
+    * touches two ≤ queries·[[FuseDepth]]-row rank lists — nothing
+    * corpus-scale moves. (word, doc_id, bm_rk, ql_rk, rrf, rk); bm_rk /
+    * ql_rk are NULL for docs only the other system surfaced.
+    */
+  def hybridRrf(spark: SparkSession, dir: String): DataFrame =
+    hybridRrfOf(docs(spark, dir))
+
+  def hybridRrfOf(corpus: DataFrame): DataFrame = {
+    val bm = bm25ScoredOf(corpus).where(col("rk") <= FuseDepth)
+      .select(col("word"), col("doc_id"), col("rk").as("bm_rk"))
+    val ql = qlScoredOf(corpus).where(col("rk") <= FuseDepth)
+      .select(col("word"), col("doc_id"), col("rk").as("ql_rk"))
+    def part(rk: Column): Column =
+      coalesce(lit(1.0) / (lit(RrfK) + rk).cast("double"), lit(0.0))
+    bm.join(ql, Seq("word", "doc_id"), "full_outer")
+      .select(col("word"), col("doc_id"), col("bm_rk"), col("ql_rk"),
+        (part(col("bm_rk")) + part(col("ql_rk"))).as("rrf"))
+      .withColumn("rk", row_number().over(Window.partitionBy("word")
+        .orderBy(col("rrf").desc, col("doc_id"))).cast("long"))
+      .where(col("rk") <= FuseTopK)
+  }
+
+  /** Pseudo-relevance-feedback query expansion (the RM3/Rocchio loop's
+    * term-selection step): assume the BM25 top-[[BmTopK]] documents are
+    * relevant, pool their terms, and rank candidates by total feedback
+    * term frequency — excluding the query term itself and stopwords,
+    * where "stopword" reuses the probe-window convention (vocabulary
+    * rank above [[BmRankLo]], i.e. the corpus-frequency head the query
+    * terms themselves were selected below — an exact integer cut, no
+    * df-ratio float). The feedback set is queries·[[BmTopK]] rows and
+    * broadcasts into the posting-list scan; candidate pooling is
+    * bounded by the feedback documents' total length.
+    * (qword, exp_word, sum_tf, df, rk).
+    */
+  def queryExpansion(spark: SparkSession, dir: String): DataFrame =
+    queryExpansionOf(docs(spark, dir))
+
+  def queryExpansionOf(corpus: DataFrame): DataFrame = {
+    val tf = tfOf(corpus)
+    val fb = bm25ScoredOf(corpus).where(col("rk") <= BmTopK)
+      .select(col("word").as("qword"), col("doc_id"))
+    val vocab = vocabRankedOf(tf).select("word", "df", "vrk")
+    fb.hint("broadcast")
+      .join(tf, "doc_id")
+      .groupBy(col("qword"), col("word"))
+      .agg(sum(col("tf")).as("sum_tf"))
+      .join(vocab, "word")
+      .where(col("word") =!= col("qword") && col("vrk") >= BmRankLo)
+      .select(col("qword"), col("word").as("exp_word"),
+        col("sum_tf"), col("df"))
+      .withColumn("rk", row_number().over(Window.partitionBy("qword")
+        .orderBy(col("sum_tf").desc, col("exp_word"))).cast("long"))
+      .where(col("rk") <= PrfTerms)
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "llm_postings" -> postings,
-    "llm_bm25_topk" -> bm25TopK
+    "llm_bm25_topk" -> bm25TopK,
+    "llm_ql_topk" -> qlTopK,
+    "llm_hybrid_rrf" -> hybridRrf,
+    "llm_query_expansion" -> queryExpansion
   )
 
   /** Double literal in forced-DOUBLE form: a bare decimal parses as
@@ -136,6 +284,68 @@ object Retrieval {
       |        FROM documents)
       |  GROUP BY 1, 2)""".stripMargin
 
+  private val dlCte: String =
+    """dl AS (
+      |  SELECT doc_id, len(string_split(text, ' '))::BIGINT AS dl
+      |  FROM documents)""".stripMargin
+
+  private val vkCte: String =
+    """vk AS (
+      |  SELECT word, count(*)::BIGINT AS df, sum(tf)::BIGINT AS cf,
+      |    row_number() OVER (ORDER BY sum(tf) DESC, word)::BIGINT AS vrk
+      |  FROM tf GROUP BY word)""".stripMargin
+
+  private val qtCte: String =
+    s"""$vkCte,
+       |qt AS (
+       |  SELECT word, df, cf FROM vk
+       |  WHERE vrk BETWEEN $BmRankLo AND $BmRankHi)""".stripMargin
+
+  private val statsCte: String =
+    """stats AS (
+      |  SELECT count(*)::BIGINT AS n_docs,
+      |    sum(dl)::BIGINT::DOUBLE / count(*)::BIGINT::DOUBLE AS avgdl
+      |  FROM dl)""".stripMargin
+
+  /** Full BM25 rank table as a CTE (word, doc_id, tf, dl, df, score,
+    * rk) — shared by the top-k, fusion, and expansion oracles.
+    */
+  private val bmCte: String = {
+    val score =
+      s"""((n_docs - df + ${dlit(0.5)}) / (df + ${dlit(0.5)}))
+         |      * ((tf * ${dlit(BmK1 + 1.0)}) / (tf + ${dlit(BmK1)}
+         |        * (${dlit(1.0 - BmB)} + ${dlit(BmB)} * (dl / avgdl))))"""
+        .stripMargin
+    s"""bm AS (
+       |  SELECT tf.word, tf.doc_id, tf.tf, dl.dl, qt.df,
+       |    $score AS score,
+       |    row_number() OVER (PARTITION BY tf.word
+       |      ORDER BY $score DESC, tf.doc_id)::BIGINT AS rk
+       |  FROM tf
+       |  JOIN qt ON qt.word = tf.word
+       |  JOIN dl ON dl.doc_id = tf.doc_id
+       |  CROSS JOIN stats)""".stripMargin
+  }
+
+  /** Full query-likelihood rank table as a CTE (word, doc_id, tf, dl,
+    * cf, score, rk).
+    */
+  private val qlCte: String = {
+    val score =
+      s"""(tf.tf * c_tokens + $QlMu * qt.cf)::DOUBLE
+         |      / ((dl.dl + $QlMu) * c_tokens)::DOUBLE""".stripMargin
+    s"""tot AS (SELECT sum(dl)::BIGINT AS c_tokens FROM dl),
+       |ql AS (
+       |  SELECT tf.word, tf.doc_id, tf.tf, dl.dl, qt.cf,
+       |    $score AS score,
+       |    row_number() OVER (PARTITION BY tf.word
+       |      ORDER BY $score DESC, tf.doc_id)::BIGINT AS rk
+       |  FROM tf
+       |  JOIN qt ON qt.word = tf.word
+       |  JOIN dl ON dl.doc_id = tf.doc_id
+       |  CROSS JOIN tot)""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
     "llm_postings" ->
       s"""WITH $tfCte
@@ -149,35 +359,50 @@ object Retrieval {
          |  FROM tf)
          |WHERE rk = 1""".stripMargin,
     "llm_bm25_topk" ->
-      s"""WITH $tfCte,
-         |dl AS (
-         |  SELECT doc_id, len(string_split(text, ' '))::BIGINT AS dl
-         |  FROM documents),
-         |stats AS (
-         |  SELECT count(*)::BIGINT AS n_docs,
-         |    sum(dl)::BIGINT::DOUBLE / count(*)::BIGINT::DOUBLE AS avgdl
-         |  FROM dl),
-         |qt AS (
-         |  SELECT word, df FROM (
-         |    SELECT word, count(*)::BIGINT AS df, sum(tf)::BIGINT AS cnt,
-         |      row_number() OVER (ORDER BY sum(tf) DESC, word) AS vrk
-         |    FROM tf GROUP BY word)
-         |  WHERE vrk BETWEEN $BmRankLo AND $BmRankHi)
-         |SELECT word, doc_id, tf, dl, df, score, rk FROM (
-         |  SELECT tf.word, tf.doc_id, tf.tf, dl.dl, qt.df,
-         |    ((n_docs - df + ${dlit(0.5)}) / (df + ${dlit(0.5)}))
-         |      * ((tf * ${dlit(BmK1 + 1.0)}) / (tf + ${dlit(BmK1)}
-         |        * (${dlit(1.0 - BmB)} + ${dlit(BmB)} * (dl / avgdl))))
-         |      AS score,
-         |    row_number() OVER (PARTITION BY tf.word
-         |      ORDER BY ((n_docs - df + ${dlit(0.5)}) / (df + ${dlit(0.5)}))
-         |        * ((tf * ${dlit(BmK1 + 1.0)}) / (tf + ${dlit(BmK1)}
-         |          * (${dlit(1.0 - BmB)} + ${dlit(BmB)} * (dl / avgdl))))
-         |        DESC, tf.doc_id)::BIGINT AS rk
-         |  FROM tf
-         |  JOIN qt ON qt.word = tf.word
-         |  JOIN dl ON dl.doc_id = tf.doc_id
-         |  CROSS JOIN stats)
-         |WHERE rk <= $BmTopK""".stripMargin
+      s"""WITH $tfCte, $dlCte, $qtCte, $statsCte, $bmCte
+         |SELECT word, doc_id, tf, dl, df, score, rk FROM bm
+         |WHERE rk <= $BmTopK""".stripMargin,
+    "llm_ql_topk" ->
+      s"""WITH $tfCte, $dlCte, $qtCte, $qlCte
+         |SELECT word, doc_id, tf, dl, cf, score, rk FROM ql
+         |WHERE rk <= $BmTopK""".stripMargin,
+    "llm_hybrid_rrf" ->
+      s"""WITH $tfCte, $dlCte, $qtCte, $statsCte, $bmCte, $qlCte,
+         |bmf AS (SELECT word, doc_id, rk AS bm_rk FROM bm
+         |        WHERE rk <= $FuseDepth),
+         |qlf AS (SELECT word, doc_id, rk AS ql_rk FROM ql
+         |        WHERE rk <= $FuseDepth),
+         |fused AS (
+         |  SELECT coalesce(b.word, q.word) AS word,
+         |    coalesce(b.doc_id, q.doc_id) AS doc_id,
+         |    b.bm_rk, q.ql_rk,
+         |    coalesce(${dlit(1.0)} / (($RrfK + b.bm_rk)::DOUBLE),
+         |      ${dlit(0.0)})
+         |    + coalesce(${dlit(1.0)} / (($RrfK + q.ql_rk)::DOUBLE),
+         |      ${dlit(0.0)}) AS rrf
+         |  FROM bmf b FULL OUTER JOIN qlf q
+         |    ON b.word = q.word AND b.doc_id = q.doc_id)
+         |SELECT word, doc_id, bm_rk, ql_rk, rrf, rk FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY word
+         |    ORDER BY rrf DESC, doc_id)::BIGINT AS rk
+         |  FROM fused)
+         |WHERE rk <= $FuseTopK""".stripMargin,
+    "llm_query_expansion" ->
+      s"""WITH $tfCte, $dlCte, $qtCte, $statsCte, $bmCte,
+         |fb AS (SELECT word AS qword, doc_id FROM bm
+         |       WHERE rk <= $BmTopK),
+         |cand AS (
+         |  SELECT fb.qword, tf.word, sum(tf.tf)::BIGINT AS sum_tf
+         |  FROM fb JOIN tf ON tf.doc_id = fb.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT qword, exp_word, sum_tf, df, rk FROM (
+         |  SELECT cand.qword, cand.word AS exp_word, cand.sum_tf,
+         |    vk.df,
+         |    row_number() OVER (PARTITION BY cand.qword
+         |      ORDER BY cand.sum_tf DESC, cand.word)::BIGINT AS rk
+         |  FROM cand
+         |  JOIN vk ON vk.word = cand.word
+         |  WHERE cand.word != cand.qword AND vk.vrk >= $BmRankLo)
+         |WHERE rk <= $PrfTerms""".stripMargin
   )
 }

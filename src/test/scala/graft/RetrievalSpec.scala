@@ -97,6 +97,76 @@ class RetrievalSpec extends SparkSpecBase {
       s"length normalization inverted: $scored")
   }
 
+  test("ql: Dirichlet ranking is tf-monotone and length-normalized") {
+    // equal-length docs: higher tf must score higher; equal-tf docs:
+    // the shorter one must score higher (its posterior concentrates)
+    val filler = Seq("f1", "f2", "f3", "f4")
+    val docs = Seq(
+      (1L, (Seq.fill(3)("target") ++ Seq.fill(7)("pad")).mkString(" ")),
+      (2L, (Seq.fill(5)("target") ++ Seq.fill(5)("pad")).mkString(" ")),
+      (3L, (Seq.fill(3)("target") ++ Seq.fill(27)("pad")).mkString(" ")),
+      (4L, filler.flatMap(f => Seq.fill(12)(f)).mkString(" ")))
+      .toDF("doc_id", "text")
+    val scored = Retrieval.qlTopKOf(docs)
+      .where(col("word") === "target").collect()
+      .map(r => r.getLong(1) -> r.getDouble(5)).toMap
+    assert(scored.keySet == Set(1L, 2L, 3L),
+      s"'target' should be probed with its 3 postings: $scored")
+    assert(scored(2L) > scored(1L), s"tf monotonicity: $scored")
+    assert(scored(1L) > scored(3L), s"length normalization: $scored")
+  }
+
+  test("rrf: fused scores replay from the two rank lists, dense ranks") {
+    val rows = Retrieval.hybridRrf(spark, Sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val bm = if (r.isNullAt(2)) None else Some(r.getLong(2))
+      val ql = if (r.isNullAt(3)) None else Some(r.getLong(3))
+      val expect =
+        bm.map(k => 1.0 / (Retrieval.RrfK + k).toDouble).getOrElse(0.0) +
+        ql.map(k => 1.0 / (Retrieval.RrfK + k).toDouble).getOrElse(0.0)
+      assert(r.getDouble(4) == expect,
+        s"rrf mismatch for (${r.getString(0)}, ${r.getLong(1)})")
+      assert(bm.forall(k => k >= 1 && k <= Retrieval.FuseDepth))
+      assert(ql.forall(k => k >= 1 && k <= Retrieval.FuseDepth))
+      assert(bm.nonEmpty || ql.nonEmpty, "a fused doc came from somewhere")
+    }
+    rows.groupBy(_.getString(0)).foreach { case (w, rs) =>
+      val rks = rs.map(_.getLong(5)).sorted
+      assert(rks.toSeq == (1L to rks.length.toLong).toSeq, s"$w ranks")
+    }
+  }
+
+  test("expansion: replays the in-memory PRF pool, no stopwords") {
+    // independent replay: feedback docs from the public bm25TopK, tf
+    // and the vocabulary ranking recomputed in memory
+    val tf = Retrieval.tfOf(corpus).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val vocab = tf.groupBy(_._2).map { case (w, rows) =>
+      w -> (rows.length.toLong, rows.map(_._3).sum)
+    }
+    val vrk = vocab.toSeq.sortBy { case (w, (_, cf)) => (-cf, w) }
+      .zipWithIndex.map { case ((w, _), i) => w -> (i + 1).toLong }.toMap
+    val fb = Retrieval.bm25TopK(spark, Sf).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val expect = fb.groupBy(_._1).flatMap { case (qw, docs) =>
+      val ds = docs.map(_._2).toSet
+      tf.filter { case (d, w, _) =>
+          ds(d) && w != qw && vrk(w) >= Retrieval.BmRankLo }
+        .groupBy(_._2)
+        .map { case (w, rows) => (w, rows.map(_._3).sum) }
+        .toSeq.sortBy { case (w, s) => (-s, w) }
+        .take(Retrieval.PrfTerms)
+        .zipWithIndex
+        .map { case ((w, s), i) =>
+          (qw, w) -> ((s, vocab(w)._1, (i + 1).toLong)) }
+    }
+    val got = Retrieval.queryExpansion(spark, Sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got == expect, s"PRF replay mismatch:\n$got\nvs\n$expect")
+  }
+
   test("plan: query terms and corpus stats ride broadcast joins") {
     val plan = Retrieval.bm25TopK(spark, Sf)
       .queryExecution.executedPlan.toString
