@@ -308,6 +308,113 @@ object Graph {
       .groupBy("cluster_id").agg(count(lit(1)).as("size"))
       .groupBy("size").agg(count(lit(1)).as("n_components"))
 
+  /** Minimum residual degree for the [[kcore]] peel. */
+  val KcoreK = 3L
+
+  /** Fixed peel rounds — each round deletes every node whose residual
+    * degree is below [[KcoreK]] and the edges touching it; the trace is
+    * well-defined whether or not the peel has reached its fixpoint (a
+    * production run loops until the node count stops moving, same
+    * per-round plan).
+    */
+  val KcIters = 4
+
+  /** k-core peel trace over the STRONG co-purchase graph (the k-core is
+    * the classic cohesion census — Seidman '83): after each synchronous
+    * peel round, how much graph survives. (iter, n_nodes, n_edges) —
+    * [[KcIters]] rows, exact integers, monotonically non-increasing.
+    *
+    * Scale shape: a round is one map-side-combined degree aggregate
+    * (|V| rows) plus two semi-join-shaped equi-joins of the |E|-row
+    * adjacency against the surviving-node table (vocabulary-scale, AQE
+    * broadcasts it); the per-round cut keeps lineage flat (the
+    * [[hitsOnMembers]] discipline). No global sort, no all-pairs
+    * anything.
+    */
+  def kcore(spark: SparkSession, dir: String): DataFrame =
+    kcoreOf(edges(spark, dir), Materialize.Local)
+
+  def kcoreOf(edgesRaw: DataFrame,
+      mat: Materialize.Strategy = Materialize.None): DataFrame = {
+    val cuts = scala.collection.mutable.ListBuffer.empty[DataFrame]
+    def cut(df: DataFrame): DataFrame =
+      if (mat ne Materialize.None) { val c = mat(df); cuts += c; c }
+      else df
+    var cur = cut(symOf(edgesRaw.where(col("w") >= StrongW)
+      .select("a", "b")))
+    val perRound = (1 to KcIters).map { i =>
+      val keep = degOf(cur).where(col("d") >= KcoreK).select("node")
+      cur = cut(cur
+        .join(keep.select(col("node").as("src")), "src")
+        .join(keep.select(col("node").as("dst")), "dst")
+        .select("src", "dst"))
+      cur.agg(
+        coalesce(count_distinct(col("src")), lit(0L)).as("n_nodes"),
+        expr("count(1) DIV 2").as("n_edges"))
+        .select(lit(i.toLong).as("iter"), col("n_nodes"), col("n_edges"))
+    }
+    val out = perRound.reduce(_.unionByName(_))
+    if (mat ne Materialize.None) {
+      val forced = Materialize.Local(out)
+      cuts.foreach(Materialize.release)
+      forced
+    } else out
+  }
+
+  /** Synchronous label-propagation rounds (fixed, the PageRank/HITS
+    * convention) and how many communities [[labelProp]] reports.
+    */
+  val LpIters = 3
+  val LpTopK = 20
+
+  /** Community detection by synchronous label propagation (Raghavan et
+    * al. '07) over the STRONG co-purchase graph: labels start as node
+    * ids; each round every node adopts its neighbors' most frequent
+    * label. The textbook algorithm breaks frequency ties randomly —
+    * here ties go to the SMALLEST label (count desc, label asc), which
+    * makes every round a deterministic function of the graph, so the
+    * DuckDB oracle replays all [[LpIters]] rounds and both engines land
+    * on identical community assignments. Top-[[LpTopK]] communities by
+    * size: (label, size, rk).
+    *
+    * Scale shape: a round is ONE |E|-row hash join (adjacency against
+    * the |V|-row label table) + a map-side-combined (node, label) count
+    * + a per-node window — the mode never needs a global sort, and the
+    * label table stays distributed (the [[pagerank]] shape; labels are
+    * per-node state like ranks).
+    */
+  def labelProp(spark: SparkSession, dir: String): DataFrame =
+    labelPropOf(edges(spark, dir), Materialize.Local)
+
+  def labelPropOf(edgesRaw: DataFrame,
+      mat: Materialize.Strategy = Materialize.None): DataFrame = {
+    val cuts = scala.collection.mutable.ListBuffer.empty[DataFrame]
+    def cut(df: DataFrame): DataFrame =
+      if (mat ne Materialize.None) { val c = mat(df); cuts += c; c }
+      else df
+    val sym = cut(symOf(edgesRaw.where(col("w") >= StrongW)
+      .select("a", "b")))
+    var lbl = sym.select(col("src").as("node")).distinct()
+      .select(col("node"), col("node").as("lbl"))
+    for (_ <- 1 to LpIters)
+      lbl = cut(sym.join(lbl.withColumnRenamed("node", "dst"), "dst")
+        .groupBy(col("src"), col("lbl")).agg(count(lit(1)).as("c"))
+        .withColumn("rk", row_number().over(Window.partitionBy("src")
+          .orderBy(col("c").desc, col("lbl").asc)))
+        .where(col("rk") === 1)
+        .select(col("src").as("node"), col("lbl")))
+    val out = lbl.groupBy("lbl").agg(count(lit(1)).as("size"))
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("size").desc, col("lbl"))).cast("long"))
+      .where(col("rk") <= LpTopK)
+      .select(col("lbl").as("label"), col("size"), col("rk"))
+    if (mat ne Materialize.None) {
+      val forced = Materialize.Local(out)
+      cuts.foreach(Materialize.release)
+      forced
+    } else out
+  }
+
   /** HITS iteration count and the fixed-point scale both sides share. */
   val HitsIters = 3
   val HitsScale = 1000000L
@@ -445,7 +552,9 @@ object Graph {
     "graph_item_recs" -> itemRecs,
     "graph_components" -> components,
     "graph_assortativity" -> assortativity,
-    "graph_hits" -> hits
+    "graph_hits" -> hits,
+    "graph_kcore" -> kcore,
+    "graph_label_prop" -> labelProp
   )
 
   /** Shared oracle CTEs: per-order distinct parts, canonical a < b
@@ -573,6 +682,56 @@ object Graph {
          |  JOIN pc na ON na.node = s.part
          |  JOIN pc nb ON nb.node = s.rec)
          |WHERE rk <= $RecsTopK""".stripMargin,
+    "graph_kcore" -> {
+      val rounds = (1 to KcIters).map { i =>
+        s"""k$i AS MATERIALIZED (
+           |  SELECT src AS node FROM e${i - 1}
+           |  GROUP BY src HAVING count(*) >= $KcoreK),
+           |e$i AS MATERIALIZED (
+           |  SELECT e.src, e.dst FROM e${i - 1} e
+           |  JOIN k$i x ON x.node = e.src
+           |  JOIN k$i y ON y.node = e.dst)""".stripMargin
+      }.mkString(",\n")
+      val trace = (1 to KcIters).map { i =>
+        s"""SELECT $i::BIGINT AS iter,
+           |  (SELECT count(DISTINCT src) FROM e$i)::BIGINT AS n_nodes,
+           |  (SELECT count(*) // 2 FROM e$i)::BIGINT AS n_edges"""
+          .stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH $graphCte,
+         |sp AS (SELECT a, b FROM ed WHERE w >= $StrongW),
+         |e0 AS MATERIALIZED (
+         |  SELECT a AS src, b AS dst FROM sp
+         |  UNION ALL SELECT b, a FROM sp),
+         |$rounds
+         |$trace""".stripMargin
+    },
+    "graph_label_prop" -> {
+      val rounds = (1 to LpIters).map { i =>
+        s"""l$i AS MATERIALIZED (
+           |  SELECT node, lbl FROM (
+           |    SELECT s.src AS node, l.lbl,
+           |      row_number() OVER (PARTITION BY s.src
+           |        ORDER BY count(*) DESC, l.lbl) AS rk
+           |    FROM e0 s JOIN l${i - 1} l ON l.node = s.dst
+           |    GROUP BY s.src, l.lbl)
+           |  WHERE rk = 1)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH $graphCte,
+         |sp AS (SELECT a, b FROM ed WHERE w >= $StrongW),
+         |e0 AS MATERIALIZED (
+         |  SELECT a AS src, b AS dst FROM sp
+         |  UNION ALL SELECT b, a FROM sp),
+         |l0 AS MATERIALIZED (
+         |  SELECT DISTINCT src AS node, src AS lbl FROM e0),
+         |$rounds
+         |SELECT label, size, rk FROM (
+         |  SELECT lbl AS label, count(*)::BIGINT AS size,
+         |    row_number() OVER (ORDER BY count(*) DESC, lbl)::BIGINT
+         |      AS rk
+         |  FROM l$LpIters GROUP BY lbl)
+         |WHERE rk <= $LpTopK""".stripMargin
+    },
     "graph_pagerank" -> {
       val rounds = (1 to PrIters).map(i =>
         s"r$i AS MATERIALIZED (\n${prRound(s"r${i - 1}")})").mkString(",\n")

@@ -124,6 +124,68 @@ class GraphSpec extends SparkSpecBase {
     }
   }
 
+  test("kcore: peel trace matches the in-memory simulation") {
+    val rnd = new scala.util.Random(7)
+    for (_ <- 1 to 3) {
+      val n = 10 + rnd.nextInt(10)
+      val edges = (for {
+        a <- 1 to n; b <- (a + 1) to n if rnd.nextDouble() < 0.25
+      } yield (a.toLong, b.toLong)).toSeq
+      if (edges.nonEmpty) {
+        // w = StrongW so every edge survives the strong filter
+        val df = edges.toDF("a", "b").withColumn("w", lit(Graph.StrongW))
+        var cur = edges.toSet
+        val expect = (1 to Graph.KcIters).map { i =>
+          val deg = cur.toSeq.flatMap(e => Seq(e._1, e._2))
+            .groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+          val keep = deg.filter(_._2 >= Graph.KcoreK).keySet
+          cur = cur.filter(e => keep(e._1) && keep(e._2))
+          val nodes = cur.flatMap(e => Seq(e._1, e._2)).size
+          (i.toLong, nodes.toLong, cur.size.toLong)
+        }
+        val got = Graph.kcoreOf(df).collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+          .sortBy(_._1).toSeq
+        assert(got == expect, s"edges=$edges")
+        // the trace never grows
+        assert(got.sliding(2).forall {
+          case Seq((_, n1, e1), (_, n2, e2)) => n2 <= n1 && e2 <= e1
+          case _ => true
+        })
+      }
+    }
+  }
+
+  test("label prop: communities match the synchronous mode replay") {
+    val rnd = new scala.util.Random(11)
+    for (_ <- 1 to 3) {
+      val n = 10 + rnd.nextInt(10)
+      val edges = (for {
+        a <- 1 to n; b <- (a + 1) to n if rnd.nextDouble() < 0.3
+      } yield (a.toLong, b.toLong)).toSeq
+      if (edges.nonEmpty) {
+        val df = edges.toDF("a", "b").withColumn("w", lit(Graph.StrongW))
+        val nbrs = (edges ++ edges.map(e => (e._2, e._1)))
+          .groupBy(_._1).map { case (k, v) => k -> v.map(_._2) }
+        var lbl = nbrs.keys.map(k => k -> k).toMap
+        for (_ <- 1 to Graph.LpIters)
+          lbl = nbrs.map { case (v, ns) =>
+            v -> ns.map(lbl).groupBy(identity).toSeq
+              .map { case (l, g) => (-g.size, l) }.min._2
+          }
+        val expect = lbl.values.groupBy(identity)
+          .map { case (l, g) => l -> g.size.toLong }.toSeq
+          .sortBy { case (l, s) => (-s, l) }
+          .take(Graph.LpTopK).zipWithIndex
+          .map { case ((l, s), i) => (l, s, (i + 1).toLong) }
+        val got = Graph.labelPropOf(df).collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+          .sortBy(_._3).toSeq
+        assert(got == expect, s"edges=$edges")
+      }
+    }
+  }
+
   test("item recs: hand-checked Jaccard on the tiny graph") {
     // n_ord: p1=1 p2=1 p3=2 p4=1; jaccard: (1,2)=1.0, (1,3)=(2,3)=(3,4)=0.5
     val recs = Graph.itemRecsOf(tinyLineitem, Graph.edgesOf(tinyLineitem))
