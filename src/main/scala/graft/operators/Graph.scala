@@ -361,6 +361,56 @@ object Graph {
     } else out
   }
 
+  /** BFS frontier-expansion rounds for [[distances]]. */
+  val BfsIters = 4
+
+  /** Single-source BFS level census over the STRONG co-purchase graph:
+    * hop distances 0..[[BfsIters]] from the canonical source (the
+    * max-degree node, ties to the smallest id — chosen FROM the graph,
+    * so the entry is self-contained like [[Retrieval]]'s query terms).
+    * (dist, n_nodes); nodes beyond [[BfsIters]] hops are absent, the
+    * bounded-frontier contract every production BFS ships with.
+    *
+    * Scale shape: each round joins the |E|-row adjacency against the
+    * CURRENT frontier only (never the full visited set) and anti-joins
+    * the visited table to keep first-discovery distances — two hash
+    * joins + a distinct per round, the iterative-driver-loop class
+    * ([[pagerank]]); the visited state stays distributed.
+    */
+  def distances(spark: SparkSession, dir: String): DataFrame =
+    distancesOf(edges(spark, dir), Materialize.Local)
+
+  def distancesOf(edgesRaw: DataFrame,
+      mat: Materialize.Strategy = Materialize.None): DataFrame = {
+    val cuts = scala.collection.mutable.ListBuffer.empty[DataFrame]
+    def cut(df: DataFrame): DataFrame =
+      if (mat ne Materialize.None) { val c = mat(df); cuts += c; c }
+      else df
+    val sym = cut(symOf(edgesRaw.where(col("w") >= StrongW)
+      .select("a", "b")))
+    val src = degOf(sym)
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("d").desc, col("node"))))
+      .where(col("rk") === 1)
+      .select(col("node"))
+    var dist = cut(src.select(col("node"), lit(0L).as("dist")))
+    for (i <- 1 to BfsIters) {
+      val frontier = dist.where(col("dist") === lit((i - 1).toLong))
+      val next = sym
+        .join(frontier.select(col("node").as("src")), "src")
+        .select(col("dst").as("node")).distinct()
+        .join(dist.select("node"), Seq("node"), "left_anti")
+        .select(col("node"), lit(i.toLong).as("dist"))
+      dist = cut(dist.unionByName(next))
+    }
+    val out = dist.groupBy("dist").agg(count(lit(1)).as("n_nodes"))
+    if (mat ne Materialize.None) {
+      val forced = Materialize.Local(out)
+      cuts.foreach(Materialize.release)
+      forced
+    } else out
+  }
+
   /** Synchronous label-propagation rounds (fixed, the PageRank/HITS
     * convention) and how many communities [[labelProp]] reports.
     */
@@ -554,7 +604,8 @@ object Graph {
     "graph_assortativity" -> assortativity,
     "graph_hits" -> hits,
     "graph_kcore" -> kcore,
-    "graph_label_prop" -> labelProp
+    "graph_label_prop" -> labelProp,
+    "graph_distances" -> distances
   )
 
   /** Shared oracle CTEs: per-order distinct parts, canonical a < b
@@ -731,6 +782,33 @@ object Graph {
          |      AS rk
          |  FROM l$LpIters GROUP BY lbl)
          |WHERE rk <= $LpTopK""".stripMargin
+    },
+    "graph_distances" -> {
+      val rounds = (1 to BfsIters).map { i =>
+        s"""d$i AS MATERIALIZED (
+           |  SELECT node, dist FROM d${i - 1}
+           |  UNION ALL
+           |  SELECT DISTINCT e.dst AS node, $i::BIGINT AS dist
+           |  FROM e0 e JOIN d${i - 1} f
+           |    ON f.node = e.src AND f.dist = ${i - 1}
+           |  WHERE e.dst NOT IN (SELECT node FROM d${i - 1}))"""
+          .stripMargin
+      }.mkString(",\n")
+      s"""WITH $graphCte,
+         |sp AS (SELECT a, b FROM ed WHERE w >= $StrongW),
+         |e0 AS MATERIALIZED (
+         |  SELECT a AS src, b AS dst FROM sp
+         |  UNION ALL SELECT b, a FROM sp),
+         |sdeg AS (SELECT src AS node, count(*)::BIGINT AS d
+         |         FROM e0 GROUP BY 1),
+         |d0 AS MATERIALIZED (
+         |  SELECT node, 0::BIGINT AS dist FROM (
+         |    SELECT node, row_number() OVER (ORDER BY d DESC, node)
+         |      AS rk FROM sdeg)
+         |  WHERE rk = 1),
+         |$rounds
+         |SELECT dist, count(*)::BIGINT AS n_nodes
+         |FROM d$BfsIters GROUP BY 1""".stripMargin
     },
     "graph_pagerank" -> {
       val rounds = (1 to PrIters).map(i =>

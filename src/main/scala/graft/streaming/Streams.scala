@@ -848,6 +848,57 @@ object Streams {
     * Determinism: integer supports, one exactly-rounded division for
     * the fraction, ties break on path text.
     */
+  /** Values in the truncated exponential smoother (α = ½). */
+  val EwmaDepth = 8
+
+  /** Exact decimal weight (½)^(k+1) — 5^(k+1) · 10^-(k+1), so every
+    * power of two has a finite base-10 spelling both engines hold
+    * exactly.
+    */
+  private[graft] def ewmaWeight(k: Int): java.math.BigDecimal =
+    java.math.BigDecimal.valueOf(5).pow(k + 1).movePointLeft(k + 1)
+
+  /** Per-user exponentially-weighted moving average of `value` at each
+    * user's LATEST event — the time-decayed feature a monitoring /
+    * per-entity-baseline pipeline keeps next to [[valueOutliers]]'
+    * global-variance flags. α = ½ truncated at [[EwmaDepth]] terms with
+    * zero padding: ewma = Σ_{k<8} (½)^(k+1) · v_{t−k}, newest first.
+    *
+    * Determinism: every weight (½)^(k+1) is an EXACT decimal
+    * (5^(k+1)·10^-(k+1)), each product is DECIMAL(24,6)·weight cast to
+    * a common DECIMAL(30,14) — exact, scale 14 holds the full product —
+    * and the 8-term sum stays exact under any association, so the one
+    * double cast at the end is correctly rounded identically in both
+    * engines (no float pow, no order-dependent float sum — the dsum
+    * discipline extended to weighted sums).
+    *
+    * Scale shape: ONE shuffle by user_id; the lags, the count and the
+    * row_number all ride that partitioning. Streaming form: a ring
+    * buffer of the last [[EwmaDepth]] values per key in
+    * `mapGroupsWithState` — O(users·depth) state, the
+    * [[sessionizeStateful]] class.
+    */
+  def ewmaValue(events: DataFrame): DataFrame = {
+    val e = withEventTime(events)
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts_us"), col("event_id"))
+    val wp = Window.partitionBy("user_id")
+    def term(k: Int): Column = {
+      val v = if (k == 0) col("value") else lag(col("value"), k).over(w)
+      (coalesce(v, lit(0.0)).cast("decimal(24,6)") * lit(ewmaWeight(k)))
+        .cast("decimal(30,14)")
+    }
+    val ewma = (0 until EwmaDepth).map(term).reduce(_ + _).cast("double")
+    e.select(col("user_id"), col("ts_us"), col("value"),
+        count(lit(1)).over(wp).as("n_events"),
+        row_number().over(w).cast("long").as("rn"),
+        ewma.as("ewma"))
+      .where(col("rn") === col("n_events"))
+      .select(col("user_id"), col("n_events"),
+        col("ts_us").as("last_ts_us"), col("value").as("last_value"),
+        col("ewma"))
+  }
+
   def frequentPaths(events: DataFrame): DataFrame = {
     val w = Window.partitionBy("user_id")
       .orderBy(col("ts_us"), col("event_id"))
@@ -1062,7 +1113,9 @@ object Streams {
     "stream_watermark_plan" ->
       ((s: SparkSession, d: String) => watermarkPlan(events(s, d))),
     "stream_user_rfm" ->
-      ((s: SparkSession, d: String) => userRfm(events(s, d)))
+      ((s: SparkSession, d: String) => userRfm(events(s, d))),
+    "stream_ewma" ->
+      ((s: SparkSession, d: String) => ewmaValue(events(s, d)))
   )
 
   val oracle: Map[String, String] = Map(
@@ -1440,6 +1493,29 @@ object Streams {
          |  unnest([${delays.map(d => s"l$d::DOUBLE / n").mkString(", ")}])
          |    AS drop_rate
          |FROM a""".stripMargin
+    },
+    "stream_ewma" -> {
+      val lags = (1 until EwmaDepth).map(k =>
+        s"""    lag(value, $k) OVER (PARTITION BY user_id
+           |      ORDER BY epoch_us(ts), event_id) AS v$k""".stripMargin)
+        .mkString(",\n")
+      val terms = (0 until EwmaDepth).map { k =>
+        val v = if (k == 0) "value" else s"v$k"
+        s"""(coalesce($v, 0e0)::DECIMAL(24,6)
+           |     * ${ewmaWeight(k).toPlainString})::DECIMAL(30,14)"""
+          .stripMargin
+      }.mkString("\n   + ")
+      s"""WITH w AS (
+         |  SELECT user_id, epoch_us(ts) AS ts_us, value,
+         |    row_number() OVER (PARTITION BY user_id
+         |      ORDER BY epoch_us(ts), event_id) AS rn,
+         |    count(*) OVER (PARTITION BY user_id)::BIGINT AS cnt,
+         |$lags
+         |  FROM events)
+         |SELECT user_id, cnt AS n_events, ts_us AS last_ts_us,
+         |  value AS last_value,
+         |  ($terms)::DOUBLE AS ewma
+         |FROM w WHERE rn = cnt""".stripMargin
     }
   )
 }

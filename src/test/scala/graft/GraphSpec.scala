@@ -186,6 +186,34 @@ class GraphSpec extends SparkSpecBase {
     }
   }
 
+  test("distances: BFS level census matches the in-memory replay") {
+    val rnd = new scala.util.Random(23)
+    for (_ <- 1 to 3) {
+      val n = 10 + rnd.nextInt(10)
+      val edges = (for {
+        a <- 1 to n; b <- (a + 1) to n if rnd.nextDouble() < 0.2
+      } yield (a.toLong, b.toLong)).toSeq
+      if (edges.nonEmpty) {
+        val df = edges.toDF("a", "b").withColumn("w", lit(Graph.StrongW))
+        val nbrs = (edges ++ edges.map(e => (e._2, e._1)))
+          .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+        val src = nbrs.toSeq
+          .map { case (v, ns) => (-ns.size.toLong, v) }.min._2
+        var dist = Map(src -> 0L)
+        for (i <- 1 to Graph.BfsIters) {
+          val frontier = dist.filter(_._2 == i - 1).keySet
+          val fresh = frontier.flatMap(nbrs) -- dist.keySet
+          dist = dist ++ fresh.map(_ -> i.toLong)
+        }
+        val expect = dist.values.groupBy(identity)
+          .map { case (d, g) => (d, g.size.toLong) }.toSet
+        val got = Graph.distancesOf(df).collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+        assert(got == expect, s"edges=$edges src=$src")
+      }
+    }
+  }
+
   test("item recs: hand-checked Jaccard on the tiny graph") {
     // n_ord: p1=1 p2=1 p3=2 p4=1; jaccard: (1,2)=1.0, (1,3)=(2,3)=(3,4)=0.5
     val recs = Graph.itemRecsOf(tinyLineitem, Graph.edgesOf(tinyLineitem))

@@ -228,6 +228,34 @@ class StreamingSpec extends SparkSpecBase {
     assert(rows.values.map(_._7).toSet.size > 4)
   }
 
+  test("ewma replays the exact-decimal smoother at each user's last event") {
+    val ev = graft.Tables(spark, Sf, "events")
+    val got = Streams.ewmaValue(ev).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4))))
+      .toMap
+    val per = Streams.withEventTime(ev)
+      .select("user_id", "ts_us", "event_id", "value").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .groupBy(_._1)
+    assert(got.keySet == per.keySet)
+    per.foreach { case (u, es) =>
+      val ordered = es.sortBy(e => (e._2, e._3)).map(e => (e._2, e._4))
+      val last8 = ordered.takeRight(Streams.EwmaDepth).reverse
+        .padTo(Streams.EwmaDepth, (0L, 0.0))
+      val expect = last8.zipWithIndex.map { case ((_, v), k) =>
+        new java.math.BigDecimal(v).setScale(6,
+            java.math.RoundingMode.HALF_UP)
+          .multiply(Streams.ewmaWeight(k))
+      }.reduce(_ add _).doubleValue()
+      val (n, lastTs, lastV, ew) = got(u)
+      assert(n == es.length.toLong, s"user $u count")
+      assert(lastTs == ordered.last._1 && lastV == ordered.last._2,
+        s"user $u last event")
+      assert(ew == expect, s"user $u ewma: $ew vs $expect")
+    }
+  }
+
   test("watermark plan matches a sequential arrival replay, any partitioning") {
     val s = spark; import s.implicits._
     val ev = graft.Tables(spark, Sf, "events")
