@@ -379,6 +379,98 @@ object Sketch {
         abs(col("est_v") - col("exact_v")).as("abs_err"))
   }
 
+  // ---- robust statistics (winsorize, KS drift) ----
+
+  /** Winsorization bounds (the classic 1%/99% clip). */
+  val WinsLoQ = 0.01
+  val WinsHiQ = 0.99
+
+  /** Per-source robust length statistics after winsorizing at the
+    * GLOBAL p01/p99 — the outlier-clipped profile a pipeline owner
+    * reads instead of a raw mean that one pathological document can
+    * drag (robust-statistics cleaning, Tukey lineage). The clip bounds
+    * come from [[exactQuantilesOf]]'s distributed bucket-histogram
+    * selection (never a global buffered percentile), broadcast back as
+    * 1 row; clipping is row-local; the per-source aggregate is one
+    * map-side-combined groupBy. (source, n, n_lo, n_hi, lo, hi, min_w,
+    * max_w, mean_w) — everything integer except the final mean
+    * division.
+    */
+  def winsorize(spark: SparkSession, dir: String): DataFrame =
+    winsorizeOf(Tables(spark, dir, "documents")
+      .select(col("source"), col("n_chars").cast("long").as("v")))
+
+  def winsorizeOf(docs: DataFrame): DataFrame = {
+    val qs = exactQuantilesOf(docs.select(col("v")),
+      Seq(WinsLoQ, WinsHiQ))
+    val bounds = qs.agg(
+      min(when(col("q") === WinsLoQ.toString, col("exact_v"))).as("lo"),
+      min(when(col("q") === WinsHiQ.toString, col("exact_v"))).as("hi"))
+    val w = greatest(least(col("v"), col("hi")), col("lo"))
+    docs.crossJoin(broadcast(bounds))
+      .groupBy(col("source"), col("lo"), col("hi"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("v") < col("lo"), 1L).otherwise(0L)).as("n_lo"),
+        sum(when(col("v") > col("hi"), 1L).otherwise(0L)).as("n_hi"),
+        min(w).as("min_w"), max(w).as("max_w"),
+        sum(w).as("sum_w"))
+      .select(col("source"), col("n"), col("n_lo"), col("n_hi"),
+        col("lo"), col("hi"), col("min_w"), col("max_w"),
+        (col("sum_w").cast("double") / col("n").cast("double"))
+          .as("mean_w"))
+  }
+
+  /** Two-sample Kolmogorov–Smirnov drift per source against the
+    * baseline (smallest source name): D = max |F_s(x) − F_0(x)| over
+    * the pooled support — the DISTRIBUTION-level drift monitor next to
+    * `llm_quality_drift`'s mean-level signals (a source can keep its
+    * mean while its shape walks away; KS sees it). (source, n, n0,
+    * d_stat) for every non-baseline source.
+    *
+    * Scale shape: one (source, value) count aggregate (map-side
+    * partial), then everything rides the bounded |support|·|sources|
+    * grid — per-source prefix-sum windows, a broadcast of the
+    * baseline's |support|-row CDF, and a max aggregate. The corpus is
+    * scanned once; no row-level join ever happens.
+    *
+    * Determinism: step CDFs are exact integer prefix sums over the
+    * SHARED global support (a superset of any pair's union support —
+    * evaluating extra points never changes the max of step-function
+    * differences), each CDF value is one exactly-rounded division, and
+    * D is a max over |difference| doubles both engines compute
+    * identically.
+    */
+  def ksDrift(spark: SparkSession, dir: String): DataFrame =
+    ksDriftOf(Tables(spark, dir, "documents")
+      .select(col("source"), col("n_chars").cast("long").as("v")))
+
+  def ksDriftOf(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = docs.groupBy(col("source"), col("v"))
+      .agg(count(lit(1)).as("c"))
+    val support = counts.select("v").distinct()
+    val sources = counts.select("source").distinct()
+    val totals = counts.groupBy("source").agg(sum(col("c")).as("n"))
+    val cdf = sources.crossJoin(support)
+      .join(counts, Seq("source", "v"), "left")
+      .na.fill(0L, Seq("c"))
+      .withColumn("cum", sum(col("c")).over(
+        Window.partitionBy("source").orderBy("v")))
+      .join(totals, "source")
+      .select(col("source"), col("v"), col("n"),
+        (col("cum").cast("double") / col("n").cast("double")).as("cdf"))
+    val b0 = sources.agg(min(col("source")).as("bsrc"))
+    val cdf0 = cdf.crossJoin(broadcast(b0))
+      .where(col("source") === col("bsrc"))
+      .select(col("v"), col("cdf").as("cdf0"), col("n").as("n0"))
+    cdf.crossJoin(broadcast(b0))
+      .where(col("source") =!= col("bsrc"))
+      .join(broadcast(cdf0), "v")
+      .groupBy(col("source"), col("n"), col("n0"))
+      .agg(max(abs(col("cdf") - col("cdf0"))).as("d_stat"))
+      .select(col("source"), col("n"), col("n0"), col("d_stat"))
+  }
+
   // ---- KMV set operations (audience overlap) ----
 
   /** KMV sketch size for [[audienceKmv]]. 64 against the fixture's
@@ -471,10 +563,59 @@ object Sketch {
     "llm_quantile_sketch" -> quantileSketch,
     "llm_distinct_hll" -> distinctHll,
     "llm_group_quantiles" -> groupQuantiles,
-    "llm_audience_kmv" -> audienceKmv
+    "llm_audience_kmv" -> audienceKmv,
+    "llm_winsorize" -> winsorize,
+    "llm_ks_drift" -> ksDrift
   )
 
   val oracle: Map[String, String] = Map(
+    "llm_winsorize" ->
+      s"""WITH v AS (
+         |  SELECT source, n_chars::BIGINT AS v FROM documents),
+         |b AS (
+         |  SELECT
+         |    percentile_disc($WinsLoQ) WITHIN GROUP (ORDER BY v)
+         |      ::BIGINT AS lo,
+         |    percentile_disc($WinsHiQ) WITHIN GROUP (ORDER BY v)
+         |      ::BIGINT AS hi
+         |  FROM v)
+         |SELECT source, count(*)::BIGINT AS n,
+         |  sum(CASE WHEN v.v < lo THEN 1 ELSE 0 END)::BIGINT AS n_lo,
+         |  sum(CASE WHEN v.v > hi THEN 1 ELSE 0 END)::BIGINT AS n_hi,
+         |  lo, hi,
+         |  min(greatest(least(v.v, hi), lo))::BIGINT AS min_w,
+         |  max(greatest(least(v.v, hi), lo))::BIGINT AS max_w,
+         |  sum(greatest(least(v.v, hi), lo))::BIGINT::DOUBLE
+         |    / count(*)::BIGINT::DOUBLE AS mean_w
+         |FROM v, b
+         |GROUP BY source, lo, hi""".stripMargin,
+    "llm_ks_drift" ->
+      """WITH c AS (
+        |  SELECT source, n_chars::BIGINT AS v, count(*)::BIGINT AS c
+        |  FROM documents GROUP BY 1, 2),
+        |sup AS (SELECT DISTINCT v FROM c),
+        |src AS (SELECT DISTINCT source FROM c),
+        |tot AS (SELECT source, sum(c)::BIGINT AS n FROM c GROUP BY 1),
+        |grid AS (
+        |  SELECT s.source, sup.v, coalesce(c.c, 0)::BIGINT AS c
+        |  FROM src s CROSS JOIN sup
+        |  LEFT JOIN c ON c.source = s.source AND c.v = sup.v),
+        |cdf AS (
+        |  SELECT g.source, g.v, t.n,
+        |    (sum(g.c) OVER (PARTITION BY g.source ORDER BY g.v))
+        |      ::BIGINT::DOUBLE / t.n::DOUBLE AS cdf
+        |  FROM grid g JOIN tot t ON t.source = g.source),
+        |b0 AS (SELECT min(source) AS bsrc FROM c),
+        |c0 AS (
+        |  SELECT v, cdf AS cdf0, n AS n0 FROM cdf, b0
+        |  WHERE cdf.source = b0.bsrc)
+        |SELECT cdf.source, cdf.n, c0.n0,
+        |  max(abs(cdf.cdf - c0.cdf0)) AS d_stat
+        |FROM cdf
+        |CROSS JOIN b0
+        |JOIN c0 ON c0.v = cdf.v
+        |WHERE cdf.source != b0.bsrc
+        |GROUP BY 1, 2, 3""".stripMargin,
     "llm_audience_kmv" -> {
       val u = graft.functions.Md5Uniform.sql("user_id::VARCHAR")
       s"""WITH du AS (

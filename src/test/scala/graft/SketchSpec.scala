@@ -184,4 +184,44 @@ class SketchSpec extends SparkSpecBase {
       .where(col("count") > Sketch.HllM).count()
     assert(over === 0L)
   }
+
+  test("winsorize replays the rank-selected clip in memory") {
+    val vs = Tables(spark, Sf, "documents").select("source", "n_chars").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val sorted = vs.map(_._2).sorted
+    def pick(q: Double) = sorted(math.ceil(q * sorted.length).toInt - 1)
+    val (lo, hi) = (pick(Sketch.WinsLoQ), pick(Sketch.WinsHiQ))
+    val expect = vs.groupBy(_._1).map { case (src, rows) =>
+      val raw = rows.map(_._2)
+      val w = raw.map(v => math.max(lo, math.min(hi, v)))
+      src -> ((raw.length.toLong, raw.count(_ < lo).toLong,
+        raw.count(_ > hi).toLong, w.min, w.max,
+        w.sum.toDouble / w.length.toDouble))
+    }
+    val got = Sketch.winsorize(spark, Sf).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(6), r.getLong(7), r.getDouble(8))))
+      .toMap
+    assert(got == expect)
+  }
+
+  test("ks drift: D matches the two-sample statistic, baseline excluded") {
+    val vs = Tables(spark, Sf, "documents").select("source", "n_chars").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val bySrc = vs.groupBy(_._1).map { case (s, r) => s -> r.map(_._2) }
+    val base = bySrc.keys.min
+    val support = vs.map(_._2).distinct.sorted
+    def cdf(xs: Seq[Long])(x: Long): Double =
+      xs.count(_ <= x).toDouble / xs.length.toDouble
+    val expect = (bySrc - base).map { case (s, xs) =>
+      val d = support.map(x =>
+        math.abs(cdf(xs)(x) - cdf(bySrc(base))(x))).max
+      s -> ((xs.length.toLong, bySrc(base).length.toLong, d))
+    }
+    val got = Sketch.ksDrift(spark, Sf).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(got == expect)
+    assert(!got.contains(base))
+  }
 }
