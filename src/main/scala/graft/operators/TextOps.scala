@@ -1043,7 +1043,94 @@ object TextOps {
         (sum(col("n_subwords")).cast("double")
           / sum(col("n_words")).cast("double")).as("fertility"))
 
+  /** Discriminative terms reported by [[chi2Terms]]. */
+  val Chi2TopK = 20
+
+  /** χ² feature selection (Yang & Pedersen '97 — the classic step
+    * before training a language/quality classifier): for every term,
+    * the chi-square association between document-level term PRESENCE
+    * and the English label, ranked descending. Contingency cells are
+    * exact integer counts off ONE distinct (doc, word) projection plus
+    * a 1-row label-total broadcast; χ² = n·(ad−bc)² / ((a+b)(c+d)(a+c)
+    * (b+d)) rides DECIMAL(38,0) cross products (the assortativity
+    * headroom discipline — (ad−bc)² can pass 2^63 long before any
+    * count does) and ends in ONE division of two correctly-rounded
+    * casts. Top-[[Chi2TopK]]: (word, a, b, chi2, rk) where a = English
+    * docs containing the term, b = non-English docs containing it.
+    */
+  def chi2Terms(spark: SparkSession, dir: String): DataFrame =
+    chi2TermsOf(docs(spark, dir).select("doc_id", "text", "lang"))
+
+  def chi2TermsOf(corpus: DataFrame): DataFrame = {
+    val en = col("lang") === "en"
+    val pres = corpus
+      .select(col("doc_id"), en.as("is_en"),
+        explode(array_distinct(toks)).as("word"))
+    val totals = corpus.agg(
+      count(lit(1)).as("n"),
+      sum(when(en, 1L).otherwise(0L)).as("n_en"))
+    val dec = "decimal(38,0)"
+    val cells = pres.groupBy("word").agg(
+      sum(when(col("is_en"), 1L).otherwise(0L)).as("a"),
+      sum(when(col("is_en"), 0L).otherwise(1L)).as("b"))
+      .crossJoin(broadcast(totals))
+      .select(col("word"), col("a"), col("b"),
+        (col("n_en") - col("a")).as("c"),
+        (col("n") - col("n_en") - col("b")).as("d"), col("n"))
+    val adbc = (col("a").cast(dec) * col("d").cast(dec)
+      - col("b").cast(dec) * col("c").cast(dec))
+    val num = (col("n").cast(dec) * adbc * adbc).cast("double")
+    val den = ((col("a") + col("b")).cast(dec)
+      * (col("c") + col("d")).cast(dec)
+      * (col("a") + col("c")).cast(dec)
+      * (col("b") + col("d")).cast(dec)).cast("double")
+    cells
+      .select(col("word"), col("a"), col("b"), (num / den).as("chi2"))
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("chi2").desc, col("word"))).cast("long"))
+      .where(col("rk") <= Chi2TopK)
+  }
+
+  /** Exact Herfindahl–Hirschman concentration of the corpus over three
+    * axes — sources, languages, and the token vocabulary: HHI =
+    * Σ cᵢ² / (Σ cᵢ)², the sum-of-squared-shares spelled as ONE division
+    * of two exact integers (Σ cᵢ² and (Σ cᵢ)² ride DECIMAL(38,0)), so
+    * no order-dependent float sum of per-group shares ever exists.
+    * 1/HHI is the effective number of equally-sized groups — the
+    * diversity number a mixing plan is judged by. (axis, n_groups,
+    * total, hhi, effective_n).
+    */
+  def concentration(spark: SparkSession, dir: String): DataFrame =
+    concentrationOf(docs(spark, dir).select("doc_id", "text", "lang",
+      "source"))
+
+  def concentrationOf(corpus: DataFrame): DataFrame = {
+    val dec = "decimal(38,0)"
+    def axis(name: String, counts: DataFrame): DataFrame =
+      counts.agg(count(lit(1)).as("n_groups"),
+        sum(col("c")).as("total"),
+        sum(col("c").cast(dec) * col("c").cast(dec)).as("ss"))
+        .select(lit(name).as("axis"), col("n_groups"), col("total"),
+          (col("ss").cast("double")
+            / (col("total").cast(dec) * col("total").cast(dec))
+              .cast("double")).as("hhi"))
+    val bySource = corpus.groupBy(col("source").as("g"))
+      .agg(count(lit(1)).as("c"))
+    val byLang = corpus.groupBy(col("lang").as("g"))
+      .agg(count(lit(1)).as("c"))
+    val byToken = corpus
+      .select(explode(toks).as("g"))
+      .groupBy("g").agg(count(lit(1)).as("c"))
+    axis("source", bySource)
+      .unionByName(axis("lang", byLang))
+      .unionByName(axis("token", byToken))
+      .select(col("axis"), col("n_groups"), col("total"), col("hhi"),
+        (lit(1.0) / col("hhi")).as("effective_n"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "llm_chi2_terms" -> chi2Terms,
+    "llm_concentration" -> concentration,
     "llm_fertility" -> fertility,
     "llm_pii_scrub" -> piiScrub,
     "llm_bpe_merges" -> bpeMerges,
@@ -1225,6 +1312,73 @@ object TextOps {
       .stripMargin.replace("HITS_EN", sqlHits(EnStop))
 
   val oracle: Map[String, String] = Map(
+    "llm_chi2_terms" ->
+      s"""WITH pres AS (
+         |  SELECT DISTINCT doc_id, lang = 'en' AS is_en, word
+         |  FROM (SELECT doc_id, lang,
+         |          unnest(string_split(text, ' ')) AS word
+         |        FROM documents)),
+         |tot AS (
+         |  SELECT count(*)::BIGINT AS n,
+         |    sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)::BIGINT
+         |      AS n_en
+         |  FROM documents),
+         |cells AS (
+         |  SELECT word,
+         |    sum(CASE WHEN is_en THEN 1 ELSE 0 END)::BIGINT AS a,
+         |    sum(CASE WHEN is_en THEN 0 ELSE 1 END)::BIGINT AS b,
+         |    n_en - sum(CASE WHEN is_en THEN 1 ELSE 0 END)::BIGINT
+         |      AS c,
+         |    n - n_en - sum(CASE WHEN is_en THEN 0 ELSE 1 END)::BIGINT
+         |      AS d,
+         |    n
+         |  FROM pres, tot
+         |  GROUP BY word, n, n_en),
+         |scored AS (
+         |  SELECT word, a, b,
+         |    (n::HUGEINT * (a::HUGEINT * d::HUGEINT
+         |        - b::HUGEINT * c::HUGEINT)
+         |      * (a::HUGEINT * d::HUGEINT
+         |        - b::HUGEINT * c::HUGEINT))::DOUBLE
+         |    / ((a + b)::HUGEINT * (c + d)::HUGEINT
+         |      * (a + c)::HUGEINT * (b + d)::HUGEINT)::DOUBLE AS chi2
+         |  FROM cells)
+         |SELECT word, a, b, chi2, rk FROM (
+         |  SELECT word, a, b, chi2,
+         |    row_number() OVER (ORDER BY chi2 DESC, word)::BIGINT AS rk
+         |  FROM scored)
+         |WHERE rk <= $Chi2TopK""".stripMargin,
+    "llm_concentration" ->
+      """WITH src AS (
+        |  SELECT count(*)::BIGINT AS n_groups,
+        |    sum(c)::BIGINT AS total,
+        |    sum(c::HUGEINT * c::HUGEINT) AS ss
+        |  FROM (SELECT source, count(*)::BIGINT AS c FROM documents
+        |        GROUP BY 1)),
+        |lng AS (
+        |  SELECT count(*)::BIGINT AS n_groups,
+        |    sum(c)::BIGINT AS total,
+        |    sum(c::HUGEINT * c::HUGEINT) AS ss
+        |  FROM (SELECT lang, count(*)::BIGINT AS c FROM documents
+        |        GROUP BY 1)),
+        |tok AS (
+        |  SELECT count(*)::BIGINT AS n_groups,
+        |    sum(c)::BIGINT AS total,
+        |    sum(c::HUGEINT * c::HUGEINT) AS ss
+        |  FROM (SELECT word, count(*)::BIGINT AS c
+        |        FROM (SELECT unnest(string_split(text, ' ')) AS word
+        |              FROM documents)
+        |        GROUP BY 1)),
+        |rows AS (
+        |  SELECT 'source' AS axis, * FROM src
+        |  UNION ALL SELECT 'lang', * FROM lng
+        |  UNION ALL SELECT 'token', * FROM tok)
+        |SELECT axis, n_groups, total,
+        |  ss::DOUBLE / (total::HUGEINT * total::HUGEINT)::DOUBLE AS hhi,
+        |  1e0 / (ss::DOUBLE
+        |    / (total::HUGEINT * total::HUGEINT)::DOUBLE)
+        |    AS effective_n
+        |FROM rows""".stripMargin,
     "llm_pii_scrub" ->
       s"""WITH t2 AS (
          |  SELECT doc_id,

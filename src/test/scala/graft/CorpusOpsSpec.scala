@@ -700,4 +700,57 @@ class CorpusOpsSpec extends SparkSpecBase {
       .map(r => (r.getLong(0), r.getDouble(4), r.getDouble(5))).toSet ==
       got.map(t => (t._1, t._5, t._6)))
   }
+
+  test("chi2 terms match the in-memory contingency replay") {
+    val docs = Tables(spark, Sf, "documents")
+      .select("doc_id", "text", "lang").collect()
+      .map(r => (r.getString(1).split(" ").distinct.toSet,
+        r.getString(2) == "en"))
+    val n = docs.length.toLong
+    val nEn = docs.count(_._2).toLong
+    val vocab = docs.flatMap(_._1).distinct
+    val expect = vocab.map { w =>
+      val a = docs.count(d => d._1(w) && d._2).toLong
+      val b = docs.count(d => d._1(w) && !d._2).toLong
+      val c = nEn - a
+      val dd = n - nEn - b
+      val adbc = (BigInt(a) * dd - BigInt(b) * c)
+      val chi2 = (BigInt(n) * adbc * adbc).toDouble /
+        (BigInt(a + b) * (c + dd) * (a + c) * (b + dd)).toDouble
+      (w, a, b, chi2)
+    }.sortBy { case (w, _, _, chi2) => (-chi2, w) }
+      .take(TextOps.Chi2TopK)
+      .zipWithIndex.map { case ((w, a, b, chi2), i) =>
+        (w, a, b, chi2, (i + 1).toLong) }
+    val got = TextOps.chi2Terms(spark, Sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getLong(4))).sortBy(_._5).toSeq
+    assert(got == expect.toSeq)
+  }
+
+  test("concentration: HHI axes replay exactly, effective_n inverts") {
+    val docs = Tables(spark, Sf, "documents")
+      .select("source", "lang", "text").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2)))
+    def hhi(counts: Seq[Long]): (Long, Long, Double) = {
+      val total = counts.sum
+      val ss = counts.map(c => BigInt(c) * c).sum
+      (counts.length.toLong, total,
+        ss.toDouble / (BigInt(total) * total).toDouble)
+    }
+    val expect = Map(
+      "source" -> hhi(docs.groupBy(_._1).values.map(_.size.toLong).toSeq),
+      "lang" -> hhi(docs.groupBy(_._2).values.map(_.size.toLong).toSeq),
+      "token" -> hhi(docs.flatMap(_._3.split(" ")).groupBy(identity)
+        .values.map(_.size.toLong).toSeq))
+    val got = TextOps.concentration(spark, Sf).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4)))).toMap
+    assert(got.keySet == expect.keySet)
+    expect.foreach { case (axis, (ng, tot, h)) =>
+      val (gn, gt, gh, geff) = got(axis)
+      assert((gn, gt, gh) == ((ng, tot, h)), axis)
+      assert(geff == 1.0 / h, axis)
+    }
+  }
 }
