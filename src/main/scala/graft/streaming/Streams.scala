@@ -848,6 +848,55 @@ object Streams {
     * Determinism: integer supports, one exactly-rounded division for
     * the fraction, ties break on path text.
     */
+  /** Conversion threshold for [[abTest]]: every fixture user purchases
+    * (~13 purchase events each, any SF), so presence is degenerate —
+    * "converted" is ≥ this many purchases, which splits near the
+    * median.
+    */
+  val AbConvMin = 14L
+
+  /** Two-cohort conversion A/B readout — the experimentation query an
+    * event pipeline terminates in: users split by id parity (the stand-
+    * in for an assignment column), conversion = at least [[AbConvMin]]
+    * purchase events, and the two proportions compared by the squared
+    * two-sample z statistic z² = (p_a − p_b)² / (p̂(1−p̂)(1/n_a + 1/n_b))
+    * — squared so no sqrt enters the plan (the [[OutlierSigmaSq]]
+    * discipline; compare z² against 3.84 for the 95% call). Degenerate
+    * pooled rates (0 or 1 — zero variance) report z² = 0 instead of
+    * dividing by zero, both engines by the same CASE. One row:
+    * (n_a, conv_a, p_a, n_b, conv_b, p_b, z2).
+    *
+    * Scale shape: one per-user count aggregate (map-side partial), one
+    * 2-row cohort aggregate, then driver-free 1-row arithmetic via two
+    * broadcast pivots. Determinism: counts are exact integers; every
+    * later step is a fixed tree of exactly-rounded IEEE ops on them.
+    */
+  def abTest(events: DataFrame): DataFrame = {
+    val users = events.groupBy("user_id").agg(
+      when(sum(when(col("event_type") === "purchase", 1L)
+        .otherwise(0L)) >= AbConvMin, 1L).otherwise(0L).as("conv"))
+    val cohorts = users
+      .select((col("user_id") % 2).as("cohort"), col("conv"))
+      .groupBy("cohort")
+      .agg(count(lit(1)).as("n"), sum(col("conv")).as("c"))
+    def side(tag: String, parity: Int) =
+      cohorts.where(col("cohort") === parity)
+        .select(col("n").as("n_" + tag), col("c").as("conv_" + tag))
+    def p(tag: String): Column =
+      col("conv_" + tag).cast("double") / col("n_" + tag).cast("double")
+    val pooled = (col("conv_a") + col("conv_b")).cast("double")
+      ./((col("n_a") + col("n_b")).cast("double"))
+    val z2 = when(pooled === lit(0.0) || pooled === lit(1.0), lit(0.0))
+      .otherwise(((col("p_a") - col("p_b")) * (col("p_a") - col("p_b")))
+        ./(pooled * (lit(1.0) - pooled)
+          * (lit(1.0) / col("n_a").cast("double")
+            + lit(1.0) / col("n_b").cast("double"))))
+    side("a", 0).crossJoin(broadcast(side("b", 1)))
+      .select(col("n_a"), col("conv_a"), p("a").as("p_a"),
+        col("n_b"), col("conv_b"), p("b").as("p_b"))
+      .select(col("*"), z2.as("z2"))
+  }
+
   /** Values in the truncated exponential smoother (α = ½). */
   val EwmaDepth = 8
 
@@ -1115,7 +1164,9 @@ object Streams {
     "stream_user_rfm" ->
       ((s: SparkSession, d: String) => userRfm(events(s, d))),
     "stream_ewma" ->
-      ((s: SparkSession, d: String) => ewmaValue(events(s, d)))
+      ((s: SparkSession, d: String) => ewmaValue(events(s, d))),
+    "stream_abtest" ->
+      ((s: SparkSession, d: String) => abTest(events(s, d)))
   )
 
   val oracle: Map[String, String] = Map(
@@ -1516,6 +1567,30 @@ object Streams {
          |  value AS last_value,
          |  ($terms)::DOUBLE AS ewma
          |FROM w WHERE rn = cnt""".stripMargin
-    }
+    },
+    "stream_abtest" ->
+      s"""WITH u AS (
+        |  SELECT user_id,
+        |    CASE WHEN sum(CASE WHEN event_type = 'purchase'
+        |        THEN 1 ELSE 0 END) >= $AbConvMin
+        |      THEN 1 ELSE 0 END::BIGINT AS conv
+        |  FROM events GROUP BY 1),
+        |co AS (
+        |  SELECT user_id % 2 AS cohort, count(*)::BIGINT AS n,
+        |    sum(conv)::BIGINT AS c
+        |  FROM u GROUP BY 1),
+        |a AS (SELECT n AS n_a, c AS conv_a FROM co WHERE cohort = 0),
+        |b AS (SELECT n AS n_b, c AS conv_b FROM co WHERE cohort = 1),
+        |j AS (
+        |  SELECT n_a, conv_a, conv_a::DOUBLE / n_a::DOUBLE AS p_a,
+        |    n_b, conv_b, conv_b::DOUBLE / n_b::DOUBLE AS p_b,
+        |    (conv_a + conv_b)::DOUBLE / (n_a + n_b)::DOUBLE AS pooled
+        |  FROM a, b)
+        |SELECT n_a, conv_a, p_a, n_b, conv_b, p_b,
+        |  CASE WHEN pooled = 0e0 OR pooled = 1e0 THEN 0e0
+        |    ELSE ((p_a - p_b) * (p_a - p_b))
+        |      / (pooled * (1e0 - pooled)
+        |        * (1e0 / n_a::DOUBLE + 1e0 / n_b::DOUBLE)) END AS z2
+        |FROM j""".stripMargin
   )
 }

@@ -228,6 +228,31 @@ class StreamingSpec extends SparkSpecBase {
     assert(rows.values.map(_._7).toSet.size > 4)
   }
 
+  test("abtest replays the cohort z-square arithmetic from raw counts") {
+    val ev = graft.Tables(spark, Sf, "events")
+    val byUser = ev.select("user_id", "event_type").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+      .groupBy(_._1)
+      .map { case (u, es) =>
+        (u, if (es.count(_._2 == "purchase") >= Streams.AbConvMin) 1L
+            else 0L)
+      }
+    def cohort(par: Long) = {
+      val c = byUser.filter(_._1 % 2 == par)
+      (c.size.toLong, c.map(_._2).sum)
+    }
+    val ((na, ca), (nb, cb)) = (cohort(0), cohort(1))
+    val (pa, pb) = (ca.toDouble / na.toDouble, cb.toDouble / nb.toDouble)
+    val pooled = (ca + cb).toDouble / (na + nb).toDouble
+    val z2 = if (pooled == 0.0 || pooled == 1.0) 0.0
+      else (pa - pb) * (pa - pb) /
+        (pooled * (1.0 - pooled) * (1.0 / na.toDouble + 1.0 / nb.toDouble))
+    val r = Streams.abTest(ev).head()
+    assert((r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3),
+      r.getLong(4), r.getDouble(5), r.getDouble(6)) ==
+      ((na, ca, pa, nb, cb, pb, z2)))
+  }
+
   test("ewma replays the exact-decimal smoother at each user's last event") {
     val ev = graft.Tables(spark, Sf, "events")
     val got = Streams.ewmaValue(ev).collect()
