@@ -839,6 +839,27 @@ object TextOps {
     textStatsOf(graft.sources.TextSources.csvDocuments(spark, path))
   }
 
+  /** Language the partition-pruned round-trip scans for. */
+  val PartLang = "en"
+
+  /** [[textStats]] through a hive-partitioned round-trip: write the
+    * corpus `partitionBy(lang)` to scratch, read it back filtered to
+    * [[PartLang]], and compute the same per-document stats — the
+    * directory-pruning layout tier next to the ORC/CSV/JSONL format
+    * round-trips. The filtered scan lists ONLY the `lang=en` directory
+    * (PartitionFilters at planning time, spec-guarded); the oracle is
+    * the plain stats SQL with the same WHERE, so the pruned read must
+    * return exactly the rows the unpartitioned table would.
+    */
+  def textStatsPartitioned(spark: SparkSession, dir: String): DataFrame = {
+    val path =
+      graft.sources.TextSources.scratchPath(spark, "docs_part", dir)
+    graft.sources.TextSources.writePartitioned(
+      docs(spark, dir).select("doc_id", "text", "lang"), "lang", path)
+    textStatsOf(spark.read.parquet(path)
+      .where(col("lang") === PartLang).select("doc_id", "text"))
+  }
+
   // ---- PII redaction ----
 
   /** Redaction patterns (RE2/Java-common subset — no lookaround, so both
@@ -1152,6 +1173,7 @@ object TextOps {
     "llm_text_stats" -> textStats,
     "llm_text_stats_jsonl" -> textStatsJsonl,
     "llm_text_stats_orc" -> textStatsOrc,
+    "llm_text_stats_part" -> textStatsPartitioned,
     "llm_text_stats_csv" -> textStatsCsv,
     "llm_word_count" -> wordCount,
     "llm_lang_id" -> langId,
@@ -1531,6 +1553,8 @@ object TextOps {
     // the oracle recomputing from parquet IS the round-trip check
     "llm_text_stats_jsonl" -> textStatsOracleSql,
     "llm_text_stats_orc" -> textStatsOracleSql,
+    "llm_text_stats_part" ->
+      s"$textStatsOracleSql\nWHERE lang = '$PartLang'",
     "llm_text_stats_csv" -> textStatsOracleSql,
     "llm_word_count" ->
       """SELECT word, count(*) AS cnt

@@ -186,6 +186,19 @@ object TextSources {
       .sortWithinPartitions(column)
       .write.mode("overwrite").parquet(path)
 
+  /** Hive-style partitioned parquet layout: one directory per value of
+    * `column` (`lang=en/…`). A later read filtered on the partition
+    * column prunes whole directories at PLANNING time (the scan's
+    * PartitionFilters — no footer even gets opened), the coarsest and
+    * cheapest skipping tier above [[writeRangeSorted]]'s footer
+    * min/max. The partition column must be low-cardinality (languages,
+    * dates, sources): every value is a filesystem directory, and a
+    * high-cardinality key degenerates into millions of tiny files.
+    */
+  def writePartitioned(df: DataFrame, column: String,
+      path: String): Unit =
+    df.write.mode("overwrite").partitionBy(column).parquet(path)
+
   /** Default per-key bit width for [[zValue]] (2·max width ≤ 62, the
     * enforced bound — sign bit and top bit stay clear).
     */

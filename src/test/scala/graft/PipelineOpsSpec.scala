@@ -607,6 +607,30 @@ class PipelineOpsSpec extends SparkSpecBase {
     assert(some.count() > 0)
   }
 
+  test("hive-partitioned layout prunes directories at planning time") {
+    val dir = "/tmp/graft-hive-part"
+    val src = graft.Tables(spark, Sf, "documents")
+      .select("doc_id", "text", "lang")
+    graft.sources.TextSources.writePartitioned(src, "lang", dir)
+    // one directory per language value
+    val dirs = new java.io.File(dir).listFiles()
+      .filter(_.getName.startsWith("lang=")).map(_.getName).toSet
+    val langs = src.select("lang").distinct().collect()
+      .map(r => "lang=" + r.getString(0)).toSet
+    assert(dirs == langs, s"$dirs vs $langs")
+    // the filtered read carries the filter as a PARTITION filter (no
+    // data filter, no footer reads outside the matching directory)
+    val pruned = spark.read.parquet(dir).where(col("lang") === "en")
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("lang"),
+      s"partition filter missing:\n$plan")
+    // fidelity: exactly the unpartitioned table's en rows
+    assert(pruned.select("doc_id").collect().map(_.getLong(0)).sorted
+      .toSeq ==
+      src.where(col("lang") === "en").select("doc_id").collect()
+        .map(_.getLong(0)).sorted.toSeq)
+  }
+
   test("z-ordered layout bounds per-file ranges on BOTH keys") {
     import graft.sources.TextSources
     val dirZ = "/tmp/graft-zorder"
