@@ -134,6 +134,7 @@ class SimilaritySpec extends SparkSpecBase {
     def pairs(df: org.apache.spark.sql.DataFrame) =
       df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val want = Map(
+      "binary" -> pairs(Similarity.binaryTopK(spark, Sf)),
       "int8" -> pairs(Similarity.int8TopK(spark, Sf)),
       "ivf" -> pairs(Similarity.ivfTopK(spark, Sf)),
       "ivfpq" -> pairs(Similarity.ivfPqTopK(spark, Sf)),
