@@ -439,7 +439,43 @@ WHERE rn = 1"""
         col("mean_score"))
   }
 
+  /** Labeling-queue size for [[uncertaintySample]]. */
+  val UncertainTopK = 20
+
+  /** Active-learning labeling queue — uncertainty (margin) sampling,
+    * Lewis & Gale '94: the [[UncertainTopK]] documents the trained
+    * probe is LEAST sure about, ranked by |score − ½| ascending. This
+    * is the batch a labeling loop sends for human annotation: the
+    * model's most informative examples, the prioritization step that
+    * closes `llm_curate_learned`'s learn-then-gate loop into
+    * learn-gate-RELABEL. Rides the session probe cache; the margin is
+    * row-local and the global rank-≤-k filter compiles to bounded
+    * per-partition heaps (TakeOrderedAndProject — never a corpus sort,
+    * plan-guarded). (doc_id, label, score, margin, rk).
+    */
+  def uncertaintySample(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    qualityProbe(spark, dir)
+      .select(col("doc_id"), col("label"), col("score"),
+        abs(col("score") - lit(0.5)).as("margin"))
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("margin").asc, col("doc_id"))).cast("long"))
+      .where(col("rk") <= UncertainTopK)
+  }
+
+  private def uncertainOracleSql: String =
+    s"""${probeCtes()}
+SELECT doc_id, label, score, margin, rk FROM (
+  SELECT doc_id, label, score, margin,
+    row_number() OVER (ORDER BY margin ASC, doc_id)::BIGINT AS rk
+  FROM (SELECT f.doc_id, f.y AS label,
+          ${scoreSql("t", "f")} AS score,
+          abs((${scoreSql("t", "f")}) - 0.5e0) AS margin
+        FROM feat f, t$ProbeEpochs t))
+WHERE rk <= $UncertainTopK"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "llm_uncertainty_sample" -> uncertaintySample,
     "llm_quality_probe" -> qualityProbe,
     "llm_quality_gate" -> qualityGate,
     "llm_quality_train" -> qualityTrain,
@@ -469,5 +505,6 @@ FROM b GROUP BY bin"""
     "llm_quality_probe" -> probeOracleSql,
     "llm_quality_gate" -> gateOracleSql,
     "llm_quality_calibration" -> calibrationOracleSql,
+    "llm_uncertainty_sample" -> uncertainOracleSql,
     "llm_dedup_keep_scored" -> keepScoredOracleSql)
 }

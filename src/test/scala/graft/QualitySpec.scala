@@ -193,4 +193,26 @@ class QualitySpec extends SparkSpecBase {
       assert(acc > 0.0 && pos > 0.0 && pos < 1.0)
     } finally spark.conf.unset("graft.sgd.numPartitions")
   }
+
+  test("uncertainty sample recounts from the probe scores, rank prunes") {
+    val scored = Quality.qualityProbe(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getDouble(2)))
+    val expect = scored
+      .map { case (id, s) => (id, s, math.abs(s - 0.5)) }
+      .sortBy { case (id, _, m) => (m, id) }
+      .take(Quality.UncertainTopK)
+      .zipWithIndex.map { case ((id, s, m), i) =>
+        (id, s, m, (i + 1).toLong) }.toSeq
+    val df = Quality.uncertaintySample(spark, Sf)
+    val got = df.collect()
+      .map(r => (r.getLong(0), r.getDouble(2), r.getDouble(3),
+        r.getLong(4))).sortBy(_._4).toSeq
+    assert(got == expect)
+    // the global rank-<=-k never sorts the corpus: Spark compiles it
+    // to per-partition bounded heaps (TakeOrderedAndProject) or a
+    // WindowGroupLimit — either way no full Sort node feeds the window
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject")
+      || plan.contains("WindowGroupLimit"), plan)
+  }
 }
