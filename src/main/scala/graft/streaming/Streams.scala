@@ -848,6 +848,80 @@ object Streams {
     * Determinism: integer supports, one exactly-rounded division for
     * the fraction, ties break on path text.
     */
+  /** Microseconds per hour (latency buckets, rate windows). */
+  val HourUs = 3600000000L
+
+  /** Time-to-convert histogram: for each user with both a view and a
+    * later purchase, the delay from FIRST view to FIRST purchase,
+    * bucketed in whole hours — the funnel-latency readout next to
+    * [[funnel]]'s stage counts (how MANY convert vs how FAST).
+    * Users whose first purchase precedes their first view (no causal
+    * view) are excluded, the attribution convention of
+    * [[purchaseAttribution]]. (delay_h, n_users) — output bounded by
+    * the corpus time span in hours.
+    *
+    * Scale shape: one per-user conditional-min aggregate (map-side
+    * partial, both firsts in ONE pass) + a bounded histogram groupBy.
+    * All integer epoch-microsecond arithmetic.
+    */
+  def conversionLatency(events: DataFrame): DataFrame =
+    withEventTime(events)
+      .groupBy("user_id")
+      .agg(
+        min(when(col("event_type") === "view", col("ts_us")))
+          .as("first_view"),
+        min(when(col("event_type") === "purchase", col("ts_us")))
+          .as("first_purchase"))
+      .where(col("first_view").isNotNull
+        && col("first_purchase") >= col("first_view"))
+      .select(expr(s"(first_purchase - first_view) DIV $HourUs")
+        .as("delay_h"))
+      .groupBy("delay_h")
+      .agg(count(lit(1)).as("n_users"))
+
+  /** Anomaly factor: flag windows beyond 2σ of the type's own rate
+    * distribution, compared entirely in n²-scaled INTEGER space —
+    * (x·n − Σx)² > [[OutlierSigmaSq]]·(n·Σx² − (Σx)²), the
+    * [[valueOutliers]] sqrt-free discipline taken one step further: no
+    * float exists anywhere in the predicate, so the flag is exact (the
+    * reported mean is one division for readability only).
+    */
+  /** Per-type hourly event-rate anomaly monitor: tumbling 1-hour
+    * counts per event type, each window flagged against that type's
+    * own mean/variance of hourly counts — the traffic-spike/outage
+    * alarm a pipeline owner runs next to [[valueOutliers]]' per-user
+    * value anomalies. Only windows WITH events enter the distribution
+    * (an all-quiet hour is absence, not a zero sample — the
+    * [[tumblingStats]] convention); flagged windows only:
+    * (event_type, win_us, n, n_windows, mean_n).
+    *
+    * Scale shape: one (type, window) count aggregate (map-side
+    * partial), then a |types|-row moment table broadcast back over the
+    * bounded window table. Nothing events-scale moves twice.
+    */
+  def rateAnomaly(events: DataFrame): DataFrame = {
+    val dec = "decimal(38,0)"
+    val wins = withEventTime(events)
+      .select(col("event_type"),
+        expr(s"(ts_us DIV $HourUs) * $HourUs").as("win_us"))
+      .groupBy("event_type", "win_us")
+      .agg(count(lit(1)).as("n"))
+    val moments = wins.groupBy("event_type").agg(
+      count(lit(1)).as("n_windows"),
+      sum(col("n")).as("sum_n"),
+      sum(col("n") * col("n")).as("sum_n2"))
+    val dev = (col("n").cast(dec) * col("n_windows").cast(dec)
+      - col("sum_n").cast(dec))
+    val varScaled = (col("n_windows").cast(dec) * col("sum_n2").cast(dec)
+      - col("sum_n").cast(dec) * col("sum_n").cast(dec))
+    wins.join(broadcast(moments), "event_type")
+      .where(dev * dev > lit(OutlierSigmaSq.toLong) * varScaled)
+      .select(col("event_type"), col("win_us"), col("n"),
+        col("n_windows"),
+        (col("sum_n").cast("double") / col("n_windows").cast("double"))
+          .as("mean_n"))
+  }
+
   /** Conversion threshold for [[abTest]]: every fixture user purchases
     * (~13 purchase events each, any SF), so presence is degenerate —
     * "converted" is ≥ this many purchases, which splits near the
@@ -1166,7 +1240,11 @@ object Streams {
     "stream_ewma" ->
       ((s: SparkSession, d: String) => ewmaValue(events(s, d))),
     "stream_abtest" ->
-      ((s: SparkSession, d: String) => abTest(events(s, d)))
+      ((s: SparkSession, d: String) => abTest(events(s, d))),
+    "stream_latency" ->
+      ((s: SparkSession, d: String) => conversionLatency(events(s, d))),
+    "stream_rate_anomaly" ->
+      ((s: SparkSession, d: String) => rateAnomaly(events(s, d)))
   )
 
   val oracle: Map[String, String] = Map(
@@ -1591,6 +1669,40 @@ object Streams {
         |    ELSE ((p_a - p_b) * (p_a - p_b))
         |      / (pooled * (1e0 - pooled)
         |        * (1e0 / n_a::DOUBLE + 1e0 / n_b::DOUBLE)) END AS z2
-        |FROM j""".stripMargin
+        |FROM j""".stripMargin,
+    "stream_latency" ->
+      s"""WITH u AS (
+         |  SELECT user_id,
+         |    min(CASE WHEN event_type = 'view'
+         |      THEN epoch_us(ts) END) AS first_view,
+         |    min(CASE WHEN event_type = 'purchase'
+         |      THEN epoch_us(ts) END) AS first_purchase
+         |  FROM events GROUP BY 1)
+         |SELECT (first_purchase - first_view) // $HourUs AS delay_h,
+         |  count(*)::BIGINT AS n_users
+         |FROM u
+         |WHERE first_view IS NOT NULL
+         |  AND first_purchase >= first_view
+         |GROUP BY 1""".stripMargin,
+    "stream_rate_anomaly" ->
+      s"""WITH w AS (
+         |  SELECT event_type,
+         |    (epoch_us(ts) // $HourUs) * $HourUs AS win_us,
+         |    count(*)::BIGINT AS n
+         |  FROM events GROUP BY 1, 2),
+         |m AS (
+         |  SELECT event_type, count(*)::BIGINT AS n_windows,
+         |    sum(n)::BIGINT AS sum_n,
+         |    sum(n * n)::BIGINT AS sum_n2
+         |  FROM w GROUP BY 1)
+         |SELECT w.event_type, w.win_us, w.n, m.n_windows,
+         |  m.sum_n::DOUBLE / m.n_windows::DOUBLE AS mean_n
+         |FROM w JOIN m ON m.event_type = w.event_type
+         |WHERE (w.n::HUGEINT * m.n_windows::HUGEINT
+         |    - m.sum_n::HUGEINT)
+         |  * (w.n::HUGEINT * m.n_windows::HUGEINT - m.sum_n::HUGEINT)
+         |  > ${OutlierSigmaSq.toLong}::HUGEINT
+         |    * (m.n_windows::HUGEINT * m.sum_n2::HUGEINT
+         |      - m.sum_n::HUGEINT * m.sum_n::HUGEINT)""".stripMargin
   )
 }

@@ -253,6 +253,54 @@ class StreamingSpec extends SparkSpecBase {
       ((na, ca, pa, nb, cb, pb, z2)))
   }
 
+  test("conversion latency recounts first-view to first-purchase hours") {
+    val ev = graft.Tables(spark, Sf, "events")
+    val per = Streams.withEventTime(ev)
+      .select("user_id", "event_type", "ts_us").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .groupBy(_._1)
+    val expect = per.values.flatMap { es =>
+      val fv = es.filter(_._2 == "view").map(_._3).minOption
+      val fp = es.filter(_._2 == "purchase").map(_._3).minOption
+      (fv, fp) match {
+        case (Some(v), Some(p)) if p >= v =>
+          Some(Math.floorDiv(p - v, Streams.HourUs))
+        case _ => None
+      }
+    }.groupBy(identity).map { case (h, g) => (h, g.size.toLong) }
+    val got = Streams.conversionLatency(ev).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == expect)
+  }
+
+  test("rate anomaly: integer 2-sigma predicate matches the replay") {
+    val ev = graft.Tables(spark, Sf, "events")
+    val wins = Streams.withEventTime(ev)
+      .select("event_type", "ts_us").collect()
+      .map(r => (r.getString(0),
+        Math.floorDiv(r.getLong(1), Streams.HourUs) * Streams.HourUs))
+      .groupBy(identity).map { case ((t, w), g) => (t, w, g.size.toLong) }
+      .toSeq
+    val expect = wins.groupBy(_._1).flatMap { case (t, ws) =>
+      val nW = BigInt(ws.length)
+      val sumN = BigInt(ws.map(_._3).sum)
+      val sumN2 = ws.map(w => BigInt(w._3) * w._3).sum
+      ws.filter { case (_, _, n) =>
+        val dev = BigInt(n) * nW - sumN
+        dev * dev > BigInt(4) * (nW * sumN2 - sumN * sumN)
+      }.map { case (_, w, n) =>
+        (t, w, n, ws.length.toLong,
+          sumN.toDouble / ws.length.toDouble)
+      }
+    }.toSet
+    val got = Streams.rateAnomaly(ev).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4))).toSet
+    assert(got == expect)
+    // flagged set is a strict subset: anomalies, not the whole grid
+    assert(got.size < wins.size)
+  }
+
   test("ewma replays the exact-decimal smoother at each user's last event") {
     val ev = graft.Tables(spark, Sf, "events")
     val got = Streams.ewmaValue(ev).collect()
