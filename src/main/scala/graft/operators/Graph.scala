@@ -411,6 +411,78 @@ object Graph {
     } else out
   }
 
+  /** PPR rounds and report size. */
+  val PprIters = 4
+  val PprTopK = 20
+
+  /** Personalized PageRank from the canonical max-degree source over
+    * the STRONG co-purchase graph — the random walk with restart that
+    * powers "related to THIS part" recommendations (compare
+    * [[pagerank]]'s global importance): teleport mass returns to the
+    * SOURCE each round instead of spreading uniformly, so scores decay
+    * with distance from it. Same integer fixed-point discipline as
+    * [[pagerank]] (pr DIV d contributions, (85·Σ) DIV 100 damping,
+    * teleport [[PrBase]]·|V|-scaled at the source only — exact BIGINT
+    * both engines). Top-[[PprTopK]]: (node, ppr, rk).
+    *
+    * Scale shape: per round ONE hash join of the adjacency against the
+    * nonzero frontier of the |V|-row score table + a map-side-combined
+    * groupBy + a left join back onto the degree table (teleport rows
+    * must survive rounds with no inbound mass) — the [[pagerank]]
+    * driver-loop class with a sparse frontier.
+    */
+  def ppr(spark: SparkSession, dir: String): DataFrame =
+    pprOf(edges(spark, dir), Materialize.Local)
+
+  def pprOf(edgesRaw: DataFrame,
+      mat: Materialize.Strategy = Materialize.None): DataFrame = {
+    val cuts = scala.collection.mutable.ListBuffer.empty[DataFrame]
+    def cut(df: DataFrame): DataFrame =
+      if (mat ne Materialize.None) { val c = mat(df); cuts += c; c }
+      else df
+    val sym = cut(symOf(edgesRaw.where(col("w") >= StrongW)
+      .select("a", "b")))
+    val deg = cut(degOf(sym))
+    val srcRow = broadcast(deg
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("d").desc, col("node"))))
+      .where(col("rk") === 1)
+      .select(col("node").as("srcn")))
+    // teleport scaled by |V| so per-node magnitudes match [[pagerank]]'s
+    // integer headroom conventions; ranking is scale-free either way
+    val teleport = when(col("node") === col("srcn"), lit(PrBase))
+      .otherwise(lit(0L))
+    var pr = cut(deg.crossJoin(srcRow)
+      .select(col("node"),
+        when(col("node") === col("srcn"), lit(PrScale)).otherwise(lit(0L))
+          .as("pr"),
+        col("d")))
+    for (_ <- 1 to PprIters) {
+      val contrib = sym
+        .join(pr.where(col("pr") > 0), sym("src") === pr("node"))
+        .select(col("dst"), expr("pr DIV d").as("c"))
+        .groupBy(col("dst")).agg(sum(col("c")).as("sc"))
+      pr = cut(deg
+        .join(contrib.withColumnRenamed("dst", "node"), Seq("node"),
+          "left")
+        .na.fill(0L, Seq("sc"))
+        .crossJoin(srcRow)
+        .select(col("node"),
+          (teleport + expr(s"($PrDamp * sc) DIV 100")).as("pr"),
+          col("d")))
+    }
+    val out = pr.where(col("pr") > 0)
+      .select(col("node"), col("pr").as("ppr"))
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("ppr").desc, col("node"))).cast("long"))
+      .where(col("rk") <= PprTopK)
+    if (mat ne Materialize.None) {
+      val forced = Materialize.Local(out)
+      cuts.foreach(Materialize.release)
+      forced
+    } else out
+  }
+
   /** Synchronous label-propagation rounds (fixed, the PageRank/HITS
     * convention) and how many communities [[labelProp]] reports.
     */
@@ -605,7 +677,8 @@ object Graph {
     "graph_hits" -> hits,
     "graph_kcore" -> kcore,
     "graph_label_prop" -> labelProp,
-    "graph_distances" -> distances
+    "graph_distances" -> distances,
+    "graph_ppr" -> ppr
   )
 
   /** Shared oracle CTEs: per-order distinct parts, canonical a < b
@@ -782,6 +855,47 @@ object Graph {
          |      AS rk
          |  FROM l$LpIters GROUP BY lbl)
          |WHERE rk <= $LpTopK""".stripMargin
+    },
+    "graph_ppr" -> {
+      val rounds = (1 to PprIters).map { i =>
+        s"""c$i AS MATERIALIZED (
+           |  SELECT e.dst AS node, sum(p.pr // d.d)::BIGINT AS sc
+           |  FROM e0 e
+           |  JOIN p${i - 1} p ON p.node = e.src AND p.pr > 0
+           |  JOIN sdeg d ON d.node = e.src
+           |  GROUP BY 1),
+           |p$i AS MATERIALIZED (
+           |  SELECT g.node,
+           |    (CASE WHEN g.node = (SELECT srcn FROM s0)
+           |       THEN $PrBase ELSE 0 END
+           |     + ($PrDamp * coalesce(c.sc, 0)) // 100)::BIGINT AS pr
+           |  FROM sdeg g LEFT JOIN c$i c ON c.node = g.node)"""
+          .stripMargin
+      }.mkString(",\n")
+      s"""WITH $graphCte,
+         |sp AS (SELECT a, b FROM ed WHERE w >= $StrongW),
+         |e0 AS MATERIALIZED (
+         |  SELECT a AS src, b AS dst FROM sp
+         |  UNION ALL SELECT b, a FROM sp),
+         |sdeg AS MATERIALIZED (
+         |  SELECT src AS node, count(*)::BIGINT AS d
+         |  FROM e0 GROUP BY 1),
+         |s0 AS MATERIALIZED (
+         |  SELECT node AS srcn FROM (
+         |    SELECT node, row_number() OVER (ORDER BY d DESC, node)
+         |      AS rk FROM sdeg)
+         |  WHERE rk = 1),
+         |p0 AS MATERIALIZED (
+         |  SELECT node,
+         |    CASE WHEN node = (SELECT srcn FROM s0)
+         |      THEN $PrScale ELSE 0 END::BIGINT AS pr
+         |  FROM sdeg),
+         |$rounds
+         |SELECT node, ppr, rk FROM (
+         |  SELECT node, pr AS ppr,
+         |    row_number() OVER (ORDER BY pr DESC, node)::BIGINT AS rk
+         |  FROM p$PprIters WHERE pr > 0)
+         |WHERE rk <= $PprTopK""".stripMargin
     },
     "graph_distances" -> {
       val rounds = (1 to BfsIters).map { i =>

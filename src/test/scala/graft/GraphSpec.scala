@@ -214,6 +214,41 @@ class GraphSpec extends SparkSpecBase {
     }
   }
 
+  test("ppr: decays from the source and replays the integer walk") {
+    val rnd = new scala.util.Random(31)
+    val n = 14
+    val edges = (for {
+      a <- 1 to n; b <- (a + 1) to n if rnd.nextDouble() < 0.3
+    } yield (a.toLong, b.toLong)).toSeq
+    val df = edges.toDF("a", "b").withColumn("w", lit(Graph.StrongW))
+    val nbrs = (edges ++ edges.map(e => (e._2, e._1)))
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2) }
+    val deg = nbrs.map { case (k, v) => k -> v.size.toLong }
+    val src = deg.toSeq.map { case (v, d) => (-d, v) }.min._2
+    var pr = deg.keys.map(v =>
+      v -> (if (v == src) Graph.PrScale else 0L)).toMap
+    for (_ <- 1 to Graph.PprIters) {
+      val contrib = scala.collection.mutable.Map[Long, Long]()
+        .withDefaultValue(0L)
+      pr.foreach { case (v, p) =>
+        if (p > 0) nbrs(v).foreach(u => contrib(u) += p / deg(v))
+      }
+      pr = deg.keys.map { v =>
+        v -> ((if (v == src) Graph.PrBase else 0L) +
+          Graph.PrDamp * contrib(v) / 100L)
+      }.toMap
+    }
+    val expect = pr.filter(_._2 > 0).toSeq
+      .sortBy { case (v, p) => (-p, v) }.take(Graph.PprTopK)
+      .zipWithIndex.map { case ((v, p), i) => (v, p, (i + 1).toLong) }
+    val got = Graph.pprOf(df).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._3).toSeq
+    assert(got == expect, s"edges=$edges src=$src")
+    // personalization: the source itself carries the top score
+    assert(got.head._1 == src)
+  }
+
   test("item recs: hand-checked Jaccard on the tiny graph") {
     // n_ord: p1=1 p2=1 p3=2 p4=1; jaccard: (1,2)=1.0, (1,3)=(2,3)=(3,4)=0.5
     val recs = Graph.itemRecsOf(tinyLineitem, Graph.edgesOf(tinyLineitem))
