@@ -922,6 +922,50 @@ object Streams {
           .as("mean_n"))
   }
 
+  /** Theil–Sen robust daily trend per event type: the median of all
+    * pairwise slopes (count_j − count_i)/(day_j − day_i) over the
+    * per-type daily event counts — the outlier-proof alternative to a
+    * least-squares rate trend (one traffic spike can't drag it), the
+    * estimator a monitoring pipeline fits next to [[rateAnomaly]]'s
+    * flags. (event_type, n_days, n_pairs, slope).
+    *
+    * Scale shape: the corpus collapses to a |types|·|days| count table
+    * in ONE map-side-combined aggregate; the pairwise self-join and
+    * median rank run on that BOUNDED table (days², not events²) — the
+    * [[Sketch]] bounded-support discipline. Determinism: counts and day
+    * indices are exact integers, each slope is one exactly-rounded
+    * division, and the median picks the value at rank ⌈n/2⌉ under a
+    * fully-keyed ordering (slope, day_i, day_j) so equal slopes tie
+    * identically in both engines.
+    */
+  def dailyTrend(events: DataFrame): DataFrame = {
+    val daily = withEventTime(events)
+      .select(col("event_type"), expr(s"ts_us DIV $DayUs").as("day"))
+      .groupBy("event_type", "day")
+      .agg(count(lit(1)).as("n"))
+    val slopes = daily.as("a").join(daily.as("b"),
+        col("a.event_type") === col("b.event_type")
+          && col("a.day") < col("b.day"))
+      .select(col("a.event_type").as("event_type"),
+        col("a.day").as("di"), col("b.day").as("dj"),
+        ((col("b.n") - col("a.n")).cast("double")
+          / (col("b.day") - col("a.day")).cast("double")).as("slope"))
+    val ranked = slopes
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("event_type")
+          .orderBy(col("slope"), col("di"), col("dj"))))
+      .withColumn("n_pairs", count(lit(1)).over(
+        Window.partitionBy("event_type")))
+    val days = daily.groupBy("event_type")
+      .agg(count(lit(1)).as("n_days"))
+    ranked
+      .where(col("rk") === ceil(col("n_pairs").cast("double") / 2.0)
+        .cast("long"))
+      .join(days, "event_type")
+      .select(col("event_type"), col("n_days"), col("n_pairs"),
+        col("slope"))
+  }
+
   /** Conversion threshold for [[abTest]]: every fixture user purchases
     * (~13 purchase events each, any SF), so presence is degenerate —
     * "converted" is ≥ this many purchases, which splits near the
@@ -1244,7 +1288,9 @@ object Streams {
     "stream_latency" ->
       ((s: SparkSession, d: String) => conversionLatency(events(s, d))),
     "stream_rate_anomaly" ->
-      ((s: SparkSession, d: String) => rateAnomaly(events(s, d)))
+      ((s: SparkSession, d: String) => rateAnomaly(events(s, d))),
+    "stream_trend" ->
+      ((s: SparkSession, d: String) => dailyTrend(events(s, d)))
   )
 
   val oracle: Map[String, String] = Map(
@@ -1703,6 +1749,30 @@ object Streams {
          |  * (w.n::HUGEINT * m.n_windows::HUGEINT - m.sum_n::HUGEINT)
          |  > ${OutlierSigmaSq.toLong}::HUGEINT
          |    * (m.n_windows::HUGEINT * m.sum_n2::HUGEINT
-         |      - m.sum_n::HUGEINT * m.sum_n::HUGEINT)""".stripMargin
+         |      - m.sum_n::HUGEINT * m.sum_n::HUGEINT)""".stripMargin,
+    "stream_trend" ->
+      s"""WITH daily AS (
+         |  SELECT event_type, epoch_us(ts) // $DayUs AS day,
+         |    count(*)::BIGINT AS n
+         |  FROM events GROUP BY 1, 2),
+         |slopes AS (
+         |  SELECT a.event_type, a.day AS di, b.day AS dj,
+         |    (b.n - a.n)::DOUBLE / (b.day - a.day)::DOUBLE AS slope
+         |  FROM daily a JOIN daily b
+         |    ON a.event_type = b.event_type AND a.day < b.day),
+         |ranked AS (
+         |  SELECT event_type, slope,
+         |    row_number() OVER (PARTITION BY event_type
+         |      ORDER BY slope, di, dj) AS rk,
+         |    count(*) OVER (PARTITION BY event_type)::BIGINT
+         |      AS n_pairs
+         |  FROM slopes),
+         |days AS (
+         |  SELECT event_type, count(*)::BIGINT AS n_days
+         |  FROM daily GROUP BY 1)
+         |SELECT r.event_type, d.n_days, r.n_pairs, r.slope
+         |FROM ranked r JOIN days d ON d.event_type = r.event_type
+         |WHERE r.rk = ceil(r.n_pairs::DOUBLE / 2e0)::BIGINT"""
+        .stripMargin
   )
 }

@@ -253,6 +253,29 @@ class StreamingSpec extends SparkSpecBase {
       ((na, ca, pa, nb, cb, pb, z2)))
   }
 
+  test("daily trend is the Theil-Sen median of pairwise slopes") {
+    val ev = graft.Tables(spark, Sf, "events")
+    val daily = Streams.withEventTime(ev)
+      .select("event_type", "ts_us").collect()
+      .map(r => (r.getString(0),
+        Math.floorDiv(r.getLong(1), Streams.DayUs)))
+      .groupBy(identity).map { case ((t, d), g) => (t, d, g.size.toLong) }
+      .toSeq
+    val expect = daily.groupBy(_._1).map { case (t, ds) =>
+      val pts = ds.map(x => (x._2, x._3))
+      val slopes = (for {
+        (di, ni) <- pts; (dj, nj) <- pts if di < dj
+      } yield ((nj - ni).toDouble / (dj - di).toDouble, di, dj))
+        .sortBy(s => (s._1, s._2, s._3))
+      val med = slopes(math.ceil(slopes.size / 2.0).toInt - 1)._1
+      t -> ((pts.size.toLong, slopes.size.toLong, med))
+    }
+    val got = Streams.dailyTrend(ev).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(got == expect)
+  }
+
   test("conversion latency recounts first-view to first-purchase hours") {
     val ev = graft.Tables(spark, Sf, "events")
     val per = Streams.withEventTime(ev)
