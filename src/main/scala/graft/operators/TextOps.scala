@@ -905,6 +905,51 @@ object TextOps {
             lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
           .otherwise(lit(""))).as("text")))
 
+  // ---- boilerplate / markup stripping ----
+
+  /** Tag pattern (RE2/Java-common: no lookaround) and the known
+    * boilerplate span the cleaner removes after tags.
+    */
+  val TagRe = "<[^>]*>"
+  val BoilerSpan = " Cookie Policy OK"
+
+  /** Markup + boilerplate stripping of any (doc_id, orig, html) pair
+    * table — the extraction pass (trafilatura/jusText lineage) every
+    * crawl pipeline runs before quality gating: strip tags, then strip
+    * known boilerplate spans, and audit the result against the
+    * pre-markup text. Row-local regexp work above the scan — zero
+    * shuffles, the [[piiScrubOf]] class.
+    * (doc_id, n_tags, had_boiler, restored, n_chars).
+    */
+  def boilerplateStripOf(pairs: DataFrame): DataFrame = {
+    val deTag = regexp_replace(col("html"), TagRe, "")
+    val clean = expr(s"replace(regexp_replace(html, '$TagRe', '')," +
+      s" '$BoilerSpan', '')")
+    pairs.select(
+      col("doc_id"),
+      size(regexp_extract_all(col("html"), lit(TagRe), lit(0)))
+        .cast("long").as("n_tags"),
+      deTag.contains(BoilerSpan).as("had_boiler"),
+      (clean === col("orig")).as("restored"),
+      length(clean).cast("long").as("n_chars"))
+  }
+
+  /** Fixture entry: the corpus carries no markup by construction, so
+    * the entry INJECTS a deterministic nav wrapper + (doc_id % 4 == 0)
+    * boilerplate paragraph — a pure function of doc_id, the
+    * [[piiScrub]] convention — and strips it back out. `restored` must
+    * be uniformly true: the cleaner provably returns the pre-markup
+    * text, and the oracle replays injection + strip so that proof is
+    * hash-checked.
+    */
+  def boilerplateStrip(spark: SparkSession, dir: String): DataFrame =
+    boilerplateStripOf(docs(spark, dir).select(col("doc_id"),
+      col("text").as("orig"),
+      concat(lit("<div class=\"nav\">"), col("text"), lit("</div>"),
+        when(col("doc_id") % 4 === 0,
+          lit("<p>" + BoilerSpan + "</p>")).otherwise(lit("")))
+        .as("html")))
+
   // ---- BPE tokenizer training (merge learning) ----
 
   /** Merge steps the fixture entry learns. */
@@ -1174,6 +1219,7 @@ object TextOps {
     "llm_text_stats_jsonl" -> textStatsJsonl,
     "llm_text_stats_orc" -> textStatsOrc,
     "llm_text_stats_part" -> textStatsPartitioned,
+    "llm_boilerplate_strip" -> boilerplateStrip,
     "llm_text_stats_csv" -> textStatsCsv,
     "llm_word_count" -> wordCount,
     "llm_lang_id" -> langId,
@@ -1555,6 +1601,23 @@ object TextOps {
     "llm_text_stats_orc" -> textStatsOracleSql,
     "llm_text_stats_part" ->
       s"$textStatsOracleSql\nWHERE lang = '$PartLang'",
+    "llm_boilerplate_strip" ->
+      s"""WITH pairs AS (
+         |  SELECT doc_id, text AS orig,
+         |    '<div class="nav">' || text || '</div>'
+         |      || CASE WHEN doc_id % 4 = 0
+         |           THEN '<p>$BoilerSpan</p>' ELSE '' END AS html
+         |  FROM documents),
+         |c AS (
+         |  SELECT doc_id, orig, html,
+         |    regexp_replace(html, '$TagRe', '', 'g') AS detag
+         |  FROM pairs)
+         |SELECT doc_id,
+         |  len(regexp_extract_all(html, '$TagRe'))::BIGINT AS n_tags,
+         |  contains(detag, '$BoilerSpan') AS had_boiler,
+         |  replace(detag, '$BoilerSpan', '') = orig AS restored,
+         |  len(replace(detag, '$BoilerSpan', ''))::BIGINT AS n_chars
+         |FROM c""".stripMargin,
     "llm_text_stats_csv" -> textStatsOracleSql,
     "llm_word_count" ->
       """SELECT word, count(*) AS cnt

@@ -701,6 +701,27 @@ class CorpusOpsSpec extends SparkSpecBase {
       got.map(t => (t._1, t._5, t._6)))
   }
 
+  test("boilerplate strip: tags out, known spans out, round-trip audited") {
+    val pairs = Seq(
+      (1L, "plain words here",
+        "<div class=\"nav\"><b>plain</b> words here</div>"),
+      (2L, "keep me", "<p>keep me</p><p> Cookie Policy OK</p>"),
+      (3L, "mismatch", "<span>mismatch plus extra</span>"),
+      (4L, "no markup at all", "no markup at all"))
+      .toDF("doc_id", "orig", "html")
+    val got = TextOps.boilerplateStripOf(pairs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2),
+        r.getBoolean(3), r.getLong(4)))).toMap
+    assert(got(1L) == ((4L, false, true, "plain words here".length.toLong)))
+    assert(got(2L) == ((4L, true, true, "keep me".length.toLong)))
+    assert(got(3L) == ((2L, false, false,
+      "mismatch plus extra".length.toLong)))
+    assert(got(4L) == ((0L, false, true, "no markup at all".length.toLong)))
+    // and the fixture entry restores EVERY document
+    val entry = TextOps.boilerplateStrip(spark, Sf).collect()
+    assert(entry.nonEmpty && entry.forall(_.getBoolean(3)))
+  }
+
   test("chi2 terms match the in-memory contingency replay") {
     val docs = Tables(spark, Sf, "documents")
       .select("doc_id", "text", "lang").collect()
