@@ -1387,7 +1387,88 @@ object Curation {
       .select(col("lang"), col("source"), col("len_bucket"),
         col("n_docs"), (col("n_docs") < AnonK).as("at_risk"))
 
+  /** Sequence-length bucket boundaries (tokens) for [[padEfficiency]],
+    * and the flat baseline everything pads to without bucketing.
+    */
+  val PadBuckets = Seq(64L, 128L, 256L, 512L)
+
+  /** Padding-efficiency audit of length bucketing — the data-loader
+    * decision every training run pays for on EVERY batch: under
+    * 'bucketed', each document pads to the smallest [[PadBuckets]]
+    * boundary holding it (longer docs cap at the max boundary — the
+    * upstream chunker's contract); under 'flat', everything pads to
+    * the max. (policy, bucket, n_docs, sum_tokens, sum_pad, pad_frac)
+    * — the pad_frac delta between policies is the wasted-FLOPs number
+    * that justifies bucketing. One row-local projection + two bounded
+    * groupBys; integers everywhere but the final fraction.
+    */
+  def padEfficiency(spark: SparkSession, dir: String): DataFrame =
+    padEfficiencyOf(docs(spark, dir))
+
+  def padEfficiencyOf(corpus: DataFrame): DataFrame = {
+    val maxB = PadBuckets.last
+    val nTok = least(size(split(col("text"), " ")).cast("long"),
+      lit(maxB))
+    val bucket = PadBuckets.init.reverse.foldLeft(lit(maxB)) {
+      (acc, b) => when(col("n_tok") <= b, lit(b)).otherwise(acc)
+    }
+    val base = corpus.select(nTok.as("n_tok"))
+    def rollup(policy: String, bucketCol: Column): DataFrame =
+      base.select(col("n_tok"), bucketCol.as("bucket"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tok")).as("sum_tokens"),
+          sum(col("bucket") - col("n_tok")).as("sum_pad"))
+        .select(lit(policy).as("policy"), col("bucket"), col("n_docs"),
+          col("sum_tokens"), col("sum_pad"),
+          (col("sum_pad").cast("double")
+            / (col("sum_pad") + col("sum_tokens")).cast("double"))
+            .as("pad_frac"))
+    rollup("bucketed", bucket).unionByName(rollup("flat", lit(maxB)))
+  }
+
+  /** Number of loader shards for [[shuffleAssign]]. */
+  val ShuffleShards = 8L
+
+  /** Deterministic epoch shuffle — the reproducible data-loader order a
+    * training run pins: every document ranked by its salted md5
+    * uniform (a seeded shuffle with no RNG state, the [[splitAssign]]
+    * discipline), dealt round-robin into [[ShuffleShards]] loader
+    * shards, with its within-shard position. Re-running with the same
+    * corpus replays the identical order on any cluster; changing the
+    * salt is the new epoch. Per-shard audit rows:
+    * (shard, n_docs, first_doc_id, sum_rank).
+    *
+    * Scale shape: the rank is a global row_number over the md5 key —
+    * at 100 TB this runs as a range-partitioned sort on a uniform key
+    * (no skew by construction); everything after is modular arithmetic
+    * and one bounded groupBy.
+    */
+  def shuffleAssign(spark: SparkSession, dir: String): DataFrame =
+    shuffleAssignOf(docs(spark, dir))
+
+  def shuffleAssignOf(corpus: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val u = graft.functions.Md5Uniform
+      .uniform(concat(lit("shuffle:"), col("doc_id").cast("string")))
+    corpus
+      .select(col("doc_id"), u.as("u"))
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("u"), col("doc_id"))).cast("long"))
+      .select(col("doc_id"), col("rank"),
+        ((col("rank") - 1) % ShuffleShards).as("shard"),
+        expr(s"(rank - 1) DIV $ShuffleShards").as("pos"))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"),
+        min(struct(col("pos"), col("doc_id"))).as("f"),
+        sum(col("rank")).as("sum_rank"))
+      .select(col("shard"), col("n_docs"),
+        col("f.doc_id").as("first_doc_id"), col("sum_rank"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "llm_pad_efficiency" -> padEfficiency,
+    "llm_shuffle_assign" -> shuffleAssign,
     "llm_k_anonymity" -> kAnonymity,
     "llm_curriculum" -> curriculum,
     "llm_pipeline_incremental" -> pipelineIncremental,
@@ -1749,7 +1830,54 @@ GROUP BY split"""
        |LEFT JOIN dup ON d.doc_id = dup.doc_id
        |GROUP BY d.source""".stripMargin
 
+  private val padOracleSql: String = {
+    val cases = PadBuckets.init
+      .map(b => s"WHEN n_tok <= $b THEN $b").mkString(" ")
+    s"""WITH t AS (
+       |  SELECT least(len(string_split(text, ' '))::BIGINT,
+       |    ${PadBuckets.last}) AS n_tok
+       |  FROM documents),
+       |b AS (
+       |  SELECT n_tok,
+       |    (CASE $cases ELSE ${PadBuckets.last} END)::BIGINT AS bucket
+       |  FROM t),
+       |rows AS (
+       |  SELECT 'bucketed' AS policy, bucket,
+       |    count(*)::BIGINT AS n_docs, sum(n_tok)::BIGINT AS sum_tokens,
+       |    sum(bucket - n_tok)::BIGINT AS sum_pad
+       |  FROM b GROUP BY bucket
+       |  UNION ALL
+       |  SELECT 'flat', ${PadBuckets.last}::BIGINT,
+       |    count(*)::BIGINT, sum(n_tok)::BIGINT,
+       |    sum(${PadBuckets.last} - n_tok)::BIGINT
+       |  FROM t)
+       |SELECT policy, bucket, n_docs, sum_tokens, sum_pad,
+       |  sum_pad::DOUBLE / (sum_pad + sum_tokens)::DOUBLE AS pad_frac
+       |FROM rows""".stripMargin
+  }
+
+  private val shuffleOracleSql: String =
+    s"""WITH u AS (
+       |  SELECT doc_id,
+       |    ${graft.functions.Md5Uniform.sql(
+             "'shuffle:' || doc_id::VARCHAR")} AS u
+       |  FROM documents),
+       |r AS (
+       |  SELECT doc_id,
+       |    row_number() OVER (ORDER BY u, doc_id)::BIGINT AS rank
+       |  FROM u),
+       |a AS (
+       |  SELECT doc_id, rank, (rank - 1) % $ShuffleShards AS shard,
+       |    (rank - 1) // $ShuffleShards AS pos
+       |  FROM r)
+       |SELECT shard, count(*)::BIGINT AS n_docs,
+       |  arg_min(doc_id, pos) AS first_doc_id,
+       |  sum(rank)::BIGINT AS sum_rank
+       |FROM a GROUP BY shard""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "llm_pad_efficiency" -> padOracleSql,
+    "llm_shuffle_assign" -> shuffleOracleSql,
     "llm_k_anonymity" ->
       s"""SELECT lang, source, len_bucket, n_docs,
          |  n_docs < $AnonK AS at_risk

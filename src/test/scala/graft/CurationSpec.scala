@@ -555,4 +555,42 @@ class CurationSpec extends SparkSpecBase {
     // and the fixture actually exercises both flag values
     assert(rows.exists(_._5) && rows.exists(!_._5))
   }
+
+  test("pad efficiency: bucketed beats flat, accounting closes") {
+    val rows = Curation.padEfficiency(spark, Sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5)))
+    val (bk, fl) = rows.partition(_._1 == "bucketed")
+    assert(fl.length == 1 && bk.nonEmpty)
+    // same corpus both policies: doc and token totals agree
+    assert(bk.map(_._3).sum == fl.head._3)
+    assert(bk.map(_._4).sum == fl.head._4)
+    // every bucketed doc pads no more than flat would
+    assert(bk.map(_._5).sum <= fl.head._5)
+    // fraction arithmetic
+    rows.foreach { case (_, _, _, tok, pad, frac) =>
+      assert(frac == pad.toDouble / (pad + tok).toDouble)
+    }
+    // buckets come from the declared ladder
+    bk.foreach(r => assert(Curation.PadBuckets.contains(r._2)))
+  }
+
+  test("shuffle assign: balanced shards, stable under repartition") {
+    val src = Tables(spark, Sf, "documents")
+      .select("doc_id", "lang", "text")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Curation.shuffleAssignOf(df).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3))).toSet
+    val got = run(src)
+    // bit-stable whatever the partitioning (the md5 rank is global)
+    assert(got == run(src.repartition(7)))
+    // round-robin deal: shard sizes differ by at most one
+    val sizes = got.map(_._2)
+    assert(sizes.max - sizes.min <= 1)
+    assert(got.map(_._1) == (0L until Curation.ShuffleShards).toSet)
+    // total rank mass = n(n+1)/2 — nothing dropped or duplicated
+    val n = src.count()
+    assert(got.map(_._4).sum == n * (n + 1) / 2)
+  }
 }
