@@ -950,6 +950,50 @@ object TextOps {
           lit("<p>" + BoilerSpan + "</p>")).otherwise(lit("")))
         .as("html")))
 
+  // ---- span-corruption masking (T5-style data prep) ----
+
+  /** Corruption rate for [[spanCorrupt]] (the T5 default 15%). */
+  val CorruptRate = 0.15
+
+  /** Span-corruption masking statistics — the data-prep side of
+    * denoising pretraining (T5/UL2): each token position is masked by
+    * a DETERMINISTIC coin (the salted md5 uniform of (doc_id, pos) —
+    * no RNG state, so any re-run or engine replays the identical mask,
+    * the [[graft.operators.Curation.splitAssign]] discipline), and
+    * adjacent masked positions merge into spans (each span = one
+    * sentinel in the encoder input). Per document:
+    * (doc_id, n_tokens, n_masked, n_spans, mask_frac).
+    *
+    * Entirely row-local: the coin, the mask array, and the
+    * span-boundary fold all evaluate inside one projection above the
+    * scan — zero shuffles at any corpus size. n_spans counts mask runs
+    * via a single fold carrying (prev, count) — the same answer as the
+    * oracle's lag() spelling.
+    */
+  def spanCorrupt(spark: SparkSession, dir: String): DataFrame =
+    spanCorruptOf(docs(spark, dir).select("doc_id", "text"))
+
+  def spanCorruptOf(corpus: DataFrame): DataFrame = {
+    val coin = s"CAST(CONV(SUBSTRING(MD5(CONCAT(CAST(doc_id AS STRING)," +
+      s" ':', CAST(p AS STRING))), 1, 8), 16, 10) AS BIGINT)" +
+      s" / 4294967296.0D < ${CorruptRate}D"
+    val masks = s"transform(sequence(1, size(split(text, ' ')))," +
+      s" p -> $coin)"
+    corpus.select(
+      col("doc_id"),
+      size(split(col("text"), " ")).cast("long").as("n_tokens"),
+      expr(s"aggregate($masks, 0L, (acc, m) ->" +
+        s" acc + IF(m, 1L, 0L))").as("n_masked"),
+      expr(s"aggregate($masks, named_struct('prev', false, 'c', 0L)," +
+        s" (acc, m) -> named_struct('prev', m, 'c'," +
+        s" acc.c + IF(m AND NOT acc.prev, 1L, 0L)), acc -> acc.c)")
+        .as("n_spans"))
+      .select(col("doc_id"), col("n_tokens"), col("n_masked"),
+        col("n_spans"),
+        (col("n_masked").cast("double") / col("n_tokens").cast("double"))
+          .as("mask_frac"))
+  }
+
   // ---- BPE tokenizer training (merge learning) ----
 
   /** Merge steps the fixture entry learns. */
@@ -1220,6 +1264,7 @@ object TextOps {
     "llm_text_stats_orc" -> textStatsOrc,
     "llm_text_stats_part" -> textStatsPartitioned,
     "llm_boilerplate_strip" -> boilerplateStrip,
+    "llm_span_corrupt" -> spanCorrupt,
     "llm_text_stats_csv" -> textStatsCsv,
     "llm_word_count" -> wordCount,
     "llm_lang_id" -> langId,
@@ -1618,6 +1663,29 @@ object TextOps {
          |  replace(detag, '$BoilerSpan', '') = orig AS restored,
          |  len(replace(detag, '$BoilerSpan', ''))::BIGINT AS n_chars
          |FROM c""".stripMargin,
+    "llm_span_corrupt" ->
+      s"""WITH pos AS (
+         |  SELECT doc_id,
+         |    generate_subscripts(string_split(text, ' '), 1) AS p
+         |  FROM documents),
+         |m AS (
+         |  SELECT doc_id, p,
+         |    ${graft.functions.Md5Uniform.sql(
+             "doc_id::VARCHAR || ':' || p::VARCHAR")}
+         |      < ${CorruptRate}e0 AS mk
+         |  FROM pos),
+         |s AS (
+         |  SELECT doc_id, mk,
+         |    lag(mk, 1, false) OVER (PARTITION BY doc_id ORDER BY p)
+         |      AS pmk
+         |  FROM m)
+         |SELECT doc_id, count(*)::BIGINT AS n_tokens,
+         |  sum(CASE WHEN mk THEN 1 ELSE 0 END)::BIGINT AS n_masked,
+         |  sum(CASE WHEN mk AND NOT pmk THEN 1 ELSE 0 END)::BIGINT
+         |    AS n_spans,
+         |  sum(CASE WHEN mk THEN 1 ELSE 0 END)::BIGINT::DOUBLE
+         |    / count(*)::BIGINT::DOUBLE AS mask_frac
+         |FROM s GROUP BY doc_id""".stripMargin,
     "llm_text_stats_csv" -> textStatsOracleSql,
     "llm_word_count" ->
       """SELECT word, count(*) AS cnt

@@ -722,6 +722,34 @@ class CorpusOpsSpec extends SparkSpecBase {
     assert(entry.nonEmpty && entry.forall(_.getBoolean(3)))
   }
 
+  test("span corruption replays the md5 coin and run counting") {
+    def coin(docId: Long, p: Int): Boolean = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s"$docId:$p".getBytes("UTF-8"))
+        .take(4).map(b => f"${b & 0xff}%02x").mkString
+      java.lang.Long.parseLong(hex, 16) / 4294967296.0 <
+        TextOps.CorruptRate
+    }
+    val docs = Tables(spark, Sf, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1).split(" ").length))
+    val expect = docs.map { case (id, n) =>
+      val masks = (1 to n).map(coin(id, _))
+      val spans = masks.zip(false +: masks.init)
+        .count { case (m, prev) => m && !prev }
+      id -> ((n.toLong, masks.count(identity).toLong, spans.toLong,
+        masks.count(identity).toDouble / n.toDouble))
+    }.toMap
+    val got = TextOps.spanCorrupt(spark, Sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4)))).toMap
+    assert(got == expect)
+    // the coin is honest: corpus-level mask rate near the 15% target
+    val frac = got.values.map(_._2).sum.toDouble /
+      got.values.map(_._1).sum.toDouble
+    assert(math.abs(frac - TextOps.CorruptRate) < 0.03, frac.toString)
+  }
+
   test("chi2 terms match the in-memory contingency replay") {
     val docs = Tables(spark, Sf, "documents")
       .select("doc_id", "text", "lang").collect()
