@@ -860,6 +860,33 @@ object TextOps {
       .where(col("lang") === PartLang).select("doc_id", "text"))
   }
 
+  /** Sentinel for rows read from the pre-evolution schema era. */
+  val PreSchemaLang = "<pre-schema>"
+
+  /** Schema-evolution round-trip: two crawl batches with DIFFERENT
+    * schemas land in one dataset — the even-doc batch written BEFORE
+    * the `lang` column existed, the odd-doc batch after — and ONE
+    * `mergeSchema` read unifies them, surfacing the missing column as
+    * NULLs. The per-language accounting (nulls mapped to
+    * [[PreSchemaLang]]) proves which rows came from which era — the
+    * capability a long-lived 100 TB dataset needs the day its schema
+    * grows a column (Parquet's evolution contract, exercised rather
+    * than assumed). (lang, n_docs, n_chars).
+    */
+  def schemaMerge(spark: SparkSession, dir: String): DataFrame = {
+    val base =
+      graft.sources.TextSources.scratchPath(spark, "docs_evolve", dir)
+    val d = docs(spark, dir)
+    d.where(col("doc_id") % 2 === 0).select("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$base/batch=0")
+    d.where(col("doc_id") % 2 === 1).select("doc_id", "text", "lang")
+      .write.mode("overwrite").parquet(s"$base/batch=1")
+    spark.read.option("mergeSchema", "true").parquet(base)
+      .groupBy(coalesce(col("lang"), lit(PreSchemaLang)).as("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(length(col("text")).cast("long")).as("n_chars"))
+  }
+
   // ---- PII redaction ----
 
   /** Redaction patterns (RE2/Java-common subset — no lookaround, so both
@@ -1265,6 +1292,7 @@ object TextOps {
     "llm_text_stats_part" -> textStatsPartitioned,
     "llm_boilerplate_strip" -> boilerplateStrip,
     "llm_span_corrupt" -> spanCorrupt,
+    "llm_schema_merge" -> schemaMerge,
     "llm_text_stats_csv" -> textStatsCsv,
     "llm_word_count" -> wordCount,
     "llm_lang_id" -> langId,
@@ -1686,6 +1714,14 @@ object TextOps {
          |  sum(CASE WHEN mk THEN 1 ELSE 0 END)::BIGINT::DOUBLE
          |    / count(*)::BIGINT::DOUBLE AS mask_frac
          |FROM s GROUP BY doc_id""".stripMargin,
+    "llm_schema_merge" ->
+      s"""SELECT
+         |  CASE WHEN doc_id % 2 = 0 THEN '$PreSchemaLang'
+         |    ELSE lang END AS lang,
+         |  count(*)::BIGINT AS n_docs,
+         |  sum(len(text))::BIGINT AS n_chars
+         |FROM documents
+         |GROUP BY 1""".stripMargin,
     "llm_text_stats_csv" -> textStatsOracleSql,
     "llm_word_count" ->
       """SELECT word, count(*) AS cnt

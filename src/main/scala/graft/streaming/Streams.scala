@@ -939,10 +939,14 @@ object Streams {
     * identically in both engines.
     */
   def dailyTrend(events: DataFrame): DataFrame = {
-    val daily = withEventTime(events)
+    // the |types|·|days| count table feeds BOTH sides of the pairwise
+    // self-join — cut it once (eager local checkpoint) or the corpus
+    // scans twice (plan-guarded); the cut table is bounded whatever
+    // the event count
+    val daily = graft.Materialize.Local(withEventTime(events)
       .select(col("event_type"), expr(s"ts_us DIV $DayUs").as("day"))
       .groupBy("event_type", "day")
-      .agg(count(lit(1)).as("n"))
+      .agg(count(lit(1)).as("n")))
     val slopes = daily.as("a").join(daily.as("b"),
         col("a.event_type") === col("b.event_type")
           && col("a.day") < col("b.day"))
@@ -958,12 +962,14 @@ object Streams {
         Window.partitionBy("event_type")))
     val days = daily.groupBy("event_type")
       .agg(count(lit(1)).as("n_days"))
-    ranked
+    val out = graft.Materialize.Local(ranked
       .where(col("rk") === ceil(col("n_pairs").cast("double") / 2.0)
         .cast("long"))
       .join(days, "event_type")
       .select(col("event_type"), col("n_days"), col("n_pairs"),
-        col("slope"))
+        col("slope")))
+    graft.Materialize.release(daily)
+    out
   }
 
   /** Conversion threshold for [[abTest]]: every fixture user purchases

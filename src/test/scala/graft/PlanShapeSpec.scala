@@ -590,6 +590,41 @@ class PlanShapeSpec extends SparkSpecBase {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("hybrid rrf: bounded rank lists fuse, query terms broadcast, " +
+      "no cartesian on the corpus") {
+    val p = finalOnly(graft.operators.Retrieval
+      .hybridRrf(spark, "/root/testdata/sf0.01"))
+    // the probe terms and 1-row stats ride broadcasts into the posting
+    // scan; the full outer fusion joins two bounded rank lists
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("graph iterative family: adjacency joins hash, nothing cartesian") {
+    Seq(
+      graft.operators.Graph.kcore(spark, "/root/testdata/sf0.01"),
+      graft.operators.Graph.labelProp(spark, "/root/testdata/sf0.01"),
+      graft.operators.Graph.distances(spark, "/root/testdata/sf0.01"),
+      graft.operators.Graph.ppr(spark, "/root/testdata/sf0.01")
+    ).foreach { df =>
+      val p = finalOnly(df)
+      // 1-row source/teleport broadcasts are fine (BroadcastNestedLoop
+      // on a literal row); a CartesianProduct is not
+      assert(!p.contains("CartesianProduct"), p)
+    }
+  }
+
+  test("daily trend: the pairwise join runs on the aggregated day " +
+      "table, scanning events once") {
+    val df = graft.streaming.Streams.dailyTrend(
+      graft.Tables(spark, "/root/testdata/sf0.01", "events"))
+    val p = finalOnly(df)
+    assert(!p.contains("CartesianProduct"), p)
+    // the self-join input is the bounded daily count table, cut once —
+    // the raw events scan never appears in the final (post-cut) plan
+    assert("events\\.parquet".r.findAllIn(p).isEmpty, p)
+  }
+
   test("dsir sample: ranking windows are per-source, never global") {
     val df = graft.operators.Dsir.dsirSampleOf(
       graft.Tables(spark, Sf, "documents"))
