@@ -79,7 +79,11 @@ class EventTimeEncodingSpec extends SparkSpecBase {
       "retention" -> (Streams.retention(_)),
       "resampleDaily" -> (Streams.resampleDaily(_)),
       "firstTouch" -> (Streams.firstTouch(_)),
-      "asofViewBeforePurchase" -> (Streams.asofViewBeforePurchase(_)))
+      "asofViewBeforePurchase" -> (Streams.asofViewBeforePurchase(_)),
+      "ewmaValue" -> (Streams.ewmaValue(_)),
+      "conversionLatency" -> (Streams.conversionLatency(_)),
+      "rateAnomaly" -> (Streams.rateAnomaly(_)),
+      "dailyTrend" -> (Streams.dailyTrend(_)))
     val (refName, refDf) = encodings.head
     transforms.foreach { case (tName, t) =>
       val ref = t(refDf).collect().map(_.toSeq).toSet
