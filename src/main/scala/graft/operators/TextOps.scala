@@ -860,6 +860,63 @@ object TextOps {
       .where(col("lang") === PartLang).select("doc_id", "text"))
   }
 
+  /** The five [[textStatsOf]] signal names, in pinned order. */
+  val CorrSignals = Seq("n_chars", "n_tokens", "n_distinct",
+    "avg_token_len", "stopword_ratio")
+
+  /** Pairwise correlation audit of the quality signals — the
+    * feature-redundancy readout before training a probe on them (two
+    * signals with r² ≈ 1 carry one feature's information; the probe's
+    * gradient sees it twice). For each unordered signal pair: Pearson
+    * r² with its sign — the sqrt-free spelling
+    * r² = (n·Σxy − Σx·Σy)² / ((n·Σx² − (Σx)²)(n·Σy² − (Σy)²)) — so no
+    * square root enters either engine. (sig_a, sig_b, n, r2, sign).
+    *
+    * Determinism: every signal value quantizes once via
+    * floor(signal·10⁶) — floor of the IDENTICAL double product, so
+    * unlike a round-to-decimal cast there is no HALF_UP-vs-binary tie
+    * to disagree on (measured: one r² cell diverged at 1e-12 under the
+    * DECIMAL(18,6) spelling) — all five running sums per pair are
+    * exact integer/DECIMAL(38,0) arithmetic, and the final formula is
+    * a fixed tree of IEEE ops on correctly-rounded casts. Correlation
+    * is shift/scale-invariant, so the 10⁶ quantization changes r² only
+    * through the quantization itself, identically in both engines.
+    *
+    * Scale shape: one stats projection, one melt to (pair, x, y) rows
+    * — 10 pairs × corpus, partial-aggregated map-side into a 10-row
+    * moment table; the formula is row-local on those 10 rows.
+    */
+  def signalCorr(spark: SparkSession, dir: String): DataFrame =
+    signalCorrOf(docs(spark, dir).select("doc_id", "text"))
+
+  def signalCorrOf(corpus: DataFrame): DataFrame = {
+    val stats = textStatsOf(corpus)
+    val pairs = for {
+      i <- CorrSignals.indices; j <- (i + 1) until CorrSignals.size
+    } yield (CorrSignals(i), CorrSignals(j))
+    def q(c: String): Column =
+      floor(col(c).cast("double") * lit(1000000.0)).cast("long")
+    val melted = stats.select(explode(array(pairs.map { case (a, b) =>
+      struct(lit(a).as("sig_a"), lit(b).as("sig_b"),
+        q(a).as("x"), q(b).as("y"))
+    }: _*)).as("t")).select("t.*")
+    val dec = "decimal(38,0)"
+    val m = melted.groupBy("sig_a", "sig_b").agg(
+      count(lit(1)).as("n"),
+      sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+      sum(col("x").cast(dec) * col("y").cast(dec)).as("sxy"),
+      sum(col("x").cast(dec) * col("x").cast(dec)).as("sxx"),
+      sum(col("y").cast(dec) * col("y").cast(dec)).as("syy"))
+    def d(c: String): Column = col(c).cast("double")
+    val nD = col("n").cast("double")
+    val cov = nD * d("sxy") - d("sx") * d("sy")
+    val vx = nD * d("sxx") - d("sx") * d("sx")
+    val vy = nD * d("syy") - d("sy") * d("sy")
+    m.select(col("sig_a"), col("sig_b"), col("n"),
+      ((cov * cov) / (vx * vy)).as("r2"),
+      when(cov > 0, 1L).when(cov < 0, -1L).otherwise(0L).as("sign"))
+  }
+
   /** Sentinel for rows read from the pre-evolution schema era. */
   val PreSchemaLang = "<pre-schema>"
 
@@ -1293,6 +1350,7 @@ object TextOps {
     "llm_boilerplate_strip" -> boilerplateStrip,
     "llm_span_corrupt" -> spanCorrupt,
     "llm_schema_merge" -> schemaMerge,
+    "llm_signal_corr" -> signalCorr,
     "llm_text_stats_csv" -> textStatsCsv,
     "llm_word_count" -> wordCount,
     "llm_lang_id" -> langId,
@@ -1714,6 +1772,36 @@ object TextOps {
          |  sum(CASE WHEN mk THEN 1 ELSE 0 END)::BIGINT::DOUBLE
          |    / count(*)::BIGINT::DOUBLE AS mask_frac
          |FROM s GROUP BY doc_id""".stripMargin,
+    "llm_signal_corr" -> {
+      val pairs = for {
+        i <- CorrSignals.indices; j <- (i + 1) until CorrSignals.size
+      } yield (CorrSignals(i), CorrSignals(j))
+      def q(c: String) = s"floor($c::DOUBLE * 1000000e0)::BIGINT"
+      val melt = pairs.map { case (a, b) =>
+        s"""  SELECT '$a' AS sig_a, '$b' AS sig_b,
+           |    ${q(a)} AS x, ${q(b)} AS y
+           |  FROM st""".stripMargin
+      }.mkString("\n  UNION ALL\n")
+      val cov = "(n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)"
+      s"""WITH st AS ($textStatsOracleSql),
+         |p AS (
+         |$melt),
+         |m AS (
+         |  SELECT sig_a, sig_b, count(*)::BIGINT AS n,
+         |    sum(x)::BIGINT AS sx, sum(y)::BIGINT AS sy,
+         |    sum(x::HUGEINT * y::HUGEINT) AS sxy,
+         |    sum(x::HUGEINT * x::HUGEINT) AS sxx,
+         |    sum(y::HUGEINT * y::HUGEINT) AS syy
+         |  FROM p GROUP BY 1, 2)
+         |SELECT sig_a, sig_b, n,
+         |  ($cov * $cov)
+         |    / ((n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE)
+         |      * (n::DOUBLE * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE))
+         |    AS r2,
+         |  (CASE WHEN $cov > 0 THEN 1 WHEN $cov < 0 THEN -1
+         |     ELSE 0 END)::BIGINT AS sign
+         |FROM m""".stripMargin
+    },
     "llm_schema_merge" ->
       s"""SELECT
          |  CASE WHEN doc_id % 2 = 0 THEN '$PreSchemaLang'

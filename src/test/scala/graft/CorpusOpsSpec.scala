@@ -722,6 +722,42 @@ class CorpusOpsSpec extends SparkSpecBase {
     assert(entry.nonEmpty && entry.forall(_.getBoolean(3)))
   }
 
+  test("signal correlation replays the quantized Pearson arithmetic") {
+    val stats = TextOps.textStats(spark, Sf).collect()
+      .map(r => TextOps.CorrSignals.map { s =>
+        val v: Double = r.get(r.fieldIndex(s)) match {
+          case l: java.lang.Long => l.toDouble
+          case i: java.lang.Integer => i.toDouble
+          case d: java.lang.Double => d
+          case other => sys.error(s"unexpected $other")
+        }
+        s -> math.floor(v * 1000000.0).toLong
+      }.toMap)
+    val expect = (for {
+      i <- TextOps.CorrSignals.indices
+      j <- (i + 1) until TextOps.CorrSignals.size
+    } yield {
+      val (a, b) = (TextOps.CorrSignals(i), TextOps.CorrSignals(j))
+      val xs = stats.map(_(a)); val ys = stats.map(_(b))
+      val n = xs.length.toDouble
+      def bsum(s: Seq[BigInt]) = s.sum.toDouble
+      val (sx, sy) = (xs.sum.toDouble, ys.sum.toDouble)
+      val sxy = bsum(xs.zip(ys).map { case (x, y) => BigInt(x) * y })
+      val sxx = bsum(xs.map(x => BigInt(x) * x))
+      val syy = bsum(ys.map(y => BigInt(y) * y))
+      val cov = n * sxy - sx * sy
+      val r2 = (cov * cov) / ((n * sxx - sx * sx) * (n * syy - sy * sy))
+      (a, b) -> ((xs.length.toLong, r2,
+        if (cov > 0) 1L else if (cov < 0) -1L else 0L))
+    }).toMap
+    val got = TextOps.signalCorr(spark, Sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getDouble(3), r.getLong(4)))).toMap
+    assert(got == expect)
+    // the redundancy the audit exists to catch: chars ~ tokens
+    assert(got(("n_chars", "n_tokens"))._2 > 0.9)
+  }
+
   test("span corruption replays the md5 coin and run counting") {
     def coin(docId: Long, p: Int): Boolean = {
       val md = java.security.MessageDigest.getInstance("MD5")
