@@ -471,6 +471,46 @@ object Sketch {
       .select(col("source"), col("n"), col("n0"), col("d_stat"))
   }
 
+  /** Subsample replicas for [[subsampleCi]]. */
+  val CiReplicas = 20
+
+  /** Subsample-stability audit of a profiling statistic — the "how
+    * trustworthy is this dashboard number" readout: [[CiReplicas]]
+    * deterministic half-subsamples of the corpus (a salted md5 coin
+    * per (replica, doc) — seedless, engine-replayable), each reporting
+    * its mean document length next to the full-corpus row
+    * (replica −1). The replica-to-replica spread IS the sampling
+    * variability estimate (the m-out-of-n subsampling bootstrap,
+    * Politis–Romano lineage — Poisson/with-replacement resampling
+    * needs an RNG the determinism contract forbids).
+    * (replica, n, mean_len).
+    *
+    * Scale shape: the replica explosion is row-local fan-out into ONE
+    * map-side-combined aggregate — the corpus is scanned once and
+    * 21 rows come out; nothing shuffles but partial aggregates.
+    */
+  def subsampleCi(spark: SparkSession, dir: String): DataFrame =
+    subsampleCiOf(Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("n_chars").cast("long").as("v")))
+
+  def subsampleCiOf(docs: DataFrame): DataFrame = {
+    val coin = graft.functions.Md5Uniform.uniform(
+      concat(lit("ci:"), col("replica").cast("string"), lit(":"),
+        col("doc_id").cast("string"))) < 0.5
+    val reps = docs
+      .select(col("doc_id"), col("v"),
+        explode(sequence(lit(0), lit(CiReplicas - 1))).as("replica"))
+      .where(coin)
+      .select(col("replica").cast("long").as("replica"), col("v"))
+    val all = docs.select(lit(-1L).as("replica"), col("v"))
+    reps.unionByName(all)
+      .groupBy("replica")
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("s"))
+      .select(col("replica"), col("n"),
+        (col("s").cast("double") / col("n").cast("double"))
+          .as("mean_len"))
+  }
+
   // ---- KMV set operations (audience overlap) ----
 
   /** KMV sketch size for [[audienceKmv]]. 64 against the fixture's
@@ -565,10 +605,26 @@ object Sketch {
     "llm_group_quantiles" -> groupQuantiles,
     "llm_audience_kmv" -> audienceKmv,
     "llm_winsorize" -> winsorize,
-    "llm_ks_drift" -> ksDrift
+    "llm_ks_drift" -> ksDrift,
+    "llm_subsample_ci" -> subsampleCi
   )
 
   val oracle: Map[String, String] = Map(
+    "llm_subsample_ci" ->
+      s"""WITH reps AS (
+         |  SELECT b.replica::BIGINT AS replica, d.n_chars::BIGINT AS v
+         |  FROM documents d
+         |  CROSS JOIN (SELECT unnest(range(0, $CiReplicas)) AS replica)
+         |    b
+         |  WHERE ${graft.functions.Md5Uniform.sql(
+             "'ci:' || b.replica::VARCHAR || ':' || d.doc_id::VARCHAR")}
+         |    < 0.5e0
+         |  UNION ALL
+         |  SELECT -1::BIGINT, n_chars::BIGINT FROM documents)
+         |SELECT replica, count(*)::BIGINT AS n,
+         |  sum(v)::BIGINT::DOUBLE / count(*)::BIGINT::DOUBLE
+         |    AS mean_len
+         |FROM reps GROUP BY replica""".stripMargin,
     "llm_winsorize" ->
       s"""WITH v AS (
          |  SELECT source, n_chars::BIGINT AS v FROM documents),

@@ -185,6 +185,32 @@ class SketchSpec extends SparkSpecBase {
     assert(over === 0L)
   }
 
+  test("subsample CI replays the md5 coin; replicas bracket the truth") {
+    def coin(b: Long, id: Long): Boolean = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s"ci:$b:$id".getBytes("UTF-8"))
+        .take(4).map(x => f"${x & 0xff}%02x").mkString
+      java.lang.Long.parseLong(hex, 16) / 4294967296.0 < 0.5
+    }
+    val vs = Tables(spark, Sf, "documents")
+      .select("doc_id", "n_chars").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val expect = ((-1L, vs.map(_._2)) +:
+      (0L until Sketch.CiReplicas.toLong).map(b =>
+        b -> vs.filter(d => coin(b, d._1)).map(_._2)))
+      .map { case (b, xs) =>
+        b -> ((xs.length.toLong, xs.sum.toDouble / xs.length.toDouble))
+      }.toMap
+    val got = Sketch.subsampleCi(spark, Sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(got == expect)
+    // the replicas genuinely vary AND center near the full-corpus mean
+    val reps = got.filter(_._1 >= 0).values.map(_._2).toSeq
+    val full = got(-1L)._2
+    assert(reps.distinct.size > 1)
+    assert(math.abs(reps.sum / reps.size - full) < full * 0.05)
+  }
+
   test("winsorize replays the rank-selected clip in memory") {
     val vs = Tables(spark, Sf, "documents").select("source", "n_chars").collect()
       .map(r => (r.getString(0), r.getLong(1)))
