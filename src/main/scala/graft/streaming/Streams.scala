@@ -153,6 +153,28 @@ object Streams {
         (max(col("ts_us")) - min(col("ts_us"))).as("duration_us"))
   }
 
+  /** Inter-arrival gap histogram: per-user consecutive-event gaps in
+    * microseconds, bucketed by decimal digit count — a power-of-ten log
+    * histogram computed with integer/string ops only, so the oracle
+    * hash is exact (no floating point anywhere). The profile this
+    * yields (where the gap mass sits relative to [[SessionGapUs]]) is
+    * how a session gap like the 30-minute default gets chosen in the
+    * first place. Scale shape: one shuffle on user_id for the lag,
+    * then a ≤20-group aggregate — partial map-side, nothing wide.
+    */
+  def gapHistogram(events: DataFrame): DataFrame = {
+    val order = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us"), col("event_id"))
+    withEventTime(events).select("user_id", "event_id", "ts_us")
+      .withColumn("gap_us", col("ts_us") - lag(col("ts_us"), 1).over(order))
+      .where(col("gap_us").isNotNull)
+      .groupBy(length(col("gap_us").cast("string")).cast("long")
+        .as("gap_digits"))
+      .agg(count(lit(1)).as("n_gaps"),
+        min(col("gap_us")).as("min_gap_us"),
+        max(col("gap_us")).as("max_gap_us"))
+  }
+
   /** Native session-window aggregation — the streaming-first formulation
     * (`session_window` + watermark keeps per-user open-session state and
     * emits on gap expiry). Not oracle-bound: its gap boundary is
@@ -1258,6 +1280,8 @@ object Streams {
       ((s: SparkSession, d: String) => resampleDaily(events(s, d))),
     "stream_sessions" ->
       ((s: SparkSession, d: String) => sessions(events(s, d))),
+    "stream_gap_histogram" ->
+      ((s: SparkSession, d: String) => gapHistogram(events(s, d))),
     "stream_event_pairs" ->
       ((s: SparkSession, d: String) =>
         eventPairs(events(s, d), MaxBurstPerUser)),
@@ -1497,6 +1521,20 @@ object Streams {
          |  min(ts_us) AS start_us,
          |  (max(ts_us) - min(ts_us))::BIGINT AS duration_us
          |FROM s GROUP BY user_id, session_seq""".stripMargin,
+    "stream_gap_histogram" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events
+        |),
+        |g AS (
+        |  SELECT ts_us - lag(ts_us) OVER (PARTITION BY user_id
+        |    ORDER BY ts_us, event_id) AS gap_us
+        |  FROM e
+        |)
+        |SELECT CAST(length(CAST(gap_us AS VARCHAR)) AS BIGINT)
+        |    AS gap_digits,
+        |  count(*) AS n_gaps, min(gap_us) AS min_gap_us,
+        |  max(gap_us) AS max_gap_us
+        |FROM g WHERE gap_us IS NOT NULL GROUP BY 1""".stripMargin,
     "stream_event_pairs" ->
       s"""WITH e AS (
          |  SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type

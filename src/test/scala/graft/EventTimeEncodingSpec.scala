@@ -73,6 +73,7 @@ class EventTimeEncodingSpec extends SparkSpecBase {
       "hoppingStats" -> (Streams.hoppingStats(_, None)),
       "topkTypes" -> (Streams.topkTypes(_)),
       "sessions" -> (Streams.sessions(_)),
+      "gapHistogram" -> (Streams.gapHistogram(_)),
       "sessionWindowStats" -> (Streams.sessionWindowStats(_)),
       "eventPairs" -> (Streams.eventPairs(_, Streams.MaxBurstPerUser)),
       "funnel" -> (Streams.funnel(_)),
