@@ -1430,6 +1430,14 @@ object Curation {
   /** Number of loader shards for [[shuffleAssign]]. */
   val ShuffleShards = 8L
 
+  /** Conf knob for the number of uniform-key buckets the epoch-shuffle
+    * global rank is computed within (see [[shuffleAssignOf]]); sized so
+    * one bucket's rows fit a task comfortably — at 10¹¹ documents the
+    * default leaves ~10⁷ rows per bucket window.
+    */
+  val RankBucketsConf = "graft.shuffle.rankBuckets"
+  val RankBucketsDefault = 4096L
+
   /** Deterministic epoch shuffle — the reproducible data-loader order a
     * training run pins: every document ranked by its salted md5
     * uniform (a seeded shuffle with no RNG state, the [[splitAssign]]
@@ -1439,22 +1447,41 @@ object Curation {
     * salt is the new epoch. Per-shard audit rows:
     * (shard, n_docs, first_doc_id, sum_rank).
     *
-    * Scale shape: the rank is a global row_number over the md5 key —
-    * at 100 TB this runs as a range-partitioned sort on a uniform key
-    * (no skew by construction); everything after is modular arithmetic
-    * and one bounded groupBy.
+    * Scale shape: a bare `row_number() OVER (ORDER BY u)` would move
+    * EVERY row through one partition (Spark's unpartitioned WindowExec
+    * is single-partition — only the sort underneath is range-
+    * partitioned), so the global rank is computed the same way
+    * [[packShardsOf]] computes its global prefix sum: bucket the
+    * uniform into g = ⌊u·B⌋ (order-preserving, since u ∈ [0,1) and
+    * equal u's share a bucket; uniform by construction, so no skew),
+    * rank WITHIN each bucket under a hash-partitioned window, and add
+    * the per-bucket exclusive row-count offsets from
+    * [[exclusiveOffsets]] — whose own deepest single-partition stage
+    * sees ≤ B/[[PackGroup]]^depth rows, never the corpus. B is the
+    * [[RankBucketsConf]] session conf (default
+    * [[RankBucketsDefault]]). Identical ranks to the global window;
+    * everything after is modular arithmetic and one bounded groupBy.
     */
   def shuffleAssign(spark: SparkSession, dir: String): DataFrame =
     shuffleAssignOf(docs(spark, dir))
 
   def shuffleAssignOf(corpus: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    val buckets = corpus.sparkSession.conf
+      .get(RankBucketsConf, RankBucketsDefault.toString).toLong
     val u = graft.functions.Md5Uniform
       .uniform(concat(lit("shuffle:"), col("doc_id").cast("string")))
-    corpus
+    val keyed = corpus
       .select(col("doc_id"), u.as("u"))
-      .withColumn("rank", row_number().over(
-        Window.orderBy(col("u"), col("doc_id"))).cast("long"))
+      .withColumn("g", floor(col("u") * buckets).cast("long"))
+    val offsets = exclusiveOffsets(
+      keyed.groupBy("g").agg(count(lit(1)).as("t")), OffsetsDepth)
+    keyed
+      .withColumn("wrn", row_number().over(
+        Window.partitionBy("g").orderBy(col("u"), col("doc_id")))
+        .cast("long"))
+      .join(offsets, "g")
+      .withColumn("rank", col("goff") + col("wrn"))
       .select(col("doc_id"), col("rank"),
         ((col("rank") - 1) % ShuffleShards).as("shard"),
         expr(s"(rank - 1) DIV $ShuffleShards").as("pos"))

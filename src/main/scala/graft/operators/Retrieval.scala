@@ -112,9 +112,13 @@ object Retrieval {
         col("doc_id").as("top_doc_id"), col("tf").as("top_tf"))
   }
 
-  /** Full vocabulary ranking (word, df, cf, vrk) by corpus frequency
-    * desc, term asc — |V| rows, the shared base for query-term
-    * selection and the expansion stopword cut.
+  /** Vocabulary ranking (word, df, cf, vrk) by corpus frequency desc,
+    * term asc. The window is UNPARTITIONED, so every caller must apply
+    * an upper-bounded rank cut (`vrk <= k` / `vrk < k`) directly above
+    * it — that makes the window WindowGroupLimit-eligible (≤ k rows per
+    * input partition reach the single-partition ranking) instead of
+    * serializing |V| rows through one task. Guarded by the
+    * WindowBoundSpec lint.
     */
   private def vocabRankedOf(tf: DataFrame): DataFrame =
     tf.groupBy("word")
@@ -239,6 +243,18 @@ object Retrieval {
     * broadcasts into the posting-list scan; candidate pooling is
     * bounded by the feedback documents' total length.
     * (qword, exp_word, sum_tf, df, rk).
+    *
+    * Scale shape: the stopword cut `vrk >= BmRankLo` must NOT be read
+    * off a full-vocabulary rank — with no upper bound,
+    * WindowGroupLimit can't prune it and |V| rows would serialize
+    * through one task. Equivalent bounded form: materialize only the
+    * HEAD the cut excludes (`vrk < BmRankLo` — an upper-bounded rank
+    * cut, so the unpartitioned window is WindowGroupLimit-pruned to
+    * [[BmRankLo]]−1 rows per input partition) and anti-join the
+    * bounded candidate pool against that broadcast head; `df` comes
+    * from a plain vocabulary aggregate with the bounded candidates
+    * broadcast into it, so nothing vocabulary-scale ever crosses a
+    * single-partition stage.
     */
   def queryExpansion(spark: SparkSession, dir: String): DataFrame =
     queryExpansionOf(docs(spark, dir))
@@ -247,13 +263,16 @@ object Retrieval {
     val tf = tfOf(corpus)
     val fb = bm25ScoredOf(corpus).where(col("rk") <= BmTopK)
       .select(col("word").as("qword"), col("doc_id"))
-    val vocab = vocabRankedOf(tf).select("word", "df", "vrk")
-    fb.hint("broadcast")
+    val head = vocabRankedOf(tf).where(col("vrk") < BmRankLo)
+      .select("word")
+    val dfs = tf.groupBy("word").agg(count(lit(1)).as("df"))
+    val cand = fb.hint("broadcast")
       .join(tf, "doc_id")
       .groupBy(col("qword"), col("word"))
       .agg(sum(col("tf")).as("sum_tf"))
-      .join(vocab, "word")
-      .where(col("word") =!= col("qword") && col("vrk") >= BmRankLo)
+      .where(col("word") =!= col("qword"))
+      .join(broadcast(head), Seq("word"), "left_anti")
+    dfs.join(broadcast(cand), "word")
       .select(col("qword"), col("word").as("exp_word"),
         col("sum_tf"), col("df"))
       .withColumn("rk", row_number().over(Window.partitionBy("qword")

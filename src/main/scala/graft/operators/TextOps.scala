@@ -115,23 +115,31 @@ object TextOps {
     * before the long tail is covered).
     *
     * Shape: one corpus explode to the word-count aggregation (the
-    * vocabulary-sized shuffle [[wordCountOf]] already pays), a rank
-    * window over the vocabulary table only, then conditional sums down
-    * to ONE row exploded to |sizes|. Exact integer counts, one division
-    * per row.
+    * vocabulary-sized shuffle [[wordCountOf]] already pays). The rank
+    * window is UNPARTITIONED, so it is never evaluated over the full
+    * vocabulary: only the top-max(sizes) slice is ranked (`rk <= maxV`
+    * is an upper-bounded rank cut — WindowGroupLimit prunes every
+    * input partition to maxV rows before the single-partition
+    * ranking), the conditional sums read that bounded slice, and the
+    * total-occurrences denominator is a plain windowless aggregate
+    * whose shuffle ReuseExchange serves from the same word-count
+    * exchange. Exact integer counts, one division per row.
     */
   def vocabCoverage(spark: SparkSession, dir: String): DataFrame =
     vocabCoverageOf(docs(spark, dir))
 
   def vocabCoverageOf(corpus: DataFrame): DataFrame = {
     val wc = wordCountOf(corpus)
-    val ranked = wc.withColumn("rk", row_number().over(
-      org.apache.spark.sql.expressions.Window
-        .orderBy(col("cnt").desc, col("word"))).cast("long"))
+    val maxV = CoverageVocabSizes.max
+    val top = wc.withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("cnt").desc, col("word"))).cast("long"))
+      .where(col("rk") <= maxV)
     val aggCols = CoverageVocabSizes.map(v =>
       sum(when(col("rk") <= v, col("cnt")).otherwise(0L)).as(s"c$v"))
-    val agg = ranked.agg(sum(col("cnt")).cast("double").as("tot"),
-      aggCols: _*)
+    val tot = wc.agg(sum(col("cnt")).cast("double").as("tot"))
+    val agg = top.agg(aggCols.head, aggCols.tail: _*)
+      .crossJoin(tot)
     agg.select(explode(array(CoverageVocabSizes.map(v =>
         struct(lit(v).as("vocab_size"), col(s"c$v").as("n_covered"),
           (col(s"c$v").cast("double") / col("tot")).as("coverage"))): _*))
@@ -924,11 +932,15 @@ object TextOps {
     * schemas land in one dataset — the even-doc batch written BEFORE
     * the `lang` column existed, the odd-doc batch after — and ONE
     * `mergeSchema` read unifies them, surfacing the missing column as
-    * NULLs. The per-language accounting (nulls mapped to
+    * NULLs. The per-language accounting (pre-schema rows mapped to
     * [[PreSchemaLang]]) proves which rows came from which era — the
     * capability a long-lived 100 TB dataset needs the day its schema
     * grows a column (Parquet's evolution contract, exercised rather
-    * than assumed). (lang, n_docs, n_chars).
+    * than assumed). The era is keyed on the `batch` PARTITION column
+    * the read discovers from the directory layout — provenance, not
+    * `lang IS NULL`, so a legitimately-NULL lang on a post-schema row
+    * stays in the NULL language group exactly as the oracle's
+    * parity-based replay classifies it. (lang, n_docs, n_chars).
     */
   def schemaMerge(spark: SparkSession, dir: String): DataFrame = {
     val base =
@@ -939,7 +951,8 @@ object TextOps {
     d.where(col("doc_id") % 2 === 1).select("doc_id", "text", "lang")
       .write.mode("overwrite").parquet(s"$base/batch=1")
     spark.read.option("mergeSchema", "true").parquet(base)
-      .groupBy(coalesce(col("lang"), lit(PreSchemaLang)).as("lang"))
+      .groupBy(when(col("batch") === 0, lit(PreSchemaLang))
+        .otherwise(col("lang")).as("lang"))
       .agg(count(lit(1)).as("n_docs"),
         sum(length(col("text")).cast("long")).as("n_chars"))
   }
@@ -1278,8 +1291,14 @@ object TextOps {
       * (col("c") + col("d")).cast(dec)
       * (col("a") + col("c")).cast(dec)
       * (col("b") + col("d")).cast(dec)).cast("double")
+    // den = 0 when a margin is empty (a term in EVERY document makes
+    // c+d = 0; a single-class corpus makes a+c or b+d = 0): 0/0 = NaN
+    // sorts ABOVE every double in both engines' DESC order and would
+    // fill the top-k — define the association as 0 instead (no
+    // discriminative signal), mirrored in the oracle's CASE
     cells
-      .select(col("word"), col("a"), col("b"), (num / den).as("chi2"))
+      .select(col("word"), col("a"), col("b"),
+        when(den === 0.0, lit(0.0)).otherwise(num / den).as("chi2"))
       .withColumn("rk", row_number().over(
         Window.orderBy(col("chi2").desc, col("word"))).cast("long"))
       .where(col("rk") <= Chi2TopK)
@@ -1535,12 +1554,16 @@ object TextOps {
          |  GROUP BY word, n, n_en),
          |scored AS (
          |  SELECT word, a, b,
+         |    CASE WHEN a + b = 0 OR c + d = 0 OR a + c = 0
+         |           OR b + d = 0
+         |    THEN 0e0 ELSE
          |    (n::HUGEINT * (a::HUGEINT * d::HUGEINT
          |        - b::HUGEINT * c::HUGEINT)
          |      * (a::HUGEINT * d::HUGEINT
          |        - b::HUGEINT * c::HUGEINT))::DOUBLE
          |    / ((a + b)::HUGEINT * (c + d)::HUGEINT
-         |      * (a + c)::HUGEINT * (b + d)::HUGEINT)::DOUBLE AS chi2
+         |      * (a + c)::HUGEINT * (b + d)::HUGEINT)::DOUBLE
+         |    END AS chi2
          |  FROM cells)
          |SELECT word, a, b, chi2, rk FROM (
          |  SELECT word, a, b, chi2,

@@ -928,10 +928,14 @@ object Streams {
         expr(s"(ts_us DIV $HourUs) * $HourUs").as("win_us"))
       .groupBy("event_type", "win_us")
       .agg(count(lit(1)).as("n"))
+    // n² rides DECIMAL(38,0) like dev/varScaled below: BIGINT n·n
+    // would silently wrap past n ≈ 3·10⁹ in Spark while DuckDB raises
+    // a checked-overflow error — the headroom keeps both engines exact
+    // at the claimed scale
     val moments = wins.groupBy("event_type").agg(
       count(lit(1)).as("n_windows"),
       sum(col("n")).as("sum_n"),
-      sum(col("n") * col("n")).as("sum_n2"))
+      sum(col("n").cast(dec) * col("n").cast(dec)).as("sum_n2"))
     val dev = (col("n").cast(dec) * col("n_windows").cast(dec)
       - col("sum_n").cast(dec))
     val varScaled = (col("n_windows").cast(dec) * col("sum_n2").cast(dec)
@@ -1783,7 +1787,7 @@ object Streams {
          |m AS (
          |  SELECT event_type, count(*)::BIGINT AS n_windows,
          |    sum(n)::BIGINT AS sum_n,
-         |    sum(n * n)::BIGINT AS sum_n2
+         |    sum(n::HUGEINT * n::HUGEINT) AS sum_n2
          |  FROM w GROUP BY 1)
          |SELECT w.event_type, w.win_us, w.n, m.n_windows,
          |  m.sum_n::DOUBLE / m.n_windows::DOUBLE AS mean_n

@@ -89,6 +89,45 @@ class PlanShapeSpec extends SparkSpecBase {
         s"SinglePartition exchange over an unrecursed table:\n$s"))
   }
 
+  test("epoch shuffle: the corpus-scale rank window is partitioned") {
+    val p = finalOnly(graft.operators.Curation.shuffleAssign(spark, Sf))
+    // the per-bucket rank hash-partitions on g — the corpus never
+    // crosses a single-partition window (round-8 finding #1) ...
+    assert(p.contains("hashpartitioning(g"), p)
+    // ... and the only single-partition exchanges carry the recursed
+    // offsets totals (keys=[g2…]), never the corpus
+    val singles = "Exchange SinglePartition[^\n]*\n[^\n]*".r
+      .findAllIn(p).toList
+    singles.foreach(s =>
+      assert(s.contains("HashAggregate(keys=[g2"),
+        s"SinglePartition exchange over an unrecursed table:\n$s"))
+  }
+
+  test("query expansion: stopword head is rank-cut bounded + broadcast") {
+    val p = finalPlan(graft.operators.Retrieval.queryExpansion(spark, Sf))
+    // the vrk < BmRankLo head cut must prune map-side before the
+    // unpartitioned vocabulary window (round-8 finding #2)
+    assert(p.contains("WindowGroupLimit"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("vocab coverage: only the top-max(sizes) slice is rank-windowed") {
+    val p = finalOnly(graft.operators.TextOps.vocabCoverage(spark, Sf))
+    // rk <= maxV prunes every input partition before the unpartitioned
+    // window (round-8 finding #3): the optimizer compiles the cut to a
+    // per-partition top-k heap (TakeOrderedAndProject) — or at minimum
+    // a WindowGroupLimit — so the window input is ≤ maxV rows
+    assert(p.contains("TakeOrderedAndProject(limit=32")
+      || p.contains("WindowGroupLimit"), p)
+    // and the total-occurrences branch reuses the word-count shuffle
+    // instead of scanning the corpus twice (unless another suite left
+    // `documents` cached in the shared session — TableCacheQueryStage
+    // instances defeat AQE exchange reuse, but then both branches read
+    // the cache, not the corpus, so the scale property still holds)
+    assert(p.contains("ReusedExchange")
+      || p.contains("InMemoryTableScan"), p)
+  }
+
   test("stratified sampling is a pure scan: no exchange at all") {
     val p = finalPlan(graft.operators.Curation.sampleStratified(spark, Sf))
     assert(!p.contains("Exchange"), s"sampling plan shuffles:\n$p")
