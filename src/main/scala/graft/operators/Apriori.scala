@@ -86,6 +86,27 @@ object Apriori {
       .agg(array_sort(collect_set(col("p_brand"))).as("items"))
   }
 
+  /** Transactions in TRANSACTION order, not canonical-sorted: each
+    * basket's brands ordered by first appearance in the order's
+    * lineitem sequence (min l_linenumber, ties lexical) — the
+    * deterministic stand-in for "the order items appear on the
+    * transaction line" that the reference's text files carry. Feeds
+    * [[freqItemsetsTxOrder]], the opt-in replay of the reference's
+    * order-sensitive keying.
+    */
+  def transactionsOrdered(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables(spark, dir, "lineitem")
+      .select("l_orderkey", "l_linenumber", "l_partkey")
+    val part = Tables(spark, dir, "part").select("p_partkey", "p_brand")
+    li.join(part, li("l_partkey") === part("p_partkey"))
+      .groupBy(col("l_orderkey"), col("p_brand"))
+      .agg(min(col("l_linenumber")).as("ln"))
+      .groupBy("l_orderkey")
+      .agg(transform(
+        array_sort(collect_list(struct(col("ln"), col("p_brand")))),
+        s => s.getField("p_brand")).as("items"))
+  }
+
   // ---- DataFrame-parameterized API -------------------------------------
   // The fixture entry points below read the star schema, but the
   // pipeline itself composes with ANY transactions DataFrame
@@ -154,6 +175,42 @@ object Apriori {
     itemsetSupportsOf(tx, support)
       .where(col("k") >= 2 && col("cnt") >= support)
       .select("itemset", "cnt")
+
+  /** Frequent k-itemsets under the reference's ORDER-SENSITIVE keying
+    * (`apriori_final.java:82-94`): subset keys are space-joined in
+    * TRANSACTION order, so the same item SET reached through two
+    * basket orders counts as two different keys (e.g. baskets
+    * `[b, a]` and `[a, b]` contribute to "b a" and "a b" separately,
+    * each with its own support). The engine's default entries use
+    * canonical sorted keys — a conscious redefinition documented in
+    * SURVEY §2.5 — and this variant makes the reference's semantics an
+    * OPT-IN, verified against a DuckDB replay rather than merely
+    * claimed. Everything else matches the default pipeline:
+    * prune-before-generate (the frequent filter PRESERVES basket
+    * order), [[MaxBasket]] truncation, support gate, k ≥ 2.
+    */
+  def freqItemsetsTxOrder(spark: SparkSession, dir: String): DataFrame =
+    freqItemsetsTxOrderOf(transactionsOrdered(spark, dir))
+
+  def freqItemsetsTxOrderOf(tx0: DataFrame,
+                            support: Int = Support): DataFrame = {
+    val spark = tx0.sparkSession
+    val s = spark; import s.implicits._
+    val tx = tx0.localCheckpoint()
+    val freqSet = freqItemsOf(tx, support)
+      .agg(collect_set(col("item")).as("freqset"))
+    tx.join(broadcast(freqSet))
+      .select(filter(col("items"),
+        i => array_contains(col("freqset"), i)).as("fitems"))
+      .select(lit(0L).as("l_orderkey"), $"fitems")
+      .as[Basket]
+      .flatMap(b => subsetKeys(b.fitems.take(MaxBasket)))
+      .toDF("itemset", "k")
+      .groupBy($"itemset", $"k")
+      .agg(count(lit(1)).as("cnt"))
+      .where(col("k") >= 2 && col("cnt") >= support)
+      .select("itemset", "cnt")
+  }
 
   /** Association rules of a transactions DF (see [[assocRules]]). */
   def assocRulesOf(tx: DataFrame, support: Int = Support): DataFrame = {
@@ -542,7 +599,8 @@ object Apriori {
     "apriori_assoc_rules" -> assocRules,
     "apriori_rules_metrics" -> assocRulesMetrics,
     "apriori_candidates_raw" -> candidatesRaw,
-    "apriori_freq_items_text" -> freqItemsText
+    "apriori_freq_items_text" -> freqItemsText,
+    "apriori_freq_itemsets_txorder" -> freqItemsetsTxOrder
   )
 
   // DuckDB oracle: subsets enumerated with a bitmask join (the fixture's
@@ -654,6 +712,48 @@ object Apriori {
       s"""WITH $subSql
          |SELECT itemset, cnt FROM supports
          |WHERE k >= 2 AND cnt >= ${Support}""".stripMargin,
+    // order-sensitive keying (apriori_final.java:82-94 semantics):
+    // transaction order = first-appearance lineitem order; the
+    // frequent filter is list_filter (order-preserving — the sorted
+    // entries use list_sort(list_intersect(...)) because DuckDB's
+    // list_intersect does NOT preserve order), and the mask-join
+    // subset generator already emits subsets in list order
+    "apriori_freq_itemsets_txorder" ->
+      s"""WITH txo AS (
+         |  SELECT l_orderkey, list(p_brand ORDER BY ln, p_brand) AS items
+         |  FROM (
+         |    SELECT l.l_orderkey, p.p_brand,
+         |      min(l.l_linenumber) AS ln
+         |    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+         |    GROUP BY 1, 2)
+         |  GROUP BY 1
+         |),
+         |freq AS (
+         |  SELECT item
+         |  FROM (SELECT l_orderkey, unnest(items) AS item FROM txo)
+         |  GROUP BY item HAVING count(*) >= ${Support}
+         |),
+         |freqlist AS (SELECT list(item) AS fl FROM freq),
+         |ftx AS (
+         |  SELECT l_orderkey,
+         |    list_slice(list_filter(items, x -> list_contains(fl, x)),
+         |               1, ${MaxBasket}) AS items
+         |  FROM txo, freqlist
+         |),
+         |masks AS (SELECT unnest(range(1, 1 << ${MaxBasket})) AS mask),
+         |sub AS (
+         |  SELECT l_orderkey,
+         |    list_transform(
+         |      list_filter(range(1, len(items) + 1),
+         |                  i -> ((mask >> (i - 1)::INT) & 1) = 1),
+         |      i -> items[i]) AS subset
+         |  FROM ftx JOIN masks ON mask < (1 << len(items))
+         |)
+         |SELECT list_aggregate(subset, 'string_agg', ' ') AS itemset,
+         |       count(*) AS cnt
+         |FROM sub
+         |WHERE len(subset) >= 2
+         |GROUP BY 1 HAVING count(*) >= ${Support}""".stripMargin,
     "apriori_assoc_rules" ->
       s"""WITH $subSql,
          |freqsets AS (

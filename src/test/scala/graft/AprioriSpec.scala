@@ -130,4 +130,45 @@ class AprioriSpec extends SparkSpecBase {
     // closed (compression only shows at sf0.01: 12741 of 12744)
     assert(got.size == freq.length)
   }
+
+  test("txorder keying splits one item SET by basket order; sorted merges") {
+    // apriori_final.java:82-94 semantics: keys are joined in transaction
+    // order, so ["b","a"] and ["a","b"] baskets count under DIFFERENT
+    // keys — the engine default (sorted canonical) merges them
+    val s = spark; import s.implicits._
+    val tx = (Seq.fill(5)(Seq("b", "a")) ++ Seq.fill(5)(Seq("a", "b")))
+      .toDF("items")
+    val ordered = Apriori.freqItemsetsTxOrderOf(tx, support = 5)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(ordered == Map("b a" -> 5L, "a b" -> 5L))
+    val sorted = Apriori.freqItemsetsOf(tx, support = 5)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(sorted == Map("a b" -> 10L))
+  }
+
+  test("transactionsOrdered: first-appearance order, ties lexical") {
+    // the fixture's ordered-basket derivation must agree with a
+    // brute-force recomputation from the raw tables
+    val li = graft.Tables(spark, Sf, "lineitem")
+      .select("l_orderkey", "l_linenumber", "l_partkey").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    val brand = graft.Tables(spark, Sf, "part")
+      .select("p_partkey", "p_brand").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val want = li.groupBy(_._1).map { case (ok, rows) =>
+      // toSeq BEFORE the pair map: mapping the Map directly would key
+      // by min-linenumber and silently drop ties (the fixture has them)
+      ok -> rows.groupBy(r => brand(r._3)).toSeq
+        .map { case (b, rs) => (rs.map(_._2).min, b) }
+        .sorted.map(_._2)
+    }
+    val got = Apriori.transactionsOrdered(spark, Sf).collect()
+      .map(r => r.getLong(0) -> r.getSeq[String](1).toSeq).toMap
+    assert(got.keySet == want.keySet)
+    want.foreach { case (ok, items) =>
+      assert(got(ok) == items, s"order $ok") }
+    // and at least one fixture basket is NOT in sorted order — the
+    // variant must exercise genuinely order-sensitive keys
+    assert(got.values.exists(is => is != is.sorted))
+  }
 }
