@@ -37,9 +37,17 @@ import graft.Tables
   */
 object Similarity {
 
-  /** Fixture query set: the first [[NumQueries]] vec_ids. */
+  /** Fixture query set: the first [[NumQueries]] vec_ids. Overridable
+    * per session via [[graft.Conf]] `graft.sim.numQueries` (the oracle
+    * pins the default; ConfKnobsSpec covers non-default values).
+    */
   val NumQueries = 50
+  val NumQueriesConf = "graft.sim.numQueries"
   val TopK = 5
+
+  /** Conf-or-default query-set size for the fixture entries. */
+  private def nq(spark: SparkSession): Long =
+    graft.Conf.long(spark, NumQueriesConf, NumQueries)
 
   /** SRP-LSH layout, tuned against `llm_sim_recall` at sf0.01: the r6
     * 16×8-bit config measured recall 0.308; 6 bits = 0.588, 5 bits =
@@ -67,7 +75,7 @@ object Similarity {
     * to the oracle's sequential list arithmetic.
     */
   def bruteForceTopK(spark: SparkSession, dir: String): DataFrame =
-    bruteForceTopKOf(emb(spark, dir), NumQueries)
+    bruteForceTopKOf(emb(spark, dir), nq(spark))
 
   /** All (query, neighbor, cosine) pairs: queries broadcast, corpus
     * scanned partition-parallel by a typed kernel.
@@ -147,7 +155,7 @@ object Similarity {
   def hardNegatives(spark: SparkSession, dir: String): DataFrame =
     hardNegativesOf(Tables(spark, dir, "embeddings")
       .select(col("vec_id"), col("embedding").cast("array<double>").as("e"),
-        col("label")), NumQueries)
+        col("label")), nq(spark))
 
   /** Any (vec_id, e: ARRAY<DOUBLE>, label: INT) corpus. */
   def hardNegativesOf(corpusDf: DataFrame, nQueries: Long): DataFrame = {
@@ -191,14 +199,14 @@ object Similarity {
   }
 
   def bruteForceTopKAgg(spark: SparkSession, dir: String): DataFrame =
-    bruteForceTopKAggOf(emb(spark, dir), NumQueries)
+    bruteForceTopKAggOf(emb(spark, dir), nq(spark))
 
   /** LSH-bucketed top-k: score only bucket-colliding (query, neighbor)
     * pairs. Queries with no collision simply produce no rows — that is
     * the ANN recall trade, and the oracle prices it identically.
     */
   def lshTopK(spark: SparkSession, dir: String): DataFrame =
-    lshTopKOf(emb(spark, dir), NumQueries)
+    lshTopKOf(emb(spark, dir), nq(spark))
 
   def lshTopKOf(corpusDf: DataFrame, nQueries: Long,
       mat: graft.Materialize.Strategy = graft.Materialize.Local)
@@ -241,6 +249,7 @@ object Similarity {
     * recall/fraction-scanned trade, now priced by the oracle end-to-end.
     */
   val NumCentroids = 16
+  val NumCentroidsConf = "graft.sim.numCentroids"
   val NumProbes = 7
 
   /** Nearest centroid by cosine; ties → lower cid (cs sorted by cid).
@@ -271,12 +280,13 @@ object Similarity {
     * partial-aggregated shuffle of N·dims (cid, pos, x) rows — no
     * driver-side data beyond the K centroids.
     */
-  def kmeansCentroids(corpusDf: DataFrame,
-                      iters: Int): Array[(Long, Array[Double])] = {
+  def kmeansCentroids(corpusDf: DataFrame, iters: Int,
+                      k: Int = NumCentroids)
+      : Array[(Long, Array[Double])] = {
     val spark = corpusDf.sparkSession
     val s = spark; import s.implicits._
     val corpus = corpusDf.as[(Long, Array[Double])]
-    var cents = corpus.filter(_._1 < NumCentroids).collect().sortBy(_._1)
+    var cents = corpus.filter(_._1 < k).collect().sortBy(_._1)
     var i = 0
     while (i < iters) {
       val bc = spark.sparkContext.broadcast(cents)
@@ -332,15 +342,18 @@ object Similarity {
     * K in-memory vectors, not a DataFrame.
     */
   private val centsCache = new java.util.concurrent.ConcurrentHashMap[
-    (SparkSession, String, Int), Array[(Long, Array[Double])]]
+    (SparkSession, String, Int, Int), Array[(Long, Array[Double])]]
 
   private def cachedCents(spark: SparkSession, dir: String, iters: Int)
       : Array[(Long, Array[Double])] = {
-    val key = (spark, dir, iters)
+    // K is a session-conf knob; keying the cache on it means flipping
+    // the conf mid-session retrains rather than serving a stale size
+    val k = graft.Conf.int(spark, NumCentroidsConf, NumCentroids)
+    val key = (spark, dir, iters, k)
     val got = centsCache.get(key)
     if (got != null) got
     else {
-      val built = kmeansCentroids(emb(spark, dir), iters)
+      val built = kmeansCentroids(emb(spark, dir), iters, k)
       val prev = centsCache.putIfAbsent(key, built)
       if (prev != null) prev else built
     }
@@ -351,14 +364,14 @@ object Similarity {
     val it = centsCache.entrySet().iterator()
     while (it.hasNext) {
       val e = it.next()
-      val (s, d, _) = e.getKey
+      val (s, d, _, _) = e.getKey
       if ((spark == null || s == spark) && (dir == null || d == dir))
         it.remove()
     }
   }
 
   def ivfTopK(spark: SparkSession, dir: String): DataFrame =
-    ivfTopKWith(emb(spark, dir), NumQueries,
+    ivfTopKWith(emb(spark, dir), nq(spark),
       cachedCents(spark, dir, IvfKmeansIters))
 
   def ivfTopKOf(corpusDf: DataFrame, nQueries: Long,
@@ -558,7 +571,7 @@ object Similarity {
     */
   def int8TopK(spark: SparkSession, dir: String): DataFrame =
     int8TopKOf(Tables(spark, dir, "embeddings")
-      .select(col("vec_id"), col("embedding")), NumQueries)
+      .select(col("vec_id"), col("embedding")), nq(spark))
 
   def int8TopKOf(vectors: DataFrame, nQueries: Long): DataFrame = {
     val spark = vectors.sparkSession
@@ -645,7 +658,7 @@ object Similarity {
     */
   def binaryTopK(spark: SparkSession, dir: String): DataFrame =
     binaryTopKOf(Tables(spark, dir, "embeddings")
-      .select(col("vec_id"), col("embedding")), NumQueries)
+      .select(col("vec_id"), col("embedding")), nq(spark))
 
   def binaryTopKOf(vectors: DataFrame, nQueries: Long): DataFrame = {
     val spark = vectors.sparkSession
@@ -834,7 +847,7 @@ object Similarity {
     * not 256-byte vectors — the compression IS the scan saving.
     */
   def pqTopK(spark: SparkSession, dir: String): DataFrame =
-    pqTopKWith(emb(spark, dir), NumQueries, cachedCodebook(spark, dir))
+    pqTopKWith(emb(spark, dir), nq(spark), cachedCodebook(spark, dir))
 
   def pqTopKOf(corpusDf: DataFrame, nQueries: Long): DataFrame = {
     val book = (0 until PqSubspaces).map { m =>
@@ -1089,8 +1102,8 @@ object Similarity {
       .select(col("vec_id"), col("label"))
     val proc = abttVectors(e, cachedPca(spark, dir))
     val tagged = Seq(
-      "abtt" -> bruteForceTopKOf(proc, NumQueries),
-      "raw" -> bruteForceTopKOf(e, NumQueries))
+      "abtt" -> bruteForceTopKOf(proc, nq(spark)),
+      "raw" -> bruteForceTopKOf(e, nq(spark)))
       .map { case (m, df) =>
         df.select(lit(m).as("method"), col("query_id"),
           col("neighbor_id"))
@@ -1136,7 +1149,7 @@ object Similarity {
     * honestly next to both parents in the recall report.
     */
   def ivfPqTopK(spark: SparkSession, dir: String): DataFrame =
-    ivfPqTopKWith(emb(spark, dir), NumQueries,
+    ivfPqTopKWith(emb(spark, dir), nq(spark),
       cachedCents(spark, dir, IvfKmeansIters), cachedCodebook(spark, dir))
 
   /** Spec seam: trains both quantizers fresh on `corpusDf` (coarse

@@ -105,6 +105,7 @@ object TextOps {
     * real corpus would probe 2^8…2^16.
     */
   val CoverageVocabSizes: Seq[Long] = Seq(4L, 8L, 16L, 32L)
+  val CoverageVocabSizesConf = "graft.coverage.vocabSizes"
 
   /** Tokenizer vocabulary-size tuning curve: for each candidate size V,
     * the fraction of all corpus TOKEN OCCURRENCES the top-V types (by
@@ -126,21 +127,23 @@ object TextOps {
     * exchange. Exact integer counts, one division per row.
     */
   def vocabCoverage(spark: SparkSession, dir: String): DataFrame =
-    vocabCoverageOf(docs(spark, dir))
+    vocabCoverageOf(docs(spark, dir),
+      graft.Conf.longs(spark, CoverageVocabSizesConf, CoverageVocabSizes))
 
-  def vocabCoverageOf(corpus: DataFrame): DataFrame = {
+  def vocabCoverageOf(corpus: DataFrame,
+      sizes: Seq[Long] = CoverageVocabSizes): DataFrame = {
     val wc = wordCountOf(corpus)
-    val maxV = CoverageVocabSizes.max
+    val maxV = sizes.max
     val top = wc.withColumn("rk", row_number().over(
         org.apache.spark.sql.expressions.Window
           .orderBy(col("cnt").desc, col("word"))).cast("long"))
       .where(col("rk") <= maxV)
-    val aggCols = CoverageVocabSizes.map(v =>
+    val aggCols = sizes.map(v =>
       sum(when(col("rk") <= v, col("cnt")).otherwise(0L)).as(s"c$v"))
     val tot = wc.agg(sum(col("cnt")).cast("double").as("tot"))
     val agg = top.agg(aggCols.head, aggCols.tail: _*)
       .crossJoin(tot)
-    agg.select(explode(array(CoverageVocabSizes.map(v =>
+    agg.select(explode(array(sizes.map(v =>
         struct(lit(v).as("vocab_size"), col(s"c$v").as("n_covered"),
           (col(s"c$v").cast("double") / col("tot")).as("coverage"))): _*))
       .as("t"))
@@ -720,6 +723,7 @@ object TextOps {
     * encodes as [[OovId]].
     */
   val EncodeVocab = 256
+  val EncodeVocabConf = "graft.encode.vocabSize"
   val OovId = -1L
 
   /** Corpus-frequency vocabulary: (tok, tok_id) with ids assigned by
@@ -792,7 +796,8 @@ object TextOps {
     * columns; the array form is the library API).
     */
   def encode(spark: SparkSession, dir: String): DataFrame =
-    encodeOf(docs(spark, dir))
+    encodeOf(docs(spark, dir),
+      graft.Conf.int(spark, EncodeVocabConf, EncodeVocab))
       .select(col("doc_id"), col("n_tokens"), col("n_oov"),
         concat_ws(",", col("ids").cast("array<string>")).as("ids_csv"))
 

@@ -1,0 +1,85 @@
+package graft
+
+import graft.operators.{Curation, Similarity, TextOps}
+
+/** The fixture-scaled constants are session-conf knobs ([[Conf]]): each
+  * test here sets a NON-default value, proves the entry honors it with
+  * a brute-force expectation, and unsets the key (shared session — a
+  * leaked knob would silently move other suites off their oracles).
+  */
+class ConfKnobsSpec extends SparkSpecBase {
+
+  private def withConf[T](key: String, value: String)(body: => T): T =
+    try { spark.conf.set(key, value); body }
+    finally spark.conf.unset(key)
+
+  test("coverage sizes knob: custom size list, coverage vs brute force") {
+    withConf(TextOps.CoverageVocabSizesConf, "2, 31") {
+      val rows = TextOps.vocabCoverage(spark, Sf).collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+      assert(rows.keySet == Set(2L, 31L))
+      // brute force off the same fixture: sum of the top-V counts
+      val wc = TextOps.wordCount(spark, Sf).collect()
+        .map(r => r.getString(0) -> r.getLong(1))
+      val byRank = wc.sortBy { case (w, c) => (-c, w) }.map(_._2)
+      val tot = byRank.sum.toDouble
+      Seq(2, 31).foreach { v =>
+        val want = byRank.take(v).sum
+        assert(rows(v.toLong) == ((want, want / tot)), s"V=$v")
+      }
+      // the fixture vocabulary is 31 types — full coverage at V=31
+      assert(rows(31L)._2 == 1.0)
+    }
+  }
+
+  test("encode vocab knob: V=4 leaves only 4 distinct non-OOV ids") {
+    withConf(TextOps.EncodeVocabConf, "4") {
+      val ids = TextOps.queries("llm_encode")(spark, Sf).collect()
+        .flatMap(_.getString(3).split(",")).filter(_.nonEmpty)
+        .map(_.toLong).toSet
+      assert(ids == Set(TextOps.OovId, 0L, 1L, 2L, 3L),
+        s"got id set $ids")
+    }
+  }
+
+  test("sim numQueries knob: exactly 3 query groups, ranks intact") {
+    withConf(Similarity.NumQueriesConf, "3") {
+      val rows = Similarity.queries("llm_sim_topk")(spark, Sf).collect()
+      val byQ = rows.groupBy(_.getLong(0))
+      assert(byQ.keySet == Set(0L, 1L, 2L))
+      byQ.values.foreach { g =>
+        assert(g.map(_.getInt(3).toLong).sorted.toSeq ==
+          (1L to Similarity.TopK).toSeq)
+      }
+    }
+  }
+
+  test("sim numCentroids knob: IVF trains a 4-list quantizer and still " +
+    "returns every query") {
+    withConf(Similarity.NumCentroidsConf, "4") {
+      val cents = Similarity.kmeansCentroids(
+        Tables(spark, Sf, "embeddings").select(
+          org.apache.spark.sql.functions.col("vec_id"),
+          org.apache.spark.sql.functions.col("embedding")
+            .cast("array<double>").as("e")),
+        iters = 1, k = 4)
+      assert(cents.length == 4)
+      val got = Similarity.queries("llm_sim_ivf_topk")(spark, Sf)
+      assert(got.select("query_id").distinct().count() ==
+        Similarity.NumQueries)
+    }
+  }
+
+  test("shuffle rank-buckets knob: ranks identical at any bucketing") {
+    val base = Curation.queries("llm_shuffle_assign")(spark, Sf)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    withConf(Curation.RankBucketsConf, "7") {
+      val got = Curation.queries("llm_shuffle_assign")(spark, Sf)
+        .collect().map(r => r.getLong(0) ->
+          (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+      assert(got == base,
+        "bucketing is an execution detail — ranks must not move")
+    }
+  }
+}
