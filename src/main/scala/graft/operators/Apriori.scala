@@ -422,6 +422,18 @@ object Apriori {
     * shrinking n'. Driver state per level is the active-item set (item
     * vocabulary scale, broadcast each level like SGD's θ) and the
     * per-level support tables stay distributed.
+    *
+    * DRIVER-MEMORY BUDGET (the one `collect()` class in this operator):
+    * the collected active set is bounded by |frequent 1-items| at every
+    * level — the seed is exactly the frequent items (the cached basket
+    * table's `fitems` arrays contain nothing else by construction), and
+    * each later level's actives are items of frequent k-itemsets, a
+    * subset of the previous level's actives by support monotonicity
+    * (so the sequence is ⊆-monotone decreasing). That is O(frequent
+    * vocabulary) — the same class as SGD's θ and the standard level-wise
+    * broadcast pattern — NOT O(itemsets) (the support tables those
+    * itemsets live in never leave the cluster) and NOT O(corpus).
+    * `AprioriSpec` pins the bound and the monotone shrinkage.
     */
   def freqItemsetsLevelwise(spark: SparkSession, dir: String): DataFrame = {
     val s = spark; import s.implicits._

@@ -71,6 +71,42 @@ object Streams {
       .withColumn("ts_ts", timestamp_micros(col("ts_us")))
   }
 
+  /** Nanoseconds of event time per rate-source `value` tick. */
+  val RateTickNs: Long = 10L * 60 * 1000 * 1000 * 1000
+
+  /** Event-shaped stream off Spark's deterministic `rate-micro-batch`
+    * source — the seam proving every transform here is SOURCE-AGNOSTIC:
+    * the transforms only ever see a DataFrame with the event schema, so
+    * swapping MemoryStream / files / a Kafka topic / the rate source is
+    * purely a read-side `readStream.format(...)` concern (no broker
+    * ships in this environment, so the deterministic rate source is the
+    * honest stand-in for an unbounded ingest). Every event column
+    * derives from the monotone `value` alone — never the source's
+    * wall-clock `timestamp` — so a replay is bit-identical, event time
+    * is MONOTONE in arrival order, and an append-mode-finalized window
+    * can never change under further input: batch-over-any-larger-prefix
+    * comparisons are exact (StreamingSpec pins this).
+    */
+  def rateEvents(spark: SparkSession, rowsPerBatch: Int): DataFrame =
+    eventsFromValues(spark.readStream.format("rate-micro-batch")
+      .option("rowsPerBatch", rowsPerBatch.toLong)
+      .option("numPartitions", 2)
+      .option("startTimestamp", 0L)
+      .load())
+
+  /** The value→event mapping shared by [[rateEvents]] and its batch
+    * replay (one event per [[RateTickNs]]; id/user/type/value all pure
+    * functions of the tick — the synthetic-fixture injection rule).
+    */
+  def eventsFromValues(values: DataFrame): DataFrame =
+    values.select(
+      col("value").as("event_id"),
+      (col("value") * RateTickNs).as("ts"),
+      (col("value") % 7).as("user_id"),
+      element_at(array(lit("click"), lit("view"), lit("purchase")),
+        (col("value") % 3).cast("int") + 1).as("event_type"),
+      (col("value") % 5).cast("double").as("value"))
+
   /** Tumbling 1-hour stats per event type. Batch and streaming share
     * this; pass a watermark for streaming so state is bounded (late data
     * beyond it is dropped, windows finalize incrementally).

@@ -131,6 +131,31 @@ class AprioriSpec extends SparkSpecBase {
     assert(got.size == freq.length)
   }
 
+  test("level-wise driver budget: actives bounded by frequent items, " +
+    "monotone shrinking") {
+    // the ONLY driver-collected state in the level-wise loop is the
+    // active-item set; its documented budget is |frequent 1-items| at
+    // every level, shrinking with k (support monotonicity). Verify off
+    // the OUTPUT: level-k actives = distinct items of frequent
+    // k-itemsets, the exact value the loop collects for level k+1
+    val freqItems = Apriori.freqItems(spark, Sf).collect()
+      .map(_.getString(0)).toSet
+    val byLevel = Apriori.freqItemsetsLevelwise(spark, Sf).collect()
+      .map(_.getString(0).split(" ").toSeq)
+      .groupBy(_.length)
+      .map { case (k, sets) => k -> sets.flatten.toSet }
+    assert(byLevel.nonEmpty)
+    byLevel.foreach { case (k, actives) =>
+      assert(actives.subsetOf(freqItems),
+        s"level-$k actives exceed the frequent vocabulary") }
+    val ks = byLevel.keys.toSeq.sorted
+    ks.sliding(2).foreach {
+      case Seq(a, b) => assert(byLevel(b).subsetOf(byLevel(a)),
+        s"level-$b actives not ⊆ level-$a actives")
+      case _ => ()
+    }
+  }
+
   test("txorder keying splits one item SET by basket order; sorted merges") {
     // apriori_final.java:82-94 semantics: keys are joined in transaction
     // order, so ["b","a"] and ["a","b"] baskets count under DIFFERENT

@@ -910,4 +910,44 @@ class StreamingSpec extends SparkSpecBase {
       assert(math.abs(rows.map(_._2._3).sum - 1.0) < 1e-12, src)
     }
   }
+
+  test("rate-micro-batch source drives the shared transform end-to-end") {
+    // the source-agnostic seam (SURVEY §2.10): the SAME tumblingStats
+    // that MemoryStream/file tests and the DuckDB oracle exercise runs
+    // off spark's deterministic rate source. Event time is MONOTONE in
+    // the rate value, so a window finalized under append can never
+    // change with further input — the batch replay over ANY prefix at
+    // least as long as what the stream committed must contain every
+    // streamed row with identical counts.
+    val rowsPerBatch = 64
+    val q = Streams.tumblingStats(
+        Streams.rateEvents(spark, rowsPerBatch), Some("2 hours"))
+      .writeStream.format("memory").queryName("rate_seam_test")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(25))
+      .start()
+    val streamed =
+      try {
+        val deadline = System.nanoTime + 120L * 1000 * 1000 * 1000
+        while (spark.table("rate_seam_test").isEmpty
+            && System.nanoTime < deadline)
+          Thread.sleep(100)
+        spark.table("rate_seam_test").collect()
+          .map(r => (r.getTimestamp(0).getTime, r.getString(1),
+            r.getLong(2), r.getDouble(3))).toSet
+      } finally q.stop()
+    assert(streamed.nonEmpty, "no window finalized within the deadline")
+    // ingested prefix: committed input rows (+1 batch of slack for the
+    // commit-vs-progress race; over-length prefixes only ADD windows)
+    val n = q.recentProgress.map(_.numInputRows).sum + rowsPerBatch
+    val batch = Streams.tumblingStats(
+        Streams.eventsFromValues(
+          spark.range(n).select(org.apache.spark.sql.functions.col("id")
+            .as("value"))), None)
+      .collect()
+      .map(r => (r.getTimestamp(0).getTime, r.getString(1),
+        r.getLong(2), r.getDouble(3))).toSet
+    assert(streamed.subsetOf(batch),
+      s"streamed rows missing from the batch replay: ${streamed -- batch}")
+  }
 }
