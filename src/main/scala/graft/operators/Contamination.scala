@@ -341,14 +341,104 @@ object Contamination {
       cachedBloom(spark, dir))
   }
 
+  // ---- semantic (embedding-space) decontamination ----
+
+  /** Synthetic eval-benchmark size and the copy stride / flag cut for
+    * [[contamSemantic]]. Threshold 0.9 sits far above the fixture's
+    * max natural pair cosine (≈ 0.48) and far below a verbatim copy's
+    * 1.0 — the audit separates cleanly by construction.
+    */
+  val SemEvalN = 40
+  val SemCopyStride = 7L
+  val SemThreshold = 0.9
+
+  /** SEMANTIC decontamination — the embedding-space companion to the
+    * lexical n-gram overlap gates above (the check that catches a
+    * paraphrased or re-tokenized benchmark leak an exact-shingle match
+    * misses): for every eval item, its nearest train vector by cosine
+    * and the threshold flag. Eval benchmarks are bounded by
+    * construction, so the eval side BROADCASTS into one partition-
+    * parallel scan of the train corpus ([[Similarity]]'s brute-force
+    * kernel discipline — the train side never shuffles for scoring;
+    * only |eval|·|train-partition| scored rows enter the per-eval
+    * ranking window, and the rank-1 cut is WindowGroupLimit-prunable).
+    *
+    * Fixture eval set (injected, the PII-scrub synthetic rule): eval
+    * item i is a VERBATIM COPY of train vector i·[[SemCopyStride]] when
+    * i is even (a true leak → max_cos 1.0 at that train id) and the
+    * REVERSED train vector when i is odd (deterministically clean —
+    * reversal decorrelates, landing in the natural-pair cosine range).
+    * The oracle replays injection + exact ranking, so the kernel, the
+    * argmax tie-break (cos DESC, train id ASC) and the flag are all
+    * hash-verified. (eval_id, top_train_id, max_cos, contaminated).
+    */
+  def contamSemantic(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+    val eval = emb.where(col("vec_id") % SemCopyStride === 0
+        && col("vec_id") < SemEvalN * SemCopyStride)
+      .select((col("vec_id") / SemCopyStride).cast("long").as("eval_id"),
+        when((col("vec_id") / SemCopyStride).cast("long") % 2 === 0,
+          col("e")).otherwise(reverse(col("e"))).as("e"))
+    contamSemanticOf(emb, eval)
+  }
+
+  /** Any bounded eval (eval_id, e) against any train (vec_id, e). */
+  def contamSemanticOf(train: DataFrame, eval: DataFrame): DataFrame = {
+    val spark = train.sparkSession
+    val s = spark; import s.implicits._
+    val qs = eval.as[(Long, Array[Double])].collect().sortBy(_._1)
+    val bc = spark.sparkContext.broadcast(qs)
+    val scored = train.as[(Long, Array[Double])]
+      .mapPartitions { it =>
+        val q = bc.value
+        it.flatMap { case (tid, te) =>
+          q.iterator.map { case (qid, qe) =>
+            (qid, tid, Hashing.cosineSeq(qe, te))
+          }
+        }
+      }
+      .toDF("eval_id", "top_train_id", "max_cos")
+    scored
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("eval_id")
+          .orderBy(col("max_cos").desc, col("top_train_id"))))
+      .where(col("rk") === 1)
+      .select(col("eval_id"), col("top_train_id"), col("max_cos"),
+        (col("max_cos") >= SemThreshold).as("contaminated"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "llm_decontaminate" -> decontaminate,
     "llm_contam_sweep" -> contamSweep,
     "llm_contam_frac" -> contamFrac,
+    "llm_contam_semantic" -> contamSemantic,
     "llm_decontam_bloom" -> decontamBloom
   )
 
   val oracle: Map[String, String] = Map(
+    // injection replay: even eval ids are verbatim copies of train
+    // vector eval_id*stride, odd ids the reversed vector; then the
+    // exact cosine argmax with the same (cos DESC, id ASC) tie-break
+    "llm_contam_semantic" ->
+      s"""WITH ev AS (
+         |  SELECT (vec_id // $SemCopyStride)::BIGINT AS eval_id,
+         |    CASE WHEN (vec_id // $SemCopyStride) % 2 = 0 THEN embedding
+         |         ELSE list_reverse(embedding) END AS qe
+         |  FROM embeddings
+         |  WHERE vec_id % $SemCopyStride = 0
+         |    AND vec_id < ${SemEvalN * SemCopyStride}),
+         |s AS (
+         |  SELECT ev.eval_id, t.vec_id AS top_train_id,
+         |    ${Hashing.cosineSql("ev.qe", "t.embedding", 64)} AS max_cos
+         |  FROM ev, embeddings t),
+         |r AS (
+         |  SELECT *, row_number() OVER (PARTITION BY eval_id
+         |    ORDER BY max_cos DESC, top_train_id) AS rk
+         |  FROM s)
+         |SELECT eval_id, top_train_id, max_cos,
+         |  max_cos >= $SemThreshold AS contaminated
+         |FROM r WHERE rk = 1""".stripMargin,
     // three widths of the same audit; per width the eval set is the
     // distinct shingles of the mod-37 docs, hits one row per
     // (train doc, overlapping shingle)
