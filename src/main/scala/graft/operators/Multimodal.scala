@@ -240,6 +240,44 @@ object Multimodal {
         sum(col("energy")).as("sum_energy"))
   }
 
+  /** Active-frame energy cut for [[voiceActivity]] — sits between the
+    * fixture's full-frame energies (median ≈ 620k: 64 letter bytes at
+    * ~100² each) and its trailing partial frames, so ~12% of frames
+    * read as silence and the segmenter exercises both sides.
+    */
+  val VadThreshold = 400000L
+
+  /** Voice-activity segmentation over the [[audioEnergy]] frame stream
+    * — the silence-removal pass an audio ingestion pipeline runs before
+    * transcription/embedding (energy-gate VAD, the classic baseline):
+    * frames at or above [[VadThreshold]] are speech, maximal runs of
+    * consecutive active frames roll up to one segment row, silent
+    * frames appear nowhere. Complements [[sceneCuts]] (jump-based
+    * boundaries over ALL frames) with threshold-gated islands — the
+    * other standard segmentation primitive.
+    *
+    * Shape: the frame stream filters row-local, then one lag (gap test
+    * on frame indices) + one running sum + one rollup, all three
+    * PARTITIONED by doc_id and reusing a single partitioning — bounded
+    * by frames-per-media, never corpus-wide.
+    * (doc_id, seg_id, n_frames, start_frame, sum_energy).
+    */
+  def voiceActivity(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("frame_idx")
+    audioEnergy(spark, dir)
+      .where(col("energy") >= VadThreshold)
+      .withColumn("prev_idx", lag(col("frame_idx"), 1).over(w))
+      .withColumn("newseg", when(col("prev_idx").isNull
+          || col("prev_idx") =!= col("frame_idx") - 1, 1L).otherwise(0L))
+      .withColumn("seg_id", sum(col("newseg")).over(w.rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+      .groupBy("doc_id", "seg_id")
+      .agg(count(lit(1)).as("n_frames"),
+        min(col("frame_idx")).as("start_frame"),
+        sum(col("energy")).as("sum_energy"))
+  }
+
   /** Fixed-size resample width for [[resizeFeatures]]. */
   val ResizeTarget = 8
 
@@ -331,8 +369,74 @@ object Multimodal {
       (score > CaptionThreshold).as("aligned"))
   }
 
+  /** Retrieval-eval query-set size and the hit@k depth. */
+  val MmEvalQ = 25L
+  val MmEvalK = 5L
+
+  /** Cross-modal retrieval evaluation — the CLIP-style text→media
+    * recall check a multimodal curation loop reads before trusting
+    * [[captionScore]]'s alignment gate: for each of the first
+    * [[MmEvalQ]] documents, its pooled+quantized TEXT vector retrieves
+    * over ALL media vectors with the same int8 serving arithmetic, and
+    * the row reports where the document's OWN media landed (self_rank,
+    * hit@1, hit@[[MmEvalK]]). Identity is ground truth — the standard
+    * retrieval-eval protocol when text/media pairs come aligned.
+    *
+    * Scale shape: NO ranking window exists — a per-query rank over all
+    * media would serialize the corpus through one task per query (the
+    * WindowBoundSpec class), and only the SELF rank is wanted, so it is
+    * computed as a COUNT: self_rank = 1 + #media scoring strictly above
+    * the query's own pair (ties to the smaller media id). The bounded
+    * query set and the 25-row self-score table broadcast; the media
+    * table materializes once and is scanned once corpus-parallel with a
+    * map-side-combined aggregate. (doc_id, self_rank, hit1, hitk).
+    */
+  def retrievalEval(spark: SparkSession, dir: String): DataFrame = {
+    val n = ByteHistogramDecoder.NumFeatures
+    val mv0 = decodeFeatures(spark, dir).groupBy("doc_id")
+      .agg(transform(
+        sort_array(collect_list(struct(col("grp"), col("byte_sum")))),
+        s => s.getField("byte_sum").cast("double")).as("mv"))
+    val sm = Similarity.qScaleOf(col("mv"))
+    val m = graft.Materialize.Local(
+      mv0.select(col("doc_id").as("media_id"), sm.as("sm"),
+        transform(col("mv"), x =>
+          Similarity.qElemOf(x, sm).cast("double")).as("qm")))
+    val e = col("embedding").cast("array<double>")
+    val pooled = transform(sequence(lit(0), lit(n - 1)), g =>
+      aggregate(sequence(lit(0), lit(n - 1)), lit(0.0),
+        (acc, j) => acc + element_at(e, g + j * lit(n) + lit(1))))
+    val st = Similarity.qScaleOf(col("tv"))
+    val t = Tables(spark, dir, "embeddings")
+      .where(col("vec_id") < MmEvalQ)
+      .select(col("vec_id").as("query_id"), pooled.as("tv"))
+      .select(col("query_id"), st.as("st"),
+        transform(col("tv"), x =>
+          Similarity.qElemOf(x, st).cast("double")).as("qt"))
+    def score = graft.functions.DotProduct.dot(
+      spark, col("qt"), col("qm")) * col("st") * col("sm") / 16129.0
+    val selfS = m.where(col("media_id") < MmEvalQ)
+      .join(broadcast(t), col("query_id") === col("media_id"))
+      .select(col("query_id"), score.as("self_score"))
+    val out = m.crossJoin(broadcast(t))
+      .select(col("query_id"), col("media_id"), score.as("score"))
+      .join(broadcast(selfS), "query_id")
+      .groupBy("query_id")
+      .agg((sum(when(col("score") > col("self_score")
+          || (col("score") === col("self_score")
+            && col("media_id") < col("query_id")), 1L)
+        .otherwise(0L)) + 1L).as("self_rank"))
+      .select(col("query_id").as("doc_id"), col("self_rank"),
+        (col("self_rank") === 1).as("hit1"),
+        (col("self_rank") <= MmEvalK).as("hitk"))
+      .localCheckpoint()
+    graft.Materialize.release(m)
+    out
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "llm_mm_caption_score" -> captionScore,
+    "llm_mm_retrieval_eval" -> retrievalEval,
     "llm_mm_resize" -> resizeFeatures,
     "llm_mm_props_agg" -> propsAgg,
     "llm_mm_binary_meta" -> binaryMeta,
@@ -340,7 +444,8 @@ object Multimodal {
     "llm_mm_feature_dup" -> featureDup,
     "llm_mm_frame_sample" -> frameSample,
     "llm_mm_audio_energy" -> audioEnergy,
-    "llm_mm_scene_cuts" -> sceneCuts
+    "llm_mm_scene_cuts" -> sceneCuts,
+    "llm_mm_vad" -> voiceActivity
   )
 
   /** The two-modality pipeline replayed: decoder features (the
@@ -396,8 +501,77 @@ object Multimodal {
        |FROM q""".stripMargin
   }
 
+  /** Same two-modality CTE chain as [[captionScoreOracleSql]], scored
+    * CROSS (bounded query set × all media) with the self-rank count.
+    */
+  private lazy val retrievalEvalOracleSql: String = {
+    val n = ByteHistogramDecoder.NumFeatures
+    val dotSql =
+      s"""list_reduce(list_transform(range(1, ${n + 1}),
+         |    i -> qt[i] * qm[i]), (x, y) -> x + y)::DOUBLE
+         |    * st * sm / 16129.0""".stripMargin
+    s"""WITH f0 AS (
+       |  SELECT doc_id, (i - 1) % $n AS grp,
+       |    sum(ord(substr(text, i::INT, 1)))::BIGINT AS byte_sum
+       |  FROM documents,
+       |    (SELECT unnest(range(1, 2001)) AS i) ii
+       |  WHERE i <= len(text)
+       |  GROUP BY doc_id, (i - 1) % $n),
+       |mf AS (
+       |  SELECT d.doc_id AS media_id,
+       |    list(coalesce(f0.byte_sum, 0)::DOUBLE ORDER BY g.grp) AS mv
+       |  FROM (SELECT doc_id FROM documents) d
+       |  CROSS JOIN (SELECT unnest(range(0, $n)) AS grp) g
+       |  LEFT JOIN f0 ON f0.doc_id = d.doc_id AND f0.grp = g.grp
+       |  GROUP BY d.doc_id),
+       |mq AS (
+       |  SELECT media_id, mv,
+       |    list_max(list_transform(mv, x -> abs(x))) AS sm
+       |  FROM mf),
+       |m AS (
+       |  SELECT media_id, sm,
+       |    list_transform(mv, x -> CASE WHEN sm = 0 THEN 0::BIGINT
+       |      ELSE floor(x * 127.0 / sm + 0.5)::BIGINT END) AS qm
+       |  FROM mq),
+       |tf AS (
+       |  SELECT vec_id AS query_id,
+       |    list_transform(range(0, $n), g ->
+       |      list_reduce(
+       |        list_prepend(0.0::DOUBLE,
+       |          list_transform(range(0, $n),
+       |            j -> embedding[g + j * $n + 1]::DOUBLE)),
+       |        (a, b) -> a + b)) AS tv
+       |  FROM embeddings WHERE vec_id < $MmEvalQ),
+       |tq AS (
+       |  SELECT query_id, tv,
+       |    list_max(list_transform(tv, x -> abs(x))) AS st
+       |  FROM tf),
+       |t AS (
+       |  SELECT query_id, st,
+       |    list_transform(tv, x -> CASE WHEN st = 0 THEN 0::BIGINT
+       |      ELSE floor(x * 127.0 / st + 0.5)::BIGINT END) AS qt
+       |  FROM tq),
+       |sc AS (
+       |  SELECT t.query_id, m.media_id, $dotSql AS score
+       |  FROM t, m),
+       |sf AS (SELECT query_id, score AS self_score FROM sc
+       |       WHERE query_id = media_id),
+       |agg AS (
+       |  SELECT sc.query_id AS doc_id,
+       |    (sum(CASE WHEN sc.score > sf.self_score
+       |        OR (sc.score = sf.self_score
+       |          AND sc.media_id < sc.query_id)
+       |      THEN 1 ELSE 0 END) + 1)::BIGINT AS self_rank
+       |  FROM sc JOIN sf ON sf.query_id = sc.query_id
+       |  GROUP BY sc.query_id)
+       |SELECT doc_id, self_rank, self_rank = 1 AS hit1,
+       |  self_rank <= $MmEvalK AS hitk
+       |FROM agg""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
     "llm_mm_caption_score" -> captionScoreOracleSql,
+    "llm_mm_retrieval_eval" -> retrievalEvalOracleSql,
     "llm_mm_props_agg" ->
       """SELECT event_type, count(*) AS n_events,
         |  sum(json_extract_string(props, '$.k')::BIGINT)::BIGINT AS sum_k,
@@ -492,7 +666,30 @@ object Multimodal {
          |SELECT doc_id, scene_id, count(*)::BIGINT AS n_frames,
          |  min(frame_idx) AS start_frame,
          |  sum(energy)::BIGINT AS sum_energy
-         |FROM sg GROUP BY doc_id, scene_id""".stripMargin
+         |FROM sg GROUP BY doc_id, scene_id""".stripMargin,
+    // the frame stream replayed, active-gated, then gaps-and-islands
+    // segment numbering on the frame indices and the per-segment rollup
+    "llm_mm_vad" ->
+      s"""WITH fr AS ($audioEnergyOracleSql),
+         |ac AS (SELECT * FROM fr WHERE energy >= $VadThreshold),
+         |lg AS (
+         |  SELECT *, lag(frame_idx) OVER (PARTITION BY doc_id
+         |    ORDER BY frame_idx) AS prev_idx
+         |  FROM ac),
+         |ns AS (
+         |  SELECT *, CASE WHEN prev_idx IS NULL
+         |      OR prev_idx != frame_idx - 1
+         |    THEN 1 ELSE 0 END AS newseg
+         |  FROM lg),
+         |sg AS (
+         |  SELECT doc_id, frame_idx, energy,
+         |    sum(newseg) OVER (PARTITION BY doc_id ORDER BY frame_idx
+         |      ROWS UNBOUNDED PRECEDING)::BIGINT AS seg_id
+         |  FROM ns)
+         |SELECT doc_id, seg_id, count(*)::BIGINT AS n_frames,
+         |  min(frame_idx) AS start_frame,
+         |  sum(energy)::BIGINT AS sum_energy
+         |FROM sg GROUP BY doc_id, seg_id""".stripMargin
   )
 
   /** Shared by the `llm_mm_audio_energy` entry and the scene-cut

@@ -838,4 +838,73 @@ class CorpusOpsSpec extends SparkSpecBase {
       assert(geff == 1.0 / h, axis)
     }
   }
+
+  test("voiceActivity equals a sequential per-doc replay of the gate") {
+    import graft.operators.Multimodal
+    val frames = Multimodal.audioEnergy(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    val got = Multimodal.voiceActivity(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3),
+        r.getLong(4))).toSet
+    val want = frames.groupBy(_._1).flatMap { case (doc, fs) =>
+      val active = fs.filter(_._3 >= Multimodal.VadThreshold).sortBy(_._2)
+      var prevIdx = Option.empty[Int]
+      var seg = 0L
+      active.map { case (_, idx, e) =>
+        if (!prevIdx.contains(idx - 1)) seg += 1
+        prevIdx = Some(idx)
+        (doc, seg, idx, e)
+      }.groupBy(_._2).map { case (sid, rows) =>
+        (doc, sid, rows.length.toLong, rows.map(_._3).min,
+          rows.map(_._4).sum)
+      }
+    }.toSet
+    assert(got == want)
+    // fixture exercises BOTH sides of the gate: some frames silent,
+    // and no silent frame appears inside any emitted segment span count
+    assert(frames.exists(_._3 < Multimodal.VadThreshold))
+    assert(got.nonEmpty)
+  }
+
+  test("retrievalEval self-rank equals the sequential count-above-self") {
+    import graft.operators.Multimodal
+    val got = Multimodal.retrievalEval(spark, Sf).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getBoolean(2), r.getBoolean(3))).toMap
+    assert(got.size == Multimodal.MmEvalQ)
+    // sequential replay on the collected modality tables
+    val media = Multimodal.queries("llm_mm_decode_features")(spark, Sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getAs[Number](1).longValue,
+        r.getAs[Number](2).longValue))
+      .groupBy(_._1).map { case (id, rows) =>
+        id -> rows.sortBy(_._2).map(_._3.toDouble) }
+    val emb = Tables(spark, Sf, "embeddings")
+      .select(org.apache.spark.sql.functions.col("vec_id"),
+        org.apache.spark.sql.functions.col("embedding")
+          .cast("array<double>"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    val n = Multimodal.ByteHistogramDecoder.NumFeatures
+    def quant(v: Seq[Double]): (Seq[Double], Double) = {
+      val s = v.map(math.abs).max
+      (v.map(x => if (s == 0) 0.0
+        else math.floor(x * 127.0 / s + 0.5)), s)
+    }
+    def pool(e: Seq[Double]): Seq[Double] =
+      (0 until n).map(g =>
+        (0 until n).foldLeft(0.0)((a, j) => a + e(g + j * n)))
+    val mq = media.map { case (id, v) => id -> quant(v) }
+    got.keys.foreach { q =>
+      val (qt, st) = quant(pool(emb(q)))
+      def score(m: Long): Double = {
+        val (qm, sm) = mq(m)
+        qt.zip(qm).map { case (a, b) => a * b }.sum * st * sm / 16129.0
+      }
+      val self = score(q)
+      val want = 1L + mq.keys.count(m =>
+        score(m) > self || (score(m) == self && m < q))
+      assert(got(q) == ((want, want == 1L, want <= Multimodal.MmEvalK)),
+        s"query $q")
+    }
+  }
 }
