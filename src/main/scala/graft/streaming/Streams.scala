@@ -984,6 +984,48 @@ object Streams {
           .as("mean_n"))
   }
 
+  /** SCD2 (slowly-changing-dimension type 2) history build off the
+    * event stream — the warehouse pattern that turns a changelog into
+    * validity intervals: per user, consecutive events with the SAME
+    * event_type collapse into one row carrying [valid_from, valid_to)
+    * in event-time micros, the current status left open (NULL
+    * valid_to). The table a dimension join reads with a BETWEEN
+    * predicate instead of replaying the log.
+    *
+    * Determinism: events are ordered by (ts_us, event_id) — the fully
+    * keyed order every stream transform here pins — so change-point
+    * detection and interval boundaries are identical in both engines.
+    * Shape: one lag (change detection) + one running count (island id)
+    * + one rollup + one lead (interval close), ALL partitioned by
+    * user_id and reusing one partitioning; nothing event-scale crosses
+    * a global stage. (user_id, status, valid_from_us, valid_to_us,
+    * n_events).
+    */
+  def scd2(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts_us"), col("event_id"))
+    val ev = withEventTime(events)
+      .select(col("user_id"), col("event_id"), col("ts_us"),
+        col("event_type").as("status"))
+      .withColumn("prev", lag(col("status"), 1).over(w))
+      .withColumn("chg", when(col("prev").isNull
+          || col("prev") =!= col("status"), 1L).otherwise(0L))
+      .withColumn("isl", sum(col("chg")).over(
+        w.rowsBetween(Window.unboundedPreceding, 0)))
+    val spans = ev.groupBy("user_id", "isl")
+      .agg(min(col("ts_us")).as("valid_from_us"),
+        // status is constant within an island; min is the
+        // deterministic spelling (first() is order-dependent)
+        min(col("status")).as("status"),
+        count(lit(1)).as("n_events"))
+    val wSpan = Window.partitionBy("user_id").orderBy("isl")
+    spans
+      .withColumn("valid_to_us",
+        lead(col("valid_from_us"), 1).over(wSpan))
+      .select(col("user_id"), col("status"), col("valid_from_us"),
+        col("valid_to_us"), col("n_events"))
+  }
+
   /** Theil–Sen robust daily trend per event type: the median of all
     * pairwise slopes (count_j − count_i)/(day_j − day_i) over the
     * per-type daily event counts — the outlier-proof alternative to a
@@ -1359,6 +1401,8 @@ object Streams {
       ((s: SparkSession, d: String) => conversionLatency(events(s, d))),
     "stream_rate_anomaly" ->
       ((s: SparkSession, d: String) => rateAnomaly(events(s, d))),
+    "stream_scd2" ->
+      ((s: SparkSession, d: String) => scd2(events(s, d))),
     "stream_trend" ->
       ((s: SparkSession, d: String) => dailyTrend(events(s, d)))
   )
@@ -1834,6 +1878,35 @@ object Streams {
          |  > ${OutlierSigmaSq.toLong}::HUGEINT
          |    * (m.n_windows::HUGEINT * m.sum_n2::HUGEINT
          |      - m.sum_n::HUGEINT * m.sum_n::HUGEINT)""".stripMargin,
+    // the changelog→validity-interval build: fully keyed event order,
+    // change-point lag, island numbering, per-island rollup, lead close
+    "stream_scd2" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+        |    event_type AS status
+        |  FROM events),
+        |lg AS (
+        |  SELECT *, lag(status) OVER (PARTITION BY user_id
+        |    ORDER BY ts_us, event_id) AS prev
+        |  FROM ev),
+        |ch AS (
+        |  SELECT *, CASE WHEN prev IS NULL OR prev != status
+        |    THEN 1 ELSE 0 END AS chg
+        |  FROM lg),
+        |il AS (
+        |  SELECT *, sum(chg) OVER (PARTITION BY user_id
+        |    ORDER BY ts_us, event_id ROWS UNBOUNDED PRECEDING)::BIGINT
+        |    AS isl
+        |  FROM ch),
+        |sp AS (
+        |  SELECT user_id, isl, min(ts_us)::BIGINT AS valid_from_us,
+        |    min(status) AS status, count(*)::BIGINT AS n_events
+        |  FROM il GROUP BY 1, 2)
+        |SELECT user_id, status, valid_from_us,
+        |  lead(valid_from_us) OVER (PARTITION BY user_id ORDER BY isl)
+        |    AS valid_to_us,
+        |  n_events
+        |FROM sp""".stripMargin,
     "stream_trend" ->
       s"""WITH daily AS (
          |  SELECT event_type, epoch_us(ts) // $DayUs AS day,

@@ -950,4 +950,31 @@ class StreamingSpec extends SparkSpecBase {
     assert(streamed.subsetOf(batch),
       s"streamed rows missing from the batch replay: ${streamed -- batch}")
   }
+
+  test("scd2 collapses consecutive equal statuses into validity intervals") {
+    val s = spark; import s.implicits._
+    // user 1: a,a,b,a → three intervals; user 2: one open interval
+    val evs = Seq(
+      ev(1, 10 * MinNs, typ = "a"), ev(2, 20 * MinNs, typ = "a"),
+      ev(3, 30 * MinNs, typ = "b"), ev(4, 40 * MinNs, typ = "a"),
+      ev(5, 15 * MinNs, user = 2, typ = "c")).toDF()
+    val got = Streams.scd2(evs).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        Option(r.get(3)).map(_.asInstanceOf[Long]), r.getLong(4))).toSet
+    def us(m: Long) = m * MinNs / 1000
+    assert(got == Set(
+      (1L, "a", us(10), Some(us(30)), 2L),
+      (1L, "b", us(30), Some(us(40)), 1L),
+      (1L, "a", us(40), None, 1L),
+      (2L, "c", us(15), None, 1L)))
+    // intervals tile: every user's spans are contiguous and the last
+    // (and only the last) is open
+    got.groupBy(_._1).values.foreach { spans =>
+      val sorted = spans.toSeq.sortBy(_._3)
+      sorted.init.zip(sorted.tail).foreach { case (a, b) =>
+        assert(a._4.contains(b._3)) }
+      assert(sorted.last._4.isEmpty
+        && sorted.init.forall(_._4.nonEmpty))
+    }
+  }
 }
