@@ -1387,6 +1387,35 @@ object Curation {
       .select(col("lang"), col("source"), col("len_bucket"),
         col("n_docs"), (col("n_docs") < AnonK).as("at_risk"))
 
+  /** Minimum sensitive-value diversity for [[lDiversity]]. */
+  val AnonL = 3L
+
+  /** l-diversity audit — the companion [[kAnonymityOf]] needs before a
+    * release ships: a group can be k-anonymous (many members) yet leak
+    * its members' sensitive attribute when every member SHARES it, so
+    * each quasi-identifier group (source, length bucket) also reports
+    * how many DISTINCT sensitive values (here the author-community
+    * proxy `lang`) it contains; groups below [[AnonL]] distinct values
+    * are at risk (Machanavajjhala et al. '07). One map-side-combined
+    * aggregate with an exact count-distinct per group — the same scale
+    * shape as the k-anonymity rollup.
+    * (source, len_bucket, n_docs, l_distinct, at_risk).
+    */
+  def lDiversity(spark: SparkSession, dir: String): DataFrame =
+    lDiversityOf(Tables(spark, dir, "documents")
+      .select("lang", "source", "text"))
+
+  def lDiversityOf(corpus: DataFrame): DataFrame =
+    corpus
+      .select(col("lang"), col("source"),
+        expr(s"cast(size(split(text, ' ')) AS bigint)" +
+          s" DIV $AnonLenBucket * $AnonLenBucket").as("len_bucket"))
+      .groupBy("source", "len_bucket")
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("lang")).as("l_distinct"))
+      .select(col("source"), col("len_bucket"), col("n_docs"),
+        col("l_distinct"), (col("l_distinct") < AnonL).as("at_risk"))
+
   /** Sequence-length bucket boundaries (tokens) for [[padEfficiency]],
     * and the flat baseline everything pads to without bucketing.
     */
@@ -1497,6 +1526,7 @@ object Curation {
     "llm_pad_efficiency" -> padEfficiency,
     "llm_shuffle_assign" -> shuffleAssign,
     "llm_k_anonymity" -> kAnonymity,
+    "llm_l_diversity" -> lDiversity,
     "llm_curriculum" -> curriculum,
     "llm_pipeline_incremental" -> pipelineIncremental,
     "llm_pipeline_tokens" -> pipelineTokens,
@@ -1905,6 +1935,17 @@ GROUP BY split"""
   val oracle: Map[String, String] = Map(
     "llm_pad_efficiency" -> padOracleSql,
     "llm_shuffle_assign" -> shuffleOracleSql,
+    "llm_l_diversity" ->
+      s"""SELECT source, len_bucket, n_docs, l_distinct,
+         |  l_distinct < $AnonL AS at_risk
+         |FROM (
+         |  SELECT source,
+         |    len(string_split(text, ' '))::BIGINT
+         |      // $AnonLenBucket * $AnonLenBucket AS len_bucket,
+         |    count(*)::BIGINT AS n_docs,
+         |    count(DISTINCT lang)::BIGINT AS l_distinct
+         |  FROM documents
+         |  GROUP BY 1, 2)""".stripMargin,
     "llm_k_anonymity" ->
       s"""SELECT lang, source, len_bucket, n_docs,
          |  n_docs < $AnonK AS at_risk
