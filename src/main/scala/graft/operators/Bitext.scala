@@ -9,7 +9,8 @@ import graft.Tables
   * parallel-corpus miner a multilingual training pipeline runs over a
   * crawl: candidate translation pairs scored by the MARGIN criterion
   * (cosine normalized by both sides' local neighborhood density,
-  * Artetxe & Schwenk '19 — see PAPERS.md), which suppresses "hub"
+  * Artetxe & Schwenk, "Margin-based Parallel Corpus Mining with
+  * Multilingual Sentence Embeddings", ACL '19), which suppresses "hub"
   * vectors that are near everything and is the standard ratio behind
   * CCMatrix-style mined corpora. The reference engine has no analogue;
   * this extends its text modality with the ops inventory's
