@@ -564,6 +564,113 @@ object TextOps {
       .where(col("rk") === 1)
       .select(col("w1"), col("w2").as("next_word"), col("c_xy"), col("p"))
 
+  /** Report size and fixed-point scale for [[kneserNeyOf]]. */
+  val KnTopK = 200
+  val KnScale = 1000000000L
+
+  /** Interpolated Kneser–Ney smoothed bigram model (Kneser & Ney,
+    * "Improved backing-off for m-gram language modeling", ICASSP '95 —
+    * the smoothing every n-gram LM toolkit defaults to): for observed
+    * bigrams (v,w),
+    *
+    *   P(w|v) = (c(vw) − D)/c(v) + D·N₁₊(v·)/c(v) · N₁₊(·w)/Nt
+    *
+    * with absolute discount D = 3/4, N₁₊(v·)/N₁₊(·w) the distinct
+    * successor/predecessor type counts and Nt the total bigram type
+    * count (the continuation-probability denominator). The whole
+    * expression folds into ONE exact rational
+    *
+    *   P = [ (4·c(vw) − 3)·Nt + 3·N₁₊(v·)·N₁₊(·w) ] / [ 4·c(v)·Nt ]
+    *
+    * carried in DECIMAL(38,0) (c·Nt overflows BIGINT at corpus scale)
+    * and reported as the integer fixed point p_scaled =
+    * num·[[KnScale]] DIV den — bit-identical across engines (the
+    * PageRank integer-DIV discipline; c(vw) ≥ 1 for observed bigrams so
+    * the discount max(·,0) never clips). Top-[[KnTopK]] rows by count.
+    *
+    * Scale shape: one bigram-count aggregation, then the successor
+    * stats ride a single w1-partitioned window pair (count + sum share
+    * the exchange), the predecessor stats one w2-partitioned window,
+    * Nt a 1-row broadcast; the global top-k compiles to bounded
+    * per-partition heaps (TakeOrderedAndProject), never a corpus sort.
+    */
+  def kneserNey(spark: SparkSession, dir: String): DataFrame =
+    kneserNeyOf(corpus = docs(spark, dir))
+
+  def kneserNeyOf(corpus: DataFrame): DataFrame =
+    knModelOf(corpus)
+      .orderBy(col("c_xy").desc, col("w1"), col("w2"))
+      .limit(KnTopK)
+
+  /** The full observed-bigram KN model table — shared by the
+    * [[kneserNeyOf]] report and the [[knScoreOf]] document scorer.
+    */
+  private def knModelOf(corpus: DataFrame): DataFrame = {
+    val dec = "decimal(38,0)"
+    val nt = bigramCounts(corpus).agg(count(lit(1)).as("nt"))
+    bigramCounts(corpus)
+      .withColumn("c_x", sum(col("c_xy")).over(Window.partitionBy("w1")))
+      .withColumn("n1_fwd", count(lit(1)).over(Window.partitionBy("w1")))
+      .withColumn("n1_bwd", count(lit(1)).over(Window.partitionBy("w2")))
+      .crossJoin(broadcast(nt))
+      .select(col("w1"), col("w2"), col("c_xy"), col("c_x"),
+        col("n1_fwd"), col("n1_bwd"),
+        expr(s"""CAST(CAST((4*c_xy - 3) AS $dec) * CAST(nt AS $dec)
+                   + CAST(3*n1_fwd AS $dec) * CAST(n1_bwd AS $dec)
+                 AS $dec)""").as("num"),
+        expr(s"CAST(CAST(4*c_x AS $dec) * CAST(nt AS $dec) AS $dec)")
+          .as("den"))
+      .select(col("w1"), col("w2"), col("c_xy"), col("c_x"),
+        col("n1_fwd"), col("n1_bwd"),
+        expr(s"CAST(CAST(num * $KnScale AS $dec) DIV den AS BIGINT)")
+          .as("p_scaled"))
+  }
+
+  /** The KN model APPLIED as a document scorer — CCNet-style
+    * perplexity filtering with the SMOOTHED LM (the companion to
+    * [[lmScoreOf]]'s raw-MLE min-transition score): every document's
+    * word transitions look up their [[knModelOf]] fixed-point
+    * probability; the report carries the total transition count, the
+    * least likely transition with its arg-min pair (boilerplate-splice
+    * detector), and the multiplicity-weighted MEAN fixed-point
+    * probability (the perplexity proxy — summing the integer p_scaled
+    * values is order-independent where a mean-log-prob's double sum is
+    * not, so the mean is bit-stable under any partitioning).
+    *
+    * Scale shape: the doc side joins DISTINCT (doc, w1, w2) triples
+    * carrying their per-doc multiplicity — join volume bounded by
+    * distinct transitions, multiplicities re-weight AFTER the join; the
+    * model table is vocabulary²-bounded, equi-joined by key (AQE free
+    * to broadcast); per-doc reduction is one hash aggregate with the
+    * weighted sum in DECIMAL(38,0) (cnt·p_scaled can pass 2⁶³ for
+    * billion-token documents).
+    */
+  def knScore(spark: SparkSession, dir: String): DataFrame =
+    knScoreOf(docs(spark, dir))
+
+  def knScoreOf(corpus: DataFrame): DataFrame = {
+    val dec = "decimal(38,0)"
+    val model = knModelOf(corpus).select("w1", "w2", "p_scaled")
+    val docPairs = corpus.select(col("doc_id"), toks.as("t"))
+      .select(col("doc_id"),
+        slice(col("t"), lit(1), size(col("t")) - 1).as("a"),
+        slice(col("t"), lit(2), size(col("t")) - 1).as("b"))
+      .select(col("doc_id"),
+        explode(arrays_zip(col("a"), col("b"))).as("pr"))
+      .groupBy(col("doc_id"), col("pr.a").as("w1"), col("pr.b").as("w2"))
+      .agg(count(lit(1)).as("cnt"))
+    docPairs.join(model, Seq("w1", "w2"))
+      .groupBy("doc_id")
+      .agg(sum(col("cnt")).as("n_trans"),
+        min(struct(col("p_scaled"), col("w1"), col("w2"))).as("m"),
+        sum(col("cnt").cast(dec) * col("p_scaled").cast(dec)).as("sp"))
+      .select(col("doc_id"), col("n_trans"),
+        col("m.w1").as("min_w1"), col("m.w2").as("min_w2"),
+        col("m.p_scaled").as("min_p_scaled"),
+        (col("sp").cast("double") / col("n_trans").cast("double"))
+          .as("mean_p_scaled"))
+  }
+
   /** Count-LM surprise score per document: score each document's word
     * transitions against the corpus bigram model ([[bigramCounts]] with
     * per-w1 totals) and report the LEAST likely one — min P(w2|w1) with
@@ -1359,6 +1466,8 @@ object TextOps {
     "llm_lm_buckets" -> lmBuckets,
     "llm_collocations" -> collocations,
     "llm_bigram_next" -> bigramNext,
+    "llm_lm_kneser_ney" -> kneserNey,
+    "llm_lm_kn_score" -> knScore,
     "llm_source_stats" -> sourceStats,
     "llm_source_quality" -> sourceQuality,
     "llm_vocab_top" -> vocabTop,
@@ -1385,6 +1494,29 @@ object TextOps {
   )
 
   /** Shared by the `llm_lm_score` entry and `llm_lm_buckets`' oracle. */
+  /** The KN model CTE chain (ktok → kbi → kbc → knt → kst → kn),
+    * shared by the `llm_lm_kneser_ney` report and the `llm_lm_kn_score`
+    * scorer oracle. Plain (margin-free) lines so it interpolates into
+    * stripMargin templates untouched.
+    */
+  private val knModelSql: String =
+    s"""ktok AS (SELECT doc_id, string_split(text, ' ') AS t
+  FROM documents),
+kbi AS (SELECT t[i] AS w1, t[i + 1] AS w2
+  FROM (SELECT t, unnest(range(1, len(t))) AS i FROM ktok)),
+kbc AS (SELECT w1, w2, count(*) AS c_xy FROM kbi GROUP BY 1, 2),
+knt AS (SELECT count(*)::HUGEINT AS nt FROM kbc),
+kst AS (SELECT w1, w2, c_xy,
+    sum(c_xy) OVER (PARTITION BY w1)::BIGINT AS c_x,
+    count(*) OVER (PARTITION BY w1)::BIGINT AS n1_fwd,
+    count(*) OVER (PARTITION BY w2)::BIGINT AS n1_bwd
+  FROM kbc),
+kn AS (SELECT w1, w2, c_xy, c_x, n1_fwd, n1_bwd,
+    (((4*c_xy - 3)::HUGEINT * nt
+       + (3*n1_fwd)::HUGEINT * n1_bwd::HUGEINT) * $KnScale
+     // ((4*c_x)::HUGEINT * nt))::BIGINT AS p_scaled
+  FROM kst, knt)"""
+
   private val lmScoreSql: String =
     """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t
       |            FROM documents),
@@ -1901,6 +2033,31 @@ object TextOps {
          |JOIN u u2 ON bc.w2 = u2.w
          |CROSS JOIN m
          |ORDER BY lift DESC, w1, w2 LIMIT $TopCollocations""".stripMargin,
+    "llm_lm_kneser_ney" ->
+      s"""WITH $knModelSql
+         |SELECT * FROM kn
+         |ORDER BY c_xy DESC, w1, w2 LIMIT $KnTopK""".stripMargin,
+    "llm_lm_kn_score" ->
+      s"""WITH $knModelSql,
+         |dp AS (SELECT doc_id, t[i] AS w1, t[i + 1] AS w2,
+         |         count(*) AS cnt
+         |       FROM (SELECT doc_id, t, unnest(range(1, len(t))) AS i
+         |             FROM ktok) GROUP BY ALL),
+         |j AS (SELECT doc_id, dp.w1, dp.w2, cnt, p_scaled
+         |      FROM dp JOIN kn ON dp.w1 = kn.w1 AND dp.w2 = kn.w2)
+         |SELECT doc_id, n_trans, w1 AS min_w1, w2 AS min_w2,
+         |  p_scaled AS min_p_scaled, mean_p_scaled
+         |FROM (SELECT doc_id, w1, w2, p_scaled,
+         |        (sum(cnt) OVER (PARTITION BY doc_id))::BIGINT
+         |          AS n_trans,
+         |        (sum(cnt::HUGEINT * p_scaled::HUGEINT)
+         |           OVER (PARTITION BY doc_id))::DOUBLE
+         |          / (sum(cnt) OVER (PARTITION BY doc_id))::DOUBLE
+         |          AS mean_p_scaled,
+         |        row_number() OVER (PARTITION BY doc_id
+         |          ORDER BY p_scaled, w1, w2) AS rk
+         |      FROM j)
+         |WHERE rk = 1""".stripMargin,
     "llm_bigram_next" ->
       """WITH tok AS (SELECT string_split(text, ' ') AS t FROM documents),
         |bi AS (SELECT t[i] AS w1, t[i + 1] AS w2

@@ -369,6 +369,68 @@ class CorpusOpsSpec extends SparkSpecBase {
     assert(got.forall { case (_, _, _, p) => p > 0.0 && p <= 1.0 })
   }
 
+  test("kneserNey matches the brute-force exact-rational smoothing") {
+    val texts = Tables(spark, Sf, "documents")
+      .select("text").as[String].collect()
+    val bi = texts.flatMap(_.split(" ", -1).sliding(2).filter(_.length == 2))
+      .map(p => (p(0), p(1)))
+      .groupBy(identity).map { case (p, xs) => p -> xs.length.toLong }
+    val cx = bi.groupBy(_._1._1).map { case (v, m) => v -> m.values.sum }
+    val n1f = bi.groupBy(_._1._1).map { case (v, m) => v -> m.size.toLong }
+    val n1b = bi.groupBy(_._1._2).map { case (w, m) => w -> m.size.toLong }
+    val nt = bi.size.toLong
+    val want = bi.toSeq.map { case ((v, w), c) =>
+      val num = BigInt(4 * c - 3) * nt + BigInt(3 * n1f(v)) * n1b(w)
+      val den = BigInt(4 * cx(v)) * nt
+      (v, w, c, cx(v), n1f(v), n1b(w),
+        ((num * TextOps.KnScale) / den).toLong)
+    }.sortBy { case (v, w, c, _, _, _, _) => (-c, v, w) }
+      .take(TextOps.KnTopK)
+    val got = TextOps.kneserNey(spark, Sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))
+    assert(got.toSeq == want)
+    // a proper probability at the fixed point, never clipped to zero
+    // (observed bigrams have c ≥ 1 so the discount never exhausts them)
+    want.foreach { case (_, _, _, _, _, _, ps) =>
+      assert(ps > 0L && ps <= TextOps.KnScale)
+    }
+  }
+
+  test("knScore replays the per-doc weighted mean and arg-min exactly") {
+    val docsT = Tables(spark, Sf, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val bi = docsT.flatMap(_._2.split(" ", -1).sliding(2)
+        .filter(_.length == 2)).map(p => (p(0), p(1)))
+      .groupBy(identity).map { case (p, xs) => p -> xs.length.toLong }
+    val cx = bi.groupBy(_._1._1).map { case (v, m) => v -> m.values.sum }
+    val n1f = bi.groupBy(_._1._1).map { case (v, m) => v -> m.size.toLong }
+    val n1b = bi.groupBy(_._1._2).map { case (w, m) => w -> m.size.toLong }
+    val nt = bi.size.toLong
+    def ps(v: String, w: String, c: Long): Long =
+      ((BigInt(4 * c - 3) * nt + BigInt(3 * n1f(v)) * n1b(w))
+        * TextOps.KnScale / (BigInt(4 * cx(v)) * nt)).toLong
+    val want = docsT.flatMap { case (id, text) =>
+      val trans = text.split(" ", -1).sliding(2).filter(_.length == 2)
+        .map(p => (p(0), p(1))).toSeq
+      if (trans.isEmpty) None else {
+        val scored = trans.groupBy(identity)
+          .map { case ((v, w), xs) =>
+            (v, w, xs.size.toLong, ps(v, w, bi((v, w)))) }
+        val n = scored.map(_._3).sum
+        val mn = scored.map { case (v, w, _, p) => (p, v, w) }.min
+        val sp = scored.map { case (_, _, c, p) => BigInt(c) * p }.sum
+        Some((id, n, mn._2, mn._3, mn._1, sp.toDouble / n.toDouble))
+      }
+    }.sortBy(_._1).toSeq
+    val got = TextOps.knScore(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getString(3), r.getLong(4), r.getDouble(5)))
+      .sortBy(_._1).toSeq
+    assert(got == want)
+  }
+
   test("sourceStats matches brute-force per-source accounting") {
     val docs = Tables(spark, Sf, "documents")
       .select("source", "lang", "text")

@@ -215,4 +215,58 @@ class QualitySpec extends SparkSpecBase {
     assert(plan.contains("TakeOrderedAndProject")
       || plan.contains("WindowGroupLimit"), plan)
   }
+
+  test("aucOf matches the brute-force pair count, ties included") {
+    // synthetic scored set with deliberate pos/neg score ties and
+    // duplicate scores within a class — every branch of the ½-credit
+    // arithmetic — checked against the O(n²) definition
+    val s = spark; import s.implicits._
+    val rows = Seq(
+      (1.0, 0.9), (1.0, 0.7), (1.0, 0.5), (1.0, 0.5), (1.0, 0.2),
+      (0.0, 0.8), (0.0, 0.5), (0.0, 0.5), (0.0, 0.3), (0.0, 0.3),
+      (0.0, 0.1))
+    val pos = rows.filter(_._1 > 0.5).map(_._2)
+    val neg = rows.filter(_._1 < 0.5).map(_._2)
+    val num2 = (for { p <- pos; n <- neg } yield
+      if (p > n) 2L else if (p == n) 1L else 0L).sum
+    val got = Quality.aucOf(
+        rows.toDF("label", "score").repartition(5))
+      .collect().head
+    assert(got.getLong(0) == pos.length.toLong)
+    assert(got.getLong(1) == neg.length.toLong)
+    assert(got.getDecimal(2).longValueExact() == num2)
+    assert(got.getDouble(3) ==
+      num2.toDouble / (2.0 * pos.length * neg.length))
+  }
+
+  test("labelAgreement matches the scalar kappa definition") {
+    val g = Quality.labelAgreement(spark, Sf).collect().head
+    val (n, agree, ap, bp) =
+      (g.getLong(0), g.getLong(1), g.getLong(2), g.getLong(3))
+    assert(n > 0 && agree <= n && ap <= n && bp <= n)
+    val pe = BigInt(ap) * bp + BigInt(n - ap) * (n - bp)
+    val num = BigInt(n) * agree - pe
+    val den = BigInt(n) * n - pe
+    assert(BigInt(g.getDecimal(4).toBigInteger) == num)
+    assert(BigInt(g.getDecimal(5).toBigInteger) == den)
+    assert(g.getDouble(6) ==
+      num.toDouble / den.toDouble)
+    // κ must be chance-corrected: strictly below raw agreement in the
+    // imbalanced fixture regime, and a real number
+    assert(!g.getDouble(6).isNaN &&
+      g.getDouble(6) < agree.toDouble / n)
+  }
+
+  test("aucOf is partition-count and bucket-boundary independent") {
+    // ANY quantile split set must refine to the same exact pair count
+    val s = spark; import s.implicits._
+    val scored = Quality.qualityProbe(spark, Sf)
+      .select(col("label"), col("score"))
+    val a = Quality.aucOf(scored.repartition(3)).collect().head
+    val b = Quality.aucOf(scored.repartition(29)).collect().head
+    assert(a.getDecimal(2) == b.getDecimal(2) &&
+      a.getDouble(3) == b.getDouble(3))
+    assert(a.getDouble(3) > 0.5,
+      s"probe should rank better than chance, got ${a.getDouble(3)}")
+  }
 }

@@ -48,6 +48,7 @@ class WindowBoundSpec extends SparkSpecBase {
     "llm_pack_shards" -> 1,      // exclusiveOffsets deepest level (g2)
     "llm_pipeline_e2e" -> 1,     // exclusiveOffsets deepest level (g2)
     "llm_pipeline_tokens" -> 1,  // exclusiveOffsets deepest level (g2)
+    "llm_quality_auc" -> 1,      // ≤ AucBuckets-row bucket totals (b)
     "llm_quantile_sketch" -> 2,  // bucket histograms (b)
     "llm_sample_pps" -> 1,       // exclusiveOffsets deepest level (g2)
     "llm_shard_stats" -> 1,      // exclusiveOffsets deepest level (g2)
