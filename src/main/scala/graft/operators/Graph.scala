@@ -667,7 +667,101 @@ object Graph {
             .cast("double")).as("assortativity"))
   }
 
+  // ---- rank-1 ALS matrix factorization -------------------------------
+
+  /** ALS alternations (u-solve + v-solve per round). */
+  val AlsIters = 3
+
+  /** Report sizes for [[alsFactors]] / [[alsRecs]]. */
+  val AlsTopK = 20
+  val AlsRecK = 10
+
+  /** Customer×part purchase counts (c, p, r) — the implicit-feedback
+    * rating matrix behind [[alsFactors]]/[[alsRecs]].
+    */
+  private def ratings(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"))
+      .join(Tables(spark, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_partkey")),
+        col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("o_custkey").as("c"), col("l_partkey").as("p"))
+      .agg(count(lit(1)).as("r"))
+
+  /** Rank-1 alternating least squares over the purchase matrix — the
+    * model-based recommender family (Koren, Bell & Volinsky, "Matrix
+    * Factorization Techniques for Recommender Systems", IEEE Computer
+    * '09) next to [[itemRecs]]' neighborhood Jaccard: alternate the
+    * closed-form unregularized solves
+    *
+    *   u_c = Σ_{p∈obs(c)} r·v_p / Σ v_p²   and symmetrically v_p,
+    *
+    * which at rank 1 is power iteration on RᵀR restricted to observed
+    * cells — u·v converges to the dominant "taste axis". λ = 0 is safe
+    * here: every row/column of the fixture matrix is non-empty and
+    * v₀ = 1 keeps all factors strictly positive.
+    *
+    * Determinism (the [[Quality]] probe discipline): each solve's
+    * numerator/denominator are sums of per-row doubles CAST to
+    * DECIMAL(24,6) — exact, commutative, order-independent — and the
+    * factor is ONE double division of the two exact sums, so u/v are
+    * bit-identical across partitionings and engines; the oracle unrolls
+    * all [[AlsIters]] alternations as MATERIALIZED CTEs.
+    *
+    * Scale shape: the ratings table materializes once (localCheckpoint
+    * — one lineage cut for 2·iters consumers); each half-solve is one
+    * equi-join with a vocabulary-sized factor table (AQE free to
+    * broadcast it) + one map-side-combined aggregate; plan depth is
+    * linear in iterations off the checkpointed leaf. Both reports cut
+    * to top-k via bounded per-partition heaps, never a global sort.
+    */
+  private def alsModel(spark: SparkSession, dir: String)
+      : (DataFrame, DataFrame, DataFrame) = {
+    val dec = "decimal(24,6)"
+    val rt = Materialize.Local(ratings(spark, dir))
+    var v = rt.select(col("p")).distinct().withColumn("v", lit(1.0))
+    var u: DataFrame = null
+    for (_ <- 1 to AlsIters) {
+      u = rt.join(v, "p").groupBy("c").agg(
+        (sum((col("r") * col("v")).cast(dec)).cast("double")
+          / sum((col("v") * col("v")).cast(dec)).cast("double")).as("u"))
+      v = rt.join(u, "c").groupBy("p").agg(
+        (sum((col("r") * col("u")).cast(dec)).cast("double")
+          / sum((col("u") * col("u")).cast(dec)).cast("double")).as("v"))
+    }
+    (rt, u, v)
+  }
+
+  /** The dominant taste axis: top-[[AlsTopK]] parts by final factor. */
+  def alsFactors(spark: SparkSession, dir: String): DataFrame = {
+    val (rt, _, v) = alsModel(spark, dir)
+    v.join(rt.groupBy("p").agg(count(lit(1)).as("n_raters")), "p")
+      .select(col("p").as("p_key"), col("v"), col("n_raters"))
+      .orderBy(col("v").desc, col("p_key"))
+      .limit(AlsTopK)
+  }
+
+  /** The served artifact: top-[[AlsRecK]] UNPURCHASED parts for the
+    * canonical customer (most distinct parts bought, ties → smallest
+    * key), ranked by the model score u·v.
+    */
+  def alsRecs(spark: SparkSession, dir: String): DataFrame = {
+    val (rt, u, v) = alsModel(spark, dir)
+    val canon = rt.groupBy("c").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("c")).limit(1)
+      .join(u, "c").select(col("c").as("cc"), col("u"))
+    val purchased = rt.select(col("c").as("cc"), col("p"))
+    v.crossJoin(broadcast(canon))
+      .join(purchased, Seq("cc", "p"), "left_anti")
+      .select(col("cc").as("c_key"), col("p").as("p_key"), col("v"),
+        (col("u") * col("v")).as("pred"))
+      .orderBy(col("pred").desc, col("p_key"))
+      .limit(AlsRecK)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "graph_als_factors" -> alsFactors,
+    "graph_als_recs" -> alsRecs,
     "graph_degrees" -> degrees,
     "graph_triangles" -> triangles,
     "graph_pagerank" -> pagerank,
@@ -707,7 +801,49 @@ object Graph {
        |  JOIN $prev r ON r.node = s.src
        |  GROUP BY s.dst""".stripMargin
 
+  /** The ALS alternations unrolled (rt → v0 → u1 → v1 → … → v[iters]),
+    * mirroring [[alsModel]]'s DECIMAL(24,6)-sum / double-divide
+    * spelling exactly.
+    */
+  private val alsCte: String = {
+    val rounds = (1 to AlsIters).map { i =>
+      s"""u$i AS MATERIALIZED (
+         |  SELECT c, CAST(SUM(CAST(r*v AS DECIMAL(24,6))) AS DOUBLE)
+         |    / CAST(SUM(CAST(v*v AS DECIMAL(24,6))) AS DOUBLE) AS u
+         |  FROM rt JOIN v${i - 1} USING (p) GROUP BY c),
+         |v$i AS MATERIALIZED (
+         |  SELECT p, CAST(SUM(CAST(r*u AS DECIMAL(24,6))) AS DOUBLE)
+         |    / CAST(SUM(CAST(u*u AS DECIMAL(24,6))) AS DOUBLE) AS v
+         |  FROM rt JOIN u$i USING (c) GROUP BY p)""".stripMargin
+    }.mkString(",\n")
+    s"""rt AS MATERIALIZED (
+       |  SELECT o_custkey AS c, l_partkey AS p, count(*)::BIGINT AS r
+       |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+       |  GROUP BY 1, 2),
+       |v0 AS (SELECT DISTINCT p, 1.0e0 AS v FROM rt),
+       |$rounds""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
+    "graph_als_factors" ->
+      s"""WITH $alsCte
+         |SELECT p AS p_key, v, n_raters
+         |FROM v$AlsIters
+         |JOIN (SELECT p, count(*)::BIGINT AS n_raters FROM rt
+         |      GROUP BY p) USING (p)
+         |ORDER BY v DESC, p_key LIMIT $AlsTopK""".stripMargin,
+    "graph_als_recs" ->
+      s"""WITH $alsCte,
+         |cn AS (SELECT c FROM (SELECT c, count(*) AS n FROM rt
+         |                      GROUP BY c)
+         |       ORDER BY n DESC, c LIMIT 1),
+         |cu AS (SELECT cn.c AS cc, u FROM cn
+         |       JOIN u$AlsIters ON u$AlsIters.c = cn.c)
+         |SELECT cc AS c_key, p AS p_key, v, u*v AS pred
+         |FROM v$AlsIters CROSS JOIN cu
+         |WHERE NOT EXISTS (SELECT 1 FROM rt
+         |                  WHERE rt.c = cu.cc AND rt.p = v$AlsIters.p)
+         |ORDER BY pred DESC, p_key LIMIT $AlsRecK""".stripMargin,
     "graph_degrees" ->
       s"""WITH $graphCte
          |SELECT d AS degree, count(*)::BIGINT AS n_nodes

@@ -308,6 +308,55 @@ class GraphSpec extends SparkSpecBase {
     assert(hist == Map(2L -> 1L, 3L -> 1L), s"$hist")
   }
 
+  test("rank-1 ALS replays the quantized alternations exactly") {
+    import java.math.{BigDecimal => JBD, RoundingMode}
+    def q6(x: Double): JBD =
+      new JBD(x).setScale(6, RoundingMode.HALF_UP)
+    val rt = Tables(spark, Sf, "orders")
+      .select(col("o_orderkey"), col("o_custkey"))
+      .join(Tables(spark, Sf, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey")),
+        col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("o_custkey"), col("l_partkey")).count()
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    var v = rt.map(_._2).distinct.map(_ -> 1.0).toMap
+    var u = Map.empty[Long, Double]
+    (1 to Graph.AlsIters).foreach { _ =>
+      u = rt.groupBy(_._1).map { case (c, xs) =>
+        val num = xs.map { case (_, p, r) => q6(r * v(p)) }
+          .reduce(_.add(_))
+        val den = xs.map { case (_, p, _) => q6(v(p) * v(p)) }
+          .reduce(_.add(_))
+        c -> num.doubleValue() / den.doubleValue()
+      }
+      v = rt.groupBy(_._2).map { case (p, xs) =>
+        val num = xs.map { case (c, _, r) => q6(r * u(c)) }
+          .reduce(_.add(_))
+        val den = xs.map { case (c, _, _) => q6(u(c) * u(c)) }
+          .reduce(_.add(_))
+        p -> num.doubleValue() / den.doubleValue()
+      }
+    }
+    val raters = rt.groupBy(_._2).map { case (p, xs) => p -> xs.size.toLong }
+    val wantF = v.toSeq.map { case (p, f) => (p, f, raters(p)) }
+      .sortBy { case (p, f, _) => (-f, p) }.take(Graph.AlsTopK)
+    val gotF = Graph.alsFactors(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSeq
+    assert(gotF == wantF)
+    // recs: canonical customer, unpurchased only, u·v ranking
+    val cstar = rt.groupBy(_._1).map { case (c, xs) => (c, xs.size) }
+      .toSeq.minBy { case (c, n) => (-n, c) }._1
+    val owned = rt.filter(_._1 == cstar).map(_._2).toSet
+    val wantR = v.toSeq.filterNot { case (p, _) => owned(p) }
+      .map { case (p, f) => (cstar, p, f, u(cstar) * f) }
+      .sortBy { case (_, p, _, s) => (-s, p) }.take(Graph.AlsRecK)
+    val gotR = Graph.alsRecs(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3))).toSeq
+    assert(gotR == wantR)
+    assert(wantR.forall { case (_, _, f, s) => f > 0.0 && s > 0.0 })
+  }
+
   test("edge derivation is basket-local: no lineitem self-join") {
     // edgesOf directly: the cached `edges` entry point is a checkpoint
     // leaf, which would make this assertion vacuous
