@@ -1416,6 +1416,65 @@ object Curation {
       .select(col("source"), col("len_bucket"), col("n_docs"),
         col("l_distinct"), (col("l_distinct") < AnonL).as("at_risk"))
 
+  /** t-closeness threshold (total-variation distance). */
+  val AnonT = 0.5
+
+  /** t-closeness audit — the third rung of the release-governance
+    * ladder ([[kAnonymityOf]] → [[lDiversityOf]] → this; Li, Li &
+    * Venkatasubramanian, ICDE '07): a group can be populous AND
+    * diverse yet still leak when its sensitive-value DISTRIBUTION
+    * diverges from the corpus baseline (e.g. a source whose documents
+    * are 90% one language in a 30% corpus narrows the posterior).
+    * For a categorical sensitive attribute the EMD of the t-closeness
+    * definition with uniform ground distance IS the total-variation
+    * distance, which is one exact rational per group:
+    *
+    *   t(g) = ½ Σ_v |p_g(v) − p(v)| = Σ_v |c_gv·n − c_v·n_g| / (2·n_g·n)
+    *
+    * carried in DECIMAL(38,0) (the count cross-products pass 2⁶³ at
+    * corpus scale); the double `t_dist` is one deterministic
+    * cast+divide, flagged at t > [[AnonT]].
+    *
+    * Scale shape: value domain per group materializes as the BOUNDED
+    * groups×languages cross join (both sides aggregates over
+    * catalog-sized domains) left-joined to the observed group-value
+    * counts — absent values contribute their full baseline mass, which
+    * the inner-join spelling would silently drop; corpus touched once
+    * for each of the two count tables, everything after is
+    * dimension-sized.
+    */
+  def tCloseness(spark: SparkSession, dir: String): DataFrame =
+    tClosenessOf(Tables(spark, dir, "documents")
+      .select("lang", "source", "text"))
+
+  def tClosenessOf(corpus: DataFrame): DataFrame = {
+    val dec = "decimal(38,0)"
+    val b = corpus.select(col("lang"), col("source"),
+      expr(s"cast(size(split(text, ' ')) AS bigint)" +
+        s" DIV $AnonLenBucket * $AnonLenBucket").as("len_bucket"))
+    val gv = b.groupBy("source", "len_bucket", "lang")
+      .agg(count(lit(1)).as("c_gv"))
+    val g = b.groupBy("source", "len_bucket")
+      .agg(count(lit(1)).as("n_g"))
+    val v = b.groupBy("lang").agg(count(lit(1)).as("c_v"))
+    val n = b.agg(count(lit(1)).as("n"))
+    g.crossJoin(broadcast(v)).crossJoin(broadcast(n))
+      .join(gv, Seq("source", "len_bucket", "lang"), "left")
+      .select(col("source"), col("len_bucket"), col("n_g"), col("n"),
+        abs(coalesce(col("c_gv"), lit(0L)).cast(dec) * col("n").cast(dec)
+          - col("c_v").cast(dec) * col("n_g").cast(dec)).as("term"))
+      .groupBy("source", "len_bucket")
+      .agg(first(col("n_g")).as("n_docs"),
+        sum(col("term")).cast(dec).as("tv_num"),
+        (lit(2L).cast(dec) * first(col("n_g")).cast(dec)
+          * first(col("n")).cast(dec)).cast(dec).as("tv_den"))
+      .select(col("source"), col("len_bucket"), col("n_docs"),
+        col("tv_num"), col("tv_den"),
+        (col("tv_num").cast("double") / col("tv_den").cast("double"))
+          .as("t_dist"))
+      .withColumn("at_risk", col("t_dist") > AnonT)
+  }
+
   /** Sequence-length bucket boundaries (tokens) for [[padEfficiency]],
     * and the flat baseline everything pads to without bucketing.
     */
@@ -1527,6 +1586,7 @@ object Curation {
     "llm_shuffle_assign" -> shuffleAssign,
     "llm_k_anonymity" -> kAnonymity,
     "llm_l_diversity" -> lDiversity,
+    "llm_t_closeness" -> tCloseness,
     "llm_curriculum" -> curriculum,
     "llm_pipeline_incremental" -> pipelineIncremental,
     "llm_pipeline_tokens" -> pipelineTokens,
@@ -1946,6 +2006,35 @@ GROUP BY split"""
          |    count(DISTINCT lang)::BIGINT AS l_distinct
          |  FROM documents
          |  GROUP BY 1, 2)""".stripMargin,
+    "llm_t_closeness" ->
+      s"""WITH b AS (
+         |  SELECT lang, source,
+         |    len(string_split(text, ' '))::BIGINT
+         |      // $AnonLenBucket * $AnonLenBucket AS len_bucket
+         |  FROM documents),
+         |gv AS (SELECT source, len_bucket, lang, count(*)::BIGINT AS c_gv
+         |       FROM b GROUP BY 1, 2, 3),
+         |g AS (SELECT source, len_bucket, count(*)::BIGINT AS n_g
+         |      FROM b GROUP BY 1, 2),
+         |v AS (SELECT lang, count(*)::BIGINT AS c_v FROM b GROUP BY 1),
+         |nn AS (SELECT count(*)::BIGINT AS n FROM b),
+         |t AS (
+         |  SELECT g.source, g.len_bucket, g.n_g, nn.n,
+         |    abs(coalesce(gv.c_gv, 0)::HUGEINT * nn.n
+         |        - v.c_v::HUGEINT * g.n_g) AS term
+         |  FROM g CROSS JOIN v CROSS JOIN nn
+         |  LEFT JOIN gv ON gv.source = g.source
+         |    AND gv.len_bucket = g.len_bucket AND gv.lang = v.lang)
+         |SELECT source, len_bucket, n_docs, tv_num, tv_den,
+         |  tv_num::DOUBLE / tv_den::DOUBLE AS t_dist,
+         |  tv_num::DOUBLE / tv_den::DOUBLE > $AnonT AS at_risk
+         |FROM (
+         |  SELECT source, len_bucket,
+         |    any_value(n_g)::BIGINT AS n_docs,
+         |    CAST(sum(term) AS DECIMAL(38,0)) AS tv_num,
+         |    CAST(2::HUGEINT * any_value(n_g) * any_value(n)
+         |      AS DECIMAL(38,0)) AS tv_den
+         |  FROM t GROUP BY 1, 2)""".stripMargin,
     "llm_k_anonymity" ->
       s"""SELECT lang, source, len_bucket, n_docs,
          |  n_docs < $AnonK AS at_risk

@@ -136,9 +136,72 @@ SELECT n::BIGINT AS n, coalesce(n_match, 0)::BIGINT AS n_match,
   coalesce(n_match, 0)::DOUBLE / ref_total::DOUBLE AS recall
 FROM tot LEFT JOIN mt USING (n)"""
 
+  /** Character cap for [[evalEditDistance]] — Levenshtein is O(a·b)
+    * per pair, so production eval scoring bounds the operand length
+    * (the burst-cap discipline); 200 chars keeps the row-local cost
+    * constant whatever the document length.
+    */
+  val EditCap = 200
+
+  /** Edit-distance histogram buckets (normalized distance deciles). */
+  val EditBuckets = 10
+
+  /** Character-level eval metric beside the n-gram table: per-pair
+    * Levenshtein distance on the first [[EditCap]] chars, normalized by
+    * the longer operand, bucketed into [[EditBuckets]] deciles —
+    * (bucket, n_docs, sum_lev). The corpus-level view of how FAR model
+    * outputs drift from references, robust to tokenization (the chrF
+    * family's motivation) where n-gram overlap is not. Row-local
+    * integer distances + one bounded groupBy; the double normalization
+    * is one divide per row with a both-empty guard (bucket 0).
+    */
+  def evalEditDistance(spark: SparkSession, dir: String): DataFrame =
+    evalEditDistanceOf(hypRef(docs(spark, dir)))
+
+  def evalEditDistanceOf(pairs: DataFrame): DataFrame = {
+    val hs = substring(array_join(col("h"), " "), 1, EditCap)
+    val rs = substring(array_join(col("r"), " "), 1, EditCap)
+    val lev = levenshtein(hs, rs)
+    val mx = greatest(length(hs), length(rs))
+    val norm = when(mx === 0, lit(0.0))
+      .otherwise(lev.cast("double") / mx.cast("double"))
+    pairs
+      .select(lev.cast("long").as("lev"),
+        least(lit(EditBuckets.toLong - 1),
+          floor(norm * EditBuckets).cast("long")).as("bucket"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_docs"), sum(col("lev")).as("sum_lev"))
+  }
+
+  private def editOracleSql: String =
+    s"""WITH tok AS (
+  SELECT doc_id, string_split(text, ' ') AS r FROM documents),
+hr AS (
+  SELECT doc_id,
+    substr(array_to_string(list_select(r,
+      list_filter(range(1, len(r) + 1), i -> i % $DropEvery != 0)),
+      ' '), 1, $EditCap) AS hs,
+    substr(array_to_string(r, ' '), 1, $EditCap) AS rs
+  FROM tok),
+d AS (
+  SELECT levenshtein(hs, rs)::BIGINT AS lev,
+    greatest(len(hs), len(rs)) AS mx
+  FROM hr)
+SELECT bucket, count(*)::BIGINT AS n_docs, sum(lev)::BIGINT AS sum_lev
+FROM (
+  SELECT lev,
+    least(${EditBuckets - 1},
+      floor((CASE WHEN mx = 0 THEN 0.0e0
+             ELSE lev::DOUBLE / mx::DOUBLE END) * $EditBuckets)::BIGINT)
+      AS bucket
+  FROM d)
+GROUP BY bucket"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "llm_eval_ngram_overlap" -> evalNgramOverlap)
+    "llm_eval_ngram_overlap" -> evalNgramOverlap,
+    "llm_eval_edit_distance" -> evalEditDistance)
 
   val oracle: Map[String, String] = Map(
-    "llm_eval_ngram_overlap" -> overlapOracleSql)
+    "llm_eval_ngram_overlap" -> overlapOracleSql,
+    "llm_eval_edit_distance" -> editOracleSql)
 }

@@ -556,6 +556,37 @@ class CurationSpec extends SparkSpecBase {
     assert(rows.exists(_._5) && rows.exists(!_._5))
   }
 
+  test("t-closeness replays the exact total-variation rational") {
+    val base = Tables(spark, Sf, "documents")
+      .select("lang", "source", "text").collect()
+      .map(r => (r.getString(0), r.getString(1),
+        r.getString(2).split(" ", -1).length.toLong
+          / Curation.AnonLenBucket * Curation.AnonLenBucket))
+    val n = base.length.toLong
+    val cv = base.groupBy(_._1).map { case (l, xs) => l -> xs.size.toLong }
+    val want = base.groupBy(b => (b._2, b._3)).map { case ((src, lb), xs) =>
+      val ng = xs.size.toLong
+      val cgv = xs.groupBy(_._1).map { case (l, ys) => l -> ys.size.toLong }
+      val num = cv.map { case (l, c) =>
+        (BigInt(cgv.getOrElse(l, 0L)) * n - BigInt(c) * ng).abs }.sum
+      val den = BigInt(2) * ng * n
+      (src, lb, ng, num, den, num.toDouble / den.toDouble)
+    }.toSet
+    val got = Curation.tCloseness(spark, Sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        BigInt(r.getDecimal(3).toBigInteger),
+        BigInt(r.getDecimal(4).toBigInteger), r.getDouble(5)))
+      .toSet
+    assert(got == want)
+    // t is a proper TV distance and the fixture exercises both flags
+    val flags = Curation.tCloseness(spark, Sf).collect()
+      .map(r => (r.getDouble(5), r.getBoolean(6)))
+    flags.foreach { case (t, risk) =>
+      assert(t >= 0.0 && t <= 1.0 && risk == (t > Curation.AnonT))
+    }
+    assert(flags.exists(_._2) && flags.exists(!_._2))
+  }
+
   test("pad efficiency: bucketed beats flat, accounting closes") {
     val rows = Curation.padEfficiency(spark, Sf).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2),

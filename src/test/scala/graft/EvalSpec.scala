@@ -54,6 +54,43 @@ class EvalSpec extends SparkSpecBase {
     }
   }
 
+  test("evalEditDistance replays capped Levenshtein bucketing exactly") {
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0 }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val texts = Tables(spark, Sf, "documents")
+      .select("text").limit(40).collect().map(_.getString(0))
+    val s = spark; import s.implicits._
+    val pairs = texts.zipWithIndex.map { case (t, i) =>
+      val r = t.split(" ", -1)
+      val h = r.zipWithIndex
+        .filter { case (_, k) => (k + 1) % Eval.DropEvery != 0 }.map(_._1)
+      (i.toLong, h, r)
+    }.toSeq
+    val want = pairs.map { case (_, h, r) =>
+      val hs = h.mkString(" ").take(Eval.EditCap)
+      val rs = r.mkString(" ").take(Eval.EditCap)
+      val l = lev(hs, rs)
+      val mx = math.max(hs.length, rs.length)
+      val norm = if (mx == 0) 0.0 else l.toDouble / mx
+      val bucket = math.min(Eval.EditBuckets - 1L,
+        math.floor(norm * Eval.EditBuckets).toLong)
+      (bucket, l.toLong)
+    }.groupBy(_._1).map { case (b, xs) =>
+      (b, xs.size.toLong, xs.map(_._2).sum) }.toSet
+    val got = Eval.evalEditDistanceOf(pairs.toDF("doc_id", "h", "r"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    assert(got == want)
+    // deletions must register: not everything lands in bucket 0
+    assert(got.exists { case (b, _, _) => b > 0 })
+  }
+
   test("pair seam accepts an arbitrary (hyp, ref) table, ties exact") {
     val s = spark; import s.implicits._
     // identical pair → every precision/recall exactly 1.0; disjoint
