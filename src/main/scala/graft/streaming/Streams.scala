@@ -121,6 +121,45 @@ object Streams {
         col("n_events"), col("sum_value"))
   }
 
+  /** Static enrichment dimension for [[enrichedStats]]: user → nation
+    * name off the customer/nation catalog tables — the slowly-changing
+    * reference data a deployment loads beside the stream.
+    */
+  def userNation(spark: SparkSession, dir: String): DataFrame =
+    graft.Tables(spark, dir, "customer")
+      .select(col("c_custkey").as("user_id"), col("c_nationkey"))
+      .join(graft.Tables(spark, dir, "nation")
+          .select(col("n_nationkey"), col("n_name").as("nation")),
+        col("c_nationkey") === col("n_nationkey"))
+      .select("user_id", "nation")
+
+  /** Stream-STATIC enrichment — the canonical Structured Streaming
+    * deployment shape this suite was missing: every micro-batch joins
+    * the unbounded stream against a bounded dimension table read as a
+    * plain batch DataFrame (user → nation here), then aggregates per
+    * tumbling hour per nation. Stream-static inner joins are stateless
+    * by construction (no join state, no second watermark — the static
+    * side is re-read per micro-batch, which is also what picks up a
+    * refreshed dim file), so the only streaming state is the windowed
+    * aggregation's, exactly as in [[tumblingStats]].
+    *
+    * Scale shape: the dim is catalog-sized → broadcast hash join (no
+    * shuffle of the stream for the join); one map-side-combined
+    * windowed aggregate after it. Batch and streaming run the
+    * identical plan body; the oracle checks the batch form, the
+    * streaming spec pins batch == stream on the finalized windows.
+    */
+  def enrichedStats(events: DataFrame, dim: DataFrame,
+      watermark: Option[String] = None): DataFrame = {
+    val e = withEventTime(events)
+    val w = watermark.fold(e)(e.withWatermark("ts_ts", _))
+    w.join(broadcast(dim), "user_id")
+      .groupBy(window(col("ts_ts"), "1 hour"), col("nation"))
+      .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("sum_value"))
+      .select(col("window.start").as("win_start"), col("nation"),
+        col("n_events"), col("sum_value"))
+  }
+
   /** How many event types the per-window leaderboard keeps. */
   val TopKTypes = 3
 
@@ -1352,6 +1391,9 @@ object Streams {
       ((s: SparkSession, d: String) => distinctUsers(events(s, d))),
     "stream_tumbling_stats" ->
       ((s: SparkSession, d: String) => tumblingStats(events(s, d))),
+    "stream_enrich" ->
+      ((s: SparkSession, d: String) =>
+        enrichedStats(events(s, d), userNation(s, d))),
     "stream_topk_types" ->
       ((s: SparkSession, d: String) => topkTypes(events(s, d))),
     "stream_funnel" ->
@@ -1529,6 +1571,14 @@ object Streams {
         |  count(*) AS n_events,
         |  CAST(SUM(CAST(value AS DECIMAL(24,6))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2""".stripMargin,
+    "stream_enrich" ->
+      """SELECT time_bucket(INTERVAL 1 HOUR, ts) AS win_start,
+        |  n_name AS nation, count(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(24,6))) AS DOUBLE) AS sum_value
+        |FROM events
+        |JOIN customer ON user_id = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY 1, 2""".stripMargin,
     "stream_funnel" ->
       """WITH v AS (
         |  SELECT user_id, min(epoch_us(ts)) AS t_view FROM events

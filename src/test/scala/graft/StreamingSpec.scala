@@ -52,6 +52,47 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("stream-static enrichment joins the dim per micro-batch, " +
+    "matches batch") {
+    val s = spark; import s.implicits._
+    implicit val ctx = spark.sqlContext
+    val dim = Seq((1L, "GERMANY"), (2L, "FRANCE"), (3L, "GERMANY"))
+      .toDF("user_id", "nation")
+    val mem = MemoryStream[Ev]
+    val q = Streams.enrichedStats(mem.toDF(), dim, Some("2 hours"))
+      .writeStream.format("memory").queryName("enrich_test")
+      .outputMode("append").start()
+    try {
+      val wave1 = Seq(
+        ev(1, 10 * MinNs, user = 1), ev(2, 20 * MinNs, user = 2),
+        ev(3, 30 * MinNs, user = 3, v = 2.5),
+        ev(4, HourNs + 5 * MinNs, user = 1),
+        ev(5, HourNs + 6 * MinNs, user = 9)) // user 9 NOT in the dim
+      mem.addData(wave1: _*)
+      q.processAllAvailable()
+      mem.addData(ev(6, 10 * HourNs, user = 1))
+      q.processAllAvailable()
+      mem.addData(ev(7, 11 * HourNs, user = 1))
+      q.processAllAvailable()
+      val streamed = spark.table("enrich_test").collect()
+        .map(r => (r.getTimestamp(0).getTime, r.getString(1),
+          r.getLong(2), r.getDouble(3))).toSet
+      val batch = Streams.enrichedStats(wave1.toDF(), dim, None)
+        .collect()
+        .map(r => (r.getTimestamp(0).getTime, r.getString(1),
+          r.getLong(2), r.getDouble(3))).toSet
+      assert(batch.subsetOf(streamed),
+        s"finalized windows missing: ${batch -- streamed}")
+      // inner stream-static join: the unmatched user never surfaces,
+      // and same-nation users aggregate together (hour 0 GERMANY = 2)
+      assert(!streamed.exists(_._2 == null))
+      assert(streamed.exists { case (_, n, c, _) => n == "GERMANY" && c == 2L })
+      // stateless join: only the windowed agg holds state
+      assert(q.lastProgress == null ||
+        q.lastProgress.stateOperators.length == 1)
+    } finally q.stop()
+  }
+
   test("windowed HLL registers run incrementally and match the batch " +
     "truncation spelling") {
     val s = spark; import s.implicits._
