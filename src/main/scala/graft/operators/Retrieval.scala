@@ -280,7 +280,60 @@ object Retrieval {
       .where(col("rk") <= PrfTerms)
   }
 
+  /** Phrase-query count and docs returned per phrase. */
+  val PhraseCount = 5
+  val PhraseTopK = 5
+
+  /** Exact phrase retrieval over a POSITIONAL index — the inverted-
+    * index capability BM25's bag-of-words scoring cannot express
+    * (Manning et al., IIR ch. 2: positional postings are the standard
+    * production index for phrase and proximity queries). Phrase
+    * queries are self-derived like the BM25 query terms: the
+    * [[PhraseCount]] most frequent adjacent bigrams (ties on the
+    * words). A document matches where word1 sits at position i and
+    * word2 at i+1; phrase_tf counts the occurrences, and each phrase
+    * returns its [[PhraseTopK]] docs by (phrase_tf desc, doc_id).
+    *
+    * Scale shape: the positional table explodes once; the phrase list
+    * is a bounded TakeOrdered broadcast, so the first-word postings
+    * filter through a broadcast join; the adjacency test is a pure
+    * 3-key equi-join — (doc, pos+1, w2) against (doc, pos, word) —
+    * hash-partitioned, never a per-doc array product; the per-phrase
+    * rank is WindowGroupLimit-eligible (rk ≤ k cut).
+    */
+  def phrasePostings(spark: SparkSession, dir: String): DataFrame =
+    phrasePostingsOf(docs(spark, dir))
+
+  def phrasePostingsOf(corpus: DataFrame): DataFrame = {
+    val pos = corpus.select(col("doc_id"),
+      posexplode(split(col("text"), " ")).as(Seq("pos", "word")))
+    // adjacent-bigram counts straight off the positional table: the
+    // same 3-key equi-join shape the phrase match uses below
+    val bi = pos.as("x").join(pos.as("y"),
+        col("x.doc_id") === col("y.doc_id")
+          && col("y.pos") === col("x.pos") + 1)
+      .groupBy(col("x.word").as("w1"), col("y.word").as("w2"))
+      .agg(count(lit(1)).as("c_xy"))
+      .orderBy(col("c_xy").desc, col("w1"), col("w2"))
+      .limit(PhraseCount)
+      .select("w1", "w2")
+    val a = broadcast(bi).join(pos, col("w1") === col("word"))
+      .select(col("w1"), col("w2"), col("doc_id"),
+        (col("pos") + 1).as("next_pos"))
+    val m = a.join(pos.as("b"),
+        a("doc_id") === col("b.doc_id")
+          && col("next_pos") === col("b.pos")
+          && a("w2") === col("b.word"))
+      .groupBy(col("w1"), col("w2"), a("doc_id").as("doc_id"))
+      .agg(count(lit(1)).as("phrase_tf"))
+    m.withColumn("rk", row_number().over(
+        Window.partitionBy("w1", "w2")
+          .orderBy(col("phrase_tf").desc, col("doc_id"))).cast("long"))
+      .where(col("rk") <= PhraseTopK)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "llm_phrase_postings" -> phrasePostings,
     "llm_postings" -> postings,
     "llm_bm25_topk" -> bm25TopK,
     "llm_ql_topk" -> qlTopK,
@@ -366,6 +419,33 @@ object Retrieval {
   }
 
   val oracle: Map[String, String] = Map(
+    "llm_phrase_postings" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         |pos AS (
+         |  SELECT doc_id, t[i] AS word, i - 1 AS pos
+         |  FROM (SELECT doc_id, t, unnest(range(1, len(t) + 1)) AS i
+         |        FROM tok)),
+         |ph AS (
+         |  SELECT w1, w2 FROM (
+         |    SELECT a.word AS w1, b.word AS w2, count(*) AS c_xy
+         |    FROM pos a JOIN pos b
+         |      ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+         |    GROUP BY 1, 2)
+         |  ORDER BY c_xy DESC, w1, w2 LIMIT $PhraseCount),
+         |m AS (
+         |  SELECT ph.w1, ph.w2, a.doc_id, count(*)::BIGINT AS phrase_tf
+         |  FROM ph
+         |  JOIN pos a ON a.word = ph.w1
+         |  JOIN pos b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+         |    AND b.word = ph.w2
+         |  GROUP BY 1, 2, 3)
+         |SELECT w1, w2, doc_id, phrase_tf, rk FROM (
+         |  SELECT w1, w2, doc_id, phrase_tf,
+         |    row_number() OVER (PARTITION BY w1, w2
+         |      ORDER BY phrase_tf DESC, doc_id)::BIGINT AS rk
+         |  FROM m)
+         |WHERE rk <= $PhraseTopK""".stripMargin,
     "llm_postings" ->
       s"""WITH $tfCte
          |SELECT word, df, cf, doc_id AS top_doc_id, tf AS top_tf

@@ -167,6 +167,40 @@ class RetrievalSpec extends SparkSpecBase {
     assert(got == expect, s"PRF replay mismatch:\n$got\nvs\n$expect")
   }
 
+  test("phrase postings: adjacency replay incl. overlapping repeats") {
+    val s = spark; import s.implicits._
+    // controlled corpus: overlapping self-phrase "x x x" has tf 2, and
+    // the (a b) phrase dominates by count across docs
+    val docsC = Seq(
+      (0L, "a b a b c"), (1L, "a b c a b"), (2L, "x x x a b"),
+      (3L, "c c a b"), (4L, "b a b a"))
+      .toDF("doc_id", "text")
+    val rows = Retrieval.phrasePostingsOf(docsC).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    // brute force over the same corpus
+    val texts = Seq((0L, "a b a b c"), (1L, "a b c a b"),
+      (2L, "x x x a b"), (3L, "c c a b"), (4L, "b a b a"))
+    val allBi = texts.flatMap { case (d, t) =>
+      t.split(" ").sliding(2).filter(_.length == 2)
+        .map(p => (d, p(0), p(1))).toSeq
+    }
+    val top = allBi.groupBy { case (_, a, b) => (a, b) }
+      .map { case (k, xs) => k -> xs.size.toLong }
+      .toSeq.sortBy { case ((a, b), c) => (-c, a, b) }
+      .take(Retrieval.PhraseCount).map(_._1)
+    val expect = top.flatMap { case (a, b) =>
+      allBi.filter(x => x._2 == a && x._3 == b)
+        .groupBy(_._1).map { case (d, xs) => (a, b, d, xs.size.toLong) }
+        .toSeq.sortBy { case (_, _, d, tf) => (-tf, d) }
+        .take(Retrieval.PhraseTopK).zipWithIndex
+        .map { case ((w1, w2, d, tf), i) => (w1, w2, d, tf, (i + 1).toLong) }
+    }.toSet
+    assert(rows.toSet == expect)
+    // the overlapping repeat counts both occurrences
+    assert(allBi.count(x => x._2 == "x" && x._3 == "x") == 2)
+  }
+
   test("plan: query terms and corpus stats ride broadcast joins") {
     val plan = Retrieval.bm25TopK(spark, Sf)
       .queryExecution.executedPlan.toString
