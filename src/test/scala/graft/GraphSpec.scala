@@ -355,6 +355,12 @@ class GraphSpec extends SparkSpecBase {
         r.getDouble(3))).toSeq
     assert(gotR == wantR)
     assert(wantR.forall { case (_, _, f, s) => f > 0.0 && s > 0.0 })
+    // plan: both reports cut to top-k via bounded per-partition heaps
+    Seq(Graph.alsFactors(spark, Sf), Graph.alsRecs(spark, Sf)).foreach {
+      df =>
+        val plan = df.queryExecution.executedPlan.toString
+        assert(plan.contains("TakeOrderedAndProject"), plan)
+    }
   }
 
   test("edge derivation is basket-local: no lineitem self-join") {

@@ -199,6 +199,12 @@ class RetrievalSpec extends SparkSpecBase {
     assert(rows.toSet == expect)
     // the overlapping repeat counts both occurrences
     assert(allBi.count(x => x._2 == "x" && x._3 == "x") == 2)
+    // plan: the rank cut prunes map-side (WindowGroupLimit), and the
+    // bounded phrase list broadcasts into the postings filter
+    val plan = Retrieval.phrasePostings(spark, Sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), plan)
+    assert(plan.contains("BroadcastHashJoin"), plan)
   }
 
   test("plan: query terms and corpus stats ride broadcast joins") {
