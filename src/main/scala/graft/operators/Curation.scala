@@ -128,6 +128,31 @@ object Curation {
   private[operators] def splitFromU(u: Column): Column =
     when(u < TrainFrac, "train").when(u < ValCut, "val").otherwise("test")
 
+  /** GROUP-aware leakage-safe split — the hole the per-document
+    * [[splitAssignOf]] leaves open: when near-duplicate documents land
+    * on opposite sides of a train/test split, the eval set leaks
+    * (paraphrase-level memorization reads as generalization — the same
+    * failure benchmark decontamination guards against, arising INSIDE
+    * the corpus). Fix: the split uniform hashes a GROUP key — the
+    * near-dup component id from [[Dedup.clusters]] for clustered
+    * documents, the doc_id itself otherwise — so every member of a
+    * near-dup cluster lands on the same side by construction. Because
+    * singleton group keys equal the doc_id and the salt is unchanged,
+    * un-clustered documents keep EXACTLY their `llm_split` assignment
+    * (spec-pinned): adopting the grouped split only moves documents
+    * that were leaking.
+    *
+    * Scale shape: the component table rides the session dedup index
+    * cache; one left equi-join on doc_id, then the row-local salted
+    * hash — the split stays a pure function of (doc_id → group).
+    */
+  def splitGrouped(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir).select(col("doc_id"))
+      .join(Dedup.clusters(spark, dir), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster_id"), col("doc_id")).as("group_key"))
+      .withColumn("split", splitFromU(splitU(col("group_key"))))
+
   // ---- language mixing weights ----
 
   /** Additive-smoothing constant for [[mixWeights]] (in tokens). */
@@ -1606,6 +1631,7 @@ object Curation {
     "llm_curate_diverse" -> curateDiverse,
     "llm_quality_eval" -> qualityEval,
     "llm_split" -> splitAssign,
+    "llm_split_grouped" -> splitGrouped,
     "llm_upsert" -> upsert,
     "llm_diff" -> snapshotDiff,
     "llm_bpe_drift" -> bpeDrift,
@@ -2212,6 +2238,21 @@ GROUP BY split"""
     // to (one ulp above the literal 0.95) so both engines threshold u
     // on identical bits
     "llm_split" -> splitOracleSql,
+    "llm_split_grouped" ->
+      s"""WITH cl AS (${Dedup.oracle("llm_dedup_clusters")})
+         |SELECT doc_id, group_key,
+         |  CASE WHEN u < $TrainFrac THEN 'train'
+         |       WHEN u < $ValCut THEN 'val'
+         |       ELSE 'test' END AS split
+         |FROM (
+         |  SELECT doc_id, group_key,
+         |    ${graft.functions.Md5Uniform
+        .sql(s"'$SplitSalt' || group_key::VARCHAR")} AS u
+         |  FROM (
+         |    SELECT d.doc_id,
+         |      coalesce(cl.cluster_id, d.doc_id) AS group_key
+         |    FROM documents d LEFT JOIN cl ON d.doc_id = cl.doc_id))"""
+        .stripMargin,
     "llm_diff" ->
       s"""WITH old AS (SELECT doc_id, md5(text) AS h_old FROM documents),
          |changed AS (SELECT doc_id,

@@ -516,6 +516,48 @@ object Similarity {
         (graft.functions.StableSum.dsum(col("v"))
           / count(lit(1)).cast("double")).as("centroid"))
 
+  /** Embedding-space drift monitor — the vector-side companion to the
+    * scalar drift dashboards ([[graft.operators.Sketch]]'s KS drift,
+    * Curation's quality drift): per DIMENSION, the mean of the current
+    * snapshot versus the baseline snapshot and their difference — the
+    * profile that catches an upstream embedder change, re-normalization,
+    * or population shift that cosine top-k silently absorbs. Snapshots
+    * are the deterministic vec_id-parity halves (the corpus-refresh
+    * proxy the fixture supports); a real deployment feeds two epochs
+    * through the same seam.
+    *
+    * Determinism: per-dim means use the same DECIMAL-stable recipe as
+    * [[embCentroidsOf]] (floor(v·10¹²) exact in doubles → DECIMAL(38,0)
+    * sums → one IEEE division), and the diff is one subtraction of two
+    * such doubles — hash-stable under any partitioning. Both snapshots
+    * aggregate in ONE pass (conditional sums), so the corpus scans
+    * once; output is `dims` rows.
+    */
+  def embDrift(spark: SparkSession, dir: String): DataFrame =
+    embDriftOf(Tables(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding")))
+
+  def embDriftOf(vectors: DataFrame): DataFrame = {
+    import graft.functions.StableSum.dsum
+    val snapA = col("vec_id") % 2 === 0
+    vectors
+      .select(col("vec_id"),
+        posexplode(col("embedding").cast("array<double>"))
+          .as(Seq("dim", "v")))
+      .select(col("vec_id"), col("dim").cast("long").as("dim"), col("v"))
+      .groupBy("dim")
+      .agg(
+        sum(when(snapA, 1L).otherwise(0L)).as("n_a"),
+        sum(when(!snapA, 1L).otherwise(0L)).as("n_b"),
+        (dsum(when(snapA, col("v")))
+          / sum(when(snapA, 1L).otherwise(0L)).cast("double"))
+          .as("mean_a"),
+        (dsum(when(!snapA, col("v")))
+          / sum(when(!snapA, 1L).otherwise(0L)).cast("double"))
+          .as("mean_b"))
+      .withColumn("diff", col("mean_a") - col("mean_b"))
+  }
+
   /** Symmetric int8 quantization of the embedding column — the 4×
     * storage/bandwidth shrink step before an embedding corpus ships to
     * an ANN index. Per vector: scale = max |v_i|, q_i = ⌊v_i·127/scale
@@ -1273,6 +1315,7 @@ object Similarity {
     "llm_sim_int8_topk" -> int8TopK,
     "llm_emb_quantize" -> embQuantize,
     "llm_emb_centroids" -> embCentroids,
+    "llm_embed_drift" -> embDrift,
     "llm_sim_topk" -> bruteForceTopK,
     "llm_sim_hard_negatives" -> hardNegatives,
     "llm_classify" -> classify,
@@ -1768,6 +1811,31 @@ object Similarity {
         |    unnest(list_transform(range(1, len(embedding) + 1),
         |      i -> {'i': i, 'v': embedding[i]})) AS u
         |  FROM embeddings)""".stripMargin,
+    "llm_embed_drift" ->
+      s"""SELECT dim,
+        |  sum(CASE WHEN snap_a THEN 1 ELSE 0 END)::BIGINT AS n_a,
+        |  sum(CASE WHEN snap_a THEN 0 ELSE 1 END)::BIGINT AS n_b,
+        |  ${graft.functions.StableSum
+        .dsumSql("CASE WHEN snap_a THEN v END")}
+        |    / sum(CASE WHEN snap_a THEN 1 ELSE 0 END)::DOUBLE AS mean_a,
+        |  ${graft.functions.StableSum
+        .dsumSql("CASE WHEN NOT snap_a THEN v END")}
+        |    / sum(CASE WHEN snap_a THEN 0 ELSE 1 END)::DOUBLE AS mean_b,
+        |  ${graft.functions.StableSum
+        .dsumSql("CASE WHEN snap_a THEN v END")}
+        |    / sum(CASE WHEN snap_a THEN 1 ELSE 0 END)::DOUBLE
+        |  - ${graft.functions.StableSum
+        .dsumSql("CASE WHEN NOT snap_a THEN v END")}
+        |    / sum(CASE WHEN snap_a THEN 0 ELSE 1 END)::DOUBLE AS diff
+        |FROM (
+        |  SELECT vec_id % 2 = 0 AS snap_a, u.i - 1 AS dim,
+        |    u.v::DOUBLE AS v
+        |  FROM (
+        |    SELECT vec_id,
+        |      unnest(list_transform(range(1, len(embedding) + 1),
+        |        i -> {'i': i, 'v': embedding[i]})) AS u
+        |    FROM embeddings))
+        |GROUP BY dim""".stripMargin,
     "llm_emb_centroids" ->
       s"""SELECT label, u.i - 1 AS dim, count(*)::BIGINT AS n,
         |  ${graft.functions.StableSum.dsumSql("u.v::DOUBLE")}

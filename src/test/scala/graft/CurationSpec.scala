@@ -556,6 +556,35 @@ class CurationSpec extends SparkSpecBase {
     assert(rows.exists(_._5) && rows.exists(!_._5))
   }
 
+  test("grouped split: clusters never straddle; singletons keep llm_split") {
+    val g = Curation.splitGrouped(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    val base = Curation.splitAssign(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getString(2))).toMap
+    val clustered = operators.Dedup.clusters(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val inCluster = clustered.map(_._1).toSet
+    assert(g.length == base.size)
+    // every near-dup cluster lands wholly on one side
+    val byGroup = g.filter(x => inCluster(x._1)).groupBy(_._2)
+    assert(byGroup.nonEmpty)
+    byGroup.foreach { case (gk, xs) =>
+      assert(xs.map(_._3).distinct.length == 1,
+        s"cluster $gk straddles splits: $xs")
+    }
+    // singleton docs keep exactly their per-doc split
+    g.filterNot(x => inCluster(x._1)).foreach { case (id, gk, sp) =>
+      assert(gk == id && sp == base(id))
+    }
+    // the mechanism engages: non-representative members really do hash
+    // the GROUP key (gk != id), and their split equals the split of a
+    // doc with doc_id == gk (the representative's per-doc assignment) —
+    // the exact rule, whether or not any doc changes sides at this SF
+    val movedKey = g.filter { case (id, gk, _) => gk != id }
+    assert(movedKey.nonEmpty)
+    movedKey.foreach { case (_, gk, sp) => assert(sp == base(gk)) }
+  }
+
   test("t-closeness replays the exact total-variation rational") {
     val base = Tables(spark, Sf, "documents")
       .select("lang", "source", "text").collect()

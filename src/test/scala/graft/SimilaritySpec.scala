@@ -496,4 +496,33 @@ class SimilaritySpec extends SparkSpecBase {
         .toSet
     assert(run(embDf.repartition(7)) == run(embDf.repartition(2)))
   }
+
+  test("embDrift replays the parity-split DECIMAL-stable means") {
+    val vecs = Tables(spark, Sf, "embeddings")
+      .selectExpr("vec_id", "cast(embedding as array<double>) e")
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    val dims = vecs.head._2.length
+    def dmean(xs: Seq[Double]): Double = {
+      val s = xs.map(v => BigInt(math.floor(v * 1e12).toLong)).sum
+      s.toDouble / 1e12 / xs.size
+    }
+    val want = (0 until dims).map { d =>
+      val a = vecs.filter(_._1 % 2 == 0).map(_._2(d)).toSeq
+      val b = vecs.filter(_._1 % 2 != 0).map(_._2(d)).toSeq
+      (d.toLong, a.size.toLong, b.size.toLong,
+        dmean(a), dmean(b), dmean(a) - dmean(b))
+    }.toSet
+    val got = Similarity.embDrift(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5))).toSet
+    assert(got == want)
+    // partition independence — the dsum contract
+    val g2 = Similarity.embDriftOf(
+        Tables(spark, Sf, "embeddings")
+          .select("vec_id", "embedding").repartition(13))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5))).toSet
+    assert(g2 == want)
+  }
 }
