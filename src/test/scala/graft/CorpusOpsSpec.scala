@@ -397,6 +397,30 @@ class CorpusOpsSpec extends SparkSpecBase {
     }
   }
 
+  test("kneserNey conditional mass: Σ_w P(w|v) ≤ 1 per context") {
+    // the discounted + continuation-interpolated masses of a context's
+    // OBSERVED successors must not exceed 1 (the remainder is the
+    // unseen-successor reserve); floor rounding only helps
+    val texts = Tables(spark, Sf, "documents")
+      .select("text").as[String].collect()
+    val bi = texts.flatMap(_.split(" ", -1).sliding(2).filter(_.length == 2))
+      .map(p => (p(0), p(1)))
+      .groupBy(identity).map { case (p, xs) => p -> xs.length.toLong }
+    val cx = bi.groupBy(_._1._1).map { case (v, m) => v -> m.values.sum }
+    val n1f = bi.groupBy(_._1._1).map { case (v, m) => v -> m.size.toLong }
+    val n1b = bi.groupBy(_._1._2).map { case (w, m) => w -> m.size.toLong }
+    val nt = bi.size.toLong
+    val mass = bi.toSeq.map { case ((v, w), c) =>
+      v -> ((BigInt(4 * c - 3) * nt + BigInt(3 * n1f(v)) * n1b(w))
+        * TextOps.KnScale / (BigInt(4 * cx(v)) * nt))
+    }.groupBy(_._1).map { case (v, xs) => v -> xs.map(_._2).sum }
+    assert(mass.nonEmpty)
+    mass.foreach { case (v, m) =>
+      assert(m <= BigInt(TextOps.KnScale),
+        s"context '$v' over-allocates: $m")
+    }
+  }
+
   test("knScore replays the per-doc weighted mean and arg-min exactly") {
     val docsT = Tables(spark, Sf, "documents")
       .select("doc_id", "text").collect()

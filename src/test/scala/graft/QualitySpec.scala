@@ -257,6 +257,23 @@ class QualitySpec extends SparkSpecBase {
       g.getDouble(6) < agree.toDouble / n)
   }
 
+  test("aucOf label-flip symmetry: auc + auc_flipped == 1 exactly") {
+    // with midrank tie credit, flipping every label complements the
+    // pair count: num2 + num2_flipped == 2·n_pos·n_neg — an exact
+    // integer identity the DECIMAL arithmetic must preserve
+    val scored = Quality.qualityProbe(spark, Sf)
+      .select(col("label"), col("score"))
+    val a = Quality.aucOf(scored).collect().head
+    val b = Quality.aucOf(
+      scored.select((lit(1.0) - col("label")).as("label"), col("score")))
+      .collect().head
+    val num2 = BigInt(a.getDecimal(2).toBigInteger)
+    val num2f = BigInt(b.getDecimal(2).toBigInteger)
+    assert(num2 + num2f ==
+      BigInt(2) * a.getLong(0) * a.getLong(1))
+    assert(a.getLong(0) == b.getLong(1) && a.getLong(1) == b.getLong(0))
+  }
+
   test("aucOf is partition-count and bucket-boundary independent") {
     // ANY quantile split set must refine to the same exact pair count
     val s = spark; import s.implicits._
