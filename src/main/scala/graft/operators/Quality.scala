@@ -408,6 +408,61 @@ FROM (
   FROM cl JOIN sc USING (doc_id))
 WHERE rn = 1"""
 
+  /** Preference-pair mining — the reward-model / DPO dataset builder
+    * grown from pieces this pipeline already trusts: near-duplicate
+    * clusters ([[Dedup.clusters]]) give sets of documents with the
+    * SAME underlying content, and the trained probe's score ranks them
+    * by quality — so (best member, other member) pairs are preference
+    * judgments "same content, better execution", the construction
+    * preference-data curation applies to crawl duplicates. One row per
+    * non-representative member: (cluster_id, chosen_doc_id,
+    * rejected_doc_id, chosen_score, rejected_score, margin), STRICT
+    * preferences only (score ties are uninformative and depend on the
+    * doc_id tiebreak, so they are filtered — spec-pinned).
+    *
+    * Scale shape: the cluster membership and probe scores ride their
+    * session caches; one cluster-partitioned rank window feeds both
+    * the chosen row (rn = 1) and the rejected rows (rn > 1) off the
+    * same exchange, re-joined on cluster_id — cluster-sized build
+    * side, never a corpus product.
+    */
+  def prefPairs(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sc = qualityProbe(spark, dir).select(col("doc_id"), col("score"))
+    val ranked = Dedup.clusters(spark, dir).join(sc, "doc_id")
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("cluster_id")
+          .orderBy(col("score").desc, col("doc_id"))))
+    val chosen = ranked.where(col("rn") === 1)
+      .select(col("cluster_id"), col("doc_id").as("chosen_doc_id"),
+        col("score").as("chosen_score"))
+    ranked.where(col("rn") > 1)
+      .select(col("cluster_id"), col("doc_id").as("rejected_doc_id"),
+        col("score").as("rejected_score"))
+      .join(chosen, "cluster_id")
+      .where(col("chosen_score") > col("rejected_score"))
+      .select(col("cluster_id"), col("chosen_doc_id"),
+        col("rejected_doc_id"), col("chosen_score"),
+        col("rejected_score"),
+        (col("chosen_score") - col("rejected_score")).as("margin"))
+  }
+
+  private def prefPairsOracleSql: String =
+    s"""${probeCtes()},
+sc AS (SELECT f.doc_id, ${scoreSql("t", "f")} AS score
+       FROM feat f, t$ProbeEpochs t),
+cl AS MATERIALIZED (SELECT * FROM (${Dedup.oracle("llm_dedup_clusters")}) c0),
+j AS MATERIALIZED (SELECT cl.cluster_id, cl.doc_id, sc.score,
+        row_number() OVER (PARTITION BY cl.cluster_id
+          ORDER BY sc.score DESC, cl.doc_id) AS rn
+      FROM cl JOIN sc USING (doc_id))
+SELECT c.cluster_id, c.doc_id AS chosen_doc_id,
+  r.doc_id AS rejected_doc_id, c.score AS chosen_score,
+  r.score AS rejected_score, c.score - r.score AS margin
+FROM j c JOIN j r ON c.cluster_id = r.cluster_id
+  AND c.rn = 1 AND r.rn > 1
+WHERE c.score > r.score"""
+
   /** Calibration (reliability) table for the trained probe — the
     * diagnostic that closes the classifier story (train → gate → eval →
     * drift → CALIBRATION): documents bucketed by predicted score into
@@ -631,6 +686,7 @@ FROM c"""
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "llm_quality_auc" -> qualityAuc,
     "llm_label_agreement" -> labelAgreement,
+    "llm_pref_pairs" -> prefPairs,
     "llm_uncertainty_sample" -> uncertaintySample,
     "llm_quality_probe" -> qualityProbe,
     "llm_quality_gate" -> qualityGate,
@@ -663,6 +719,7 @@ FROM b GROUP BY bin"""
     "llm_quality_calibration" -> calibrationOracleSql,
     "llm_quality_auc" -> aucOracleSql,
     "llm_label_agreement" -> agreementOracleSql,
+    "llm_pref_pairs" -> prefPairsOracleSql,
     "llm_uncertainty_sample" -> uncertainOracleSql,
     "llm_dedup_keep_scored" -> keepScoredOracleSql)
 }

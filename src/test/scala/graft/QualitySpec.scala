@@ -257,6 +257,25 @@ class QualitySpec extends SparkSpecBase {
       g.getDouble(6) < agree.toDouble / n)
   }
 
+  test("prefPairs: chosen is the cluster's keep-best, strict margins") {
+    val pairs = Quality.prefPairs(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5)))
+    assert(pairs.nonEmpty)
+    val best = Quality.dedupKeepScored(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getLong(3)))
+      .map { case (cid, rep, sc, n) => cid -> ((rep, sc, n)) }.toMap
+    pairs.foreach { case (cid, ch, rj, cs, rs, m) =>
+      val (rep, repScore, _) = best(cid)
+      assert(ch == rep && cs == repScore)
+      assert(ch != rj && cs > rs && m == cs - rs && m > 0.0)
+    }
+    // pair count per cluster ≤ members − 1 (ties with the chosen drop)
+    val byC = pairs.groupBy(_._1).map { case (c, xs) => c -> xs.length }
+    byC.foreach { case (cid, n) => assert(n <= best(cid)._3 - 1) }
+  }
+
   test("aucOf label-flip symmetry: auc + auc_flipped == 1 exactly") {
     // with midrank tie credit, flipping every label complements the
     // pair count: num2 + num2_flipped == 2·n_pos·n_neg — an exact
