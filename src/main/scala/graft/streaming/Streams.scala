@@ -632,6 +632,36 @@ object Streams {
         col("view_id"), col("purchase_id"))
   }
 
+  /** The LEFT OUTER form of [[purchaseAttribution]] — the join shape
+    * that answers "which views did NOT convert", and the hard part of
+    * stream-stream joins Spark's state machinery exists for: an
+    * unmatched view cannot be emitted until the purchase side's
+    * watermark proves no in-window purchase can still arrive, at which
+    * point the row emits with a null purchase_id and its join state is
+    * evicted (the spec pins exactly this delayed emission). Batch runs
+    * the identical plan as a plain left outer interval join — the
+    * oracle-checked semantics; both sides MUST carry watermarks under
+    * streaming (Spark rejects the query otherwise).
+    */
+  def purchaseAttributionOuter(views: DataFrame, purchases: DataFrame,
+      watermark: Option[String] = None): DataFrame = {
+    def prep(df: DataFrame, prefix: String): DataFrame = {
+      val e = withEventTime(df).select(
+        col("user_id").as(s"${prefix}_user"),
+        col("event_id").as(s"${prefix}_id"),
+        col("ts_ts").as(s"${prefix}_ts"))
+      watermark.fold(e)(e.withWatermark(s"${prefix}_ts", _))
+    }
+    prep(views, "view").join(prep(purchases, "purchase"),
+        col("view_user") === col("purchase_user")
+          && col("purchase_ts") >= col("view_ts")
+          && col("purchase_ts") <= col("view_ts") + expr(AttributionWindow),
+        "left_outer")
+      .select(col("view_user").as("user_id"),
+        col("view_id"), col("purchase_id"),
+        col("purchase_id").isNotNull.as("converted"))
+  }
+
   /** Microseconds per day, for cohort arithmetic. */
   val DayUs = 86400000000L
 
@@ -1422,6 +1452,13 @@ object Streams {
           e.where(col("event_type") === "view"),
           e.where(col("event_type") === "purchase"))
       }),
+    "stream_attribution_outer" ->
+      ((s: SparkSession, d: String) => {
+        val e = events(s, d)
+        purchaseAttributionOuter(
+          e.where(col("event_type") === "view"),
+          e.where(col("event_type") === "purchase"))
+      }),
     "stream_asof_join" ->
       ((s: SparkSession, d: String) => asofViewBeforePurchase(events(s, d))),
     // Oracle-safe because the fixture has no gap of exactly 30 minutes
@@ -1697,6 +1734,16 @@ object Streams {
         |FROM events v JOIN events p
         |  ON v.user_id = p.user_id
         |  AND v.event_type = 'view' AND p.event_type = 'purchase'
+        |  AND epoch_us(p.ts) >= epoch_us(v.ts)
+        |  AND epoch_us(p.ts) <= epoch_us(v.ts) + 3600000000""".stripMargin,
+    "stream_attribution_outer" ->
+      """SELECT v.user_id, v.event_id AS view_id,
+        |  p.event_id AS purchase_id,
+        |  p.event_id IS NOT NULL AS converted
+        |FROM (SELECT * FROM events WHERE event_type = 'view') v
+        |LEFT JOIN (SELECT * FROM events
+        |           WHERE event_type = 'purchase') p
+        |  ON v.user_id = p.user_id
         |  AND epoch_us(p.ts) >= epoch_us(v.ts)
         |  AND epoch_us(p.ts) <= epoch_us(v.ts) + 3600000000""".stripMargin,
     // same union-window formulation as the Spark side (tie order

@@ -609,6 +609,54 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("outer stream-stream join: unmatched views emit null only " +
+    "after watermark eviction") {
+    val s = spark; import s.implicits._
+    implicit val ctx = spark.sqlContext
+    val views = MemoryStream[Ev]
+    val purchases = MemoryStream[Ev]
+    val q = Streams.purchaseAttributionOuter(
+        views.toDF(), purchases.toDF(), Some("1 hour"))
+      .writeStream.format("memory").queryName("attr_outer_test")
+      .outputMode("append").start()
+    try {
+      val B = HourNs
+      // user 1 converts in-window; user 2's view never converts
+      views.addData(ev(1, B, user = 1, typ = "view"),
+        ev(2, B, user = 2, typ = "view"))
+      purchases.addData(ev(10, B + 30 * MinNs, user = 1, typ = "purchase"))
+      q.processAllAvailable()
+      def rows() = spark.table("attr_outer_test")
+        .collect().map(r => (r.getLong(0), r.getLong(1),
+          if (r.isNullAt(2)) -1L else r.getLong(2), r.getBoolean(3)))
+        .toSet
+      val early = rows()
+      // the unmatched view must NOT have emitted yet: the purchase
+      // watermark hasn't proven its window empty
+      assert(!early.exists(r => r._1 == 2L), early)
+      // advance both watermarks far past user 2's window
+      views.addData(ev(5, 20 * HourNs, user = 9, typ = "view"))
+      purchases.addData(ev(13, 20 * HourNs, user = 9, typ = "purchase"))
+      q.processAllAvailable()
+      purchases.addData(ev(14, 21 * HourNs, user = 9, typ = "purchase"))
+      views.addData(ev(6, 21 * HourNs, user = 9, typ = "view"))
+      q.processAllAvailable()
+      val late = rows()
+      assert(late.contains((1L, 1L, 10L, true)), late)
+      assert(late.contains((2L, 2L, -1L, false)), late) // evicted → null
+      // batch parity on the converting subset semantics
+      val batch = Streams.purchaseAttributionOuter(
+          Seq(ev(1, B, user = 1, typ = "view"),
+            ev(2, B, user = 2, typ = "view")).toDF(),
+          Seq(ev(10, B + 30 * MinNs, user = 1, typ = "purchase")).toDF(),
+          None).collect()
+        .map(r => (r.getLong(0), r.getLong(1),
+          if (r.isNullAt(2)) -1L else r.getLong(2), r.getBoolean(3)))
+        .toSet
+      assert(batch == Set((1L, 1L, 10L, true), (2L, 2L, -1L, false)))
+    } finally q.stop()
+  }
+
   test("flatMapGroupsWithState sessions close on gap and on timeout") {
     val s = spark; import s.implicits._
     implicit val ctx = spark.sqlContext
