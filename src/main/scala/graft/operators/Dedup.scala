@@ -380,6 +380,50 @@ object Dedup {
     jaccardVerify(ngramCandidates(sh, stopDf), sh, sh,
       "doc_a", "doc_b", JaccardNgram)
 
+  /** PREFIX-FILTERED candidate generation (Chaudhuri et al. ICDE '06 /
+    * Xiao et al. "Efficient Similarity Joins for Near Duplicate
+    * Detection", WWW '08 — the PPJoin family): under a global token
+    * order, two shingle sets with Jaccard ≥ τ MUST share a token within
+    * each side's first |X| − ⌈τ·|X|⌉ + 1 tokens, so only that prefix is
+    * indexed and probed — at τ = 0.7 the posting table shrinks ~70%,
+    * and because the canonical order is ascending document frequency,
+    * prefixes hold each document's RAREST shingles: the hot-token
+    * postings that force [[ngramCandidates]]' stop-split never enter
+    * the index at all (no star-pair fallback needed). Exactness is not
+    * argued but PROVEN: `llm_dedup_prefix` ships the same oracle as
+    * `llm_dedup_ngram`, so any pair the prefix index missed would
+    * hash-fail the gate; the spec additionally pins candidate volume
+    * strictly below the full-index count.
+    */
+  def ngramJaccardPrefix(spark: SparkSession, dir: String): DataFrame =
+    ngramJaccardPrefixFrom(sh4(spark, dir))
+
+  def ngramJaccardPrefixOf(corpus: DataFrame,
+                           mat: Materialize.Strategy = Materialize.Local)
+      : DataFrame =
+    ngramJaccardPrefixFrom(mat(ngramShingles(corpus)))
+
+  private def ngramJaccardPrefixFrom(sh: DataFrame): DataFrame =
+    jaccardVerify(prefixCandidates(sh, JaccardNgram), sh, sh,
+      "doc_a", "doc_b", JaccardNgram)
+
+  private[graft] def prefixCandidates(sh: DataFrame, tau: Double)
+      : DataFrame = {
+    val ex = sh
+      .select(col("doc_id"), size(col("s")).cast("long").as("sz"),
+        explode(col("s")).as("g"))
+      .withColumn("df", count(lit(1)).over(Window.partitionBy("g")))
+    val prefix = ex
+      .withColumn("r", row_number().over(
+        Window.partitionBy("doc_id").orderBy(col("df"), col("g"))))
+      .where(col("r") <= col("sz") - ceil(lit(tau) * col("sz")) + 1)
+      .select("doc_id", "g")
+    prefix.as("x").join(prefix.as("y"),
+        col("x.g") === col("y.g") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("da"), col("y.doc_id").as("db"))
+      .distinct()
+  }
+
   /** 56-bit SimHash fingerprint per doc (sign of per-bit ±1 vote over
     * md5-derived shingle hashes — computed narrow, zero shuffles), then
     * Hamming-≤7 pairs via the 8×7-bit chunk pigeonhole: a pair within
@@ -894,6 +938,7 @@ object Dedup {
     "llm_dedup_minhash" -> minhashLsh,
     "llm_dedup_incremental" -> minhashIncremental,
     "llm_dedup_ngram" -> ngramJaccard,
+    "llm_dedup_prefix" -> ngramJaccardPrefix,
     "llm_dedup_simhash" -> simhashPairs,
     "llm_dedup_embedding" -> embeddingNearDup,
     "llm_dedup_semantic" -> semantic,
@@ -928,6 +973,21 @@ object Dedup {
     * the identical min-label-per-component answer. Shared by the
     * `llm_dedup_clusters` entry and (as a subquery) `llm_dedup_keep_best`.
     */
+  private val ngramOracleSql: String =
+    s"""WITH ${shSql(4)},
+       |ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+       |inter AS (
+       |  SELECT a.doc_id da, b.doc_id db, count(*) i
+       |  FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2
+       |),
+       |sz AS (SELECT doc_id, len(s) n FROM sh)
+       |SELECT da AS doc_a, db AS doc_b,
+       |  i::DOUBLE / (sa.n + sb.n - i)::DOUBLE AS jaccard
+       |FROM inter JOIN sz sa ON da = sa.doc_id JOIN sz sb ON db = sb.doc_id
+       |WHERE i::DOUBLE / (sa.n + sb.n - i)::DOUBLE >= $JaccardNgram"""
+      .stripMargin
+
   private val clustersOracleSql: String =
     s"""WITH RECURSIVE
        |p AS (SELECT doc_a, doc_b FROM (PAIRS_SQL)),
@@ -1023,20 +1083,10 @@ object Dedup {
          |FROM pairs
          |WHERE i::DOUBLE / (la + lb - i)::DOUBLE >= $JaccardMinhash"""
         .stripMargin,
-    "llm_dedup_ngram" ->
-      s"""WITH ${shSql(4)},
-         |ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
-         |inter AS (
-         |  SELECT a.doc_id da, b.doc_id db, count(*) i
-         |  FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
-         |  GROUP BY 1, 2
-         |),
-         |sz AS (SELECT doc_id, len(s) n FROM sh)
-         |SELECT da AS doc_a, db AS doc_b,
-         |  i::DOUBLE / (sa.n + sb.n - i)::DOUBLE AS jaccard
-         |FROM inter JOIN sz sa ON da = sa.doc_id JOIN sz sb ON db = sb.doc_id
-         |WHERE i::DOUBLE / (sa.n + sb.n - i)::DOUBLE >= $JaccardNgram"""
-        .stripMargin,
+    "llm_dedup_ngram" -> ngramOracleSql,
+    // the EXACT same oracle on purpose: hash equality proves the prefix
+    // index drops no qualifying pair (see ngramJaccardPrefix)
+    "llm_dedup_prefix" -> ngramOracleSql,
     "llm_dedup_simhash" ->
       s"""WITH ${shSql(3)},
          |hv AS (SELECT doc_id,

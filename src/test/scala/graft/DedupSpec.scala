@@ -122,6 +122,34 @@ class DedupSpec extends SparkSpecBase {
     assert(out(10).head._3 == 19.0 / 27.0)
   }
 
+  test("prefix filtering: lossless vs full index, smaller candidates") {
+    val s = spark; import s.implicits._
+    // same planted corpus as the stop-shingle test: one all-docs
+    // boilerplate 4-gram + one true near-dup pair
+    val boiler = "terms of service apply"
+    val base = (0 until 100).map(i =>
+      (i.toLong, s"u${i}a u${i}b u${i}c u${i}d u${i}e $boiler"))
+    val zs = (1 to 21).map("z" + _).mkString(" ")
+    val corpus = (base ++ Seq(
+      (100L, s"$zs z22 $boiler"),
+      (101L, s"$zs z22x $boiler"))).toDF("doc_id", "text")
+    val sh = Dedup.ngramShingles(corpus).localCheckpoint()
+    // lossless: the prefix path reports exactly the full-index pairs
+    val full = Dedup.ngramJaccardOf(corpus, Int.MaxValue).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val pref = Dedup.ngramJaccardPrefixOf(corpus).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(pref == full)
+    assert(pref.map(t => (t._1, t._2)) == Set((100L, 101L)))
+    // the candidate index shrinks: frequency-ascending prefixes hold
+    // each doc's RAREST shingles, so the df=102 boilerplate shingle
+    // never enters the index — quadratic blowup gone without any
+    // stop-split, and volume is strictly below the unguarded count
+    val nCand = Dedup.prefixCandidates(sh, Dedup.JaccardNgram).count()
+    assert(nCand < 102L * 101 / 2, s"prefix index did not prune: $nCand")
+    assert(nCand >= 1L)
+  }
+
   test("mass-duplicate cluster survives the hot-shingle guard via star pairs") {
     val s = spark; import s.implicits._
     // 100 copies of one template: EVERY shared shingle is hot, the case
