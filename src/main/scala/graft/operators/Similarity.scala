@@ -415,6 +415,66 @@ object Similarity {
       .where(col("rank") <= TopK)
   }
 
+  /** Incremental ANN serving — the index-refresh cadence every vector
+    * store runs: the IVF quantizer and inverted lists are built from
+    * the EXISTING corpus only (even vec_ids here — the snapshot an
+    * index was trained on), and a NEW batch (odd vec_ids) is served
+    * against that index without retraining: each arriving vector
+    * probes its [[NumProbes]] nearest cells and scores only their
+    * members. The batch-vs-corpus sibling of
+    * [[Dedup.minhashLshAgainstIndex]], for similarity serving instead
+    * of dedup. Queries and corpus are disjoint by construction, so no
+    * self-pair filter is needed; neighbors always come from the index
+    * side (spec-pinned).
+    *
+    * Scale shape: centroids train on the corpus snapshot (bounded
+    * driver state, the FAISS pattern); assignment and probing are
+    * O(centroids) broadcast flops per vector, zero shuffles; the only
+    * exchanges are the probe→list equi-join and the per-query top-k
+    * rank (WindowGroupLimit-eligible).
+    */
+  def simIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val all = emb(spark, dir)
+    simIncrementalOf(
+      all.where(col("vec_id") % 2 === 0),
+      all.where(col("vec_id") % 2 =!= 0
+        && col("vec_id") < lit(2 * nq(spark))),
+      IvfKmeansIters)
+  }
+
+  def simIncrementalOf(corpusDf: DataFrame, batchDf: DataFrame,
+                       kmeansIters: Int = 0): DataFrame = {
+    val spark = corpusDf.sparkSession
+    val s = spark; import s.implicits._
+    val bc = spark.sparkContext.broadcast(
+      kmeansCentroids(corpusDf, kmeansIters))
+    val assign = corpusDf.as[(Long, Array[Double])]
+      .mapPartitions { it =>
+        val cs = bc.value
+        it.map { case (id, e) => (id, nearestCid(cs, e)) }
+      }
+      .toDF("vec_id", "cid")
+    val probes = batchDf.as[(Long, Array[Double])]
+      .mapPartitions { it =>
+        val cs = bc.value
+        it.flatMap { case (qid, e) =>
+          cs.map { case (cid, ce) => (cid, Hashing.cosineSeq(e, ce)) }
+            .sortBy { case (cid, c) => (-c, cid) }
+            .take(NumProbes)
+            .map { case (cid, _) => (qid, cid) }
+        }
+      }
+      .toDF("qid", "cid")
+    probes.join(assign, "cid")
+      .select(col("qid"), col("vec_id").as("nid"))
+      .join(batchDf.as("A"), col("qid") === col("A.vec_id"))
+      .join(corpusDf.as("B"), col("nid") === col("B.vec_id"))
+      .select(col("qid").as("query_id"), col("nid").as("neighbor_id"),
+        Hashing.cosineNative(spark, col("A.e"), col("B.e")).as("cos_sim"))
+      .withColumn("rank", row_number().over(rankWindow))
+      .where(col("rank") <= TopK)
+  }
+
   /** Per-cluster sample cap for [[sampleCluster]]: at 16 clusters over
     * the sf0.01 fixture's 500 vectors (~31/cluster mean) a cap of 20
     * truncates the big clusters for real while keeping the small ones
@@ -1316,6 +1376,7 @@ object Similarity {
     "llm_emb_quantize" -> embQuantize,
     "llm_emb_centroids" -> embCentroids,
     "llm_embed_drift" -> embDrift,
+    "llm_sim_incremental" -> simIncremental,
     "llm_sim_topk" -> bruteForceTopK,
     "llm_sim_hard_negatives" -> hardNegatives,
     "llm_classify" -> classify,
@@ -1567,6 +1628,49 @@ object Similarity {
     }
     (seed +: iters).mkString(",\n")
   }
+
+  /** The incremental-serving oracle: the SAME kmeans chain, but `v`
+    * (what the quantizer trains on and the lists index) is the even-id
+    * corpus snapshot and `q` the odd-id arriving batch.
+    */
+  private def oracleIncremental =
+    s"""WITH v AS (SELECT vec_id, embedding e FROM embeddings
+       |           WHERE vec_id % 2 = 0),
+       |q AS (SELECT vec_id, embedding e FROM embeddings
+       |      WHERE vec_id % 2 = 1 AND vec_id < ${2 * NumQueries}),
+       |${ivfKmeansCtes(IvfKmeansIters)},
+       |cents AS (SELECT cid, ce FROM c$IvfKmeansIters),
+       |cassign AS (
+       |  SELECT v.vec_id, cents.cid,
+       |    ${Hashing.cosineSql("v.e", "cents.ce", 64)} AS c
+       |  FROM v, cents),
+       |assign AS (
+       |  SELECT vec_id, cid FROM (
+       |    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
+       |      ORDER BY c DESC, cid ASC) AS rn FROM cassign)
+       |  WHERE rn = 1),
+       |qscore AS (
+       |  SELECT q.vec_id, cents.cid,
+       |    ${Hashing.cosineSql("q.e", "cents.ce", 64)} AS c
+       |  FROM q, cents),
+       |probes AS (
+       |  SELECT vec_id AS qid, cid FROM (
+       |    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
+       |      ORDER BY c DESC, cid ASC) AS rn FROM qscore)
+       |  WHERE rn <= $NumProbes),
+       |cand AS (
+       |  SELECT p.qid, a.vec_id AS nid
+       |  FROM probes p JOIN assign a ON p.cid = a.cid),
+       |scored AS (
+       |  SELECT qid AS query_id, nid AS neighbor_id,
+       |    ${Hashing.cosineSql("a.e", "b.e", 64)} AS cos_sim
+       |  FROM cand JOIN q a ON qid = a.vec_id JOIN v b ON nid = b.vec_id)
+       |SELECT * FROM (
+       |  SELECT query_id, neighbor_id, cos_sim,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+       |  FROM scored
+       |) WHERE rank <= $TopK""".stripMargin
 
   private def oracleIvf =
     s"""WITH v AS (SELECT vec_id, embedding e FROM embeddings),
@@ -1852,6 +1956,7 @@ object Similarity {
     "llm_sim_topk_agg" -> topkOracleSql,
     "llm_sim_lsh_topk" -> oracleLsh,
     "llm_sim_ivf_topk" -> oracleIvf,
+    "llm_sim_incremental" -> oracleIncremental,
     "llm_sim_pq_topk" -> oraclePq,
     "llm_sim_ivfpq_topk" -> oracleIvfPq,
     // recall = |approx ∩ exact| / |exact| per method, with each side's

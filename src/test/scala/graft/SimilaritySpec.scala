@@ -497,6 +497,37 @@ class SimilaritySpec extends SparkSpecBase {
     assert(run(embDf.repartition(7)) == run(embDf.repartition(2)))
   }
 
+  test("incremental ANN: neighbors only from the index side, " +
+    "stable under repartition") {
+    val rows = Similarity.simIncremental(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    assert(rows.nonEmpty)
+    // queries are the arriving odd-id batch; every neighbor comes from
+    // the even-id corpus the index was built on
+    rows.foreach { case (q, n, c, rk) =>
+      assert(q % 2 == 1 && n % 2 == 0)
+      assert(c >= -1.0 - 1e-9 && c <= 1.0 + 1e-9)
+      assert(rk >= 1 && rk <= Similarity.TopK)
+    }
+    // ranks contiguous from 1 per query
+    rows.groupBy(_._1).foreach { case (_, xs) =>
+      assert(xs.map(_._4).sorted.toSeq == (1 to xs.length).toSeq)
+    }
+    // deterministic under input partitioning
+    val all = Tables(spark, Sf, "embeddings")
+      .selectExpr("vec_id", "cast(embedding as array<double>) e")
+    def run(p: Int) = Similarity.simIncrementalOf(
+        all.where("vec_id % 2 = 0").repartition(p),
+        all.where(
+          s"vec_id % 2 = 1 AND vec_id < ${2L * Similarity.NumQueries}")
+          .repartition(p),
+        Similarity.IvfKmeansIters)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+      .toSet
+    assert(run(3) == run(11))
+  }
+
   test("embDrift replays the parity-split DECIMAL-stable means") {
     val vecs = Tables(spark, Sf, "embeddings")
       .selectExpr("vec_id", "cast(embedding as array<double>) e")
