@@ -408,6 +408,61 @@ FROM (
   FROM cl JOIN sc USING (doc_id))
 WHERE rn = 1"""
 
+  /** The probe's squared-error loss and expected calibration error —
+    * the two scalars that complete the classifier metrology next to
+    * accuracy/TPR/TNR ([[qualityTrainOf]]), AUC ([[aucOf]]) and the
+    * full reliability table ([[qualityCalibration]]): `mse` is the
+    * Brier-style mean squared error of the raw score against the 0/1
+    * label, and `ece` the calibration-bin-weighted |empirical positive
+    * rate − mean predicted score| (Naeini et al. AAAI '15), read
+    * straight off the SAME clamped-decile bins the calibration entry
+    * reports — one number summarizing the reliability table.
+    *
+    * Determinism: the per-row squared error rides the dsum
+    * DECIMAL-stable quantized sum; the ECE accumulates ≤ [[CalibBins]]
+    * bin terms through the same recipe, so both doubles hash
+    * bit-identically. One corpus aggregation + one ≤ 10-row fold.
+    */
+  def qualityBrier(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.StableSum.dsum
+    val base = qualityProbe(spark, dir)
+    val mse = base.agg(count(lit(1)).as("n"),
+      (dsum((col("score") - col("label")) * (col("score") - col("label")))
+        / count(lit(1)).cast("double")).as("mse"))
+    val ece = qualityCalibration(spark, dir)
+      .select(col("n_docs"),
+        (col("n_docs").cast("double")
+          * abs(col("frac_pos") - col("mean_score"))).as("term"))
+      .agg(sum(col("n_docs")).as("nb"), dsum(col("term")).as("tsum"))
+      .select((col("tsum") / col("nb").cast("double")).as("ece"))
+    mse.crossJoin(ece)
+  }
+
+  private def brierOracleSql: String =
+    s"""${probeCtes()},
+sc AS (SELECT f.y AS label, ${scoreSql("t", "f")} AS score
+       FROM feat f, t$ProbeEpochs t),
+m AS (SELECT count(*)::BIGINT AS n,
+        ${graft.functions.StableSum
+      .dsumSql("(score - label) * (score - label)")}
+          / count(*)::DOUBLE AS mse
+      FROM sc),
+b AS (SELECT label, score,
+        CAST(least(${CalibBins - 1}.0e0, greatest(0.0e0,
+          floor(score * 10.0e0))) AS BIGINT) AS bin
+      FROM sc),
+cal AS (SELECT bin, count(*)::BIGINT AS n_docs,
+        sum(CASE WHEN label > 0.5 THEN 1 ELSE 0 END)::DOUBLE
+          / count(*)::DOUBLE AS frac_pos,
+        ${graft.functions.StableSum.dsumSql("score")}
+          / count(*)::DOUBLE AS mean_score
+      FROM b GROUP BY bin),
+e AS (SELECT sum(n_docs)::BIGINT AS nb,
+        ${graft.functions.StableSum
+      .dsumSql("n_docs::DOUBLE * abs(frac_pos - mean_score)")} AS tsum
+      FROM cal)
+SELECT m.n, m.mse, e.tsum / e.nb::DOUBLE AS ece FROM m, e"""
+
   /** Preference-pair mining — the reward-model / DPO dataset builder
     * grown from pieces this pipeline already trusts: near-duplicate
     * clusters ([[Dedup.clusters]]) give sets of documents with the
@@ -687,6 +742,7 @@ FROM c"""
     "llm_quality_auc" -> qualityAuc,
     "llm_label_agreement" -> labelAgreement,
     "llm_pref_pairs" -> prefPairs,
+    "llm_quality_brier" -> qualityBrier,
     "llm_uncertainty_sample" -> uncertaintySample,
     "llm_quality_probe" -> qualityProbe,
     "llm_quality_gate" -> qualityGate,
@@ -720,6 +776,7 @@ FROM b GROUP BY bin"""
     "llm_quality_auc" -> aucOracleSql,
     "llm_label_agreement" -> agreementOracleSql,
     "llm_pref_pairs" -> prefPairsOracleSql,
+    "llm_quality_brier" -> brierOracleSql,
     "llm_uncertainty_sample" -> uncertainOracleSql,
     "llm_dedup_keep_scored" -> keepScoredOracleSql)
 }

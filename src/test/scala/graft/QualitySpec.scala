@@ -257,6 +257,28 @@ class QualitySpec extends SparkSpecBase {
       g.getDouble(6) < agree.toDouble / n)
   }
 
+  test("qualityBrier replays MSE and the ECE bin fold") {
+    val r = Quality.qualityBrier(spark, Sf).collect().head
+    val (n, mse, ece) = (r.getLong(0), r.getDouble(1), r.getDouble(2))
+    // MSE against the scored table via the same quantized-sum recipe
+    val sc = Quality.qualityProbe(spark, Sf)
+      .select(col("label"), col("score")).collect()
+      .map(x => (x.getDouble(0), x.getDouble(1)))
+    assert(n == sc.length.toLong)
+    val qsum = sc.map { case (y, s) =>
+      BigInt(math.floor((s - y) * (s - y) * 1e12).toLong) }.sum
+    assert(mse == qsum.toDouble / 1e12 / n)
+    // ECE against the calibration entry's own bins
+    val cal = Quality.qualityCalibration(spark, Sf).collect()
+      .map(x => (x.getLong(1), x.getDouble(3), x.getDouble(4)))
+    val nb = cal.map(_._1).sum
+    val tq = cal.map { case (nd, fp, ms) =>
+      BigInt(math.floor(nd.toDouble * math.abs(fp - ms) * 1e12).toLong)
+    }.sum
+    assert(ece == tq.toDouble / 1e12 / nb)
+    assert(mse >= 0.0 && ece >= 0.0 && ece <= 1.0)
+  }
+
   test("prefPairs: chosen is the cluster's keep-best, strict margins") {
     val pairs = Quality.prefPairs(spark, Sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
