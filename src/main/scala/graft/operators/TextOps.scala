@@ -98,6 +98,39 @@ object TextOps {
       .groupBy("word")
       .agg(count(lit(1)).as("cnt"))
 
+  /** Report size for [[vocabDrift]]. */
+  val VocabDriftTopK = 20
+
+  /** Vocabulary heavy-change detection — the token-level drift monitor
+    * beside the length-distribution KS test and the quality-signal
+    * drift: per token, its occurrence count in the baseline snapshot
+    * (even doc_ids) vs the current one (odd doc_ids), ranked by
+    * absolute count change. The movers table is where new spam
+    * campaigns, template injections, or topic shifts surface FIRST —
+    * aggregate distributions barely move while individual tokens
+    * explode. Top-[[VocabDriftTopK]] by |Δ| (ties on the token), exact
+    * integers end to end.
+    *
+    * Scale shape: one exploded scan with BOTH snapshots' counts from
+    * conditional sums in a single map-side-combined aggregate (the
+    * [[graft.operators.Similarity.embDriftOf]] one-pass discipline);
+    * the global top-k compiles to bounded per-partition heaps.
+    */
+  def vocabDrift(spark: SparkSession, dir: String): DataFrame =
+    vocabDriftOf(docs(spark, dir))
+
+  def vocabDriftOf(corpus: DataFrame): DataFrame = {
+    val snapA = col("doc_id") % 2 === 0
+    corpus
+      .select(snapA.as("a"), explode(toks).as("word"))
+      .groupBy("word")
+      .agg(sum(when(col("a"), 1L).otherwise(0L)).as("c_base"),
+        sum(when(col("a"), 0L).otherwise(1L)).as("c_cur"))
+      .withColumn("delta", col("c_cur") - col("c_base"))
+      .orderBy(abs(col("delta")).desc, col("word"))
+      .limit(VocabDriftTopK)
+  }
+
   /** Candidate vocabulary sizes [[vocabCoverage]] prices — scaled to
     * the fixture's 31-type vocabulary so the curve actually bends (the
     * [[graft.operators.Similarity.ClusterSampleCap]] rule: constants
@@ -1467,6 +1500,7 @@ object TextOps {
     "llm_collocations" -> collocations,
     "llm_bigram_next" -> bigramNext,
     "llm_lm_kneser_ney" -> kneserNey,
+    "llm_vocab_drift" -> vocabDrift,
     "llm_lm_kn_score" -> knScore,
     "llm_source_stats" -> sourceStats,
     "llm_source_quality" -> sourceQuality,
@@ -2033,6 +2067,18 @@ kn AS (SELECT w1, w2, c_xy, c_x, n1_fwd, n1_bwd,
          |JOIN u u2 ON bc.w2 = u2.w
          |CROSS JOIN m
          |ORDER BY lift DESC, w1, w2 LIMIT $TopCollocations""".stripMargin,
+    "llm_vocab_drift" ->
+      s"""SELECT word, c_base, c_cur, c_cur - c_base AS delta
+         |FROM (
+         |  SELECT word,
+         |    sum(CASE WHEN a THEN 1 ELSE 0 END)::BIGINT AS c_base,
+         |    sum(CASE WHEN a THEN 0 ELSE 1 END)::BIGINT AS c_cur
+         |  FROM (SELECT doc_id % 2 = 0 AS a,
+         |          unnest(string_split(text, ' ')) AS word
+         |        FROM documents)
+         |  GROUP BY word)
+         |ORDER BY abs(c_cur - c_base) DESC, word
+         |LIMIT $VocabDriftTopK""".stripMargin,
     "llm_lm_kneser_ney" ->
       s"""WITH $knModelSql
          |SELECT * FROM kn

@@ -397,6 +397,28 @@ class CorpusOpsSpec extends SparkSpecBase {
     }
   }
 
+  test("vocabDrift replays the parity-split mover ranking") {
+    val docsT = Tables(spark, Sf, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val counts = docsT.flatMap { case (id, t) =>
+      t.split(" ", -1).map(w => (w, id % 2 == 0)) }
+      .groupBy(_._1).map { case (w, xs) =>
+        (w, xs.count(_._2).toLong, xs.count(!_._2).toLong) }
+    val want = counts.toSeq
+      .map { case (w, a, b) => (w, a, b, b - a) }
+      .sortBy { case (w, _, _, d) => (-math.abs(d), w) }
+      .take(TextOps.VocabDriftTopK)
+    val got = TextOps.vocabDrift(spark, Sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSeq
+    assert(got == want)
+    // top-k compiles to bounded heaps, never a vocabulary sort
+    val plan = TextOps.vocabDrift(spark, Sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+
   test("kneserNey conditional mass: Σ_w P(w|v) ≤ 1 per context") {
     // the discounted + continuation-interpolated masses of a context's
     // OBSERVED successors must not exceed 1 (the remainder is the
