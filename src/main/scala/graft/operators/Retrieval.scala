@@ -332,7 +332,53 @@ object Retrieval {
       .where(col("rk") <= PhraseTopK)
   }
 
+  /** Proximity window (token positions) for [[proximityTopK]]. */
+  val ProxWindow = 5
+
+  /** Proximity retrieval — the positional index's second standard
+    * capability beside exact phrase match (IIR ch. 2): documents where
+    * the pair's first word is followed by the second within
+    * [[ProxWindow]] positions, scored by the ordered within-window
+    * co-occurrence count. Same self-derived pair queries as
+    * [[phrasePostingsOf]]; phrase match is the W = 1 special case, so
+    * every phrase hit is also a proximity hit (spec-pinned dominance).
+    *
+    * Scale shape: identical to the phrase join — the (doc, word)
+    * equi-keys carry the selectivity and the position window is a
+    * residual range predicate on the matched rows, never a band join
+    * over positions; per-pair top-k under a WindowGroupLimit rank cut.
+    */
+  def proximityTopK(spark: SparkSession, dir: String): DataFrame =
+    proximityTopKOf(docs(spark, dir))
+
+  def proximityTopKOf(corpus: DataFrame): DataFrame = {
+    val pos = corpus.select(col("doc_id"),
+      posexplode(split(col("text"), " ")).as(Seq("pos", "word")))
+    val bi = pos.as("x").join(pos.as("y"),
+        col("x.doc_id") === col("y.doc_id")
+          && col("y.pos") === col("x.pos") + 1)
+      .groupBy(col("x.word").as("w1"), col("y.word").as("w2"))
+      .agg(count(lit(1)).as("c_xy"))
+      .orderBy(col("c_xy").desc, col("w1"), col("w2"))
+      .limit(PhraseCount)
+      .select("w1", "w2")
+    val a = broadcast(bi).join(pos, col("w1") === col("word"))
+      .select(col("w1"), col("w2"), col("doc_id"), col("pos"))
+    val m = a.join(pos.as("b"),
+        a("doc_id") === col("b.doc_id")
+          && a("w2") === col("b.word")
+          && col("b.pos") > a("pos")
+          && col("b.pos") <= a("pos") + ProxWindow)
+      .groupBy(col("w1"), col("w2"), a("doc_id").as("doc_id"))
+      .agg(count(lit(1)).as("prox_tf"))
+    m.withColumn("rk", row_number().over(
+        Window.partitionBy("w1", "w2")
+          .orderBy(col("prox_tf").desc, col("doc_id"))).cast("long"))
+      .where(col("rk") <= PhraseTopK)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "llm_proximity_topk" -> proximityTopK,
     "llm_phrase_postings" -> phrasePostings,
     "llm_postings" -> postings,
     "llm_bm25_topk" -> bm25TopK,
@@ -419,6 +465,33 @@ object Retrieval {
   }
 
   val oracle: Map[String, String] = Map(
+    "llm_proximity_topk" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         |pos AS (
+         |  SELECT doc_id, t[i] AS word, i - 1 AS pos
+         |  FROM (SELECT doc_id, t, unnest(range(1, len(t) + 1)) AS i
+         |        FROM tok)),
+         |ph AS (
+         |  SELECT w1, w2 FROM (
+         |    SELECT a.word AS w1, b.word AS w2, count(*) AS c_xy
+         |    FROM pos a JOIN pos b
+         |      ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+         |    GROUP BY 1, 2)
+         |  ORDER BY c_xy DESC, w1, w2 LIMIT $PhraseCount),
+         |m AS (
+         |  SELECT ph.w1, ph.w2, a.doc_id, count(*)::BIGINT AS prox_tf
+         |  FROM ph
+         |  JOIN pos a ON a.word = ph.w1
+         |  JOIN pos b ON b.doc_id = a.doc_id AND b.word = ph.w2
+         |    AND b.pos > a.pos AND b.pos <= a.pos + $ProxWindow
+         |  GROUP BY 1, 2, 3)
+         |SELECT w1, w2, doc_id, prox_tf, rk FROM (
+         |  SELECT w1, w2, doc_id, prox_tf,
+         |    row_number() OVER (PARTITION BY w1, w2
+         |      ORDER BY prox_tf DESC, doc_id)::BIGINT AS rk
+         |  FROM m)
+         |WHERE rk <= $PhraseTopK""".stripMargin,
     "llm_phrase_postings" ->
       s"""WITH tok AS (
          |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),

@@ -207,6 +207,48 @@ class RetrievalSpec extends SparkSpecBase {
     assert(plan.contains("BroadcastHashJoin"), plan)
   }
 
+  test("proximity: brute replay; dominates phrase match at W = 1") {
+    val s = spark; import s.implicits._
+    val texts = Seq(
+      (0L, "a b a b c"), (1L, "a c c b a b"), (2L, "x x x a b"),
+      (3L, "c c a q q b"), (4L, "b a b a"))
+    val docsC = texts.toDF("doc_id", "text")
+    val allBi = texts.flatMap { case (d, t) =>
+      t.split(" ").sliding(2).filter(_.length == 2)
+        .map(p => (d, p(0), p(1))).toSeq }
+    val top = allBi.groupBy { case (_, a, b) => (a, b) }
+      .map { case (k, xs) => k -> xs.size.toLong }
+      .toSeq.sortBy { case ((a, b), c) => (-c, a, b) }
+      .take(Retrieval.PhraseCount).map(_._1)
+    val expect = top.flatMap { case (a, b) =>
+      texts.flatMap { case (d, t) =>
+        val w = t.split(" ")
+        val n = (for {
+          i <- w.indices if w(i) == a
+          j <- (i + 1) to math.min(i + Retrieval.ProxWindow, w.length - 1)
+          if w(j) == b
+        } yield 1).size.toLong
+        if (n > 0) Some((a, b, d, n)) else None
+      }.sortBy { case (_, _, d, n) => (-n, d) }
+        .take(Retrieval.PhraseTopK).zipWithIndex
+        .map { case ((w1, w2, d, n), i) => (w1, w2, d, n, (i + 1).toLong) }
+    }.toSet
+    val got = Retrieval.proximityTopKOf(docsC).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    assert(got == expect)
+    // dominance: every phrase (W = 1) hit count is ≤ the proximity count
+    val phrase = Retrieval.phrasePostingsOf(docsC).collect()
+      .map(r => ((r.getString(0), r.getString(1), r.getLong(2)),
+        r.getLong(3))).toMap
+    val prox = Retrieval.proximityTopKOf(docsC).collect()
+      .map(r => ((r.getString(0), r.getString(1), r.getLong(2)),
+        r.getLong(3))).toMap
+    phrase.foreach { case (k, tf) =>
+      prox.get(k).foreach(p => assert(p >= tf, s"$k: $p < $tf"))
+    }
+  }
+
   test("plan: query terms and corpus stats ride broadcast joins") {
     val plan = Retrieval.bm25TopK(spark, Sf)
       .queryExecution.executedPlan.toString
