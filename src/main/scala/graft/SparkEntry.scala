@@ -23,7 +23,8 @@ object SparkEntry {
       Multimodal.queries ++ Streams.queries ++ Curation.queries ++
       Contamination.queries ++ Warehouse.queries ++ Quality.queries ++
       Sketch.queries ++ Dsir.queries ++ Graph.queries ++
-      Retrieval.queries ++ Bitext.queries ++ Eval.queries
+      Retrieval.queries ++ Bitext.queries ++ Eval.queries ++
+      Layout.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops.
@@ -34,5 +35,6 @@ object SparkEntry {
       Multimodal.oracle ++ Streams.oracle ++ Curation.oracle ++
       Contamination.oracle ++ Warehouse.oracle ++ Quality.oracle ++
       Sketch.oracle ++ Dsir.oracle ++ Graph.oracle ++
-      Retrieval.oracle ++ Bitext.oracle ++ Eval.oracle
+      Retrieval.oracle ++ Bitext.oracle ++ Eval.oracle ++
+      Layout.oracle
 }
