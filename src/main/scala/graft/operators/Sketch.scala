@@ -598,7 +598,55 @@ object Sketch {
         unionEst.as("union_est"), interEst.as("inter_est"))
   }
 
+  /** Algebraic rollup-state reuse — incremental view maintenance for
+    * plain aggregates, the EXACT counterpart of this module's sketch
+    * merges (HLL registers max-merge, KMV unions re-limit; count/sum/
+    * min/max merge by sum/sum/min/max). Weekly stats computed two ways
+    * in one plan: DIRECT from the raw event stream, and MERGED from the
+    * per-day partial-state table — side by side per week, so the hash
+    * gate proves merged == direct column for column.
+    *
+    * Why it matters at 100 TB: the daily-partials table is O(days)
+    * rows; re-aggregating a month/quarter/year reads THAT, not the raw
+    * corpus — the rollup never rescans history, and a late-arriving day
+    * patches one partial row. This is the contract that makes daily
+    * ingestion + arbitrary-window reporting affordable; it holds
+    * precisely because the states are associative-commutative monoids
+    * (count/sum/min/max — and the DECIMAL sum keeps the merge EXACT,
+    * where a double sum would make merge order observable).
+    */
+  def rollupMerge(spark: SparkSession, dir: String): DataFrame =
+    rollupMergeOf(graft.streaming.Streams
+      .withEventTime(Tables(spark, dir, "events"))
+      .select(expr(s"ts_us div ${graft.streaming.Streams.DayUs}")
+        .as("day"), col("value")))
+
+  /** `points`: (day, value). One row per week: direct-from-raw vs
+    * merged-from-daily-partials stats.
+    */
+  def rollupMergeOf(points: DataFrame): DataFrame = {
+    val daily = points.groupBy("day").agg(
+      count(lit(1)).as("n"),
+      sum(col("value").cast("decimal(24,6)")).as("s"),
+      min("value").as("mn"), max("value").as("mx"))
+    val merged = daily.groupBy(expr("day div 7").as("week")).agg(
+      sum(col("n")).as("n_merged"),
+      sum(col("s")).cast("double").as("sum_merged"),
+      min("mn").as("min_merged"), max("mx").as("max_merged"))
+    val direct = points.groupBy(expr("day div 7").as("week")).agg(
+      count(lit(1)).as("n_direct"),
+      sum(col("value").cast("decimal(24,6)")).cast("double")
+        .as("sum_direct"),
+      min("value").as("min_direct"), max("value").as("max_direct"))
+    direct.join(merged, "week")
+      .select(col("week"), col("n_direct"), col("n_merged"),
+        col("sum_direct"), col("sum_merged"),
+        col("min_direct"), col("min_merged"),
+        col("max_direct"), col("max_merged"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "llm_rollup_merge" -> rollupMerge,
     "llm_heavy_hitters" -> heavyHitters,
     "llm_quantile_sketch" -> quantileSketch,
     "llm_distinct_hll" -> distinctHll,
@@ -610,6 +658,30 @@ object Sketch {
   )
 
   val oracle: Map[String, String] = Map(
+    "llm_rollup_merge" ->
+      s"""WITH pts AS (
+         |  SELECT epoch_us(ts) // ${graft.streaming.Streams.DayUs}
+         |    AS day, value
+         |  FROM events),
+         |daily AS (
+         |  SELECT day, count(*)::BIGINT AS n,
+         |    SUM(CAST(value AS DECIMAL(24,6))) AS s,
+         |    min(value) AS mn, max(value) AS mx
+         |  FROM pts GROUP BY day),
+         |merged AS (
+         |  SELECT day // 7 AS week, sum(n)::BIGINT AS n_merged,
+         |    CAST(sum(s) AS DOUBLE) AS sum_merged,
+         |    min(mn) AS min_merged, max(mx) AS max_merged
+         |  FROM daily GROUP BY 1),
+         |direct AS (
+         |  SELECT day // 7 AS week, count(*)::BIGINT AS n_direct,
+         |    CAST(SUM(CAST(value AS DECIMAL(24,6))) AS DOUBLE)
+         |      AS sum_direct,
+         |    min(value) AS min_direct, max(value) AS max_direct
+         |  FROM pts GROUP BY 1)
+         |SELECT d.week, n_direct, n_merged, sum_direct, sum_merged,
+         |  min_direct, min_merged, max_direct, max_merged
+         |FROM direct d JOIN merged m ON d.week = m.week""".stripMargin,
     "llm_subsample_ci" ->
       s"""WITH reps AS (
          |  SELECT b.replica::BIGINT AS replica, d.n_chars::BIGINT AS v

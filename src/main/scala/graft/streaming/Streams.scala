@@ -1095,6 +1095,86 @@ object Streams {
         col("valid_to_us"), col("n_events"))
   }
 
+  /** CDC (change-data-capture) changelog apply — full MERGE semantics
+    * over an ordered op log, the third member of the corpus-refresh
+    * family ([[graft.operators.Curation]]'s `llm_upsert` handles
+    * insert/update, the snapshot diff handles full-table compare; this
+    * adds DELETES and replay order). The event stream is read as a
+    * keyed changelog: per user, ops apply in (ts_us, event_id) order,
+    * `error` events are tombstones (DELETE), everything else upserts
+    * its `value`. The applied table is last-writer-wins: a key whose
+    * LAST op is a tombstone is absent; an upsert after a tombstone
+    * re-creates the row (exactly Delta/Iceberg `MERGE` + CDC-feed
+    * semantics). (user_id, last_us, last_type, last_value, n_ops,
+    * n_deletes) for surviving keys.
+    *
+    * Scale shape: ONE map-side-combined aggregate — the winning op per
+    * key is `max(struct(ts_us, event_id, …))` (the fully-keyed order
+    * makes the struct max total), so partial aggregation collapses each
+    * partition to O(keys) before the only shuffle. No window, no join:
+    * a 100 TB changelog reduces at scan speed. The oracle replays the
+    * same semantics as a per-key rank window.
+    */
+  def cdcApply(events: DataFrame): DataFrame =
+    withEventTime(events)
+      .select(col("user_id"), col("ts_us"), col("event_id"),
+        col("event_type"), col("value"))
+      .groupBy("user_id")
+      .agg(
+        max(struct(col("ts_us"), col("event_id"), col("event_type"),
+          col("value"))).as("last"),
+        count(lit(1)).as("n_ops"),
+        sum(when(col("event_type") === "error", 1L).otherwise(0L))
+          .as("n_deletes"))
+      .where(col("last.event_type") =!= "error")
+      .select(col("user_id"), col("last.ts_us").as("last_us"),
+        col("last.event_type").as("last_type"),
+        col("last.value").as("last_value"),
+        col("n_ops"), col("n_deletes"))
+
+  /** Daily-grid linear interpolation per user — the gap-fill companion
+    * to [[resampleDaily]] (which carries CUMULATIVE totals forward;
+    * this reconstructs the level between observations, the standard
+    * time-series regularization before any fixed-step model). Per user:
+    * daily observations are the exact-decimal mean of that day's
+    * values; every missing day strictly between two observations gets
+    * the linear blend v1 + (v2 − v1)·(t − d1)/(d2 − d1); the series
+    * spans first..last observed day, `observed` flags real points.
+    *
+    * Scale shape: the corpus collapses to O(users·days) observation
+    * rows in one map-side-combined aggregate; a per-user `lead` window
+    * (bounded partitions) pairs consecutive observations; the grid is a
+    * per-interval `sequence` explode whose fan-out is the gap length —
+    * never a global calendar cross join, and nothing event-scale
+    * crosses an unpartitioned stage. Determinism: day indices and
+    * counts are exact integers, the daily mean is one exactly-rounded
+    * DECIMAL→double division, and the blend is a fixed dag of IEEE ops
+    * on exactly-representable small integers — bit-identical in DuckDB.
+    * The t = d1 grid point is pinned to v1 by CASE (not arithmetic) so
+    * the open-ended last observation needs no null algebra.
+    */
+  def interpolateDaily(events: DataFrame): DataFrame = {
+    val obs = withEventTime(events)
+      .select(col("user_id"), expr(s"ts_us div $DayUs").as("day"),
+        col("value"))
+      .groupBy("user_id", "day")
+      .agg((sum(col("value").cast("decimal(24,6)")).cast("double") /
+        count(lit(1)).cast("double")).as("v"))
+    val w = Window.partitionBy("user_id").orderBy("day")
+    obs
+      .withColumn("d2", lead(col("day"), 1).over(w))
+      .withColumn("v2", lead(col("v"), 1).over(w))
+      .select(col("user_id"), col("day"), col("v"), col("d2"), col("v2"),
+        explode(sequence(col("day"),
+          coalesce(col("d2") - 1, col("day")))).as("t"))
+      .select(col("user_id"), col("t").as("day"),
+        when(col("t") === col("day"), col("v"))
+          .otherwise(col("v") + (col("v2") - col("v")) *
+            ((col("t") - col("day")).cast("double") /
+              (col("d2") - col("day")).cast("double"))).as("value"),
+        (col("t") === col("day")).as("observed"))
+  }
+
   /** Theil–Sen robust daily trend per event type: the median of all
     * pairwise slopes (count_j − count_i)/(day_j − day_i) over the
     * per-type daily event counts — the outlier-proof alternative to a
@@ -1482,6 +1562,10 @@ object Streams {
       ((s: SparkSession, d: String) => rateAnomaly(events(s, d))),
     "stream_scd2" ->
       ((s: SparkSession, d: String) => scd2(events(s, d))),
+    "stream_cdc_apply" ->
+      ((s: SparkSession, d: String) => cdcApply(events(s, d))),
+    "stream_interpolate" ->
+      ((s: SparkSession, d: String) => interpolateDaily(events(s, d))),
     "stream_trend" ->
       ((s: SparkSession, d: String) => dailyTrend(events(s, d)))
   )
@@ -2004,6 +2088,44 @@ object Streams {
         |    AS valid_to_us,
         |  n_events
         |FROM sp""".stripMargin,
+    "stream_cdc_apply" ->
+      """WITH log AS (
+        |  SELECT user_id, epoch_us(ts) AS ts_us, event_id, event_type,
+        |    value,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+        |  FROM events),
+        |agg AS (
+        |  SELECT user_id, count(*)::BIGINT AS n_ops,
+        |    sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0
+        |      END)::BIGINT AS n_deletes
+        |  FROM events GROUP BY user_id)
+        |SELECT l.user_id, l.ts_us::BIGINT AS last_us,
+        |  l.event_type AS last_type, l.value AS last_value,
+        |  a.n_ops, a.n_deletes
+        |FROM log l JOIN agg a ON l.user_id = a.user_id
+        |WHERE l.rn = 1 AND l.event_type <> 'error'""".stripMargin,
+    "stream_interpolate" ->
+      s"""WITH obs AS (
+         |  SELECT user_id, epoch_us(ts) // $DayUs AS day,
+         |    CAST(SUM(CAST(value AS DECIMAL(24,6))) AS DOUBLE)
+         |      / count(*)::DOUBLE AS v
+         |  FROM events GROUP BY 1, 2),
+         |iv AS (
+         |  SELECT user_id, day, v,
+         |    lead(day) OVER (PARTITION BY user_id ORDER BY day) AS d2,
+         |    lead(v) OVER (PARTITION BY user_id ORDER BY day) AS v2
+         |  FROM obs),
+         |g AS (
+         |  SELECT user_id, day, v, d2, v2,
+         |    unnest(generate_series(day, coalesce(d2 - 1, day))) AS t
+         |  FROM iv)
+         |SELECT user_id, t AS day,
+         |  CASE WHEN t = day THEN v
+         |    ELSE v + (v2 - v) * (CAST(t - day AS DOUBLE)
+         |      / CAST(d2 - day AS DOUBLE)) END AS value,
+         |  (t = day) AS observed
+         |FROM g""".stripMargin,
     "stream_trend" ->
       s"""WITH daily AS (
          |  SELECT event_type, epoch_us(ts) // $DayUs AS day,

@@ -250,4 +250,21 @@ class SketchSpec extends SparkSpecBase {
     assert(got == expect)
     assert(!got.contains(base))
   }
+
+  test("rollup merge: weekly stats from daily partials equal the " +
+    "direct-from-raw aggregation, exactly, and cover every week") {
+    val rows = Sketch.rollupMerge(spark, Sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(1) == r.getLong(2), s"count mismatch: $r")
+      // DECIMAL-carried partial sums merge EXACTLY — == on the doubles,
+      // not a tolerance (a double-summed partial would break this)
+      assert(r.getDouble(3) == r.getDouble(4), s"sum mismatch: $r")
+      assert(r.getDouble(5) == r.getDouble(6), s"min mismatch: $r")
+      assert(r.getDouble(7) == r.getDouble(8), s"max mismatch: $r")
+    }
+    // the week key partitions the observed day range: no week absent
+    val weeks = rows.map(_.getLong(0)).sorted.toSeq
+    assert(weeks == (weeks.min to weeks.max).toSeq)
+  }
 }

@@ -1066,4 +1066,50 @@ class StreamingSpec extends SparkSpecBase {
         && sorted.init.forall(_._4.nonEmpty))
     }
   }
+
+  test("cdc apply: last-writer-wins with tombstones — delete removes, " +
+    "later upsert resurrects, same-ts ties break on event_id") {
+    val s = spark; import s.implicits._
+    val evs = Seq(
+      // user 1: upsert, delete, upsert → resurrected with the last value
+      ev(1, 10 * MinNs, user = 1, v = 1.0),
+      ev(2, 20 * MinNs, user = 1, typ = "error", v = 0.0),
+      ev(3, 30 * MinNs, user = 1, typ = "purchase", v = 3.0),
+      // user 2: upserts then a final delete → absent
+      ev(4, 10 * MinNs, user = 2, v = 2.0),
+      ev(5, 20 * MinNs, user = 2, typ = "error", v = 0.0),
+      // user 3: single tombstone → absent
+      ev(6, 10 * MinNs, user = 3, typ = "error", v = 0.0),
+      // user 4: two upserts at the SAME ts → higher event_id wins
+      ev(8, 10 * MinNs, user = 4, v = 4.0),
+      ev(9, 10 * MinNs, user = 4, typ = "view", v = 5.0)).toDF()
+    val got = Streams.cdcApply(evs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2),
+        r.getDouble(3), r.getLong(4), r.getLong(5)))).toMap
+    def us(m: Long) = m * MinNs / 1000
+    assert(got.keySet == Set(1L, 4L)) // 2 and 3 end deleted
+    assert(got(1L) == ((us(30), "purchase", 3.0, 3L, 1L)))
+    assert(got(4L) == ((us(10), "view", 5.0, 2L, 0L)))
+  }
+
+  test("daily interpolation: observed days keep their mean, gap days " +
+    "lie on the connecting line, series spans first..last obs") {
+    val s = spark; import s.implicits._
+    val DayNs = 86400L * 1000 * 1000 * 1000
+    val evs = Seq(
+      // user 1, day 0: two values → mean 3.0; day 3: 9.0
+      ev(1, 0, v = 2.0), ev(2, 1 * MinNs, v = 4.0),
+      ev(3, 3 * DayNs, v = 9.0),
+      // user 2: a single observation → a single observed row
+      ev(4, 5 * DayNs, user = 2, v = 7.0)).toDF()
+    val got = Streams.interpolateDaily(evs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getBoolean(3))).toSet
+    assert(got == Set(
+      (1L, 0L, 3.0, true),
+      (1L, 1L, 5.0, false), // 3 + 6·(1/3)
+      (1L, 2L, 7.0, false), // 3 + 6·(2/3)
+      (1L, 3L, 9.0, true),
+      (2L, 5L, 7.0, true)))
+  }
 }
