@@ -391,6 +391,104 @@ object Curation {
     * single map-side-combined aggregation profiles all columns together
     * — never one scan per column.
     */
+  /** Declarative data-quality CHECK suite (the Deequ/"unit tests for
+    * data" family): cross-table constraint verification in one result
+    * table — (check, n_rows, n_bad, metric, passed) per named
+    * constraint. [[profile]] DESCRIBES columns; this VERIFIES
+    * contracts, the artifact an ingestion gate reads before a corpus
+    * refresh may ship: completeness (no null/empty text), key
+    * uniqueness (single and composite), domain whitelists, numeric
+    * range bounds, referential integrity, non-negativity.
+    *
+    * Scale shape: one map-side-combined aggregate per TABLE (each
+    * multi-check row unpivots from that single pass, the [[profile]]
+    * fan-out discipline), plus one distributed equi-join for the FK
+    * check — the only constraint that inherently relates two tables.
+    * Nothing collects; `metric` is one exactly-rounded integer→double
+    * division, so the suite hash-gates like everything else.
+    *
+    * Note the suite REALLY fires on the fixture: the generator draws
+    * l_linenumber uniformly from 1..7 rather than sequencing it, so the
+    * textbook lineitem primary key does not hold and that row reports
+    * `passed = false` with the exact collision count (spec-pinned) —
+    * the suite's value is precisely that such contract drift surfaces
+    * as a red row instead of a silent join fan-out downstream.
+    */
+  def dqChecks(spark: SparkSession, dir: String): DataFrame = {
+    val d = dqDocChecks(Tables(spark, dir, "documents"))
+    val li = dqLineitemChecks(Tables(spark, dir, "lineitem"))
+    val fk = dqFkCheck("orders.o_custkey references customer",
+      Tables(spark, dir, "orders").select(col("o_custkey").as("k")),
+      Tables(spark, dir, "customer").select(col("c_custkey").as("k")))
+    val ev = dqEventChecks(Tables(spark, dir, "events"))
+    d.unionByName(li).unionByName(fk).unionByName(ev)
+      .select(col("check"), col("n_rows"), col("n_bad"),
+        ((col("n_rows") - col("n_bad")).cast("double") /
+          col("n_rows").cast("double")).as("metric"),
+        (col("n_bad") === 0L).as("passed"))
+  }
+
+  /** Accepted corpus languages (the ingest contract's domain). */
+  val DqLangs: Seq[String] = Seq("de", "en", "es", "fr", "zh")
+
+  /** documents: completeness, key uniqueness, language whitelist —
+    * three checks from ONE scan.
+    */
+  def dqDocChecks(docs: DataFrame): DataFrame =
+    docs.agg(
+      count(lit(1)).as("n"),
+      sum(when(col("text").isNull || col("text") === "", 1L)
+        .otherwise(0L)).as("b_complete"),
+      (count(lit(1)) - countDistinct(col("doc_id"))).as("b_unique"),
+      sum(when(col("lang").isNull
+        || !col("lang").isin(DqLangs: _*), 1L).otherwise(0L))
+        .as("b_lang"))
+      .select(explode(array(
+        struct(lit("documents.text complete").as("check"),
+          col("n").as("n_rows"), col("b_complete").as("n_bad")),
+        struct(lit("documents.doc_id unique").as("check"),
+          col("n").as("n_rows"), col("b_unique").as("n_bad")),
+        struct(lit("documents.lang whitelisted").as("check"),
+          col("n").as("n_rows"), col("b_lang").as("n_bad")))).as("c"))
+      .select("c.check", "c.n_rows", "c.n_bad")
+
+  /** lineitem: composite-key uniqueness + discount range, one scan. */
+  def dqLineitemChecks(li: DataFrame): DataFrame =
+    li.agg(
+      count(lit(1)).as("n"),
+      (count(lit(1)) - countDistinct(col("l_orderkey"),
+        col("l_linenumber"))).as("b_unique"),
+      sum(when(col("l_discount").isNull || col("l_discount") < 0.0
+        || col("l_discount") > 0.1, 1L).otherwise(0L)).as("b_range"))
+      .select(explode(array(
+        struct(lit("lineitem.(l_orderkey,l_linenumber) unique")
+          .as("check"), col("n").as("n_rows"),
+          col("b_unique").as("n_bad")),
+        struct(lit("lineitem.l_discount in [0,0.1]").as("check"),
+          col("n").as("n_rows"), col("b_range").as("n_bad")))).as("c"))
+      .select("c.check", "c.n_rows", "c.n_bad")
+
+  /** Referential integrity: every child `k` exists in parent `k`.
+    * A left join against the DISTINCT parent keys + null count — the
+    * one check that must relate two tables, planned as a plain
+    * shuffled (or AQE-broadcast) equi-join.
+    */
+  def dqFkCheck(name: String, child: DataFrame,
+      parent: DataFrame): DataFrame =
+    child.join(parent.distinct().withColumn("hit", lit(1)),
+        Seq("k"), "left")
+      .agg(count(lit(1)).as("n_rows"),
+        sum(when(col("hit").isNull, 1L).otherwise(0L)).as("n_bad"))
+      .select(lit(name).as("check"), col("n_rows"), col("n_bad"))
+
+  /** events: value non-negativity, one scan. */
+  def dqEventChecks(ev: DataFrame): DataFrame =
+    ev.agg(count(lit(1)).as("n_rows"),
+      sum(when(col("value").isNull || col("value") < 0.0, 1L)
+        .otherwise(0L)).as("n_bad"))
+      .select(lit("events.value non-negative").as("check"),
+        col("n_rows"), col("n_bad"))
+
   def profile(spark: SparkSession, dir: String): DataFrame =
     profileOf(Tables(spark, dir, "documents"), Seq(
       ("doc_id", col("doc_id").cast("string"), col("doc_id").cast("double")),
@@ -1620,6 +1718,7 @@ object Curation {
     "llm_corpus_card" -> corpusCard,
     "llm_curate_audit" -> curateAudit,
     "llm_profile" -> profile,
+    "llm_dq_checks" -> dqChecks,
     "llm_chunk" -> chunk,
     "llm_pack_chunks" -> packChunks,
     "llm_pack_offsets" -> packOffsets,
@@ -2100,6 +2199,53 @@ GROUP BY split"""
     "llm_quality_eval" -> qualityEvalOracleSql,
     "llm_bpe_drift" -> bpeDriftOracleSql,
     "llm_profile" -> profileOracleSql,
+    "llm_dq_checks" ->
+      s"""WITH d AS (
+         |  SELECT count(*)::BIGINT AS n,
+         |    sum(CASE WHEN text IS NULL OR text = '' THEN 1 ELSE 0
+         |      END)::BIGINT AS bc,
+         |    (count(*) - count(DISTINCT doc_id))::BIGINT AS bu,
+         |    sum(CASE WHEN lang IS NULL OR lang NOT IN
+         |      (${DqLangs.map(l => s"'$l'").mkString(", ")})
+         |      THEN 1 ELSE 0 END)::BIGINT AS bl
+         |  FROM documents),
+         |li AS (
+         |  SELECT count(*)::BIGINT AS n,
+         |    (count(*) - count(DISTINCT (l_orderkey, l_linenumber)))
+         |      ::BIGINT AS bu,
+         |    sum(CASE WHEN l_discount IS NULL OR l_discount < 0.0e0
+         |      OR l_discount > 0.1e0 THEN 1 ELSE 0 END)::BIGINT AS br
+         |  FROM lineitem),
+         |fk AS (
+         |  SELECT count(*)::BIGINT AS n,
+         |    sum(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0
+         |      END)::BIGINT AS b
+         |  FROM orders o LEFT JOIN
+         |    (SELECT DISTINCT c_custkey FROM customer) c
+         |    ON o.o_custkey = c.c_custkey),
+         |e AS (
+         |  SELECT count(*)::BIGINT AS n,
+         |    sum(CASE WHEN value IS NULL OR value < 0.0e0 THEN 1
+         |      ELSE 0 END)::BIGINT AS b
+         |  FROM events),
+         |checks AS (
+         |  SELECT 'documents.text complete' AS "check", n,
+         |    bc AS n_bad FROM d
+         |  UNION ALL SELECT 'documents.doc_id unique', n, bu FROM d
+         |  UNION ALL SELECT 'documents.lang whitelisted', n, bl FROM d
+         |  UNION ALL
+         |    SELECT 'lineitem.(l_orderkey,l_linenumber) unique', n, bu
+         |    FROM li
+         |  UNION ALL SELECT 'lineitem.l_discount in [0,0.1]', n, br
+         |    FROM li
+         |  UNION ALL
+         |    SELECT 'orders.o_custkey references customer', n, b
+         |    FROM fk
+         |  UNION ALL SELECT 'events.value non-negative', n, b FROM e)
+         |SELECT "check", n AS n_rows, n_bad,
+         |  (n - n_bad)::DOUBLE / n::DOUBLE AS metric,
+         |  (n_bad = 0) AS passed
+         |FROM checks""".stripMargin,
     // sums cast ::BIGINT (DuckDB widens SUM(INT) to HUGEINT)
     "llm_gate_report" -> gateReportOracleSql,
     // every section of the card is a replayed constituent: the gate

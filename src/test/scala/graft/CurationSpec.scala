@@ -653,4 +653,44 @@ class CurationSpec extends SparkSpecBase {
     val n = src.count()
     assert(got.map(_._4).sum == n * (n + 1) / 2)
   }
+
+  test("dq checks: clean fixture passes everything; planted violations " +
+    "are counted exactly per constraint") {
+    val s = spark; import s.implicits._
+    // the shipped suite over the fixture: 6 of 7 constraints green, and
+    // the seventh is a TRUE finding — the generator draws l_linenumber
+    // uniformly from 1..7 instead of sequencing it per order, so the
+    // classic TPC-H primary key genuinely does not hold here (1401
+    // collisions at sf0.001). A DQ suite that reports it is doing its
+    // job; a fixture tweak would erase the proof.
+    val clean = Curation.dqChecks(spark, Sf).collect()
+    assert(clean.length == 7)
+    val byName = clean.map(r => r.getString(0) -> r).toMap
+    val liKey = byName("lineitem.(l_orderkey,l_linenumber) unique")
+    assert(!liKey.getBoolean(4) && liKey.getLong(2) == 1401L)
+    clean.filter(_ ne liKey).foreach { r =>
+      assert(r.getBoolean(4) && r.getDouble(3) == 1.0
+        && r.getLong(2) == 0L, s"unexpected DQ failure: $r")
+    }
+    // planted documents violations: 1 null text, 1 empty text, a
+    // duplicated doc_id, and 2 bad langs (one null, one off-list)
+    val docs = Seq(
+      (1L, Option("ok"), Option("en")),
+      (2L, None, Option("en")),          // null text
+      (3L, Option(""), Option("de")),    // empty text
+      (3L, Option("dup"), Option("fr")), // duplicate key
+      (4L, Option("x"), None),           // null lang
+      (5L, Option("y"), Option("xx")))   // off-whitelist lang
+      .toDF("doc_id", "text", "lang")
+    val got = Curation.dqDocChecks(docs).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got("documents.text complete") == ((6L, 2L)))
+    assert(got("documents.doc_id unique") == ((6L, 1L)))
+    assert(got("documents.lang whitelisted") == ((6L, 2L)))
+    // planted FK orphans: children 10,20 match, 30 does not
+    val fk = Curation.dqFkCheck("fk",
+      Seq(10L, 20L, 30L).toDF("k"),
+      Seq(10L, 20L, 20L).toDF("k")).collect().head
+    assert(fk.getLong(1) == 3L && fk.getLong(2) == 1L)
+  }
 }
