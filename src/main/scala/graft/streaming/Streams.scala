@@ -1095,6 +1095,64 @@ object Streams {
         col("valid_to_us"), col("n_events"))
   }
 
+  /** Linear multi-touch attribution window, in event-time micros. */
+  val AttrWindowUs: Long = 3L * DayUs
+
+  /** Integer credit scale: each purchase's unit credit is dealt as
+    * `AttrScale div n_touches` — exact BIGINT arithmetic (the
+    * PageRank/DSIR DIV discipline), so credit sums are bit-identical
+    * in any engine and under any partitioning, where a float 1/n would
+    * make summation order observable. The ≤ (n−1)/1e12 truncation loss
+    * per purchase is the documented price of exactness.
+    */
+  val AttrScale: Long = 1000000000000L
+
+  /** Linear (equal-weight) multi-touch attribution — the fractional
+    * companion of [[purchaseAttribution]] (last-touch) and
+    * [[firstTouch]]: every purchase deals its unit credit equally
+    * across ALL the same-user views in the preceding [[AttrWindowUs]],
+    * and credits aggregate by the view's hour-of-day — "when do the
+    * views that actually drive purchases happen", the budget-shifting
+    * readout single-touch models bias toward session edges. Purchases
+    * with no view in the window drop (they have no touch to credit).
+    * (hour, n_touches, n_purchases, credit_scaled, credit).
+    *
+    * Scale shape: the pair source is the [[eventPairsAudited]]
+    * time-bucket equi-join — the earlier side explodes onto 2 coarse
+    * buckets, the join key is (user, bucket), the exact window is a
+    * residual filter — never a BroadcastNestedLoop; per-purchase touch
+    * counts are a window over p_id partitions (bounded: one user's
+    * 3-day views), and the output is ≤ 24 rows.
+    */
+  def linearAttribution(events: DataFrame): DataFrame = {
+    val e = withEventTime(events)
+    val views = e.where(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("ts_us").as("v_us"),
+        col("event_id").as("v_id"),
+        expr(s"ts_us div $AttrWindowUs").as("vb"))
+      .select(col("v_user"), col("v_us"), col("v_id"),
+        explode(array(col("vb"), col("vb") + 1)).as("tb"))
+    val purchases = e.where(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts_us").as("p_us"),
+        col("event_id").as("p_id"),
+        expr(s"ts_us div $AttrWindowUs").as("pb"))
+    val touches = purchases.join(views,
+      col("p_user") === col("v_user") && col("tb") === col("pb")
+        && col("p_us") > col("v_us")
+        && col("p_us") - col("v_us") <= AttrWindowUs)
+    touches
+      .withColumn("n_touch",
+        count(lit(1)).over(Window.partitionBy("p_id")))
+      .withColumn("credit_scaled", expr(s"$AttrScale div n_touch"))
+      .groupBy(expr(s"(v_us div $HourUs) % 24").as("hour"))
+      .agg(count(lit(1)).as("n_touches"),
+        countDistinct(col("p_id")).as("n_purchases"),
+        sum(col("credit_scaled")).as("credit_scaled"))
+      .select(col("hour"), col("n_touches"), col("n_purchases"),
+        col("credit_scaled"),
+        (col("credit_scaled").cast("double") / 1.0e12).as("credit"))
+  }
+
   /** CDC (change-data-capture) changelog apply — full MERGE semantics
     * over an ordered op log, the third member of the corpus-refresh
     * family ([[graft.operators.Curation]]'s `llm_upsert` handles
@@ -1564,6 +1622,8 @@ object Streams {
       ((s: SparkSession, d: String) => scd2(events(s, d))),
     "stream_cdc_apply" ->
       ((s: SparkSession, d: String) => cdcApply(events(s, d))),
+    "stream_attribution_linear" ->
+      ((s: SparkSession, d: String) => linearAttribution(events(s, d))),
     "stream_interpolate" ->
       ((s: SparkSession, d: String) => interpolateDaily(events(s, d))),
     "stream_trend" ->
@@ -2105,6 +2165,26 @@ object Streams {
         |  a.n_ops, a.n_deletes
         |FROM log l JOIN agg a ON l.user_id = a.user_id
         |WHERE l.rn = 1 AND l.event_type <> 'error'""".stripMargin,
+    "stream_attribution_linear" ->
+      s"""WITH v AS (
+         |  SELECT user_id, epoch_us(ts) AS v_us, event_id AS v_id
+         |  FROM events WHERE event_type = 'view'),
+         |p AS (
+         |  SELECT user_id, epoch_us(ts) AS p_us, event_id AS p_id
+         |  FROM events WHERE event_type = 'purchase'),
+         |touches AS (
+         |  SELECT v.v_us, p.p_id,
+         |    count(*) OVER (PARTITION BY p.p_id) AS n_touch
+         |  FROM p JOIN v ON p.user_id = v.user_id
+         |    AND p.p_us > v.v_us
+         |    AND p.p_us - v.v_us <= $AttrWindowUs)
+         |SELECT (v_us // $HourUs) % 24 AS hour,
+         |  count(*)::BIGINT AS n_touches,
+         |  count(DISTINCT p_id)::BIGINT AS n_purchases,
+         |  sum($AttrScale // n_touch)::BIGINT AS credit_scaled,
+         |  sum($AttrScale // n_touch)::BIGINT::DOUBLE / 1.0e12
+         |    AS credit
+         |FROM touches GROUP BY 1""".stripMargin,
     "stream_interpolate" ->
       s"""WITH obs AS (
          |  SELECT user_id, epoch_us(ts) // $DayUs AS day,

@@ -1092,6 +1092,31 @@ class StreamingSpec extends SparkSpecBase {
     assert(got(4L) == ((us(10), "view", 5.0, 2L, 0L)))
   }
 
+  test("linear attribution: equal exact credit per in-window view, " +
+    "strict precedence, windowless purchases drop") {
+    val s = spark; import s.implicits._
+    val HourNs2 = 3600L * 1000 * 1000 * 1000
+    val evs = Seq(
+      // user 1: 3 views then a purchase at 10h → 1/3 credit each
+      ev(1, 2 * HourNs2, typ = "view"),
+      ev(2, 4 * HourNs2, typ = "view"),
+      ev(3, 6 * HourNs2, typ = "view"),
+      ev(4, 10 * HourNs2, typ = "purchase"),
+      // user 2: view 4 days before the purchase → outside the 3-day
+      // window, purchase unattributed and absent
+      ev(5, 0, user = 2, typ = "view"),
+      ev(6, 96 * HourNs2, user = 2, typ = "purchase"),
+      // user 3: view exactly AT purchase time → strict > excludes it
+      ev(7, 5 * HourNs2, user = 3, typ = "view"),
+      ev(8, 5 * HourNs2, user = 3, typ = "purchase")).toDF()
+    val got = Streams.linearAttribution(evs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).sortBy(_._1)
+    val third = Streams.AttrScale / 3
+    assert(got.toSeq == Seq((2L, 1L, 1L, third), (4L, 1L, 1L, third),
+      (6L, 1L, 1L, third)))
+  }
+
   test("daily interpolation: observed days keep their mean, gap days " +
     "lie on the connecting line, series spans first..last obs") {
     val s = spark; import s.implicits._
