@@ -926,7 +926,122 @@ object Dedup {
           .as("precision"))
   }
 
+  // ---- blocked fuzzy (edit-distance) join — entity resolution ----
+
+  /** Fuzzy-join edit budget: pairs within ≤ K edits on the match key. */
+  val FuzzyK = 2
+
+  /** Match-key width (chars) and aligned-segment width: K+1 = 3
+    * segments of 8, the classic ER blocking layout — ≤ K substitutions
+    * leave at least one aligned segment untouched (pigeonhole), and
+    * indel-shifted survivors still mostly share one (blocking is a
+    * recall heuristic by design; [[fuzzyRecall]] prices it).
+    */
+  val FuzzyKeyLen = 24
+  val FuzzySegLen = 8
+
+  /** Hot-block guard: aligned segments shared by more doc-keys than
+    * this are dropped from candidate generation (the [[NgramStopDf]]
+    * skew discipline — a boilerplate prefix like "customer" must not
+    * quadratically pair everything that shares it). No-op on the
+    * fixture (max observed block df: 23 at sf0.01), so the oracle
+    * replays it exactly.
+    */
+  val FuzzyStopDf = 64
+
+  /** Blocked fuzzy self-join over the document match key (the
+    * lowercased first [[FuzzyKeyLen]] chars): all pairs within
+    * [[FuzzyK]] edits that share at least one aligned
+    * [[FuzzySegLen]]-char block — the entity-resolution operator
+    * (record linkage, near-identical titles/headers) built the way
+    * production ER does it: BLOCK (equi-join on (segment index,
+    * segment), never all-pairs), GUARD the hot blocks, VERIFY with the
+    * exact `levenshtein` (built-in, codegen'd; identical in DuckDB).
+    * (da, db, lev).
+    */
+  def fuzzyJoin(spark: SparkSession, dir: String): DataFrame =
+    fuzzyJoinOf(docs(spark, dir))
+
+  def fuzzyJoinOf(corpus: DataFrame): DataFrame = {
+    val cand = fuzzyCandidatesOf(corpus)
+    val k = fuzzyKeys(corpus)
+    cand
+      .join(k.select(col("doc_id").as("da"), col("k").as("ka")), "da")
+      .join(k.select(col("doc_id").as("db"), col("k").as("kb")), "db")
+      .select(col("da"), col("db"),
+        levenshtein(col("ka"), col("kb")).cast("long").as("lev"))
+      .where(col("lev") <= FuzzyK)
+  }
+
+  private[graft] def fuzzyKeys(corpus: DataFrame): DataFrame =
+    corpus.select(col("doc_id"),
+      lower(substring(col("text"), 1, FuzzyKeyLen)).as("k"))
+
+  /** Candidate pairs (da < db) sharing a cold aligned block — exposed
+    * for the skew spec: candidate volume stays linear in block sizes.
+    */
+  private[graft] def fuzzyCandidatesOf(corpus: DataFrame): DataFrame = {
+    val seg = fuzzyKeys(corpus)
+      .select(col("doc_id"), explode(array((0 until FuzzyK + 1).map {
+        i => struct(lit(i).as("i"),
+          substring(col("k"), 1 + FuzzySegLen * i, FuzzySegLen)
+            .as("s"))
+      }: _*)).as("b"))
+      .select(col("doc_id"), col("b.i").as("i"), col("b.s").as("s"))
+    val cold = seg
+      .withColumn("df",
+        count(lit(1)).over(Window.partitionBy("i", "s")))
+      .where(col("df") <= FuzzyStopDf)
+    cold.as("x").join(cold.as("y"),
+        col("x.i") === col("y.i") && col("x.s") === col("y.s")
+          && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("da"), col("y.doc_id").as("db"))
+      .distinct()
+  }
+
+  /** Sample size for the fuzzy-blocking recall audit: the [[FuzzyK]]
+    * budget's ground truth needs all-pairs verification, so it runs on
+    * a BOUNDED deterministic sample (md5-smallest docs via
+    * TakeOrdered — never rate-based, which would grow quadratic work
+    * with the corpus).
+    */
+  val FuzzySample = 256
+
+  /** Prices the blocking heuristic: on the [[FuzzySample]]-doc
+    * md5-deterministic sample, ALL O(sample²) pairs are verified
+    * exactly (the bounded ground truth), then classified by whether
+    * blocked candidate generation would have surfaced them — the
+    * recall audit ER ships next to its join, same framing as
+    * `llm_dedup_recall`. One row: (n_docs, n_true, n_found, n_missed).
+    */
+  def fuzzyRecall(spark: SparkSession, dir: String): DataFrame =
+    fuzzyRecallOf(docs(spark, dir))
+
+  def fuzzyRecallOf(corpus: DataFrame): DataFrame = {
+    val sample = corpus
+      .withColumn("u", graft.functions.Md5Uniform.uniform(col("doc_id")))
+      .orderBy(col("u"), col("doc_id")).limit(FuzzySample)
+      .select("doc_id", "text")
+    val k = fuzzyKeys(sample)
+    // bounded 256-row broadcast self-product — the ground truth
+    val truth = k.select(col("doc_id").as("da"), col("k").as("ka"))
+      .crossJoin(broadcast(
+        k.select(col("doc_id").as("db"), col("k").as("kb"))))
+      .where(col("da") < col("db")
+        && levenshtein(col("ka"), col("kb")) <= FuzzyK)
+      .select("da", "db")
+    val found = fuzzyJoinOf(sample).select("da", "db")
+    truth.join(found.withColumn("hit", lit(1L)), Seq("da", "db"), "left")
+      .agg(count(lit(1)).as("n_true"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_found"))
+      .select(lit(FuzzySample.toLong).as("n_docs"), col("n_true"),
+        col("n_found"),
+        (col("n_true") - col("n_found")).as("n_missed"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "llm_fuzzy_join" -> fuzzyJoin,
+    "llm_fuzzy_recall" -> fuzzyRecall,
     "llm_dedup_recall" -> dedupRecall,
     "llm_dedup_spans" -> spanDedup,
     "llm_dedup_apply" -> applyDedup,
@@ -1001,7 +1116,55 @@ object Dedup {
        |SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a"""
       .stripMargin.replace("PAIRS_SQL", minhashPairsOracleSql)
 
+  /** Shared fuzzy-join SQL over a doc source: key → aligned cold
+    * blocks → distinct candidates → exact levenshtein verify.
+    */
+  private def fuzzySql(src: String): String = {
+    val segs = (0 until FuzzyK + 1)
+      .map(i => s"($i, 1 + ${FuzzySegLen * i})").mkString(", ")
+    s"""fk AS (
+       |  SELECT doc_id, lower(substring(text, 1, $FuzzyKeyLen)) AS k
+       |  FROM $src),
+       |seg AS (
+       |  SELECT doc_id, t.i, substring(k, t.off, $FuzzySegLen) AS s
+       |  FROM fk, (VALUES $segs) t(i, off)),
+       |cold AS (
+       |  SELECT doc_id, i, s FROM (
+       |    SELECT *, count(*) OVER (PARTITION BY i, s) AS df FROM seg)
+       |  WHERE df <= $FuzzyStopDf),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+       |  FROM cold a JOIN cold b
+       |    ON a.i = b.i AND a.s = b.s AND a.doc_id < b.doc_id),
+       |fz AS (
+       |  SELECT da, db, levenshtein(ka.k, kb.k)::BIGINT AS lev
+       |  FROM cand JOIN fk ka ON cand.da = ka.doc_id
+       |    JOIN fk kb ON cand.db = kb.doc_id
+       |  WHERE levenshtein(ka.k, kb.k) <= $FuzzyK)""".stripMargin
+  }
+
   private val baseOracle: Map[String, String] = Map(
+    "llm_fuzzy_join" ->
+      s"""WITH ${fuzzySql("documents")}
+         |SELECT da, db, lev FROM fz""".stripMargin,
+    "llm_fuzzy_recall" ->
+      s"""WITH sample AS (
+         |  SELECT doc_id, text FROM documents
+         |  ORDER BY ${graft.functions.Md5Uniform.sql("doc_id")}, doc_id
+         |  LIMIT $FuzzySample),
+         |${fuzzySql("sample")},
+         |truth AS (
+         |  SELECT a.doc_id AS da, b.doc_id AS db
+         |  FROM fk a JOIN fk b ON a.doc_id < b.doc_id
+         |    AND levenshtein(a.k, b.k) <= $FuzzyK)
+         |SELECT $FuzzySample::BIGINT AS n_docs,
+         |  count(*)::BIGINT AS n_true,
+         |  sum(CASE WHEN f.da IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+         |    AS n_found,
+         |  (count(*) - sum(CASE WHEN f.da IS NOT NULL THEN 1 ELSE 0
+         |    END))::BIGINT AS n_missed
+         |FROM truth t LEFT JOIN fz f
+         |  ON t.da = f.da AND t.db = f.db""".stripMargin,
     "llm_dedup_apply_best" ->
       s"""WITH cl AS ($clustersOracleSql),
          |sz AS (SELECT doc_id,

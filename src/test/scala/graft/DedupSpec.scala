@@ -395,4 +395,42 @@ class DedupSpec extends SparkSpecBase {
           s"$bound — widen range(...) in Multimodal.oracle to match")
     }
   }
+
+  test("fuzzy join: planted near-keys within the edit budget pair up, " +
+    "beyond-budget and blocked-out pairs do not") {
+    val s = spark; import s.implicits._
+    // 24-char keys along a substitution chain: each neighbor differs by
+    // ≤ 2 edits (1↔2: 1 sub; 2↔3: 2 subs; 3↔4: 2 subs), while the
+    // skip-pairs exceed the budget (1↔3: 3 subs, 1↔4: 6, 2↔4: 4); doc 5
+    // shares no aligned segment with anyone.
+    val docs = Seq(
+      (1L, "aaaaaaaabbbbbbbbcccccccc trailing text"),
+      (2L, "aaaaaaaXbbbbbbbbcccccccc trailing text"),
+      (3L, "aaaaaaXXbbbbbbXbcccccccc trailing text"),
+      (4L, "aaaaaXXXbbbbbXXbcccccccc trailing text"),
+      (5L, "ddddddddeeeeeeeeffffffff other")).toDF("doc_id", "text")
+    val got = Dedup.fuzzyJoinOf(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set((1L, 2L, 1L), (2L, 3L, 2L), (3L, 4L, 2L)))
+    // the over-budget pairs still share the common third segment, so
+    // blocking surfaced them as candidates — the exact verify cut them:
+    val cand = Dedup.fuzzyCandidatesOf(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(Set((1L, 3L), (1L, 4L), (2L, 4L)).subsetOf(cand))
+    assert(!cand.exists(p => p._1 == 5L || p._2 == 5L))
+  }
+
+  test("fuzzy recall audit: ground truth reconciles and blocking " +
+    "misses nothing on the fixture sample") {
+    val r = Dedup.fuzzyRecall(spark, Sf).collect()
+    assert(r.length == 1)
+    val row = r.head
+    assert(row.getLong(0) == Dedup.FuzzySample.toLong)
+    assert(row.getLong(1) == row.getLong(2) + row.getLong(3))
+    assert(row.getLong(3) >= 0L)
+    // every found pair is a true pair by construction (verified exact),
+    // and on this fixture the aligned-segment blocking is lossless
+    assert(row.getLong(3) == 0L,
+      s"blocking missed ${row.getLong(3)} true pairs at sf0.001")
+  }
 }
