@@ -377,7 +377,60 @@ object Retrieval {
       .where(col("rk") <= PhraseTopK)
   }
 
+  /** Posting-list block size: gaps restart at block boundaries (doc_id
+    * div B), exactly like the block/skip structure of real index
+    * formats (PForDelta, Lucene blocks) — and precisely what makes the
+    * audit SCALE: every window below partitions by (word, block), so a
+    * stop word's corpus-sized posting list never serializes through one
+    * task; its blocks compress independently.
+    */
+  val CompressBlock = 128L
+
+  /** Delta-gap compression audit of the inverted index — the
+    * index-engineering number behind every IR entry here: per
+    * df-magnitude bucket (⌈log₂ df⌉, so the report is ~20 rows whatever
+    * |V| is), the raw 8-byte-per-posting cost vs the varbyte cost of
+    * block-restarted delta gaps (bits(gap) = length of its binary form,
+    * varbyte bytes = ceil(bits/7)). Dense (high-df) lists compress
+    * hardest — small gaps — which is WHY inverted indexes store deltas;
+    * the ratio column makes that textbook claim a hash-gated number on
+    * this corpus. (df_bucket, n_terms, n_postings, raw_bytes,
+    * varbyte_bytes, ratio).
+    *
+    * All-integer until the final exactly-rounded ratio division; the
+    * binary length is the built-in `bin()` string length in BOTH
+    * engines (identical leading-zero-free semantics).
+    */
+  def postingsCompress(spark: SparkSession, dir: String): DataFrame =
+    postingsCompressOf(docs(spark, dir))
+
+  def postingsCompressOf(corpus: DataFrame): DataFrame = {
+    val post = tfOf(corpus).select(col("word"), col("doc_id"))
+    val wb = Window.partitionBy(col("word"), col("blk"))
+      .orderBy(col("doc_id"))
+    val gaps = post
+      .withColumn("blk", expr(s"doc_id div $CompressBlock"))
+      .withColumn("gap",
+        col("doc_id") - coalesce(lag(col("doc_id"), 1).over(wb),
+          col("blk") * CompressBlock))
+      .withColumn("bits", length(bin(col("gap"))).cast("long"))
+    gaps
+      .groupBy("word")
+      .agg(count(lit(1)).as("df"),
+        sum(expr("(bits + 6) div 7")).as("vb"))
+      .groupBy(length(bin(col("df"))).cast("long").as("df_bucket"))
+      .agg(count(lit(1)).as("n_terms"),
+        sum(col("df")).as("n_postings"),
+        (sum(col("df")) * 8L).as("raw_bytes"),
+        sum(col("vb")).as("varbyte_bytes"))
+      .select(col("df_bucket"), col("n_terms"), col("n_postings"),
+        col("raw_bytes"), col("varbyte_bytes"),
+        (col("varbyte_bytes").cast("double") /
+          col("raw_bytes").cast("double")).as("ratio"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "llm_postings_compress" -> postingsCompress,
     "llm_proximity_topk" -> proximityTopK,
     "llm_phrase_postings" -> phrasePostings,
     "llm_postings" -> postings,
@@ -465,6 +518,30 @@ object Retrieval {
   }
 
   val oracle: Map[String, String] = Map(
+    "llm_postings_compress" ->
+      s"""WITH post AS (
+         |  SELECT DISTINCT doc_id,
+         |    unnest(string_split(text, ' ')) AS word
+         |  FROM documents),
+         |gaps AS (
+         |  SELECT word, doc_id, doc_id // $CompressBlock AS blk,
+         |    doc_id - coalesce(
+         |      lag(doc_id) OVER (PARTITION BY word,
+         |        doc_id // $CompressBlock ORDER BY doc_id),
+         |      (doc_id // $CompressBlock) * $CompressBlock) AS gap
+         |  FROM post),
+         |terms AS (
+         |  SELECT word, count(*)::BIGINT AS df,
+         |    sum((length(bin(gap)) + 6) // 7)::BIGINT AS vb
+         |  FROM gaps GROUP BY word)
+         |SELECT length(bin(df))::BIGINT AS df_bucket,
+         |  count(*)::BIGINT AS n_terms,
+         |  sum(df)::BIGINT AS n_postings,
+         |  (sum(df) * 8)::BIGINT AS raw_bytes,
+         |  sum(vb)::BIGINT AS varbyte_bytes,
+         |  sum(vb)::BIGINT::DOUBLE / (sum(df) * 8)::BIGINT::DOUBLE
+         |    AS ratio
+         |FROM terms GROUP BY 1""".stripMargin,
     "llm_proximity_topk" ->
       s"""WITH tok AS (
          |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
