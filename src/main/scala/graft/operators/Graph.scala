@@ -799,7 +799,65 @@ object Graph {
       .limit(AlsRecK)
   }
 
+  /** Hub cap for [[linkPred]]: only common neighbors of degree ≤ this
+    * mediate a prediction. Principled, not just defensive — a neighbor
+    * shared through a super-hub carries ~no signal (its RA weight 1/d
+    * is already negligible), and the cap bounds the wedge fan-out of a
+    * degree-D hub at C(cap, 2) instead of C(D, 2), which is what keeps
+    * the pair generation row-local at web scale. 128 bites at fixture
+    * scale too (max co-purchase degree ≈ 206 at sf0.01), so the oracle
+    * exercises the cap rather than vacuously passing it.
+    */
+  val LinkHubCap = 128L
+
+  /** RA scores are BIGINT multiples of 1e-12 (the [[PrScale]]
+    * discipline): each mediator contributes scale DIV degree, exact in
+    * both engines.
+    */
+  val LinkScale = 1000000000000L
+
+  /** Predicted edges reported. */
+  val LinkTopK = 20
+
+  /** Link prediction by the resource-allocation index (Zhou, Lü &
+    * Zhang, EPJ B 2009 — the 1/deg cousin of Adamic-Adar that needs no
+    * logarithm, so the score stays exact integer arithmetic): for every
+    * non-edge pair (x, y) sharing at least one common neighbor z of
+    * degree ≤ [[LinkHubCap]], score = Σ_z [[LinkScale]] DIV deg(z), report
+    * the top-[[LinkTopK]] by (score, common-neighbor count, pair).
+    *
+    * Shape: wedges are generated BASKET-LOCALLY from each mediator's
+    * capped neighbor list (the [[edgesOf]] double-explode applied to
+    * adjacency instead of order baskets) — never a sym⋈sym self-join,
+    * which would shuffle the adjacency twice and square the hubs
+    * before the cap could prune them. One groupBy on the pair key and
+    * one anti-join against the edge table later, the top-k is a
+    * TakeOrderedAndProject (per-partition heaps, no global sort).
+    */
+  def linkPred(spark: SparkSession, dir: String): DataFrame =
+    linkPredOf(edges(spark, dir))
+
+  def linkPredOf(ed: DataFrame): DataFrame = {
+    val sym = symOf(ed)
+    val adj = sym.groupBy(col("src"))
+      .agg(collect_list(col("dst")).as("nbrs"), count(lit(1)).as("d"))
+      .where(col("d") <= LinkHubCap)
+    val wedges = adj
+      .select(expr(s"$LinkScale DIV d").as("wz"), col("nbrs"))
+      .select(col("wz"), explode(col("nbrs")).as("x"), col("nbrs"))
+      .select(col("wz"), col("x"), explode(col("nbrs")).as("y"))
+      .where(col("x") < col("y"))
+    wedges
+      .groupBy("x", "y")
+      .agg(count(lit(1)).as("cn"), sum(col("wz")).as("ra_scaled"))
+      .join(ed.select(col("a").as("x"), col("b").as("y")),
+        Seq("x", "y"), "left_anti")
+      .orderBy(col("ra_scaled").desc, col("cn").desc, col("x"), col("y"))
+      .limit(LinkTopK)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "graph_link_pred" -> linkPred,
     "graph_als_factors" -> alsFactors,
     "graph_als_recs" -> alsRecs,
     "graph_degrees" -> degrees,
@@ -865,6 +923,21 @@ object Graph {
   }
 
   val oracle: Map[String, String] = Map(
+    "graph_link_pred" ->
+      s"""WITH $graphCte,
+         |wed AS (
+         |  SELECT s1.dst AS x, s2.dst AS y,
+         |    ($LinkScale // g.d)::BIGINT AS wz
+         |  FROM sym s1
+         |  JOIN sym s2 ON s2.src = s1.src AND s1.dst < s2.dst
+         |  JOIN deg g ON g.node = s1.src AND g.d <= $LinkHubCap),
+         |sc AS (
+         |  SELECT x, y, count(*)::BIGINT AS cn, sum(wz)::BIGINT AS ra_scaled
+         |  FROM wed GROUP BY 1, 2)
+         |SELECT x, y, cn, ra_scaled FROM sc
+         |WHERE NOT EXISTS (SELECT 1 FROM ed
+         |                  WHERE ed.a = sc.x AND ed.b = sc.y)
+         |ORDER BY ra_scaled DESC, cn DESC, x, y LIMIT $LinkTopK""".stripMargin,
     "graph_als_factors" ->
       s"""WITH $alsCte
          |SELECT p AS p_key, v, n_raters

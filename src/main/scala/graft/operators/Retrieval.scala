@@ -377,6 +377,100 @@ object Retrieval {
       .where(col("rk") <= PhraseTopK)
   }
 
+  /** Evaluation depth: NDCG/precision/recall are measured at this run
+    * cut (the TREC-standard @10).
+    */
+  val EvalK = 10
+
+  /** Graded relevance ceiling: grade(q, d) = min(tf(q, d), this) — a
+    * deterministic qrels derivation from the corpus itself (how often
+    * the query term recurs in the document), capped the way human
+    * judgment scales cap at "highly relevant".
+    */
+  val EvalMaxGrade = 3L
+
+  /** Binary-relevance threshold (for MRR/precision/recall): grade ≥ 2,
+    * i.e. the term recurs — mirroring TREC's "relevant = grade ≥ 1 on
+    * the graded scale above marginal".
+    */
+  val EvalRelGrade = 2L
+
+  /** NDCG rank discounts 1/log₂(r+1) for r = 1..[[EvalK]], precomputed
+    * ONCE on the driver and emitted as identical literals into both the
+    * Spark plan and the oracle SQL — the only transcendental in the
+    * retrieval family, kept hash-exact by never evaluating `log` inside
+    * either engine (the [[dlit]] round-trip discipline).
+    */
+  private val EvalDiscs: Seq[(Int, Double)] =
+    (1 to EvalK).map(r => r -> 1.0 / (math.log(r + 1.0) / math.log(2.0)))
+
+  private def discOf(rk: Column): Column =
+    EvalDiscs.foldLeft(lit(0.0)) { case (e, (r, d)) =>
+      when(rk === r, lit(d)).otherwise(e)
+    }
+
+  /** Gain 2^grade − 1 for the 0..[[EvalMaxGrade]] grade domain, as a
+    * literal CASE (exact small integers, no pow()).
+    */
+  private def gainOf(grade: Column): Column =
+    when(grade === 1, lit(1.0)).when(grade === 2, lit(3.0))
+      .when(grade === EvalMaxGrade, lit(7.0)).otherwise(lit(0.0))
+
+  /** Retrieval-quality scorecard of the BM25 run against the derived
+    * graded qrels: per query term — relevant count, DCG@k / ideal
+    * DCG@k / NDCG@k (Järvelin & Kekäläinen, TOIS '02), MRR, P@k, R@k.
+    *
+    * Shape: the run is the BM25 rank table cut at [[EvalK]] (the rank
+    * cut is WindowGroupLimit-eligible), qrels are the probed terms'
+    * posting lists (bounded by q·max-df), the ideal ranking is a window
+    * PARTITIONED by term with its own rank cut, and the final join is
+    * q rows against q rows. DCG sums run through DECIMAL(24,6) (the
+    * repo-wide deterministic-summation discipline) and every division
+    * is a single exactly-rounded IEEE op, so the scorecard sits behind
+    * the DuckDB hash gate bit-for-bit.
+    */
+  def evalRetrieval(spark: SparkSession, dir: String): DataFrame =
+    evalRetrievalOf(docs(spark, dir))
+
+  def evalRetrievalOf(corpus: DataFrame): DataFrame = {
+    val tf = tfOf(corpus)
+    val qrels = tf
+      .join(broadcast(queryTermsOf(tf).select("word")), "word")
+      .select(col("word"), col("doc_id"),
+        least(col("tf"), lit(EvalMaxGrade)).as("grade"))
+    val run = bm25ScoredOf(corpus).where(col("rk") <= EvalK)
+      .select(col("word"), col("doc_id"), col("rk"))
+      .join(qrels, Seq("word", "doc_id"))
+    val runAgg = run.groupBy("word").agg(
+      sum((gainOf(col("grade")) * discOf(col("rk")))
+        .cast("decimal(24,6)")).as("dcg_dec"),
+      sum(when(col("grade") >= EvalRelGrade, 1L).otherwise(0L))
+        .as("n_hit"),
+      min(when(col("grade") >= EvalRelGrade, col("rk"))).as("first_rel"))
+    val ideal = qrels
+      .withColumn("irk", row_number().over(Window.partitionBy("word")
+        .orderBy(col("grade").desc, col("doc_id"))).cast("long"))
+      .where(col("irk") <= EvalK)
+      .groupBy("word")
+      .agg(sum((gainOf(col("grade")) * discOf(col("irk")))
+        .cast("decimal(24,6)")).as("idcg_dec"))
+    val rel = qrels.groupBy("word")
+      .agg(sum(when(col("grade") >= EvalRelGrade, 1L).otherwise(0L))
+        .as("n_rel"))
+    runAgg.join(ideal, "word").join(rel, "word")
+      .select(col("word"), col("n_rel"),
+        col("dcg_dec").cast("double").as("dcg"),
+        col("idcg_dec").cast("double").as("idcg"),
+        (col("dcg_dec").cast("double") / col("idcg_dec").cast("double"))
+          .as("ndcg"),
+        coalesce(lit(1.0) / col("first_rel").cast("double"), lit(0.0))
+          .as("mrr"),
+        (col("n_hit").cast("double") / lit(EvalK.toDouble)).as("p_at_k"),
+        when(col("n_rel") === 0, lit(0.0))
+          .otherwise(col("n_hit").cast("double")
+            / col("n_rel").cast("double")).as("recall_at_k"))
+  }
+
   /** Posting-list block size: gaps restart at block boundaries (doc_id
     * div B), exactly like the block/skip structure of real index
     * formats (PForDelta, Lucene blocks) — and precisely what makes the
@@ -430,6 +524,7 @@ object Retrieval {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "llm_eval_retrieval" -> evalRetrieval,
     "llm_postings_compress" -> postingsCompress,
     "llm_proximity_topk" -> proximityTopK,
     "llm_phrase_postings" -> phrasePostings,
@@ -517,7 +612,57 @@ object Retrieval {
        |  CROSS JOIN tot)""".stripMargin
   }
 
+  private val gainSql: String =
+    s"CASE grade WHEN 1 THEN ${dlit(1.0)} WHEN 2 THEN ${dlit(3.0)}" +
+      s" WHEN 3 THEN ${dlit(7.0)} ELSE ${dlit(0.0)} END"
+
+  private def discSql(rkCol: String): String =
+    s"CASE $rkCol " + EvalDiscs.map { case (r, d) =>
+      s"WHEN $r THEN ${dlit(d)}"
+    }.mkString(" ") + s" ELSE ${dlit(0.0)} END"
+
   val oracle: Map[String, String] = Map(
+    "llm_eval_retrieval" ->
+      s"""WITH $tfCte, $dlCte, $qtCte, $statsCte, $bmCte,
+         |qr AS (
+         |  SELECT tf.word, tf.doc_id,
+         |    least(tf.tf, $EvalMaxGrade)::BIGINT AS grade
+         |  FROM tf JOIN qt ON qt.word = tf.word),
+         |run AS (
+         |  SELECT bm.word, bm.rk, qr.grade
+         |  FROM bm JOIN qr ON qr.word = bm.word AND qr.doc_id = bm.doc_id
+         |  WHERE bm.rk <= $EvalK),
+         |ra AS (
+         |  SELECT word,
+         |    CAST(SUM(CAST(($gainSql) * (${discSql("rk")})
+         |      AS DECIMAL(24,6))) AS DOUBLE) AS dcg,
+         |    SUM(CASE WHEN grade >= $EvalRelGrade THEN 1 ELSE 0
+         |      END)::BIGINT AS n_hit,
+         |    MIN(CASE WHEN grade >= $EvalRelGrade THEN rk END)::BIGINT
+         |      AS first_rel
+         |  FROM run GROUP BY word),
+         |id AS (
+         |  SELECT word,
+         |    CAST(SUM(CAST(($gainSql) * (${discSql("irk")})
+         |      AS DECIMAL(24,6))) AS DOUBLE) AS idcg
+         |  FROM (SELECT word, grade, row_number() OVER (
+         |          PARTITION BY word ORDER BY grade DESC, doc_id
+         |        )::BIGINT AS irk FROM qr)
+         |  WHERE irk <= $EvalK GROUP BY word),
+         |rel AS (
+         |  SELECT word, SUM(CASE WHEN grade >= $EvalRelGrade THEN 1
+         |    ELSE 0 END)::BIGINT AS n_rel
+         |  FROM qr GROUP BY word)
+         |SELECT ra.word, rel.n_rel, ra.dcg, id.idcg,
+         |  ra.dcg / id.idcg AS ndcg,
+         |  coalesce(${dlit(1.0)} / first_rel::DOUBLE, ${dlit(0.0)})
+         |    AS mrr,
+         |  n_hit::DOUBLE / ${dlit(EvalK.toDouble)} AS p_at_k,
+         |  CASE WHEN n_rel = 0 THEN ${dlit(0.0)}
+         |    ELSE n_hit::DOUBLE / n_rel::DOUBLE END AS recall_at_k
+         |FROM ra
+         |JOIN id ON id.word = ra.word
+         |JOIN rel ON rel.word = ra.word""".stripMargin,
     "llm_postings_compress" ->
       s"""WITH post AS (
          |  SELECT DISTINCT doc_id,

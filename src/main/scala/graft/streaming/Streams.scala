@@ -758,6 +758,116 @@ object Streams {
   }
 
 
+  /** Change-point detection over each event type's daily-count series:
+    * the single split that maximizes the between-segment variance
+    * reduction (binary segmentation's first step — Scott & Knott's
+    * objective; equivalently Otsu's criterion on the time axis):
+    * argmax over k of n_L·n_R·(mean_L − mean_R)², spelled on the exact
+    * integer prefix sums as (n_R·S_L − n_L·S_R)² / (n_L·n_R) so both
+    * engines land on bit-identical doubles (products through
+    * DECIMAL(19,0)×DECIMAL(19,0) — the rateAnomaly headroom treatment —
+    * then ONE squared double and ONE division).
+    *
+    * The series is the observed-day counts; a production run densifies
+    * zero-event days through [[resampleDaily]]'s grid first. Scale
+    * shape: the raw stream collapses to #types×#days rows in one
+    * map-side-combined aggregation; every window below is PARTITIONED
+    * by event_type over that bounded day series. Output: one row per
+    * type — split day, series length, segment means, and the score.
+    */
+  def changepoint(events: DataFrame): DataFrame = {
+    val dec = "decimal(19,0)"
+    val daily = withEventTime(events)
+      .groupBy(col("event_type"), expr(s"ts_us div $DayUs").as("day"))
+      .agg(count(lit(1)).as("cnt"))
+    val wRun = Window.partitionBy("event_type").orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy("event_type")
+    val scored = daily
+      .withColumn("k", row_number().over(
+        Window.partitionBy("event_type").orderBy("day")).cast("long"))
+      .withColumn("sl", sum(col("cnt")).over(wRun))
+      .withColumn("n", count(lit(1)).over(wAll))
+      .withColumn("s", sum(col("cnt")).over(wAll))
+      .where(col("k") < col("n"))
+      .withColumn("diff",
+        ((col("n") - col("k")).cast(dec) * col("sl").cast(dec)
+          - col("k").cast(dec) * (col("s") - col("sl")).cast(dec))
+          .cast("double"))
+      .withColumn("score", col("diff") * col("diff")
+        / (col("k") * (col("n") - col("k"))).cast("double"))
+    scored
+      .withColumn("rk", row_number().over(Window
+        .partitionBy("event_type")
+        .orderBy(col("score").desc, col("day"))))
+      .where(col("rk") === 1)
+      .select(col("event_type"), col("day").as("split_day"),
+        col("n").as("n_days"),
+        (col("sl").cast("double") / col("k").cast("double"))
+          .as("left_mean"),
+        ((col("s") - col("sl")).cast("double")
+          / (col("n") - col("k")).cast("double")).as("right_mean"),
+        col("score"))
+  }
+
+  /** Autocorrelation lags computed per event type (1..this). */
+  val AcfMaxLag = 7
+
+  /** Autocorrelation function of each event type's daily-count series
+    * at lags 1..[[AcfMaxLag]] — the seasonality probe (weekly cycles
+    * show as a lag-7 peak) a metrics pipeline runs before fitting any
+    * forecast. The textbook estimator r_k = Σ(x_t−m)(x_{t+k}−m) /
+    * Σ(x_t−m)², kept EXACT by multiplying through by n²: with S = Σx,
+    * num_k = Σ (n·x_t − S)(n·x_{t+k} − S) and den = Σ (n·x_t − S)² are
+    * exact integers (products through DECIMAL(19,0), the rateAnomaly
+    * headroom treatment), and r_k is ONE exactly-rounded division.
+    *
+    * Scale shape: the raw stream collapses to #types×#days rows once;
+    * lag pairing is a self-equi-join on (type, series index + k) —
+    * bucketed, never a cross product — and n/S ride a broadcast
+    * #types-row join. Series positions, not calendar offsets, define
+    * the lag (gaps close up), matching [[changepoint]]'s observed-day
+    * convention; densify via [[resampleDaily]] first for calendar lags.
+    */
+  def autocorr(events: DataFrame): DataFrame = {
+    val dec = "decimal(19,0)"
+    val daily = withEventTime(events)
+      .groupBy(col("event_type"), expr(s"ts_us div $DayUs").as("day"))
+      .agg(count(lit(1)).as("cnt"))
+    val idx = daily
+      .withColumn("idx", row_number().over(
+        Window.partitionBy("event_type").orderBy("day")).cast("long"))
+      .select("event_type", "idx", "cnt")
+    val st = idx.groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum(col("cnt")).as("s"))
+    // c is re-narrowed to DECIMAL(19,0) so c·c stays inside DuckDB's
+    // 38-digit multiply (|c| ≤ n·max_daily — 19 digits holds to ~1e5
+    // days × 1e14 events/day)
+    val cen = idx.join(broadcast(st), "event_type")
+      .select(col("event_type"), col("idx"),
+        (col("n").cast(dec) * col("cnt").cast(dec)
+          - col("s").cast(dec)).cast(dec).as("c"))
+    val den = cen.groupBy("event_type")
+      .agg(sum((col("c") * col("c")).cast("decimal(38,0)")).as("den"))
+    val lagged = cen
+      .withColumn("lag", explode(sequence(lit(1), lit(AcfMaxLag))))
+      .select(col("event_type"), (col("idx") - col("lag")).as("idx"),
+        col("lag"), col("c").as("c_lead"))
+    cen.join(lagged, Seq("event_type", "idx"))
+      .groupBy("event_type", "lag")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum((col("c") * col("c_lead")).cast("decimal(38,0)")).as("num"))
+      .join(den, "event_type")
+      .select(col("event_type"), col("lag").cast("long").as("lag"),
+        col("n_pairs"),
+        // zero-variance series (den = 0) has no autocorrelation signal:
+        // define 0 rather than ship engine-dependent 0/0 NaN ordering
+        // (the chi2 lesson — round-8 advice)
+        when(col("den") === lit(0).cast("decimal(38,0)"), lit(0.0))
+          .otherwise(col("num").cast("double")
+            / col("den").cast("double")).as("acf"))
+  }
+
   /** As-of join — the "latest earlier fact" operator Spark has no
     * native form of: every purchase paired with the same user's most
     * recent view at-or-before it (left: no-view purchases keep null).
@@ -1568,6 +1678,10 @@ object Streams {
       ((s: SparkSession, d: String) => funnel(events(s, d))),
     "stream_retention" ->
       ((s: SparkSession, d: String) => retention(events(s, d))),
+    "stream_changepoint" ->
+      ((s: SparkSession, d: String) => changepoint(events(s, d))),
+    "stream_autocorr" ->
+      ((s: SparkSession, d: String) => autocorr(events(s, d))),
     "stream_resample" ->
       ((s: SparkSession, d: String) => resampleDaily(events(s, d))),
     "stream_sessions" ->
@@ -1802,6 +1916,75 @@ object Streams {
          |  count(DISTINCT a.user_id) AS n_users
          |FROM a JOIN c ON a.user_id = c.user_id
          |GROUP BY 1, 2""".stripMargin,
+    "stream_changepoint" ->
+      s"""WITH d AS (
+         |  SELECT event_type, epoch_us(ts) // $DayUs AS day,
+         |    count(*)::BIGINT AS cnt
+         |  FROM events GROUP BY 1, 2),
+         |r AS (
+         |  SELECT event_type, day, cnt,
+         |    (row_number() OVER w)::BIGINT AS k,
+         |    (sum(cnt) OVER w)::BIGINT AS sl,
+         |    (count(*) OVER (PARTITION BY event_type))::BIGINT AS n,
+         |    (sum(cnt) OVER (PARTITION BY event_type))::BIGINT AS s
+         |  FROM d
+         |  WINDOW w AS (PARTITION BY event_type ORDER BY day
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+         |sc AS (
+         |  SELECT *,
+         |    CAST(CAST(n - k AS DECIMAL(19,0)) * CAST(sl AS DECIMAL(19,0))
+         |      - CAST(k AS DECIMAL(19,0)) * CAST(s - sl AS DECIMAL(19,0))
+         |      AS DOUBLE) AS diff
+         |  FROM r WHERE k < n),
+         |best AS (
+         |  SELECT *, diff * diff / (k * (n - k))::DOUBLE AS score,
+         |    row_number() OVER (PARTITION BY event_type
+         |      ORDER BY diff * diff / (k * (n - k))::DOUBLE DESC, day)
+         |      AS rk
+         |  FROM sc)
+         |SELECT event_type, day AS split_day, n AS n_days,
+         |  sl::DOUBLE / k::DOUBLE AS left_mean,
+         |  (s - sl)::DOUBLE / (n - k)::DOUBLE AS right_mean, score
+         |FROM best WHERE rk = 1""".stripMargin,
+    "stream_autocorr" ->
+      s"""WITH d AS (
+         |  SELECT event_type, epoch_us(ts) // $DayUs AS day,
+         |    count(*)::BIGINT AS cnt
+         |  FROM events GROUP BY 1, 2),
+         |r AS (
+         |  SELECT event_type,
+         |    (row_number() OVER (PARTITION BY event_type
+         |      ORDER BY day))::BIGINT AS idx, cnt
+         |  FROM d),
+         |st AS (
+         |  SELECT event_type, count(*)::BIGINT AS n,
+         |    sum(cnt)::BIGINT AS s
+         |  FROM r GROUP BY 1),
+         |cen AS (
+         |  SELECT r.event_type, r.idx,
+         |    CAST(CAST(st.n AS DECIMAL(19,0)) * CAST(r.cnt AS
+         |      DECIMAL(19,0)) - CAST(st.s AS DECIMAL(19,0))
+         |      AS DECIMAL(19,0)) AS c
+         |  FROM r JOIN st ON st.event_type = r.event_type),
+         |den AS (
+         |  SELECT event_type,
+         |    CAST(sum(CAST(c * c AS DECIMAL(38,0))) AS DECIMAL(38,0))
+         |      AS den
+         |  FROM cen GROUP BY 1),
+         |pr AS (
+         |  SELECT a.event_type, l.lag, count(*)::BIGINT AS n_pairs,
+         |    CAST(sum(CAST(a.c * b.c AS DECIMAL(38,0)))
+         |      AS DECIMAL(38,0)) AS num
+         |  FROM (SELECT unnest(range(1, ${AcfMaxLag + 1})) AS lag) l
+         |  CROSS JOIN cen a
+         |  JOIN cen b ON b.event_type = a.event_type
+         |    AND b.idx = a.idx + l.lag
+         |  GROUP BY 1, 2)
+         |SELECT pr.event_type, pr.lag::BIGINT AS lag, pr.n_pairs,
+         |  CASE WHEN den.den = 0 THEN 0.0e0
+         |    ELSE pr.num::DOUBLE / den.den::DOUBLE END AS acf
+         |FROM pr JOIN den ON den.event_type = pr.event_type"""
+        .stripMargin,
     "stream_topk_types" ->
       s"""SELECT win_start, event_type, n_events, rk FROM (
          |  SELECT time_bucket(INTERVAL 1 HOUR, ts) AS win_start,

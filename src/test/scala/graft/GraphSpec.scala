@@ -375,4 +375,29 @@ class GraphSpec extends SparkSpecBase {
     assert(scans.length == 1,
       s"expected ONE lineitem scan (basket-local pairs), got:\n$plan")
   }
+
+  test("link prediction: RA scores hand-checked on the tiny graph") {
+    // non-edges with a common neighbor: (1,4) and (2,4), both mediated
+    // only by node 3 (degree 3), so ra = scale DIV 3 and cn = 1; the
+    // tie breaks on x
+    val got = Graph.linkPredOf(Graph.edgesOf(tinyLineitem)).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    val third = Graph.LinkScale / 3
+    assert(got == Seq((1L, 4L, 1L, third), (2L, 4L, 1L, third)))
+  }
+
+  test("link prediction: super-hub mediators are capped out") {
+    val s = spark; import s.implicits._
+    // star: center 0 with degree 150 > LinkHubCap — every leaf pair's
+    // ONLY common neighbor is the capped hub, so nothing is predicted
+    val star = (1 to 150).map(i => (0L, i.toLong, 1L))
+      .toDF("a", "b", "w")
+    assert(Graph.linkPredOf(star).isEmpty)
+    // dropping the cap-side degree below the cap restores predictions
+    val small = (1 to 3).map(i => (0L, i.toLong, 1L)).toDF("a", "b", "w")
+    val preds = Graph.linkPredOf(small).collect()
+    assert(preds.length == 3) // C(3,2) leaf pairs via the degree-3 hub
+    preds.foreach(r => assert(r.getLong(3) == Graph.LinkScale / 3))
+  }
 }

@@ -256,4 +256,47 @@ class RetrievalSpec extends SparkSpecBase {
       plan.contains("BroadcastNestedLoopJoin"),
       s"bounded sides should broadcast:\n$plan")
   }
+
+  test("eval scorecard: metric identities and [0,1] bounds hold") {
+    val rows = Retrieval.evalRetrievalOf(corpus).collect()
+    assert(rows.length == Retrieval.BmQueryN, "one row per query term")
+    rows.foreach { r =>
+      val (nRel, dcg, idcg) = (r.getLong(1), r.getDouble(2), r.getDouble(3))
+      val (ndcg, mrr) = (r.getDouble(4), r.getDouble(5))
+      val (p, rec) = (r.getDouble(6), r.getDouble(7))
+      assert(idcg > 0.0 && dcg > 0.0, "query terms always retrieve")
+      assert(dcg <= idcg + 1e-12, s"dcg $dcg exceeds ideal $idcg")
+      assert(ndcg == dcg / idcg, "ndcg is exactly the ratio")
+      assert(ndcg > 0.0 && ndcg <= 1.0)
+      assert(mrr >= 0.0 && mrr <= 1.0)
+      // mrr is 0 or exactly 1/rank for an integer rank within the cut
+      assert(mrr == 0.0 ||
+        (1 to Retrieval.EvalK).exists(k => mrr == 1.0 / k))
+      assert(p >= 0.0 && p <= 1.0 && rec >= 0.0 && rec <= 1.0)
+      assert(nRel >= 0L)
+    }
+  }
+
+  test("eval scorecard: perfect run scores ndcg = mrr = precision = 1") {
+    val s = spark; import s.implicits._
+    // corpus where one mid-frequency term's BM25 ranking IS the ideal
+    // ranking: identical doc lengths, graded tf 3,2,1 on the probed
+    // term. With <= EvalK relevant docs, recall must also be 1.
+    // Build 12 docs so vocabulary ranks place "qq" in the 5..9 band.
+    val fill = (0 until 12).map(i => s"f$i " * 12).mkString(" ")
+    // ensure high-frequency filler terms occupy ranks outside the band
+    val docs = Seq(
+      (0L, "qq qq qq pad pad pad pad pad pad"),
+      (1L, "qq qq aa pad pad pad pad pad pad"),
+      (2L, "qq aa aa pad pad pad pad pad pad")) ++
+      (3L until 15L).map(i => (i, s"w$i w$i w$i w$i w$i w$i w$i w$i w$i"))
+    val df = docs.toDF("doc_id", "text")
+    val out = Retrieval.evalRetrievalOf(df).collect()
+      .map(r => r.getString(0) -> r).toMap
+    out.get("qq").foreach { r =>
+      assert(r.getDouble(4) == 1.0, s"ndcg ${r.getDouble(4)}")
+      assert(r.getDouble(5) == 1.0, "first hit at rank 1")
+      assert(r.getDouble(7) == 1.0, "all relevant docs inside the cut")
+    }
+  }
 }

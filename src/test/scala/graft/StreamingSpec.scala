@@ -1137,4 +1137,58 @@ class StreamingSpec extends SparkSpecBase {
       (1L, 3L, 9.0, true),
       (2L, 5L, 7.0, true)))
   }
+
+  test("changepoint: planted level shift is split at the true day") {
+    val s = spark; import s.implicits._
+    val DayNs = 86400L * 1000 * 1000 * 1000
+    var id = 0L
+    def burst(typ: String, day: Int, n: Int): Seq[Ev] =
+      Seq.fill(n) { id += 1; ev(id, day * DayNs + id * 1000, typ = typ) }
+    // "a": counts 1,1,1,5,5,5 -> between-segment objective peaks at
+    // k=3 (day 2): diff = 3*3 - 3*15 = -36, score = 1296/9 = 144
+    // "b": flat 2,2,2,2 -> all scores 0, tie breaks to day 0
+    val evs = (0 to 5).flatMap(d => burst("a", d, if (d < 3) 1 else 5)) ++
+      (0 to 3).flatMap(d => burst("b", d, 2))
+    val got = Streams.changepoint(evs.toDF()).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4),
+          r.getDouble(5)))).toMap
+    assert(got("a") == ((2L, 6L, 1.0, 5.0, 144.0)))
+    assert(got("b") == ((0L, 4L, 2.0, 2.0, 0.0)))
+  }
+
+  test("autocorr: BigInt replay on fixture events, flat series -> 0") {
+    val ev = graft.Tables(spark, Sf, "events")
+    val daily = Streams.withEventTime(ev)
+      .select("event_type", "ts_us").collect()
+      .map(r => (r.getString(0), Math.floorDiv(r.getLong(1), Streams.DayUs)))
+      .groupBy(identity).map { case ((t, d), g) => (t, d, g.size.toLong) }
+      .toSeq
+    val expect = daily.groupBy(_._1).flatMap { case (t, rows) =>
+      val xs = rows.sortBy(_._2).map(_._3)
+      val n = BigInt(xs.length)
+      val sum = BigInt(xs.sum)
+      val c = xs.map(x => n * x - sum)
+      val den = c.map(v => v * v).sum
+      (1 to Streams.AcfMaxLag).filter(_ < xs.length).map { k =>
+        val num = c.dropRight(k).zip(c.drop(k)).map { case (a, b) => a * b }.sum
+        val acf = if (den == 0) 0.0 else num.toDouble / den.toDouble
+        (t, k.toLong, (xs.length - k).toLong, acf)
+      }
+    }.toSet
+    val got = Streams.autocorr(ev).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    assert(got == expect)
+    // zero-variance guard: a constant series reports 0, never NaN
+    val s = spark; import s.implicits._
+    val DayNs = 86400L * 1000 * 1000 * 1000
+    val flat = (0 to 9).map(d => ev2(100 + d, d * DayNs, "flat"))
+    val fg = Streams.autocorr(flat.toDF()).collect()
+    assert(fg.length == Streams.AcfMaxLag)
+    fg.foreach(r => assert(r.getDouble(3) == 0.0))
+  }
+
+  private def ev2(id: Long, tsNs: Long, typ: String): Ev =
+    Ev(id, tsNs, 1L, typ, 1.0)
 }
