@@ -403,25 +403,101 @@ object Dedup {
       : DataFrame =
     ngramJaccardPrefixFrom(mat(ngramShingles(corpus)))
 
+  /** [[JaccardNgram]] as the exact rational 7/10. The prefix LENGTH
+    * must be computed in integer arithmetic: ⌈τ·|X|⌉ evaluated in IEEE
+    * doubles is wrong whenever τ·|X| lands just above an integer —
+    * ceil(0.7 · 30) = ceil(21.000000000000004) = 22, one past the true
+    * 21, which SHORTENS the prefix below the provable bound and can
+    * silently miss a qualifying pair (untriggered at fixture shingle
+    * sizes, but the operator is corpus-generic). ⌈n·sz/d⌉ is
+    * (n·sz + d − 1) DIV d, exact at any size.
+    */
+  val JaccardNgramNum = 7L
+  val JaccardNgramDen = 10L
+
   private def ngramJaccardPrefixFrom(sh: DataFrame): DataFrame =
-    jaccardVerify(prefixCandidates(sh, JaccardNgram), sh, sh,
+    jaccardVerify(
+      prefixCandidates(sh, JaccardNgramNum, JaccardNgramDen), sh, sh,
       "doc_a", "doc_b", JaccardNgram)
 
-  private[graft] def prefixCandidates(sh: DataFrame, tau: Double)
-      : DataFrame = {
-    val ex = sh
-      .select(col("doc_id"), size(col("s")).cast("long").as("sz"),
+  /** Per-doc prefix of the (df, g)-ordered shingle list, cut at the
+    * τ = num/den filter bound |X| − ⌈τ·|X|⌉ + 1 (exact integer ceil —
+    * see [[JaccardNgramNum]]).
+    */
+  private def prefixOf(sh: DataFrame, tauNum: Long, tauDen: Long)
+      : DataFrame =
+    sh.select(col("doc_id"), size(col("s")).cast("long").as("sz"),
         explode(col("s")).as("g"))
       .withColumn("df", count(lit(1)).over(Window.partitionBy("g")))
-    val prefix = ex
       .withColumn("r", row_number().over(
         Window.partitionBy("doc_id").orderBy(col("df"), col("g"))))
-      .where(col("r") <= col("sz") - ceil(lit(tau) * col("sz")) + 1)
+      .where(col("r") <=
+        col("sz") - expr(s"($tauNum * sz + $tauDen - 1) DIV $tauDen")
+          + 1)
       .select("doc_id", "g")
+
+  private[graft] def prefixCandidates(sh: DataFrame, tauNum: Long,
+      tauDen: Long): DataFrame = {
+    val prefix = prefixOf(sh, tauNum, tauDen)
     prefix.as("x").join(prefix.as("y"),
         col("x.g") === col("y.g") && col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("da"), col("y.doc_id").as("db"))
       .distinct()
+  }
+
+  /** Containment threshold 9/10: |S(A) ∩ S(B)| / |S(A)| ≥ 0.9 flags A
+    * as contained in B.
+    */
+  val ContainNum = 9L
+  val ContainDen = 10L
+
+  /** DIRECTED containment join (Broder's containment, the asymmetric
+    * cousin of Jaccard): doc A is flagged as contained in doc B when
+    * ≥ [[ContainNum]]/[[ContainDen]] of A's 4-gram shingles appear in
+    * B — the quote-inclusion / subset-duplication case a symmetric
+    * Jaccard dedup misses outright (a paragraph pasted into a 10×
+    * longer page has Jaccard ≈ 0.1 but containment ≈ 1.0).
+    *
+    * Candidates come from the ASYMMETRIC prefix filter (Chaudhuri et
+    * al., ICDE '06): if C(A→B) ≥ τ, at most |A| − ⌈τ·|A|⌉ of A's
+    * shingles are outside B, so A's first |A| − ⌈τ·|A|⌉ + 1 shingles
+    * under the global (df, g) order MUST hit B's full posting list —
+    * only the contained side is prefix-cut, the container side keeps
+    * its whole index. The probe side is each doc's RAREST shingles
+    * (the order is ascending df), so hot-posting probes are
+    * structurally rare; at τ = 0.9 the probe table is ~10% of the
+    * index. The verify predicate is exact integers
+    * (den·inter ≥ num·|A|); the reported ratio is one division.
+    */
+  def containment(spark: SparkSession, dir: String): DataFrame =
+    containmentFrom(sh4(spark, dir))
+
+  def containmentOf(corpus: DataFrame,
+                    mat: Materialize.Strategy = Materialize.Local)
+      : DataFrame =
+    containmentFrom(mat(ngramShingles(corpus)))
+
+  private def containmentFrom(sh: DataFrame): DataFrame = {
+    val post = sh.select(col("doc_id").as("db"),
+      explode(col("s")).as("g"))
+    val cand = prefixOf(sh, ContainNum, ContainDen)
+      .select(col("doc_id").as("da"), col("g"))
+      .join(post, "g")
+      .where(col("da") =!= col("db"))
+      .select("da", "db").distinct()
+    cand
+      .join(sh.select(col("doc_id").as("da"), col("s").as("sa")), "da")
+      .join(sh.select(col("doc_id").as("db"), col("s").as("sb")), "db")
+      .select(col("da").as("doc_a"), col("db").as("doc_b"),
+        size(array_intersect(col("sa"), col("sb"))).cast("long")
+          .as("inter"),
+        size(col("sa")).cast("long").as("sz_a"),
+        size(col("sb")).cast("long").as("sz_b"))
+      .where(col("inter") * ContainDen >= lit(ContainNum) * col("sz_a"))
+      .select(col("doc_a"), col("doc_b"), col("inter"), col("sz_a"),
+        col("sz_b"),
+        (col("inter").cast("double") / col("sz_a").cast("double"))
+          .as("containment"))
   }
 
   /** 56-bit SimHash fingerprint per doc (sign of per-bit ±1 vote over
@@ -1054,6 +1130,7 @@ object Dedup {
     "llm_dedup_incremental" -> minhashIncremental,
     "llm_dedup_ngram" -> ngramJaccard,
     "llm_dedup_prefix" -> ngramJaccardPrefix,
+    "llm_dedup_containment" -> containment,
     "llm_dedup_simhash" -> simhashPairs,
     "llm_dedup_embedding" -> embeddingNearDup,
     "llm_dedup_semantic" -> semantic,
@@ -1250,6 +1327,23 @@ object Dedup {
     // the EXACT same oracle on purpose: hash equality proves the prefix
     // index drops no qualifying pair (see ngramJaccardPrefix)
     "llm_dedup_prefix" -> ngramOracleSql,
+    // all-DIRECTED-pairs oracle: hash equality proves the asymmetric
+    // prefix probe drops no qualifying containment pair
+    "llm_dedup_containment" ->
+      s"""WITH ${shSql(4)},
+         |ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+         |inter AS (
+         |  SELECT a.doc_id da, b.doc_id db, count(*)::BIGINT AS i
+         |  FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id <> b.doc_id
+         |  GROUP BY 1, 2),
+         |sz AS (SELECT doc_id, len(s)::BIGINT AS n FROM sh)
+         |SELECT da AS doc_a, db AS doc_b, i AS inter,
+         |  sa.n AS sz_a, sb.n AS sz_b,
+         |  i::DOUBLE / sa.n::DOUBLE AS containment
+         |FROM inter
+         |JOIN sz sa ON sa.doc_id = da
+         |JOIN sz sb ON sb.doc_id = db
+         |WHERE $ContainDen * i >= $ContainNum * sa.n""".stripMargin,
     "llm_dedup_simhash" ->
       s"""WITH ${shSql(3)},
          |hv AS (SELECT doc_id,

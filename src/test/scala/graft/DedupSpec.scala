@@ -145,7 +145,8 @@ class DedupSpec extends SparkSpecBase {
     // each doc's RAREST shingles, so the df=102 boilerplate shingle
     // never enters the index — quadratic blowup gone without any
     // stop-split, and volume is strictly below the unguarded count
-    val nCand = Dedup.prefixCandidates(sh, Dedup.JaccardNgram).count()
+    val nCand = Dedup.prefixCandidates(sh,
+      Dedup.JaccardNgramNum, Dedup.JaccardNgramDen).count()
     assert(nCand < 102L * 101 / 2, s"prefix index did not prune: $nCand")
     assert(nCand >= 1L)
   }
@@ -432,5 +433,42 @@ class DedupSpec extends SparkSpecBase {
     // and on this fixture the aligned-segment blocking is lossless
     assert(row.getLong(3) == 0L,
       s"blocking missed ${row.getLong(3)} true pairs at sf0.001")
+  }
+
+  test("containment: planted quote-inclusion found, Jaccard-blind case") {
+    val s = spark; import s.implicits._
+    // doc 0 is a 12-token paragraph; doc 1 embeds it verbatim inside a
+    // much longer page (Jaccard ~ 0.2 — below every symmetric gate);
+    // doc 2 is unrelated
+    val para = (1 to 12).map(i => s"p$i").mkString(" ")
+    val page = (1 to 40).map(i => s"q$i").mkString(" ") + " " + para
+    val corpus = Seq((0L, para), (1L, page), (2L, "x1 x2 x3 x4 x5 x6"))
+      .toDF("doc_id", "text")
+    val got = Dedup.containmentOf(corpus).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(5)))
+    assert(got.toSeq == Seq((0L, 1L, 1.0)),
+      s"expected exactly the planted inclusion, got ${got.toSeq}")
+    // and the symmetric n-gram dedup misses it at tau = 0.7
+    val sym = Dedup.ngramJaccardOf(corpus).collect()
+    assert(sym.isEmpty)
+  }
+
+  test("containment prefix bound: exact ceil at the IEEE hazard sizes") {
+    val s = spark; import s.implicits._
+    // 33 tokens -> 30 4-gram shingles: ceil(0.9*30) in doubles is 28
+    // (27.000000000000004 rounds up); the exact rational gives 27. A
+    // contained doc missing exactly 3 of 30 shingles (containment 0.9)
+    // sits ON the bound: only the exact prefix (30-27+1 = 4 rarest
+    // shingles) is guaranteed to probe it.
+    val base = (1 to 33).map(i => s"t$i").mkString(" ")
+    // container shares tokens 4..33 (drops the first 3 tokens -> the
+    // contained doc keeps exactly 27 of its 30 shingles)
+    val container = (4 to 33).map(i => s"t$i").mkString(" ") +
+      " " + (1 to 30).map(i => s"z$i").mkString(" ")
+    val corpus = Seq((0L, base), (1L, container)).toDF("doc_id", "text")
+    val got = Dedup.containmentOf(corpus).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == Seq((0L, 1L, 27L, 30L)),
+      s"boundary containment pair lost: ${got.toSeq}")
   }
 }
