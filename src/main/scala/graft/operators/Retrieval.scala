@@ -523,7 +523,50 @@ object Retrieval {
           col("raw_bytes").cast("double")).as("ratio"))
   }
 
+  /** Block-Max WAND skipping audit (Ding & Suel, SIGIR '11): for each
+    * probed term, how much of its posting list a top-[[BmTopK]] DAAT
+    * traversal could skip outright — blocks ([[CompressBlock]] docs,
+    * the [[postingsCompress]] layout) whose per-block MAX BM25 score
+    * sits strictly below the k-th best score θ of the full ranking can
+    * never change the top-k and are jumped over via the skip pointer.
+    * The skip fraction IS the case for storing block maxima in the
+    * index: it prices the block-max metadata against the postings it
+    * avoids scoring, on this corpus, per term.
+    *
+    * Exactness: θ and every block max are the SAME exact-double BM25
+    * scores both engines already agree on ([[bm25ScoredOf]]); the
+    * comparison is exact, the fraction one division. Shape: the rank
+    * cut selecting θ is WindowGroupLimit-eligible, block maxima are
+    * one (word, block)-keyed aggregation of the scored postings, and
+    * the θ table ([[BmQueryN]] rows) rides a broadcast join.
+    */
+  def wandAudit(spark: SparkSession, dir: String): DataFrame =
+    wandAuditOf(docs(spark, dir))
+
+  def wandAuditOf(corpus: DataFrame): DataFrame = {
+    val bm = bm25ScoredOf(corpus)
+      .select(col("word"), col("doc_id"), col("score"),
+        col("rk"), expr(s"doc_id div $CompressBlock").as("blk"))
+    val theta = bm.where(col("rk") === BmTopK)
+      .select(col("word"), col("score").as("theta"))
+    val blocks = bm.groupBy("word", "blk")
+      .agg(count(lit(1)).as("n_post"), max(col("score")).as("blk_max"))
+    blocks.join(broadcast(theta), "word")
+      .groupBy("word")
+      .agg(sum(col("n_post")).as("n_postings"),
+        count(lit(1)).as("n_blocks"),
+        sum(when(col("blk_max") < col("theta"), 1L).otherwise(0L))
+          .as("n_skip_blocks"),
+        sum(when(col("blk_max") < col("theta"), col("n_post"))
+          .otherwise(0L)).as("n_skip_postings"))
+      .select(col("word"), col("n_postings"), col("n_blocks"),
+        col("n_skip_blocks"), col("n_skip_postings"),
+        (col("n_skip_postings").cast("double")
+          / col("n_postings").cast("double")).as("skip_frac"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "llm_wand_audit" -> wandAudit,
     "llm_eval_retrieval" -> evalRetrieval,
     "llm_postings_compress" -> postingsCompress,
     "llm_proximity_topk" -> proximityTopK,
@@ -622,6 +665,29 @@ object Retrieval {
     }.mkString(" ") + s" ELSE ${dlit(0.0)} END"
 
   val oracle: Map[String, String] = Map(
+    "llm_wand_audit" ->
+      s"""WITH $tfCte, $dlCte, $qtCte, $statsCte, $bmCte,
+         |b AS (
+         |  SELECT word, doc_id // $CompressBlock AS blk, rk, score
+         |  FROM bm),
+         |theta AS (
+         |  SELECT word, score AS theta FROM b WHERE rk = $BmTopK),
+         |blocks AS (
+         |  SELECT word, blk, count(*)::BIGINT AS n_post,
+         |    max(score) AS blk_max
+         |  FROM b GROUP BY 1, 2)
+         |SELECT blocks.word,
+         |  sum(n_post)::BIGINT AS n_postings,
+         |  count(*)::BIGINT AS n_blocks,
+         |  sum(CASE WHEN blk_max < theta THEN 1 ELSE 0 END)::BIGINT
+         |    AS n_skip_blocks,
+         |  sum(CASE WHEN blk_max < theta THEN n_post ELSE 0 END)::BIGINT
+         |    AS n_skip_postings,
+         |  sum(CASE WHEN blk_max < theta THEN n_post ELSE 0
+         |    END)::BIGINT::DOUBLE / sum(n_post)::BIGINT::DOUBLE
+         |    AS skip_frac
+         |FROM blocks JOIN theta ON theta.word = blocks.word
+         |GROUP BY 1""".stripMargin,
     "llm_eval_retrieval" ->
       s"""WITH $tfCte, $dlCte, $qtCte, $statsCte, $bmCte,
          |qr AS (

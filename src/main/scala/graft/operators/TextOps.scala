@@ -1486,7 +1486,53 @@ object TextOps {
         (lit(1.0) / col("hhi")).as("effective_n"))
   }
 
+  /** Unigram-diversity scorecard: per language and for the whole
+    * corpus, the token count, type count, Gini impurity of the unigram
+    * distribution 1 − Σp² = (C² − Σcf²)/C², and the inverse-Simpson
+    * effective vocabulary size C²/Σcf² (the "how many equally-common
+    * words would look this diverse" number a data-mixing dashboard
+    * reads). Chosen over Shannon entropy ON PURPOSE: both are standard
+    * diversity indices, but Simpson's is a ratio of exact integers —
+    * no transcendental ever evaluates inside either engine, so the
+    * scorecard sits behind the hash gate bit-for-bit (the BM25-idf
+    * rationale).
+    *
+    * Exactness: Σcf² runs through DECIMAL(19,0)² products summed in
+    * DECIMAL(38,0); C² likewise; the two reported doubles are each ONE
+    * exactly-rounded division. Shape: one (lang, word) map-side-
+    * combined count, a #langs×|V|-row aggregation, and the '<all>' row
+    * is the same two-level aggregate over words alone — no corpus-
+    * scale reshuffle, no unpartitioned window.
+    */
+  def vocabGini(spark: SparkSession, dir: String): DataFrame =
+    vocabGiniOf(docs(spark, dir))
+
+  def vocabGiniOf(corpus: DataFrame): DataFrame = {
+    val dec = "decimal(19,0)"
+    def level(cf: DataFrame, key: Column): DataFrame =
+      cf.groupBy(key.as("lang"))
+        .agg(sum(col("cf")).as("c"), count(lit(1)).as("n_types"),
+          sum((col("cf").cast(dec) * col("cf").cast(dec))
+            .cast("decimal(38,0)")).as("sq"))
+        .select(col("lang"), col("c").as("n_tokens"), col("n_types"),
+          ((col("c").cast(dec) * col("c").cast(dec)
+            - col("sq")).cast("double")
+            / (col("c").cast(dec) * col("c").cast(dec)).cast("double"))
+            .as("gini"),
+          ((col("c").cast(dec) * col("c").cast(dec)).cast("double")
+            / col("sq").cast("double")).as("simpson_eff"))
+    val byLang = corpus
+      .select(col("lang"), explode(toks).as("word"))
+      .groupBy("lang", "word").agg(count(lit(1)).as("cf"))
+    val overall = corpus
+      .select(explode(toks).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("cf"))
+    level(byLang, col("lang"))
+      .unionAll(level(overall, lit("<all>")))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "llm_vocab_gini" -> vocabGini,
     "llm_chi2_terms" -> chi2Terms,
     "llm_concentration" -> concentration,
     "llm_fertility" -> fertility,
@@ -2009,6 +2055,37 @@ kn AS (SELECT w1, w2, c_xy, c_x, n1_fwd, n1_bwd,
       """SELECT word, count(*) AS cnt
         |FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
         |GROUP BY word""".stripMargin,
+    "llm_vocab_gini" ->
+      """WITH bl AS (
+        |  SELECT lang, word, count(*)::BIGINT AS cf
+        |  FROM (SELECT lang, unnest(string_split(text, ' ')) AS word
+        |        FROM documents)
+        |  GROUP BY 1, 2),
+        |ov AS (
+        |  SELECT word, count(*)::BIGINT AS cf
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS word
+        |        FROM documents)
+        |  GROUP BY 1),
+        |lv AS (
+        |  SELECT lang, sum(cf)::BIGINT AS c, count(*)::BIGINT AS n_types,
+        |    CAST(sum(CAST(CAST(cf AS DECIMAL(19,0))
+        |      * CAST(cf AS DECIMAL(19,0)) AS DECIMAL(38,0)))
+        |      AS DECIMAL(38,0)) AS sq
+        |  FROM bl GROUP BY 1
+        |  UNION ALL
+        |  SELECT '<all>', sum(cf)::BIGINT, count(*)::BIGINT,
+        |    CAST(sum(CAST(CAST(cf AS DECIMAL(19,0))
+        |      * CAST(cf AS DECIMAL(19,0)) AS DECIMAL(38,0)))
+        |      AS DECIMAL(38,0))
+        |  FROM ov)
+        |SELECT lang, c AS n_tokens, n_types,
+        |  CAST(CAST(c AS DECIMAL(19,0)) * CAST(c AS DECIMAL(19,0)) - sq
+        |    AS DOUBLE)
+        |  / CAST(CAST(c AS DECIMAL(19,0)) * CAST(c AS DECIMAL(19,0))
+        |    AS DOUBLE) AS gini,
+        |  CAST(CAST(c AS DECIMAL(19,0)) * CAST(c AS DECIMAL(19,0))
+        |    AS DOUBLE) / sq::DOUBLE AS simpson_eff
+        |FROM lv""".stripMargin,
     "llm_lang_id" -> langIdOracleSql,
     // SUM(BIGINT) OVER widens to HUGEINT in DuckDB — cast back before
     // the recall division so the schema/hash gate sees DOUBLE both sides

@@ -1015,4 +1015,22 @@ class CorpusOpsSpec extends SparkSpecBase {
         s"query $q")
     }
   }
+
+  test("vocab gini: hand-checked diversity on a two-language corpus") {
+    val s = spark; import s.implicits._
+    val corpus = Seq(
+      (0L, "x x y", "a", "s1", 5L),
+      (1L, "z", "b", "s1", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val got = graft.operators.TextOps.vocabGiniOf(corpus).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4))))
+      .toMap
+    // lang a: cf = {x:2, y:1}, C=3, sq=5 -> gini 4/9, simpson 9/5
+    assert(got("a") == ((3L, 2L, 4.0 / 9.0, 9.0 / 5.0)))
+    // lang b: single token -> gini 0, simpson 1
+    assert(got("b") == ((1L, 1L, 0.0, 1.0)))
+    // overall: cf = {x:2, y:1, z:1}, C=4, sq=6
+    assert(got("<all>") == ((4L, 3L, 10.0 / 16.0, 16.0 / 6.0)))
+  }
 }

@@ -299,4 +299,29 @@ class RetrievalSpec extends SparkSpecBase {
       assert(r.getDouble(7) == 1.0, "all relevant docs inside the cut")
     }
   }
+
+  test("wand audit: skipped blocks never contain a top-k document") {
+    val rows = Retrieval.wandAuditOf(corpus).collect()
+    assert(rows.length == Retrieval.BmQueryN)
+    rows.foreach { r =>
+      val (n, nb) = (r.getLong(1), r.getLong(2))
+      val (sb, sp, frac) = (r.getLong(3), r.getLong(4), r.getDouble(5))
+      assert(sb >= 0 && sb < nb, "cannot skip every block: top-k lives somewhere")
+      assert(sp >= 0 && sp <= n && frac == sp.toDouble / n.toDouble)
+      // a skipped block holds at most CompressBlock postings each
+      assert(sp <= sb * Retrieval.CompressBlock)
+    }
+    // replay: per term, every rank-<=k posting sits in an unskipped
+    // block, so total skip counts reconstruct from the rank table
+    val bm = Retrieval.bm25TopKOf(corpus).collect()
+      .map(r => (r.getString(0),
+        r.getLong(1) / Retrieval.CompressBlock)).toSet
+    // (word, blk) pairs of top-k docs must all be in unskipped blocks:
+    // if any were skippable its blk_max >= its own score >= theta -
+    // contradiction. Just assert the audit found them un-skipped by
+    // bounding: n_skip_postings <= n_postings - BmTopK
+    rows.foreach { r =>
+      assert(r.getLong(4) <= r.getLong(1) - Retrieval.BmTopK) }
+    assert(bm.nonEmpty)
+  }
 }
