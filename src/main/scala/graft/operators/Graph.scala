@@ -194,6 +194,55 @@ object Graph {
     } else out
   }
 
+  /** How many nodes [[localCc]] reports. */
+  val CcTopK = 20
+
+  /** Per-node local clustering coefficient (Watts & Strogatz, Nature
+    * '98): c(v) = 2·T(v) / (d(v)·(d(v)−1)) — how close each node's
+    * neighborhood is to a clique; the top-[[CcTopK]] nodes (degree ≥ 2,
+    * ties on id) are the bundle-purchase anchors of the co-purchase
+    * graph. Same degree-oriented edge-iterator as [[trianglesOf]] —
+    * every triangle closes exactly once at its (u, v) edge — except the
+    * closing intersection EXPLODES into per-triangle (u, v, w)
+    * incidence rows (3T rows total, T already bounded by the
+    * orientation's O(m^1.5)) instead of collapsing to a count, and
+    * T(v) is one groupBy over the stacked incidences. 2·T and
+    * d·(d−1) are exact integers; cc is one exactly-rounded division;
+    * the top-k is a TakeOrderedAndProject.
+    */
+  def localCc(spark: SparkSession, dir: String): DataFrame =
+    localCcOf(edges(spark, dir))
+
+  def localCcOf(edgesRaw: DataFrame): DataFrame = {
+    val ed = edgesRaw.select("a", "b")
+    val deg = degOf(symOf(ed))
+    val da = deg.select(col("node").as("a"), col("d").as("da"))
+    val db = deg.select(col("node").as("b"), col("d").as("db"))
+    val aFirst = col("da") < col("db") ||
+      (col("da") === col("db") && col("a") < col("b"))
+    val oriented = ed.join(da, "a").join(db, "b")
+      .select(when(aFirst, col("a")).otherwise(col("b")).as("u"),
+        when(aFirst, col("b")).otherwise(col("a")).as("v"))
+    val adjOut = oriented.groupBy(col("u"))
+      .agg(collect_list(col("v")).as("nbrs"))
+    val triNodes = oriented
+      .join(adjOut.select(col("u"), col("nbrs").as("nu")), "u")
+      .join(adjOut.select(col("u").as("v"), col("nbrs").as("nv")), "v")
+      .select(col("u"), col("v"),
+        explode(array_intersect(col("nu"), col("nv"))).as("w"))
+    val perNode = triNodes
+      .select(explode(array(col("u"), col("v"), col("w"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("tri"))
+    deg.join(perNode, Seq("node"), "left")
+      .where(col("d") >= 2)
+      .select(col("node"), col("d").as("degree"),
+        coalesce(col("tri"), lit(0L)).as("tri"),
+        ((lit(2L) * coalesce(col("tri"), lit(0L))).cast("double")
+          / (col("d") * (col("d") - 1)).cast("double")).as("cc"))
+      .orderBy(col("cc").desc, col("node"))
+      .limit(CcTopK)
+  }
+
   /** Top-[[PrTopK]] parts by PageRank after [[PrIters]] synchronous
     * rounds over the co-purchase graph: (node, pr, rk).
     *
@@ -858,6 +907,7 @@ object Graph {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "graph_link_pred" -> linkPred,
+    "graph_local_cc" -> localCc,
     "graph_als_factors" -> alsFactors,
     "graph_als_recs" -> alsRecs,
     "graph_degrees" -> degrees,
@@ -923,6 +973,25 @@ object Graph {
   }
 
   val oracle: Map[String, String] = Map(
+    "graph_local_cc" ->
+      s"""WITH $graphCte,
+         |tri AS (
+         |  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+         |  FROM ed e1
+         |  JOIN ed e2 ON e2.a = e1.b
+         |  JOIN ed e3 ON e3.a = e1.a AND e3.b = e2.b),
+         |inc AS (
+         |  SELECT x AS node FROM tri
+         |  UNION ALL SELECT y FROM tri
+         |  UNION ALL SELECT z FROM tri),
+         |tn AS (SELECT node, count(*)::BIGINT AS tri FROM inc GROUP BY 1)
+         |SELECT deg.node, d AS degree,
+         |  coalesce(tn.tri, 0)::BIGINT AS tri,
+         |  (2 * coalesce(tn.tri, 0))::DOUBLE / (d * (d - 1))::DOUBLE
+         |    AS cc
+         |FROM deg LEFT JOIN tn ON tn.node = deg.node
+         |WHERE d >= 2
+         |ORDER BY cc DESC, deg.node LIMIT $CcTopK""".stripMargin,
     "graph_link_pred" ->
       s"""WITH $graphCte,
          |wed AS (

@@ -400,4 +400,14 @@ class GraphSpec extends SparkSpecBase {
     assert(preds.length == 3) // C(3,2) leaf pairs via the degree-3 hub
     preds.foreach(r => assert(r.getLong(3) == Graph.LinkScale / 3))
   }
+
+  test("local clustering: hand-checked coefficients on the tiny graph") {
+    // triangle {1,2,3} plus pendant 4-3: T = (1,1,1,0), degrees
+    // (2,2,3,1); node 4 is excluded (d < 2)
+    val got = Graph.localCcOf(Graph.edgesOf(tinyLineitem)).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSeq
+    assert(got == Seq((1L, 2L, 1L, 1.0), (2L, 2L, 1L, 1.0),
+      (3L, 3L, 1L, 1.0 / 3.0)))
+  }
 }
