@@ -758,6 +758,37 @@ object Streams {
   }
 
 
+  /** MAD multiplier: flag |v − median| > this × MAD. */
+  val MadK = 3L
+
+  /** Robust global outliers by median absolute deviation: events whose
+    * value sits more than [[MadK]]×MAD from the corpus median — the
+    * estimator a metrics pipeline uses when the mean/σ pair is itself
+    * dragged by the outliers it should flag (50% breakdown point vs
+    * 0%). Median and MAD are EXACT order statistics via
+    * [[Sketch.exactQuantilesOf]]'s distributed bucket-histogram
+    * selection — never a global buffered percentile (the OOM-at-scale
+    * shape that routine replaced); both scalars broadcast back and the
+    * flag pass is one scan. No consistency constant (1.4826·σ̂) is
+    * applied: the threshold is defined directly in MAD units, keeping
+    * every comparison a product of exact values.
+    */
+  def madOutliers(events: DataFrame): DataFrame = {
+    val vals = events.where(col("value").isNotNull)
+      .select(col("value").as("v"))
+    val med = graft.operators.Sketch.exactQuantilesOf(vals, Seq(0.5))
+      .select(col("exact_v").as("med"))
+    val dev = vals.crossJoin(broadcast(med))
+      .select(abs(col("v") - col("med")).as("v"))
+    val mad = graft.operators.Sketch.exactQuantilesOf(dev, Seq(0.5))
+      .select(col("exact_v").as("mad"))
+    events.crossJoin(broadcast(med)).crossJoin(broadcast(mad))
+      .where(abs(col("value") - col("med")) > lit(MadK) * col("mad"))
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("value"), col("med"), col("mad"),
+        abs(col("value") - col("med")).as("dev"))
+  }
+
   /** Change-point detection over each event type's daily-count series:
     * the single split that maximizes the between-segment variance
     * reduction (binary segmentation's first step — Scott & Knott's
@@ -1682,6 +1713,8 @@ object Streams {
       ((s: SparkSession, d: String) => changepoint(events(s, d))),
     "stream_autocorr" ->
       ((s: SparkSession, d: String) => autocorr(events(s, d))),
+    "stream_mad_outliers" ->
+      ((s: SparkSession, d: String) => madOutliers(events(s, d))),
     "stream_resample" ->
       ((s: SparkSession, d: String) => resampleDaily(events(s, d))),
     "stream_sessions" ->
@@ -1946,6 +1979,19 @@ object Streams {
          |  sl::DOUBLE / k::DOUBLE AS left_mean,
          |  (s - sl)::DOUBLE / (n - k)::DOUBLE AS right_mean, score
          |FROM best WHERE rk = 1""".stripMargin,
+    "stream_mad_outliers" ->
+      s"""WITH m AS (
+         |  SELECT percentile_disc(0.5) WITHIN GROUP (ORDER BY value)
+         |    AS med
+         |  FROM events WHERE value IS NOT NULL),
+         |md AS (
+         |  SELECT percentile_disc(0.5) WITHIN GROUP
+         |    (ORDER BY abs(value - med)) AS mad
+         |  FROM events, m WHERE value IS NOT NULL)
+         |SELECT event_id, user_id, event_type, value, med, mad,
+         |  abs(value - med) AS dev
+         |FROM events, m, md
+         |WHERE abs(value - med) > $MadK * mad""".stripMargin,
     "stream_autocorr" ->
       s"""WITH d AS (
          |  SELECT event_type, epoch_us(ts) // $DayUs AS day,

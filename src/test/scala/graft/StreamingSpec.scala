@@ -1191,4 +1191,22 @@ class StreamingSpec extends SparkSpecBase {
 
   private def ev2(id: Long, tsNs: Long, typ: String): Ev =
     Ev(id, tsNs, 1L, typ, 1.0)
+
+  test("mad outliers: exact order-statistic replay on fixture events") {
+    val ev = graft.Tables(spark, Sf, "events")
+    val vs = ev.select("value").collect().map(_.getDouble(0)).sorted
+    def discMedian(xs: Array[Double]): Double =
+      xs(Math.toIntExact(Math.ceil(0.5 * xs.length).toLong) - 1)
+    val med = discMedian(vs)
+    val mad = discMedian(vs.map(v => Math.abs(v - med)).sorted)
+    val expect = ev.select("event_id", "value").collect()
+      .filter(r => Math.abs(r.getDouble(1) - med) > Streams.MadK * mad)
+      .map(_.getLong(0)).toSet
+    val got = Streams.madOutliers(ev).collect()
+    got.foreach { r =>
+      assert(r.getDouble(4) == med && r.getDouble(5) == mad) }
+    assert(got.map(_.getLong(0)).toSet == expect)
+    // robust flagging is non-trivial on this fixture
+    assert(expect.nonEmpty && expect.size < vs.length / 2)
+  }
 }
