@@ -673,4 +673,31 @@ class PlanShapeSpec extends SparkSpecBase {
     assert(windows.nonEmpty, p)
     windows.foreach(w => assert(w.contains("source"), w))
   }
+
+  test("link pred: row-local wedges, hashed anti-join, heap top-k") {
+    val p = finalOnly(graft.operators.Graph.linkPred(spark, Sf))
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // the candidate side comes from Generate (explode) over adjacency
+    // arrays, never a sym-vs-sym self-join that squares the hubs
+    assert(p.contains("Generate"), p)
+  }
+
+  test("local cc: oriented incidences explode row-locally, heap top-k") {
+    val p = finalOnly(graft.operators.Graph.localCc(spark, Sf))
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("wand audit: theta rides a broadcast join onto the block table") {
+    val p = finalOnly(graft.operators.Retrieval.wandAudit(spark, Sf))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("containment: prefix probe and verify are equi-joins only") {
+    val p = finalOnly(graft.operators.Dedup.containment(spark, Sf))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+  }
 }
