@@ -776,17 +776,74 @@ object Streams {
   def madOutliers(events: DataFrame): DataFrame = {
     val vals = events.where(col("value").isNotNull)
       .select(col("value").as("v"))
-    val med = graft.operators.Sketch.exactQuantilesOf(vals, Seq(0.5))
-      .select(col("exact_v").as("med"))
+    // each 1-row scalar is cut eagerly (Materialize.Local): the
+    // selection subtree would otherwise re-expand at every reference —
+    // 18 copies of its histogram window in the composed plan — and the
+    // med scalar feeds the mad pass, compounding the blowup
+    val med = graft.Materialize.Local(
+      graft.operators.Sketch.exactQuantilesOf(vals, Seq(0.5))
+        .select(col("exact_v").as("med")))
     val dev = vals.crossJoin(broadcast(med))
       .select(abs(col("v") - col("med")).as("v"))
-    val mad = graft.operators.Sketch.exactQuantilesOf(dev, Seq(0.5))
-      .select(col("exact_v").as("mad"))
+    val mad = graft.Materialize.Local(
+      graft.operators.Sketch.exactQuantilesOf(dev, Seq(0.5))
+        .select(col("exact_v").as("mad")))
     events.crossJoin(broadcast(med)).crossJoin(broadcast(mad))
       .where(abs(col("value") - col("med")) > lit(MadK) * col("mad"))
       .select(col("event_id"), col("user_id"), col("event_type"),
         col("value"), col("med"), col("mad"),
         abs(col("value") - col("med")).as("dev"))
+  }
+
+  /** Peak session concurrency per day — the capacity number a serving
+    * dashboard reads: the maximum number of simultaneously-open
+    * sessions (closed intervals from [[sessions]]) at any instant of
+    * each day, by the classic +1/−1 boundary sweep with starts ordered
+    * before ends at equal timestamps (touching sessions overlap).
+    *
+    * Scale shape — the sweep is TWO-LEVEL on purpose: a day of
+    * boundaries is corpus-scale at 100 TB, so the running sum never
+    * runs over a whole day. Sessions clip to their covered days
+    * (row-local explode; the 30-min-gap definition keeps the span
+    * small), boundaries sweep inside (hour) shards, and the hour
+    * carry-over is a prefix sum over each day's ≤ 24 per-hour totals —
+    * the recursed-offset discipline of the shard packer. Within-shard
+    * tie groups are order-invariant: equal-timestamp +1s peak at the
+    * block end, −1s at the block start, so the per-shard max is
+    * deterministic under any shuffle.
+    */
+  def concurrency(events: DataFrame): DataFrame = {
+    val sess = sessions(events).select(col("start_us"),
+      (col("start_us") + col("duration_us")).as("end_us"))
+    val clipped = sess
+      .select(col("start_us"), col("end_us"),
+        explode(sequence(expr(s"start_us div $DayUs"),
+          expr(s"end_us div $DayUs"))).as("day"))
+      .select(col("day"),
+        greatest(col("start_us"), col("day") * DayUs).as("s"),
+        least(col("end_us"), (col("day") + 1) * DayUs - 1).as("e"))
+    val bounds = clipped
+      .select(col("day"), col("s").as("t"), lit(1L).as("delta"))
+      .unionAll(clipped
+        .select(col("day"), col("e").as("t"), lit(-1L).as("delta")))
+      .withColumn("h", expr(s"t div $HourUs"))
+    val wIn = Window.partitionBy("h")
+      .orderBy(col("t"), col("delta").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val perHour = bounds
+      .withColumn("run", sum(col("delta")).over(wIn))
+      .groupBy("day", "h")
+      .agg(max(col("run")).as("in_max"), sum(col("delta")).as("tot"))
+    val wDay = Window.partitionBy("day").orderBy("h")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    perHour
+      .withColumn("off", coalesce(sum(col("tot")).over(wDay), lit(0L)))
+      .groupBy("day")
+      .agg(max(col("off") + col("in_max")).as("peak_concurrency"))
+      .join(clipped.groupBy("day")
+        .agg(count(lit(1)).as("n_session_days")), "day")
+      .select(col("day"), col("n_session_days"),
+        col("peak_concurrency"))
   }
 
   /** Change-point detection over each event type's daily-count series:
@@ -1715,6 +1772,8 @@ object Streams {
       ((s: SparkSession, d: String) => autocorr(events(s, d))),
     "stream_mad_outliers" ->
       ((s: SparkSession, d: String) => madOutliers(events(s, d))),
+    "stream_concurrency" ->
+      ((s: SparkSession, d: String) => concurrency(events(s, d))),
     "stream_resample" ->
       ((s: SparkSession, d: String) => resampleDaily(events(s, d))),
     "stream_sessions" ->
@@ -1979,6 +2038,57 @@ object Streams {
          |  sl::DOUBLE / k::DOUBLE AS left_mean,
          |  (s - sl)::DOUBLE / (n - k)::DOUBLE AS right_mean, score
          |FROM best WHERE rk = 1""".stripMargin,
+    "stream_concurrency" ->
+      s"""WITH e AS (
+         |  SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events),
+         |l AS (
+         |  SELECT user_id, event_id, ts_us,
+         |    lag(ts_us) OVER (PARTITION BY user_id
+         |      ORDER BY ts_us, event_id) AS prev_us
+         |  FROM e),
+         |n AS (
+         |  SELECT *, CASE WHEN prev_us IS NULL
+         |      OR ts_us - prev_us > ${SessionGapUs} THEN 1 ELSE 0 END AS ns
+         |  FROM l),
+         |s AS (
+         |  SELECT *, sum(ns) OVER (PARTITION BY user_id
+         |    ORDER BY ts_us, event_id ROWS UNBOUNDED PRECEDING)::BIGINT
+         |      AS seq
+         |  FROM n),
+         |sess AS (
+         |  SELECT min(ts_us) AS st, max(ts_us) AS en
+         |  FROM s GROUP BY user_id, seq),
+         |clip AS (
+         |  SELECT d.day,
+         |    greatest(st, d.day * $DayUs) AS cs,
+         |    least(en, (d.day + 1) * $DayUs - 1) AS ce
+         |  FROM sess,
+         |    LATERAL (SELECT unnest(range(st // $DayUs,
+         |      en // $DayUs + 1)) AS day) d),
+         |b AS (
+         |  SELECT day, cs AS t, 1 AS delta FROM clip
+         |  UNION ALL SELECT day, ce, -1 FROM clip),
+         |r AS (
+         |  SELECT day, t // $HourUs AS h, delta,
+         |    sum(delta) OVER (PARTITION BY t // $HourUs
+         |      ORDER BY t, delta DESC ROWS UNBOUNDED PRECEDING) AS run
+         |  FROM b),
+         |ph AS (
+         |  SELECT day, h, max(run) AS in_max, sum(delta) AS tot
+         |  FROM r GROUP BY 1, 2),
+         |wo AS (
+         |  SELECT day, h, in_max,
+         |    coalesce(sum(tot) OVER (PARTITION BY day ORDER BY h
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |      AS off
+         |  FROM ph),
+         |pk AS (
+         |  SELECT day, max(off + in_max)::BIGINT AS peak_concurrency
+         |  FROM wo GROUP BY day)
+         |SELECT pk.day, ns.n_session_days, pk.peak_concurrency
+         |FROM pk JOIN (SELECT day, count(*)::BIGINT AS n_session_days
+         |              FROM clip GROUP BY 1) ns ON ns.day = pk.day"""
+        .stripMargin,
     "stream_mad_outliers" ->
       s"""WITH m AS (
          |  SELECT percentile_disc(0.5) WITHIN GROUP (ORDER BY value)

@@ -1209,4 +1209,31 @@ class StreamingSpec extends SparkSpecBase {
     // robust flagging is non-trivial on this fixture
     assert(expect.nonEmpty && expect.size < vs.length / 2)
   }
+
+  test("concurrency: in-memory sweep replay equals the two-level plan") {
+    val ev = graft.Tables(spark, Sf, "events")
+    val sess = Streams.sessions(ev).collect()
+      .map(r => (r.getLong(3), r.getLong(3) + r.getLong(4)))
+    val expect = sess
+      .flatMap { case (st, en) =>
+        (st / Streams.DayUs to en / Streams.DayUs).map { d =>
+          (d, math.max(st, d * Streams.DayUs),
+            math.min(en, (d + 1) * Streams.DayUs - 1))
+        }
+      }
+      .groupBy(_._1).map { case (day, ss) =>
+        val bounds = ss.flatMap { case (_, s0, e0) =>
+          Seq((s0, 1), (e0, -1)) }
+          .sortBy { case (t, dl) => (t, -dl) }
+        var run = 0; var peak = 0
+        bounds.foreach { case (_, dl) =>
+          run += dl; if (run > peak) peak = run }
+        (day, ss.length.toLong, peak.toLong)
+      }.toSet
+    val got = Streams.concurrency(ev).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == expect)
+    // concurrency peaks above 1 somewhere, else the sweep is vacuous
+    assert(got.exists(_._3 > 1))
+  }
 }
