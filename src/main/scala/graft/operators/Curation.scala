@@ -1704,7 +1704,73 @@ object Curation {
         col("f.doc_id").as("first_doc_id"), col("sum_rank"))
   }
 
+  /** Waterfill target: keep this fraction of corpus tokens (6/10). */
+  val WaterNum = 6L
+  val WaterDen = 10L
+
+  /** Waterfilling token-budget allocation — the "cap the biggest
+    * sources" solve behind proportional data mixing: given per-source
+    * token counts and a target budget T = [[WaterNum]]/[[WaterDen]] of
+    * the corpus, find the waterline L such that Σ min(cᵢ, L) = T;
+    * sources below the line keep everything, sources above are capped
+    * at L (the fractional waterline's remainder goes to the
+    * name-ascending first capped sources, one token each — a pinned
+    * deterministic convention, so Σ allot = T EXACTLY). Entirely
+    * integer arithmetic: the segment test pⱼ₋₁ + (k−j+1)·cⱼ ≥ T, the
+    * level (T − pₘ₋₁) DIV (k−m+1), and its remainder.
+    *
+    * Scale shape: one map-side-combined per-source token count, then
+    * every window runs over the |sources|-row aggregate (the
+    * catalog-sized dimension, never the corpus — the
+    * `llm_source_quality` class, pinned in WindowBoundSpec).
+    */
+  def mixWaterfill(spark: SparkSession, dir: String): DataFrame =
+    mixWaterfillOf(Tables(spark, dir, "documents")
+      .select("source", "text"))
+
+  def mixWaterfillOf(corpus: DataFrame): DataFrame = {
+    val counts = corpus.groupBy("source")
+      .agg(sum(size(split(col("text"), " ")).cast("long")).as("c"))
+    val tot = counts.agg(sum(col("c")).as("ctot"),
+      count(lit(1)).as("k"))
+      .select(col("ctot"), col("k"),
+        expr(s"(ctot * $WaterNum) DIV $WaterDen").as("t"))
+    val w = Window.orderBy(col("c"), col("source"))
+    val flagged = counts.crossJoin(broadcast(tot))
+      .withColumn("i", row_number().over(w).cast("long"))
+      .withColumn("p", sum(col("c")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("pprev", col("p") - col("c"))
+      .withColumn("feas",
+        col("pprev") + (col("k") - col("i") + 1) * col("c") >= col("t"))
+    // the first feasible index exists whenever T ≤ corpus total (at
+    // i = k the test reads ctot ≥ T), which WaterNum/WaterDen < 1
+    // guarantees
+    val mRow = flagged.where(col("feas"))
+      .orderBy(col("i")).limit(1)
+      .select(col("i").as("m"), col("pprev").as("pm"))
+    val joined = flagged.crossJoin(broadcast(mRow))
+    val kept = joined.where(col("i") < col("m"))
+      .select(col("source"), col("c"), col("c").as("allot"),
+        lit(false).as("capped"))
+    val capped = joined.where(col("i") >= col("m"))
+      .withColumn("lvl", expr("(t - pm) DIV (k - m + 1)"))
+      .withColumn("rem", expr("(t - pm) % (k - m + 1)"))
+      .withColumn("crk",
+        row_number().over(Window.orderBy("source")).cast("long"))
+      .select(col("source"), col("c"),
+        (col("lvl") + when(col("crk") <= col("rem"), 1L).otherwise(0L))
+          .as("allot"),
+        lit(true).as("capped"))
+    kept.unionAll(capped)
+      .select(col("source"), col("c").as("n_tokens"), col("allot"),
+        col("capped"),
+        (col("allot").cast("double") / col("c").cast("double"))
+          .as("keep_frac"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "llm_mix_waterfill" -> mixWaterfill,
     "llm_pad_efficiency" -> padEfficiency,
     "llm_shuffle_assign" -> shuffleAssign,
     "llm_k_anonymity" -> kAnonymity,
@@ -2487,6 +2553,42 @@ GROUP BY split"""
          |FROM documents d JOIN ma ON d.doc_id = ma.doc_id
          |GROUP BY 1""".stripMargin,
     "llm_mix_weights" -> mixWeightsOracleSql,
+    "llm_mix_waterfill" ->
+      s"""WITH c AS (
+         |  SELECT source, sum(len(string_split(text, ' ')))::BIGINT
+         |    AS c
+         |  FROM documents GROUP BY 1),
+         |t AS (
+         |  SELECT sum(c)::BIGINT AS ctot, count(*)::BIGINT AS k,
+         |    (sum(c) * $WaterNum // $WaterDen)::BIGINT AS t
+         |  FROM c),
+         |r AS (
+         |  SELECT source, c.c, (row_number() OVER w)::BIGINT AS i,
+         |    (sum(c.c) OVER w)::BIGINT AS p, t.ctot, t.k, t.t
+         |  FROM c, t
+         |  WINDOW w AS (ORDER BY c.c, source ROWS UNBOUNDED PRECEDING)),
+         |f AS (
+         |  SELECT *, p - c AS pprev,
+         |    (p - c) + (k - i + 1) * c >= t AS feas
+         |  FROM r),
+         |m AS (SELECT i AS m, pprev AS pm FROM f WHERE feas
+         |      ORDER BY i LIMIT 1),
+         |cap AS (
+         |  SELECT f.source, f.c,
+         |    (t - pm) // (k - m.m + 1) AS lvl,
+         |    (t - pm) % (k - m.m + 1) AS rem,
+         |    (row_number() OVER (ORDER BY f.source))::BIGINT AS crk
+         |  FROM f, m WHERE f.i >= m.m)
+         |SELECT source, c AS n_tokens, allot, capped,
+         |  allot::DOUBLE / c::DOUBLE AS keep_frac
+         |FROM (
+         |  SELECT f.source, f.c, f.c AS allot, false AS capped
+         |  FROM f, m WHERE f.i < m.m
+         |  UNION ALL
+         |  SELECT source, c,
+         |    (lvl + CASE WHEN crk <= rem THEN 1 ELSE 0 END)::BIGINT,
+         |    true
+         |  FROM cap)""".stripMargin,
     // the epoch formula's op order (mul, then div) matches the Column
     // side exactly; 4.0 and the budget are explicit DOUBLEs so DuckDB
     // does not route the comparison through DECIMAL

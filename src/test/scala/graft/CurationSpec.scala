@@ -693,4 +693,33 @@ class CurationSpec extends SparkSpecBase {
       Seq(10L, 20L, 20L).toDF("k")).collect().head
     assert(fk.getLong(1) == 3L && fk.getLong(2) == 1L)
   }
+
+  test("waterfill: allotments sum exactly to the budget, caps ordered") {
+    val s = spark; import s.implicits._
+    // counts 10, 20, 30, 100: total 160, T = 96; waterline segment
+    // check: sorted asc, first feasible at the 100-source (10+20+30 +
+    // 1*100 = 160 >= 96) -> m=4, L = 96-60 = 36, rem 0
+    val docs = (Seq.fill(10)("sA") ++ Seq.fill(20)("sB") ++
+      Seq.fill(30)("sC") ++ Seq.fill(100)("sD"))
+      .map(src => (src, "w"))
+      .toDF("source", "text")
+    val got = graft.operators.Curation.mixWaterfillOf(docs).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
+    assert(got("sA") == ((10L, 10L, false)))
+    assert(got("sB") == ((20L, 20L, false)))
+    assert(got("sC") == ((30L, 30L, false)))
+    assert(got("sD") == ((100L, 36L, true)))
+    // fixture: the budget holds exactly whatever the distribution is
+    val fx = graft.operators.Curation.mixWaterfill(spark, Sf).collect()
+    val tot = fx.map(_.getLong(1)).sum
+    val budget = tot * graft.operators.Curation.WaterNum /
+      graft.operators.Curation.WaterDen
+    assert(fx.map(_.getLong(2)).sum == budget)
+    fx.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1), "allot never exceeds supply")
+      if (!r.getBoolean(3))
+        assert(r.getLong(2) == r.getLong(1), "uncapped keeps everything")
+    }
+  }
 }

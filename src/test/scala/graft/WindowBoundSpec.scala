@@ -43,6 +43,9 @@ class WindowBoundSpec extends SparkSpecBase {
   private val Pinned: Map[String, Int] = Map(
     "llm_corpus_card" -> 2,      // bucket histograms (b)
     "llm_curriculum" -> 1,       // CurriculumBuckets-row running sum
+    "llm_mix_waterfill" -> 4,    // |sources|-row aggregate: rank +
+                                 // running sum, duplicated across the
+                                 // kept/capped plan branches
     "llm_pack_chunks" -> 1,      // exclusiveOffsets deepest level (g2)
     "llm_pack_offsets" -> 1,     // exclusiveOffsets deepest level (g2)
     "llm_pack_shards" -> 1,      // exclusiveOffsets deepest level (g2)
