@@ -887,6 +887,65 @@ object Dedup {
       .select(col("cluster_id"), col("best.d").as("rep_doc_id"),
         (-col("best.neg_len")).as("rep_tokens"), col("n_members"))
 
+  /** Shortest shared run [[spanAlign]] reports, in TOKENS (a run of r
+    * consecutive 4-gram shingles covers r + 3 tokens).
+    */
+  val AlignMinTokens = 8L
+
+  /** Pairwise span ALIGNMENT: for every document pair sharing at least
+    * one (non-ubiquitous) positional 4-gram, the LONGEST run of
+    * consecutive shared shingles — i.e. the longest common token
+    * substring of length ≥ [[AlignMinTokens]] — with its start offset
+    * in both documents. This is the attribution/plagiarism EVIDENCE
+    * the document-level families can't give: [[ngramJaccard]] says two
+    * docs overlap, [[spanDedup]] removes corpus-ubiquitous blocks;
+    * this says "tokens 17..41 of A are tokens 3..27 of B".
+    *
+    * The run extraction is the gaps-and-islands identity: shared
+    * shingle occurrences (i_a, i_b) with equal diagonal i_a − i_b and
+    * consecutive i_a form one run, so grouping matches by
+    * (pair, diagonal, i_a − row_number) turns each maximal run into
+    * one aggregate row — no iterative extension, no UDF. Windows
+    * partition on (pair, diagonal); the positional join is shingle-
+    * bucketed with shingles of occurrence-count > [[NgramStopDf]]
+    * excluded ON BOTH SIDES AND IN THE ORACLE (a defined semantic, not
+    * a lossy shortcut: a run through ubiquitous boilerplate splits at
+    * the hot shingle — the skew guard is part of the contract).
+    * Tie-break: longest run, then smallest diagonal, then smallest
+    * start.
+    */
+  def spanAlign(spark: SparkSession, dir: String): DataFrame =
+    spanAlignOf(docs(spark, dir))
+
+  def spanAlignOf(corpus: DataFrame): DataFrame = {
+    val pos = corpus.select(col("doc_id"), toks.as("t"))
+      .where(size(col("t")) >= 4)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(t) - 4), i -> named_struct(" +
+          "'p', i, 'g', concat_ws(' ', slice(t, i + 1, 4))))")).as("x"))
+      .select(col("doc_id"), col("x.p").as("p"), col("x.g").as("g"))
+    val cold = pos
+      .withColumn("df", count(lit(1)).over(Window.partitionBy("g")))
+      .where(col("df") <= NgramStopDf)
+    val m = cold.as("x").join(cold.as("y"),
+        col("x.g") === col("y.g") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("da"), col("y.doc_id").as("db"),
+        col("x.p").as("ia"), (col("x.p") - col("y.p")).as("diag"))
+    val runs = m
+      .withColumn("isl", col("ia") - row_number().over(
+        Window.partitionBy("da", "db", "diag").orderBy("ia")))
+      .groupBy("da", "db", "diag", "isl")
+      .agg(count(lit(1)).as("run"), min(col("ia")).as("a0"))
+    runs.groupBy("da", "db")
+      .agg(max(struct(col("run"), (-col("diag")).as("ndiag"),
+        (-col("a0")).as("nstart"))).as("b"))
+      .select(col("da").as("doc_a"), col("db").as("doc_b"),
+        (col("b.run") + 3L).cast("long").as("lcs_tokens"),
+        (-col("b.nstart")).cast("long").as("a_start"),
+        (-col("b.nstart") + col("b.ndiag")).cast("long").as("b_start"))
+      .where(col("lcs_tokens") >= AlignMinTokens)
+  }
+
   // ---- corpus-wide duplicated-span removal ----
 
   /** Non-overlapping span width (tokens) for [[spanDedup]]. */
@@ -1131,6 +1190,7 @@ object Dedup {
     "llm_dedup_ngram" -> ngramJaccard,
     "llm_dedup_prefix" -> ngramJaccardPrefix,
     "llm_dedup_containment" -> containment,
+    "llm_dedup_span_align" -> spanAlign,
     "llm_dedup_simhash" -> simhashPairs,
     "llm_dedup_embedding" -> embeddingNearDup,
     "llm_dedup_semantic" -> semantic,
@@ -1327,6 +1387,40 @@ object Dedup {
     // the EXACT same oracle on purpose: hash equality proves the prefix
     // index drops no qualifying pair (see ngramJaccardPrefix)
     "llm_dedup_prefix" -> ngramOracleSql,
+    "llm_dedup_span_align" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         |pos AS (
+         |  SELECT doc_id, i - 1 AS p,
+         |    array_to_string(list_slice(t, i, i + 3), ' ') AS g
+         |  FROM (SELECT doc_id, t, unnest(range(1, len(t) - 2)) AS i
+         |        FROM tok WHERE len(t) >= 4)),
+         |cold AS (
+         |  SELECT * FROM (
+         |    SELECT *, count(*) OVER (PARTITION BY g) AS df FROM pos)
+         |  WHERE df <= $NgramStopDf),
+         |m AS (
+         |  SELECT x.doc_id AS da, y.doc_id AS db, x.p AS ia,
+         |    x.p - y.p AS diag
+         |  FROM cold x JOIN cold y
+         |    ON x.g = y.g AND x.doc_id < y.doc_id),
+         |i AS (
+         |  SELECT *, ia - row_number() OVER (
+         |    PARTITION BY da, db, diag ORDER BY ia) AS isl
+         |  FROM m),
+         |r AS (
+         |  SELECT da, db, diag, isl, count(*)::BIGINT AS run,
+         |    min(ia)::BIGINT AS a0
+         |  FROM i GROUP BY 1, 2, 3, 4),
+         |b AS (
+         |  SELECT da, db, run, diag, a0, row_number() OVER (
+         |    PARTITION BY da, db ORDER BY run DESC, diag, a0) AS rk
+         |  FROM r)
+         |SELECT da AS doc_a, db AS doc_b,
+         |  (run + 3)::BIGINT AS lcs_tokens,
+         |  a0::BIGINT AS a_start, (a0 - diag)::BIGINT AS b_start
+         |FROM b WHERE rk = 1 AND run + 3 >= $AlignMinTokens"""
+        .stripMargin,
     // all-DIRECTED-pairs oracle: hash equality proves the asymmetric
     // prefix probe drops no qualifying containment pair
     "llm_dedup_containment" ->

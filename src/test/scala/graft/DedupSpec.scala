@@ -471,4 +471,19 @@ class DedupSpec extends SparkSpecBase {
     assert(got.toSeq == Seq((0L, 1L, 27L, 30L)),
       s"boundary containment pair lost: ${got.toSeq}")
   }
+
+  test("span align: planted overlap located with exact offsets") {
+    val s = spark; import s.implicits._
+    val shared = (1 to 10).map(i => s"s$i").mkString(" ")
+    val a = (1 to 5).map(i => s"a$i").mkString(" ") + " " + shared +
+      " " + (1 to 4).map(i => s"a9$i").mkString(" ")
+    val b = (1 to 7).map(i => s"b$i").mkString(" ") + " " + shared
+    val corpus = Seq((0L, a), (1L, b), (2L, "z1 z2 z3 z4 z5 z6 z7 z8"))
+      .toDF("doc_id", "text")
+    val got = Dedup.spanAlignOf(corpus).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    // the 10 shared tokens start at position 5 of A and 7 of B
+    assert(got.toSeq == Seq((0L, 1L, 10L, 5L, 7L)), got.toSeq.toString)
+  }
 }
