@@ -1704,6 +1704,47 @@ object Curation {
         col("f.doc_id").as("first_doc_id"), col("sum_rank"))
   }
 
+
+  /** Waterfill solve as shared oracle CTEs ending in
+    * `alloc(source, c, allot, capped)` — used by both the
+    * `llm_mix_waterfill` entry and the budget-fill composition.
+    */
+  // lazy: declared above WaterNum/WaterDen, which it interpolates
+  private lazy val waterfillCtes: String =
+    s"""c AS (
+       |  SELECT source, sum(len(string_split(text, ' ')))::BIGINT
+       |    AS c
+       |  FROM documents GROUP BY 1),
+       |t AS (
+       |  SELECT sum(c)::BIGINT AS ctot, count(*)::BIGINT AS k,
+       |    (sum(c) * $WaterNum // $WaterDen)::BIGINT AS t
+       |  FROM c),
+       |r AS (
+       |  SELECT source, c.c, (row_number() OVER w)::BIGINT AS i,
+       |    (sum(c.c) OVER w)::BIGINT AS p, t.ctot, t.k, t.t
+       |  FROM c, t
+       |  WINDOW w AS (ORDER BY c.c, source ROWS UNBOUNDED PRECEDING)),
+       |f AS (
+       |  SELECT *, p - c AS pprev,
+       |    (p - c) + (k - i + 1) * c >= t AS feas
+       |  FROM r),
+       |m AS (SELECT i AS m, pprev AS pm FROM f WHERE feas
+       |      ORDER BY i LIMIT 1),
+       |cap AS (
+       |  SELECT f.source, f.c,
+       |    (t - pm) // (k - m.m + 1) AS lvl,
+       |    (t - pm) % (k - m.m + 1) AS rem,
+       |    (row_number() OVER (ORDER BY f.source))::BIGINT AS crk
+       |  FROM f, m WHERE f.i >= m.m),
+       |alloc AS (
+       |  SELECT f.source, f.c, f.c AS allot, false AS capped
+       |  FROM f, m WHERE f.i < m.m
+       |  UNION ALL
+       |  SELECT source, c,
+       |    (lvl + CASE WHEN crk <= rem THEN 1 ELSE 0 END)::BIGINT,
+       |    true
+       |  FROM cap)""".stripMargin
+
   /** Waterfill target: keep this fraction of corpus tokens (6/10). */
   val WaterNum = 6L
   val WaterDen = 10L
@@ -1769,7 +1810,58 @@ object Curation {
           .as("keep_frac"))
   }
 
+  /** The waterfill CONSUMED: fill each source's [[mixWaterfill]] token
+    * allotment greedily with its highest-priority documents (priority
+    * = distinct-token ratio, the quality-signal spelling shared with
+    * `llm_quality_score`; ties on doc_id), stopping at the first
+    * document that would overflow the budget — the greedy-prefix
+    * semantic of every shard packer here. Per-source report:
+    * docs kept, tokens kept, allotment, utilization.
+    *
+    * Shape: the solve runs over the |sources| aggregate; the fill is
+    * ONE per-source ranking window with a running token sum over the
+    * corpus partitioned by source, plus a broadcast join of the
+    * |sources|-row allotment table. Sources whose best document
+    * already overflows report 0 kept (LEFT join keeps the row).
+    */
+  def curateBudget(spark: SparkSession, dir: String): DataFrame =
+    curateBudgetOf(Tables(spark, dir, "documents")
+      .select("doc_id", "source", "text"))
+
+  def curateBudgetOf(corpus: DataFrame): DataFrame = {
+    // the |sources|-row solve is cut eagerly: it feeds both the fill
+    // join and the final report join, and would otherwise re-expand
+    // (and re-run) per reference
+    val allot = graft.Materialize.Local(
+      mixWaterfillOf(corpus.select("source", "text"))
+        .select(col("source"), col("allot")))
+    val t = split(col("text"), " ")
+    val scored = corpus.select(col("doc_id"), col("source"),
+      size(t).cast("long").as("n_tok"),
+      (size(array_distinct(t)).cast("double")
+        / size(t).cast("double")).as("prio"))
+    val w = Window.partitionBy("source")
+      .orderBy(col("prio").desc, col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val kept = scored
+      .withColumn("cum", sum(col("n_tok")).over(w))
+      .join(broadcast(allot), "source")
+      .where(col("cum") <= col("allot"))
+    val ks = kept.groupBy("source")
+      .agg(count(lit(1)).as("n_docs_kept"),
+        max(col("cum")).as("tokens_kept"))
+    allot.join(ks, Seq("source"), "left")
+      .select(col("source"),
+        coalesce(col("n_docs_kept"), lit(0L)).as("n_docs_kept"),
+        coalesce(col("tokens_kept"), lit(0L)).as("tokens_kept"),
+        col("allot"),
+        when(col("allot") === 0, lit(0.0))
+          .otherwise(coalesce(col("tokens_kept"), lit(0L)).cast("double")
+            / col("allot").cast("double")).as("utilization"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "llm_curate_budget" -> curateBudget,
     "llm_mix_waterfill" -> mixWaterfill,
     "llm_pad_efficiency" -> padEfficiency,
     "llm_shuffle_assign" -> shuffleAssign,
@@ -2554,41 +2646,40 @@ GROUP BY split"""
          |GROUP BY 1""".stripMargin,
     "llm_mix_weights" -> mixWeightsOracleSql,
     "llm_mix_waterfill" ->
-      s"""WITH c AS (
-         |  SELECT source, sum(len(string_split(text, ' ')))::BIGINT
-         |    AS c
-         |  FROM documents GROUP BY 1),
-         |t AS (
-         |  SELECT sum(c)::BIGINT AS ctot, count(*)::BIGINT AS k,
-         |    (sum(c) * $WaterNum // $WaterDen)::BIGINT AS t
-         |  FROM c),
-         |r AS (
-         |  SELECT source, c.c, (row_number() OVER w)::BIGINT AS i,
-         |    (sum(c.c) OVER w)::BIGINT AS p, t.ctot, t.k, t.t
-         |  FROM c, t
-         |  WINDOW w AS (ORDER BY c.c, source ROWS UNBOUNDED PRECEDING)),
-         |f AS (
-         |  SELECT *, p - c AS pprev,
-         |    (p - c) + (k - i + 1) * c >= t AS feas
-         |  FROM r),
-         |m AS (SELECT i AS m, pprev AS pm FROM f WHERE feas
-         |      ORDER BY i LIMIT 1),
-         |cap AS (
-         |  SELECT f.source, f.c,
-         |    (t - pm) // (k - m.m + 1) AS lvl,
-         |    (t - pm) % (k - m.m + 1) AS rem,
-         |    (row_number() OVER (ORDER BY f.source))::BIGINT AS crk
-         |  FROM f, m WHERE f.i >= m.m)
+      s"""WITH $waterfillCtes
          |SELECT source, c AS n_tokens, allot, capped,
          |  allot::DOUBLE / c::DOUBLE AS keep_frac
-         |FROM (
-         |  SELECT f.source, f.c, f.c AS allot, false AS capped
-         |  FROM f, m WHERE f.i < m.m
-         |  UNION ALL
-         |  SELECT source, c,
-         |    (lvl + CASE WHEN crk <= rem THEN 1 ELSE 0 END)::BIGINT,
-         |    true
-         |  FROM cap)""".stripMargin,
+         |FROM alloc""".stripMargin,
+    "llm_curate_budget" ->
+      s"""WITH $waterfillCtes,
+         |sc AS (
+         |  SELECT doc_id, source,
+         |    len(string_split(text, ' '))::BIGINT AS n_tok,
+         |    len(list_distinct(string_split(text, ' ')))::DOUBLE
+         |      / len(string_split(text, ' '))::DOUBLE AS prio
+         |  FROM documents),
+         |cum AS (
+         |  SELECT *, (sum(n_tok) OVER (PARTITION BY source
+         |    ORDER BY prio DESC, doc_id
+         |    ROWS UNBOUNDED PRECEDING))::BIGINT AS cum
+         |  FROM sc),
+         |kept AS (
+         |  SELECT cum.source, cum.n_tok, cum.cum
+         |  FROM cum JOIN alloc ON alloc.source = cum.source
+         |  WHERE cum.cum <= alloc.allot),
+         |ks AS (
+         |  SELECT source, count(*)::BIGINT AS n_docs_kept,
+         |    max(cum)::BIGINT AS tokens_kept
+         |  FROM kept GROUP BY 1)
+         |SELECT alloc.source,
+         |  coalesce(ks.n_docs_kept, 0)::BIGINT AS n_docs_kept,
+         |  coalesce(ks.tokens_kept, 0)::BIGINT AS tokens_kept,
+         |  alloc.allot,
+         |  CASE WHEN alloc.allot = 0 THEN 0.0e0
+         |    ELSE coalesce(ks.tokens_kept, 0)::DOUBLE
+         |      / alloc.allot::DOUBLE END AS utilization
+         |FROM alloc LEFT JOIN ks ON ks.source = alloc.source"""
+        .stripMargin,
     // the epoch formula's op order (mul, then div) matches the Column
     // side exactly; 4.0 and the budget are explicit DOUBLEs so DuckDB
     // does not route the comparison through DECIMAL

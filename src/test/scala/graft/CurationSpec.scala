@@ -722,4 +722,18 @@ class CurationSpec extends SparkSpecBase {
         assert(r.getLong(2) == r.getLong(1), "uncapped keeps everything")
     }
   }
+
+  test("budget fill: greedy prefix respects allotments, best docs first") {
+    val fx = graft.operators.Curation.curateBudget(spark, Sf).collect()
+    assert(fx.nonEmpty)
+    fx.foreach { r =>
+      val (kept, allot) = (r.getLong(2), r.getLong(3))
+      assert(kept <= allot, "budget never exceeded")
+      assert(r.getDouble(4) >= 0.0 && r.getDouble(4) <= 1.0)
+    }
+    // capped sources cannot have full utilization unless docs align
+    val totKept = fx.map(_.getLong(2)).sum
+    val totAllot = fx.map(_.getLong(3)).sum
+    assert(totKept <= totAllot)
+  }
 }
