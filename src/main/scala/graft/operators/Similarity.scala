@@ -1370,7 +1370,51 @@ object Similarity {
           / col("n_exact").cast("double")).as("recall"))
   }
 
+  /** Cluster-label agreement of the trained IVF quantizer — the
+    * unsupervised-quality readout the `embeddings` fixture's
+    * ground-truth labels make checkable: per cell, the member count,
+    * majority label, majority count and purity, plus a corpus-level
+    * row (cid = −1, top_label = −1) whose purity Σ n_top / N is the
+    * standard clustering-purity score. Everything is exact integers
+    * until the one purity division; majority ties break to the
+    * smaller label (pinned via the max-struct idiom).
+    *
+    * Shape: assignment is O(centroids) broadcast flops per vector
+    * (zero shuffles, the [[ivfTopK]] kernel), then two bounded
+    * aggregations over (cells × labels).
+    */
+  def clusterPurity(spark: SparkSession, dir: String): DataFrame = {
+    val s = spark; import s.implicits._
+    val cents = cachedCents(spark, dir, IvfKmeansIters)
+    val bc = spark.sparkContext.broadcast(cents)
+    val assign = Tables(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>"),
+        col("label").cast("long"))
+      .as[(Long, Array[Double], Long)]
+      .mapPartitions { it =>
+        val cs = bc.value
+        it.map { case (id, e, l) => (id, nearestCid(cs, e), l) }
+      }
+      .toDF("vec_id", "cid", "label")
+    val cl = assign.groupBy("cid", "label").agg(count(lit(1)).as("n"))
+    val per = cl.groupBy("cid")
+      .agg(sum(col("n")).as("n_members"),
+        max(struct(col("n"), (-col("label")).as("nl"))).as("b"))
+      .select(col("cid"), col("n_members"),
+        (-col("b.nl")).as("top_label"), col("b.n").as("n_top"),
+        (col("b.n").cast("double") / col("n_members").cast("double"))
+          .as("purity"))
+    val tot = per.agg(sum(col("n_members")).as("n_members"),
+      sum(col("n_top")).as("n_top"))
+      .select(lit(-1L).as("cid"), col("n_members"),
+        lit(-1L).as("top_label"), col("n_top"),
+        (col("n_top").cast("double") / col("n_members").cast("double"))
+          .as("purity"))
+    per.unionAll(tot)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "llm_cluster_purity" -> clusterPurity,
     "llm_sim_binary_topk" -> binaryTopK,
     "llm_sim_int8_topk" -> int8TopK,
     "llm_emb_quantize" -> embQuantize,
@@ -1956,6 +2000,38 @@ object Similarity {
     "llm_sim_topk_agg" -> topkOracleSql,
     "llm_sim_lsh_topk" -> oracleLsh,
     "llm_sim_ivf_topk" -> oracleIvf,
+    "llm_cluster_purity" ->
+      s"""WITH v AS (SELECT vec_id, embedding e FROM embeddings),
+         |${ivfKmeansCtes(IvfKmeansIters)},
+         |cents AS (SELECT cid, ce FROM c$IvfKmeansIters),
+         |cscore AS (
+         |  SELECT v.vec_id, cents.cid,
+         |    ${Hashing.cosineSql("v.e", "cents.ce", 64)} AS c
+         |  FROM v, cents),
+         |assign AS (
+         |  SELECT s.vec_id, s.cid, e.label::BIGINT AS label FROM (
+         |    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
+         |      ORDER BY c DESC, cid ASC) AS rn FROM cscore
+         |  ) s JOIN embeddings e ON e.vec_id = s.vec_id
+         |  WHERE s.rn = 1),
+         |cnt AS (SELECT cid, label, count(*)::BIGINT AS n
+         |        FROM assign GROUP BY 1, 2),
+         |per AS (
+         |  SELECT r.cid, m.n_members, r.label AS top_label,
+         |    r.n AS n_top
+         |  FROM (SELECT *, row_number() OVER (PARTITION BY cid
+         |          ORDER BY n DESC, label) AS rk FROM cnt) r
+         |  JOIN (SELECT cid, sum(n)::BIGINT AS n_members FROM cnt
+         |        GROUP BY 1) m ON m.cid = r.cid
+         |  WHERE r.rk = 1)
+         |SELECT cid, n_members, top_label, n_top,
+         |  n_top::DOUBLE / n_members::DOUBLE AS purity
+         |FROM per
+         |UNION ALL
+         |SELECT -1::BIGINT, sum(n_members)::BIGINT, -1::BIGINT,
+         |  sum(n_top)::BIGINT,
+         |  sum(n_top)::DOUBLE / sum(n_members)::DOUBLE
+         |FROM per""".stripMargin,
     "llm_sim_incremental" -> oracleIncremental,
     "llm_sim_pq_topk" -> oraclePq,
     "llm_sim_ivfpq_topk" -> oracleIvfPq,

@@ -556,4 +556,21 @@ class SimilaritySpec extends SparkSpecBase {
         r.getDouble(3), r.getDouble(4), r.getDouble(5))).toSet
     assert(g2 == want)
   }
+
+  test("cluster purity: totals reconcile, corpus row is the weighted sum") {
+    val rows = graft.operators.Similarity.clusterPurity(spark, Sf)
+      .collect()
+    val (cells, tot) = rows.partition(_.getLong(0) >= 0)
+    assert(tot.length == 1 && cells.nonEmpty)
+    val t = tot.head
+    assert(t.getLong(1) == cells.map(_.getLong(1)).sum)
+    assert(t.getLong(3) == cells.map(_.getLong(3)).sum)
+    cells.foreach { r =>
+      assert(r.getLong(3) >= 1 && r.getLong(3) <= r.getLong(1))
+      assert(r.getDouble(4) ==
+        r.getLong(3).toDouble / r.getLong(1).toDouble)
+    }
+    // purity must beat the 1/|labels| random floor on labeled fixtures
+    assert(t.getDouble(4) > 0.1)
+  }
 }
