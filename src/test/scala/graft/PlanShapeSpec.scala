@@ -674,13 +674,20 @@ class PlanShapeSpec extends SparkSpecBase {
     windows.foreach(w => assert(w.contains("source"), w))
   }
 
-  test("link pred: row-local wedges, hashed anti-join, heap top-k") {
+  test("link pred: row-local wedges, broadcast anti-join, heap top-k") {
     val p = finalOnly(graft.operators.Graph.linkPred(spark, Sf))
     assert(p.contains("TakeOrderedAndProject"), p)
     assert(!p.contains("CartesianProduct"), p)
-    // the candidate side comes from Generate (explode) over adjacency
-    // arrays, never a sym-vs-sym self-join that squares the hubs
-    assert(p.contains("Generate"), p)
+    // the serving probe anti-joins the broadcast edge set against the
+    // cached pair index, never reshuffling the index
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"), p)
+    // the index BUILD (uncached path) generates wedges row-locally
+    // from adjacency arrays — Generate, never a sym-vs-sym self-join
+    // that squares the hubs
+    val build = finalOnly(graft.operators.Graph.linkPredOf(
+      graft.operators.Graph.edgesOf(
+        Tables(spark, Sf, "lineitem"))))
+    assert(build.contains("Generate"), build)
   }
 
   test("local cc: oriented incidences explode row-locally, heap top-k") {
