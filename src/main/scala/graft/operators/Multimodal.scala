@@ -434,7 +434,83 @@ object Multimodal {
     out
   }
 
+  /** Perceptual-hash raster width (bits). 56, not 64, so the hash and
+    * its chunks reuse the sign-bit-free simhash spelling both engines
+    * already agree on.
+    */
+  val PhashBins = 56
+
+  /** Pairs within this Hamming radius are near-duplicates. The byte
+    * stream stub is coarse (real pixel aHashes separate much harder),
+    * so the radius is wide; the chunk count below moves with it.
+    */
+  val PhashHamMax = 13L
+
+  /** 14 chunks × 4 bits — the multi-index Hamming rule (Norouzi,
+    * Punjani & Fleet, CVPR '12): chunks > radius, so a
+    * radius-[[PhashHamMax]] pair differs in at most 13 chunks and
+    * MUST agree on ≥ 1 — the pigeonhole that makes the candidate join
+    * an equi-join. Shorter chunks buy radius at the price of more
+    * chunk collisions; a production 256-bit hash at radius 10 flips
+    * to 16-bit substrings for exactly this tradeoff.
+    */
+  val PhashChunks = 14
+
+  /** Perceptual-hash (aHash) near-duplicate pairs — the image-dedup
+    * pass of a media pipeline, run here on the stubbed byte stream:
+    * resize the media bytes to [[PhashBins]] spans (the [[resizeStub]]
+    * span arithmetic), set bit b when span b is brighter than the
+    * GLOBAL mean — the comparison spelled s_b·n > S·w_b so it is
+    * EXACT integer arithmetic, no float mean — then report pairs
+    * within Hamming ≤ [[PhashHamMax]] via the chunk-pigeonhole
+    * equi-join (the [[graft.operators.Dedup]] simhash discipline).
+    * Unlike [[featureDup]]'s exact-key match this is TOLERANT: a few
+    * changed bytes flip a few bits, not the whole key.
+    *
+    * Scale: the hash is one row-local typed kernel (media bytes never
+    * shuffle); the join ships 8 longs per document.
+    */
+  def phashDedup(spark: SparkSession, dir: String): DataFrame = {
+    val s = spark; import s.implicits._
+    val hashes = Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("text"))
+      .where(length(col("text")) >= PhashBins)
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        val n = text.length.toLong
+        var tot = 0L
+        var i = 0
+        while (i < text.length) { tot += text.charAt(i).toLong; i += 1 }
+        var h = 0L
+        var b = 0
+        while (b < PhashBins) {
+          val lo = b * n / PhashBins
+          val hi = (b + 1) * n / PhashBins
+          var sb = 0L
+          var j = lo.toInt
+          while (j < hi) { sb += text.charAt(j).toLong; j += 1 }
+          if (sb * n > tot * (hi - lo)) h |= 1L << b
+          b += 1
+        }
+        (id, h)
+      }
+      .toDF("doc_id", "ph")
+    val chunks = hashes.select(col("doc_id"), col("ph"),
+      posexplode(array((0 until PhashChunks).map(c =>
+        shiftright(col("ph"), 4 * c).bitwiseAND(lit(0xfL))): _*)))
+      .select(col("doc_id"), col("ph"), col("pos"), col("col").as("ck"))
+    chunks.as("x").join(chunks.as("y"),
+        col("x.pos") === col("y.pos") && col("x.ck") === col("y.ck")
+          && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        bit_count(col("x.ph").bitwiseXOR(col("y.ph"))).cast("long")
+          .as("hamming"))
+      .where(col("hamming") <= PhashHamMax)
+      .distinct()
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "llm_mm_phash_dedup" -> phashDedup,
     "llm_mm_caption_score" -> captionScore,
     "llm_mm_retrieval_eval" -> retrievalEval,
     "llm_mm_resize" -> resizeFeatures,
@@ -570,6 +646,36 @@ object Multimodal {
   }
 
   val oracle: Map[String, String] = Map(
+    "llm_mm_phash_dedup" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, text, len(text)::BIGINT AS n FROM documents
+         |  WHERE len(text) >= $PhashBins),
+         |sv AS (
+         |  SELECT doc_id, bb.b, n,
+         |    ((bb.b + 1) * n) // $PhashBins - (bb.b * n) // $PhashBins
+         |      AS w,
+         |    list_sum(list_transform(
+         |      range((bb.b * n) // $PhashBins + 1,
+         |            ((bb.b + 1) * n) // $PhashBins + 1),
+         |      i -> ord(substr(text, i::INT, 1))))::BIGINT AS sb
+         |  FROM d, (SELECT unnest(range(0, $PhashBins)) AS b) bb),
+         |st AS (SELECT doc_id, sum(sb)::BIGINT AS s FROM sv
+         |       GROUP BY 1),
+         |ph AS (
+         |  SELECT sv.doc_id,
+         |    sum(CASE WHEN sb * n > s * w THEN (1::BIGINT << sv.b)
+         |      ELSE 0 END)::BIGINT AS ph
+         |  FROM sv JOIN st ON st.doc_id = sv.doc_id
+         |  GROUP BY 1),
+         |ck AS (
+         |  SELECT doc_id, ph, cc.c AS pos, (ph >> (4 * cc.c)) & 15
+         |    AS ck
+         |  FROM ph, (SELECT unnest(range(0, $PhashChunks)) AS c) cc)
+         |SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+         |  bit_count(xor(x.ph, y.ph))::BIGINT AS hamming
+         |FROM ck x JOIN ck y
+         |  ON x.pos = y.pos AND x.ck = y.ck AND x.doc_id < y.doc_id
+         |WHERE bit_count(xor(x.ph, y.ph)) <= $PhashHamMax""".stripMargin,
     "llm_mm_caption_score" -> captionScoreOracleSql,
     "llm_mm_retrieval_eval" -> retrievalEvalOracleSql,
     "llm_mm_props_agg" ->

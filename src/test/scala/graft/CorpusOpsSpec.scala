@@ -1033,4 +1033,37 @@ class CorpusOpsSpec extends SparkSpecBase {
     // overall: cf = {x:2, y:1, z:1}, C=4, sq=6
     assert(got("<all>") == ((4L, 3L, 10.0 / 16.0, 16.0 / 6.0)))
   }
+
+  test("phash dedup: brute-force Hamming parity at the fixture") {
+    import graft.operators.Multimodal
+    // compute each doc's hash via the operator's own kernel seam by
+    // running the entry, then brute-force ALL pairs from the collected
+    // hash values: the chunk pigeonhole must lose nothing at radius
+    // <= PhashHamMax
+    val got = Multimodal.phashDedup(spark, Sf).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    // recompute hashes in-memory with the same exact-integer rule
+    val docs = graft.Tables(spark, Sf, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+      .filter(_._2.length >= Multimodal.PhashBins)
+    def hash(text: String): Long = {
+      val n = text.length.toLong
+      val tot = text.map(_.toLong).sum
+      (0 until Multimodal.PhashBins).foldLeft(0L) { (h, b) =>
+        val lo = b * n / Multimodal.PhashBins
+        val hi = (b + 1) * n / Multimodal.PhashBins
+        val sb = (lo.toInt until hi.toInt).map(text.charAt(_).toLong).sum
+        if (sb * n > tot * (hi - lo)) h | (1L << b) else h
+      }
+    }
+    val hs = docs.map { case (id, t) => (id, hash(t)) }
+    val want = (for {
+      (a, ha) <- hs; (b, hb) <- hs if a < b
+      d = java.lang.Long.bitCount(ha ^ hb)
+      if d <= Multimodal.PhashHamMax
+    } yield ((a, b), d.toLong)).toMap
+    assert(got == want, s"got ${got.size} pairs, want ${want.size}")
+    assert(got.nonEmpty, "radius must be exercised at fixture scale")
+  }
 }
