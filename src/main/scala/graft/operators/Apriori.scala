@@ -600,7 +600,54 @@ object Apriori {
         ($"zcnt" * lit(100.0) / $"xcnt").as("confidence"))
   }
 
+  /** Minimum 1-sequence (item) support for [[seqPairs]]. */
+  val SeqMinSupport = 40L
+
+  /** Sequential pairs reported. */
+  val SeqTopK = 20
+
+  /** Sequential-pattern mining — the GSP step the reference's Apriori
+    * family leads to (Srikant & Agrawal, EDBT '96): frequent "A then
+    * B" purchase sequences across each customer's order HISTORY, where
+    * A's first purchase strictly precedes B's. The apriori pruning
+    * applies on the time axis: only items frequent as 1-sequences
+    * (first-purchased by ≥ [[SeqMinSupport]] customers) can appear in
+    * a frequent 2-sequence, so the pair generation runs over the
+    * pruned per-customer history — basket-local double-explode (the
+    * [[graft.operators.Graph.edgesOf]] discipline), bounded by the
+    * frequent-item count, never a customer-history self-join. Support
+    * counts customers, exact integers; top-k is a
+    * TakeOrderedAndProject. Same-day first purchases are NOT a
+    * sequence (strict <), matching GSP's element semantics.
+    */
+  def seqPairs(spark: SparkSession, dir: String): DataFrame =
+    seqPairsOf(
+      Tables(spark, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_orderdate"),
+      Tables(spark, dir, "lineitem")
+        .select("l_orderkey", "l_partkey"))
+
+  def seqPairsOf(orders: DataFrame, lineitem: DataFrame): DataFrame = {
+    val cp = orders
+      .join(lineitem, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_custkey").as("c"), col("l_partkey").as("p"))
+      .agg(min(col("o_orderdate")).as("d"))
+    val freq = cp.groupBy("p").agg(count(lit(1)).as("s1"))
+      .where(col("s1") >= SeqMinSupport)
+    val fp = cp.join(broadcast(freq.select("p")), "p")
+    fp.groupBy("c")
+      .agg(collect_list(struct(col("d"), col("p"))).as("items"))
+      .select(col("c"), explode(col("items")).as("a"), col("items"))
+      .select(col("c"), col("a"), explode(col("items")).as("b"))
+      .where(col("a.d") < col("b.d"))
+      .groupBy(col("a.p").as("p_first"), col("b.p").as("p_then"))
+      .agg(count(lit(1)).as("support"))
+      .orderBy(col("support").desc, col("p_first"), col("p_then"))
+      .limit(SeqTopK)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "apriori_seq_pairs" -> seqPairs,
     "apriori_freq_items" -> freqItems,
     "apriori_freq_itemsets" -> freqItemsets,
     "apriori_freq_itemsets_sql" -> freqItemsetsSql,
@@ -657,6 +704,21 @@ object Apriori {
        |)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "apriori_seq_pairs" ->
+      s"""WITH cp AS (
+         |  SELECT o_custkey AS c, l_partkey AS p,
+         |    min(o_orderdate) AS d
+         |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+         |  GROUP BY 1, 2),
+         |sup AS (SELECT p FROM cp GROUP BY p
+         |        HAVING count(*) >= $SeqMinSupport),
+         |fp AS (SELECT cp.* FROM cp JOIN sup USING (p))
+         |SELECT a.p AS p_first, b.p AS p_then,
+         |  count(*)::BIGINT AS support
+         |FROM fp a JOIN fp b ON b.c = a.c AND a.d < b.d
+         |GROUP BY 1, 2
+         |ORDER BY support DESC, p_first, p_then
+         |LIMIT $SeqTopK""".stripMargin,
     "apriori_freq_items" ->
       s"""WITH $txSql
          |SELECT item, count(*) AS cnt

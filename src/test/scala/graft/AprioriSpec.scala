@@ -196,4 +196,27 @@ class AprioriSpec extends SparkSpecBase {
     // variant must exercise genuinely order-sensitive keys
     assert(got.values.exists(is => is != is.sorted))
   }
+
+  test("sequential pairs: order matters, same-day is not a sequence") {
+    val s2 = spark; import s2.implicits._
+    import java.sql.Date
+    def d(s: String) = Date.valueOf(s)
+    // customers 1..45 buy part 10 on Jan 1 then part 20 on Feb 1;
+    // customer 99 buys both on the SAME day (no sequence); part 30
+    // is infrequent (one buyer) and must be pruned as a 1-sequence
+    val orders = ((1 to 45).flatMap(c => Seq(
+        (c * 10L + 1, c.toLong, d("2024-01-01")),
+        (c * 10L + 2, c.toLong, d("2024-02-01")))) ++
+      Seq((991L, 99L, d("2024-03-01"))))
+      .toDF("o_orderkey", "o_custkey", "o_orderdate")
+    val li = ((1 to 45).flatMap(c => Seq(
+        (c * 10L + 1, 10L), (c * 10L + 2, 20L))) ++
+      Seq((991L, 10L), (991L, 20L), (991L, 30L)))
+      .toDF("l_orderkey", "l_partkey")
+    val got = graft.operators.Apriori.seqPairsOf(orders, li).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    // 10-then-20 for the 45 sequenced customers; never 20-then-10;
+    // customer 99's same-day pair contributes nothing; 30 pruned
+    assert(got == Seq((10L, 20L, 45L)), got.toString)
+  }
 }
