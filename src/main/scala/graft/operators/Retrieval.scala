@@ -434,13 +434,23 @@ object Retrieval {
 
   def evalRetrievalOf(corpus: DataFrame): DataFrame = {
     val tf = tfOf(corpus)
-    val qrels = tf
-      .join(broadcast(queryTermsOf(tf).select("word")), "word")
+    scorecardOf(bm25ScoredOf(corpus).where(col("rk") <= EvalK)
+      .select(col("word"), col("doc_id"), col("rk")), qrelsOf(tf))
+  }
+
+  /** Graded qrels derived from the corpus (see [[evalRetrieval]]). */
+  private def qrelsOf(tf: DataFrame): DataFrame =
+    tf.join(broadcast(queryTermsOf(tf).select("word")), "word")
       .select(col("word"), col("doc_id"),
         least(col("tf"), lit(EvalMaxGrade)).as("grade"))
-    val run = bm25ScoredOf(corpus).where(col("rk") <= EvalK)
-      .select(col("word"), col("doc_id"), col("rk"))
-      .join(qrels, Seq("word", "doc_id"))
+
+  /** The per-query scorecard of any (word, doc_id, rk ≤ [[EvalK]]) run
+    * against graded qrels — shared by [[evalRetrieval]] and
+    * [[evalRankers]].
+    */
+  private def scorecardOf(runRaw: DataFrame, qrels: DataFrame)
+      : DataFrame = {
+    val run = runRaw.join(qrels, Seq("word", "doc_id"))
     val runAgg = run.groupBy("word").agg(
       sum((gainOf(col("grade")) * discOf(col("rk")))
         .cast("decimal(24,6)")).as("dcg_dec"),
@@ -469,6 +479,28 @@ object Retrieval {
         when(col("n_rel") === 0, lit(0.0))
           .otherwise(col("n_hit").cast("double")
             / col("n_rel").cast("double")).as("recall_at_k"))
+  }
+
+  /** Ranker bake-off: the [[evalRetrieval]] scorecard computed for all
+    * three ranking systems here — BM25, Dirichlet QL, and their RRF
+    * fusion — against the SAME derived qrels, one row per
+    * (system, query term). The per-method eval a retrieval stack runs
+    * before choosing its ranker; the shared-qrels design means the
+    * comparison isolates the ranking function, not the judgment set.
+    * Same exactness discipline as the single-system card.
+    */
+  def evalRankers(spark: SparkSession, dir: String): DataFrame =
+    evalRankersOf(docs(spark, dir))
+
+  def evalRankersOf(corpus: DataFrame): DataFrame = {
+    val qrels = qrelsOf(tfOf(corpus))
+    def card(sys: String, run: DataFrame): DataFrame =
+      scorecardOf(run.where(col("rk") <= EvalK)
+        .select(col("word"), col("doc_id"), col("rk")), qrels)
+        .select(lit(sys).as("system"), col("*"))
+    card("bm25", bm25ScoredOf(corpus))
+      .unionAll(card("ql", qlScoredOf(corpus)))
+      .unionAll(card("rrf", hybridRrfOf(corpus)))
   }
 
   /** Posting-list block size: gaps restart at block boundaries (doc_id
@@ -566,6 +598,7 @@ object Retrieval {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "llm_eval_rankers" -> evalRankers,
     "llm_wand_audit" -> wandAudit,
     "llm_eval_retrieval" -> evalRetrieval,
     "llm_postings_compress" -> postingsCompress,
@@ -664,7 +697,82 @@ object Retrieval {
       s"WHEN $r THEN ${dlit(d)}"
     }.mkString(" ") + s" ELSE ${dlit(0.0)} END"
 
+  /** Shared qrels/ideal/relevant-count CTEs of the eval oracles. */
+  private lazy val qrelsCtes: String =
+    s"""qr AS (
+       |  SELECT tf.word, tf.doc_id,
+       |    least(tf.tf, $EvalMaxGrade)::BIGINT AS grade
+       |  FROM tf JOIN qt ON qt.word = tf.word),
+       |id AS (
+       |  SELECT word,
+       |    CAST(SUM(CAST(($gainSql) * (${discSql("irk")})
+       |      AS DECIMAL(24,6))) AS DOUBLE) AS idcg
+       |  FROM (SELECT word, grade, row_number() OVER (
+       |          PARTITION BY word ORDER BY grade DESC, doc_id
+       |        )::BIGINT AS irk FROM qr)
+       |  WHERE irk <= $EvalK GROUP BY word),
+       |rel AS (
+       |  SELECT word, SUM(CASE WHEN grade >= $EvalRelGrade THEN 1
+       |    ELSE 0 END)::BIGINT AS n_rel
+       |  FROM qr GROUP BY word)""".stripMargin
+
+  private def cardCte(sys: String, run: String): String =
+    s"""ra_$sys AS (
+       |  SELECT word,
+       |    CAST(SUM(CAST(($gainSql) * (${discSql("rk")})
+       |      AS DECIMAL(24,6))) AS DOUBLE) AS dcg,
+       |    SUM(CASE WHEN grade >= $EvalRelGrade THEN 1 ELSE 0
+       |      END)::BIGINT AS n_hit,
+       |    MIN(CASE WHEN grade >= $EvalRelGrade THEN rk END)::BIGINT
+       |      AS first_rel
+       |  FROM (SELECT r.word, r.rk, qr.grade
+       |        FROM $run r JOIN qr ON qr.word = r.word
+       |          AND qr.doc_id = r.doc_id
+       |        WHERE r.rk <= $EvalK) GROUP BY word)""".stripMargin
+
+  private def cardSelect(sys: String): String =
+    s"""SELECT '$sys' AS system, ra_$sys.word, rel.n_rel, ra_$sys.dcg,
+       |  id.idcg, ra_$sys.dcg / id.idcg AS ndcg,
+       |  coalesce(${dlit(1.0)} / first_rel::DOUBLE, ${dlit(0.0)})
+       |    AS mrr,
+       |  n_hit::DOUBLE / ${dlit(EvalK.toDouble)} AS p_at_k,
+       |  CASE WHEN n_rel = 0 THEN ${dlit(0.0)}
+       |    ELSE n_hit::DOUBLE / n_rel::DOUBLE END AS recall_at_k
+       |FROM ra_$sys
+       |JOIN id ON id.word = ra_$sys.word
+       |JOIN rel ON rel.word = ra_$sys.word""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "llm_eval_rankers" ->
+      s"""WITH $tfCte, $dlCte, $qtCte, $statsCte, $bmCte, $qlCte,
+         |bmf AS (SELECT word, doc_id, rk AS bm_rk FROM bm
+         |        WHERE rk <= $FuseDepth),
+         |qlf AS (SELECT word, doc_id, rk AS ql_rk FROM ql
+         |        WHERE rk <= $FuseDepth),
+         |fused AS (
+         |  SELECT coalesce(b.word, q.word) AS word,
+         |    coalesce(b.doc_id, q.doc_id) AS doc_id,
+         |    coalesce(${dlit(1.0)} / (($RrfK + b.bm_rk)::DOUBLE),
+         |      ${dlit(0.0)})
+         |    + coalesce(${dlit(1.0)} / (($RrfK + q.ql_rk)::DOUBLE),
+         |      ${dlit(0.0)}) AS rrf
+         |  FROM bmf b FULL OUTER JOIN qlf q
+         |    ON b.word = q.word AND b.doc_id = q.doc_id),
+         |rrfr AS (
+         |  SELECT word, doc_id, rk FROM (
+         |    SELECT word, doc_id, row_number() OVER (PARTITION BY word
+         |      ORDER BY rrf DESC, doc_id)::BIGINT AS rk
+         |    FROM fused)
+         |  WHERE rk <= $FuseTopK),
+         |$qrelsCtes,
+         |${cardCte("bm25", "bm")},
+         |${cardCte("ql", "ql")},
+         |${cardCte("rrf", "rrfr")}
+         |${cardSelect("bm25")}
+         |UNION ALL
+         |${cardSelect("ql")}
+         |UNION ALL
+         |${cardSelect("rrf")}""".stripMargin,
     "llm_wand_audit" ->
       s"""WITH $tfCte, $dlCte, $qtCte, $statsCte, $bmCte,
          |b AS (

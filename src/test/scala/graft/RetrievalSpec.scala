@@ -324,4 +324,22 @@ class RetrievalSpec extends SparkSpecBase {
       assert(r.getLong(4) <= r.getLong(1) - Retrieval.BmTopK) }
     assert(bm.nonEmpty)
   }
+
+  test("ranker bake-off: bm25 rows equal the single-system scorecard") {
+    val single = Retrieval.evalRetrievalOf(corpus).collect()
+      .map(r => r.getString(0) -> r.toSeq.drop(1)).toMap
+    val multi = Retrieval.evalRankersOf(corpus).collect()
+    assert(multi.length == 3 * Retrieval.BmQueryN)
+    val bySys = multi.groupBy(_.getString(0))
+    assert(bySys.keySet == Set("bm25", "ql", "rrf"))
+    bySys("bm25").foreach { r =>
+      assert(r.toSeq.drop(2) == single(r.getString(1)),
+        s"bm25 card drifted for ${r.getString(1)}")
+    }
+    // every system's metrics stay in range
+    multi.foreach { r =>
+      assert(r.getDouble(5) > 0.0 && r.getDouble(5) <= 1.0, "ndcg")
+      assert(r.getDouble(6) >= 0.0 && r.getDouble(6) <= 1.0, "mrr")
+    }
+  }
 }
