@@ -636,7 +636,63 @@ object Warehouse {
         col("n_dominated_parts"))
   }
 
+  /** Rank depth for [[rankMovers]] — only the head of each quarter's
+    * revenue ranking is compared, which is also what keeps the plan
+    * scalable: the rank cut is WindowGroupLimit-eligible, so the
+    * per-quarter ranking prunes to ≤ this per input partition instead
+    * of ranking every customer.
+    */
+  val MoversTopK = 50L
+
+  /** Quarter-over-quarter revenue-rank movers — the leaderboard-drift
+    * dashboard: for each adjacent quarter pair, every customer in
+    * either quarter's top-[[MoversTopK]] by discounted revenue, with
+    * both ranks and the signed movement (absent side priced at
+    * K + 1, the standard leaderboard convention, so entries and exits
+    * carry a defined magnitude). First quarter has no predecessor and
+    * is reported only as the `prev` side of its successor.
+    *
+    * Exactness: revenue sums ride DECIMAL(24,6) (order-insensitive),
+    * ranks and deltas are integers. Shape: one fact aggregation, two
+    * rank-cut windows over it, one aligned full-outer join on
+    * (quarter, customer), and the quarter list broadcasts.
+    */
+  def rankMovers(spark: SparkSession, dir: String): DataFrame =
+    rankMoversOf(
+      Tables(spark, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_orderdate"),
+      Tables(spark, dir, "lineitem")
+        .select("l_orderkey", "l_extendedprice", "l_discount"))
+
+  def rankMoversOf(orders: DataFrame, lineitem: DataFrame): DataFrame = {
+    val rev = orders
+      .join(lineitem, col("l_orderkey") === col("o_orderkey"))
+      .groupBy((year(col("o_orderdate")).cast("long") * 4
+        + quarter(col("o_orderdate")).cast("long")).as("qid"),
+        col("o_custkey").as("c_custkey"))
+      .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        .cast("decimal(24,6)")).as("rev"))
+    val ranked = rev
+      .withColumn("rk", row_number().over(Window.partitionBy("qid")
+        .orderBy(col("rev").desc, col("c_custkey"))).cast("long"))
+      .where(col("rk") <= MoversTopK)
+      .select(col("qid"), col("c_custkey"), col("rk"))
+    val prev = ranked.select((col("qid") + 1).as("qid"),
+      col("c_custkey"), col("rk").as("rank_prev"))
+    val quarters = rev.select("qid").distinct()
+    prev.join(ranked.select(col("qid"), col("c_custkey"),
+        col("rk").as("rank_curr")), Seq("qid", "c_custkey"),
+        "full_outer")
+      .join(broadcast(quarters), "qid")
+      .select(col("qid"), col("c_custkey"),
+        col("rank_prev"), col("rank_curr"),
+        (coalesce(col("rank_prev"), lit(MoversTopK + 1))
+          - coalesce(col("rank_curr"), lit(MoversTopK + 1)))
+          .as("moved_up"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "rel_rank_movers" -> rankMovers,
     "rel_cheapest_supplier" -> cheapestSupplier,
     "rel_product_profit" -> productProfit,
     "rel_priority_mix" -> priorityMix,
@@ -657,6 +713,34 @@ object Warehouse {
   )
 
   val oracle: Map[String, String] = Map(
+    "rel_rank_movers" ->
+      s"""WITH rev AS (
+         |  SELECT (year(o_orderdate) * 4
+         |      + quarter(o_orderdate))::BIGINT AS qid,
+         |    o_custkey AS c_custkey,
+         |    SUM(CAST(l_extendedprice * (1.0e0 - l_discount)
+         |      AS DECIMAL(24,6))) AS rev
+         |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+         |  GROUP BY 1, 2),
+         |ranked AS (
+         |  SELECT qid, c_custkey, rk FROM (
+         |    SELECT qid, c_custkey, row_number() OVER (
+         |      PARTITION BY qid ORDER BY rev DESC, c_custkey
+         |    )::BIGINT AS rk FROM rev)
+         |  WHERE rk <= $MoversTopK),
+         |qs AS (SELECT DISTINCT qid FROM rev),
+         |pv AS (SELECT qid + 1 AS qid, c_custkey, rk AS rank_prev
+         |       FROM ranked),
+         |cu AS (SELECT qid, c_custkey, rk AS rank_curr FROM ranked)
+         |SELECT q.qid, coalesce(pv.c_custkey, cu.c_custkey)
+         |    AS c_custkey,
+         |  pv.rank_prev, cu.rank_curr,
+         |  (coalesce(pv.rank_prev, ${MoversTopK + 1})
+         |    - coalesce(cu.rank_curr, ${MoversTopK + 1}))::BIGINT
+         |    AS moved_up
+         |FROM pv FULL OUTER JOIN cu
+         |  ON cu.qid = pv.qid AND cu.c_custkey = pv.c_custkey
+         |JOIN qs q ON q.qid = coalesce(pv.qid, cu.qid)""".stripMargin,
     "rel_cheapest_supplier" ->
       """WITH pairs AS (
         |  SELECT l_partkey, l_suppkey, p_name,

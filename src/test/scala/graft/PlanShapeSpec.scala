@@ -707,4 +707,20 @@ class PlanShapeSpec extends SparkSpecBase {
     assert(!p.contains("CartesianProduct") &&
       !p.contains("BroadcastNestedLoopJoin"), p)
   }
+
+  test("rank movers: quarter windows prune map-side, quarters broadcast") {
+    val df = Warehouse.rankMovers(spark, Sf)
+    val p = finalOnly(df)
+    assert(p.contains("WindowGroupLimit"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // invariants: movement is bounded by the leaderboard depth and a
+    // row never has both sides null
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(!(r.isNullAt(2) && r.isNullAt(3)))
+      assert(math.abs(r.getLong(4)) <= Warehouse.MoversTopK)
+    }
+  }
 }
