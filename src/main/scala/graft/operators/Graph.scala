@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.{Materialize, Tables}
@@ -241,6 +241,61 @@ object Graph {
           / (col("d") * (col("d") - 1)).cast("double")).as("cc"))
       .orderBy(col("cc").desc, col("node"))
       .limit(CcTopK)
+  }
+
+  /** Edges [[edgeEmbed]] reports. */
+  val EmbedTopK = 20
+
+  /** Per-edge triangle support and embeddedness — the tie-strength
+    * metric (Granovetter's embedded ties; also the k-truss support):
+    * for each co-purchase edge, how many triangles close over it and
+    * what fraction of the endpoints' combined neighborhood the common
+    * neighbors cover, cn / (d_a + d_b − 2 − cn). Top-[[EmbedTopK]] by
+    * (support, edge). Same oriented edge-iterator as [[localCc]],
+    * except each (u, v, w) triangle emits its THREE canonicalized
+    * edges (3T rows) and support is one groupBy; support and the union
+    * size are exact integers, embeddedness one division (0 when the
+    * union is empty — two pendant endpoints).
+    */
+  def edgeEmbed(spark: SparkSession, dir: String): DataFrame =
+    edgeEmbedOf(edges(spark, dir))
+
+  def edgeEmbedOf(edgesRaw: DataFrame): DataFrame = {
+    val ed = edgesRaw.select("a", "b")
+    val deg = degOf(symOf(ed))
+    val da = deg.select(col("node").as("a"), col("d").as("da"))
+    val db = deg.select(col("node").as("b"), col("d").as("db"))
+    val aFirst = col("da") < col("db") ||
+      (col("da") === col("db") && col("a") < col("b"))
+    val oriented = ed.join(da, "a").join(db, "b")
+      .select(when(aFirst, col("a")).otherwise(col("b")).as("u"),
+        when(aFirst, col("b")).otherwise(col("a")).as("v"))
+    val adjOut = oriented.groupBy(col("u"))
+      .agg(collect_list(col("v")).as("nbrs"))
+    val triNodes = oriented
+      .join(adjOut.select(col("u"), col("nbrs").as("nu")), "u")
+      .join(adjOut.select(col("u").as("v"), col("nbrs").as("nv")), "v")
+      .select(col("u"), col("v"),
+        explode(array_intersect(col("nu"), col("nv"))).as("w"))
+    def cedge(x: Column, y: Column) =
+      struct(least(x, y).as("ea"), greatest(x, y).as("eb"))
+    val support = triNodes
+      .select(explode(array(cedge(col("u"), col("v")),
+        cedge(col("u"), col("w")), cedge(col("v"), col("w")))).as("e"))
+      .groupBy(col("e.ea").as("a"), col("e.eb").as("b"))
+      .agg(count(lit(1)).as("support"))
+    ed.join(support, Seq("a", "b"), "left")
+      .join(da, "a").join(db, "b")
+      .select(col("a"), col("b"),
+        coalesce(col("support"), lit(0L)).as("support"),
+        (col("da") + col("db") - 2 - coalesce(col("support"), lit(0L)))
+          .as("union_nbrs"))
+      .select(col("a"), col("b"), col("support"), col("union_nbrs"),
+        when(col("union_nbrs") === 0, lit(0.0))
+          .otherwise(col("support").cast("double")
+            / col("union_nbrs").cast("double")).as("embeddedness"))
+      .orderBy(col("support").desc, col("a"), col("b"))
+      .limit(EmbedTopK)
   }
 
   /** Top-[[PrTopK]] parts by PageRank after [[PrIters]] synchronous
@@ -953,6 +1008,7 @@ object Graph {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "graph_link_pred" -> linkPred,
     "graph_local_cc" -> localCc,
+    "graph_edge_embed" -> edgeEmbed,
     "graph_als_factors" -> alsFactors,
     "graph_als_recs" -> alsRecs,
     "graph_degrees" -> degrees,
@@ -1018,6 +1074,34 @@ object Graph {
   }
 
   val oracle: Map[String, String] = Map(
+    "graph_edge_embed" ->
+      s"""WITH $graphCte,
+         |tri AS (
+         |  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+         |  FROM ed e1
+         |  JOIN ed e2 ON e2.a = e1.b
+         |  JOIN ed e3 ON e3.a = e1.a AND e3.b = e2.b),
+         |te AS (
+         |  SELECT x AS a, y AS b FROM tri
+         |  UNION ALL SELECT x, z FROM tri
+         |  UNION ALL SELECT y, z FROM tri),
+         |ts AS (SELECT a, b, count(*)::BIGINT AS support FROM te
+         |       GROUP BY 1, 2)
+         |SELECT ed.a, ed.b,
+         |  coalesce(ts.support, 0)::BIGINT AS support,
+         |  (da.d + db.d - 2 - coalesce(ts.support, 0))::BIGINT
+         |    AS union_nbrs,
+         |  CASE WHEN da.d + db.d - 2 - coalesce(ts.support, 0) = 0
+         |    THEN 0.0e0
+         |    ELSE coalesce(ts.support, 0)::DOUBLE
+         |      / (da.d + db.d - 2 - coalesce(ts.support, 0))::DOUBLE
+         |  END AS embeddedness
+         |FROM ed
+         |LEFT JOIN ts ON ts.a = ed.a AND ts.b = ed.b
+         |JOIN deg da ON da.node = ed.a
+         |JOIN deg db ON db.node = ed.b
+         |ORDER BY support DESC, ed.a, ed.b LIMIT $EmbedTopK"""
+        .stripMargin,
     "graph_local_cc" ->
       s"""WITH $graphCte,
          |tri AS (

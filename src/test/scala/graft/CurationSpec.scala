@@ -736,4 +736,37 @@ class CurationSpec extends SparkSpecBase {
     val totAllot = fx.map(_.getLong(3)).sum
     assert(totKept <= totAllot)
   }
+
+  test("waterfill: seeded random distributions match the reference solve") {
+    val s2 = spark; import s2.implicits._
+    val rnd = new scala.util.Random(42)
+    (1 to 5).foreach { trial =>
+      val nSrc = 3 + rnd.nextInt(8)
+      val counts = (0 until nSrc).map(i =>
+        f"s$i%02d" -> (1 + rnd.nextInt(200)))
+      val docs = counts.flatMap { case (src, n) =>
+        Seq.fill(n)((src, "w")) }.toDF("source", "text")
+      val got = Curation.mixWaterfillOf(docs).collect()
+        .map(r => r.getString(0) -> r.getLong(2)).toMap
+      // reference solve, straight from the definition
+      val t = counts.map(_._2.toLong).sum *
+        Curation.WaterNum / Curation.WaterDen
+      val sorted = counts.map { case (src, c) => (c.toLong, src) }
+        .sortBy(identity)
+      val k = sorted.length
+      val prefix = sorted.scanLeft(0L)(_ + _._1)
+      val m = (1 to k).find(i =>
+        prefix(i - 1) + (k - i + 1) * sorted(i - 1)._1 >= t).get
+      val allot = scala.collection.mutable.Map[String, Long]()
+      (0 until m - 1).foreach(j => allot(sorted(j)._2) = sorted(j)._1)
+      val cappedSrcs = sorted.drop(m - 1).map(_._2).sorted
+      val pool = t - prefix(m - 1)
+      val lvl = pool / cappedSrcs.length
+      val r2 = pool % cappedSrcs.length
+      cappedSrcs.zipWithIndex.foreach { case (src, j) =>
+        allot(src) = lvl + (if (j < r2) 1L else 0L) }
+      assert(got == allot.toMap, s"trial $trial: $got vs $allot")
+      assert(got.values.sum == t, s"trial $trial budget")
+    }
+  }
 }

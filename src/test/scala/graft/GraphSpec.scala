@@ -410,4 +410,17 @@ class GraphSpec extends SparkSpecBase {
     assert(got == Seq((1L, 2L, 1L, 1.0), (2L, 2L, 1L, 1.0),
       (3L, 3L, 1L, 1.0 / 3.0)))
   }
+
+  test("edge embeddedness: triangle edge gets support 1, pendant gets 0") {
+    val got = Graph.edgeEmbedOf(Graph.edgesOf(tinyLineitem)).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    // triangle {1,2,3}: every triangle edge has support 1; (1,2) union
+    // = 2+2-2-1 = 1 -> embeddedness 1.0; (1,3): 2+3-2-1 = 2 -> 0.5;
+    // pendant (3,4): support 0, union 3+1-2 = 2 -> 0.0
+    assert(got((1L, 2L)) == ((1L, 1L, 1.0)))
+    assert(got((1L, 3L)) == ((1L, 2L, 0.5)))
+    assert(got((2L, 3L)) == ((1L, 2L, 0.5)))
+    assert(got((3L, 4L)) == ((0L, 2L, 0.0)))
+  }
 }
