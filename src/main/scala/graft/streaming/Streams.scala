@@ -956,6 +956,56 @@ object Streams {
             / col("den").cast("double")).as("acf"))
   }
 
+  /** Forecast horizon (days past the series end) for [[holtTrend]]. */
+  val HoltH = 7
+
+  /** Holt linear-trend (double exponential) smoothing of each event
+    * type's daily-count series — the level+trend forecaster a metrics
+    * pipeline fits once [[autocorr]] has ruled the seasonality question:
+    * l_t = α·x_t + (1−α)(l_{t−1} + b_{t−1}),
+    * b_t = β(l_t − l_{t−1}) + (1−β)·b_{t−1}, initialised l_1 = x_1,
+    * b_1 = 0, with the h-step forecast l_n + h·b_n. α = β = 1/2 — exact
+    * binary fractions, so every smoothing step is one IEEE multiply-add
+    * chain both engines execute in the IDENTICAL order: Spark folds the
+    * per-type series sequentially with the `aggregate` higher-order
+    * function, the oracle replays the same recurrence as a recursive
+    * CTE, and the doubles hash-match bit-for-bit (the same
+    * sequential-parity discipline as [[graft.operators.Sgd]], but
+    * oracle-checkable because the recursion is per-key, not global).
+    * (event_type, n_days, level, trend, forecast_7).
+    *
+    * Scale shape: the stream collapses to #types×#days rows in one
+    * map-side-combined aggregate; the fold then runs ROW-LOCALLY on one
+    * ≤ #days array per type. The recurrence is inherently sequential in
+    * t (each state feeds the next), so the day axis — calendar-bounded,
+    * never corpus-scale — is the right axis to serialize; the corpus
+    * axis stays fully parallel. Types partition across the cluster.
+    */
+  def holtTrend(events: DataFrame): DataFrame = {
+    val daily = withEventTime(events)
+      .groupBy(col("event_type"), expr(s"ts_us div $DayUs").as("day"))
+      .agg(count(lit(1)).cast("double").as("x"))
+    daily.groupBy("event_type")
+      .agg(array_sort(collect_list(struct(col("day"), col("x"))))
+        .as("s"))
+      .select(col("event_type"),
+        size(col("s")).cast("long").as("n_days"),
+        expr("""aggregate(s,
+          named_struct('l', CAST(0.0 AS DOUBLE),
+                       'b', CAST(0.0 AS DOUBLE), 'i', 0),
+          (acc, e) -> IF(acc.i = 0,
+            named_struct('l', e.x, 'b', CAST(0.0 AS DOUBLE), 'i', 1),
+            named_struct(
+              'l', 0.5D * e.x + 0.5D * (acc.l + acc.b),
+              'b', 0.5D * ((0.5D * e.x + 0.5D * (acc.l + acc.b))
+                - acc.l) + 0.5D * acc.b,
+              'i', acc.i + 1)))""").as("st"))
+      .select(col("event_type"), col("n_days"),
+        col("st.l").as("level"), col("st.b").as("trend"),
+        (col("st.l") + lit(HoltH.toDouble) * col("st.b"))
+          .as(s"forecast_$HoltH"))
+  }
+
   /** As-of join — the "latest earlier fact" operator Spark has no
     * native form of: every purchase paired with the same user's most
     * recent view at-or-before it (left: no-view purchases keep null).
@@ -1770,6 +1820,8 @@ object Streams {
       ((s: SparkSession, d: String) => changepoint(events(s, d))),
     "stream_autocorr" ->
       ((s: SparkSession, d: String) => autocorr(events(s, d))),
+    "stream_holt" ->
+      ((s: SparkSession, d: String) => holtTrend(events(s, d))),
     "stream_mad_outliers" ->
       ((s: SparkSession, d: String) => madOutliers(events(s, d))),
     "stream_concurrency" ->
@@ -2141,6 +2193,37 @@ object Streams {
          |    ELSE pr.num::DOUBLE / den.den::DOUBLE END AS acf
          |FROM pr JOIN den ON den.event_type = pr.event_type"""
         .stripMargin,
+    // the same recurrence as the engine's sequential fold, replayed as
+    // a per-type recursive CTE — identical IEEE op order, so the double
+    // level/trend hash-match bit-for-bit
+    "stream_holt" ->
+      s"""WITH RECURSIVE d AS (
+         |  SELECT event_type, epoch_us(ts) // $DayUs AS day,
+         |    count(*)::DOUBLE AS x
+         |  FROM events GROUP BY 1, 2),
+         |idx AS (
+         |  SELECT event_type, x,
+         |    (row_number() OVER (PARTITION BY event_type
+         |      ORDER BY day))::BIGINT AS i
+         |  FROM d),
+         |n AS (
+         |  SELECT event_type, count(*)::BIGINT AS n_days
+         |  FROM idx GROUP BY 1),
+         |rec AS (
+         |  SELECT event_type, i, x AS l, 0.0e0 AS b
+         |  FROM idx WHERE i = 1
+         |  UNION ALL
+         |  SELECT idx.event_type, idx.i,
+         |    0.5e0 * idx.x + 0.5e0 * (rec.l + rec.b),
+         |    0.5e0 * ((0.5e0 * idx.x + 0.5e0 * (rec.l + rec.b))
+         |      - rec.l) + 0.5e0 * rec.b
+         |  FROM rec JOIN idx ON idx.event_type = rec.event_type
+         |    AND idx.i = rec.i + 1)
+         |SELECT rec.event_type, n.n_days, rec.l AS level,
+         |  rec.b AS trend,
+         |  rec.l + ${HoltH}.0e0 * rec.b AS forecast_$HoltH
+         |FROM rec JOIN n ON n.event_type = rec.event_type
+         |WHERE rec.i = n.n_days""".stripMargin,
     "stream_topk_types" ->
       s"""SELECT win_start, event_type, n_events, rk FROM (
          |  SELECT time_bucket(INTERVAL 1 HOUR, ts) AS win_start,

@@ -1192,6 +1192,41 @@ class StreamingSpec extends SparkSpecBase {
   private def ev2(id: Long, tsNs: Long, typ: String): Ev =
     Ev(id, tsNs, 1L, typ, 1.0)
 
+  test("holt: sequential replay on fixture events, constant series fix") {
+    val ev = graft.Tables(spark, Sf, "events")
+    // bit-exact sequential replay of the level/trend recurrence — the
+    // same doubles, in the same order, as the engine's row-local fold
+    val daily = Streams.withEventTime(ev)
+      .select("event_type", "ts_us").collect()
+      .map(r => (r.getString(0), Math.floorDiv(r.getLong(1), Streams.DayUs)))
+      .groupBy(identity).map { case ((t, d), g) => (t, d, g.size.toDouble) }
+      .toSeq
+    val expect = daily.groupBy(_._1).map { case (t, rows) =>
+      val xs = rows.sortBy(_._2).map(_._3)
+      var l = xs.head; var b = 0.0
+      xs.tail.foreach { x =>
+        val nl = 0.5 * x + 0.5 * (l + b)
+        b = 0.5 * (nl - l) + 0.5 * b
+        l = nl
+      }
+      (t, xs.length.toLong, l, b, l + Streams.HoltH.toDouble * b)
+    }.toSet
+    val got = Streams.holtTrend(ev).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4))).toSet
+    assert(got == expect)
+    // a constant series is a fixed point: level c, trend 0, forecast c
+    val s = spark; import s.implicits._
+    val DayNs = 86400L * 1000 * 1000 * 1000
+    val flat = (0 to 9).map(d => ev2(200 + d, d * DayNs, "flat"))
+    val fr = Streams.holtTrend(flat.toDF()).collect()
+    assert(fr.length == 1)
+    assert(fr.head.getLong(1) == 10L)
+    assert(fr.head.getDouble(2) == 1.0)
+    assert(fr.head.getDouble(3) == 0.0)
+    assert(fr.head.getDouble(4) == 1.0)
+  }
+
   test("mad outliers: exact order-statistic replay on fixture events") {
     val ev = graft.Tables(spark, Sf, "events")
     val vs = ev.select("value").collect().map(_.getDouble(0)).sorted
