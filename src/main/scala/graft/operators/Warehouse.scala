@@ -691,7 +691,61 @@ object Warehouse {
           .as("moved_up"))
   }
 
+  /** Skyline (Pareto frontier) of the part catalog — every part no
+    * other part beats on BOTH axes at once (lower-or-equal retail
+    * price AND greater-or-equal size, strictly better on at least
+    * one): the multi-objective "best tradeoffs" operator (Börzsönyi's
+    * SKYLINE OF, ICDE 2001) warehouses bolt on for supplier/product
+    * selection. Equal-point ties all survive (neither dominates).
+    * (p_partkey, price, size).
+    *
+    * Scale shape — the naive form is a quadratic NOT-EXISTS self-join,
+    * and the textbook sort-scan form is a GLOBAL price-ordered running
+    * max, i.e. one partition eating the catalog. Here the running max
+    * decomposes exactly like [[graft.operators.Curation]]'s prefix
+    * sums: collapse to per-price best size (one map-side-combined
+    * aggregate — distinct prices, so the within-bucket window below
+    * has no peer-row ambiguity), bucket prices by integer dollar
+    * (floor, order-preserving: every price in a lower bucket is
+    * strictly smaller), take the per-bucket max-size table — bounded
+    * by the PRICE DOMAIN, never the row count — through one tiny
+    * exclusive prefix-max window (the lone unpartitioned window,
+    * pinned in WindowBoundSpec), and evaluate the strict-prefix test
+    * per price under a PARTITIONED per-bucket window: a price is on
+    * the frontier iff its best size beats both the in-bucket exclusive
+    * running max and the broadcast lower-bucket max. Rows join back by
+    * price to recover ties. Nothing catalog-scale ever crosses a
+    * single-partition stage, and the frontier test stays exact
+    * integer/double comparisons.
+    */
+  def skyline(spark: SparkSession, dir: String): DataFrame =
+    skylineOf(Tables(spark, dir, "part")
+      .select(col("p_partkey"), col("p_retailprice").as("price"),
+        col("p_size").cast("long").as("size")))
+
+  def skylineOf(pts: DataFrame): DataFrame = {
+    val best = pts.groupBy("price").agg(max(col("size")).as("psmax"))
+      .withColumn("g", floor(col("price")).cast("long"))
+    // ≤ |integer price domain| rows: exclusive prefix max over buckets
+    val pref = best.groupBy("g").agg(max(col("psmax")).as("bmax"))
+      .withColumn("pmax", max(col("bmax")).over(
+        Window.orderBy("g").rowsBetween(Window.unboundedPreceding, -1)))
+      .select("g", "pmax")
+    val inb = Window.partitionBy("g").orderBy("price")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val frontier = best.join(broadcast(pref), "g")
+      .withColumn("lt", greatest(
+        coalesce(max(col("psmax")).over(inb), lit(Long.MinValue)),
+        coalesce(col("pmax"), lit(Long.MinValue))))
+      .where(col("psmax") > col("lt"))
+      .select("price", "psmax")
+    pts.join(frontier, "price")
+      .where(col("size") === col("psmax"))
+      .select(col("p_partkey"), col("price"), col("size"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "rel_skyline" -> skyline,
     "rel_rank_movers" -> rankMovers,
     "rel_cheapest_supplier" -> cheapestSupplier,
     "rel_product_profit" -> productProfit,
@@ -713,6 +767,19 @@ object Warehouse {
   )
 
   val oracle: Map[String, String] = Map(
+    // the declarative dominance definition — quadratic in DuckDB, which
+    // is exactly the point: the engine's bucketed prefix-max plan must
+    // reproduce the textbook NOT EXISTS semantics bit-for-bit
+    "rel_skyline" ->
+      """SELECT p.p_partkey, p.p_retailprice AS price,
+        |  p.p_size::BIGINT AS size
+        |FROM part p
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM part o
+        |  WHERE o.p_retailprice <= p.p_retailprice
+        |    AND o.p_size >= p.p_size
+        |    AND (o.p_retailprice < p.p_retailprice
+        |      OR o.p_size > p.p_size))""".stripMargin,
     "rel_rank_movers" ->
       s"""WITH rev AS (
          |  SELECT (year(o_orderdate) * 4

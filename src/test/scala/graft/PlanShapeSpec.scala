@@ -723,4 +723,29 @@ class PlanShapeSpec extends SparkSpecBase {
       assert(math.abs(r.getLong(4)) <= Warehouse.MoversTopK)
     }
   }
+
+  test("skyline: brute-force dominance parity, ties survive, no product") {
+    val df = Warehouse.skyline(spark, Sf)
+    val p = finalOnly(df)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    // brute-force O(n²) dominance replay on the fixture catalog
+    val pts = graft.Tables(spark, Sf, "part")
+      .select("p_partkey", "p_retailprice", "p_size").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getInt(2).toLong))
+    val expect = pts.filter { case (_, pr, sz) =>
+      !pts.exists { case (_, opr, osz) =>
+        opr <= pr && osz >= sz && (opr < pr || osz > sz) }
+    }.map(_._1).toSet
+    val got = df.collect().map(_.getLong(0)).toSet
+    assert(got == expect)
+    // planted ties: equal frontier points both survive; dominated
+    // same-price smaller size does not
+    val s = spark; import s.implicits._
+    val tiny = Seq((1L, 10.0, 5L), (2L, 10.0, 5L), (3L, 10.0, 4L),
+      (4L, 9.0, 3L), (5L, 11.0, 9L), (6L, 12.0, 9L))
+      .toDF("p_partkey", "price", "size")
+    val t = Warehouse.skylineOf(tiny).collect().map(_.getLong(0)).toSet
+    assert(t == Set(1L, 2L, 4L, 5L))
+  }
 }

@@ -53,6 +53,8 @@ class WindowBoundSpec extends SparkSpecBase {
     "llm_pipeline_tokens" -> 1,  // exclusiveOffsets deepest level (g2)
     "llm_quality_auc" -> 1,      // ≤ AucBuckets-row bucket totals (b)
     "llm_quantile_sketch" -> 2,  // bucket histograms (b)
+    "rel_skyline" -> 1,          // ≤ |integer price domain|-row bucket
+                                 // prefix max (b)
     "llm_sample_pps" -> 1,       // exclusiveOffsets deepest level (g2)
     "llm_shard_stats" -> 1,      // exclusiveOffsets deepest level (g2)
     "llm_shuffle_assign" -> 1,   // exclusiveOffsets deepest level (g2)
