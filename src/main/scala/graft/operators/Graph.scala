@@ -515,6 +515,71 @@ object Graph {
     } else out
   }
 
+  /** Probe-source count for [[closeness]]. */
+  val CloseSources = 8
+
+  /** Harmonic-centrality scale: lcm(1..[[BfsIters]]) so every 1/d
+    * contribution is an exact integer ([[CloseScale]] DIV d).
+    */
+  val CloseScale = 12L
+
+  /** Harmonic closeness centrality of the [[CloseSources]] highest-
+    * degree nodes (ties to the smaller id) over the STRONG co-purchase
+    * graph: for each probe source, Σ 1/d over every node reached
+    * within [[BfsIters]] hops — the centrality that stays defined on
+    * disconnected graphs (unreached nodes contribute 0 instead of an
+    * infinite distance; Boldi & Vigna's axioms favor exactly this
+    * form). Kept EXACT: contributions are [[CloseScale]] DIV d
+    * integers, so the score hashes with no float anywhere.
+    * (node, n_reached, harm12).
+    *
+    * Scale shape: ONE multi-source BFS — the frontier table is keyed
+    * (source, node), so all [[CloseSources]] traversals share each
+    * round's two hash joins (adjacency✕frontier + visited anti-join)
+    * instead of running K separate sweeps; per-round state stays
+    * distributed and the probe count only widens the frontier, never
+    * adds rounds. The sampled-sources design is the standard
+    * centrality estimate at graph scale (exact all-pairs closeness is
+    * O(V·E) and off the table at 10⁹ nodes).
+    */
+  def closeness(spark: SparkSession, dir: String): DataFrame =
+    closenessOf(edges(spark, dir), Materialize.Local)
+
+  def closenessOf(edgesRaw: DataFrame,
+      mat: Materialize.Strategy = Materialize.None): DataFrame = {
+    val cuts = scala.collection.mutable.ListBuffer.empty[DataFrame]
+    def cut(df: DataFrame): DataFrame =
+      if (mat ne Materialize.None) { val c = mat(df); cuts += c; c }
+      else df
+    val sym = cut(symOf(edgesRaw.where(col("w") >= StrongW)
+      .select("a", "b")))
+    val srcs = degOf(sym)
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("d").desc, col("node"))))
+      .where(col("rk") <= CloseSources)
+      .select(col("node").as("s"))
+    var dist = cut(srcs.select(col("s"), col("s").as("node"),
+      lit(0L).as("dist")))
+    for (i <- 1 to BfsIters) {
+      val frontier = dist.where(col("dist") === lit((i - 1).toLong))
+      val next = sym
+        .join(frontier.select(col("s"), col("node").as("src")), "src")
+        .select(col("s"), col("dst").as("node")).distinct()
+        .join(dist.select("s", "node"), Seq("s", "node"), "left_anti")
+        .select(col("s"), col("node"), lit(i.toLong).as("dist"))
+      dist = cut(dist.unionByName(next))
+    }
+    val out = dist.where(col("dist") > 0)
+      .groupBy(col("s").as("node"))
+      .agg(count(lit(1)).as("n_reached"),
+        sum(expr(s"$CloseScale DIV dist")).as("harm12"))
+    if (mat ne Materialize.None) {
+      val forced = Materialize.Local(out)
+      cuts.foreach(Materialize.release)
+      forced
+    } else out
+  }
+
   /** PPR rounds and report size. */
   val PprIters = 4
   val PprTopK = 20
@@ -1021,6 +1086,7 @@ object Graph {
     "graph_kcore" -> kcore,
     "graph_label_prop" -> labelProp,
     "graph_distances" -> distances,
+    "graph_closeness" -> closeness,
     "graph_ppr" -> ppr
   )
 
@@ -1343,6 +1409,38 @@ object Graph {
          |    row_number() OVER (ORDER BY pr DESC, node)::BIGINT AS rk
          |  FROM p$PprIters WHERE pr > 0)
          |WHERE rk <= $PprTopK""".stripMargin
+    },
+    "graph_closeness" -> {
+      // the multi-source BFS unrolled with the source key carried;
+      // NOT EXISTS is the per-source visited anti-join
+      val rounds = (1 to BfsIters).map { i =>
+        s"""c$i AS MATERIALIZED (
+           |  SELECT s, node, dist FROM c${i - 1}
+           |  UNION ALL
+           |  SELECT DISTINCT f.s, e.dst AS node, $i::BIGINT AS dist
+           |  FROM e0 e JOIN c${i - 1} f
+           |    ON f.node = e.src AND f.dist = ${i - 1}
+           |  WHERE NOT EXISTS (SELECT 1 FROM c${i - 1} v
+           |    WHERE v.s = f.s AND v.node = e.dst))""".stripMargin
+      }.mkString(",\n")
+      s"""WITH $graphCte,
+         |sp AS (SELECT a, b FROM ed WHERE w >= $StrongW),
+         |e0 AS MATERIALIZED (
+         |  SELECT a AS src, b AS dst FROM sp
+         |  UNION ALL SELECT b, a FROM sp),
+         |sdeg AS (SELECT src AS node, count(*)::BIGINT AS d
+         |         FROM e0 GROUP BY 1),
+         |srcs AS MATERIALIZED (
+         |  SELECT node AS s FROM (
+         |    SELECT node, row_number() OVER (ORDER BY d DESC, node)
+         |      AS rk FROM sdeg)
+         |  WHERE rk <= $CloseSources),
+         |c0 AS MATERIALIZED (
+         |  SELECT s, s AS node, 0::BIGINT AS dist FROM srcs),
+         |$rounds
+         |SELECT s AS node, count(*)::BIGINT AS n_reached,
+         |  sum($CloseScale // dist)::BIGINT AS harm12
+         |FROM c$BfsIters WHERE dist > 0 GROUP BY 1""".stripMargin
     },
     "graph_distances" -> {
       val rounds = (1 to BfsIters).map { i =>

@@ -214,6 +214,49 @@ class GraphSpec extends SparkSpecBase {
     }
   }
 
+  test("closeness: multi-source harmonic replay on random graphs") {
+    val rnd = new scala.util.Random(29)
+    for (_ <- 1 to 3) {
+      val n = 10 + rnd.nextInt(10)
+      val edges = (for {
+        a <- 1 to n; b <- (a + 1) to n if rnd.nextDouble() < 0.25
+      } yield (a.toLong, b.toLong)).toSeq
+      if (edges.nonEmpty) {
+        val df = edges.toDF("a", "b").withColumn("w", lit(Graph.StrongW))
+        val nbrs = (edges ++ edges.map(e => (e._2, e._1)))
+          .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+        val srcs = nbrs.toSeq
+          .map { case (v, ns) => (-ns.size.toLong, v) }.sorted
+          .take(Graph.CloseSources).map(_._2)
+        val expect = srcs.map { s =>
+          var dist = Map(s -> 0L)
+          for (i <- 1 to Graph.BfsIters) {
+            val frontier = dist.filter(_._2 == i - 1).keySet
+            val fresh = frontier.flatMap(nbrs) -- dist.keySet
+            dist = dist ++ fresh.map(_ -> i.toLong)
+          }
+          val reached = dist.filter(_._2 > 0)
+          (s, reached.size.toLong,
+            reached.values.map(Graph.CloseScale / _).sum)
+        }.toSet
+        val got = Graph.closenessOf(df).collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+        assert(got == expect, s"edges=$edges srcs=$srcs")
+      }
+    }
+    // cross-operator consistency on the fixture: the top-degree probe
+    // source IS graph_distances' source, so its harmonic score must
+    // equal the level census folded through CloseScale DIV d
+    val census = Graph.distances(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val expectTop = census.filter(_._1 > 0)
+      .map { case (d, c) => c * (Graph.CloseScale / d) }.sum
+    val top = Graph.closeness(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2)))
+    assert(top.length == Graph.CloseSources)
+    assert(top.map(_._2).contains(expectTop))
+  }
+
   test("ppr: decays from the source and replays the integer walk") {
     val rnd = new scala.util.Random(31)
     val n = 14
