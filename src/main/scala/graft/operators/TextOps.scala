@@ -932,6 +932,33 @@ object TextOps {
           coalesce(col("tok"), lit(UnkToken)).as("t")))),
         x => x("t"))).as("text"))
 
+  /** Tokenizer round-trip integrity audit — decode∘encode replayed over
+    * the WHOLE corpus and hash-gated against the oracle's direct
+    * OOV-masking of the original text: the release check a tokenizer
+    * change runs before any re-encode ships, proving (a) ids decode to
+    * exactly the original tokens wherever the vocabulary covers them,
+    * (b) every OOV position surfaces as [[UnkToken]] and is counted,
+    * and (c) the (pos, id) reassembly order is stable across engines.
+    * Unlike the CorpusOpsSpec in-process proof, this one crosses the
+    * engine boundary: Spark computes decode(encode(text)) while DuckDB
+    * never encodes at all — a bug in EITHER direction of the codec
+    * breaks the hash. (doc_id, n_tokens, n_oov, text_rt).
+    *
+    * Scale shape: two broadcast-vocab passes over the exploded token
+    * stream + the ordered row-local reassemblies — the [[encodeOf]]
+    * shape twice; nothing shuffles on token.
+    */
+  def roundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val v = vocabulary(d, graft.Conf.int(spark, EncodeVocabConf,
+      EncodeVocab))
+    val enc = encodeWith(d, v, Seq("doc_id"), "text")
+    decodeOf(enc.select("doc_id", "ids"), v)
+      .withColumnRenamed("text", "text_rt")
+      .join(enc.select("doc_id", "n_tokens", "n_oov"), "doc_id")
+      .select("doc_id", "n_tokens", "n_oov", "text_rt")
+  }
+
   /** Fixture entry: ids rendered as CSV (the driver gate compares scalar
     * columns; the array form is the library API).
     */
@@ -1540,6 +1567,7 @@ object TextOps {
     "llm_bpe_merges" -> bpeMerges,
     "llm_bpe_encode" -> bpeEncode,
     "llm_encode" -> encode,
+    "llm_roundtrip" -> roundtrip,
     "llm_badwords" -> badwords,
     "llm_lm_score" -> lmScore,
     "llm_lm_buckets" -> lmBuckets,
@@ -1865,6 +1893,26 @@ kn AS (SELECT w1, w2, c_xy, c_x, n1_fwd, n1_bwd,
          |SELECT doc_id, count(*)::BIGINT AS n_tokens,
          |  sum(oov)::BIGINT AS n_oov,
          |  array_to_string(list(tid ORDER BY pos), ',') AS ids_csv
+         |FROM j GROUP BY doc_id""".stripMargin,
+    // the oracle never encodes: it masks OOV tokens directly, so the
+    // hash proves Spark's decode∘encode equals the identity-with-UNK
+    "llm_roundtrip" ->
+      s"""WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t
+         |            FROM documents),
+         |c2 AS (SELECT unnest(t) AS tok FROM tok),
+         |cnt AS (SELECT tok, count(*) AS cnt FROM c2 GROUP BY tok),
+         |vocab AS (SELECT tok
+         |  FROM cnt ORDER BY cnt DESC, tok LIMIT $EncodeVocab),
+         |ex AS (SELECT doc_id, unnest(t) AS tok,
+         |         unnest(range(len(t))) AS pos FROM tok),
+         |j AS (SELECT e.doc_id, e.pos,
+         |        CASE WHEN v.tok IS NULL THEN '$UnkToken'
+         |             ELSE e.tok END AS rt,
+         |        CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END AS oov
+         |      FROM ex e LEFT JOIN vocab v ON e.tok = v.tok)
+         |SELECT doc_id, count(*)::BIGINT AS n_tokens,
+         |  sum(oov)::BIGINT AS n_oov,
+         |  array_to_string(list(rt ORDER BY pos), ' ') AS text_rt
          |FROM j GROUP BY doc_id""".stripMargin,
     "llm_badwords" ->
       s"""SELECT doc_id,

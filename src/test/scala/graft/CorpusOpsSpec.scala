@@ -43,6 +43,24 @@ class CorpusOpsSpec extends SparkSpecBase {
     assert(back2(1L) == "the cat <unk> <unk> the <unk>")
   }
 
+  test("roundtrip entry: unk count equals n_oov, token counts preserved") {
+    val rt = TextOps.roundtrip(spark, Sf).collect()
+    assert(rt.nonEmpty)
+    rt.foreach { r =>
+      val toks = r.getString(3).split(" ", -1)
+      assert(toks.length.toLong == r.getLong(1))
+      assert(toks.count(_ == TextOps.UnkToken).toLong == r.getLong(2))
+    }
+    // the lossy path only fires when the corpus vocabulary outgrows the
+    // encode vocab (true at sf0.01+; sf0.001's fits inside 256) — when
+    // it does, n_oov must be nonzero somewhere
+    val nVocab = TextOps.wordCountOf(
+      graft.Tables(spark, Sf, "documents").select("doc_id", "text"))
+      .count()
+    if (nVocab > TextOps.EncodeVocab) assert(rt.exists(_.getLong(2) > 0))
+    else assert(rt.forall(_.getLong(2) == 0L))
+  }
+
   // ---- Curation.snapshotDiffOf ----
 
   test("snapshot diff classifies added/removed/changed/unchanged") {
