@@ -580,6 +580,103 @@ object Graph {
     } else out
   }
 
+  /** Dependency fixed-point scale and report size for [[betweenness]].
+    * Headroom budget: a backward contribution is σ_v·([[BtScale]]+δ_w)
+    * DIV σ_w with σ_v ≤ σ_w along shortest-path DAG edges, so δ
+    * compounds to ≈ deg^([[BfsIters]]−1)·[[BtScale]] and the widest
+    * product stays ≈ σ·deg³·10⁶ — inside BIGINT to degree ~10³;
+    * beyond that, lower the scale or widen to DECIMAL(38,0) (the
+    * [[graft.streaming.Streams.rateAnomaly]] treatment).
+    */
+  val BtScale = 1000000L
+  val BtTopK = 20
+
+  /** Brandes betweenness centrality (SIAM JAM 2001), bounded-depth and
+    * source-sampled — the standard approximation at graph scale, where
+    * exact betweenness is O(V·E) and off the table: from each of the
+    * [[CloseSources]] top-degree probe sources, a forward multi-source
+    * BFS accumulates shortest-path counts σ per (source, node), then
+    * the backward pass folds dependencies down the shortest-path DAG,
+    * δ(v) = Σ_{w : child} σ_v·(1+δ(w))/σ_w, truncated at
+    * [[BfsIters]] hops. Scores are EXACT integers: δ rides a
+    * [[BtScale]] fixed point with per-edge DIV (the [[pagerank]]
+    * discipline — both engines land on identical longs; all values
+    * nonnegative, so trunc-DIV == floor-//). Top-[[BtTopK]] bridge
+    * nodes: (node, bc, rk).
+    *
+    * Scale shape: the forward rounds are the [[closeness]] multi-probe
+    * BFS (two hash joins per round, σ summed map-side in the frontier
+    * aggregate); each backward round is one adjacency join between two
+    * ADJACENT BFS levels plus a left join onto the previous round's
+    * ≤ level-sized δ table — everything keyed (source, node), state
+    * distributed, per-round lineage cuts.
+    */
+  def betweenness(spark: SparkSession, dir: String): DataFrame =
+    betweennessOf(edges(spark, dir), Materialize.Local)
+
+  def betweennessOf(edgesRaw: DataFrame,
+      mat: Materialize.Strategy = Materialize.None): DataFrame = {
+    val cuts = scala.collection.mutable.ListBuffer.empty[DataFrame]
+    def cut(df: DataFrame): DataFrame =
+      if (mat ne Materialize.None) { val c = mat(df); cuts += c; c }
+      else df
+    val sym = cut(symOf(edgesRaw.where(col("w") >= StrongW)
+      .select("a", "b")))
+    val srcs = degOf(sym)
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("d").desc, col("node"))))
+      .where(col("rk") <= CloseSources)
+      .select(col("node").as("s"))
+    // forward: first-discovery levels with shortest-path counts σ
+    var vis = cut(srcs.select(col("s"), col("s").as("node"),
+      lit(0L).as("dist"), lit(1L).as("sig")))
+    for (i <- 1 to BfsIters) {
+      val frontier = vis.where(col("dist") === lit((i - 1).toLong))
+      val next = sym
+        .join(frontier.select(col("s"), col("node").as("src"),
+          col("sig")), "src")
+        .groupBy(col("s"), col("dst").as("node"))
+        .agg(sum(col("sig")).as("sig"))
+        .join(vis.select("s", "node"), Seq("s", "node"), "left_anti")
+        .select(col("s"), col("node"), lit(i.toLong).as("dist"),
+          col("sig"))
+      vis = cut(vis.unionByName(next))
+    }
+    // backward: deepest level seeds δ = 0, dependencies fold upward
+    var dl = vis.where(col("dist") === lit(BfsIters.toLong))
+      .select(col("s"), col("node"), lit(0L).as("dl"))
+    val perLevel = scala.collection.mutable.ListBuffer.empty[DataFrame]
+    for (i <- (BfsIters - 1) to 1 by -1) {
+      val child = vis.where(col("dist") === lit((i + 1).toLong))
+        .select(col("s"), col("node").as("w"), col("sig").as("sigw"))
+        .join(dl.select(col("s"), col("node").as("w"), col("dl")),
+          Seq("s", "w"), "left")
+        .select(col("s"), col("w"), col("sigw"),
+          coalesce(col("dl"), lit(0L)).as("dlw"))
+      val cur = vis.where(col("dist") === lit(i.toLong))
+        .select(col("s"), col("node"), col("sig"))
+      dl = cut(cur
+        .join(sym, cur("node") === sym("src"))
+        .select(col("s"), col("node"), col("sig"),
+          col("dst").as("w"))
+        .join(child, Seq("s", "w"))
+        .select(col("s"), col("node"),
+          expr(s"(sig * ($BtScale + dlw)) DIV sigw").as("c"))
+        .groupBy("s", "node").agg(sum(col("c")).as("dl")))
+      perLevel += dl
+    }
+    val out = perLevel.reduce(_.unionByName(_))
+      .groupBy("node").agg(sum(col("dl")).as("bc"))
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("bc").desc, col("node"))).cast("long"))
+      .where(col("rk") <= BtTopK)
+    if (mat ne Materialize.None) {
+      val forced = Materialize.Local(out)
+      cuts.foreach(Materialize.release)
+      forced
+    } else out
+  }
+
   /** PPR rounds and report size. */
   val PprIters = 4
   val PprTopK = 20
@@ -1087,6 +1184,7 @@ object Graph {
     "graph_label_prop" -> labelProp,
     "graph_distances" -> distances,
     "graph_closeness" -> closeness,
+    "graph_betweenness" -> betweenness,
     "graph_ppr" -> ppr
   )
 
@@ -1409,6 +1507,66 @@ object Graph {
          |    row_number() OVER (ORDER BY pr DESC, node)::BIGINT AS rk
          |  FROM p$PprIters WHERE pr > 0)
          |WHERE rk <= $PprTopK""".stripMargin
+    },
+    "graph_betweenness" -> {
+      // forward σ-accumulating BFS + backward dependency folds, both
+      // unrolled; every δ is the same (σ·(S+δ_child)) // σ_child
+      // integer the engine computes
+      val fwd = (1 to BfsIters).map { i =>
+        s"""n$i AS MATERIALIZED (
+           |  SELECT f.s, e.dst AS node, sum(f.sig)::BIGINT AS sig
+           |  FROM e0 e JOIN v${i - 1} f
+           |    ON f.node = e.src AND f.dist = ${i - 1}
+           |  WHERE NOT EXISTS (SELECT 1 FROM v${i - 1} x
+           |    WHERE x.s = f.s AND x.node = e.dst)
+           |  GROUP BY 1, 2),
+           |v$i AS MATERIALIZED (
+           |  SELECT s, node, dist, sig FROM v${i - 1}
+           |  UNION ALL
+           |  SELECT s, node, $i::BIGINT, sig FROM n$i)""".stripMargin
+      }.mkString(",\n")
+      val back = ((BfsIters - 1) to 1 by -1).map { i =>
+        val childD = if (i == BfsIters - 1) "0"
+          else s"coalesce(d${i + 1}.dl, 0)"
+        val childJoin = if (i == BfsIters - 1) ""
+          else s"\n  LEFT JOIN d${i + 1} ON d${i + 1}.s = b.s" +
+            s" AND d${i + 1}.node = b.node"
+        s"""d$i AS MATERIALIZED (
+           |  SELECT a.s, a.node,
+           |    sum((a.sig * ($BtScale + $childD)) // b.sig)::BIGINT
+           |      AS dl
+           |  FROM v$BfsIters a
+           |  JOIN e0 e ON e.src = a.node
+           |  JOIN v$BfsIters b ON b.s = a.s AND b.node = e.dst
+           |    AND b.dist = ${i + 1}$childJoin
+           |  WHERE a.dist = $i
+           |  GROUP BY 1, 2)""".stripMargin
+      }.mkString(",\n")
+      val union = (1 to (BfsIters - 1))
+        .map(i => s"SELECT s, node, dl FROM d$i").mkString("\n    UNION ALL ")
+      s"""WITH $graphCte,
+         |sp AS (SELECT a, b FROM ed WHERE w >= $StrongW),
+         |e0 AS MATERIALIZED (
+         |  SELECT a AS src, b AS dst FROM sp
+         |  UNION ALL SELECT b, a FROM sp),
+         |sdeg AS (SELECT src AS node, count(*)::BIGINT AS d
+         |         FROM e0 GROUP BY 1),
+         |srcs AS MATERIALIZED (
+         |  SELECT node AS s FROM (
+         |    SELECT node, row_number() OVER (ORDER BY d DESC, node)
+         |      AS rk FROM sdeg)
+         |  WHERE rk <= $CloseSources),
+         |v0 AS MATERIALIZED (
+         |  SELECT s, s AS node, 0::BIGINT AS dist, 1::BIGINT AS sig
+         |  FROM srcs),
+         |$fwd,
+         |$back
+         |SELECT node, bc, rk FROM (
+         |  SELECT node, bc,
+         |    row_number() OVER (ORDER BY bc DESC, node)::BIGINT AS rk
+         |  FROM (SELECT node, sum(dl)::BIGINT AS bc FROM (
+         |    $union) GROUP BY 1))
+         |WHERE rk <= $BtTopK""".stripMargin
     },
     "graph_closeness" -> {
       // the multi-source BFS unrolled with the source key carried;

@@ -257,6 +257,67 @@ class GraphSpec extends SparkSpecBase {
     assert(top.map(_._2).contains(expectTop))
   }
 
+  test("betweenness: integer Brandes replay on random graphs, star hub") {
+    val rnd = new scala.util.Random(41)
+    def replay(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+      val nbrs = (edges ++ edges.map(e => (e._2, e._1)))
+        .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+      val srcs = nbrs.toSeq
+        .map { case (v, ns) => (-ns.size.toLong, v) }.sorted
+        .take(Graph.CloseSources).map(_._2)
+      val acc = scala.collection.mutable.Map.empty[Long, Long]
+      for (s <- srcs) {
+        var dist = Map(s -> 0L)
+        var sig = Map(s -> 1L)
+        for (i <- 1 to Graph.BfsIters) {
+          val frontier = dist.filter(_._2 == i - 1).keySet
+          val contrib = scala.collection.mutable.Map.empty[Long, Long]
+          for (u <- frontier; v <- nbrs(u) if !dist.contains(v))
+            contrib(v) = contrib.getOrElse(v, 0L) + sig(u)
+          dist = dist ++ contrib.keys.map(_ -> i.toLong)
+          sig = sig ++ contrib
+        }
+        var dl = Map.empty[Long, Long]
+        for (i <- (Graph.BfsIters - 1) to 1 by -1) {
+          val next = scala.collection.mutable.Map.empty[Long, Long]
+          for (v <- dist.filter(_._2 == i).keySet;
+               w <- nbrs(v) if dist.get(w).contains(i + 1L)) {
+            val c = (sig(v) * (Graph.BtScale + dl.getOrElse(w, 0L))) /
+              sig(w)
+            next(v) = next.getOrElse(v, 0L) + c
+          }
+          next.foreach { case (v, d) =>
+            acc(v) = acc.getOrElse(v, 0L) + d }
+          dl = next.toMap
+        }
+      }
+      acc.toMap
+    }
+    for (_ <- 1 to 3) {
+      val n = 10 + rnd.nextInt(10)
+      val edges = (for {
+        a <- 1 to n; b <- (a + 1) to n if rnd.nextDouble() < 0.25
+      } yield (a.toLong, b.toLong)).toSeq
+      if (edges.nonEmpty) {
+        val df = edges.toDF("a", "b").withColumn("w", lit(Graph.StrongW))
+        val expect = replay(edges).toSeq
+          .sortBy { case (v, bc) => (-bc, v) }
+          .take(Graph.BtTopK).zipWithIndex
+          .map { case ((v, bc), i) => (v, bc, i + 1L) }.toSet
+        val got = Graph.betweennessOf(df).collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+        assert(got == expect, s"edges=$edges")
+      }
+    }
+    // star graph: all probe paths route through the hub, leaves carry 0
+    val star = (2 to 10).map(l => (1L, l.toLong))
+    val sg = Graph.betweennessOf(
+      star.toDF("a", "b").withColumn("w", lit(Graph.StrongW))).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(sg(1L) > 0L)
+    assert(sg.filter(_._1 != 1L).values.forall(_ == 0L))
+  }
+
   test("ppr: decays from the source and replays the integer walk") {
     val rnd = new scala.util.Random(31)
     val n = 14
