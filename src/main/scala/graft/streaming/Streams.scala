@@ -956,6 +956,55 @@ object Streams {
             / col("den").cast("double")).as("acf"))
   }
 
+  /** Page's CUSUM drift monitor over each event type's daily counts —
+    * the sequential detector that catches SUSTAINED small upward
+    * shifts a per-day threshold like [[rateAnomaly]] misses: S_t =
+    * max(0, S_{t−1} + (x_t − μ − k)) with allowance k = μ/2 and
+    * decision threshold h = 2μ, the classic chart parameters restated
+    * on the series' own mean. Kept EXACT end-to-end by scaling
+    * through 2n (n = observed days, S = Σx): the increment becomes
+    * D_t = 2n·x_t − 3S and the recursion collapses to the prefix-sum
+    * identity S_t = P_t − min(0, min_{j≤t} P_j) — no sequential fold
+    * at all, just one running sum and one running min, both
+    * PARTITIONED by type. Products ride DECIMAL(19,0)×DECIMAL(19,0)
+    * and the ×2/×3/×4 coefficients are ADDITION chains, so neither
+    * engine ever multiplies a DECIMAL(38,0) (DuckDB would spill past
+    * 38 digits to double; the [[rateAnomaly]] lesson one step
+    * further). (event_type, day, x, cusum2n, alarm).
+    *
+    * Scale shape: the stream collapses once to #types×#days rows; the
+    * per-type totals broadcast back; both windows share one (type,
+    * day) partitioning. Alarmed days mark where the cumulative
+    * evidence of a mean shift crosses h, and reset behavior (the
+    * max(0,·) clamp) is exactly the min-clamp of the identity.
+    */
+  def cusum(events: DataFrame): DataFrame = {
+    val d19 = "decimal(19,0)"
+    val daily = withEventTime(events)
+      .groupBy(col("event_type"), expr(s"ts_us div $DayUs").as("day"))
+      .agg(count(lit(1)).as("x"))
+    val st = daily.groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("s"))
+    val nx = (col("n").cast(d19) * col("x").cast(d19))
+    val s38 = col("s").cast(d19).cast("decimal(38,0)")
+    val j = daily.join(broadcast(st), "event_type")
+      .select(col("event_type"), col("day"), col("x"),
+        (nx + nx - (s38 + s38 + s38)).as("dd"), col("s"))
+    val w = Window.partitionBy("event_type").orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val p = j.withColumn("p", sum(col("dd")).over(w))
+    val z = lit(0).cast("decimal(38,0)")
+    p.select(col("event_type"), col("day"), col("x"),
+        (col("p") - least(z, min(col("p")).over(w))).as("c"),
+        (s38 + s38 + s38 + s38).as("h"))
+      // the comparison runs on the exact decimals; only the REPORTED
+      // statistic narrows to BIGINT (headroom: 2n·Σx — fine to ~10⁴
+      // days × 10¹⁴ events/day)
+      .select(col("event_type"), col("day"), col("x"),
+        col("c").cast("long").as("cusum2n"),
+        (col("c") > col("h")).as("alarm"))
+  }
+
   /** Forecast horizon (days past the series end) for [[holtTrend]]. */
   val HoltH = 7
 
@@ -1822,6 +1871,8 @@ object Streams {
       ((s: SparkSession, d: String) => autocorr(events(s, d))),
     "stream_holt" ->
       ((s: SparkSession, d: String) => holtTrend(events(s, d))),
+    "stream_cusum" ->
+      ((s: SparkSession, d: String) => cusum(events(s, d))),
     "stream_mad_outliers" ->
       ((s: SparkSession, d: String) => madOutliers(events(s, d))),
     "stream_concurrency" ->
@@ -2193,6 +2244,39 @@ object Streams {
          |    ELSE pr.num::DOUBLE / den.den::DOUBLE END AS acf
          |FROM pr JOIN den ON den.event_type = pr.event_type"""
         .stripMargin,
+    // the prefix-sum identity S_t = P_t − min(0, min_{j≤t} P_j) on the
+    // same 2n-scaled integers, HUGEINT mirroring Spark's DECIMAL(38,0)
+    "stream_cusum" ->
+      s"""WITH d AS (
+         |  SELECT event_type, epoch_us(ts) // $DayUs AS day,
+         |    count(*)::BIGINT AS x
+         |  FROM events GROUP BY 1, 2),
+         |st AS (
+         |  SELECT event_type, count(*)::BIGINT AS n,
+         |    sum(x)::BIGINT AS s
+         |  FROM d GROUP BY 1),
+         |j AS (
+         |  SELECT d.event_type, d.day, d.x,
+         |    (st.n::HUGEINT * d.x::HUGEINT
+         |     + st.n::HUGEINT * d.x::HUGEINT
+         |     - (st.s::HUGEINT + st.s::HUGEINT + st.s::HUGEINT))
+         |      AS dd,
+         |    st.s FROM d JOIN st USING (event_type)),
+         |p AS (
+         |  SELECT event_type, day, x, s,
+         |    sum(dd) OVER (PARTITION BY event_type ORDER BY day
+         |      ROWS UNBOUNDED PRECEDING) AS p
+         |  FROM j),
+         |c AS (
+         |  SELECT event_type, day, x, s,
+         |    p - least(0::HUGEINT, min(p) OVER (
+         |      PARTITION BY event_type ORDER BY day
+         |      ROWS UNBOUNDED PRECEDING)) AS c
+         |  FROM p)
+         |SELECT event_type, day, x, c::BIGINT AS cusum2n,
+         |  c > (s::HUGEINT + s::HUGEINT + s::HUGEINT + s::HUGEINT)
+         |    AS alarm
+         |FROM c""".stripMargin,
     // the same recurrence as the engine's sequential fold, replayed as
     // a per-type recursive CTE — identical IEEE op order, so the double
     // level/trend hash-match bit-for-bit

@@ -1192,6 +1192,48 @@ class StreamingSpec extends SparkSpecBase {
   private def ev2(id: Long, tsNs: Long, typ: String): Ev =
     Ev(id, tsNs, 1L, typ, 1.0)
 
+  test("cusum: max(0,·) recursion replay; planted sustained shift fires") {
+    // the engine computes the prefix-sum identity; the replay runs the
+    // TEXTBOOK max(0, S+d) recursion — agreement proves the identity
+    def replay(daily: Seq[(String, Long, Long)])
+        : Set[(String, Long, Long, Long, Boolean)] =
+      daily.groupBy(_._1).flatMap { case (t, rows) =>
+        val xs = rows.sortBy(_._2)
+        val n = BigInt(xs.length)
+        val s = BigInt(xs.map(_._3).sum)
+        var cs = BigInt(0)
+        xs.map { case (_, day, x) =>
+          val d = 2 * n * x - 3 * s
+          cs = (cs + d).max(0)
+          (t, day, x, cs.toLong, cs > 4 * s)
+        }
+      }.toSet
+    val ev = graft.Tables(spark, Sf, "events")
+    val daily = Streams.withEventTime(ev)
+      .select("event_type", "ts_us").collect()
+      .map(r => (r.getString(0), Math.floorDiv(r.getLong(1), Streams.DayUs)))
+      .groupBy(identity)
+      .map { case ((t, d), g) => (t, d, g.size.toLong) }.toSeq
+    val got = Streams.cusum(ev).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getBoolean(4))).toSet
+    assert(got == replay(daily))
+    // 20 quiet days then 10 at 6×: the sustained shift must alarm
+    val s2 = spark; import s2.implicits._
+    val DayNs = 86400L * 1000 * 1000 * 1000
+    var id = 1000L
+    val evs = (0 until 20).map { d =>
+      id += 1; ev2(id, d * DayNs, "shift")
+    } ++ (20 until 30).flatMap { d =>
+      (1 to 6).map { k => id += 1; ev2(id, d * DayNs + k * 1000, "shift") }
+    }
+    val pg = Streams.cusum(evs.toDF()).collect()
+      .map(r => (r.getLong(1), r.getBoolean(4))).toMap
+    assert(pg.size == 30)
+    assert((0L to 19L).forall(!pg(_)))
+    assert(pg.count(_._2) >= 5, pg.toString)
+  }
+
   test("holt: sequential replay on fixture events, constant series fix") {
     val ev = graft.Tables(spark, Sf, "events")
     // bit-exact sequential replay of the level/trend recurrence — the
