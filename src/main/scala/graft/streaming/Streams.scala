@@ -1055,6 +1055,63 @@ object Streams {
           .as(s"forecast_$HoltH"))
   }
 
+  /** Season length (days) for [[holtWinters]]. */
+  val HwPeriod = 7
+
+  /** Additive Holt-Winters (triple exponential) smoothing per event
+    * type, period [[HwPeriod]] — the weekly-seasonality forecaster
+    * completing the family ([[autocorr]] detects the cycle,
+    * [[holtTrend]] fits level+trend, this adds the seasonal
+    * component): l_t = α(x_t − s_{t−m}) + (1−α)(l_{t−1} + b_{t−1}),
+    * b_t = β(l_t − l_{t−1}) + (1−β)b_{t−1},
+    * s_t = γ(x_t − l_t) + (1−γ)s_{t−m}, α = β = γ = ½. Init over the
+    * first season: l = mean(x_1..x_m) (ONE division of a left-folded
+    * sum — both engines add in the identical order), b = 0,
+    * s_i = x_i − l. The m-step-ahead forecast l_n + m·b_n + s_n.
+    * Types with fewer than m observed days drop (no season to fit).
+    *
+    * The seasonal state is a ROTATING ring: s_{t−m} is always the
+    * list head and each step appends the fresh seasonal at the tail —
+    * so neither engine needs indexed list writes (DuckDB v1.0 has no
+    * index lambdas; head/slice/append exist everywhere). Spark folds
+    * the per-type day array row-locally ([[holtTrend]]'s shape — the
+    * corpus axis stays parallel, the calendar axis serializes); the
+    * oracle replays the identical IEEE op order as a recursive CTE
+    * carrying the ring as a LIST column. Doubles hash bit-exact.
+    * (event_type, n_days, level, trend, forecast_7).
+    */
+  def holtWinters(events: DataFrame): DataFrame = {
+    val m = HwPeriod
+    val nl = "0.5D * (e.x - element_at(acc.sa, 1))" +
+      " + 0.5D * (acc.l + acc.b)"
+    val daily = withEventTime(events)
+      .groupBy(col("event_type"), expr(s"ts_us div $DayUs").as("day"))
+      .agg(count(lit(1)).cast("double").as("x"))
+    daily.groupBy("event_type")
+      .agg(array_sort(collect_list(struct(col("day"), col("x"))))
+        .as("s"))
+      .where(size(col("s")) >= m)
+      .withColumn("l0", expr(s"aggregate(slice(s, 1, $m)," +
+        " CAST(0.0 AS DOUBLE), (a, e) -> a + e.x)" +
+        s" / CAST($m AS DOUBLE)"))
+      .withColumn("sa0", expr(s"transform(slice(s, 1, $m)," +
+        " e -> e.x - l0)"))
+      .select(col("event_type"),
+        size(col("s")).cast("long").as("n_days"),
+        expr(s"""aggregate(slice(s, ${m + 1}, size(s) - $m),
+          named_struct('l', l0, 'b', CAST(0.0 AS DOUBLE), 'sa', sa0),
+          (acc, e) -> named_struct(
+            'l', $nl,
+            'b', 0.5D * (($nl) - acc.l) + 0.5D * acc.b,
+            'sa', concat(slice(acc.sa, 2, ${m - 1}),
+              array(0.5D * (e.x - ($nl))
+                + 0.5D * element_at(acc.sa, 1)))))""").as("st"))
+      .select(col("event_type"), col("n_days"),
+        col("st.l").as("level"), col("st.b").as("trend"),
+        (col("st.l") + lit(m.toDouble) * col("st.b")
+          + element_at(col("st.sa"), m)).as(s"forecast_$m"))
+  }
+
   /** As-of join — the "latest earlier fact" operator Spark has no
     * native form of: every purchase paired with the same user's most
     * recent view at-or-before it (left: no-view purchases keep null).
@@ -1873,6 +1930,8 @@ object Streams {
       ((s: SparkSession, d: String) => holtTrend(events(s, d))),
     "stream_cusum" ->
       ((s: SparkSession, d: String) => cusum(events(s, d))),
+    "stream_holt_winters" ->
+      ((s: SparkSession, d: String) => holtWinters(events(s, d))),
     "stream_mad_outliers" ->
       ((s: SparkSession, d: String) => madOutliers(events(s, d))),
     "stream_concurrency" ->
@@ -2277,6 +2336,53 @@ object Streams {
          |  c > (s::HUGEINT + s::HUGEINT + s::HUGEINT + s::HUGEINT)
          |    AS alarm
          |FROM c""".stripMargin,
+    // the seasonal ring rides the recursive CTE as a LIST column:
+    // head = s_{t-m}, append = fresh seasonal — identical op order to
+    // the engine's rotating-ring fold
+    "stream_holt_winters" -> {
+      val m = HwPeriod
+      val nl = "0.5e0 * (idx.x - rec.sa[1]) + 0.5e0 * (rec.l + rec.b)"
+      val xs = (1 to m).map(i => s"x$i")
+      val piv = xs.zipWithIndex.map { case (x, i) =>
+        s"max(CASE WHEN i = ${i + 1} THEN x END) AS $x" }.mkString(",\n    ")
+      val l0 = xs.tail.foldLeft(xs.head)((a, x) => s"($a + $x)") +
+        s" / ${m}e0"
+      val sa0 = xs.map(x => s"$x - l0").mkString(", ")
+      s"""WITH RECURSIVE d AS (
+         |  SELECT event_type, epoch_us(ts) // $DayUs AS day,
+         |    count(*)::DOUBLE AS x
+         |  FROM events GROUP BY 1, 2),
+         |idx AS (
+         |  SELECT event_type, x,
+         |    (row_number() OVER (PARTITION BY event_type
+         |      ORDER BY day))::BIGINT AS i
+         |  FROM d),
+         |n AS (
+         |  SELECT event_type, count(*)::BIGINT AS n_days
+         |  FROM idx GROUP BY 1 HAVING count(*) >= $m),
+         |piv AS (
+         |  SELECT event_type,
+         |    $piv
+         |  FROM idx WHERE i <= $m GROUP BY 1),
+         |piv2 AS (SELECT *, $l0 AS l0 FROM piv JOIN n USING (event_type)),
+         |rec AS (
+         |  SELECT event_type, $m::BIGINT AS i, l0 AS l, 0e0 AS b,
+         |    [$sa0] AS sa
+         |  FROM piv2
+         |  UNION ALL
+         |  SELECT idx.event_type, idx.i,
+         |    $nl,
+         |    0.5e0 * (($nl) - rec.l) + 0.5e0 * rec.b,
+         |    list_append(rec.sa[2:$m],
+         |      0.5e0 * (idx.x - ($nl)) + 0.5e0 * rec.sa[1])
+         |  FROM rec JOIN idx ON idx.event_type = rec.event_type
+         |    AND idx.i = rec.i + 1)
+         |SELECT rec.event_type, n.n_days, rec.l AS level,
+         |  rec.b AS trend,
+         |  rec.l + ${m}e0 * rec.b + rec.sa[$m] AS forecast_$m
+         |FROM rec JOIN n USING (event_type)
+         |WHERE rec.i = n.n_days""".stripMargin
+    },
     // the same recurrence as the engine's sequential fold, replayed as
     // a per-type recursive CTE — identical IEEE op order, so the double
     // level/trend hash-match bit-for-bit

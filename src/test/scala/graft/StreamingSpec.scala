@@ -1234,6 +1234,54 @@ class StreamingSpec extends SparkSpecBase {
     assert(pg.count(_._2) >= 5, pg.toString)
   }
 
+  test("holt-winters: sequential replay; periodic series is a fixed point") {
+    val m = Streams.HwPeriod
+    def replay(xs: Seq[Double]): (Double, Double, Double) = {
+      var l = 0.0
+      xs.take(m).foreach(x => l += x)
+      l = l / m.toDouble
+      var b = 0.0
+      var sa = xs.take(m).map(_ - l).toVector
+      xs.drop(m).foreach { x =>
+        val nl = 0.5 * (x - sa.head) + 0.5 * (l + b)
+        b = 0.5 * (nl - l) + 0.5 * b
+        sa = sa.tail :+ (0.5 * (x - nl) + 0.5 * sa.head)
+        l = nl
+      }
+      (l, b, l + m.toDouble * b + sa.last)
+    }
+    val ev = graft.Tables(spark, Sf, "events")
+    val daily = Streams.withEventTime(ev)
+      .select("event_type", "ts_us").collect()
+      .map(r => (r.getString(0), Math.floorDiv(r.getLong(1), Streams.DayUs)))
+      .groupBy(identity).map { case ((t, d), g) => (t, d, g.size.toDouble) }
+      .toSeq
+    val expect = daily.groupBy(_._1).collect {
+      case (t, rows) if rows.size >= m =>
+        val (l, b, f) = replay(rows.sortBy(_._2).map(_._3))
+        (t, rows.size.toLong, l, b, f)
+    }.toSet
+    val got = Streams.holtWinters(ev).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4))).toSet
+    assert(got == expect)
+    // perfectly weekly input (1..7 repeating, dyadic-exact arithmetic):
+    // level pins to the season mean, trend to 0, forecast to next
+    // week's same-weekday value
+    val s2 = spark; import s2.implicits._
+    val DayNs = 86400L * 1000 * 1000 * 1000
+    var id = 5000L
+    val evs = (0 until 21).flatMap { d =>
+      (0 to d % 7).map { k => id += 1; ev2(id, d * DayNs + k * 1000, "wk") }
+    }
+    val row = Streams.holtWinters(evs.toDF()).collect()
+    assert(row.length == 1)
+    assert(row.head.getLong(1) == 21L)
+    assert(row.head.getDouble(2) == 4.0)
+    assert(row.head.getDouble(3) == 0.0)
+    assert(row.head.getDouble(4) == 7.0)
+  }
+
   test("holt: sequential replay on fixture events, constant series fix") {
     val ev = graft.Tables(spark, Sf, "events")
     // bit-exact sequential replay of the level/trend recurrence — the
