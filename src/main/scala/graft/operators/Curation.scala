@@ -1034,6 +1034,83 @@ object Curation {
       .select(col("vec_id").as("doc_id"), col("cid"), col("cluster_n"),
         col("rk"))
 
+  /** Greedy selection size and term-universe size for
+    * [[coverageSelect]] (conf-tunable; oracle built at the defaults).
+    */
+  val CovSelectK = 10
+  val CovUniverse = 512
+  val CovSelectKConf = "graft.coverage.selectK"
+  val CovUniverseConf = "graft.coverage.universe"
+
+  /** Greedy maximum-coverage document selection — the SUBMODULAR
+    * curation primitive (facility location / max-coverage with the
+    * Nemhauser-Wolsey-Fisher 1−1/e guarantee): pick [[CovSelectK]]
+    * documents one at a time, each maximizing the count of
+    * still-uncovered terms from the [[CovUniverse]]-term universe
+    * (top document-frequency terms; ties by gain desc, doc_id asc).
+    * This is the "smallest set that still spans the distribution"
+    * selector real data-selection pipelines run where
+    * [[curateDiverse]]'s cluster sampling is quota-shaped.
+    * (step, doc_id, gain, covered).
+    *
+    * Scale shape: the (doc, universe-term) incidence is checkpointed
+    * ONCE (corpus × ≤ universe rows); each greedy step is one
+    * broadcast anti-join against the ≤ universe-sized covered set, one
+    * map-side-combined gain aggregate, and a 1-ROW driver pull (the
+    * distributed argmax) plus a ≤ universe-row term pull — the
+    * [[graft.operators.Sgd]] bounded-driver-state class, K steps
+    * total. The oracle unrolls all K argmax/cover rounds as
+    * MATERIALIZED CTEs, so the greedy trajectory itself is
+    * hash-verified. A step with no remaining coverable term emits
+    * nothing (both sides), ending the trajectory early.
+    */
+  def coverageSelect(spark: SparkSession, dir: String): DataFrame = {
+    val k = graft.Conf.int(spark, CovSelectKConf, CovSelectK)
+    val u = graft.Conf.int(spark, CovUniverseConf, CovUniverse)
+    coverageSelectOf(spark, docs(spark, dir), k, u)
+  }
+
+  def coverageSelectOf(spark: SparkSession, corpus: DataFrame,
+      k: Int, uSize: Int): DataFrame = {
+    import spark.implicits._
+    val t = split(col("text"), " ")
+    val inc = corpus.select(col("doc_id"),
+      explode(array_distinct(zip_with(
+        slice(t, lit(1), size(t) - 1), slice(t, lit(2), size(t) - 1),
+        (a, b) => concat(a, lit(" "), b)))).as("term"))
+    val universe = inc.groupBy("term")
+      .agg(count(lit(1)).as("df"))
+      .orderBy(col("df").asc, col("term")).limit(uSize)
+      .select("term")
+    val incU = graft.Materialize.Local(
+      inc.join(broadcast(universe), "term").select("doc_id", "term"))
+    val picks = scala.collection.mutable.ListBuffer
+      .empty[(Long, Long, Long, Long)]
+    var covered = Set.empty[String]
+    var step = 1
+    var exhausted = false
+    while (step <= k && !exhausted) {
+      val rest =
+        if (covered.isEmpty) incU
+        else incU.join(broadcast(covered.toSeq.toDF("term")),
+          Seq("term"), "left_anti")
+      val top = rest.groupBy("doc_id")
+        .agg(count(lit(1)).as("gain"))
+        .orderBy(col("gain").desc, col("doc_id")).limit(1).collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val doc = top.head.getLong(0)
+        val gain = top.head.getLong(1)
+        covered = covered ++ incU.where(col("doc_id") === doc)
+          .select("term").collect().map(_.getString(0))
+        picks += ((step.toLong, doc, gain, covered.size.toLong))
+        step += 1
+      }
+    }
+    graft.Materialize.release(incU)
+    picks.toSeq.toDF("step", "doc_id", "gain", "covered")
+  }
+
   // ---- leakage-safe probe evaluation ----
 
   /** Held-out evaluation of the trained quality probe — [[Quality]] ×
@@ -1886,6 +1963,7 @@ object Curation {
     "llm_curate_strict" -> curateStrict,
     "llm_curate_learned" -> curateLearned,
     "llm_curate_diverse" -> curateDiverse,
+    "llm_curate_coverage" -> coverageSelect,
     "llm_quality_eval" -> qualityEval,
     "llm_split" -> splitAssign,
     "llm_split_grouped" -> splitGrouped,
@@ -2580,6 +2658,46 @@ GROUP BY split"""
         .stripMargin,
     // the curate subquery restricts WHICH rows get assigned and capped;
     // the quantizer CTEs still train on the full corpus (the
+    // the greedy max-coverage trajectory unrolled: per step one
+    // anti-joined gain aggregate, one LIMIT-1 argmax, one covered-set
+    // union — the engine's driver loop replayed as K CTE rounds
+    "llm_curate_coverage" -> {
+      val steps = (1 to CovSelectK).map { i =>
+        val anti = if (i == 1) ""
+          else s"  WHERE NOT EXISTS (SELECT 1 FROM c${i - 1} x" +
+            s" WHERE x.term = incu.term)\n"
+        val carry = if (i == 1) ""
+          else s"SELECT term FROM c${i - 1}\n  UNION\n  "
+        s"""g$i AS (
+           |  SELECT doc_id, count(*)::BIGINT AS gain FROM incu
+           |$anti  GROUP BY 1),
+           |p$i AS MATERIALIZED (
+           |  SELECT doc_id, gain FROM g$i
+           |  ORDER BY gain DESC, doc_id LIMIT 1),
+           |c$i AS MATERIALIZED (
+           |  ${carry}SELECT i.term FROM incu i JOIN p$i USING (doc_id))"""
+          .stripMargin
+      }.mkString(",\n")
+      val out = (1 to CovSelectK).map { i =>
+        s"""SELECT $i::BIGINT AS step, doc_id, gain,
+           |  (SELECT count(*) FROM c$i)::BIGINT AS covered
+           |FROM p$i""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH tok AS (
+         |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         |inc AS (
+         |  SELECT DISTINCT doc_id, t[i] || ' ' || t[i + 1] AS term
+         |  FROM (SELECT doc_id, t, unnest(range(1, len(t))) AS i
+         |        FROM tok)),
+         |u AS (
+         |  SELECT term FROM (
+         |    SELECT term, count(*)::BIGINT AS df FROM inc GROUP BY 1)
+         |  ORDER BY df ASC, term LIMIT $CovUniverse),
+         |incu AS MATERIALIZED (
+         |  SELECT i.doc_id, i.term FROM inc i JOIN u USING (term)),
+         |$steps
+         |$out""".stripMargin
+    },
     // sampleClusterFor contract)
     "llm_curate_diverse" ->
       s"""SELECT vec_id AS doc_id, cid, cluster_n, rk

@@ -737,6 +737,33 @@ class CurationSpec extends SparkSpecBase {
     assert(totKept <= totAllot)
   }
 
+  test("coverage select: greedy replay on synthetic docs; gains shrink") {
+    val s2 = spark; import s2.implicits._
+    // hand-built corpus over a tiny bigram universe: doc 1 covers 3
+    // rare bigrams, doc 2 covers 2 fresh ones, doc 3 is redundant
+    val docs = Seq(
+      (1L, "a b c d"),   // bigrams: "a b" "b c" "c d"
+      (2L, "a b e f"),   // fresh: "a b"(dup) "b e" "e f"
+      (3L, "a b c d"),   // identical to doc 1 — zero marginal gain
+      (4L, "g h")        // lone pair
+    ).toDF("doc_id", "text")
+    val got = Curation.coverageSelectOf(spark, docs, 4, 100).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // step 1: doc 1 (3 bigrams, ties to smaller id over doc 3)
+    // step 2: doc 2 (+2: "b e" "e f"), step 3: doc 4 (+1: "g h")
+    // step 4: nothing uncovered -> trajectory ends at 3 rows
+    assert(got.toSeq == Seq((1L, 1L, 3L, 3L), (2L, 2L, 2L, 5L),
+      (3L, 4L, 1L, 6L)))
+    // fixture: the greedy marginal gain is non-increasing (submodular
+    // diminishing returns) and coverage is the running gain sum
+    val fx = Curation.coverageSelect(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3)))
+    assert(fx.nonEmpty)
+    assert(fx.map(_._2).sliding(2).forall(p =>
+      p.length < 2 || p(0) >= p(1)))
+    assert(fx.map(_._2).sum == fx.last._3)
+  }
+
   test("waterfill: seeded random distributions match the reference solve") {
     val s2 = spark; import s2.implicits._
     val rnd = new scala.util.Random(42)
