@@ -17,6 +17,8 @@ import org.apache.spark.sql.SparkSession
   * | `graft.sim.numCentroids`    | 16        | Similarity.cachedCents (IVF) |
   * | `graft.encode.vocabSize`    | 256       | TextOps.encode |
   * | `graft.coverage.vocabSizes` | 4,8,16,32 | TextOps.vocabCoverage |
+  * | `graft.coverage.selectK`    | 10        | Curation.coverageSelect |
+  * | `graft.coverage.universe`   | 512       | Curation.coverageSelect |
   */
 object Conf {
 

@@ -32,6 +32,19 @@ class ConfKnobsSpec extends SparkSpecBase {
     }
   }
 
+  test("coverage select knobs: K=3 picks exactly 3, small universe") {
+    withConf(Curation.CovSelectKConf, "3") {
+      withConf(Curation.CovUniverseConf, "64") {
+        val rows = Curation.coverageSelect(spark, Sf).collect()
+        assert(rows.length <= 3)
+        assert(rows.map(_.getLong(0)).toSeq ==
+          (1L to rows.length.toLong).toSeq)
+        // covered never exceeds the shrunken universe
+        assert(rows.forall(_.getLong(3) <= 64L))
+      }
+    }
+  }
+
   test("encode vocab knob: V=4 leaves only 4 distinct non-OOV ids") {
     withConf(TextOps.EncodeVocabConf, "4") {
       val ids = TextOps.queries("llm_encode")(spark, Sf).collect()
