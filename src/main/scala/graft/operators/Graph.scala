@@ -260,8 +260,13 @@ object Graph {
   def edgeEmbed(spark: SparkSession, dir: String): DataFrame =
     edgeEmbedOf(edges(spark, dir))
 
-  def edgeEmbedOf(edgesRaw: DataFrame): DataFrame = {
-    val ed = edgesRaw.select("a", "b")
+  /** Per-edge triangle support of a canonical (a < b) edge set via the
+    * degree-oriented edge-iterator (the [[edgeEmbedOf]] kernel, shared
+    * with the [[truss]] peel): (a, b, support) for edges IN ≥ 1
+    * triangle — callers left-join and coalesce 0 when zero-support
+    * edges matter.
+    */
+  private def supportOf(ed: DataFrame): DataFrame = {
     val deg = degOf(symOf(ed))
     val da = deg.select(col("node").as("a"), col("d").as("da"))
     val db = deg.select(col("node").as("b"), col("d").as("db"))
@@ -279,11 +284,19 @@ object Graph {
         explode(array_intersect(col("nu"), col("nv"))).as("w"))
     def cedge(x: Column, y: Column) =
       struct(least(x, y).as("ea"), greatest(x, y).as("eb"))
-    val support = triNodes
+    triNodes
       .select(explode(array(cedge(col("u"), col("v")),
         cedge(col("u"), col("w")), cedge(col("v"), col("w")))).as("e"))
       .groupBy(col("e.ea").as("a"), col("e.eb").as("b"))
       .agg(count(lit(1)).as("support"))
+  }
+
+  def edgeEmbedOf(edgesRaw: DataFrame): DataFrame = {
+    val ed = edgesRaw.select("a", "b")
+    val deg = degOf(symOf(ed))
+    val da = deg.select(col("node").as("a"), col("d").as("da"))
+    val db = deg.select(col("node").as("b"), col("d").as("db"))
+    val support = supportOf(ed)
     ed.join(support, Seq("a", "b"), "left")
       .join(da, "a").join(db, "b")
       .select(col("a"), col("b"),
@@ -456,6 +469,58 @@ object Graph {
         coalesce(count_distinct(col("src")), lit(0L)).as("n_nodes"),
         expr("count(1) DIV 2").as("n_edges"))
         .select(lit(i.toLong).as("iter"), col("n_nodes"), col("n_edges"))
+    }
+    val out = perRound.reduce(_.unionByName(_))
+    if (mat ne Materialize.None) {
+      val forced = Materialize.Local(out)
+      cuts.foreach(Materialize.release)
+      forced
+    } else out
+  }
+
+  /** Truss order (edges must sit in ≥ [[TrussK]]−2 triangles) and
+    * synchronous peel rounds for [[truss]].
+    */
+  val TrussK = 4L
+  val TrussIters = 4
+
+  /** k-truss peel trace (Cohen 2008) — the EDGE-cohesion companion to
+    * [[kcoreOf]]'s node peel: each round recomputes per-edge triangle
+    * support over the surviving strong-edge set and drops every edge
+    * in fewer than [[TrussK]]−2 triangles, reporting
+    * (iter, n_nodes, n_edges) after each of [[TrussIters]] rounds —
+    * the community-core extraction that survives hub spam (a hub
+    * keeps k-core degree without closing triangles, but cannot fake
+    * SUPPORT). Monotone by construction; a converged round is the
+    * k-truss itself.
+    *
+    * Scale shape: support comes from the degree-oriented edge-iterator
+    * ([[supportOf]], the O(m^1.5)-bound [[edgeEmbedOf]] kernel — the
+    * Σ C(out,2) wedge table never materializes) and the peel is one
+    * semi-join per round; per-round lineage cuts bound plan growth
+    * exactly as in [[kcoreOf]].
+    */
+  def truss(spark: SparkSession, dir: String): DataFrame =
+    trussOf(edges(spark, dir), Materialize.Local)
+
+  def trussOf(edgesRaw: DataFrame,
+      mat: Materialize.Strategy = Materialize.None): DataFrame = {
+    val cuts = scala.collection.mutable.ListBuffer.empty[DataFrame]
+    def cut(df: DataFrame): DataFrame =
+      if (mat ne Materialize.None) { val c = mat(df); cuts += c; c }
+      else df
+    var cur = cut(edgesRaw.where(col("w") >= StrongW).select("a", "b"))
+    val perRound = (1 to TrussIters).map { i =>
+      val keep = supportOf(cur)
+        .where(col("support") >= TrussK - 2)
+        .select("a", "b")
+      cur = cut(cur.join(keep, Seq("a", "b"), "left_semi"))
+      cur.select(explode(array(col("a"), col("b"))).as("node"))
+        .agg(coalesce(count_distinct(col("node")), lit(0L))
+          .as("n_nodes"),
+          expr("count(1) DIV 2").as("n_edges"))
+        .select(lit(i.toLong).as("iter"), col("n_nodes"),
+          col("n_edges"))
     }
     val out = perRound.reduce(_.unionByName(_))
     if (mat ne Materialize.None) {
@@ -1185,6 +1250,7 @@ object Graph {
     "graph_distances" -> distances,
     "graph_closeness" -> closeness,
     "graph_betweenness" -> betweenness,
+    "graph_truss" -> truss,
     "graph_ppr" -> ppr
   )
 
@@ -1417,6 +1483,42 @@ object Graph {
          |  JOIN pc na ON na.node = s.part
          |  JOIN pc nb ON nb.node = s.rec)
          |WHERE rk <= $RecsTopK""".stripMargin,
+    "graph_truss" -> {
+      // per round: naive id-ordered triangle enumeration on the
+      // surviving canonical edges, 3 edge-roles unioned into support,
+      // threshold semi-join — the engine's oriented-intersection
+      // kernel replayed declaratively
+      val rounds = (1 to TrussIters).map { i =>
+        s"""t$i AS MATERIALIZED (
+           |  SELECT e1.a AS u, e1.b AS v, e2.b AS w
+           |  FROM e${i - 1} e1
+           |  JOIN e${i - 1} e2 ON e2.a = e1.b
+           |  JOIN e${i - 1} e3 ON e3.a = e1.a AND e3.b = e2.b),
+           |s$i AS MATERIALIZED (
+           |  SELECT a, b, count(*)::BIGINT AS support FROM (
+           |    SELECT u AS a, v AS b FROM t$i
+           |    UNION ALL SELECT v, w FROM t$i
+           |    UNION ALL SELECT u, w FROM t$i)
+           |  GROUP BY 1, 2),
+           |e$i AS MATERIALIZED (
+           |  SELECT e.a, e.b FROM e${i - 1} e
+           |  JOIN s$i s ON s.a = e.a AND s.b = e.b
+           |  WHERE s.support >= ${TrussK - 2})""".stripMargin
+      }.mkString(",\n")
+      val trace = (1 to TrussIters).map { i =>
+        s"""SELECT $i::BIGINT AS iter,
+           |  (SELECT count(DISTINCT node) FROM (
+           |    SELECT a AS node FROM e$i
+           |    UNION ALL SELECT b FROM e$i))::BIGINT AS n_nodes,
+           |  (SELECT count(*) FROM e$i)::BIGINT AS n_edges"""
+          .stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH $graphCte,
+         |e0 AS MATERIALIZED (
+         |  SELECT a, b FROM ed WHERE w >= $StrongW),
+         |$rounds
+         |$trace""".stripMargin
+    },
     "graph_kcore" -> {
       val rounds = (1 to KcIters).map { i =>
         s"""k$i AS MATERIALIZED (

@@ -30,6 +30,10 @@ class CollectLintSpec extends AnyFunSuite {
     *    at every level (budget documented at freqItemsetsLevelwise,
     *    pinned by AprioriSpec).
     *  - Sgd (1): θ read-back — O(partitions·features).
+    *  - Curation (2): the greedy coverage selector's per-step argmax
+    *    (LIMIT-1 row) and chosen-doc term pull (≤ CovUniverse rows) —
+    *    bounded driver state, K steps (docstring budget at
+    *    coverageSelectOf).
     *  - Streams (1): the nine RFM quantile boundaries.
     *  - Bench (1): harness JVM warm-up, not an operator.
     */
@@ -40,6 +44,7 @@ class CollectLintSpec extends AnyFunSuite {
     "src/main/scala/graft/operators/Bitext.scala" -> 2,
     "src/main/scala/graft/operators/Apriori.scala" -> 2,
     "src/main/scala/graft/operators/Sgd.scala" -> 1,
+    "src/main/scala/graft/operators/Curation.scala" -> 2,
     "src/main/scala/graft/streaming/Streams.scala" -> 1,
     "src/main/scala/graft/Bench.scala" -> 1
   )

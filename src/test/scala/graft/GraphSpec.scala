@@ -214,6 +214,49 @@ class GraphSpec extends SparkSpecBase {
     }
   }
 
+  test("truss: peel replay on random graphs; clique survives, hub dies") {
+    def replay(edges0: Seq[(Long, Long)]): Seq[(Long, Long, Long)] = {
+      var cur = edges0.map { case (a, b) =>
+        (math.min(a, b), math.max(a, b)) }.toSet
+      (1 to Graph.TrussIters).map { i =>
+        def nb(v: Long) = cur.collect {
+          case (a, b) if a == v => b
+          case (a, b) if b == v => a
+        }
+        cur = cur.filter { case (a, b) =>
+          (nb(a) intersect nb(b)).size >= Graph.TrussK - 2 }
+        (i.toLong, cur.flatMap(e => Seq(e._1, e._2)).size.toLong,
+          cur.size.toLong)
+      }
+    }
+    val rnd = new scala.util.Random(37)
+    for (_ <- 1 to 3) {
+      val n = 8 + rnd.nextInt(8)
+      val edges = (for {
+        a <- 1 to n; b <- (a + 1) to n if rnd.nextDouble() < 0.35
+      } yield (a.toLong, b.toLong)).toSeq
+      if (edges.nonEmpty) {
+        val df = edges.toDF("a", "b").withColumn("w", lit(Graph.StrongW))
+        val got = Graph.trussOf(df, graft.Materialize.Local).collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+          .sortBy(_._1)
+        assert(got == replay(edges), s"edges=$edges")
+      }
+    }
+    // a 4-clique closes 2 triangles per edge (4-truss) and survives;
+    // a star hub has k-core-fooling degree but ZERO support — gone in
+    // one round
+    val clique = for {
+      a <- 1L to 4L; b <- (a + 1) to 4L } yield (a, b)
+    val star = (10L to 20L).map(l => (5L, l))
+    val df = (clique ++ star).toDF("a", "b")
+      .withColumn("w", lit(Graph.StrongW))
+    val trace = Graph.trussOf(df, graft.Materialize.Local).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(trace(1L) == ((4L, 6L)))
+    assert(trace(Graph.TrussIters.toLong) == ((4L, 6L)))
+  }
+
   test("closeness: multi-source harmonic replay on random graphs") {
     val rnd = new scala.util.Random(29)
     for (_ <- 1 to 3) {
