@@ -1055,6 +1055,62 @@ object Streams {
           .as(s"forecast_$HoltH"))
   }
 
+  /** Kaplan-Meier survival curve of user lifetimes (Kaplan & Meier,
+    * JASA 1958) — the retention analysis [[retention]]'s cohort
+    * triangle feeds into, done right: a user's lifetime is
+    * last-seen − first-seen in whole HOURS (hour resolution so the
+    * fixture's month-long spans still spread into a real curve),
+    * users still active on the corpus' final day are CENSORED (their
+    * lifetime is a lower bound, not a death — ignoring censoring
+    * biases every naive churn average down), and the survival
+    * probability steps only at observed churn times:
+    * S(t) = Π_{t' ≤ t} (1 − d_{t'}/n_{t'}) with n the at-risk count.
+    * (t, n_risk, d_churn, c_cens, surv).
+    *
+    * Scale shape: the event stream collapses to one row per user
+    * (map-side-combined min/max aggregate), then to one row per
+    * DISTINCT LIFETIME — the calendar-bounded axis — and the product
+    * folds row-locally over that array ([[holtTrend]]'s discipline:
+    * serialize the bounded time axis, keep the corpus axis parallel).
+    * The at-risk counts fall out of the same fold (remaining −=
+    * d + c), so no descending cumulative window exists anywhere. The
+    * oracle replays the identical IEEE multiply chain as a recursive
+    * CTE; doubles hash bit-exact.
+    */
+  def survival(events: DataFrame): DataFrame = {
+    val span = withEventTime(events)
+      .groupBy("user_id")
+      .agg(min(col("ts_us")).as("f"), max(col("ts_us")).as("l"))
+      .select(col("f"), col("l"), expr(s"l div $DayUs").as("lday"))
+    val stats = span.agg(max(col("lday")).as("e"),
+      count(lit(1)).as("n_users"))
+    val g = span.crossJoin(broadcast(stats))
+      .select(expr(s"(l - f) div $HourUs").as("t"),
+        when(col("lday") < col("e"), 1L).otherwise(0L).as("churn"),
+        col("n_users"))
+      .groupBy("t", "n_users")
+      .agg(sum(col("churn")).as("d"),
+        sum(lit(1L) - col("churn")).as("c"))
+    val outT = "array<struct<t: bigint, n_risk: bigint," +
+      " d_churn: bigint, c_cens: bigint, surv: double>>"
+    val ns = "acc.s * (1.0D - CAST(e.d AS DOUBLE)" +
+      " / CAST(acc.rem AS DOUBLE))"
+    g.groupBy("n_users")
+      .agg(array_sort(collect_list(struct(col("t"), col("d"),
+        col("c")))).as("s"))
+      .select(explode(expr(s"""aggregate(s,
+        named_struct('rem', n_users, 's', CAST(1.0 AS DOUBLE),
+          'out', CAST(array() AS $outT)),
+        (acc, e) -> named_struct(
+          'rem', acc.rem - (e.d + e.c),
+          's', $ns,
+          'out', concat(acc.out, array(named_struct(
+            't', e.t, 'n_risk', acc.rem, 'd_churn', e.d,
+            'c_cens', e.c, 'surv', $ns)))),
+        acc -> acc.out)""")).as("r"))
+      .select("r.t", "r.n_risk", "r.d_churn", "r.c_cens", "r.surv")
+  }
+
   /** Season length (days) for [[holtWinters]]. */
   val HwPeriod = 7
 
@@ -1932,6 +1988,8 @@ object Streams {
       ((s: SparkSession, d: String) => cusum(events(s, d))),
     "stream_holt_winters" ->
       ((s: SparkSession, d: String) => holtWinters(events(s, d))),
+    "stream_survival" ->
+      ((s: SparkSession, d: String) => survival(events(s, d))),
     "stream_mad_outliers" ->
       ((s: SparkSession, d: String) => madOutliers(events(s, d))),
     "stream_concurrency" ->
@@ -2336,6 +2394,38 @@ object Streams {
          |  c > (s::HUGEINT + s::HUGEINT + s::HUGEINT + s::HUGEINT)
          |    AS alarm
          |FROM c""".stripMargin,
+    // the identical multiply chain as the engine's fold: anchor row is
+    // the smallest lifetime at full risk, each step divides by the
+    // folded remaining-at-risk count
+    "stream_survival" ->
+      s"""WITH RECURSIVE span AS (
+         |  SELECT user_id, min(epoch_us(ts)) AS f,
+         |    max(epoch_us(ts)) AS l,
+         |    max(epoch_us(ts)) // $DayUs AS lday
+         |  FROM events GROUP BY 1),
+         |st AS (SELECT max(lday) AS e, count(*)::BIGINT AS n
+         |       FROM span),
+         |g AS (
+         |  SELECT (l - f) // $HourUs AS t,
+         |    sum(CASE WHEN lday < e THEN 1 ELSE 0 END)::BIGINT AS d,
+         |    sum(CASE WHEN lday < e THEN 0 ELSE 1 END)::BIGINT AS c
+         |  FROM span, st GROUP BY 1),
+         |idx AS (
+         |  SELECT t, d, c,
+         |    (row_number() OVER (ORDER BY t))::BIGINT AS i
+         |  FROM g),
+         |rec AS (
+         |  SELECT idx.t, idx.d, idx.c, idx.i, st.n AS n_risk,
+         |    1.0e0 * (1.0e0 - idx.d::DOUBLE / st.n::DOUBLE) AS s
+         |  FROM idx, st WHERE idx.i = 1
+         |  UNION ALL
+         |  SELECT idx.t, idx.d, idx.c, idx.i,
+         |    rec.n_risk - (rec.d + rec.c),
+         |    rec.s * (1.0e0 - idx.d::DOUBLE
+         |      / (rec.n_risk - (rec.d + rec.c))::DOUBLE)
+         |  FROM rec JOIN idx ON idx.i = rec.i + 1)
+         |SELECT t, n_risk, d AS d_churn, c AS c_cens, s AS surv
+         |FROM rec""".stripMargin,
     // the seasonal ring rides the recursive CTE as a LIST column:
     // head = s_{t-m}, append = fresh seasonal — identical op order to
     // the engine's rotating-ring fold

@@ -1192,6 +1192,60 @@ class StreamingSpec extends SparkSpecBase {
   private def ev2(id: Long, tsNs: Long, typ: String): Ev =
     Ev(id, tsNs, 1L, typ, 1.0)
 
+  test("survival: KM replay on fixture; planted cohort hand-checked") {
+    def replay(spans: Seq[(Long, Long)])
+        : Seq[(Long, Long, Long, Long, Double)] = {
+      val dayUs = Streams.DayUs; val hourUs = 3600000000L
+      val e = spans.map(_._2 / dayUs).max
+      val g = spans.groupBy { case (f, l) => (l - f) / hourUs }
+        .map { case (t, us) =>
+          val d = us.count(_._2 / dayUs < e).toLong
+          (t, d, us.size - d) }
+        .toSeq.sortBy(_._1)
+      var rem = spans.size.toLong; var s = 1.0
+      g.map { case (t, d, c) =>
+        s = s * (1.0 - d.toDouble / rem.toDouble)
+        val row = (t, rem, d, c.toLong, s)
+        rem -= d + c
+        row
+      }
+    }
+    val ev = graft.Tables(spark, Sf, "events")
+    val spans = Streams.withEventTime(ev)
+      .select("user_id", "ts_us").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).values
+      .map(g => (g.map(_._2).min, g.map(_._2).max)).toSeq
+    val got = Streams.survival(ev).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4))).sortBy(_._1).toSeq
+    assert(got == replay(spans))
+    // invariants: risk set strictly shrinks, survival never rises,
+    // everyone is accounted for exactly once
+    assert(got.map(_._2) == got.map(_._2).sorted.reverse)
+    assert(got.map(_._5) == got.map(_._5).sorted.reverse)
+    assert(got.map(r => r._3 + r._4).sum == spans.size.toLong)
+    // staggered cohort: user i lives i days (hours 24·i), all churn
+    // except the one reaching the final day; hand KM at three points
+    val s2 = spark; import s2.implicits._
+    val DayNs = 86400L * 1000 * 1000 * 1000
+    val evs = (1 to 5).flatMap { u =>
+      Seq(ev2(9000L + u * 10, 0L, s"u$u"),
+        ev2(9001L + u * 10, u.toLong * DayNs, s"u$u"))
+        .map(_.copy(user_id = u.toLong))
+    }
+    val pg = Streams.survival(evs.toDF()).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4))).sortBy(_._1).toSeq
+    // lifetimes 24h..120h; users 1..4 churn (last day < 5), user 5
+    // censored on the final day
+    assert(pg.map(_._1) == Seq(24L, 48L, 72L, 96L, 120L))
+    assert(pg.head == ((24L, 5L, 1L, 0L, 0.8)))
+    assert(pg(1) == ((48L, 4L, 1L, 0L, 0.8 * (1.0 - 1.0 / 4.0))))
+    assert(pg.last._3 == 0L && pg.last._4 == 1L)
+    assert(pg.last._5 == pg(3)._5, "censoring never moves the curve")
+  }
+
   test("cusum: max(0,·) recursion replay; planted sustained shift fires") {
     // the engine computes the prefix-sum identity; the replay runs the
     // TEXTBOOK max(0, S+d) recursion — agreement proves the identity
