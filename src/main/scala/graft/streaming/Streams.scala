@@ -1055,6 +1055,101 @@ object Streams {
           .as(s"forecast_$HoltH"))
   }
 
+  /** Channel domain for [[markovAttribution]] (the fixture's
+    * non-purchase event types — the [[graft.operators.Curation.DqLangs]]
+    * pinned-domain convention); events outside it are ignored.
+    */
+  val MarkovChannels: Seq[String] =
+    Seq("click", "error", "signup", "view")
+  val MarkovScale = 1000000L
+  val MarkovSteps = 8
+
+  /** Markov removal-effect attribution (Anderl et al. 2016) — the
+    * DATA-DRIVEN attribution model beside the positional ones
+    * ([[firstTouch]], [[attributionLinear]]): per user, the ordered
+    * channel journey up to the FIRST purchase (converted) or end of
+    * history (null), folded into a first-order chain with START/CONV/
+    * NULL states; a channel's credit is its REMOVAL EFFECT — how much
+    * P(conversion from START) drops when the channel node is deleted
+    * (its mass falls through to NULL) — normalized into attribution
+    * shares. Conversion probabilities come from [[MarkovSteps]]-step
+    * backward induction with CONV absorbing, the bounded-walk stand-in
+    * for the absorbing-chain inverse (exact would need a matrix
+    * solve); everything rides the [[MarkovScale]] integer fixed point
+    * (transition = (cnt·S) DIV den, step = Σ t·p DIV S — the PageRank
+    * DIV discipline), so sums are order-independent and both engines
+    * land on identical longs. (channel, p_conv, p_removed,
+    * removal_effect, attribution).
+    *
+    * Scale shape: ONE corpus pass builds the journey transitions (two
+    * per-user windows sharing the (ts, event_id) keyed order + one
+    * map-side-combined count); the model is the ≤ (|channels|+3)²-row
+    * transition table — bounded DRIVER state exactly like Sgd's θ, so
+    * the 1+|channels| removal walks run driver-side in integer
+    * arithmetic (pinned in CollectLintSpec). The oracle unrolls every
+    * scenario's 8 induction steps as CTEs over the same fixed point.
+    */
+  def markovAttribution(events: DataFrame): DataFrame = {
+    val spark0 = events.sparkSession
+    val ev = withEventTime(events)
+    val fp = ev.where(col("event_type") === "purchase")
+      .groupBy("user_id")
+      .agg(min(struct(col("ts_us"), col("event_id"))).as("fp"))
+    val ch = ev.where(col("event_type").isin(MarkovChannels: _*))
+      .join(fp, Seq("user_id"), "left")
+      .where(col("fp").isNull ||
+        struct(col("ts_us"), col("event_id")) < col("fp"))
+      .select(col("user_id"), col("ts_us"), col("event_id"),
+        col("event_type").as("s"), col("fp").isNotNull.as("conv"))
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts_us"), col("event_id"))
+    val wd = Window.partitionBy("user_id")
+      .orderBy(col("ts_us").desc, col("event_id").desc)
+    val sq = ch
+      .withColumn("prev", lag(col("s"), 1).over(w))
+      .withColumn("rnd", row_number().over(wd))
+    val mid = sq.select(coalesce(col("prev"), lit("START")).as("a"),
+      col("s").as("b"))
+    val lastT = sq.where(col("rnd") === 1)
+      .select(col("s").as("a"),
+        when(col("conv"), lit("CONV")).otherwise(lit("NULL")).as("b"))
+    val emptyJ = fp
+      .join(ch.select("user_id").distinct(), Seq("user_id"),
+        "left_anti")
+      .select(lit("START").as("a"), lit("CONV").as("b"))
+    // the bounded model pull: ≤ (|channels|+3)² transition rows
+    val model = mid.unionByName(lastT).unionByName(emptyJ)
+      .groupBy("a", "b").agg(count(lit(1)).as("cnt"))
+      .select(col("a"), col("b"),
+        expr(s"(cnt * $MarkovScale) DIV sum(cnt) OVER" +
+          s" (PARTITION BY a)").as("tp"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    def walk(removed: Option[String]): Long = {
+      val keep = model.filter { case (a, b, _) =>
+        removed.forall(c => a != c && b != c) }
+      var p = Map("CONV" -> MarkovScale)
+      for (_ <- 1 to MarkovSteps) {
+        val next = keep.groupBy(_._1).map { case (a, es) =>
+          a -> es.map { case (_, b, tp) =>
+            tp * p.getOrElse(b, 0L) }.sum / MarkovScale
+        }
+        p = next + ("CONV" -> MarkovScale)
+      }
+      p.getOrElse("START", 0L)
+    }
+    val pFull = walk(None)
+    val re = MarkovChannels.map(c => (c, walk(Some(c))))
+    val reSum = re.map { case (_, pc) => pFull - pc }.sum
+    import spark0.implicits._
+    re.map { case (c, pc) =>
+      val r = pFull - pc
+      (c, pFull, pc, r,
+        if (reSum == 0L) 0L else r * MarkovScale / reSum)
+    }.toDF("channel", "p_conv", "p_removed", "removal_effect",
+      "attribution")
+  }
+
   /** Kaplan-Meier survival curve of user lifetimes (Kaplan & Meier,
     * JASA 1958) — the retention analysis [[retention]]'s cohort
     * triangle feeds into, done right: a user's lifetime is
@@ -1990,6 +2085,8 @@ object Streams {
       ((s: SparkSession, d: String) => holtWinters(events(s, d))),
     "stream_survival" ->
       ((s: SparkSession, d: String) => survival(events(s, d))),
+    "stream_markov_attribution" ->
+      ((s: SparkSession, d: String) => markovAttribution(events(s, d))),
     "stream_mad_outliers" ->
       ((s: SparkSession, d: String) => madOutliers(events(s, d))),
     "stream_concurrency" ->
@@ -2394,6 +2491,82 @@ object Streams {
          |  c > (s::HUGEINT + s::HUGEINT + s::HUGEINT + s::HUGEINT)
          |    AS alarm
          |FROM c""".stripMargin,
+    // every removal scenario's 8 backward-induction steps unrolled on
+    // the same integer fixed point as the engine's driver walk
+    "stream_markov_attribution" -> {
+      val s9 = MarkovScale
+      val chans = MarkovChannels
+      val inList = chans.map(c => s"'$c'").mkString(", ")
+      def scen(tag: String, removed: Option[String]): String = {
+        val filt = removed
+          .map(c => s" WHERE a != '$c' AND b != '$c'").getOrElse("")
+        val steps = (1 to MarkovSteps).map { i =>
+          s"""p_${tag}_$i AS (
+             |  SELECT t.a AS state,
+             |    (sum(t.tp * p.p) // $s9)::BIGINT AS p
+             |  FROM t_$tag t JOIN p_${tag}_${i - 1} p
+             |    ON p.state = t.b
+             |  GROUP BY t.a
+             |  UNION ALL SELECT 'CONV', $s9::BIGINT)""".stripMargin
+        }.mkString(",\n")
+        s"""t_$tag AS MATERIALIZED (SELECT * FROM t$filt),
+           |p_${tag}_0 AS (SELECT 'CONV' AS state, $s9::BIGINT AS p),
+           |$steps,
+           |f_$tag AS (SELECT coalesce((SELECT p FROM p_${tag}_$MarkovSteps
+           |  WHERE state = 'START'), 0)::BIGINT AS p)""".stripMargin
+      }
+      val scens = (scen("full", None) +: chans.map(c =>
+        scen(c, Some(c)))).mkString(",\n")
+      val res = chans.map(c =>
+        s"""SELECT '$c' AS channel, f_full.p AS p_conv,
+           |  f_$c.p AS p_removed, f_full.p - f_$c.p AS removal_effect
+           |FROM f_full, f_$c""".stripMargin).mkString("\nUNION ALL\n")
+      s"""WITH ev AS (
+         |  SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type
+         |  FROM events),
+         |fp AS (
+         |  SELECT user_id, ts_us, event_id FROM (
+         |    SELECT user_id, ts_us, event_id, row_number() OVER (
+         |      PARTITION BY user_id ORDER BY ts_us, event_id) AS rk
+         |    FROM ev WHERE event_type = 'purchase')
+         |  WHERE rk = 1),
+         |ch AS (
+         |  SELECT e.user_id, e.ts_us, e.event_id, e.event_type AS s,
+         |    fp.user_id IS NOT NULL AS conv
+         |  FROM ev e LEFT JOIN fp ON fp.user_id = e.user_id
+         |  WHERE e.event_type IN ($inList)
+         |    AND (fp.user_id IS NULL
+         |      OR (e.ts_us, e.event_id) < (fp.ts_us, fp.event_id))),
+         |sq AS (
+         |  SELECT *, lag(s) OVER (PARTITION BY user_id
+         |      ORDER BY ts_us, event_id) AS prev,
+         |    row_number() OVER (PARTITION BY user_id
+         |      ORDER BY ts_us DESC, event_id DESC) AS rnd
+         |  FROM ch),
+         |tr AS (
+         |  SELECT coalesce(prev, 'START') AS a, s AS b FROM sq
+         |  UNION ALL
+         |  SELECT s, CASE WHEN conv THEN 'CONV' ELSE 'NULL' END
+         |  FROM sq WHERE rnd = 1
+         |  UNION ALL
+         |  SELECT 'START', 'CONV' FROM fp
+         |  WHERE user_id NOT IN (SELECT user_id FROM ch)),
+         |cn AS (SELECT a, b, count(*)::BIGINT AS cnt
+         |       FROM tr GROUP BY 1, 2),
+         |t AS MATERIALIZED (
+         |  SELECT a, b, ((cnt * $s9)
+         |    // sum(cnt) OVER (PARTITION BY a))::BIGINT AS tp
+         |  FROM cn),
+         |$scens,
+         |res AS ($res),
+         |rs AS (SELECT sum(removal_effect)::BIGINT AS rs FROM res)
+         |SELECT res.channel, res.p_conv, res.p_removed,
+         |  res.removal_effect,
+         |  (CASE WHEN rs.rs = 0 THEN 0
+         |    ELSE (res.removal_effect * $s9) // rs.rs END)::BIGINT
+         |    AS attribution
+         |FROM res, rs""".stripMargin
+    },
     // the identical multiply chain as the engine's fold: anchor row is
     // the smallest lifetime at full risk, each step divides by the
     // folded remaining-at-risk count

@@ -34,7 +34,10 @@ class CollectLintSpec extends AnyFunSuite {
     *    (LIMIT-1 row) and chosen-doc term pull (≤ CovUniverse rows) —
     *    bounded driver state, K steps (docstring budget at
     *    coverageSelectOf).
-    *  - Streams (1): the nine RFM quantile boundaries.
+    *  - Streams (2): the nine RFM quantile boundaries; the Markov
+    *    attribution model pull — ≤ (|channels|+3)² transition rows,
+    *    the θ-class bounded model (docstring budget at
+    *    markovAttribution).
     *  - Bench (1): harness JVM warm-up, not an operator.
     */
   private val Pinned: Map[String, Int] = Map(
@@ -45,7 +48,7 @@ class CollectLintSpec extends AnyFunSuite {
     "src/main/scala/graft/operators/Apriori.scala" -> 2,
     "src/main/scala/graft/operators/Sgd.scala" -> 1,
     "src/main/scala/graft/operators/Curation.scala" -> 2,
-    "src/main/scala/graft/streaming/Streams.scala" -> 1,
+    "src/main/scala/graft/streaming/Streams.scala" -> 2,
     "src/main/scala/graft/Bench.scala" -> 1
   )
 

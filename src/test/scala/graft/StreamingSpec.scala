@@ -1192,6 +1192,40 @@ class StreamingSpec extends SparkSpecBase {
   private def ev2(id: Long, tsNs: Long, typ: String): Ev =
     Ev(id, tsNs, 1L, typ, 1.0)
 
+  test("markov attribution: hand-checked removal effects; fixture sane") {
+    val s2 = spark; import s2.implicits._
+    val S = Streams.MarkovScale
+    // u1: view -> click -> purchase; u2: view -> (silence)
+    // chain: START->view (1.0), view->{click .5, NULL .5}, click->CONV
+    // P(conv) = .5; removing view OR click severs the only path -> 0
+    val evs = Seq(
+      ev(1, 1000, 1, "view"), ev(2, 2000, 1, "click"),
+      ev(3, 3000, 1, "purchase"),
+      ev(4, 1000, 2, "view"))
+    val got = Streams.markovAttribution(evs.toDF()).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).sortBy(_._1).toSeq
+    assert(got == Seq(
+      ("click", S / 2, 0L, S / 2, S / 2),
+      ("error", S / 2, S / 2, 0L, 0L),
+      ("signup", S / 2, S / 2, 0L, 0L),
+      ("view", S / 2, 0L, S / 2, S / 2)))
+    // an empty journey (purchase with no prior channel event) feeds
+    // START->CONV directly: hand integer math gives 666666
+    val evs2 = evs :+ ev(5, 1000, 3, "purchase")
+    val g2 = Streams.markovAttribution(evs2.toDF()).collect()
+    assert(g2.head.getLong(1) == 666666L)
+    // fixture invariants: removal never raises conversion, shares sum
+    // to the scale within per-channel truncation
+    val fx = Streams.markovAttribution(
+      graft.Tables(spark, Sf, "events")).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(4)))
+    assert(fx.length == Streams.MarkovChannels.length)
+    fx.foreach { case (pf, pr, _) => assert(pr <= pf) }
+    val shares = fx.map(_._3).sum
+    assert(shares <= S && shares >= S - fx.length)
+  }
+
   test("survival: KM replay on fixture; planted cohort hand-checked") {
     def replay(spans: Seq[(Long, Long)])
         : Seq[(Long, Long, Long, Long, Double)] = {
