@@ -744,7 +744,54 @@ object Warehouse {
       .select(col("p_partkey"), col("price"), col("size"))
   }
 
+  /** Benford reference shares log10(1 + 1/d), d = 1..9, computed once
+    * and injected as LITERALS on both engines (Double.toString
+    * round-trips exactly; the oracle re-parses the same text as
+    * DOUBLE) — no transcendental ever evaluates inside a query, the
+    * [[graft.operators.Sketch]] LcTable discipline.
+    */
+  val BenfordP: Seq[(Int, Double)] =
+    (1 to 9).map(d => d -> math.log10(1.0 + 1.0 / d))
+
+  /** Benford first-digit audit of the lineitem ledger (Newcomb 1881,
+    * Benford 1938; Nigrini's fraud-screening standard): the observed
+    * first-significant-digit distribution of l_extendedprice against
+    * the log10(1+1/d) reference, per digit — the data-quality screen
+    * a warehouse runs over any organically-generated numeric column,
+    * where fabricated or truncated feeds surface as digit-share spikes
+    * (the fixture's synthetic price model itself shows a measurable
+    * non-Benford shape, which is exactly what the audit is FOR).
+    * (digit, n, share, benford_p, abs_dev).
+    *
+    * Scale shape: one row-local digit projection + one map-side
+    * combined 9-group aggregate; the 1-row total broadcasts back
+    * ([[topSupplier]]'s scalar pattern — no unpartitioned window).
+    * Digits are exact string heads of exact floor() integers; the only
+    * floats are one share division and one literal subtraction.
+    */
+  def benford(spark: SparkSession, dir: String): DataFrame =
+    benfordOf(Tables(spark, dir, "lineitem")
+      .select(col("l_extendedprice").as("v")))
+
+  def benfordOf(vals: DataFrame): DataFrame = {
+    val digits = vals
+      .select(substring(floor(col("v")).cast("bigint").cast("string"),
+        1, 1).cast("long").as("digit"))
+      .groupBy("digit").agg(count(lit(1)).as("n"))
+    val tot = digits.agg(sum(col("n")).as("total"))
+    val p = BenfordP.foldRight(lit(0.0): Column) {
+      case ((d, pd), acc) =>
+        when(col("digit") === d.toLong, lit(pd)).otherwise(acc)
+    }
+    digits.crossJoin(broadcast(tot))
+      .select(col("digit"), col("n"),
+        (col("n").cast("double") / col("total").cast("double"))
+          .as("share"), p.as("benford_p"))
+      .withColumn("abs_dev", abs(col("share") - col("benford_p")))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "rel_benford" -> benford,
     "rel_skyline" -> skyline,
     "rel_rank_movers" -> rankMovers,
     "rel_cheapest_supplier" -> cheapestSupplier,
@@ -767,6 +814,23 @@ object Warehouse {
   )
 
   val oracle: Map[String, String] = Map(
+    // the same literal reference shares re-parsed as DOUBLE (e0 forces
+    // double typing; bare decimals parse as DECIMAL in DuckDB)
+    "rel_benford" -> {
+      val cases = BenfordP.map { case (d, pd) =>
+        s"WHEN $d THEN ${pd}e0" }.mkString(" ")
+      s"""WITH dg AS (
+         |  SELECT substr(floor(l_extendedprice)::BIGINT::VARCHAR,
+         |    1, 1)::BIGINT AS digit
+         |  FROM lineitem),
+         |c AS (SELECT digit, count(*)::BIGINT AS n FROM dg GROUP BY 1),
+         |t AS (SELECT sum(n)::BIGINT AS total FROM c)
+         |SELECT digit, n, n::DOUBLE / total::DOUBLE AS share,
+         |  (CASE digit $cases ELSE 0.0e0 END) AS benford_p,
+         |  abs(n::DOUBLE / total::DOUBLE
+         |    - (CASE digit $cases ELSE 0.0e0 END)) AS abs_dev
+         |FROM c, t""".stripMargin
+    },
     // the declarative dominance definition — quadratic in DuckDB, which
     // is exactly the point: the engine's bucketed prefix-max plan must
     // reproduce the textbook NOT EXISTS semantics bit-for-bit

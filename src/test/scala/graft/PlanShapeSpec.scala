@@ -724,6 +724,25 @@ class PlanShapeSpec extends SparkSpecBase {
     }
   }
 
+  test("benford: digit census replay, reference shares well-formed") {
+    val df = Warehouse.benford(spark, Sf)
+    val got = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(3))).toSet
+    val vals = graft.Tables(spark, Sf, "lineitem")
+      .select("l_extendedprice").collect().map(_.getDouble(0))
+    val census = vals.map(v => math.floor(v).toLong.toString.head
+      .asDigit.toLong).groupBy(identity)
+      .map { case (d, g) => (d, g.size.toLong) }
+    val pMap = Warehouse.BenfordP.map { case (d, p) => d.toLong -> p }
+      .toMap
+    assert(got == census.map { case (d, n) =>
+      (d, n, pMap.getOrElse(d, 0.0)) }.toSet)
+    // the reference measure is a probability distribution
+    assert(math.abs(Warehouse.BenfordP.map(_._2).sum - 1.0) < 1e-12)
+    // digit 1 leads under Benford
+    assert(pMap(1L) > pMap(9L) * 6)
+  }
+
   test("skyline: brute-force dominance parity, ties survive, no product") {
     val df = Warehouse.skyline(spark, Sf)
     val p = finalOnly(df)
