@@ -839,14 +839,12 @@ object Graph {
   def labelProp(spark: SparkSession, dir: String): DataFrame =
     labelPropOf(edges(spark, dir), Materialize.Local)
 
-  def labelPropOf(edgesRaw: DataFrame,
-      mat: Materialize.Strategy = Materialize.None): DataFrame = {
-    val cuts = scala.collection.mutable.ListBuffer.empty[DataFrame]
-    def cut(df: DataFrame): DataFrame =
-      if (mat ne Materialize.None) { val c = mat(df); cuts += c; c }
-      else df
-    val sym = cut(symOf(edgesRaw.where(col("w") >= StrongW)
-      .select("a", "b")))
+  /** The synchronous LPA label table after [[LpIters]] rounds —
+    * shared by [[labelPropOf]] (community census) and
+    * [[modularityOf]] (partition scoring).
+    */
+  private def lpLabelsOf(sym: DataFrame,
+      cut: DataFrame => DataFrame): DataFrame = {
     var lbl = sym.select(col("src").as("node")).distinct()
       .select(col("node"), col("node").as("lbl"))
     for (_ <- 1 to LpIters)
@@ -856,11 +854,85 @@ object Graph {
           .orderBy(col("c").desc, col("lbl").asc)))
         .where(col("rk") === 1)
         .select(col("src").as("node"), col("lbl")))
+    lbl
+  }
+
+  def labelPropOf(edgesRaw: DataFrame,
+      mat: Materialize.Strategy = Materialize.None): DataFrame = {
+    val cuts = scala.collection.mutable.ListBuffer.empty[DataFrame]
+    def cut(df: DataFrame): DataFrame =
+      if (mat ne Materialize.None) { val c = mat(df); cuts += c; c }
+      else df
+    val sym = cut(symOf(edgesRaw.where(col("w") >= StrongW)
+      .select("a", "b")))
+    val lbl = lpLabelsOf(sym, cut)
     val out = lbl.groupBy("lbl").agg(count(lit(1)).as("size"))
       .withColumn("rk", row_number().over(
         Window.orderBy(col("size").desc, col("lbl"))).cast("long"))
       .where(col("rk") <= LpTopK)
       .select(col("lbl").as("label"), col("size"), col("rk"))
+    if (mat ne Materialize.None) {
+      val forced = Materialize.Local(out)
+      cuts.foreach(Materialize.release)
+      forced
+    } else out
+  }
+
+  /** Newman modularity of the LPA partition (Newman & Girvan 2004) —
+    * the "did the community detection find real structure" score a
+    * pipeline reads BEFORE trusting [[labelProp]]'s communities:
+    * Q = Σ_c [e_c/m − (d_c/2m)²] over the strong graph, reported as
+    * the EXACT rational (4m·Σe_c − Σd_c²)/(4m²) — integer cross
+    * products through DECIMAL(38,0)/HUGEINT with the ×4 coefficients
+    * as ADDITION chains (the cusum discipline: neither engine
+    * multiplies a 38-digit decimal), one correctly-rounded division
+    * at the end. Q ≈ 0 means the partition is no better than random
+    * wiring; Q ≥ 0.3 is conventional "real structure".
+    * (n_communities, m, q_num, q_den, q). q_num/q_den narrow to
+    * BIGINT for the report (fine to m ≈ 1.5·10⁹ edges; widen past
+    * that).
+    *
+    * Scale shape: the LPA rounds are [[labelPropOf]]'s (shared
+    * [[lpLabelsOf]]); scoring adds two label equi-joins onto the
+    * canonical edge list, one degree join, and three 1-row aggregates
+    * cross-joined — nothing new shuffles at edge scale.
+    */
+  def modularity(spark: SparkSession, dir: String): DataFrame =
+    modularityOf(edges(spark, dir), Materialize.Local)
+
+  def modularityOf(edgesRaw: DataFrame,
+      mat: Materialize.Strategy = Materialize.None): DataFrame = {
+    val cuts = scala.collection.mutable.ListBuffer.empty[DataFrame]
+    def cut(df: DataFrame): DataFrame =
+      if (mat ne Materialize.None) { val c = mat(df); cuts += c; c }
+      else df
+    val d19 = "decimal(19,0)"
+    val sp = cut(edgesRaw.where(col("w") >= StrongW).select("a", "b"))
+    val sym = cut(symOf(sp))
+    val lbl = cut(lpLabelsOf(sym, cut))
+    val ein = sp
+      .join(lbl.select(col("node").as("a"), col("lbl").as("la")), "a")
+      .join(lbl.select(col("node").as("b"), col("lbl").as("lb")), "b")
+      .agg(sum(when(col("la") === col("lb"), 1L).otherwise(0L))
+        .as("ec"))
+    val d2 = degOf(sym).join(lbl, "node")
+      .groupBy("lbl").agg(sum(col("d")).as("dsum"))
+      .agg(sum((col("dsum").cast(d19) * col("dsum").cast(d19))
+        .cast("decimal(38,0)")).as("s2"),
+        count(lit(1)).as("n_communities"))
+    val mm = sp.agg(count(lit(1)).as("m"))
+    val me = (col("m").cast(d19) * col("ec").cast(d19))
+      .cast("decimal(38,0)")
+    val m2 = (col("m").cast(d19) * col("m").cast(d19))
+      .cast("decimal(38,0)")
+    val out = ein.crossJoin(d2).crossJoin(mm)
+      .select(col("n_communities"), col("m"),
+        (me + me + me + me - col("s2")).as("qn"),
+        (m2 + m2 + m2 + m2).as("qd"))
+      .select(col("n_communities"), col("m"),
+        col("qn").cast("long").as("q_num"),
+        col("qd").cast("long").as("q_den"),
+        (col("qn").cast("double") / col("qd").cast("double")).as("q"))
     if (mat ne Materialize.None) {
       val forced = Materialize.Local(out)
       cuts.foreach(Materialize.release)
@@ -1251,6 +1323,7 @@ object Graph {
     "graph_closeness" -> closeness,
     "graph_betweenness" -> betweenness,
     "graph_truss" -> truss,
+    "graph_modularity" -> modularity,
     "graph_ppr" -> ppr
   )
 
@@ -1270,6 +1343,21 @@ object Graph {
       |deg AS MATERIALIZED (
       |  SELECT src AS node, count(*)::BIGINT AS d FROM sym GROUP BY 1)"""
       .stripMargin
+
+  /** The synchronous LPA rounds as CTEs (l0 → l[[LpIters]]), shared by
+    * the label-prop and modularity oracles.
+    */
+  private def lpRoundsSql: String =
+    (1 to LpIters).map { i =>
+      s"""l$i AS MATERIALIZED (
+         |  SELECT node, lbl FROM (
+         |    SELECT s.src AS node, l.lbl,
+         |      row_number() OVER (PARTITION BY s.src
+         |        ORDER BY count(*) DESC, l.lbl) AS rk
+         |    FROM e0 s JOIN l${i - 1} l ON l.node = s.dst
+         |    GROUP BY s.src, l.lbl)
+         |  WHERE rk = 1)""".stripMargin
+    }.mkString(",\n")
 
   /** One PageRank round as a CTE body: rank table `prev` → next. */
   private def prRound(prev: String): String =
@@ -1543,17 +1631,47 @@ object Graph {
          |$rounds
          |$trace""".stripMargin
     },
+    "graph_modularity" -> {
+      val rounds = lpRoundsSql
+      s"""WITH $graphCte,
+         |sp AS (SELECT a, b FROM ed WHERE w >= $StrongW),
+         |e0 AS MATERIALIZED (
+         |  SELECT a AS src, b AS dst FROM sp
+         |  UNION ALL SELECT b, a FROM sp),
+         |l0 AS MATERIALIZED (
+         |  SELECT DISTINCT src AS node, src AS lbl FROM e0),
+         |$rounds,
+         |fin AS (SELECT node, lbl FROM l$LpIters),
+         |ein AS (
+         |  SELECT sum(CASE WHEN x.lbl = y.lbl THEN 1 ELSE 0 END)
+         |    ::BIGINT AS ec
+         |  FROM sp JOIN fin x ON x.node = sp.a
+         |  JOIN fin y ON y.node = sp.b),
+         |dg AS (SELECT src AS node, count(*)::BIGINT AS d
+         |       FROM e0 GROUP BY 1),
+         |d2 AS (
+         |  SELECT sum(dsum::HUGEINT * dsum::HUGEINT) AS s2,
+         |    count(*)::BIGINT AS n_communities
+         |  FROM (SELECT f.lbl, sum(d)::BIGINT AS dsum
+         |        FROM dg JOIN fin f USING (node) GROUP BY 1)),
+         |mm AS (SELECT count(*)::BIGINT AS m FROM sp),
+         |qq AS (
+         |  SELECT d2.n_communities, mm.m,
+         |    (mm.m::HUGEINT * ein.ec::HUGEINT
+         |     + mm.m::HUGEINT * ein.ec::HUGEINT
+         |     + mm.m::HUGEINT * ein.ec::HUGEINT
+         |     + mm.m::HUGEINT * ein.ec::HUGEINT - d2.s2) AS qn,
+         |    (mm.m::HUGEINT * mm.m::HUGEINT
+         |     + mm.m::HUGEINT * mm.m::HUGEINT
+         |     + mm.m::HUGEINT * mm.m::HUGEINT
+         |     + mm.m::HUGEINT * mm.m::HUGEINT) AS qd
+         |  FROM ein, d2, mm)
+         |SELECT n_communities, m, qn::BIGINT AS q_num,
+         |  qd::BIGINT AS q_den, qn::DOUBLE / qd::DOUBLE AS q
+         |FROM qq""".stripMargin
+    },
     "graph_label_prop" -> {
-      val rounds = (1 to LpIters).map { i =>
-        s"""l$i AS MATERIALIZED (
-           |  SELECT node, lbl FROM (
-           |    SELECT s.src AS node, l.lbl,
-           |      row_number() OVER (PARTITION BY s.src
-           |        ORDER BY count(*) DESC, l.lbl) AS rk
-           |    FROM e0 s JOIN l${i - 1} l ON l.node = s.dst
-           |    GROUP BY s.src, l.lbl)
-           |  WHERE rk = 1)""".stripMargin
-      }.mkString(",\n")
+      val rounds = lpRoundsSql
       s"""WITH $graphCte,
          |sp AS (SELECT a, b FROM ed WHERE w >= $StrongW),
          |e0 AS MATERIALIZED (

@@ -214,6 +214,52 @@ class GraphSpec extends SparkSpecBase {
     }
   }
 
+  test("modularity: replay on random graphs; disjoint triangles hit 1/2") {
+    def replay(edges: Seq[(Long, Long)])
+        : (Long, Long, BigInt, BigInt) = {
+      val nbrs = (edges ++ edges.map(e => (e._2, e._1)))
+        .groupBy(_._1).map { case (k, v) => k -> v.map(_._2) }
+      var lbl = nbrs.keys.map(k => k -> k).toMap
+      for (_ <- 1 to Graph.LpIters)
+        lbl = nbrs.map { case (v, ns) =>
+          v -> ns.map(lbl).groupBy(identity).toSeq
+            .map { case (l, g) => (-g.size, l) }.min._2
+        }
+      val m = BigInt(edges.size)
+      val ec = BigInt(edges.count { case (a, b) => lbl(a) == lbl(b) })
+      // .keys.toSeq before mapping: a Set.map would collapse equal
+      // degrees and silently undercount the community degree mass
+      val dsum = lbl.groupBy(_._2).view.mapValues(g =>
+        BigInt(g.keys.toSeq.map(nbrs(_).size).sum)).toMap
+      val qn = 4 * m * ec - dsum.values.map(d => d * d).sum
+      (lbl.values.toSet.size.toLong, m.toLong, qn, 4 * m * m)
+    }
+    val rnd = new scala.util.Random(53)
+    for (_ <- 1 to 3) {
+      val n = 10 + rnd.nextInt(10)
+      val edges = (for {
+        a <- 1 to n; b <- (a + 1) to n if rnd.nextDouble() < 0.3
+      } yield (a.toLong, b.toLong)).toSeq
+      if (edges.nonEmpty) {
+        val df = edges.toDF("a", "b").withColumn("w", lit(Graph.StrongW))
+        val (nc, m, qn, qd) = replay(edges)
+        val r = Graph.modularityOf(df, graft.Materialize.Local).head()
+        assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+          == ((nc, m, qn.toLong, qd.toLong)), s"edges=$edges")
+        assert(r.getDouble(4) == qn.toDouble / qd.toDouble)
+      }
+    }
+    // two disjoint triangles: LPA separates them perfectly and Newman's
+    // formula gives exactly 1/2
+    val tri = Seq((1L, 2L), (2L, 3L), (1L, 3L),
+      (4L, 5L), (5L, 6L), (4L, 6L))
+    val r = Graph.modularityOf(
+      tri.toDF("a", "b").withColumn("w", lit(Graph.StrongW)),
+      graft.Materialize.Local).head()
+    assert(r.getLong(0) == 2L)
+    assert(r.getDouble(4) == 0.5)
+  }
+
   test("truss: peel replay on random graphs; clique survives, hub dies") {
     def replay(edges0: Seq[(Long, Long)]): Seq[(Long, Long, Long)] = {
       var cur = edges0.map { case (a, b) =>
