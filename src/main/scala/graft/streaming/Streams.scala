@@ -1600,6 +1600,39 @@ object Streams {
         col("valid_to_us"), col("n_events"))
   }
 
+  /** Point-in-time SCD2 dimension lookup — the read side that makes
+    * [[scd2]]'s history worth building: every purchase joined to the
+    * user's status interval in effect IMMEDIATELY BEFORE it (t−1,
+    * since the purchase itself opens a new interval in this
+    * self-derived history), rolled into the (prior_status,
+    * n_purchases) readout — "what state were users in when they
+    * bought". A user's first-ever event being the purchase has no
+    * prior interval and lands in the `<none>` bucket; a repeat
+    * purchase correctly reads `purchase`. This is the AS OF dimension
+    * semantics a warehouse runs against any SCD2 table (compare
+    * [[asofViewBeforePurchase]], which pairs two EVENT streams).
+    *
+    * Scale shape: the join's equi component is user_id — per-user
+    * interval lists are the fan-in, so it hash-partitions like any
+    * dimension lookup (no range explosion: intervals partition each
+    * user's timeline, ≤ 1 match per probe) — and the result collapses
+    * to a ≤ |statuses|+1-row histogram.
+    */
+  def scd2Lookup(events: DataFrame): DataFrame = {
+    val hist = scd2(events).select(col("user_id").as("h_uid"),
+      col("status"), col("valid_from_us"), col("valid_to_us"))
+    val p = withEventTime(events)
+      .where(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts_us"))
+    p.join(hist, col("user_id") === col("h_uid")
+        && col("valid_from_us") <= col("ts_us") - 1
+        && (col("valid_to_us").isNull
+          || col("ts_us") - 1 < col("valid_to_us")), "left")
+      .groupBy(coalesce(col("status"), lit("<none>"))
+        .as("prior_status"))
+      .agg(count(lit(1)).as("n_purchases"))
+  }
+
   /** Linear multi-touch attribution window, in event-time micros. */
   val AttrWindowUs: Long = 3L * DayUs
 
@@ -2143,6 +2176,8 @@ object Streams {
       ((s: SparkSession, d: String) => rateAnomaly(events(s, d))),
     "stream_scd2" ->
       ((s: SparkSession, d: String) => scd2(events(s, d))),
+    "stream_scd2_lookup" ->
+      ((s: SparkSession, d: String) => scd2Lookup(events(s, d))),
     "stream_cdc_apply" ->
       ((s: SparkSession, d: String) => cdcApply(events(s, d))),
     "stream_attribution_linear" ->
@@ -3023,6 +3058,43 @@ object Streams {
         |    AS valid_to_us,
         |  n_events
         |FROM sp""".stripMargin,
+    // the same interval build, probed AS OF t−1 by every purchase
+    "stream_scd2_lookup" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+        |    event_type AS status
+        |  FROM events),
+        |lg AS (
+        |  SELECT *, lag(status) OVER (PARTITION BY user_id
+        |    ORDER BY ts_us, event_id) AS prev
+        |  FROM ev),
+        |ch AS (
+        |  SELECT *, CASE WHEN prev IS NULL OR prev != status
+        |    THEN 1 ELSE 0 END AS chg
+        |  FROM lg),
+        |il AS (
+        |  SELECT *, sum(chg) OVER (PARTITION BY user_id
+        |    ORDER BY ts_us, event_id ROWS UNBOUNDED PRECEDING)::BIGINT
+        |    AS isl
+        |  FROM ch),
+        |sp AS (
+        |  SELECT user_id, isl, min(ts_us)::BIGINT AS valid_from_us,
+        |    min(status) AS status
+        |  FROM il GROUP BY 1, 2),
+        |hist AS (
+        |  SELECT user_id, status, valid_from_us,
+        |    lead(valid_from_us) OVER (PARTITION BY user_id
+        |      ORDER BY isl) AS valid_to_us
+        |  FROM sp),
+        |p AS (
+        |  SELECT user_id, epoch_us(ts) AS ts_us FROM events
+        |  WHERE event_type = 'purchase')
+        |SELECT coalesce(h.status, '<none>') AS prior_status,
+        |  count(*)::BIGINT AS n_purchases
+        |FROM p LEFT JOIN hist h ON h.user_id = p.user_id
+        |  AND h.valid_from_us <= p.ts_us - 1
+        |  AND (h.valid_to_us IS NULL OR p.ts_us - 1 < h.valid_to_us)
+        |GROUP BY 1""".stripMargin,
     "stream_cdc_apply" ->
       """WITH log AS (
         |  SELECT user_id, epoch_us(ts) AS ts_us, event_id, event_type,

@@ -1192,6 +1192,25 @@ class StreamingSpec extends SparkSpecBase {
   private def ev2(id: Long, tsNs: Long, typ: String): Ev =
     Ev(id, tsNs, 1L, typ, 1.0)
 
+  test("scd2 lookup: prior-status buckets hand-checked; totals close") {
+    val s2 = spark; import s2.implicits._
+    // u1: view then purchase (prior=view) then purchase again
+    // (prior=purchase); u2: purchase first (prior=<none>)
+    val evs = Seq(
+      ev(1, 1000000L, 1, "view"), ev(2, 2000000L, 1, "purchase"),
+      ev(3, 3000000L, 1, "purchase"),
+      ev(4, 1000000L, 2, "purchase"))
+    val got = Streams.scd2Lookup(evs.toDF()).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map("view" -> 1L, "purchase" -> 1L, "<none>" -> 1L))
+    // fixture: every purchase lands in exactly one bucket
+    val fx = Streams.scd2Lookup(graft.Tables(spark, Sf, "events"))
+      .collect().map(r => r.getLong(1)).sum
+    val nPurch = graft.Tables(spark, Sf, "events")
+      .where("event_type = 'purchase'").count()
+    assert(fx == nPurch)
+  }
+
   test("markov attribution: hand-checked removal effects; fixture sane") {
     val s2 = spark; import s2.implicits._
     val S = Streams.MarkovScale
