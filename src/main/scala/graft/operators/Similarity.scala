@@ -675,21 +675,28 @@ object Similarity {
     int8TopKOf(Tables(spark, dir, "embeddings")
       .select(col("vec_id"), col("embedding")), nq(spark))
 
-  def int8TopKOf(vectors: DataFrame, nQueries: Long): DataFrame = {
+  /** The quantized representation as a DataFrame (vec_id, scale, qv) —
+    * shared by the int8 scorer and [[mmrTopKOf]]'s pair dots.
+    */
+  private def quantDf(vectors: DataFrame): DataFrame =
+    vectors.select(col("vec_id"), qScale.as("scale"),
+      transform(col("embedding"), v => qElem(v, qScale)).as("qv"))
+
+  /** All int8-rescaled (query, neighbor, qdot) pairs — the scoring
+    * kernel of [[int8TopKOf]] without the rank cut.
+    */
+  private def int8Scored(vectors: DataFrame, nQueries: Long): DataFrame = {
     val spark = vectors.sparkSession
     val s = spark; import s.implicits._
-    val qv = transform(col("embedding"), v => qElem(v, qScale))
     // quantization stays declarative (row-local expressions above the
     // scan); the O(corpus × queries) scoring loop runs as a typed
     // kernel like [[scoredPairs]] — same integer dot, same IEEE rescale
     // order as the oracle, ~an order of magnitude over the interpreted
     // expression path at fixture scale
-    val quant = vectors.select(col("vec_id"), qScale.as("scale"),
-      qv.as("qv")).as[(Long, Double, Array[Long])]
+    val quant = quantDf(vectors).as[(Long, Double, Array[Long])]
     // declarative pruning BEFORE the typed conversion: the query-side
     // collect scans (and quantizes) 50 rows, not the corpus
-    val queries = vectors.where(col("vec_id") < nQueries)
-      .select(col("vec_id"), qScale.as("scale"), qv.as("qv"))
+    val queries = quantDf(vectors.where(col("vec_id") < nQueries))
       .as[(Long, Double, Array[Long])].collect().sortBy(_._1)
     val bc = spark.sparkContext.broadcast(queries)
     quant
@@ -705,10 +712,105 @@ object Similarity {
         }
       }
       .toDF("query_id", "neighbor_id", "qdot")
+  }
+
+  def int8TopKOf(vectors: DataFrame, nQueries: Long): DataFrame =
+    int8Scored(vectors, nQueries)
       .withColumn("rank", row_number().over(
         Window.partitionBy(col("query_id"))
           .orderBy(col("qdot").desc, col("neighbor_id").asc)))
       .where(col("rank") <= TopK)
+
+  /** Candidate pool depth and diversified result size for [[mmrTopK]]. */
+  val MmrPool = 20
+  val MmrK = 5
+
+  /** Maximal-marginal-relevance diversified re-ranking (Carbonell &
+    * Goldstein, SIGIR '98) — the serving-side step between ANN
+    * retrieval and the user: from each query's top-[[MmrPool]] int8
+    * shortlist, greedily pick [[MmrK]] results maximizing
+    * λ·rel(q,d) − (1−λ)·max_{s∈selected} sim(d,s) with λ = ½, so a
+    * second near-duplicate of an already-picked result loses to a
+    * fresh angle — relevance alone returns redundant neighbors (the
+    * same [[graft.operators.Dedup]] insight applied at query time).
+    * (query_id, step, neighbor_id, qdot, score).
+    *
+    * Determinism: relevance is the int8 kernel's exact-integer dot
+    * under the pinned IEEE rescale order; pair sims reuse the SAME
+    * quantized representation through a declarative fold (identical
+    * integer sum, identical rescale); every greedy argmax ties by
+    * neighbor_id. The oracle unrolls all [[MmrK]] pick/penalize
+    * rounds, so the greedy trajectory itself is hash-verified (the
+    * coverage-select pattern).
+    *
+    * Scale shape: the corpus is touched once by the shortlist scorer;
+    * everything after lives on queries·[[MmrPool]] rows (the pool
+    * broadcasts into the quantized-vector fetch, pair sims are
+    * pool²-per-query ≈ bounded), and each greedy round is one
+    * anti-join + one max aggregate + one rank-1 cut on that bounded
+    * table. Per-round lineage cuts.
+    */
+  def mmrTopK(spark: SparkSession, dir: String): DataFrame =
+    mmrTopKOf(Tables(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding")), nq(spark))
+
+  def mmrTopKOf(vectors: DataFrame, nQueries: Long): DataFrame = {
+    val pool = graft.Materialize.Local(
+      int8Scored(vectors, nQueries)
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("query_id"))
+            .orderBy(col("qdot").desc, col("neighbor_id").asc)))
+        .where(col("rk") <= MmrPool).drop("rk"))
+    val qd = quantDf(vectors)
+    val poolQ = pool.join(qd.withColumnRenamed("vec_id", "neighbor_id"),
+      "neighbor_id")
+    val px = poolQ.select(col("query_id"), col("neighbor_id").as("i"),
+      col("scale").as("sa"), col("qv").as("qa"))
+    val py = poolQ.select(col("query_id"), col("neighbor_id").as("j"),
+      col("scale").as("sb"), col("qv").as("qb"))
+    val idot = expr(
+      "aggregate(zip_with(qa, qb, (x, y) -> x * y), 0L," +
+        " (acc, v) -> acc + v)")
+    val pairs = graft.Materialize.Local(px.join(py, Seq("query_id"))
+      .where(col("i") =!= col("j"))
+      .select(col("query_id"), col("i"), col("j"),
+        (idot.cast("double") * col("sa") * col("sb") / lit(16129.0))
+          .as("pdot")))
+    val cuts = scala.collection.mutable.ListBuffer.empty[DataFrame]
+    val steps = scala.collection.mutable.ListBuffer.empty[DataFrame]
+    var sel: DataFrame = null
+    for (k <- 1 to MmrK) {
+      val cand =
+        if (k == 1) pool
+        else pool.join(sel, Seq("query_id", "neighbor_id"),
+          "left_anti")
+      val scoredK =
+        if (k == 1) cand.withColumn("score", lit(0.5) * col("qdot"))
+        else {
+          val red = pairs
+            .join(sel.select(col("query_id"),
+              col("neighbor_id").as("j")), Seq("query_id", "j"))
+            .groupBy(col("query_id"), col("i").as("neighbor_id"))
+            .agg(max(col("pdot")).as("red"))
+          cand.join(red, Seq("query_id", "neighbor_id"))
+            .withColumn("score",
+              lit(0.5) * col("qdot") - lit(0.5) * col("red"))
+        }
+      val pick = graft.Materialize.Local(scoredK
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("query_id"))
+            .orderBy(col("score").desc, col("neighbor_id").asc)))
+        .where(col("rk") === 1)
+        .select(col("query_id"), lit(k.toLong).as("step"),
+          col("neighbor_id"), col("qdot"), col("score")))
+      cuts += pick
+      steps += pick
+      val picked = pick.select("query_id", "neighbor_id")
+      sel = if (k == 1) picked else sel.unionByName(picked)
+    }
+    val out = graft.Materialize.Local(steps.reduce(_.unionByName(_)))
+    (cuts :+ pool :+ pairs).foreach(graft.Materialize.release)
+    out
   }
 
   // ---- binary (1-bit) quantization — Hamming shortlist + re-rank ----
@@ -1417,6 +1519,7 @@ object Similarity {
     "llm_cluster_purity" -> clusterPurity,
     "llm_sim_binary_topk" -> binaryTopK,
     "llm_sim_int8_topk" -> int8TopK,
+    "llm_sim_mmr_topk" -> mmrTopK,
     "llm_emb_quantize" -> embQuantize,
     "llm_emb_centroids" -> embCentroids,
     "llm_embed_drift" -> embDrift,
@@ -1451,8 +1554,11 @@ object Similarity {
        |  FROM scored
        |) WHERE rank <= $TopK""".stripMargin
 
-  private val oracleInt8 =
-    s"""WITH v AS (
+  /** The int8 quantize + score CTEs (v, q, scored) — shared by the
+    * int8 top-k oracle and the MMR oracle.
+    */
+  private val int8ScoredCtes =
+    s"""v AS (
        |  SELECT vec_id,
        |    list_max(list_transform(embedding, x -> abs(x::DOUBLE)))
        |      AS scale,
@@ -1469,13 +1575,75 @@ object Similarity {
        |        i -> a.qv[i] * b.qv[i]), (x, y) -> x + y)::DOUBLE
        |      * a.scale * b.scale / 16129.0 AS qdot
        |  FROM q a JOIN q b ON a.vec_id < $NumQueries
-       |    AND a.vec_id != b.vec_id)
+       |    AND a.vec_id != b.vec_id)""".stripMargin
+
+  private val oracleInt8 =
+    s"""WITH $int8ScoredCtes
        |SELECT * FROM (
        |  SELECT query_id, neighbor_id, qdot,
        |    row_number() OVER (PARTITION BY query_id
        |      ORDER BY qdot DESC, neighbor_id ASC) AS rank
        |  FROM scored
        |) WHERE rank <= $TopK""".stripMargin
+
+  /** The MMR greedy unrolled: per round an anti-join against the
+    * selected set, one max-penalty aggregate over the pool-pair dots,
+    * one rank-1 cut — the coverage-select oracle pattern.
+    */
+  private val oracleMmr = {
+    val rounds = (2 to MmrK).map { k =>
+      val selUnion = (1 until k)
+        .map(i => s"SELECT query_id, neighbor_id FROM s$i")
+        .mkString("\n  UNION ALL ")
+      s"""sel${k - 1} AS MATERIALIZED (
+         |  $selUnion),
+         |s$k AS MATERIALIZED (
+         |  SELECT query_id, $k::BIGINT AS step, neighbor_id, qdot,
+         |    score
+         |  FROM (
+         |    SELECT g.*, row_number() OVER (PARTITION BY g.query_id
+         |      ORDER BY g.score DESC, g.neighbor_id ASC) AS rk
+         |    FROM (
+         |      SELECT p.query_id, p.neighbor_id, p.qdot,
+         |        0.5e0 * p.qdot - 0.5e0 * max(pp.pdot) AS score
+         |      FROM pool p
+         |      JOIN pp ON pp.query_id = p.query_id
+         |        AND pp.i = p.neighbor_id
+         |      JOIN sel${k - 1} s2 ON s2.query_id = pp.query_id
+         |        AND s2.neighbor_id = pp.j
+         |      WHERE NOT EXISTS (SELECT 1 FROM sel${k - 1} sx
+         |        WHERE sx.query_id = p.query_id
+         |          AND sx.neighbor_id = p.neighbor_id)
+         |      GROUP BY p.query_id, p.neighbor_id, p.qdot) g)
+         |  WHERE rk = 1)""".stripMargin
+    }.mkString(",\n")
+    val out = (1 to MmrK)
+      .map(i => s"SELECT * FROM s$i").mkString("\nUNION ALL ")
+    s"""WITH $int8ScoredCtes,
+       |pool AS MATERIALIZED (
+       |  SELECT query_id, neighbor_id, qdot FROM (
+       |    SELECT query_id, neighbor_id, qdot, row_number() OVER (
+       |      PARTITION BY query_id
+       |      ORDER BY qdot DESC, neighbor_id ASC) AS rk
+       |    FROM scored) WHERE rk <= $MmrPool),
+       |pp AS MATERIALIZED (
+       |  SELECT x.query_id, x.neighbor_id AS i, y.neighbor_id AS j,
+       |    list_reduce(list_transform(range(1, 65),
+       |        k -> a.qv[k] * b.qv[k]), (ac, el) -> ac + el)::DOUBLE
+       |      * a.scale * b.scale / 16129.0 AS pdot
+       |  FROM pool x JOIN pool y ON y.query_id = x.query_id
+       |    AND y.neighbor_id != x.neighbor_id
+       |  JOIN q a ON a.vec_id = x.neighbor_id
+       |  JOIN q b ON b.vec_id = y.neighbor_id),
+       |s1 AS MATERIALIZED (
+       |  SELECT query_id, 1::BIGINT AS step, neighbor_id, qdot,
+       |    0.5e0 * qdot AS score
+       |  FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+       |      ORDER BY qdot DESC, neighbor_id ASC) AS rk FROM pool)
+       |  WHERE rk = 1),
+       |$rounds
+       |$out""".stripMargin
+  }
 
   private val oracleBinary = {
     def word(lo: Int) =
@@ -1947,6 +2115,7 @@ object Similarity {
          |) WHERE rank <= $TopK""".stripMargin,
     "llm_sim_binary_topk" -> oracleBinary,
     "llm_sim_int8_topk" -> oracleInt8,
+    "llm_sim_mmr_topk" -> oracleMmr,
     "llm_emb_quantize" ->
       """SELECT vec_id, u.i - 1 AS i, scale,
         |  CASE WHEN scale = 0 THEN 0

@@ -573,4 +573,57 @@ class SimilaritySpec extends SparkSpecBase {
     // purity must beat the 1/|labels| random floor on labeled fixtures
     assert(t.getDouble(4) > 0.1)
   }
+
+  test("mmr: step 1 is pure relevance, scores fall, redundancy punished") {
+    val fx = Similarity.queries("llm_sim_mmr_topk")(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(4)))
+    val byQ = fx.groupBy(_._1)
+    // every query emits exactly MmrK distinct picks
+    byQ.values.foreach { g =>
+      assert(g.map(_._2).sorted.toSeq == (1L to Similarity.MmrK).toSeq)
+      assert(g.map(_._3).distinct.length == g.length)
+      // the greedy objective is non-increasing FROM STEP 2 ON (the
+      // penalty max grows over a superset); step 1 carries no penalty
+      // term, so an anti-correlated pair (negative pdot) can lift
+      // step 2 above it — observed on the fixture, correct behavior
+      val byStep = g.sortBy(_._2).map(_._4).drop(1)
+      assert(byStep.sliding(2).forall(p =>
+        p.length < 2 || p(0) >= p(1)))
+    }
+    // step 1 == the int8 rank-1 neighbor (pure relevance seeds MMR)
+    val top1 = Similarity.queries("llm_sim_int8_topk")(spark, Sf)
+      .where("rank = 1").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    byQ.foreach { case (q, g) =>
+      assert(g.find(_._2 == 1L).get._3 == top1(q), s"q=$q")
+    }
+    // planted redundancy: five magnitude-jittered copies of ONE
+    // direction half-aligned with the query (mutual dot ≈ 0.97, well
+    // above their ≈ 0.7 relevance), one weaker pure-query-direction
+    // vector, one orthogonal — relevance-only fills with the clones,
+    // MMR must break out of the cluster
+    val s2 = spark; import s2.implicits._
+    val dim = 64
+    def base(at: Seq[(Int, Double)]): Array[Double] = {
+      val a = Array.fill(dim)(0.0); at.foreach { case (i, v) => a(i) = v }
+      a
+    }
+    val u = 1.0 / math.sqrt(2.0)
+    val rows = ((0L, base(Seq(0 -> 1.0))) +:        // the query e0
+      (1 to 5).map(i => (i.toLong,
+        base(Seq(0 -> (1.0 - 0.01 * i) * u, 1 -> (1.0 - 0.01 * i) * u))))
+      :+ (6L, base(Seq(0 -> 0.6)))                  // weaker, on-query
+      :+ (7L, base(Seq(7 -> 0.5)))                  // orthogonal
+      ).toDF("vec_id", "embedding")
+    val mmr = Similarity.mmrTopKOf(rows, 1L).collect()
+      .map(r => (r.getLong(1), r.getLong(2))).sortBy(_._1)
+    val plainTop = Similarity.int8TopKOf(rows, 1L).collect()
+      .map(_.getLong(1)).toSet
+    // relevance-only top-5 is all clones; MMR keeps ≤ 3 and surfaces
+    // both distinct directions
+    assert(plainTop == Set(1L, 2L, 3L, 4L, 5L), plainTop)
+    assert(mmr.count(p => p._2 >= 1L && p._2 <= 5L) <= 3, mmr.toSeq)
+    assert(mmr.exists(_._2 == 6L) && mmr.exists(_._2 == 7L), mmr.toSeq)
+  }
 }
