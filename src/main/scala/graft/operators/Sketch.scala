@@ -645,7 +645,63 @@ object Sketch {
         col("max_direct"), col("max_merged"))
   }
 
+  /** AMS estimator count. 32 sign rows average the single-estimator
+    * variance 2F2² down to 2F2²/32 (Alon-Matias-Szegedy's analysis) —
+    * ≈ 25% expected relative error, the honest budget the audit row
+    * prices against the exact value.
+    */
+  val AmsEstimators = 32
+
+  /** AMS F2 (second frequency moment) sketch audit (Alon, Matias &
+    * Szegedy, STOC '96 — the Gödel-Prize result every join-size
+    * estimator descends from): F2 = Σ_t f_t² of the token frequency
+    * vector IS the self-join size on token, the number a planner needs
+    * before picking a join strategy. Each of [[AmsEstimators]] rows
+    * keeps one counter S_j = Σ occurrences sign_j(t) (±1 from a salted
+    * md5 parity — deterministic, no RNG state), E[S_j²] = F2 exactly;
+    * the estimate is the mean of squares, priced against the exact F2
+    * in the same output row. Counters are trivially MERGEABLE (sums),
+    * the property that lets shards sketch independently.
+    * (k, sum_s2, f2_est, f2_exact, rel_err).
+    *
+    * Scale shape: ONE pass over the token stream exploded ×k with
+    * map-side combine down to k counter rows; the exact side is the
+    * usual frequency aggregate. Counters are exact BIGINTs; squares
+    * ride DECIMAL(38,0)/HUGEINT; the estimate's single division and
+    * the error ratio are the only doubles (fixed order both engines).
+    */
+  def f2Ams(spark: SparkSession, dir: String): DataFrame =
+    f2AmsOf(graft.Tables(spark, dir, "documents")
+      .select("doc_id", "text"))
+
+  def f2AmsOf(corpus: DataFrame): DataFrame = {
+    val d19 = "decimal(19,0)"
+    val tok = corpus.select(explode(split(col("text"), " ")).as("t"))
+    val sgn = lit(1L) - lit(2L) *
+      (conv(substring(md5(concat(lit("ams:"),
+        col("j").cast("string"), lit(":"), col("t"))), 1, 8), 16, 10)
+        .cast("long") % 2L)
+    val sj = tok
+      .select(col("t"), explode(sequence(lit(0L),
+        lit(AmsEstimators - 1L))).as("j"))
+      .select(col("j"), sgn.as("sg"))
+      .groupBy("j").agg(sum(col("sg")).as("sj"))
+    val s2 = sj.agg(count(lit(1)).as("k"),
+      sum((col("sj").cast(d19) * col("sj").cast(d19))
+        .cast("decimal(38,0)")).as("s2"))
+    val ex = tok.groupBy("t").agg(count(lit(1)).as("c"))
+      .agg(sum((col("c").cast(d19) * col("c").cast(d19))
+        .cast("decimal(38,0)")).as("f2"))
+    val est = col("s2").cast("double") / col("k").cast("double")
+    s2.crossJoin(ex)
+      .select(col("k"), col("s2").cast("long").as("sum_s2"),
+        est.as("f2_est"), col("f2").cast("long").as("f2_exact"),
+        (abs(est - col("f2").cast("double"))
+          / col("f2").cast("double")).as("rel_err"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "llm_f2_ams" -> f2Ams,
     "llm_rollup_merge" -> rollupMerge,
     "llm_heavy_hitters" -> heavyHitters,
     "llm_quantile_sketch" -> quantileSketch,
@@ -658,6 +714,31 @@ object Sketch {
   )
 
   val oracle: Map[String, String] = Map(
+    // one token pass exploded ×k, ±1 from the identical salted md5
+    // parity, squares through HUGEINT mirroring DECIMAL(38,0)
+    "llm_f2_ams" ->
+      s"""WITH tok AS (
+         |  SELECT unnest(string_split(text, ' ')) AS t
+         |  FROM documents),
+         |sj AS (
+         |  SELECT r.j,
+         |    sum(1 - 2 * (('0x' || substr(md5('ams:' || r.j::VARCHAR
+         |      || ':' || t), 1, 8))::BIGINT % 2))::BIGINT AS sj
+         |  FROM tok, range(0, $AmsEstimators) AS r(j)
+         |  GROUP BY r.j),
+         |s2 AS (
+         |  SELECT count(*)::BIGINT AS k,
+         |    sum(sj::HUGEINT * sj::HUGEINT) AS s2
+         |  FROM sj),
+         |ex AS (
+         |  SELECT sum(c::HUGEINT * c::HUGEINT) AS f2
+         |  FROM (SELECT count(*)::BIGINT AS c FROM tok GROUP BY t))
+         |SELECT k, s2::BIGINT AS sum_s2,
+         |  s2::DOUBLE / k::DOUBLE AS f2_est,
+         |  f2::BIGINT AS f2_exact,
+         |  abs(s2::DOUBLE / k::DOUBLE - f2::DOUBLE) / f2::DOUBLE
+         |    AS rel_err
+         |FROM s2, ex""".stripMargin,
     "llm_rollup_merge" ->
       s"""WITH pts AS (
          |  SELECT epoch_us(ts) // ${graft.streaming.Streams.DayUs}

@@ -267,4 +267,36 @@ class SketchSpec extends SparkSpecBase {
     val weeks = rows.map(_.getLong(0)).sorted.toSeq
     assert(weeks == (weeks.min to weeks.max).toSeq)
   }
+
+  test("ams f2: sign-counter replay, merge additivity, honest pricing") {
+    def sign(j: Int, t: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s"ams:$j:$t".getBytes("UTF-8"))
+        .take(4).map(b => f"${b & 0xff}%02x").mkString
+      1L - 2L * (java.lang.Long.parseLong(hex, 16) % 2L)
+    }
+    val toks = graft.Tables(spark, Sf, "documents")
+      .select("text").collect()
+      .flatMap(_.getString(0).split(" "))
+    val k = Sketch.AmsEstimators
+    val sj = (0 until k).map(j => toks.iterator.map(sign(j, _)).sum)
+    val s2 = sj.map(s => BigInt(s) * BigInt(s)).sum
+    val f2 = toks.groupBy(identity).values
+      .map(g => BigInt(g.size) * BigInt(g.size)).sum
+    val r = Sketch.f2Ams(spark, Sf).head()
+    assert(r.getLong(0) == k.toLong)
+    assert(r.getLong(1) == s2.toLong)
+    assert(r.getLong(3) == f2.toLong)
+    val est = s2.toLong.toDouble / k.toDouble
+    assert(r.getDouble(2) == est)
+    assert(r.getDouble(4) ==
+      math.abs(est - f2.toLong.toDouble) / f2.toLong.toDouble)
+    // mergeability: per-estimator counters over a split corpus ADD —
+    // the property that lets shards sketch independently
+    val (l, rgt) = toks.splitAt(toks.length / 2)
+    (0 until k).foreach { j =>
+      assert(l.iterator.map(sign(j, _)).sum
+        + rgt.iterator.map(sign(j, _)).sum == sj(j))
+    }
+  }
 }
