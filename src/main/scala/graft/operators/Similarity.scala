@@ -721,6 +721,55 @@ object Similarity {
           .orderBy(col("qdot").desc, col("neighbor_id").asc)))
       .where(col("rank") <= TopK)
 
+  /** Dimension budgets priced by [[matryoshka]] (the full 64 is the
+    * identity row — recall 1.0 by construction).
+    */
+  val MrlBudgets: Seq[Int] = Seq(8, 16, 32, 64)
+
+  /** Matryoshka dimension-truncation recall audit (Kusupati et al.,
+    * NeurIPS '22) — the DIMENSION-budget sibling of the int8/binary
+    * PRECISION audits in [[simRecall]]: exact cosine top-k recomputed
+    * with embeddings truncated to each [[MrlBudgets]] prefix, recalled
+    * against the full-dimension exact top-k. The curve is the
+    * flat-index cost model for serving truncated vectors (a 16-dim
+    * prefix is 4× cheaper per probe than 64); MRL-trained embeddings
+    * hold recall at small prefixes, generic ones decay — either way
+    * THIS table is the number the serving tier reads before picking a
+    * budget. (dims, n_exact, n_hit, recall).
+    *
+    * Scale shape: one broadcast-kernel corpus scan per budget (the
+    * [[bruteForceTopKOf]] shape — the corpus never shuffles for
+    * scoring), one semi-join per budget against the checkpointed exact
+    * set, bounded output. Truncation is a row-local slice.
+    */
+  def matryoshka(spark: SparkSession, dir: String): DataFrame = {
+    val vecs = emb(spark, dir)
+    val n = nq(spark)
+    val exact = bruteForceTopKOf(vecs, n)
+      .select("query_id", "neighbor_id").localCheckpoint()
+    val total = exact.agg(count(lit(1)).as("n_exact"))
+    val per = MrlBudgets.map { b =>
+      bruteForceTopKOf(
+        vecs.select(col("vec_id"), slice(col("e"), 1, b).as("e")), n)
+        .select(lit(b.toLong).as("dims"), col("query_id"),
+          col("neighbor_id"))
+    }.reduce(_.unionByName(_))
+    val hits = per
+      .join(exact, Seq("query_id", "neighbor_id"), "left_semi")
+      .groupBy("dims").agg(count(lit(1)).as("n_hit"))
+    val s = spark; import s.implicits._
+    val out = MrlBudgets.map(_.toLong).toDF("dims")
+      .join(hits, Seq("dims"), "left")
+      .crossJoin(broadcast(total))
+      .select(col("dims"), col("n_exact"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        (coalesce(col("n_hit"), lit(0L)).cast("double")
+          / col("n_exact").cast("double")).as("recall"))
+    val forced = graft.Materialize.Local(out)
+    graft.Materialize.release(exact)
+    forced
+  }
+
   /** Candidate pool depth and diversified result size for [[mmrTopK]]. */
   val MmrPool = 20
   val MmrK = 5
@@ -1520,6 +1569,7 @@ object Similarity {
     "llm_sim_binary_topk" -> binaryTopK,
     "llm_sim_int8_topk" -> int8TopK,
     "llm_sim_mmr_topk" -> mmrTopK,
+    "llm_sim_matryoshka" -> matryoshka,
     "llm_emb_quantize" -> embQuantize,
     "llm_emb_centroids" -> embCentroids,
     "llm_embed_drift" -> embDrift,
@@ -2116,6 +2166,47 @@ object Similarity {
     "llm_sim_binary_topk" -> oracleBinary,
     "llm_sim_int8_topk" -> oracleInt8,
     "llm_sim_mmr_topk" -> oracleMmr,
+    // one sliced-cosine scored set per budget, recalled against the
+    // full-dimension exact top-k
+    "llm_sim_matryoshka" -> {
+      val per = MrlBudgets.map { b =>
+        s"""sb_$b AS (
+           |  SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+           |    ${Hashing.cosineSql("q.e", "n.e", b)} AS cs
+           |  FROM v q JOIN v n ON q.vec_id < $NumQueries
+           |    AND q.vec_id != n.vec_id),
+           |ab_$b AS MATERIALIZED (
+           |  SELECT query_id, neighbor_id FROM (
+           |    SELECT query_id, neighbor_id, row_number() OVER (
+           |      PARTITION BY query_id ORDER BY cs DESC,
+           |      neighbor_id ASC) AS rank
+           |    FROM sb_$b) WHERE rank <= $TopK),
+           |hb_$b AS (
+           |  SELECT count(*)::BIGINT AS n_hit FROM ab_$b a
+           |  JOIN ex ON ex.query_id = a.query_id
+           |    AND ex.neighbor_id = a.neighbor_id)""".stripMargin
+      }.mkString(",\n")
+      val rows = MrlBudgets.map { b =>
+        s"""SELECT $b::BIGINT AS dims, t.n_exact, hb_$b.n_hit,
+           |  hb_$b.n_hit::DOUBLE / t.n_exact::DOUBLE AS recall
+           |FROM hb_$b, t""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH v AS (SELECT vec_id, embedding e FROM embeddings),
+         |exs AS (
+         |  SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+         |    ${Hashing.cosineSql("q.e", "n.e", 64)} AS cs
+         |  FROM v q JOIN v n ON q.vec_id < $NumQueries
+         |    AND q.vec_id != n.vec_id),
+         |ex AS MATERIALIZED (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT query_id, neighbor_id, row_number() OVER (
+         |      PARTITION BY query_id ORDER BY cs DESC,
+         |      neighbor_id ASC) AS rank
+         |    FROM exs) WHERE rank <= $TopK),
+         |t AS (SELECT count(*)::BIGINT AS n_exact FROM ex),
+         |$per
+         |$rows""".stripMargin
+    },
     "llm_emb_quantize" ->
       """SELECT vec_id, u.i - 1 AS i, scale,
         |  CASE WHEN scale = 0 THEN 0

@@ -574,6 +574,19 @@ class SimilaritySpec extends SparkSpecBase {
     assert(t.getDouble(4) > 0.1)
   }
 
+  test("matryoshka: identity at full width, curve monotone on fixture") {
+    val rows = Similarity.matryoshka(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).sortBy(_._1)
+    assert(rows.map(_._1).toSeq == Similarity.MrlBudgets.map(_.toLong))
+    // full width is the exact ranking itself
+    assert(rows.last._4 == 1.0 && rows.last._3 == rows.last._2)
+    // more dimensions never hurt on the fixed fixture
+    assert(rows.map(_._4).sliding(2).forall(p =>
+      p.length < 2 || p(0) <= p(1)))
+    rows.foreach(r => assert(r._4 >= 0.0 && r._4 <= 1.0))
+  }
+
   test("mmr: step 1 is pure relevance, scores fall, redundancy punished") {
     val fx = Similarity.queries("llm_sim_mmr_topk")(spark, Sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
