@@ -478,6 +478,53 @@ object Graph {
     } else out
   }
 
+  /** Rich-club coefficient curve (Colizza et al., Nature Physics
+    * 2006) — "do the hubs wire to each other more than chance": for
+    * every degree threshold k observed in the STRONG graph,
+    * φ(k) = 2·E_{>k} / (N_{>k}·(N_{>k}−1)) where N counts nodes of
+    * degree > k and E the edges BOTH of whose endpoints qualify — the
+    * structural readout behind hub-spam and core-periphery questions,
+    * complementing [[kcoreOf]] (which peels) by MEASURING the top.
+    * (k, n_rich, e_rich, phi), thresholds with ≥ 2 qualifying nodes.
+    *
+    * Scale shape: everything rides two BOUNDED histograms — the
+    * degree histogram and the per-edge min-endpoint-degree histogram
+    * (both ≤ max-degree rows whatever the edge count, the
+    * [[degrees]] guarantee) — so the "suffix count above k" sums are
+    * small broadcast non-equi joins between catalog-sized tables;
+    * the corpus-scale work is one degree aggregate + one edge-degree
+    * join. Exact integers until the one φ division.
+    */
+  def richClub(spark: SparkSession, dir: String): DataFrame =
+    richClubOf(edges(spark, dir))
+
+  def richClubOf(edgesRaw: DataFrame): DataFrame = {
+    val sp = edgesRaw.where(col("w") >= StrongW).select("a", "b")
+    val deg = degOf(symOf(sp))
+    val dh = deg.groupBy(col("d")).agg(count(lit(1)).as("n"))
+    val em = sp
+      .join(deg.select(col("node").as("a"), col("d").as("da")), "a")
+      .join(deg.select(col("node").as("b"), col("d").as("db")), "b")
+      .groupBy(least(col("da"), col("db")).as("m"))
+      .agg(count(lit(1)).as("ne"))
+    val ks = dh.select(col("d").as("k"))
+    val nRich = ks.join(broadcast(dh), col("d") > col("k"))
+      .groupBy("k").agg(sum(col("n")).as("n_rich"))
+    val eRich = ks.join(broadcast(em), col("m") > col("k"))
+      .groupBy("k").agg(sum(col("ne")).as("e_rich"))
+    nRich.join(eRich, Seq("k"), "left")
+      .where(col("n_rich") >= 2)
+      .select(col("k"), col("n_rich"),
+        coalesce(col("e_rich"), lit(0L)).as("e_rich"),
+        // products through DECIMAL(19,0)² — a BIGINT n·(n−1) would
+        // silently wrap past n ≈ 3·10⁹ nodes (the rateAnomaly lesson)
+        ((coalesce(col("e_rich"), lit(0L)).cast("decimal(19,0)") * 2)
+          .cast("double")
+          / (col("n_rich").cast("decimal(19,0)")
+            * (col("n_rich") - 1).cast("decimal(19,0)")).cast("double"))
+          .as("phi"))
+  }
+
   /** Truss order (edges must sit in ≥ [[TrussK]]−2 triangles) and
     * synchronous peel rounds for [[truss]].
     */
@@ -1324,6 +1371,7 @@ object Graph {
     "graph_betweenness" -> betweenness,
     "graph_truss" -> truss,
     "graph_modularity" -> modularity,
+    "graph_rich_club" -> richClub,
     "graph_ppr" -> ppr
   )
 
@@ -1571,6 +1619,31 @@ object Graph {
          |  JOIN pc na ON na.node = s.part
          |  JOIN pc nb ON nb.node = s.rec)
          |WHERE rk <= $RecsTopK""".stripMargin,
+    "graph_rich_club" ->
+      s"""WITH $graphCte,
+         |sp AS (SELECT a, b FROM ed WHERE w >= $StrongW),
+         |e0 AS (SELECT a AS src, b AS dst FROM sp
+         |       UNION ALL SELECT b, a FROM sp),
+         |dg AS (SELECT src AS node, count(*)::BIGINT AS d
+         |       FROM e0 GROUP BY 1),
+         |dh AS (SELECT d, count(*)::BIGINT AS n FROM dg GROUP BY 1),
+         |em AS (
+         |  SELECT least(x.d, y.d) AS m, count(*)::BIGINT AS ne
+         |  FROM sp JOIN dg x ON x.node = sp.a
+         |  JOIN dg y ON y.node = sp.b
+         |  GROUP BY 1),
+         |ks AS (SELECT d AS k FROM dh),
+         |nr AS (SELECT ks.k, sum(dh.n)::BIGINT AS n_rich
+         |       FROM ks JOIN dh ON dh.d > ks.k GROUP BY 1),
+         |er AS (SELECT ks.k, sum(em.ne)::BIGINT AS e_rich
+         |       FROM ks JOIN em ON em.m > ks.k GROUP BY 1)
+         |SELECT nr.k, nr.n_rich,
+         |  coalesce(er.e_rich, 0)::BIGINT AS e_rich,
+         |  (coalesce(er.e_rich, 0)::HUGEINT * 2)::DOUBLE
+         |    / (nr.n_rich::HUGEINT * (nr.n_rich - 1)::HUGEINT)::DOUBLE
+         |    AS phi
+         |FROM nr LEFT JOIN er ON er.k = nr.k
+         |WHERE nr.n_rich >= 2""".stripMargin,
     "graph_truss" -> {
       // per round: naive id-ordered triangle enumeration on the
       // surviving canonical edges, 3 edge-roles unioned into support,

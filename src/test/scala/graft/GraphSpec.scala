@@ -214,6 +214,49 @@ class GraphSpec extends SparkSpecBase {
     }
   }
 
+  test("rich club: brute-force threshold replay; star has no club") {
+    val rnd = new scala.util.Random(61)
+    for (_ <- 1 to 3) {
+      val n = 10 + rnd.nextInt(10)
+      val edges = (for {
+        a <- 1 to n; b <- (a + 1) to n if rnd.nextDouble() < 0.3
+      } yield (a.toLong, b.toLong)).toSeq
+      if (edges.nonEmpty) {
+        val df = edges.toDF("a", "b").withColumn("w", lit(Graph.StrongW))
+        val deg = edges.flatMap(e => Seq(e._1, e._2))
+          .groupBy(identity).map { case (v, g) => v -> g.size.toLong }
+        val expect = deg.values.toSeq.distinct.flatMap { k =>
+          val rich = deg.filter(_._2 > k).keySet
+          val e = edges.count(p => rich(p._1) && rich(p._2)).toLong
+          if (rich.size >= 2)
+            Some((k, rich.size.toLong, e,
+              (2 * e).toDouble / (rich.size.toLong
+                * (rich.size - 1)).toDouble))
+          else None
+        }.toSet
+        val got = Graph.richClubOf(df).collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+            r.getDouble(3))).toSet
+        assert(got == expect, s"edges=$edges")
+      }
+    }
+    // star: past k=1 only the hub qualifies — no club of ≥ 2 anywhere
+    val star = (2 to 9).map(l => (1L, l.toLong))
+    assert(Graph.richClubOf(star.toDF("a", "b")
+      .withColumn("w", lit(Graph.StrongW))).count() == 0L)
+    // two joined triangles: the bridge endpoints (degree 3) form a
+    // perfectly-wired 2-club above threshold k=2 — and thresholds are
+    // exactly the OBSERVED degree values ({2, 3}; k=3 leaves < 2
+    // nodes and is filtered), so one row ships
+    val tw = Seq((1L, 2L), (2L, 3L), (1L, 3L),
+      (4L, 5L), (5L, 6L), (4L, 6L), (3L, 4L))
+    val rc = Graph.richClubOf(tw.toDF("a", "b")
+      .withColumn("w", lit(Graph.StrongW))).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getDouble(3)))).toMap
+    assert(rc == Map(2L -> ((2L, 1L, 1.0))))
+  }
+
   test("modularity: replay on random graphs; disjoint triangles hit 1/2") {
     def replay(edges: Seq[(Long, Long)])
         : (Long, Long, BigInt, BigInt) = {
