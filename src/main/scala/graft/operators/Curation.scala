@@ -1111,6 +1111,33 @@ object Curation {
     picks.toSeq.toDF("step", "doc_id", "gain", "covered")
   }
 
+  /** Quality-diversity Pareto frontier of the corpus — the
+    * [[graft.operators.Warehouse.skylineOf]] SKYLINE operator reused
+    * verbatim on document metrics (the operator is schema-generic;
+    * this entry is the proof): every document no other document beats
+    * on BOTH axes at once — fewer repeated tokens (redundancy =
+    * n_tokens − n_distinct, minimize) AND a larger distinct
+    * vocabulary (maximize). The frontier is the "best examples at
+    * every redundancy budget" view a curation owner eyeballs before
+    * setting gate thresholds; both metrics are exact integers, so the
+    * dominance test is exact and the bucket prefix-max scheme (and
+    * its WindowBoundSpec story) carries over unchanged.
+    * (doc_id, redundancy, n_distinct).
+    */
+  def docPareto(spark: SparkSession, dir: String): DataFrame =
+    docParetoOf(docs(spark, dir))
+
+  def docParetoOf(corpus: DataFrame): DataFrame = {
+    val t = split(col("text"), " ")
+    graft.operators.Warehouse.skylineOf(
+      corpus.select(col("doc_id").as("p_partkey"),
+        (size(t) - size(array_distinct(t))).cast("double").as("price"),
+        size(array_distinct(t)).cast("long").as("size")))
+      .select(col("p_partkey").as("doc_id"),
+        col("price").cast("long").as("redundancy"),
+        col("size").as("n_distinct"))
+  }
+
   // ---- leakage-safe probe evaluation ----
 
   /** Held-out evaluation of the trained quality probe — [[Quality]] ×
@@ -1964,6 +1991,7 @@ object Curation {
     "llm_curate_learned" -> curateLearned,
     "llm_curate_diverse" -> curateDiverse,
     "llm_curate_coverage" -> coverageSelect,
+    "llm_doc_pareto" -> docPareto,
     "llm_quality_eval" -> qualityEval,
     "llm_split" -> splitAssign,
     "llm_split_grouped" -> splitGrouped,
@@ -2658,6 +2686,25 @@ GROUP BY split"""
         .stripMargin,
     // the curate subquery restricts WHICH rows get assigned and capped;
     // the quantizer CTEs still train on the full corpus (the
+    // the same quadratic dominance definition as rel_skyline, on the
+    // exact integer document metrics
+    "llm_doc_pareto" ->
+      """WITH m AS (
+        |  SELECT doc_id,
+        |    (len(string_split(text, ' '))
+        |     - len(list_distinct(string_split(text, ' '))))::BIGINT
+        |      AS redundancy,
+        |    len(list_distinct(string_split(text, ' ')))::BIGINT
+        |      AS n_distinct
+        |  FROM documents)
+        |SELECT a.doc_id, a.redundancy, a.n_distinct
+        |FROM m a
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM m o
+        |  WHERE o.redundancy <= a.redundancy
+        |    AND o.n_distinct >= a.n_distinct
+        |    AND (o.redundancy < a.redundancy
+        |      OR o.n_distinct > a.n_distinct))""".stripMargin,
     // the greedy max-coverage trajectory unrolled: per step one
     // anti-joined gain aggregate, one LIMIT-1 argmax, one covered-set
     // union — the engine's driver loop replayed as K CTE rounds

@@ -764,6 +764,23 @@ class CurationSpec extends SparkSpecBase {
     assert(fx.map(_._2).sum == fx.last._3)
   }
 
+  test("doc pareto: brute-force dominance replay on the fixture") {
+    val m = graft.Tables(spark, Sf, "documents")
+      .select("doc_id", "text").collect().map { r =>
+        val t = r.getString(1).split(" ")
+        (r.getLong(0), (t.length - t.distinct.length).toLong,
+          t.distinct.length.toLong)
+      }
+    val expect = m.filter { case (_, red, nd) =>
+      !m.exists { case (_, or, on) =>
+        or <= red && on >= nd && (or < red || on > nd) }
+    }.toSet
+    val got = Curation.docPareto(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == expect)
+    assert(got.nonEmpty)
+  }
+
   test("waterfill: seeded random distributions match the reference solve") {
     val s2 = spark; import s2.implicits._
     val rnd = new scala.util.Random(42)
