@@ -19,6 +19,7 @@ import org.apache.spark.sql.SparkSession
   * | `graft.coverage.vocabSizes` | 4,8,16,32 | TextOps.vocabCoverage |
   * | `graft.coverage.selectK`    | 10        | Curation.coverageSelect |
   * | `graft.coverage.universe`   | 512       | Curation.coverageSelect |
+  * | `graft.sim.mrlBudgets`      | 8,16,32,64 | Similarity.matryoshka |
   */
 object Conf {
 

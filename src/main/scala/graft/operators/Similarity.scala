@@ -722,9 +722,11 @@ object Similarity {
       .where(col("rank") <= TopK)
 
   /** Dimension budgets priced by [[matryoshka]] (the full 64 is the
-    * identity row — recall 1.0 by construction).
+    * identity row — recall 1.0 by construction); conf-tunable, oracle
+    * built at the defaults.
     */
   val MrlBudgets: Seq[Int] = Seq(8, 16, 32, 64)
+  val MrlBudgetsConf = "graft.sim.mrlBudgets"
 
   /** Matryoshka dimension-truncation recall audit (Kusupati et al.,
     * NeurIPS '22) — the DIMENSION-budget sibling of the int8/binary
@@ -743,12 +745,14 @@ object Similarity {
     * set, bounded output. Truncation is a row-local slice.
     */
   def matryoshka(spark: SparkSession, dir: String): DataFrame = {
+    val budgets = graft.Conf.longs(spark, MrlBudgetsConf,
+      MrlBudgets.map(_.toLong)).map(_.toInt)
     val vecs = emb(spark, dir)
     val n = nq(spark)
     val exact = bruteForceTopKOf(vecs, n)
       .select("query_id", "neighbor_id").localCheckpoint()
     val total = exact.agg(count(lit(1)).as("n_exact"))
-    val per = MrlBudgets.map { b =>
+    val per = budgets.map { b =>
       bruteForceTopKOf(
         vecs.select(col("vec_id"), slice(col("e"), 1, b).as("e")), n)
         .select(lit(b.toLong).as("dims"), col("query_id"),
@@ -758,7 +762,7 @@ object Similarity {
       .join(exact, Seq("query_id", "neighbor_id"), "left_semi")
       .groupBy("dims").agg(count(lit(1)).as("n_hit"))
     val s = spark; import s.implicits._
-    val out = MrlBudgets.map(_.toLong).toDF("dims")
+    val out = budgets.map(_.toLong).toDF("dims")
       .join(hits, Seq("dims"), "left")
       .crossJoin(broadcast(total))
       .select(col("dims"), col("n_exact"),

@@ -45,6 +45,16 @@ class ConfKnobsSpec extends SparkSpecBase {
     }
   }
 
+  test("mrl budgets knob: custom widths, full width still identity") {
+    withConf(Similarity.MrlBudgetsConf, "4, 64") {
+      val rows = Similarity.matryoshka(spark, Sf).collect()
+        .map(r => r.getLong(0) -> r.getDouble(3)).toMap
+      assert(rows.keySet == Set(4L, 64L))
+      assert(rows(64L) == 1.0)
+      assert(rows(4L) <= rows(64L))
+    }
+  }
+
   test("encode vocab knob: V=4 leaves only 4 distinct non-OOV ids") {
     withConf(TextOps.EncodeVocabConf, "4") {
       val ids = TextOps.queries("llm_encode")(spark, Sf).collect()
