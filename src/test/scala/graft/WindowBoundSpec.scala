@@ -55,6 +55,10 @@ class WindowBoundSpec extends SparkSpecBase {
     "llm_quantile_sketch" -> 2,  // bucket histograms (b)
     "rel_skyline" -> 1,          // ≤ |integer price domain|-row bucket
                                  // prefix max (b)
+    "llm_doc_pareto" -> 1,       // the same skylineOf prefix max over
+                                 // ≤ |redundancy domain| buckets — a
+                                 // per-document length-bounded value,
+                                 // never corpus-scale (b)
     "llm_sample_pps" -> 1,       // exclusiveOffsets deepest level (g2)
     "llm_shard_stats" -> 1,      // exclusiveOffsets deepest level (g2)
     "llm_shuffle_assign" -> 1,   // exclusiveOffsets deepest level (g2)
