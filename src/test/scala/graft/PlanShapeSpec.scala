@@ -766,5 +766,25 @@ class PlanShapeSpec extends SparkSpecBase {
       .toDF("p_partkey", "price", "size")
     val t = Warehouse.skylineOf(tiny).collect().map(_.getLong(0)).toSet
     assert(t == Set(1L, 2L, 4L, 5L))
+    // seeded tie-heavy sweep: tiny integer domains force duplicate
+    // points, equal prices across buckets, and equal sizes — the
+    // delicate cases for the bucket prefix-max decomposition
+    val rnd = new scala.util.Random(67)
+    for (trial <- 1 to 4) {
+      val n = 5 + rnd.nextInt(40)
+      val dom = 2 + rnd.nextInt(6)
+      val rows = (1 to n).map(i => (i.toLong,
+        (rnd.nextInt(dom) + 1).toDouble + (if (rnd.nextBoolean()) 0.5
+          else 0.0),
+        (rnd.nextInt(dom) + 1).toLong))
+      val expect = rows.filter { case (_, pr, sz) =>
+        !rows.exists { case (_, opr, osz) =>
+          opr <= pr && osz >= sz && (opr < pr || osz > sz) }
+      }.map(_._1).toSet
+      val sk = Warehouse.skylineOf(
+        rows.toDF("p_partkey", "price", "size")).collect()
+        .map(_.getLong(0)).toSet
+      assert(sk == expect, s"trial=$trial rows=$rows")
+    }
   }
 }
