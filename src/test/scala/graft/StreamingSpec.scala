@@ -1339,6 +1339,21 @@ class StreamingSpec extends SparkSpecBase {
     assert(pg.size == 30)
     assert((0L to 19L).forall(!pg(_)))
     assert(pg.count(_._2) >= 5, pg.toString)
+    // exact count-scaling invariance: every event duplicated k times
+    // scales the statistic by exactly k (all-integer pipeline) and
+    // leaves the alarm set untouched — a float spelling would drift
+    val k = 3
+    val evs3 = evs.zipWithIndex.flatMap { case (e, i) =>
+      (0 until k).map(r => e.copy(event_id = 100000L + i * 10 + r))
+    }
+    val g3 = Streams.cusum(evs3.toDF()).collect()
+      .map(r => (r.getLong(1), r.getLong(3), r.getBoolean(4)))
+    val g1 = Streams.cusum(evs.toDF()).collect()
+      .map(r => (r.getLong(1), r.getLong(3), r.getBoolean(4)))
+    assert(g3.map(r => (r._1, r._3)).toSet ==
+      g1.map(r => (r._1, r._3)).toSet)
+    assert(g3.map(r => (r._1, r._2)).toMap ==
+      g1.map(r => (r._1, r._2 * k)).toMap)
   }
 
   test("holt-winters: sequential replay; periodic series is a fixed point") {
