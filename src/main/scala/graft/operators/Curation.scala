@@ -1658,9 +1658,17 @@ object Curation {
     *
     *   t(g) = ½ Σ_v |p_g(v) − p(v)| = Σ_v |c_gv·n − c_v·n_g| / (2·n_g·n)
     *
-    * carried in DECIMAL(38,0) (the count cross-products pass 2⁶³ at
-    * corpus scale); the double `t_dist` is one deterministic
-    * cast+divide, flagged at t > [[AnonT]].
+    * carried in DECIMAL(38,0) internally.
+    *
+    * Output contract (hardened after a driver-environment hash
+    * divergence on the r9 DECIMAL(38,0)+DOUBLE schema): tv_num/tv_den
+    * are emitted as BIGINT — tv_num ≤ 2·n_g·n and tv_den = 2·n_g·n fit
+    * while n_g·n < 2⁶² (any single audit shard below ~2·10⁹ docs; past
+    * that the audit runs per-source-shard by contract, like the κ
+    * audit). t_fp9 = ⌊tv_num·10⁹/tv_den⌋ is the integer fixed-point
+    * distance (the PageRank DIV discipline), and the double `t_dist`
+    * is one IEEE divide of exact BIGINT-cast operands — both engine-
+    * and version-independent; flagged at t > [[AnonT]].
     *
     * Scale shape: value domain per group materializes as the BOUNDED
     * groups×languages cross join (both sides aggregates over
@@ -1692,11 +1700,14 @@ object Curation {
           - col("c_v").cast(dec) * col("n_g").cast(dec)).as("term"))
       .groupBy("source", "len_bucket")
       .agg(first(col("n_g")).as("n_docs"),
-        sum(col("term")).cast(dec).as("tv_num"),
+        sum(col("term")).cast("long").as("tv_num"),
         (lit(2L).cast(dec) * first(col("n_g")).cast(dec)
-          * first(col("n")).cast(dec)).cast(dec).as("tv_den"))
+          * first(col("n")).cast(dec)).cast("long").as("tv_den"))
       .select(col("source"), col("len_bucket"), col("n_docs"),
         col("tv_num"), col("tv_den"),
+        expr("CAST((CAST(tv_num AS DECIMAL(38,0))" +
+          " * CAST(1000000000 AS DECIMAL(38,0)))" +
+          " DIV CAST(tv_den AS DECIMAL(38,0)) AS BIGINT)").as("t_fp9"),
         (col("tv_num").cast("double") / col("tv_den").cast("double"))
           .as("t_dist"))
       .withColumn("at_risk", col("t_dist") > AnonT)
@@ -2415,14 +2426,15 @@ GROUP BY split"""
          |  LEFT JOIN gv ON gv.source = g.source
          |    AND gv.len_bucket = g.len_bucket AND gv.lang = v.lang)
          |SELECT source, len_bucket, n_docs, tv_num, tv_den,
+         |  ((tv_num::HUGEINT * 1000000000) // tv_den)::BIGINT AS t_fp9,
          |  tv_num::DOUBLE / tv_den::DOUBLE AS t_dist,
          |  tv_num::DOUBLE / tv_den::DOUBLE > $AnonT AS at_risk
          |FROM (
          |  SELECT source, len_bucket,
          |    any_value(n_g)::BIGINT AS n_docs,
-         |    CAST(sum(term) AS DECIMAL(38,0)) AS tv_num,
-         |    CAST(2::HUGEINT * any_value(n_g) * any_value(n)
-         |      AS DECIMAL(38,0)) AS tv_den
+         |    sum(term)::BIGINT AS tv_num,
+         |    (2::HUGEINT * any_value(n_g) * any_value(n))::BIGINT
+         |      AS tv_den
          |  FROM t GROUP BY 1, 2)""".stripMargin,
     "llm_k_anonymity" ->
       s"""SELECT lang, source, len_bucket, n_docs,

@@ -592,13 +592,24 @@ WHERE rk <= $UncertainTopK"""
     * the 0.5 gate threshold [[qualityCalibration]] audits:
     * AUC = P(score⁺ > score⁻) + ½·P(score⁺ = score⁻) over all
     * positive×negative document pairs. One summary row
-    * (n_pos, n_neg, auc_num2, auc) where auc_num2 is the EXACT integer
-    * pair count 2·|{s⁺>s⁻}| + |{s⁺=s⁻}| and auc = auc_num2 / (2·n⁺·n⁻).
+    * (n_pos, n_neg, auc_num2, auc_fp9, auc) where auc_num2 is the EXACT
+    * integer pair count 2·|{s⁺>s⁻}| + |{s⁺=s⁻}| and auc = auc_num2 /
+    * (2·n⁺·n⁻).
     *
     * Exactness: every pair is counted in DECIMAL(38,0) integer
     * arithmetic (never the O(n²) pair join — see the shape below), so
-    * auc_num2 is bit-identical across partitionings and engines; the
-    * double `auc` is one deterministic cast+divide of those integers.
+    * auc_num2 is bit-identical across partitionings and engines.
+    *
+    * Output contract (hardened after a driver-environment hash
+    * divergence on the r9 DECIMAL(38,0)+DOUBLE schema): every output
+    * column is BIGINT or a DOUBLE derived from BIGINTs only.
+    * auc_num2 ≤ 2·n⁺·n⁻ fits BIGINT while n⁺·n⁻ < 2⁶² (n ≈ 4·10⁹
+    * balanced docs — beyond any single-audit shard); the accumulation
+    * stays DECIMAL internally so the bound applies to the FINAL value
+    * only. auc_fp9 = ⌊auc_num2·10⁹ / (2n⁺n⁻)⌋ is the integer
+    * fixed-point ratio (the PageRank DIV discipline — engine- and
+    * version-independent), and the double `auc` is one IEEE divide of
+    * exact BIGINT-cast operands, deterministic under any libm/engine.
     *
     * Scale shape (the global-rank trap, solved): the naive form ranks
     * every score through ONE partition. Instead: (1) aggregate to
@@ -646,10 +657,17 @@ WHERE rk <= $UncertainTopK"""
       .agg(
         sum(col("np")).cast("long").as("n_pos"),
         sum(col("nn")).cast("long").as("n_neg"),
-        sum(col("num2")).cast(dec).as("auc_num2"),
-        (sum(col("num2")).cast("double")
-          / (lit(2.0) * sum(col("np")).cast("double")
-            * sum(col("nn")).cast("double"))).as("auc"))
+        sum(col("num2")).cast(dec).as("num2s"))
+      .select(col("n_pos"), col("n_neg"),
+        col("num2s").cast("long").as("auc_num2"),
+        when(col("n_pos") > 0 && col("n_neg") > 0,
+          expr("CAST((num2s * CAST(1000000000 AS DECIMAL(38,0)))" +
+            " DIV (CAST(2 AS DECIMAL(38,0)) * n_pos * n_neg)" +
+            " AS BIGINT)")).as("auc_fp9"))
+      .withColumn("auc",
+        col("auc_num2").cast("double")
+          / (lit(2.0) * col("n_pos").cast("double")
+            * col("n_neg").cast("double")))
   }
 
   /** Cohen's κ inter-annotator agreement between the two independent
@@ -662,10 +680,18 @@ WHERE rk <= $UncertainTopK"""
     *
     * Exact rational form (no float accumulation):
     * κ = (N·n_agree − a₁b₁ − a₀b₀) / (N² − a₁b₁ − a₀b₀) with the
-    * marginal products in DECIMAL(38,0) (N² overflows BIGINT past
-    * N ≈ 3·10⁹ documents — the 100 TB regime); the double κ is one
-    * deterministic cast+divide. Both-judges-unanimous degenerate input
-    * makes the denominator 0 → κ = NaN identically in both engines.
+    * marginal products carried in DECIMAL(38,0) internally.
+    *
+    * Output contract (hardened after a driver-environment hash
+    * divergence on the r9 DECIMAL(38,0)+DOUBLE schema): kappa_num /
+    * kappa_den are emitted as BIGINT — they fit while N < 3·10⁹
+    * documents (N² < 2⁶³), i.e. any single audit shard; past that the
+    * audit runs per-source-shard by contract. kappa_fp9 is the
+    * sign-safe integer fixed point sgn·⌊|num|·10⁹/den⌋ (the PageRank
+    * DIV discipline), and the double κ is one IEEE divide of exact
+    * BIGINT-cast operands — both engine- and version-independent.
+    * Both-judges-unanimous degenerate input makes the denominator 0 →
+    * κ = NaN (and kappa_fp9 NULL) identically in both engines.
     *
     * Scale shape: two row-local per-document gate passes joined on
     * doc_id (the [[probeFeaturesOf]] shape) collapsing straight into
@@ -690,9 +716,15 @@ WHERE rk <= $UncertainTopK"""
         * (col("n") - col("b_pos")).cast(dec))
     m.select(col("n"), col("n_agree"), col("a_pos"), col("b_pos"),
         (col("n").cast(dec) * col("n_agree").cast(dec) - pe)
-          .cast(dec).as("kappa_num"),
+          .cast("long").as("kappa_num"),
         (col("n").cast(dec) * col("n").cast(dec) - pe)
-          .cast(dec).as("kappa_den"))
+          .cast("long").as("kappa_den"))
+      .withColumn("kappa_fp9",
+        when(col("kappa_den") > 0,
+          signum(col("kappa_num")).cast("long") *
+            expr("CAST((abs(CAST(kappa_num AS DECIMAL(38,0)))" +
+              " * CAST(1000000000 AS DECIMAL(38,0)))" +
+              " DIV CAST(kappa_den AS DECIMAL(38,0)) AS BIGINT)")))
       .withColumn("kappa",
         col("kappa_num").cast("double") / col("kappa_den").cast("double"))
   }
@@ -708,15 +740,19 @@ m AS (SELECT count(*)::HUGEINT AS n,
         sum(CASE WHEN a THEN 1 ELSE 0 END)::HUGEINT AS a_pos,
         sum(CASE WHEN b THEN 1 ELSE 0 END)::HUGEINT AS b_pos
       FROM j)
-SELECT n::BIGINT AS n, n_agree::BIGINT AS n_agree,
-  a_pos::BIGINT AS a_pos, b_pos::BIGINT AS b_pos,
-  CAST(n*n_agree - (a_pos*b_pos + (n-a_pos)*(n-b_pos))
-    AS DECIMAL(38,0)) AS kappa_num,
-  CAST(n*n - (a_pos*b_pos + (n-a_pos)*(n-b_pos))
-    AS DECIMAL(38,0)) AS kappa_den,
-  (n*n_agree - (a_pos*b_pos + (n-a_pos)*(n-b_pos)))::DOUBLE
-    / (n*n - (a_pos*b_pos + (n-a_pos)*(n-b_pos)))::DOUBLE AS kappa
-FROM m"""
+, k AS (SELECT n::BIGINT AS n, n_agree::BIGINT AS n_agree,
+        a_pos::BIGINT AS a_pos, b_pos::BIGINT AS b_pos,
+        (n*n_agree - (a_pos*b_pos + (n-a_pos)*(n-b_pos)))::BIGINT
+          AS kappa_num,
+        (n*n - (a_pos*b_pos + (n-a_pos)*(n-b_pos)))::BIGINT AS kappa_den
+      FROM m)
+SELECT n, n_agree, a_pos, b_pos, kappa_num, kappa_den,
+  CASE WHEN kappa_den > 0 THEN
+    (CASE WHEN kappa_num < 0 THEN -1 ELSE 1 END)::BIGINT
+      * ((abs(kappa_num::HUGEINT) * 1000000000) // kappa_den)::BIGINT
+  END AS kappa_fp9,
+  kappa_num::DOUBLE / kappa_den::DOUBLE AS kappa
+FROM k"""
   }
 
   private def aucOracleSql: String =
@@ -732,11 +768,16 @@ c AS (SELECT np, nn,
           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
           0::HUGEINT) AS cb
       FROM d)
-SELECT sum(np)::BIGINT AS n_pos, sum(nn)::BIGINT AS n_neg,
-  CAST(sum(np*(2*cb + nn)) AS DECIMAL(38,0)) AS auc_num2,
-  sum(np*(2*cb + nn))::DOUBLE
-    / (2.0*sum(np)::DOUBLE*sum(nn)::DOUBLE) AS auc
-FROM c"""
+, s AS (SELECT sum(np)::BIGINT AS n_pos, sum(nn)::BIGINT AS n_neg,
+        sum(np*(2*cb + nn))::BIGINT AS auc_num2
+      FROM c)
+SELECT n_pos, n_neg, auc_num2,
+  CASE WHEN n_pos > 0 AND n_neg > 0 THEN
+    ((auc_num2::HUGEINT * 1000000000)
+      // (2::HUGEINT * n_pos * n_neg))::BIGINT
+  END AS auc_fp9,
+  auc_num2::DOUBLE / (2.0*n_pos::DOUBLE*n_neg::DOUBLE) AS auc
+FROM s"""
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "llm_quality_auc" -> qualityAuc,
