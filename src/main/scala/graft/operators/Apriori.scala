@@ -517,9 +517,11 @@ object Apriori {
   def freqItemsText(spark: SparkSession, dir: String): DataFrame = {
     val path =
       graft.sources.TextSources.scratchPath(spark, "baskets", dir)
-    transactions(spark, dir)
-      .select(concat_ws(" ", col("items")).as("value"))
-      .write.mode("overwrite").text(path)
+    graft.sources.TextSources.writeOnce(path) {
+      transactions(spark, dir)
+        .select(concat_ws(" ", col("items")).as("value"))
+        .write.mode("overwrite").text(path)
+    }
     freqItemsOf(graft.sources.TextSources.transactions(spark, path))
   }
 

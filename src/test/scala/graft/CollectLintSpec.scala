@@ -16,10 +16,12 @@ class CollectLintSpec extends AnyFunSuite {
 
   /** file (repo-relative) → allowed `.collect()` count, each justified:
     *
-    *  - Similarity (12): bounded query sets (nQueries), k centroids,
+    *  - Similarity (14): bounded query sets (nQueries), k centroids,
     *    PQ codebooks (256·subspaces), per-method recall tallies over
     *    ≤ |methods| rows, int8/binary query prefixes — the FAISS
-    *    training-state class.
+    *    training-state class; plus the MMR greedy fold's pool
+    *    (≤ queries·MmrPool) and pair-sim (≤ queries·MmrPool²) pulls —
+    *    the θ-class bounded model (docstring budget at mmrTopKOf).
     *  - TextOps (2): BPE merge table (MergeSteps rows) pulled to bake
     *    literal replaces into the plan, twice (train + apply).
     *  - Contamination (2): bounded Bloom register rows; the bounded
@@ -41,7 +43,7 @@ class CollectLintSpec extends AnyFunSuite {
     *  - Bench (1): harness JVM warm-up, not an operator.
     */
   private val Pinned: Map[String, Int] = Map(
-    "src/main/scala/graft/operators/Similarity.scala" -> 12,
+    "src/main/scala/graft/operators/Similarity.scala" -> 14,
     "src/main/scala/graft/operators/TextOps.scala" -> 2,
     "src/main/scala/graft/operators/Contamination.scala" -> 2,
     "src/main/scala/graft/operators/Bitext.scala" -> 2,
