@@ -601,15 +601,23 @@ class CurationSpec extends SparkSpecBase {
       val den = BigInt(2) * ng * n
       (src, lb, ng, num, den, num.toDouble / den.toDouble)
     }.toSet
-    val got = Curation.tCloseness(spark, Sf).collect()
-      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
-        BigInt(r.getDecimal(3).toBigInteger),
-        BigInt(r.getDecimal(4).toBigInteger), r.getDouble(5)))
+    val rows = Curation.tCloseness(spark, Sf).collect()
+    val got = rows
+      .map(r => (r.getAs[String]("source"), r.getAs[Long]("len_bucket"),
+        r.getAs[Long]("n_docs"), BigInt(r.getAs[Long]("tv_num")),
+        BigInt(r.getAs[Long]("tv_den")), r.getAs[Double]("t_dist")))
       .toSet
     assert(got == want)
+    // t_fp9 is the floor fixed-point of the same rational: BIGINT,
+    // engine-exact, monotone with t_dist
+    rows.foreach { r =>
+      val (num, den) = (r.getAs[Long]("tv_num"), r.getAs[Long]("tv_den"))
+      assert(r.getAs[Long]("t_fp9") ==
+        (BigInt(num) * 1000000000 / BigInt(den)).toLong)
+    }
     // t is a proper TV distance and the fixture exercises both flags
-    val flags = Curation.tCloseness(spark, Sf).collect()
-      .map(r => (r.getDouble(5), r.getBoolean(6)))
+    val flags = rows.map(r =>
+      (r.getAs[Double]("t_dist"), r.getAs[Boolean]("at_risk")))
     flags.foreach { case (t, risk) =>
       assert(t >= 0.0 && t <= 1.0 && risk == (t > Curation.AnonT))
     }

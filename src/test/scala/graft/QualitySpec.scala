@@ -232,29 +232,40 @@ class QualitySpec extends SparkSpecBase {
     val got = Quality.aucOf(
         rows.toDF("label", "score").repartition(5))
       .collect().head
-    assert(got.getLong(0) == pos.length.toLong)
-    assert(got.getLong(1) == neg.length.toLong)
-    assert(got.getDecimal(2).longValueExact() == num2)
-    assert(got.getDouble(3) ==
+    assert(got.getAs[Long]("n_pos") == pos.length.toLong)
+    assert(got.getAs[Long]("n_neg") == neg.length.toLong)
+    assert(got.getAs[Long]("auc_num2") == num2)
+    // auc_fp9: floor fixed-point of num2 / (2·n⁺·n⁻), BIGINT exact
+    assert(got.getAs[Long]("auc_fp9") ==
+      (BigInt(num2) * 1000000000 /
+        (BigInt(2) * pos.length * neg.length)).toLong)
+    assert(got.getAs[Double]("auc") ==
       num2.toDouble / (2.0 * pos.length * neg.length))
   }
 
   test("labelAgreement matches the scalar kappa definition") {
     val g = Quality.labelAgreement(spark, Sf).collect().head
     val (n, agree, ap, bp) =
-      (g.getLong(0), g.getLong(1), g.getLong(2), g.getLong(3))
+      (g.getAs[Long]("n"), g.getAs[Long]("n_agree"),
+        g.getAs[Long]("a_pos"), g.getAs[Long]("b_pos"))
     assert(n > 0 && agree <= n && ap <= n && bp <= n)
     val pe = BigInt(ap) * bp + BigInt(n - ap) * (n - bp)
     val num = BigInt(n) * agree - pe
     val den = BigInt(n) * n - pe
-    assert(BigInt(g.getDecimal(4).toBigInteger) == num)
-    assert(BigInt(g.getDecimal(5).toBigInteger) == den)
-    assert(g.getDouble(6) ==
+    assert(BigInt(g.getAs[Long]("kappa_num")) == num)
+    assert(BigInt(g.getAs[Long]("kappa_den")) == den)
+    // kappa_fp9 = sign(num) · ⌊|num|·10⁹ / den⌋ — sign-split floor so a
+    // negative κ truncates toward zero identically in both engines
+    assert(den > 0, "fixture must have a nonzero kappa denominator")
+    val fp9 = (if (num < 0) BigInt(-1) else BigInt(1)) *
+      (num.abs * 1000000000 / den)
+    assert(g.getAs[Long]("kappa_fp9") == fp9.toLong)
+    assert(g.getAs[Double]("kappa") ==
       num.toDouble / den.toDouble)
     // κ must be chance-corrected: strictly below raw agreement in the
     // imbalanced fixture regime, and a real number
-    assert(!g.getDouble(6).isNaN &&
-      g.getDouble(6) < agree.toDouble / n)
+    assert(!g.getAs[Double]("kappa").isNaN &&
+      g.getAs[Double]("kappa") < agree.toDouble / n)
   }
 
   test("qualityBrier replays MSE and the ECE bin fold") {
@@ -308,11 +319,12 @@ class QualitySpec extends SparkSpecBase {
     val b = Quality.aucOf(
       scored.select((lit(1.0) - col("label")).as("label"), col("score")))
       .collect().head
-    val num2 = BigInt(a.getDecimal(2).toBigInteger)
-    val num2f = BigInt(b.getDecimal(2).toBigInteger)
+    val num2 = BigInt(a.getAs[Long]("auc_num2"))
+    val num2f = BigInt(b.getAs[Long]("auc_num2"))
     assert(num2 + num2f ==
-      BigInt(2) * a.getLong(0) * a.getLong(1))
-    assert(a.getLong(0) == b.getLong(1) && a.getLong(1) == b.getLong(0))
+      BigInt(2) * a.getAs[Long]("n_pos") * a.getAs[Long]("n_neg"))
+    assert(a.getAs[Long]("n_pos") == b.getAs[Long]("n_neg") &&
+      a.getAs[Long]("n_neg") == b.getAs[Long]("n_pos"))
   }
 
   test("aucOf is partition-count and bucket-boundary independent") {
@@ -322,9 +334,10 @@ class QualitySpec extends SparkSpecBase {
       .select(col("label"), col("score"))
     val a = Quality.aucOf(scored.repartition(3)).collect().head
     val b = Quality.aucOf(scored.repartition(29)).collect().head
-    assert(a.getDecimal(2) == b.getDecimal(2) &&
-      a.getDouble(3) == b.getDouble(3))
-    assert(a.getDouble(3) > 0.5,
-      s"probe should rank better than chance, got ${a.getDouble(3)}")
+    assert(a.getAs[Long]("auc_num2") == b.getAs[Long]("auc_num2") &&
+      a.getAs[Long]("auc_fp9") == b.getAs[Long]("auc_fp9") &&
+      a.getAs[Double]("auc") == b.getAs[Double]("auc"))
+    assert(a.getAs[Double]("auc") > 0.5,
+      s"probe should rank better than chance, got ${a.getAs[Double]("auc")}")
   }
 }
