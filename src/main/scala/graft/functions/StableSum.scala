@@ -31,4 +31,19 @@ object StableSum {
   /** The identical reduction in DuckDB SQL, for oracle queries. */
   def dsumSql(t: String): String =
     s"CAST(SUM(CAST(FLOOR(($t) * 1e12) AS DECIMAL(38,0))) AS DOUBLE) / 1e12"
+
+  /** DECIMAL→BIGINT narrowing that FAILS LOUDLY past the documented
+    * range contract instead of wrapping: Spark's non-ANSI
+    * DECIMAL(38,0)→LONG cast silently wraps on overflow while the
+    * DuckDB oracle's HUGEINT→BIGINT cast raises — past the contract the
+    * two engines would diverge silently (wrong BIGINT vs hard failure).
+    * Used by the BIGINT-hardened audit columns (`tv_num`, `kappa_num`,
+    * `auc_num2`) whose inputs are bounded by n²-class products the
+    * operator docstrings argue < 2⁶² at the per-shard audit sizes.
+    */
+  def checkedLong(c: Column, what: String): Column =
+    when(abs(c) <= lit(Long.MaxValue).cast("decimal(38,0)"), c.cast("long"))
+      .otherwise(raise_error(lit(
+        s"graft: $what exceeds BIGINT — out of the documented size " +
+          "contract; shard the audit")).cast("long"))
 }

@@ -1700,9 +1700,11 @@ object Curation {
           - col("c_v").cast(dec) * col("n_g").cast(dec)).as("term"))
       .groupBy("source", "len_bucket")
       .agg(first(col("n_g")).as("n_docs"),
-        sum(col("term")).cast("long").as("tv_num"),
-        (lit(2L).cast(dec) * first(col("n_g")).cast(dec)
-          * first(col("n")).cast(dec)).cast("long").as("tv_den"))
+        graft.functions.StableSum.checkedLong(sum(col("term")), "tv_num")
+          .as("tv_num"),
+        graft.functions.StableSum.checkedLong(
+          lit(2L).cast(dec) * first(col("n_g")).cast(dec)
+            * first(col("n")).cast(dec), "tv_den").as("tv_den"))
       .select(col("source"), col("len_bucket"), col("n_docs"),
         col("tv_num"), col("tv_den"),
         expr("CAST((CAST(tv_num AS DECIMAL(38,0))" +

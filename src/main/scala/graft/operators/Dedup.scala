@@ -1280,6 +1280,37 @@ object Dedup {
        |  WHERE levenshtein(ka.k, kb.k) <= $FuzzyK)""".stripMargin
   }
 
+  /** The [[bowVecKernel]] vectors in DuckDB — `vecs(vec_id, e)` with
+    * `e` the [[BowDims]]-dim hashed bag-of-bigrams counts in index
+    * order. Shared (not copied) by the `llm_dedup_bow_cosine` oracle
+    * and [[Quality]]'s `llm_quality_train` oracle, so the vector
+    * spelling can never drift between the two entries.
+    */
+  private[operators] val bowVecsSqlCtes: String =
+    s"""tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+       |big AS (
+       |  SELECT doc_id, unnest(list_transform(range(1, len(t)),
+       |    i -> array_to_string(list_slice(t, i, i + 1), ' '))) AS g
+       |  FROM tok WHERE len(t) >= 2
+       |),
+       |dims AS (
+       |  SELECT doc_id,
+       |    (('0x' || substr(md5(g), 1, 14))::BIGINT % $BowDims) AS d,
+       |    count(*) AS c
+       |  FROM big GROUP BY 1, 2
+       |),
+       |grid AS (
+       |  SELECT doc_id, unnest(range(0, $BowDims)) AS i
+       |  FROM (SELECT DISTINCT doc_id FROM documents) dd
+       |),
+       |vecs AS (
+       |  SELECT g.doc_id AS vec_id,
+       |    list(coalesce(dims.c, 0)::DOUBLE ORDER BY g.i) AS e
+       |  FROM grid g LEFT JOIN dims
+       |    ON g.doc_id = dims.doc_id AND g.i = dims.d
+       |  GROUP BY g.doc_id
+       |)""".stripMargin
+
   private val baseOracle: Map[String, String] = Map(
     "llm_fuzzy_join" ->
       s"""WITH ${fuzzySql("documents")}
@@ -1503,29 +1534,7 @@ object Dedup {
          |  FROM w a JOIN w b ON a.cid = b.cid AND a.vec_id < b.vec_id)
          |SELECT * FROM scored WHERE cos_sim >= $CosMin""".stripMargin,
     "llm_dedup_bow_cosine" ->
-      s"""WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-         |big AS (
-         |  SELECT doc_id, unnest(list_transform(range(1, len(t)),
-         |    i -> array_to_string(list_slice(t, i, i + 1), ' '))) AS g
-         |  FROM tok WHERE len(t) >= 2
-         |),
-         |dims AS (
-         |  SELECT doc_id,
-         |    (('0x' || substr(md5(g), 1, 14))::BIGINT % $BowDims) AS d,
-         |    count(*) AS c
-         |  FROM big GROUP BY 1, 2
-         |),
-         |grid AS (
-         |  SELECT doc_id, unnest(range(0, $BowDims)) AS i
-         |  FROM (SELECT DISTINCT doc_id FROM documents) dd
-         |),
-         |vecs AS (
-         |  SELECT g.doc_id AS vec_id,
-         |    list(coalesce(dims.c, 0)::DOUBLE ORDER BY g.i) AS e
-         |  FROM grid g LEFT JOIN dims
-         |    ON g.doc_id = dims.doc_id AND g.i = dims.d
-         |  GROUP BY g.doc_id
-         |),
+      s"""WITH $bowVecsSqlCtes,
          |${Hashing.planesSqlCte(SrpTables, SrpBits, BowDims)},
          |proj AS (
          |  SELECT vec_id, t, p,

@@ -151,9 +151,17 @@ object Graph {
   private case class TriKernel(ed: DataFrame, deg: DataFrame,
       oriented: DataFrame, adjOut: DataFrame)
 
-  private def triKernelOf(edgesRaw: DataFrame): TriKernel = {
+  /** `mat` cuts the build at each stage: the cached path passes
+    * [[graft.Materialize.Local]] so `oriented` derives from the
+    * CHECKPOINTED deg and `adjOut` from the CHECKPOINTED oriented —
+    * checkpointing all three from one lazy chain instead would compute
+    * the degree-join/orientation work twice during the one-time build.
+    */
+  private def triKernelOf(edgesRaw: DataFrame,
+      mat: graft.Materialize.Strategy = graft.Materialize.None)
+      : TriKernel = {
     val ed = edgesRaw.select("a", "b")
-    val deg = degOf(symOf(ed))
+    val deg = mat(degOf(symOf(ed)))
     val da = deg.select(col("node").as("a"), col("d").as("da"))
     val db = deg.select(col("node").as("b"), col("d").as("db"))
     val aFirst = col("da") < col("db") ||
@@ -166,11 +174,11 @@ object Graph {
     // spelling (6 s vs 1 s at sf0.1) never exists. At part-vocabulary
     // |V| the adjacency broadcasts; at web-graph |V| it degrades to
     // two |E|-row hash joins, still never the wedge table.
-    val oriented = ed.join(da, "a").join(db, "b")
+    val oriented = mat(ed.join(da, "a").join(db, "b")
       .select(when(aFirst, col("a")).otherwise(col("b")).as("u"),
-        when(aFirst, col("b")).otherwise(col("a")).as("v"))
-    val adjOut = oriented.groupBy(col("u"))
-      .agg(collect_list(col("v")).as("nbrs"))
+        when(aFirst, col("b")).otherwise(col("a")).as("v")))
+    val adjOut = mat(oriented.groupBy(col("u"))
+      .agg(collect_list(col("v")).as("nbrs")))
     TriKernel(ed, deg, oriented, adjOut)
   }
 
@@ -186,9 +194,9 @@ object Graph {
     val got = kernelCache.get(key)
     if (got != null) got
     else {
-      val k = triKernelOf(edges(spark, dir))
-      val built = TriKernel(k.ed, k.deg.localCheckpoint(),
-        k.oriented.localCheckpoint(), k.adjOut.localCheckpoint())
+      // staged Local: each table checkpoints BEFORE the next derives
+      // from it, so the degree/orientation work runs exactly once
+      val built = triKernelOf(edges(spark, dir), graft.Materialize.Local)
       val prev = kernelCache.putIfAbsent(key, built)
       if (prev != null) {
         Seq(built.deg, built.oriented, built.adjOut)

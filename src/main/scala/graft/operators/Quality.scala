@@ -231,11 +231,12 @@ object Quality {
 
   /** Train the reference-shaped SGD logistic classifier on the corpus
     * and report the run: ONE summary row (n_docs, n_features,
-    * iterations, converged, train accuracy, label base rate). θ is
-    * partition-order dependent (per-record sequential SGD — same
-    * documented contract as `sgd_logreg_theta`), so the entry is
-    * rows-only; the spec pins run-to-run determinism and that the
-    * classifier beats the trivial all-pass predictor's error profile.
+    * iterations, converged, train accuracy, label base rate). Fully
+    * oracle-bound: [[Sgd.shard]]'s explicit `id % P` membership and the
+    * table-sigmoid make the per-record fold engine-replayable
+    * ([[trainOracleSql]]); the spec additionally pins run-to-run
+    * determinism and that the classifier beats the trivial all-pass
+    * predictor's error profile.
     */
   def qualityTrain(spark: SparkSession, dir: String): DataFrame =
     qualityTrainOf(docs(spark, dir))
@@ -246,28 +247,51 @@ object Quality {
     * on purpose — [[Sgd.fit]] keeps the reference's exact per-record
     * semantics, and repeating a record k times IS k sequential updates.
     * Without it the classifier collapses to all-positive (measured
-    * tpr = 1.0, tnr = 0.0). Ids are remapped id·k+r, so copies stay
-    * unique, deterministic, and adjacent under the id sort.
+    * tpr = 1.0, tnr = 0.0). Copy ids are remapped by [[TrainCopyOffset]]
+    * so they stay unique and deterministic WITHOUT aliasing the shard
+    * rule.
     */
   val TrainNegOversample = 8
+
+  /** Id stride for the oversample remap: every doc gets id·11, copy r
+    * of a negative id·11 + r. Two failure modes this dodges, both
+    * measured as a tpr 1.0 / tnr 0.0 collapse:
+    *  - `id·k + r` (k = 8) aliases the `id % P` shard rule — id·8 ≡ 0
+    *    (mod 8) confines every positive to the multiples-of-8 shards
+    *    and leaves most shards pure-negative;
+    *  - a large copy OFFSET (id + r·2⁴⁰) sorts every negative copy
+    *    AFTER every positive, and under per-record snapshot averaging
+    *    the tail of a fold barely influences θ.
+    * 11 > k keeps ids unique, odd keeps `id·11 % P` a bijection of the
+    * uniform doc ids for every power-of-2 P (the default 32 and the
+    * spec's 4; a conf'd P divisible by 11 or 3 would re-alias — keep P
+    * a power of two), and copies stay ADJACENT to their original's
+    * position in the id sort, interleaved with the positives.
+    */
+  val TrainIdStride = 11
+
+  /** The trainer's own default shard count — NOT [[Sgd.DefaultShards]]:
+    * at 500 fixture documents, 512 shards would degenerate to ~2-record
+    * folds (near-batch mixing) and the per-class recalls the spec gates
+    * on. 32 keeps the r10 learning dynamics; the conf still overrides.
+    */
+  val TrainShards = 32
 
   def qualityTrainOf(corpus: DataFrame): DataFrame = {
     val spark = corpus.sparkSession
     val s = spark; import s.implicits._
-    val obs = bowObs(corpus)
-      .repartition(Sgd.numParts(spark), col("id"))
-      .sortWithinPartitions("id")
-      .persist()
+    val parts = Sgd.numPartsOr(spark, TrainShards)
+    val obs = Sgd.shard(bowObs(corpus), parts).persist()
     val k = TrainNegOversample
-    val trainSet = obs
-      .flatMap(o =>
-        if (o.y < 0.5) (0 until k).map(r => o.copy(id = o.id * k + r))
-        else Seq(o.copy(id = o.id * k)))
-      .repartition(Sgd.numParts(spark), col("id"))
-      .sortWithinPartitions("id")
+    val trainSet = Sgd.shard(
+        obs.flatMap(o =>
+          if (o.y < 0.5)
+            (0 until k).map(r => o.copy(id = o.id * TrainIdStride + r))
+          else Seq(o.copy(id = o.id * TrainIdStride))),
+        parts)
       .persist()
     try {
-      val r = Sgd.fit(trainSet, TrainDims, logistic = true)
+      val r = Sgd.fit(trainSet, TrainDims, logistic = true, parts)
       // score through the codegen'd dot Expression — the same scoring
       // path a 100 TB deployment runs (weights are plan literals, the
       // corpus never shuffles)
@@ -659,7 +683,8 @@ WHERE rk <= $UncertainTopK"""
         sum(col("nn")).cast("long").as("n_neg"),
         sum(col("num2")).cast(dec).as("num2s"))
       .select(col("n_pos"), col("n_neg"),
-        col("num2s").cast("long").as("auc_num2"),
+        graft.functions.StableSum.checkedLong(col("num2s"), "auc_num2")
+          .as("auc_num2"),
         when(col("n_pos") > 0 && col("n_neg") > 0,
           expr("CAST((num2s * CAST(1000000000 AS DECIMAL(38,0)))" +
             " DIV (CAST(2 AS DECIMAL(38,0)) * n_pos * n_neg)" +
@@ -715,10 +740,12 @@ WHERE rk <= $UncertainTopK"""
       + (col("n") - col("a_pos")).cast(dec)
         * (col("n") - col("b_pos")).cast(dec))
     m.select(col("n"), col("n_agree"), col("a_pos"), col("b_pos"),
-        (col("n").cast(dec) * col("n_agree").cast(dec) - pe)
-          .cast("long").as("kappa_num"),
-        (col("n").cast(dec) * col("n").cast(dec) - pe)
-          .cast("long").as("kappa_den"))
+        graft.functions.StableSum.checkedLong(
+          col("n").cast(dec) * col("n_agree").cast(dec) - pe, "kappa_num")
+          .as("kappa_num"),
+        graft.functions.StableSum.checkedLong(
+          col("n").cast(dec) * col("n").cast(dec) - pe, "kappa_den")
+          .as("kappa_den"))
       .withColumn("kappa_fp9",
         when(col("kappa_den") > 0,
           signum(col("kappa_num")).cast("long") *
@@ -791,9 +818,67 @@ FROM s"""
     "llm_quality_calibration" -> qualityCalibration,
     "llm_dedup_keep_scored" -> dedupKeepScored)
 
-  /** `llm_quality_train` is rows-only by documented design (per-record
-    * SGD, same as the `sgd_*` θ entries).
+  /** The SGD trainer replayed in DuckDB: the probe feature CTEs +
+    * [[Dedup.bowVecsSqlCtes]] build the identical 262-dim observations
+    * (L1-normalized bag-of-bigrams with bias + the 5 quality scalars),
+    * the negative-class oversample is the same `id·k (+r)` remap, and
+    * [[Sgd.fitCtes]] folds every logical shard record-by-record with
+    * the shared table-sigmoid — then the final θ scores the ORIGINAL
+    * (non-oversampled) observations for the summary metrics, mirroring
+    * [[qualityTrainOf]]'s exact-sum accuracy/TPR/TNR arithmetic.
     */
+  private def trainOracleSql: String = {
+    val k = TrainNegOversample
+    val pre =
+      s"""$featSql,
+${Dedup.bowVecsSqlCtes},
+norm AS MATERIALIZED (
+  SELECT vec_id,
+    CASE WHEN lt > 0.0::DOUBLE THEN list_transform(e, ev -> ev / lt)
+         ELSE e END AS xe
+  FROM (SELECT vec_id, e,
+          list_reduce(list_prepend(0.0::DOUBLE, e), (na, nb) -> na + nb)
+            AS lt
+        FROM vecs)),
+obs0 AS MATERIALIZED (
+  SELECT f.doc_id AS id, f.y,
+    list_concat(list_prepend(1.0::DOUBLE, nm.xe),
+      [f.f1, f.f2, f.f3, f.f4, f.f5]) AS x
+  FROM norm nm JOIN feat f ON nm.vec_id = f.doc_id)"""
+    val obsSelect =
+      s"""SELECT (CASE WHEN y < 0.5::DOUBLE THEN id * $TrainIdStride + r
+               ELSE id * $TrainIdStride END)::BIGINT AS id, y, x
+  FROM obs0, (SELECT unnest(range(0, $k)) AS r) rs
+  WHERE y < 0.5::DOUBLE OR r = 0"""
+    s"""${Sgd.fitCtes(pre, obsSelect, TrainDims, logistic = true,
+        parts = TrainShards)},
+score AS MATERIALIZED (
+  SELECT o.y, list_dot_product(o.x, t.th) > 0.0::DOUBLE AS posp
+  FROM obs0 o, t${Sgd.MaxIter} t),
+agg AS MATERIALIZED (
+  SELECT count(*)::BIGINT AS n,
+    sum(CASE WHEN posp = (y > 0.5::DOUBLE) THEN 1.0::DOUBLE
+             ELSE 0.0::DOUBLE END) / count(*)::DOUBLE AS acc,
+    sum(y) / count(*)::DOUBLE AS pos_rate,
+    CASE WHEN sum(CASE WHEN y > 0.5::DOUBLE THEN 1 ELSE 0 END) = 0
+         THEN 'NaN'::DOUBLE
+         ELSE sum(CASE WHEN posp AND y > 0.5::DOUBLE THEN 1 ELSE 0
+                  END)::DOUBLE
+            / sum(CASE WHEN y > 0.5::DOUBLE THEN 1 ELSE 0 END)::DOUBLE
+         END AS tpr,
+    CASE WHEN sum(CASE WHEN y < 0.5::DOUBLE THEN 1 ELSE 0 END) = 0
+         THEN 'NaN'::DOUBLE
+         ELSE sum(CASE WHEN NOT posp AND y < 0.5::DOUBLE THEN 1 ELSE 0
+                  END)::DOUBLE
+            / sum(CASE WHEN y < 0.5::DOUBLE THEN 1 ELSE 0 END)::DOUBLE
+         END AS tnr
+  FROM score)
+SELECT a.n AS n_docs, ${TrainDims}::BIGINT AS n_features,
+  t.iters::BIGINT AS iterations, NOT t.cont AS converged,
+  a.acc AS train_acc, a.pos_rate, a.tpr, a.tnr
+FROM t${Sgd.MaxIter} t, agg a"""
+  }
+
   private def calibrationOracleSql: String =
     s"""${probeCtes()},
 sc AS (SELECT f.y AS label, ${scoreSql("t", "f")} AS score
@@ -811,6 +896,7 @@ SELECT bin, count(*)::BIGINT AS n_docs,
 FROM b GROUP BY bin"""
 
   lazy val oracle: Map[String, String] = Map(
+    "llm_quality_train" -> trainOracleSql,
     "llm_quality_probe" -> probeOracleSql,
     "llm_quality_gate" -> gateOracleSql,
     "llm_quality_calibration" -> calibrationOracleSql,

@@ -672,8 +672,7 @@ object Similarity {
     * window's WindowGroupLimit prunes to k per partition map-side.
     */
   def int8TopK(spark: SparkSession, dir: String): DataFrame =
-    int8TopKOf(Tables(spark, dir, "embeddings")
-      .select(col("vec_id"), col("embedding")), nq(spark))
+    int8RankCut(cachedInt8(spark, dir).scored)
 
   /** The quantized representation as a DataFrame (vec_id, scale, qv) —
     * shared by the int8 scorer and [[mmrTopKOf]]'s pair dots.
@@ -685,22 +684,19 @@ object Similarity {
   /** All int8-rescaled (query, neighbor, qdot) pairs — the scoring
     * kernel of [[int8TopKOf]] without the rank cut.
     */
-  private def int8Scored(vectors: DataFrame, nQueries: Long): DataFrame = {
-    val spark = vectors.sparkSession
+  private def int8ScoredFrom(quant: DataFrame, nQueries: Long)
+      : DataFrame = {
+    val spark = quant.sparkSession
     val s = spark; import s.implicits._
-    // quantization stays declarative (row-local expressions above the
-    // scan); the O(corpus × queries) scoring loop runs as a typed
-    // kernel like [[scoredPairs]] — same integer dot, same IEEE rescale
-    // order as the oracle, ~an order of magnitude over the interpreted
+    // the O(corpus × queries) scoring loop runs as a typed kernel like
+    // [[scoredPairs]] — same integer dot, same IEEE rescale order as
+    // the oracle, ~an order of magnitude over the interpreted
     // expression path at fixture scale
-    val quant = quantDf(vectors).as[(Long, Double, Array[Long])]
-    // declarative pruning BEFORE the typed conversion: the query-side
-    // collect scans (and quantizes) 50 rows, not the corpus
-    val queries = quantDf(vectors.where(col("vec_id") < nQueries))
-      .as[(Long, Double, Array[Long])].collect().sortBy(_._1)
+    val q = quant.as[(Long, Double, Array[Long])]
+    // the query-side collect reads 50 quantized rows, not the corpus
+    val queries = q.where(col("vec_id") < nQueries).collect().sortBy(_._1)
     val bc = spark.sparkContext.broadcast(queries)
-    quant
-      .mapPartitions { it =>
+    q.mapPartitions { it =>
         val qs = bc.value
         it.flatMap { case (nid, ns, nq) =>
           qs.iterator.filter(_._1 != nid).map { case (qid, qsc, qq) =>
@@ -714,12 +710,85 @@ object Similarity {
       .toDF("query_id", "neighbor_id", "qdot")
   }
 
-  def int8TopKOf(vectors: DataFrame, nQueries: Long): DataFrame =
-    int8Scored(vectors, nQueries)
+  private def int8Scored(vectors: DataFrame, nQueries: Long): DataFrame =
+    // quantization stays declarative (row-local expressions above the
+    // scan); Catalyst pushes the query-side vec_id filter below it
+    int8ScoredFrom(quantDf(vectors), nQueries)
+
+  /** The MmrPool-deep per-query shortlist — [[mmrTopK]]'s candidate
+    * pool, cut from the scored pairs by the same (qdot desc, id asc)
+    * comparator as [[int8RankCut]].
+    */
+  private def mmrPoolCut(scored: DataFrame): DataFrame =
+    scored
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("qdot").desc, col("neighbor_id").asc)))
+      .where(col("rk") <= MmrPool).drop("rk")
+
+  /** Session-lifetime int8 serving index per (session, dir, nQueries):
+    * the quantized corpus, the [[int8ScoredFrom]] pair table, and the
+    * [[mmrPoolCut]] shortlist, each localCheckpointed — the int8 top-k,
+    * the MMR re-ranker, and the recall audit all read these, and
+    * without the cache each invocation re-quantized and re-scored the
+    * whole corpus (the r10 MMR residual: ~2 s of shortlist corpus pass
+    * per call). Same lifetime contract as [[centsCache]] (immutable
+    * fixture dirs, [[invalidateInt8]] at the boundary); get/putIfAbsent
+    * so no map lock spans the build, a lost race releases its extra
+    * checkpoints.
+    */
+  private case class Int8Index(quant: DataFrame, scored: DataFrame,
+      pool: DataFrame)
+
+  private val int8Cache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String, Long), Int8Index]
+
+  private def cachedInt8(spark: SparkSession, dir: String): Int8Index = {
+    val n = nq(spark)
+    val key = (spark, dir, n)
+    val got = int8Cache.get(key)
+    if (got != null) got
+    else {
+      val quant = graft.Materialize.Local(quantDf(
+        Tables(spark, dir, "embeddings")
+          .select(col("vec_id"), col("embedding"))))
+      val scored = graft.Materialize.Local(int8ScoredFrom(quant, n))
+      val pool = graft.Materialize.Local(mmrPoolCut(scored))
+      val built = Int8Index(quant, scored, pool)
+      val prev = int8Cache.putIfAbsent(key, built)
+      if (prev != null) {
+        graft.Materialize.release(pool)
+        graft.Materialize.release(scored)
+        graft.Materialize.release(quant)
+        prev
+      } else built
+    }
+  }
+
+  def invalidateInt8(spark: SparkSession = null, dir: String = null)
+      : Unit = {
+    val it = int8Cache.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      val (s, d, _) = e.getKey
+      if ((spark == null || s == spark) && (dir == null || d == dir)) {
+        graft.Materialize.release(e.getValue.pool)
+        graft.Materialize.release(e.getValue.scored)
+        graft.Materialize.release(e.getValue.quant)
+        it.remove()
+      }
+    }
+  }
+
+  private def int8RankCut(scored: DataFrame): DataFrame =
+    scored
       .withColumn("rank", row_number().over(
         Window.partitionBy(col("query_id"))
           .orderBy(col("qdot").desc, col("neighbor_id").asc)))
       .where(col("rank") <= TopK)
+
+  def int8TopKOf(vectors: DataFrame, nQueries: Long): DataFrame =
+    int8RankCut(int8Scored(vectors, nQueries))
 
   /** Dimension budgets priced by [[matryoshka]] (the full 64 is the
     * identity row — recall 1.0 by construction); conf-tunable, oracle
@@ -796,10 +865,12 @@ object Similarity {
     * rounds, so the greedy trajectory itself is hash-verified (the
     * coverage-select pattern).
     *
-    * Scale shape: the corpus is touched once by the shortlist scorer;
-    * everything after lives on queries·[[MmrPool]] rows (the pool
-    * broadcasts into the quantized-vector fetch, pair sims are
-    * pool²-per-query ≈ bounded). The greedy trajectory itself folds
+    * Scale shape: the corpus-scale scoring pass lives in the session
+    * int8 index ([[cachedInt8Scored]]) — paid once per (session, dir),
+    * shared with `llm_sim_int8_topk`; everything per-call lives on
+    * queries·[[MmrPool]] rows (the pool broadcasts into the
+    * quantized-vector fetch, pair sims are pool²-per-query ≈ bounded).
+    * The greedy trajectory itself folds
     * DRIVER-SIDE over two pinned bounded pulls — pool ≤
     * queries·[[MmrPool]] rows, pair sims ≤ queries·[[MmrPool]]² —
     * the θ-class bounded-model pattern ([[Streams.markovAttribution]]):
@@ -808,18 +879,21 @@ object Similarity {
     * overhead for it. Same IEEE score arithmetic, same
     * (score desc, neighbor_id asc) tie order, so the hash is unchanged.
     */
-  def mmrTopK(spark: SparkSession, dir: String): DataFrame =
-    mmrTopKOf(Tables(spark, dir, "embeddings")
-      .select(col("vec_id"), col("embedding")), nq(spark))
+  def mmrTopK(spark: SparkSession, dir: String): DataFrame = {
+    // serve from the session int8 index: the corpus-scale scoring and
+    // quantization passes are paid once per (session, dir), each MMR
+    // call costs only a bounded vector fetch + the driver fold
+    val idx = cachedInt8(spark, dir)
+    mmrFrom(idx.pool, idx.quant)
+  }
 
   def mmrTopKOf(vectors: DataFrame, nQueries: Long): DataFrame = {
-    val pool = graft.Materialize.Local(
-      int8Scored(vectors, nQueries)
-        .withColumn("rk", row_number().over(
-          Window.partitionBy(col("query_id"))
-            .orderBy(col("qdot").desc, col("neighbor_id").asc)))
-        .where(col("rk") <= MmrPool).drop("rk"))
-    val qd = quantDf(vectors)
+    val scored = graft.Materialize.Local(int8Scored(vectors, nQueries))
+    try mmrFrom(mmrPoolCut(scored), quantDf(vectors))
+    finally graft.Materialize.release(scored)
+  }
+
+  private def mmrFrom(pool: DataFrame, qd: DataFrame): DataFrame = {
     val poolQ = pool.join(qd.withColumnRenamed("vec_id", "neighbor_id"),
       "neighbor_id")
     val px = poolQ.select(col("query_id"), col("neighbor_id").as("i"),
@@ -842,7 +916,6 @@ object Similarity {
     val pairRows = pairsDf.collect()
       .map(r => ((r.getLong(0), r.getLong(1), r.getLong(2)),
         r.getDouble(3)))
-    graft.Materialize.release(pool)
     val pdot = pairRows.toMap
     val out = scala.collection.mutable.ArrayBuffer
       .empty[(Long, Long, Long, Double, Double)]
@@ -877,7 +950,7 @@ object Similarity {
         k += 1
       }
     }
-    val s2 = vectors.sparkSession; import s2.implicits._
+    val s2 = qd.sparkSession; import s2.implicits._
     out.toSeq.toDF("query_id", "step", "neighbor_id", "qdot", "score")
   }
 

@@ -172,16 +172,35 @@ object TextSources {
     * the SOURCE tables under a cached dir mid-session invalidate via
     * [[invalidateScratch]] (the cache-invalidation discipline of
     * [[graft.operators.Graph.invalidateEdges]]).
+    *
+    * The marker is a completion LATCH, not a pre-write boolean: a
+    * second caller racing the first write awaits the latch instead of
+    * skipping straight into a directory still being written
+    * (Verify/Bench invoke entries sequentially, so the await is
+    * normally free — the latch closes the window for any concurrent
+    * embedder). A waiter whose writer FAILED (latch released, marker
+    * removed) re-enters and retries the write itself.
     */
-  def writeOnce(path: String)(write: => Unit): Unit =
-    if (writtenOnce.putIfAbsent(path, java.lang.Boolean.TRUE) == null)
+  def writeOnce(path: String)(write: => Unit): Unit = {
+    val latch = new java.util.concurrent.CountDownLatch(1)
+    val prev = writtenOnce.putIfAbsent(path, latch)
+    if (prev == null) {
       try write
-      catch { case e: Throwable => writtenOnce.remove(path); throw e }
+      catch { case e: Throwable =>
+        writtenOnce.remove(path, latch); throw e
+      } finally latch.countDown()
+    } else {
+      prev.await()
+      // writer gone from the map ⇒ it failed after we started waiting:
+      // take over the write (or wait on whoever already did)
+      if (writtenOnce.get(path) ne prev) writeOnce(path)(write)
+    }
+  }
 
   def invalidateScratch(): Unit = writtenOnce.clear()
 
-  private val writtenOnce =
-    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]
+  private val writtenOnce = new java.util.concurrent.ConcurrentHashMap[
+    String, java.util.concurrent.CountDownLatch]
 
   private val cleanupRegistered =
     new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]

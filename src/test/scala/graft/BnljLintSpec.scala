@@ -86,14 +86,26 @@ class BnljLintSpec extends SparkSpecBase {
     }
 
   test("every BroadcastNestedLoopJoin is pinned with a bounded build") {
+    // a planning exception is a FAILURE in its own right, never an
+    // offender string — an entry pinned at exactly 1 BNLJ whose plan
+    // construction starts throwing would otherwise "match" its pin and
+    // mask the planning regression
+    val planFailures = scala.collection.mutable.ArrayBuffer
+      .empty[(String, String)]
     val found = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
         val offs =
           try offenders(fn(spark, Sf).queryExecution.sparkPlan)
           catch { case e: Throwable =>
-            Seq(s"PLAN FAILURE ${e.getClass.getSimpleName}") }
+            planFailures += name ->
+              s"${e.getClass.getSimpleName}: ${e.getMessage}"
+            Nil }
         if (offs.isEmpty) None else Some(name -> offs)
     }
+    assert(planFailures.isEmpty,
+      s"""entries failed to PLAN (fix before reading the BNLJ lint):
+         |${planFailures.map { case (n, m) => s"  $n: $m" }
+           .mkString("\n")}""".stripMargin)
     val bad = found.filter { case (n, offs) =>
       Pinned.getOrElse(n, 0) != offs.size
     } ++ Pinned.toSeq.collect {

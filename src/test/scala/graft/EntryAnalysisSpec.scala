@@ -31,14 +31,13 @@ class EntryAnalysisSpec extends SparkSpecBase {
     assert(orphans.isEmpty, s"oracleSql without queries: $orphans")
   }
 
-  test("rows-only entries are exactly the documented allow-list") {
-    // every query must carry an oracle unless it is one of the three
-    // SGD-family trainers whose rows-only status is documented in
-    // SURVEY.md §5 — a new entry missing its oracle fails HERE, not
-    // silently as a weaker rows-only row in the driver's gate
+  test("every queries entry carries an oracle — zero rows-only") {
+    // the r11 SGD-fold replay (explicit id % P sharding + the shared
+    // table-sigmoid, Sgd.fitCtes) closed the last three rows-only
+    // exemptions; from here a new entry missing its oracle fails HERE,
+    // not silently as a weaker rows-only row in the driver's gate
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    assert(rowsOnly == Set("sgd_linreg_theta", "sgd_logreg_theta",
-      "llm_quality_train"),
-      s"undocumented rows-only entries: $rowsOnly")
+    assert(rowsOnly.isEmpty,
+      s"entries without an oracle: $rowsOnly")
   }
 }

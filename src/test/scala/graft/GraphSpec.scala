@@ -659,4 +659,33 @@ class GraphSpec extends SparkSpecBase {
     assert(got((2L, 3L)) == ((1L, 2L, 0.5)))
     assert(got((3L, 4L)) == ((0L, 2L, 0.0)))
   }
+
+  test("triangle family serves from the shared cached kernel") {
+    import org.apache.spark.sql.execution.RDDScanExec
+    // pre-AQE sparkPlan: AdaptiveSparkPlanExec is opaque to collect()
+    def leaves(df: org.apache.spark.sql.DataFrame): Set[Int] =
+      df.queryExecution.sparkPlan
+        .collect { case r: RDDScanExec => r.rdd.id }.toSet
+    Graph.triangles(spark, Sf).collect() // warm the kernel cache
+    val tri = Graph.triangles(spark, Sf)
+    val cc = Graph.localCc(spark, Sf)
+    val emb = Graph.edgeEmbed(spark, Sf)
+    // no entry replans the kernel build: the degree/orientation
+    // aggregates (collect_list adjacency, collect_set basket edges)
+    // live BEHIND the session checkpoints, never in a per-call plan
+    Seq(("graph_triangles", tri), ("graph_local_cc", cc),
+        ("graph_edge_embed", emb)).foreach { case (n, df) =>
+      val plan = df.queryExecution.sparkPlan.toString
+      assert(!plan.contains("collect_list") && !plan.contains("collect_set"),
+        s"$n rebuilds the kernel per call:\n$plan")
+      assert(leaves(df).nonEmpty, s"$n reads no checkpointed kernel table")
+    }
+    // and the checkpointed tables are the SAME RDDs across entries —
+    // a future operator silently rebuilding its own kernel (fresh RDD
+    // ids, disjoint leaves) turns this red, not just slow
+    assert((leaves(tri) intersect leaves(cc)).nonEmpty,
+      "triangles and local_cc do not share kernel RDDs")
+    assert((leaves(cc) intersect leaves(emb)).nonEmpty,
+      "local_cc and edge_embed do not share kernel RDDs")
+  }
 }

@@ -29,7 +29,7 @@ class SgdSpec extends SparkSpecBase {
         var h = 0.0
         var i = 0
         while (i < nf) { h += th(i) * o.x(i); i += 1 }
-        if (logistic) h = 1.0 / (1.0 + math.exp(-h))
+        if (logistic) h = Sgd.sigmoidPL(h)
         val err = o.y - h
         if (math.abs(err) > Sgd.Accuracy) {
           var j = 0
@@ -48,9 +48,7 @@ class SgdSpec extends SparkSpecBase {
 
   private def toDs(obs: Seq[Obs], parts: Int) = {
     val s = spark; import s.implicits._
-    spark.createDataset(obs)
-      .repartition(parts, col("id"))
-      .sortWithinPartitions("id")
+    Sgd.shard(spark.createDataset(obs), parts)
   }
 
   /** Noiseless linear data, |y| bounded away from the 0.01 tolerance so
@@ -69,7 +67,7 @@ class SgdSpec extends SparkSpecBase {
   test("single-partition fit is bit-identical to the sequential reference") {
     val (obs, _) = synth(200)
     for (logistic <- Seq(false, true)) {
-      val got = Sgd.fit(toDs(obs, 1), 3, logistic)
+      val got = Sgd.fit(toDs(obs, 1), 3, logistic, parts = 1)
       val want = seqFit(obs.sortBy(_.id), 3, logistic)
       assert(got.theta.toSeq == want._1.toSeq, s"logistic=$logistic")
       assert(got.iterations == want._2 && got.converged == want._3)
@@ -91,7 +89,7 @@ class SgdSpec extends SparkSpecBase {
     val obs = Seq(
       Obs(1L, 0.0, Array(0.0, 0.0)),
       Obs(2L, 5.0, Array(1.0, 2.0)))
-    val r = Sgd.fit(toDs(obs, 1), 2, logistic = false)
+    val r = Sgd.fit(toDs(obs, 1), 2, logistic = false, parts = 1)
     assert(r.iterations == 1 && r.converged)
   }
 
@@ -102,7 +100,7 @@ class SgdSpec extends SparkSpecBase {
         val h = (o.x, theta).zipped.map(_ * _).sum
         (h - o.y) * (h - o.y)
       }.sum / obs.size
-    val r = Sgd.fit(toDs(obs, 4), 3, logistic = false)
+    val r = Sgd.fit(toDs(obs, 4), 3, logistic = false, parts = 4)
     assert(mse(r.theta) < mse(new Array[Double](3)) / 10.0,
       s"MSE did not improve 10x: ${mse(r.theta)}")
   }
@@ -139,7 +137,7 @@ class SgdSpec extends SparkSpecBase {
     spark.conf.set("graft.sgd.numPartitions", "4")
     try {
       val sgd = Sgd.fit(Sgd.dataset(spark, Sf, logistic = false)
-        .persist(), 4, logistic = false)
+        .persist(), 4, logistic = false, parts = Sgd.numParts(spark))
       assert(mse(ols) <= mse(sgd.theta) + 1e-12,
         s"OLS ${mse(ols)} vs SGD ${mse(sgd.theta)}")
       assert(mse(sgd.theta) < mse(new Array[Double](4)),

@@ -166,4 +166,47 @@ class TextSourcesSpec extends SparkSpecBase {
     assert((set(in) -- csvSet).forall(_._1 == 900002L),
       "csv loss beyond the embedded-newline doc")
   }
+
+  test("writeOnce: one write per path, failure clears, waiter retries") {
+    val path = "graft-once-" + System.nanoTime()
+    var runs = 0
+    TextSources.writeOnce(path) { runs += 1 }
+    TextSources.writeOnce(path) { runs += 1 }
+    assert(runs == 1, "second call must skip the idempotent write")
+
+    // a FAILED write clears the marker: the next call retries
+    val path2 = path + "-fail"
+    var attempts = 0
+    intercept[RuntimeException] {
+      TextSources.writeOnce(path2) { attempts += 1; sys.error("disk full") }
+    }
+    TextSources.writeOnce(path2) { attempts += 1 }
+    assert(attempts == 2, "failure must clear the marker for a retry")
+    TextSources.writeOnce(path2) { attempts += 1 }
+    assert(attempts == 2, "the successful retry re-arms the skip")
+
+    // a concurrent skipper AWAITS the in-flight write instead of
+    // reading a half-written directory (the pre-write-boolean hazard)
+    val path3 = path + "-race"
+    val started = new java.util.concurrent.CountDownLatch(1)
+    val release = new java.util.concurrent.CountDownLatch(1)
+    @volatile var writerDone = false
+    @volatile var skipperSawDone = false
+    val writer = new Thread(() => TextSources.writeOnce(path3) {
+      started.countDown(); release.await(); writerDone = true
+    })
+    writer.start()
+    started.await()
+    val skipper = new Thread(() => {
+      TextSources.writeOnce(path3) { fail("skipper must not re-write") }
+      skipperSawDone = writerDone
+    })
+    skipper.start()
+    Thread.sleep(100) // give the skipper time to (wrongly) skip through
+    assert(skipper.isAlive, "skipper must block until the write completes")
+    release.countDown()
+    writer.join(5000); skipper.join(5000)
+    assert(!writer.isAlive && !skipper.isAlive)
+    assert(skipperSawDone, "skipper proceeded before the write finished")
+  }
 }
