@@ -41,7 +41,7 @@ class AprioriSpec extends SparkSpecBase {
 
   test("freqItems matches a brute-force recount of the basket join") {
     val got = Apriori.freqItems(spark, Sf)
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      .collect().map(r => r.getAs[String]("item") -> r.getAs[Long]("cnt")).toMap
     val brute = Apriori.transactions(spark, Sf)
       .collect()
       .flatMap(_.getSeq[String](1).distinct)
@@ -56,9 +56,9 @@ class AprioriSpec extends SparkSpecBase {
     // reproduce the final variant's answer row-for-row
     val gated = Apriori.candidatesRaw(spark, Sf)
       .where(org.apache.spark.sql.functions.col("cnt") >= Apriori.Support)
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      .collect().map(r => r.getAs[String]("itemset") -> r.getAs[Long]("cnt")).toMap
     val fin = Apriori.freqItemsets(spark, Sf)
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      .collect().map(r => r.getAs[String]("itemset") -> r.getAs[Long]("cnt")).toMap
     assert(gated == fin)
     // and the raw stream is strictly larger (ungated candidates exist)
     assert(Apriori.candidatesRaw(spark, Sf).count() > fin.size)
@@ -66,9 +66,9 @@ class AprioriSpec extends SparkSpecBase {
 
   test("text basket round-trip reproduces the parquet-path frequent items") {
     val viaText = Apriori.freqItemsText(spark, Sf)
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      .collect().map(r => r.getAs[String]("item") -> r.getAs[Long]("cnt")).toMap
     val viaParquet = Apriori.freqItems(spark, Sf)
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      .collect().map(r => r.getAs[String]("item") -> r.getAs[Long]("cnt")).toMap
     assert(viaText == viaParquet)
   }
 
@@ -83,28 +83,28 @@ class AprioriSpec extends SparkSpecBase {
 
   test("level-wise Apriori equals the per-basket enumeration exactly") {
     val perBasket = Apriori.freqItemsets(spark, Sf)
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      .collect().map(r => r.getAs[String]("itemset") -> r.getAs[Long]("cnt")).toMap
     val levelwise = Apriori.freqItemsetsLevelwise(spark, Sf)
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      .collect().map(r => r.getAs[String]("itemset") -> r.getAs[Long]("cnt")).toMap
     assert(levelwise == perBasket)
   }
 
   test("support monotonicity: every frequent k-itemset's items are frequent") {
     val freq1 = Apriori.freqItems(spark, Sf)
-      .collect().map(_.getString(0)).toSet
+      .collect().map(_.getAs[String]("item")).toSet
     val sets = Apriori.freqItemsets(spark, Sf).collect()
     assert(sets.nonEmpty)
     sets.foreach { r =>
-      r.getString(0).split(" ").foreach(i => assert(freq1.contains(i)))
+      r.getAs[String]("itemset").split(" ").foreach(i => assert(freq1.contains(i)))
     }
   }
 
   test("maximal itemsets: exactly the frequent sets with no frequent superset") {
     val freq = Apriori.freqAll(spark, Sf)
-      .collect().map(r => r.getString(0).split(" ").toSet -> r.getLong(1))
+      .collect().map(r => r.getAs[String]("itemset").split(" ").toSet -> r.getAs[Long]("cnt"))
     val freqSets = freq.map(_._1).toSet
     val got = Apriori.maximalItemsets(spark, Sf)
-      .collect().map(r => r.getString(0).split(" ").toSet -> r.getLong(1))
+      .collect().map(r => r.getAs[String]("itemset").split(" ").toSet -> r.getAs[Long]("cnt"))
       .toMap
     val want = freq.filter { case (s, _) =>
       !freqSets.exists(o => s != o && s.subsetOf(o))
@@ -115,16 +115,16 @@ class AprioriSpec extends SparkSpecBase {
 
   test("closed itemsets: no superset of equal support; maximal ⊆ closed") {
     val freq = Apriori.freqAll(spark, Sf)
-      .collect().map(r => r.getString(0).split(" ").toSet -> r.getLong(1))
+      .collect().map(r => r.getAs[String]("itemset").split(" ").toSet -> r.getAs[Long]("cnt"))
     val got = Apriori.closedItemsets(spark, Sf)
-      .collect().map(r => r.getString(0).split(" ").toSet -> r.getLong(1))
+      .collect().map(r => r.getAs[String]("itemset").split(" ").toSet -> r.getAs[Long]("cnt"))
       .toMap
     val want = freq.filter { case (s, c) =>
       !freq.exists { case (o, oc) => s != o && s.subsetOf(o) && oc == c }
     }.toMap
     assert(got == want)
     val maximal = Apriori.maximalItemsets(spark, Sf)
-      .collect().map(_.getString(0).split(" ").toSet).toSet
+      .collect().map(_.getAs[String]("itemset").split(" ").toSet).toSet
     assert(maximal.subsetOf(got.keySet))
     // pin the fixture's behavior: at sf0.001 EVERY frequent set is
     // closed (compression only shows at sf0.01: 12741 of 12744)
@@ -139,9 +139,9 @@ class AprioriSpec extends SparkSpecBase {
     // the OUTPUT: level-k actives = distinct items of frequent
     // k-itemsets, the exact value the loop collects for level k+1
     val freqItems = Apriori.freqItems(spark, Sf).collect()
-      .map(_.getString(0)).toSet
+      .map(_.getAs[String]("item")).toSet
     val byLevel = Apriori.freqItemsetsLevelwise(spark, Sf).collect()
-      .map(_.getString(0).split(" ").toSeq)
+      .map(_.getAs[String]("itemset").split(" ").toSeq)
       .groupBy(_.length)
       .map { case (k, sets) => k -> sets.flatten.toSet }
     assert(byLevel.nonEmpty)
@@ -164,10 +164,10 @@ class AprioriSpec extends SparkSpecBase {
     val tx = (Seq.fill(5)(Seq("b", "a")) ++ Seq.fill(5)(Seq("a", "b")))
       .toDF("items")
     val ordered = Apriori.freqItemsetsTxOrderOf(tx, support = 5)
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      .collect().map(r => r.getAs[String]("itemset") -> r.getAs[Long]("cnt")).toMap
     assert(ordered == Map("b a" -> 5L, "a b" -> 5L))
     val sorted = Apriori.freqItemsetsOf(tx, support = 5)
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      .collect().map(r => r.getAs[String]("itemset") -> r.getAs[Long]("cnt")).toMap
     assert(sorted == Map("a b" -> 10L))
   }
 
@@ -214,7 +214,7 @@ class AprioriSpec extends SparkSpecBase {
       Seq((991L, 10L), (991L, 20L), (991L, 30L)))
       .toDF("l_orderkey", "l_partkey")
     val got = graft.operators.Apriori.seqPairsOf(orders, li).collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      .map(r => (r.getAs[Long]("p_first"), r.getAs[Long]("p_then"), r.getAs[Long]("support"))).toSeq
     // 10-then-20 for the 45 sequenced customers; never 20-then-10;
     // customer 99's same-day pair contributes nothing; 30 pruned
     assert(got == Seq((10L, 20L, 45L)), got.toString)

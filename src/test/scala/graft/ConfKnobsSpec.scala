@@ -16,11 +16,11 @@ class ConfKnobsSpec extends SparkSpecBase {
   test("coverage sizes knob: custom size list, coverage vs brute force") {
     withConf(TextOps.CoverageVocabSizesConf, "2, 31") {
       val rows = TextOps.vocabCoverage(spark, Sf).collect()
-        .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+        .map(r => r.getAs[Long]("vocab_size") -> (r.getAs[Long]("n_covered"), r.getAs[Double]("coverage"))).toMap
       assert(rows.keySet == Set(2L, 31L))
       // brute force off the same fixture: sum of the top-V counts
       val wc = TextOps.wordCount(spark, Sf).collect()
-        .map(r => r.getString(0) -> r.getLong(1))
+        .map(r => r.getAs[String]("word") -> r.getAs[Long]("cnt"))
       val byRank = wc.sortBy { case (w, c) => (-c, w) }.map(_._2)
       val tot = byRank.sum.toDouble
       Seq(2, 31).foreach { v =>
@@ -37,10 +37,10 @@ class ConfKnobsSpec extends SparkSpecBase {
       withConf(Curation.CovUniverseConf, "64") {
         val rows = Curation.coverageSelect(spark, Sf).collect()
         assert(rows.length <= 3)
-        assert(rows.map(_.getLong(0)).toSeq ==
+        assert(rows.map(_.getAs[Long]("step")).toSeq ==
           (1L to rows.length.toLong).toSeq)
         // covered never exceeds the shrunken universe
-        assert(rows.forall(_.getLong(3) <= 64L))
+        assert(rows.forall(_.getAs[Long]("covered") <= 64L))
       }
     }
   }
@@ -48,7 +48,7 @@ class ConfKnobsSpec extends SparkSpecBase {
   test("mrl budgets knob: custom widths, full width still identity") {
     withConf(Similarity.MrlBudgetsConf, "4, 64") {
       val rows = Similarity.matryoshka(spark, Sf).collect()
-        .map(r => r.getLong(0) -> r.getDouble(3)).toMap
+        .map(r => r.getAs[Long]("dims") -> r.getAs[Double]("recall")).toMap
       assert(rows.keySet == Set(4L, 64L))
       assert(rows(64L) == 1.0)
       assert(rows(4L) <= rows(64L))

@@ -30,7 +30,7 @@ class CorpusOpsSpec extends SparkSpecBase {
     // vocab covering every token → lossless round trip
     val vocabAll = TextOps.vocabulary(corpus, vocabSize = 100)
     val back = TextOps.decodeOf(TextOps.encodeOf(corpus, 100), vocabAll)
-      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getString(1)).toMap
     assert(back == Map(1L -> "the cat sat on the mat",
       2L -> "the dog sat", 3L -> "cat dog cat"))
     // tiny vocab: top-2 by (count desc, token asc) = "cat"(3), "the"(3)
@@ -47,9 +47,9 @@ class CorpusOpsSpec extends SparkSpecBase {
     val rt = TextOps.roundtrip(spark, Sf).collect()
     assert(rt.nonEmpty)
     rt.foreach { r =>
-      val toks = r.getString(3).split(" ", -1)
-      assert(toks.length.toLong == r.getLong(1))
-      assert(toks.count(_ == TextOps.UnkToken).toLong == r.getLong(2))
+      val toks = r.getAs[String]("text_rt").split(" ", -1)
+      assert(toks.length.toLong == r.getAs[Long]("n_tokens"))
+      assert(toks.count(_ == TextOps.UnkToken).toLong == r.getAs[Long]("n_oov"))
     }
     // the lossy path only fires when the corpus vocabulary outgrows the
     // encode vocab (true at sf0.01+; sf0.001's fits inside 256) — when
@@ -69,7 +69,7 @@ class CorpusOpsSpec extends SparkSpecBase {
     val next = Seq((1L, "a b"), (2L, "X d"), (4L, "new doc"))
       .toDF("doc_id", "text")
     val got = Curation.snapshotDiffOf(old, next).collect()
-      .map(r => r.getLong(0) -> r.getString(1)).toMap
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("status")).toMap
     assert(got == Map(1L -> "unchanged", 2L -> "changed",
       3L -> "removed", 4L -> "added"))
   }
@@ -89,8 +89,8 @@ class CorpusOpsSpec extends SparkSpecBase {
     val old = Seq((1L, "ab ab ab cd")).toDF("doc_id", "text")
     val nxt = Seq((1L, "cd cd cd ab")).toDF("doc_id", "text")
     val byStep = Curation.bpeDriftOf(old, nxt).collect()
-      .map(r => r.getLong(0) -> ((r.getString(1), r.getString(2),
-        r.getBoolean(3)))).toMap
+      .map(r => r.getAs[Long]("step") -> ((r.getAs[String]("merged_old"), r.getAs[String]("merged_new"),
+        r.getAs[Boolean]("same")))).toMap
     assert(byStep(1L) == (("ab", "cd", false)))
   }
 
@@ -99,8 +99,8 @@ class CorpusOpsSpec extends SparkSpecBase {
     val old = Seq((1L, "ab")).toDF("doc_id", "text")
     val nxt = Seq((1L, "abcd")).toDF("doc_id", "text")
     val rows = Curation.bpeDriftOf(old, nxt).collect()
-      .map(r => r.getLong(0) -> ((Option(r.getString(1)),
-        Option(r.getString(2)), r.getBoolean(3)))).toMap
+      .map(r => r.getAs[Long]("step") -> ((Option(r.getAs[String]("merged_old")),
+        Option(r.getAs[String]("merged_new")), r.getAs[Boolean]("same")))).toMap
     assert(rows.keySet == Set(1L, 2L, 3L))
     assert(rows(1L) == ((Some("ab"), Some("ab"), true)))
     assert(rows(2L) == ((None, Some("abc"), false)))
@@ -109,10 +109,10 @@ class CorpusOpsSpec extends SparkSpecBase {
 
   test("bpeDrift fixture: old side is exactly bpeMerges; real drift exists") {
     val got = Curation.bpeDrift(spark, Sf).collect()
-      .map(r => (r.getLong(0), Option(r.getString(1)),
-        Option(r.getString(2)), r.getBoolean(3))).sortBy(_._1)
+      .map(r => (r.getAs[Long]("step"), Option(r.getAs[String]("merged_old")),
+        Option(r.getAs[String]("merged_new")), r.getAs[Boolean]("same"))).sortBy(_._1)
     val trained = TextOps.bpeMerges(spark, Sf).collect()
-      .map(r => r.getLong(0) -> r.getString(3)).toMap
+      .map(r => r.getAs[Long]("step") -> r.getAs[String]("merged")).toMap
     // every trained step appears with its merge on the old side
     trained.foreach { case (step, merged) =>
       val row = got.find(_._1 == step).get
@@ -128,8 +128,8 @@ class CorpusOpsSpec extends SparkSpecBase {
   test("chunkOf covers every token with overlapping fixed-stride windows") {
     val text = (1 to 150).map(i => s"w$i").mkString(" ")
     val out = Curation.chunkOf(Seq((7L, text)).toDF("doc_id", "text"))
-      .collect().map(r => (r.getLong(1), r.getLong(2), r.getInt(3),
-        r.getString(4))).sortBy(_._2)
+      .collect().map(r => (r.getAs[Long]("chunk_id"), r.getAs[Long]("start"), r.getAs[Int]("n_tokens"),
+        r.getAs[String]("chunk_text"))).sortBy(_._2)
     val starts = Seq(0L, 48L, 96L, 144L)
     assert(out.map(_._2).toSeq == starts)
     assert(out.map(_._1).toSeq == Seq(0L, 1L, 2L, 3L))
@@ -163,8 +163,8 @@ class CorpusOpsSpec extends SparkSpecBase {
       (3L, s"$boiler $a2")    // shared + its own unique tail
     ).toDF("doc_id", "text")
     val got = Dedup.spanDedupOf(df).collect()
-      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
-        r.getString(3)))).toMap
+      .map(r => r.getAs[Long]("doc_id") -> ((r.getAs[Long]("n_blocks"), r.getAs[Long]("n_kept"),
+        r.getAs[String]("clean_text")))).toMap
     assert(got(1L) == ((3L, 2L, s"$a $c")))
     assert(got(2L) == ((1L, 0L, "")))
     assert(got(3L) == ((2L, 1L, a2)))
@@ -186,14 +186,14 @@ class CorpusOpsSpec extends SparkSpecBase {
       id -> ((bs.size.toLong, kept.size.toLong, kept.mkString(" ")))
     }.toMap
     val got = Dedup.spanDedup(spark, Sf).collect()
-      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
-        r.getString(3)))).toMap
+      .map(r => r.getAs[Long]("doc_id") -> ((r.getAs[Long]("n_blocks"), r.getAs[Long]("n_kept"),
+        r.getAs[String]("clean_text")))).toMap
     assert(got == want)
   }
 
   test("packChunks equals the global ordered prefix sum over chunks") {
     val chunks = Curation.chunk(spark, Sf).collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getInt(3)))
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("chunk_id"), r.getAs[Int]("n_tokens")))
       .sortBy(t => (t._1, t._2))
     var cum = 0L
     val want = chunks.map { case (d, c, n) =>
@@ -202,7 +202,7 @@ class CorpusOpsSpec extends SparkSpecBase {
       (d, c, n.toLong, shard)
     }.toSet
     val got = Curation.packChunks(spark, Sf).collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("chunk_id"), r.getAs[Long]("n_tokens"), r.getAs[Long]("shard")))
       .toSet
     assert(got == want)
     assert(want.map(_._4).size > 1, "fixture should fill several shards")
@@ -218,7 +218,7 @@ class CorpusOpsSpec extends SparkSpecBase {
     val ranked = counts.toSeq.sortBy { case (w, c) => (-c, w) }
     val total = ranked.map(_._2).sum
     val got = TextOps.vocabCoverage(spark, Sf).collect()
-      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+      .map(r => r.getAs[Long]("vocab_size") -> ((r.getAs[Long]("n_covered"), r.getAs[Double]("coverage")))).toMap
     assert(got.keySet == TextOps.CoverageVocabSizes.toSet)
     TextOps.CoverageVocabSizes.foreach { v =>
       val cov = ranked.take(v.toInt).map(_._2).sum
@@ -232,10 +232,10 @@ class CorpusOpsSpec extends SparkSpecBase {
   test("sceneCuts equals a sequential per-doc replay of the jump rule") {
     import graft.operators.Multimodal
     val frames = Multimodal.audioEnergy(spark, Sf).collect()
-      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("frame_idx"), r.getAs[Long]("energy")))
     val got = Multimodal.sceneCuts(spark, Sf).collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3),
-        r.getLong(4))).toSet
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("scene_id"), r.getAs[Long]("n_frames"), r.getAs[Int]("start_frame"),
+        r.getAs[Long]("sum_energy"))).toSet
     val want = frames.groupBy(_._1).flatMap { case (doc, fs) =>
       var prev = Option.empty[Long]
       var scene = 0L
@@ -268,8 +268,8 @@ class CorpusOpsSpec extends SparkSpecBase {
       (2L, "slow start but then a dup appears and another dup")
     ).toDF("doc_id", "text")
     val got = TextOps.badwordsOf(df).collect()
-      .map(r => r.getLong(0) -> ((r.getInt(1), r.getDouble(2),
-        r.getString(3), r.getBoolean(4)))).toMap
+      .map(r => r.getAs[Long]("doc_id") -> ((r.getAs[Int]("n_bad"), r.getAs[Double]("bad_ratio"),
+        r.getAs[String]("scrubbed"), r.getAs[Boolean]("badwords_pass")))).toMap
     assert(got(1L) == ((0, 0.0,
       "clean text with nothing listed here at all ok ok", true)))
     val m = TextOps.MaskToken
@@ -287,7 +287,7 @@ class CorpusOpsSpec extends SparkSpecBase {
       id -> ((n, n.toDouble / toks.length <= TextOps.BadRatioMax))
     }.toMap
     val got = TextOps.badwords(spark, Sf).collect()
-      .map(r => r.getLong(0) -> ((r.getInt(1), r.getBoolean(4)))).toMap
+      .map(r => r.getAs[Long]("doc_id") -> ((r.getAs[Int]("n_bad"), r.getAs[Boolean]("badwords_pass")))).toMap
     assert(got == want)
     assert(want.values.exists(!_._2), "fixture should trip the gate somewhere")
   }
@@ -322,7 +322,7 @@ class CorpusOpsSpec extends SparkSpecBase {
       (ok, openOrders(ok)._1, openOrders(ok)._2, dsum(xs.map(_._2).toSeq))
     }.toSeq.sortBy { case (ok, _, _, rev) => (-rev, ok) }.take(10)
     val got = Relational.shippingPriority(spark, Sf).collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getDouble(3)))
+      .map(r => (r.getAs[Long]("l_orderkey"), r.getAs[Long]("order_us"), r.getAs[String]("o_orderpriority"), r.getAs[Double]("revenue")))
     assert(got.toSeq == want)
   }
 
@@ -344,8 +344,8 @@ class CorpusOpsSpec extends SparkSpecBase {
         (ck, name, bal, nation(nk), dsum(xs.map(_._2).toSeq), xs.size.toLong)
       }.toSeq.sortBy { case (ck, _, _, _, rev, _) => (-rev, ck) }.take(20)
     val got = Relational.returnedCustomers(spark, Sf).collect()
-      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2),
-        r.getString(3), r.getDouble(4), r.getLong(5)))
+      .map(r => (r.getAs[Long]("c_custkey"), r.getAs[String]("c_name"), r.getAs[Double]("c_acctbal"),
+        r.getAs[String]("n_name"), r.getAs[Double]("revenue"), r.getAs[Long]("n_returned")))
     assert(got.toSeq == want)
   }
 
@@ -364,8 +364,8 @@ class CorpusOpsSpec extends SparkSpecBase {
     }.sortBy { case (w1, w2, _, lift) => (-lift, w1, w2) }
       .take(TextOps.TopCollocations)
     val got = TextOps.collocations(spark, Sf).collect()
-      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
-        r.getDouble(3)))
+      .map(r => (r.getAs[String]("w1"), r.getAs[String]("w2"), r.getAs[Long]("c_xy"),
+        r.getAs[Double]("lift")))
     assert(got.toSeq == want)
   }
 
@@ -381,8 +381,8 @@ class CorpusOpsSpec extends SparkSpecBase {
       (w1, w2, cnt, cnt.toDouble / den.toDouble)
     }.toSet
     val got = TextOps.bigramNext(spark, Sf).collect()
-      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
-        r.getDouble(3))).toSet
+      .map(r => (r.getAs[String]("w1"), r.getAs[String]("next_word"), r.getAs[Long]("c_xy"),
+        r.getAs[Double]("p"))).toSet
     assert(got == want)
     assert(got.forall { case (_, _, _, p) => p > 0.0 && p <= 1.0 })
   }
@@ -405,8 +405,8 @@ class CorpusOpsSpec extends SparkSpecBase {
     }.sortBy { case (v, w, c, _, _, _, _) => (-c, v, w) }
       .take(TextOps.KnTopK)
     val got = TextOps.kneserNey(spark, Sf).collect()
-      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
-        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))
+      .map(r => (r.getAs[String]("w1"), r.getAs[String]("w2"), r.getAs[Long]("c_xy"),
+        r.getAs[Long]("c_x"), r.getAs[Long]("n1_fwd"), r.getAs[Long]("n1_bwd"), r.getAs[Long]("p_scaled")))
     assert(got.toSeq == want)
     // a proper probability at the fixed point, never clipped to zero
     // (observed bigrams have c ≥ 1 so the discount never exhausts them)
@@ -428,8 +428,8 @@ class CorpusOpsSpec extends SparkSpecBase {
       .sortBy { case (w, _, _, d) => (-math.abs(d), w) }
       .take(TextOps.VocabDriftTopK)
     val got = TextOps.vocabDrift(spark, Sf).collect()
-      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
-        r.getLong(3))).toSeq
+      .map(r => (r.getAs[String]("word"), r.getAs[Long]("c_base"), r.getAs[Long]("c_cur"),
+        r.getAs[Long]("delta"))).toSeq
     assert(got == want)
     // top-k compiles to bounded heaps, never a vocabulary sort
     val plan = TextOps.vocabDrift(spark, Sf)
@@ -489,8 +489,8 @@ class CorpusOpsSpec extends SparkSpecBase {
       }
     }.sortBy(_._1).toSeq
     val got = TextOps.knScore(spark, Sf).collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
-        r.getString(3), r.getLong(4), r.getDouble(5)))
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_trans"), r.getAs[String]("min_w1"),
+        r.getAs[String]("min_w2"), r.getAs[Long]("min_p_scaled"), r.getAs[Double]("mean_p_scaled")))
       .sortBy(_._1).toSeq
     assert(got == want)
   }
@@ -514,8 +514,8 @@ class CorpusOpsSpec extends SparkSpecBase {
         xs.count(d => pass(d._3)).toLong)
     }.toSet
     val got = TextOps.sourceStats(spark, Sf).collect()
-      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
-        r.getLong(4))).toSet
+      .map(r => (r.getAs[String]("source"), r.getAs[Long]("n_docs"), r.getAs[Long]("n_tokens"), r.getAs[Long]("n_langs"),
+        r.getAs[Long]("n_pass"))).toSet
     assert(got == want)
     assert(want.size > 1)
   }
@@ -530,8 +530,8 @@ class CorpusOpsSpec extends SparkSpecBase {
       }
     }.toSet
     val got = Relational.trailingSpend(spark, Sf).collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(4),
-        r.getLong(5))).toSet
+      .map(r => (r.getAs[Long]("o_orderkey"), r.getAs[Long]("o_custkey"), r.getAs[Long]("order_us"), r.getAs[Double]("trailing_spend"),
+        r.getAs[Long]("n_recent"))).toSet
     assert(got == want)
     // windows genuinely accumulate: some order has >1 recent order
     assert(want.exists(_._5 > 1L))
@@ -546,14 +546,14 @@ class CorpusOpsSpec extends SparkSpecBase {
     val want = custs.map(ck => perCust.getOrElse(ck, 0L))
       .groupBy(identity).map { case (n, xs) => (n, xs.length.toLong) }.toSet
     val got = Relational.customerOrdersDist(spark, Sf).collect()
-      .map(r => (r.getLong(0), r.getLong(1))).toSet
+      .map(r => (r.getAs[Long]("n_orders"), r.getAs[Long]("n_custs"))).toSet
     assert(got == want)
     // no fixture customer has zero orders, so pin the outer-join zero
     // path on an in-memory pair: customers 1,2,3 with orders only for 1,1,3
     val dist = Relational.customerOrdersDistOf(
       Seq(1L, 2L, 3L).toDF("c_custkey"),
       Seq(1L, 1L, 3L).toDF("o_custkey"))
-      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      .collect().map(r => (r.getAs[Long]("n_orders"), r.getAs[Long]("n_custs"))).toSet
     assert(dist == Set((0L, 1L), (1L, 1L), (2L, 1L)))
   }
 
@@ -569,7 +569,7 @@ class CorpusOpsSpec extends SparkSpecBase {
       }
     }.toSet
     val got = graft.operators.Similarity.embQuantize(spark, Sf).collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("i"), r.getAs[Double]("scale"), r.getAs[Long]("q")))
       .toSet
     assert(got == want)
     assert(got.forall { case (_, _, _, q) => math.abs(q) <= 127 })
@@ -608,7 +608,7 @@ class CorpusOpsSpec extends SparkSpecBase {
           .map { case ((a, b, s), i) => (a, b, s, i + 1) }
     }.toSet
     val got = Similarity.int8TopK(spark, Sf).collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"), r.getAs[Double]("qdot"), r.getAs[Int]("rank")))
       .toSet
     assert(got == want)
     // the int8 ranking should broadly agree with the exact cosine one:
@@ -644,7 +644,7 @@ class CorpusOpsSpec extends SparkSpecBase {
       for (a <- ids; b <- ids if a < b) yield (a, b)
     }.toSet
     val got = Multimodal.featureDup(spark, Sf).collect()
-      .map(r => (r.getLong(0), r.getLong(1))).toSet
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
     assert(got == want)
     assert(got.nonEmpty, "fixture should contain feature-level near-dups")
   }
@@ -678,7 +678,7 @@ class CorpusOpsSpec extends SparkSpecBase {
       acc * st * sm / 16129.0
     }
     val got = Multimodal.captionScore(spark, Sf).collect()
-      .map(r => r.getLong(0) -> ((r.getDouble(1), r.getBoolean(2)))).toMap
+      .map(r => r.getAs[Long]("doc_id") -> ((r.getAs[Double]("cap_score"), r.getAs[Boolean]("aligned")))).toMap
     assert(got.keySet == (texts.keySet intersect embs.keySet))
     got.foreach { case (id, (s, al)) =>
       assert(s == score(embs(id), texts(id)), s"doc $id score")
@@ -704,7 +704,7 @@ class CorpusOpsSpec extends SparkSpecBase {
     val embDf = Tables(spark, Sf, "embeddings")
       .selectExpr("vec_id as doc_id", "embedding")
     val mis = Multimodal.captionScoreOf(spark, mfRows, embDf).collect()
-      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("cap_score")).toMap
     // swapped keys score against the OTHER doc's media...
     assert(mis(a) == score(embs(a), texts(b)), "swapped pair a")
     assert(mis(b) == score(embs(b), texts(a)), "swapped pair b")
@@ -771,7 +771,7 @@ class CorpusOpsSpec extends SparkSpecBase {
       }
     }.toSet
     val got = Relational.aboveAvgOrders(spark, Sf).collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+      .map(r => (r.getAs[Long]("o_orderkey"), r.getAs[Long]("o_custkey"), r.getAs[Double]("o_totalprice"), r.getAs[Long]("n_orders")))
       .toSet
     assert(got == want)
     assert(got.nonEmpty && got.size < orders.length)
@@ -791,8 +791,8 @@ class CorpusOpsSpec extends SparkSpecBase {
         (ck, custName(ck), ok, us, price, sumQty(ok))
     }.sortBy { case (_, _, ok, _, price, _) => (-price, ok) }.take(100).toSeq
     val got = Relational.bigOrders(spark, Sf).collect()
-      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
-        r.getDouble(4), r.getDouble(5))).toSeq
+      .map(r => (r.getAs[Long]("c_custkey"), r.getAs[String]("c_name"), r.getAs[Long]("o_orderkey"), r.getAs[Long]("order_us"),
+        r.getAs[Double]("o_totalprice"), r.getAs[Double]("sum_qty"))).toSeq
     assert(got == want)
     assert(got.nonEmpty, "fixture should contain big orders")
   }
@@ -836,8 +836,8 @@ class CorpusOpsSpec extends SparkSpecBase {
       (4L, "no markup at all", "no markup at all"))
       .toDF("doc_id", "orig", "html")
     val got = TextOps.boilerplateStripOf(pairs).collect()
-      .map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2),
-        r.getBoolean(3), r.getLong(4)))).toMap
+      .map(r => r.getAs[Long]("doc_id") -> ((r.getAs[Long]("n_tags"), r.getAs[Boolean]("had_boiler"),
+        r.getAs[Boolean]("restored"), r.getAs[Long]("n_chars")))).toMap
     assert(got(1L) == ((4L, false, true, "plain words here".length.toLong)))
     assert(got(2L) == ((4L, true, true, "keep me".length.toLong)))
     assert(got(3L) == ((2L, false, false,
@@ -845,7 +845,7 @@ class CorpusOpsSpec extends SparkSpecBase {
     assert(got(4L) == ((0L, false, true, "no markup at all".length.toLong)))
     // and the fixture entry restores EVERY document
     val entry = TextOps.boilerplateStrip(spark, Sf).collect()
-    assert(entry.nonEmpty && entry.forall(_.getBoolean(3)))
+    assert(entry.nonEmpty && entry.forall(_.getAs[Boolean]("restored")))
   }
 
   test("signal correlation replays the quantized Pearson arithmetic") {
@@ -877,8 +877,8 @@ class CorpusOpsSpec extends SparkSpecBase {
         if (cov > 0) 1L else if (cov < 0) -1L else 0L))
     }).toMap
     val got = TextOps.signalCorr(spark, Sf).collect()
-      .map(r => (r.getString(0), r.getString(1)) ->
-        ((r.getLong(2), r.getDouble(3), r.getLong(4)))).toMap
+      .map(r => (r.getAs[String]("sig_a"), r.getAs[String]("sig_b")) ->
+        ((r.getAs[Long]("n"), r.getAs[Double]("r2"), r.getAs[Long]("sign")))).toMap
     assert(got == expect)
     // the redundancy the audit exists to catch: chars ~ tokens
     assert(got(("n_chars", "n_tokens"))._2 > 0.9)
@@ -903,8 +903,8 @@ class CorpusOpsSpec extends SparkSpecBase {
         masks.count(identity).toDouble / n.toDouble))
     }.toMap
     val got = TextOps.spanCorrupt(spark, Sf).collect()
-      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
-        r.getLong(3), r.getDouble(4)))).toMap
+      .map(r => r.getAs[Long]("doc_id") -> ((r.getAs[Long]("n_tokens"), r.getAs[Long]("n_masked"),
+        r.getAs[Long]("n_spans"), r.getAs[Double]("mask_frac")))).toMap
     assert(got == expect)
     // the coin is honest: corpus-level mask rate near the 15% target
     val frac = got.values.map(_._2).sum.toDouble /
@@ -934,8 +934,8 @@ class CorpusOpsSpec extends SparkSpecBase {
       .zipWithIndex.map { case ((w, a, b, chi2), i) =>
         (w, a, b, chi2, (i + 1).toLong) }
     val got = TextOps.chi2Terms(spark, Sf).collect()
-      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
-        r.getDouble(3), r.getLong(4))).sortBy(_._5).toSeq
+      .map(r => (r.getAs[String]("word"), r.getAs[Long]("a"), r.getAs[Long]("b"),
+        r.getAs[Double]("chi2"), r.getAs[Long]("rk"))).sortBy(_._5).toSeq
     assert(got == expect.toSeq)
   }
 
@@ -955,8 +955,8 @@ class CorpusOpsSpec extends SparkSpecBase {
       "token" -> hhi(docs.flatMap(_._3.split(" ")).groupBy(identity)
         .values.map(_.size.toLong).toSeq))
     val got = TextOps.concentration(spark, Sf).collect()
-      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
-        r.getDouble(3), r.getDouble(4)))).toMap
+      .map(r => r.getAs[String]("axis") -> ((r.getAs[Long]("n_groups"), r.getAs[Long]("total"),
+        r.getAs[Double]("hhi"), r.getAs[Double]("effective_n")))).toMap
     assert(got.keySet == expect.keySet)
     expect.foreach { case (axis, (ng, tot, h)) =>
       val (gn, gt, gh, geff) = got(axis)
@@ -968,10 +968,10 @@ class CorpusOpsSpec extends SparkSpecBase {
   test("voiceActivity equals a sequential per-doc replay of the gate") {
     import graft.operators.Multimodal
     val frames = Multimodal.audioEnergy(spark, Sf).collect()
-      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("frame_idx"), r.getAs[Long]("energy")))
     val got = Multimodal.voiceActivity(spark, Sf).collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3),
-        r.getLong(4))).toSet
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("seg_id"), r.getAs[Long]("n_frames"), r.getAs[Int]("start_frame"),
+        r.getAs[Long]("sum_energy"))).toSet
     val want = frames.groupBy(_._1).flatMap { case (doc, fs) =>
       val active = fs.filter(_._3 >= Multimodal.VadThreshold).sortBy(_._2)
       var prevIdx = Option.empty[Int]
@@ -995,8 +995,8 @@ class CorpusOpsSpec extends SparkSpecBase {
   test("retrievalEval self-rank equals the sequential count-above-self") {
     import graft.operators.Multimodal
     val got = Multimodal.retrievalEval(spark, Sf).collect()
-      .map(r => r.getLong(0) ->
-        (r.getLong(1), r.getBoolean(2), r.getBoolean(3))).toMap
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("self_rank"), r.getAs[Boolean]("hit1"), r.getAs[Boolean]("hitk"))).toMap
     assert(got.size == Multimodal.MmEvalQ)
     // sequential replay on the collected modality tables
     val media = Multimodal.queries("llm_mm_decode_features")(spark, Sf)
@@ -1041,8 +1041,8 @@ class CorpusOpsSpec extends SparkSpecBase {
       (1L, "z", "b", "s1", 1L))
       .toDF("doc_id", "text", "lang", "source", "n_chars")
     val got = graft.operators.TextOps.vocabGiniOf(corpus).collect()
-      .map(r => r.getString(0) ->
-        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4))))
+      .map(r => r.getAs[String]("lang") ->
+        ((r.getAs[Long]("n_tokens"), r.getAs[Long]("n_types"), r.getAs[Double]("gini"), r.getAs[Double]("simpson_eff"))))
       .toMap
     // lang a: cf = {x:2, y:1}, C=3, sq=5 -> gini 4/9, simpson 9/5
     assert(got("a") == ((3L, 2L, 4.0 / 9.0, 9.0 / 5.0)))
@@ -1059,7 +1059,7 @@ class CorpusOpsSpec extends SparkSpecBase {
     // hash values: the chunk pigeonhole must lose nothing at radius
     // <= PhashHamMax
     val got = Multimodal.phashDedup(spark, Sf).collect()
-      .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+      .map(r => ((r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")), r.getAs[Long]("hamming"))).toMap
     // recompute hashes in-memory with the same exact-integer rule
     val docs = graft.Tables(spark, Sf, "documents")
       .select("doc_id", "text").collect()

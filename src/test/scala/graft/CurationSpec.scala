@@ -27,7 +27,7 @@ class CurationSpec extends SparkSpecBase {
 
   test("stratified sampling keeps exactly the docs with u(id) < rate(lang)") {
     val got = Curation.sampleStratified(spark, Sf).collect()
-      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("lang"), r.getAs[Double]("u"))).toSet
     val want = docs.collect {
       case (id, lang, _) if u(id) < rate(lang) => (id, lang, u(id))
     }.toSet
@@ -35,13 +35,13 @@ class CurationSpec extends SparkSpecBase {
     assert(got.nonEmpty && got.size < docs.size) // both sides of the gate
     // reproducible: hash sampling is a pure row function
     val again = Curation.sampleStratified(spark, Sf).collect()
-      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("lang"), r.getAs[Double]("u"))).toSet
     assert(again == got)
   }
 
   test("two-level shard packing equals the naive global prefix sum") {
     val got = Curation.packShards(spark, Sf).collect()
-      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+      .map(r => (r.getAs[Long]("doc_id"), (r.getAs[Long]("n_tokens"), r.getAs[Long]("shard")))).toMap
     var cum = 0L
     val want = docs.sortBy(_._1).map { case (id, _, text) =>
       val n = text.split(" ", -1).length.toLong
@@ -68,7 +68,7 @@ class CurationSpec extends SparkSpecBase {
       // 1..7 single-char tokens per doc, deterministic in doc_id
       "array_join(array_repeat('x', cast(id % 7 AS INT) + 1), ' ') AS text")
     val got = Curation.packShardsOf(corpus).collect()
-      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+      .map(r => (r.getAs[Long]("doc_id"), (r.getAs[Long]("n_tokens"), r.getAs[Long]("shard")))).toMap
     var cum = 0L
     val want = (0L until n).map { id =>
       val tok = (id % 7) + 1
@@ -85,7 +85,7 @@ class CurationSpec extends SparkSpecBase {
 
   test("split assigns every doc exactly one split by the salted uniform") {
     val got = Curation.splitAssign(spark, Sf).collect()
-      .map(r => (r.getLong(0), r.getDouble(1), r.getString(2)))
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Double]("u"), r.getAs[String]("split")))
     // a partition of the corpus: every doc appears exactly once
     assert(got.map(_._1).toSet == docs.map(_._1).toSet)
     assert(got.length == docs.size)
@@ -106,7 +106,7 @@ class CurationSpec extends SparkSpecBase {
     // stable under repartitioning (pure row function)
     val again = Curation.splitAssignOf(
       graft.Tables(spark, Sf, "documents").repartition(7)).collect()
-      .map(r => (r.getLong(0), r.getString(2))).toSet
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("split"))).toSet
     assert(again == got.map(t => (t._1, t._3)).toSet)
   }
 
@@ -117,13 +117,13 @@ class CurationSpec extends SparkSpecBase {
     val batch = Seq((2L, 1L, "new two"), (9L, 1L, "brand new"))
       .toDF("doc_id", "version", "text")
     val got = Curation.upsertOf(snap, batch).collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("version"), r.getAs[String]("text"))).toSet
     assert(got == Set((1L, 0L, "old one"), (2L, 1L, "new two"),
       (3L, 0L, "old three"), (9L, 1L, "brand new")))
     // fixture entry: exactly the mod-keyed docs advance to version 1
     // with reversed tokens; everything else is version 0 verbatim
     val full = Curation.upsert(spark, Sf).collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("version"), r.getAs[String]("text")))
     assert(full.map(_._1).toSet == docs.map(_._1).toSet)
     val byId = docs.map(d => d._1 -> d._3).toMap
     full.foreach { case (id, v, text) =>
@@ -138,9 +138,9 @@ class CurationSpec extends SparkSpecBase {
 
   test("pipelineE2e = strict curation → chunking → packing, composed") {
     val kept = Curation.curateStrict(spark, Sf).collect()
-      .map(_.getLong(0)).toSet
+      .map(_.getAs[Long]("doc_id")).toSet
     val chunks = Curation.chunk(spark, Sf).collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getInt(3).toLong))
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("chunk_id"), r.getAs[Int]("n_tokens").toLong))
       .filter(c => kept(c._1))
       .sortBy(c => (c._1, c._2))
     var cum = 0L
@@ -150,7 +150,7 @@ class CurationSpec extends SparkSpecBase {
       (id, cid, n, shard)
     }.toSet
     val got = Curation.pipelineE2e(spark, Sf).collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("chunk_id"), r.getAs[Long]("n_tokens"), r.getAs[Long]("shard")))
       .toSet
     assert(got == want)
     // only curated docs flow through, and they span multiple shards
@@ -161,12 +161,12 @@ class CurationSpec extends SparkSpecBase {
 
   test("pipeline_incremental: per-key ledger matches its constituents") {
     val rows = Curation.pipelineIncremental(spark, Sf).collect()
-      .map(r => r.getLong(0) -> ((r.getString(1), r.getBoolean(2),
-        r.getBoolean(3), r.getBoolean(4), r.getBoolean(5),
-        r.getLong(6), r.getLong(7), r.getLong(8)))).toMap
+      .map(r => r.getAs[Long]("doc_id") -> ((r.getAs[String]("status"), r.getAs[Boolean]("is_dup"),
+        r.getAs[Boolean]("quality_pass"), r.getAs[Boolean]("is_en"), r.getAs[Boolean]("accepted"),
+        r.getAs[Long]("n_tokens_new"), r.getAs[Long]("n_tokens_old"), r.getAs[Long]("token_delta")))).toMap
     // the report covers exactly the diff's added/changed/removed keys
     val diff = Curation.snapshotDiff(spark, Sf).collect()
-      .map(r => r.getLong(0) -> r.getString(1)).toMap
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("status")).toMap
     val affected = diff.filter(kv => kv._2 != "unchanged")
     assert(rows.keySet == affected.keySet)
     rows.foreach { case (id, (status, _, _, _, _, _, _, _)) =>
@@ -202,9 +202,9 @@ class CurationSpec extends SparkSpecBase {
 
   test("curate_diverse = md5 cluster cap over exactly the curated set") {
     import graft.operators.Similarity
-    val kept = Curation.curate(spark, Sf).collect().map(_.getLong(0)).toSet
+    val kept = Curation.curate(spark, Sf).collect().map(_.getAs[Long]("doc_id")).toSet
     val got = Curation.curateDiverse(spark, Sf).collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("cid"), r.getAs[Long]("cluster_n"), r.getAs[Long]("rk")))
     // brute force: corpus-trained refined quantizer, assignment + md5
     // rank restricted to the curated survivors
     val embDf = graft.Tables(spark, Sf, "embeddings")
@@ -245,7 +245,7 @@ class CurationSpec extends SparkSpecBase {
     val corpus = graft.Tables(spark, Sf, "documents")
       .select("doc_id", "text")
     val got = Curation.datasetHashOf(corpus).collect()
-      .map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2)))).toMap
+      .map(r => r.getAs[Long]("shard") -> ((r.getAs[Long]("n_docs"), r.getAs[String]("digest")))).toMap
     // driver replay of the two digest levels
     val d = corpus.collect().map(r => (r.getLong(0), r.getString(1)))
     val perShard = d.groupBy(_._1 / Curation.HashShard)
@@ -260,14 +260,14 @@ class CurationSpec extends SparkSpecBase {
     assert(got(-1L) == ((d.length.toLong, wantCorpus)))
     // repartitioning cannot move the digest
     val again = Curation.datasetHashOf(corpus.repartition(7)).collect()
-      .map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2)))).toMap
+      .map(r => r.getAs[Long]("shard") -> ((r.getAs[Long]("n_docs"), r.getAs[String]("digest")))).toMap
     assert(again == got)
     // one flipped byte in one doc flips exactly its shard + the corpus
     val s2 = spark; import s2.implicits._
     val tampered = d.map { case (id, tx) =>
       (id, if (id == 3L) tx + "x" else tx) }.toSeq.toDF("doc_id", "text")
     val t = Curation.datasetHashOf(tampered).collect()
-      .map(r => r.getLong(0) -> r.getString(2)).toMap
+      .map(r => r.getAs[Long]("shard") -> r.getAs[String]("digest")).toMap
     got.foreach { case (sh, (_, dig)) =>
       if (sh == 3L / Curation.HashShard || sh == -1L)
         assert(t(sh) != dig, s"shard $sh should have flipped")
@@ -285,8 +285,8 @@ class CurationSpec extends SparkSpecBase {
       l -> math.sqrt(n.toDouble / tot.toDouble) }
     val denom = s.toSeq.sortBy(_._1).map(_._2).foldLeft(0.0)(_ + _)
     val got = Curation.mixTemperature(spark, Sf).collect()
-      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2),
-        r.getDouble(3), r.getDouble(4)))).toMap
+      .map(r => r.getAs[String]("lang") -> ((r.getAs[Long]("n_tokens"), r.getAs[Double]("share"),
+        r.getAs[Double]("temp_weight"), r.getAs[Double]("boost")))).toMap
     assert(got.keySet == perLang.keySet)
     got.foreach { case (l, (n, share, w, boost)) =>
       assert(n == perLang(l), l)
@@ -304,8 +304,8 @@ class CurationSpec extends SparkSpecBase {
 
   test("pack offsets: within-shard offsets replay the global prefix sum") {
     val rows = Curation.packOffsets(spark, Sf).collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
-        r.getLong(4)))
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("chunk_id"), r.getAs[Long]("n_tokens"), r.getAs[Long]("shard"),
+        r.getAs[Long]("offset")))
     assert(rows.nonEmpty)
     // global sequential replay in (doc_id, chunk_id) order
     var cum = 0L
@@ -318,7 +318,7 @@ class CurationSpec extends SparkSpecBase {
     }
     // shard ids agree with packChunks row-for-row
     val shardOf = Curation.packChunks(spark, Sf).collect()
-      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(3)).toMap
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("chunk_id")) -> r.getAs[Long]("shard")).toMap
     rows.foreach { case (doc, chunk, _, shard, _) =>
       assert(shardOf((doc, chunk)) == shard, s"($doc,$chunk)")
     }
@@ -338,7 +338,7 @@ class CurationSpec extends SparkSpecBase {
 
   test("corpus card: every section recounts from its constituent tables") {
     val rows = Curation.corpusCard(spark, Sf).collect()
-      .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+      .map(r => (r.getAs[String]("section"), r.getAs[String]("metric")) -> r.getAs[Double]("value")).toMap
     // volume from a direct recount
     val toks = graft.Tables(spark, Sf, "documents")
       .selectExpr("lang", "source",
@@ -361,15 +361,15 @@ class CurationSpec extends SparkSpecBase {
     assert(math.abs(shareSum - 1.0) < 1e-9)
     // gate rates re-aggregate from the gate report
     val gr = Curation.gateReport(spark, Sf).collect()
-    val nd = gr.map(_.getLong(1)).sum.toDouble
-    def rate(i: Int) = gr.map(_.getLong(i)).sum.toDouble / nd
-    assert(rows(("gate_rate", "quality")) == rate(2))
-    assert(rows(("gate_rate", "repetition")) == rate(3))
-    assert(rows(("gate_rate", "badwords")) == rate(4))
-    assert(rows(("gate_rate", "english")) == rate(5))
-    assert(rows(("gate_rate", "decontaminated")) == rate(6))
-    assert(rows(("gate_rate", "unique")) == rate(7))
-    assert(rows(("gate_rate", "corpus")) == rate(8))
+    val nd = gr.map(_.getAs[Long]("n_docs")).sum.toDouble
+    def rate(c: String) = gr.map(_.getAs[Long](c)).sum.toDouble / nd
+    assert(rows(("gate_rate", "quality")) == rate("n_quality"))
+    assert(rows(("gate_rate", "repetition")) == rate("n_rep"))
+    assert(rows(("gate_rate", "badwords")) == rate("n_badwords"))
+    assert(rows(("gate_rate", "english")) == rate("n_en"))
+    assert(rows(("gate_rate", "decontaminated")) == rate("n_clean"))
+    assert(rows(("gate_rate", "unique")) == rate("n_unique"))
+    assert(rows(("gate_rate", "corpus")) == rate("n_corpus"))
     // exact quantiles: the ceil(q·n)-th smallest token count
     val sorted = toks.map(_._3.toDouble).sorted
     Curation.CardQs.foreach { q =>
@@ -380,14 +380,14 @@ class CurationSpec extends SparkSpecBase {
 
   test("quality drift recounts from the per-doc quality tables") {
     val got = Curation.qualityDrift(spark, Sf).collect()
-      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
-        r.getDouble(3), r.getDouble(4), r.getDouble(5), r.getDouble(6))))
+      .map(r => r.getAs[String]("snapshot") -> ((r.getAs[Long]("n_docs"), r.getAs[Long]("n_pass"),
+        r.getAs[Double]("pass_rate"), r.getAs[Double]("mean_tokens"), r.getAs[Double]("mean_distinct_ratio"), r.getAs[Double]("mean_stopword_ratio"))))
       .toMap
     assert(got.keySet == Set("current", "next"))
     def recount(side: org.apache.spark.sql.DataFrame) = {
       val rows = TextOps.qualityScoreOf(side).collect()
-        .map(r => (r.getInt(1).toLong, r.getDouble(2), r.getDouble(3),
-          r.getBoolean(4)))
+        .map(r => (r.getAs[Int]("n_tokens").toLong, r.getAs[Double]("distinct_ratio"), r.getAs[Double]("stopword_ratio"),
+          r.getAs[Boolean]("quality_pass")))
       val n = rows.length.toLong
       val nPass = rows.count(_._4).toLong
       def dmean(xs: Seq[Double]) =
@@ -410,20 +410,20 @@ class CurationSpec extends SparkSpecBase {
   }
 
   test("curate = quality pass ∩ lang=en − minhash near-dup victims") {
-    val got = Curation.curate(spark, Sf).collect().map(_.getLong(0)).toSet
+    val got = Curation.curate(spark, Sf).collect().map(_.getAs[Long]("doc_id")).toSet
     val q = TextOps.qualityScore(spark, Sf)
-      .collect().filter(_.getBoolean(4)).map(_.getLong(0)).toSet
+      .collect().filter(_.getAs[Boolean]("quality_pass")).map(_.getAs[Long]("doc_id")).toSet
     val en = TextOps.langId(spark, Sf)
-      .collect().filter(_.getString(5) == "en").map(_.getLong(0)).toSet
+      .collect().filter(_.getAs[String]("lang_pred") == "en").map(_.getAs[Long]("doc_id")).toSet
     val dup = Dedup.minhashLsh(spark, Sf)
-      .collect().map(_.getLong(1)).toSet
+      .collect().map(_.getAs[Long]("doc_b")).toSet
     assert(got == (q & en) -- dup)
     assert(got.nonEmpty && got.size < docs.size)
   }
 
   test("curriculum stages match the brute-force cumulative-share bands") {
     val got = Curation.curriculum(spark, Sf).collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("bucket"), r.getAs[Long]("n_tokens"), r.getAs[Long]("stage")))
     // driver-side replay: bucket by distinct ratio, prefix-sum the
     // bucket token totals in ascending-bucket order, band at 50%/80%
     val base = docs.map { case (id, _, text) =>
@@ -455,8 +455,8 @@ class CurationSpec extends SparkSpecBase {
 
   test("mix epochs: brute-force replay, cap respected, budget-shaped") {
     val got = Curation.mixEpochs(spark, Sf).collect()
-      .map(r => r.getString(0) -> ((r.getLong(2), r.getDouble(3),
-        r.getDouble(4), r.getDouble(5)))).toMap
+      .map(r => r.getAs[String]("lang") -> ((r.getAs[Long]("n_tokens"), r.getAs[Double]("mix_weight"),
+        r.getAs[Double]("epochs"), r.getAs[Double]("planned_tokens")))).toMap
     val perLang = docs.groupBy(_._2).view.mapValues { xs =>
       xs.map(_._3.split(" ", -1).length.toLong).sum
     }.toMap
@@ -480,8 +480,8 @@ class CurationSpec extends SparkSpecBase {
 
   test("fertility: >= 1 per language, accounts for every document") {
     val rows = TextOps.fertility(spark, Sf).collect()
-      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
-        r.getDouble(4)))
+      .map(r => (r.getAs[String]("lang"), r.getAs[Long]("n_docs"), r.getAs[Long]("n_words"), r.getAs[Long]("n_subwords"),
+        r.getAs[Double]("fertility")))
     assert(rows.nonEmpty)
     rows.foreach { case (lang, _, nw, ns, f) =>
       assert(ns >= nw, s"$lang: $ns subwords < $nw words")
@@ -498,7 +498,7 @@ class CurationSpec extends SparkSpecBase {
     val sched = Curation.mixEpochsOf(docs).collect()
       .map(r => r.getAs[String]("lang") -> r.getAs[Double]("epochs")).toMap
     val manifest = Curation.mixUpsampleOf(docs).collect()
-      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("lang"), r.getAs[Long]("epoch")))
     val byDoc = manifest.groupBy(m => (m._1, m._2))
     byDoc.foreach { case ((id, lang), rows) =>
       val fl = math.floor(sched(lang)).toLong
@@ -523,7 +523,7 @@ class CurationSpec extends SparkSpecBase {
     val docs = graft.Tables(spark, Sf, "documents")
     val k = 17L // deliberately not the entry constant
     val got = Curation.samplePpsOf(docs, k).collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_tokens"), r.getAs[Long]("n_picks")))
     val lens = docs
       .select(col("doc_id"), size(split(col("text"), " ")).cast("long"))
       .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
@@ -541,8 +541,8 @@ class CurationSpec extends SparkSpecBase {
 
   test("k-anonymity: partition of the corpus, at_risk iff n < K") {
     val rows = Curation.kAnonymity(spark, Sf).collect()
-      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
-        r.getLong(3), r.getBoolean(4)))
+      .map(r => (r.getAs[String]("lang"), r.getAs[String]("source"), r.getAs[Long]("len_bucket"),
+        r.getAs[Long]("n_docs"), r.getAs[Boolean]("at_risk")))
     assert(rows.nonEmpty)
     // the QI cells partition the corpus exactly
     val corpusN = Tables(spark, Sf, "documents").count()
@@ -558,11 +558,11 @@ class CurationSpec extends SparkSpecBase {
 
   test("grouped split: clusters never straddle; singletons keep llm_split") {
     val g = Curation.splitGrouped(spark, Sf).collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("group_key"), r.getAs[String]("split")))
     val base = Curation.splitAssign(spark, Sf).collect()
-      .map(r => (r.getLong(0), r.getString(2))).toMap
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("split"))).toMap
     val clustered = operators.Dedup.clusters(spark, Sf).collect()
-      .map(r => (r.getLong(0), r.getLong(1)))
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("cluster_id")))
     val inCluster = clustered.map(_._1).toSet
     assert(g.length == base.size)
     // every near-dup cluster lands wholly on one side
@@ -626,8 +626,8 @@ class CurationSpec extends SparkSpecBase {
 
   test("pad efficiency: bucketed beats flat, accounting closes") {
     val rows = Curation.padEfficiency(spark, Sf).collect()
-      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
-        r.getLong(3), r.getLong(4), r.getDouble(5)))
+      .map(r => (r.getAs[String]("policy"), r.getAs[Long]("bucket"), r.getAs[Long]("n_docs"),
+        r.getAs[Long]("sum_tokens"), r.getAs[Long]("sum_pad"), r.getAs[Double]("pad_frac")))
     val (bk, fl) = rows.partition(_._1 == "bucketed")
     assert(fl.length == 1 && bk.nonEmpty)
     // same corpus both policies: doc and token totals agree
@@ -648,8 +648,8 @@ class CurationSpec extends SparkSpecBase {
       .select("doc_id", "lang", "text")
     def run(df: org.apache.spark.sql.DataFrame) =
       Curation.shuffleAssignOf(df).collect()
-        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
-          r.getLong(3))).toSet
+        .map(r => (r.getAs[Long]("shard"), r.getAs[Long]("n_docs"), r.getAs[Long]("first_doc_id"),
+          r.getAs[Long]("sum_rank"))).toSet
     val got = run(src)
     // bit-stable whatever the partitioning (the md5 rank is global)
     assert(got == run(src.repartition(7)))
@@ -673,12 +673,13 @@ class CurationSpec extends SparkSpecBase {
     // job; a fixture tweak would erase the proof.
     val clean = Curation.dqChecks(spark, Sf).collect()
     assert(clean.length == 7)
-    val byName = clean.map(r => r.getString(0) -> r).toMap
+    val byName = clean.map(r => r.getAs[String]("check") -> r).toMap
     val liKey = byName("lineitem.(l_orderkey,l_linenumber) unique")
-    assert(!liKey.getBoolean(4) && liKey.getLong(2) == 1401L)
+    assert(!liKey.getAs[Boolean]("passed")
+      && liKey.getAs[Long]("n_bad") == 1401L)
     clean.filter(_ ne liKey).foreach { r =>
-      assert(r.getBoolean(4) && r.getDouble(3) == 1.0
-        && r.getLong(2) == 0L, s"unexpected DQ failure: $r")
+      assert(r.getAs[Boolean]("passed") && r.getAs[Double]("metric") == 1.0
+        && r.getAs[Long]("n_bad") == 0L, s"unexpected DQ failure: $r")
     }
     // planted documents violations: 1 null text, 1 empty text, a
     // duplicated doc_id, and 2 bad langs (one null, one off-list)
@@ -691,7 +692,7 @@ class CurationSpec extends SparkSpecBase {
       (5L, Option("y"), Option("xx")))   // off-whitelist lang
       .toDF("doc_id", "text", "lang")
     val got = Curation.dqDocChecks(docs).collect()
-      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+      .map(r => r.getAs[String]("check") -> ((r.getAs[Long]("n_rows"), r.getAs[Long]("n_bad")))).toMap
     assert(got("documents.text complete") == ((6L, 2L)))
     assert(got("documents.doc_id unique") == ((6L, 1L)))
     assert(got("documents.lang whitelisted") == ((6L, 2L)))
@@ -699,7 +700,7 @@ class CurationSpec extends SparkSpecBase {
     val fk = Curation.dqFkCheck("fk",
       Seq(10L, 20L, 30L).toDF("k"),
       Seq(10L, 20L, 20L).toDF("k")).collect().head
-    assert(fk.getLong(1) == 3L && fk.getLong(2) == 1L)
+    assert(fk.getAs[Long]("n_rows") == 3L && fk.getAs[Long]("n_bad") == 1L)
   }
 
   test("waterfill: allotments sum exactly to the budget, caps ordered") {
@@ -712,22 +713,24 @@ class CurationSpec extends SparkSpecBase {
       .map(src => (src, "w"))
       .toDF("source", "text")
     val got = graft.operators.Curation.mixWaterfillOf(docs).collect()
-      .map(r => r.getString(0) ->
-        ((r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
+      .map(r => r.getAs[String]("source") ->
+        ((r.getAs[Long]("n_tokens"), r.getAs[Long]("allot"), r.getAs[Boolean]("capped")))).toMap
     assert(got("sA") == ((10L, 10L, false)))
     assert(got("sB") == ((20L, 20L, false)))
     assert(got("sC") == ((30L, 30L, false)))
     assert(got("sD") == ((100L, 36L, true)))
     // fixture: the budget holds exactly whatever the distribution is
     val fx = graft.operators.Curation.mixWaterfill(spark, Sf).collect()
-    val tot = fx.map(_.getLong(1)).sum
+    val tot = fx.map(_.getAs[Long]("n_tokens")).sum
     val budget = tot * graft.operators.Curation.WaterNum /
       graft.operators.Curation.WaterDen
-    assert(fx.map(_.getLong(2)).sum == budget)
+    assert(fx.map(_.getAs[Long]("allot")).sum == budget)
     fx.foreach { r =>
-      assert(r.getLong(2) <= r.getLong(1), "allot never exceeds supply")
-      if (!r.getBoolean(3))
-        assert(r.getLong(2) == r.getLong(1), "uncapped keeps everything")
+      assert(r.getAs[Long]("allot") <= r.getAs[Long]("n_tokens"),
+        "allot never exceeds supply")
+      if (!r.getAs[Boolean]("capped"))
+        assert(r.getAs[Long]("allot") == r.getAs[Long]("n_tokens"),
+          "uncapped keeps everything")
     }
   }
 
@@ -735,13 +738,15 @@ class CurationSpec extends SparkSpecBase {
     val fx = graft.operators.Curation.curateBudget(spark, Sf).collect()
     assert(fx.nonEmpty)
     fx.foreach { r =>
-      val (kept, allot) = (r.getLong(2), r.getLong(3))
+      val (kept, allot) =
+        (r.getAs[Long]("tokens_kept"), r.getAs[Long]("allot"))
       assert(kept <= allot, "budget never exceeded")
-      assert(r.getDouble(4) >= 0.0 && r.getDouble(4) <= 1.0)
+      assert(r.getAs[Double]("utilization") >= 0.0
+        && r.getAs[Double]("utilization") <= 1.0)
     }
     // capped sources cannot have full utilization unless docs align
-    val totKept = fx.map(_.getLong(2)).sum
-    val totAllot = fx.map(_.getLong(3)).sum
+    val totKept = fx.map(_.getAs[Long]("tokens_kept")).sum
+    val totAllot = fx.map(_.getAs[Long]("allot")).sum
     assert(totKept <= totAllot)
   }
 
@@ -756,7 +761,7 @@ class CurationSpec extends SparkSpecBase {
       (4L, "g h")        // lone pair
     ).toDF("doc_id", "text")
     val got = Curation.coverageSelectOf(spark, docs, 4, 100).collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .map(r => (r.getAs[Long]("step"), r.getAs[Long]("doc_id"), r.getAs[Long]("gain"), r.getAs[Long]("covered")))
     // step 1: doc 1 (3 bigrams, ties to smaller id over doc 3)
     // step 2: doc 2 (+2: "b e" "e f"), step 3: doc 4 (+1: "g h")
     // step 4: nothing uncovered -> trajectory ends at 3 rows
@@ -765,7 +770,7 @@ class CurationSpec extends SparkSpecBase {
     // fixture: the greedy marginal gain is non-increasing (submodular
     // diminishing returns) and coverage is the running gain sum
     val fx = Curation.coverageSelect(spark, Sf).collect()
-      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3)))
+      .map(r => (r.getAs[Long]("step"), r.getAs[Long]("gain"), r.getAs[Long]("covered")))
     assert(fx.nonEmpty)
     assert(fx.map(_._2).sliding(2).forall(p =>
       p.length < 2 || p(0) >= p(1)))
@@ -784,7 +789,7 @@ class CurationSpec extends SparkSpecBase {
         or <= red && on >= nd && (or < red || on > nd) }
     }.toSet
     val got = Curation.docPareto(spark, Sf).collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("redundancy"), r.getAs[Long]("n_distinct"))).toSet
     assert(got == expect)
     assert(got.nonEmpty)
   }
@@ -799,7 +804,7 @@ class CurationSpec extends SparkSpecBase {
       val docs = counts.flatMap { case (src, n) =>
         Seq.fill(n)((src, "w")) }.toDF("source", "text")
       val got = Curation.mixWaterfillOf(docs).collect()
-        .map(r => r.getString(0) -> r.getLong(2)).toMap
+        .map(r => r.getAs[String]("source") -> r.getAs[Long]("allot")).toMap
       // reference solve, straight from the definition
       val t = counts.map(_._2.toLong).sum *
         Curation.WaterNum / Curation.WaterDen

@@ -33,13 +33,13 @@ class DedupSpec extends SparkSpecBase {
 
   test("exact dedup partitions the corpus (copies sum to total)") {
     val rows = Dedup.exact(spark, Sf).collect()
-    assert(rows.map(_.getLong(1)).sum == docs.size)
-    assert(rows.forall(r => r.getLong(1) >= 1))
+    assert(rows.map(_.getAs[Long]("n_copies")).sum == docs.size)
+    assert(rows.forall(r => r.getAs[Long]("n_copies") >= 1))
   }
 
   test("minhash-LSH reproduces brute-force 3-gram Jaccard >= 0.8 exactly") {
     val got = Dedup.minhashLsh(spark, Sf).collect()
-      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")) -> r.getAs[Double]("jaccard")).toMap
     val want = bruteJaccard(3, Dedup.JaccardMinhash)
     assert(got.keySet == want.keySet,
       s"missed=${want.keySet -- got.keySet} extra=${got.keySet -- want.keySet}")
@@ -68,13 +68,13 @@ class DedupSpec extends SparkSpecBase {
 
   test("ngram inverted-index reproduces brute-force 4-gram Jaccard >= 0.7") {
     val got = Dedup.ngramJaccard(spark, Sf).collect()
-      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")) -> r.getAs[Double]("jaccard")).toMap
     assert(got == bruteJaccard(4, Dedup.JaccardNgram))
   }
 
   test("incremental fixture split (doc_id % 10) finds planted cross-set pairs") {
     val got = Dedup.minhashIncremental(spark, Sf).collect()
-      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+      .map(r => (r.getAs[Long]("new_doc_id"), r.getAs[Long]("corpus_doc_id")) -> r.getAs[Double]("jaccard")).toMap
     val sh = docs.map { case (id, tx) => (id, shingleSet(tx, 3)) }.toMap
     val want = (for {
       a <- sh.keys if a % 10 == 0; b <- sh.keys if b % 10 != 0
@@ -116,7 +116,7 @@ class DedupSpec extends SparkSpecBase {
     // pairs sit far below the Jaccard threshold anyway, and the verify
     // step scores FULL shingle sets, so reported values stay exact.
     def out(stopDf: Int) = Dedup.ngramJaccardOf(corpus, stopDf).collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"), r.getAs[Double]("jaccard"))).toSet
     assert(out(10) == out(Int.MaxValue))
     assert(out(10).map(t => (t._1, t._2)) == Set((100L, 101L)))
     assert(out(10).head._3 == 19.0 / 27.0)
@@ -136,9 +136,9 @@ class DedupSpec extends SparkSpecBase {
     val sh = Dedup.ngramShingles(corpus).localCheckpoint()
     // lossless: the prefix path reports exactly the full-index pairs
     val full = Dedup.ngramJaccardOf(corpus, Int.MaxValue).collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"), r.getAs[Double]("jaccard"))).toSet
     val pref = Dedup.ngramJaccardPrefixOf(corpus).collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"), r.getAs[Double]("jaccard"))).toSet
     assert(pref == full)
     assert(pref.map(t => (t._1, t._2)) == Set((100L, 101L)))
     // the candidate index shrinks: frequency-ascending prefixes hold
@@ -164,7 +164,7 @@ class DedupSpec extends SparkSpecBase {
     assert(got.length == 99 && got.forall(_._3 == 1.0)) // the star, exact
     assert(got.forall(_._1 == 0L)) // all pairs anchor on the representative
     val cl = Dedup.clustersOf(pairs).collect()
-      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster_id")).toMap
     assert(cl.size == 100 && cl.values.forall(_ == 0L)) // one full cluster
   }
 
@@ -197,8 +197,8 @@ class DedupSpec extends SparkSpecBase {
     assert(!methods("minhash").contains((3L, 4L)),
       "minhash @ J3>=0.8 must reject the 0.782 pair")
     val got = Dedup.dedupRecallOf(corpus).collect()
-      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
-        r.getLong(3), r.getDouble(4), r.getDouble(5)))).toMap
+      .map(r => r.getAs[String]("method") -> ((r.getAs[Long]("n_ref"), r.getAs[Long]("n_method"),
+        r.getAs[Long]("n_hit"), r.getAs[Double]("recall"), r.getAs[Double]("precision")))).toMap
     assert(got.keySet == Dedup.DedupRecallMethods.toSet)
     got.foreach { case (m, (nRef, nMethod, nHit, recall, precision)) =>
       val hits = (methods(m) & ref).size.toLong
@@ -221,12 +221,12 @@ class DedupSpec extends SparkSpecBase {
       (10L, 11L), (11L, 12L), (10L, 12L), (20L, 21L))
       .toDF("doc_a", "doc_b")
     val got = Dedup.clustersOf(pairs).collect()
-      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster_id")).toMap
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
       10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
     // fixture components agree with a driver-side union-find
     val fixPairs = Dedup.minhashLsh(spark, Sf).collect()
-      .map(r => (r.getLong(0), r.getLong(1)))
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")))
     val parent = scala.collection.mutable.Map[Long, Long]()
     def find(x: Long): Long = {
       val p = parent.getOrElseUpdate(x, x)
@@ -238,7 +238,7 @@ class DedupSpec extends SparkSpecBase {
     }
     val want = parent.keys.map(k => k -> find(k)).toMap
     val gotFix = Dedup.clusters(spark, Sf).collect()
-      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster_id")).toMap
     assert(gotFix == want)
     assert(gotFix.values.toSet.size < gotFix.size) // non-trivial clusters
   }
@@ -253,7 +253,7 @@ class DedupSpec extends SparkSpecBase {
     val clusterTable = Seq((1L, 1L), (2L, 1L), (3L, 1L),
       (10L, 10L), (11L, 10L), (20L, 20L)).toDF("doc_id", "cluster_id")
     val got = Dedup.keepBestOf(corpus, clusterTable).collect()
-      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3))))
+      .map(r => (r.getAs[Long]("cluster_id"), (r.getAs[Long]("rep_doc_id"), r.getAs[Long]("rep_tokens"), r.getAs[Long]("n_members"))))
       .toMap
     assert(got == Map(
       1L -> ((2L, 5L, 3L)),
@@ -289,7 +289,7 @@ class DedupSpec extends SparkSpecBase {
       } yield (cid, a._1, b._1, c))
     }.toSet
     val got = Dedup.semantic(spark, Sf).collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .map(r => (r.getAs[Long]("cluster_id"), r.getAs[Long]("vec_a"), r.getAs[Long]("vec_b"), r.getAs[Double]("cos_sim")))
       .toSet
     assert(got == want)
     assert(got.nonEmpty, "fixture should contain semantic near-dups")
@@ -304,31 +304,31 @@ class DedupSpec extends SparkSpecBase {
 
   test("index cache invalidation: rebuilt entries reproduce the answer") {
     val before = Dedup.minhashLsh(spark, Sf).collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"), r.getAs[Double]("jaccard"))).toSet
     Dedup.invalidateIndex(spark, Sf)
     val after = Dedup.minhashLsh(spark, Sf).collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"), r.getAs[Double]("jaccard"))).toSet
     assert(after == before)
     graft.operators.Apriori.invalidateSupports(spark, Sf)
     assert(graft.operators.Apriori.freqItemsets(spark, Sf).count() > 0)
     // the drift + probe caches share the same boundary contract
     val drift = graft.operators.Curation.bpeDrift(spark, Sf).collect()
-      .map(r => (r.getLong(0), r.getBoolean(3))).toSet
+      .map(r => (r.getAs[Long]("step"), r.getAs[Boolean]("same"))).toSet
     graft.operators.Curation.invalidateDrift(spark, Sf)
     val drift2 = graft.operators.Curation.bpeDrift(spark, Sf).collect()
-      .map(r => (r.getLong(0), r.getBoolean(3))).toSet
+      .map(r => (r.getAs[Long]("step"), r.getAs[Boolean]("same"))).toSet
     assert(drift2 == drift)
     val probe = graft.operators.Quality.qualityProbe(spark, Sf).collect()
-      .map(r => (r.getLong(0), r.getBoolean(3))).toSet
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Boolean]("pred"))).toSet
     graft.operators.Quality.invalidateProbe(spark, Sf)
     val probe2 = graft.operators.Quality.qualityProbe(spark, Sf).collect()
-      .map(r => (r.getLong(0), r.getBoolean(3))).toSet
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Boolean]("pred"))).toSet
     assert(probe2 == probe)
     val ivf = graft.operators.Similarity.ivfTopK(spark, Sf).collect()
-      .map(r => (r.getLong(0), r.getLong(1))).toSet
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
     graft.operators.Similarity.invalidateCentroids(spark, Sf)
     val ivf2 = graft.operators.Similarity.ivfTopK(spark, Sf).collect()
-      .map(r => (r.getLong(0), r.getLong(1))).toSet
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
     assert(ivf2 == ivf)
   }
 
@@ -337,7 +337,7 @@ class DedupSpec extends SparkSpecBase {
     val corpus = docs.toDF("doc_id", "text")
     def pairs(m: Materialize.Strategy) =
       Dedup.minhashLshOf(corpus, m).collect()
-        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+        .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"), r.getAs[Double]("jaccard"))).toSet
     assert(pairs(Materialize.Disk) == pairs(Materialize.Local))
     assert(pairs(Materialize.None) == pairs(Materialize.Local))
   }
@@ -359,7 +359,7 @@ class DedupSpec extends SparkSpecBase {
       if hd <= Dedup.HammingMax
     } yield (a, b, hd.toLong)).toSet
     val got = Dedup.simhashPairs(spark, Sf).collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"), r.getAs[Long]("hamming"))).toSet
     assert(got == want)
   }
 
@@ -411,7 +411,7 @@ class DedupSpec extends SparkSpecBase {
       (4L, "aaaaaXXXbbbbbXXbcccccccc trailing text"),
       (5L, "ddddddddeeeeeeeeffffffff other")).toDF("doc_id", "text")
     val got = Dedup.fuzzyJoinOf(docs).collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      .map(r => (r.getAs[Long]("da"), r.getAs[Long]("db"), r.getAs[Long]("lev"))).toSet
     assert(got == Set((1L, 2L, 1L), (2L, 3L, 2L), (3L, 4L, 2L)))
     // the over-budget pairs still share the common third segment, so
     // blocking surfaced them as candidates — the exact verify cut them:
@@ -426,13 +426,14 @@ class DedupSpec extends SparkSpecBase {
     val r = Dedup.fuzzyRecall(spark, Sf).collect()
     assert(r.length == 1)
     val row = r.head
-    assert(row.getLong(0) == Dedup.FuzzySample.toLong)
-    assert(row.getLong(1) == row.getLong(2) + row.getLong(3))
-    assert(row.getLong(3) >= 0L)
+    assert(row.getAs[Long]("n_docs") == Dedup.FuzzySample.toLong)
+    assert(row.getAs[Long]("n_true") ==
+      row.getAs[Long]("n_found") + row.getAs[Long]("n_missed"))
+    assert(row.getAs[Long]("n_missed") >= 0L)
     // every found pair is a true pair by construction (verified exact),
     // and on this fixture the aligned-segment blocking is lossless
-    assert(row.getLong(3) == 0L,
-      s"blocking missed ${row.getLong(3)} true pairs at sf0.001")
+    assert(row.getAs[Long]("n_missed") == 0L,
+      s"blocking missed ${row.getAs[Long]("n_missed")} true pairs at sf0.001")
   }
 
   test("containment: planted quote-inclusion found, Jaccard-blind case") {
@@ -445,7 +446,7 @@ class DedupSpec extends SparkSpecBase {
     val corpus = Seq((0L, para), (1L, page), (2L, "x1 x2 x3 x4 x5 x6"))
       .toDF("doc_id", "text")
     val got = Dedup.containmentOf(corpus).collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(5)))
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"), r.getAs[Double]("containment")))
     assert(got.toSeq == Seq((0L, 1L, 1.0)),
       s"expected exactly the planted inclusion, got ${got.toSeq}")
     // and the symmetric n-gram dedup misses it at tau = 0.7
@@ -467,7 +468,7 @@ class DedupSpec extends SparkSpecBase {
       " " + (1 to 30).map(i => s"z$i").mkString(" ")
     val corpus = Seq((0L, base), (1L, container)).toDF("doc_id", "text")
     val got = Dedup.containmentOf(corpus).collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"), r.getAs[Long]("inter"), r.getAs[Long]("sz_a")))
     assert(got.toSeq == Seq((0L, 1L, 27L, 30L)),
       s"boundary containment pair lost: ${got.toSeq}")
   }
@@ -481,8 +482,8 @@ class DedupSpec extends SparkSpecBase {
     val corpus = Seq((0L, a), (1L, b), (2L, "z1 z2 z3 z4 z5 z6 z7 z8"))
       .toDF("doc_id", "text")
     val got = Dedup.spanAlignOf(corpus).collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
-        r.getLong(3), r.getLong(4)))
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"), r.getAs[Long]("lcs_tokens"),
+        r.getAs[Long]("a_start"), r.getAs[Long]("b_start")))
     // the 10 shared tokens start at position 5 of A and 7 of B
     assert(got.toSeq == Seq((0L, 1L, 10L, 5L, 7L)), got.toSeq.toString)
   }

@@ -69,13 +69,13 @@ class DsirSpec extends SparkSpecBase {
 
   test("curate_dsir: selection within the strict survivors, exact quotas") {
     val strict = graft.operators.Curation.curateStrict(spark, Sf)
-      .select("doc_id").collect().map(_.getLong(0)).toSet
+      .select("doc_id").collect().map(_.getAs[Long]("doc_id")).toSet
     val kept = Dsir.curateDsir(spark, Sf).collect()
     assert(kept.map(_.getAs[Long]("doc_id")).toSet.subsetOf(strict))
     // per-source quota over the SURVIVOR counts, not the raw corpus
     val survivorsBySrc = docs.select("doc_id", "source").collect()
-      .filter(r => strict(r.getLong(0)))
-      .groupBy(_.getString(1)).view.mapValues(_.length).toMap
+      .filter(r => strict(r.getAs[Long]("doc_id")))
+      .groupBy(_.getAs[String]("source")).view.mapValues(_.length).toMap
     val keptBySrc = kept.groupBy(_.getAs[String]("source"))
       .view.mapValues(_.length).toMap
     assert(keptBySrc.keySet === survivorsBySrc.keySet.filter(

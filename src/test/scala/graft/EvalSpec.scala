@@ -39,14 +39,14 @@ class EvalSpec extends SparkSpecBase {
       .map { case ((h, r), i) => (i.toLong, h, r) }
       .toDF("doc_id", "h", "r")
     val got = Eval.evalNgramOverlapOf(df).collect()
-      .map(r => r.getLong(0).toInt ->
-        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+      .map(r => r.getAs[Long]("n").toInt ->
+        ((r.getAs[Long]("n_match"), r.getAs[Long]("hyp_total"), r.getAs[Long]("ref_total")))).toMap
     assert(got == expect)
     // the degraded hypothesis must actually differ: 4-gram precision
     // strictly below unigram precision (deletions break long grams
     // disproportionately), and all matches clipped sanely
     val byN = Eval.evalNgramOverlapOf(df).collect()
-      .map(r => r.getLong(0) -> r.getDouble(4)).toMap
+      .map(r => r.getAs[Long]("n") -> r.getAs[Double]("prec")).toMap
     assert(byN(1L) > byN(4L))
     (1 to Eval.MaxN).foreach { n =>
       val (m, ht, rt) = expect(n)
@@ -84,7 +84,7 @@ class EvalSpec extends SparkSpecBase {
     }.groupBy(_._1).map { case (b, xs) =>
       (b, xs.size.toLong, xs.map(_._2).sum) }.toSet
     val got = Eval.evalEditDistanceOf(pairs.toDF("doc_id", "h", "r"))
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .collect().map(r => (r.getAs[Long]("bucket"), r.getAs[Long]("n_docs"), r.getAs[Long]("sum_lev")))
       .toSet
     assert(got == want)
     // deletions must register: not everything lands in bucket 0

@@ -64,7 +64,7 @@ class GraphSpec extends SparkSpecBase {
     val star = Seq((1L, 2L), (1L, 3L), (1L, 4L), (1L, 5L))
       .toDF("a", "b").withColumn("w", lit(1L))
     val ranks = Graph.pagerankOf(star).collect()
-      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      .map(r => r.getAs[Long]("node") -> r.getAs[Long]("pr")).toMap
     assert(ranks(1L) > ranks(2L), s"center should lead: $ranks")
     assert(ranks(2L) == ranks(5L), "leaves tie by symmetry")
     // integer DIV only ever rounds down: total mass <= n * scale,
@@ -82,7 +82,7 @@ class GraphSpec extends SparkSpecBase {
     assert(histTotal == nNodes, s"hist=$histTotal nodes=$nNodes")
     val top = Graph.pagerank(spark, Sf).collect()
     assert(top.length == math.min(Graph.PrTopK, nNodes).toInt)
-    assert(top.map(_.getLong(2)).sorted.toSeq ==
+    assert(top.map(_.getAs[Long]("rk")).sorted.toSeq ==
       (1L to top.length.toLong).toSeq, "rk is 1..k dense")
     Materialize.release(ed)
   }
@@ -105,14 +105,14 @@ class GraphSpec extends SparkSpecBase {
           i <- nodes; j <- nodes if i < j && has(i, j)
           k <- nodes if j < k && has(j, k) && has(i, k)
         } yield 1).size
-        assert(r.getLong(3) == triBrute, s"n=$n edges=$edges")
+        assert(r.getAs[Long]("n_triangles") == triBrute, s"n=$n edges=$edges")
         val wedges = edges.flatMap(e => Seq(e._1, e._2))
           .groupBy(identity).values.map(g => g.size.toLong * (g.size - 1) / 2)
           .sum
-        assert(r.getLong(2) == wedges, s"wedges n=$n")
+        assert(r.getAs[Long]("n_wedges") == wedges, s"wedges n=$n")
         // integer PageRank only ever rounds down: total mass is at most
         // n*scale and within the (tiny) cumulative DIV losses of it
-        val ranks = Graph.pagerankOf(df).collect().map(_.getLong(1))
+        val ranks = Graph.pagerankOf(df).collect().map(_.getAs[Long]("pr"))
         assert(ranks.length == math.min(nodes.size, Graph.PrTopK))
         if (nodes.size <= Graph.PrTopK) {
           val total = ranks.sum
@@ -144,7 +144,7 @@ class GraphSpec extends SparkSpecBase {
           (i.toLong, nodes.toLong, cur.size.toLong)
         }
         val got = Graph.kcoreOf(df).collect()
-          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+          .map(r => (r.getAs[Long]("iter"), r.getAs[Long]("n_nodes"), r.getAs[Long]("n_edges")))
           .sortBy(_._1).toSeq
         assert(got == expect, s"edges=$edges")
         // the trace never grows
@@ -179,7 +179,7 @@ class GraphSpec extends SparkSpecBase {
           .take(Graph.LpTopK).zipWithIndex
           .map { case ((l, s), i) => (l, s, (i + 1).toLong) }
         val got = Graph.labelPropOf(df).collect()
-          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+          .map(r => (r.getAs[Long]("label"), r.getAs[Long]("size"), r.getAs[Long]("rk")))
           .sortBy(_._3).toSeq
         assert(got == expect, s"edges=$edges")
       }
@@ -208,7 +208,7 @@ class GraphSpec extends SparkSpecBase {
         val expect = dist.values.groupBy(identity)
           .map { case (d, g) => (d, g.size.toLong) }.toSet
         val got = Graph.distancesOf(df).collect()
-          .map(r => (r.getLong(0), r.getLong(1))).toSet
+          .map(r => (r.getAs[Long]("dist"), r.getAs[Long]("n_nodes"))).toSet
         assert(got == expect, s"edges=$edges src=$src")
       }
     }
@@ -235,8 +235,8 @@ class GraphSpec extends SparkSpecBase {
           else None
         }.toSet
         val got = Graph.richClubOf(df).collect()
-          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
-            r.getDouble(3))).toSet
+          .map(r => (r.getAs[Long]("k"), r.getAs[Long]("n_rich"), r.getAs[Long]("e_rich"),
+            r.getAs[Double]("phi"))).toSet
         assert(got == expect, s"edges=$edges")
       }
     }
@@ -252,8 +252,8 @@ class GraphSpec extends SparkSpecBase {
       (4L, 5L), (5L, 6L), (4L, 6L), (3L, 4L))
     val rc = Graph.richClubOf(tw.toDF("a", "b")
       .withColumn("w", lit(Graph.StrongW))).collect()
-      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
-        r.getDouble(3)))).toMap
+      .map(r => r.getAs[Long]("k") -> ((r.getAs[Long]("n_rich"), r.getAs[Long]("e_rich"),
+        r.getAs[Double]("phi")))).toMap
     assert(rc == Map(2L -> ((2L, 1L, 1.0))))
   }
 
@@ -287,9 +287,9 @@ class GraphSpec extends SparkSpecBase {
         val df = edges.toDF("a", "b").withColumn("w", lit(Graph.StrongW))
         val (nc, m, qn, qd) = replay(edges)
         val r = Graph.modularityOf(df, graft.Materialize.Local).head()
-        assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+        assert((r.getAs[Long]("n_communities"), r.getAs[Long]("m"), r.getAs[Long]("q_num"), r.getAs[Long]("q_den"))
           == ((nc, m, qn.toLong, qd.toLong)), s"edges=$edges")
-        assert(r.getDouble(4) == qn.toDouble / qd.toDouble)
+        assert(r.getAs[Double]("q") == qn.toDouble / qd.toDouble)
       }
     }
     // two disjoint triangles: LPA separates them perfectly and Newman's
@@ -327,7 +327,7 @@ class GraphSpec extends SparkSpecBase {
       if (edges.nonEmpty) {
         val df = edges.toDF("a", "b").withColumn("w", lit(Graph.StrongW))
         val got = Graph.trussOf(df, graft.Materialize.Local).collect()
-          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+          .map(r => (r.getAs[Long]("iter"), r.getAs[Long]("n_nodes"), r.getAs[Long]("n_edges"))).toSeq
           .sortBy(_._1)
         assert(got == replay(edges), s"edges=$edges")
       }
@@ -341,7 +341,7 @@ class GraphSpec extends SparkSpecBase {
     val df = (clique ++ star).toDF("a", "b")
       .withColumn("w", lit(Graph.StrongW))
     val trace = Graph.trussOf(df, graft.Materialize.Local).collect()
-      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+      .map(r => r.getAs[Long]("iter") -> ((r.getAs[Long]("n_nodes"), r.getAs[Long]("n_edges")))).toMap
     assert(trace(1L) == ((4L, 6L)))
     assert(trace(Graph.TrussIters.toLong) == ((4L, 6L)))
   }
@@ -372,7 +372,7 @@ class GraphSpec extends SparkSpecBase {
             reached.values.map(Graph.CloseScale / _).sum)
         }.toSet
         val got = Graph.closenessOf(df).collect()
-          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+          .map(r => (r.getAs[Long]("node"), r.getAs[Long]("n_reached"), r.getAs[Long]("harm12"))).toSet
         assert(got == expect, s"edges=$edges srcs=$srcs")
       }
     }
@@ -380,11 +380,11 @@ class GraphSpec extends SparkSpecBase {
     // source IS graph_distances' source, so its harmonic score must
     // equal the level census folded through CloseScale DIV d
     val census = Graph.distances(spark, Sf).collect()
-      .map(r => (r.getLong(0), r.getLong(1))).toMap
+      .map(r => (r.getAs[Long]("dist"), r.getAs[Long]("n_nodes"))).toMap
     val expectTop = census.filter(_._1 > 0)
       .map { case (d, c) => c * (Graph.CloseScale / d) }.sum
     val top = Graph.closeness(spark, Sf).collect()
-      .map(r => (r.getLong(0), r.getLong(2)))
+      .map(r => (r.getAs[Long]("node"), r.getAs[Long]("harm12")))
     assert(top.length == Graph.CloseSources)
     assert(top.map(_._2).contains(expectTop))
   }
@@ -437,7 +437,7 @@ class GraphSpec extends SparkSpecBase {
           .take(Graph.BtTopK).zipWithIndex
           .map { case ((v, bc), i) => (v, bc, i + 1L) }.toSet
         val got = Graph.betweennessOf(df).collect()
-          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+          .map(r => (r.getAs[Long]("node"), r.getAs[Long]("bc"), r.getAs[Long]("rk"))).toSet
         assert(got == expect, s"edges=$edges")
       }
     }
@@ -445,7 +445,7 @@ class GraphSpec extends SparkSpecBase {
     val star = (2 to 10).map(l => (1L, l.toLong))
     val sg = Graph.betweennessOf(
       star.toDF("a", "b").withColumn("w", lit(Graph.StrongW))).collect()
-      .map(r => (r.getLong(0), r.getLong(1))).toMap
+      .map(r => (r.getAs[Long]("node"), r.getAs[Long]("bc"))).toMap
     assert(sg(1L) > 0L)
     assert(sg.filter(_._1 != 1L).values.forall(_ == 0L))
   }
@@ -478,7 +478,7 @@ class GraphSpec extends SparkSpecBase {
       .sortBy { case (v, p) => (-p, v) }.take(Graph.PprTopK)
       .zipWithIndex.map { case ((v, p), i) => (v, p, (i + 1).toLong) }
     val got = Graph.pprOf(df).collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .map(r => (r.getAs[Long]("node"), r.getAs[Long]("ppr"), r.getAs[Long]("rk")))
       .sortBy(_._3).toSeq
     assert(got == expect, s"edges=$edges src=$src")
     // personalization: the source itself carries the top score
@@ -489,7 +489,7 @@ class GraphSpec extends SparkSpecBase {
     // n_ord: p1=1 p2=1 p3=2 p4=1; jaccard: (1,2)=1.0, (1,3)=(2,3)=(3,4)=0.5
     val recs = Graph.itemRecsOf(tinyLineitem, Graph.edgesOf(tinyLineitem))
       .collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(3), r.getLong(4)))
+      .map(r => (r.getAs[Long]("part"), r.getAs[Long]("rec"), r.getAs[Double]("jaccard"), r.getAs[Long]("rk")))
     val byPart = recs.groupBy(_._1)
     assert(byPart(1L).sortBy(_._4).map(t => (t._2, t._3)).toSeq ==
       Seq((2L, 1.0), (3L, 0.5)), s"${byPart(1L).toSeq}")
@@ -504,7 +504,7 @@ class GraphSpec extends SparkSpecBase {
     val li = Seq((1L, 1L), (1L, 2L), (2L, 1L), (2L, 2L), (3L, 1L),
       (3L, 3L)).toDF("l_orderkey", "l_partkey")
     val rows = Graph.hitsOf(li).orderBy("rk").collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .map(r => (r.getAs[Long]("node"), r.getAs[Long]("auth"), r.getAs[Long]("rk")))
     assert(rows.map(_._1).toSeq == Seq(1L, 2L, 3L), s"${rows.toSeq}")
     // the integer rescale pins the top authority at exactly the scale
     assert(rows.head._2 == Graph.HitsScale)
@@ -512,8 +512,9 @@ class GraphSpec extends SparkSpecBase {
     // fixture run: dense ranks, same fixed-point invariant
     val fx = Graph.hits(spark, Sf).orderBy("rk").collect()
     assert(fx.length == Graph.HitsTopK)
-    assert(fx.head.getLong(1) == Graph.HitsScale)
-    assert(fx.map(_.getLong(2)).toSeq == (1L to Graph.HitsTopK).toSeq)
+    assert(fx.head.getAs[Long]("auth") == Graph.HitsScale)
+    assert(fx.map(_.getAs[Long]("rk")).toSeq ==
+      (1L to Graph.HitsTopK).toSeq)
   }
 
   test("assortativity: hand-checked values, star graph hits exactly -1") {
@@ -540,7 +541,7 @@ class GraphSpec extends SparkSpecBase {
       (16L, 6L), (16L, 7L))
       .toDF("l_orderkey", "l_partkey")
     val hist = Graph.componentsOf(Graph.edgesOf(li)).collect()
-      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      .map(r => r.getAs[Long]("size") -> r.getAs[Long]("n_components")).toMap
     assert(hist == Map(2L -> 1L, 3L -> 1L), s"$hist")
   }
 
@@ -577,7 +578,7 @@ class GraphSpec extends SparkSpecBase {
     val wantF = v.toSeq.map { case (p, f) => (p, f, raters(p)) }
       .sortBy { case (p, f, _) => (-f, p) }.take(Graph.AlsTopK)
     val gotF = Graph.alsFactors(spark, Sf).collect()
-      .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSeq
+      .map(r => (r.getAs[Long]("p_key"), r.getAs[Double]("v"), r.getAs[Long]("n_raters"))).toSeq
     assert(gotF == wantF)
     // recs: canonical customer, unpurchased only, u·v ranking
     val cstar = rt.groupBy(_._1).map { case (c, xs) => (c, xs.size) }
@@ -587,8 +588,8 @@ class GraphSpec extends SparkSpecBase {
       .map { case (p, f) => (cstar, p, f, u(cstar) * f) }
       .sortBy { case (_, p, _, s) => (-s, p) }.take(Graph.AlsRecK)
     val gotR = Graph.alsRecs(spark, Sf).collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
-        r.getDouble(3))).toSeq
+      .map(r => (r.getAs[Long]("c_key"), r.getAs[Long]("p_key"), r.getAs[Double]("v"),
+        r.getAs[Double]("pred"))).toSeq
     assert(gotR == wantR)
     assert(wantR.forall { case (_, _, f, s) => f > 0.0 && s > 0.0 })
     // plan: both reports cut to top-k via bounded per-partition heaps
@@ -617,7 +618,7 @@ class GraphSpec extends SparkSpecBase {
     // only by node 3 (degree 3), so ra = scale DIV 3 and cn = 1; the
     // tie breaks on x
     val got = Graph.linkPredOf(Graph.edgesOf(tinyLineitem)).collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .map(r => (r.getAs[Long]("x"), r.getAs[Long]("y"), r.getAs[Long]("cn"), r.getAs[Long]("ra_scaled")))
       .toSeq
     val third = Graph.LinkScale / 3
     assert(got == Seq((1L, 4L, 1L, third), (2L, 4L, 1L, third)))
@@ -641,7 +642,7 @@ class GraphSpec extends SparkSpecBase {
     // triangle {1,2,3} plus pendant 4-3: T = (1,1,1,0), degrees
     // (2,2,3,1); node 4 is excluded (d < 2)
     val got = Graph.localCcOf(Graph.edgesOf(tinyLineitem)).collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .map(r => (r.getAs[Long]("node"), r.getAs[Long]("degree"), r.getAs[Long]("tri"), r.getAs[Double]("cc")))
       .toSeq
     assert(got == Seq((1L, 2L, 1L, 1.0), (2L, 2L, 1L, 1.0),
       (3L, 3L, 1L, 1.0 / 3.0)))
@@ -649,8 +650,8 @@ class GraphSpec extends SparkSpecBase {
 
   test("edge embeddedness: triangle edge gets support 1, pendant gets 0") {
     val got = Graph.edgeEmbedOf(Graph.edgesOf(tinyLineitem)).collect()
-      .map(r => (r.getLong(0), r.getLong(1)) ->
-        ((r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+      .map(r => (r.getAs[Long]("a"), r.getAs[Long]("b")) ->
+        ((r.getAs[Long]("support"), r.getAs[Long]("union_nbrs"), r.getAs[Double]("embeddedness")))).toMap
     // triangle {1,2,3}: every triangle edge has support 1; (1,2) union
     // = 2+2-2-1 = 1 -> embeddedness 1.0; (1,3): 2+3-2-1 = 2 -> 0.5;
     // pendant (3,4): support 0, union 3+1-2 = 2 -> 0.0

@@ -30,7 +30,7 @@ class LayoutSpec extends SparkSpecBase {
   test("zorder audit: matches are layout-invariant, z-order prunes BOTH " +
     "dimensions, single-key sort prunes only its own") {
     val rows = Layout.zorderSkipping(spark, Sf)
-      .collect().map(r => r.getString(0) -> r).toMap
+      .collect().map(r => r.getAs[String]("layout") -> r).toMap
     assert(rows.keySet == Set("natural", "partsort", "zorder"))
     def l(n: String, f: String) =
       rows(n).getLong(rows(n).fieldIndex(f))
@@ -88,7 +88,7 @@ class LayoutSpec extends SparkSpecBase {
     // Bands partition [0, 490.25) and every fixture value falls inside →
     // the join is total: per-band counts sum to the full event count.
     val matched = Layout.rangeJoinBinned(spark, Sf)
-      .agg(sum("n_events")).head().getLong(0)
+      .agg(sum("n_events").as("m")).head().getAs[Long]("m")
     assert(matched == Tables(spark, Sf, "events").count())
   }
 }

@@ -31,7 +31,8 @@ class ObservabilitySpec extends SparkSpecBase {
     assert(m("n_docs") == total)
     assert(m("n_pass") == kept.length.toLong)
     val tok = TextOps.qualityScore(spark, Sf)
-      .agg(sum(col("n_tokens"))).collect().head.getLong(0)
+      .agg(sum(col("n_tokens")).as("tok")).collect().head
+      .getAs[Long]("tok")
     assert(m("n_tokens") == tok)
   }
 }

@@ -104,7 +104,7 @@ class PipelineOpsSpec extends SparkSpecBase {
       id -> ((ws.length.toLong, ws.map(seg).sum))
     }.toMap
     val got = TextOps.bpeEncode(spark, Sf).collect()
-      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+      .map(r => r.getAs[Long]("doc_id") -> ((r.getAs[Long]("n_words"), r.getAs[Long]("n_subwords")))).toMap
     assert(got == want)
     // merges strictly compress: fewer subwords than characters
     got.foreach { case (id, (nw, ns)) =>
@@ -115,7 +115,7 @@ class PipelineOpsSpec extends SparkSpecBase {
 
   test("PII scrub: injected spans are counted and redacted, rest untouched") {
     val got = TextOps.piiScrub(spark, Sf).collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_emails"), r.getAs[Long]("n_phones"), r.getAs[String]("clean_text")))
     assert(got.length == docs.size)
     val text = docs.map(d => d._1 -> d._3).toMap
     got.foreach { case (id, nEmail, nPhone, clean) =>
@@ -132,8 +132,8 @@ class PipelineOpsSpec extends SparkSpecBase {
 
   test("language confusion matrix partitions the corpus, recalls sum to 1") {
     val rows = TextOps.langConfusion(spark, Sf).collect()
-      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
-        r.getDouble(3)))
+      .map(r => (r.getAs[String]("lang_label"), r.getAs[String]("lang_pred"), r.getAs[Long]("n_docs"),
+        r.getAs[Double]("label_recall")))
     assert(rows.map(_._3).sum == docs.size.toLong)
     rows.groupBy(_._1).foreach { case (label, cells) =>
       assert(math.abs(cells.map(_._4).sum - 1.0) < 1e-12, label)
@@ -145,24 +145,24 @@ class PipelineOpsSpec extends SparkSpecBase {
 
   test("mix check equals a recount over the applied-sample membership") {
     val kept = Curation.mixApply(spark, Sf).collect()
-      .map(_.getLong(0)).toSet
+      .map(_.getAs[Long]("doc_id")).toSet
     val want = docs.filter(d => kept(d._1)).groupBy(_._2).map {
       case (lang, g) =>
         lang -> ((g.size.toLong, g.map(_._3.split(" ").length.toLong).sum))
     }
     val got = Curation.mixCheck(spark, Sf).collect()
-      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+      .map(r => r.getAs[String]("lang") -> ((r.getAs[Long]("n_docs"), r.getAs[Long]("n_tokens")))).toMap
     assert(got == want)
   }
 
   test("cluster-size histogram equals a recount of the membership table") {
     import graft.operators.Dedup
     val members = Dedup.clusters(spark, Sf).collect()
-      .map(r => (r.getLong(0), r.getLong(1)))
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("cluster_id")))
     val want = members.groupBy(_._2).values.map(_.size.toLong)
       .groupBy(identity).map { case (sz, g) => sz -> g.size.toLong }
     val got = Dedup.clusterSizes(spark, Sf).collect()
-      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      .map(r => r.getAs[Long]("cluster_size") -> r.getAs[Long]("n_clusters")).toMap
     assert(got == want)
     assert(got.keys.min >= 2) // a component is at least a pair
   }
@@ -192,7 +192,7 @@ class PipelineOpsSpec extends SparkSpecBase {
         (id, (hits.toLong, hits > 0))
     }.toMap
     val got = Contamination.decontaminate(spark, Sf).collect()
-      .map(r => (r.getLong(0), (r.getLong(1), r.getBoolean(2)))).toMap
+      .map(r => (r.getAs[Long]("doc_id"), (r.getAs[Long]("n_hit_ngrams"), r.getAs[Boolean]("contaminated")))).toMap
     assert(got == want)
     assert(got.size == docs.count(_._1 % Contamination.EvalMod != 0))
   }
@@ -221,10 +221,10 @@ class PipelineOpsSpec extends SparkSpecBase {
 
   test("bloom decontamination: no false negatives, rare false positives") {
     val exact = Contamination.decontaminate(spark, Sf).collect()
-      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_hit_ngrams")).toMap
     val bloom = Contamination.decontamBloom(spark, Sf).collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
-        r.getBoolean(3)))
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_grams"), r.getAs[Long]("n_bloom_hits"),
+        r.getAs[Boolean]("contaminated_bloom")))
     assert(bloom.map(_._1).toSet == exact.keySet)
     bloom.foreach { case (id, nGrams, bHits, flag) =>
       // one-sided: every exact hit is a bloom hit
@@ -264,7 +264,7 @@ class PipelineOpsSpec extends SparkSpecBase {
 
   test("contamSweep recounts per width and shows the over/under-flag trade") {
     val got = Contamination.contamSweep(spark, Sf).collect()
-      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+      .map(r => r.getAs[Long]("ngram_n") -> ((r.getAs[Long]("n_contaminated"), r.getAs[Long]("n_hit_ngrams")))).toMap
     assert(got.keySet == Contamination.SweepWidths.map(_.toLong).toSet)
     Contamination.SweepWidths.foreach { n =>
       val sh = docs.map { case (id, _, tx) => (id, shingles(tx, n)) }
@@ -297,8 +297,8 @@ class PipelineOpsSpec extends SparkSpecBase {
           frac >= Contamination.FracThreshold))
     }.toMap
     val got = Contamination.contamFrac(spark, Sf).collect()
-      .map(r => (r.getLong(0),
-        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getBoolean(4))))
+      .map(r => (r.getAs[Long]("doc_id"),
+        (r.getAs[Long]("n_grams"), r.getAs[Long]("n_hit_ngrams"), r.getAs[Double]("overlap_frac"), r.getAs[Boolean]("heavy"))))
       .toMap
     assert(got == want)
     // the fraction is bounded and consistent with the boolean gate
@@ -307,7 +307,7 @@ class PipelineOpsSpec extends SparkSpecBase {
     }
     // heavy ⊆ contaminated: a heavy doc always has at least one hit
     val anyHit = Contamination.decontaminate(spark, Sf).collect()
-      .collect { case r if r.getBoolean(2) => r.getLong(0) }.toSet
+      .collect { case r if r.getAs[Boolean]("contaminated") => r.getAs[Long]("doc_id") }.toSet
     got.foreach { case (id, (_, _, _, heavy)) =>
       if (heavy) assert(anyHit.contains(id))
     }
@@ -315,15 +315,15 @@ class PipelineOpsSpec extends SparkSpecBase {
 
   test("curateAudit aggregates back to gateReport and orders first_fail") {
     val audit = Curation.curateAudit(spark, Sf).collect().map { r =>
-      (r.getLong(0), r.getString(1), r.getBoolean(2), r.getBoolean(3),
-        r.getBoolean(4), r.getBoolean(5), r.getBoolean(6),
-        r.getBoolean(7), r.getBoolean(8), r.getString(9))
+      (r.getAs[Long]("doc_id"), r.getAs[String]("source"), r.getAs[Boolean]("quality_pass"), r.getAs[Boolean]("rep_pass"),
+        r.getAs[Boolean]("badwords_pass"), r.getAs[Boolean]("is_en"), r.getAs[Boolean]("clean"),
+        r.getAs[Boolean]("is_unique"), r.getAs[Boolean]("kept"), r.getAs[String]("first_fail"))
     }
     // per-source recount == the report, gate by gate
     val want = Curation.gateReport(spark, Sf).collect().map { r =>
-      r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
-        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7),
-        r.getLong(8))
+      r.getAs[String]("source") -> (r.getAs[Long]("n_docs"), r.getAs[Long]("n_quality"), r.getAs[Long]("n_rep"),
+        r.getAs[Long]("n_badwords"), r.getAs[Long]("n_en"), r.getAs[Long]("n_clean"), r.getAs[Long]("n_unique"),
+        r.getAs[Long]("n_corpus"))
     }.toMap
     val got = audit.groupBy(_._2).map { case (src, rows) =>
       src -> (rows.length.toLong,
@@ -347,7 +347,7 @@ class PipelineOpsSpec extends SparkSpecBase {
 
   test("sourceQuality: Wilson bounds match a driver-side replay, bitwise") {
     val stats = TextOps.sourceStats(spark, Sf).collect()
-      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(4)))).toMap
+      .map(r => r.getAs[String]("source") -> ((r.getAs[Long]("n_docs"), r.getAs[Long]("n_pass")))).toMap
     val rows = TextOps.sourceQuality(spark, Sf).collect()
     assert(rows.nonEmpty && rows.length == stats.size)
     // driver-side Wilson with the same pinned association
@@ -361,8 +361,8 @@ class PipelineOpsSpec extends SparkSpecBase {
       (center - z * math.sqrt(inner)) / (1.0 + z2 / nd)
     }
     rows.foreach { r =>
-      val (src, n, k, p, lb) = (r.getString(0), r.getLong(1), r.getLong(2),
-        r.getDouble(3), r.getDouble(4))
+      val (src, n, k, p, lb) = (r.getAs[String]("source"), r.getAs[Long]("n_docs"), r.getAs[Long]("n_pass"),
+        r.getAs[Double]("p_hat"), r.getAs[Double]("wilson_lb"))
       assert((n, k) == stats(src), src)
       assert(p == k.toDouble / n.toDouble, src)
       assert(lb == wilson(n, k), s"$src wilson_lb not bit-equal")
@@ -371,13 +371,13 @@ class PipelineOpsSpec extends SparkSpecBase {
     // rank is the (wilson_lb DESC, source) order, dense from 1
     val byRank = rows.sortBy(_.getLong(5))
     assert(byRank.map(_.getLong(5)).toSeq == (1L to rows.length).toSeq)
-    val resorted = rows.sortBy(r => (-r.getDouble(4), r.getString(0)))
+    val resorted = rows.sortBy(r => (-r.getAs[Double]("wilson_lb"), r.getAs[String]("source")))
     assert(byRank.map(_.getString(0)).toSeq ==
       resorted.map(_.getString(0)).toSeq)
     // the small-sample penalty is real: the bound is strictly below the
     // point estimate whenever the estimate is informative
-    rows.filter(r => r.getDouble(3) > 0.0).foreach { r =>
-      assert(r.getDouble(4) < r.getDouble(3), r.getString(0))
+    rows.filter(r => r.getAs[Double]("p_hat") > 0.0).foreach { r =>
+      assert(r.getAs[Double]("wilson_lb") < r.getAs[Double]("p_hat"), r.getAs[String]("source"))
     }
   }
 
@@ -394,15 +394,15 @@ class PipelineOpsSpec extends SparkSpecBase {
         dupFrac <= TextOps.DupBigramMax && topFrac <= TextOps.TopBigramMax))
     }.toMap
     val got = TextOps.repNgrams(spark, Sf).collect()
-      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
-        r.getDouble(4), r.getDouble(5), r.getBoolean(6)))).toMap
+      .map(r => r.getAs[Long]("doc_id") -> ((r.getAs[Long]("n_bigrams"), r.getAs[Long]("n_distinct_bigrams"), r.getAs[Long]("top_bigram_n"),
+        r.getAs[Double]("dup_bigram_frac"), r.getAs[Double]("top_bigram_frac"), r.getAs[Boolean]("rep_pass")))).toMap
     assert(got == want)
   }
 
   test("sampleTopN keeps exactly min(N, stratum) docs per language," +
     " ranked by md5") {
     val got = Curation.sampleTopN(spark, Sf).collect()
-      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("lang"), r.getAs[Long]("rk")))
     val want = docs.groupBy(_._2).flatMap { case (lang, ds) =>
       ds.map(d => (d._1, md5hex(d._1.toString)))
         .sortBy { case (id, h) => (h, id) }
@@ -428,7 +428,7 @@ class PipelineOpsSpec extends SparkSpecBase {
     // the tfidf kernel shares the null contract: null text → no terms
     assert(TextOps.tfidfTopTermsOf(
       Seq((1L, "x y"), (2L, null: String)).toDF("doc_id", "text"))
-      .collect().map(_.getLong(0)).toSet == Set(1L))
+      .collect().map(_.getAs[Long]("doc_id")).toSet == Set(1L))
     val r = out.head // "a b","b a","a b": n=3, distinct=2, top=2
     assert((r.getLong(1), r.getLong(2), r.getLong(3)) == ((3L, 2L, 2L)))
   }
@@ -469,8 +469,8 @@ class PipelineOpsSpec extends SparkSpecBase {
         }
     }
     val got = TextOps.tfidfTopTerms(spark, Sf).collect()
-      .map(r => (r.getLong(0), r.getString(1)) ->
-        ((r.getLong(2), r.getLong(3), r.getDouble(4), r.getLong(5)))).toMap
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("word")) ->
+        ((r.getAs[Long]("tf"), r.getAs[Long]("df"), r.getAs[Double]("tfidf"), r.getAs[Long]("rk")))).toMap
     assert(got == want)
     assert(got.count { case (_, (_, _, _, rk)) => rk == 1L } == docs.size)
   }
@@ -494,8 +494,8 @@ class PipelineOpsSpec extends SparkSpecBase {
         id -> ((distinctPairs.size.toLong, m._2, m._3, m._1))
     }
     val got = TextOps.lmScore(spark, Sf).collect()
-      .map(r => r.getLong(0) ->
-        ((r.getLong(1), r.getString(2), r.getString(3), r.getDouble(4))))
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_pairs"), r.getAs[String]("min_w1"), r.getAs[String]("min_w2"), r.getAs[Double]("min_p"))))
       .toMap
     assert(got == want)
     // probabilities are genuine conditionals: in (0, 1]
@@ -510,10 +510,10 @@ class PipelineOpsSpec extends SparkSpecBase {
 
   test("lmBuckets cuts each language into balanced ordered tiers") {
     val got = TextOps.lmBuckets(spark, Sf).collect()
-      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2),
-        r.getLong(3), r.getString(4)))
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("lang"), r.getAs[Double]("min_p"),
+        r.getAs[Long]("bucket"), r.getAs[String]("tier")))
     // every scored doc is bucketed exactly once
-    val scored = TextOps.lmScore(spark, Sf).collect().map(_.getLong(0)).toSet
+    val scored = TextOps.lmScore(spark, Sf).collect().map(_.getAs[Long]("doc_id")).toSet
     assert(got.map(_._1).toSet == scored && got.length == scored.size)
     got.groupBy(_._2).foreach { case (lang, rs) =>
       // ntile balance: bucket sizes differ by at most one
@@ -546,7 +546,7 @@ class PipelineOpsSpec extends SparkSpecBase {
       lang -> ((n, est))
     }
     val got = TextOps.distinctKmv(spark, Sf).collect()
-      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+      .map(r => r.getAs[String]("lang") -> ((r.getAs[Long]("n_exact"), r.getAs[Double]("est_distinct")))).toMap
     assert(got == want)
     // the estimator should actually estimate: within ±50% of exact
     // (k=64 ⇒ ~13% relative error, 50% is a loose determinism-proof band)
@@ -569,8 +569,8 @@ class PipelineOpsSpec extends SparkSpecBase {
     }
     def run(df: org.apache.spark.sql.DataFrame) =
       Similarity.embCentroidsOf(df).collect()
-        .map(r => (r.getInt(0), r.getLong(1)) ->
-          ((r.getLong(2), r.getDouble(3)))).toMap
+        .map(r => (r.getAs[Int]("label"), r.getAs[Long]("dim")) ->
+          ((r.getAs[Long]("n"), r.getAs[Double]("centroid")))).toMap
     val base = graft.Tables(spark, Sf, "embeddings")
       .select("label", "embedding")
     val got = run(base)
@@ -743,17 +743,17 @@ class PipelineOpsSpec extends SparkSpecBase {
       .select("doc_id", "source").collect()
       .map(r => r.getLong(0) -> r.getString(1)).toMap
     val q = TextOps.qualityScore(spark, Sf).collect()
-      .map(r => r.getLong(0) -> r.getBoolean(4)).toMap
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Boolean]("quality_pass")).toMap
     val rep = TextOps.repNgrams(spark, Sf).collect()
-      .map(r => r.getLong(0) -> r.getBoolean(6)).toMap
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Boolean]("rep_pass")).toMap
     val bad = TextOps.badwords(spark, Sf).collect()
-      .map(r => r.getLong(0) -> r.getBoolean(4)).toMap
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Boolean]("badwords_pass")).toMap
     val en = TextOps.langId(spark, Sf).collect()
-      .map(r => r.getLong(0) -> (r.getString(5) == "en")).toMap
+      .map(r => r.getAs[Long]("doc_id") -> (r.getAs[String]("lang_pred") == "en")).toMap
     val clean = Contamination.decontaminate(spark, Sf).collect()
-      .map(r => r.getLong(0) -> !r.getBoolean(2)).toMap
+      .map(r => r.getAs[Long]("doc_id") -> !r.getAs[Boolean]("contaminated")).toMap
     val dup = Dedup.minhashLsh(spark, Sf).collect()
-      .map(_.getLong(1)).toSet
+      .map(_.getAs[Long]("doc_b")).toSet
     val want = source.groupBy(_._2).map { case (src, ds) =>
       val ids = ds.keys.toSeq
       def n(p: Long => Boolean) = ids.count(p).toLong
@@ -763,26 +763,26 @@ class PipelineOpsSpec extends SparkSpecBase {
           clean.getOrElse(id, false) && !dup(id))))
     }
     val got = Curation.gateReport(spark, Sf).collect()
-      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
-        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6),
-        r.getLong(7), r.getLong(8)))).toMap
+      .map(r => r.getAs[String]("source") -> ((r.getAs[Long]("n_docs"), r.getAs[Long]("n_quality"),
+        r.getAs[Long]("n_rep"), r.getAs[Long]("n_badwords"), r.getAs[Long]("n_en"), r.getAs[Long]("n_clean"),
+        r.getAs[Long]("n_unique"), r.getAs[Long]("n_corpus")))).toMap
     assert(got == want)
     // n_corpus per source sums to the strict corpus (which does not
     // gate on badwords) intersected with the badwords gate
     val strict = Curation.curateStrict(spark, Sf).collect()
-      .map(_.getLong(0)).toSet
+      .map(_.getAs[Long]("doc_id")).toSet
     assert(got.values.map(_._8).sum == strict.count(bad(_)).toLong)
   }
 
   test("curateStrict = curate ∩ rep_pass ∩ not-contaminated") {
     import graft.operators.{Contamination, Curation}
     val strict = Curation.curateStrict(spark, Sf).collect()
-      .map(_.getLong(0)).toSet
-    val base = Curation.curate(spark, Sf).collect().map(_.getLong(0)).toSet
+      .map(_.getAs[Long]("doc_id")).toSet
+    val base = Curation.curate(spark, Sf).collect().map(_.getAs[Long]("doc_id")).toSet
     val rep = TextOps.repNgrams(spark, Sf).collect()
-      .filter(_.getBoolean(6)).map(_.getLong(0)).toSet
+      .filter(_.getAs[Boolean]("rep_pass")).map(_.getAs[Long]("doc_id")).toSet
     val clean = Contamination.decontaminate(spark, Sf).collect()
-      .filter(!_.getBoolean(2)).map(_.getLong(0)).toSet
+      .filter(!_.getAs[Boolean]("contaminated")).map(_.getAs[Long]("doc_id")).toSet
     assert(strict == (base & rep & clean))
     assert(strict.nonEmpty && strict.subsetOf(base))
     // the audit join drops the eval split itself: benchmark docs are
@@ -803,8 +803,8 @@ class PipelineOpsSpec extends SparkSpecBase {
         (nt + k).toDouble / (tot + k * nl).toDouble))
     }
     val got = Curation.mixWeights(spark, Sf).collect()
-      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
-        r.getDouble(3), r.getDouble(4)))).toMap
+      .map(r => r.getAs[String]("lang") -> ((r.getAs[Long]("n_docs"), r.getAs[Long]("n_tokens"),
+        r.getAs[Double]("token_share"), r.getAs[Double]("mix_weight")))).toMap
     assert(got == want)
     // weights are a (sub-stochastic) mixture: each in (0,1), sum ≈ 1
     val ws = got.values.map(_._4)

@@ -727,7 +727,8 @@ class PlanShapeSpec extends SparkSpecBase {
   test("benford: digit census replay, reference shares well-formed") {
     val df = Warehouse.benford(spark, Sf)
     val got = df.collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(3))).toSet
+      .map(r => (r.getAs[Long]("digit"), r.getAs[Long]("n"),
+        r.getAs[Double]("benford_p"))).toSet
     val vals = graft.Tables(spark, Sf, "lineitem")
       .select("l_extendedprice").collect().map(_.getDouble(0))
     val census = vals.map(v => math.floor(v).toLong.toString.head
@@ -764,7 +765,7 @@ class PlanShapeSpec extends SparkSpecBase {
     val tiny = Seq((1L, 10.0, 5L), (2L, 10.0, 5L), (3L, 10.0, 4L),
       (4L, 9.0, 3L), (5L, 11.0, 9L), (6L, 12.0, 9L))
       .toDF("p_partkey", "price", "size")
-    val t = Warehouse.skylineOf(tiny).collect().map(_.getLong(0)).toSet
+    val t = Warehouse.skylineOf(tiny).collect().map(_.getAs[Long]("p_partkey")).toSet
     assert(t == Set(1L, 2L, 4L, 5L))
     // seeded tie-heavy sweep: tiny integer domains force duplicate
     // points, equal prices across buckets, and equal sizes — the
@@ -783,7 +784,7 @@ class PlanShapeSpec extends SparkSpecBase {
       }.map(_._1).toSet
       val sk = Warehouse.skylineOf(
         rows.toDF("p_partkey", "price", "size")).collect()
-        .map(_.getLong(0)).toSet
+        .map(_.getAs[Long]("p_partkey")).toSet
       assert(sk == expect, s"trial=$trial rows=$rows")
     }
   }

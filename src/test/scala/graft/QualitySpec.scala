@@ -21,11 +21,13 @@ class QualitySpec extends SparkSpecBase {
     // replayable by the single-threaded oracle
     val a = Quality.qualityProbeOf(docs.repartition(3))
       .select("doc_id", "score", "pred")
-      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getBoolean(2)))
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Double]("score"),
+        r.getAs[Boolean]("pred")))
       .sortBy(_._1)
     val b = Quality.qualityProbeOf(docs.repartition(17))
       .select("doc_id", "score", "pred")
-      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getBoolean(2)))
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Double]("score"),
+        r.getAs[Boolean]("pred")))
       .sortBy(_._1)
     assert(a.length > 0 && a.sameElements(b))
   }
@@ -33,7 +35,7 @@ class QualitySpec extends SparkSpecBase {
   test("probe learns the gate: beats majority-class on both classes") {
     val p = Quality.qualityProbe(spark, Sf)
       .select(col("label"), col("pred")).collect()
-      .map(r => (r.getDouble(0) > 0.5, r.getBoolean(1)))
+      .map(r => (r.getAs[Double]("label") > 0.5, r.getAs[Boolean]("pred")))
     val pos = p.filter(_._1)
     val neg = p.filterNot(_._1)
     assert(pos.nonEmpty && neg.nonEmpty, "fixture must have both classes")
@@ -71,10 +73,10 @@ class QualitySpec extends SparkSpecBase {
 
   test("calibration recounts from the scored table; threshold bins separate") {
     val scored = Quality.qualityProbe(spark, Sf).collect()
-      .map(r => (r.getDouble(1), r.getDouble(2))) // (label, score)
+      .map(r => (r.getAs[Double]("label"), r.getAs[Double]("score"))) // (label, score)
     val got = Quality.qualityCalibration(spark, Sf).collect()
-      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
-        r.getDouble(3), r.getDouble(4)))).toMap
+      .map(r => r.getAs[Long]("bin") -> ((r.getAs[Long]("n_docs"), r.getAs[Long]("n_pos"),
+        r.getAs[Double]("frac_pos"), r.getAs[Double]("mean_score")))).toMap
     def binOf(s: Double): Long =
       math.min(Quality.CalibBins - 1L, math.max(0L,
         math.floor(s * 10).toLong))
@@ -103,34 +105,34 @@ class QualitySpec extends SparkSpecBase {
 
   test("curate_learned = probe-kept ∩ english ∩ non-dup") {
     val pk = Quality.qualityProbe(spark, Sf).where(col("pred"))
-      .select("doc_id").collect().map(_.getLong(0)).toSet
+      .select("doc_id").collect().map(_.getAs[Long]("doc_id")).toSet
     val en = TextOps.langId(spark, Sf)
       .where(col("lang_pred") === "en")
-      .select("doc_id").collect().map(_.getLong(0)).toSet
+      .select("doc_id").collect().map(_.getAs[Long]("doc_id")).toSet
     val dup = Dedup.minhashLsh(spark, Sf)
-      .select("doc_b").collect().map(_.getLong(0)).toSet
+      .select("doc_b").collect().map(_.getAs[Long]("doc_b")).toSet
     val want = (pk intersect en) diff dup
     val got = Curation.curateLearned(spark, Sf)
-      .select("doc_id").collect().map(_.getLong(0)).toSet
+      .select("doc_id").collect().map(_.getAs[Long]("doc_id")).toSet
     assert(got == want)
     assert(got.nonEmpty && got.size < 500)
     // the learned gate must actually be the PROBE's decision: every
     // kept doc carries the probe's score
     val scored = Curation.curateLearned(spark, Sf).collect()
-      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("score")).toMap
     val probeScores = Quality.qualityProbe(spark, Sf).collect()
-      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("score")).toMap
     scored.foreach { case (id, s) => assert(probeScores(id) == s) }
   }
 
   test("keep_scored: per cluster the highest-probe-score copy survives") {
     val score = Quality.qualityProbe(spark, Sf).collect()
-      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("score")).toMap
     val cl = Dedup.clusters(spark, Sf).collect()
-      .map(r => (r.getLong(0), r.getLong(1)))
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("cluster_id")))
     val got = Quality.dedupKeepScored(spark, Sf).collect()
-      .map(r => r.getLong(0) ->
-        ((r.getLong(1), r.getDouble(2), r.getLong(3)))).toMap
+      .map(r => r.getAs[Long]("cluster_id") ->
+        ((r.getAs[Long]("rep_doc_id"), r.getAs[Double]("rep_score"), r.getAs[Long]("n_members")))).toMap
     val want = cl.filter(m => score.contains(m._1)).groupBy(_._2)
       .map { case (cid, ms) =>
         val best = ms.map(_._1).minBy(id => (-score(id), id))
@@ -140,23 +142,23 @@ class QualitySpec extends SparkSpecBase {
     // the two policies pick from the same clusters but CAN disagree —
     // the scored policy must still emit one rep per cluster
     val byLen = Dedup.keepBest(spark, Sf).collect()
-      .map(r => r.getLong(0)).toSet
+      .map(r => r.getAs[Long]("cluster_id")).toSet
     assert(got.keySet == byLen)
   }
 
   test("quality_eval fits on the train split and generalizes") {
     val rows = Curation.qualityEval(spark, Sf).collect()
-      .map(r => r.getString(0) -> r).toMap
+      .map(r => r.getAs[String]("split") -> r).toMap
     assert(rows.keySet == Set("train", "val", "test"))
     val featN = Quality.qualityProbe(spark, Sf).count()
-    assert(rows.values.map(_.getLong(1)).sum == featN,
+    assert(rows.values.map(_.getAs[Long]("n")).sum == featN,
       "every feature row lands in exactly one split")
-    val accT = rows("train").getDouble(2)
+    val accT = rows("train").getAs[Double]("acc")
     assert(accT >= 0.6, s"train acc $accT — the probe should learn")
     // the held-out bands: val/test accuracy within a sane distance of
     // train (a leak-free linear probe on 6 features cannot overfit far)
     Seq("val", "test").foreach { s =>
-      val acc = rows(s).getDouble(2)
+      val acc = rows(s).getAs[Double]("acc")
       assert(math.abs(acc - accT) <= 0.3, s"$s acc $acc vs train $accT")
     }
   }
@@ -164,8 +166,8 @@ class QualitySpec extends SparkSpecBase {
   test("quality_eval report is partition-count independent") {
     def run(parts: Int) =
       Curation.qualityEvalOf(docs.repartition(parts)).collect()
-        .map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
-          r.getDouble(3), r.getDouble(4), r.getDouble(5)))
+        .map(r => (r.getAs[String]("split"), r.getAs[Long]("n"), r.getAs[Double]("acc"),
+          r.getAs[Double]("pos_rate"), r.getAs[Double]("tpr"), r.getAs[Double]("tnr")))
         .sortBy(_._1)
     val a = run(3)
     val b = run(17)
@@ -196,7 +198,7 @@ class QualitySpec extends SparkSpecBase {
 
   test("uncertainty sample recounts from the probe scores, rank prunes") {
     val scored = Quality.qualityProbe(spark, Sf).collect()
-      .map(r => (r.getLong(0), r.getDouble(2)))
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Double]("score")))
     val expect = scored
       .map { case (id, s) => (id, s, math.abs(s - 0.5)) }
       .sortBy { case (id, _, m) => (m, id) }
@@ -205,8 +207,9 @@ class QualitySpec extends SparkSpecBase {
         (id, s, m, (i + 1).toLong) }.toSeq
     val df = Quality.uncertaintySample(spark, Sf)
     val got = df.collect()
-      .map(r => (r.getLong(0), r.getDouble(2), r.getDouble(3),
-        r.getLong(4))).sortBy(_._4).toSeq
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Double]("score"),
+        r.getAs[Double]("margin"), r.getAs[Long]("rk")))
+      .sortBy(_._4).toSeq
     assert(got == expect)
     // the global rank-<=-k never sorts the corpus: Spark compiles it
     // to per-partition bounded heaps (TakeOrderedAndProject) or a
@@ -270,18 +273,18 @@ class QualitySpec extends SparkSpecBase {
 
   test("qualityBrier replays MSE and the ECE bin fold") {
     val r = Quality.qualityBrier(spark, Sf).collect().head
-    val (n, mse, ece) = (r.getLong(0), r.getDouble(1), r.getDouble(2))
+    val (n, mse, ece) = (r.getAs[Long]("n"), r.getAs[Double]("mse"), r.getAs[Double]("ece"))
     // MSE against the scored table via the same quantized-sum recipe
     val sc = Quality.qualityProbe(spark, Sf)
       .select(col("label"), col("score")).collect()
-      .map(x => (x.getDouble(0), x.getDouble(1)))
+      .map(x => (x.getAs[Double]("label"), x.getAs[Double]("score")))
     assert(n == sc.length.toLong)
     val qsum = sc.map { case (y, s) =>
       BigInt(math.floor((s - y) * (s - y) * 1e12).toLong) }.sum
     assert(mse == qsum.toDouble / 1e12 / n)
     // ECE against the calibration entry's own bins
     val cal = Quality.qualityCalibration(spark, Sf).collect()
-      .map(x => (x.getLong(1), x.getDouble(3), x.getDouble(4)))
+      .map(x => (x.getAs[Long]("n_docs"), x.getAs[Double]("frac_pos"), x.getAs[Double]("mean_score")))
     val nb = cal.map(_._1).sum
     val tq = cal.map { case (nd, fp, ms) =>
       BigInt(math.floor(nd.toDouble * math.abs(fp - ms) * 1e12).toLong)
@@ -292,12 +295,12 @@ class QualitySpec extends SparkSpecBase {
 
   test("prefPairs: chosen is the cluster's keep-best, strict margins") {
     val pairs = Quality.prefPairs(spark, Sf).collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
-        r.getDouble(3), r.getDouble(4), r.getDouble(5)))
+      .map(r => (r.getAs[Long]("cluster_id"), r.getAs[Long]("chosen_doc_id"), r.getAs[Long]("rejected_doc_id"),
+        r.getAs[Double]("chosen_score"), r.getAs[Double]("rejected_score"), r.getAs[Double]("margin")))
     assert(pairs.nonEmpty)
     val best = Quality.dedupKeepScored(spark, Sf).collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
-        r.getLong(3)))
+      .map(r => (r.getAs[Long]("cluster_id"), r.getAs[Long]("rep_doc_id"), r.getAs[Double]("rep_score"),
+        r.getAs[Long]("n_members")))
       .map { case (cid, rep, sc, n) => cid -> ((rep, sc, n)) }.toMap
     pairs.foreach { case (cid, ch, rj, cs, rs, m) =>
       val (rep, repScore, _) = best(cid)

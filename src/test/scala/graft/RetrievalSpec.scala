@@ -16,9 +16,9 @@ class RetrievalSpec extends SparkSpecBase {
 
   test("postings: cf sums to the word-count table, df <= cf") {
     val posts = Retrieval.postings(spark, Sf).collect()
-      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+      .map(r => r.getAs[String]("word") -> (r.getAs[Long]("df"), r.getAs[Long]("cf"))).toMap
     val wc = TextOps.wordCountOf(corpus).collect()
-      .map(r => r.getString(0) -> r.getLong(1)).toMap
+      .map(r => r.getAs[String]("word") -> r.getAs[Long]("cnt")).toMap
     assert(posts.keySet == wc.keySet, "every term has one posting head")
     posts.foreach { case (w, (df, cf)) =>
       assert(cf == wc(w), s"cf($w) drift: $cf vs ${wc(w)}")
@@ -33,18 +33,19 @@ class RetrievalSpec extends SparkSpecBase {
       w -> rows.map { case (_, d, t) => (-t, d) }.min
     }
     Retrieval.postings(spark, Sf).collect().foreach { r =>
-      val (negTf, docId) = best(r.getString(0))
-      assert(r.getLong(4) == -negTf && r.getLong(3) == docId,
-        s"posting head mismatch for ${r.getString(0)}")
+      val (negTf, docId) = best(r.getAs[String]("word"))
+      assert(r.getAs[Long]("top_tf") == -negTf && r.getAs[Long]("top_doc_id") == docId,
+        s"posting head mismatch for ${r.getAs[String]("word")}")
     }
   }
 
   test("bm25: exactly the rank-window query terms, k docs each, dense rk") {
     val rows = Retrieval.bm25TopK(spark, Sf).collect()
-    val terms = rows.map(_.getString(0)).distinct
+    val terms = rows.map(_.getAs[String]("word")).distinct
     assert(terms.length == Retrieval.BmQueryN.toInt, terms.mkString(","))
     terms.foreach { t =>
-      val rks = rows.filter(_.getString(0) == t).map(_.getLong(6)).sorted
+      val rks = rows.filter(_.getAs[String]("word") == t)
+        .map(_.getAs[Long]("rk")).sorted
       assert(rks.toSeq == (1L to Retrieval.BmTopK.toLong).toSeq,
         s"$t ranks: ${rks.mkString(",")}")
     }
@@ -63,7 +64,7 @@ class RetrievalSpec extends SparkSpecBase {
     val scored = Retrieval.bm25TopKOf(docs)
       .where(col("word") === "target")
       .orderBy(col("rk")).collect()
-      .map(r => (r.getLong(2), r.getDouble(5)))
+      .map(r => (r.getAs[Long]("tf"), r.getAs[Double]("score")))
     assert(scored.nonEmpty, "'target' must be a probed query term")
     // ranks follow tf (equal dl): strictly increasing tf down the list
     assert(scored.sliding(2).forall {
@@ -90,7 +91,7 @@ class RetrievalSpec extends SparkSpecBase {
       .toDF("doc_id", "text")
     val scored = Retrieval.bm25TopKOf(docs)
       .where(col("word") === "target").collect()
-      .map(r => r.getLong(1) -> r.getDouble(5)).toMap
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("score")).toMap
     assert(scored.contains(1L) && scored.contains(2L),
       s"'target' should be probed: $scored")
     assert(scored(1L) > scored(2L),
@@ -109,7 +110,7 @@ class RetrievalSpec extends SparkSpecBase {
       .toDF("doc_id", "text")
     val scored = Retrieval.qlTopKOf(docs)
       .where(col("word") === "target").collect()
-      .map(r => r.getLong(1) -> r.getDouble(5)).toMap
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("score")).toMap
     assert(scored.keySet == Set(1L, 2L, 3L),
       s"'target' should be probed with its 3 postings: $scored")
     assert(scored(2L) > scored(1L), s"tf monotonicity: $scored")
@@ -120,13 +121,13 @@ class RetrievalSpec extends SparkSpecBase {
     val rows = Retrieval.hybridRrf(spark, Sf).collect()
     assert(rows.nonEmpty)
     rows.foreach { r =>
-      val bm = if (r.isNullAt(2)) None else Some(r.getLong(2))
-      val ql = if (r.isNullAt(3)) None else Some(r.getLong(3))
+      val bm = if (r.isNullAt(2)) None else Some(r.getAs[Long]("bm_rk"))
+      val ql = if (r.isNullAt(3)) None else Some(r.getAs[Long]("ql_rk"))
       val expect =
         bm.map(k => 1.0 / (Retrieval.RrfK + k).toDouble).getOrElse(0.0) +
         ql.map(k => 1.0 / (Retrieval.RrfK + k).toDouble).getOrElse(0.0)
-      assert(r.getDouble(4) == expect,
-        s"rrf mismatch for (${r.getString(0)}, ${r.getLong(1)})")
+      assert(r.getAs[Double]("rrf") == expect,
+        s"rrf mismatch for (${r.getAs[String]("word")}, ${r.getAs[Long]("doc_id")})")
       assert(bm.forall(k => k >= 1 && k <= Retrieval.FuseDepth))
       assert(ql.forall(k => k >= 1 && k <= Retrieval.FuseDepth))
       assert(bm.nonEmpty || ql.nonEmpty, "a fused doc came from somewhere")
@@ -148,7 +149,7 @@ class RetrievalSpec extends SparkSpecBase {
     val vrk = vocab.toSeq.sortBy { case (w, (_, cf)) => (-cf, w) }
       .zipWithIndex.map { case ((w, _), i) => w -> (i + 1).toLong }.toMap
     val fb = Retrieval.bm25TopK(spark, Sf).collect()
-      .map(r => (r.getString(0), r.getLong(1)))
+      .map(r => (r.getAs[String]("word"), r.getAs[Long]("doc_id")))
     val expect = fb.groupBy(_._1).flatMap { case (qw, docs) =>
       val ds = docs.map(_._2).toSet
       tf.filter { case (d, w, _) =>
@@ -162,8 +163,8 @@ class RetrievalSpec extends SparkSpecBase {
           (qw, w) -> ((s, vocab(w)._1, (i + 1).toLong)) }
     }
     val got = Retrieval.queryExpansion(spark, Sf).collect()
-      .map(r => (r.getString(0), r.getString(1)) ->
-        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+      .map(r => (r.getAs[String]("qword"), r.getAs[String]("exp_word")) ->
+        ((r.getAs[Long]("sum_tf"), r.getAs[Long]("df"), r.getAs[Long]("rk")))).toMap
     assert(got == expect, s"PRF replay mismatch:\n$got\nvs\n$expect")
   }
 
@@ -176,8 +177,8 @@ class RetrievalSpec extends SparkSpecBase {
       (3L, "c c a b"), (4L, "b a b a"))
       .toDF("doc_id", "text")
     val rows = Retrieval.phrasePostingsOf(docsC).collect()
-      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
-        r.getLong(3), r.getLong(4)))
+      .map(r => (r.getAs[String]("w1"), r.getAs[String]("w2"), r.getAs[Long]("doc_id"),
+        r.getAs[Long]("phrase_tf"), r.getAs[Long]("rk")))
     // brute force over the same corpus
     val texts = Seq((0L, "a b a b c"), (1L, "a b c a b"),
       (2L, "x x x a b"), (3L, "c c a b"), (4L, "b a b a"))
@@ -234,16 +235,16 @@ class RetrievalSpec extends SparkSpecBase {
         .map { case ((w1, w2, d, n), i) => (w1, w2, d, n, (i + 1).toLong) }
     }.toSet
     val got = Retrieval.proximityTopKOf(docsC).collect()
-      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
-        r.getLong(3), r.getLong(4))).toSet
+      .map(r => (r.getAs[String]("w1"), r.getAs[String]("w2"), r.getAs[Long]("doc_id"),
+        r.getAs[Long]("prox_tf"), r.getAs[Long]("rk"))).toSet
     assert(got == expect)
     // dominance: every phrase (W = 1) hit count is ≤ the proximity count
     val phrase = Retrieval.phrasePostingsOf(docsC).collect()
-      .map(r => ((r.getString(0), r.getString(1), r.getLong(2)),
-        r.getLong(3))).toMap
+      .map(r => ((r.getAs[String]("w1"), r.getAs[String]("w2"), r.getAs[Long]("doc_id")),
+        r.getAs[Long]("phrase_tf"))).toMap
     val prox = Retrieval.proximityTopKOf(docsC).collect()
-      .map(r => ((r.getString(0), r.getString(1), r.getLong(2)),
-        r.getLong(3))).toMap
+      .map(r => ((r.getAs[String]("w1"), r.getAs[String]("w2"), r.getAs[Long]("doc_id")),
+        r.getAs[Long]("prox_tf"))).toMap
     phrase.foreach { case (k, tf) =>
       prox.get(k).foreach(p => assert(p >= tf, s"$k: $p < $tf"))
     }
@@ -292,7 +293,7 @@ class RetrievalSpec extends SparkSpecBase {
       (3L until 15L).map(i => (i, s"w$i w$i w$i w$i w$i w$i w$i w$i w$i"))
     val df = docs.toDF("doc_id", "text")
     val out = Retrieval.evalRetrievalOf(df).collect()
-      .map(r => r.getString(0) -> r).toMap
+      .map(r => r.getAs[String]("word") -> r).toMap
     out.get("qq").foreach { r =>
       assert(r.getDouble(4) == 1.0, s"ndcg ${r.getDouble(4)}")
       assert(r.getDouble(5) == 1.0, "first hit at rank 1")
@@ -314,8 +315,8 @@ class RetrievalSpec extends SparkSpecBase {
     // replay: per term, every rank-<=k posting sits in an unskipped
     // block, so total skip counts reconstruct from the rank table
     val bm = Retrieval.bm25TopKOf(corpus).collect()
-      .map(r => (r.getString(0),
-        r.getLong(1) / Retrieval.CompressBlock)).toSet
+      .map(r => (r.getAs[String]("word"),
+        r.getAs[Long]("doc_id") / Retrieval.CompressBlock)).toSet
     // (word, blk) pairs of top-k docs must all be in unskipped blocks:
     // if any were skippable its blk_max >= its own score >= theta -
     // contradiction. Just assert the audit found them un-skipped by
@@ -327,7 +328,7 @@ class RetrievalSpec extends SparkSpecBase {
 
   test("ranker bake-off: bm25 rows equal the single-system scorecard") {
     val single = Retrieval.evalRetrievalOf(corpus).collect()
-      .map(r => r.getString(0) -> r.toSeq.drop(1)).toMap
+      .map(r => r.getAs[String]("word") -> r.toSeq.drop(1)).toMap
     val multi = Retrieval.evalRankersOf(corpus).collect()
     assert(multi.length == 3 * Retrieval.BmQueryN)
     val bySys = multi.groupBy(_.getString(0))

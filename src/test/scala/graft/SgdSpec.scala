@@ -151,9 +151,9 @@ class SgdSpec extends SparkSpecBase {
     val mean = ds.select(graft.functions.VectorAvg.toColumn).collect()(0)
     // Gram row 0 is Σ 1·x_j, so g_0j / n are the exact feature means
     val row = Sgd.gramMatrix(spark, Sf).collect()(0)
-    val n = row.getDouble(0) // g_00 = Σ1
-    val want = Array(row.getDouble(0), row.getDouble(1),
-      row.getDouble(2), row.getDouble(3)).map(_ / n)
+    val n = row.getAs[Double]("g_00") // g_00 = Σ1
+    val want = Array(row.getAs[Double]("g_00"), row.getAs[Double]("g_01"),
+      row.getAs[Double]("g_02"), row.getAs[Double]("g_03")).map(_ / n)
     assert(mean.length == 4)
     mean.zip(want).foreach { case (m, w) =>
       assert(math.abs(m - w) < 1e-9, s"$m vs $w")

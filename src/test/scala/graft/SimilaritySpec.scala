@@ -23,7 +23,7 @@ class SimilaritySpec extends SparkSpecBase {
 
   test("brute-force top-k matches the exact in-memory ranking") {
     val got = Similarity.bruteForceTopK(spark, Sf).collect()
-      .map(r => (r.getLong(0), r.getInt(3)) -> (r.getLong(1), r.getDouble(2)))
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Int]("rank")) -> (r.getAs[Long]("neighbor_id"), r.getAs[Double]("cos_sim")))
       .toMap
     val qids = vecs.keys.filter(_ < Similarity.NumQueries)
     assert(got.size == qids.size * Similarity.TopK)
@@ -45,7 +45,7 @@ class SimilaritySpec extends SparkSpecBase {
     assert(rows.nonEmpty)
     rows.foreach { r =>
       val (q, n, c, rk) =
-        (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))
+        (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"), r.getAs[Double]("cos_sim"), r.getAs[Int]("rank"))
       assert(q < Similarity.NumQueries && n != q)
       assert(rk >= 1 && rk <= Similarity.TopK)
       assert(c == cos(vecs(q), vecs(n)), s"cosine mismatch for ($q,$n)")
@@ -59,11 +59,12 @@ class SimilaritySpec extends SparkSpecBase {
 
   test("bounded-heap aggregate equals the window ranking and partial-aggregates") {
     val win = Similarity.bruteForceTopK(spark, Sf).collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"), r.getAs[Double]("cos_sim"), r.getAs[Int]("rank")))
       .toSet
     val df = Similarity.bruteForceTopKAgg(spark, Sf)
     val agg = df.collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"),
+        r.getAs[Double]("cos_sim"), r.getAs[Int]("rank")))
       .toSet
     assert(agg == win)
     // the whole point: the aggregate runs partial → final, so each map
@@ -111,7 +112,7 @@ class SimilaritySpec extends SparkSpecBase {
     val assign = vecs.map { case (id, e) => id -> nearest(e) }
     rows.foreach { r =>
       val (q, n, c, rk) =
-        (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))
+        (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"), r.getAs[Double]("cos_sim"), r.getAs[Int]("rank"))
       val probed = cents.map { case (cid, ce) => (cid, cos(vecs(q), ce)) }
         .sortBy { case (cid, s) => (-s, cid) }
         .take(Similarity.NumProbes).map(_._1).toSet
@@ -130,9 +131,10 @@ class SimilaritySpec extends SparkSpecBase {
 
   test("recall report equals a recount of its own constituent queries") {
     val exact = Similarity.bruteForceTopK(spark, Sf)
-      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
     def pairs(df: org.apache.spark.sql.DataFrame) =
-      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      df.collect().map(r =>
+        (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
     val want = Map(
       "binary" -> pairs(Similarity.binaryTopK(spark, Sf)),
       "int8" -> pairs(Similarity.int8TopK(spark, Sf)),
@@ -141,8 +143,8 @@ class SimilaritySpec extends SparkSpecBase {
       "lsh" -> pairs(Similarity.lshTopK(spark, Sf)),
       "pq" -> pairs(Similarity.pqTopK(spark, Sf)))
     val got = Similarity.simRecall(spark, Sf).collect()
-      .map(r => r.getString(0) ->
-        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+      .map(r => r.getAs[String]("method") ->
+        ((r.getAs[Long]("n_exact"), r.getAs[Long]("n_hit"), r.getAs[Double]("recall")))).toMap
     assert(got.keySet == Similarity.RecallMethods.toSet)
     got.foreach { case (m, (nExact, nHit, recall)) =>
       assert(nExact == exact.size.toLong, m)
@@ -186,7 +188,7 @@ class SimilaritySpec extends SparkSpecBase {
       }
     }.toSet
     val got = Similarity.sampleClusterOf(embDf).collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("cid"), r.getAs[Long]("cluster_n"), r.getAs[Long]("rk")))
       .toSet
     assert(got == want)
     // per-cluster output is min(cluster_n, cap); sparse clusters whole
@@ -196,7 +198,7 @@ class SimilaritySpec extends SparkSpecBase {
     }
     // deterministic under any partitioning
     val again = Similarity.sampleClusterOf(embDf.repartition(7)).collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("cid"), r.getAs[Long]("cluster_n"), r.getAs[Long]("rk")))
       .toSet
     assert(again == got)
   }
@@ -250,12 +252,12 @@ class SimilaritySpec extends SparkSpecBase {
     val reconOf = vecs.map { case (id, e) => id -> recon(e) }
     rows.foreach { r =>
       val (q, n, pd, rk) =
-        (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))
+        (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"), r.getAs[Double]("pq_dot"), r.getAs[Int]("rank"))
       assert(q < Similarity.NumQueries && n != q && rk <= Similarity.TopK)
       assert(pd == dot(vecs(q), reconOf(n)), s"pq_dot mismatch ($q,$n)")
     }
     // and the full ranking matches the in-memory ADC ranking
-    val got = rows.map(r => (r.getLong(0), r.getInt(3)) -> r.getLong(1))
+    val got = rows.map(r => (r.getAs[Long]("query_id"), r.getAs[Int]("rank")) -> r.getAs[Long]("neighbor_id"))
       .toMap
     for (q <- vecs.keys.filter(_ < Similarity.NumQueries)) {
       val expect = vecs.keys.toSeq.filter(_ != q)
@@ -299,7 +301,7 @@ class SimilaritySpec extends SparkSpecBase {
     val rows = Similarity.ivfPqTopK(spark, Sf).collect()
     assert(rows.nonEmpty)
     val got = rows.map(r =>
-      (r.getLong(0), r.getInt(3)) -> (r.getLong(1), r.getDouble(2))).toMap
+      (r.getAs[Long]("query_id"), r.getAs[Int]("rank")) -> (r.getAs[Long]("neighbor_id"), r.getAs[Double]("pq_dot"))).toMap
     for (q <- vecs.keys.filter(_ < Similarity.NumQueries)) {
       val probed = cents.map { case (cid, ce) => (cid, cos(vecs(q), ce)) }
         .sortBy { case (cid, s) => (-s, cid) }
@@ -317,7 +319,7 @@ class SimilaritySpec extends SparkSpecBase {
     }
     // every returned neighbor sits in a probed list of its query
     rows.foreach { r =>
-      val (q, n) = (r.getLong(0), r.getLong(1))
+      val (q, n) = (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))
       val probed = cents.map { case (cid, ce) => (cid, cos(vecs(q), ce)) }
         .sortBy { case (cid, s) => (-s, cid) }
         .take(Similarity.NumProbes).map(_._1).toSet
@@ -329,7 +331,7 @@ class SimilaritySpec extends SparkSpecBase {
   test("PCA: projections replay in-memory; bit-stable under partitioning") {
     // the two trained artifacts from the session cache path
     val rows = Similarity.embPca(spark, Sf).collect()
-      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Double]("pc1")).toMap
     assert(rows.keySet == vecs.keySet)
     // in-memory replay: DECIMAL-stable sums via the same quantization
     def dsum(xs: Iterable[Double]): Double =
@@ -371,15 +373,15 @@ class SimilaritySpec extends SparkSpecBase {
     // partition-count independence of the whole train+project pipeline
     def run(df: org.apache.spark.sql.DataFrame) =
       Similarity.embPcaOf(df).collect()
-        .map(r => (r.getLong(0), r.getDouble(1))).toSet
+        .map(r => (r.getAs[Long]("vec_id"), r.getAs[Double]("pc1"))).toSet
     assert(run(embDf.repartition(7)) == run(embDf.repartition(2)))
   }
 
   test("ABTT removes exactly the pc1 component, orthogonally") {
     val pc1 = Similarity.embPca(spark, Sf).collect()
-      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Double]("pc1")).toMap
     val w = Similarity.embAbtt(spark, Sf).collect()
-      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("dim")) -> r.getAs[Double]("w")).toMap
     assert(w.size == vecs.size * 64)
     // reconstruct the direction-independent invariant: for every vector
     // the processed w plus pc1·v must equal the centered original; we
@@ -419,7 +421,7 @@ class SimilaritySpec extends SparkSpecBase {
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     // processed vectors rebuilt from the public per-cell output
     val wcells = Similarity.embAbtt(spark, Sf).collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("dim"), r.getAs[Double]("w")))
     val wvecs = wcells.groupBy(_._1).map { case (id, cs) =>
       id -> cs.sortBy(_._2).map(_._3).toArray
     }
@@ -435,8 +437,8 @@ class SimilaritySpec extends SparkSpecBase {
     }
     val expect = Map("raw" -> topPairs(vecs), "abtt" -> topPairs(wvecs))
     val got = Similarity.abttEval(spark, Sf).collect()
-      .map(r => r.getString(0) ->
-        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+      .map(r => r.getAs[String]("method") ->
+        ((r.getAs[Long]("n_pairs"), r.getAs[Long]("n_same_label"), r.getAs[Double]("agreement")))).toMap
     assert(got.keySet == Set("raw", "abtt"))
     got.foreach { case (m, (nPairs, nSame, agree)) =>
       val pairs = expect(m)
@@ -459,8 +461,8 @@ class SimilaritySpec extends SparkSpecBase {
     }
     val sigs = vecs.map { case (id, e) => id -> sigOf(e) }
     val got = Similarity.binaryTopK(spark, Sf).collect()
-      .map(r => (r.getLong(0), r.getInt(4)) ->
-        ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Int]("rank")) ->
+        ((r.getAs[Long]("neighbor_id"), r.getAs[Long]("hamming"), r.getAs[Double]("cos_sim"))))
       .toMap
     val qids = vecs.keys.filter(_ < Similarity.NumQueries)
     assert(got.size == qids.size * Similarity.TopK)
@@ -492,7 +494,7 @@ class SimilaritySpec extends SparkSpecBase {
       .selectExpr("vec_id", "cast(embedding as array<double>) e")
     def run(df: org.apache.spark.sql.DataFrame) =
       Similarity.pqTopKOf(df, Similarity.NumQueries).collect()
-        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+        .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"), r.getAs[Double]("pq_dot"), r.getAs[Int]("rank")))
         .toSet
     assert(run(embDf.repartition(7)) == run(embDf.repartition(2)))
   }
@@ -500,7 +502,7 @@ class SimilaritySpec extends SparkSpecBase {
   test("incremental ANN: neighbors only from the index side, " +
     "stable under repartition") {
     val rows = Similarity.simIncremental(spark, Sf).collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"), r.getAs[Double]("cos_sim"), r.getAs[Int]("rank")))
     assert(rows.nonEmpty)
     // queries are the arriving odd-id batch; every neighbor comes from
     // the even-id corpus the index was built on
@@ -523,7 +525,7 @@ class SimilaritySpec extends SparkSpecBase {
           .repartition(p),
         Similarity.IvfKmeansIters)
       .collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"), r.getAs[Double]("cos_sim"), r.getAs[Int]("rank")))
       .toSet
     assert(run(3) == run(11))
   }
@@ -544,40 +546,43 @@ class SimilaritySpec extends SparkSpecBase {
         dmean(a), dmean(b), dmean(a) - dmean(b))
     }.toSet
     val got = Similarity.embDrift(spark, Sf).collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
-        r.getDouble(3), r.getDouble(4), r.getDouble(5))).toSet
+      .map(r => (r.getAs[Long]("dim"), r.getAs[Long]("n_a"), r.getAs[Long]("n_b"),
+        r.getAs[Double]("mean_a"), r.getAs[Double]("mean_b"), r.getAs[Double]("diff"))).toSet
     assert(got == want)
     // partition independence — the dsum contract
     val g2 = Similarity.embDriftOf(
         Tables(spark, Sf, "embeddings")
           .select("vec_id", "embedding").repartition(13))
       .collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
-        r.getDouble(3), r.getDouble(4), r.getDouble(5))).toSet
+      .map(r => (r.getAs[Long]("dim"), r.getAs[Long]("n_a"), r.getAs[Long]("n_b"),
+        r.getAs[Double]("mean_a"), r.getAs[Double]("mean_b"), r.getAs[Double]("diff"))).toSet
     assert(g2 == want)
   }
 
   test("cluster purity: totals reconcile, corpus row is the weighted sum") {
     val rows = graft.operators.Similarity.clusterPurity(spark, Sf)
       .collect()
-    val (cells, tot) = rows.partition(_.getLong(0) >= 0)
+    val (cells, tot) = rows.partition(_.getAs[Long]("cid") >= 0)
     assert(tot.length == 1 && cells.nonEmpty)
     val t = tot.head
-    assert(t.getLong(1) == cells.map(_.getLong(1)).sum)
-    assert(t.getLong(3) == cells.map(_.getLong(3)).sum)
+    assert(t.getAs[Long]("n_members") ==
+      cells.map(_.getAs[Long]("n_members")).sum)
+    assert(t.getAs[Long]("n_top") == cells.map(_.getAs[Long]("n_top")).sum)
     cells.foreach { r =>
-      assert(r.getLong(3) >= 1 && r.getLong(3) <= r.getLong(1))
-      assert(r.getDouble(4) ==
-        r.getLong(3).toDouble / r.getLong(1).toDouble)
+      assert(r.getAs[Long]("n_top") >= 1
+        && r.getAs[Long]("n_top") <= r.getAs[Long]("n_members"))
+      assert(r.getAs[Double]("purity") ==
+        r.getAs[Long]("n_top").toDouble
+          / r.getAs[Long]("n_members").toDouble)
     }
     // purity must beat the 1/|labels| random floor on labeled fixtures
-    assert(t.getDouble(4) > 0.1)
+    assert(t.getAs[Double]("purity") > 0.1)
   }
 
   test("matryoshka: identity at full width, curve monotone on fixture") {
     val rows = Similarity.matryoshka(spark, Sf).collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
-        r.getDouble(3))).sortBy(_._1)
+      .map(r => (r.getAs[Long]("dims"), r.getAs[Long]("n_exact"), r.getAs[Long]("n_hit"),
+        r.getAs[Double]("recall"))).sortBy(_._1)
     assert(rows.map(_._1).toSeq == Similarity.MrlBudgets.map(_.toLong))
     // full width is the exact ranking itself
     assert(rows.last._4 == 1.0 && rows.last._3 == rows.last._2)
@@ -630,9 +635,9 @@ class SimilaritySpec extends SparkSpecBase {
       :+ (7L, base(Seq(7 -> 0.5)))                  // orthogonal
       ).toDF("vec_id", "embedding")
     val mmr = Similarity.mmrTopKOf(rows, 1L).collect()
-      .map(r => (r.getLong(1), r.getLong(2))).sortBy(_._1)
+      .map(r => (r.getAs[Long]("step"), r.getAs[Long]("neighbor_id"))).sortBy(_._1)
     val plainTop = Similarity.int8TopKOf(rows, 1L).collect()
-      .map(_.getLong(1)).toSet
+      .map(_.getAs[Long]("neighbor_id")).toSet
     // relevance-only top-5 is all clones; MMR keeps ≤ 3 and surfaces
     // both distinct directions
     assert(plainTop == Set(1L, 2L, 3L, 4L, 5L), plainTop)

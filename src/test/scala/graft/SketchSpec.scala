@@ -42,11 +42,11 @@ class SketchSpec extends SparkSpecBase {
     val rows = Sketch.heavyHitters(spark, Sf).collect()
     assert(rows.length == Sketch.ProbeTopK)
     val exact = TextOps.wordCountOf(corpus).collect()
-      .map(r => r.getString(0) -> r.getLong(1)).toMap
+      .map(r => r.getAs[String]("word") -> r.getAs[Long]("cnt")).toMap
     rows.foreach { r =>
-      assert(r.getLong(1) == exact(r.getString(0)), s"cnt drift: $r")
-      assert(r.getLong(3) >= 0L, s"negative overcount: $r")
-      assert(r.getLong(2) == r.getLong(1) + r.getLong(3))
+      assert(r.getAs[Long]("cnt") == exact(r.getAs[String]("word")), s"cnt drift: $r")
+      assert(r.getAs[Long]("overcount") >= 0L, s"negative overcount: $r")
+      assert(r.getAs[Long]("cnt_est") == r.getAs[Long]("cnt") + r.getAs[Long]("overcount"))
     }
   }
 
@@ -59,8 +59,8 @@ class SketchSpec extends SparkSpecBase {
 
   test("quantile sketch: every probed q reported, bounded error") {
     val rows = Sketch.quantileSketch(spark, Sf).collect()
-      .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2),
-        r.getDouble(3)))
+      .map(r => (r.getAs[String]("q"), r.getAs[Double]("exact_v"), r.getAs[Double]("est_v"),
+        r.getAs[Double]("abs_err")))
     assert(rows.map(_._1).toSet ==
       Sketch.QSketchQs.map(_.toString).toSet)
     rows.foreach { case (q, exact, est, err) =>
@@ -81,9 +81,9 @@ class SketchSpec extends SparkSpecBase {
 
   test("hll: every scope estimated within the 512-register error band") {
     val rows = Sketch.distinctHll(spark, Sf).collect()
-    assert(rows.map(_.getString(0)).contains("ALL"))
+    assert(rows.map(_.getAs[String]("scope")).contains("ALL"))
     rows.foreach { r =>
-      val (scope, err) = (r.getString(0), r.getDouble(3))
+      val (scope, err) = (r.getAs[String]("scope"), r.getAs[Double]("rel_err"))
       // 1.04/sqrt(512) ≈ 4.6% std error; 3σ band ≈ 14%
       assert(math.abs(err) < 0.15, s"scope=$scope rel_err=$err")
     }
@@ -114,7 +114,7 @@ class SketchSpec extends SparkSpecBase {
     assert(plan.contains("WindowGroupLimit"),
       s"rank filter should prune per-partition:\n$plan")
     val rows = df.collect()
-    val bySrc = rows.groupBy(_.getString(0))
+    val bySrc = rows.groupBy(_.getAs[String]("source"))
     bySrc.foreach { case (src, rs) =>
       assert(rs.map(_.getString(1)).toSet ===
         Sketch.GQQs.map(_.toString).toSet, src)
@@ -153,9 +153,9 @@ class SketchSpec extends SparkSpecBase {
     // sf0.001: 15 users per type < k -> the sketch IS the set; both
     // estimators must return the exact values
     Sketch.audienceKmv(spark, Sf).collect().foreach { r =>
-      assert(r.getDouble(6) == r.getLong(5).toDouble,
+      assert(r.getAs[Double]("union_est") == r.getAs[Long]("union_exact").toDouble,
         s"union_est != union_exact in exact regime: $r")
-      assert(r.getDouble(7) == r.getLong(4).toDouble,
+      assert(r.getAs[Double]("inter_est") == r.getAs[Long]("inter_exact").toDouble,
         s"inter_est != inter_exact in exact regime: $r")
     }
     // synthetic big audiences force the estimate regime: 1200 users in
@@ -202,7 +202,7 @@ class SketchSpec extends SparkSpecBase {
         b -> ((xs.length.toLong, xs.sum.toDouble / xs.length.toDouble))
       }.toMap
     val got = Sketch.subsampleCi(spark, Sf).collect()
-      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+      .map(r => r.getAs[Long]("replica") -> ((r.getAs[Long]("n"), r.getAs[Double]("mean_len")))).toMap
     assert(got == expect)
     // the replicas genuinely vary AND center near the full-corpus mean
     val reps = got.filter(_._1 >= 0).values.map(_._2).toSeq
@@ -225,8 +225,8 @@ class SketchSpec extends SparkSpecBase {
         w.sum.toDouble / w.length.toDouble))
     }
     val got = Sketch.winsorize(spark, Sf).collect()
-      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
-        r.getLong(3), r.getLong(6), r.getLong(7), r.getDouble(8))))
+      .map(r => r.getAs[String]("source") -> ((r.getAs[Long]("n"), r.getAs[Long]("n_lo"),
+        r.getAs[Long]("n_hi"), r.getAs[Long]("min_w"), r.getAs[Long]("max_w"), r.getAs[Double]("mean_w"))))
       .toMap
     assert(got == expect)
   }
@@ -245,8 +245,8 @@ class SketchSpec extends SparkSpecBase {
       s -> ((xs.length.toLong, bySrc(base).length.toLong, d))
     }
     val got = Sketch.ksDrift(spark, Sf).collect()
-      .map(r => r.getString(0) ->
-        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+      .map(r => r.getAs[String]("source") ->
+        ((r.getAs[Long]("n"), r.getAs[Long]("n0"), r.getAs[Double]("d_stat")))).toMap
     assert(got == expect)
     assert(!got.contains(base))
   }
@@ -256,12 +256,12 @@ class SketchSpec extends SparkSpecBase {
     val rows = Sketch.rollupMerge(spark, Sf).collect()
     assert(rows.nonEmpty)
     rows.foreach { r =>
-      assert(r.getLong(1) == r.getLong(2), s"count mismatch: $r")
+      assert(r.getAs[Long]("n_direct") == r.getAs[Long]("n_merged"), s"count mismatch: $r")
       // DECIMAL-carried partial sums merge EXACTLY — == on the doubles,
       // not a tolerance (a double-summed partial would break this)
-      assert(r.getDouble(3) == r.getDouble(4), s"sum mismatch: $r")
-      assert(r.getDouble(5) == r.getDouble(6), s"min mismatch: $r")
-      assert(r.getDouble(7) == r.getDouble(8), s"max mismatch: $r")
+      assert(r.getAs[Double]("sum_direct") == r.getAs[Double]("sum_merged"), s"sum mismatch: $r")
+      assert(r.getAs[Double]("min_direct") == r.getAs[Double]("min_merged"), s"min mismatch: $r")
+      assert(r.getAs[Double]("max_direct") == r.getAs[Double]("max_merged"), s"max mismatch: $r")
     }
     // the week key partitions the observed day range: no week absent
     val weeks = rows.map(_.getLong(0)).sorted.toSeq
@@ -284,12 +284,12 @@ class SketchSpec extends SparkSpecBase {
     val f2 = toks.groupBy(identity).values
       .map(g => BigInt(g.size) * BigInt(g.size)).sum
     val r = Sketch.f2Ams(spark, Sf).head()
-    assert(r.getLong(0) == k.toLong)
-    assert(r.getLong(1) == s2.toLong)
-    assert(r.getLong(3) == f2.toLong)
+    assert(r.getAs[Long]("k") == k.toLong)
+    assert(r.getAs[Long]("sum_s2") == s2.toLong)
+    assert(r.getAs[Long]("f2_exact") == f2.toLong)
     val est = s2.toLong.toDouble / k.toDouble
-    assert(r.getDouble(2) == est)
-    assert(r.getDouble(4) ==
+    assert(r.getAs[Double]("f2_est") == est)
+    assert(r.getAs[Double]("rel_err") ==
       math.abs(est - f2.toLong.toDouble) / f2.toLong.toDouble)
     // mergeability: per-estimator counters over a split corpus ADD —
     // the property that lets shards sketch independently

@@ -45,8 +45,8 @@ class StreamingSpec extends SparkSpecBase {
           r.getDouble(3))).toSet
       val batch = Streams.tumblingStats(wave1.toDF(), None)
         .collect()
-        .map(r => (r.getTimestamp(0).getTime, r.getString(1), r.getLong(2),
-          r.getDouble(3))).toSet
+        .map(r => (r.getAs[java.sql.Timestamp]("win_start").getTime, r.getAs[String]("event_type"), r.getAs[Long]("n_events"),
+          r.getAs[Double]("sum_value"))).toSet
       assert(batch.subsetOf(streamed),
         s"finalized windows missing: ${batch -- streamed}")
     } finally q.stop()
@@ -79,8 +79,8 @@ class StreamingSpec extends SparkSpecBase {
           r.getLong(2), r.getDouble(3))).toSet
       val batch = Streams.enrichedStats(wave1.toDF(), dim, None)
         .collect()
-        .map(r => (r.getTimestamp(0).getTime, r.getString(1),
-          r.getLong(2), r.getDouble(3))).toSet
+        .map(r => (r.getAs[java.sql.Timestamp]("win_start").getTime, r.getAs[String]("nation"),
+          r.getAs[Long]("n_events"), r.getAs[Double]("sum_value"))).toSet
       assert(batch.subsetOf(streamed),
         s"finalized windows missing: ${batch -- streamed}")
       // inner stream-static join: the unmatched user never surfaces,
@@ -151,8 +151,8 @@ class StreamingSpec extends SparkSpecBase {
           r.getLong(3))).toSet
       val batch = Streams.topkTypes(wave.toDF())
         .collect()
-        .map(r => (r.getTimestamp(0).getTime, r.getString(1), r.getLong(2),
-          r.getLong(3))).toSet
+        .map(r => (r.getAs[java.sql.Timestamp]("win_start").getTime, r.getAs[String]("event_type"), r.getAs[Long]("n_events"),
+          r.getAs[Long]("rk"))).toSet
       assert(batch.subsetOf(streamed),
         s"finalized leaderboards missing: ${batch -- streamed}")
       val hour0 = streamed.filter(_._1 == 0L).toSeq.sortBy(_._4)
@@ -183,7 +183,7 @@ class StreamingSpec extends SparkSpecBase {
         .toSet
       val batch = Streams.hoppingStats(wave.toDF(), None)
         .collect()
-        .map(r => (r.getTimestamp(0).getTime, r.getString(1), r.getLong(2)))
+        .map(r => (r.getAs[java.sql.Timestamp]("win_start").getTime, r.getAs[String]("event_type"), r.getAs[Long]("n_events")))
         .toSet
       assert(batch.size == 4, batch) // 2 events × 2 covering windows
       assert(batch.subsetOf(streamed),
@@ -218,7 +218,7 @@ class StreamingSpec extends SparkSpecBase {
         .toSet
       val batch = Streams.sessionWindowStats(wave.toDF(), None)
         .collect()
-        .map(r => (r.getLong(0), r.getTimestamp(1).getTime, r.getLong(2)))
+        .map(r => (r.getAs[Long]("user_id"), r.getAs[java.sql.Timestamp]("win_start").getTime, r.getAs[Long]("n_events")))
         .toSet
       assert(batch.subsetOf(streamed),
         s"closed sessions missing: ${batch -- streamed}")
@@ -232,9 +232,9 @@ class StreamingSpec extends SparkSpecBase {
   test("RFM segmentation recounts from per-user aggregates and quartiles") {
     val ev = graft.Tables(spark, Sf, "events")
     val rows = Streams.userRfm(ev).collect()
-      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
-        r.getDouble(3), r.getLong(4), r.getLong(5), r.getLong(6),
-        r.getLong(7)))).toMap
+      .map(r => r.getAs[Long]("user_id") -> ((r.getAs[Long]("recency_us"), r.getAs[Long]("n_events"),
+        r.getAs[Double]("sum_value"), r.getAs[Long]("r_q"), r.getAs[Long]("f_q"), r.getAs[Long]("m_q"),
+        r.getAs[Long]("segment")))).toMap
     // driver replay of the per-user metrics
     val per = Streams.withEventTime(ev)
       .select("user_id", "ts_us", "value").collect()
@@ -312,8 +312,8 @@ class StreamingSpec extends SparkSpecBase {
       t -> ((pts.size.toLong, slopes.size.toLong, med))
     }
     val got = Streams.dailyTrend(ev).collect()
-      .map(r => r.getString(0) ->
-        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+      .map(r => r.getAs[String]("event_type") ->
+        ((r.getAs[Long]("n_days"), r.getAs[Long]("n_pairs"), r.getAs[Double]("slope")))).toMap
     assert(got == expect)
   }
 
@@ -333,7 +333,7 @@ class StreamingSpec extends SparkSpecBase {
       }
     }.groupBy(identity).map { case (h, g) => (h, g.size.toLong) }
     val got = Streams.conversionLatency(ev).collect()
-      .map(r => (r.getLong(0), r.getLong(1))).toMap
+      .map(r => (r.getAs[Long]("delay_h"), r.getAs[Long]("n_users"))).toMap
     assert(got == expect)
   }
 
@@ -358,8 +358,8 @@ class StreamingSpec extends SparkSpecBase {
       }
     }.toSet
     val got = Streams.rateAnomaly(ev).collect()
-      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
-        r.getLong(3), r.getDouble(4))).toSet
+      .map(r => (r.getAs[String]("event_type"), r.getAs[Long]("win_us"), r.getAs[Long]("n"),
+        r.getAs[Long]("n_windows"), r.getAs[Double]("mean_n"))).toSet
     assert(got == expect)
     // flagged set is a strict subset: anomalies, not the whole grid
     assert(got.size < wins.size)
@@ -368,8 +368,8 @@ class StreamingSpec extends SparkSpecBase {
   test("ewma replays the exact-decimal smoother at each user's last event") {
     val ev = graft.Tables(spark, Sf, "events")
     val got = Streams.ewmaValue(ev).collect()
-      .map(r => r.getLong(0) ->
-        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4))))
+      .map(r => r.getAs[Long]("user_id") ->
+        ((r.getAs[Long]("n_events"), r.getAs[Long]("last_ts_us"), r.getAs[Double]("last_value"), r.getAs[Double]("ewma"))))
       .toMap
     val per = Streams.withEventTime(ev)
       .select("user_id", "ts_us", "event_id", "value").collect()
@@ -398,7 +398,7 @@ class StreamingSpec extends SparkSpecBase {
     val ev = graft.Tables(spark, Sf, "events")
     def run(df: org.apache.spark.sql.DataFrame) =
       Streams.watermarkPlan(df).collect()
-        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+        .map(r => (r.getAs[Long]("delay_s"), r.getAs[Long]("n_late"), r.getAs[Double]("drop_rate"))).toSet
     val got = run(ev)
     // sequential replay: sort by the injected arrival order, walk once
     val evs = Streams.withEventTime(ev)
@@ -476,7 +476,7 @@ class StreamingSpec extends SparkSpecBase {
       // and the oracle-bound batch formulation agrees per (user, count)
       val oracleForm = Streams.dynamicSessions(wave.toDF())
         .collect()
-        .map(r => (r.getLong(0), r.getLong(2)))
+        .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("n_events")))
         .groupBy(_._1).view.mapValues(_.map(_._2).sorted.toSeq).toMap
       val native = batch.toSeq.map(t => (t._1, t._3))
         .groupBy(_._1).view.mapValues(_.map(_._2).sorted.toSeq).toMap
@@ -509,7 +509,7 @@ class StreamingSpec extends SparkSpecBase {
         .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
         .toSet
       val batch = Streams.firstTouch((wave1 ++ wave2).toDF(), None).collect()
-        .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+        .map(r => (r.getAs[Long]("user_id"), r.getAs[String]("event_type"), r.getAs[Long]("first_ts_us"), r.getAs[Long]("first_event_id")))
         .toSet
       assert(streamed == batch)
       assert(streamed.exists { case (_, t, _, id) =>
@@ -698,7 +698,7 @@ class StreamingSpec extends SparkSpecBase {
         ev(5, B + 5 * MinNs, user = 2))
       val batch = Streams.sessions(wave.toDF())
         .collect()
-        .map(r => (r.getLong(0), r.getLong(3), r.getLong(4), r.getLong(2)))
+        .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("start_us"), r.getAs[Long]("duration_us"), r.getAs[Long]("n_events")))
         .toSet
       assert(batch.forall(got.contains), s"batch=${batch} got=${got}")
     } finally q.stop()
@@ -734,8 +734,8 @@ class StreamingSpec extends SparkSpecBase {
       // user 2: purchase with no prior view (view comes after)
       Ev(6, 10 * MinNs, 2, "purchase", 0), Ev(7, 20 * MinNs, 2, "view", 0))
     val got = Streams.asofViewBeforePurchase(evts.toDF()).collect()
-      .map(r => r.getLong(1) ->
-        (if (r.isNullAt(2)) None else Some(r.getLong(2)))).toMap
+      .map(r => r.getAs[Long]("purchase_id") ->
+        (if (r.isNullAt(2)) None else Some(r.getAs[Long]("view_id")))).toMap
     assert(got == Map(
       2L -> Some(1L), // latest earlier view
       4L -> Some(3L), // view at the SAME instant counts (at-or-before)
@@ -975,8 +975,8 @@ class StreamingSpec extends SparkSpecBase {
       ev(3, 3 * MinNs, 1, "a"), ev(4, 4 * MinNs, 1, "c"),
       ev(5, 1 * MinNs, 2, "a"), ev(6, 2 * MinNs, 2, "b")).toDF()
     val paths = Streams.frequentPaths(evs).collect()
-      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
-        r.getLong(3), r.getLong(5)))
+      .map(r => (r.getAs[Long]("k"), r.getAs[String]("path"), r.getAs[Long]("support"),
+        r.getAs[Long]("n_users"), r.getAs[Long]("rk")))
     val b = paths.filter(_._1 == 2L)
     assert(b.map(p => p._2 -> p._3).toMap ==
       Map("a>b" -> 2L, "b>a" -> 1L, "a>c" -> 1L))
@@ -987,8 +987,8 @@ class StreamingSpec extends SparkSpecBase {
     assert(t.map(p => p._2 -> p._3).toMap ==
       Map("a>b>a" -> 1L, "b>a>c" -> 1L))
     val mk = Streams.eventMarkov(evs).collect()
-      .map(r => ((r.getString(0), r.getString(1)),
-        (r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+      .map(r => ((r.getAs[String]("cur_type"), r.getAs[String]("next_type")),
+        (r.getAs[Long]("n_pairs"), r.getAs[Long]("out_total"), r.getAs[Double]("p")))).toMap
     assert(mk(("a", "b")) == ((2L, 3L, 2.0 / 3.0)))
     assert(mk(("a", "c")) == ((1L, 3L, 1.0 / 3.0)))
     assert(mk(("b", "a")) == ((1L, 1L, 1.0)))
@@ -1034,8 +1034,8 @@ class StreamingSpec extends SparkSpecBase {
           spark.range(n).select(org.apache.spark.sql.functions.col("id")
             .as("value"))), None)
       .collect()
-      .map(r => (r.getTimestamp(0).getTime, r.getString(1),
-        r.getLong(2), r.getDouble(3))).toSet
+      .map(r => (r.getAs[java.sql.Timestamp]("win_start").getTime, r.getAs[String]("event_type"),
+        r.getAs[Long]("n_events"), r.getAs[Double]("sum_value"))).toSet
     assert(streamed.subsetOf(batch),
       s"streamed rows missing from the batch replay: ${streamed -- batch}")
   }
@@ -1048,8 +1048,8 @@ class StreamingSpec extends SparkSpecBase {
       ev(3, 30 * MinNs, typ = "b"), ev(4, 40 * MinNs, typ = "a"),
       ev(5, 15 * MinNs, user = 2, typ = "c")).toDF()
     val got = Streams.scd2(evs).collect()
-      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
-        Option(r.get(3)).map(_.asInstanceOf[Long]), r.getLong(4))).toSet
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[String]("status"), r.getAs[Long]("valid_from_us"),
+        Option(r.get(3)).map(_.asInstanceOf[Long]), r.getAs[Long]("n_events"))).toSet
     def us(m: Long) = m * MinNs / 1000
     assert(got == Set(
       (1L, "a", us(10), Some(us(30)), 2L),
@@ -1084,8 +1084,8 @@ class StreamingSpec extends SparkSpecBase {
       ev(8, 10 * MinNs, user = 4, v = 4.0),
       ev(9, 10 * MinNs, user = 4, typ = "view", v = 5.0)).toDF()
     val got = Streams.cdcApply(evs).collect()
-      .map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2),
-        r.getDouble(3), r.getLong(4), r.getLong(5)))).toMap
+      .map(r => r.getAs[Long]("user_id") -> ((r.getAs[Long]("last_us"), r.getAs[String]("last_type"),
+        r.getAs[Double]("last_value"), r.getAs[Long]("n_ops"), r.getAs[Long]("n_deletes")))).toMap
     def us(m: Long) = m * MinNs / 1000
     assert(got.keySet == Set(1L, 4L)) // 2 and 3 end deleted
     assert(got(1L) == ((us(30), "purchase", 3.0, 3L, 1L)))
@@ -1110,8 +1110,8 @@ class StreamingSpec extends SparkSpecBase {
       ev(7, 5 * HourNs2, user = 3, typ = "view"),
       ev(8, 5 * HourNs2, user = 3, typ = "purchase")).toDF()
     val got = Streams.linearAttribution(evs).collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
-        r.getLong(3))).sortBy(_._1)
+      .map(r => (r.getAs[Long]("hour"), r.getAs[Long]("n_touches"), r.getAs[Long]("n_purchases"),
+        r.getAs[Long]("credit_scaled"))).sortBy(_._1)
     val third = Streams.AttrScale / 3
     assert(got.toSeq == Seq((2L, 1L, 1L, third), (4L, 1L, 1L, third),
       (6L, 1L, 1L, third)))
@@ -1128,8 +1128,8 @@ class StreamingSpec extends SparkSpecBase {
       // user 2: a single observation → a single observed row
       ev(4, 5 * DayNs, user = 2, v = 7.0)).toDF()
     val got = Streams.interpolateDaily(evs).collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
-        r.getBoolean(3))).toSet
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("day"), r.getAs[Double]("value"),
+        r.getAs[Boolean]("observed"))).toSet
     assert(got == Set(
       (1L, 0L, 3.0, true),
       (1L, 1L, 5.0, false), // 3 + 6·(1/3)
@@ -1150,9 +1150,9 @@ class StreamingSpec extends SparkSpecBase {
     val evs = (0 to 5).flatMap(d => burst("a", d, if (d < 3) 1 else 5)) ++
       (0 to 3).flatMap(d => burst("b", d, 2))
     val got = Streams.changepoint(evs.toDF()).collect()
-      .map(r => r.getString(0) ->
-        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4),
-          r.getDouble(5)))).toMap
+      .map(r => r.getAs[String]("event_type") ->
+        ((r.getAs[Long]("split_day"), r.getAs[Long]("n_days"), r.getAs[Double]("left_mean"), r.getAs[Double]("right_mean"),
+          r.getAs[Double]("score")))).toMap
     assert(got("a") == ((2L, 6L, 1.0, 5.0, 144.0)))
     assert(got("b") == ((0L, 4L, 2.0, 2.0, 0.0)))
   }
@@ -1177,8 +1177,8 @@ class StreamingSpec extends SparkSpecBase {
       }
     }.toSet
     val got = Streams.autocorr(ev).collect()
-      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
-        r.getDouble(3))).toSet
+      .map(r => (r.getAs[String]("event_type"), r.getAs[Long]("lag"), r.getAs[Long]("n_pairs"),
+        r.getAs[Double]("acf"))).toSet
     assert(got == expect)
     // zero-variance guard: a constant series reports 0, never NaN
     val s = spark; import s.implicits._
@@ -1201,11 +1201,11 @@ class StreamingSpec extends SparkSpecBase {
       ev(3, 3000000L, 1, "purchase"),
       ev(4, 1000000L, 2, "purchase"))
     val got = Streams.scd2Lookup(evs.toDF()).collect()
-      .map(r => r.getString(0) -> r.getLong(1)).toMap
+      .map(r => r.getAs[String]("prior_status") -> r.getAs[Long]("n_purchases")).toMap
     assert(got == Map("view" -> 1L, "purchase" -> 1L, "<none>" -> 1L))
     // fixture: every purchase lands in exactly one bucket
     val fx = Streams.scd2Lookup(graft.Tables(spark, Sf, "events"))
-      .collect().map(r => r.getLong(1)).sum
+      .collect().map(r => r.getAs[Long]("n_purchases")).sum
     val nPurch = graft.Tables(spark, Sf, "events")
       .where("event_type = 'purchase'").count()
     assert(fx == nPurch)
@@ -1222,8 +1222,8 @@ class StreamingSpec extends SparkSpecBase {
       ev(3, 3000, 1, "purchase"),
       ev(4, 1000, 2, "view"))
     val got = Streams.markovAttribution(evs.toDF()).collect()
-      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
-        r.getLong(3), r.getLong(4))).sortBy(_._1).toSeq
+      .map(r => (r.getAs[String]("channel"), r.getAs[Long]("p_conv"), r.getAs[Long]("p_removed"),
+        r.getAs[Long]("removal_effect"), r.getAs[Long]("attribution"))).sortBy(_._1).toSeq
     assert(got == Seq(
       ("click", S / 2, 0L, S / 2, S / 2),
       ("error", S / 2, S / 2, 0L, 0L),
@@ -1238,7 +1238,7 @@ class StreamingSpec extends SparkSpecBase {
     // to the scale within per-channel truncation
     val fx = Streams.markovAttribution(
       graft.Tables(spark, Sf, "events")).collect()
-      .map(r => (r.getLong(1), r.getLong(2), r.getLong(4)))
+      .map(r => (r.getAs[Long]("p_conv"), r.getAs[Long]("p_removed"), r.getAs[Long]("attribution")))
     assert(fx.length == Streams.MarkovChannels.length)
     fx.foreach { case (pf, pr, _) => assert(pr <= pf) }
     val shares = fx.map(_._3).sum
@@ -1270,8 +1270,8 @@ class StreamingSpec extends SparkSpecBase {
       .groupBy(_._1).values
       .map(g => (g.map(_._2).min, g.map(_._2).max)).toSeq
     val got = Streams.survival(ev).collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
-        r.getLong(3), r.getDouble(4))).sortBy(_._1).toSeq
+      .map(r => (r.getAs[Long]("t"), r.getAs[Long]("n_risk"), r.getAs[Long]("d_churn"),
+        r.getAs[Long]("c_cens"), r.getAs[Double]("surv"))).sortBy(_._1).toSeq
     assert(got == replay(spans))
     // invariants: risk set strictly shrinks, survival never rises,
     // everyone is accounted for exactly once
@@ -1288,8 +1288,8 @@ class StreamingSpec extends SparkSpecBase {
         .map(_.copy(user_id = u.toLong))
     }
     val pg = Streams.survival(evs.toDF()).collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
-        r.getLong(3), r.getDouble(4))).sortBy(_._1).toSeq
+      .map(r => (r.getAs[Long]("t"), r.getAs[Long]("n_risk"), r.getAs[Long]("d_churn"),
+        r.getAs[Long]("c_cens"), r.getAs[Double]("surv"))).sortBy(_._1).toSeq
     // lifetimes 24h..120h; users 1..4 churn (last day < 5), user 5
     // censored on the final day
     assert(pg.map(_._1) == Seq(24L, 48L, 72L, 96L, 120L))
@@ -1322,8 +1322,8 @@ class StreamingSpec extends SparkSpecBase {
       .groupBy(identity)
       .map { case ((t, d), g) => (t, d, g.size.toLong) }.toSeq
     val got = Streams.cusum(ev).collect()
-      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
-        r.getLong(3), r.getBoolean(4))).toSet
+      .map(r => (r.getAs[String]("event_type"), r.getAs[Long]("day"), r.getAs[Long]("x"),
+        r.getAs[Long]("cusum2n"), r.getAs[Boolean]("alarm"))).toSet
     assert(got == replay(daily))
     // 20 quiet days then 10 at 6×: the sustained shift must alarm
     val s2 = spark; import s2.implicits._
@@ -1335,7 +1335,7 @@ class StreamingSpec extends SparkSpecBase {
       (1 to 6).map { k => id += 1; ev2(id, d * DayNs + k * 1000, "shift") }
     }
     val pg = Streams.cusum(evs.toDF()).collect()
-      .map(r => (r.getLong(1), r.getBoolean(4))).toMap
+      .map(r => (r.getAs[Long]("day"), r.getAs[Boolean]("alarm"))).toMap
     assert(pg.size == 30)
     assert((0L to 19L).forall(!pg(_)))
     assert(pg.count(_._2) >= 5, pg.toString)
@@ -1347,9 +1347,9 @@ class StreamingSpec extends SparkSpecBase {
       (0 until k).map(r => e.copy(event_id = 100000L + i * 10 + r))
     }
     val g3 = Streams.cusum(evs3.toDF()).collect()
-      .map(r => (r.getLong(1), r.getLong(3), r.getBoolean(4)))
+      .map(r => (r.getAs[Long]("day"), r.getAs[Long]("cusum2n"), r.getAs[Boolean]("alarm")))
     val g1 = Streams.cusum(evs.toDF()).collect()
-      .map(r => (r.getLong(1), r.getLong(3), r.getBoolean(4)))
+      .map(r => (r.getAs[Long]("day"), r.getAs[Long]("cusum2n"), r.getAs[Boolean]("alarm")))
     assert(g3.map(r => (r._1, r._3)).toSet ==
       g1.map(r => (r._1, r._3)).toSet)
     assert(g3.map(r => (r._1, r._2)).toMap ==
@@ -1384,8 +1384,8 @@ class StreamingSpec extends SparkSpecBase {
         (t, rows.size.toLong, l, b, f)
     }.toSet
     val got = Streams.holtWinters(ev).collect()
-      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
-        r.getDouble(3), r.getDouble(4))).toSet
+      .map(r => (r.getAs[String]("event_type"), r.getAs[Long]("n_days"), r.getAs[Double]("level"),
+        r.getAs[Double]("trend"), r.getAs[Double]("forecast_7"))).toSet
     assert(got == expect)
     // perfectly weekly input (1..7 repeating, dyadic-exact arithmetic):
     // level pins to the season mean, trend to 0, forecast to next
@@ -1424,8 +1424,8 @@ class StreamingSpec extends SparkSpecBase {
       (t, xs.length.toLong, l, b, l + Streams.HoltH.toDouble * b)
     }.toSet
     val got = Streams.holtTrend(ev).collect()
-      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
-        r.getDouble(3), r.getDouble(4))).toSet
+      .map(r => (r.getAs[String]("event_type"), r.getAs[Long]("n_days"), r.getAs[Double]("level"),
+        r.getAs[Double]("trend"), r.getAs[Double]("forecast_7"))).toSet
     assert(got == expect)
     // a constant series is a fixed point: level c, trend 0, forecast c
     val s = spark; import s.implicits._
@@ -1460,7 +1460,7 @@ class StreamingSpec extends SparkSpecBase {
   test("concurrency: in-memory sweep replay equals the two-level plan") {
     val ev = graft.Tables(spark, Sf, "events")
     val sess = Streams.sessions(ev).collect()
-      .map(r => (r.getLong(3), r.getLong(3) + r.getLong(4)))
+      .map(r => (r.getAs[Long]("start_us"), r.getAs[Long]("start_us") + r.getAs[Long]("duration_us")))
     val expect = sess
       .flatMap { case (st, en) =>
         (st / Streams.DayUs to en / Streams.DayUs).map { d =>
@@ -1478,7 +1478,7 @@ class StreamingSpec extends SparkSpecBase {
         (day, ss.length.toLong, peak.toLong)
       }.toSet
     val got = Streams.concurrency(ev).collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      .map(r => (r.getAs[Long]("day"), r.getAs[Long]("n_session_days"), r.getAs[Long]("peak_concurrency"))).toSet
     assert(got == expect)
     // concurrency peaks above 1 somewhere, else the sweep is vacuous
     assert(got.exists(_._3 > 1))

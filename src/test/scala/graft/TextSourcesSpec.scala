@@ -45,13 +45,13 @@ class TextSourcesSpec extends SparkSpecBase {
     val tx = TextSources.transactions(spark, res("transactions.txt"))
     // support 2 over: {bread milk eggs}×2, {bread milk}, {milk eggs butter}
     val sets = Apriori.freqItemsetsOf(tx, support = 2)
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      .collect().map(r => r.getAs[String]("itemset") -> r.getAs[Long]("cnt")).toMap
     assert(sets == Map(
       "bread milk" -> 3L, "bread eggs" -> 2L, "eggs milk" -> 3L,
       "bread eggs milk" -> 2L))
     val rules = Apriori.assocRulesOf(tx, support = 2)
       .collect()
-      .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+      .map(r => (r.getAs[String]("antecedent"), r.getAs[String]("consequent")) -> r.getAs[Double]("confidence")).toMap
     // confidence(bread ⇒ milk) = 100·supp(bread milk)/supp(bread) = 100·3/3
     assert(rules(("bread", "milk")) == 100.0)
     // confidence(milk ⇒ bread) = 100·3/4
@@ -82,7 +82,7 @@ class TextSourcesSpec extends SparkSpecBase {
         + "one two three four five six seven eight nine ten\n"))
     val docs = TextSources.documents(spark, f.toString)
     val pairs = Dedup.minhashLshOf(docs).collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"), r.getAs[Double]("jaccard")))
     assert(pairs.length == 1)
     val (a, b, j) = pairs(0)
     assert(Set(a, b) == Set(0L, 1L))
@@ -94,10 +94,10 @@ class TextSourcesSpec extends SparkSpecBase {
     import graft.operators.TextOps
     val docs = TextSources.documents(spark, res("transactions.txt"))
     val stats = TextOps.textStatsOf(docs).collect()
-      .map(r => r.getLong(0) -> r.getInt(2)).toMap
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Int]("n_tokens")).toMap
     assert(stats.values.sum == 11) // 3+2+3+3 tokens over 4 non-blank lines
     val wc = TextOps.wordCountOf(docs).collect()
-      .map(r => r.getString(0) -> r.getLong(1)).toMap
+      .map(r => r.getAs[String]("word") -> r.getAs[Long]("cnt")).toMap
     assert(wc == Map("bread" -> 3L, "milk" -> 4L, "eggs" -> 3L,
       "butter" -> 1L))
     val fp = TextOps.fingerprintOf(docs).collect()
