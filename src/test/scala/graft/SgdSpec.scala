@@ -93,6 +93,23 @@ class SgdSpec extends SparkSpecBase {
     assert(r.iterations == 1 && r.converged)
   }
 
+  test("θ depends on the logical shard rule only, not the input layout") {
+    // shard() re-routes by id % P and re-sorts, so ANY upstream
+    // partitioning must produce the bit-identical fold — the invariant
+    // that makes the DuckDB oracle (which has no notion of Spark
+    // partitions) a valid replay of the distributed run
+    val s = spark; import s.implicits._
+    val (obs, _) = synth(300)
+    def fitFrom(inputParts: Int) = {
+      val raw = spark.createDataset(obs).repartition(inputParts)
+      Sgd.fit(Sgd.shard(raw, 8), 3, logistic = true, parts = 8)
+    }
+    val a = fitFrom(2)
+    val b = fitFrom(13)
+    assert(a.theta.toSeq == b.theta.toSeq)
+    assert(a.iterations == b.iterations && a.converged == b.converged)
+  }
+
   test("parameter-averaged SGD reduces MSE on noiseless linear data") {
     val (obs, _) = synth(500)
     def mse(theta: Array[Double]): Double =

@@ -644,4 +644,28 @@ class SimilaritySpec extends SparkSpecBase {
     assert(mmr.count(p => p._2 >= 1L && p._2 <= 5L) <= 3, mmr.toSeq)
     assert(mmr.exists(_._2 == 6L) && mmr.exists(_._2 == 7L), mmr.toSeq)
   }
+
+  test("int8 serving entries share the session index, never re-score") {
+    import org.apache.spark.sql.execution.RDDScanExec
+    // pre-AQE sparkPlan: AdaptiveSparkPlanExec is opaque to collect()
+    def leaves(df: org.apache.spark.sql.DataFrame): Set[Int] =
+      df.queryExecution.sparkPlan
+        .collect { case r: RDDScanExec => r.rdd.id }.toSet
+    Similarity.int8TopK(spark, Sf).collect() // warm the index cache
+    val topk = Similarity.int8TopK(spark, Sf)
+    // the corpus-scale quantize+score kernel lives BEHIND the session
+    // checkpoint: a per-call plan that re-plans it would carry the
+    // typed SerializeFromObject/mapPartitions chain instead of reading
+    // the checkpointed pair table
+    val plan = topk.queryExecution.sparkPlan.toString
+    assert(!plan.contains("SerializeFromObject"),
+      s"llm_sim_int8_topk re-plans the scoring kernel per call:\n$plan")
+    assert(leaves(topk).nonEmpty, "int8 top-k reads no checkpointed index")
+    // MMR serves from the SAME index tables (pool + quantized corpus):
+    // mmrTopK executes eagerly, so assert through the shared-RDD seam —
+    // a second int8TopK plan must reuse the identical checkpoint RDD
+    val again = Similarity.int8TopK(spark, Sf)
+    assert(leaves(topk) == leaves(again),
+      "repeated calls rebuilt the index (fresh RDD ids)")
+  }
 }
