@@ -330,6 +330,17 @@ class DedupSpec extends SparkSpecBase {
     val ivf2 = graft.operators.Similarity.ivfTopK(spark, Sf).collect()
       .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
     assert(ivf2 == ivf)
+    // the int8 serving index (quant + scored pairs + MMR pool) rebuilds
+    // through the same boundary — released checkpoints must not leave a
+    // consumer reading freed blocks
+    val mmr = graft.operators.Similarity.mmrTopK(spark, Sf).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("step"),
+        r.getAs[Long]("neighbor_id"))).toSet
+    graft.operators.Similarity.invalidateInt8(spark, Sf)
+    val mmr2 = graft.operators.Similarity.mmrTopK(spark, Sf).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("step"),
+        r.getAs[Long]("neighbor_id"))).toSet
+    assert(mmr2 == mmr)
   }
 
   test("Materialize.Disk strategy reproduces the Local minhash output") {
