@@ -1334,15 +1334,21 @@ object Graph {
     * capped neighbor list (the [[edgesOf]] double-explode applied to
     * adjacency instead of order baskets) — never a sym⋈sym self-join,
     * which would shuffle the adjacency twice and square the hubs
-    * before the cap could prune them. One groupBy on the pair key and
-    * one anti-join against the edge table later, the top-k is a
-    * TakeOrderedAndProject (per-partition heaps, no global sort).
+    * before the cap could prune them. The INDEX folds the non-edge
+    * anti-join and prunes to the top-[[LinkTopK]] CANDIDATES PER x
+    * under the serving comparator — lossless for the global top-k (a
+    * pair outside its own x's top-k has ≥ k same-x pairs ahead of it
+    * globally too), and it shrinks the cached artifact from the
+    * Σ C(min(d, cap), 2) pair universe (74M wedge rows at sf0.1 —
+    * rescanning THAT per call was the whole 5-6 s serving cost) to
+    * ≤ |V|·k rows. The serve is then one TakeOrderedAndProject over
+    * the bounded candidate table.
     */
   def linkPred(spark: SparkSession, dir: String): DataFrame =
-    linkPredFrom(linkIndex(spark, dir), edges(spark, dir))
+    linkPredFrom(linkIndex(spark, dir))
 
   def linkPredOf(ed: DataFrame): DataFrame =
-    linkPredFrom(linkIndexOf(ed), ed)
+    linkPredFrom(linkIndexOf(ed))
 
   /** Session-lifetime link-prediction index: the aggregated
     * (x, y, cn, ra_scaled) pair-score table — the [[Dedup]]
@@ -1392,16 +1398,23 @@ object Graph {
     wedges
       .groupBy("x", "y")
       .agg(count(lit(1)).as("cn"), sum(col("wz")).as("ra_scaled"))
-  }
-
-  private def linkPredFrom(idx: DataFrame, ed: DataFrame): DataFrame =
-    idx
-      // the edge table is |E| fixed-width rows — broadcast the anti
-      // side rather than reshuffling the (much larger) pair index; at
-      // a scale where |E| stops fitting, AQE falls back to the
-      // shuffled anti-join on its own
+      // fold the non-edge filter into the index: the edge table is |E|
+      // fixed-width rows — broadcast the anti side rather than
+      // reshuffling the (much larger) pair table; at a scale where |E|
+      // stops fitting, AQE falls back to the shuffled anti-join
       .join(broadcast(ed.select(col("a").as("x"), col("b").as("y"))),
         Seq("x", "y"), "left_anti")
+      // per-x candidate prune, SAME comparator as the serve restricted
+      // to fixed x — lossless for any global top-[[LinkTopK]] (see
+      // [[linkPred]]); WindowGroupLimit cuts it map-side
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("x"))
+          .orderBy(col("ra_scaled").desc, col("cn").desc, col("y"))))
+      .where(col("rk") <= LinkTopK).drop("rk")
+  }
+
+  private def linkPredFrom(idx: DataFrame): DataFrame =
+    idx
       .orderBy(col("ra_scaled").desc, col("cn").desc, col("x"), col("y"))
       .limit(LinkTopK)
 

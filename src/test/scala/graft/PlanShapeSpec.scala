@@ -674,20 +674,26 @@ class PlanShapeSpec extends SparkSpecBase {
     windows.foreach(w => assert(w.contains("source"), w))
   }
 
-  test("link pred: row-local wedges, broadcast anti-join, heap top-k") {
+  test("link pred: row-local wedges, pruned candidate index, heap top-k") {
     val p = finalOnly(graft.operators.Graph.linkPred(spark, Sf))
     assert(p.contains("TakeOrderedAndProject"), p)
     assert(!p.contains("CartesianProduct"), p)
-    // the serving probe anti-joins the broadcast edge set against the
-    // cached pair index, never reshuffling the index
-    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"), p)
+    // the SERVE reads the cached ≤|V|·k candidate index only — the
+    // anti-join and the per-x prune live in the one-time index build,
+    // so no per-call plan touches the Σ C(d,2) pair universe
+    assert(!p.contains("LeftAnti"),
+      s"anti-join leaked back into the per-call serving plan:\n$p")
     // the index BUILD (uncached path) generates wedges row-locally
-    // from adjacency arrays — Generate, never a sym-vs-sym self-join
-    // that squares the hubs
+    // from adjacency arrays (Generate, never a sym-vs-sym self-join
+    // that squares the hubs), anti-joins the broadcast edge set, and
+    // prunes per-x with a map-side WindowGroupLimit
     val build = finalOnly(graft.operators.Graph.linkPredOf(
       graft.operators.Graph.edgesOf(
         Tables(spark, Sf, "lineitem"))))
     assert(build.contains("Generate"), build)
+    assert(build.contains("BroadcastHashJoin") && build.contains("LeftAnti"),
+      build)
+    assert(build.contains("WindowGroupLimit"), build)
   }
 
   test("local cc: oriented incidences explode row-locally, heap top-k") {
