@@ -100,7 +100,8 @@ object Graph {
       val (s, d) = e.getKey
       if ((spark == null || s == spark) && (dir == null || d == dir)) {
         val k = e.getValue
-        Seq(k.deg, k.oriented, k.adjOut).foreach(graft.Materialize.release)
+        Seq(k.deg, k.oriented, k.adjOut, k.support, k.triCount)
+          .foreach(graft.Materialize.release)
         kit.remove()
       }
     }
@@ -149,7 +150,8 @@ object Graph {
     * O(m^1.5) bound.
     */
   private case class TriKernel(ed: DataFrame, deg: DataFrame,
-      oriented: DataFrame, adjOut: DataFrame)
+      oriented: DataFrame, adjOut: DataFrame,
+      support: DataFrame, triCount: DataFrame)
 
   /** `mat` cuts the build at each stage: the cached path passes
     * [[graft.Materialize.Local]] so `oriented` derives from the
@@ -179,7 +181,22 @@ object Graph {
         when(aFirst, col("b")).otherwise(col("a")).as("v")))
     val adjOut = mat(oriented.groupBy(col("u"))
       .agg(collect_list(col("v")).as("nbrs")))
-    TriKernel(ed, deg, oriented, adjOut)
+    // per-edge support and per-node triangle counts join the kernel:
+    // BOUNDED tables (≤|E| / ≤|V| rows) that edge_embed and local_cc
+    // previously re-aggregated from the 3T incidence rows on EVERY
+    // call — with them cached, those serves are joins + a top-k
+    def triNodes = triNodesOf(oriented, adjOut)
+    def cedge(x: Column, y: Column) =
+      struct(least(x, y).as("ea"), greatest(x, y).as("eb"))
+    val support = mat(triNodes
+      .select(explode(array(cedge(col("u"), col("v")),
+        cedge(col("u"), col("w")), cedge(col("v"), col("w")))).as("e"))
+      .groupBy(col("e.ea").as("a"), col("e.eb").as("b"))
+      .agg(count(lit(1)).as("support")))
+    val triCount = mat(triNodes
+      .select(explode(array(col("u"), col("v"), col("w"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("tri")))
+    TriKernel(ed, deg, oriented, adjOut, support, triCount)
   }
 
   /** Session-lifetime checkpointed kernel per (session, dir) — the
@@ -211,10 +228,11 @@ object Graph {
     * once, at its (x, y) edge (z sits in both out-lists; y→x and
     * z→{x,y} don't exist under the orientation). Row-local explode.
     */
-  private def triNodesFrom(k: TriKernel): DataFrame =
-    k.oriented
-      .join(k.adjOut.select(col("u"), col("nbrs").as("nu")), "u")
-      .join(k.adjOut.select(col("u").as("v"), col("nbrs").as("nv")), "v")
+  private def triNodesOf(oriented: DataFrame, adjOut: DataFrame)
+      : DataFrame =
+    oriented
+      .join(adjOut.select(col("u"), col("nbrs").as("nu")), "u")
+      .join(adjOut.select(col("u").as("v"), col("nbrs").as("nv")), "v")
       .select(col("u"), col("v"),
         explode(array_intersect(col("nu"), col("nv"))).as("w"))
 
@@ -295,10 +313,7 @@ object Graph {
     localCcFrom(triKernelOf(edgesRaw))
 
   private def localCcFrom(k: TriKernel): DataFrame = {
-    val perNode = triNodesFrom(k)
-      .select(explode(array(col("u"), col("v"), col("w"))).as("node"))
-      .groupBy("node").agg(count(lit(1)).as("tri"))
-    k.deg.join(perNode, Seq("node"), "left")
+    k.deg.join(k.triCount, Seq("node"), "left")
       .where(col("d") >= 2)
       .select(col("node"), col("d").as("degree"),
         coalesce(col("tri"), lit(0L)).as("tri"),
@@ -332,17 +347,7 @@ object Graph {
     * edges matter.
     */
   private def supportOf(ed: DataFrame): DataFrame =
-    supportFrom(triKernelOf(ed))
-
-  private def supportFrom(k: TriKernel): DataFrame = {
-    def cedge(x: Column, y: Column) =
-      struct(least(x, y).as("ea"), greatest(x, y).as("eb"))
-    triNodesFrom(k)
-      .select(explode(array(cedge(col("u"), col("v")),
-        cedge(col("u"), col("w")), cedge(col("v"), col("w")))).as("e"))
-      .groupBy(col("e.ea").as("a"), col("e.eb").as("b"))
-      .agg(count(lit(1)).as("support"))
-  }
+    triKernelOf(ed).support
 
   def edgeEmbedOf(edgesRaw: DataFrame): DataFrame =
     edgeEmbedFrom(triKernelOf(edgesRaw))
@@ -350,19 +355,23 @@ object Graph {
   private def edgeEmbedFrom(k: TriKernel): DataFrame = {
     val da = k.deg.select(col("node").as("a"), col("d").as("da"))
     val db = k.deg.select(col("node").as("b"), col("d").as("db"))
-    val support = supportFrom(k)
-    k.ed.join(support, Seq("a", "b"), "left")
-      .join(da, "a").join(db, "b")
+    // rank FIRST on (support, edge) — the comparator needs nothing but
+    // the cached support table — so the degree joins run on the
+    // [[EmbedTopK]] winners, not on all |E| edges
+    val top = k.ed.join(k.support, Seq("a", "b"), "left")
       .select(col("a"), col("b"),
-        coalesce(col("support"), lit(0L)).as("support"),
-        (col("da") + col("db") - 2 - coalesce(col("support"), lit(0L)))
-          .as("union_nbrs"))
+        coalesce(col("support"), lit(0L)).as("support"))
+      .orderBy(col("support").desc, col("a"), col("b"))
+      .limit(EmbedTopK)
+    top
+      .join(da, "a").join(db, "b")
+      .select(col("a"), col("b"), col("support"),
+        (col("da") + col("db") - 2 - col("support")).as("union_nbrs"))
       .select(col("a"), col("b"), col("support"), col("union_nbrs"),
         when(col("union_nbrs") === 0, lit(0.0))
           .otherwise(col("support").cast("double")
             / col("union_nbrs").cast("double")).as("embeddedness"))
       .orderBy(col("support").desc, col("a"), col("b"))
-      .limit(EmbedTopK)
   }
 
   /** Top-[[PrTopK]] parts by PageRank after [[PrIters]] synchronous
