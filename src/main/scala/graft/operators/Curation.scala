@@ -1067,12 +1067,20 @@ object Curation {
   def coverageSelect(spark: SparkSession, dir: String): DataFrame = {
     val k = graft.Conf.int(spark, CovSelectKConf, CovSelectK)
     val u = graft.Conf.int(spark, CovUniverseConf, CovUniverse)
-    coverageSelectOf(spark, docs(spark, dir), k, u)
+    coverageGreedy(spark, cachedCovIncidence(spark, dir, u), k)
   }
 
   def coverageSelectOf(spark: SparkSession, corpus: DataFrame,
       k: Int, uSize: Int): DataFrame = {
-    import spark.implicits._
+    val incU = graft.Materialize.Local(covIncidenceOf(corpus, uSize))
+    try coverageGreedy(spark, incU, k)
+    finally graft.Materialize.release(incU)
+  }
+
+  /** The (doc, universe-term) incidence: distinct bigrams joined to the
+    * [[CovUniverse]] lowest-df terms.
+    */
+  private def covIncidenceOf(corpus: DataFrame, uSize: Int): DataFrame = {
     val t = split(col("text"), " ")
     val inc = corpus.select(col("doc_id"),
       explode(array_distinct(zip_with(
@@ -1082,8 +1090,47 @@ object Curation {
       .agg(count(lit(1)).as("df"))
       .orderBy(col("df").asc, col("term")).limit(uSize)
       .select("term")
-    val incU = graft.Materialize.Local(
-      inc.join(broadcast(universe), "term").select("doc_id", "term"))
+    inc.join(broadcast(universe), "term").select("doc_id", "term")
+  }
+
+  /** Session-lifetime checkpoint of the incidence per (session, dir,
+    * universe) — the serving-index discipline: the two corpus scans +
+    * checkpoint are paid once, each coverageSelect call costs only its
+    * K greedy jobs. Released by [[invalidateCoverage]].
+    */
+  private val covCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String, Int), DataFrame]
+
+  private def cachedCovIncidence(spark: SparkSession, dir: String,
+      uSize: Int): DataFrame = {
+    val key = (spark, dir, uSize)
+    val got = covCache.get(key)
+    if (got != null) got
+    else {
+      val built = graft.Materialize.Local(
+        covIncidenceOf(docs(spark, dir), uSize))
+      val prev = covCache.putIfAbsent(key, built)
+      if (prev != null) { graft.Materialize.release(built); prev }
+      else built
+    }
+  }
+
+  def invalidateCoverage(spark: SparkSession = null, dir: String = null)
+      : Unit = {
+    val it = covCache.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      val (s, d, _) = e.getKey
+      if ((spark == null || s == spark) && (dir == null || d == dir)) {
+        graft.Materialize.release(e.getValue)
+        it.remove()
+      }
+    }
+  }
+
+  private def coverageGreedy(spark: SparkSession, incU: DataFrame,
+      k: Int): DataFrame = {
+    import spark.implicits._
     val picks = scala.collection.mutable.ListBuffer
       .empty[(Long, Long, Long, Long)]
     var covered = Set.empty[String]
@@ -1107,7 +1154,6 @@ object Curation {
         step += 1
       }
     }
-    graft.Materialize.release(incU)
     picks.toSeq.toDF("step", "doc_id", "gain", "covered")
   }
 
