@@ -281,6 +281,12 @@ object Quality {
     val spark = corpus.sparkSession
     val s = spark; import s.implicits._
     val parts = Sgd.numPartsOr(spark, TrainShards)
+    // the [[TrainIdStride]] remap is only alias-free when the stride is
+    // coprime with the shard count — fail loudly rather than silently
+    // re-collapsing the classifier (see the TrainIdStride docstring)
+    require(BigInt(TrainIdStride).gcd(BigInt(parts)) == 1,
+      s"graft.sgd.numPartitions=$parts shares a factor with the " +
+        s"oversample stride $TrainIdStride; use a power of two")
     val obs = Sgd.shard(bowObs(corpus), parts).persist()
     val k = TrainNegOversample
     val trainSet = Sgd.shard(
