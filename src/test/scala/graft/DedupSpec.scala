@@ -341,6 +341,14 @@ class DedupSpec extends SparkSpecBase {
       .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("step"),
         r.getAs[Long]("neighbor_id"))).toSet
     assert(mmr2 == mmr)
+    val cov = graft.operators.Curation.coverageSelect(spark, Sf).collect()
+      .map(r => (r.getAs[Long]("step"), r.getAs[Long]("doc_id"),
+        r.getAs[Long]("gain"))).toSet
+    graft.operators.Curation.invalidateCoverage(spark, Sf)
+    val cov2 = graft.operators.Curation.coverageSelect(spark, Sf).collect()
+      .map(r => (r.getAs[Long]("step"), r.getAs[Long]("doc_id"),
+        r.getAs[Long]("gain"))).toSet
+    assert(cov2 == cov)
   }
 
   test("Materialize.Disk strategy reproduces the Local minhash output") {

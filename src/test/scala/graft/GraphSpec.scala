@@ -689,4 +689,21 @@ class GraphSpec extends SparkSpecBase {
     assert((leaves(cc) intersect leaves(emb)).nonEmpty,
       "local_cc and edge_embed do not share kernel RDDs")
   }
+
+  test("link prediction serves from the cached candidate index") {
+    import org.apache.spark.sql.execution.RDDScanExec
+    def leaves(df: org.apache.spark.sql.DataFrame): Set[Int] =
+      df.queryExecution.sparkPlan
+        .collect { case r: RDDScanExec => r.rdd.id }.toSet
+    Graph.linkPred(spark, Sf).collect() // warm
+    val a = Graph.linkPred(spark, Sf)
+    val b = Graph.linkPred(spark, Sf)
+    // per-call plan = TakeOrdered over the checkpointed candidates:
+    // no wedge Generate, no anti-join, and the SAME index RDD each call
+    val plan = a.queryExecution.sparkPlan.toString
+    assert(!plan.contains("Generate") && !plan.contains("LeftAnti"),
+      s"link_pred rebuilds its index per call:\n$plan")
+    assert(leaves(a).nonEmpty && leaves(a) == leaves(b),
+      "repeated calls did not reuse the cached candidate index")
+  }
 }
