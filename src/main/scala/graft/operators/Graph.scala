@@ -185,7 +185,11 @@ object Graph {
     // BOUNDED tables (≤|E| / ≤|V| rows) that edge_embed and local_cc
     // previously re-aggregated from the 3T incidence rows on EVERY
     // call — with them cached, those serves are joins + a top-k
-    def triNodes = triNodesOf(oriented, adjOut)
+    // the 3T incidence is the most expensive derivation of the build:
+    // cut it ONCE so support and triCount don't each re-enumerate the
+    // triangles, then drop the cut — the incidence itself is not part
+    // of the kernel (release is a no-op on the un-materialized path)
+    val triNodes = mat(triNodesOf(oriented, adjOut))
     def cedge(x: Column, y: Column) =
       struct(least(x, y).as("ea"), greatest(x, y).as("eb"))
     val support = mat(triNodes
@@ -196,6 +200,7 @@ object Graph {
     val triCount = mat(triNodes
       .select(explode(array(col("u"), col("v"), col("w"))).as("node"))
       .groupBy("node").agg(count(lit(1)).as("tri")))
+    graft.Materialize.release(triNodes)
     TriKernel(ed, deg, oriented, adjOut, support, triCount)
   }
 
@@ -216,8 +221,8 @@ object Graph {
       val built = triKernelOf(edges(spark, dir), graft.Materialize.Local)
       val prev = kernelCache.putIfAbsent(key, built)
       if (prev != null) {
-        Seq(built.deg, built.oriented, built.adjOut)
-          .foreach(graft.Materialize.release)
+        Seq(built.deg, built.oriented, built.adjOut, built.support,
+          built.triCount).foreach(graft.Materialize.release)
         prev
       } else built
     }

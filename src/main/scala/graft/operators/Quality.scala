@@ -247,7 +247,7 @@ object Quality {
     * on purpose — [[Sgd.fit]] keeps the reference's exact per-record
     * semantics, and repeating a record k times IS k sequential updates.
     * Without it the classifier collapses to all-positive (measured
-    * tpr = 1.0, tnr = 0.0). Copy ids are remapped by [[TrainCopyOffset]]
+    * tpr = 1.0, tnr = 0.0). Copy ids are remapped by [[TrainIdStride]]
     * so they stay unique and deterministic WITHOUT aliasing the shard
     * rule.
     */

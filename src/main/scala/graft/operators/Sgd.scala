@@ -70,7 +70,11 @@ object Sgd {
 
   /** Logical shard count: `graft.sgd.numPartitions` conf if set, else
     * `default`. Tests that assert run-to-run θ equality pin the conf
-    * explicitly; the Verify/Bench harnesses leave the default.
+    * explicitly; the Verify/Bench harnesses leave the default. NOTE:
+    * the DuckDB oracles bind the DEFAULTS (P is part of the model), so
+    * a conf-overridden run trains a legitimately different θ that is
+    * NOT oracle-comparable — the knob is for production scaling, not
+    * for verify runs.
     */
   def numPartsOr(spark: SparkSession, default: Int): Int =
     spark.conf.getOption("graft.sgd.numPartitions").map(_.toInt)
@@ -180,7 +184,12 @@ object Sgd {
         def flush(): Unit =
           if (pid >= 0L) out += ((pid, allCont, snapSum, n))
         iter.foreach { o =>
-          val p = o.id % parts
+          // pmod, matching [[shard]]'s routing and the oracle's
+          // ((id % P) + P) % P spelling — Java % would put a negative
+          // id in a "-r" shard that collides with the -1 sentinel and
+          // silently drops from the mix
+          val m = o.id % parts
+          val p = if (m < 0) m + parts else m
           if (p != pid) {
             flush()
             pid = p; th = bc.value.clone()
@@ -385,7 +394,7 @@ t$k AS MATERIALIZED (
     val sg = if (logistic) s"$sigCte,\n" else ""
     s"""WITH $pre${sg}obs AS MATERIALIZED ($obsSelect),
 lists AS MATERIALIZED (
-  SELECT id % $parts AS pid,
+  SELECT ((id % $parts) + $parts) % $parts AS pid,
     list(struct_pack(y := y, x := x, th := NULL::DOUBLE[],
       snap := NULL::DOUBLE[], n := NULL::BIGINT, cont := NULL::BOOLEAN)
       ORDER BY id) AS recs

@@ -866,7 +866,7 @@ object Similarity {
     * coverage-select pattern).
     *
     * Scale shape: the corpus-scale scoring pass lives in the session
-    * int8 index ([[cachedInt8Scored]]) — paid once per (session, dir),
+    * int8 index ([[cachedInt8]]) — paid once per (session, dir),
     * shared with `llm_sim_int8_topk`; everything per-call lives on
     * queries·[[MmrPool]] rows (the pool broadcasts into the
     * quantized-vector fetch, pair sims are pool²-per-query ≈ bounded).
