@@ -40,9 +40,21 @@ object StableSum {
     * Used by the BIGINT-hardened audit columns (`tv_num`, `kappa_num`,
     * `auc_num2`) whose inputs are bounded by n²-class products the
     * operator docstrings argue < 2⁶² at the per-shard audit sizes.
+    *
+    * NULL input also raises, with its own message: the audit columns
+    * this guards are aggregates over non-empty groups, so a NULL here
+    * is never a legitimate value — it is either a misuse (empty group)
+    * or, worse, a DECIMAL(38,0) sum that itself overflowed to NULL
+    * under non-ANSI mode (DuckDB's HUGEINT would have raised). Mapping
+    * it onto the generic "exceeds BIGINT" text (what the NULL-valued
+    * `when` condition used to fall through to) misnamed the cause;
+    * propagating NULL would hide the overflow case entirely.
     */
   def checkedLong(c: Column, what: String): Column =
-    when(abs(c) <= lit(Long.MaxValue).cast("decimal(38,0)"), c.cast("long"))
+    when(c.isNull, raise_error(lit(
+        s"graft: $what is NULL — empty aggregate or DECIMAL(38,0) " +
+          "overflow; shard the audit")).cast("long"))
+      .when(abs(c) <= lit(Long.MaxValue).cast("decimal(38,0)"), c.cast("long"))
       .otherwise(raise_error(lit(
         s"graft: $what exceeds BIGINT — out of the documented size " +
           "contract; shard the audit")).cast("long"))

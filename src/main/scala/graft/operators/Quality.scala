@@ -262,11 +262,15 @@ object Quality {
     *  - a large copy OFFSET (id + r·2⁴⁰) sorts every negative copy
     *    AFTER every positive, and under per-record snapshot averaging
     *    the tail of a fold barely influences θ.
-    * 11 > k keeps ids unique, odd keeps `id·11 % P` a bijection of the
-    * uniform doc ids for every power-of-2 P (the default 32 and the
-    * spec's 4; a conf'd P divisible by 11 or 3 would re-alias — keep P
-    * a power of two), and copies stay ADJACENT to their original's
-    * position in the id sort, interleaved with the positives.
+    * 11 > k keeps ids unique, and 11 being coprime with every power of
+    * two keeps `id·11 % P` a bijection of the uniform doc ids for the
+    * default 32 and the spec's 4; copies stay ADJACENT to their
+    * original's position in the id sort, interleaved with the
+    * positives. The trainer REQUIRES a power-of-two P outright (not
+    * merely gcd(11, P) = 1, which a P like 48 or 96 would satisfy while
+    * drifting off the analyzed layout): the adjacency/interleaving
+    * argument above is only verified for power-of-two shard counts, and
+    * the collapse mode it guards against (tpr 1.0 / tnr 0.0) is silent.
     */
   val TrainIdStride = 11
 
@@ -281,12 +285,14 @@ object Quality {
     val spark = corpus.sparkSession
     val s = spark; import s.implicits._
     val parts = Sgd.numPartsOr(spark, TrainShards)
-    // the [[TrainIdStride]] remap is only alias-free when the stride is
-    // coprime with the shard count — fail loudly rather than silently
-    // re-collapsing the classifier (see the TrainIdStride docstring)
-    require(BigInt(TrainIdStride).gcd(BigInt(parts)) == 1,
-      s"graft.sgd.numPartitions=$parts shares a factor with the " +
-        s"oversample stride $TrainIdStride; use a power of two")
+    // the [[TrainIdStride]] remap's layout argument is only verified
+    // for power-of-two shard counts — enforce exactly what the message
+    // demands (a gcd(11, P) = 1 check would wave through P = 48/96,
+    // see the TrainIdStride docstring) rather than silently
+    // re-collapsing the classifier
+    require(parts > 0 && Integer.bitCount(parts) == 1,
+      s"graft.sgd.numPartitions=$parts is not a power of two; the " +
+        s"oversample stride $TrainIdStride layout requires one")
     val obs = Sgd.shard(bowObs(corpus), parts).persist()
     val k = TrainNegOversample
     val trainSet = Sgd.shard(

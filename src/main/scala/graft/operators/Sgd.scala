@@ -101,9 +101,11 @@ object Sgd {
 
   /** Piecewise-linear logistic link over [[SigmoidTable]] — the engine's
     * logistic-regression sigmoid (logisticreg.java:79 re-specified as a
-    * bit-portable function; max interpolation error ≈ 2·10⁻⁴, well under
-    * the 0.01 training tolerance). Clamps outside ±8. Every operation is
-    * IEEE-exact arithmetic mirrored term-for-term by [[sigSql]].
+    * bit-portable function). Two error terms vs exact 1/(1+e^{−h}), both
+    * pinned by SgdSpec: interpolation error ≤ 5·10⁻⁵ inside [−8, 8],
+    * and the clamp tail 1 − σ(8) ≈ 3.35·10⁻⁴ outside — well under the
+    * 0.01 training tolerance. Every operation is IEEE-exact arithmetic
+    * mirrored term-for-term by [[sigSql]].
     */
   def sigmoidPL(h: Double): Double =
     if (h <= -8.0) SigmoidTable(0)

@@ -180,6 +180,18 @@ object TextSources {
     * normally free — the latch closes the window for any concurrent
     * embedder). A waiter whose writer FAILED (latch released, marker
     * removed) re-enters and retries the write itself.
+    *
+    * CONTRACT — no re-entrancy: `write` must not call writeOnce on the
+    * SAME path (the owning thread would await its own unreleased latch
+    * and self-deadlock; the pre-latch boolean version returned
+    * immediately, which was the silent half of the same bug — the
+    * inner caller proceeded into a half-written directory). Nested
+    * writeOnce on a DIFFERENT path is fine. And the await is bounded:
+    * a waiter re-checks the map every [[WriteOncePollSec]] seconds (a
+    * writer thread killed without unwinding — Thread.stop class —
+    * would otherwise strand waiters forever) and after
+    * [[WriteOnceMaxWaitSec]] fails loudly naming the path rather than
+    * hanging the caller.
     */
   def writeOnce(path: String)(write: => Unit): Unit = {
     val latch = new java.util.concurrent.CountDownLatch(1)
@@ -190,12 +202,32 @@ object TextSources {
         writtenOnce.remove(path, latch); throw e
       } finally latch.countDown()
     } else {
-      prev.await()
+      var waited = 0L
+      while (!prev.await(WriteOncePollSec,
+          java.util.concurrent.TimeUnit.SECONDS)) {
+        waited += WriteOncePollSec
+        // the entry changing under us means our writer failed and a
+        // successor took over — re-enter and wait on (or become) it
+        if (writtenOnce.get(path) ne prev) { writeOnce(path)(write); return }
+        if (waited >= WriteOnceMaxWaitSec)
+          throw new IllegalStateException(
+            s"graft: writeOnce($path) waited ${waited}s on a writer " +
+              "that neither finished nor failed — stranded latch " +
+              "(writer killed without unwinding?); invalidateScratch() " +
+              "and retry")
+      }
       // writer gone from the map ⇒ it failed after we started waiting:
       // take over the write (or wait on whoever already did)
       if (writtenOnce.get(path) ne prev) writeOnce(path)(write)
     }
   }
+
+  /** Waiter poll / give-up bounds for [[writeOnce]] (seconds). The max
+    * is generous — a fixture dump is seconds, not minutes — so a real
+    * slow writer never trips it; only a stranded latch does.
+    */
+  val WriteOncePollSec = 15L
+  val WriteOnceMaxWaitSec = 600L
 
   def invalidateScratch(): Unit = writtenOnce.clear()
 

@@ -196,6 +196,48 @@ class QualitySpec extends SparkSpecBase {
     } finally spark.conf.unset("graft.sgd.numPartitions")
   }
 
+  test("non-power-of-two shard count fails loudly (stride alias guard)") {
+    // P = 48 passes a gcd(11, P) = 1 check — the guard must reject it
+    // anyway, exactly as its error message demands (the TrainIdStride
+    // layout argument is only verified for power-of-two P, and the
+    // failure mode it prevents is a silent tpr 1.0 / tnr 0.0 collapse)
+    spark.conf.set("graft.sgd.numPartitions", "48")
+    try {
+      val e = intercept[IllegalArgumentException] {
+        Quality.qualityTrainOf(docs).collect()
+      }
+      assert(e.getMessage.contains("power of two"), e.getMessage)
+    } finally spark.conf.unset("graft.sgd.numPartitions")
+  }
+
+  test("DECIMAL→BIGINT audit guard raises past contract, never wraps") {
+    import graft.functions.StableSum.checkedLong
+    val d = spark.range(1).select(
+      expr("CAST(9223372036854775807 AS DECIMAL(38,0)) * 3").as("over"),
+      expr("CAST(-9223372036854775807 AS DECIMAL(38,0))").as("edge"),
+      expr("CAST(NULL AS DECIMAL(38,0))").as("nul"))
+    // in-contract value narrows exactly (|c| = Long.MaxValue passes)
+    assert(d.select(checkedLong(col("edge"), "t").as("v"))
+      .collect()(0).getLong(0) == -Long.MaxValue)
+    // past contract Spark must FAIL like the DuckDB oracle's
+    // HUGEINT→BIGINT cast does, not wrap: the non-ANSI cast alone
+    // would return a silently wrapped BIGINT here
+    val eOver = intercept[Exception] {
+      d.select(checkedLong(col("over"), "tv_num")).collect()
+    }
+    assert(eOver.getMessage.contains("exceeds BIGINT"),
+      s"wrong failure: ${eOver.getMessage}")
+    // NULL (empty aggregate, or a DECIMAL(38,0) sum that overflowed to
+    // NULL under non-ANSI mode) raises its own distinct message — it
+    // must not fall through to the misleading exceeds-BIGINT branch,
+    // and must not propagate silently
+    val eNull = intercept[Exception] {
+      d.select(checkedLong(col("nul"), "tv_num")).collect()
+    }
+    assert(eNull.getMessage.contains("is NULL"),
+      s"wrong failure: ${eNull.getMessage}")
+  }
+
   test("uncertainty sample recounts from the probe scores, rank prunes") {
     val scored = Quality.qualityProbe(spark, Sf).collect()
       .map(r => (r.getAs[Long]("doc_id"), r.getAs[Double]("score")))

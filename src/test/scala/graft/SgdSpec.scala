@@ -180,6 +180,38 @@ class SgdSpec extends SparkSpecBase {
       .select(graft.functions.VectorAvg.toColumn).collect()(0).isEmpty)
   }
 
+  test("table sigmoid stays within its documented bound of exact exp") {
+    // the r11 link deviation (logisticreg.java:79's 1/(1+exp(-h))
+    // replaced by the 257-knot interpolation table) has two error
+    // terms — pin BOTH directly against libm exp, since the
+    // sequential-parity harness above shares sigmoidPL and cannot see
+    // a drift in the link function itself:
+    //  - interpolation error inside the knot range [-8, 8]:
+    //    ≤ max|σ''|·h²/8 with h = 1/16, i.e. ≤ 5e-5;
+    //  - clamp error outside it, bounded by the tail mass
+    //    1 − σ(8) ≈ 3.35e-4 (the dominant, documented deviation —
+    //    still ≪ the 0.01 training tolerance).
+    var interior = 0.0
+    var h = -8.0
+    while (h <= 8.0) {
+      val exact = 1.0 / (1.0 + math.exp(-h))
+      interior = math.max(interior, math.abs(Sgd.sigmoidPL(h) - exact))
+      h += 1.0 / 4096.0
+    }
+    assert(interior <= 5e-5, s"max interior |sigmoidPL - sigmoid| = $interior")
+    var global = interior
+    h = -20.0
+    while (h <= 20.0) {
+      val exact = 1.0 / (1.0 + math.exp(-h))
+      global = math.max(global, math.abs(Sgd.sigmoidPL(h) - exact))
+      h += 1.0 / 1024.0
+    }
+    assert(global <= 3.4e-4, s"max |sigmoidPL - sigmoid| = $global")
+    // and the clamp region really clamps to the table's edge knots
+    assert(Sgd.sigmoidPL(-50.0) == Sgd.SigmoidTable(0))
+    assert(Sgd.sigmoidPL(50.0) == Sgd.SigmoidTable(256))
+  }
+
   test("epoch data has exactly one exchange (the id repartition)") {
     val ds = Sgd.dataset(spark, Sf, logistic = false)
     val plan = ds.queryExecution.executedPlan.toString
