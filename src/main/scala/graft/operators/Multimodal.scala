@@ -440,39 +440,68 @@ object Multimodal {
     */
   val PhashBins = 56
 
-  /** Pairs within this Hamming radius are near-duplicates. The byte
-    * stream stub is coarse (real pixel aHashes separate much harder),
-    * so the radius is wide; the chunk count below moves with it.
+  /** Pairs within this Hamming radius are near-duplicates. 10, not the
+    * r11 value 13: the fixture's pairwise-distance histogram puts the
+    * random-text BACKGROUND at a smooth tail starting ≈ 8 with its
+    * mode at 28 (= W/2, i.e. unrelated docs look uniform), so radius
+    * 13 sat INSIDE the noise floor — and a 13-of-56 (23%) relative
+    * radius is also where no complete exact-match blocking can prune:
+    * the pigeonhole forces ≥ 14 index blocks of ≤ 4 bits, whose
+    * 16-value keys collide on ~87% of unrelated pairs (measured ≈
+    * all-pairs on the fixture — the r11 scale defect). Radius 10 keeps
+    * the entry non-vacuous at every fixture scale (5 / 6 / 775 pairs
+    * at sf0.001/0.01/0.1) and admits the 14-bit substring index below;
+    * CorpusOpsSpec's brute-force parity test is the recall audit — the
+    * blocked join returns EXACTLY the all-pairs radius-10 truth.
     */
-  val PhashHamMax = 13L
+  val PhashHamMax = 10L
 
-  /** 14 chunks × 4 bits — the multi-index Hamming rule (Norouzi,
-    * Punjani & Fleet, CVPR '12): chunks > radius, so a
-    * radius-[[PhashHamMax]] pair differs in at most 13 chunks and
-    * MUST agree on ≥ 1 — the pigeonhole that makes the candidate join
-    * an equi-join. Shorter chunks buy radius at the price of more
-    * chunk collisions; a production 256-bit hash at radius 10 flips
-    * to 16-bit substrings for exactly this tradeoff.
-    */
-  val PhashChunks = 14
-
-  /** Perceptual-hash (aHash) near-duplicate pairs — the image-dedup
-    * pass of a media pipeline, run here on the stubbed byte stream:
-    * resize the media bytes to [[PhashBins]] spans (the [[resizeStub]]
-    * span arithmetic), set bit b when span b is brighter than the
-    * GLOBAL mean — the comparison spelled s_b·n > S·w_b so it is
-    * EXACT integer arithmetic, no float mean — then report pairs
-    * within Hamming ≤ [[PhashHamMax]] via the chunk-pigeonhole
-    * equi-join (the [[graft.operators.Dedup]] simhash discipline).
-    * Unlike [[featureDup]]'s exact-key match this is TOLERANT: a few
-    * changed bytes flip a few bits, not the whole key.
+  /** Multi-index hashing layout (Norouzi, Punjani & Fleet, CVPR '12 —
+    * the real MIH recipe, with sub-radius probing rather than the
+    * degenerate 1-bit-budget chunk split): [[PhashSubstr]] substrings
+    * of [[PhashSubBits]] bits each; a radius-[[PhashHamMax]] pair must
+    * have SOME substring within Hamming [[PhashSubRadius]] (if all 4
+    * were ≥ 3 apart the total would be ≥ 12 > 10), so the probe side
+    * enumerates every key within sub-radius of its own — the
+    * [[PhashProbeMasks]] XOR set — and candidates come from an
+    * EQUI-join on (substring, key).
     *
-    * Scale: the hash is one row-local typed kernel (media bytes never
-    * shuffle); the join ships 8 longs per document.
+    * Why this survives scale where the r11 4-bit chunk split did not:
+    * candidate volume for exact-match blocking is ε·n²/2 with
+    * ε = substrings · |probe set| / 2^subBits. Here ε = 4·106/2¹⁴ ≈
+    * 2.6% (measured 20× prune on the correlated fixture hashes, vs ~1×
+    * for 16-value chunk keys), and ε shrinks EXPONENTIALLY in the
+    * substring width — a production 256-bit hash at the same m = 4
+    * gets 64-bit substrings and ε ≈ 10⁻¹⁵, so the key cardinality
+    * grows with the hash width and the prune scales with it. The probe
+    * fan-out (4 + 4·106 rows of (id, long, key) per document) is the
+    * flat price; it does not grow with n.
     */
-  def phashDedup(spark: SparkSession, dir: String): DataFrame = {
-    val s = spark; import s.implicits._
-    val hashes = Tables(spark, dir, "documents")
+  val PhashSubstr = 4
+  val PhashSubBits = 14
+
+  /** floor(HamMax / Substr) = 2; completeness needs
+    * Substr · (SubRadius + 1) > HamMax (4·3 = 12 > 10 ✓).
+    */
+  val PhashSubRadius: Int = (PhashHamMax / PhashSubstr).toInt
+
+  /** All XOR masks within Hamming [[PhashSubRadius]] of zero on
+    * [[PhashSubBits]] bits — C(14,0)+C(14,1)+C(14,2) = 106 probes.
+    */
+  val PhashProbeMasks: Seq[Long] = {
+    def gen(r: Int, from: Int): Seq[Long] =
+      if (r == 0) Seq(0L)
+      else gen(r - 1, from) ++ (from until PhashSubBits).flatMap(b =>
+        gen(r - 1, b + 1).map(_ | (1L << b)))
+    gen(PhashSubRadius, 0).distinct.sorted
+  }
+
+  /** Row-local aHash kernel over any (doc_id, text) corpus — media
+    * bytes never shuffle; the downstream join ships one long per doc.
+    */
+  def phashHashesOf(corpus: DataFrame): DataFrame = {
+    val s = corpus.sparkSession; import s.implicits._
+    corpus
       .select(col("doc_id"), col("text"))
       .where(length(col("text")) >= PhashBins)
       .as[(Long, String)]
@@ -495,19 +524,48 @@ object Multimodal {
         (id, h)
       }
       .toDF("doc_id", "ph")
-    val chunks = hashes.select(col("doc_id"), col("ph"),
-      posexplode(array((0 until PhashChunks).map(c =>
-        shiftright(col("ph"), 4 * c).bitwiseAND(lit(0xfL))): _*)))
-      .select(col("doc_id"), col("ph"), col("pos"), col("col").as("ck"))
-    chunks.as("x").join(chunks.as("y"),
-        col("x.pos") === col("y.pos") && col("x.ck") === col("y.ck")
+  }
+
+  /** MIH candidate pairs of a (doc_id, ph) table, BEFORE the exact
+    * Hamming verify — the seam the candidate-volume spec measures.
+    * Probe side (each doc × 4 substrings × 106 masks) equi-joins the
+    * exact-key index side on (substring position, key); `doc_a <
+    * doc_b` halves the symmetric hits. May contain duplicates (a pair
+    * can match under several positions/masks) — the caller dedups.
+    */
+  def phashCandidatesOf(hashes: DataFrame): DataFrame = {
+    val subKey = (i: Int) => shiftright(col("ph"), PhashSubBits * i)
+      .bitwiseAND(lit((1L << PhashSubBits) - 1L))
+    val idx = hashes.select(col("doc_id"), col("ph"),
+      posexplode(array((0 until PhashSubstr).map(subKey): _*)))
+      .select(col("doc_id"), col("ph"), col("pos"), col("col").as("k"))
+    val probe = idx.select(col("doc_id"), col("ph"), col("pos"),
+      explode(transform(typedLit(PhashProbeMasks),
+        m => col("k").bitwiseXOR(m))).as("k"))
+    probe.as("x").join(idx.as("y"),
+        col("x.pos") === col("y.pos") && col("x.k") === col("y.k")
           && col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
         bit_count(col("x.ph").bitwiseXOR(col("y.ph"))).cast("long")
           .as("hamming"))
+  }
+
+  /** Perceptual-hash (aHash) near-duplicate pairs — the image-dedup
+    * pass of a media pipeline, run here on the stubbed byte stream:
+    * resize the media bytes to [[PhashBins]] spans (the [[resizeStub]]
+    * span arithmetic), set bit b when span b is brighter than the
+    * GLOBAL mean — the comparison spelled s_b·n > S·w_b so it is
+    * EXACT integer arithmetic, no float mean — then report pairs
+    * within Hamming ≤ [[PhashHamMax]] via the MIH probe equi-join
+    * with an exact `bit_count` verify. Unlike [[featureDup]]'s
+    * exact-key match this is TOLERANT: a few changed bytes flip a few
+    * bits, not the whole key.
+    */
+  def phashDedup(spark: SparkSession, dir: String): DataFrame =
+    phashCandidatesOf(phashHashesOf(
+        Tables(spark, dir, "documents").select("doc_id", "text")))
       .where(col("hamming") <= PhashHamMax)
       .distinct()
-  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "llm_mm_phash_dedup" -> phashDedup,
@@ -668,13 +726,18 @@ object Multimodal {
          |  FROM sv JOIN st ON st.doc_id = sv.doc_id
          |  GROUP BY 1),
          |ck AS (
-         |  SELECT doc_id, ph, cc.c AS pos, (ph >> (4 * cc.c)) & 15
-         |    AS ck
-         |  FROM ph, (SELECT unnest(range(0, $PhashChunks)) AS c) cc)
+         |  SELECT doc_id, ph, cc.c AS pos,
+         |    (ph >> ($PhashSubBits * cc.c)) & ${(1L << PhashSubBits) - 1}
+         |    AS k
+         |  FROM ph, (SELECT unnest(range(0, $PhashSubstr)) AS c) cc),
+         |pr AS (
+         |  SELECT doc_id, ph, pos, xor(k, mm.m) AS k
+         |  FROM ck, (SELECT unnest([${PhashProbeMasks.mkString(", ")}])
+         |            AS m) mm)
          |SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
          |  bit_count(xor(x.ph, y.ph))::BIGINT AS hamming
-         |FROM ck x JOIN ck y
-         |  ON x.pos = y.pos AND x.ck = y.ck AND x.doc_id < y.doc_id
+         |FROM pr x JOIN ck y
+         |  ON x.pos = y.pos AND x.k = y.k AND x.doc_id < y.doc_id
          |WHERE bit_count(xor(x.ph, y.ph)) <= $PhashHamMax""".stripMargin,
     "llm_mm_caption_score" -> captionScoreOracleSql,
     "llm_mm_retrieval_eval" -> retrievalEvalOracleSql,

@@ -1052,6 +1052,83 @@ class CorpusOpsSpec extends SparkSpecBase {
     assert(got("<all>") == ((4L, 3L, 10.0 / 16.0, 16.0 / 6.0)))
   }
 
+  test("phash MIH candidate volume is key-cardinality bounded; recall total") {
+    import graft.operators.Multimodal
+    val s = spark; import s.implicits._
+    // seeded synthetic hash corpus (the SkewSpec planted pattern):
+    // n spread base hashes — splitmix64-mixed, i.e. uniform on the
+    // 56-bit space like unrelated images — plus a planted near-dup
+    // partner for every 8th doc at an exact distance ≤ HamMax.
+    val W = Multimodal.PhashBins
+    def mix(z0: Long): Long = {
+      var z = z0 + 0x9e3779b97f4a7c15L
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      (z ^ (z >>> 31)) & ((1L << W) - 1)
+    }
+    def corpus(n: Int): Seq[(Long, Long)] = {
+      val base = (0 until n).map(i => (i.toLong, mix(i.toLong)))
+      val planted = (0 until n by 8).map { i =>
+        val d = 3 + (i / 8) % (Multimodal.PhashHamMax.toInt - 2)
+        var h = base(i)._2
+        var flipped = 0
+        var b = 0
+        while (flipped < d && b < W) { // seeded distinct bit choices
+          if (((mix(i * 1000L + b) >>> 13) & 3) == 0) {
+            h ^= 1L << b; flipped += 1
+          }
+          b += 1
+        }
+        ((n + i).toLong, h)
+      }
+      base ++ planted
+    }
+    // ε = substrings·|probes|/2^subBits: the uniform-data candidate
+    // fraction the MIH layout admits — THE scale number (it shrinks
+    // exponentially in substring width, so it falls with hash width;
+    // at fixed W = 56 exact-match blocking is Θ(ε·n²), which is why
+    // the honest doubling assertion is "the ε bound keeps holding",
+    // not literal linear growth).
+    val eps = Multimodal.PhashSubstr.toDouble *
+      Multimodal.PhashProbeMasks.size / (1L << Multimodal.PhashSubBits)
+    for (n <- Seq(192, 384)) {
+      val rows = corpus(n)
+      val df = rows.toDF("doc_id", "ph")
+      val cands = Multimodal.phashCandidatesOf(df).collect()
+      // (1) completeness: every brute-force pair within HamMax is a
+      // candidate (the planted partners, plus any background hit)
+      val truth = (for {
+        (a, ha) <- rows; (b, hb) <- rows if a < b
+        if java.lang.Long.bitCount(ha ^ hb) <= Multimodal.PhashHamMax
+      } yield (a, b)).toSet
+      assert(truth.size >= n / 8, "fixture must exercise the radius")
+      val got = cands.filter(_.getAs[Long]("hamming") <= Multimodal.PhashHamMax)
+        .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+      assert(truth.subsetOf(got), s"missed ${(truth -- got).size} pairs")
+      // (2) the prune bound: candidate multiplicity stays within 2×
+      // the uniform ε expectation as the corpus doubles — ~38× below
+      // all-pairs for this layout
+      val all = rows.size.toLong * (rows.size - 1) / 2
+      assert(cands.length <= (2.0 * eps * all).toLong + truth.size,
+        s"n=$n: ${cands.length} candidates vs ε bound ${(eps * all).toLong}")
+      // (3) contrast: the r11 single-4-bit-chunk blocking on the SAME
+      // corpus — 16-value keys — admits most of all-pairs; MIH must
+      // beat it by well over an order of magnitude
+      var old = 0L
+      for { (a, ha) <- rows; (b, hb) <- rows if a < b } {
+        var c = 0
+        var hit = false
+        while (c < 14 && !hit) {
+          if (((ha >>> (4 * c)) & 15) == ((hb >>> (4 * c)) & 15)) hit = true
+          c += 1
+        }
+        if (hit) old += 1
+      }
+      assert(old > cands.length * 10L,
+        s"n=$n: old-scheme $old vs MIH ${cands.length}")
+    }
+  }
+
   test("phash dedup: brute-force Hamming parity at the fixture") {
     import graft.operators.Multimodal
     // compute each doc's hash via the operator's own kernel seam by
