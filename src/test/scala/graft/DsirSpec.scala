@@ -84,4 +84,29 @@ class DsirSpec extends SparkSpecBase {
       assert(k === (survivorsBySrc(src) + 3) / 4, s"source $src")
     }
   }
+
+  test("curate_dsir serves from the session index; invalidate rebuilds") {
+    import org.apache.spark.sql.execution.RDDScanExec
+    def leaves(df: org.apache.spark.sql.DataFrame): Set[Int] =
+      df.queryExecution.sparkPlan
+        .collect { case r: RDDScanExec => r.rdd.id }.toSet
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("dsir_mean"),
+        r.getAs[Long]("rk"))).toSet
+    val first = rows(Dsir.curateDsir(spark, Sf)) // warm the index
+    // repeated calls must read the SAME checkpointed survivor/ratio
+    // RDDs (the f74f64e link-pred pin), not rebuild the gate chain
+    val a = Dsir.curateDsir(spark, Sf)
+    val b = Dsir.curateDsir(spark, Sf)
+    assert(leaves(a).nonEmpty && (leaves(a) intersect leaves(b)).nonEmpty,
+      "repeated calls did not reuse the cached DSIR index")
+    assert(rows(a) == first)
+    // the boundary hook drops the index; a rebuilt index reproduces
+    // the identical selection
+    Dsir.invalidateDsir(spark, Sf)
+    val c = Dsir.curateDsir(spark, Sf)
+    assert((leaves(c) intersect leaves(a)).isEmpty,
+      "invalidateDsir left the old checkpoints in the plan")
+    assert(rows(c) == first)
+  }
 }
