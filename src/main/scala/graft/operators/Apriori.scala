@@ -259,7 +259,7 @@ object Apriori {
     * stale data / leaks the old session.
     */
   private val supportsCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]
+    new graft.SessionCache[String, DataFrame](graft.Materialize.release)
 
   /** Session-lifetime frequent-basket cache: ONE eager checkpoint of the
     * frequent-filtered, sorted-canonical baskets per (session, dir).
@@ -271,17 +271,10 @@ object Apriori {
     * SQL entry rebuilt it). Same lifetime contract as [[supportsCache]].
     */
   private val basketsCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]
+    new graft.SessionCache[String, DataFrame](graft.Materialize.release)
 
-  /** get + putIfAbsent, not computeIfAbsent (the [[Dedup]] cache
-    * rationale: never hold a map bin lock through a Spark job; a lost
-    * race rebuilds a deterministic table once).
-    */
-  private def frequentBaskets(spark: SparkSession, dir: String): DataFrame = {
-    val key = (spark, dir)
-    val got = basketsCache.get(key)
-    if (got != null) got
-    else {
+  private def frequentBaskets(spark: SparkSession, dir: String): DataFrame =
+    basketsCache.getOrBuild(spark, dir) {
       val tx = transactions(spark, dir).localCheckpoint()
       val freqSet = freqItemsOf(tx, Support)
         .agg(collect_set(col("item")).as("freqset"))
@@ -292,10 +285,8 @@ object Apriori {
       // tx fed the frequent-item derivation and the eager checkpoint —
       // release so the cache retains one basket-scale table, not two
       graft.Materialize.release(tx)
-      val prev = basketsCache.putIfAbsent(key, built)
-      if (prev != null) prev else built
+      built
     }
-  }
 
   /** Drop cached supports AND frequent baskets: the given (session, dir)
     * entry, all entries of a session (`dir = null`), or everything (no
@@ -303,19 +294,9 @@ object Apriori {
     * references.
     */
   def invalidateSupports(spark: SparkSession = null,
-                         dir: String = null): Unit = {
-    Seq(supportsCache, basketsCache).foreach { cache =>
-      val it = cache.entrySet().iterator()
-      while (it.hasNext) {
-        val e = it.next()
-        val (s, d) = e.getKey
-        if ((spark == null || s == spark) && (dir == null || d == dir)) {
-          e.getValue.unpersist()
-          it.remove()
-        }
-      }
-    }
-  }
+                         dir: String = null): Unit =
+    Seq(supportsCache, basketsCache).foreach(
+      _.invalidate(spark, k => dir == null || k == dir))
 
   /** Only frequent rows are cached: every downstream lookup is an
     * antecedent of a frequent itemset, and supp(X) ≥ supp(Z) ≥ Support
@@ -324,8 +305,8 @@ object Apriori {
     * for free.
     */
   def itemsetSupports(spark: SparkSession, dir: String): DataFrame =
-    supportsCache.computeIfAbsent((spark, dir),
-      _ => itemsetSupportsUncached(spark, dir)
+    supportsCache.getOrBuild(spark, dir)(
+      itemsetSupportsUncached(spark, dir)
         .where(col("cnt") >= Support).persist())
 
   /** Support of every subset (size ≥ 1, canonical sorted) of each basket's

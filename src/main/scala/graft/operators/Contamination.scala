@@ -305,31 +305,16 @@ object Contamination {
     * set is a fixture table, so its 32 KB filter is built once and
     * every entry invocation (and bench rep) probes the literal.
     */
-  private val bloomCache = new java.util.concurrent.ConcurrentHashMap[
-    (SparkSession, String), Array[Long]]
+  private val bloomCache =
+    new graft.SessionCache[String, Array[Long]](_ => ())
 
-  private def cachedBloom(spark: SparkSession, dir: String): Array[Long] = {
-    val key = (spark, dir)
-    val got = bloomCache.get(key)
-    if (got != null) got
-    else {
-      val built = bloomFilterOf(
-        docs(spark, dir).where(col("doc_id") % EvalMod === 0))
-      val prev = bloomCache.putIfAbsent(key, built)
-      if (prev != null) prev else built
-    }
-  }
+  private def cachedBloom(spark: SparkSession, dir: String): Array[Long] =
+    bloomCache.getOrBuild(spark, dir)(bloomFilterOf(
+      docs(spark, dir).where(col("doc_id") % EvalMod === 0)))
 
   def invalidateBloom(spark: SparkSession = null, dir: String = null)
-      : Unit = {
-    val it = bloomCache.entrySet().iterator()
-    while (it.hasNext) {
-      val e = it.next()
-      val (s, d) = e.getKey
-      if ((spark == null || s == spark) && (dir == null || d == dir))
-        it.remove()
-    }
-  }
+      : Unit =
+    bloomCache.invalidate(spark, k => dir == null || k == dir)
 
   /** Fixture entry: same train/eval split as [[decontaminate]], the
     * probe riding the session-cached literal filter.

@@ -854,21 +854,13 @@ object Curation {
     * trainings — without it every bench rep re-runs 2n driver-loop
     * steps.
     */
-  private val driftCache = new java.util.concurrent.ConcurrentHashMap[
-    (SparkSession, String), DataFrame]
+  private val driftCache =
+    new graft.SessionCache[String, DataFrame](_ => ())
 
-  def bpeDrift(spark: SparkSession, dir: String): DataFrame = {
-    val key = (spark, dir)
-    val got = driftCache.get(key)
-    if (got != null) got
-    else {
-      val built = bpeDriftOf(
-        docs(spark, dir).select(col("doc_id"), col("text")),
-        nextSnapshot(spark, dir))
-      val prev = driftCache.putIfAbsent(key, built)
-      if (prev != null) prev else built
-    }
-  }
+  def bpeDrift(spark: SparkSession, dir: String): DataFrame =
+    driftCache.getOrBuild(spark, dir)(bpeDriftOf(
+      docs(spark, dir).select(col("doc_id"), col("text")),
+      nextSnapshot(spark, dir)))
 
   /** Drop cached drift reports — same boundary contract as
     * [[Quality.invalidateProbe]] / [[Apriori.invalidateSupports]]: call
@@ -876,15 +868,8 @@ object Curation {
     * n-row local table is otherwise served for the JVM lifetime).
     */
   def invalidateDrift(spark: SparkSession = null, dir: String = null)
-      : Unit = {
-    val it = driftCache.entrySet().iterator()
-    while (it.hasNext) {
-      val e = it.next()
-      val (s, d) = e.getKey
-      if ((spark == null || s == spark) && (dir == null || d == dir))
-        it.remove()
-    }
-  }
+      : Unit =
+    driftCache.invalidate(spark, k => dir == null || k == dir)
 
   /** Cross-snapshot QUALITY drift — the monitoring row a pipeline
     * checks before ingesting a re-crawl, next to [[bpeDriftOf]]'s
@@ -1098,35 +1083,17 @@ object Curation {
     * checkpoint are paid once, each coverageSelect call costs only its
     * K greedy jobs. Released by [[invalidateCoverage]].
     */
-  private val covCache = new java.util.concurrent.ConcurrentHashMap[
-    (SparkSession, String, Int), DataFrame]
+  private val covCache = new graft.SessionCache[(String, Int), DataFrame](
+    graft.Materialize.release)
 
   private def cachedCovIncidence(spark: SparkSession, dir: String,
-      uSize: Int): DataFrame = {
-    val key = (spark, dir, uSize)
-    val got = covCache.get(key)
-    if (got != null) got
-    else {
-      val built = graft.Materialize.Local(
-        covIncidenceOf(docs(spark, dir), uSize))
-      val prev = covCache.putIfAbsent(key, built)
-      if (prev != null) { graft.Materialize.release(built); prev }
-      else built
-    }
-  }
+      uSize: Int): DataFrame =
+    covCache.getOrBuild(spark, (dir, uSize))(
+      graft.Materialize.Local(covIncidenceOf(docs(spark, dir), uSize)))
 
   def invalidateCoverage(spark: SparkSession = null, dir: String = null)
-      : Unit = {
-    val it = covCache.entrySet().iterator()
-    while (it.hasNext) {
-      val e = it.next()
-      val (s, d, _) = e.getKey
-      if ((spark == null || s == spark) && (dir == null || d == dir)) {
-        graft.Materialize.release(e.getValue)
-        it.remove()
-      }
-    }
-  }
+      : Unit =
+    covCache.invalidate(spark, k => dir == null || k._1 == dir)
 
   private def coverageGreedy(spark: SparkSession, incU: DataFrame,
       k: Int): DataFrame = {
@@ -1213,16 +1180,9 @@ object Curation {
     * aggregate, and the report is one map-side-combined aggregation to
     * 3 rows.
     */
-  def qualityEval(spark: SparkSession, dir: String): DataFrame = {
-    val key = (spark, dir)
-    val got = evalCache.get(key)
-    if (got != null) got
-    else {
-      val built = evalReport(Quality.probeFeatures(spark, dir))
-      val prev = evalCache.putIfAbsent(key, built)
-      if (prev != null) prev else built
-    }
-  }
+  def qualityEval(spark: SparkSession, dir: String): DataFrame =
+    evalCache.getOrBuild(spark, dir)(
+      evalReport(Quality.probeFeatures(spark, dir)))
 
   def qualityEvalOf(corpus: DataFrame,
       mat: graft.Materialize.Strategy = graft.Materialize.Local)
@@ -1233,8 +1193,8 @@ object Curation {
     * literals at build time, so caching the DataFrame caches the
     * training; each collect re-runs only the final 3-row aggregation.
     */
-  private val evalCache = new java.util.concurrent.ConcurrentHashMap[
-    (SparkSession, String), DataFrame]
+  private val evalCache =
+    new graft.SessionCache[String, DataFrame](_ => ())
 
   /** Drop cached eval reports. The cached DataFrame reads
     * [[Quality.probeFeatures]]' localCheckpoint with NO lineage
@@ -1243,15 +1203,8 @@ object Curation {
     * its next collect with CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND.
     */
   def invalidateEval(spark: SparkSession = null, dir: String = null)
-      : Unit = {
-    val it = evalCache.entrySet().iterator()
-    while (it.hasNext) {
-      val e = it.next()
-      val (s, d) = e.getKey
-      if ((spark == null || s == spark) && (dir == null || d == dir))
-        it.remove()
-    }
-  }
+      : Unit =
+    evalCache.invalidate(spark, k => dir == null || k == dir)
 
   private def evalReport(feat: DataFrame): DataFrame = {
     val fs = feat.withColumn("split", splitFromU(splitU(col("doc_id"))))

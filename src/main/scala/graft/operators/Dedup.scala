@@ -102,32 +102,21 @@ object Dedup {
     * invalidate at the boundary). The `…Of` forms stay cache-free: they
     * take arbitrary DataFrames, so identity-keyed caching would leak.
     */
-  private val indexCache = new java.util.concurrent.ConcurrentHashMap[
-    (SparkSession, String, String), DataFrame]
+  private val indexCache =
+    new graft.SessionCache[(String, String), DataFrame](
+      graft.Materialize.release)
 
   private def cachedIdx(spark: SparkSession, dir: String, kind: String)(
-      build: => DataFrame): DataFrame = {
+      build: => DataFrame): DataFrame =
     // localCheckpoint, not persist(): the typed kernels and self-joins
     // re-read these tables as ROWS, and scanning the columnar SQL cache
     // (deserialize per consumer) measured 2-4× slower and erratic vs
     // checkpointed row blocks on the bow pipeline. Local-mode trade as
     // documented on [[Materialize.Local]]; cluster deployments use the
-    // `…Of` forms with [[Materialize.Disk]].
-    //
-    // get + putIfAbsent, NOT computeIfAbsent: builds are nested (bands3
-    // and simhash derive from sh3), and a nested computeIfAbsent on the
-    // same map throws "Recursive update" when the keys share a bin. A
-    // lost race means one redundant build of a deterministic table —
-    // harmless; holding a bin lock through a Spark job is not.
-    val key = (spark, dir, kind)
-    val got = indexCache.get(key)
-    if (got != null) got
-    else {
-      val built = build.localCheckpoint()
-      val prev = indexCache.putIfAbsent(key, built)
-      if (prev != null) prev else built
-    }
-  }
+    // `…Of` forms with [[Materialize.Disk]]. (Nested builds — bands3
+    // derives from sh3 — are why [[graft.SessionCache]] is
+    // get+putIfAbsent, never computeIfAbsent.)
+    indexCache.getOrBuild(spark, (dir, kind))(build.localCheckpoint())
 
   /** Drop cached dedup indexes (a (session, dir) pair, a whole session
     * with `dir = null`, or everything). The entries are
@@ -138,17 +127,8 @@ object Dedup {
     * for checkpoints). After invalidation, the next query rebuilds from
     * the current parquet state.
     */
-  def invalidateIndex(spark: SparkSession = null, dir: String = null): Unit = {
-    val it = indexCache.entrySet().iterator()
-    while (it.hasNext) {
-      val e = it.next()
-      val (s, d, _) = e.getKey
-      if ((spark == null || s == spark) && (dir == null || d == dir)) {
-        e.getValue.unpersist()
-        it.remove()
-      }
-    }
-  }
+  def invalidateIndex(spark: SparkSession = null, dir: String = null): Unit =
+    indexCache.invalidate(spark, k => dir == null || k._1 == dir)
 
   private def sh3(spark: SparkSession, dir: String): DataFrame =
     cachedIdx(spark, dir, "sh3")(

@@ -61,50 +61,23 @@ object Graph {
     * a cached path or cycle sessions call [[invalidateEdges]].
     */
   private val edgeCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]
+    new graft.SessionCache[String, DataFrame](graft.Materialize.release)
 
   /** Undirected co-purchase edges (a, b, w) with a < b and w = number
     * of distinct orders containing both parts. Served from the session
     * cache; the first call per (session, dir) pays the basket build.
     */
-  def edges(spark: SparkSession, dir: String): DataFrame = {
-    val key = (spark, dir)
-    val got = edgeCache.get(key)
-    if (got != null) got
-    else {
-      val built = edgesOf(Tables(spark, dir, "lineitem")).localCheckpoint()
-      val prev = edgeCache.putIfAbsent(key, built)
-      if (prev != null) { graft.Materialize.release(built); prev }
-      else built
-    }
-  }
+  def edges(spark: SparkSession, dir: String): DataFrame =
+    edgeCache.getOrBuild(spark, dir)(
+      edgesOf(Tables(spark, dir, "lineitem")).localCheckpoint())
 
   /** Drop cached edge tables: the given (session, dir) entry, all
     * entries of a session (`dir = null`), or everything (no args).
     */
   def invalidateEdges(spark: SparkSession = null, dir: String = null): Unit = {
-    Seq(edgeCache, memberCache, linkCache).foreach { cache =>
-      val it = cache.entrySet().iterator()
-      while (it.hasNext) {
-        val e = it.next()
-        val (s, d) = e.getKey
-        if ((spark == null || s == spark) && (dir == null || d == dir)) {
-          graft.Materialize.release(e.getValue)
-          it.remove()
-        }
-      }
-    }
-    val kit = kernelCache.entrySet().iterator()
-    while (kit.hasNext) {
-      val e = kit.next()
-      val (s, d) = e.getKey
-      if ((spark == null || s == spark) && (dir == null || d == dir)) {
-        val k = e.getValue
-        Seq(k.deg, k.oriented, k.adjOut, k.support, k.triCount)
-          .foreach(graft.Materialize.release)
-        kit.remove()
-      }
-    }
+    Seq(edgeCache, memberCache, linkCache).foreach(
+      _.invalidate(spark, k => dir == null || k == dir))
+    kernelCache.invalidate(spark, k => dir == null || k == dir)
   }
 
   def edgesOf(lineitem: DataFrame): DataFrame =
@@ -208,25 +181,15 @@ object Graph {
     * [[edges]] cache discipline; released by [[invalidateEdges]].
     */
   private val kernelCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String),
-      TriKernel]
+    new graft.SessionCache[String, TriKernel](k =>
+      Seq(k.deg, k.oriented, k.adjOut, k.support, k.triCount)
+        .foreach(graft.Materialize.release))
 
-  private def triKernel(spark: SparkSession, dir: String): TriKernel = {
-    val key = (spark, dir)
-    val got = kernelCache.get(key)
-    if (got != null) got
-    else {
-      // staged Local: each table checkpoints BEFORE the next derives
-      // from it, so the degree/orientation work runs exactly once
-      val built = triKernelOf(edges(spark, dir), graft.Materialize.Local)
-      val prev = kernelCache.putIfAbsent(key, built)
-      if (prev != null) {
-        Seq(built.deg, built.oriented, built.adjOut, built.support,
-          built.triCount).foreach(graft.Materialize.release)
-        prev
-      } else built
-    }
-  }
+  private def triKernel(spark: SparkSession, dir: String): TriKernel =
+    // staged Local: each table checkpoints BEFORE the next derives
+    // from it, so the degree/orientation work runs exactly once
+    kernelCache.getOrBuild(spark, dir)(
+      triKernelOf(edges(spark, dir), graft.Materialize.Local))
 
   /** Per-triangle (u, v, w) incidence rows: each oriented edge probes
     * both endpoints' out-lists; each triangle x≺y≺z closes exactly
@@ -1088,21 +1051,13 @@ object Graph {
     * same lifecycle contract as [[edgeCache]].
     */
   private val memberCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]
+    new graft.SessionCache[String, DataFrame](graft.Materialize.release)
 
-  private def members(spark: SparkSession, dir: String): DataFrame = {
-    val key = (spark, dir)
-    val got = memberCache.get(key)
-    if (got != null) got
-    else {
-      val built = Tables(spark, dir, "lineitem")
+  private def members(spark: SparkSession, dir: String): DataFrame =
+    memberCache.getOrBuild(spark, dir)(
+      Tables(spark, dir, "lineitem")
         .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
-        .distinct().localCheckpoint()
-      val prev = memberCache.putIfAbsent(key, built)
-      if (prev != null) { graft.Materialize.release(built); prev }
-      else built
-    }
-  }
+        .distinct().localCheckpoint())
 
   def hits(spark: SparkSession, dir: String): DataFrame =
     hitsOnMembers(members(spark, dir), Materialize.Local, ownM = false)
@@ -1242,36 +1197,16 @@ object Graph {
     * a map-bin lock through Spark jobs; a lost race releases its extra
     * checkpoints. [[invalidateAls]] at the fixture-rewrite boundary.
     */
-  private val alsCache = new java.util.concurrent.ConcurrentHashMap[
-    (SparkSession, String), (DataFrame, DataFrame, DataFrame)]
+  private val alsCache = new graft.SessionCache[
+    String, (DataFrame, DataFrame, DataFrame)](v =>
+      Seq(v._1, v._2, v._3).foreach(Materialize.release))
 
   private def alsModel(spark: SparkSession, dir: String)
-      : (DataFrame, DataFrame, DataFrame) = {
-    val key = (spark, dir)
-    val got = alsCache.get(key)
-    if (got != null) got
-    else {
-      val built = buildAlsModel(spark, dir)
-      val prev = alsCache.putIfAbsent(key, built)
-      if (prev != null) {
-        Seq(built._1, built._2, built._3).foreach(Materialize.release)
-        prev
-      } else built
-    }
-  }
+      : (DataFrame, DataFrame, DataFrame) =
+    alsCache.getOrBuild(spark, dir)(buildAlsModel(spark, dir))
 
-  def invalidateAls(spark: SparkSession = null, dir: String = null): Unit = {
-    val it = alsCache.entrySet().iterator()
-    while (it.hasNext) {
-      val e = it.next()
-      val (s, d) = e.getKey
-      if ((spark == null || s == spark) && (dir == null || d == dir)) {
-        val (a, b, c) = e.getValue
-        Seq(a, b, c).foreach(Materialize.release)
-        it.remove()
-      }
-    }
-  }
+  def invalidateAls(spark: SparkSession = null, dir: String = null): Unit =
+    alsCache.invalidate(spark, k => dir == null || k == dir)
 
   private def buildAlsModel(spark: SparkSession, dir: String)
       : (DataFrame, DataFrame, DataFrame) = {
@@ -1372,32 +1307,15 @@ object Graph {
     * (session, dir) and probed by every ranking/anti-join pass.
     */
   private val linkCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]
+    new graft.SessionCache[String, DataFrame](graft.Materialize.release)
 
-  private def linkIndex(spark: SparkSession, dir: String): DataFrame = {
-    val key = (spark, dir)
-    val got = linkCache.get(key)
-    if (got != null) got
-    else {
-      val built = linkIndexOf(edges(spark, dir)).localCheckpoint()
-      val prev = linkCache.putIfAbsent(key, built)
-      if (prev != null) { graft.Materialize.release(built); prev }
-      else built
-    }
-  }
+  private def linkIndex(spark: SparkSession, dir: String): DataFrame =
+    linkCache.getOrBuild(spark, dir)(
+      linkIndexOf(edges(spark, dir)).localCheckpoint())
 
   def invalidateLinkIndex(spark: SparkSession = null,
-      dir: String = null): Unit = {
-    val it = linkCache.entrySet().iterator()
-    while (it.hasNext) {
-      val e = it.next()
-      val (s, d) = e.getKey
-      if ((spark == null || s == spark) && (dir == null || d == dir)) {
-        graft.Materialize.release(e.getValue)
-        it.remove()
-      }
-    }
-  }
+      dir: String = null): Unit =
+    linkCache.invalidate(spark, k => dir == null || k == dir)
 
   private def linkIndexOf(ed: DataFrame): DataFrame = {
     val sym = symOf(ed)

@@ -121,25 +121,15 @@ object Quality {
     * Same lifetime contract: immutable fixture dirs, or invalidate at
     * the boundary.
     */
-  private val probeCache = new java.util.concurrent.ConcurrentHashMap[
-    (SparkSession, String), (DataFrame, Array[Double])]
+  private val probeCache = new graft.SessionCache[
+    String, (DataFrame, Array[Double])](v => Materialize.release(v._1))
 
   private def trainedProbe(spark: SparkSession, dir: String)
-      : (DataFrame, Array[Double]) = {
-    // get/putIfAbsent, NOT computeIfAbsent: never hold a map bin lock
-    // through checkpoint + 8 Spark training jobs (the Apriori
-    // frequentBaskets rationale — a lost race rebuilds a deterministic
-    // table once and releases its extra checkpoint)
-    val key = (spark, dir)
-    val got = probeCache.get(key)
-    if (got != null) got
-    else {
+      : (DataFrame, Array[Double]) =
+    probeCache.getOrBuild(spark, dir) {
       val feat = probeFeaturesOf(docs(spark, dir)).localCheckpoint()
-      val built = (feat, fitProbe(feat))
-      val prev = probeCache.putIfAbsent(key, built)
-      if (prev != null) { Materialize.release(feat); prev } else built
+      (feat, fitProbe(feat))
     }
-  }
 
   /** The session-cached checkpointed feature table — shared with the
     * leakage-safe evaluation composition ([[Curation]]'s
@@ -151,15 +141,7 @@ object Quality {
 
   def invalidateProbe(spark: SparkSession = null, dir: String = null)
       : Unit = {
-    val it = probeCache.entrySet().iterator()
-    while (it.hasNext) {
-      val e = it.next()
-      val (s, d) = e.getKey
-      if ((spark == null || s == spark) && (dir == null || d == dir)) {
-        Materialize.release(e.getValue._1)
-        it.remove()
-      }
-    }
+    probeCache.invalidate(spark, k => dir == null || k == dir)
     // The released feature checkpoint has no lineage fallback, so every
     // cache holding a DataFrame DERIVED from it must drop too —
     // Curation's eval report is the one such dependent (full-suite runs

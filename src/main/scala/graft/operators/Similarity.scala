@@ -341,34 +341,21 @@ object Similarity {
     * fixture dirs, or invalidate at the boundary); the cached value is
     * K in-memory vectors, not a DataFrame.
     */
-  private val centsCache = new java.util.concurrent.ConcurrentHashMap[
-    (SparkSession, String, Int, Int), Array[(Long, Array[Double])]]
+  private val centsCache = new graft.SessionCache[
+    (String, Int, Int), Array[(Long, Array[Double])]](_ => ())
 
   private def cachedCents(spark: SparkSession, dir: String, iters: Int)
       : Array[(Long, Array[Double])] = {
     // K is a session-conf knob; keying the cache on it means flipping
     // the conf mid-session retrains rather than serving a stale size
     val k = graft.Conf.int(spark, NumCentroidsConf, NumCentroids)
-    val key = (spark, dir, iters, k)
-    val got = centsCache.get(key)
-    if (got != null) got
-    else {
-      val built = kmeansCentroids(emb(spark, dir), iters, k)
-      val prev = centsCache.putIfAbsent(key, built)
-      if (prev != null) prev else built
-    }
+    centsCache.getOrBuild(spark, (dir, iters, k))(
+      kmeansCentroids(emb(spark, dir), iters, k))
   }
 
   def invalidateCentroids(spark: SparkSession = null, dir: String = null)
-      : Unit = {
-    val it = centsCache.entrySet().iterator()
-    while (it.hasNext) {
-      val e = it.next()
-      val (s, d, _, _) = e.getKey
-      if ((spark == null || s == spark) && (dir == null || d == dir))
-        it.remove()
-    }
-  }
+      : Unit =
+    centsCache.invalidate(spark, k => dir == null || k._1 == dir)
 
   def ivfTopK(spark: SparkSession, dir: String): DataFrame =
     ivfTopKWith(emb(spark, dir), nq(spark),
@@ -740,45 +727,28 @@ object Similarity {
   private case class Int8Index(quant: DataFrame, scored: DataFrame,
       pool: DataFrame)
 
-  private val int8Cache = new java.util.concurrent.ConcurrentHashMap[
-    (SparkSession, String, Long), Int8Index]
+  private val int8Cache =
+    new graft.SessionCache[(String, Long), Int8Index](idx => {
+      graft.Materialize.release(idx.pool)
+      graft.Materialize.release(idx.scored)
+      graft.Materialize.release(idx.quant)
+    })
 
   private def cachedInt8(spark: SparkSession, dir: String): Int8Index = {
     val n = nq(spark)
-    val key = (spark, dir, n)
-    val got = int8Cache.get(key)
-    if (got != null) got
-    else {
+    int8Cache.getOrBuild(spark, (dir, n)) {
       val quant = graft.Materialize.Local(quantDf(
         Tables(spark, dir, "embeddings")
           .select(col("vec_id"), col("embedding"))))
       val scored = graft.Materialize.Local(int8ScoredFrom(quant, n))
       val pool = graft.Materialize.Local(mmrPoolCut(scored))
-      val built = Int8Index(quant, scored, pool)
-      val prev = int8Cache.putIfAbsent(key, built)
-      if (prev != null) {
-        graft.Materialize.release(pool)
-        graft.Materialize.release(scored)
-        graft.Materialize.release(quant)
-        prev
-      } else built
+      Int8Index(quant, scored, pool)
     }
   }
 
   def invalidateInt8(spark: SparkSession = null, dir: String = null)
-      : Unit = {
-    val it = int8Cache.entrySet().iterator()
-    while (it.hasNext) {
-      val e = it.next()
-      val (s, d, _) = e.getKey
-      if ((spark == null || s == spark) && (dir == null || d == dir)) {
-        graft.Materialize.release(e.getValue.pool)
-        graft.Materialize.release(e.getValue.scored)
-        graft.Materialize.release(e.getValue.quant)
-        it.remove()
-      }
-    }
-  }
+      : Unit =
+    int8Cache.invalidate(spark, k => dir == null || k._1 == dir)
 
   private def int8RankCut(scored: DataFrame): DataFrame =
     scored
@@ -1139,25 +1109,19 @@ object Similarity {
     * is a driver loop at plan-build time; the cached value is
     * [[PqSubspaces]]·[[PqCodes]] short vectors.
     */
-  private val pqCache = new java.util.concurrent.ConcurrentHashMap[
-    (SparkSession, String), Array[Array[(Long, Array[Double])]]]
+  private val pqCache = new graft.SessionCache[
+    String, Array[Array[(Long, Array[Double])]]](_ => ())
 
   private def cachedCodebook(spark: SparkSession, dir: String)
-      : Array[Array[(Long, Array[Double])]] = {
-    val key = (spark, dir)
-    val got = pqCache.get(key)
-    if (got != null) got
-    else {
+      : Array[Array[(Long, Array[Double])]] =
+    pqCache.getOrBuild(spark, dir) {
       val e = emb(spark, dir)
-      val built = (0 until PqSubspaces).map { m =>
+      (0 until PqSubspaces).map { m =>
         pqSubCentroids(e.select(col("vec_id"),
           slice(col("e"), m * PqSubDim + 1, PqSubDim).as("e")),
           PqKmeansIters)
       }.toArray
-      val prev = pqCache.putIfAbsent(key, built)
-      if (prev != null) prev else built
     }
-  }
 
   /** The session-cached trained codebook (read-only view for audits
     * and specs): `book(m)` = the [[PqCodes]] (code, centroid) pairs of
@@ -1167,15 +1131,8 @@ object Similarity {
       : Array[Array[(Long, Array[Double])]] = cachedCodebook(spark, dir)
 
   def invalidatePq(spark: SparkSession = null, dir: String = null)
-      : Unit = {
-    val it = pqCache.entrySet().iterator()
-    while (it.hasNext) {
-      val e = it.next()
-      val (s, d) = e.getKey
-      if ((spark == null || s == spark) && (dir == null || d == dir))
-        it.remove()
-    }
-  }
+      : Unit =
+    pqCache.invalidate(spark, k => dir == null || k == dir)
 
   /** PQ-ADC top-k: every corpus vector is encoded (per subspace, the
     * nearest sub-centroid) and scored against the full-precision query
@@ -1246,31 +1203,16 @@ object Similarity {
   val PcaIters = 8
 
   /** Session-cached (mean, first principal direction) per corpus. */
-  private val pcaCache = new java.util.concurrent.ConcurrentHashMap[
-    (SparkSession, String), (Array[Double], Array[Double])]
+  private val pcaCache = new graft.SessionCache[
+    String, (Array[Double], Array[Double])](_ => ())
 
   private def cachedPca(spark: SparkSession, dir: String)
-      : (Array[Double], Array[Double]) = {
-    val key = (spark, dir)
-    val got = pcaCache.get(key)
-    if (got != null) got
-    else {
-      val built = pcaOf(emb(spark, dir))
-      val prev = pcaCache.putIfAbsent(key, built)
-      if (prev != null) prev else built
-    }
-  }
+      : (Array[Double], Array[Double]) =
+    pcaCache.getOrBuild(spark, dir)(pcaOf(emb(spark, dir)))
 
   def invalidatePca(spark: SparkSession = null, dir: String = null)
-      : Unit = {
-    val it = pcaCache.entrySet().iterator()
-    while (it.hasNext) {
-      val e = it.next()
-      val (s, d) = e.getKey
-      if ((spark == null || s == spark) && (dir == null || d == dir))
-        it.remove()
-    }
-  }
+      : Unit =
+    pcaCache.invalidate(spark, k => dir == null || k == dir)
 
   /** Trains the first principal component of any (id, e) corpus:
     * DECIMAL-stable per-dim mean, DECIMAL-stable 64×64 covariance

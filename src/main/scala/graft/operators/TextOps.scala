@@ -1360,35 +1360,21 @@ object TextOps {
     * get + putIfAbsent, not computeIfAbsent (never hold a map bin lock
     * through the training loop's Spark jobs).
     */
-  private val bpeCache = new java.util.concurrent.ConcurrentHashMap[
-    (SparkSession, String), Seq[(Long, String, String, String, Long)]]
+  private val bpeCache = new graft.SessionCache[
+    String, Seq[(Long, String, String, String, Long)]](_ => ())
 
   /** Drop cached merge tables — the [[graft.operators.Graph.invalidateEdges]]
     * discipline for callers that rewrite the corpus under a cached dir.
     */
-  def invalidateBpe(spark: SparkSession = null, dir: String = null): Unit = {
-    val it = bpeCache.entrySet().iterator()
-    while (it.hasNext) {
-      val e = it.next()
-      val (s, d) = e.getKey
-      if ((spark == null || s == spark) && (dir == null || d == dir))
-        it.remove()
-    }
-  }
+  def invalidateBpe(spark: SparkSession = null, dir: String = null): Unit =
+    bpeCache.invalidate(spark, k => dir == null || k == dir)
 
   private def learnedMergeRows(spark: SparkSession,
-      dir: String): Seq[(Long, String, String, String, Long)] = {
-    val key = (spark, dir)
-    val got = bpeCache.get(key)
-    if (got != null) got
-    else {
-      val built = bpeMerges(spark, dir).orderBy("step").collect()
+      dir: String): Seq[(Long, String, String, String, Long)] =
+    bpeCache.getOrBuild(spark, dir)(
+      bpeMerges(spark, dir).orderBy("step").collect()
         .map(r => (r.getLong(0), r.getString(1), r.getString(2),
-          r.getString(3), r.getLong(4))).toSeq
-      val prev = bpeCache.putIfAbsent(key, built)
-      if (prev != null) prev else built
-    }
-  }
+          r.getString(3), r.getLong(4))).toSeq)
 
   /** Cache-served spelling of [[bpeMerges]] — the `llm_bpe_merges`
     * entry: identical rows (the cache IS the trainer's output), flat
