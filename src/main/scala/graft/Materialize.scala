@@ -24,9 +24,27 @@ object Materialize {
   val Local: Strategy = _.localCheckpoint()
 
   /** Reliable persistence to executor disk with lineage retained — a
-    * lost block recomputes instead of failing the job. The scale choice.
+    * lost block recomputes instead of failing the job. The scale choice
+    * for DAG-SHAPED reuse (serving indexes, shared intermediates read
+    * by several consumers). NOT for per-round cuts in iterative loops:
+    * with lineage retained, a round that references its predecessor
+    * more than once (BFS reads `dist` for the frontier AND the
+    * visited anti-join; truss re-probes `cur`) DOUBLES the logical
+    * plan per round — exponential in round count; measured: the
+    * 5-edge toy-graph truss under Disk OOM'd a 4 GB JVM at plan time
+    * where [[Local]]/[[Reliable]] run in milliseconds. Iteration
+    * needs a lineage-TRUNCATING cut: [[Local]] on one JVM,
+    * [[Reliable]] on a cluster.
     */
   val Disk: Strategy = _.persist(StorageLevel.DISK_ONLY)
+
+  /** Reliable lineage-truncating checkpoint to the configured
+    * checkpoint directory (`spark.sparkContext.setCheckpointDir` — on
+    * a cluster, a DFS path): survives executor loss like [[Disk]] AND
+    * bounds plan depth like [[Local]]. The cluster choice for the
+    * iterative family's per-round cuts.
+    */
+  val Reliable: Strategy = _.checkpoint()
 
   /** No cut at all (consumers recompute) — for single-consumer plans. */
   val None: Strategy = identity

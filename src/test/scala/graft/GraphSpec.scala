@@ -706,4 +706,44 @@ class GraphSpec extends SparkSpecBase {
     assert(leaves(a).nonEmpty && leaves(a) == leaves(b),
       "repeated calls did not reuse the cached candidate index")
   }
+
+  test("cluster Materialize strategies reproduce the Local graph outputs") {
+    // The cluster stories must be proven, not argued — and they are
+    // DIFFERENT per shape (Materialize.Disk docstring): Disk (lineage
+    // retained) serves DAG-shaped cuts; iterative per-round cuts that
+    // re-reference their predecessor need a lineage-TRUNCATING cut or
+    // the plan doubles per round (the toy truss under Disk OOM'd a
+    // 4 GB JVM at plan time — found by this test's first draft), so
+    // the cluster strategy there is Reliable (checkpoint to the
+    // configured dir). Both must hash-match Local.
+    val ckDir = java.nio.file.Files
+      .createTempDirectory("graft_ck").toString
+    spark.sparkContext.setCheckpointDir(ckDir)
+    try {
+      val edges = Graph.edgesOf(tinyLineitem)
+      def rows(df: org.apache.spark.sql.DataFrame): Set[String] =
+        df.collect().map(_.toString).toSet
+      // DAG-shaped cut (the single edge-table materialization): Disk
+      val triLocal = rows(Graph.trianglesOf(edges, Materialize.Local))
+      val triDisk = rows(Graph.trianglesOf(edges, Materialize.Disk))
+      assert(triDisk == triLocal && triLocal.nonEmpty)
+      // iterative per-round cuts: Reliable, toy and fixture scale
+      val prLocal = rows(Graph.pagerankOf(edges, Materialize.Local))
+      val prRel = rows(Graph.pagerankOf(edges, Materialize.Reliable))
+      assert(prRel == prLocal && prLocal.nonEmpty)
+      val trLocal = rows(Graph.trussOf(edges, Materialize.Local))
+      val trRel = rows(Graph.trussOf(edges, Materialize.Reliable))
+      assert(trRel == trLocal && trLocal.nonEmpty)
+      val fixEdges = Graph.edges(spark, Sf)
+      assert(rows(Graph.pagerankOf(fixEdges, Materialize.Reliable)) ==
+        rows(Graph.pagerankOf(fixEdges, Materialize.Local)))
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        val kids = f.listFiles()
+        if (kids != null) kids.foreach(rm)
+        f.delete(): Unit
+      }
+      rm(new java.io.File(ckDir))
+    }
+  }
 }

@@ -83,6 +83,44 @@ class WindowBoundSpec extends SparkSpecBase {
           s"over $below ($aggs)"
     }
 
+  test("rank-filter global windows compile to a bounded physical cut") {
+    // The allow-list above accepts a logical WindowGroupLimit ANYWHERE
+    // below the window; this test pins the PHYSICAL rewrite for the
+    // named top-k windows — the "bounded per-partition heaps" claim in
+    // their docstrings was otherwise a docstring, not a plan pin, and
+    // a Spark upgrade or refactor could silently lose the rewrite
+    // (leaving a true single-partition sort of the window input).
+    // Accepted spellings: TakeOrderedAndProject (what the optimizer
+    // emits for these — a global top-K via per-partition heaps feeding
+    // the K-row window input) or a WindowGroupLimit(Exec). Graph
+    // entries are planned through their …Of forms with
+    // Materialize.None: the fixture entries return checkpointed
+    // results whose plan is just a scan.
+    import graft.operators._
+    val li = Tables(spark, Sf, "lineitem")
+    val targets: Seq[(String, () => org.apache.spark.sql.DataFrame)] =
+      Seq(
+        "llm_uncertainty_sample" ->
+          (() => Quality.uncertaintySample(spark, Sf)),
+        "graph_pagerank" -> (() => Graph.pagerankOf(Graph.edges(spark, Sf))),
+        "graph_ppr" -> (() => Graph.pprOf(Graph.edges(spark, Sf))),
+        "graph_label_prop" ->
+          (() => Graph.labelPropOf(Graph.edges(spark, Sf))),
+        "graph_hits" -> (() => Graph.hitsOf(li)),
+        "llm_chi2_terms" -> (() => TextOps.chi2TermsOf(
+          Tables(spark, Sf, "documents"))),
+        "llm_bm25_topk" -> (() => Retrieval.bm25TopK(spark, Sf)))
+    val missing = targets.flatMap { case (name, fn) =>
+      val p = fn().queryExecution.executedPlan.toString
+      if (p.contains("WindowGroupLimit")
+          || p.contains("TakeOrderedAndProject")) None
+      else Some(s"$name:\n${p.take(4000)}")
+    }
+    assert(missing.isEmpty,
+      s"rank-cut windows lost their bounded physical cut:\n${
+        missing.mkString("\n")}")
+  }
+
   test("every unpartitioned window is rank-cut bounded or pinned") {
     val found = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
