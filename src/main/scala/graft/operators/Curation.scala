@@ -942,7 +942,12 @@ object Curation {
     * and one anti-join; the dedup side rides the session-cached band
     * index.
     */
-  def curate(spark: SparkSession, dir: String): DataFrame = {
+  def curate(spark: SparkSession, dir: String): DataFrame =
+    keptCache.getOrBuild(spark, (dir, "curate"))(
+      graft.Materialize.Local(curateUncached(spark, dir)))
+
+  private def curateUncached(spark: SparkSession, dir: String)
+      : DataFrame = {
     val q = TextOps.qualityScore(spark, dir)
       .where(col("quality_pass")).select("doc_id")
     val l = TextOps.langId(spark, dir)
@@ -955,6 +960,29 @@ object Curation {
       .join(dup, Seq("doc_id"), "left_anti")
   }
 
+  /** Session-lifetime kept-set checkpoints per (session, dir) — the
+    * serving-index discipline applied to the gate compositions
+    * themselves: SIX fixture entries re-derived the [[curate]] /
+    * [[curateStrict]] membership per invocation (the strict gate runs
+    * several corpus scans), while a real pipeline computes its kept
+    * set once per snapshot and every downstream stage reads it. The
+    * kept sets are doc_id-only tables, so the checkpoints are tiny;
+    * lineage is truncated, so invalidating an upstream index
+    * ([[Dedup.invalidateIndex]], [[Contamination.invalidateBloom]])
+    * cannot strand them — but callers that rewrite the corpus under a
+    * cached dir must call [[invalidateCurate]] alongside those hooks
+    * (staleness, not crashes, is the failure mode). The declarative
+    * single-tree composition stays available through the uncached
+    * bodies (PlanShapeSpec pins it via `pipelineTokensMat(…, None)`).
+    */
+  private val keptCache =
+    new graft.SessionCache[(String, String), DataFrame](
+      graft.Materialize.release)
+
+  def invalidateCurate(spark: SparkSession = null, dir: String = null)
+      : Unit =
+    keptCache.invalidate(spark, k => dir == null || k._1 == dir)
+
   /** The strict corpus gate: [[curate]]'s quality ∩ English ∩ not-near-
     * dup, additionally requiring the repetition gate
     * ([[TextOps.repNgrams]]) and benchmark cleanliness
@@ -965,13 +993,15 @@ object Curation {
     * (semantically semi-joins) + one anti-join, riding the session dedup
     * index.
     */
-  def curateStrict(spark: SparkSession, dir: String): DataFrame = {
-    val rep = TextOps.repNgrams(spark, dir)
-      .where(col("rep_pass")).select("doc_id")
-    val clean = Contamination.decontaminate(spark, dir)
-      .where(!col("contaminated")).select("doc_id")
-    curate(spark, dir).join(rep, "doc_id").join(clean, "doc_id")
-  }
+  def curateStrict(spark: SparkSession, dir: String): DataFrame =
+    keptCache.getOrBuild(spark, (dir, "strict"))(
+      graft.Materialize.Local {
+        val rep = TextOps.repNgrams(spark, dir)
+          .where(col("rep_pass")).select("doc_id")
+        val clean = Contamination.decontaminate(spark, dir)
+          .where(!col("contaminated")).select("doc_id")
+        curate(spark, dir).join(rep, "doc_id").join(clean, "doc_id")
+      })
 
   /** The LEARNED corpus gate — the production learn-then-gate loop
     * closed: [[curate]]'s composition with the hand-set quality and

@@ -159,6 +159,25 @@ class CurationSpec extends SparkSpecBase {
     assert(got.map(_._4).max >= 1)
   }
 
+  test("kept sets serve from the session cache; invalidate rebuilds") {
+    import org.apache.spark.sql.execution.RDDScanExec
+    def leaves(df: org.apache.spark.sql.DataFrame): Set[Int] =
+      df.queryExecution.sparkPlan
+        .collect { case r: RDDScanExec => r.rdd.id }.toSet
+    def ids(df: org.apache.spark.sql.DataFrame): Set[Long] =
+      df.collect().map(_.getAs[Long]("doc_id")).toSet
+    val first = ids(Curation.curateStrict(spark, Sf)) // warm
+    val a = Curation.curateStrict(spark, Sf)
+    val b = Curation.curateStrict(spark, Sf)
+    assert(leaves(a).nonEmpty && leaves(a) == leaves(b),
+      "repeated calls did not reuse the cached kept set")
+    Curation.invalidateCurate(spark, Sf)
+    val c = Curation.curateStrict(spark, Sf)
+    assert((leaves(c) intersect leaves(a)).isEmpty,
+      "invalidateCurate left the old checkpoint in the plan")
+    assert(ids(c) == first, "rebuilt kept set diverged")
+  }
+
   test("pipeline_incremental: per-key ledger matches its constituents") {
     val rows = Curation.pipelineIncremental(spark, Sf).collect()
       .map(r => r.getAs[Long]("doc_id") -> ((r.getAs[String]("status"), r.getAs[Boolean]("is_dup"),
