@@ -1270,7 +1270,15 @@ object Curation {
     * distinct key list riding the session band index), then ONE
     * map-side-combined aggregation down to #sources rows.
     */
-  def gateReport(spark: SparkSession, dir: String): DataFrame = {
+  def gateReport(spark: SparkSession, dir: String): DataFrame =
+    // the #sources-row dashboard is nested by [[corpusCard]], so it
+    // rides the same session cache as the kept sets (the report is
+    // the other artifact a pipeline derives once per snapshot)
+    keptCache.getOrBuild(spark, (dir, "gate_report"))(
+      graft.Materialize.Local(gateReportUncached(spark, dir)))
+
+  private[graft] def gateReportUncached(spark: SparkSession, dir: String)
+      : DataFrame = {
     val d = Tables(spark, dir, "documents").select("doc_id", "source")
     val q = TextOps.qualityScore(spark, dir)
       .select(col("doc_id"), col("quality_pass"))

@@ -320,7 +320,10 @@ class PlanShapeSpec extends SparkSpecBase {
   }
 
   test("gate report: key joins only, one final #sources aggregation") {
-    val p = finalOnly(graft.operators.Curation.gateReport(spark, Sf))
+    // the fixture entry serves the session-cached #sources-row report
+    // (a checkpoint scan); the shape claim is about the derivation, so
+    // pin the uncached body
+    val p = finalOnly(graft.operators.Curation.gateReportUncached(spark, Sf))
     assert(!p.contains("CartesianProduct") &&
       !p.contains("BroadcastNestedLoopJoin"), p)
     // the rollup aggregates partially before its #sources-row exchange
