@@ -71,6 +71,21 @@ object Graph {
     edgeCache.getOrBuild(spark, dir)(
       edgesOf(Tables(spark, dir, "lineitem")).localCheckpoint())
 
+  /** Session-lifetime CONVERGED rank tables per (session, dir, kind) —
+    * kind ∈ {"pr", "hits"}. The fixed-point loops are once-per-snapshot
+    * computations in a real pipeline (ranks are recomputed when the
+    * graph changes, then SERVED); without this every `graph_pagerank` /
+    * `graph_hits` call re-ran all O(rounds) join+agg jobs against the
+    * already-cached edge/membership tables. The cached value is the
+    * ≤ top-K-row Local-forced result whose loop internals were already
+    * released by the builder, so the entry holds no corpus-scale state.
+    * The `…Of` forms stay cache-free; [[invalidateEdges]] drops these
+    * alongside the inputs they were converged from.
+    */
+  private val rankCache =
+    new graft.SessionCache[(String, String), DataFrame](
+      graft.Materialize.release)
+
   /** Drop cached edge tables: the given (session, dir) entry, all
     * entries of a session (`dir = null`), or everything (no args).
     */
@@ -78,6 +93,8 @@ object Graph {
     Seq(edgeCache, memberCache, linkCache).foreach(
       _.invalidate(spark, k => dir == null || k == dir))
     kernelCache.invalidate(spark, k => dir == null || k == dir)
+    // ranks were CONVERGED FROM the tables above: stale-together
+    rankCache.invalidate(spark, k => dir == null || k._1 == dir)
   }
 
   def edgesOf(lineitem: DataFrame): DataFrame =
@@ -360,7 +377,8 @@ object Graph {
     * The final top-k is a TakeOrderedAndProject, never a global sort.
     */
   def pagerank(spark: SparkSession, dir: String): DataFrame =
-    pagerankOf(edges(spark, dir), Materialize.Local)
+    rankCache.getOrBuild(spark, (dir, "pr"))(
+      pagerankOf(edges(spark, dir), Materialize.Local))
 
   def pagerankOf(edgesRaw: DataFrame,
       mat: Materialize.Strategy = Materialize.None): DataFrame = {
@@ -1060,7 +1078,8 @@ object Graph {
         .distinct().localCheckpoint())
 
   def hits(spark: SparkSession, dir: String): DataFrame =
-    hitsOnMembers(members(spark, dir), Materialize.Local, ownM = false)
+    rankCache.getOrBuild(spark, (dir, "hits"))(
+      hitsOnMembers(members(spark, dir), Materialize.Local, ownM = false))
 
   def hitsOf(lineitem: DataFrame,
       mat: Materialize.Strategy = Materialize.None): DataFrame =

@@ -142,6 +142,7 @@ object Quality {
   def invalidateProbe(spark: SparkSession = null, dir: String = null)
       : Unit = {
     probeCache.invalidate(spark, k => dir == null || k == dir)
+    trainCache.invalidate(spark, k => dir == null || k._1 == dir)
     // The released feature checkpoint has no lineage fallback, so every
     // cache holding a DataFrame DERIVED from it must drop too —
     // Curation's eval report is the one such dependent (full-suite runs
@@ -220,8 +221,24 @@ object Quality {
     * determinism and that the classifier beats the trivial all-pass
     * predictor's error profile.
     */
+  /** Session-lifetime trained-gate metrics per (session, dir) — the
+    * [[graft.operators.Sgd]] thetaCache discipline: the O(epochs) SGD
+    * loop is a once-per-snapshot training pass, and the cached value is
+    * the 1-row LocalRelation [[qualityTrainOf]] already computed
+    * eagerly (its persisted inputs are unpersisted before return, so
+    * there is no executor state to release). The key carries the shard
+    * count like [[graft.operators.Sgd]]'s thetaCache — the `id % P`
+    * fold layout is part of the model's semantics, so a
+    * `graft.sgd.numPartitions` conf change trains fresh. Dropped by
+    * [[invalidateProbe]] with the rest of the per-dir model state; the
+    * `…Of` form stays cache-free.
+    */
+  private val trainCache =
+    new graft.SessionCache[(String, Int), DataFrame](_ => ())
+
   def qualityTrain(spark: SparkSession, dir: String): DataFrame =
-    qualityTrainOf(docs(spark, dir))
+    trainCache.getOrBuild(spark, (dir, Sgd.numPartsOr(spark, TrainShards)))(
+      qualityTrainOf(docs(spark, dir)))
 
   /** Deterministic negative-class oversampling factor for the SGD
     * training pass: ≈ the fixture's 9:1 pass:fail imbalance (the same

@@ -243,8 +243,30 @@ object Sgd {
     FitResult(theta, it, !cont)
   }
 
+  /** Session-lifetime trained model per (session, dir, link) — the
+    * converged-artifact discipline ([[graft.operators.Graph]] rank
+    * cache, [[graft.operators.Quality]] probe): a pipeline trains θ
+    * once per snapshot and serves it everywhere, so the O(epochs)
+    * driver-loop jobs run on the first call per (session, dir) only.
+    * The cached value is the 1-row LocalRelation built from the driver
+    * θ — no executor state to release. The key carries the SHARD COUNT
+    * alongside (dir, link): the `id % P` fold layout is part of the
+    * deterministic semantics (a different `graft.sgd.numPartitions`
+    * conf is a different model, not the same model re-planned), so a
+    * conf change mid-session trains fresh instead of serving a stale
+    * layout's θ. The `fit` API itself stays cache-free;
+    * [[invalidateTheta]] at the (session, dir) boundary.
+    */
+  private val thetaCache =
+    new graft.SessionCache[(String, Boolean, Int), DataFrame](_ => ())
+
+  def invalidateTheta(spark: SparkSession = null, dir: String = null)
+      : Unit =
+    thetaCache.invalidate(spark, k => dir == null || k._1 == dir)
+
   private def thetaDf(spark: SparkSession, dir: String, logistic: Boolean)
-      : DataFrame = {
+      : DataFrame = thetaCache.getOrBuild(
+      spark, (dir, logistic, numParts(spark))) {
     val s = spark; import s.implicits._
     val ds = dataset(spark, dir, logistic).persist()
     try {

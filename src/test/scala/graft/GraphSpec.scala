@@ -746,4 +746,29 @@ class GraphSpec extends SparkSpecBase {
       rm(new java.io.File(ckDir))
     }
   }
+
+  test("pagerank/hits serve the session rank cache; invalidate rebuilds") {
+    import org.apache.spark.sql.execution.RDDScanExec
+    def leaves(df: org.apache.spark.sql.DataFrame): Set[Int] =
+      df.queryExecution.sparkPlan
+        .collect { case r: RDDScanExec => r.rdd.id }.toSet
+    def prRows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("node"), r.getAs[Long]("pr"),
+        r.getAs[Long]("rk"))).toSet
+    val pr = Graph.pagerank(spark, Sf)
+    // the cached Local table is returned VERBATIM: reference identity
+    // is the strongest no-recompute pin (no per-call plan at all)
+    assert(pr eq Graph.pagerank(spark, Sf),
+      "repeated pagerank calls re-ran the fixed-point loop")
+    assert(Graph.hits(spark, Sf) eq Graph.hits(spark, Sf),
+      "repeated hits calls re-ran the fixed-point loop")
+    val first = prRows(pr)
+    // the boundary hook drops the converged ranks WITH their inputs;
+    // a rebuilt fixed-point reproduces the identical table
+    Graph.invalidateEdges(spark, Sf)
+    val rebuilt = Graph.pagerank(spark, Sf)
+    assert(!(rebuilt eq pr) && (leaves(rebuilt) intersect leaves(pr)).isEmpty,
+      "invalidateEdges left the converged rank checkpoint cached")
+    assert(prRows(rebuilt) == first)
+  }
 }

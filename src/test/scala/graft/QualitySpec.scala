@@ -385,4 +385,16 @@ class QualitySpec extends SparkSpecBase {
     assert(a.getAs[Double]("auc") > 0.5,
       s"probe should rank better than chance, got ${a.getAs[Double]("auc")}")
   }
+
+  test("trained-gate metrics serve from the session cache") {
+    val a = Quality.qualityTrain(spark, Sf)
+    assert(a eq Quality.qualityTrain(spark, Sf),
+      "repeated qualityTrain calls re-ran the SGD training pass")
+    val rows = a.collect().toSeq
+    Quality.invalidateProbe(spark, Sf)
+    val b = Quality.qualityTrain(spark, Sf)
+    assert(!(b eq a), "invalidateProbe left the trained gate cached")
+    assert(b.collect().toSeq == rows,
+      "a retrained gate diverged from the deterministic fit")
+  }
 }

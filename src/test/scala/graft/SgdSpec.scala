@@ -219,4 +219,23 @@ class SgdSpec extends SparkSpecBase {
     assert(exchanges == 1,
       s"expected the single deterministic repartition, got $exchanges:\n$plan")
   }
+
+  test("trained theta serves from the session cache; invalidate rebuilds") {
+    val a = Sgd.linregTheta(spark, Sf)
+    assert(a eq Sgd.linregTheta(spark, Sf),
+      "repeated theta calls re-ran the O(epochs) driver loop")
+    val rows = a.collect().toSeq
+    // a different shard-count conf is a DIFFERENT model (P is part of
+    // the fold-layout semantics): it must miss the cache, never serve
+    // the other layout's θ
+    spark.conf.set("graft.sgd.numPartitions", "2")
+    try assert(!(Sgd.linregTheta(spark, Sf) eq a),
+      "a conf-overridden shard count served the default layout's θ")
+    finally spark.conf.unset("graft.sgd.numPartitions")
+    Sgd.invalidateTheta(spark, Sf)
+    val b = Sgd.linregTheta(spark, Sf)
+    assert(!(b eq a), "invalidateTheta left the trained model cached")
+    assert(b.collect().toSeq == rows,
+      "a retrained theta diverged from the deterministic fit")
+  }
 }
