@@ -463,10 +463,13 @@ object Graph {
     * oracle computes the same partition via a recursive transitive
     * closure + min label, so convergence itself is hash-checked.
     * Isolated nodes never enter (every labeled node has a strong
-    * edge), so sizes start at 2.
+    * edge), so sizes start at 2. Served from the converged-artifact
+    * cache like [[pagerank]]/[[hits]]: the partition is recomputed
+    * when the graph changes, not per query.
     */
   def components(spark: SparkSession, dir: String): DataFrame =
-    componentsOf(edges(spark, dir))
+    rankCache.getOrBuild(spark, (dir, "components"))(
+      graft.Materialize.Local(componentsOf(edges(spark, dir))))
 
   def componentsOf(ed: DataFrame): DataFrame =
     Dedup.clustersOf(ed.where(col("w") >= StrongW)

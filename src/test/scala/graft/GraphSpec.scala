@@ -762,6 +762,8 @@ class GraphSpec extends SparkSpecBase {
       "repeated pagerank calls re-ran the fixed-point loop")
     assert(Graph.hits(spark, Sf) eq Graph.hits(spark, Sf),
       "repeated hits calls re-ran the fixed-point loop")
+    assert(Graph.components(spark, Sf) eq Graph.components(spark, Sf),
+      "repeated components calls re-ran the label-propagation loop")
     val first = prRows(pr)
     // the boundary hook drops the converged ranks WITH their inputs;
     // a rebuilt fixed-point reproduces the identical table
