@@ -42,7 +42,12 @@ object Materialize {
     * checkpoint directory (`spark.sparkContext.setCheckpointDir` — on
     * a cluster, a DFS path): survives executor loss like [[Disk]] AND
     * bounds plan depth like [[Local]]. The cluster choice for the
-    * iterative family's per-round cuts.
+    * iterative family's per-round cuts. [[release]] DELETES the
+    * checkpoint files (Spark itself reclaims them only under the
+    * non-default `spark.cleaner.referenceTracking.cleanCheckpoints`,
+    * and then only on GC) — without that, every superseded round of a
+    * clustersOf/hits-class loop would retain a full-table checkpoint
+    * directory for the application lifetime.
     */
   val Reliable: Strategy = _.checkpoint()
 
@@ -58,30 +63,53 @@ object Materialize {
     * plan's ROOT `LogicalRDD`, not to any cache-manager entry.
     *
     * Deliberately releases ONLY the table it is handed: it matches the
-    * plan root (through aliases/`toDF` projections), never walking into
+    * plan root (through aliases/`toDF`/pure-rename projections), never
+    * walking into
     * leaves, because a lineage-retaining plan ([[Disk]]/[[None]] output
     * derived from checkpointed inputs) legitimately contains upstream
     * `LogicalRDD` leaves this call does not own — e.g. the session dedup
     * index — and unpersisting a localCheckpoint someone else still reads
     * is unrecoverable (no lineage fallback). Safe on [[None]] output
     * (both paths no-op).
+    *
+    * [[Reliable]] output additionally has its checkpoint FILES deleted:
+    * `unpersist` is a no-op for a reliable checkpoint (the data lives
+    * in the checkpoint dir, not the block store), so without this the
+    * per-round release discipline silently leaks one full-table
+    * directory per loop round on a cluster.
     */
   def release(ds: org.apache.spark.sql.Dataset[_]): Unit = {
     ds.unpersist(blocking = false)
     var p = ds.queryExecution.analyzed
     var unwrapping = true
+    // unwrap column renames/reorders too (Alias over a bare Attribute —
+    // the `select(col("id").as("doc_id"))` shape iterative loops return
+    // their final table through), not just attribute-only projections
+    def rename(e: org.apache.spark.sql.catalyst.expressions.NamedExpression)
+        : Boolean = e match {
+      case _: org.apache.spark.sql.catalyst.expressions.Attribute => true
+      case a: org.apache.spark.sql.catalyst.expressions.Alias =>
+        a.child.isInstanceOf[
+          org.apache.spark.sql.catalyst.expressions.Attribute]
+      case _ => false
+    }
     while (unwrapping) p match {
       case a: org.apache.spark.sql.catalyst.plans.logical.SubqueryAlias =>
         p = a.child
       case pr: org.apache.spark.sql.catalyst.plans.logical.Project
-          if pr.projectList.forall(
-            _.isInstanceOf[org.apache.spark.sql.catalyst.expressions.Attribute]) =>
+          if pr.projectList.forall(rename) =>
         p = pr.child
       case _ => unwrapping = false
     }
     p match {
       case l: org.apache.spark.sql.execution.LogicalRDD =>
         l.rdd.unpersist(blocking = false)
+        l.rdd.getCheckpointFile.foreach { f =>
+          val path = new org.apache.hadoop.fs.Path(f)
+          val fs = path.getFileSystem(
+            ds.sparkSession.sparkContext.hadoopConfiguration)
+          fs.delete(path, true): Unit
+        }
       case _ => ()
     }
   }

@@ -980,8 +980,14 @@ object Curation {
       graft.Materialize.release)
 
   def invalidateCurate(spark: SparkSession = null, dir: String = null)
-      : Unit =
+      : Unit = {
     keptCache.invalidate(spark, k => dir == null || k._1 == dir)
+    // Dsir's strict-survivor corpus and its bucket distributions are
+    // DERIVED FROM curateStrict's kept set (the Graph.invalidateEdges
+    // stale-together principle): retained DSIR state would silently
+    // select against the OLD gate after the kept set rebuilds
+    Dsir.invalidateDsir(spark, dir)
+  }
 
   /** The strict corpus gate: [[curate]]'s quality ∩ English ∩ not-near-
     * dup, additionally requiring the repetition gate
@@ -995,13 +1001,36 @@ object Curation {
     */
   def curateStrict(spark: SparkSession, dir: String): DataFrame =
     keptCache.getOrBuild(spark, (dir, "strict"))(
-      graft.Materialize.Local {
-        val rep = TextOps.repNgrams(spark, dir)
-          .where(col("rep_pass")).select("doc_id")
-        val clean = Contamination.decontaminate(spark, dir)
-          .where(!col("contaminated")).select("doc_id")
-        curate(spark, dir).join(rep, "doc_id").join(clean, "doc_id")
-      })
+      graft.Materialize.Local(
+        strictGatesOn(curate(spark, dir), spark, dir)))
+
+  /** The repetition + decontamination gates applied to a base kept
+    * set — shared by the cached build (base = the cached [[curate]]
+    * checkpoint) and the strategy seam (base = the declarative
+    * [[curateUncached]] tree).
+    */
+  private def strictGatesOn(base: DataFrame, spark: SparkSession,
+      dir: String): DataFrame = {
+    val rep = TextOps.repNgrams(spark, dir)
+      .where(col("rep_pass")).select("doc_id")
+    val clean = Contamination.decontaminate(spark, dir)
+      .where(!col("contaminated")).select("doc_id")
+    base.join(rep, "doc_id").join(clean, "doc_id")
+  }
+
+  /** Strategy seam for the strict gate ([[pipelineTokensMat]]'s
+    * contract): `Local` — the default every fixture entry runs —
+    * serves the session-cached kept set; any OTHER strategy gets a
+    * fresh cut of the fully-declarative gate tree that the CALLER
+    * owns (`None` returns the single tree itself, so Catalyst sees
+    * every gate; `Disk`/`Reliable` give a cluster deployment
+    * recoverable cuts instead of an unconditional localCheckpoint
+    * hiding inside the composition).
+    */
+  def curateStrictMat(spark: SparkSession, dir: String,
+      mat: graft.Materialize.Strategy): DataFrame =
+    if (mat eq graft.Materialize.Local) curateStrict(spark, dir)
+    else mat(strictGatesOn(curateUncached(spark, dir), spark, dir))
 
   /** The LEARNED corpus gate — the production learn-then-gate loop
     * closed: [[curate]]'s composition with the hand-set quality and
@@ -1540,7 +1569,10 @@ object Curation {
 
   def pipelineTokensMat(spark: SparkSession, dir: String,
       mat: graft.Materialize.Strategy): DataFrame = {
-    val kept = curateStrict(spark, dir)
+    // the kept set follows the SAME strategy as the chunk cut: a None
+    // caller gets the whole pipeline as one declarative tree, a
+    // Disk/Reliable cluster caller never rides a hidden localCheckpoint
+    val kept = curateStrictMat(spark, dir, mat)
     val train = splitAssignOf(docs(spark, dir))
       .where(col("split") === "train").select("doc_id")
     val chunks = mat(chunkOf(docs(spark, dir)

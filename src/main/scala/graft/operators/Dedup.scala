@@ -780,12 +780,20 @@ object Dedup {
     * index it derives from): four entries — clusters, keep-best, its
     * applied form, the size histogram — read the same components, and
     * a real pipeline materializes them once per pass rather than
-    * re-running the label-propagation loop. (The loop's own final
-    * checkpoint is superseded by the cache's; its blocks are reclaimed
-    * by the ContextCleaner once unreferenced.)
+    * re-running the label-propagation loop. Builds directly against
+    * the cache (not [[cachedIdx]], which would re-checkpoint the
+    * already-checkpointed loop output — two full copies of a
+    * corpus-scale table): the cache's copy is forced first, then the
+    * loop's own final-round checkpoint is released here rather than
+    * left to the ContextCleaner.
     */
   def clusters(spark: SparkSession, dir: String): DataFrame =
-    cachedIdx(spark, dir, "clusters")(clustersOf(minhashLsh(spark, dir)))
+    indexCache.getOrBuild(spark, (dir, "clusters")) {
+      val labels = clustersOf(minhashLsh(spark, dir))
+      val forced = labels.localCheckpoint()
+      Materialize.release(labels)
+      forced
+    }
 
   /** Cluster-size distribution — the dedup QA report a pipeline records
     * per pass: how many near-dup components of each size exist (pairs

@@ -115,8 +115,13 @@ object Dsir {
     * joined against the broadcast ratio table plus the per-source
     * rank — the honest per-query remainder. The `…Of` forms stay
     * cache-free (arbitrary-DataFrame inputs; identity-keyed caching
-    * would leak); callers that rewrite parquet under a cached dir or
-    * cycle sessions call [[invalidateDsir]] at the boundary.
+    * would leak). Boundary contract: callers that rewrite parquet
+    * under a cached dir call
+    * [[graft.operators.Curation.invalidateCurate]] — the survivors
+    * here derive from its kept set, and that hook CASCADES here, so
+    * both layers refresh together. [[invalidateDsir]] alone only
+    * drops the derived tables (they would rebuild against a stale
+    * kept set after a corpus rewrite).
     */
   private val cache =
     new graft.SessionCache[(String, String), DataFrame](

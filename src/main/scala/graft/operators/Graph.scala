@@ -72,7 +72,8 @@ object Graph {
       edgesOf(Tables(spark, dir, "lineitem")).localCheckpoint())
 
   /** Session-lifetime CONVERGED rank tables per (session, dir, kind) —
-    * kind ∈ {"pr", "hits"}. The fixed-point loops are once-per-snapshot
+    * kind ∈ {"pr", "hits", "components"}. The fixed-point loops are
+    * once-per-snapshot
     * computations in a real pipeline (ranks are recomputed when the
     * graph changes, then SERVED); without this every `graph_pagerank` /
     * `graph_hits` call re-ran all O(rounds) join+agg jobs against the
@@ -469,13 +470,23 @@ object Graph {
     */
   def components(spark: SparkSession, dir: String): DataFrame =
     rankCache.getOrBuild(spark, (dir, "components"))(
-      graft.Materialize.Local(componentsOf(edges(spark, dir))))
+      componentsOf(edges(spark, dir)))
 
-  def componentsOf(ed: DataFrame): DataFrame =
-    Dedup.clustersOf(ed.where(col("w") >= StrongW)
+  /** Forces the (≤ distinct-sizes)-row histogram eagerly and releases
+    * the |V|-row final-round label checkpoint [[Dedup.clustersOf]]
+    * hands back — the [[pagerankOf]] builder discipline (the returned
+    * table is self-contained; the loop's state is reclaimed here, not
+    * left to the ContextCleaner).
+    */
+  def componentsOf(ed: DataFrame): DataFrame = {
+    val labels = Dedup.clustersOf(ed.where(col("w") >= StrongW)
       .select(col("a").as("doc_a"), col("b").as("doc_b")))
+    val forced = Materialize.Local(labels
       .groupBy("cluster_id").agg(count(lit(1)).as("size"))
-      .groupBy("size").agg(count(lit(1)).as("n_components"))
+      .groupBy("size").agg(count(lit(1)).as("n_components")))
+    Materialize.release(labels)
+    forced
+  }
 
   /** Minimum residual degree for the [[kcore]] peel. */
   val KcoreK = 3L

@@ -845,4 +845,19 @@ class CurationSpec extends SparkSpecBase {
       assert(got.values.sum == t, s"trial $trial budget")
     }
   }
+
+  test("curateStrictMat threads the strategy instead of the session cache") {
+    val cached = Curation.curateStrict(spark, Sf)
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    // None: the fully-declarative tree — same kept set, no hidden cut
+    val none = Curation.curateStrictMat(spark, Sf, graft.Materialize.None)
+    assert(none.collect().map(_.getAs[Long]("doc_id")).toSet == cached)
+    // Disk: a caller-owned recoverable cut, not the Local checkpoint
+    val disk = Curation.curateStrictMat(spark, Sf, graft.Materialize.Disk)
+    try {
+      assert(disk.collect().map(_.getAs[Long]("doc_id")).toSet == cached)
+      assert(disk.storageLevel.useDisk,
+        "Disk strategy output is not persisted to disk")
+    } finally graft.Materialize.release(disk)
+  }
 }

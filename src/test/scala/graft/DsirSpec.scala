@@ -109,4 +109,25 @@ class DsirSpec extends SparkSpecBase {
       "invalidateDsir left the old checkpoints in the plan")
     assert(rows(c) == first)
   }
+
+  test("invalidateCurate cascades to the DSIR index (stale-together)") {
+    import org.apache.spark.sql.execution.RDDScanExec
+    def leaves(df: org.apache.spark.sql.DataFrame): Set[Int] =
+      df.queryExecution.sparkPlan
+        .collect { case r: RDDScanExec => r.rdd.id }.toSet
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("dsir_mean"),
+        r.getAs[Long]("rk"))).toSet
+    val a = Dsir.curateDsir(spark, Sf)
+    val before = rows(a)
+    val la = leaves(a)
+    // the survivors here DERIVE from curateStrict's kept set: the kept
+    // set's boundary hook must drop the derived tables too, or a
+    // rebuilt gate would silently pair with stale DSIR state
+    graft.operators.Curation.invalidateCurate(spark, Sf)
+    val b = Dsir.curateDsir(spark, Sf)
+    assert((leaves(b) intersect la).isEmpty,
+      "invalidateCurate left the derived DSIR checkpoints cached")
+    assert(rows(b) == before)
+  }
 }

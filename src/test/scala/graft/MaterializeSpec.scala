@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Pins [[Materialize.release]]'s reclamation contract — the half of
+  * the strategy seam the cluster story depends on: per-round release
+  * in the iterative loops must actually reclaim what each strategy
+  * allocated, or checkpoint storage grows linearly with round count.
+  */
+class MaterializeSpec extends SparkSpecBase {
+
+  private def rootRdd(df: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.rdd.RDD[_] =
+    df.queryExecution.analyzed
+      .asInstanceOf[org.apache.spark.sql.execution.LogicalRDD].rdd
+
+  test("release deletes a Reliable checkpoint's files") {
+    val ckDir = java.nio.file.Files
+      .createTempDirectory("graft_ck_rel").toString
+    spark.sparkContext.setCheckpointDir(ckDir)
+    try {
+      val ck = Materialize.Reliable(
+        spark.range(100).toDF("id").select(col("id"), (col("id") * 2).as("v")))
+      val file = rootRdd(ck).getCheckpointFile
+      assert(file.nonEmpty, "Reliable output is not a reliable checkpoint")
+      val p = new org.apache.hadoop.fs.Path(file.get)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      assert(fs.exists(p), "checkpoint files were never written")
+      // unpersist alone is a no-op for reliable checkpoints — release
+      // must delete the directory, or every superseded loop round
+      // leaks a full-table checkpoint for the application lifetime
+      Materialize.release(ck)
+      assert(!fs.exists(p),
+        s"release left the reliable checkpoint files at ${file.get}")
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        val kids = f.listFiles()
+        if (kids != null) kids.foreach(rm)
+        f.delete(): Unit
+      }
+      rm(new java.io.File(ckDir))
+    }
+  }
+
+  test("release unwraps rename projections to the checkpointed root") {
+    val ck = Materialize.Local(
+      spark.range(50).toDF("id").select(col("id"), (col("id") + 1).as("v")))
+    val rdd = rootRdd(ck)
+    assert(rdd.getStorageLevel != org.apache.spark.storage.StorageLevel.NONE)
+    // the `select(col("id").as("doc_id"))` shape the iterative loops
+    // return their final table through: a pure rename must not hide
+    // the root from release
+    val renamed = ck.select(col("id").as("doc_id"), col("v").as("w"))
+    Materialize.release(renamed)
+    assert(rdd.getStorageLevel ==
+        org.apache.spark.storage.StorageLevel.NONE,
+      "release did not reach the checkpoint behind a rename projection")
+  }
+}

@@ -369,10 +369,16 @@ class PlanShapeSpec extends SparkSpecBase {
     // twice (the cut subtree's lineage is truncated away entirely;
     // without the cut it appeared once per consumer branch)
     assert("documents\\.parquet".r.findAllIn(p).size <= 2, p)
-    // and the same answer is still available as ONE declarative tree
+    // and the same answer is still available as ONE declarative tree:
+    // under Materialize.None the gate family must be RE-DERIVED in the
+    // plan (documents scans proliferate per consumer branch), not
+    // served from the session kept-set checkpoint — a plan that still
+    // reads ≤ 2 documents scans is riding a hidden materialization
     val one = graft.operators.Curation.pipelineTokensMat(
       spark, "/root/testdata/sf0.01", graft.Materialize.None)
-    assert(one.queryExecution.optimizedPlan != null)
+    // pre-AQE physical plan: the logical plan string omits scan paths
+    val po = one.queryExecution.sparkPlan.toString
+    assert("documents\\.parquet".r.findAllIn(po).size > 2, po.take(4000))
   }
 
   test("upsert merges in one exchange with map-side partial aggregation") {
