@@ -133,7 +133,8 @@ object Bench {
       "apriori_freq_itemsets_lw" -> 2.64,
       // r12 floors (DSIR session index; phash MIH probe join; the
       // converged-artifact caches — a median back at the old trainer/
-      // fixed-point cost means the cache regressed, recheck it)
+      // fixed-point cost means the cache regressed: re-run under load,
+      // reported as "regressed" on an idle host)
       "llm_curate_dsir" -> 0.73, "llm_mm_phash_dedup" -> 0.86,
       "llm_quality_train" -> 0.04, "graph_pagerank" -> 0.03,
       "graph_hits" -> 0.04, "graph_components" -> 0.04,
@@ -143,10 +144,11 @@ object Bench {
     // one (name → reps) map serves the recheck triage AND the top-20
     // load column below (was rebuilt per median entry)
     val loadByName = samples.toMap
+    def maxLoadOf(k: String): Double = loadByName.getOrElse(k, Seq.empty)
+      .flatMap(r => scala.util.Try(r._2.toDouble).toOption)
+      .foldLeft(-1.0)(math.max)
     val rechecks = medians.flatMap { case (k, med) =>
-      val maxLd = loadByName.getOrElse(k, Seq.empty)
-        .flatMap(r => scala.util.Try(r._2.toDouble).toOption)
-        .foldLeft(-1.0)(math.max)
+      val maxLd = maxLoadOf(k)
       floors.get(k)
         .filter(f => med > 2 * f && maxLd > loadHigh)
         .flatMap { f =>
@@ -203,7 +205,23 @@ object Bench {
       s"""${q(k)}:{"median":${ms(med)},"floor":${ms(f)},""" +
         s""""rerun":${ms(sec)},"rerun_load":${q(ld)}}"""
     }.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","value_min":${ms(totalMin)},"reps":$reps,"order":"sorted-name","warmup":1,"n_queries":${medians.size},"n_errors":${errors.size},"queries":$qs,"queries_min":$qmin,"max_load":$lq,"recheck":$rc,"errors":$es,"sf":"$sfDir"}""")
+    // a floor trip under LOW load is not load ambiguity — the number is
+    // the code's real cost, so a re-run would only confirm it. Report it
+    // directly as "regressed" (normally {}): without this channel a
+    // cache/plan regression on an idle host ships with recheck:{} and
+    // hides in the bulk totals. Gated on the MIN of reps too — if any
+    // rep still reaches the floor, the code path is intact and the
+    // median moved for environmental reasons.
+    val regressed = medians.filter { case (k, med) =>
+      floors.get(k).exists(f =>
+        med > 2 * f && mins.getOrElse(k, med) > 2 * f) &&
+        maxLoadOf(k) <= loadHigh
+    }
+    val rg = regressed.map { case (k, med) =>
+      s"""${q(k)}:{"median":${ms(med)},"floor":${ms(floors(k))},""" +
+        s""""min":${ms(mins.getOrElse(k, med))}}"""
+    }.mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","value_min":${ms(totalMin)},"reps":$reps,"order":"sorted-name","warmup":1,"n_queries":${medians.size},"n_errors":${errors.size},"queries":$qs,"queries_min":$qmin,"max_load":$lq,"recheck":$rc,"regressed":$rg,"errors":$es,"sf":"$sfDir"}""")
     // diagnostics only, AFTER the stdout contract line and best-effort:
     // an unwritable cwd must not turn a successful bench into a crash
     try {

@@ -1021,11 +1021,16 @@ object Curation {
   /** Strategy seam for the strict gate ([[pipelineTokensMat]]'s
     * contract): `Local` — the default every fixture entry runs —
     * serves the session-cached kept set; any OTHER strategy gets a
-    * fresh cut of the fully-declarative gate tree that the CALLER
-    * owns (`None` returns the single tree itself, so Catalyst sees
-    * every gate; `Disk`/`Reliable` give a cluster deployment
-    * recoverable cuts instead of an unconditional localCheckpoint
-    * hiding inside the composition).
+    * fresh cut of the declarative gate tree that the CALLER owns
+    * (`None` returns the tree itself, so Catalyst sees every gate;
+    * `Disk`/`Reliable` cut the KEPT SET with the caller's strategy
+    * instead of an unconditional localCheckpoint). Scope of the
+    * claim: the seam governs the kept-set cut only — the gate INPUTS
+    * (dedup band index, Bloom filter, probe features) still ride the
+    * dir-keyed session caches, which are localCheckpoint-backed by
+    * design; a cluster deployment that needs recoverable inputs
+    * composes the `…Of` forms with its own strategy (the
+    * [[graft.operators.Dedup]] cachedIdx contract).
     */
   def curateStrictMat(spark: SparkSession, dir: String,
       mat: graft.Materialize.Strategy): DataFrame =
@@ -1571,11 +1576,21 @@ object Curation {
       mat: graft.Materialize.Strategy): DataFrame = {
     // the kept set follows the SAME strategy as the chunk cut: a None
     // caller gets the whole pipeline as one declarative tree, a
-    // Disk/Reliable cluster caller never rides a hidden localCheckpoint
-    val kept = curateStrictMat(spark, dir, mat)
+    // Disk cluster caller never rides a hidden localCheckpoint.
+    // EXCEPT Reliable → Disk for these INTERNAL cuts: they are
+    // DAG-shaped reuse (Reliable's documented role is per-round loop
+    // cuts), this method consumes the handles internally so the
+    // caller can never release() them, and reliable-checkpoint FILES
+    // outlive the ContextCleaner (Materialize.Reliable doc) while
+    // Disk blocks are cache-manager entries the cleaner reclaims on
+    // GC — a Reliable caller would otherwise leak two full-table
+    // checkpoint dirs per invocation for the application lifetime
+    val cutMat = if (mat eq graft.Materialize.Reliable)
+      graft.Materialize.Disk else mat
+    val kept = curateStrictMat(spark, dir, cutMat)
     val train = splitAssignOf(docs(spark, dir))
       .where(col("split") === "train").select("doc_id")
-    val chunks = mat(chunkOf(docs(spark, dir)
+    val chunks = cutMat(chunkOf(docs(spark, dir)
       .join(kept, "doc_id").join(train, "doc_id")))
     val packed = packChunksOf(chunks)
     val vocab = TextOps.vocabulary(

@@ -783,17 +783,14 @@ object Dedup {
     * re-running the label-propagation loop. Builds directly against
     * the cache (not [[cachedIdx]], which would re-checkpoint the
     * already-checkpointed loop output — two full copies of a
-    * corpus-scale table): the cache's copy is forced first, then the
-    * loop's own final-round checkpoint is released here rather than
-    * left to the ContextCleaner.
+    * corpus-scale table and one extra materialization job): the
+    * loop's own final-round checkpoint IS the cached copy (its
+    * rename projection is transparent to [[Materialize.release]], so
+    * [[invalidateIndex]] reclaims it like any other entry).
     */
   def clusters(spark: SparkSession, dir: String): DataFrame =
-    indexCache.getOrBuild(spark, (dir, "clusters")) {
-      val labels = clustersOf(minhashLsh(spark, dir))
-      val forced = labels.localCheckpoint()
-      Materialize.release(labels)
-      forced
-    }
+    indexCache.getOrBuild(spark, (dir, "clusters"))(
+      clustersOf(minhashLsh(spark, dir)))
 
   /** Cluster-size distribution — the dedup QA report a pipeline records
     * per pass: how many near-dup components of each size exist (pairs
