@@ -54,6 +54,49 @@ object Materialize {
   /** No cut at all (consumers recompute) — for single-consumer plans. */
   val None: Strategy = identity
 
+  /** The deployment-selected strategy for SESSION-CACHED artifacts
+    * (serving indexes, converged fixed-points, kept sets, trained θ),
+    * read from the session conf:
+    *
+    *   `graft.materialize` = `local` (default) | `disk` | `reliable`
+    *
+    * `local` is right for a single JVM; a real cluster flips the conf
+    * to `reliable` (with `sparkContext.setCheckpointDir` pointing at a
+    * DFS path) so cached state survives executor loss — a conf flip,
+    * not a code edit. Returns the singleton strategies, so seam code
+    * may compare with `eq` (the [[graft.operators.Curation]]
+    * cached-vs-owned branch). Read at BUILD time: flipping the conf
+    * mid-session does not migrate artifacts already cached under the
+    * previous strategy (they are value-identical either way; call the
+    * operator's `invalidate…` hook to rebuild under the new one).
+    * Transient per-call cuts that are released within the same call
+    * (the apriori level-wise tables, 1-row eager scalars) stay
+    * [[Local]]: on executor loss the query retries and rebuilds them,
+    * nothing outlives the call.
+    */
+  def session(spark: org.apache.spark.sql.SparkSession): Strategy =
+    spark.conf.get("graft.materialize", "local") match {
+      case "local" => Local
+      case "disk" => Disk
+      case "reliable" => Reliable
+      case other => throw new IllegalArgumentException(
+        s"graft.materialize=$other (expected local|disk|reliable)")
+    }
+
+  /** [[session]] for ITERATIVE builders (per-round cuts in BFS/peel/
+    * fixed-point loops): [[Disk]] retains lineage and doubles the
+    * logical plan per self-referencing round (see the [[Disk]] note —
+    * measured OOM at plan time), so a `disk` conf maps to [[Local]]
+    * here; loops need a lineage-TRUNCATING cut ([[Local]] on one JVM,
+    * `reliable` on a cluster).
+    */
+  def sessionTruncating(spark: org.apache.spark.sql.SparkSession)
+      : Strategy =
+    session(spark) match {
+      case s if s eq Disk => Local
+      case s => s
+    }
+
   /** Best-effort release of a table previously returned by a strategy:
     * iterative operators ([[graft.operators.Dedup.clustersOf]]) supersede
     * a materialized table every round, and without an explicit release the
@@ -77,6 +120,19 @@ object Materialize {
     * in the checkpoint dir, not the block store), so without this the
     * per-round release discipline silently leaks one full-table
     * directory per loop round on a cluster.
+    *
+    * OWNERSHIP CONTRACT (for API authors): because the unwrap walks
+    * through bare rename/alias projections, a released table is
+    * indistinguishable from a rename VIEW over someone else's
+    * materialized table. Public APIs must therefore never hand out a
+    * bare `select(col(a).as(b))` view over a SHARED session-cached
+    * checkpoint to callers who might release it — either return the
+    * cached table verbatim (callers own nothing; nothing to release)
+    * or wrap it in a non-trivial projection/filter so release no-ops.
+    * Every in-repo `…Of(mat)` form already follows this: under
+    * `Materialize.None` the caller's input is returned un-cut and
+    * release is documented as caller-side only for tables the call
+    * itself materialized.
     */
   def release(ds: org.apache.spark.sql.Dataset[_]): Unit = {
     ds.unpersist(blocking = false)

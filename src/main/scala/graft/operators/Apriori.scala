@@ -275,13 +275,13 @@ object Apriori {
 
   private def frequentBaskets(spark: SparkSession, dir: String): DataFrame =
     basketsCache.getOrBuild(spark, dir) {
-      val tx = transactions(spark, dir).localCheckpoint()
+      val mat = graft.Materialize.session(spark)
+      val tx = mat(transactions(spark, dir))
       val freqSet = freqItemsOf(tx, Support)
         .agg(collect_set(col("item")).as("freqset"))
-      val built = tx.join(broadcast(freqSet))
+      val built = mat(tx.join(broadcast(freqSet))
         .select(array_sort(array_intersect(col("items"), col("freqset")))
-          .as("fitems"))
-        .localCheckpoint()
+          .as("fitems")))
       // tx fed the frequent-item derivation and the eager checkpoint —
       // release so the cache retains one basket-scale table, not two
       graft.Materialize.release(tx)

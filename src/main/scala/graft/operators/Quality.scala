@@ -127,7 +127,8 @@ object Quality {
   private def trainedProbe(spark: SparkSession, dir: String)
       : (DataFrame, Array[Double]) =
     probeCache.getOrBuild(spark, dir) {
-      val feat = probeFeaturesOf(docs(spark, dir)).localCheckpoint()
+      val feat =
+        Materialize.session(spark)(probeFeaturesOf(docs(spark, dir)))
       (feat, fitProbe(feat))
     }
 
@@ -212,15 +213,6 @@ object Quality {
       }
   }
 
-  /** Train the reference-shaped SGD logistic classifier on the corpus
-    * and report the run: ONE summary row (n_docs, n_features,
-    * iterations, converged, train accuracy, label base rate). Fully
-    * oracle-bound: [[Sgd.shard]]'s explicit `id % P` membership and the
-    * table-sigmoid make the per-record fold engine-replayable
-    * ([[trainOracleSql]]); the spec additionally pins run-to-run
-    * determinism and that the classifier beats the trivial all-pass
-    * predictor's error profile.
-    */
   /** Session-lifetime trained-gate metrics per (session, dir) — the
     * [[graft.operators.Sgd]] thetaCache discipline: the O(epochs) SGD
     * loop is a once-per-snapshot training pass, and the cached value is
@@ -236,6 +228,15 @@ object Quality {
   private val trainCache =
     new graft.SessionCache[(String, Int), DataFrame](_ => ())
 
+  /** Train the reference-shaped SGD logistic classifier on the corpus
+    * and report the run: ONE summary row (n_docs, n_features,
+    * iterations, converged, train accuracy, label base rate). Fully
+    * oracle-bound: [[Sgd.shard]]'s explicit `id % P` membership and the
+    * table-sigmoid make the per-record fold engine-replayable
+    * ([[trainOracleSql]]); the spec additionally pins run-to-run
+    * determinism and that the classifier beats the trivial all-pass
+    * predictor's error profile. Served from [[trainCache]].
+    */
   def qualityTrain(spark: SparkSession, dir: String): DataFrame =
     trainCache.getOrBuild(spark, (dir, Sgd.numPartsOr(spark, TrainShards)))(
       qualityTrainOf(docs(spark, dir)))

@@ -114,11 +114,11 @@ object Retrieval {
 
   private def tfIdx(spark: SparkSession, dir: String): DataFrame =
     idxCache.getOrBuild(spark, (dir, "tf"))(
-      graft.Materialize.Local(tfOf(docs(spark, dir))))
+      graft.Materialize.session(spark)(tfOf(docs(spark, dir))))
 
   private def dlIdx(spark: SparkSession, dir: String): DataFrame =
     idxCache.getOrBuild(spark, (dir, "dl"))(
-      graft.Materialize.Local(dlOf(docs(spark, dir))))
+      graft.Materialize.session(spark)(dlOf(docs(spark, dir))))
 
   /** Inverted-index posting heads: one row per term with its document
     * frequency, corpus frequency, and the strongest posting (max tf,

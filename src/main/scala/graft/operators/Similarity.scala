@@ -737,11 +737,12 @@ object Similarity {
   private def cachedInt8(spark: SparkSession, dir: String): Int8Index = {
     val n = nq(spark)
     int8Cache.getOrBuild(spark, (dir, n)) {
-      val quant = graft.Materialize.Local(quantDf(
+      val mat = graft.Materialize.session(spark)
+      val quant = mat(quantDf(
         Tables(spark, dir, "embeddings")
           .select(col("vec_id"), col("embedding"))))
-      val scored = graft.Materialize.Local(int8ScoredFrom(quant, n))
-      val pool = graft.Materialize.Local(mmrPoolCut(scored))
+      val scored = mat(int8ScoredFrom(quant, n))
+      val pool = mat(mmrPoolCut(scored))
       Int8Index(quant, scored, pool)
     }
   }

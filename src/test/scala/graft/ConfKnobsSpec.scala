@@ -93,6 +93,54 @@ class ConfKnobsSpec extends SparkSpecBase {
     }
   }
 
+  test("graft.materialize=reliable: dedup + graph entries hash-identical " +
+    "to the local default") {
+    // the 100 TB deployment story is a CONF FLIP: a session with
+    // graft.materialize=reliable builds every session-cached artifact
+    // (dedup band index, graph edges/kernel, converged ranks) as a
+    // reliable checkpoint instead of a localCheckpoint, with identical
+    // values. A fresh newSession isolates the flipped caches (the
+    // SessionCache key dimension), and the reliable files are released
+    // by the ordinary invalidate hooks.
+    val ckDir =
+      java.nio.file.Files.createTempDirectory("graft-ck-conf").toString
+    spark.sparkContext.setCheckpointDir(ckDir)
+    val rel = spark.newSession()
+    rel.conf.set("graft.materialize", "reliable")
+    assert(Materialize.session(rel) eq Materialize.Reliable)
+    assert(Materialize.sessionTruncating(rel) eq Materialize.Reliable)
+    // disk retains lineage — the iterative family must map it to a
+    // truncating cut (the Materialize.Disk plan-doubling note)
+    val dsk = spark.newSession()
+    dsk.conf.set("graft.materialize", "disk")
+    assert(Materialize.session(dsk) eq Materialize.Disk)
+    assert(Materialize.sessionTruncating(dsk) eq Materialize.Local)
+    try {
+      def rows(df: org.apache.spark.sql.DataFrame): Seq[String] =
+        df.collect().map(_.toString).sorted.toSeq
+      Seq("llm_dedup_minhash", "graph_pagerank").foreach { name =>
+        val base = rows(SparkEntry.queries(name)(spark, Sf))
+        val flip = rows(SparkEntry.queries(name)(rel, Sf))
+        assert(flip == base, s"$name diverged under reliable")
+      }
+      // the flip really checkpointed: rdd-* dirs exist under ckDir
+      def rddDirs() = Option(new java.io.File(ckDir).listFiles()).toSeq
+        .flatten.flatMap(d => Option(d.listFiles()).toSeq.flatten)
+        .filter(_.getName.startsWith("rdd-"))
+      assert(rddDirs().nonEmpty,
+        "reliable session produced no reliable checkpoints")
+    } finally {
+      operators.Dedup.invalidateIndex(rel)
+      operators.Graph.invalidateEdges(rel)
+      def rm(f: java.io.File): Unit = {
+        val kids = f.listFiles()
+        if (kids != null) kids.foreach(rm)
+        f.delete(): Unit
+      }
+      rm(new java.io.File(ckDir))
+    }
+  }
+
   test("shuffle rank-buckets knob: ranks identical at any bucketing") {
     val base = Curation.queries("llm_shuffle_assign")(spark, Sf)
       .collect().map(r => r.getLong(0) ->

@@ -764,6 +764,17 @@ class GraphSpec extends SparkSpecBase {
       "repeated hits calls re-ran the fixed-point loop")
     assert(Graph.components(spark, Sf) eq Graph.components(spark, Sf),
       "repeated components calls re-ran the label-propagation loop")
+    // r13: the rest of the iterative/peel family serves the same cache
+    val served = Seq[(String, (org.apache.spark.sql.SparkSession, String)
+        => org.apache.spark.sql.DataFrame)](
+      "kcore" -> Graph.kcore, "truss" -> Graph.truss,
+      "distances" -> Graph.distances, "closeness" -> Graph.closeness,
+      "betweenness" -> Graph.betweenness, "ppr" -> Graph.ppr,
+      "label_prop" -> Graph.labelProp, "modularity" -> Graph.modularity)
+    served.foreach { case (nm, f) =>
+      assert(f(spark, Sf) eq f(spark, Sf),
+        s"repeated $nm calls re-ran the converged loop/peel")
+    }
     val first = prRows(pr)
     // the boundary hook drops the converged ranks WITH their inputs;
     // a rebuilt fixed-point reproduces the identical table
