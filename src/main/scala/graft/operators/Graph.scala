@@ -144,14 +144,13 @@ object Graph {
     * O(m^1.5) bound.
     */
   private case class TriKernel(ed: DataFrame, deg: DataFrame,
-      oriented: DataFrame, adjOut: DataFrame,
       support: DataFrame, triCount: DataFrame)
 
-  /** `mat` cuts the build at each stage: the cached path passes
-    * [[graft.Materialize.Local]] so `oriented` derives from the
-    * CHECKPOINTED deg and `adjOut` from the CHECKPOINTED oriented —
-    * checkpointing all three from one lazy chain instead would compute
-    * the degree-join/orientation work twice during the one-time build.
+  /** `mat` cuts the build at each stage: the cached path passes the
+    * session strategy ([[graft.Materialize.session]]) so `oriented`
+    * derives from the CUT deg and `adjOut` from the CUT oriented —
+    * cutting all three from one lazy chain instead would compute the
+    * degree-join/orientation work twice during the one-time build.
     */
   private def triKernelOf(edgesRaw: DataFrame,
       mat: graft.Materialize.Strategy = graft.Materialize.None)
@@ -194,8 +193,14 @@ object Graph {
     val triCount = mat(triNodes
       .select(explode(array(col("u"), col("v"), col("w"))).as("node"))
       .groupBy("node").agg(count(lit(1)).as("tri")))
-    graft.Materialize.release(triNodes)
-    TriKernel(ed, deg, oriented, adjOut, support, triCount)
+    // oriented/adjOut/triNodes are BUILD-ONLY since the r13 triCount
+    // census serve: no serve path reads them, so the kernel releases
+    // all three once support/triCount are cut — the cached state is
+    // the bounded (≤|E| support, ≤|V| triCount, |V| deg) tables, not
+    // the two edge-scale orientation intermediates (no-ops under
+    // mat = None, where nothing was materialized)
+    Seq(triNodes, adjOut, oriented).foreach(graft.Materialize.release)
+    TriKernel(ed, deg, support, triCount)
   }
 
   /** Session-lifetime checkpointed kernel per (session, dir) — the
@@ -203,7 +208,7 @@ object Graph {
     */
   private val kernelCache =
     new graft.SessionCache[String, TriKernel](k =>
-      Seq(k.deg, k.oriented, k.adjOut, k.support, k.triCount)
+      Seq(k.deg, k.support, k.triCount)
         .foreach(graft.Materialize.release))
 
   private def triKernel(spark: SparkSession, dir: String): TriKernel =

@@ -649,11 +649,18 @@ class PlanShapeSpec extends SparkSpecBase {
   }
 
   test("graph iterative family: adjacency joins hash, nothing cartesian") {
+    // the `…Of` forms under Materialize.None — the entry functions
+    // serve the rank cache (an RDD-scan plan, vacuous to pin), while
+    // these expose the declarative BUILD plan the cache runs once. At
+    // Sf, not sf0.01: None retains each round's lineage (the
+    // re-referencing rounds re-expand), so the executed tree is only
+    // cheap at fixture scale
+    val ed = graft.operators.Graph.edges(spark, Sf)
     Seq(
-      graft.operators.Graph.kcore(spark, "/root/testdata/sf0.01"),
-      graft.operators.Graph.labelProp(spark, "/root/testdata/sf0.01"),
-      graft.operators.Graph.distances(spark, "/root/testdata/sf0.01"),
-      graft.operators.Graph.ppr(spark, "/root/testdata/sf0.01")
+      graft.operators.Graph.kcoreOf(ed),
+      graft.operators.Graph.labelPropOf(ed),
+      graft.operators.Graph.distancesOf(ed),
+      graft.operators.Graph.pprOf(ed)
     ).foreach { df =>
       val p = finalOnly(df)
       // 1-row source/teleport broadcasts are fine (BroadcastNestedLoop
