@@ -152,7 +152,18 @@ object Bench {
       "apriori_freq_items_text" -> 0.26, "apriori_freq_itemsets" -> 0.08,
       "llm_eval_edit_distance" -> 1.78, "llm_dedup_recall" -> 1.54,
       "rel_rank_movers" -> 1.60, "llm_corpus_card" -> 1.36,
-      "llm_curate_coverage" -> 1.65, "llm_dedup_bow_cosine" -> 1.17)
+      "llm_curate_coverage" -> 1.65, "llm_dedup_bow_cosine" -> 1.17,
+      // the entries the graph-family cache promoted INTO the top-20
+      // (r13 closing board) — floored the same isolated way so the
+      // channel tracks the board it actually has, not last round's
+      "llm_dedup_span_align" -> 1.66, "llm_dedup_ngram" -> 1.53,
+      "apriori_candidates_raw" -> 1.25, "apriori_seq_pairs" -> 1.33,
+      "graph_assortativity" -> 1.24, "stream_user_rfm" -> 1.23,
+      "llm_distinct_hll" -> 1.00, "stream_mad_outliers" -> 1.23,
+      "llm_doc_pareto" -> 0.86, "graph_item_recs" -> 1.15,
+      "llm_sim_recall" -> 0.98, "llm_heavy_hitters" -> 0.98,
+      "llm_bitext_mine" -> 0.89, "llm_quantile_sketch" -> 0.89,
+      "llm_dsir_sample" -> 0.80, "llm_audience_kmv" -> 0.41)
     val loadHigh = 6.0
     // trip = beyond 2× floor AND 50 ms absolute — the converged-cache
     // floors are 0.03-0.04 s, where bare 2× is ~60-80 ms and inside
