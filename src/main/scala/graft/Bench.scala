@@ -178,18 +178,22 @@ object Bench {
     def maxLoadOf(k: String): Double = loadByName.getOrElse(k, Seq.empty)
       .flatMap(r => scala.util.Try(r._2.toDouble).toOption)
       .foldLeft(-1.0)(math.max)
-    def rerunOf(k: String): Option[(Double, String)] = {
+    // Left = the rerun itself failed (its message ships as rerun_err —
+    // a flagged entry must never VANISH because its confirming rerun
+    // threw; that would read as a clean board exactly when it isn't)
+    def rerunOf(k: String): Either[String, (Double, String)] = {
       val ld = load1()
       val t0 = System.nanoTime()
       try { fnByName(k)(spark, sfDir).count()
-        Some(((System.nanoTime() - t0) / 1e9, ld))
-      } catch { case scala.util.control.NonFatal(_) => scala.None }
+        Right(((System.nanoTime() - t0) / 1e9, ld))
+      } catch { case scala.util.control.NonFatal(e) =>
+        Left(Option(e.getMessage).getOrElse(e.getClass.getName).take(80))
+      }
     }
     val rechecks = medians.flatMap { case (k, med) =>
       floors.get(k)
         .filter(f => tripped(med, f) && maxLoadOf(k) > loadHigh)
-        .flatMap(f => rerunOf(k).map { case (sec, ld) =>
-          k -> ((med, f, sec, ld)) })
+        .map(f => k -> ((med, f, rerunOf(k))))
     }
     // min-of-reps: the noise-robust companion stat (round-8 advice) —
     // on a shared host the median still absorbs ambient load (measured
@@ -232,9 +236,12 @@ object Bench {
     // flagged entries only (normally zero → "{}"): median, the
     // BASELINE.md floor it tripped, the post-pass re-run seconds, and
     // the loadavg that re-run started under
-    val rc = rechecks.map { case (k, (med, f, sec, ld)) =>
-      s"""${q(k)}:{"median":${ms(med)},"floor":${ms(f)},""" +
-        s""""rerun":${ms(sec)},"rerun_load":${q(ld)}}"""
+    def rerunJson(r: Either[String, (Double, String)]): String = r match {
+      case Right((sec, ld)) => s""""rerun":${ms(sec)},"rerun_load":${q(ld)}"""
+      case Left(err) => s""""rerun":null,"rerun_err":${q(err)}"""
+    }
+    val rc = rechecks.map { case (k, (med, f, r)) =>
+      s"""${q(k)}:{"median":${ms(med)},"floor":${ms(f)},${rerunJson(r)}}"""
     }.mkString("{", ",", "}")
     // a floor trip under LOW load (median AND min both past the trip
     // guard) is likely real code cost, not load ambiguity — but r12
@@ -249,12 +256,11 @@ object Bench {
       floors.get(k)
         .filter(f => tripped(med, f) &&
           tripped(mins.getOrElse(k, med), f) && maxLoadOf(k) <= loadHigh)
-        .flatMap(f => rerunOf(k).map { case (sec, ld) =>
-          k -> ((med, f, mins.getOrElse(k, med), sec, ld)) })
+        .map(f => k -> ((med, f, mins.getOrElse(k, med), rerunOf(k))))
     }
-    val rg = regressed.map { case (k, (med, f, mn, sec, ld)) =>
+    val rg = regressed.map { case (k, (med, f, mn, r)) =>
       s"""${q(k)}:{"median":${ms(med)},"floor":${ms(f)},""" +
-        s""""min":${ms(mn)},"rerun":${ms(sec)},"rerun_load":${q(ld)}}"""
+        s""""min":${ms(mn)},${rerunJson(r)}}"""
     }.mkString("{", ",", "}")
     println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","value_min":${ms(totalMin)},"reps":$reps,"order":"sorted-name","warmup":1,"n_queries":${medians.size},"n_errors":${errors.size},"queries":$qs,"queries_min":$qmin,"max_load":$lq,"recheck":$rc,"regressed":$rg,"errors":$es,"sf":"$sfDir"}""")
     // a SECOND, short closing line: the full line above now exceeds

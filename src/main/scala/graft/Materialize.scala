@@ -63,7 +63,13 @@ object Materialize {
     * `local` is right for a single JVM; a real cluster flips the conf
     * to `reliable` (with `sparkContext.setCheckpointDir` pointing at a
     * DFS path) so cached state survives executor loss — a conf flip,
-    * not a code edit. Returns the singleton strategies, so seam code
+    * not a code edit. `disk` keeps cached state as GC-reclaimable
+    * cache-manager entries with lineage fallback, at a measured cost:
+    * the row-reread kernels (dedup band/shingle indexes) scan the
+    * columnar cache 2–4× slower than checkpointed row blocks (the
+    * [[graft.operators.Dedup]] cachedIdx measurement) — `reliable` is
+    * the recommended cluster value. Returns the singleton strategies,
+    * so seam code
     * may compare with `eq` (the [[graft.operators.Curation]]
     * cached-vs-owned branch). Read at BUILD time: flipping the conf
     * mid-session does not migrate artifacts already cached under the
@@ -82,6 +88,16 @@ object Materialize {
       case other => throw new IllegalArgumentException(
         s"graft.materialize=$other (expected local|disk|reliable)")
     }
+
+  /** True for the strategies that materialize EAGERLY at the call
+    * ([[Local]]/[[Reliable]] run their checkpoint job immediately);
+    * [[Disk]] persists lazily (first action) and [[None]] never.
+    * Builders that RELEASE a staged input after deriving from it must
+    * force the derived table first when the strategy is lazy, or the
+    * deferred first action recomputes through the unpersisted input
+    * and the staged build never materializes at all.
+    */
+  def eager(s: Strategy): Boolean = (s eq Local) || (s eq Reliable)
 
   /** [[session]] for ITERATIVE builders (per-round cuts in BFS/peel/
     * fixed-point loops): [[Disk]] retains lineage and doubles the

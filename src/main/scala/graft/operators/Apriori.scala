@@ -282,7 +282,11 @@ object Apriori {
       val built = mat(tx.join(broadcast(freqSet))
         .select(array_sort(array_intersect(col("items"), col("freqset")))
           .as("fitems")))
-      // tx fed the frequent-item derivation and the eager checkpoint —
+      // a LAZY mat (Disk) defers built's materialization to the first
+      // action — force it while tx is still persisted, or the release
+      // below undoes the staged build (Materialize.eager note)
+      if (!graft.Materialize.eager(mat)) built.count(): Unit
+      // tx fed the frequent-item derivation and the built checkpoint —
       // release so the cache retains one basket-scale table, not two
       graft.Materialize.release(tx)
       built

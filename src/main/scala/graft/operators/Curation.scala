@@ -1034,7 +1034,15 @@ object Curation {
     */
   def curateStrictMat(spark: SparkSession, dir: String,
       mat: graft.Materialize.Strategy): DataFrame =
-    if (mat eq graft.Materialize.session(spark)) curateStrict(spark, dir)
+    if (mat eq graft.Materialize.session(spark))
+      // a caller handed a non-None strategy may, by the seam's old
+      // contract, release() what it gets back — so the SHARED cached
+      // kept set ships behind a trivial Filter barrier that
+      // [[graft.Materialize.release]]'s unwrap does not pierce
+      // (Catalyst folds `WHERE true` away at optimization; the
+      // ANALYZED plan, which release walks, keeps it). The ownership
+      // contract on release() names exactly this hazard.
+      curateStrict(spark, dir).where(lit(true))
     else mat(strictGatesOn(curateUncached(spark, dir), spark, dir))
 
   /** The LEARNED corpus gate — the production learn-then-gate loop

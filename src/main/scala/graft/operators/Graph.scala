@@ -198,7 +198,13 @@ object Graph {
     // all three once support/triCount are cut — the cached state is
     // the bounded (≤|E| support, ≤|V| triCount, |V| deg) tables, not
     // the two edge-scale orientation intermediates (no-ops under
-    // mat = None, where nothing was materialized)
+    // mat = None, where nothing was materialized). A LAZY mat (Disk)
+    // must force the terminal tables BEFORE the release, or the
+    // staged intermediates are unpersisted unused and the first serve
+    // recomputes the incidence separately per consumer — the exact 2×
+    // the kernel exists to remove.
+    if ((mat ne graft.Materialize.None) && !graft.Materialize.eager(mat))
+      Seq(deg, support, triCount).foreach(_.count(): Unit)
     Seq(triNodes, adjOut, oriented).foreach(graft.Materialize.release)
     TriKernel(ed, deg, support, triCount)
   }
@@ -249,15 +255,24 @@ object Graph {
 
   def trianglesOf(edgesRaw: DataFrame,
       mat: Materialize.Strategy = Materialize.None): DataFrame = {
-    val ed = mat(edgesRaw.select("a", "b"))
+    // the Filter barrier matters under a NON-checkpointing mat (Disk
+    // persists without replacing the plan root): release(ed) below
+    // would otherwise unwrap the bare (a, b) projection into the
+    // CALLER's table and unpersist a checkpoint this call does not
+    // own — the release() ownership contract. Local/Reliable replace
+    // the root with their own LogicalRDD (barrier inert), and
+    // Catalyst folds `WHERE true` out of execution.
+    val ed = mat(edgesRaw.select("a", "b").where(lit(true)))
     val out = trianglesFrom(triKernelOf(ed))
     // the 1-row census is cut eagerly so the edge table THIS call
     // materialized can be released (Apriori level-wise discipline);
-    // under mat = None, `ed` is a pure projection of the caller's
-    // table — releasing it would unwrap to and kill the caller's own
-    // checkpoint, so only release what this call created
+    // under mat = None nothing was materialized, nothing is released.
+    // A LAZY mat (Disk) must force the census before ed is released,
+    // or the deferred first action recomputes through the unpersisted
+    // input.
     if (mat ne Materialize.None) {
       val forced = mat(out)
+      if (!Materialize.eager(mat)) forced.count(): Unit
       Materialize.release(ed)
       forced
     } else out

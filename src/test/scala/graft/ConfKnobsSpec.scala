@@ -130,8 +130,15 @@ class ConfKnobsSpec extends SparkSpecBase {
       assert(rddDirs().nonEmpty,
         "reliable session produced no reliable checkpoints")
     } finally {
-      operators.Dedup.invalidateIndex(rel)
-      operators.Graph.invalidateEdges(rel)
+      // drop EVERY cache the two entries populated for the flipped
+      // sessions before deleting their checkpoint files — a retained
+      // entry over a deleted reliable checkpoint fails its next read.
+      // (Suites that use .checkpoint() set their own dir first —
+      // SparkSpecBase shares one context — so deleting ours is safe.)
+      Seq(rel, dsk).foreach { s =>
+        operators.Dedup.invalidateIndex(s)
+        operators.Graph.invalidateEdges(s)
+      }
       def rm(f: java.io.File): Unit = {
         val kids = f.listFiles()
         if (kids != null) kids.foreach(rm)
