@@ -123,6 +123,16 @@ class ConfKnobsSpec extends SparkSpecBase {
         val flip = rows(SparkEntry.queries(name)(rel, Sf))
         assert(flip == base, s"$name diverged under reliable")
       }
+      // disk end-to-end: Disk persists LAZILY, so these two entries
+      // exercise the force-before-release ordering in the triangle
+      // kernel and the frequent-basket build (a regression there
+      // recomputes instead of corrupting — this pins value identity
+      // and that the lazy path still runs at all)
+      Seq("graph_triangles", "apriori_freq_itemsets").foreach { name =>
+        val base = rows(SparkEntry.queries(name)(spark, Sf))
+        val flip = rows(SparkEntry.queries(name)(dsk, Sf))
+        assert(flip == base, s"$name diverged under disk")
+      }
       // the flip really checkpointed: rdd-* dirs exist under ckDir
       def rddDirs() = Option(new java.io.File(ckDir).listFiles()).toSeq
         .flatten.flatMap(d => Option(d.listFiles()).toSeq.flatten)
@@ -138,6 +148,7 @@ class ConfKnobsSpec extends SparkSpecBase {
       Seq(rel, dsk).foreach { s =>
         operators.Dedup.invalidateIndex(s)
         operators.Graph.invalidateEdges(s)
+        operators.Apriori.invalidateSupports(s)
       }
       def rm(f: java.io.File): Unit = {
         val kids = f.listFiles()
