@@ -56,4 +56,33 @@ class MaterializeSpec extends SparkSpecBase {
         org.apache.spark.storage.StorageLevel.NONE,
       "release did not reach the checkpoint behind a rename projection")
   }
+
+  test("release does not pierce a Filter barrier over a shared table") {
+    // the ownership contract's escape hatch: an API that must hand a
+    // view of a SHARED cached table to a caller who may release() it
+    // wraps the view in `WHERE true` — inert at execution (Catalyst
+    // folds it), but the ANALYZED plan release walks keeps it, so the
+    // walk stops before the shared root (curateStrictMat's cached
+    // branch; trianglesOf's edge projection under Disk)
+    val shared = Materialize.Local(
+      spark.range(40).toDF("id").select(col("id"), (col("id") * 3).as("v")))
+    val rdd = rootRdd(shared)
+    assert(rdd.getStorageLevel != org.apache.spark.storage.StorageLevel.NONE)
+    val view = shared.select(col("id"), col("v")).where(lit(true))
+    Materialize.release(view)
+    assert(rdd.getStorageLevel !=
+        org.apache.spark.storage.StorageLevel.NONE,
+      "release pierced the WHERE-true barrier and killed the shared table")
+    assert(view.count() == 40) // the barrier costs nothing at execution
+    Materialize.release(shared)
+  }
+
+  test("eager classifies the strategies by when they materialize") {
+    assert(Materialize.eager(Materialize.Local))
+    assert(Materialize.eager(Materialize.Reliable))
+    // Disk persists on FIRST ACTION — builders releasing staged inputs
+    // must force derived tables first (triKernelOf, frequentBaskets)
+    assert(!Materialize.eager(Materialize.Disk))
+    assert(!Materialize.eager(Materialize.None))
+  }
 }
