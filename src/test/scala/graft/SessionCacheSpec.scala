@@ -30,6 +30,35 @@ class SessionCacheSpec extends SparkSpecBase {
     assert(released.toSet == Set("v-a-1", "v-a-3", "v-b-2"))
   }
 
+  test("a lost build race releases exactly the loser, winner serves both") {
+    // the documented get+putIfAbsent contract under REAL concurrency:
+    // both threads are held at a barrier until both have passed the
+    // get-miss, so both build deterministically; exactly one value
+    // wins the putIfAbsent, the other is released, and both callers
+    // observe the SAME winning value
+    val entered = new java.util.concurrent.CyclicBarrier(2)
+    val builds = new java.util.concurrent.atomic.AtomicInteger(0)
+    val released =
+      java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+    val c = new SessionCache[String, String](v => { released.add(v): Unit })
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    try {
+      val fs = (1 to 2).map(_ => pool.submit(
+        new java.util.concurrent.Callable[String] {
+          def call(): String = c.getOrBuild(spark, "race") {
+            entered.await(10, java.util.concurrent.TimeUnit.SECONDS)
+            s"v-${builds.incrementAndGet()}-${Thread.currentThread().getId}"
+          }
+        }))
+      val got = fs.map(_.get(30, java.util.concurrent.TimeUnit.SECONDS))
+      assert(builds.get() == 2, "the barrier should force both builds")
+      assert(got(0) == got(1), "racers observed different cached values")
+      assert(c.size == 1)
+      assert(released.size() == 1 && !released.contains(got(0)),
+        s"released=$released winner=${got(0)}")
+    } finally pool.shutdownNow()
+  }
+
   test("a foreign session's entries survive another session's invalidate") {
     // newSession shares the context but is a distinct key dimension —
     // the boundary-hook contract is per-session
