@@ -7,9 +7,11 @@ import org.apache.spark.storage.StorageLevel
   * plan consumers (dedup shingle tables, band indexes): without a cut,
   * each consumer of a self-joined narrow pipeline recomputes it from the
   * scan. The default is `localCheckpoint` — cheapest cut, right for
-  * single-JVM local mode — but it pins blocks to executor storage with no
-  * lineage fallback, so a 100 TB deployment selects [[Materialize.Disk]]
-  * (or any custom strategy) instead: reliable, recomputable, spillable.
+  * single-JVM local mode — but it pins blocks to executor storage with
+  * no lineage fallback, so a 100 TB deployment flips the
+  * `graft.materialize` conf ([[session]]) to `reliable` — every
+  * session-cached builder reads it — or composes the `…Of` forms with
+  * any custom strategy.
   */
 object Materialize {
 

@@ -120,13 +120,12 @@ object Dedup {
       graft.Materialize.session(spark)(build))
 
   /** Drop cached dedup indexes (a (session, dir) pair, a whole session
-    * with `dir = null`, or everything). The entries are
-    * localCheckpoint-backed, so this releases the REFERENCES; the
-    * checkpoint blocks themselves are reclaimed by Spark's
-    * ContextCleaner once the dropped RDDs are garbage-collected (the
-    * unpersist call covers any persist-backed strategy and is a no-op
-    * for checkpoints). After invalidation, the next query rebuilds from
-    * the current parquet state.
+    * with `dir = null`, or everything). [[graft.Materialize.release]]
+    * runs per dropped entry and reclaims whatever the session's
+    * `graft.materialize` strategy allocated — checkpoint blocks
+    * unpersisted, reliable checkpoint FILES deleted, persist entries
+    * dropped. After invalidation, the next query rebuilds from the
+    * current parquet state.
     */
   def invalidateIndex(spark: SparkSession = null, dir: String = null): Unit =
     indexCache.invalidate(spark, k => dir == null || k._1 == dir)
