@@ -338,8 +338,20 @@ object Sgd {
           " * (s.sig[CAST(k AS BIGINT) + 2] - s.sig[CAST(k AS BIGINT) + 1])" +
           " END"))
 
+  /** Each knot FORCED to a DOUBLE literal (exponent form; `e0` when
+    * `Double.toString` emitted none): a bare decimal literal parses as
+    * DECIMAL in DuckDB and DECIMAL-LIST type unification rounds — a
+    * plain `mkString` table measured 48/257 knots 1 ulp off at parse
+    * (the Sketch LcTable lesson). Invisible at sf0.01, where training
+    * never touches a defective knot; at sf0.1 the logreg fold does,
+    * and the 1-ulp σ(h) divergence compounds over the per-record
+    * epochs into a hash mismatch.
+    */
   private def sigCte: String =
-    s"sig AS (SELECT [${SigmoidTable.mkString(", ")}]::DOUBLE[] AS sig)"
+    s"sig AS (SELECT [${SigmoidTable.map { v =>
+      val s = v.toString
+      if (s.contains('E') || s.contains('e')) s else s + "e0"
+    }.mkString(", ")}]::DOUBLE[] AS sig)"
 
   /** The per-record update as a `list_reduce` step lambda over the
     * unified accumulator/element struct {y, x, th, snap, n, cont}:
