@@ -5,6 +5,44 @@ import org.apache.spark.sql.SparkSession
   * "errors" map (never silently timed as if they succeeded).
   */
 object Bench {
+
+  /** JSON string literal (quotes/backslashes/control chars escaped). */
+  private[graft] def q(s: String): String = "\"" + s.flatMap {
+    case '"' => "\\\""
+    case '\\' => "\\\\"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  } + "\""
+
+  /** 2-decimal seconds with Locale.ROOT — a comma-decimal default
+    * locale would render 0,12 and break the JSON contract.
+    */
+  private[graft] def ms(v: Double): String =
+    String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
+
+  /** The confirming-rerun fields of a flagged entry: Right = the
+    * measured rerun + the loadavg it started under; Left = the rerun
+    * itself THREW (ships as `rerun:null` + the message — a flagged
+    * entry must never vanish because its confirmation failed; that
+    * would read as a clean board exactly when it isn't).
+    */
+  private[graft] def rerunJson(r: Either[String, (Double, String)])
+      : String = r match {
+    case Right((sec, ld)) => s""""rerun":${ms(sec)},"rerun_load":${q(ld)}"""
+    case Left(err) => s""""rerun":null,"rerun_err":${q(err)}"""
+  }
+
+  /** One `recheck` map entry (high-load floor trip). */
+  private[graft] def recheckJson(k: String, med: Double, f: Double,
+      r: Either[String, (Double, String)]): String =
+    s"""${q(k)}:{"median":${ms(med)},"floor":${ms(f)},${rerunJson(r)}}"""
+
+  /** One `regressed` map entry (low-load trip on median AND min). */
+  private[graft] def regressedJson(k: String, med: Double, f: Double,
+      mn: Double, r: Either[String, (Double, String)]): String =
+    s"""${q(k)}:{"median":${ms(med)},"floor":${ms(f)},""" +
+      s""""min":${ms(mn)},${rerunJson(r)}}"""
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -16,12 +54,6 @@ object Bench {
       .config(Tables.RequiredConf)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    def q(s: String): String = "\"" + s.flatMap {
-      case '"' => "\\\""
-      case '\\' => "\\\\"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c => c.toString
-    } + "\""
     // Warm the JVM/codegen/parquet-reader paths once so the first timed
     // query doesn't absorb ~4s of one-time startup (standard bench
     // hygiene; every query still includes its own plan+execute cost).
@@ -211,9 +243,6 @@ object Bench {
     // stdout carries the total plus only the TOP-20 medians (the ones a
     // reader would plan-audit), 2-decimal, target < 1.5 KB; the full
     // per-query per-rep data lives in bench_samples.json.
-    def ms(v: Double): String = // Locale.ROOT: a comma-decimal default
-      String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
-      // locale would render 0,12 and break the JSON contract
     val top = medians.sortBy(-_._2).take(20)
     val qs = top.map { case (k, v) => s"${q(k)}:${ms(v)}" }
       .mkString("{", ",", "}")
@@ -235,13 +264,10 @@ object Bench {
     val totalMin = mins.values.sum
     // flagged entries only (normally zero → "{}"): median, the
     // BASELINE.md floor it tripped, the post-pass re-run seconds, and
-    // the loadavg that re-run started under
-    def rerunJson(r: Either[String, (Double, String)]): String = r match {
-      case Right((sec, ld)) => s""""rerun":${ms(sec)},"rerun_load":${q(ld)}"""
-      case Left(err) => s""""rerun":null,"rerun_err":${q(err)}"""
-    }
+    // the loadavg that re-run started under — fragments built by the
+    // spec-pinned object-level helpers ([[recheckJson]]/[[regressedJson]])
     val rc = rechecks.map { case (k, (med, f, r)) =>
-      s"""${q(k)}:{"median":${ms(med)},"floor":${ms(f)},${rerunJson(r)}}"""
+      recheckJson(k, med, f, r)
     }.mkString("{", ",", "}")
     // a floor trip under LOW load (median AND min both past the trip
     // guard) is likely real code cost, not load ambiguity — but r12
@@ -259,8 +285,7 @@ object Bench {
         .map(f => k -> ((med, f, mins.getOrElse(k, med), rerunOf(k))))
     }
     val rg = regressed.map { case (k, (med, f, mn, r)) =>
-      s"""${q(k)}:{"median":${ms(med)},"floor":${ms(f)},""" +
-        s""""min":${ms(mn)},${rerunJson(r)}}"""
+      regressedJson(k, med, f, mn, r)
     }.mkString("{", ",", "}")
     println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","value_min":${ms(totalMin)},"reps":$reps,"order":"sorted-name","warmup":1,"n_queries":${medians.size},"n_errors":${errors.size},"queries":$qs,"queries_min":$qmin,"max_load":$lq,"recheck":$rc,"regressed":$rg,"errors":$es,"sf":"$sfDir"}""")
     // a SECOND, short closing line: the full line above now exceeds
