@@ -43,6 +43,26 @@ object Bench {
     s"""${q(k)}:{"median":${ms(med)},"floor":${ms(f)},""" +
       s""""min":${ms(mn)},${rerunJson(r)}}"""
 
+  /** Contention-floor map from `bench_floors.json` (entry →
+    * {floor, measured}): the single source of truth the recheck/
+    * regressed channels compare medians against. Jackson is Spark's
+    * own shipped parser; a missing or malformed file returns an empty
+    * map (floor triage disarms, the bench itself must never crash on
+    * a data file).
+    */
+  private[graft] def readFloors(path: String): Map[String, Double] =
+    try {
+      val node = new com.fasterxml.jackson.databind.ObjectMapper()
+        .readTree(new java.io.File(path)).get("floors")
+      val b = Map.newBuilder[String, Double]
+      val it = node.fields()
+      while (it.hasNext) {
+        val e = it.next()
+        b += e.getKey -> e.getValue.get("floor").asDouble()
+      }
+      b.result()
+    } catch { case scala.util.control.NonFatal(_) => Map.empty }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -151,51 +171,21 @@ object Bench {
     // usually moved on) and both numbers ship in the JSON — rounds 5,
     // 7, 10 and 11 each spent judge time separating host load from
     // regression by hand; this puts the second sample in the artifact.
-    // r13 recalibration: every floor below is a MEASURED isolated
+    // r13 recalibration: every floor is a MEASURED isolated
     // min-of-reps at sf0.1 on an idle host (BASELINE.md "Round-13
     // floors") — the r12 map missed most of the actual top-20, so the
     // channel was blind exactly where a regression would land, and the
     // graph_triangles floor (0.12) turned out to be an in-suite draw
-    // the code never reproduced in isolation.
-    val floors = Map(
-      // the converged-artifact serves (rank cache, session indexes,
-      // trained models) — a median back at fixed-point/trainer cost
-      // means the cache regressed
-      "graph_pagerank" -> 0.03, "graph_hits" -> 0.03,
-      "graph_components" -> 0.03, "graph_kcore" -> 0.03,
-      "graph_truss" -> 0.03, "graph_distances" -> 0.03,
-      "graph_closeness" -> 0.03, "graph_betweenness" -> 0.04,
-      "graph_ppr" -> 0.03, "graph_label_prop" -> 0.03,
-      "graph_modularity" -> 0.04, "graph_triangles" -> 0.07,
-      "graph_local_cc" -> 0.10, "graph_link_pred" -> 0.08,
-      "graph_edge_embed" -> 0.35,
-      "llm_curate_strict" -> 0.03, "llm_pipeline_e2e" -> 0.40,
-      "llm_curate_dsir" -> 0.73, "llm_mm_phash_dedup" -> 0.79,
-      "llm_quality_train" -> 0.04, "sgd_logreg_theta" -> 0.04,
-      "sgd_linreg_theta" -> 0.67, "llm_eval_rankers" -> 0.93,
-      "llm_bpe_merges" -> 0.11, "llm_sim_mmr_topk" -> 0.48,
-      "llm_sim_int8_topk" -> 0.23,
-      // the honest recompute tail (recompute-by-design entries whose
-      // point IS the computation) — these floors bound the top-20
-      "apriori_freq_itemsets_lw" -> 2.64,
-      "apriori_freq_itemsets_txorder" -> 2.05,
-      "apriori_freq_itemsets_sql" -> 1.63,
-      "apriori_rules_metrics" -> 1.91, "apriori_assoc_rules" -> 1.38,
-      "apriori_freq_items_text" -> 0.26, "apriori_freq_itemsets" -> 0.08,
-      "llm_eval_edit_distance" -> 1.78, "llm_dedup_recall" -> 1.54,
-      "rel_rank_movers" -> 1.60, "llm_corpus_card" -> 1.36,
-      "llm_curate_coverage" -> 1.65, "llm_dedup_bow_cosine" -> 1.17,
-      // the entries the graph-family cache promoted INTO the top-20
-      // (r13 closing board) — floored the same isolated way so the
-      // channel tracks the board it actually has, not last round's
-      "llm_dedup_span_align" -> 1.66, "llm_dedup_ngram" -> 1.53,
-      "apriori_candidates_raw" -> 1.25, "apriori_seq_pairs" -> 1.33,
-      "graph_assortativity" -> 1.24, "stream_user_rfm" -> 1.23,
-      "llm_distinct_hll" -> 1.00, "stream_mad_outliers" -> 1.23,
-      "llm_doc_pareto" -> 0.86, "graph_item_recs" -> 1.15,
-      "llm_sim_recall" -> 0.98, "llm_heavy_hitters" -> 0.98,
-      "llm_bitext_mine" -> 0.89, "llm_quantile_sketch" -> 0.89,
-      "llm_dsir_sample" -> 0.80, "llm_audience_kmv" -> 0.41)
+    // the code never reproduced in isolation. r14: the floors moved
+    // OUT of code into bench_floors.json (entry → {floor, measured}) —
+    // Bench.scala and BASELINE.md were two hand-kept sources of truth
+    // that r13 had to recalibrate wholesale; now recalibration is a
+    // data edit, BenchJsonSpec asserts the file parses with valid
+    // query keys, and n_floors in the output line shows the channel
+    // armed. Missing/unreadable file → empty map (the channel goes
+    // silent, exactly the pre-floor behavior — never crash a bench).
+    val floors = readFloors(sys.env.getOrElse(
+      "SPARK_GRAFT_BENCH_FLOORS", "bench_floors.json"))
     val loadHigh = 6.0
     // trip = beyond 2× floor AND 50 ms absolute — the converged-cache
     // floors are 0.03-0.04 s, where bare 2× is ~60-80 ms and inside
@@ -287,13 +277,16 @@ object Bench {
     val rg = regressed.map { case (k, (med, f, mn, r)) =>
       regressedJson(k, med, f, mn, r)
     }.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","value_min":${ms(totalMin)},"reps":$reps,"order":"sorted-name","warmup":1,"n_queries":${medians.size},"n_errors":${errors.size},"queries":$qs,"queries_min":$qmin,"max_load":$lq,"recheck":$rc,"regressed":$rg,"errors":$es,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","value_min":${ms(totalMin)},"reps":$reps,"order":"sorted-name","warmup":1,"n_queries":${medians.size},"n_errors":${errors.size},"n_floors":${floors.size},"queries":$qs,"queries_min":$qmin,"max_load":$lq,"recheck":$rc,"regressed":$rg,"errors":$es,"sf":"$sfDir"}""")
     // a SECOND, short closing line: the full line above now exceeds
     // bounded tail captures (BENCH_r12's lost its own headline total),
     // so the totals are re-stated compactly — parseable from the last
     // few hundred bytes of any run's output. n_flagged folds recheck +
     // regressed so a truncated reader still knows whether to go look.
-    println(s"""{"metric":"total","compact":true,"value":${ms(total)},"unit":"sec","value_min":${ms(totalMin)},"n_queries":${medians.size},"n_errors":${errors.size},"n_flagged":${rechecks.size + regressed.size},"sf":"$sfDir"}""")
+    // metric is "total_compact", NOT "total": a consumer that selects
+    // the contract line by metric value must keep matching exactly one
+    // line (the full one, with queries/recheck/regressed).
+    println(s"""{"metric":"total_compact","value":${ms(total)},"unit":"sec","value_min":${ms(totalMin)},"n_queries":${medians.size},"n_errors":${errors.size},"n_flagged":${rechecks.size + regressed.size},"sf":"$sfDir"}""")
     // diagnostics only, AFTER the stdout contract line and best-effort:
     // an unwritable cwd must not turn a successful bench into a crash
     try {

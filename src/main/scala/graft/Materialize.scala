@@ -56,6 +56,21 @@ object Materialize {
   /** No cut at all (consumers recompute) — for single-consumer plans. */
   val None: Strategy = identity
 
+  /** Dispatch SENTINEL for operator strategy seams meaning "serve the
+    * SESSION-CACHED artifact" (the [[graft.operators.Curation]]
+    * cached-vs-caller-owned branch). Seam sites compare with `eq`
+    * against THIS singleton instead of re-reading the conf via
+    * `mat eq session(spark)` — the conf re-read made dispatch depend
+    * on conf-flip TIMING (a caller holding the previous session
+    * strategy silently rerouted into a full caller-owned recompute
+    * after a mid-session flip) and made any deployment-custom
+    * strategy unable to ever reach the cached branch on purpose.
+    * If actually APPLIED as a strategy (passed somewhere that cuts
+    * with it rather than dispatching on it), it degrades soundly to
+    * the input's own session-conf strategy.
+    */
+  val Session: Strategy = df => session(df.sparkSession)(df)
+
   /** The deployment-selected strategy for SESSION-CACHED artifacts
     * (serving indexes, converged fixed-points, kept sets, trained θ),
     * read from the session conf:
@@ -114,6 +129,38 @@ object Materialize {
       case s if s eq Disk => Local
       case s => s
     }
+
+  /** Entry guard for the ITERATIVE `…Of` forms (self-referencing
+    * per-round cuts): [[Disk]] retains lineage, so a round that
+    * references its predecessor more than once DOUBLES the logical
+    * plan per round — measured OOM at plan time (the [[Disk]] note).
+    * The conf path never arrives here with Disk ([[sessionTruncating]]
+    * maps it to [[Local]]); this closes the public-API path that
+    * passes [[Disk]] explicitly, which previously planned itself to
+    * death N rounds in (or, with the old release ordering, recomputed
+    * the whole loop through already-released per-round cuts). Custom
+    * caller strategies pass — a deployment composing its own cut is
+    * expected to make it truncating (e.g. a parquet round-trip), per
+    * the [[Disk]] scaladoc contract.
+    */
+  def requireTruncating(mat: Strategy, op: String): Unit =
+    require(mat ne Disk,
+      s"$op is iterative: Materialize.Disk retains lineage and doubles " +
+        "the logical plan per self-referencing round (measured OOM at " +
+        "plan time) - pass Local/Reliable (or sessionTruncating(spark)), " +
+        "or a custom lineage-truncating cut")
+
+  /** Drop EVERY session-cached artifact this session holds, across all
+    * registered [[SessionCache]]s — the one-call remedy for the
+    * documented [[session]] caveat that a mid-session
+    * `graft.materialize` flip does not migrate artifacts built under
+    * the previous strategy: flip the conf, `invalidateAll(spark)`, and
+    * the next access rebuilds under the new one. (Per-operator
+    * `invalidate…` hooks remain the precise tool when only one
+    * fixture dir changed.)
+    */
+  def invalidateAll(spark: org.apache.spark.sql.SparkSession): Unit =
+    SessionCache.invalidateAll(spark)
 
   /** Best-effort release of a table previously returned by a strategy:
     * iterative operators ([[graft.operators.Dedup.clustersOf]]) supersede

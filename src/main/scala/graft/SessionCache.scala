@@ -32,6 +32,8 @@ import org.apache.spark.sql.SparkSession
   */
 final class SessionCache[K, V](release: V => Unit) {
 
+  SessionCache.register(this)
+
   private val m =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, K), V]
 
@@ -70,6 +72,35 @@ final class SessionCache[K, V](release: V => Unit) {
     }
   }
 
+  /** Every key this session holds, dropped ([[SessionCache]] registry
+    * walk — typed `K` is existential there, so the all-keys case gets
+    * its own spelling).
+    */
+  private[graft] def invalidateSession(spark: SparkSession): Unit =
+    invalidate(spark, _ => true)
+
   /** Test seam: number of live entries (post-sweep). */
   def size: Int = { sweep(); m.size() }
+}
+
+/** Registry of every [[SessionCache]] instance in the JVM (each is an
+  * operator-object singleton, so the set is small and lives for the
+  * application): lets [[graft.Materialize.invalidateAll]] drop a
+  * session's artifacts across ALL operators in one call — the remedy
+  * for a mid-session `graft.materialize` flip. A cache in a
+  * not-yet-loaded operator object is unregistered AND empty, so the
+  * walk is still complete for any session.
+  */
+object SessionCache {
+
+  private val registry =
+    new java.util.concurrent.ConcurrentLinkedQueue[SessionCache[_, _]]
+
+  private def register(c: SessionCache[_, _]): Unit = { registry.add(c): Unit }
+
+  /** Release and drop every entry the given session holds, in every
+    * registered cache (`spark = null` clears all sessions).
+    */
+  def invalidateAll(spark: SparkSession): Unit =
+    registry.forEach(_.invalidateSession(spark))
 }

@@ -422,6 +422,11 @@ object Apriori {
     */
   def freqItemsetsLevelwise(spark: SparkSession, dir: String): DataFrame = {
     val s = spark; import s.implicits._
+    // per-level cuts honor the session conf (reliable on a cluster —
+    // localCheckpoint has no lineage fallback, so an executor loss
+    // mid-mining would fail the whole entry; sessionTruncating maps
+    // disk→local per the Materialize plan-growth note)
+    val cut = graft.Materialize.sessionTruncating(spark)
     // the session basket cache is the "one basket scan": the per-level
     // take(MaxBasket) map is row-local over its checkpointed rows, and
     // the frequent-item seed is one distinct-explode of the same table
@@ -447,7 +452,7 @@ object Apriori {
         .groupBy("itemset")
         .agg(count(lit(1)).as("cnt"))
         .where($"cnt" >= Support)
-        .localCheckpoint()
+        .transform(cut)
       bc.unpersist(blocking = false) // consumed by the eager checkpoint
       levels += lk
       active = lk.select(explode(split($"itemset", " ")).as("i"))
@@ -462,7 +467,7 @@ object Apriori {
     val out =
       if (result == null)
         spark.emptyDataset[(String, Long)].toDF("itemset", "cnt")
-      else result.localCheckpoint()
+      else cut(result)
     levels.foreach(graft.Materialize.release)
     out
   }

@@ -837,10 +837,11 @@ object Curation {
   def bpeDriftOf(oldCorpus: DataFrame, nextCorpus: DataFrame)
       : DataFrame = {
     val n = TextOps.BpeMerges
-    val a = TextOps.bpeMergesOf(TextOps.wordFreqOf(oldCorpus), n)
+    val cut = graft.Materialize.sessionTruncating(oldCorpus.sparkSession)
+    val a = TextOps.bpeMergesOf(TextOps.wordFreqOf(oldCorpus), n, cut)
       .select(col("step"), col("merged").as("merged_old"),
         col("cnt").as("cnt_old"))
-    val b = TextOps.bpeMergesOf(TextOps.wordFreqOf(nextCorpus), n)
+    val b = TextOps.bpeMergesOf(TextOps.wordFreqOf(nextCorpus), n, cut)
       .select(col("step"), col("merged").as("merged_new"),
         col("cnt").as("cnt_new"))
     a.join(b, Seq("step"), "full_outer")
@@ -1019,12 +1020,18 @@ object Curation {
   }
 
   /** Strategy seam for the strict gate ([[pipelineTokensMat]]'s
-    * contract): the SESSION strategy ([[graft.Materialize.session]] —
-    * what every fixture entry passes) serves the session-cached kept
-    * set; any OTHER strategy gets a fresh cut of the declarative gate
-    * tree that the CALLER owns (`None` returns the tree itself, so
-    * Catalyst sees every gate; a non-default `Disk`/`Reliable` cuts
-    * the KEPT SET with the caller's strategy). Scope of the claim:
+    * contract): the [[graft.Materialize.Session]] SENTINEL (what every
+    * fixture entry passes) serves the session-cached kept set; any
+    * OTHER strategy gets a fresh cut of the declarative gate tree that
+    * the CALLER owns (`None` returns the tree itself, so Catalyst sees
+    * every gate; a non-default `Disk`/`Reliable` cuts the KEPT SET
+    * with the caller's strategy). Dispatch is on the sentinel, NOT on
+    * `mat eq Materialize.session(spark)`: the conf re-read made the
+    * cached-vs-owned branch depend on conf-flip TIMING (a caller
+    * holding the previous session strategy silently rerouted into a
+    * full caller-owned recompute of the strict-gate tree after a
+    * mid-session flip), and a deployment-custom strategy could never
+    * reach the cached branch on purpose. Scope of the claim:
     * the seam governs the kept-set cut only — the gate INPUTS (dedup
     * band index, Bloom filter, probe features) ride the dir-keyed
     * session caches, which are themselves `graft.materialize`-conf
@@ -1034,7 +1041,7 @@ object Curation {
     */
   def curateStrictMat(spark: SparkSession, dir: String,
       mat: graft.Materialize.Strategy): DataFrame =
-    if (mat eq graft.Materialize.session(spark))
+    if (mat eq graft.Materialize.Session)
       // a caller handed a non-None strategy may, by the seam's old
       // contract, release() what it gets back — so the SHARED cached
       // kept set ships behind a trivial Filter barrier that
@@ -1580,7 +1587,7 @@ object Curation {
     * the fully-declarative single tree back.
     */
   def pipelineTokens(spark: SparkSession, dir: String): DataFrame =
-    pipelineTokensMat(spark, dir, graft.Materialize.session(spark))
+    pipelineTokensMat(spark, dir, graft.Materialize.Session)
 
   def pipelineTokensMat(spark: SparkSession, dir: String,
       mat: graft.Materialize.Strategy): DataFrame = {
@@ -1595,15 +1602,19 @@ object Curation {
     // Disk blocks are cache-manager entries the cleaner reclaims on
     // GC — a Reliable caller would otherwise leak two full-table
     // checkpoint dirs per invocation for the application lifetime
-    val cutMat = if (mat eq graft.Materialize.Reliable)
-      graft.Materialize.Disk else mat
-    // the kept set keeps the ORIGINAL strategy when that is the
-    // session one — curateStrictMat then serves the session-cached
-    // kept set (the CACHE owns the cut, so the Reliable-leak rationale
-    // above doesn't apply); any other strategy gets the caller-owned
-    // cutMat cut
+    // the Session SENTINEL resolves its concrete cut strategy from the
+    // conf HERE (once, at call time — not identity-compared against a
+    // conf re-read), then rides the same Reliable→Disk mapping
+    val resolved = if (mat eq graft.Materialize.Session)
+      graft.Materialize.session(spark) else mat
+    val cutMat = if (resolved eq graft.Materialize.Reliable)
+      graft.Materialize.Disk else resolved
+    // the kept set keeps the SENTINEL when that is what the caller
+    // passed — curateStrictMat then serves the session-cached kept set
+    // (the CACHE owns the cut, so the Reliable-leak rationale above
+    // doesn't apply); any other strategy gets the caller-owned cutMat
     val kept = curateStrictMat(spark, dir,
-      if (mat eq graft.Materialize.session(spark)) mat else cutMat)
+      if (mat eq graft.Materialize.Session) mat else cutMat)
     val train = splitAssignOf(docs(spark, dir))
       .where(col("split") === "train").select("doc_id")
     val chunks = cutMat(chunkOf(docs(spark, dir)

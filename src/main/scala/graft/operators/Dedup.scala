@@ -751,6 +751,9 @@ object Dedup {
     require(mat ne Materialize.None,
       "clustersOf is iterative; Materialize.None would recompute " +
         "exponentially growing lineage each round")
+    // …and a lineage-RETAINING cut has the same exponential-plan
+    // problem (labels enters each round twice); reject Disk outright
+    Materialize.requireTruncating(mat, "clustersOf")
     val edges = mat(pairs.select(col("doc_a").as("a"), col("doc_b").as("b"))
       .union(pairs.select(col("doc_b").as("a"), col("doc_a").as("b")))
       .distinct())

@@ -415,6 +415,7 @@ object Graph {
 
   def pagerankOf(edgesRaw: DataFrame,
       mat: Materialize.Strategy = Materialize.None): DataFrame = {
+    Materialize.requireTruncating(mat, "pagerankOf")
     val sym = symOf(edgesRaw.select("a", "b"))
     // out-degree rides the |V|-row RANK table, not the |E|-row
     // adjacency: the only table this call materializes is vocabulary-
@@ -440,11 +441,7 @@ object Graph {
       .where(col("rk") <= PrTopK)
     // the ≤ PrTopK-row result is cut eagerly so the degree table THIS
     // call materialized can be released (see trianglesOf)
-    if (mat ne Materialize.None) {
-      val forced = mat(out)
-      Materialize.release(deg)
-      forced
-    } else out
+    finishIterative(out, mat, Seq(deg))
   }
 
   /** Recommendations returned per part by [[itemRecs]]. */
@@ -514,14 +511,33 @@ object Graph {
     */
   def componentsOf(ed: DataFrame,
       mat: Materialize.Strategy = Materialize.Local): DataFrame = {
+    Materialize.requireTruncating(mat, "componentsOf")
     val labels = Dedup.clustersOf(ed.where(col("w") >= StrongW)
       .select(col("a").as("doc_a"), col("b").as("doc_b")), mat)
-    val forced = mat(labels
+    finishIterative(labels
       .groupBy("cluster_id").agg(count(lit(1)).as("size"))
-      .groupBy("size").agg(count(lit(1)).as("n_components")))
-    Materialize.release(labels)
-    forced
+      .groupBy("size").agg(count(lit(1)).as("n_components")),
+      mat, Seq(labels))
   }
+
+  /** Closing step shared by the iterative `…Of` forms: cut the bounded
+    * result with the caller's strategy, FORCE it when the strategy is
+    * lazy (releasing the per-round cuts under a lazy result would make
+    * the first action recompute the whole loop through the released
+    * inputs — the [[triKernelOf]] ordering note), then release every
+    * per-round cut. Entry-side, each form rejects [[Materialize.Disk]]
+    * outright ([[Materialize.requireTruncating]] — retained lineage
+    * doubles a self-referencing round's plan; custom lazy strategies
+    * are the caller's informed choice and get the force-first path).
+    */
+  private def finishIterative(out: DataFrame,
+      mat: Materialize.Strategy, cuts: Seq[DataFrame]): DataFrame =
+    if (mat ne Materialize.None) {
+      val forced = mat(out)
+      if (!Materialize.eager(mat)) forced.count(): Unit
+      cuts.foreach(Materialize.release)
+      forced
+    } else out
 
   /** Minimum residual degree for the [[kcore]] peel. */
   val KcoreK = 3L
@@ -552,6 +568,7 @@ object Graph {
 
   def kcoreOf(edgesRaw: DataFrame,
       mat: Materialize.Strategy = Materialize.None): DataFrame = {
+    Materialize.requireTruncating(mat, "kcoreOf")
     val cuts = scala.collection.mutable.ListBuffer.empty[DataFrame]
     def cut(df: DataFrame): DataFrame =
       if (mat ne Materialize.None) { val c = mat(df); cuts += c; c }
@@ -570,11 +587,7 @@ object Graph {
         .select(lit(i.toLong).as("iter"), col("n_nodes"), col("n_edges"))
     }
     val out = perRound.reduce(_.unionByName(_))
-    if (mat ne Materialize.None) {
-      val forced = mat(out)
-      cuts.foreach(Materialize.release)
-      forced
-    } else out
+    finishIterative(out, mat, cuts.toSeq)
   }
 
   /** Rich-club coefficient curve (Colizza et al., Nature Physics
@@ -654,6 +667,7 @@ object Graph {
 
   def trussOf(edgesRaw: DataFrame,
       mat: Materialize.Strategy = Materialize.None): DataFrame = {
+    Materialize.requireTruncating(mat, "trussOf")
     val cuts = scala.collection.mutable.ListBuffer.empty[DataFrame]
     def cut(df: DataFrame): DataFrame =
       if (mat ne Materialize.None) { val c = mat(df); cuts += c; c }
@@ -672,11 +686,7 @@ object Graph {
           col("n_edges"))
     }
     val out = perRound.reduce(_.unionByName(_))
-    if (mat ne Materialize.None) {
-      val forced = mat(out)
-      cuts.foreach(Materialize.release)
-      forced
-    } else out
+    finishIterative(out, mat, cuts.toSeq)
   }
 
   /** BFS frontier-expansion rounds for [[distances]]. */
@@ -701,6 +711,7 @@ object Graph {
 
   def distancesOf(edgesRaw: DataFrame,
       mat: Materialize.Strategy = Materialize.None): DataFrame = {
+    Materialize.requireTruncating(mat, "distancesOf")
     val cuts = scala.collection.mutable.ListBuffer.empty[DataFrame]
     def cut(df: DataFrame): DataFrame =
       if (mat ne Materialize.None) { val c = mat(df); cuts += c; c }
@@ -723,11 +734,7 @@ object Graph {
       dist = cut(dist.unionByName(next))
     }
     val out = dist.groupBy("dist").agg(count(lit(1)).as("n_nodes"))
-    if (mat ne Materialize.None) {
-      val forced = mat(out)
-      cuts.foreach(Materialize.release)
-      forced
-    } else out
+    finishIterative(out, mat, cuts.toSeq)
   }
 
   /** Probe-source count for [[closeness]]. */
@@ -763,6 +770,7 @@ object Graph {
 
   def closenessOf(edgesRaw: DataFrame,
       mat: Materialize.Strategy = Materialize.None): DataFrame = {
+    Materialize.requireTruncating(mat, "closenessOf")
     val cuts = scala.collection.mutable.ListBuffer.empty[DataFrame]
     def cut(df: DataFrame): DataFrame =
       if (mat ne Materialize.None) { val c = mat(df); cuts += c; c }
@@ -789,11 +797,7 @@ object Graph {
       .groupBy(col("s").as("node"))
       .agg(count(lit(1)).as("n_reached"),
         sum(expr(s"$CloseScale DIV dist")).as("harm12"))
-    if (mat ne Materialize.None) {
-      val forced = mat(out)
-      cuts.foreach(Materialize.release)
-      forced
-    } else out
+    finishIterative(out, mat, cuts.toSeq)
   }
 
   /** Dependency fixed-point scale and report size for [[betweenness]].
@@ -834,6 +838,7 @@ object Graph {
 
   def betweennessOf(edgesRaw: DataFrame,
       mat: Materialize.Strategy = Materialize.None): DataFrame = {
+    Materialize.requireTruncating(mat, "betweennessOf")
     val cuts = scala.collection.mutable.ListBuffer.empty[DataFrame]
     def cut(df: DataFrame): DataFrame =
       if (mat ne Materialize.None) { val c = mat(df); cuts += c; c }
@@ -888,11 +893,7 @@ object Graph {
       .withColumn("rk", row_number().over(
         Window.orderBy(col("bc").desc, col("node"))).cast("long"))
       .where(col("rk") <= BtTopK)
-    if (mat ne Materialize.None) {
-      val forced = mat(out)
-      cuts.foreach(Materialize.release)
-      forced
-    } else out
+    finishIterative(out, mat, cuts.toSeq)
   }
 
   /** PPR rounds and report size. */
@@ -921,6 +922,7 @@ object Graph {
 
   def pprOf(edgesRaw: DataFrame,
       mat: Materialize.Strategy = Materialize.None): DataFrame = {
+    Materialize.requireTruncating(mat, "pprOf")
     val cuts = scala.collection.mutable.ListBuffer.empty[DataFrame]
     def cut(df: DataFrame): DataFrame =
       if (mat ne Materialize.None) { val c = mat(df); cuts += c; c }
@@ -961,11 +963,7 @@ object Graph {
       .withColumn("rk", row_number().over(
         Window.orderBy(col("ppr").desc, col("node"))).cast("long"))
       .where(col("rk") <= PprTopK)
-    if (mat ne Materialize.None) {
-      val forced = mat(out)
-      cuts.foreach(Materialize.release)
-      forced
-    } else out
+    finishIterative(out, mat, cuts.toSeq)
   }
 
   /** Synchronous label-propagation rounds (fixed, the PageRank/HITS
@@ -1014,6 +1012,7 @@ object Graph {
 
   def labelPropOf(edgesRaw: DataFrame,
       mat: Materialize.Strategy = Materialize.None): DataFrame = {
+    Materialize.requireTruncating(mat, "labelPropOf")
     val cuts = scala.collection.mutable.ListBuffer.empty[DataFrame]
     def cut(df: DataFrame): DataFrame =
       if (mat ne Materialize.None) { val c = mat(df); cuts += c; c }
@@ -1026,11 +1025,7 @@ object Graph {
         Window.orderBy(col("size").desc, col("lbl"))).cast("long"))
       .where(col("rk") <= LpTopK)
       .select(col("lbl").as("label"), col("size"), col("rk"))
-    if (mat ne Materialize.None) {
-      val forced = mat(out)
-      cuts.foreach(Materialize.release)
-      forced
-    } else out
+    finishIterative(out, mat, cuts.toSeq)
   }
 
   /** Newman modularity of the LPA partition (Newman & Girvan 2004) —
@@ -1059,6 +1054,7 @@ object Graph {
 
   def modularityOf(edgesRaw: DataFrame,
       mat: Materialize.Strategy = Materialize.None): DataFrame = {
+    Materialize.requireTruncating(mat, "modularityOf")
     val cuts = scala.collection.mutable.ListBuffer.empty[DataFrame]
     def cut(df: DataFrame): DataFrame =
       if (mat ne Materialize.None) { val c = mat(df); cuts += c; c }
@@ -1090,11 +1086,7 @@ object Graph {
         col("qn").cast("long").as("q_num"),
         col("qd").cast("long").as("q_den"),
         (col("qn").cast("double") / col("qd").cast("double")).as("q"))
-    if (mat ne Materialize.None) {
-      val forced = mat(out)
-      cuts.foreach(Materialize.release)
-      forced
-    } else out
+    finishIterative(out, mat, cuts.toSeq)
   }
 
   /** HITS iteration count and the fixed-point scale both sides share. */
@@ -1151,6 +1143,7 @@ object Graph {
 
   private def hitsOnMembers(m: DataFrame, mat: Materialize.Strategy,
       ownM: Boolean): DataFrame = {
+    Materialize.requireTruncating(mat, "hitsOf")
     def rescale(v: DataFrame, c: String): DataFrame =
       v.crossJoin(broadcast(v.agg(max(col(c)).as("mx"))))
         .select(v.columns.filter(_ != c).map(col) :+
@@ -1179,12 +1172,8 @@ object Graph {
         Window.orderBy(col("a").desc, col("p"))).cast("long"))
       .where(col("rk") <= HitsTopK)
       .select(col("p").as("node"), col("a").as("auth"), col("rk"))
-    if (mat ne Materialize.None) {
-      val forced = mat(out)
-      cuts.foreach(Materialize.release)
-      if (ownM) Materialize.release(m)
-      forced
-    } else out
+    finishIterative(out, mat,
+      if (ownM) cuts.toSeq :+ m else cuts.toSeq)
   }
 
   /** Degree assortativity (Newman 2002): the Pearson correlation of

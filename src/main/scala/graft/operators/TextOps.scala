@@ -1300,12 +1300,25 @@ object TextOps {
     * by concatenation from single characters), so a pattern can never
     * match across symbol boundaries.
     */
-  def bpeMergesOf(vocab: DataFrame, n: Int): DataFrame = {
+  def bpeMergesOf(vocab: DataFrame, n: Int,
+      mat: graft.Materialize.Strategy = graft.Materialize.Local)
+      : DataFrame = {
+    // one cut per merge step, superseded-and-released as the vocabulary
+    // rewrites — the clustersOf loop discipline: None would recompute
+    // the whole replace chain at every step's argmax collect (O(n²)
+    // jobs), and Disk retains lineage across steps (the Materialize
+    // plan-growth note) — callers with a session pass
+    // Materialize.sessionTruncating so a cluster's `reliable` conf
+    // reaches the loop (localCheckpoint has no lineage fallback; one
+    // executor loss mid-train would fail the whole entry).
+    require(mat ne graft.Materialize.None,
+      "bpeMergesOf iterates: Materialize.None recomputes the whole " +
+        "rewrite chain at every step's argmax")
+    graft.Materialize.requireTruncating(mat, "bpeMergesOf")
     val spark = vocab.sparkSession
     val s = spark; import s.implicits._
-    var words = vocab.select(
-      regexp_replace(col("word"), "(.)", "|$1|").as("w"), col("freq"))
-      .localCheckpoint()
+    var words = mat(vocab.select(
+      regexp_replace(col("word"), "(.)", "|$1|").as("w"), col("freq")))
     val merges = Seq.newBuilder[(Long, String, String, String, Long)]
     var step = 1
     var done = false
@@ -1327,10 +1340,10 @@ object TextOps {
         val (a, b, c) =
           (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
         merges += ((step.toLong, a, b, a + b, c))
-        val next = words.select(
+        val next = mat(words.select(
           org.apache.spark.sql.functions.replace(col("w"),
             lit("|" + a + "||" + b + "|"), lit("|" + a + b + "|")).as("w"),
-          col("freq")).localCheckpoint()
+          col("freq")))
         graft.Materialize.release(words)
         words = next
         step += 1
@@ -1349,7 +1362,8 @@ object TextOps {
 
   /** Fixture entry: merges learned from the documents word frequencies. */
   def bpeMerges(spark: SparkSession, dir: String): DataFrame =
-    bpeMergesOf(wordFreqOf(docs(spark, dir)), BpeMerges)
+    bpeMergesOf(wordFreqOf(docs(spark, dir)), BpeMerges,
+      graft.Materialize.sessionTruncating(spark))
 
   /** Session-lifetime learned-merge cache (driver-side: n tiny rows per
     * (session, dir)): training runs once; every encode invocation AND

@@ -46,6 +46,43 @@ case class ClosedSession(user_id: Long, start_us: Long,
   */
 object Streams {
 
+  /** The streaming STATE-STORE seam — the `graft.materialize` pattern
+    * applied to Structured Streaming's per-operator state:
+    *
+    *   `graft.streaming.stateStore` = `hdfs` (default) | `rocksdb`
+    *
+    * All stateful operators here (windowed aggs, the
+    * `flatMapGroupsWithState` sessionizer/moments/paths,
+    * `dropDuplicatesWithinWatermark` ingestion dedup, stream-stream
+    * joins) keep their state in the provider this conf selects.
+    * `hdfs` (HDFSBackedStateStoreProvider) holds the working set in
+    * executor MEMORY — right for local mode and bounded fixtures. At
+    * 100 TB/day ingest the state store is the first thing that falls
+    * over: sessions-per-horizon × users is a memory-resident map per
+    * partition. `rocksdb` (RocksDBStateStoreProvider, shipped in
+    * Spark's own jars) spills state to executor-local SSD with
+    * changelog/snapshot files in the checkpoint location — the
+    * documented Spark choice for large-state production streams; the
+    * conf-flip spec (ConfKnobsSpec) proves the stateful entries emit
+    * hash-identical results under the flipped provider. Call on the
+    * session BEFORE `.start()` — the provider is read per query start
+    * from `spark.sql.streaming.stateStore.providerClass`.
+    */
+  def configureStateStore(spark: SparkSession): String = {
+    val provider =
+      spark.conf.get("graft.streaming.stateStore", "hdfs") match {
+        case "hdfs" => "org.apache.spark.sql.execution.streaming.state" +
+          ".HDFSBackedStateStoreProvider"
+        case "rocksdb" => "org.apache.spark.sql.execution.streaming.state" +
+          ".RocksDBStateStoreProvider"
+        case other => throw new IllegalArgumentException(
+          s"graft.streaming.stateStore=$other (expected hdfs|rocksdb)")
+      }
+    spark.conf.set(
+      "spark.sql.streaming.stateStore.providerClass", provider)
+    provider
+  }
+
   /** 30-minute inactivity gap, in microseconds. */
   val SessionGapUs: Long = 30L * 60 * 1000 * 1000
 

@@ -46,6 +46,47 @@ class BenchJsonSpec extends AnyFunSuite {
     assert(ko.get("rerun_err").asText() == "kaput")
   }
 
+  test("bench_floors.json: parses, every key is a live query, floors " +
+    "positive, file and readFloors agree") {
+    // the floors moved out of Bench.scala into data (r13 had to
+    // recalibrate the hardcoded map wholesale, with BASELINE.md as a
+    // drifting second copy) — this pins the data file's shape so a
+    // recalibration edit or a query rename fails here, not in a
+    // silent never-tripping (or always-tripping) triage channel
+    val f = new java.io.File("bench_floors.json")
+    assert(f.isFile, s"missing ${f.getAbsolutePath}")
+    val root = om.readTree(f)
+    assert(root.get("method").isTextual, "method provenance line required")
+    val floors = root.get("floors")
+    assert(floors != null && floors.isObject)
+    val names = scala.jdk.CollectionConverters
+      .IteratorHasAsScala(floors.fieldNames()).asScala.toSeq
+    assert(names.nonEmpty && names.size >= 40,
+      s"floor map suspiciously small: ${names.size}")
+    val unknown = names.filterNot(SparkEntry.queries.keySet)
+    assert(unknown.isEmpty, s"floors for unknown queries: $unknown")
+    names.foreach { n =>
+      val e = floors.get(n)
+      assert(e.get("floor").isNumber && e.get("floor").asDouble() > 0.0,
+        s"$n floor must be a positive number")
+      assert(e.get("measured").isTextual,
+        s"$n needs its measured-round provenance tag")
+    }
+    val read = Bench.readFloors("bench_floors.json")
+    assert(read.keySet == names.toSet)
+    assert(names.forall(n =>
+      read(n) == floors.get(n).get("floor").asDouble()))
+  }
+
+  test("readFloors: missing or malformed file disarms to empty, " +
+    "never throws") {
+    assert(Bench.readFloors("/nonexistent/bench_floors.json").isEmpty)
+    val tmp = java.nio.file.Files.createTempFile("floors", ".json")
+    java.nio.file.Files.write(tmp, "{not json".getBytes("UTF-8"))
+    try assert(Bench.readFloors(tmp.toString).isEmpty)
+    finally java.nio.file.Files.delete(tmp)
+  }
+
   test("ms is locale-proof 2-decimal; q escapes the JSON specials") {
     val prev = java.util.Locale.getDefault
     try {

@@ -104,6 +104,11 @@ class ConfKnobsSpec extends SparkSpecBase {
     // by the ordinary invalidate hooks.
     val ckDir =
       java.nio.file.Files.createTempDirectory("graft-ck-conf").toString
+    // the checkpoint dir is SHARED SparkContext state: remember what
+    // was set so cleanup can restore it instead of leaving the context
+    // pointing at the deleted temp dir (a later suite's reliable
+    // checkpoint would fail on the dangling path)
+    val prevCk = spark.sparkContext.getCheckpointDir
     spark.sparkContext.setCheckpointDir(ckDir)
     val rel = spark.newSession()
     rel.conf.set("graft.materialize", "reliable")
@@ -156,6 +161,127 @@ class ConfKnobsSpec extends SparkSpecBase {
         f.delete(): Unit
       }
       rm(new java.io.File(ckDir))
+      // restore (or re-point) the shared checkpoint dir — never leave
+      // it dangling at the deleted temp path
+      spark.sparkContext.setCheckpointDir(prevCk.getOrElse(
+        java.nio.file.Files.createTempDirectory("graft-ck-keep")
+          .toString))
+    }
+  }
+
+  test("mid-session conf flip + Materialize.invalidateAll rebuilds under " +
+    "the new strategy") {
+    // the documented graft.materialize caveat: the conf is read at
+    // BUILD time, so flipping it mid-session serves artifacts built
+    // under the old strategy — invalidateAll(spark) is the one-call
+    // remedy. Proof: build under local on a fresh session, flip to
+    // reliable, invalidateAll, rebuild → the SAME session now produces
+    // reliable checkpoint files, values unchanged.
+    val ckDir =
+      java.nio.file.Files.createTempDirectory("graft-ck-flip").toString
+    val prevCk = spark.sparkContext.getCheckpointDir
+    spark.sparkContext.setCheckpointDir(ckDir)
+    val sess = spark.newSession() // isolate the flipped caches
+    def rddDirs() = Option(new java.io.File(ckDir).listFiles()).toSeq
+      .flatten.flatMap(d => Option(d.listFiles()).toSeq.flatten)
+      .filter(_.getName.startsWith("rdd-"))
+    try {
+      def rows() = SparkEntry.queries("llm_dedup_minhash")(sess, Sf)
+        .collect().map(_.toString).sorted.toSeq
+      val base = rows() // builds the band index under local (default)
+      assert(rddDirs().isEmpty, "local build must not write checkpoints")
+      sess.conf.set("graft.materialize", "reliable")
+      // flip WITHOUT invalidation serves the old-strategy artifact
+      // (documented); the remedy is one call:
+      Materialize.invalidateAll(sess)
+      val flipped = rows()
+      assert(flipped == base, "values must not move under the flip")
+      assert(rddDirs().nonEmpty,
+        "post-invalidateAll rebuild did not checkpoint reliably")
+    } finally {
+      sess.conf.unset("graft.materialize")
+      Materialize.invalidateAll(sess)
+      def rm(f: java.io.File): Unit = {
+        val kids = f.listFiles()
+        if (kids != null) kids.foreach(rm)
+        f.delete(): Unit
+      }
+      rm(new java.io.File(ckDir))
+      spark.sparkContext.setCheckpointDir(prevCk.getOrElse(
+        java.nio.file.Files.createTempDirectory("graft-ck-keep2")
+          .toString))
+    }
+  }
+
+  test("graft.streaming.stateStore=rocksdb: stateful streaming entries " +
+    "hash-identical under the flipped provider") {
+    // the streaming mirror of the graft.materialize story: at 100 TB/day
+    // the in-memory HDFSBacked state store is the first thing that
+    // falls over, and the fix must be a conf flip, not a code edit.
+    // Runs the two state-heaviest entries (flatMapGroupsWithState
+    // sessionizer; dropDuplicatesWithinWatermark ingestion dedup)
+    // under both providers and compares emitted rows. A provider that
+    // failed to instantiate would fail the query at start.
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.Streams
+    val HourNs = 3600L * 1000 * 1000 * 1000
+    val MinNs = 60L * 1000 * 1000 * 1000
+    def ev(id: Long, tsNs: Long, user: Long = 1L): Ev =
+      Ev(id, tsNs, user, "click", 1.0)
+    def run(sess: org.apache.spark.sql.SparkSession, tag: String)
+        : (Set[String], Set[String]) = {
+      Streams.configureStateStore(sess)
+      val s = sess; import s.implicits._
+      implicit val ctx = sess.sqlContext
+      val memS = MemoryStream[Ev]
+      val qS = Streams.sessionizeStateful(memS.toDF())
+        .writeStream.format("memory").queryName(s"ss_sessions_$tag")
+        .outputMode("append").start()
+      val memD = MemoryStream[Ev]
+      val qD = Streams.dedupWithinWatermark(memD.toDF(), "2 hours")
+        .writeStream.format("memory").queryName(s"ss_dedup_$tag")
+        .outputMode("append").start()
+      try {
+        val B = HourNs
+        memS.addData(
+          ev(1, B), ev(2, B + 10 * MinNs), ev(3, B + 20 * MinNs),
+          ev(4, B + 2 * HourNs), ev(5, B + 5 * MinNs, user = 2))
+        qS.processAllAvailable()
+        memS.addData(ev(9, 20 * HourNs, user = 3)) // timeouts fire
+        qS.processAllAvailable()
+        memS.addData(ev(10, 30 * HourNs, user = 3))
+        qS.processAllAvailable()
+        memD.addData(ev(20, 1 * HourNs), ev(20, 1 * HourNs),
+          ev(21, 2 * HourNs))
+        qD.processAllAvailable()
+        memD.addData(ev(20, 1 * HourNs), ev(22, 6 * HourNs))
+        qD.processAllAvailable()
+        // there really was keyed state under the selected provider
+        // (null-tolerant: progress reporting is async)
+        assert(qS.lastProgress == null ||
+          qS.lastProgress.stateOperators.nonEmpty)
+        (sess.table(s"ss_sessions_$tag").collect()
+          .map(_.toString).toSet,
+          sess.table(s"ss_dedup_$tag").collect()
+            .map(r => r.getAs[Long]("event_id").toString).toSet)
+      } finally { qS.stop(); qD.stop() }
+    }
+    val hdfsSess = spark.newSession() // default provider
+    assert(Streams.configureStateStore(hdfsSess).contains("HDFSBacked"))
+    val rocksSess = spark.newSession()
+    rocksSess.conf.set("graft.streaming.stateStore", "rocksdb")
+    assert(Streams.configureStateStore(rocksSess).contains("RocksDB"))
+    val (sessionsH, dedupH) = run(hdfsSess, "hdfs")
+    val (sessionsR, dedupR) = run(rocksSess, "rocksdb")
+    assert(sessionsH.nonEmpty && dedupH.nonEmpty)
+    assert(sessionsR == sessionsH,
+      "sessionizer diverged under the RocksDB state store")
+    assert(dedupR == dedupH,
+      "watermark dedup diverged under the RocksDB state store")
+    intercept[IllegalArgumentException] {
+      val bad = spark.newSession()
+      bad.conf.set("graft.streaming.stateStore", "hbase")
+      Streams.configureStateStore(bad)
     }
   }
 
