@@ -1,0 +1,91 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Executor-loss fault-tolerance proof for the `graft.materialize`
+  * conf (run via spark-submit on `local-cluster[2,2,…]` — multi-JVM
+  * executors on one machine, the closest local stand-in for a real
+  * cluster):
+  *
+  *   1. build two session-cached artifacts under the conf'd strategy —
+  *      the Dedup band index (`llm_dedup_minhash`) and a rank-cache
+  *      graph entry (`graph_pagerank`) — and hash their served rows;
+  *   2. `kill -9` one CoarseGrainedExecutorBackend JVM;
+  *   3. serve both entries again from the same session and compare.
+  *
+  * Expected outcomes (the point of the conf):
+  *   - `reliable`: the serve succeeds with identical hashes — the
+  *     cached state lives as checkpoint FILES (a DFS path on a real
+  *     cluster; a shared local dir here), so a lost executor's blocks
+  *     recompute from files instead of failing;
+  *   - `local`: the serve FAILS (`Checkpoint block … not found`) —
+  *     localCheckpoint pins blocks to executor storage with no lineage
+  *     fallback, exactly the documented single-JVM-only limitation.
+  *
+  * Prints one JSON line; exit 0 when the observed outcome matches the
+  * expectation for the mode, 1 otherwise. See BASELINE.md "Round-14
+  * executor-loss proof" for the recorded run.
+  */
+object FaultProof {
+
+  private def jstr(s: String): String = Bench.q(s)
+
+  def main(args: Array[String]): Unit = {
+    val mode = args(0) // local | reliable
+    val sfDir = args(1)
+    val spark = SparkSession.builder()
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
+      .config("spark.ui.enabled", "false")
+      .config("graft.materialize", mode)
+      .config(Tables.RequiredConf)
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val ckDir = java.nio.file.Files
+      .createTempDirectory(s"graft-faultproof-$mode").toString
+    spark.sparkContext.setCheckpointDir(ckDir)
+
+    val entries = Seq("llm_dedup_minhash", "graph_pagerank")
+    def hashes(): Map[String, Int] = entries.map { name =>
+      name -> SparkEntry.queries(name)(spark, sfDir)
+        .collect().map(_.toString).sorted.toSeq.hashCode()
+    }.toMap
+
+    // 1. build + first serve under the conf'd strategy
+    val before = hashes()
+
+    // 2. kill one executor JVM (local-cluster executors are separate
+    // CoarseGrainedExecutorBackend processes on this host)
+    val victims = ProcessHandle.allProcesses().iterator()
+    var killed = -1L
+    while (victims.hasNext && killed < 0) {
+      val p = victims.next()
+      val cmd = p.info().commandLine().orElse("")
+      if (cmd.contains("CoarseGrainedExecutorBackend")) {
+        killed = p.pid()
+        p.destroyForcibly(): Unit
+      }
+    }
+    require(killed > 0, "no executor JVM found to kill - wrong master?")
+    // let the loss register (the worker may respawn a FRESH executor;
+    // the dead one's block-store contents are gone either way)
+    Thread.sleep(8000)
+
+    // 3. serve again from the same session's caches
+    val (serveOk, after, err) =
+      try { val h = hashes(); (true, h, "") }
+      catch { case e: Throwable =>
+        (false, Map.empty[String, Int],
+          Option(e.getMessage).getOrElse(e.getClass.getName).take(160))
+      }
+    val hashMatch = serveOk && after == before
+    val expected = if (mode == "reliable") hashMatch else !serveOk
+    println(s"""{"proof":"faultproof","mode":${jstr(mode)},""" +
+      s""""killed_pid":$killed,"serve_ok":$serveOk,""" +
+      s""""hash_match":$hashMatch,"expected_outcome":$expected,""" +
+      s""""err":${jstr(err)},"sf":${jstr(sfDir)}}""")
+    spark.stop()
+    sys.exit(if (expected) 0 else 1)
+  }
+}
