@@ -41,6 +41,8 @@ class CollectLintSpec extends AnyFunSuite {
     *    the θ-class bounded model (docstring budget at
     *    markovAttribution).
     *  - Bench (1): harness JVM warm-up, not an operator.
+    *  - FaultProof (1): the executor-loss proof's serve-hash pull —
+    *    bounded entry outputs (pair set / top-k ranks), harness-side.
     */
   private val Pinned: Map[String, Int] = Map(
     "src/main/scala/graft/operators/Similarity.scala" -> 14,
@@ -51,7 +53,8 @@ class CollectLintSpec extends AnyFunSuite {
     "src/main/scala/graft/operators/Sgd.scala" -> 1,
     "src/main/scala/graft/operators/Curation.scala" -> 2,
     "src/main/scala/graft/streaming/Streams.scala" -> 2,
-    "src/main/scala/graft/Bench.scala" -> 1
+    "src/main/scala/graft/Bench.scala" -> 1,
+    "src/main/scala/graft/FaultProof.scala" -> 1
   )
 
   test("every src/main .collect() site is pinned with its driver bound") {
