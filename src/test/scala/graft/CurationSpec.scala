@@ -859,5 +859,17 @@ class CurationSpec extends SparkSpecBase {
       assert(disk.storageLevel.useDisk,
         "Disk strategy output is not persisted to disk")
     } finally graft.Materialize.release(disk)
+    // Session SENTINEL: serves the cached kept set (same rows), and a
+    // caller release()-ing what it got back must NOT corrupt the
+    // shared cache (the Filter-barrier ownership guard) — dispatch is
+    // on the sentinel, never on a conf re-read, so a concurrent conf
+    // flip cannot reroute a holder of the sentinel
+    val served =
+      Curation.curateStrictMat(spark, Sf, graft.Materialize.Session)
+    assert(served.collect().map(_.getAs[Long]("doc_id")).toSet == cached)
+    graft.Materialize.release(served) // must no-op through the barrier
+    assert(Curation.curateStrict(spark, Sf)
+      .collect().map(_.getAs[Long]("doc_id")).toSet == cached,
+      "release of a served view corrupted the shared kept-set cache")
   }
 }

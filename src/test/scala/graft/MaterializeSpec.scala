@@ -85,4 +85,37 @@ class MaterializeSpec extends SparkSpecBase {
     assert(!Materialize.eager(Materialize.Disk))
     assert(!Materialize.eager(Materialize.None))
   }
+
+  test("Session sentinel: applied as a strategy it degrades to the " +
+    "input session's conf strategy") {
+    // dispatch sites compare `mat eq Materialize.Session`; if a caller
+    // instead APPLIES it where a concrete cut is expected, it must cut
+    // with the input's own session conf (local default → an eager
+    // lineage-truncating checkpoint, same as Local)
+    val df = spark.range(30).selectExpr("id", "id * 2 AS v")
+    val cut = Materialize.Session(df.toDF())
+    try {
+      assert(cut.collect().map(_.getLong(1)).sorted.toSeq ==
+        df.collect().map(_.getLong(1)).sorted.toSeq)
+      assert(cut.queryExecution.analyzed
+        .isInstanceOf[org.apache.spark.sql.execution.LogicalRDD],
+        "Session under the local default must checkpoint like Local")
+    } finally Materialize.release(cut)
+  }
+
+  test("requireTruncating rejects Disk in the iterative forms") {
+    // the public-API path: sessionTruncating never yields Disk, but a
+    // caller passing it explicitly must fail fast (plan-doubling OOM)
+    // rather than N rounds in
+    val ed = spark.range(4).selectExpr("id AS a", "id + 1 AS b",
+      "CAST(5 AS LONG) AS w")
+    val e = intercept[IllegalArgumentException] {
+      graft.operators.Graph.kcoreOf(ed.toDF(), Materialize.Disk)
+    }
+    assert(e.getMessage.contains("iterative"))
+    // …while the conf path maps disk to a truncating cut and runs
+    val viaConf = spark.newSession()
+    viaConf.conf.set("graft.materialize", "disk")
+    assert(Materialize.sessionTruncating(viaConf) eq Materialize.Local)
+  }
 }
