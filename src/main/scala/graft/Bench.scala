@@ -43,6 +43,18 @@ object Bench {
     s"""${q(k)}:{"median":${ms(med)},"floor":${ms(f)},""" +
       s""""min":${ms(mn)},${rerunJson(r)}}"""
 
+  /** Run-level (mean, max) of every rep's start loadavg — the ambient
+    * context that lets a truncated tail capture classify its own
+    * window (r14's 139.66 s vs r13's 109.12 cost a 3-run A/B to call
+    * as host state). Unparseable / sentinel "-1" samples are dropped;
+    * no samples at all → (-1, -1), the explicit "no context" marker.
+    */
+  private[graft] def loadSummary(loads: Seq[String]): (Double, Double) = {
+    val ds = loads.flatMap(l => scala.util.Try(l.toDouble).toOption)
+      .filter(_ >= 0)
+    if (ds.isEmpty) (-1.0, -1.0) else (ds.sum / ds.size, ds.max)
+  }
+
   /** Contention-floor map from `bench_floors.json` (entry →
     * {floor, measured}): the single source of truth the recheck/
     * regressed channels compare medians against. Jackson is Spark's
@@ -277,7 +289,14 @@ object Bench {
     val rg = regressed.map { case (k, (med, f, mn, r)) =>
       regressedJson(k, med, f, mn, r)
     }.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","value_min":${ms(totalMin)},"reps":$reps,"order":"sorted-name","warmup":1,"n_queries":${medians.size},"n_errors":${errors.size},"n_floors":${floors.size},"queries":$qs,"queries_min":$qmin,"max_load":$lq,"recheck":$rc,"regressed":$rg,"errors":$es,"sf":"$sfDir"}""")
+    // RUN-LEVEL ambient context (r14 lesson): the headline total is the
+    // ambient-sensitive number — separating r14's 139.66 s driver
+    // window from r13's 109.12 cost a 3-run A/B plus a judge re-bench,
+    // when the loadavg history already in the samples said "hot host".
+    // mean/max of every rep's start loadavg ship in BOTH lines so even
+    // a 2,000-char tail capture classifies its own window.
+    val (meanLoad, maxLoad) = loadSummary(samples.flatMap(_._2).map(_._2))
+    println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","value_min":${ms(totalMin)},"reps":$reps,"order":"sorted-name","warmup":1,"n_queries":${medians.size},"n_errors":${errors.size},"n_floors":${floors.size},"mean_load":${ms(meanLoad)},"max_load_run":${ms(maxLoad)},"queries":$qs,"queries_min":$qmin,"max_load":$lq,"recheck":$rc,"regressed":$rg,"errors":$es,"sf":"$sfDir"}""")
     // a SECOND, short closing line: the full line above now exceeds
     // bounded tail captures (BENCH_r12's lost its own headline total),
     // so the totals are re-stated compactly — parseable from the last
@@ -286,7 +305,7 @@ object Bench {
     // metric is "total_compact", NOT "total": a consumer that selects
     // the contract line by metric value must keep matching exactly one
     // line (the full one, with queries/recheck/regressed).
-    println(s"""{"metric":"total_compact","value":${ms(total)},"unit":"sec","value_min":${ms(totalMin)},"n_queries":${medians.size},"n_errors":${errors.size},"n_flagged":${rechecks.size + regressed.size},"sf":"$sfDir"}""")
+    println(s"""{"metric":"total_compact","value":${ms(total)},"unit":"sec","value_min":${ms(totalMin)},"n_queries":${medians.size},"n_errors":${errors.size},"n_flagged":${rechecks.size + regressed.size},"mean_load":${ms(meanLoad)},"max_load":${ms(maxLoad)},"sf":"$sfDir"}""")
     // diagnostics only, AFTER the stdout contract line and best-effort:
     // an unwritable cwd must not turn a successful bench into a crash
     try {
@@ -298,12 +317,29 @@ object Bench {
       val ls = samples.map { case (k, rs) =>
         s"${q(k)}:${rs.map(_._2).mkString("[", ",", "]")}"
       }.mkString("{", ",", "}")
-      java.nio.file.Files.write(
-        java.nio.file.Paths.get(sys.env.getOrElse(
-          "SPARK_GRAFT_BENCH_SAMPLES", "bench_samples.json")),
+      val body =
         (s"""{"reps":$reps,"extra_above_sec":$extraAbove,""" +
           s""""extra_reps":$extraReps,"sf":${q(sfDir)},""" +
-          s""""samples":$ss,"loadavg":$ls}""").getBytes("UTF-8"))
+          s""""total":${ms(total)},"total_min":${ms(totalMin)},""" +
+          s""""mean_load":${ms(meanLoad)},"max_load":${ms(maxLoad)},""" +
+          s""""samples":$ss,"loadavg":$ls}""").getBytes("UTF-8")
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(sys.env.getOrElse(
+          "SPARK_GRAFT_BENCH_SAMPLES", "bench_samples.json")), body): Unit
+      // FULL-SUITE runs additionally archive under a timestamped name:
+      // bench_samples.json is overwritten every run, so r14's ambient-
+      // load adjudication had no per-round history to read — the gate
+      // copies its run's archive file to bench_samples_r{N}.json.
+      // Dev-loop BENCH_ONLY runs skip the archive (partial data would
+      // read as a suspiciously fast full run).
+      if (only.isEmpty) {
+        val dir = java.nio.file.Paths.get("bench_archive")
+        java.nio.file.Files.createDirectories(dir): Unit
+        val stamp = new java.text.SimpleDateFormat("yyyyMMdd_HHmmss")
+          .format(new java.util.Date())
+        java.nio.file.Files.write(
+          dir.resolve(s"bench_samples_$stamp.json"), body): Unit
+      }
     } catch { case _: Throwable => () }
     if (errors.nonEmpty) { spark.stop(); sys.exit(1) }
     spark.stop()

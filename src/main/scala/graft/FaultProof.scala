@@ -30,6 +30,38 @@ object FaultProof {
 
   private def jstr(s: String): String = Bench.q(s)
 
+  /** `kill -9` one executor JVM of THIS application (local-cluster
+    * executors are separate CoarseGrainedExecutorBackend processes on
+    * this host). Candidates are filtered by the backend's `--app-id
+    * <applicationId>` argv so a concurrently running unrelated Spark
+    * job can never lose an executor to a proof run (which would both
+    * corrupt it and leave our own executors alive, making the scenario
+    * vacuous); a refused destroy or a still-alive process fails the
+    * proof instead of proceeding as if an executor died. Returns the
+    * killed pid. Shared by [[FaultProof]] (batch) and
+    * [[FaultProofStream]] (streaming recovery).
+    */
+  private[graft] def killOneExecutor(
+      spark: SparkSession): Long = {
+    val appId = spark.sparkContext.applicationId
+    val victims = ProcessHandle.allProcesses().iterator()
+    var killed = -1L
+    while (victims.hasNext && killed < 0) {
+      val p = victims.next()
+      val cmd = p.info().commandLine().orElse("")
+      if (cmd.contains("CoarseGrainedExecutorBackend") &&
+          cmd.contains(appId)) {
+        require(p.destroyForcibly(),
+          s"destroyForcibly refused for executor pid ${p.pid()}")
+        p.onExit().get(30, java.util.concurrent.TimeUnit.SECONDS): Unit
+        killed = p.pid()
+      }
+    }
+    require(killed > 0,
+      s"no executor JVM of app $appId found to kill - wrong master?")
+    killed
+  }
+
   def main(args: Array[String]): Unit = {
     val mode = args(0) // local | reliable
     val sfDir = args(1)
@@ -55,19 +87,8 @@ object FaultProof {
     // 1. build + first serve under the conf'd strategy
     val before = hashes()
 
-    // 2. kill one executor JVM (local-cluster executors are separate
-    // CoarseGrainedExecutorBackend processes on this host)
-    val victims = ProcessHandle.allProcesses().iterator()
-    var killed = -1L
-    while (victims.hasNext && killed < 0) {
-      val p = victims.next()
-      val cmd = p.info().commandLine().orElse("")
-      if (cmd.contains("CoarseGrainedExecutorBackend")) {
-        killed = p.pid()
-        p.destroyForcibly(): Unit
-      }
-    }
-    require(killed > 0, "no executor JVM found to kill - wrong master?")
+    // 2. kill one executor JVM of THIS app ([[killOneExecutor]])
+    val killed = killOneExecutor(spark)
     // let the loss register (the worker may respawn a FRESH executor;
     // the dead one's block-store contents are gone either way)
     Thread.sleep(8000)

@@ -66,8 +66,14 @@ object Materialize {
     * after a mid-session flip) and made any deployment-custom
     * strategy unable to ever reach the cached branch on purpose.
     * If actually APPLIED as a strategy (passed somewhere that cuts
-    * with it rather than dispatching on it), it degrades soundly to
-    * the input's own session-conf strategy.
+    * with it rather than dispatching on it), it degrades to the
+    * input's own session-conf strategy — sound ONLY for one-shot
+    * DAG-shaped cuts. The iterative `…Of` forms must never apply it
+    * per round (under `graft.materialize=disk` each application would
+    * resolve [[Disk]], the lineage-retaining plan-doubling path):
+    * [[requireTruncating]] resolves the sentinel at operator ENTRY via
+    * [[sessionTruncating]], so loops only ever see a concrete
+    * truncating strategy.
     */
   val Session: Strategy = df => session(df.sparkSession)(df)
 
@@ -130,25 +136,39 @@ object Materialize {
       case s => s
     }
 
-  /** Entry guard for the ITERATIVE `…Of` forms (self-referencing
-    * per-round cuts): [[Disk]] retains lineage, so a round that
-    * references its predecessor more than once DOUBLES the logical
-    * plan per round — measured OOM at plan time (the [[Disk]] note).
-    * The conf path never arrives here with Disk ([[sessionTruncating]]
-    * maps it to [[Local]]); this closes the public-API path that
-    * passes [[Disk]] explicitly, which previously planned itself to
-    * death N rounds in (or, with the old release ordering, recomputed
-    * the whole loop through already-released per-round cuts). Custom
-    * caller strategies pass — a deployment composing its own cut is
-    * expected to make it truncating (e.g. a parquet round-trip), per
-    * the [[Disk]] scaladoc contract.
+  /** Entry guard + sentinel resolution for the ITERATIVE `…Of` forms
+    * (self-referencing per-round cuts). Two jobs, both at ENTRY so the
+    * loop body only ever sees a concrete truncating strategy:
+    *
+    *  1. the [[Session]] SENTINEL resolves here via
+    *     [[sessionTruncating]] — NOT per-application inside the loop.
+    *     Applied per-round, the sentinel re-reads the conf each cut, so
+    *     `graft.materialize=disk` would route [[Disk]] into the loop —
+    *     exactly the lineage-retaining plan-doubling/OOM path this
+    *     guard exists to reject (the disk→[[Local]] mapping must apply
+    *     to the sentinel like it does to the direct conf path);
+    *  2. [[Disk]] (explicit, post-resolution) is rejected outright:
+    *     it retains lineage, so a round that references its
+    *     predecessor more than once DOUBLES the logical plan per round
+    *     — measured OOM at plan time (the [[Disk]] note). This closes
+    *     the public-API path that passes [[Disk]] explicitly, which
+    *     previously planned itself to death N rounds in.
+    *
+    * Custom caller strategies pass — a deployment composing its own
+    * cut is expected to make it truncating (e.g. a parquet
+    * round-trip), per the [[Disk]] scaladoc contract. Returns the
+    * strategy the loop must use for every cut.
     */
-  def requireTruncating(mat: Strategy, op: String): Unit =
-    require(mat ne Disk,
+  def requireTruncating(mat: Strategy,
+      spark: org.apache.spark.sql.SparkSession, op: String): Strategy = {
+    val resolved = if (mat eq Session) sessionTruncating(spark) else mat
+    require(resolved ne Disk,
       s"$op is iterative: Materialize.Disk retains lineage and doubles " +
         "the logical plan per self-referencing round (measured OOM at " +
         "plan time) - pass Local/Reliable (or sessionTruncating(spark)), " +
         "or a custom lineage-truncating cut")
+    resolved
+  }
 
   /** Drop EVERY session-cached artifact this session holds, across all
     * registered [[SessionCache]]s — the one-call remedy for the

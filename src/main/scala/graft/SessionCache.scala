@@ -32,10 +32,14 @@ import org.apache.spark.sql.SparkSession
   */
 final class SessionCache[K, V](release: V => Unit) {
 
-  SessionCache.register(this)
-
   private val m =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, K), V]
+
+  // register AFTER every field is initialized: publishing `this` to the
+  // global registry first is a this-escape — a concurrent
+  // Materialize.invalidateAll racing another thread's first touch of an
+  // operator singleton could observe m == null and NPE mid-walk
+  SessionCache.register(this)
 
   private def sweep(): Unit = {
     val it = m.entrySet().iterator()

@@ -414,8 +414,9 @@ object Graph {
       pagerankOf(edges(spark, dir), Materialize.sessionTruncating(spark)))
 
   def pagerankOf(edgesRaw: DataFrame,
-      mat: Materialize.Strategy = Materialize.None): DataFrame = {
-    Materialize.requireTruncating(mat, "pagerankOf")
+      mat0: Materialize.Strategy = Materialize.None): DataFrame = {
+    val mat = Materialize.requireTruncating(
+      mat0, edgesRaw.sparkSession, "pagerankOf")
     val sym = symOf(edgesRaw.select("a", "b"))
     // out-degree rides the |V|-row RANK table, not the |E|-row
     // adjacency: the only table this call materializes is vocabulary-
@@ -510,8 +511,9 @@ object Graph {
     * left to the ContextCleaner).
     */
   def componentsOf(ed: DataFrame,
-      mat: Materialize.Strategy = Materialize.Local): DataFrame = {
-    Materialize.requireTruncating(mat, "componentsOf")
+      mat0: Materialize.Strategy = Materialize.Local): DataFrame = {
+    val mat = Materialize.requireTruncating(
+      mat0, ed.sparkSession, "componentsOf")
     val labels = Dedup.clustersOf(ed.where(col("w") >= StrongW)
       .select(col("a").as("doc_a"), col("b").as("doc_b")), mat)
     finishIterative(labels
@@ -567,8 +569,9 @@ object Graph {
       kcoreOf(edges(spark, dir), Materialize.sessionTruncating(spark)))
 
   def kcoreOf(edgesRaw: DataFrame,
-      mat: Materialize.Strategy = Materialize.None): DataFrame = {
-    Materialize.requireTruncating(mat, "kcoreOf")
+      mat0: Materialize.Strategy = Materialize.None): DataFrame = {
+    val mat = Materialize.requireTruncating(
+      mat0, edgesRaw.sparkSession, "kcoreOf")
     val cuts = scala.collection.mutable.ListBuffer.empty[DataFrame]
     def cut(df: DataFrame): DataFrame =
       if (mat ne Materialize.None) { val c = mat(df); cuts += c; c }
@@ -666,8 +669,9 @@ object Graph {
       trussOf(edges(spark, dir), Materialize.sessionTruncating(spark)))
 
   def trussOf(edgesRaw: DataFrame,
-      mat: Materialize.Strategy = Materialize.None): DataFrame = {
-    Materialize.requireTruncating(mat, "trussOf")
+      mat0: Materialize.Strategy = Materialize.None): DataFrame = {
+    val mat = Materialize.requireTruncating(
+      mat0, edgesRaw.sparkSession, "trussOf")
     val cuts = scala.collection.mutable.ListBuffer.empty[DataFrame]
     def cut(df: DataFrame): DataFrame =
       if (mat ne Materialize.None) { val c = mat(df); cuts += c; c }
@@ -710,8 +714,9 @@ object Graph {
       distancesOf(edges(spark, dir), Materialize.sessionTruncating(spark)))
 
   def distancesOf(edgesRaw: DataFrame,
-      mat: Materialize.Strategy = Materialize.None): DataFrame = {
-    Materialize.requireTruncating(mat, "distancesOf")
+      mat0: Materialize.Strategy = Materialize.None): DataFrame = {
+    val mat = Materialize.requireTruncating(
+      mat0, edgesRaw.sparkSession, "distancesOf")
     val cuts = scala.collection.mutable.ListBuffer.empty[DataFrame]
     def cut(df: DataFrame): DataFrame =
       if (mat ne Materialize.None) { val c = mat(df); cuts += c; c }
@@ -769,8 +774,9 @@ object Graph {
       closenessOf(edges(spark, dir), Materialize.sessionTruncating(spark)))
 
   def closenessOf(edgesRaw: DataFrame,
-      mat: Materialize.Strategy = Materialize.None): DataFrame = {
-    Materialize.requireTruncating(mat, "closenessOf")
+      mat0: Materialize.Strategy = Materialize.None): DataFrame = {
+    val mat = Materialize.requireTruncating(
+      mat0, edgesRaw.sparkSession, "closenessOf")
     val cuts = scala.collection.mutable.ListBuffer.empty[DataFrame]
     def cut(df: DataFrame): DataFrame =
       if (mat ne Materialize.None) { val c = mat(df); cuts += c; c }
@@ -837,8 +843,9 @@ object Graph {
         Materialize.sessionTruncating(spark)))
 
   def betweennessOf(edgesRaw: DataFrame,
-      mat: Materialize.Strategy = Materialize.None): DataFrame = {
-    Materialize.requireTruncating(mat, "betweennessOf")
+      mat0: Materialize.Strategy = Materialize.None): DataFrame = {
+    val mat = Materialize.requireTruncating(
+      mat0, edgesRaw.sparkSession, "betweennessOf")
     val cuts = scala.collection.mutable.ListBuffer.empty[DataFrame]
     def cut(df: DataFrame): DataFrame =
       if (mat ne Materialize.None) { val c = mat(df); cuts += c; c }
@@ -921,8 +928,9 @@ object Graph {
       pprOf(edges(spark, dir), Materialize.sessionTruncating(spark)))
 
   def pprOf(edgesRaw: DataFrame,
-      mat: Materialize.Strategy = Materialize.None): DataFrame = {
-    Materialize.requireTruncating(mat, "pprOf")
+      mat0: Materialize.Strategy = Materialize.None): DataFrame = {
+    val mat = Materialize.requireTruncating(
+      mat0, edgesRaw.sparkSession, "pprOf")
     val cuts = scala.collection.mutable.ListBuffer.empty[DataFrame]
     def cut(df: DataFrame): DataFrame =
       if (mat ne Materialize.None) { val c = mat(df); cuts += c; c }
@@ -1011,8 +1019,9 @@ object Graph {
   }
 
   def labelPropOf(edgesRaw: DataFrame,
-      mat: Materialize.Strategy = Materialize.None): DataFrame = {
-    Materialize.requireTruncating(mat, "labelPropOf")
+      mat0: Materialize.Strategy = Materialize.None): DataFrame = {
+    val mat = Materialize.requireTruncating(
+      mat0, edgesRaw.sparkSession, "labelPropOf")
     val cuts = scala.collection.mutable.ListBuffer.empty[DataFrame]
     def cut(df: DataFrame): DataFrame =
       if (mat ne Materialize.None) { val c = mat(df); cuts += c; c }
@@ -1053,8 +1062,9 @@ object Graph {
         Materialize.sessionTruncating(spark)))
 
   def modularityOf(edgesRaw: DataFrame,
-      mat: Materialize.Strategy = Materialize.None): DataFrame = {
-    Materialize.requireTruncating(mat, "modularityOf")
+      mat0: Materialize.Strategy = Materialize.None): DataFrame = {
+    val mat = Materialize.requireTruncating(
+      mat0, edgesRaw.sparkSession, "modularityOf")
     val cuts = scala.collection.mutable.ListBuffer.empty[DataFrame]
     def cut(df: DataFrame): DataFrame =
       if (mat ne Materialize.None) { val c = mat(df); cuts += c; c }
@@ -1141,9 +1151,9 @@ object Graph {
       .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
       .distinct()), mat, ownM = true)
 
-  private def hitsOnMembers(m: DataFrame, mat: Materialize.Strategy,
+  private def hitsOnMembers(m: DataFrame, mat0: Materialize.Strategy,
       ownM: Boolean): DataFrame = {
-    Materialize.requireTruncating(mat, "hitsOf")
+    val mat = Materialize.requireTruncating(mat0, m.sparkSession, "hitsOf")
     def rescale(v: DataFrame, c: String): DataFrame =
       v.crossJoin(broadcast(v.agg(max(col(c)).as("mx"))))
         .select(v.columns.filter(_ != c).map(col) :+

@@ -1301,7 +1301,7 @@ object TextOps {
     * match across symbol boundaries.
     */
   def bpeMergesOf(vocab: DataFrame, n: Int,
-      mat: graft.Materialize.Strategy = graft.Materialize.Local)
+      mat0: graft.Materialize.Strategy = graft.Materialize.Local)
       : DataFrame = {
     // one cut per merge step, superseded-and-released as the vocabulary
     // rewrites — the clustersOf loop discipline: None would recompute
@@ -1311,10 +1311,11 @@ object TextOps {
     // Materialize.sessionTruncating so a cluster's `reliable` conf
     // reaches the loop (localCheckpoint has no lineage fallback; one
     // executor loss mid-train would fail the whole entry).
-    require(mat ne graft.Materialize.None,
+    require(mat0 ne graft.Materialize.None,
       "bpeMergesOf iterates: Materialize.None recomputes the whole " +
         "rewrite chain at every step's argmax")
-    graft.Materialize.requireTruncating(mat, "bpeMergesOf")
+    val mat = graft.Materialize.requireTruncating(
+      mat0, vocab.sparkSession, "bpeMergesOf")
     val spark = vocab.sparkSession
     val s = spark; import s.implicits._
     var words = mat(vocab.select(

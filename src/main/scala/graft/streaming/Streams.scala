@@ -64,9 +64,12 @@ object Streams {
     * changelog/snapshot files in the checkpoint location — the
     * documented Spark choice for large-state production streams; the
     * conf-flip spec (ConfKnobsSpec) proves the stateful entries emit
-    * hash-identical results under the flipped provider. Call on the
-    * session BEFORE `.start()` — the provider is read per query start
-    * from `spark.sql.streaming.stateStore.providerClass`.
+    * hash-identical results under the flipped provider. The provider
+    * is read per query start from
+    * `spark.sql.streaming.stateStore.providerClass`, so this must run
+    * BEFORE `.start()` — and since r15 the public paths do it
+    * themselves ([[startQuery]] on the write side, [[rateEvents]] on
+    * the read side), so the conf is honored without any explicit call.
     */
   def configureStateStore(spark: SparkSession): String = {
     val provider =
@@ -81,6 +84,30 @@ object Streams {
     spark.conf.set(
       "spark.sql.streaming.stateStore.providerClass", provider)
     provider
+  }
+
+  /** The START seam — `.start()` with the state-store conf honored by
+    * DEFAULT: resolves [[configureStateStore]] on the dataset's own
+    * session, then hands the writer to the caller's sink/trigger
+    * configuration block and starts it.
+    *
+    * Exists so the conf cannot be silently dropped: the provider class
+    * is read per query start, so a deployment that builds its own
+    * `writeStream…start()` and forgets the configure call runs the
+    * in-memory HDFSBacked provider no matter what
+    * `graft.streaming.stateStore` says — exactly the 100 TB failure
+    * (state working set = sessions-per-horizon × keys, memory-resident
+    * per partition) the conf exists to prevent. Queries started here
+    * (and any started after [[rateEvents]], which applies the same
+    * resolution at source build) pick up the conf'd provider with no
+    * explicit call.
+    */
+  def startQuery[T](ds: Dataset[T])(
+      configure: org.apache.spark.sql.streaming.DataStreamWriter[T] =>
+        org.apache.spark.sql.streaming.DataStreamWriter[T])
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    configureStateStore(ds.sparkSession)
+    configure(ds.writeStream).start()
   }
 
   /** 30-minute inactivity gap, in microseconds. */
@@ -124,12 +151,18 @@ object Streams {
     * can never change under further input: batch-over-any-larger-prefix
     * comparisons are exact (StreamingSpec pins this).
     */
-  def rateEvents(spark: SparkSession, rowsPerBatch: Int): DataFrame =
+  def rateEvents(spark: SparkSession, rowsPerBatch: Int): DataFrame = {
+    // the read-side half of the default-on state-store seam: building
+    // the unbounded source resolves `graft.streaming.stateStore` into
+    // the session, so even a hand-rolled writeStream…start() after it
+    // runs the conf'd provider (see [[startQuery]] for the write-side)
+    configureStateStore(spark): Unit
     eventsFromValues(spark.readStream.format("rate-micro-batch")
       .option("rowsPerBatch", rowsPerBatch.toLong)
       .option("numPartitions", 2)
       .option("startTimestamp", 0L)
       .load())
+  }
 
   /** The value→event mapping shared by [[rateEvents]] and its batch
     * replay (one event per [[RateTickNs]]; id/user/type/value all pure

@@ -87,6 +87,20 @@ class BenchJsonSpec extends AnyFunSuite {
     finally java.nio.file.Files.delete(tmp)
   }
 
+  test("loadSummary: run-level ambient context for the compact line") {
+    // the r15 self-classification fields — mean_load/max_load in both
+    // contract lines (and the samples archive) let a bounded tail
+    // capture say whether its window was hot without an A/B
+    assert(Bench.loadSummary(Seq("1.0", "3.0", "2.0")) == ((2.0, 3.0)))
+    // "-1" is load1()'s cannot-read sentinel; junk must be dropped, not
+    // poison the mean
+    assert(Bench.loadSummary(Seq("-1", "4.0", "nope")) == ((4.0, 4.0)))
+    // no usable samples → the explicit no-context marker, never NaN
+    // (NaN is not valid JSON — it would corrupt both contract lines)
+    assert(Bench.loadSummary(Seq("-1", "x")) == ((-1.0, -1.0)))
+    assert(Bench.loadSummary(Nil) == ((-1.0, -1.0)))
+  }
+
   test("ms is locale-proof 2-decimal; q escapes the JSON specials") {
     val prev = java.util.Locale.getDefault
     try {

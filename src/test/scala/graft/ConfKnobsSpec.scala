@@ -285,6 +285,47 @@ class ConfKnobsSpec extends SparkSpecBase {
     }
   }
 
+  test("state-store seam is DEFAULT-ON: the public start paths honor " +
+    "graft.streaming.stateStore with no explicit configure call") {
+    // r14 shipped the seam opt-in — nothing in src/main called it, so a
+    // deployment forgetting the invocation silently ran the in-memory
+    // HDFSBacked provider, exactly the 100 TB failure the conf exists
+    // to prevent. Both public paths must resolve it themselves.
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.Streams
+    val ProviderKey = "spark.sql.streaming.stateStore.providerClass"
+    // write-side: startQuery resolves the conf before .start()
+    val sess = spark.newSession()
+    sess.conf.set("graft.streaming.stateStore", "rocksdb")
+    val s = sess; import s.implicits._
+    implicit val ctx = sess.sqlContext
+    val mem = MemoryStream[Ev]
+    val q = Streams.startQuery(Streams.sessionizeStateful(mem.toDF()))(
+      _.format("memory").queryName("ss_defaulton")
+        .outputMode("append"))
+    try {
+      val HourNs = 3600L * 1000 * 1000 * 1000
+      mem.addData(Ev(1, HourNs, 1L, "click", 1.0),
+        Ev(2, 20 * HourNs, 3L, "click", 1.0))
+      q.processAllAvailable()
+      mem.addData(Ev(3, 30 * HourNs, 3L, "click", 1.0))
+      q.processAllAvailable()
+      assert(sess.conf.get(ProviderKey).contains("RocksDB"),
+        "startQuery did not resolve the state-store conf")
+      assert(sess.table("ss_defaulton").collect().nonEmpty)
+      // the RUNNING query really keyed state under a provider
+      assert(q.lastProgress == null ||
+        q.lastProgress.stateOperators.nonEmpty)
+    } finally q.stop()
+    // read-side: building the unbounded source resolves it too, so a
+    // hand-rolled writeStream…start() after rateEvents is covered
+    val sess2 = spark.newSession()
+    sess2.conf.set("graft.streaming.stateStore", "rocksdb")
+    Streams.rateEvents(sess2, 4): Unit
+    assert(sess2.conf.get(ProviderKey).contains("RocksDB"),
+      "rateEvents did not resolve the state-store conf at source build")
+  }
+
   test("shuffle rank-buckets knob: ranks identical at any bucketing") {
     val base = Curation.queries("llm_shuffle_assign")(spark, Sf)
       .collect().map(r => r.getLong(0) ->

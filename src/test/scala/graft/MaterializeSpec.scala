@@ -118,4 +118,40 @@ class MaterializeSpec extends SparkSpecBase {
     viaConf.conf.set("graft.materialize", "disk")
     assert(Materialize.sessionTruncating(viaConf) eq Materialize.Local)
   }
+
+  test("requireTruncating resolves the Session sentinel at ENTRY, " +
+    "mapping a disk conf to a truncating cut") {
+    // the r14 hazard: Session passed to an iterative form slipped the
+    // Disk guard (it is neither Disk nor None), then every per-round
+    // APPLICATION re-read the conf — under graft.materialize=disk that
+    // cut each round with Disk, the lineage-retaining plan-doubling
+    // path the guard exists to reject. Entry resolution must hand the
+    // loop sessionTruncating's mapping instead.
+    val viaConf = spark.newSession()
+    viaConf.conf.set("graft.materialize", "disk")
+    assert(Materialize.requireTruncating(
+      Materialize.Session, viaConf, "spec") eq Materialize.Local)
+    viaConf.conf.set("graft.materialize", "reliable")
+    assert(Materialize.requireTruncating(
+      Materialize.Session, viaConf, "spec") eq Materialize.Reliable)
+    // concrete strategies pass through unchanged (None stays legal for
+    // the non-looping …Of forms that accept it)
+    assert(Materialize.requireTruncating(
+      Materialize.Local, viaConf, "spec") eq Materialize.Local)
+    assert(Materialize.requireTruncating(
+      Materialize.None, viaConf, "spec") eq Materialize.None)
+    // …and an iterative form fed the sentinel under a disk conf RUNS
+    // (resolved to Local at entry) instead of plan-doubling: 4-node
+    // chain, one clustersOf fixed point
+    val disky = spark.newSession()
+    disky.conf.set("graft.materialize", "disk")
+    val pairs = disky.range(3).selectExpr(
+      "id AS doc_a", "id + 1 AS doc_b")
+    val labels = graft.operators.Dedup.clustersOf(
+      pairs.toDF(), Materialize.Session)
+    try {
+      val lbls = labels.collect().map(r => r.getLong(1)).distinct
+      assert(lbls.length == 1, "a 4-node chain is one component")
+    } finally Materialize.release(labels)
+  }
 }

@@ -14,10 +14,23 @@ JAR="target/scala-2.13/mapreduce_codespark_2.13-0.1.0.jar"
 rc=0
 for mode in reliable local; do
   echo "== faultproof mode=$mode =="
-  timeout 420 /opt/spark/bin/spark-submit \
+  # capture, don't pipe: a pipeline's status is the LAST command's, so
+  # `spark-submit | grep '"proof"'` reported grep's success even when
+  # FaultProof exited 1 on an expectation MISMATCH (the proof line
+  # prints unconditionally) — green on exactly the failure this gate
+  # exists to catch. Gate on FaultProof's own exit code AND the
+  # expected_outcome field in the line itself.
+  out=$(timeout 420 /opt/spark/bin/spark-submit \
     --master 'local-cluster[2,2,2048]' \
     --conf spark.ui.enabled=false \
     --class graft.FaultProof "$JAR" "$mode" "$SF" \
-    2>"/tmp/faultproof_$mode.err" | grep '"proof"' || rc=1
+    2>"/tmp/faultproof_$mode.err")
+  st=$?
+  printf '%s\n' "$out" | grep '"proof"'
+  if [ $st -ne 0 ] || \
+     ! printf '%s\n' "$out" | grep -q '"expected_outcome":true'; then
+    echo "FAIL mode=$mode exit=$st (see /tmp/faultproof_$mode.err)"
+    rc=1
+  fi
 done
 exit $rc
