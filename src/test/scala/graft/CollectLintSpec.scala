@@ -43,6 +43,8 @@ class CollectLintSpec extends AnyFunSuite {
     *  - Bench (1): harness JVM warm-up, not an operator.
     *  - FaultProof (1): the executor-loss proof's serve-hash pull —
     *    bounded entry outputs (pair set / top-k ranks), harness-side.
+    *  - FaultProofStream (1): the streaming proof's closed-session
+    *    pull — ≤ |users|+1 rows per run, harness-side.
     */
   private val Pinned: Map[String, Int] = Map(
     "src/main/scala/graft/operators/Similarity.scala" -> 14,
@@ -54,7 +56,8 @@ class CollectLintSpec extends AnyFunSuite {
     "src/main/scala/graft/operators/Curation.scala" -> 2,
     "src/main/scala/graft/streaming/Streams.scala" -> 2,
     "src/main/scala/graft/Bench.scala" -> 1,
-    "src/main/scala/graft/FaultProof.scala" -> 1
+    "src/main/scala/graft/FaultProof.scala" -> 1,
+    "src/main/scala/graft/FaultProofStream.scala" -> 1
   )
 
   test("every src/main .collect() site is pinned with its driver bound") {
