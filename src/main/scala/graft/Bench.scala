@@ -305,7 +305,11 @@ object Bench {
     // metric is "total_compact", NOT "total": a consumer that selects
     // the contract line by metric value must keep matching exactly one
     // line (the full one, with queries/recheck/regressed).
-    println(s"""{"metric":"total_compact","value":${ms(total)},"unit":"sec","value_min":${ms(totalMin)},"n_queries":${medians.size},"n_errors":${errors.size},"n_flagged":${rechecks.size + regressed.size},"mean_load":${ms(meanLoad)},"max_load":${ms(maxLoad)},"sf":"$sfDir"}""")
+    // run-level field names match the full line exactly (mean_load /
+    // max_load_run): in the full line `max_load` is the PER-QUERY
+    // top-20 map, so reusing that key here for a scalar would make the
+    // same name mean two types across the two contract lines
+    println(s"""{"metric":"total_compact","value":${ms(total)},"unit":"sec","value_min":${ms(totalMin)},"n_queries":${medians.size},"n_errors":${errors.size},"n_flagged":${rechecks.size + regressed.size},"mean_load":${ms(meanLoad)},"max_load_run":${ms(maxLoad)},"sf":"$sfDir"}""")
     // diagnostics only, AFTER the stdout contract line and best-effort:
     // an unwritable cwd must not turn a successful bench into a crash
     try {
@@ -335,7 +339,11 @@ object Bench {
       if (only.isEmpty) {
         val dir = java.nio.file.Paths.get("bench_archive")
         java.nio.file.Files.createDirectories(dir): Unit
-        val stamp = new java.text.SimpleDateFormat("yyyyMMdd_HHmmss")
+        // Locale.ROOT + Gregorian: a th-TH default locale renders yyyy
+        // as the Buddhist year and ar-SA as non-ASCII digits — breaking
+        // both the documented glob and latest-by-name ordering
+        val stamp = new java.text.SimpleDateFormat(
+          "yyyyMMdd_HHmmss", java.util.Locale.ROOT)
           .format(new java.util.Date())
         java.nio.file.Files.write(
           dir.resolve(s"bench_samples_$stamp.json"), body): Unit

@@ -51,10 +51,17 @@ object FaultProof {
       val cmd = p.info().commandLine().orElse("")
       if (cmd.contains("CoarseGrainedExecutorBackend") &&
           cmd.contains(appId)) {
-        require(p.destroyForcibly(),
-          s"destroyForcibly refused for executor pid ${p.pid()}")
-        p.onExit().get(30, java.util.concurrent.TimeUnit.SECONDS): Unit
-        killed = p.pid()
+        if (p.destroyForcibly()) {
+          p.onExit().get(30, java.util.concurrent.TimeUnit.SECONDS): Unit
+          killed = p.pid()
+        } else if (!p.isAlive) {
+          // the candidate exited in the enumerate-to-kill window
+          // (respawn churn): an executor of this app IS dead, which is
+          // the scenario under test — proceed rather than failing the
+          // proof spuriously
+          killed = p.pid()
+        }
+        // else: no permission to kill this one — keep scanning
       }
     }
     require(killed > 0,

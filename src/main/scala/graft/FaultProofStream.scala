@@ -129,14 +129,19 @@ object FaultProofStream {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val (control, _) = run(spark, "control", killBetween = false)
+    // BOTH runs are caught: an uncaught control-run failure would exit
+    // without the JSON contract line at all, leaving half the failure
+    // modes undiagnosable from the artifact the gate script greps
+    def msg(e: Throwable): String =
+      Option(e.getMessage).getOrElse(e.getClass.getName).take(160)
+    val (control, ctlErr) =
+      try { (run(spark, "control", killBetween = false)._1, "") }
+      catch { case e: Throwable => (Seq.empty[String], msg(e)) }
     val (killedRows, killedPid, err) =
-      try { val (r, k) = run(spark, "killed", killBetween = true)
+      if (ctlErr.nonEmpty) (Seq.empty[String], -1L, s"control: $ctlErr")
+      else try { val (r, k) = run(spark, "killed", killBetween = true)
         (r, k, "")
-      } catch { case e: Throwable =>
-        (Seq.empty[String], -1L,
-          Option(e.getMessage).getOrElse(e.getClass.getName).take(160))
-      }
+      } catch { case e: Throwable => (Seq.empty[String], -1L, msg(e)) }
     val serveOk = err.isEmpty
     val rowsMatch = serveOk && killedRows == control
     // extended-past-the-kill sessions really exist (n_events = 3), or

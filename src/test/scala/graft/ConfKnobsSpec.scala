@@ -256,10 +256,12 @@ class ConfKnobsSpec extends SparkSpecBase {
         qD.processAllAvailable()
         memD.addData(ev(20, 1 * HourNs), ev(22, 6 * HourNs))
         qD.processAllAvailable()
-        // there really was keyed state under the selected provider
-        // (null-tolerant: progress reporting is async)
-        assert(qS.lastProgress == null ||
-          qS.lastProgress.stateOperators.nonEmpty)
+        // there really was keyed state under the selected provider —
+        // over the run's whole progress history (the lastProgress
+        // null-tolerant form passed vacuously when no event had been
+        // captured yet)
+        assert(qS.recentProgress.exists(_.stateOperators.nonEmpty),
+          "no stateful operator reported progress under the provider")
         (sess.table(s"ss_sessions_$tag").collect()
           .map(_.toString).toSet,
           sess.table(s"ss_dedup_$tag").collect()
@@ -313,9 +315,12 @@ class ConfKnobsSpec extends SparkSpecBase {
       assert(sess.conf.get(ProviderKey).contains("RocksDB"),
         "startQuery did not resolve the state-store conf")
       assert(sess.table("ss_defaulton").collect().nonEmpty)
-      // the RUNNING query really keyed state under a provider
-      assert(q.lastProgress == null ||
-        q.lastProgress.stateOperators.nonEmpty)
+      // the RUNNING query really keyed state under a provider —
+      // recentProgress over the whole run, not the lastProgress
+      // null-tolerant form (which passes vacuously when no progress
+      // event has been captured yet)
+      assert(q.recentProgress.exists(_.stateOperators.nonEmpty),
+        "no stateful operator reported progress under the provider")
     } finally q.stop()
     // read-side: building the unbounded source resolves it too, so a
     // hand-rolled writeStream…start() after rateEvents is covered

@@ -40,10 +40,21 @@ run_stage() { # name, extra audit_sf01.py args...
     --out-json "$TMP/$name.json" "$@" > "$TMP/$name.log" 2>&1
   local st=$?
   tail -3 "$TMP/$name.log"
-  # a stage FAIL (value mismatch) is fatal immediately — timeouts are
-  # the chain's business, mismatches are a broken engine
+  # any nonzero stage is fatal immediately — but say WHICH kind: the
+  # audit exits 1 with a results file on value mismatches; a crash
+  # (missing duckdb, unreadable dump, OOM) dies before writing one.
+  # Misattributing infrastructure failure as "engine produced wrong
+  # values" would send the round chasing a correctness bug that never
+  # happened (timeouts are the chain's business and exit 0).
   if [ $st -ne 0 ]; then
-    echo "FAIL: $name reported value mismatches (exit $st, $TMP/$name.log)"
+    if [ -f "$TMP/$name.json" ] && \
+       grep -q '"status": *"fail"' "$TMP/$name.json"; then
+      echo "FAIL: $name reported VALUE MISMATCHES (exit $st," \
+        "$TMP/$name.json)"
+    else
+      echo "FAIL: $name crashed before/without reporting mismatches" \
+        "(exit $st, see $TMP/$name.log)"
+    fi
     exit 1
   fi
 }
