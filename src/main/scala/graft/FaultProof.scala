@@ -20,7 +20,15 @@ import org.apache.spark.sql.SparkSession
   *     recompute from files instead of failing;
   *   - `local`: the serve FAILS (`Checkpoint block … not found`) —
   *     localCheckpoint pins blocks to executor storage with no lineage
-  *     fallback, exactly the documented single-JVM-only limitation.
+  *     fallback, exactly the documented single-JVM-only limitation;
+  *   - `disk`: the serve FAILS the same way — persist(DISK_ONLY) keeps
+  *     lineage for DAG-shaped caches (the band index would recompute),
+  *     but the ITERATIVE family's cuts map `disk` to [[Materialize.Local]]
+  *     ([[Materialize.sessionTruncating]] — retained lineage doubles a
+  *     self-referencing round's plan), so the rank cache still dies
+  *     with its executor. The proof records WHY `disk` is not the
+  *     cluster answer: only `reliable` makes every cached artifact,
+  *     iterative ones included, survive executor loss.
   *
   * Prints one JSON line; exit 0 when the observed outcome matches the
   * expectation for the mode, 1 otherwise. See BASELINE.md "Round-14
@@ -70,7 +78,7 @@ object FaultProof {
   }
 
   def main(args: Array[String]): Unit = {
-    val mode = args(0) // local | reliable
+    val mode = args(0) // local | disk | reliable
     val sfDir = args(1)
     val spark = SparkSession.builder()
       .config("spark.sql.shuffle.partitions", "8")

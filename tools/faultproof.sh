@@ -2,17 +2,21 @@
 # Executor-loss fault-tolerance proof for graft.materialize (see
 # graft.FaultProof scaladoc and BASELINE.md "Round-14 executor-loss
 # proof"): runs the kill-an-executor scenario on a multi-JVM
-# local-cluster under both conf values and expects
+# local-cluster under all three conf values and expects
 #   reliable -> serve survives, hashes identical (exit 0)
 #   local    -> serve fails with CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND (exit 0,
 #               the failure IS the expected outcome)
+#   disk     -> serve fails the same way (exit 0): the iterative
+#               family's cuts map disk to Local (sessionTruncating), so
+#               the rank cache dies with its executor — the recorded
+#               reason disk is not the cluster answer
 # Usage: tools/faultproof.sh [sfDir]   (default /root/testdata/sf0.01)
 set -u
 SF="${1:-/root/testdata/sf0.01}"
 JAR="target/scala-2.13/mapreduce_codespark_2.13-0.1.0.jar"
 [ -f "$JAR" ] || { echo "run 'sbt package' first"; exit 2; }
 rc=0
-for mode in reliable local; do
+for mode in reliable local disk; do
   echo "== faultproof mode=$mode =="
   # capture, don't pipe: a pipeline's status is the LAST command's, so
   # `spark-submit | grep '"proof"'` reported grep's success even when
