@@ -20,28 +20,127 @@ object Bench {
   private[graft] def ms(v: Double): String =
     String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
 
-  /** The confirming-rerun fields of a flagged entry: Right = the
-    * measured rerun + the loadavg it started under; Left = the rerun
-    * itself THREW (ships as `rerun:null` + the message — a flagged
-    * entry must never vanish because its confirmation failed; that
-    * would read as a clean board exactly when it isn't).
+  /** One timed repetition: wall seconds plus the ambient context it ran
+    * under — the 1-min loadavg string at rep start, and the r16 window
+    * probes: `util` = this JVM's process-CPU-time delta / (wall ×
+    * machine cores), `steal` = host steal% from `/proc/stat` bracketing
+    * the rep. `-1` marks an unavailable probe (never poisons a mean).
     */
-  private[graft] def rerunJson(r: Either[String, (Double, String)])
-      : String = r match {
-    case Right((sec, ld)) => s""""rerun":${ms(sec)},"rerun_load":${q(ld)}"""
+  private[graft] final case class Rep(sec: Double, load: String,
+      util: Double, steal: Double)
+
+  /** The confirming-rerun fields of a flagged entry: Right = the
+    * measured rerun + the context it ran under (loadavg, cpu_util,
+    * steal%, and the window classification those probes imply —
+    * `refUtil` is the entry's own in-run rep utilization, the
+    * query-shape-free baseline); Left = the rerun itself THREW (ships
+    * as `rerun:null` + the message — a flagged entry must never vanish
+    * because its confirmation failed; that would read as a clean board
+    * exactly when it isn't). The `window` annotation is the r16 fix
+    * for the rerun channel AMPLIFYING in a hot window (judge r15:
+    * median 8.51 → rerun 12.02 vs floor 2.05 shipped as if it were
+    * confirmation): a rerun taken while the host is hot says so in the
+    * artifact instead of reading as a confirmed regression.
+    */
+  private[graft] def rerunJson(r: Either[String, Rep],
+      refUtil: Double): String = r match {
+    case Right(rep) =>
+      s""""rerun":${ms(rep.sec)},"rerun_load":${q(rep.load)},""" +
+        s""""rerun_util":${ms(rep.util)},"rerun_steal":${ms(rep.steal)},""" +
+        s""""window":${q(windowClass(rep.util, refUtil, rep.steal))}"""
     case Left(err) => s""""rerun":null,"rerun_err":${q(err)}"""
   }
 
   /** One `recheck` map entry (high-load floor trip). */
   private[graft] def recheckJson(k: String, med: Double, f: Double,
-      r: Either[String, (Double, String)]): String =
-    s"""${q(k)}:{"median":${ms(med)},"floor":${ms(f)},${rerunJson(r)}}"""
+      r: Either[String, Rep], refUtil: Double): String =
+    s"""${q(k)}:{"median":${ms(med)},"floor":${ms(f)},""" +
+      rerunJson(r, refUtil) + "}"
 
   /** One `regressed` map entry (low-load trip on median AND min). */
   private[graft] def regressedJson(k: String, med: Double, f: Double,
-      mn: Double, r: Either[String, (Double, String)]): String =
+      mn: Double, r: Either[String, Rep], refUtil: Double): String =
     s"""${q(k)}:{"median":${ms(med)},"floor":${ms(f)},""" +
-      s""""min":${ms(mn)},${rerunJson(r)}}"""
+      s""""min":${ms(mn)},""" + rerunJson(r, refUtil) + "}"
+
+  /** This JVM's cumulative process CPU time in nanoseconds (-1 when the
+    * platform bean doesn't expose it). The delta across a rep, divided
+    * by wall × cores, is the work-normalized utilization that actually
+    * classifies a bench window — r15 shipped loadavg for that job and
+    * the round's own data refuted it (the 109.24 s gate ran at mean
+    * load 3.58, the 136–142 s hot windows at 2.79–2.90: loadavg on a
+    * 32-thread bench mostly measures the bench's own bursts, while
+    * hypervisor-withheld cycles are invisible to run-queue depth).
+    */
+  private[graft] def procCpuNs(): Long =
+    java.lang.management.ManagementFactory.getOperatingSystemMXBean match {
+      case os: com.sun.management.OperatingSystemMXBean =>
+        os.getProcessCpuTime
+      case _ => -1L
+    }
+
+  /** (steal ticks, total ticks) from `/proc/stat`'s aggregate `cpu`
+    * line — field 8 after the label is `steal`, the cycles the
+    * hypervisor withheld from this guest: the one contention signal a
+    * co-tenant CANNOT hide from (it is measured by the kernel as time
+    * stolen, not inferred from run-queue depth). (-1,-1) when
+    * unreadable (non-Linux).
+    */
+  private[graft] def cpuStat(): (Long, Long) =
+    try {
+      val line = scala.io.Source.fromFile("/proc/stat").getLines().next()
+      val f = line.trim.split("\\s+").drop(1).map(_.toLong)
+      (if (f.length >= 8) f(7) else 0L, f.sum)
+    } catch { case scala.util.control.NonFatal(_) => (-1L, -1L) }
+
+  /** Utilization of a bracketed interval: JVM CPU-time delta over
+    * wall × cores. In a contended window CPU-per-work stays flat while
+    * wall stretches, so this ratio separates "fewer cycles" from "more
+    * work" — the property loadavg lacks. -1 when a probe was
+    * unavailable.
+    */
+  private[graft] def utilOf(cpu0: Long, cpu1: Long, wallNs: Long,
+      cores: Int): Double =
+    if (cpu0 < 0 || cpu1 < 0 || wallNs <= 0 || cores <= 0) -1.0
+    else (cpu1 - cpu0).toDouble / (wallNs.toDouble * cores)
+
+  /** Steal percentage across two [[cpuStat]] snapshots; -1 when either
+    * was unreadable or no ticks elapsed.
+    */
+  private[graft] def stealPctOf(s0: (Long, Long), s1: (Long, Long)): Double =
+    if (s0._1 < 0 || s1._1 < 0 || s1._2 <= s0._2) -1.0
+    else 100.0 * (s1._1 - s0._1).toDouble / (s1._2 - s0._2).toDouble
+
+  /** Steal% past this is a hot window outright: idle-host brackets
+    * measure 0.0–0.3% on this guest, and the hypervisor events that
+    * stretched r15's windows by 25–30% imply multi-percent steal
+    * (calibrated A/B in BASELINE.md "Round-16 window probes").
+    */
+  private[graft] val HotStealPct = 3.0
+
+  /** A rerun whose utilization falls below this fraction of the same
+    * entry's in-run rep utilization classifies hot: the ratio is
+    * query-shape-free (an entry with single-threaded phases has low
+    * util in EVERY window — only the drop vs its own baseline says the
+    * host got hotter). Calibrated: the deliberate-load A/B measured
+    * 0.33–0.55× quiet-window util on identical work; quiet-vs-quiet
+    * rerun jitter stays above 0.8×.
+    */
+  private[graft] val HotUtilFrac = 0.65
+
+  /** Classify a measurement window from its probes: `hot` when the
+    * host was demonstrably contended (steal, or utilization well under
+    * the same entry's in-run baseline), `quiet` when probes were
+    * present and clean, `unknown` when no probe was available. Used to
+    * annotate flagged-entry reruns (a hot-window rerun must not read
+    * as confirmation) and by tools/benchwindow.sh.
+    */
+  private[graft] def windowClass(util: Double, refUtil: Double,
+      steal: Double): String =
+    if (steal < 0 && util < 0) "unknown"
+    else if (steal >= HotStealPct) "hot"
+    else if (util >= 0 && refUtil > 0 && util < HotUtilFrac * refUtil) "hot"
+    else "quiet"
 
   /** Run-level (mean, max) of every rep's start loadavg — the ambient
     * context that lets a truncated tail capture classify its own
@@ -98,6 +197,11 @@ object Bench {
     // 51.5 s and 75 s), which made round-over-round comparisons noise.
     // The median of 3 discards one bad scheduling draw per query.
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt.max(1)
+    // machine cores for the utilization denominator: utilization is "of
+    // the machine" (how much of the host this JVM actually got), not "of
+    // the executor-thread count" — a co-tenant or the hypervisor steals
+    // machine capacity
+    val cores = Runtime.getRuntime.availableProcessors()
     // Dev-loop filter: comma-separated query names to bench in isolation
     // (unset = the full contract set).
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
@@ -150,8 +254,9 @@ object Bench {
             Option(e.getMessage).getOrElse(e.getClass.getName)
           false
         }
-      def rep(): Option[(Double, String)] = {
+      def rep(): Option[Rep] = {
         val ld = load1()
+        val cpu0 = procCpuNs(); val st0 = cpuStat()
         val t0 = System.nanoTime()
         val ok =
           try { fn(spark, sfDir).count(); true }
@@ -159,12 +264,16 @@ object Bench {
             errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
             false
           }
-        if (ok) Some(((System.nanoTime() - t0) / 1e9, ld)) else None
+        val wall = System.nanoTime() - t0
+        if (ok) Some(Rep(wall / 1e9, ld,
+          utilOf(cpu0, procCpuNs(), wall, cores),
+          stealPctOf(st0, cpuStat())))
+        else None
       }
       val base =
-        if (!warmOk) Seq.empty[(Double, String)]
+        if (!warmOk) Seq.empty[Rep]
         else (1 to reps).flatMap(_ => rep())
-      val baseTs = base.map(_._1).sorted
+      val baseTs = base.map(_.sec).sorted
       val extra =
         if (base.nonEmpty && baseTs(baseTs.size / 2) > extraAbove)
           (1 to extraReps).flatMap(_ => rep())
@@ -173,7 +282,7 @@ object Bench {
     }
     val medians = samples.collect {
       case (k, rs) if rs.nonEmpty =>
-        val ts = rs.map(_._1).sorted
+        val ts = rs.map(_.sec).sorted
         k -> ts(ts.size / 2)
     }
     // Contention self-triage (BASELINE.md "Round-11 contention
@@ -210,16 +319,28 @@ object Bench {
     // load column below (was rebuilt per median entry)
     val loadByName = samples.toMap
     def maxLoadOf(k: String): Double = loadByName.getOrElse(k, Seq.empty)
-      .flatMap(r => scala.util.Try(r._2.toDouble).toOption)
+      .flatMap(r => scala.util.Try(r.load.toDouble).toOption)
       .foldLeft(-1.0)(math.max)
+    // the entry's own in-run utilization baseline (median of its reps'
+    // utils) — the reference [[windowClass]] compares a rerun against:
+    // query-shape-free, because an entry with serial phases has low
+    // util in EVERY window, and only the drop vs its own baseline says
+    // the host got hotter between the pass and the rerun
+    def refUtilOf(k: String): Double = {
+      val us = loadByName.getOrElse(k, Seq.empty).map(_.util).filter(_ >= 0)
+      if (us.isEmpty) -1.0 else us.sorted.apply(us.size / 2)
+    }
     // Left = the rerun itself failed (its message ships as rerun_err —
     // a flagged entry must never VANISH because its confirming rerun
     // threw; that would read as a clean board exactly when it isn't)
-    def rerunOf(k: String): Either[String, (Double, String)] = {
+    def rerunOf(k: String): Either[String, Rep] = {
       val ld = load1()
+      val cpu0 = procCpuNs(); val st0 = cpuStat()
       val t0 = System.nanoTime()
       try { fnByName(k)(spark, sfDir).count()
-        Right(((System.nanoTime() - t0) / 1e9, ld))
+        val wall = System.nanoTime() - t0
+        Right(Rep(wall / 1e9, ld, utilOf(cpu0, procCpuNs(), wall, cores),
+          stealPctOf(st0, cpuStat())))
       } catch { case scala.util.control.NonFatal(e) =>
         Left(Option(e.getMessage).getOrElse(e.getClass.getName).take(80))
       }
@@ -236,7 +357,7 @@ object Bench {
     // Medians stay the headline (continuity with BENCH_r01-r08); the
     // per-query mins ride alongside for round-over-round comparison.
     val mins = samples.collect {
-      case (k, rs) if rs.nonEmpty => k -> rs.map(_._1).min
+      case (k, rs) if rs.nonEmpty => k -> rs.map(_.sec).min
     }.toMap
     // The stdout contract is ONE parseable JSON line, and the harness
     // captures a bounded tail of the run's output — rounds 3-5 all
@@ -253,7 +374,7 @@ object Bench {
     // without opening bench_samples.json (round-7 advice item 7).
     val lq = top.map { case (k, _) =>
       val mx = loadByName.getOrElse(k, Seq.empty)
-        .flatMap(r => scala.util.Try(r._2.toDouble).toOption)
+        .flatMap(r => scala.util.Try(r.load.toDouble).toOption)
       s"${q(k)}:${ms(if (mx.isEmpty) -1.0 else mx.max)}"
     }.mkString("{", ",", "}")
     val es = errors.take(10).map { case (k, v) => s"${q(k)}:${q(v.take(80))}" }
@@ -269,7 +390,7 @@ object Bench {
     // the loadavg that re-run started under — fragments built by the
     // spec-pinned object-level helpers ([[recheckJson]]/[[regressedJson]])
     val rc = rechecks.map { case (k, (med, f, r)) =>
-      recheckJson(k, med, f, r)
+      recheckJson(k, med, f, r, refUtilOf(k))
     }.mkString("{", ",", "}")
     // a floor trip under LOW load (median AND min both past the trip
     // guard) is likely real code cost, not load ambiguity — but r12
@@ -287,16 +408,32 @@ object Bench {
         .map(f => k -> ((med, f, mins.getOrElse(k, med), rerunOf(k))))
     }
     val rg = regressed.map { case (k, (med, f, mn, r)) =>
-      regressedJson(k, med, f, mn, r)
+      regressedJson(k, med, f, mn, r, refUtilOf(k))
     }.mkString("{", ",", "}")
     // RUN-LEVEL ambient context (r14 lesson): the headline total is the
     // ambient-sensitive number — separating r14's 139.66 s driver
     // window from r13's 109.12 cost a 3-run A/B plus a judge re-bench,
     // when the loadavg history already in the samples said "hot host".
     // mean/max of every rep's start loadavg ship in BOTH lines so even
-    // a 2,000-char tail capture classifies its own window.
-    val (meanLoad, maxLoad) = loadSummary(samples.flatMap(_._2).map(_._2))
-    println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","value_min":${ms(totalMin)},"reps":$reps,"order":"sorted-name","warmup":1,"n_queries":${medians.size},"n_errors":${errors.size},"n_floors":${floors.size},"mean_load":${ms(meanLoad)},"max_load_run":${ms(maxLoad)},"queries":$qs,"queries_min":$qmin,"max_load":$lq,"recheck":$rc,"regressed":$rg,"errors":$es,"sf":"$sfDir"}""")
+    // a 2,000-char tail capture classifies its own window. r16: loadavg
+    // provably does NOT classify windows on this host (the r15 gate ran
+    // at mean_load 3.58, the 25% slower windows at 2.79–2.90 — the
+    // contention is hypervisor-level, invisible to run-queue depth), so
+    // the lines additionally carry mean_util (work-normalized: rep
+    // wall-seconds-weighted so a long stretched rep isn't diluted by
+    // many fast cached serves) and mean_steal — the signals the A/B in
+    // BASELINE.md "Round-16 window probes" shows actually separate.
+    val allReps = samples.flatMap(_._2)
+    val (meanLoad, maxLoad) = loadSummary(allReps.map(_.load))
+    val utilReps = allReps.filter(r => r.util >= 0 && r.sec > 0)
+    val meanUtil =
+      if (utilReps.isEmpty) -1.0
+      else utilReps.map(r => r.util * r.sec).sum / utilReps.map(_.sec).sum
+    val stealReps = allReps.filter(r => r.steal >= 0 && r.sec > 0)
+    val meanSteal =
+      if (stealReps.isEmpty) -1.0
+      else stealReps.map(r => r.steal * r.sec).sum / stealReps.map(_.sec).sum
+    println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","value_min":${ms(totalMin)},"reps":$reps,"order":"sorted-name","warmup":1,"n_queries":${medians.size},"n_errors":${errors.size},"n_floors":${floors.size},"mean_load":${ms(meanLoad)},"max_load_run":${ms(maxLoad)},"mean_util":${ms(meanUtil)},"mean_steal":${ms(meanSteal)},"queries":$qs,"queries_min":$qmin,"max_load":$lq,"recheck":$rc,"regressed":$rg,"errors":$es,"sf":"$sfDir"}""")
     // a SECOND, short closing line: the full line above now exceeds
     // bounded tail captures (BENCH_r12's lost its own headline total),
     // so the totals are re-stated compactly — parseable from the last
@@ -309,24 +446,36 @@ object Bench {
     // max_load_run): in the full line `max_load` is the PER-QUERY
     // top-20 map, so reusing that key here for a scalar would make the
     // same name mean two types across the two contract lines
-    println(s"""{"metric":"total_compact","value":${ms(total)},"unit":"sec","value_min":${ms(totalMin)},"n_queries":${medians.size},"n_errors":${errors.size},"n_flagged":${rechecks.size + regressed.size},"mean_load":${ms(meanLoad)},"max_load_run":${ms(maxLoad)},"sf":"$sfDir"}""")
+    println(s"""{"metric":"total_compact","value":${ms(total)},"unit":"sec","value_min":${ms(totalMin)},"n_queries":${medians.size},"n_errors":${errors.size},"n_flagged":${rechecks.size + regressed.size},"mean_load":${ms(meanLoad)},"max_load_run":${ms(maxLoad)},"mean_util":${ms(meanUtil)},"mean_steal":${ms(meanSteal)},"sf":"$sfDir"}""")
     // diagnostics only, AFTER the stdout contract line and best-effort:
     // an unwritable cwd must not turn a successful bench into a crash
     try {
-      // run-order times plus the loadavg each rep started under —
+      // run-order times plus the per-rep ambient context (loadavg at
+      // rep start; r16: cpu_util and steal% bracketing each rep) —
       // the artifact that makes a contention event diagnosable later
       val ss = samples.map { case (k, rs) =>
-        s"${q(k)}:${rs.map(_._1).mkString("[", ",", "]")}"
+        s"${q(k)}:${rs.map(_.sec).mkString("[", ",", "]")}"
       }.mkString("{", ",", "}")
       val ls = samples.map { case (k, rs) =>
-        s"${q(k)}:${rs.map(_._2).mkString("[", ",", "]")}"
+        s"${q(k)}:${rs.map(_.load).mkString("[", ",", "]")}"
       }.mkString("{", ",", "}")
+      val us = samples.map { case (k, rs) =>
+        s"${q(k)}:${rs.map(r => ms(r.util)).mkString("[", ",", "]")}"
+      }.mkString("{", ",", "}")
+      val sp = samples.map { case (k, rs) =>
+        s"${q(k)}:${rs.map(r => ms(r.steal)).mkString("[", ",", "]")}"
+      }.mkString("{", ",", "}")
+      // run-level scalar is "max_load_run" here too — in the full
+      // contract line `max_load` names the PER-QUERY top-20 map, and a
+      // key must mean one type across all three bench artifacts
       val body =
         (s"""{"reps":$reps,"extra_above_sec":$extraAbove,""" +
           s""""extra_reps":$extraReps,"sf":${q(sfDir)},""" +
           s""""total":${ms(total)},"total_min":${ms(totalMin)},""" +
-          s""""mean_load":${ms(meanLoad)},"max_load":${ms(maxLoad)},""" +
-          s""""samples":$ss,"loadavg":$ls}""").getBytes("UTF-8")
+          s""""mean_load":${ms(meanLoad)},"max_load_run":${ms(maxLoad)},""" +
+          s""""mean_util":${ms(meanUtil)},"mean_steal":${ms(meanSteal)},""" +
+          s""""samples":$ss,"loadavg":$ls,""" +
+          s""""cpu_util":$us,"steal_pct":$sp}""").getBytes("UTF-8")
       java.nio.file.Files.write(
         java.nio.file.Paths.get(sys.env.getOrElse(
           "SPARK_GRAFT_BENCH_SAMPLES", "bench_samples.json")), body): Unit

@@ -72,8 +72,9 @@ object Streams {
     * the read side), so the conf is honored without any explicit call.
     */
   def configureStateStore(spark: SparkSession): String = {
+    val graftConf = spark.conf.getOption("graft.streaming.stateStore")
     val provider =
-      spark.conf.get("graft.streaming.stateStore", "hdfs") match {
+      graftConf.getOrElse("hdfs") match {
         case "hdfs" => "org.apache.spark.sql.execution.streaming.state" +
           ".HDFSBackedStateStoreProvider"
         case "rocksdb" => "org.apache.spark.sql.execution.streaming.state" +
@@ -81,9 +82,19 @@ object Streams {
         case other => throw new IllegalArgumentException(
           s"graft.streaming.stateStore=$other (expected hdfs|rocksdb)")
       }
-    spark.conf.set(
-      "spark.sql.streaming.stateStore.providerClass", provider)
-    provider
+    val nativeKey = "spark.sql.streaming.stateStore.providerClass"
+    // A deployment may select the provider through Spark's NATIVE conf
+    // alone (rocksdb, or a custom provider class) without ever setting
+    // the graft conf. Since the start paths call this unconditionally
+    // (default-on, r15), an unconditional overwrite would silently
+    // reset such a session to the graft DEFAULT (in-memory HDFSBacked)
+    // on every query start — the exact silent-wrong-provider failure
+    // the seam exists to prevent, inflicted on native-conf users. So:
+    // the graft conf wins only when EXPLICITLY set; otherwise a native
+    // value that differs from the resolved default is respected as-is.
+    val native = spark.conf.get(nativeKey, provider)
+    if (graftConf.isEmpty && native != provider) native
+    else { spark.conf.set(nativeKey, provider); provider }
   }
 
   /** The START seam — `.start()` with the state-store conf honored by

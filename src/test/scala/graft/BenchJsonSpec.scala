@@ -17,18 +17,35 @@ class BenchJsonSpec extends AnyFunSuite {
       : com.fasterxml.jackson.databind.JsonNode =
     om.readTree(s"{$fragment}")
 
-  test("recheck entry: successful rerun parses with both rerun fields") {
-    val n = parse(Bench.recheckJson("q\"1", 1.234, 0.5, Right((0.456, "2.5"))))
-      .get("q\"1")
+  test("recheck entry: successful rerun parses with rerun + window fields") {
+    val n = parse(Bench.recheckJson("q\"1", 1.234, 0.5,
+      Right(Bench.Rep(0.456, "2.5", 0.52, 0.1)), 0.55)).get("q\"1")
     assert(n.get("median").asDouble() == 1.23)
     assert(n.get("floor").asDouble() == 0.5)
     assert(n.get("rerun").asDouble() == 0.46)
     assert(n.get("rerun_load").asText() == "2.5")
+    assert(n.get("rerun_util").asDouble() == 0.52)
+    assert(n.get("rerun_steal").asDouble() == 0.1)
+    assert(n.get("window").asText() == "quiet")
+  }
+
+  test("recheck entry: hot-window rerun annotates itself (r16 task 4)") {
+    // the judge-r15 scenario: a same-window rerun came back WORSE
+    // (8.51 → 12.02 vs floor 2.05) and shipped as if it were
+    // confirmation — with the rerun's util at a third of the entry's
+    // in-run baseline the entry must carry window:"hot"
+    val n = parse(Bench.recheckJson("q1", 8.51, 2.05,
+      Right(Bench.Rep(12.02, "4.0", 0.18, 0.2)), 0.55)).get("q1")
+    assert(n.get("window").asText() == "hot")
+    // steal alone classifies hot even when util looks clean
+    val s = parse(Bench.recheckJson("q1", 8.51, 2.05,
+      Right(Bench.Rep(12.02, "4.0", 0.55, 7.5)), 0.55)).get("q1")
+    assert(s.get("window").asText() == "hot")
   }
 
   test("recheck entry: failed rerun ships rerun:null + rerun_err") {
     val n = parse(Bench.recheckJson("q1", 1.0, 0.4,
-      Left("""boom "quoted" \ and control""" + "\n"))).get("q1")
+      Left("""boom "quoted" \ and control""" + "\n"), 0.5)).get("q1")
     assert(n.get("rerun").isNull,
       "a failed confirming rerun must ship as null, not vanish")
     assert(n.get("rerun_err").asText().startsWith("boom \"quoted\""))
@@ -36,14 +53,63 @@ class BenchJsonSpec extends AnyFunSuite {
 
   test("regressed entry: min rides along; failed rerun still parses") {
     val ok = parse(Bench.regressedJson("a", 2.0, 0.9, 1.9,
-      Right((0.95, "1.1")))).get("a")
+      Right(Bench.Rep(0.95, "1.1", 0.4, 0.0)), 0.42)).get("a")
     assert(ok.get("min").asDouble() == 1.9)
     assert(ok.get("rerun").asDouble() == 0.95)
+    assert(ok.get("window").asText() == "quiet")
     val ko = parse(Bench.regressedJson("a", 2.0, 0.9, 1.9,
-      Left("kaput"))).get("a")
+      Left("kaput"), 0.42)).get("a")
     assert(ko.get("min").asDouble() == 1.9)
     assert(ko.get("rerun").isNull)
     assert(ko.get("rerun_err").asText() == "kaput")
+  }
+
+  test("windowClass: steal or a util drop vs baseline is hot; no " +
+    "probes is unknown, never a false quiet") {
+    // quiet: probes present and clean
+    assert(Bench.windowClass(0.5, 0.55, 0.2) == "quiet")
+    // hypervisor steal past the calibrated bound is hot outright
+    assert(Bench.windowClass(0.5, 0.55, Bench.HotStealPct) == "hot")
+    // util well under the SAME entry's in-run baseline is hot — the
+    // ratio form is query-shape-free (a serial-phase entry has low
+    // absolute util in every window)
+    assert(Bench.windowClass(0.2, 0.55, 0.0) == "hot")
+    // no baseline → util can't classify alone; steal still can
+    assert(Bench.windowClass(0.2, -1.0, 0.0) == "quiet")
+    // both probes unavailable → unknown (an artifact reader must not
+    // mistake a probe-less platform for a measured-quiet window)
+    assert(Bench.windowClass(-1.0, 0.5, -1.0) == "unknown")
+    assert(Bench.windowClass(-1.0, -1.0, 9.9) == "hot")
+  }
+
+  test("utilOf / stealPctOf: bracketing math and unavailable-probe " +
+    "sentinels") {
+    // 2 cores, 1s wall, 1.5s of JVM CPU → 75% of the machine
+    assert(Bench.utilOf(0L, 1500000000L, 1000000000L, 2) == 0.75)
+    assert(Bench.utilOf(-1L, 10L, 1000000000L, 2) == -1.0)
+    assert(Bench.utilOf(0L, 10L, 0L, 2) == -1.0)
+    // 50 steal ticks over 1000 elapsed → 5%
+    assert(Bench.stealPctOf((100L, 10000L), (150L, 11000L)) == 5.0)
+    assert(Bench.stealPctOf((-1L, -1L), (150L, 11000L)) == -1.0)
+    assert(Bench.stealPctOf((100L, 10000L), (100L, 10000L)) == -1.0)
+  }
+
+  test("probes read on this platform: procCpuNs advances, cpuStat " +
+    "has monotone totals") {
+    // the real /proc/stat + MX-bean path (Linux CI): burning a little
+    // CPU must advance process CPU time, and total ticks never regress
+    val c0 = Bench.procCpuNs()
+    val s0 = Bench.cpuStat()
+    var x = 0L
+    (1 to 20000000).foreach(i => x += i)
+    assert(x > 0)
+    val c1 = Bench.procCpuNs()
+    val s1 = Bench.cpuStat()
+    if (c0 >= 0) assert(c1 > c0, "process CPU time did not advance")
+    if (s0._1 >= 0) {
+      assert(s1._2 >= s0._2, "total ticks regressed")
+      assert(s0._1 >= 0 && s1._1 >= s0._1, "steal ticks regressed")
+    }
   }
 
   test("bench_floors.json: parses, every key is a live query, floors " +

@@ -331,6 +331,31 @@ class ConfKnobsSpec extends SparkSpecBase {
       "rateEvents did not resolve the state-store conf at source build")
   }
 
+  test("state-store seam respects a NATIVELY configured provider when " +
+    "graft.streaming.stateStore is unset (r16 advice fix)") {
+    // the default-on seam runs on every public start path; before r16
+    // it overwrote spark.sql.streaming.stateStore.providerClass with
+    // the graft-conf-derived default unconditionally — a deployment
+    // that selected rocksdb (or a custom provider) through Spark's
+    // native conf ALONE got silently reset to the in-memory provider
+    // on every query start, the exact failure the seam exists to stop
+    import graft.streaming.Streams
+    val ProviderKey = "spark.sql.streaming.stateStore.providerClass"
+    val Rocks = "org.apache.spark.sql.execution.streaming.state" +
+      ".RocksDBStateStoreProvider"
+    val sess = spark.newSession()
+    sess.conf.set(ProviderKey, Rocks) // native conf only, no graft conf
+    assert(Streams.configureStateStore(sess) == Rocks,
+      "seam must report the respected native provider")
+    assert(sess.conf.get(ProviderKey) == Rocks,
+      "default-on start path reset a natively configured provider")
+    // an EXPLICIT graft conf still wins over the native value (the
+    // graft conf is the documented override knob)
+    sess.conf.set("graft.streaming.stateStore", "hdfs")
+    assert(Streams.configureStateStore(sess).contains("HDFSBacked"))
+    assert(sess.conf.get(ProviderKey).contains("HDFSBacked"))
+  }
+
   test("shuffle rank-buckets knob: ranks identical at any bucketing") {
     val base = Curation.queries("llm_shuffle_assign")(spark, Sf)
       .collect().map(r => r.getLong(0) ->

@@ -119,6 +119,78 @@ class MaterializeSpec extends SparkSpecBase {
     assert(Materialize.sessionTruncating(viaConf) eq Materialize.Local)
   }
 
+  test("isCheckpointLoss matches the REAL lost-block failure and walks " +
+    "cause chains; unrelated failures do not match") {
+    // the real thing: a localCheckpoint whose blocks are gone serves
+    // the same failure class an executor kill produces
+    // (CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND — the r15 matrix's recorded
+    // local/disk outcome)
+    val ck = Materialize.Local(
+      spark.range(100).toDF("id").select(col("id"), (col("id") + 1).as("v")))
+    rootRdd(ck).unpersist(blocking = true)
+    val e = intercept[Exception](ck.count())
+    assert(Materialize.isCheckpointLoss(e),
+      s"real lost-block failure unmatched: ${e.getMessage}")
+    // cause-chain walking: Spark wraps task failures in job-abort layers
+    assert(Materialize.isCheckpointLoss(new RuntimeException("outer",
+      new RuntimeException("Checkpoint block rdd_9_1 not found! ..."))))
+    assert(Materialize.isCheckpointLoss(
+      new RuntimeException("CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND: gone")))
+    // a rebuild must never mask a real bug
+    assert(!Materialize.isCheckpointLoss(new RuntimeException("boom")))
+    assert(!Materialize.isCheckpointLoss(
+      new RuntimeException("block rdd_1_0 misplaced")))
+  }
+
+  test("recovering: checkpoint loss invalidates the session's caches " +
+    "and rebuilds ONCE; other failures and double loss propagate") {
+    val cache = new SessionCache[String, java.lang.Integer](_ => ())
+    cache.getOrBuild(spark, "k")(42): Unit
+    assert(cache.size == 1)
+    var calls = 0
+    var rebuilds = 0
+    val got = Materialize.recovering(spark, _ => rebuilds += 1) {
+      calls += 1
+      if (calls == 1) throw new RuntimeException("job aborted",
+        new RuntimeException("Checkpoint block rdd_7_0 not found! ..."))
+      "served"
+    }
+    assert(got == "served" && calls == 2 && rebuilds == 1)
+    assert(cache.size == 0,
+      "recovery must drop the session's cached artifacts before rebuild")
+    // a NON-matching failure propagates without touching the caches
+    cache.getOrBuild(spark, "k2")(7): Unit
+    intercept[RuntimeException](
+      Materialize.recovering(spark)(throw new RuntimeException("boom")))
+    assert(cache.size == 1,
+      "an unrelated failure must not invalidate cached artifacts")
+    // a SECOND checkpoint loss propagates — one rebuild is the
+    // contract, not a retry loop (executors actively dying must fail
+    // loudly, not spin)
+    var n = 0
+    val e2 = intercept[RuntimeException](Materialize.recovering(spark) {
+      n += 1
+      throw new RuntimeException("Checkpoint block rdd_1_0 not found!")
+    })
+    assert(n == 2 && Materialize.isCheckpointLoss(e2))
+    cache.invalidate(spark, _ => true)
+  }
+
+  test("GraftBlockBridge: block-location lookup runs against a live " +
+    "session and excludes driver-held blocks") {
+    // local-mode pin for the faultproof targeting seam: a persisted
+    // DF's blocks live on the DRIVER block manager here, and the
+    // bridge must exclude it (killing the driver is not the scenario)
+    // rather than throw — on local-cluster the same call returns the
+    // executor ids FaultProof prefers as kill victims
+    val df = spark.range(50).toDF("id")
+    df.persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+    df.count(): Unit
+    assert(org.apache.spark.GraftBlockBridge
+      .executorsHoldingRddBlocks(spark.sparkContext).isEmpty)
+    df.unpersist(blocking = true): Unit
+  }
+
   test("requireTruncating resolves the Session sentinel at ENTRY, " +
     "mapping a disk conf to a truncating cut") {
     // the r14 hazard: Session passed to an iterative form slipped the

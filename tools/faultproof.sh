@@ -1,15 +1,19 @@
 #!/usr/bin/env bash
 # Executor-loss fault-tolerance proof for graft.materialize (see
-# graft.FaultProof scaladoc and BASELINE.md "Round-14 executor-loss
-# proof"): runs the kill-an-executor scenario on a multi-JVM
+# graft.FaultProof scaladoc and BASELINE.md "Round-16 executor-loss
+# recovery"): runs the kill-an-executor scenario on a multi-JVM
 # local-cluster under all three conf values and expects
-#   reliable -> serve survives, hashes identical (exit 0)
-#   local    -> serve fails with CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND (exit 0,
-#               the failure IS the expected outcome)
-#   disk     -> serve fails the same way (exit 0): the iterative
-#               family's cuts map disk to Local (sessionTruncating), so
-#               the rank cache dies with its executor — the recorded
-#               reason disk is not the cluster answer
+#   reliable -> serve survives DIRECTLY, hashes identical, rebuilt:false
+#               (checkpoint files outlive the executor)
+#   local    -> raw serve dies with CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND,
+#               then the Materialize.recovering boundary invalidates the
+#               session caches and rebuilds ONCE: hashes identical,
+#               rebuilt:true (r16 — was documented-fail before)
+#   disk     -> same recover-after-rebuild path: the iterative family's
+#               cuts map disk to Local (sessionTruncating), so the rank
+#               cache dies with its executor — the recorded reason disk
+#               is not the cluster answer (only reliable serves through
+#               the kill without paying a rebuild)
 # Usage: tools/faultproof.sh [sfDir]   (default /root/testdata/sf0.01)
 set -u
 SF="${1:-/root/testdata/sf0.01}"
