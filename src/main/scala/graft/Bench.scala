@@ -122,9 +122,10 @@ object Bench {
     * entry's in-run rep utilization classifies hot: the ratio is
     * query-shape-free (an entry with single-threaded phases has low
     * util in EVERY window — only the drop vs its own baseline says the
-    * host got hotter). Calibrated: the deliberate-load A/B measured
-    * 0.33–0.55× quiet-window util on identical work; quiet-vs-quiet
-    * rerun jitter stays above 0.8×.
+    * host got hotter). Calibrated (BASELINE.md "Round-16 window
+    * probes"): the deliberate-load A/B measured 0.33–0.50× quiet-window
+    * util on identical work at 1.8–3.3× wall stretch; mild
+    * sub-regression load (1.2× wall) stays at 0.92×.
     */
   private[graft] val HotUtilFrac = 0.65
 
