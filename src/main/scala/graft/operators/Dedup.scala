@@ -201,7 +201,27 @@ object Dedup {
       outA: String, outB: String, minJ: Double): DataFrame = {
     val inter = size(array_intersect(col("A.s"), col("B.s")))
     val union = size(col("A.s")) + size(col("B.s")) - inter
-    cand
+    // Pin the candidate side's parallelism EXPLICITLY (an explicit
+    // numPartitions repartition is exempt from AQE coalescing): a
+    // candidate row is byte-tiny (two ids), so AQE's byte-based
+    // coalescer folds the post-distinct exchange down to 1-2
+    // partitions — but once the shingle arrays join in, each row
+    // carries O(|shingle set|) array_intersect work, and that compute
+    // then runs 1-2-way no matter how many cores the cluster has. The
+    // r16 scaling study measured exactly this: the sf1 minhash serve
+    // spent 10.1 s of executor time in a 2-task stage (cpu_util 0.08
+    // on 32 cores) and scaled at exponent ~1.5, vs ~1.0 after the pin.
+    // Byte heuristics cannot see compute-per-row; joins whose cost
+    // lives in the verify expression must size their own parallelism.
+    // Partitioned on da ALONE deliberately: candidate generators
+    // upstream dedup by (da, db), and a repartition whose partitioning
+    // equals its child's (da, db) hash layout is elided as redundant —
+    // the pin must differ from the child to survive planning (and da
+    // matches the first verify join's key, the layout a sort-merge
+    // fallback would want when shA outgrows the broadcast threshold).
+    val n = cand.sparkSession.conf
+      .get("spark.sql.shuffle.partitions", "200").toInt
+    cand.repartition(n, col("da"))
       .join(shA.as("A"), col("da") === col("A.doc_id"))
       .join(shB.as("B"), col("db") === col("B.doc_id"))
       .select(col("da").as(outA), col("db").as(outB),
