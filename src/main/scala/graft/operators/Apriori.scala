@@ -98,13 +98,19 @@ object Apriori {
     val li = Tables(spark, dir, "lineitem")
       .select("l_orderkey", "l_linenumber", "l_partkey")
     val part = Tables(spark, dir, "part").select("p_partkey", "p_brand")
+    // ONE aggregation, not the former (l_orderkey, p_brand) min-ln agg
+    // cascaded into a per-order collect (two differently-keyed
+    // Exchanges): sorting the (ln, brand) pairs and keeping each
+    // brand's FIRST occurrence (array_distinct preserves first-
+    // appearance order) yields exactly the (min ln, ties lexical)
+    // order — brand a precedes b iff its earliest struct (min_ln_a, a)
+    // sorts before (min_ln_b, b), which is the documented key.
     li.join(part, li("l_partkey") === part("p_partkey"))
-      .groupBy(col("l_orderkey"), col("p_brand"))
-      .agg(min(col("l_linenumber")).as("ln"))
       .groupBy("l_orderkey")
-      .agg(transform(
-        array_sort(collect_list(struct(col("ln"), col("p_brand")))),
-        s => s.getField("p_brand")).as("items"))
+      .agg(array_distinct(transform(
+        array_sort(collect_list(
+          struct(col("l_linenumber").as("ln"), col("p_brand")))),
+        s => s.getField("p_brand"))).as("items"))
   }
 
   // ---- DataFrame-parameterized API -------------------------------------
@@ -310,8 +316,16 @@ object Apriori {
     */
   def itemsetSupports(spark: SparkSession, dir: String): DataFrame =
     supportsCache.getOrBuild(spark, dir)(
-      itemsetSupportsUncached(spark, dir)
-        .where(col("cnt") >= Support).persist())
+      graft.Materialize.session(spark)(
+        itemsetSupportsUncached(spark, dir)
+          .where(col("cnt") >= Support)))
+  // checkpointed row blocks, not persist(): the dominant consumers are
+  // the rules entries' typed antecedent kernel (reads ROWS — scanning
+  // the columnar SQL cache deserializes per consumer; the Dedup index
+  // cache measured 2-4× slower on exactly this shape) and two broadcast
+  // builds per rules invocation, which also read the table as rows.
+  // Same session-lifetime contract as before; Materialize.release
+  // reclaims either representation.
 
   /** Support of every subset (size ≥ 1, canonical sorted) of each basket's
     * frequent items: cnt(X) = #baskets ⊇ X. Monotonicity makes the per-item

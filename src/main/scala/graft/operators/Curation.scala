@@ -1384,9 +1384,17 @@ object Curation {
     * most one division, so every cell sits behind the hash gate.
     */
   def corpusCard(spark: SparkSession, dir: String): DataFrame = {
+    // the narrow (lang, source, n_tok) projection is cut ONCE: four
+    // downstream passes read it (volume, language shares, the total,
+    // and the quantile selection's bucket+probe passes) — lazily each
+    // re-scanned and re-tokenized the documents table (r16 plan audit:
+    // 21 Exchanges, 4 text scans per invocation). ~tens of bytes per
+    // doc vs KBs of text per scan, a win at any scale for this
+    // reporting shape.
     val base = Tables(spark, dir, "documents")
       .select(col("lang"), col("source"),
         expr("cast(size(split(text, ' ')) as bigint)").as("n_tok"))
+      .localCheckpoint()
     val vol = base
       .agg(count(lit(1)).cast("double").as("nd"),
         sum(col("n_tok")).cast("double").as("nt"),

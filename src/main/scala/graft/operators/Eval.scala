@@ -158,14 +158,39 @@ FROM tot LEFT JOIN mt USING (n)"""
   def evalEditDistance(spark: SparkSession, dir: String): DataFrame =
     evalEditDistanceOf(hypRef(docs(spark, dir)))
 
+  /** Token slice bound for [[evalEditDistanceOf]]'s operands: the first
+    * [[EditCap]] CHARS of either joined string draw on at most this many
+    * leading tokens. Proof: k joined tokens span ≥ k − 1 chars
+    * (separators alone, even for empty tokens), so 201 r-tokens always
+    * cover the reference cap; the hypothesis keeps ≥ k − ⌊k/7⌋ of the
+    * first k positions, so 235 r-tokens give ≥ 202 h-tokens ≥ 201
+    * chars. 256 covers both with margin; a shorter document slices to
+    * itself. Slicing BEFORE the join/cap makes the row-local prep
+    * O(cap), not O(document).
+    */
+  private val EditSliceTokens = 256
+
   def evalEditDistanceOf(pairs: DataFrame): DataFrame = {
-    val hs = substring(array_join(col("h"), " "), 1, EditCap)
-    val rs = substring(array_join(col("r"), " "), 1, EditCap)
-    val lev = levenshtein(hs, rs)
-    val mx = greatest(length(hs), length(rs))
+    val hs = substring(
+      array_join(slice(col("h"), 1, EditSliceTokens), " "), 1, EditCap)
+    val rs = substring(
+      array_join(slice(col("r"), 1, EditSliceTokens), " "), 1, EditCap)
+    // The capped operands are ≤ 2·EditCap chars/row while the DP is
+    // O(EditCap²) char-ops/row — compute-bound at ANY scale (guide
+    // §2.5 input-parallelism skew / §8 "move heavy compute behind a
+    // cheap shuffle of light rows"): a single-row-group input runs the
+    // whole corpus's DP in one scan task otherwise (r16 measured the
+    // fixture scan at exactly 1 task, 1.74 s single-threaded).
+    // Explicit numPartitions — exempt from AQE byte-based coalescing,
+    // which cannot see compute-per-row (the jaccardVerify precedent).
+    val n = pairs.sparkSession.conf
+      .get("spark.sql.shuffle.partitions", "200").toInt
+    val capped = pairs.select(hs.as("hs"), rs.as("rs")).repartition(n)
+    val lev = levenshtein(col("hs"), col("rs"))
+    val mx = greatest(length(col("hs")), length(col("rs")))
     val norm = when(mx === 0, lit(0.0))
       .otherwise(lev.cast("double") / mx.cast("double"))
-    pairs
+    capped
       .select(lev.cast("long").as("lev"),
         least(lit(EditBuckets.toLong - 1),
           floor(norm * EditBuckets).cast("long")).as("bucket"))

@@ -31,6 +31,8 @@ class MaterializeLintSpec extends AnyFunSuite {
     *    [[Materialize.session]] (the artifacts a session SERVES ride
     *    the conf seam; these are its build scaffolding).
     *  - Bitext (1): the bounded mining-batch shortlist, per call.
+    *  - Curation (1): the corpus card's narrow (lang, source, n_tok)
+    *    projection — four report passes read it within the call (r16).
     *  - Dedup (1): the recall audit's exact reference pair set —
     *    audit-only, per call.
     *  - Multimodal (1): the per-call frame-sample staging cut.
@@ -42,6 +44,7 @@ class MaterializeLintSpec extends AnyFunSuite {
     "src/main/scala/graft/Materialize.scala" -> 1,
     "src/main/scala/graft/operators/Apriori.scala" -> 3,
     "src/main/scala/graft/operators/Bitext.scala" -> 1,
+    "src/main/scala/graft/operators/Curation.scala" -> 1,
     "src/main/scala/graft/operators/Dedup.scala" -> 1,
     "src/main/scala/graft/operators/Multimodal.scala" -> 1,
     "src/main/scala/graft/operators/Similarity.scala" -> 2,
