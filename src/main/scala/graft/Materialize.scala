@@ -103,6 +103,31 @@ object Materialize {
     * [[Local]]: on executor loss the query retries and rebuilds them,
     * nothing outlives the call.
     */
+  /** Repartition a to-be-cached serving table up to the session's
+    * shuffle parallelism IF its plan is narrower — the r16 fix for
+    * single-split inputs: a checkpoint PRESERVES its child's
+    * partitioning, and an index built narrow from a one-row-group
+    * parquet scan (every fixture table) serves every later query
+    * 1-task-wide no matter how many cores exist. Conditional on the
+    * actual planned width, so at warehouse scale (inputs already wider
+    * than the conf) it is a no-op — never a forced reshuffle of a wide
+    * index. Explicit numPartitions keeps AQE's byte-based coalescer
+    * from folding it back (compute-per-row is invisible to byte
+    * heuristics — the jaccardVerify precedent). Build-time only: call
+    * it on the DataFrame handed to a session cache's cut, never on a
+    * per-query path.
+    */
+  def widen(df: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val n = df.sparkSession.conf
+      .get("spark.sql.shuffle.partitions", "200").toInt
+    if (df.rdd.getNumPartitions >= n) df
+    // round-robin with the default sort-before-repartition: retried
+    // map tasks reproduce the same row→partition assignment (the
+    // SPARK-23207 determinism contract the guide's §2.5 leans on)
+    else df.repartition(n)
+  }
+
   def session(spark: org.apache.spark.sql.SparkSession): Strategy =
     spark.conf.get("graft.materialize", "local") match {
       case "local" => Local

@@ -106,7 +106,8 @@ object Dedup {
     new graft.SessionCache[(String, String), DataFrame](
       graft.Materialize.release)
 
-  private def cachedIdx(spark: SparkSession, dir: String, kind: String)(
+  private def cachedIdx(spark: SparkSession, dir: String, kind: String,
+      widen: Boolean = false)(
       build: => DataFrame): DataFrame =
     // checkpoint, not persist(): the typed kernels and self-joins
     // re-read these tables as ROWS, and scanning the columnar SQL cache
@@ -116,8 +117,16 @@ object Dedup {
     // JVM, reliable on a cluster; [[Materialize.session]]). (Nested
     // builds — bands3 derives from sh3 — are why [[graft.SessionCache]]
     // is get+putIfAbsent, never computeIfAbsent.)
+    // `widen = true` repartitions the build up to the session shuffle
+    // parallelism before the cut — ONLY for indexes whose serve-side
+    // per-row compute dominates task overhead (the bow vectors: exact
+    // 256-dim cosine per candidate). r16 measured the blanket version
+    // NEGATIVE on the cheap serves (minhash/ngram candidate maps are
+    // trivial per row; 32 tasks of scheduling overhead beat 1 task of
+    // work) and 2x POSITIVE on bow — see [[graft.Materialize.widen]].
     indexCache.getOrBuild(spark, (dir, kind))(
-      graft.Materialize.session(spark)(build))
+      graft.Materialize.session(spark)(
+        if (widen) graft.Materialize.widen(build) else build))
 
   /** Drop cached dedup indexes (a (session, dir) pair, a whole session
     * with `dir = null`, or everything). [[graft.Materialize.release]]
@@ -683,7 +692,7 @@ object Dedup {
     * vector-space dedup out — no external embedding model needed.
     */
   def bowCosine(spark: SparkSession, dir: String): DataFrame =
-    bowFrom(cachedIdx(spark, dir, "bowvecs")(
+    bowFrom(cachedIdx(spark, dir, "bowvecs", widen = true)(
       bowVecKernel(docs(spark, dir))))
 
   def bowCosineOf(corpus: DataFrame,
