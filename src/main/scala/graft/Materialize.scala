@@ -113,9 +113,11 @@ object Materialize {
     * than the conf) it is a no-op — never a forced reshuffle of a wide
     * index. Explicit numPartitions keeps AQE's byte-based coalescer
     * from folding it back (compute-per-row is invisible to byte
-    * heuristics — the jaccardVerify precedent). Build-time only: call
-    * it on the DataFrame handed to a session cache's cut, never on a
-    * per-query path.
+    * heuristics — the jaccardVerify precedent). Intended for tables
+    * whose DOWNSTREAM per-row work dominates task overhead: session
+    * cache builds, and per-query pre-explode/pre-kernel staging (the
+    * spanAlign posting build); the width check plans the subtree once
+    * (~ms), the repartition itself only fires on narrow plans.
     */
   def widen(df: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {

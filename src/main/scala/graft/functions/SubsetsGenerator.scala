@@ -41,17 +41,27 @@ case class SubsetsGenerator(child: Expression)
 
   override def prettyName: String = "graft_subsets"
 
+  /** Space separator, built once (the key join below is byte-level). */
+  private val Space = UTF8String.fromString(" ")
+
   override def eval(input: InternalRow): IterableOnce[InternalRow] = {
     val data = child.eval(input)
     if (data == null) Iterator.empty
     else {
       val arr = data.asInstanceOf[ArrayData]
-      val items = Array.tabulate(arr.numElements())(
-        i => arr.getUTF8String(i).toString).toSeq
+      // stay in UTF8String space end-to-end (r16): the 2^k fan-out
+      // means the per-SUBSET cost dominates — the former
+      // toString-per-item + mkString + fromString path paid a UTF-8
+      // decode per item per row and an ENCODE per subset; concatWs is
+      // a byte copy
+      val items =
+        Array.tabulate(arr.numElements())(i => arr.getUTF8String(i))
       (1 to items.length).iterator
-        .flatMap(k => items.combinations(k))
-        .map(c => InternalRow(
-          UTF8String.fromString(c.mkString(" ")), c.length))
+        .flatMap(k => items.indices.combinations(k))
+        .map { idx =>
+          InternalRow(
+            UTF8String.concatWs(Space, idx.map(items): _*), idx.length)
+        }
     }
   }
 

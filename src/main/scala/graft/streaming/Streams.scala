@@ -456,8 +456,18 @@ object Streams {
       bs.foldLeft(lit(1L)) { (acc, b) =>
         acc + when(c > lit(b), 1L).otherwise(0L)
       }
-    val (rb, fb, mb) = (bounds("recency_us"), bounds("n_events"),
-      bounds("sum_value"))
+    // the three quantile selections are independent multi-job chains
+    // over the SAME cut |users|-row table — overlap them (guide §2.6:
+    // actions are only sequential because the driver calls them
+    // sequentially); wall drops from 3 chains to ~1
+    val Seq(rb, fb, mb) = {
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.ExecutionContext.Implicits.global
+      Await.result(
+        Future.sequence(Seq("recency_us", "n_events", "sum_value")
+          .map(c => Future(bounds(c)))),
+        scala.concurrent.duration.Duration.Inf)
+    }
     base.select(col("user_id"), col("recency_us"), col("n_events"),
         col("sum_value"),
         score(col("recency_us").cast("double"), rb).as("r_q"),
