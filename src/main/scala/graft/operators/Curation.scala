@@ -1456,23 +1456,35 @@ object Curation {
     * sides broadcast; the corpus-sized gate columns co-partition on the
     * key), output one row per doc.
     */
+  /** The four text-gate verdict columns joined onto the doc key, as a
+    * session artifact: each gate is a full tokenize pass over the
+    * corpus, and a pipeline materializes the verdicts once per
+    * snapshot rather than re-running four text scans per downstream
+    * read (the gate_report discipline, one level lower).
+    */
+  private def gateCols(spark: SparkSession, dir: String): DataFrame =
+    keptCache.getOrBuild(spark, (dir, "gate_cols"))(
+      graft.Materialize.session(spark) {
+        val d = Tables(spark, dir, "documents").select("doc_id", "source")
+        val q = TextOps.qualityScore(spark, dir)
+          .select(col("doc_id"), col("quality_pass"))
+        val rep = TextOps.repNgrams(spark, dir)
+          .select(col("doc_id"), col("rep_pass"))
+        val bad = TextOps.badwords(spark, dir)
+          .select(col("doc_id"), col("badwords_pass"))
+        val en = TextOps.langId(spark, dir)
+          .select(col("doc_id"), (col("lang_pred") === "en").as("is_en"))
+        d.join(q, Seq("doc_id")).join(rep, Seq("doc_id"))
+          .join(bad, Seq("doc_id")).join(en, Seq("doc_id"))
+      })
+
   def curateAudit(spark: SparkSession, dir: String): DataFrame = {
-    val d = Tables(spark, dir, "documents").select("doc_id", "source")
-    val q = TextOps.qualityScore(spark, dir)
-      .select(col("doc_id"), col("quality_pass"))
-    val rep = TextOps.repNgrams(spark, dir)
-      .select(col("doc_id"), col("rep_pass"))
-    val bad = TextOps.badwords(spark, dir)
-      .select(col("doc_id"), col("badwords_pass"))
-    val en = TextOps.langId(spark, dir)
-      .select(col("doc_id"), (col("lang_pred") === "en").as("is_en"))
     val cl = Contamination.decontaminate(spark, dir)
       .select(col("doc_id"), (!col("contaminated")).as("clean0"))
     val dup = Dedup.minhashLsh(spark, dir)
       .select(col("doc_b").as("doc_id")).distinct()
       .withColumn("is_dup", lit(true))
-    d.join(q, Seq("doc_id")).join(rep, Seq("doc_id"))
-      .join(bad, Seq("doc_id")).join(en, Seq("doc_id"))
+    gateCols(spark, dir)
       .join(cl, Seq("doc_id"), "left")
       .join(dup, Seq("doc_id"), "left")
       .select(col("doc_id"), col("source"), col("quality_pass"),
