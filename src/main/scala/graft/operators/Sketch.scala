@@ -318,13 +318,22 @@ object Sketch {
           col("l_orderkey").cast("string").as("word"))))
 
   def distinctHllOf(words: DataFrame): DataFrame = {
-    val perSrc = hllRegisters(words)
+    // dedupe (scope, word) ONCE and feed every consumer: HLL registers
+    // are max-aggregates of a per-word hash (duplicate-insensitive), and
+    // both exact sides are count-distincts — so the four corpus-token
+    // passes collapse to one partial-aggregated distinct exchange plus
+    // three vocabulary-scale aggregates (dedupe-early; at scale the
+    // only form whose downstream shuffles are bounded by vocabulary,
+    // not corpus tokens). Values are bit-identical by construction.
+    val dw = words.distinct()
+    val perSrc = hllRegisters(dw)
     val merged = perSrc.groupBy("j").agg(max(col("M")).as("M"))
       .select(lit("ALL").as("scope"), col("j"), col("M"))
     val est = hllEstimates(perSrc.unionByName(merged))
-    val exact = words.groupBy("scope")
-      .agg(countDistinct(col("word")).as("n_exact"))
-      .unionByName(words.agg(countDistinct(col("word")).as("n_exact"))
+    val exact = dw.groupBy("scope")
+      .agg(count(lit(1)).as("n_exact"))
+      .unionByName(dw.select("word").distinct()
+        .agg(count(lit(1)).as("n_exact"))
         .select(lit("ALL").as("scope"), col("n_exact")))
     exact.join(est, Seq("scope"))
       .select(col("scope"), col("n_exact"), col("n_est"),

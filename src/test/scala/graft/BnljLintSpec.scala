@@ -30,7 +30,9 @@ class BnljLintSpec extends SparkSpecBase {
     * catalog-/constant-sized table; all BuildRight).
     */
   private val Pinned: Map[String, Int] = Map(
-    "apriori_freq_itemsets_txorder" -> 1,
+    // apriori_freq_itemsets_txorder un-pinned r16: its freqset
+    // scalar-attach crossJoin moved into the session basket-cache
+    // BUILD; the serve plan reads the checkpointed baskets directly
     "apriori_rules_metrics" -> 1,
     "graph_als_recs" -> 1,
     "graph_rich_club" -> 2,
