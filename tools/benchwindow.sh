@@ -28,8 +28,8 @@ SF="${1:-/root/testdata/sf0.1}"
 JAR="target/scala-2.13/mapreduce_codespark_2.13-0.1.0.jar"
 [ -f "$JAR" ] || { echo "run 'sbt package' first"; exit 2; }
 SET="apriori_freq_itemsets_txorder,rel_rank_movers,llm_dedup_ngram"
-QUIET_TOTAL=7.38   # calibrated quiet-window total (sec) for SET at sf0.1
-QUIET_UTIL=0.12    # calibrated quiet-window mean_util for SET at sf0.1
+QUIET_TOTAL=3.28   # calibrated quiet-window total (sec) for SET at sf0.1 (r16-opt: the round-16 optimizations cut the probe set >2x; old ref 7.38)
+QUIET_UTIL=0.15    # calibrated quiet-window mean_util for SET at sf0.1 (r16-opt)
 
 # Same JVM shape as the sbt-forked gate bench (build.sbt javaOptions):
 # JDK17 module opens + 8g heap, master local[32] via SPARK_GRAFT_CPUS.
