@@ -63,6 +63,18 @@ object Bench {
     s"""${q(k)}:{"median":${ms(med)},"floor":${ms(f)},""" +
       s""""min":${ms(mn)},""" + rerunJson(r, refUtil) + "}"
 
+  /** The `warmup_sec` JSON object of bench_samples.json: per-entry
+    * UNTIMED-warmup seconds. Session-cache builds land in the warmup
+    * rep by design (timed reps measure steady-state serves), so this
+    * field is the audit trail for cost MOVED across the warmup
+    * boundary vs eliminated (r16 VERDICT item 6). Pinned by
+    * BenchJsonSpec.
+    */
+  private[graft] def warmupJson(warmups: Iterable[(String, Double)])
+      : String =
+    warmups.map { case (k, w) => s"${q(k)}:${ms(w)}" }
+      .mkString("{", ",", "}")
+
   /** This JVM's cumulative process CPU time in nanoseconds (-1 when the
     * platform bean doesn't expose it). The delta across a rep, divided
     * by wall × cores, is the work-normalized utilization that actually
@@ -239,6 +251,7 @@ object Bench {
     // Failed reps contribute an error entry, never a timing sample —
     // mixing fast-failing wall times into the median would make an
     // intermittently failing query look fast.
+    val warmups = scala.collection.mutable.LinkedHashMap[String, Double]()
     val samples = picked.map { case (name, fn) =>
       // one UNTIMED warmup run per query: populates the session caches
       // (apriori supports/baskets, dedup indexes) and JITs the query's
@@ -248,6 +261,12 @@ object Bench {
       // silently degraded session corrupting every later timing. A
       // deterministically failing query fails here once and skips its
       // timed reps (no point doubling its wall-clock).
+      // the warmup is TIMED (but never contributes to medians): session
+      // caches move their build cost across this boundary, and without
+      // a recorded number a round could silently shift arbitrary work
+      // into the untimed rep (r16 VERDICT item 6) — warmup_sec in
+      // bench_samples.json makes moved-vs-eliminated cost auditable.
+      val warm0 = System.nanoTime()
       val warmOk =
         try { fn(spark, sfDir).count(); true }
         catch { case scala.util.control.NonFatal(e) =>
@@ -255,6 +274,8 @@ object Bench {
             Option(e.getMessage).getOrElse(e.getClass.getName)
           false
         }
+      val warmSec = (System.nanoTime() - warm0) / 1e9
+      warmups(name) = warmSec
       def rep(): Option[Rep] = {
         val ld = load1()
         val cpu0 = procCpuNs(); val st0 = cpuStat()
@@ -466,6 +487,11 @@ object Bench {
       val sp = samples.map { case (k, rs) =>
         s"${q(k)}:${rs.map(r => ms(r.steal)).mkString("[", ",", "]")}"
       }.mkString("{", ",", "}")
+      // per-entry UNTIMED-warmup seconds (cache builds + first-plan
+      // cost land here; the timed reps measure steady-state serves) —
+      // the r16 VERDICT's auditability fix for the session-cache
+      // warmup boundary. BenchJsonSpec pins the field.
+      val ws = warmupJson(warmups)
       // run-level scalar is "max_load_run" here too — in the full
       // contract line `max_load` names the PER-QUERY top-20 map, and a
       // key must mean one type across all three bench artifacts
@@ -476,7 +502,8 @@ object Bench {
           s""""mean_load":${ms(meanLoad)},"max_load_run":${ms(maxLoad)},""" +
           s""""mean_util":${ms(meanUtil)},"mean_steal":${ms(meanSteal)},""" +
           s""""samples":$ss,"loadavg":$ls,""" +
-          s""""cpu_util":$us,"steal_pct":$sp}""").getBytes("UTF-8")
+          s""""cpu_util":$us,"steal_pct":$sp,"warmup_sec":$ws}""")
+          .getBytes("UTF-8")
       java.nio.file.Files.write(
         java.nio.file.Paths.get(sys.env.getOrElse(
           "SPARK_GRAFT_BENCH_SAMPLES", "bench_samples.json")), body): Unit

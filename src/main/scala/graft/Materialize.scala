@@ -103,31 +103,51 @@ object Materialize {
     * [[Local]]: on executor loss the query retries and rebuilds them,
     * nothing outlives the call.
     */
-  /** Repartition a to-be-cached serving table up to the session's
-    * shuffle parallelism IF its plan is narrower — the r16 fix for
-    * single-split inputs: a checkpoint PRESERVES its child's
-    * partitioning, and an index built narrow from a one-row-group
-    * parquet scan (every fixture table) serves every later query
-    * 1-task-wide no matter how many cores exist. Conditional on the
-    * actual planned width, so at warehouse scale (inputs already wider
-    * than the conf) it is a no-op — never a forced reshuffle of a wide
-    * index. Explicit numPartitions keeps AQE's byte-based coalescer
-    * from folding it back (compute-per-row is invisible to byte
-    * heuristics — the jaccardVerify precedent). Intended for tables
-    * whose DOWNSTREAM per-row work dominates task overhead: session
-    * cache builds, and per-query pre-explode/pre-kernel staging (the
-    * spanAlign posting build); the width check plans the subtree once
-    * (~ms), the repartition itself only fires on narrow plans.
+  /** Cut a serving table with `mat`, then widen the MATERIALIZED cut
+    * up to the session's shuffle parallelism if it came out narrower —
+    * the r16 fix for single-split inputs: a checkpoint PRESERVES its
+    * child's partitioning, and an index built narrow from a
+    * one-row-group parquet scan (every fixture table) serves every
+    * later query 1-task-wide no matter how many cores exist.
+    *
+    * The width is read from the ALREADY-materialized cut (a
+    * checkpoint/persisted table's plan is a bare scan — no exchanges,
+    * so `.rdd` here builds the RDD without running anything). The r16
+    * form probed `df.rdd` on the un-cut BUILD plan, and under AQE
+    * (default) that materializes every shuffle query stage; the narrow
+    * branch's `repartition` then re-planned and re-executed them —
+    * roughly doubling exchange-bearing builds like Dsir's
+    * documents⋈curateStrict (r16 ADVICE item 1). Now the build
+    * executes exactly once; a narrow result pays one extra cut of the
+    * (by definition small-partition-count) cached table.
+    *
+    * Conditional on the materialized width, so at warehouse scale
+    * (inputs already wider than the conf) the re-cut never fires — no
+    * forced reshuffle of a wide index. Explicit numPartitions keeps
+    * AQE's byte-based coalescer from folding the widening back
+    * (compute-per-row is invisible to byte heuristics — the
+    * jaccardVerify precedent); round-robin with the default
+    * sort-before-repartition, so retried map tasks reproduce the same
+    * row→partition assignment (SPARK-23207, guide §2.5). Intended for
+    * tables whose DOWNSTREAM per-row work dominates task overhead
+    * (the bow vector index, DSIR's strict-docs table); r16 measured a
+    * blanket version NEGATIVE on trivial-serve indexes.
     */
-  def widen(df: org.apache.spark.sql.DataFrame)
+  def widened(mat: Strategy)(df: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
+    val cut = mat(df)
+    // a lazy strategy (Disk) must be forced before its width is read,
+    // or .rdd plans the original exchange-bearing build again
+    if (!eager(mat)) cut.count(): Unit
     val n = df.sparkSession.conf
       .get("spark.sql.shuffle.partitions", "200").toInt
-    if (df.rdd.getNumPartitions >= n) df
-    // round-robin with the default sort-before-repartition: retried
-    // map tasks reproduce the same row→partition assignment (the
-    // SPARK-23207 determinism contract the guide's §2.5 leans on)
-    else df.repartition(n)
+    if (cut.rdd.getNumPartitions >= n) cut
+    else {
+      val wide = mat(cut.repartition(n))
+      if (!eager(mat)) wide.count(): Unit
+      release(cut)
+      wide
+    }
   }
 
   def session(spark: org.apache.spark.sql.SparkSession): Strategy =

@@ -59,11 +59,24 @@ object Apriori {
     * keyed by the space-joined canonical string. Spark-side use is a
     * typed flatMap; the reference's recursive equivalent is
     * `CandidatesGenRecursion` (apriori_final.java:70-110).
+    *
+    * DUPLICATE-INPUT SEMANTICS (pinned, r16 ADVICE): subsets are
+    * enumerated by POSITION (index combinations), so an input with
+    * value-equal elements emits value-equal subsets once per index
+    * combination — `Seq("a","a")` yields "a", "a", "a a". This is the
+    * [[graft.functions.SubsetsGenerator]] / DuckDB-mask-join semantic;
+    * `Seq.combinations` (the pre-r17 form) DEDUPLICATES value-equal
+    * combinations, which made the typed and SQL tiers silently
+    * disagree on duplicate-bearing baskets. Every in-repo caller feeds
+    * deduplicated arrays (`array_intersect`/`array_distinct`/
+    * `collect_set` outputs), where the two semantics coincide.
     */
-  def subsetKeys(items: Seq[String]): Iterator[(String, Int)] =
-    (1 to items.length).iterator
-      .flatMap(k => items.combinations(k))
-      .map(c => (c.mkString(" "), c.length))
+  def subsetKeys(items: Seq[String]): Iterator[(String, Int)] = {
+    val v = items.toIndexedSeq
+    (1 to v.length).iterator
+      .flatMap(k => v.indices.combinations(k))
+      .map(idx => (idx.map(v).mkString(" "), idx.length))
+  }
 
   /** G3 generator (pure): (antecedent, consequent) for every non-empty
     * proper subset of a frequent itemset
@@ -216,11 +229,14 @@ object Apriori {
       graft.Materialize.release(tx)
       built
     }
+    // codegen'd Generate instead of the typed flatMap (r17) — same
+    // rationale and row-equality argument as candidatesRaw (the
+    // order-preserving frequent filter keeps fitems duplicate-free:
+    // `items` is array_distinct output)
+    graft.functions.SubsetsGenerator.register(spark)
     baskets
-      .select(lit(0L).as("l_orderkey"), $"fitems")
-      .as[Basket]
-      .flatMap(b => subsetKeys(b.fitems.take(MaxBasket)))
-      .toDF("itemset", "k")
+      .select(slice(col("fitems"), 1, MaxBasket).as("fitems"))
+      .selectExpr("graft_subsets(fitems) AS (itemset, k)")
       .groupBy($"itemset", $"k")
       .agg(count(lit(1)).as("cnt"))
       .where($"k" >= 2 && $"cnt" >= Support)
@@ -371,10 +387,12 @@ object Apriori {
   private def itemsetSupportsUncached(
       spark: SparkSession, dir: String): DataFrame = {
     val s = spark; import s.implicits._
+    // codegen'd Generate instead of the typed flatMap (r17) — same
+    // rationale and row-equality argument as candidatesRaw
+    graft.functions.SubsetsGenerator.register(spark)
     frequentBaskets(spark, dir)
-      .as[Seq[String]]
-      .flatMap(b => subsetKeys(b.take(MaxBasket)))
-      .toDF("itemset", "k")
+      .select(slice(col("fitems"), 1, MaxBasket).as("fitems"))
+      .selectExpr("graft_subsets(fitems) AS (itemset, k)")
       .groupBy($"itemset", $"k")
       .agg(count(lit(1)).as("cnt"))
   }
@@ -454,17 +472,22 @@ object Apriori {
     * vocabulary scale, broadcast each level like SGD's θ) and the
     * per-level support tables stay distributed.
     *
-    * DRIVER-MEMORY BUDGET (the one `collect()` class in this operator):
-    * the collected active set is bounded by |frequent 1-items| at every
-    * level — the seed is exactly the frequent items (the cached basket
-    * table's `fitems` arrays contain nothing else by construction), and
-    * each later level's actives are items of frequent k-itemsets, a
-    * subset of the previous level's actives by support monotonicity
-    * (so the sequence is ⊆-monotone decreasing). That is O(frequent
-    * vocabulary) — the same class as SGD's θ and the standard level-wise
-    * broadcast pattern — NOT O(itemsets) (the support tables those
-    * itemsets live in never leave the cluster) and NOT O(corpus).
-    * `AprioriSpec` pins the bound and the monotone shrinkage.
+    * DRIVER-MEMORY BUDGET: the active set is bounded by |frequent
+    * 1-items| at every level — level 2 needs no prune (the cached
+    * basket table's `fitems` arrays contain nothing else by
+    * construction), and each later level's actives are items of
+    * frequent k-itemsets, a subset of the previous level's actives by
+    * support monotonicity (so the sequence is ⊆-monotone decreasing).
+    * That is O(frequent vocabulary) — the same class as SGD's θ and
+    * the standard level-wise broadcast pattern — NOT O(itemsets) (the
+    * support tables those itemsets live in never leave the cluster)
+    * and NOT O(corpus). Since r17 the set is never `collect()`ed at
+    * all: it rides a 1-row `collect_set` broadcast built from the
+    * previous level's checkpointed table (the same bound, through
+    * Spark's broadcast machinery), and the per-level stop probe is a
+    * 1-block `isEmpty` instead of a full second job over the level.
+    * `AprioriSpec` pins the bound and the monotone shrinkage off the
+    * output.
     */
   def freqItemsetsLevelwise(spark: SparkSession, dir: String): DataFrame = {
     val s = spark; import s.implicits._
@@ -474,38 +497,52 @@ object Apriori {
     // disk→local per the Materialize plan-growth note)
     val cut = graft.Materialize.sessionTruncating(spark)
     // the session basket cache is the "one basket scan": the per-level
-    // take(MaxBasket) map is row-local over its checkpointed rows, and
-    // the frequent-item seed is one distinct-explode of the same table
-    // (fitems arrays contain exactly the frequent items by construction)
+    // slice(MaxBasket) is row-local over its checkpointed rows, and
+    // level 2 needs no prune at all (fitems contain exactly the
+    // frequent items by construction)
+    graft.functions.KSubsetsGenerator.register(spark)
     val baskets = frequentBaskets(spark, dir)
-      .as[Seq[String]]
-      .map(_.take(MaxBasket))
-    var active = baskets.select(explode($"value").as("item"))
-      .distinct().collect().map(_.getString(0)).toSet
+      .select(slice(col("fitems"), 1, MaxBasket).as("fitems"))
     val levels = scala.collection.mutable.ListBuffer[DataFrame]()
     var result: DataFrame = null
     var k = 2
-    while (active.nonEmpty && k <= MaxBasket) {
-      val bc = spark.sparkContext.broadcast(active)
-      val lk = baskets
-        .flatMap { b =>
-          val pruned = b.filter(bc.value.contains)
-          if (pruned.length >= k)
-            pruned.combinations(k).map(_.mkString(" "))
-          else Iterator.empty
+    var go = true
+    while (go && k <= MaxBasket) {
+      // r17: the whole level is EXPRESSION-ONLY — active-item pruning
+      // via a 1-row broadcast aset built from the PREVIOUS level's
+      // checkpointed table (array_intersect preserves first-array
+      // order, so canonical keys survive), enumeration through the
+      // codegen'd graft_subsets_k Generate (C(n', k) per basket). The
+      // pre-r17 loop collect()ed the active set to the driver per
+      // level (a second full job over lk) and enumerated through a
+      // typed flatMap (deserialize per basket per level); now the only
+      // driver state is the loop counter — the active set rides
+      // Spark's broadcast machinery with the same O(frequent
+      // vocabulary) bound the old collect had (AprioriSpec pins the
+      // bound off the output, unchanged).
+      val pruned =
+        if (levels.isEmpty) baskets
+        else {
+          val aset = levels.last
+            .select(explode(split($"itemset", " ")).as("i"))
+            .agg(collect_set($"i").as("aset"))
+          baskets.crossJoin(broadcast(aset))
+            .select(array_intersect($"fitems", $"aset").as("fitems"))
         }
-        .toDF("itemset")
+      val lk = cut(pruned
+        .where(size($"fitems") >= k)
+        .selectExpr(s"graft_subsets_k(fitems, $k) AS itemset")
         .groupBy("itemset")
         .agg(count(lit(1)).as("cnt"))
-        .where($"cnt" >= Support)
-        .transform(cut)
-      bc.unpersist(blocking = false) // consumed by the eager checkpoint
+        .where($"cnt" >= Support))
       levels += lk
-      active = lk.select(explode(split($"itemset", " ")).as("i"))
-        .distinct().collect().map(_.getString(0)).toSet
-      if (active.nonEmpty)
+      // stop probe on the CHECKPOINTED table: one 1-block head job,
+      // replacing the old explode+distinct+collect per level
+      if (lk.isEmpty) go = false
+      else {
         result = if (result == null) lk else result.union(lk)
-      k += 1
+        k += 1
+      }
     }
     // consolidate the union into ONE retained table and release the
     // per-level checkpoints: a call leaves behind one frequent-itemset-
@@ -530,10 +567,17 @@ object Apriori {
     */
   def candidatesRaw(spark: SparkSession, dir: String): DataFrame = {
     val s = spark; import s.implicits._
+    // enumeration through the codegen'd graft_subsets Generate (r17):
+    // the typed-flatMap form paid a deserialize→Scala→serialize
+    // round-trip per basket AND broke whole-stage codegen between the
+    // scan and the aggregation; the CollectionGenerator fuses
+    // enumerate→filter→partial-agg into one codegen stage. Same rows
+    // by construction (fitems are distinct, where index- and
+    // value-combinations coincide — see subsetKeys).
+    graft.functions.SubsetsGenerator.register(spark)
     frequentBaskets(spark, dir)
-      .as[Seq[String]]
-      .flatMap(b => subsetKeys(b.take(MaxBasket)))
-      .toDF("itemset", "k")
+      .select(slice(col("fitems"), 1, MaxBasket).as("fitems"))
+      .selectExpr("graft_subsets(fitems) AS (itemset, k)")
       .where($"k" >= 2)
       .groupBy($"itemset")
       .agg(count(lit(1)).as("cnt"))
@@ -583,14 +627,16 @@ object Apriori {
   def assocRulesMetrics(spark: SparkSession, dir: String): DataFrame = {
     val s = spark; import s.implicits._
     val supports = itemsetSupports(spark, dir)
+    // rule expansion through the codegen'd graft_antecedents Generate
+    // (r17) — the typed-flatMap rationale and row-equality argument of
+    // candidatesRaw (canonical itemsets are distinct-element, where
+    // positional and value complements coincide)
+    graft.functions.AntecedentsGenerator.register(spark)
     val expanded = supports
       .where($"k" >= 2 && $"cnt" >= Support)
       .select(split($"itemset", " ").as("z"), $"cnt".as("zcnt"))
-      .as[(Seq[String], Long)]
-      .flatMap { case (z, zcnt) =>
-        antecedents(z).map { case (a, c) => (a, c, zcnt) }
-      }
-      .toDF("antecedent", "consequent", "zcnt")
+      .selectExpr("graft_antecedents(z) AS (antecedent, consequent)",
+        "zcnt")
     // basket count == transaction count (the frequent-item filter keeps
     // every basket row, possibly with an empty fitems array) — one 1-row
     // aggregate over the cached table, no second basket-join build
@@ -619,14 +665,13 @@ object Apriori {
   private def rulesFrom(spark: SparkSession, supports: DataFrame,
       support: Int): DataFrame = {
     val s = spark; import s.implicits._
+    // codegen'd Generate — see assocRulesMetrics
+    graft.functions.AntecedentsGenerator.register(spark)
     val expanded = supports
       .where($"k" >= 2 && $"cnt" >= support)
       .select(split($"itemset", " ").as("z"), $"cnt".as("zcnt"))
-      .as[(Seq[String], Long)]
-      .flatMap { case (z, zcnt) =>
-        antecedents(z).map { case (a, c) => (a, c, zcnt) }
-      }
-      .toDF("antecedent", "consequent", "zcnt")
+      .selectExpr("graft_antecedents(z) AS (antecedent, consequent)",
+        "zcnt")
     // supports is tiny relative to the data (aggregated itemsets); AQE /
     // auto-broadcast picks BHJ at fixture scale, SMJ beyond thresholds.
     expanded

@@ -1390,11 +1390,16 @@ object Curation {
     // re-scanned and re-tokenized the documents table (r16 plan audit:
     // 21 Exchanges, 4 text scans per invocation). ~tens of bytes per
     // doc vs KBs of text per scan, a win at any scale for this
-    // reporting shape.
-    val base = Tables(spark, dir, "documents")
-      .select(col("lang"), col("source"),
-        expr("cast(size(split(text, ' ')) as bigint)").as("n_tok"))
-      .localCheckpoint()
+    // reporting shape. A SESSION artifact (r17, the gate_cols
+    // discipline), not a per-call localCheckpoint: the r16 form
+    // checkpointed per invocation with no release, accumulating pinned
+    // blocks across a long session (r16 ADVICE item 3) — the cache
+    // releases on [[invalidateCurate]] like every other kept artifact.
+    val base = keptCache.getOrBuild(spark, (dir, "card_base"))(
+      graft.Materialize.session(spark)(
+        Tables(spark, dir, "documents")
+          .select(col("lang"), col("source"),
+            expr("cast(size(split(text, ' ')) as bigint)").as("n_tok"))))
     val vol = base
       .agg(count(lit(1)).cast("double").as("nd"),
         sum(col("n_tok")).cast("double").as("nt"),

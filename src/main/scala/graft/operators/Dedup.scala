@@ -117,16 +117,18 @@ object Dedup {
     // JVM, reliable on a cluster; [[Materialize.session]]). (Nested
     // builds — bands3 derives from sh3 — are why [[graft.SessionCache]]
     // is get+putIfAbsent, never computeIfAbsent.)
-    // `widen = true` repartitions the build up to the session shuffle
-    // parallelism before the cut — ONLY for indexes whose serve-side
-    // per-row compute dominates task overhead (the bow vectors: exact
-    // 256-dim cosine per candidate). r16 measured the blanket version
-    // NEGATIVE on the cheap serves (minhash/ngram candidate maps are
-    // trivial per row; 32 tasks of scheduling overhead beat 1 task of
-    // work) and 2x POSITIVE on bow — see [[graft.Materialize.widen]].
+    // `widen = true` repartitions the MATERIALIZED cut up to the
+    // session shuffle parallelism when it came out narrower — ONLY for
+    // indexes whose serve-side per-row compute dominates task overhead
+    // (the bow vectors: exact 256-dim cosine per candidate). r16
+    // measured the blanket version NEGATIVE on the cheap serves
+    // (minhash/ngram candidate maps are trivial per row; 32 tasks of
+    // scheduling overhead beat 1 task of work) and 2x POSITIVE on bow
+    // — see [[graft.Materialize.widened]].
     indexCache.getOrBuild(spark, (dir, kind))(
-      graft.Materialize.session(spark)(
-        if (widen) graft.Materialize.widen(build) else build))
+      if (widen)
+        graft.Materialize.widened(graft.Materialize.session(spark))(build)
+      else graft.Materialize.session(spark)(build))
 
   /** Drop cached dedup indexes (a (session, dir) pair, a whole session
     * with `dir = null`, or everything). [[graft.Materialize.release]]

@@ -134,10 +134,10 @@ object Dsir {
   private def cachedStrictDocs(spark: SparkSession, dir: String)
       : DataFrame =
     cache.getOrBuild(spark, (dir, "strict"))(
-      graft.Materialize.session(spark)(graft.Materialize.widen(
+      graft.Materialize.widened(graft.Materialize.session(spark))(
         Tables(spark, dir, "documents")
           .join(Curation.curateStrict(spark, dir).select("doc_id"),
-            "doc_id"))))
+            "doc_id")))
 
   private def cachedRatios(spark: SparkSession, dir: String,
       kind: String, docs: => DataFrame): DataFrame =

@@ -153,6 +153,22 @@ class BenchJsonSpec extends AnyFunSuite {
     finally java.nio.file.Files.delete(tmp)
   }
 
+  test("warmup_sec: per-entry warmup seconds parse as a JSON object " +
+    "(r17 — the session-cache warmup-boundary audit field)") {
+    // bench_samples.json must carry the UNTIMED warmup cost per entry:
+    // session caches move their build across the warmup boundary by
+    // design, and without this field a round could shift arbitrary
+    // work out of the timed reps unaudited (r16 VERDICT item 6)
+    val n = om.readTree(s"""{"warmup_sec":${
+      Bench.warmupJson(Seq("a\"1" -> 1.234, "b" -> 0.056))}}""")
+      .get("warmup_sec")
+    assert(n.isObject)
+    assert(n.get("a\"1").asDouble() == 1.23)
+    assert(n.get("b").asDouble() == 0.06)
+    assert(om.readTree(s"""{"w":${Bench.warmupJson(Nil)}}""")
+      .get("w").isObject)
+  }
+
   test("loadSummary: run-level ambient context for the compact line") {
     // the r15 self-classification fields — mean_load/max_load in both
     // contract lines (and the samples archive) let a bounded tail
