@@ -718,11 +718,20 @@ object Apriori {
     val freq = cp.groupBy("p").agg(count(lit(1)).as("s1"))
       .where(col("s1") >= SeqMinSupport)
     val fp = cp.join(broadcast(freq.select("p")), "p")
-    fp.groupBy("c")
-      .agg(collect_list(struct(col("d"), col("p"))).as("items"))
-      .select(col("c"), explode(col("items")).as("a"), col("items"))
-      .select(col("c"), col("a"), explode(col("items")).as("b"))
-      .where(col("a.d") < col("b.d"))
+    // pair generation as a history SELF-JOIN on the customer key (the
+    // oracle's own shape), not collect_list + double explode (r17):
+    // collect_list is a TypedImperativeAggregate, so the per-customer
+    // history build ran as an interpreted ObjectHashAggregate — the
+    // one non-codegen operator in the pipeline, and at sf1 the entry
+    // was CPU-bound (util 0.84) exactly there. The self-join keeps
+    // everything in whole-stage codegen (SMJ → filter → partial agg),
+    // reuses one exchange for both sides (identical subtree), and the
+    // strict a.d < b.d predicate prunes pairs inside the join instead
+    // of after materializing |h|² struct copies. Same pair multiset by
+    // construction: cp has one row per (c, p), so each unordered
+    // history pair contributes exactly the date-ordered row.
+    fp.as("a").join(fp.as("b"),
+        col("a.c") === col("b.c") && col("a.d") < col("b.d"))
       .groupBy(col("a.p").as("p_first"), col("b.p").as("p_then"))
       .agg(count(lit(1)).as("support"))
       .orderBy(col("support").desc, col("p_first"), col("p_then"))
